@@ -1,0 +1,304 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.compat.ChFunctions._
+
+/** Core relational operator coverage (SURVEY.md §2) as driver-checkable
+  * queries: each entry has a Spark implementation here and a DuckDB oracle
+  * in [[CoreQueries.oracleSql]] with identical column names.
+  *
+  * Determinism rules used throughout (see SURVEY.md §7.4 "Decimal
+  * fidelity"): every aggregate over floating-point input is computed over
+  * `DECIMAL` casts (exact, associative, order-independent) and surfaced as
+  * `DECIMAL(38,6)` in BOTH engines; raw doubles are only passed through
+  * untouched, never re-derived.
+  */
+object CoreQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read nanos as long (ns since epoch) — orderings and
+    // comparisons on it are then exact, and no query surfaces raw ts.
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  private val dec = "decimal(18,4)"
+  private val out = "decimal(38,6)"
+
+  // ---------------------------------------------------------------------
+  // A4/A2-style aggregation (the reference's golden-value check shape,
+  // v_cache_for_calc_6184_4626.txt:3-4) + TPC-H Q1 shape over lineitem.
+  // Scale: partial aggregation map-side, one shuffle on the 6-value group
+  // key; decimal sums stay exact at any row count.
+  def q1_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(dec)).cast(out).as("sum_qty"),
+        sum(col("l_extendedprice").cast(dec)).cast(out).as("sum_base_price"),
+        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(dec))
+          .cast(out).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  // J3/J4 multi-way equi join through the star schema + group agg —
+  // the calc query's join pyramid (v_cache...txt:123-133). All three dims
+  // are broadcast-able; lineitem⋈orders is the only real shuffle.
+  def q2_join_agg(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(dec))
+          .cast(out).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  // A1: the watermark probe — max(sync_col) + count in one pass
+  // (clickhouse/jdbsChSession.scala:93-116).
+  def q3_watermark(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").agg(
+      max(col("event_id")).as("max_event_id"),
+      count(lit(1)).as("cnt_rows"))
+
+  // A3: distinct key-set harvest, arity 2 (clickhouse/jdbsChSession.scala:123-177).
+  def q4_distinct_keys(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+      .distinct()
+
+  // W4/J1: append_notin as a left_anti join — source rows whose key tuple
+  // is absent from the "target" (here: orders with status F plays target,
+  // full orders plays source). Never a collected literal list.
+  def q5_anti_notin(s: SparkSession, dir: String): DataFrame = {
+    val src    = t(s, dir, "orders")
+    val target = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    src.join(target.select(col("o_orderkey")).distinct(),
+             Seq("o_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
+  // W3: append_bymax delta — rows above the target's watermark
+  // (table/Table.scala:47-57). Watermark = max(event_id) of the "already
+  // loaded" half; the filter pushes down to the scan.
+  def q6_bymax_delta(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    // "already loaded" target = ids up to 80% of max (long arithmetic,
+    // sf-independent); the delta above the watermark is the incremental pull.
+    val gmax = ev.agg(max(col("event_id"))).head().getLong(0)
+    val target = ev.filter(col("event_id") <= lit(gmax * 4 / 5))
+    val wm = graft.ops.Watermark.maxValAndCnt(Some(target), "event_id")
+    ev.filter(graft.ops.Watermark.watermarkPredicate("event_id", wm))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
+  // J5: IN-subquery semi join (v_cache...txt:112-118,134).
+  def q7_semi_join(s: SparkSession, dir: String): DataFrame = {
+    val c  = t(s, dir, "customer")
+    val hi = t(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+    c.join(hi.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  // J4: left join with extra non-equi condition (v_cache...txt:140-146:
+  // "left join ... and rn_pbo=1 and type_info=5" shape).
+  def q8_left_join_cond(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o,
+        c("c_custkey") === o("o_custkey") && o("o_orderstatus") === "O" &&
+          o("o_totalprice") > 50000.0,
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_open_orders"),
+           sum(col("o_totalprice").cast(dec)).cast(out).as("open_total"))
+  }
+
+  // WF3: row_number-per-group dedup-to-first (rn_pbo = 1 consumption,
+  // v_cache...txt:145). Deterministic: the order key (ts, event_id) is
+  // unique per user.
+  def q9_rownum_dedup(s: SparkSession, dir: String): DataFrame = {
+    // ts is read as epoch-nanos long (see t()) — ordering matches the
+    // oracle's nanosecond timestamp ordering exactly.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("first_event_id"),
+              col("event_type").as("first_event_type"))
+  }
+
+  // WF1: NTILE bucketing for parallel copy-back
+  // (clickhouse/jdbsChSession.scala:425-443). The reference orders by
+  // cityHash64(part_field); bucket assignment under xxhash64 differs
+  // (SURVEY.md §7.4), so the driver-checkable form orders by the key
+  // itself — bucket sizes and membership are then engine-independent.
+  def q10_ntile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("bucket", ntile(8).over(Window.orderBy(col("o_orderkey"))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_rows"),
+           min(col("o_orderkey")).as("min_key"),
+           max(col("o_orderkey")).as("max_key"))
+
+  // W5/J2: the update merge — dictGet/dictHas ≡ broadcast-join lookup.
+  // "updates" stage doubles acctbal for suppliers of nation 1; merged
+  // target only changes matched PKs, only the update_field.
+  def q11_update_merge(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val upd = sup.filter(col("s_nationkey") === 1)
+      .select(col("s_suppkey"),
+              (col("s_acctbal").cast(dec) * lit(2).cast(dec)).cast(out).as("new_acctbal"))
+    sup.join(broadcast(upd), Seq("s_suppkey"), "left")
+      .select(col("s_suppkey"), col("s_name"),
+              coalesce(col("new_acctbal"), col("s_acctbal").cast(out)).as("s_acctbal"))
+  }
+
+  // W2: append_where as kept ∪ incoming — delete-first dedup semantics
+  // (request/OperType.scala:16-26). Target = stale copy (discounted
+  // prices); incoming = fresh rows matching the filter.
+  def q12_append_where(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val pred = col("p_size") >= 25
+    val target = part.select(col("p_partkey"), col("p_name"), col("p_size"),
+      (col("p_retailprice").cast(dec) * lit("0.5").cast(dec)).cast(out).as("p_retailprice"))
+    val incoming = part.filter(pred)
+      .select(col("p_partkey"), col("p_name"), col("p_size"),
+              col("p_retailprice").cast(out).as("p_retailprice"))
+    target.filter(!coalesce(pred, lit(false))).unionByName(incoming)
+  }
+
+  // §2.8 scalar-function compat layer in one shot: toYYYYMMDD, toYear,
+  // lpad(toString(x),3,'0'), concat, parseDateTime, coalesce-flag idiom.
+  def q13_scalar_funcs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        toYYYYMMDD(col("o_orderdate")).as("order_yyyymmdd"),
+        toYear(col("o_orderdate")).as("order_year"),
+        lpadNum(col("o_custkey"), 9, "0").as("cust_padded"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("status_prio"),
+        date_format(parseDateTime(lit("2024-03-01"), "%Y-%m-%d"), "yyyy-MM-dd HH:mm:ss").as("parsed_ts"),
+        coalesceFlag(when(col("o_totalprice") > 200000.0, col("o_orderkey"))).as("big_flag"))
+
+  // J3: inner join with EXPRESSION keys — lpad(toString(grbs),3,'0')
+  // (v_cache...txt:126,130).
+  def q14_expr_join(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation")
+      .select(lpadNum(col("n_nationkey"), 3, "0").as("nkey_pad"), col("n_name"))
+    val c = t(s, dir, "customer")
+      .withColumn("nkey_pad", lpadNum(col("c_nationkey"), 3, "0"))
+    c.join(n1, Seq("nkey_pad"), "inner")
+      .groupBy(col("nkey_pad"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("c_acctbal").cast(dec)).cast(out).as("total_bal"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"          -> q1_agg _,
+    "q2_join_agg"     -> q2_join_agg _,
+    "q3_watermark"    -> q3_watermark _,
+    "q4_distinct_keys"-> q4_distinct_keys _,
+    "q5_anti_notin"   -> q5_anti_notin _,
+    "q6_bymax_delta"  -> q6_bymax_delta _,
+    "q7_semi_join"    -> q7_semi_join _,
+    "q8_left_join_cond" -> q8_left_join_cond _,
+    "q9_rownum_dedup" -> q9_rownum_dedup _,
+    "q10_ntile"       -> q10_ntile _,
+    "q11_update_merge"-> q11_update_merge _,
+    "q12_append_where"-> q12_append_where _,
+    "q13_scalar_funcs"-> q13_scalar_funcs _,
+    "q14_expr_join"   -> q14_expr_join _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        | JOIN orders   ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation   ON c_nationkey = n_nationkey
+        | JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q3_watermark" ->
+      "SELECT max(event_id) AS max_event_id, count(*) AS cnt_rows FROM events",
+    "q4_distinct_keys" ->
+      "SELECT DISTINCT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM lineitem",
+    "q5_anti_notin" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey NOT IN (
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin,
+    "q6_bymax_delta" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id > (SELECT max(event_id) FROM events
+        |                  WHERE event_id <= (SELECT max(event_id) * 4 // 5 FROM events))""".stripMargin,
+    "q7_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)""".stripMargin,
+    "q8_left_join_cond" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_open_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS open_total
+        |FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderstatus = 'O' AND o_totalprice > 50000.0
+        |GROUP BY c_custkey""".stripMargin,
+    "q9_rownum_dedup" ->
+      """SELECT user_id, first_event_id, first_event_type FROM (
+        |  SELECT user_id, event_id AS first_event_id, event_type AS first_event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "q10_ntile" ->
+      """SELECT bucket, count(*) AS bucket_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM (SELECT o_orderkey, ntile(8) OVER (ORDER BY o_orderkey) AS bucket FROM orders)
+        |GROUP BY bucket""".stripMargin,
+    "q11_update_merge" ->
+      """SELECT s.s_suppkey, s.s_name,
+        | coalesce(u.new_acctbal, CAST(s.s_acctbal AS DECIMAL(38,6))) AS s_acctbal
+        |FROM supplier s LEFT JOIN (
+        |  SELECT s_suppkey,
+        |    CAST(CAST(s_acctbal AS DECIMAL(18,4)) * CAST(2 AS DECIMAL(18,4)) AS DECIMAL(38,6)) AS new_acctbal
+        |  FROM supplier WHERE s_nationkey = 1) u
+        |ON s.s_suppkey = u.s_suppkey""".stripMargin,
+    "q12_append_where" ->
+      """SELECT p_partkey, p_name, p_size,
+        | CAST(CAST(p_retailprice AS DECIMAL(18,4)) * CAST('0.5' AS DECIMAL(18,4)) AS DECIMAL(38,6)) AS p_retailprice
+        |FROM part WHERE NOT coalesce(p_size >= 25, false)
+        |UNION ALL
+        |SELECT p_partkey, p_name, p_size, CAST(p_retailprice AS DECIMAL(38,6)) AS p_retailprice
+        |FROM part WHERE p_size >= 25""".stripMargin,
+    "q13_scalar_funcs" ->
+      """SELECT o_orderkey,
+        | CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_yyyymmdd,
+        | CAST(year(o_orderdate) AS INT) AS order_year,
+        | lpad(CAST(o_custkey AS VARCHAR), 9, '0') AS cust_padded,
+        | o_orderstatus || '-' || o_orderpriority AS status_prio,
+        | strftime(CAST('2024-03-01' AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+        | coalesce(CASE WHEN o_totalprice > 200000.0 THEN o_orderkey END, 0) AS big_flag
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "q14_expr_join" ->
+      """SELECT nkey_pad, n_name, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_bal
+        |FROM (SELECT lpad(CAST(c_nationkey AS VARCHAR), 3, '0') AS nkey_pad, c_acctbal FROM customer) c
+        |JOIN (SELECT lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS nkey_pad, n_name FROM nation) n
+        |USING (nkey_pad)
+        |GROUP BY nkey_pad, n_name""".stripMargin
+  )
+}

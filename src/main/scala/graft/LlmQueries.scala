@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline operators over `documents` / `embeddings`
+  * (builder-prompt north star; not present in the reference, which is
+  * pure relational ETL). Each driver-checkable entry has a DuckDB oracle;
+  * the non-SQL-expressible ops (MinHash-LSH banding, IVF ANN) live in
+  * `graft.llm.*` with ScalaTest coverage and appear here as rows-only
+  * checks.
+  *
+  * Scale notes: every query is one scan + at most one shuffle; the
+  * near-dup/similarity ops avoid the O(n²) cross join via inverted-index
+  * (posting-list) joins or LSH banding — the only strategies that survive
+  * 100 TB of documents.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val out = "decimal(38,6)"
+
+  // Exact dedup: group by content fingerprint, keep lowest doc_id
+  // (deterministic survivor), count the duplicate cluster.
+  def q20_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+           count(lit(1)).as("n_copies"))
+
+  // Token counting: whitespace tokenization via regexp_count — robust to
+  // empty strings, stays in codegen.
+  def q21_token_count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_count(col("text"), lit("\\S+")).as("n_tokens"),
+      length(col("text")).as("len_chars"))
+
+  // Quality scoring: deterministic integer counts + exact decimal ratios
+  // (length / token / stopword signals a filtering pipeline keys on).
+  def q22_quality(s: SparkSession, dir: String): DataFrame = {
+    val toks  = regexp_count(col("text"), lit("\\S+"))
+    val stops = regexp_count(col("text"),
+      lit("\\b(the|a|of|and|to|in|is|it)\\b"))
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      toks.as("n_tokens"), stops.as("n_stopwords"),
+      when(toks > 0,
+        (stops.cast("decimal(18,6)") / toks.cast("decimal(18,6)")).cast(out))
+        .otherwise(lit(0).cast(out)).as("stopword_ratio"),
+      when(toks > 0,
+        ((length(col("text")) - toks + 1).cast("decimal(18,6)") / toks.cast("decimal(18,6)")).cast(out))
+        .otherwise(lit(0).cast(out)).as("avg_token_len"))
+  }
+
+  // Document fingerprinting: content hash (md5 — bit-identical across
+  // engines) + a positional prefix fingerprint.
+  def q23_fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("content_fp"),
+      md5(substring(col("text"), 1, 64).cast("binary")).as("prefix_fp"))
+
+  // Corpus language statistics (the aggregate view a langid pass feeds).
+  def q24_lang_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           min(col("doc_id")).as("min_doc_id"))
+
+  // N-gram (word-bigram) Jaccard near-dup candidates via inverted-index
+  // self-join — NOT a cross join: explode bigrams, join on bigram, count
+  // shared, Jaccard from exact integer counts. At scale the bigram join is
+  // one shuffle on the bigram key; frequency-capping rare/common shingles
+  // bounds skew.
+  def q25_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+    val grams = docs.select(col("doc_id"),
+        explode(graft.llm.TextShingles.wordBigrams(col("text"))).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val a = grams.as("a"); val b = grams.as("b")
+    val shared = a.join(b,
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_grams", "grams_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_grams", "grams_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast("decimal(18,6)") /
+         (col("grams_a") + col("grams_b") - col("n_shared")).cast("decimal(18,6)"))
+          .cast(out).as("jaccard"))
+      .filter(col("jaccard") > lit(0.10).cast(out))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_exact"   -> q20_dedup_exact _,
+    "q21_token_count"   -> q21_token_count _,
+    "q22_quality"       -> q22_quality _,
+    "q23_fingerprint"   -> q23_fingerprint _,
+    "q24_lang_stats"    -> q24_lang_stats _,
+    "q25_ngram_jaccard" -> q25_ngram_jaccard _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q21_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        | CAST(length(text) AS INT) AS len_chars FROM documents""".stripMargin,
+    "q22_quality" ->
+      """SELECT doc_id, lang,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS INT) AS n_stopwords,
+        | CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
+        |   CAST(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS DECIMAL(18,6))
+        |        / CAST(len(regexp_extract_all(text, '\S+')) AS DECIMAL(18,6)) AS DECIMAL(38,6))
+        | ELSE CAST(0 AS DECIMAL(38,6)) END AS stopword_ratio,
+        | CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
+        |   CAST(CAST(length(text) - len(regexp_extract_all(text, '\S+')) + 1 AS DECIMAL(18,6))
+        |        / CAST(len(regexp_extract_all(text, '\S+')) AS DECIMAL(18,6)) AS DECIMAL(38,6))
+        | ELSE CAST(0 AS DECIMAL(38,6)) END AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q23_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_fp,
+        | md5(substring(text, 1, 64)) AS prefix_fp FROM documents""".stripMargin,
+    "q24_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | min(doc_id) AS min_doc_id FROM documents GROUP BY lang""".stripMargin,
+    "q25_ngram_jaccard" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM documents WHERE doc_id < 200),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, n_shared,
+        |  CAST(CAST(n_shared AS DECIMAL(18,6)) /
+        |       CAST(sa.n_grams + sb.n_grams - n_shared AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(CAST(n_shared AS DECIMAL(18,6)) /
+        |       CAST(sa.n_grams + sb.n_grams - n_shared AS DECIMAL(18,6)) AS DECIMAL(38,6))
+        |      > CAST(0.10 AS DECIMAL(38,6))""".stripMargin
+  )
+}

@@ -1,0 +1,78 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Target-table storage abstraction.
+  *
+  * The reference's targets are ClickHouse MergeTree tables addressed as
+  * `schema.table` (`table/Table.scala:38-39`); ours are Spark tables. Two
+  * implementations:
+  *
+  *   - [[ParquetTableStore]]: parquet directories under a root, used by
+  *     tests and the local verify path. Overwrites are staged-then-swapped
+  *     so a read-modify-write over the same table (append_where, update)
+  *     never reads a half-deleted input — the same reason the reference
+  *     stages updates through an `upd_<t>` side table
+  *     (`clickhouse/jdbsChSession.scala:316-329`).
+  *   - At cluster scale the same interface maps onto catalog tables
+  *     (`saveAsTable` / `insertInto` with dynamic partition overwrite);
+  *     nothing in SyncEngine assumes a local filesystem.
+  */
+trait TableStore {
+  def spark: SparkSession
+  def exists(table: String): Boolean
+  def read(table: String): DataFrame
+  def overwrite(table: String, df: DataFrame): Unit
+  def append(table: String, df: DataFrame): Unit
+  def drop(table: String): Unit
+  /** `TRUNCATE TABLE` (S9). */
+  def truncate(table: String): Unit
+  def count(table: String): Long = if (exists(table)) read(table).count() else 0L
+}
+
+final class ParquetTableStore(val spark: SparkSession, root: String)
+    extends TableStore {
+
+  private def dir(table: String) = new Path(root, table.replace('.', '/'))
+  private def fs = new Path(root).getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  override def exists(table: String): Boolean = fs.exists(dir(table))
+
+  override def read(table: String): DataFrame =
+    spark.read.parquet(dir(table).toString)
+
+  /** Stage to a sibling temp dir, then swap. The staging write fully
+    * materializes before the old data is touched, so `overwrite(t, f(read(t)))`
+    * is safe (parquet self-overwrite otherwise corrupts: the lazy plan would
+    * scan files that the write is deleting). */
+  override def overwrite(table: String, df: DataFrame): Unit = {
+    val target  = dir(table)
+    val staging = new Path(root,
+      s".staging-${table.replace('.', '_')}-${System.nanoTime()}")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val f = fs
+    if (f.exists(target)) f.delete(target, true)
+    f.mkdirs(target.getParent)
+    if (!f.rename(staging, target))
+      throw new RuntimeException(s"swap failed for $table")
+  }
+
+  override def append(table: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).parquet(dir(table).toString)
+
+  override def drop(table: String): Unit = {
+    val f = fs
+    if (f.exists(dir(table))) f.delete(dir(table), true)
+  }
+
+  override def truncate(table: String): Unit = {
+    if (exists(table)) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(table).schema)
+      overwrite(table, empty)
+    }
+  }
+}

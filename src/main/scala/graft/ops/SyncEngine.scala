@@ -1,0 +1,205 @@
+package graft.ops
+
+import graft.io.TableStore
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Executes one [[SyncOp]] against a target table — the Spark rewrite of
+  * the reference's per-table copy flows (`task/TaskLogic.scala:167-241`,
+  * `clickhouse/jdbsChSession.scala:222-414`; SURVEY.md §2.3 W1–W6).
+  *
+  * Every operation is single-pass over the source with at most one shuffle
+  * (the anti/merge join); nothing is ever collected to the driver. Scale
+  * notes per op inline.
+  */
+final class SyncEngine(store: TableStore) {
+
+  /** Per-table result accounting, mirroring the reference's audit columns
+    * (`ora/jdbcSession.scala:592-615`): pre/post counts and the copied
+    * delta (`clickhouse/jdbsChSession.scala:299-308`). */
+  final case class SyncResult(table: String, op: SyncOp,
+                              rowsBefore: Long, rowsAfter: Long) {
+    def rowsCopied: Long = rowsAfter - rowsBefore
+  }
+
+  private def targetOpt(table: String): Option[DataFrame] =
+    if (store.exists(table)) Some(store.read(table)) else None
+
+  /** Apply projection (P1) + raw predicate (P2) + source order (O1) the way
+    * the reference assembles its pull query (`table/Table.scala:45-92`). */
+  def prepareSource(src: DataFrame, spec: TableSpec): DataFrame = {
+    val projected = spec.onlyColumns match {
+      case Some(cols) if cols.nonEmpty => src.select(cols.map(col): _*)
+      case _                           => src
+    }
+    val filtered = spec.whereFilter match {
+      case Some(f) => projected.filter(expr(f))
+      case None    => projected
+    }
+    spec.orderByOraData match {
+      // a global sort before write is only meaningful for pull-side
+      // clustering; sortWithinPartitions preserves the intent (clustered
+      // files) without a full-range shuffle at scale.
+      case Some(o) => filtered.sortWithinPartitions(o.split(",").map(s => expr(s.trim)).toIndexedSeq: _*)
+      case None    => filtered
+    }
+  }
+
+  /** W1 `recreate`: drop + full reload (`request/OperType.scala:8-14`,
+    * `clickhouse/jdbsChSession.scala:257-314`). One write pass, no shuffle. */
+  def recreate(spec: TableSpec, src: DataFrame): SyncResult = {
+    val t = spec.fullName
+    val before = 0L
+    store.drop(t)
+    store.overwrite(t, prepareSource(src, spec))
+    SyncResult(t, SyncOp.Recreate, before, store.count(t))
+  }
+
+  /** W2 `append_where`: delete target rows matching the filter, then insert
+    * source rows matching it — delete-first to eliminate duplicates
+    * (`request/OperType.scala:16-26`, delete
+    * `clickhouse/jdbsChSession.scala:222-236`). On immutable storage this
+    * is an overwrite of `target.filter(!p) ∪ source.filter(p)`; on a
+    * partitioned sink the same shape becomes `replaceWhere`/dynamic
+    * partition overwrite so only affected partitions rewrite at scale. */
+  def appendWhere(spec: TableSpec, src: DataFrame): SyncResult = {
+    val t    = spec.fullName
+    val pred = expr(spec.whereFilter.getOrElse(
+      throw InvalidTableSpec("append_where requires where_filter")))
+    val incoming = prepareSource(src, spec)
+    targetOpt(t) match {
+      case None =>
+        store.overwrite(t, incoming)
+        SyncResult(t, SyncOp.AppendWhere, 0L, store.count(t))
+      case Some(target) =>
+        val before = target.count()
+        // NULL-safe keep: rows where pred is false OR NULL are kept, exactly
+        // like SQL DELETE WHERE pred (deletes only pred=TRUE rows).
+        val kept = target.filter(!coalesce(pred, lit(false)))
+        store.overwrite(t, kept.unionByName(incoming))
+        SyncResult(t, SyncOp.AppendWhere, before, store.count(t))
+    }
+  }
+
+  /** W3 `append_bymax`: watermark incremental
+    * (`request/OperType.scala:38-46`; probe
+    * `clickhouse/jdbsChSession.scala:93-121`; predicate
+    * `table/Table.scala:47-57`). Probe is one agg; the filtered append
+    * pushes `sync_col > wm` down to the source scan (visible as
+    * PushedFilters on parquet/JDBC), so only the delta is read. */
+  def appendByMax(spec: TableSpec, src: DataFrame): SyncResult = {
+    val t  = spec.fullName
+    val sc = spec.syncByColumnMax.getOrElse(
+      throw InvalidTableSpec("append_bymax requires sync_by_column_max"))
+    val wm = Watermark.maxValAndCnt(targetOpt(t), sc)
+    val delta = prepareSource(src, spec)
+      .filter(Watermark.watermarkPredicate(sc, wm))
+    if (store.exists(t)) store.append(t, delta) else store.overwrite(t, delta)
+    SyncResult(t, SyncOp.AppendByMax, wm.cntRows, store.count(t))
+  }
+
+  /** W4 `append_notin`: insert-only dedup by 1–3 integer keys
+    * (`request/OperType.scala:28-36`). The reference collects the target
+    * key set to the driver and renders a NOT-IN literal
+    * (`clickhouse/jdbsChSession.scala:123-177`, `table/Table.scala:59-84`)
+    * — we keep it distributed as a left_anti join (exact because keys are
+    * non-null integers; SURVEY.md §7.4). AQE broadcasts the key set when
+    * small; otherwise it's one shuffle on the key columns. */
+  def appendNotIn(spec: TableSpec, src: DataFrame): SyncResult = {
+    val t    = spec.fullName
+    val keys = spec.syncByColumns.getOrElse(
+      throw InvalidTableSpec("append_notin requires sync_by_columns"))
+    val incoming = prepareSource(src, spec)
+    targetOpt(t) match {
+      case None =>
+        store.overwrite(t, incoming)
+        SyncResult(t, SyncOp.AppendNotIn, 0L, store.count(t))
+      case Some(target) =>
+        val before = target.count()
+        val fresh  = incoming.join(
+          Watermark.keySet(target, keys), keys, "left_anti")
+        store.append(t, fresh)
+        SyncResult(t, SyncOp.AppendNotIn, before, store.count(t))
+    }
+  }
+
+  /** W5 `update`: bulk column update of existing rows by primary key — the
+    * reference's staging-table + COMPLEX_KEY_DIRECT dictionary +
+    * `ALTER TABLE UPDATE c = dictGet(...) WHERE dictHas(...)` flow
+    * (`task/TaskLogic.scala:27-92`, `clickhouse/jdbsChSession.scala:61-91,
+    * 316-385`). `dictGet` on the PK is semantically a broadcast hash-join
+    * lookup (SURVEY.md §1.1), so the Spark form is:
+    * left-join target←updates on PK, `coalesce(upd.c, t.c)` for each
+    * update_field, rewrite. Only `update_fields` change, only matched PKs
+    * change (dictHas guard ≡ join match), unmatched update rows are
+    * ignored (dictionary semantics). Updates are deduped to one row per PK
+    * (last by sync col if given) — a dictionary holds one value per key.
+    *
+    * W6 `sync_update_by_column_max`: when set, only update rows newer than
+    * the target's max feed the merge (`clickhouse/jdbsChSession.scala:
+    * 103-106`).
+    *
+    * Scale: broadcast when the update set is small (hinted); else Catalyst
+    * falls back to a shuffled hash/SMJ on the PK. The full-table rewrite is
+    * the unavoidable cost of immutable storage — on a partitioned target
+    * this becomes a rewrite of only the partitions containing matched PKs.
+    */
+  def update(spec: TableSpec, updatesSrc: DataFrame,
+             pkColumns: Seq[String],
+             broadcastUpdates: Boolean = true): SyncResult = {
+    val t = spec.fullName
+    val updCols = spec.updateFields.getOrElse(
+      throw InvalidTableSpec("update requires update_fields")).filterNot(pkColumns.contains)
+    require(pkColumns.nonEmpty, s"$t: update requires a primary key")
+    val target = targetOpt(t).getOrElse(
+      throw InvalidTableSpec(s"$t: update target does not exist"))
+    val before = target.count()
+
+    // W6 watermark on the updates feed
+    val feed0 = spec.syncUpdateByColumnMax match {
+      case Some(scol) =>
+        val wm = Watermark.maxValAndCnt(Some(target), scol)
+        updatesSrc.filter(Watermark.watermarkPredicate(scol, wm))
+      case None => updatesSrc
+    }
+    // one row per PK: dictionary semantics (a dict maps each key to exactly
+    // one value); keep the row with the highest sync col, else any-last.
+    val ordCol = spec.syncUpdateByColumnMax.getOrElse(pkColumns.head)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pkColumns.map(col): _*)
+      .orderBy(col(ordCol).desc)
+    val feed = feed0
+      .select((pkColumns ++ updCols ++
+        (if (pkColumns.contains(ordCol) || updCols.contains(ordCol)) Nil
+         else Seq(ordCol))).distinct.map(col): _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select((pkColumns ++ updCols).map(col): _*)
+
+    val updAliased = updCols.foldLeft(feed) { (d, c) =>
+      d.withColumnRenamed(c, s"__upd_$c")
+    }
+    val joined = target.join(
+      if (broadcastUpdates) broadcast(updAliased) else updAliased,
+      pkColumns, "left")
+    val merged = target.columns.foldLeft(joined) { (d, c) =>
+      if (updCols.contains(c))
+        d.withColumn(c, coalesce(col(s"__upd_$c"), col(c)))
+      else d
+    }.select(target.columns.map(col).toIndexedSeq: _*)
+
+    store.overwrite(t, merged)
+    SyncResult(t, SyncOp.Update, before, store.count(t))
+  }
+
+  /** Dispatch one spec (update ops need the pk + updates feed → use
+    * [[update]] directly; `run` covers the non-update wave). */
+  def run(spec: TableSpec, src: DataFrame): SyncResult = spec.operation match {
+    case SyncOp.Recreate    => recreate(spec, src)
+    case SyncOp.AppendWhere => appendWhere(spec, src)
+    case SyncOp.AppendByMax => appendByMax(spec, src)
+    case SyncOp.AppendNotIn => appendNotIn(spec, src)
+    case SyncOp.Update =>
+      throw InvalidTableSpec("update needs pkColumns: call update() directly")
+  }
+}

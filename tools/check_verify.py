@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry.oracleSql vs Verify output.
+
+Mimics the driver's correctness gate: for each query, load the Spark
+result parquet (written by graft.Verify) and run the oracle SQL in DuckDB
+over the sf parquet tables; compare schemas (column names sorted) and
+values (rows sorted, column order by name).
+
+Usage: python3 tools/check_verify.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = os.path.join(out_dir, name)
+        if not glob.glob(os.path.join(spark_dir, "*.parquet")):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        gc, wc = sorted(got.columns), sorted(want.columns)
+        if gc != wc:
+            print(f"FAIL {name}: columns {gc} != {wc}"); n_fail += 1; continue
+        g = got[gc].sort_values(gc).reset_index(drop=True)
+        w = want[wc].sort_values(wc).reset_index(drop=True)
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}"); n_fail += 1; continue
+        # value compare via string render (the driver hashes values)
+        gs = g.astype(str); ws = w.astype(str)
+        if not gs.equals(ws):
+            diff = (gs != ws).any(axis=1)
+            print(f"FAIL {name}: {diff.sum()} mismatched rows; first:")
+            idx = diff[diff].index[0]
+            print("  spark:", g.loc[idx].to_dict())
+            print("  duck :", w.loc[idx].to_dict())
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
