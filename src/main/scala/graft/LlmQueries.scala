@@ -100,13 +100,52 @@ object LlmQueries {
       .filter(col("jaccard") > lit(0.10).cast(out))
   }
 
+  // Brute-force cosine top-5 for a fixed probe set (vec_id < 8) — the
+  // exact-ANN baseline. Queries broadcast; corpus scanned once. Cosine is
+  // decimal-deterministic (see graft.llm.Similarity) so the DuckDB oracle
+  // hash-matches bit-for-bit.
+  def q26_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("cand_id"),
+              col("cosine").cast(out).as("cosine"), col("rnk"))
+  }
+
+  /** Corpus with planted near-duplicates (each doc re-appears with its
+    * first word dropped, id offset by 1e6) — lets the near-dup operators
+    * demonstrate recall deterministically on any sf. */
+  private def corpusWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
+  }
+
+  // MinHash+LSH near-dup candidates (non-SQL-expressible: banding +
+  // signature family → rows-only driver check; semantics pinned by
+  // LlmOpsSpec instead). Planted dups guarantee recall > 0.
+  def q27_minhash_pairs(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.minHashCandidates(
+      corpusWithNearDups(s, dir).filter(col("doc_id") % 1000000L < 250),
+      "doc_id", "text", k = 32, bands = 8, ngram = 2, threshold = 0.35)
+
+  // SimHash near-dup pairs (hamming ≤ 3 over 64-bit fingerprints).
+  def q28_simhash_pairs(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.simHashPairs(
+      corpusWithNearDups(s, dir).filter(col("doc_id") % 1000000L < 250),
+      "doc_id", "text", maxDist = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"   -> q20_dedup_exact _,
     "q21_token_count"   -> q21_token_count _,
     "q22_quality"       -> q22_quality _,
     "q23_fingerprint"   -> q23_fingerprint _,
     "q24_lang_stats"    -> q24_lang_stats _,
-    "q25_ngram_jaccard" -> q25_ngram_jaccard _
+    "q25_ngram_jaccard" -> q25_ngram_jaccard _,
+    "q26_cosine_topk"   -> q26_cosine_topk _,
+    "q27_minhash_pairs" -> q27_minhash_pairs _,
+    "q28_simhash_pairs" -> q28_simhash_pairs _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -154,6 +193,21 @@ object LlmQueries {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(CAST(n_shared AS DECIMAL(18,6)) /
         |       CAST(sa.n_grams + sb.n_grams - n_shared AS DECIMAL(18,6)) AS DECIMAL(38,6))
-        |      > CAST(0.10 AS DECIMAL(38,6))""".stripMargin
+        |      > CAST(0.10 AS DECIMAL(38,6))""".stripMargin,
+    "q26_cosine_topk" ->
+      """WITH norm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+        |  FROM norm q JOIN norm c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, cand_id, CAST(cosine AS DECIMAL(38,6)) AS cosine, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+        |      FROM pairs) WHERE rnk <= 5""".stripMargin
   )
 }

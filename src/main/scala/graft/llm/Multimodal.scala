@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing for a training-data
+  * pipeline: media as opaque `binary` columns + typed metadata, with
+  * decode / feature-extract / resize / frame-sample as per-partition
+  * batch transforms.
+  *
+  * The Spark-side shape is real and tested — schema, partitioning,
+  * batch-iterator transform signature (`mapPartitions`, the JVM analog of
+  * `mapInPandas` batch processing). The codec itself is STUBBED with a
+  * deterministic fake (this container has no image/audio libs): see
+  * [[StubCodec]] — swap `decode` for a real implementation (javacv,
+  * ImageIO, ffmpeg-cli) without touching the pipeline shape.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long, kind: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int, height: Int,      // images/video
+      sample_rate: Int,             // audio
+      duration_ms: Long)
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String,
+      feature: Array[Float],        // embedding-like feature vector
+      n_frames: Int,
+      decode_ok: Boolean)
+
+  /** STUB decode: deterministic pseudo-features from the payload bytes —
+    * `???`-grade placeholder for a real codec, but shape-faithful:
+    * consumes bytes, emits a fixed-width float vector per media item.
+    * Deterministic so tests can assert exact outputs. */
+  object StubCodec {
+    val FeatureDim = 16
+    def decode(row: MediaRow): MediaFeatures = {
+      var h = 0xcbf29ce484222325L
+      row.payload.foreach { b => h = (h ^ (b & 0xffL)) * 0x100000001b3L }
+      val feats = Array.tabulate(FeatureDim) { i =>
+        val x = h * (i + 1) + row.media_id
+        ((x % 1000L).toFloat) / 1000.0f
+      }
+      val frames = row.kind match {
+        case "video" => math.max(1, (row.duration_ms / 40L).toInt) // 25 fps
+        case "image" => 1
+        case _       => 0
+      }
+      MediaFeatures(row.media_id, row.kind, feats, frames, decode_ok = true)
+    }
+  }
+
+  /** Synthesize a deterministic media corpus for tests/bench (payload =
+    * seeded bytes; in production this column comes from object storage). */
+  def syntheticCorpus(spark: SparkSession, n: Int, partitions: Int = 4): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map { i =>
+      val kind = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      val payload = Array.tabulate[Byte](64)(j => ((i * 31 + j) % 127).toByte)
+      MediaRow(i, kind, payload,
+        width = 64 + (i % 8).toInt * 32, height = 64,
+        sample_rate = if (kind == "audio") 16000 else 0,
+        duration_ms = 1000L + (i % 10) * 200L)
+    }
+  }
+
+  /** Batch decode/feature-extract: `mapPartitions` so a real codec can
+    * amortize per-partition init (model load, ffmpeg process) across the
+    * batch — the same contract `mapInPandas` gives Python. Partition
+    * count controls decode parallelism; payloads never hit the driver. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init happens here (codec/context); stub has none
+      it.map(StubCodec.decode)
+    }
+  }
+
+  /** Frame-sampling plan for videos: one row per sampled frame index at
+    * `everyMs` granularity — pure relational explode, runs at scan speed;
+    * the actual frame fetch joins back through the codec. */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("duration_ms"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
+          .as("frame_ts_ms"))
+
+  /** Resize plan: target geometry per image row (aspect-preserving fit);
+    * the byte transform happens in the codec stage. */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame =
+    media.filter(col("kind") === "image")
+      .withColumn("scale",
+        least(lit(maxSide) / col("width"), lit(maxSide) / col("height"),
+              lit(1.0)))
+      .withColumn("out_w", ceil(col("width") * col("scale")).cast("int"))
+      .withColumn("out_h", ceil(col("height") * col("scale")).cast("int"))
+}

@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — builder-prompt north star; no reference analog.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k, queries broadcast against
+  *     the candidate corpus — the correctness baseline. One scan of the
+  *     corpus, no shuffle of the big side; the per-query top-k heap is a
+  *     window over query_id (rows-per-query = |corpus|, so the window
+  *     shuffle keys on query_id — fine while |queries| ≪ |corpus|).
+  *   - [[lshBucketTopK]]: sign-random-projection LSH. Each vector gets a
+  *     B-bit signature from deterministic pseudo-random hyperplanes;
+  *     vectors sharing a band bucket are candidates. Corpus side is
+  *     bucketed once (one shuffle on bucket key), queries probe their own
+  *     buckets — the 100 TB path: cost ∝ bucket sizes, not |corpus|².
+  *
+  * Cosine determinism: dot products and norms are summed as
+  * DECIMAL(38,15) (exact, order-independent), the final
+  * dot/sqrt(na*nb) runs in IEEE double — bit-identical across engines,
+  * which is what lets the DuckDB oracle hash-match (see LlmQueries).
+  */
+object Similarity {
+
+  /** Exact decimal sum of elementwise double products. */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") * y.cast("double")).cast("decimal(38,15)")),
+      lit(0).cast("decimal(38,15)"),
+      (acc, x) => (acc + x).cast("decimal(38,15)"))
+
+  def norm2Decimal(v: Column): Column = dotDecimal(v, v)
+
+  /** Deterministic cosine: exact decimal sums, IEEE double finish. */
+  def cosineDeterministic(a: Column, b: Column,
+                          normA: Column, normB: Column): Column =
+    dotDecimal(a, b).cast("double") /
+      sqrt(normA.cast("double") * normB.cast("double"))
+
+  /** Fast production cosine (double accumulation — order-dependent in the
+    * last ulp, fine when no cross-engine hash compare is needed). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    dot / sqrt(na * nb)
+  }
+
+  /** Exact brute-force cosine top-k of `candidates` for each row of
+    * `queries`. Both frames need (idCol, vecCol). Self-matches excluded. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     deterministic: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm2Decimal(col("qv")))
+    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm2Decimal(col("cv")))
+    val cos =
+      if (deterministic) cosineDeterministic(col("qv"), col("cv"), col("qn"), col("cn"))
+      else cosine(col("qv"), col("cv"))
+    val pairs = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), cos.as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** B pseudo-random hyperplane components for dimension d, derived from
+    * xxhash64(seed, plane, dim) → ±1. Deterministic, no driver-side RNG
+    * state, evaluated inside codegen. */
+  private def planeComponent(plane: Int, dim: Column, seed: Int): Column =
+    when(pmod(xxhash64(lit(seed), lit(plane), dim), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** B-bit sign signature of a vector under the deterministic hyperplanes. */
+  def lshSignature(vec: Column, bits: Int, seed: Int = 42): Column = {
+    val bitCols = (0 until bits).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(p, i, seed)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L) * lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Band the signature into `bands` keys of `bits/bands` bits each. */
+  def bandKeys(sig: Column, bits: Int, bands: Int): Column = {
+    val width = bits / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * width).bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }: _*)
+  }
+
+  /** ANN top-k via LSH banding: candidates sharing ≥1 band bucket with the
+    * query are scored exactly, then top-k. Recall < 1 by construction;
+    * `bits`/`bands` trade recall vs candidate-set size. */
+  def lshBucketTopK(queries: DataFrame, candidates: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    bits: Int = 16, bands: Int = 4, seed: Int = 42): DataFrame = {
+    def withBuckets(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"))
+        .withColumn("__bucket",
+          explode(bandKeys(lshSignature(col(s"${id}_v"), bits, seed), bits, bands)))
+    val qb = withBuckets(queries, "query_id")
+    val cb = withBuckets(candidates, "cand_id")
+    val cand = cb.join(qb, Seq("__bucket"))
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+              col("query_id_v").as("qv"), col("cand_id_v").as("cv"))
+      .distinct()   // a pair may share several bands
+    val scored = cand.select(col("query_id"), col("cand_id"),
+      cosineDeterministic(col("qv"), col("cv"),
+        norm2Decimal(col("qv")), norm2Decimal(col("cv"))).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
+}

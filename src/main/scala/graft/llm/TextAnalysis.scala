@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis passes of a training-data pipeline: language ID, quality
+  * scoring, token counting, document fingerprinting. All single-pass
+  * column expressions (codegen-friendly, no UDFs, no shuffles) — at
+  * 100 TB these run at scan speed as map-side transforms.
+  */
+object TextAnalysis {
+
+  /** Stopword markers per language for the n-gram/stopword-hit heuristic.
+    * Tiny closed lists — the point is the *operator shape* (argmax over
+    * per-language evidence scores), swappable for real profiles. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "por", "con"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "不"))
+
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit("(?i)\\b(" + words.mkString("|") + ")\\b"))
+
+  /** Heuristic language ID: argmax of marker-hit counts; "und"
+    * (undetermined) when no marker fires. Ties break by language code. */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(markerHits(text, ws).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count (robust to empty/blank strings). */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** BPE-ish subword count: word-boundary pieces + digit runs +
+    * punctuation, the usual ~chars/4 pre-tokenizer estimate shape. */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("\\p{L}{1,4}|\\p{N}{1,3}|[^\\s\\p{L}\\p{N}]"))
+
+  /** Quality signals: length, token stats, punctuation/digit/upper
+    * ratios, stopword density — the filter features of C4/Gopher-style
+    * cleaning, as one struct column. */
+  def qualitySignals(text: Column): Column = {
+    val toks   = tokenCount(text)
+    val chars  = length(text)
+    val punct  = regexp_count(text, lit("[\\p{Punct}]"))
+    val digits = regexp_count(text, lit("[0-9]"))
+    val uppers = regexp_count(text, lit("[A-Z]"))
+    val stops  = markerHits(text, langMarkers("en"))
+    def ratio(n: Column) =
+      when(chars > 0, n.cast("double") / chars.cast("double")).otherwise(lit(0.0))
+    struct(
+      chars.as("n_chars"), toks.as("n_tokens"),
+      punct.as("n_punct"), stops.as("n_stopwords"),
+      ratio(punct).as("punct_ratio"),
+      ratio(digits).as("digit_ratio"),
+      ratio(uppers).as("upper_ratio"),
+      when(toks > 0, stops.cast("double") / toks.cast("double"))
+        .otherwise(lit(0.0)).as("stopword_ratio"),
+      when(toks > 0, chars.cast("double") / toks.cast("double"))
+        .otherwise(lit(0.0)).as("chars_per_token"))
+  }
+
+  /** Gopher-style keep/drop decision from the signals. */
+  def qualityKeep(text: Column,
+                  minTokens: Int = 8, maxTokens: Int = 100000,
+                  maxPunctRatio: Double = 0.3,
+                  minStopwordRatio: Double = 0.0): Column = {
+    val s = qualitySignals(text)
+    s.getField("n_tokens").between(minTokens, maxTokens) &&
+      s.getField("punct_ratio") <= maxPunctRatio &&
+      s.getField("stopword_ratio") >= minStopwordRatio
+  }
+
+  /** Polynomial rolling-hash fingerprint over word tokens:
+    * fp = Σ hash(w_i) * 31^(n-1-i)  (mod 2^61−1) — order-sensitive,
+    * unlike a bag-of-words hash. The modulus lives in DECIMAL(38,0)
+    * because Spark 4 runs ANSI mode (long overflow throws, no silent
+    * wraparound) and acc*31 exceeds 2^63. */
+  def rollingFingerprint(text: Column): Column = {
+    val p = lit((1L << 61) - 1).cast("decimal(38,0)")
+    aggregate(TextShingles.words(text), lit(0L),
+      (acc, w) => pmod(acc.cast("decimal(38,0)") * lit(31L) +
+        pmod(xxhash64(w), lit((1L << 61) - 1)).cast("decimal(38,0)"), p)
+        .cast("long"))
+  }
+
+  /** Winnowing-style robust fingerprint set: min rolling hash per window
+    * of `w` consecutive shingle hashes → small set of positions that
+    * survives local edits. Returned as array<long>. */
+  def winnowingFingerprints(text: Column, ngram: Int = 3, window: Int = 4): Column = {
+    val hashes = transform(TextShingles.wordNgrams(text, ngram), s => xxhash64(s))
+    val n = size(hashes)
+    when(n <= 0, array().cast("array<bigint>")).otherwise(
+      array_distinct(transform(sequence(lit(0), greatest(n - window, lit(0))),
+        i => array_min(slice(hashes, i + 1, lit(window))))))
+  }
+
+  /** Full document-profile pass over a corpus frame. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      langId(col(textCol)).as("lang_pred"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      subwordCount(col(textCol)).as("n_subwords"),
+      qualitySignals(col(textCol)).as("quality"),
+      qualityKeep(col(textCol)).as("keep"),
+      rollingFingerprint(col(textCol)).as("fingerprint"))
+}

@@ -1,0 +1,134 @@
+package graft
+
+import graft.llm._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  def docs(rows: (Long, String)*): DataFrame = rows.toSeq.toDF("doc_id", "text")
+
+  test("exact dedup keeps one survivor per content, counts copies") {
+    val df = docs((1, "aa bb"), (2, "aa bb"), (3, "cc"), (4, "aa bb"))
+    val out = Dedup.exact(df, "doc_id", "text")
+    val got = out.select("doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("minhash signature similarity tracks jaccard; near-dups found, distinct docs not") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far  = "completely different words nothing shared at all whatsoever zero overlap here now"
+    val df = docs((1, base), (2, near), (3, far))
+    val pairs = Dedup.minHashCandidates(df, "doc_id", "text",
+      k = 32, bands = 16, ngram = 2, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: near-identical docs within hamming 3, unrelated docs far apart") {
+    // long docs so per-bit votes are far from the sign boundary: one
+    // changed token among 400 flips only the few bits whose vote ≈ 0
+    val base = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok400", "tok401")        // one token changed
+    val far  = (1000 to 1400).map(i => s"other$i").mkString(" ")
+    val df = docs((1, base), (2, near), (3, far))
+    val sh = df.select(Dedup.simHash(TextShingles.words($"text")).as("sh"))
+      .as[Long].collect()
+    assert(java.lang.Long.bitCount(sh(0) ^ sh(1)) <= 3)
+    assert(java.lang.Long.bitCount(sh(0) ^ sh(2)) > 10)
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("langId picks the language whose markers dominate") {
+    val got = Seq(
+      "the cat and the dog of the house is in that corner it seems",
+      "der hund und die katze das ist nicht ein problem zu haben",
+      "le chat et la maison est une belle chose que dans paris",
+      "el perro y los gatos es una cosa que por la casa con amigos",
+      "mmmh zz qq xx"
+    ).toDF("text").select(TextAnalysis.langId($"text")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("quality signals + keep decision") {
+    val good = "the quick brown fox jumps over the lazy dog and runs to the house in town"
+    val bad  = "!!! ??? ,,, ..."
+    val out = Seq(good, bad).toDF("text")
+      .select(TextAnalysis.qualitySignals($"text").as("q"),
+              TextAnalysis.qualityKeep($"text").as("keep"))
+    val rows = out.select($"q.n_tokens", $"q.punct_ratio", $"keep")
+      .as[(Int, Double, Boolean)].collect()
+    assert(rows(0)._3 && rows(0)._1 == 16)
+    assert(!rows(1)._3 && rows(1)._2 > 0.5)
+  }
+
+  test("rolling fingerprint is order-sensitive; winnowing survives a local edit") {
+    val df = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "beta alpha gamma delta epsilon zeta eta theta iota kappa",  // swapped
+      "alpha beta gamma delta epsilon zeta eta theta iota kappaX"  // tail edit
+    ).toDF("text")
+    val fps = df.select(TextAnalysis.rollingFingerprint($"text")).as[Long].collect()
+    assert(fps(0) != fps(1))
+    val wins = df.select(TextAnalysis.winnowingFingerprints($"text", 3, 4))
+      .as[Seq[Long]].collect()
+    val overlap = wins(0).toSet.intersect(wins(2).toSet).size.toDouble /
+      wins(0).toSet.size
+    assert(overlap >= 0.5, s"winnowing overlap $overlap")
+  }
+
+  test("brute-force cosine topk: self-similar planted vector ranks first") {
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val nearV = base.map(x => (x * 1.01f))
+    val rnd = new scala.util.Random(7)
+    val noise = (3L to 30L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = ((1L, base) +: (2L, nearV) +: noise).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      df.filter($"vec_id" === 1), df, "vec_id", "embedding", k = 3)
+    val first = top.filter($"rnk" === 1).select("cand_id").as[Long].head()
+    assert(first == 2L)
+  }
+
+  test("LSH bucket topk achieves high recall vs brute force on clustered data") {
+    val rnd = new scala.util.Random(11)
+    // 4 clusters of 25 vectors each
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshBucketTopK(queries, df, "vec_id", "embedding", 5,
+      bits = 16, bands = 8)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("multimodal: stub decode via mapPartitions keeps schema and batch shape") {
+    val media = Multimodal.syntheticCorpus(spark, 30, partitions = 3)
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == 30)
+    assert(rows.forall(_.feature.length == Multimodal.StubCodec.FeatureDim))
+    assert(rows.forall(_.decode_ok))
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.map(_.feature.toSeq).toSeq == again.map(_.feature.toSeq).toSeq)
+    // frame sampling: 25fps stub → duration/40ms frames planned
+    val frames = Multimodal.sampleFrames(media.toDF(), everyMs = 200L)
+    assert(frames.groupBy("media_id").count().collect().forall(_.getLong(1) >= 5))
+    // resize plan: aspect-preserved, never upscales
+    val rp = Multimodal.resizePlan(media.toDF(), maxSide = 64)
+    assert(rp.select(max($"out_w")).head().getInt(0) <= 64)
+  }
+}
