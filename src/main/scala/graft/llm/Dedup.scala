@@ -23,75 +23,51 @@ object Dedup {
   // -------------------------------------------------------------------
   // MinHash + LSH
   //
-  // shingle → 64-bit hash → k minhashes via the universal-hash family
-  //   h_i(x) = (a_i * x + b_i) mod p   (p = 2^61 - 1, a/b derived from a
-  // seed — deterministic, no RNG state) → signature Array[Long] → band
-  // into b groups of r = k/b rows; docs sharing any band bucket are
-  // candidate pairs, verified by exact signature similarity.
+  // shingle → one xxhash64 → k per-seed rehashes xxhash64(h, i) → min
+  // per (doc, i) = the k-wide signature; band into b groups of r = k/b
+  // rows; docs sharing any band bucket are candidate pairs, verified by
+  // exact signature agreement.
   //
-  // Scale shape: signatures are one narrow map-side pass; the band
-  // explode multiplies rows by b (small constant); the bucket join is one
-  // shuffle on (band, bucketHash). Huge buckets (degenerate shingles) are
-  // capped — the classic skew guard.
+  // Execution shape (the part that must survive 100 TB): explode to
+  // (doc, shingle-hash) rows, then ONE groupBy(doc) with k min()
+  // aggregates — partial aggregation collapses each doc map-side, so the
+  // only shuffle carries k longs per doc. Banding multiplies rows by b
+  // (small constant); the bucket self-join shuffles on (band, bucket).
+  // Degenerate buckets are capped (skew guard).
   // -------------------------------------------------------------------
 
-  private val MersennePrime = (1L << 61) - 1
-
-  private def hashParams(i: Int, seed: Int): (Long, Long) = {
-    // deterministic odd multiplier + offset per hash index
-    def mix(x: Long): Long = {
-      var z = x + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    val a = (mix(seed.toLong * 1315423911L + i) & MersennePrime) | 1L
-    val b = mix(i.toLong * 2654435761L + seed) & MersennePrime
-    (a, b)
+  /** (doc_id, sig array<long>) signatures: k min-hashes over word
+    * n-gram shingles. */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, ngram: Int = 2, seed: Int = 42): DataFrame = {
+    val shingled = df.select(col(idCol).as("doc_id"),
+      explode(TextShingles.wordNgrams(col(textCol), ngram)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle"), lit(seed)).as("h"))
+    val mins = (0 until k).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    shingled.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** k-minhash signature over an array-of-shingles column. */
-  def minHashSignature(shingles: Column, k: Int, seed: Int = 42): Column = {
-    val hashed = transform(shingles, s => pmod(xxhash64(s), lit(MersennePrime)))
-    array((0 until k).map { i =>
-      val (a, b) = hashParams(i, seed)
-      // (a*x+b) mod p in unsigned 128-free arithmetic: do it in two pmod
-      // steps to stay in Long range: ((a mod p)*(x mod p)) can overflow —
-      // use double-limbed multiply via BigInt-free trick: split a into
-      // hi/lo 31-bit halves.
-      aggregate(hashed, lit(Long.MaxValue), (acc, x) => {
-        val ax = modMul(lit(a), x)
-        least(acc, pmod(ax + lit(b), lit(MersennePrime)))
-      })
-    }: _*)
-  }
-
-  /** (a*b) mod 2^61-1: both operands < 2^61 so the product needs 122 bits
-    * — Spark has no int128, but DECIMAL(38,0) holds 10^38 > 2^122, so the
-    * mod-multiply runs exactly in decimal and casts back to long. */
-  private def modMul(a: Column, b: Column): Column =
-    pmod((a.cast("decimal(38,0)") * b.cast("decimal(38,0)")) %
-           lit(MersennePrime).cast("decimal(38,0)"), lit(MersennePrime).cast("decimal(38,0)"))
-      .cast("long")
-
-  /** Candidate near-dup pairs via MinHash banding over word n-gram
-    * shingles, verified by signature agreement ≥ `threshold`. Returns
-    * (id_a, id_b, sig_sim) with id_a < id_b. */
+  /** Candidate near-dup pairs via MinHash banding, verified by signature
+    * agreement ≥ `threshold`. Returns (id_a, id_b, sig_sim), id_a < id_b. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, bands: Int = 8, ngram: Int = 2,
                         threshold: Double = 0.5, seed: Int = 42,
                         maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sigd = df.select(col(idCol).as("doc_id"),
-      minHashSignature(TextShingles.wordNgrams(col(textCol), ngram), k, seed).as("sig"))
+    val sigd = minHashSignatures(df, idCol, textCol, k, ngram, seed)
     val banded = sigd.select(col("doc_id"), col("sig"),
       explode(array((0 until bands).map { bnd =>
         struct(lit(bnd).as("band"),
-          xxhash64(to_json(slice(col("sig"), bnd * rows + 1, rows))).as("bucket"))
+          xxhash64(slice(col("sig"), bnd * rows + 1, rows)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"),
               col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // skew guard: drop degenerate buckets
+    // skew guard: drop degenerate buckets (boilerplate shingle sets)
     val sized = banded.withColumn("bsz",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bucket"))))
@@ -100,14 +76,16 @@ object Dedup {
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = sized.select(col("band"), col("bucket"),
       col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    // score per matched band row (cheap zip_with), then collapse the
+    // multi-band duplicates with one groupBy — no wide array distinct
+    a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct()
-    pairs.select(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => x === y), b => b)).cast("double") / lit(k))
+            (x, y) => x === y), m => m)).cast("double") / lit(k))
           .as("sig_sim"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("sig_sim")).as("sig_sim"))
       .filter(col("sig_sim") >= threshold)
   }
 
@@ -116,9 +94,29 @@ object Dedup {
   // Bit j = sign of Σ_tokens (bit j of xxhash64(token) ? +1 : −1).
   // Candidate pairs: pigeonhole on 16-bit chunks (hamming ≤ 3 ⇒ ≥1 of 4
   // chunks equal), verified with bit_count(xor).
+  // Same explode + groupBy shape as MinHash: one shuffle of 64 small
+  // sums per doc, map-side combined.
   // -------------------------------------------------------------------
 
-  /** 64-bit SimHash of a token-array column, as one expression tree. */
+  /** (doc_id, sh long) SimHash fingerprints over whitespace tokens. */
+  def simHashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol).as("doc_id"),
+      explode(TextShingles.words(col(textCol))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$j"))
+    tokens.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(j =>
+          when(col(s"v$j") > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+  }
+
+  /** 64-bit SimHash of a token-array column (single-expression form for
+    * column-level composition; the frame-level [[simHashes]] is the fast
+    * path for corpora). */
   def simHash(tokens: Column): Column = {
     val hashes = transform(tokens, t => xxhash64(t))
     val bits = (0 until 64).map { j =>
@@ -134,8 +132,7 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole covers hamming <= 3")
-    val sh = df.select(col(idCol).as("doc_id"),
-      simHash(TextShingles.words(col(textCol))).as("sh"))
+    val sh = simHashes(df, idCol, textCol)
     val chunked = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -151,7 +148,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
-      .distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 
