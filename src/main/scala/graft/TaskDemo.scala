@@ -9,20 +9,29 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end task demo over the sf0.001 fixtures: one two-wave task
   * (recreate + append_bymax + update) through TaskRunner, printing the
-  * audit trail — the §3.1/§3.2 lifecycles on real data. */
+  * audit trail — the §3.1/§3.2 lifecycles on real data.
+  *
+  * `runMain graft.TaskDemo [sfDir] [--catalog]`: --catalog targets real
+  * Spark catalog tables (CatalogTableStore) instead of parquet dirs. */
 object TaskDemo {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val sfDir = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("/root/testdata/sf0.001")
+    val useCatalog = args.contains("--catalog")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-demo-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val root = java.nio.file.Files.createTempDirectory("graft-demo").toString
-    val store = new ParquetTableStore(spark, root)
+    val store: graft.io.TableStore =
+      if (useCatalog) new graft.io.CatalogTableStore(spark)
+      else new ParquetTableStore(spark, root)
     val audit = new InMemoryAuditSink
     val runner = new TaskRunner(spark, new SyncEngine(store), audit)
 

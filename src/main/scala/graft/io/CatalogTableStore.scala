@@ -1,0 +1,79 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Catalog-backed [[TableStore]]: targets are real Spark catalog tables
+  * (`database.table`), the production analog of the reference's
+  * ClickHouse MergeTree targets.
+  *
+  * Maps the reference's DDL surface (SURVEY.md §2.1):
+  *  - S7 drop/create from stored DDL → `saveAsTable` / staged rename
+  *  - S8 `CREATE DATABASE IF NOT EXISTS` per schema
+  *    (`clickhouse/jdbsChSession.scala:677-691`)
+  *  - S9 `TRUNCATE TABLE` (`:693-700`)
+  *  - S10 existence/row-count/PK probes over `system.tables` →
+  *    `spark.catalog` + table properties (Spark has no PK constraint; the
+  *    reference reads it from `system.tables.primary_key`, we keep it in
+  *    TBLPROPERTIES('graft.primary_key'))
+  *  - C10 `OPTIMIZE TABLE ... FINAL` → [[compact]]
+  */
+final class CatalogTableStore(val spark: SparkSession) extends TableStore {
+
+  private def parse(table: String): (Option[String], String) =
+    table.split('.') match {
+      case Array(db, t) => (Some(db), t)
+      case Array(t)     => (None, t)
+      case _            => throw new IllegalArgumentException(s"bad table name $table")
+    }
+
+  /** S8: create the database for every distinct schema in a worklist,
+    * skipping the system namespaces like the reference does
+    * (`task/TaskLogic.scala:275`). */
+  def ensureDatabases(tables: Seq[String]): Unit =
+    tables.flatMap(t => parse(t)._1).distinct
+      .filterNot(Set("system", "default", "information_schema"))
+      .foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`"))
+
+  override def exists(table: String): Boolean =
+    spark.catalog.tableExists(table)
+
+  override def read(table: String): DataFrame = spark.table(table)
+
+  /** Staged overwrite: write to a side table then atomically swap via
+    * rename — same reasoning as ParquetTableStore (self-referential
+    * overwrites must not scan the files being replaced; Spark refuses
+    * "cannot overwrite a path that is also being read from" otherwise). */
+  override def overwrite(table: String, df: DataFrame): Unit = {
+    ensureDatabases(Seq(table))
+    val (db, t) = parse(table)
+    val staging = db.map(d => s"$d.__staging_$t").getOrElse(s"__staging_$t")
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    df.write.mode(SaveMode.Overwrite).saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
+  override def append(table: String, df: DataFrame): Unit = {
+    ensureDatabases(Seq(table))
+    if (!exists(table)) df.write.saveAsTable(table)
+    else df.write.mode(SaveMode.Append).insertInto(table)
+  }
+
+  override def drop(table: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+
+  override def truncate(table: String): Unit =
+    if (exists(table)) spark.sql(s"TRUNCATE TABLE $table")
+
+  /** S10: primary key kept in table properties. */
+  def setPrimaryKey(table: String, pk: Seq[String]): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.primary_key'='${pk.mkString(",")}')")
+
+  def primaryKey(table: String): Seq[String] = {
+    val rows = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+    rows.find(_.getString(0) == "graft.primary_key")
+      .map(_.getString(1).split(',').toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+  }
+
+}

@@ -1,0 +1,101 @@
+package graft.io
+
+import graft.ops.TableSpec
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+
+/** Source/sink adapters (SURVEY.md §2.1 S1–S6).
+  *
+  * The reference moves data through the ClickHouse `jdbc('ora?...')`
+  * bridge — ClickHouse pulls from Oracle server-side
+  * (`clickhouse/jdbsChSession.scala:284-309`) — with a dead-but-canonical
+  * row-streaming path whose fetch/batch windows document the intended
+  * tuning (`:604-656`, fetch_size/batch_size defaults 1000,
+  * `task/TaskLogic.scala:281-282`). On Spark both collapse into the JDBC
+  * source/sink: per-partition connections replace the connection pool
+  * (C9: pool size = parallelism ≡ `numPartitions`), `fetchsize`/
+  * `batchsize` map 1:1, and the Oracle session-context injection (C8,
+  * `ora/jdbcSession.scala:271-286`) becomes `sessionInitStatement`.
+  *
+  * Everything here is option plumbing around `spark.read/write` — pure
+  * and unit-testable without a live database; the same `JdbcSourceConf`
+  * drives a real Oracle/ClickHouse URL unchanged.
+  */
+object Sources {
+
+  final case class JdbcSourceConf(
+      url: String,
+      user: String = "",
+      password: String = "",
+      fetchSize: Int = 1000,            // oraServer.fetch_size default
+      batchSize: Int = 1000,            // clickhouseServer.batch_size default
+      numPartitions: Option[Int] = None,
+      partitionColumn: Option[String] = None,
+      lowerBound: Option[Long] = None,
+      upperBound: Option[Long] = None,
+      sessionInit: Option[String] = None)  // C8 context injection
+
+  /** S1: the Oracle pull query, assembled exactly like the reference's
+    * `getDataResultSet` (`ora/jdbcSession.scala:347-373`): projection
+    * (only_columns | *), raw where_filter, optional watermark predicate,
+    * optional ORDER BY. Returned as text so it can ship to any engine —
+    * the Spark reader uses it via the `query` option. */
+  def pullQuery(spec: TableSpec, maxValue: Option[Long] = None): String = {
+    val cols = spec.onlyColumns.map(_.mkString(", ").toUpperCase)
+      .getOrElse("*")
+    val watermark = (spec.syncByColumnMax, maxValue) match {
+      case (Some(c), Some(v)) => Some(s"$c > $v")
+      case _                  => None
+    }
+    val conds = spec.whereFilter.toSeq ++ watermark.toSeq
+    val where = if (conds.isEmpty) "" else conds.mkString(" WHERE (", ") AND (", ")")
+    val order = spec.orderByOraData.map(o => s" ORDER BY $o").getOrElse("")
+    s"SELECT $cols FROM ${spec.fullName}$where$order"
+  }
+
+  /** S1/S2: partitioned JDBC read with the reference's fetch-size window
+    * and session-context injection. */
+  def readJdbc(spark: SparkSession, conf: JdbcSourceConf, query: String): DataFrame =
+    jdbcReader(spark, conf).option("query", query).load()
+
+  /** Read a whole table (dbtable form — enables Spark's partitioned read
+    * when partitionColumn bounds are set). */
+  def readJdbcTable(spark: SparkSession, conf: JdbcSourceConf, table: String): DataFrame = {
+    val r = jdbcReader(spark, conf).option("dbtable", table)
+    val p = (conf.partitionColumn, conf.lowerBound, conf.upperBound,
+             conf.numPartitions) match {
+      case (Some(c), Some(lo), Some(hi), Some(n)) =>
+        r.option("partitionColumn", c).option("lowerBound", lo)
+          .option("upperBound", hi).option("numPartitions", n)
+      case _ => r
+    }
+    p.load()
+  }
+
+  private def jdbcReader(spark: SparkSession, conf: JdbcSourceConf): DataFrameReader = {
+    var r = spark.read.format("jdbc")
+      .option("url", conf.url)
+      .option("fetchsize", conf.fetchSize)
+    if (conf.user.nonEmpty) r = r.option("user", conf.user)
+      .option("password", conf.password)
+    conf.sessionInit.foreach(s => r = r.option("sessionInitStatement", s))
+    r
+  }
+
+  /** S5/S6: batched JDBC write (the reference's copy-back / batched
+    * PreparedStatement path). `numPartitions` bounds concurrent
+    * connections — the C9 pool-size semantic. */
+  def writeJdbc(df: DataFrame, conf: JdbcSourceConf, table: String,
+                mode: SaveMode = SaveMode.Append): Unit = {
+    val out = conf.numPartitions match {
+      case Some(n) if df.rdd.getNumPartitions > n => df.coalesce(n)
+      case _                                      => df
+    }
+    var w = out.write.format("jdbc").mode(mode)
+      .option("url", conf.url)
+      .option("dbtable", table)
+      .option("batchsize", conf.batchSize)
+    if (conf.user.nonEmpty) w = w.option("user", conf.user)
+      .option("password", conf.password)
+    w.save()
+  }
+}

@@ -29,6 +29,10 @@ trait TableStore {
   /** `TRUNCATE TABLE` (S9). */
   def truncate(table: String): Unit
   def count(table: String): Long = if (exists(table)) read(table).count() else 0L
+  /** C10 `OPTIMIZE TABLE ... FINAL` analog: rewrite into k files
+    * (`clickhouse/jdbsChSession.scala:387-398`). */
+  def compact(table: String, targetFiles: Int): Unit =
+    overwrite(table, read(table).repartition(targetFiles))
 }
 
 final class ParquetTableStore(val spark: SparkSession, root: String)

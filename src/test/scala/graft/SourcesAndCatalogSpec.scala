@@ -1,0 +1,68 @@
+package graft
+
+import graft.io.{CatalogTableStore, Sources}
+import graft.io.Sources.JdbcSourceConf
+import graft.ops._
+
+class SourcesAndCatalogSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pull query assembles projection, filter, watermark and order like the reference") {
+    val spec = TableSpec(SyncOp.AppendByMax, "msk", "t1",
+      onlyColumns = Some(Seq("id", "val")),
+      whereFilter = Some("val > 0"),
+      syncByColumnMax = Some("id"),
+      orderByOraData = Some("id desc"))
+    assert(Sources.pullQuery(spec, maxValue = Some(42)) ==
+      "SELECT ID, VAL FROM msk.t1 WHERE (val > 0) AND (id > 42) ORDER BY id desc")
+    assert(Sources.pullQuery(TableSpec(SyncOp.Recreate, "msk", "t2")) ==
+      "SELECT * FROM msk.t2")
+    // no watermark when target had none (first load)
+    assert(Sources.pullQuery(spec.copy(whereFilter = None), maxValue = None) ==
+      "SELECT ID, VAL FROM msk.t1 ORDER BY id desc")
+  }
+
+  test("jdbc conf carries reference defaults (fetch/batch 1000)") {
+    val c = JdbcSourceConf(url = "jdbc:h2:mem:x")
+    assert(c.fetchSize == 1000 && c.batchSize == 1000)
+  }
+
+  test("catalog store: database creation, staged overwrite, append, truncate, drop") {
+    val store = new CatalogTableStore(spark)
+    store.overwrite("wh1.t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    assert(spark.catalog.databaseExists("wh1"))
+    assert(store.count("wh1.t") == 2)
+    // self-referential overwrite (the trap saveAsTable(Overwrite) rejects)
+    store.overwrite("wh1.t", store.read("wh1.t").filter($"id" === 1))
+    assert(store.read("wh1.t").select("id").as[Long].collect().toSeq == Seq(1L))
+    store.append("wh1.t", Seq((3L, "c")).toDF("id", "s"))
+    assert(store.count("wh1.t") == 2)
+    store.truncate("wh1.t")
+    assert(store.exists("wh1.t") && store.count("wh1.t") == 0)
+    store.drop("wh1.t")
+    assert(!store.exists("wh1.t"))
+  }
+
+  test("catalog store: primary key kept in table properties (S10)") {
+    val store = new CatalogTableStore(spark)
+    store.overwrite("wh1.pkt", Seq((1L, 2L, "x")).toDF("k1", "k2", "v"))
+    assert(store.primaryKey("wh1.pkt").isEmpty)
+    store.setPrimaryKey("wh1.pkt", Seq("k1", "k2"))
+    assert(store.primaryKey("wh1.pkt") == Seq("k1", "k2"))
+    store.drop("wh1.pkt")
+  }
+
+  test("catalog store drives the full sync engine (W1+W3) and compaction") {
+    val store = new CatalogTableStore(spark)
+    val eng = new SyncEngine(store)
+    val src = (1L to 30L).map(i => (i, s"r$i")).toDF("id", "name")
+    eng.recreate(TableSpec(SyncOp.Recreate, "wh2", "t").validate(),
+      src.filter($"id" <= 10))
+    val r = eng.appendByMax(TableSpec(SyncOp.AppendByMax, "wh2", "t",
+      syncByColumnMax = Some("id")).validate(), src)
+    assert(r.rowsAfter == 30)
+    store.compact("wh2.t", targetFiles = 1)
+    assert(store.count("wh2.t") == 30)
+    store.drop("wh2.t")
+  }
+}
