@@ -1,0 +1,169 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.audit.AuditSink
+import graft.calc.{CalcEngine, ViewQueryMeta}
+import graft.ops._
+import graft.orchestration.TaskRunner
+import org.apache.spark.sql.DataFrame
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{Executors, TimeUnit}
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** Thin REST shell over the engine — the reference's HTTP surface
+  * (`server/WServer.scala:146-154`) on the JDK HttpServer (no extra
+  * dependencies; Jackson ships with Spark):
+  *
+  *   POST /task  — ReqNewTask-shaped JSON → two-wave sync task
+  *   POST /calc  — ReqCalcSrc-shaped JSON → sequential calc queries
+  *   GET  /status — engine state + audit trail
+  *
+  * Behavior ported: single-flight admission (`WServer.scala:38-52`,
+  * rejected → 409 with an error body); fire-and-forget task start with
+  * the 250 ms taskId poll then `{"taskid": N}` (`:105-120`); per-query
+  * calc responds `{"calcId":"ok"}` immediately (`calc/CalcLogic.scala:
+  * 185-200`). Sources and calc metas are injected registries — the
+  * engine core stays HTTP-free.
+  */
+final class WebShell(
+    runner: TaskRunner,
+    calcEngine: CalcEngine,
+    audit: AuditSink,
+    sources: String => DataFrame,
+    pkColumns: Map[String, Seq[String]] = Map.empty,
+    calcMetas: Map[String, ViewQueryMeta] = Map.empty,
+    calcWrite: ViewQueryMeta => DataFrame => Unit = _ => _ => (),
+    port: Int = 8081) {
+
+  private val mapper = new ObjectMapper()
+  private val pool = Executors.newCachedThreadPool()
+  private var server: HttpServer = _
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): this.type = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.setExecutor(pool)
+    server.createContext("/task", (ex: HttpExchange) => handle(ex, handleTask))
+    server.createContext("/calc", (ex: HttpExchange) => handle(ex, handleCalc))
+    server.createContext("/status", (ex: HttpExchange) => handle(ex, handleStatus))
+    server.start()
+    this
+  }
+
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+    pool.awaitTermination(5, TimeUnit.SECONDS)
+  }
+
+  private def handle(ex: HttpExchange, f: HttpExchange => (Int, String)): Unit = {
+    val (code, body) =
+      try f(ex)
+      catch {
+        case e: InvalidTableSpec => 400 -> s"""{"error":"${esc(e.getMessage)}"}"""
+        case NonFatal(e)         => 500 -> s"""{"error":"${esc(e.getMessage)}"}"""
+      }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def esc(s: String): String =
+    Option(s).getOrElse("null").replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** POST /task: `{"schemas":[{"schema":"s","tables":[{"operation":...,
+    * "name":..., ...}]}], "parallel":{"degree":N}}` — field names are the
+    * reference's `OneTable` JSON (`request/ReqNewTask.scala:7-25`). */
+  private def handleTask(ex: HttpExchange): (Int, String) = {
+    require(ex.getRequestMethod == "POST", "POST only")
+    val root = mapper.readTree(ex.getRequestBody)
+    val degree = Option(root.path("parallel").path("degree"))
+      .filter(!_.isMissingNode).map(_.asInt).filter(_ > 0).getOrElse(2)
+    val specs = root.path("schemas").elements().asScala.flatMap { sn =>
+      val schema = sn.path("schema").asText
+      sn.path("tables").elements().asScala.map(tn => parseTable(schema, tn))
+    }.toSeq
+    val task = TaskSpec(specs, degree)   // throws InvalidTableSpec → 400
+    // fire-and-forget (WServer forkDaemon), then respond with the taskId
+    val idF = new java.util.concurrent.CompletableFuture[Long]()
+    pool.submit(new Runnable {
+      override def run(): Unit =
+        try { idF.complete(runner.run(task, sources, pkColumns)) }
+        catch { case e: Throwable => idF.completeExceptionally(e) }
+    })
+    try {
+      val id = idF.get(60, TimeUnit.SECONDS)  // taskId poll window
+      200 -> s"""{"taskid":$id}"""
+    } catch {
+      case e: java.util.concurrent.ExecutionException
+          if e.getCause.isInstanceOf[runner.RejectedException] =>
+        409 -> s"""{"error":"${esc(e.getCause.getMessage)}"}"""
+      case e: java.util.concurrent.ExecutionException =>
+        500 -> s"""{"error":"${esc(e.getCause.getMessage)}"}"""
+    }
+  }
+
+  private def optText(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filterNot(_.isNull).map(_.asText).filter(_.nonEmpty)
+  private def optList(n: JsonNode, field: String): Option[Seq[String]] =
+    optText(n, field).map(_.split(",").map(_.trim).toSeq)
+
+  private def parseTable(schema: String, tn: JsonNode): TableSpec = {
+    val op = tn.path("operation").asText match {
+      case "recreate"     => SyncOp.Recreate
+      case "append_where" => SyncOp.AppendWhere
+      case "append_notin" => SyncOp.AppendNotIn
+      case "append_bymax" => SyncOp.AppendByMax
+      case "update"       => SyncOp.Update
+      case other => throw InvalidTableSpec(s"unknown operation $other")
+    }
+    TableSpec(op, schema, tn.path("name").asText,
+      onlyColumns = optList(tn, "only_columns"),
+      whereFilter = optText(tn, "where_filter"),
+      syncByColumnMax = optText(tn, "sync_by_column_max"),
+      updateFields = optList(tn, "update_fields"),
+      syncByColumns = optList(tn, "sync_by_columns"),
+      syncUpdateByColumnMax = optText(tn, "sync_update_by_column_max"),
+      clrOraTableAftUpd = optText(tn, "clr_ora_table_aft_upd"),
+      orderByOraData = optText(tn, "order_by_ora_data"),
+      srcTableFullName = optText(tn, "src_table_full_name"))
+  }
+
+  /** POST /calc: `{"queries":[{"query":"name","order_by":N,
+    * "params":{...}}]}` — responds ok immediately, computes async
+    * (CalcLogic.scala:185-200). */
+  private def handleCalc(ex: HttpExchange): (Int, String) = {
+    require(ex.getRequestMethod == "POST", "POST only")
+    val root = mapper.readTree(ex.getRequestBody)
+    val metas = root.path("queries").elements().asScala.map { qn =>
+      val name = qn.path("query").asText
+      val base = calcMetas.getOrElse(name,
+        throw InvalidTableSpec(s"unknown calc query $name"))
+      val params = Option(qn.get("params")).map(_.properties().asScala
+        .map(e => e.getKey -> (e.getValue.asText: Any)).toMap)
+        .getOrElse(Map.empty[String, Any])
+      qn.path("order_by").asInt(0) -> base.copy(params = base.params ++ params)
+    }.toSeq
+    pool.submit(new Runnable {
+      override def run(): Unit =
+        try calcEngine.runAll(metas, calcWrite)
+        catch { case NonFatal(_) => () }
+    })
+    200 -> """{"calcId":"ok"}"""
+  }
+
+  private def handleStatus(ex: HttpExchange): (Int, String) = {
+    val events = audit.events.sortBy(_.at).takeRight(50).map { e =>
+      s"""{"table":"${esc(e.table)}","operation":"${esc(e.operation)}",""" +
+        s""""status":"${esc(e.status)}","rows":${e.rowsCopied}}"""
+    }.mkString("[", ",", "]")
+    200 -> s"""{"state":"${runner.currentState}","events":$events}"""
+  }
+}

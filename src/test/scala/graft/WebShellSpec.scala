@@ -1,0 +1,91 @@
+package graft
+
+import graft.audit.InMemoryAuditSink
+import graft.calc.{CalcEngine, ViewQueryMeta}
+import graft.io.ParquetTableStore
+import graft.ops.SyncEngine
+import graft.orchestration.TaskRunner
+import graft.server.WebShell
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+class WebShellSpec extends SparkTestBase {
+  import spark.implicits._
+
+  def post(port: Int, path: String, body: String): HttpResponse[String] =
+    HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  def get(port: Int, path: String): HttpResponse[String] =
+    HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  def fixture() = {
+    val store = new ParquetTableStore(spark, tmpDir("web"))
+    val audit = new InMemoryAuditSink
+    val runner = new TaskRunner(spark, new SyncEngine(store), audit)
+    Seq((1L, 5.0), (2L, 25.0)).toDF("k", "v").createOrReplaceTempView("web_src")
+    val calc = new CalcEngine(spark, store)
+    val metas = Map("vq" -> ViewQueryMeta(name = "vq",
+      sqlText = "SELECT k, v FROM web_src WHERE v > {vmin:Decimal(38,6)}",
+      chTable = "db.calc_res"))
+    val shell = new WebShell(runner, calc, audit,
+      sources = _ => Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      calcMetas = metas, port = 0).start()
+    (store, shell)
+  }
+
+  test("POST /task runs a task and responds with the generated taskid") {
+    val (store, shell) = fixture()
+    try {
+      val r = post(shell.boundPort, "/task",
+        """{"schemas":[{"schema":"db","tables":[
+          |{"operation":"recreate","name":"t1"},
+          |{"operation":"recreate","name":"t2","where_filter":"id = 1"}]}],
+          |"parallel":{"degree":2}}""".stripMargin)
+      assert(r.statusCode() == 200 && r.body().matches("""\{"taskid":\d+\}"""))
+      assert(store.count("db.t1") == 2 && store.count("db.t2") == 1)
+      val st = get(shell.boundPort, "/status")
+      assert(st.body().contains("\"state\":\"Wait\""))
+      assert(st.body().contains("finished_recreate"))
+    } finally shell.stop()
+  }
+
+  test("invalid spec → 400 with the invariant message; unknown op → 400") {
+    val (_, shell) = fixture()
+    try {
+      val r = post(shell.boundPort, "/task",
+        """{"schemas":[{"schema":"db","tables":[
+          |{"operation":"append_where","name":"t"}]}]}""".stripMargin)
+      assert(r.statusCode() == 400)
+      assert(r.body().contains("append_where incompatible with empty where_filter"))
+      val r2 = post(shell.boundPort, "/task",
+        """{"schemas":[{"schema":"db","tables":[
+          |{"operation":"merge","name":"t"}]}]}""".stripMargin)
+      assert(r2.statusCode() == 400 && r2.body().contains("unknown operation"))
+    } finally shell.stop()
+  }
+
+  test("POST /calc responds ok immediately and materializes the result async") {
+    val (store, shell) = fixture()
+    try {
+      val r = post(shell.boundPort, "/calc",
+        """{"queries":[{"query":"vq","order_by":1,"params":{"vmin":"10"}}]}""")
+      assert(r.statusCode() == 200 && r.body() == """{"calcId":"ok"}""")
+      val deadline = System.nanoTime() + 30_000_000_000L
+      while (!store.exists("db.calc_res") && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(store.read("db.calc_res").as[(Long, Double)].collect().toSet ==
+        Set((2L, 25.0)))
+      val r2 = post(shell.boundPort, "/calc",
+        """{"queries":[{"query":"nope"}]}""")
+      assert(r2.statusCode() == 400 && r2.body().contains("unknown calc query"))
+    } finally shell.stop()
+  }
+}
