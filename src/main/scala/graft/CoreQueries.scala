@@ -204,7 +204,69 @@ object CoreQueries {
            sum(col("c_acctbal").cast(dec)).cast(out).as("total_bal"))
   }
 
+  // The flagship calc query (SparkEntry.flagshipSql) parameterized over
+  // the sf dir — runs through the {name:Type} binder exactly like the
+  // stored-query path (§3.3).
+  def q0_flagship(s: SparkSession, dir: String): DataFrame = {
+    SparkEntry.registerViews(s, dir)
+    val (text, args) = graft.params.ParamBinder.bindNamed(
+      SparkEntry.flagshipSql,
+      Map("min_price" -> "1000.0", "min_nation_pad" -> "000",
+          "min_year" -> 1992L))
+    s.sql(text, args)
+  }
+
+  // §1.2 date clamp: out-of-range timestamps snap to the DateTime bounds
+  // (clickhouse/jdbsChSession.scala:630-644). Fixture dates shifted ±80
+  // years to land outside [1971, 2106].
+  def q15_date_clamp(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderkey") % 50 === 0)
+    def f(c: org.apache.spark.sql.Column) =
+      date_format(graft.types.OraTypeMap.clampDateTime(c), "yyyy-MM-dd HH:mm:ss")
+    o.select(col("o_orderkey"),
+      f(col("o_orderdate") - expr("INTERVAL 80 YEARS")).as("clamped_low"),
+      f(col("o_orderdate") + expr("INTERVAL 115 YEARS")).as("clamped_high"),
+      f(col("o_orderdate")).as("untouched"))
+  }
+
+  // WF extension: rank/dense_rank per group (top-3 orders per customer).
+  def q16_window_rank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
+              col("o_totalprice"))
+  }
+
+  // Correlated EXISTS (TPC-H Q4 shape): order priorities with late lines.
+  def q17_exists_agg(s: SparkSession, dir: String): DataFrame = {
+    val o  = t(s, dir, "orders")
+    val late = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey")).distinct()
+    o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  // Conditional aggregation / share-of-total (CASE inside sum).
+  def q18_conditional_agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("l_discount") > 0.05, col("l_quantity").cast(dec))
+          .otherwise(lit(0).cast(dec))).cast(out).as("qty_discounted"),
+        sum(col("l_quantity").cast(dec)).cast(out).as("qty_total"),
+        count(when(col("l_tax") > 0.04, lit(1))).as("high_tax_lines"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q0_flagship"     -> q0_flagship _,
+    "q15_date_clamp"  -> q15_date_clamp _,
+    "q16_window_rank" -> q16_window_rank _,
+    "q17_exists_agg"  -> q17_exists_agg _,
+    "q18_conditional_agg" -> q18_conditional_agg _,
     "q1_agg"          -> q1_agg _,
     "q2_join_agg"     -> q2_join_agg _,
     "q3_watermark"    -> q3_watermark _,
@@ -222,6 +284,55 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q0_flagship" ->
+      """SELECT r.r_name, count(1) AS cnt,
+        | CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)))
+        |      AS DECIMAL(38,6)) AS summa
+        |FROM lineitem l
+        |JOIN (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |        FROM orders WHERE o_totalprice > 1000.0) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c
+        |  ON o.o_custkey = c.c_custkey
+        | AND lpad(CAST(c.c_nationkey AS VARCHAR), 3, '0') >= '000'
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE year(o.o_orderdate) >= 1992
+        |  AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY r.r_name""".stripMargin,
+    "q15_date_clamp" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderdate - INTERVAL 80 YEAR <= TIMESTAMP '1970-01-01 00:00:00'
+        |      THEN '1971-01-01 00:00:00'
+        |      WHEN o_orderdate - INTERVAL 80 YEAR >= TIMESTAMP '2106-02-27 01:28:15'
+        |      THEN '2106-01-01 00:00:00'
+        |      ELSE strftime(o_orderdate - INTERVAL 80 YEAR, '%Y-%m-%d %H:%M:%S') END AS clamped_low,
+        | CASE WHEN o_orderdate + INTERVAL 115 YEAR <= TIMESTAMP '1970-01-01 00:00:00'
+        |      THEN '1971-01-01 00:00:00'
+        |      WHEN o_orderdate + INTERVAL 115 YEAR >= TIMESTAMP '2106-02-27 01:28:15'
+        |      THEN '2106-01-01 00:00:00'
+        |      ELSE strftime(o_orderdate + INTERVAL 115 YEAR, '%Y-%m-%d %H:%M:%S') END AS clamped_high,
+        | strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS untouched
+        |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
+    "q16_window_rank" ->
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         rank() OVER (PARTITION BY o_custkey
+        |                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q17_exists_agg" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q18_conditional_agg" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4))
+        |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,6)) AS qty_discounted,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS qty_total,
+        | count(CASE WHEN l_tax > 0.04 THEN 1 END) AS high_tax_lines
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,

@@ -136,6 +136,17 @@ object LlmQueries {
       corpusWithNearDups(s, dir).filter(col("doc_id") % 1000000L < 250),
       "doc_id", "text", maxDist = 3)
 
+  // BPE-ish subword counting (pre-tokenizer estimate shape).
+  def q29_subword_count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.llm.TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+
+  // Heuristic language ID — the operator is pure regexp-count + argmax,
+  // so it IS SQL-expressible and gets a full DuckDB oracle.
+  def q30_langid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.llm.TextAnalysis.langId(col("text")).as("lang_pred"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"   -> q20_dedup_exact _,
     "q21_token_count"   -> q21_token_count _,
@@ -145,7 +156,9 @@ object LlmQueries {
     "q25_ngram_jaccard" -> q25_ngram_jaccard _,
     "q26_cosine_topk"   -> q26_cosine_topk _,
     "q27_minhash_pairs" -> q27_minhash_pairs _,
-    "q28_simhash_pairs" -> q28_simhash_pairs _
+    "q28_simhash_pairs" -> q28_simhash_pairs _,
+    "q29_subword_count" -> q29_subword_count _,
+    "q30_langid"        -> q30_langid _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -194,6 +207,26 @@ object LlmQueries {
         |WHERE CAST(CAST(n_shared AS DECIMAL(18,6)) /
         |       CAST(sa.n_grams + sb.n_grams - n_shared AS DECIMAL(18,6)) AS DECIMAL(38,6))
         |      > CAST(0.10 AS DECIMAL(38,6))""".stripMargin,
+    "q29_subword_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\p{L}{1,4}|\p{N}{1,3}|[^\s\p{L}\p{N}]')) AS INT) AS n_subwords
+        |FROM documents""".stripMargin,
+    "q30_langid" ->
+      """WITH hits AS (
+        |  SELECT doc_id, 'en' AS lang,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|in|that|it)\b')) AS INT) AS h FROM documents
+        |  UNION ALL SELECT doc_id, 'de',
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS INT) FROM documents
+        |  UNION ALL SELECT doc_id, 'fr',
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|une|que|dans)\b')) AS INT) FROM documents
+        |  UNION ALL SELECT doc_id, 'es',
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(el|los|las|es|una|que|por|con)\b')) AS INT) FROM documents
+        |  UNION ALL SELECT doc_id, 'zh',
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(的|是|了|在|我|有|他|不)\b')) AS INT) FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN mx.h > 0 THEN mx.lang ELSE 'und' END AS lang_pred
+        |FROM (SELECT doc_id, max(struct_pack(h := h, lang := lang)) AS mx
+        |      FROM hits GROUP BY doc_id)""".stripMargin,
     "q26_cosine_topk" ->
       """WITH norm AS (
         |  SELECT vec_id, embedding,
