@@ -42,17 +42,12 @@ object Similarity {
     dotDecimal(a, b).cast("double") /
       sqrt(normA.cast("double") * normB.cast("double"))
 
-  /** Fast production cosine (double accumulation — order-dependent in the
-    * last ulp, fine when no cross-engine hash compare is needed). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    dot / sqrt(na * nb)
-  }
+  /** Fast production cosine: the native codegen expression
+    * (graft.functions.CosineSimilarity) — one fused loop for dot + both
+    * norms, whole-stage-codegen friendly. Order-dependent in the last
+    * ulp, fine when no cross-engine hash compare is needed. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecCosine(a, b)
 
   /** Exact brute-force cosine top-k of `candidates` for each row of
     * `queries`. Both frames need (idCol, vecCol). Self-matches excluded. */

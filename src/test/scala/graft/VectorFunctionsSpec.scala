@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),       // orthogonal
+    (3L, Array(2.0f, 0.0f), Array(4.0f, 0.0f)),       // parallel
+    (4L, Array.empty[Float], Array.empty[Float]))     // empty → 0
+  lazy val df = vecs.toDF("id", "a", "b")
+
+  test("vec_dot and vec_cosine compute correctly (incl. empty and zero-norm)") {
+    val got = df.select($"id", vecDot($"a", $"b").as("d"),
+        vecCosine($"a", $"b").as("c"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._1 == 32.0)
+    assert(math.abs(got(1L)._2 - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
+    assert(got(2L) == ((0.0, 0.0)))
+    assert(got(3L) == ((8.0, 1.0)))
+    assert(got(4L) == ((0.0, 0.0)))   // zero-norm guard, no NaN
+  }
+
+  test("native cosine matches the interpreted lambda form on real embeddings") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .limit(50).select($"vec_id", $"embedding")
+    val pairs = emb.as("x").join(emb.as("y"),
+      col("x.vec_id") < col("y.vec_id"))
+    val lambda = aggregate(zip_with(col("x.embedding"), col("y.embedding"),
+        (p, q) => p.cast("double") * q.cast("double")), lit(0.0), (s, v) => s + v) /
+      sqrt(aggregate(transform(col("x.embedding"), p => p.cast("double") * p.cast("double")), lit(0.0), (s, v) => s + v) *
+           aggregate(transform(col("y.embedding"), p => p.cast("double") * p.cast("double")), lit(0.0), (s, v) => s + v))
+    val diffs = pairs.select(
+        abs(vecCosine(col("x.embedding"), col("y.embedding")) - lambda).as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(diffs < 1e-12, s"max diff $diffs")
+  }
+
+  test("mismatched lengths use the common prefix; null elements contribute 0") {
+    val df2 = Seq((Array[java.lang.Float](1.0f, null, 3.0f),
+                   Array[java.lang.Float](2.0f, 5.0f, 4.0f, 9.9f)))
+      .toDF("a", "b")
+    val (d, c) = df2.select(vecDot($"a", $"b").as("d"), vecCosine($"a", $"b").as("c"))
+      .as[(Double, Double)].head()
+    assert(d == 1.0 * 2.0 + 3.0 * 4.0)
+    assert(c > 0 && c <= 1.0)
+  }
+
+  test("SQL registration: vec_cosine callable from spark.sql") {
+    registerSql(spark)
+    df.createOrReplaceTempView("vec_test")
+    val r = spark.sql(
+      "SELECT id, vec_cosine(a, b) AS c FROM vec_test WHERE id = 3")
+      .as[(Long, Double)].head()
+    assert(r == ((3L, 1.0)))
+  }
+
+  test("type check rejects non-array inputs") {
+    val err = intercept[Exception] {
+      Seq((1, 2)).toDF("x", "y").select(vecDot($"x", $"y")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array") ||
+           err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+}
