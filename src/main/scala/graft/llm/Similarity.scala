@@ -97,6 +97,91 @@ object Similarity {
     }: _*)
   }
 
+  // -------------------------------------------------------------------
+  // IVF (inverted-file) ANN: deterministic mini-KMeans partitions the
+  // corpus into nlist buckets; a query probes its nprobe nearest
+  // centroids and scores only those buckets exactly.
+  //
+  // Scale shape: the centroid model is tiny (nlist × dim doubles — the
+  // one legitimate driver-side collect, same contract as an MLlib
+  // model); corpus assignment is a broadcast crossJoin + argmin (no
+  // shuffle of the corpus); Lloyd updates shuffle (bucket, dim) partial
+  // sums. Query cost ∝ nprobe/nlist of the corpus.
+  // -------------------------------------------------------------------
+
+  /** Deterministic KMeans centroids: init = first nlist vectors by id,
+    * `iters` Lloyd rounds. Returns (cid, centroid, norm²) rows. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    var cents: Seq[(Int, Seq[Double])] = base.orderBy("id").limit(nlist)
+      .select("v").as[Seq[Double]].collect().zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq
+    for (_ <- 1 to iters) {
+      val cdf = cents.toDF("cid", "cv")
+      val assigned = assignBuckets(base, cdf)
+      val upd = assigned.join(base, "id")
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("x"))
+        .groupBy("cid").agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("ps"))
+        .select(col("cid"), transform(col("ps"), p => p.getField("x")).as("cv"))
+        .as[(Int, Seq[Double])].collect().toSeq
+      // clusters that lost every point keep their previous centroid
+      val updMap = upd.toMap
+      cents = cents.map { case (cid, v) => (cid, updMap.getOrElse(cid, v)) }
+    }
+    cents.toDF("cid", "cv")
+      .withColumn("cnorm", graft.functions.VectorFunctions.vecNorm2(col("cv")))
+  }
+
+  /** argmin-distance bucket per row of `vecs(id, v)` given `cents(cid, cv)`. */
+  private def assignBuckets(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val withN = vecs.withColumn("vn", vecNorm2(col("v")))
+    val cn = cents.withColumn("cn", vecNorm2(col("cv")))
+    withN.crossJoin(broadcast(cn))
+      .withColumn("dist", col("vn") - lit(2.0) * vecDot(col("v"), col("cv")) + col("cn"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"))
+  }
+
+  /** IVF ANN top-k: nprobe nearest buckets scored exactly. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val cents = ivfCentroids(candidates, idCol, vecCol, nlist, iters)
+    val corpus = candidates.select(col(idCol).cast("long").as("cand_id"),
+      col(vecCol).as("cvec0"))
+      .withColumn("v", col("cvec0").cast("array<double>")).drop("cvec0")
+    val buckets = assignBuckets(
+      corpus.select(col("cand_id").as("id"), col("v")), cents)
+      .withColumnRenamed("id", "cand_id")
+    val corpusB = corpus.join(buckets, "cand_id")
+    // query-side probe list: nprobe nearest centroids
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", vecNorm2(col("qv")))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("dist", col("qn") - lit(2.0) * vecDot(col("qv"), col("cv")) + col("cnorm"))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("dist").asc, col("cid").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val scored = probes.join(corpusB, "cid")
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineDeterministic(col("qv"), col("v"),
+          norm2Decimal(col("qv")), norm2Decimal(col("v"))).as("cosine"))
+    scored.withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id").asc)))
+      .filter(col("rnk") <= k)
+  }
+
   /** ANN top-k via LSH banding: candidates sharing ≥1 band bucket with the
     * query are scored exactly, then top-k. Recall < 1 by construction;
     * `bits`/`bands` trade recall vs candidate-set size. */

@@ -65,6 +65,23 @@ object OraTypeMap {
       toSparkField(n, t, s, nul, notNullColumns)
     })
 
+  /** Schema inference from live JDBC metadata — the commented-but-
+    * authoritative path of the reference
+    * (`clickhouse/jdbsChSession.scala:526-539`: per-column
+    * `getColumnName/getColumnTypeName/getScale/isNullable` off the
+    * ResultSet). Supports the "schema is external OR inferred" duality of
+    * SURVEY.md §1.2. */
+  def fromJdbcMetadata(md: java.sql.ResultSetMetaData,
+                       notNullColumns: Seq[String] = Nil): StructType =
+    StructType((1 to md.getColumnCount).map { i =>
+      toSparkField(
+        md.getColumnName(i),
+        md.getColumnTypeName(i),
+        md.getScale(i),
+        md.isNullable(i) == java.sql.ResultSetMetaData.columnNullable,
+        notNullColumns)
+    })
+
   /** ClickHouse DateTime range bounds, in epoch seconds (UTC).
     * `clickhouse/jdbsChSession.scala:634-641`: epoch <= 0 → 1971-01-01,
     * epoch >= 4296677295 → 2106-01-01. */

@@ -114,6 +114,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("IVF topk achieves high recall vs brute force on clustered data") {
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, df, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 3, iters = 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    // determinism: same inputs → same result
+    val ivf2 = Similarity.ivfTopK(queries, df, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 3, iters = 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(ivf == ivf2)
+  }
+
   test("multimodal: stub decode via mapPartitions keeps schema and batch shape") {
     val media = Multimodal.syntheticCorpus(spark, 30, partitions = 3)
     val feats = Multimodal.extractFeatures(media)

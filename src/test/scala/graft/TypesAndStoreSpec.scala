@@ -47,6 +47,32 @@ class TypesAndStoreSpec extends SparkTestBase {
     assert(out.as[(Long, BigDecimal)].head() == ((7L, BigDecimal("12.5"))))
   }
 
+  test("fromJdbcMetadata infers the schema like the reference's ResultSet path") {
+    // minimal ResultSetMetaData stub: (name, typeName, scale, nullable)
+    val cols = Seq(("ID", "NUMBER", 0, false), ("AMT", "NUMBER", 2, true),
+                   ("NAME", "VARCHAR2", 0, true), ("DT", "DATE", 0, true),
+                   ("RN", "NUMBER", 0, true))
+    val md = java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader,
+      Array(classOf[java.sql.ResultSetMetaData]),
+      (_, method, margs) => method.getName match {
+        case "getColumnCount"    => Integer.valueOf(cols.size)
+        case "getColumnName"     => cols(margs(0).asInstanceOf[Int] - 1)._1
+        case "getColumnTypeName" => cols(margs(0).asInstanceOf[Int] - 1)._2
+        case "getScale"          => Integer.valueOf(cols(margs(0).asInstanceOf[Int] - 1)._3)
+        case "isNullable"        =>
+          Integer.valueOf(if (cols(margs(0).asInstanceOf[Int] - 1)._4)
+            java.sql.ResultSetMetaData.columnNullable
+          else java.sql.ResultSetMetaData.columnNoNulls)
+        case other => throw new UnsupportedOperationException(other)
+      }).asInstanceOf[java.sql.ResultSetMetaData]
+    val schema = OraTypeMap.fromJdbcMetadata(md)
+    assert(schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq == Seq(
+      ("ID", LongType, false), ("AMT", DecimalType(38, 6), true),
+      ("NAME", StringType, true), ("DT", TimestampType, true),
+      ("RN", LongType, false)))   // rn forced NOT NULL despite metadata
+  }
+
   test("store overwrite is safe for read-modify-write over the same table") {
     val store = new ParquetTableStore(spark, tmpDir("store"))
     store.overwrite("db.t", (1L to 10L).toDF("id"))
