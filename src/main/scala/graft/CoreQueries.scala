@@ -261,8 +261,54 @@ object CoreQueries {
         sum(col("l_quantity").cast(dec)).cast(out).as("qty_total"),
         count(when(col("l_tax") > 0.04, lit(1))).as("high_tax_lines"))
 
+  // Tumbling 1-hour event windows (the batch shape of
+  // streaming/EventStream.windowedTypeCounts). ts is epoch-nanos long
+  // (see t()); the bucket arithmetic stays in integers so the oracle
+  // matches exactly.
+  def q19_windowed_events(s: SparkSession, dir: String): DataFrame = {
+    // integer floor-div chain (Spark `div` = long division) — no doubles
+    val winUs = expr("(ts div 1000) div 3600000000 * 3600000000")
+    t(s, dir, "events")
+      .groupBy(date_format(timestamp_micros(winUs), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(dec)).cast(out).as("total_value"))
+  }
+
+  // Gap-based sessionization, batch form: a new session starts when the
+  // gap to the previous event of the same user exceeds 30 min. lag +
+  // cumulative sum over windows (WF coverage beyond rank/ntile).
+  def q31_sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val gapNs = 30L * 60L * 1000000000L
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("event_id")).as("first_event"),
+           sum(col("value").cast(dec)).cast(out).as("sess_value"))
+  }
+
+  // ROLLUP hierarchy totals (region -> nation -> grand total).
+  def q32_rollup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+           sum(col("c_acctbal").cast(dec)).cast(out).as("total_bal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q0_flagship"     -> q0_flagship _,
+    "q19_windowed_events" -> q19_windowed_events _,
+    "q31_sessionize"  -> q31_sessionize _,
+    "q32_rollup"      -> q32_rollup _,
     "q15_date_clamp"  -> q15_date_clamp _,
     "q16_window_rank" -> q16_window_rank _,
     "q17_exists_agg"  -> q17_exists_agg _,
@@ -301,6 +347,35 @@ object CoreQueries {
         |WHERE year(o.o_orderdate) >= 1992
         |  AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         |GROUP BY r.r_name""".stripMargin,
+    "q19_windowed_events" ->
+      """SELECT strftime(make_timestamp(epoch_ns(ts) // 1000 // 3600000000 * 3600000000),
+        |                '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q31_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, value,
+        |         CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM g)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |       min(event_id) AS first_event,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sess_value
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    "q32_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
     "q15_date_clamp" ->
       """SELECT o_orderkey,
         | CASE WHEN o_orderdate - INTERVAL 80 YEAR <= TIMESTAMP '1970-01-01 00:00:00'
