@@ -147,6 +147,31 @@ object LlmQueries {
     t(s, dir, "documents").select(col("doc_id"),
       graft.llm.TextAnalysis.langId(col("text")).as("lang_pred"))
 
+  // Multimodal plumbing at the gate: synthetic binary corpus →
+  // mapPartitions stub decode → per-kind feature stats. Deterministic;
+  // rows-only (custom codec isn't SQL-expressible).
+  def q33_media_features(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.llm.Multimodal.syntheticCorpus(s, 300, partitions = 4)
+    graft.llm.Multimodal.extractFeatures(media).toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+           sum(col("n_frames")).as("total_frames"),
+           count(when(col("decode_ok"), lit(1))).as("n_decoded"))
+  }
+
+  // Embedding near-dup with planted duplicates (each vector re-appears
+  // scaled by 1.001 → cosine ≈ 1): LSH buckets + exact verify must
+  // recover them. rows-only.
+  def q34_embedding_neardup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.unionByName(emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    graft.llm.Dedup.embeddingNearDup(planted, "vec_id", "embedding",
+      minCosine = 0.999)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"   -> q20_dedup_exact _,
     "q21_token_count"   -> q21_token_count _,
@@ -158,7 +183,9 @@ object LlmQueries {
     "q27_minhash_pairs" -> q27_minhash_pairs _,
     "q28_simhash_pairs" -> q28_simhash_pairs _,
     "q29_subword_count" -> q29_subword_count _,
-    "q30_langid"        -> q30_langid _
+    "q30_langid"        -> q30_langid _,
+    "q33_media_features" -> q33_media_features _,
+    "q34_embedding_neardup" -> q34_embedding_neardup _
   )
 
   val oracleSql: Map[String, String] = Map(
