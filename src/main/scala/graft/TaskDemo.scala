@@ -32,7 +32,12 @@ object TaskDemo {
     val store: graft.io.TableStore =
       if (useCatalog) new graft.io.CatalogTableStore(spark)
       else new ParquetTableStore(spark, root)
-    val audit = new InMemoryAuditSink
+    // --table-audit: persist the audit trail to warehouse tables (the
+    // reference's ora_to_ch_* relations) instead of memory only
+    val audit: graft.audit.AuditSink =
+      if (args.contains("--table-audit"))
+        new graft.audit.TableAuditSink(store)
+      else new InMemoryAuditSink
     val runner = new TaskRunner(spark, new SyncEngine(store), audit)
 
     def read(t: String) = spark.read.parquet(s"$sfDir/$t.parquet")
