@@ -65,6 +65,27 @@ final class CatalogTableStore(val spark: SparkSession) extends TableStore {
   override def truncate(table: String): Unit =
     if (exists(table)) spark.sql(s"TRUNCATE TABLE $table")
 
+  /** Bucketed overwrite: co-locates the table on `bucketCols` so
+    * repeated joins/aggregations on those keys skip the shuffle entirely
+    * (both sides bucketed with equal bucket counts → SortMergeJoin with
+    * no Exchange). The 100 TB answer to "this join shuffles every run":
+    * pay the clustering once at load, reuse it every query — the Spark
+    * analog of MergeTree's ORDER BY clustering. Uses staged-swap rename
+    * like [[overwrite]]. */
+  def overwriteBucketed(table: String, df: DataFrame,
+                        numBuckets: Int, bucketCols: Seq[String]): Unit = {
+    ensureDatabases(Seq(table))
+    val (db, t) = parse(table)
+    val staging = db.map(d => s"$d.__staging_$t").getOrElse(s"__staging_$t")
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+  }
+
   /** S10: primary key kept in table properties. */
   def setPrimaryKey(table: String, pk: Seq[String]): Unit =
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.primary_key'='${pk.mkString(",")}')")

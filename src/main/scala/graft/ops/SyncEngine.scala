@@ -12,15 +12,15 @@ import org.apache.spark.sql.functions._
   * (the anti/merge join); nothing is ever collected to the driver. Scale
   * notes per op inline.
   */
-final class SyncEngine(store: TableStore) {
+/** Per-table result accounting, mirroring the reference's audit columns
+  * (`ora/jdbcSession.scala:592-615`): pre/post counts and the copied
+  * delta (`clickhouse/jdbsChSession.scala:299-308`). */
+final case class SyncResult(table: String, op: SyncOp,
+                            rowsBefore: Long, rowsAfter: Long) {
+  def rowsCopied: Long = rowsAfter - rowsBefore
+}
 
-  /** Per-table result accounting, mirroring the reference's audit columns
-    * (`ora/jdbcSession.scala:592-615`): pre/post counts and the copied
-    * delta (`clickhouse/jdbsChSession.scala:299-308`). */
-  final case class SyncResult(table: String, op: SyncOp,
-                              rowsBefore: Long, rowsAfter: Long) {
-    def rowsCopied: Long = rowsAfter - rowsBefore
-  }
+final class SyncEngine(store: TableStore) {
 
   private def targetOpt(table: String): Option[DataFrame] =
     if (store.exists(table)) Some(store.read(table)) else None

@@ -52,6 +52,29 @@ class SourcesAndCatalogSpec extends SparkTestBase {
     store.drop("wh1.pkt")
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val store = new CatalogTableStore(spark)
+    val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i, i * 2)).toDF("k", "vb")
+    store.overwriteBucketed("wh3.ta", a, numBuckets = 4, Seq("k"))
+    store.overwriteBucketed("wh3.tb", b, numBuckets = 4, Seq("k"))
+    // disable auto-broadcast so the planner must pick the bucket-aware
+    // sort-merge join (at real scale neither side fits a broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("wh3.ta").join(spark.table("wh3.tb"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+      assert(joined.count() == 1000)
+      assert(joined.filter($"k" === 7L).select("va", "vb")
+        .as[(String, Long)].head() == (("a7", 14L)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    store.drop("wh3.ta"); store.drop("wh3.tb")
+  }
+
   test("catalog store drives the full sync engine (W1+W3) and compaction") {
     val store = new CatalogTableStore(spark)
     val eng = new SyncEngine(store)
