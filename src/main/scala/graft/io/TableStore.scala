@@ -66,6 +66,33 @@ final class ParquetTableStore(val spark: SparkSession, root: String)
   override def append(table: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).parquet(dir(table).toString)
 
+  /** Initial load of a hive-partitioned table (one subdir per value of
+    * `partCols`). Partitioning is the unit of selective rewrite below. */
+  def overwritePartitioned(table: String, df: DataFrame,
+                           partCols: Seq[String]): Unit = {
+    val target  = dir(table)
+    val staging = new Path(root,
+      s".staging-${table.replace('.', '_')}-${System.nanoTime()}")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(staging.toString)
+    val f = fs
+    if (f.exists(target)) f.delete(target, true)
+    f.mkdirs(target.getParent)
+    if (!f.rename(staging, target))
+      throw new RuntimeException(s"swap failed for $table")
+  }
+
+  /** Replace ONLY the partitions present in `df`, leaving every other
+    * partition's files untouched — Spark's dynamic partition overwrite
+    * on the path. This is what makes `update`/`append_where` a partial
+    * rewrite instead of a full-table rewrite at scale. */
+  def dynamicOverwrite(table: String, df: DataFrame,
+                       partCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(dir(table).toString)
+
   override def drop(table: String): Unit = {
     val f = fs
     if (f.exists(dir(table))) f.delete(dir(table), true)

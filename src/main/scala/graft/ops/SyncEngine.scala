@@ -192,6 +192,49 @@ final class SyncEngine(store: TableStore) {
     SyncResult(t, SyncOp.Update, before, store.count(t))
   }
 
+  /** W5 on a hive-partitioned target: rewrite ONLY the partitions that
+    * contain matched PKs — the at-scale form of [[update]] (SURVEY.md
+    * §7.4 "ALTER TABLE UPDATE on immutable storage"). Requires a
+    * [[graft.io.ParquetTableStore]] target written with
+    * `overwritePartitioned`.
+    *
+    * Flow: ① semi-join finds the affected partition values (small —
+    * bounded by partition count); ② only those partitions are read and
+    * merged (partition pruning on the scan); ③ the merged slice lands
+    * via dynamic partition overwrite, staged through a temp table first
+    * so the write never scans the files it replaces. Untouched
+    * partitions' files are never rewritten (asserted by mtime in specs).
+    */
+  def updatePartitioned(spec: TableSpec, updatesSrc: DataFrame,
+                        pkColumns: Seq[String], partCol: String): SyncResult = {
+    val t = spec.fullName
+    val pstore = store.asInstanceOf[graft.io.ParquetTableStore]
+    val target = store.read(t)
+    val before = target.count()
+    val affected = target
+      .join(updatesSrc.select(pkColumns.map(col): _*).distinct(), pkColumns, "left_semi")
+      .select(partCol).distinct()
+    val slice = target.join(broadcast(affected), Seq(partCol), "left_semi")
+    // merge only within the affected slice (same semantics as update())
+    val updCols = spec.updateFields.getOrElse(
+      throw InvalidTableSpec("update requires update_fields")).filterNot(pkColumns.contains)
+    val feed = updatesSrc.select((pkColumns ++ updCols).map(col): _*)
+      .dropDuplicates(pkColumns)
+    val updAliased = updCols.foldLeft(feed) { (d, c) =>
+      d.withColumnRenamed(c, s"__upd_$c") }
+    val joined = slice.join(broadcast(updAliased), pkColumns, "left")
+    val merged = target.columns.foldLeft(joined) { (d, c) =>
+      if (updCols.contains(c)) d.withColumn(c, coalesce(col(s"__upd_$c"), col(c)))
+      else d
+    }.select(target.columns.map(col).toIndexedSeq: _*)
+    // stage the merged slice, then dynamic-overwrite only its partitions
+    val stagingT = s"$t.__upd_staging"
+    store.overwrite(stagingT, merged)
+    pstore.dynamicOverwrite(t, store.read(stagingT), Seq(partCol))
+    store.drop(stagingT)
+    SyncResult(t, SyncOp.Update, before, store.count(t))
+  }
+
   /** Dispatch one spec (update ops need the pk + updates feed → use
     * [[update]] directly; `run` covers the non-update wave). */
   def run(spec: TableSpec, src: DataFrame): SyncResult = spec.operation match {

@@ -1,0 +1,73 @@
+package graft
+
+import graft.io.ParquetTableStore
+import graft.ops._
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class PartitionedUpdateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** newest parquet mtime per partition dir. */
+  private def partMtimes(root: String, table: String): Map[String, Long] = {
+    val base = Paths.get(root, table.split('.').toSeq: _*)
+    Files.list(base).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .map { p =>
+        val newest = Files.walk(p).iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(f => Files.getLastModifiedTime(f).toMillis).max
+        p.getFileName.toString -> newest
+      }.toMap
+  }
+
+  test("partitioned update rewrites ONLY affected partitions (file mtimes prove it)") {
+    val root = tmpDir("pupd")
+    val store = new ParquetTableStore(spark, root)
+    val eng = new SyncEngine(store)
+    // 10 partitions x 100 rows
+    val target = (1L to 1000L).map(i => (i, s"n$i", i % 10))
+      .toDF("id", "name", "bucket")
+    store.overwritePartitioned("db.t", target, Seq("bucket"))
+    val m0 = partMtimes(root, "db.t")
+    assert(m0.size == 10)
+    Thread.sleep(1100)   // mtime resolution guard
+
+    // updates touch only buckets 3 and 7
+    val updates = Seq((3L, "UPD3"), (7L, "UPD7"), (703L, "UPD703"))
+      .toDF("id", "name")
+    val spec = TableSpec(SyncOp.Update, "db", "t",
+      updateFields = Some(Seq("name"))).validate()
+    val r = eng.updatePartitioned(spec, updates, Seq("id"), "bucket")
+    assert(r.rowsBefore == 1000 && r.rowsAfter == 1000)
+
+    val m1 = partMtimes(root, "db.t")
+    val changed = m1.filter { case (k, v) => v != m0(k) }.keySet
+    assert(changed == Set("bucket=3", "bucket=7"),
+      s"only affected partitions rewrite; got $changed")
+
+    // semantics identical to full update: matched rows changed, others not
+    val got = store.read("db.t")
+      .filter($"id".isin(3L, 7L, 703L, 5L))
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(got == Map(3L -> "UPD3", 7L -> "UPD7", 703L -> "UPD703", 5L -> "n5"))
+  }
+
+  test("partitioned update with no matches rewrites nothing") {
+    val root = tmpDir("pupd")
+    val store = new ParquetTableStore(spark, root)
+    val eng = new SyncEngine(store)
+    store.overwritePartitioned("db.t",
+      (1L to 100L).map(i => (i, s"n$i", i % 5)).toDF("id", "name", "bucket"),
+      Seq("bucket"))
+    val m0 = partMtimes(root, "db.t")
+    Thread.sleep(1100)
+    val spec = TableSpec(SyncOp.Update, "db", "t",
+      updateFields = Some(Seq("name"))).validate()
+    eng.updatePartitioned(spec,
+      Seq((9999L, "ghost")).toDF("id", "name"), Seq("id"), "bucket")
+    assert(partMtimes(root, "db.t") == m0)
+    assert(store.count("db.t") == 100)
+  }
+}
