@@ -235,6 +235,31 @@ final class SyncEngine(store: TableStore) {
     SyncResult(t, SyncOp.Update, before, store.count(t))
   }
 
+  /** W2 on a hive-partitioned target: the `replaceWhere` shape — only
+    * partitions owning deleted or inserted rows rewrite. Affected set =
+    * partitions of target rows matching the filter ∪ partitions of the
+    * incoming rows. */
+  def appendWherePartitioned(spec: TableSpec, src: DataFrame,
+                             partCol: String): SyncResult = {
+    val t = spec.fullName
+    val pstore = store.asInstanceOf[graft.io.ParquetTableStore]
+    val pred = expr(spec.whereFilter.getOrElse(
+      throw InvalidTableSpec("append_where requires where_filter")))
+    val incoming = prepareSource(src, spec).filter(pred)
+    val target = store.read(t)
+    val before = target.count()
+    val affected = target.filter(coalesce(pred, lit(false))).select(partCol)
+      .union(incoming.select(partCol)).distinct()
+    val slice = target.join(broadcast(affected), Seq(partCol), "left_semi")
+    val newSlice = slice.filter(!coalesce(pred, lit(false)))
+      .unionByName(incoming)
+    val stagingT = s"$t.__aw_staging"
+    store.overwrite(stagingT, newSlice)
+    pstore.dynamicOverwrite(t, store.read(stagingT), Seq(partCol))
+    store.drop(stagingT)
+    SyncResult(t, SyncOp.AppendWhere, before, store.count(t))
+  }
+
   /** Dispatch one spec (update ops need the pk + updates feed → use
     * [[update]] directly; `run` covers the non-update wave). */
   def run(spec: TableSpec, src: DataFrame): SyncResult = spec.operation match {

@@ -54,6 +54,29 @@ class PartitionedUpdateSpec extends SparkTestBase {
     assert(got == Map(3L -> "UPD3", 7L -> "UPD7", 703L -> "UPD703", 5L -> "n5"))
   }
 
+  test("partitioned append_where rewrites only partitions owning deleted/inserted rows") {
+    val root = tmpDir("paw")
+    val store = new ParquetTableStore(spark, root)
+    val eng = new SyncEngine(store)
+    store.overwritePartitioned("db.t",
+      (1L to 1000L).map(i => (i, s"v$i", i % 10)).toDF("id", "payload", "bucket"),
+      Seq("bucket"))
+    val m0 = partMtimes(root, "db.t")
+    Thread.sleep(1100)
+    // filter selects rows of bucket 4 only; fresh versions come in
+    val spec = TableSpec(SyncOp.AppendWhere, "db", "t",
+      whereFilter = Some("bucket = 4")).validate()
+    val incoming = Seq((4L, "FRESH4", 4L), (1004L, "NEW1004", 4L))
+      .toDF("id", "payload", "bucket")
+    val r = eng.appendWherePartitioned(spec, incoming, "bucket")
+    val changed = partMtimes(root, "db.t").filter { case (k, v) => v != m0(k) }.keySet
+    assert(changed == Set("bucket=4"), s"got $changed")
+    // delete-first semantics: old bucket-4 rows gone, fresh ones present
+    assert(store.read("db.t").filter($"bucket" === 4).count() == 2)
+    assert(r.rowsAfter == 1000 - 100 + 2)
+    assert(store.read("db.t").filter($"bucket" === 5).count() == 100)
+  }
+
   test("partitioned update with no matches rewrites nothing") {
     val root = tmpDir("pupd")
     val store = new ParquetTableStore(spark, root)
