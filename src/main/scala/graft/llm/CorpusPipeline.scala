@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Composed training-data cleaning pipeline over a document corpus —
+  * the end-to-end shape the individual llm operators exist for:
+  *
+  *   profile (quality signals, langid, token counts)   — map-only
+  *   → quality filter                                  — map-only
+  *   → exact dedup (survivor = min doc_id)             — 1 shuffle
+  *   → optional near-dup kill via MinHash banding      — bounded joins
+  *
+  * Everything before dedup fuses into the document scan (one pass,
+  * whole-stage codegen); at 100 TB the only unavoidable shuffles are the
+  * dedup groupBy and the LSH bucket join.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minTokens: Int = 8,
+      maxTokens: Int = 100000,
+      maxPunctRatio: Double = 0.3,
+      dropNearDups: Boolean = true,
+      minhashK: Int = 32,
+      minhashBands: Int = 8,
+      nearDupThreshold: Double = 0.8)
+
+  /** Returns the cleaned corpus with profile columns attached, plus
+    * bookkeeping columns `drop_reason` on the rejected frame. */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            cfg: Config = Config()): (DataFrame, DataFrame) = {
+    val profiled = docs
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+      .withColumn("quality", TextAnalysis.qualitySignals(col(textCol)))
+      .withColumn("n_tokens", col("quality.n_tokens"))
+      .withColumn("keep_quality",
+        TextAnalysis.qualityKeep(col(textCol), cfg.minTokens, cfg.maxTokens,
+          cfg.maxPunctRatio))
+
+    val qualityRejects = profiled.filter(!col("keep_quality"))
+      .withColumn("drop_reason", lit("quality"))
+    val kept = profiled.filter(col("keep_quality"))
+
+    // exact dedup: survivor = min id per content hash
+    val survivors = kept
+      .withColumn("content_hash", xxhash64(col(textCol)))
+      .withColumn("__keep_id",
+        min(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
+    val exactRejects = survivors.filter(col(idCol) =!= col("__keep_id"))
+      .withColumn("drop_reason", lit("exact_dup"))
+    val uniqued = survivors.filter(col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+
+    if (!cfg.dropNearDups) {
+      (uniqued, qualityRejects.unionByName(
+        exactRejects.drop("content_hash", "__keep_id"), allowMissingColumns = true))
+    } else {
+      // near-dup kill: higher id of each candidate pair drops
+      val pairs = Dedup.minHashCandidates(uniqued, idCol, textCol,
+        cfg.minhashK, cfg.minhashBands, threshold = cfg.nearDupThreshold)
+      val losers = pairs.select(col("id_b").as(idCol)).distinct()
+      val nearRejects = uniqued.join(losers, Seq(idCol), "left_semi")
+        .withColumn("drop_reason", lit("near_dup"))
+      val clean = uniqued.join(losers, Seq(idCol), "left_anti")
+      (clean, qualityRejects
+        .unionByName(exactRejects.drop("content_hash", "__keep_id"),
+          allowMissingColumns = true)
+        .unionByName(nearRejects.drop("content_hash"),
+          allowMissingColumns = true))
+    }
+  }
+}
