@@ -175,8 +175,7 @@ object Similarity {
     val scored = probes.join(corpusB, "cid")
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
-        cosineDeterministic(col("qv"), col("v"),
-          norm2Decimal(col("qv")), norm2Decimal(col("v"))).as("cosine"))
+        cosine(col("qv"), col("v")).as("cosine"))
     scored.withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("cand_id").asc)))
       .filter(col("rnk") <= k)
@@ -187,7 +186,8 @@ object Similarity {
     * `bits`/`bands` trade recall vs candidate-set size. */
   def lshBucketTopK(queries: DataFrame, candidates: DataFrame,
                     idCol: String, vecCol: String, k: Int,
-                    bits: Int = 16, bands: Int = 4, seed: Int = 42): DataFrame = {
+                    bits: Int = 16, bands: Int = 4, seed: Int = 42,
+                    deterministic: Boolean = false): DataFrame = {
     def withBuckets(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"))
         .withColumn("__bucket",
@@ -199,9 +199,12 @@ object Similarity {
       .select(col("query_id"), col("cand_id"),
               col("query_id_v").as("qv"), col("cand_id_v").as("cv"))
       .distinct()   // a pair may share several bands
-    val scored = cand.select(col("query_id"), col("cand_id"),
-      cosineDeterministic(col("qv"), col("cv"),
-        norm2Decimal(col("qv")), norm2Decimal(col("cv"))).as("cosine"))
+    val cos =
+      if (deterministic)
+        cosineDeterministic(col("qv"), col("cv"),
+          norm2Decimal(col("qv")), norm2Decimal(col("cv")))
+      else cosine(col("qv"), col("cv"))   // native codegen kernel
+    val scored = cand.select(col("query_id"), col("cand_id"), cos.as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
