@@ -304,8 +304,21 @@ object CoreQueries {
            sum(col("c_acctbal").cast(dec)).cast(out).as("total_bal"))
   }
 
+  // GROUPING SETS with explicit set list (finer than rollup/cube).
+  def q35_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("gs_events")
+    s.sql(
+      """SELECT event_type, user_id % 10 AS cohort,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+        |FROM gs_events
+        |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
+        |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q0_flagship"     -> q0_flagship _,
+    "q35_grouping_sets" -> q35_grouping_sets _,
     "q19_windowed_events" -> q19_windowed_events _,
     "q31_sessionize"  -> q31_sessionize _,
     "q32_rollup"      -> q32_rollup _,
@@ -347,6 +360,11 @@ object CoreQueries {
         |WHERE year(o.o_orderdate) >= 1992
         |  AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         |GROUP BY r.r_name""".stripMargin,
+    "q35_grouping_sets" ->
+      """SELECT event_type, user_id % 10 AS cohort, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())""".stripMargin,
     "q19_windowed_events" ->
       """SELECT strftime(make_timestamp(epoch_ns(ts) // 1000 // 3600000000 * 3600000000),
         |                '%Y-%m-%d %H:%M:%S') AS win_start,

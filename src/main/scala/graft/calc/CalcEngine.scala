@@ -84,19 +84,40 @@ final class CalcEngine(spark: SparkSession, store: TableStore) {
     * `order_by` order (`calc/CalcLogic.scala:132,161-163`); the copy-back
     * and cache-promote of each query run concurrently
     * (`calc/CalcLogic.scala:117-120`). */
+  /** `onPhase(queryName, phase)` mirrors the reference's per-phase query
+    * log states — calculation → copying/local_copying →
+    * finished_chora_copy/finished_local_copy → finished, error on
+    * failure (`ora/jdbcSession.scala:40-197`). */
   def runAll(metas: Seq[(Int, ViewQueryMeta)],
              write: ViewQueryMeta => DataFrame => Unit,
-             sliceCols: Seq[String] = Seq("datecalc_cache", "date_cache")): Unit = {
+             sliceCols: Seq[String] = Seq("datecalc_cache", "date_cache"),
+             onPhase: (String, String) => Unit = (_, _) => ()): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     metas.sortBy(_._1).foreach { case (_, meta) =>
-      calc(meta)
-      val jobs = Seq(
-        if (meta.oraTable.isDefined) Some(Future(copyBack(meta, write(meta)))) else None,
-        if (meta.copyToLocalCache)   Some(Future(promoteLocalCache(meta, sliceCols))) else None
-      ).flatten
-      jobs.foreach(Await.result(_, Duration.Inf))
+      try {
+        onPhase(meta.name, "calculation")
+        calc(meta)
+        val jobs = Seq(
+          if (meta.oraTable.isDefined) Some(Future {
+            onPhase(meta.name, "copying")
+            copyBack(meta, write(meta))
+            onPhase(meta.name, "finished_chora_copy")
+          }) else None,
+          if (meta.copyToLocalCache) Some(Future {
+            onPhase(meta.name, "local_copying")
+            promoteLocalCache(meta, sliceCols)
+            onPhase(meta.name, "finished_local_copy")
+          }) else None
+        ).flatten
+        jobs.foreach(Await.result(_, Duration.Inf))
+        onPhase(meta.name, "finished")
+      } catch {
+        case e: Throwable =>
+          onPhase(meta.name, s"error: ${e.getMessage}")
+          throw e
+      }
     }
   }
 }

@@ -153,6 +153,50 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Connected components over a near-dup pair list (id_a, id_b) —
+    * groups transitive duplicate chains (a≈b, b≈c ⇒ {a,b,c} one
+    * cluster) so exactly one survivor per cluster can be kept.
+    *
+    * Iterative min-label propagation: each node adopts the smallest
+    * label among itself and its neighbors until fixpoint — O(diameter)
+    * rounds, each one join + one aggregate (all distributed; the driver
+    * only sees the converged/changed counter). Returns (id, component)
+    * where component = min id of the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
+      .toDF("src", "dst").distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // neighbor labels + own label → min per node
+      val neighborComp = edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp"))
+        .union(neighborComp)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()   // cut the iterative lineage
+      val changed = next.as("n")
+        .join(labels.as("o"), Seq("id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster-level near-dup dedup: every transitive duplicate cluster
+    * keeps its min-id member. Returns the ids to DROP. */
+  def nearDupLosers(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id"))
+
   /** Embedding near-dup: pairs above a cosine threshold via LSH buckets
     * (delegates to Similarity's banding; exact verify). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,

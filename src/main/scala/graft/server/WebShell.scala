@@ -49,11 +49,18 @@ final class WebShell(
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.setExecutor(pool)
     server.createContext("/task", (ex: HttpExchange) => handle(ex, handleTask))
+    server.createContext("/calc/status",
+      (ex: HttpExchange) => handle(ex, handleCalcStatus))
     server.createContext("/calc", (ex: HttpExchange) => handle(ex, handleCalc))
     server.createContext("/status", (ex: HttpExchange) => handle(ex, handleStatus))
     server.start()
     this
   }
+
+  /** query name → latest phase (the reference's ora_to_ch_query_log
+    * view). */
+  private val calcLog =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def stop(): Unit = {
     server.stop(0)
@@ -153,10 +160,18 @@ final class WebShell(
     }.toSeq
     pool.submit(new Runnable {
       override def run(): Unit =
-        try calcEngine.runAll(metas, calcWrite)
+        try calcEngine.runAll(metas, calcWrite,
+          onPhase = (q, phase) => calcLog.put(q, phase))
         catch { case NonFatal(_) => () }
     })
     200 -> """{"calcId":"ok"}"""
+  }
+
+  private def handleCalcStatus(ex: HttpExchange): (Int, String) = {
+    val entries = calcLog.entrySet().asScala.toSeq.sortBy(_.getKey)
+      .map(e => s"""{"query":"${esc(e.getKey)}","phase":"${esc(e.getValue)}"}""")
+      .mkString("[", ",", "]")
+    200 -> s"""{"queries":$entries}"""
   }
 
   private def handleStatus(ex: HttpExchange): (Int, String) = {

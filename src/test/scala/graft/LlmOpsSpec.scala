@@ -114,6 +114,20 @@ class LlmOpsSpec extends SparkTestBase {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("connected components groups transitive near-dup chains") {
+    // two chains: 1-2-3-4 (via consecutive pairs) and 10-11; singleton 99
+    // appears only as a node in a self-contained pair list
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (99L, 99L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(1L) == 1L && comp(2L) == 1L && comp(3L) == 1L && comp(4L) == 1L)
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp(99L) == 99L)
+    val losers = Dedup.nearDupLosers(pairs).as[Long].collect().toSet
+    assert(losers == Set(2L, 3L, 4L, 11L))
+  }
+
   test("IVF topk achieves high recall vs brute force on clustered data") {
     val rnd = new scala.util.Random(23)
     val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))

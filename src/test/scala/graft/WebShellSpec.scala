@@ -86,6 +86,11 @@ class WebShellSpec extends SparkTestBase {
       val r2 = post(shell.boundPort, "/calc",
         """{"queries":[{"query":"nope"}]}""")
       assert(r2.statusCode() == 400 && r2.body().contains("unknown calc query"))
+      // /calc/status reflects the per-phase query log
+      val st = get(shell.boundPort, "/calc/status")
+      assert(st.statusCode() == 200 &&
+        st.body().contains("\"query\":\"vq\"") &&
+        st.body().contains("\"phase\":\"finished\""))
     } finally shell.stop()
   }
 }
