@@ -172,6 +172,19 @@ object LlmQueries {
       minCosine = 0.999)
   }
 
+  // Composed cleaning pipeline at the gate: per-reason drop histogram +
+  // survivor count over a corpus with planted dups. rows-only (MinHash
+  // stage not SQL-expressible).
+  def q36_corpus_clean(s: SparkSession, dir: String): DataFrame = {
+    val (clean, rejects) = graft.llm.CorpusPipeline.clean(
+      corpusWithNearDups(s, dir).filter(col("doc_id") % 1000000L < 300),
+      "doc_id", "text",
+      graft.llm.CorpusPipeline.Config(nearDupThreshold = 0.6))
+    rejects.groupBy(col("drop_reason")).agg(count(lit(1)).as("n_docs"))
+      .unionByName(clean.select(lit("kept").as("drop_reason"))
+        .groupBy("drop_reason").agg(count(lit(1)).as("n_docs")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"   -> q20_dedup_exact _,
     "q21_token_count"   -> q21_token_count _,
@@ -185,7 +198,8 @@ object LlmQueries {
     "q29_subword_count" -> q29_subword_count _,
     "q30_langid"        -> q30_langid _,
     "q33_media_features" -> q33_media_features _,
-    "q34_embedding_neardup" -> q34_embedding_neardup _
+    "q34_embedding_neardup" -> q34_embedding_neardup _,
+    "q36_corpus_clean"  -> q36_corpus_clean _
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -37,6 +37,9 @@ trait AuditSink {
   def tableEvent(e: TableAudit): Unit
   def events: Seq[TableAudit]
   def taskEvents: Seq[TaskAudit]
+  /** Durability point (no-op for in-memory sinks); TaskRunner calls it
+    * when a task leaves the Executing state. */
+  def flush(): Unit = ()
 }
 
 final class InMemoryAuditSink extends AuditSink {

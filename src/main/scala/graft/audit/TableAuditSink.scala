@@ -55,7 +55,7 @@ final class TableAuditSink(store: TableStore, db: String = "orach_meta")
   override def taskEvents: Seq[TaskAudit] = mem.taskEvents ++ persistedTaskEvents
 
   /** Persist buffered events and clear the buffer. */
-  def flush(): Unit = synchronized {
+  override def flush(): Unit = synchronized {
     val spark = store.spark
     val te = mem.events
     if (te.nonEmpty) {

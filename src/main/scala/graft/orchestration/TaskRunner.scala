@@ -41,31 +41,36 @@ final class TaskRunner(
 
   /** sources: table fullName → source DataFrame provider;
     * pkColumns: for update-wave tables (reference reads PK from
-    * `system.tables.primary_key`, `clickhouse/jdbsChSession.scala:185-201`). */
+    * `system.tables.primary_key`, `clickhouse/jdbsChSession.scala:185-201`);
+    * partitionCols: tables listed here use the partition-pruned variants
+    * (updatePartitioned / appendWherePartitioned) — only affected
+    * partitions rewrite. */
   def run(task: TaskSpec,
           sources: String => DataFrame,
-          pkColumns: Map[String, Seq[String]] = Map.empty): Long = {
+          pkColumns: Map[String, Seq[String]] = Map.empty,
+          partitionCols: Map[String, String] = Map.empty): Long = {
     if (!state.compareAndSet(EngineState.Wait, EngineState.Executing))
       throw RejectedException(s"task rejected: engine state = ${state.get()}")
     val taskId = audit.nextTaskId()
     audit.taskEvent(taskId, "executing")
     try {
-      runWave(taskId, task.nonUpdateWave, task.degree, sources, pkColumns)
-      runWave(taskId, task.updateWave, task.degree, sources, pkColumns)
+      runWave(taskId, task.nonUpdateWave, task.degree, sources, pkColumns, partitionCols)
+      runWave(taskId, task.updateWave, task.degree, sources, pkColumns, partitionCols)
       audit.taskEvent(taskId, "finished")
       taskId
     } catch {
       case e: Throwable =>
         audit.taskEvent(taskId, s"error: ${e.getMessage}")
         throw e
-    } finally state.set(EngineState.Wait)
+    } finally { audit.flush(); state.set(EngineState.Wait) }
   }
 
   private def runWave(taskId: Long, wave: Seq[TableSpec], degree: Int,
                       sources: String => DataFrame,
-                      pkColumns: Map[String, Seq[String]]): Unit = {
+                      pkColumns: Map[String, Seq[String]],
+                      partitionCols: Map[String, String]): Unit = {
     if (wave.isEmpty) return
-    if (degree <= 3) wave.foreach(t => copyOne(taskId, t, sources, pkColumns))
+    if (degree <= 3) wave.foreach(t => copyOne(taskId, t, sources, pkColumns, partitionCols))
     else {
       val par = degree - 1
       val pool = Executors.newFixedThreadPool(par)
@@ -75,7 +80,7 @@ final class TaskRunner(
           Future {
             // FAIR pool: concurrent table copies share the cluster fairly
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-task")
-            copyOne(taskId, t, sources, pkColumns)
+            copyOne(taskId, t, sources, pkColumns, partitionCols)
           }
         }
         val failures = futs.map(f => Try(Await.result(f, Duration.Inf)))
@@ -87,7 +92,8 @@ final class TaskRunner(
 
   private def copyOne(taskId: Long, spec: TableSpec,
                       sources: String => DataFrame,
-                      pkColumns: Map[String, Seq[String]]): Unit = {
+                      pkColumns: Map[String, Seq[String]],
+                      partitionCols: Map[String, String]): Unit = {
     val t0 = System.nanoTime()
     audit.tableEvent(TableAudit(taskId, spec.fullName, spec.operation.operStr,
       "begin", 0, 0, None, Instant.now()))
@@ -102,12 +108,15 @@ final class TaskRunner(
         spec.operation.operStr, "copying", rows, rows / secs, None, Instant.now()))
     }, heartbeat.toMillis, heartbeat.toMillis, TimeUnit.MILLISECONDS)
     try {
-      val res = spec.operation match {
-        case SyncOp.Update =>
-          engine.update(spec, sources(spec.fullName),
-            pkColumns.getOrElse(spec.fullName,
-              throw new IllegalArgumentException(
-                s"${spec.fullName}: no primary key registered for update")))
+      val partCol = partitionCols.get(spec.fullName)
+      val res = (spec.operation, partCol) match {
+        case (SyncOp.Update, Some(pc)) =>
+          engine.updatePartitioned(spec, sources(spec.fullName),
+            requirePk(spec, pkColumns), pc)
+        case (SyncOp.Update, None) =>
+          engine.update(spec, sources(spec.fullName), requirePk(spec, pkColumns))
+        case (SyncOp.AppendWhere, Some(pc)) =>
+          engine.appendWherePartitioned(spec, sources(spec.fullName), pc)
         case _ => engine.run(spec, sources(spec.fullName))
       }
       copied.set(res.rowsCopied)
@@ -123,4 +132,10 @@ final class TaskRunner(
         throw e
     } finally ticker.shutdownNow()
   }
+
+  private def requirePk(spec: TableSpec,
+                        pkColumns: Map[String, Seq[String]]): Seq[String] =
+    pkColumns.getOrElse(spec.fullName,
+      throw new IllegalArgumentException(
+        s"${spec.fullName}: no primary key registered for update"))
 }

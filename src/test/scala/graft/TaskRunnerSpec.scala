@@ -77,6 +77,24 @@ class TaskRunnerSpec extends SparkTestBase {
     runner.run(TaskSpec(Seq(TableSpec(SyncOp.Recreate, "db", "ok"))), _ => src(1))
   }
 
+  test("partitionCols routes update/append_where to the partition-pruned variants") {
+    val (store, audit, runner) = fixture()
+    store.overwritePartitioned("db.pt",
+      (1L to 100L).map(i => (i, s"n$i", i % 5)).toDF("id", "name", "bucket"),
+      Seq("bucket"))
+    val task = TaskSpec(Seq(
+      TableSpec(SyncOp.Update, "db", "pt", updateFields = Some(Seq("name")))),
+      degree = 2)
+    runner.run(task,
+      _ => Seq((7L, "UPD7", 2L)).toDF("id", "name", "bucket"),
+      pkColumns = Map("db.pt" -> Seq("id")),
+      partitionCols = Map("db.pt" -> "bucket"))
+    assert(store.read("db.pt").filter($"id" === 7L)
+      .select("name").as[String].head() == "UPD7")
+    assert(store.count("db.pt") == 100)
+    assert(audit.events.exists(_.status == "finished_update"))
+  }
+
   test("heartbeat emits copying events for slow copies") {
     val (_, audit, runner) = fixture()
     val slowSrc: String => DataFrame = { _ => Thread.sleep(450); src(10) }
