@@ -316,9 +316,34 @@ object CoreQueries {
         |""".stripMargin)
   }
 
+  // Median/extrema stats: both engines interpolate the exact median of
+  // the same doubles with the same (a+b)/2 arithmetic → bit-identical.
+  def q37_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(median(col("l_quantity")).as("med_qty"),
+           min(col("l_extendedprice")).as("min_price"),
+           max(col("l_extendedprice")).as("max_price"),
+           count_distinct(col("l_suppkey")).as("n_suppliers"))
+
+  // Array construction/manipulation surfaced as strings (array renderings
+  // differ between engines' result layers; string join is stable).
+  def q38_array_funcs(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        size(words).as("n_words"),
+        concat_ws("|", slice(sort_array(array_distinct(words)), 1, 5)).as("first5_sorted"),
+        array_contains(words, "data").cast("int").as("has_data"),
+        concat_ws("|", slice(words, 1, 3)).as("first3"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q0_flagship"     -> q0_flagship _,
     "q35_grouping_sets" -> q35_grouping_sets _,
+    "q37_stats"       -> q37_stats _,
+    "q38_array_funcs" -> q38_array_funcs _,
     "q19_windowed_events" -> q19_windowed_events _,
     "q31_sessionize"  -> q31_sessionize _,
     "q32_rollup"      -> q32_rollup _,
@@ -360,6 +385,18 @@ object CoreQueries {
         |WHERE year(o.o_orderdate) >= 1992
         |  AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         |GROUP BY r.r_name""".stripMargin,
+    "q37_stats" ->
+      """SELECT l_returnflag, median(l_quantity) AS med_qty,
+        | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        | count(DISTINCT l_suppkey) AS n_suppliers
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q38_array_funcs" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        | array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|') AS first5_sorted,
+        | CAST(list_contains(string_split(text, ' '), 'data') AS INT) AS has_data,
+        | array_to_string(string_split(text, ' ')[1:3], '|') AS first3
+        |FROM documents WHERE doc_id < 100""".stripMargin,
     "q35_grouping_sets" ->
       """SELECT event_type, user_id % 10 AS cohort, count(*) AS n,
         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
