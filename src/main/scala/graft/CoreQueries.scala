@@ -339,11 +339,26 @@ object CoreQueries {
         concat_ws("|", slice(words, 1, 3)).as("first3"))
   }
 
+  // Correlated scalar subquery: customers above their nation's average
+  // balance (Catalyst decorrelates into a join + agg).
+  def q39_correlated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("corr_customer")
+    s.sql(
+      """SELECT c_custkey, c_nationkey,
+        |       CAST(c_acctbal AS DECIMAL(38,6)) AS acctbal
+        |FROM corr_customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) > (
+        |  SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,4)))
+        |  FROM corr_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q0_flagship"     -> q0_flagship _,
     "q35_grouping_sets" -> q35_grouping_sets _,
     "q37_stats"       -> q37_stats _,
     "q38_array_funcs" -> q38_array_funcs _,
+    "q39_correlated"  -> q39_correlated _,
     "q19_windowed_events" -> q19_windowed_events _,
     "q31_sessionize"  -> q31_sessionize _,
     "q32_rollup"      -> q32_rollup _,
@@ -385,6 +400,12 @@ object CoreQueries {
         |WHERE year(o.o_orderdate) >= 1992
         |  AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         |GROUP BY r.r_name""".stripMargin,
+    "q39_correlated" ->
+      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(38,6)) AS acctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,4)) > (
+        |  SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,4)))
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
     "q37_stats" ->
       """SELECT l_returnflag, median(l_quantity) AS med_qty,
         | min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
