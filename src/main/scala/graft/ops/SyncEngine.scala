@@ -46,12 +46,25 @@ final class SyncEngine(store: TableStore) {
   }
 
   /** W1 `recreate`: drop + full reload (`request/OperType.scala:8-14`,
-    * `clickhouse/jdbsChSession.scala:257-314`). One write pass, no shuffle. */
-  def recreate(spec: TableSpec, src: DataFrame): SyncResult = {
+    * `clickhouse/jdbsChSession.scala:257-314`). One write pass, no shuffle.
+    *
+    * `targetSchema` is the stored-DDL path: the reference creates the
+    * target from a stored `create_ch_script` (fetched
+    * `ora/jdbcSession.scala:252-269`) rather than inferring from the
+    * source — when given, the source is normalized to it (column order,
+    * casts, date clamp) via OraTypeMap.normalize. */
+  def recreate(spec: TableSpec, src: DataFrame,
+               targetSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : SyncResult = {
     val t = spec.fullName
     val before = 0L
     store.drop(t)
-    store.overwrite(t, prepareSource(src, spec))
+    val prepared = prepareSource(src, spec)
+    val shaped = targetSchema match {
+      case Some(schema) => graft.types.OraTypeMap.normalize(prepared, schema)
+      case None         => prepared
+    }
+    store.overwrite(t, shaped)
     SyncResult(t, SyncOp.Recreate, before, store.count(t))
   }
 

@@ -40,6 +40,22 @@ class SyncEngineSpec extends SparkTestBase {
     assert(out.select("id").as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("W1 recreate with stored-DDL schema normalizes order, types and dates") {
+    import org.apache.spark.sql.types._
+    val (store, eng) = freshEngine()
+    val spec = TableSpec(SyncOp.Recreate, "db", "t").validate()
+    // stored DDL: (id LONG, amt DECIMAL(38,6)) but source arrives as
+    // (amt STRING, id STRING) — the reference's create_ch_script path
+    val ddl = StructType(Seq(StructField("id", LongType),
+      StructField("amt", DecimalType(38, 6))))
+    val src = Seq(("12.5", "7")).toDF("amt", "id")
+    eng.recreate(spec, src, targetSchema = Some(ddl))
+    val out = store.read("db.t")
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq("id" -> LongType, "amt" -> DecimalType(38, 6)))
+    assert(out.as[(Long, BigDecimal)].head() == ((7L, BigDecimal("12.5"))))
+  }
+
   test("W2 append_where: delete-matching-then-insert eliminates duplicates") {
     val (store, eng) = freshEngine()
     val rec = TableSpec(SyncOp.Recreate, "db", "t").validate()
