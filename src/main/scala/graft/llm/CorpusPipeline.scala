@@ -57,10 +57,12 @@ object CorpusPipeline {
       (uniqued, qualityRejects.unionByName(
         exactRejects.drop("content_hash", "__keep_id"), allowMissingColumns = true))
     } else {
-      // near-dup kill: higher id of each candidate pair drops
+      // near-dup kill: transitive clusters via connected components —
+      // each duplicate CHAIN keeps exactly its min-id member (a≈b, b≈c
+      // drops both b and c even if (a,c) was never a candidate pair)
       val pairs = Dedup.minHashCandidates(uniqued, idCol, textCol,
         cfg.minhashK, cfg.minhashBands, threshold = cfg.nearDupThreshold)
-      val losers = pairs.select(col("id_b").as(idCol)).distinct()
+      val losers = Dedup.nearDupLosers(pairs).withColumnRenamed("id", idCol)
       val nearRejects = uniqued.join(losers, Seq(idCol), "left_semi")
         .withColumn("drop_reason", lit("near_dup"))
       val clean = uniqued.join(losers, Seq(idCol), "left_anti")
