@@ -263,7 +263,7 @@ object LlmQueries {
         |  UNION ALL SELECT doc_id, 'es',
         |    CAST(len(regexp_extract_all(text, '(?i)\b(el|los|las|es|una|que|por|con)\b')) AS INT) FROM documents
         |  UNION ALL SELECT doc_id, 'zh',
-        |    CAST(len(regexp_extract_all(text, '(?i)\b(的|是|了|在|我|有|他|不)\b')) AS INT) FROM documents)
+        |    CAST(len(regexp_extract_all(text, '(的|是|了|在|我|有|他|不)')) AS INT) FROM documents)
         |SELECT doc_id,
         |  CASE WHEN mx.h > 0 THEN mx.lang ELSE 'und' END AS lang_pred
         |FROM (SELECT doc_id, max(struct_pack(h := h, lang := lang)) AS mx

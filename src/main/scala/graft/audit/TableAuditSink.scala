@@ -38,10 +38,11 @@ final class TableAuditSink(store: TableStore, db: String = "orach_meta")
   override def nextTaskId(): Long = synchronized {
     // durable id: continue after the highest persisted task id
     val base =
-      if (store.exists(taskT))
-        store.read(taskT).agg(org.apache.spark.sql.functions.max("task_id"))
-          .head().getLong(0)
-      else 0L
+      if (store.exists(taskT)) {
+        val row = store.read(taskT)
+          .agg(org.apache.spark.sql.functions.max("task_id")).head()
+        if (row.isNullAt(0)) 0L else row.getLong(0)   // empty table → null max
+      } else 0L
     val next = math.max(base, lastIssued) + 1
     lastIssued = next
     next

@@ -93,6 +93,18 @@ final class ParquetTableStore(val spark: SparkSession, root: String)
       .partitionBy(partCols: _*)
       .parquet(dir(table).toString)
 
+  /** Physically remove whole partitions (dynamic overwrite can only
+    * REPLACE partitions present in the written frame — a partition whose
+    * rows were all deleted produces no rows to write and must be dropped
+    * explicitly). */
+  def dropPartitions(table: String, partCol: String, values: Seq[Any]): Unit = {
+    val f = fs
+    values.foreach { v =>
+      val p = new Path(dir(table), s"$partCol=$v")
+      if (f.exists(p)) f.delete(p, true)
+    }
+  }
+
   override def drop(table: String): Unit = {
     val f = fs
     if (f.exists(dir(table))) f.delete(dir(table), true)

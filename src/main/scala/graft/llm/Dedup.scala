@@ -164,8 +164,10 @@ object Dedup {
     * where component = min id of the cluster.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .union(pairs.select(col("id_b").cast("long"), col("id_a").cast("long")))
+    // ids keep their native type (works for long or string ids alike;
+    // a cast here would crash under ANSI on non-numeric ids)
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").distinct()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))

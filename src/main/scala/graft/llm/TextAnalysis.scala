@@ -20,8 +20,16 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "una", "que", "por", "con"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "不"))
 
-  private def markerHits(text: Column, words: Seq[String]): Column =
-    regexp_count(text, lit("(?i)\\b(" + words.mkString("|") + ")\\b"))
+  private def markerHits(text: Column, words: Seq[String]): Column = {
+    // \b boundaries are ASCII-word-based: correct for Latin-script
+    // markers, but CJK characters are not \w so \b(的)\b can never match
+    // — non-Latin marker sets match bare (each marker is a single
+    // ideograph, so false positives are not a concern).
+    val latin = words.forall(_.forall(c => c < 0x80))
+    val pat = if (latin) "(?i)\\b(" + words.mkString("|") + ")\\b"
+              else "(" + words.mkString("|") + ")"
+    regexp_count(text, lit(pat))
+  }
 
   /** Heuristic language ID: argmax of marker-hit counts; "und"
     * (undetermined) when no marker fires. Ties break by language code. */

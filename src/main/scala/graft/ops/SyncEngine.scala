@@ -20,7 +20,7 @@ final case class SyncResult(table: String, op: SyncOp,
   def rowsCopied: Long = rowsAfter - rowsBefore
 }
 
-final class SyncEngine(store: TableStore) {
+final class SyncEngine(val store: TableStore) {
 
   private def targetOpt(table: String): Option[DataFrame] =
     if (store.exists(table)) Some(store.read(table)) else None
@@ -161,22 +161,33 @@ final class SyncEngine(store: TableStore) {
              pkColumns: Seq[String],
              broadcastUpdates: Boolean = true): SyncResult = {
     val t = spec.fullName
-    val updCols = spec.updateFields.getOrElse(
-      throw InvalidTableSpec("update requires update_fields")).filterNot(pkColumns.contains)
     require(pkColumns.nonEmpty, s"$t: update requires a primary key")
     val target = targetOpt(t).getOrElse(
       throw InvalidTableSpec(s"$t: update target does not exist"))
     val before = target.count()
+    val (feed, updCols) = updateFeed(spec, target, updatesSrc, pkColumns)
+    val merged = mergeUpdates(target, target, feed, pkColumns, updCols,
+      broadcastUpdates)
+    store.overwrite(t, merged)
+    SyncResult(t, SyncOp.Update, before, store.count(t))
+  }
 
-    // W6 watermark on the updates feed
+  /** Shared update-feed preparation: W6 watermark filter, projection to
+    * PK + update_fields, dictionary dedup to one row per PK (last by
+    * sync col when given), and the `__matched` marker that distinguishes
+    * "no update row for this PK" from "update value is NULL" — the
+    * dictHas guard; a matched NULL really nulls the field. */
+  private def updateFeed(spec: TableSpec, target: DataFrame,
+                         updatesSrc: DataFrame, pkColumns: Seq[String])
+      : (DataFrame, Seq[String]) = {
+    val updCols = spec.updateFields.getOrElse(
+      throw InvalidTableSpec("update requires update_fields")).filterNot(pkColumns.contains)
     val feed0 = spec.syncUpdateByColumnMax match {
       case Some(scol) =>
         val wm = Watermark.maxValAndCnt(Some(target), scol)
         updatesSrc.filter(Watermark.watermarkPredicate(scol, wm))
       case None => updatesSrc
     }
-    // one row per PK: dictionary semantics (a dict maps each key to exactly
-    // one value); keep the row with the highest sync col, else any-last.
     val ordCol = spec.syncUpdateByColumnMax.getOrElse(pkColumns.head)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pkColumns.map(col): _*)
@@ -188,21 +199,28 @@ final class SyncEngine(store: TableStore) {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select((pkColumns ++ updCols).map(col): _*)
+      .withColumn("__matched", lit(true))
+    (feed, updCols)
+  }
 
+  /** Left-join merge of the prepared feed into `base`, preserving the
+    * column order of `shape`. */
+  private def mergeUpdates(shape: DataFrame, base: DataFrame, feed: DataFrame,
+                           pkColumns: Seq[String], updCols: Seq[String],
+                           broadcastUpdates: Boolean): DataFrame = {
     val updAliased = updCols.foldLeft(feed) { (d, c) =>
       d.withColumnRenamed(c, s"__upd_$c")
     }
-    val joined = target.join(
+    val joined = base.join(
       if (broadcastUpdates) broadcast(updAliased) else updAliased,
       pkColumns, "left")
-    val merged = target.columns.foldLeft(joined) { (d, c) =>
+    shape.columns.foldLeft(joined) { (d, c) =>
       if (updCols.contains(c))
-        d.withColumn(c, coalesce(col(s"__upd_$c"), col(c)))
+        d.withColumn(c,
+          when(coalesce(col("__matched"), lit(false)), col(s"__upd_$c"))
+            .otherwise(col(c)))
       else d
-    }.select(target.columns.map(col).toIndexedSeq: _*)
-
-    store.overwrite(t, merged)
-    SyncResult(t, SyncOp.Update, before, store.count(t))
+    }.select(shape.columns.map(col).toIndexedSeq: _*)
   }
 
   /** W5 on a hive-partitioned target: rewrite ONLY the partitions that
@@ -224,22 +242,15 @@ final class SyncEngine(store: TableStore) {
     val pstore = store.asInstanceOf[graft.io.ParquetTableStore]
     val target = store.read(t)
     val before = target.count()
+    // identical semantics to update(): W6 watermark + dictionary dedup +
+    // matched-flag merge — only the rewrite scope differs
+    val (feed, updCols) = updateFeed(spec, target, updatesSrc, pkColumns)
     val affected = target
-      .join(updatesSrc.select(pkColumns.map(col): _*).distinct(), pkColumns, "left_semi")
+      .join(feed.select(pkColumns.map(col): _*).distinct(), pkColumns, "left_semi")
       .select(partCol).distinct()
     val slice = target.join(broadcast(affected), Seq(partCol), "left_semi")
-    // merge only within the affected slice (same semantics as update())
-    val updCols = spec.updateFields.getOrElse(
-      throw InvalidTableSpec("update requires update_fields")).filterNot(pkColumns.contains)
-    val feed = updatesSrc.select((pkColumns ++ updCols).map(col): _*)
-      .dropDuplicates(pkColumns)
-    val updAliased = updCols.foldLeft(feed) { (d, c) =>
-      d.withColumnRenamed(c, s"__upd_$c") }
-    val joined = slice.join(broadcast(updAliased), pkColumns, "left")
-    val merged = target.columns.foldLeft(joined) { (d, c) =>
-      if (updCols.contains(c)) d.withColumn(c, coalesce(col(s"__upd_$c"), col(c)))
-      else d
-    }.select(target.columns.map(col).toIndexedSeq: _*)
+    val merged = mergeUpdates(target, slice, feed, pkColumns, updCols,
+      broadcastUpdates = true)
     // stage the merged slice, then dynamic-overwrite only its partitions
     val stagingT = s"$t.__upd_staging"
     store.overwrite(stagingT, merged)
@@ -268,7 +279,18 @@ final class SyncEngine(store: TableStore) {
       .unionByName(incoming)
     val stagingT = s"$t.__aw_staging"
     store.overwrite(stagingT, newSlice)
-    pstore.dynamicOverwrite(t, store.read(stagingT), Seq(partCol))
+    val staged = store.read(stagingT)
+    // dynamic overwrite only REPLACES partitions present in the written
+    // frame — an affected partition whose rows were ALL deleted (and got
+    // no incoming rows) writes nothing and must be dropped explicitly,
+    // or the deleted rows would silently survive. Collected BEFORE the
+    // overwrite: `affected` scans the pre-overwrite target listing, which
+    // the overwrite invalidates.
+    val emptied = affected.join(staged.select(partCol).distinct(),
+        Seq(partCol), "left_anti")
+      .collect().map(_.get(0)).toSeq
+    pstore.dynamicOverwrite(t, staged, Seq(partCol))
+    pstore.dropPartitions(t, partCol, emptied)
     store.drop(stagingT)
     SyncResult(t, SyncOp.AppendWhere, before, store.count(t))
   }

@@ -48,11 +48,15 @@ final class TaskRunner(
   def run(task: TaskSpec,
           sources: String => DataFrame,
           pkColumns: Map[String, Seq[String]] = Map.empty,
-          partitionCols: Map[String, String] = Map.empty): Long = {
+          partitionCols: Map[String, String] = Map.empty,
+          onAdmitted: Long => Unit = _ => ()): Long = {
     if (!state.compareAndSet(EngineState.Wait, EngineState.Executing))
       throw RejectedException(s"task rejected: engine state = ${state.get()}")
     val taskId = audit.nextTaskId()
     audit.taskEvent(taskId, "executing")
+    // admission point: callers that respond before completion (the HTTP
+    // shell's fire-and-forget taskid reply, WServer.scala:105-120) hook here
+    onAdmitted(taskId)
     try {
       runWave(taskId, task.nonUpdateWave, task.degree, sources, pkColumns, partitionCols)
       runWave(taskId, task.updateWave, task.degree, sources, pkColumns, partitionCols)
@@ -102,7 +106,11 @@ final class TaskRunner(
     val ticker = Executors.newSingleThreadScheduledExecutor()
     val copied = new java.util.concurrent.atomic.AtomicLong(0)
     ticker.scheduleAtFixedRate(() => {
-      val rows = copied.get()
+      // live progress = target row count while the copy runs — the
+      // reference's count-probe heartbeat (C4), racy by design; a count
+      // that fails mid-swap falls back to the last known value
+      val rows = Try(engine.store.count(spec.fullName)).getOrElse(copied.get())
+      copied.set(rows)
       val secs = math.max(1L, (System.nanoTime() - t0) / 1000000000L)
       audit.tableEvent(TableAudit(taskId, spec.fullName,
         spec.operation.operStr, "copying", rows, rows / secs, None, Instant.now()))

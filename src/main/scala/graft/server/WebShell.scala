@@ -83,7 +83,15 @@ final class WebShell(
   }
 
   private def esc(s: String): String =
-    Option(s).getOrElse("null").replace("\\", "\\\\").replace("\"", "\\\"")
+    Option(s).getOrElse("null").flatMap {
+      case '\\'            => "\\\\"
+      case '"'             => "\\\""
+      case '\n'            => "\\n"
+      case '\r'            => "\\r"
+      case '\t'            => "\\t"
+      case c if c < ' '    => f"\\u${c.toInt}%04x"
+      case c               => c.toString
+    }
 
   /** POST /task: `{"schemas":[{"schema":"s","tables":[{"operation":...,
     * "name":..., ...}]}], "parallel":{"degree":N}}` — field names are the
@@ -98,11 +106,14 @@ final class WebShell(
       sn.path("tables").elements().asScala.map(tn => parseTable(schema, tn))
     }.toSeq
     val task = TaskSpec(specs, degree)   // throws InvalidTableSpec → 400
-    // fire-and-forget (WServer forkDaemon), then respond with the taskId
+    // fire-and-forget (WServer forkDaemon :89-105): the response carries
+    // the taskId as soon as the task is ADMITTED (reference polls 250 ms
+    // for the generated id, :106-120); completion is observed via /status
     val idF = new java.util.concurrent.CompletableFuture[Long]()
     pool.submit(new Runnable {
       override def run(): Unit =
-        try { idF.complete(runner.run(task, sources, pkColumns)) }
+        try runner.run(task, sources, pkColumns,
+          onAdmitted = id => idF.complete(id))
         catch { case e: Throwable => idF.completeExceptionally(e) }
     })
     try {
@@ -114,6 +125,8 @@ final class WebShell(
         409 -> s"""{"error":"${esc(e.getCause.getMessage)}"}"""
       case e: java.util.concurrent.ExecutionException =>
         500 -> s"""{"error":"${esc(e.getCause.getMessage)}"}"""
+      case _: java.util.concurrent.TimeoutException =>
+        500 -> s"""{"error":"task admission timed out"}"""
     }
   }
 

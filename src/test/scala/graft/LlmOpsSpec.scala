@@ -44,15 +44,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
-  test("langId picks the language whose markers dominate") {
+  test("langId picks the language whose markers dominate (incl. CJK without \\b)") {
     val got = Seq(
       "the cat and the dog of the house is in that corner it seems",
       "der hund und die katze das ist nicht ein problem zu haben",
       "le chat et la maison est une belle chose que dans paris",
       "el perro y los gatos es una cosa que por la casa con amigos",
+      "我的书是他的不是我们的",         // pure CJK: \b can never match here
       "mmmh zz qq xx"
     ).toDF("text").select(TextAnalysis.langId($"text")).as[String].collect().toSeq
-    assert(got == Seq("en", "de", "fr", "es", "und"))
+    assert(got == Seq("en", "de", "fr", "es", "zh", "und"))
+  }
+
+  test("connected components works with string ids (no numeric cast)") {
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c"))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(comp == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a"))
   }
 
   test("quality signals + keep decision") {

@@ -56,4 +56,14 @@ class MetaAndAuditSpec extends SparkTestBase {
     assert(sink2.nextTaskId() == id1 + 1)
     assert(sink2.events.size == 1)      // sees persisted history
   }
+
+  test("nextTaskId survives an existing-but-empty task_log (null max)") {
+    val store = new ParquetTableStore(spark, tmpDir("audit"))
+    val sink = new TableAuditSink(store)
+    sink.taskEvent(sink.nextTaskId(), "executing")
+    sink.flush()
+    store.truncate("orach_meta.task_log")   // exists, zero rows
+    val sink2 = new TableAuditSink(store)
+    assert(sink2.nextTaskId() == 1L)        // no NPE, restarts cleanly
+  }
 }

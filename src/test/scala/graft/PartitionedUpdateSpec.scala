@@ -77,6 +77,45 @@ class PartitionedUpdateSpec extends SparkTestBase {
     assert(store.read("db.t").filter($"bucket" === 5).count() == 100)
   }
 
+  test("fully-deleted partition with no incoming rows is dropped, not silently kept") {
+    val root = tmpDir("pawdel")
+    val store = new ParquetTableStore(spark, root)
+    val eng = new SyncEngine(store)
+    store.overwritePartitioned("db.t",
+      (1L to 100L).map(i => (i, s"v$i", i % 5)).toDF("id", "payload", "bucket"),
+      Seq("bucket"))
+    // filter deletes ALL of bucket 2; incoming has nothing for bucket 2
+    val spec = TableSpec(SyncOp.AppendWhere, "db", "t",
+      whereFilter = Some("bucket = 2")).validate()
+    val r = eng.appendWherePartitioned(spec,
+      spark.emptyDataFrame.select(lit(0L).as("id"), lit("").as("payload"),
+        lit(0L).as("bucket")).limit(0), "bucket")
+    assert(store.read("db.t").filter($"bucket" === 2).count() == 0,
+      "deleted rows must not survive")
+    assert(r.rowsAfter == 80)
+    assert(store.read("db.t").filter($"bucket" === 3).count() == 20)
+  }
+
+  test("partitioned update matches update() semantics: W6 watermark + last-by-sync dedup") {
+    val root = tmpDir("pupd2")
+    val store = new ParquetTableStore(spark, root)
+    val eng = new SyncEngine(store)
+    store.overwritePartitioned("db.t",
+      Seq((1L, "a", 10L, 0L), (2L, "b", 20L, 1L))
+        .toDF("id", "name", "ver", "bucket"), Seq("bucket"))
+    val spec = TableSpec(SyncOp.Update, "db", "t",
+      updateFields = Some(Seq("name")),
+      syncUpdateByColumnMax = Some("ver")).validate()
+    // id=1: two candidate rows above watermark — highest ver must win;
+    // id=2: candidate BELOW target max(ver)=20 — filtered by W6
+    val updates = Seq((1L, "OLD", 21L), (1L, "NEW", 25L), (2L, "STALE", 15L))
+      .toDF("id", "name", "ver")
+    eng.updatePartitioned(spec, updates, Seq("id"), "bucket")
+    val got = store.read("db.t").select("id", "name")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "NEW", 2L -> "b"))
+  }
+
   test("partitioned update with no matches rewrites nothing") {
     val root = tmpDir("pupd")
     val store = new ParquetTableStore(spark, root)

@@ -136,6 +136,21 @@ class SyncEngineSpec extends SparkTestBase {
     assert(store.read("db.t").as[(Long, String, Long)].collect().toSet == got)
   }
 
+  test("W5 matched NULL update really nulls the field (dictHas vs null-value)") {
+    val (store, eng) = freshEngine()
+    eng.recreate(TableSpec(SyncOp.Recreate, "db", "t").validate(),
+      src((1, "keep", 1), (2, "tonull", 1)))
+    val spec = TableSpec(SyncOp.Update, "db", "t",
+      updateFields = Some(Seq("name"))).validate()
+    val updates = Seq((2L, Option.empty[String], 9L))
+      .toDF("id", "name", "ver")
+    eng.update(spec, updates, pkColumns = Seq("id"))
+    val got = store.read("db.t").select("id", "name")
+      .as[(Long, Option[String])].collect().toMap
+    // matched PK with NULL value → field becomes NULL; unmatched untouched
+    assert(got == Map(1L -> Some("keep"), 2L -> None))
+  }
+
   test("W5 dedups multi-row updates to one value per PK (dictionary semantics)") {
     val (store, eng) = freshEngine()
     eng.recreate(TableSpec(SyncOp.Recreate, "db", "t").validate(),

@@ -41,7 +41,7 @@ class WebShellSpec extends SparkTestBase {
     (store, shell)
   }
 
-  test("POST /task runs a task and responds with the generated taskid") {
+  test("POST /task responds with the taskid at ADMISSION; completion via /status") {
     val (store, shell) = fixture()
     try {
       val r = post(shell.boundPort, "/task",
@@ -50,11 +50,39 @@ class WebShellSpec extends SparkTestBase {
           |{"operation":"recreate","name":"t2","where_filter":"id = 1"}]}],
           |"parallel":{"degree":2}}""".stripMargin)
       assert(r.statusCode() == 200 && r.body().matches("""\{"taskid":\d+\}"""))
-      assert(store.count("db.t1") == 2 && store.count("db.t2") == 1)
+      // fire-and-forget: poll /status for completion like a real client
+      val deadline = System.nanoTime() + 60_000_000_000L
+      while (!get(shell.boundPort, "/status").body().contains("\"state\":\"Wait\"")
+             && System.nanoTime() < deadline) Thread.sleep(100)
       val st = get(shell.boundPort, "/status")
       assert(st.body().contains("\"state\":\"Wait\""))
       assert(st.body().contains("finished_recreate"))
+      assert(store.count("db.t1") == 2 && store.count("db.t2") == 1)
     } finally shell.stop()
+  }
+
+  test("POST /task returns before a slow task completes (fire-and-forget)") {
+    val store = new ParquetTableStore(spark, tmpDir("web"))
+    val audit = new graft.audit.InMemoryAuditSink
+    val runner = new TaskRunner(spark, new SyncEngine(store), audit)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val shell = new WebShell(runner, new CalcEngine(spark, store), audit,
+      sources = _ => { gate.await(); Seq((1L, "a")).toDF("id", "name") },
+      port = 0).start()
+    try {
+      val t0 = System.nanoTime()
+      val r = post(shell.boundPort, "/task",
+        """{"schemas":[{"schema":"db","tables":[{"operation":"recreate","name":"slow"}]}]}""")
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(r.statusCode() == 200 && r.body().matches("""\{"taskid":\d+\}"""))
+      assert(elapsedMs < 10000, s"response must not wait for completion ($elapsedMs ms)")
+      assert(get(shell.boundPort, "/status").body().contains("\"state\":\"Executing\""))
+      gate.countDown()
+      val deadline = System.nanoTime() + 60_000_000_000L
+      while (!get(shell.boundPort, "/status").body().contains("\"state\":\"Wait\"")
+             && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(store.count("db.slow") == 1)
+    } finally { gate.countDown(); shell.stop() }
   }
 
   test("invalid spec → 400 with the invariant message; unknown op → 400") {
