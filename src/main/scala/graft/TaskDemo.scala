@@ -18,13 +18,9 @@ object TaskDemo {
     val sfDir = args.filterNot(_.startsWith("--")).headOption
       .getOrElse("/root/testdata/sf0.001")
     val useCatalog = args.contains("--catalog")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = GraftSession.builder(4, "graft-taskdemo")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-demo-wh").toString)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

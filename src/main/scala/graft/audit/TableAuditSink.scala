@@ -49,11 +49,17 @@ final class TableAuditSink(store: TableStore, db: String = "orach_meta")
   }
   private var lastIssued = 0L
 
+  // all buffer access synchronized against flush()'s buffer swap — an
+  // event emitted concurrently with a flush must land in either the
+  // persisted batch or the fresh buffer, never a discarded one
   override def taskEvent(taskId: Long, status: String): Unit =
-    mem.taskEvent(taskId, status)
-  override def tableEvent(e: TableAudit): Unit = mem.tableEvent(e)
-  override def events: Seq[TableAudit] = mem.events ++ persistedTableEvents
-  override def taskEvents: Seq[TaskAudit] = mem.taskEvents ++ persistedTaskEvents
+    synchronized { mem.taskEvent(taskId, status) }
+  override def tableEvent(e: TableAudit): Unit =
+    synchronized { mem.tableEvent(e) }
+  override def events: Seq[TableAudit] =
+    synchronized { mem.events } ++ persistedTableEvents
+  override def taskEvents: Seq[TaskAudit] =
+    synchronized { mem.taskEvents } ++ persistedTaskEvents
 
   /** Persist buffered events and clear the buffer. */
   override def flush(): Unit = synchronized {

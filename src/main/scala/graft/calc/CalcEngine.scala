@@ -67,7 +67,15 @@ final class CalcEngine(spark: SparkSession, store: TableStore) {
     * slice-key columns. Column alignment is BY POSITION like the
     * reference's `system.columns`-ordered insert (`:466-499`). */
   def promoteLocalCache(meta: ViewQueryMeta, sliceCols: Seq[String]): Unit = {
-    val cacheT = meta.cacheTable.getOrElse(meta.chTable.stripPrefix("ch_"))
+    // strip the ch_ prefix on the TABLE part — chTable is usually
+    // schema-qualified ("db.ch_res"), where a whole-string stripPrefix
+    // would match nothing and silently promote the table onto itself
+    val cacheT = meta.cacheTable.getOrElse {
+      val parts = meta.chTable.split('.')
+      (parts.init :+ parts.last.stripPrefix("ch_")).mkString(".")
+    }
+    require(cacheT != meta.chTable,
+      s"local-cache promote needs a distinct cache table for ${meta.chTable}")
     val fresh  = store.read(meta.chTable)
     if (!store.exists(cacheT)) {
       store.overwrite(cacheT, fresh)

@@ -84,7 +84,7 @@ object Multimodal {
     * `everyMs` granularity — pure relational explode, runs at scan speed;
     * the actual frame fetch joins back through the codec. */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
-    media.filter(col("kind") === "video")
+    media.filter(col("kind") === "video" && col("duration_ms") > 0)
       .select(col("media_id"), col("duration_ms"),
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
           .as("frame_ts_ms"))

@@ -90,6 +90,9 @@ object Similarity {
 
   /** Band the signature into `bands` keys of `bits/bands` bits each. */
   def bandKeys(sig: Column, bits: Int, bands: Int): Column = {
+    require(bands >= 1 && bits % bands == 0 && bits / bands <= 63,
+      s"bits=$bits must divide into bands=$bands with width <= 63 " +
+        "(a 64-bit band mask overflows to 0 and collapses all buckets)")
     val width = bits / bands
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object Watermark {
 
-  final case class MaxValAndCnt(maxValue: Option[Long], cntRows: Long)
+  /** maxValue keeps the sync column's NATIVE value (long, decimal,
+    * timestamp, ...). A cast to long here would truncate fractional
+    * sync columns and silently skip delta rows within the truncated
+    * unit forever. */
+  final case class MaxValAndCnt(maxValue: Option[Any], cntRows: Long)
 
   /** Single-pass max + count. `max()` over an empty/absent target → None,
     * matching the reference's "no watermark yet → full pull" behavior. */
@@ -33,9 +37,9 @@ object Watermark {
       case None => MaxValAndCnt(None, 0L)
       case Some(df) =>
         val row = df.agg(
-          max(col(syncCol).cast("long")).as("mx"),
+          max(col(syncCol)).as("mx"),
           count(lit(1)).as("cnt")).head()
-        MaxValAndCnt(if (row.isNullAt(0)) None else Some(row.getLong(0)),
+        MaxValAndCnt(if (row.isNullAt(0)) None else Some(row.get(0)),
                      row.getLong(1))
     }
 
@@ -55,7 +59,7 @@ object Watermark {
     * applied only when a watermark exists. */
   def watermarkPredicate(syncCol: String, wm: MaxValAndCnt): Column =
     wm.maxValue match {
-      case Some(v) => col(syncCol).cast("long") > lit(v)
+      case Some(v) => col(syncCol) > lit(v)   // native-type comparison
       case None    => lit(true)
     }
 }

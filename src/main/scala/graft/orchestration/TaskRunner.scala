@@ -52,21 +52,29 @@ final class TaskRunner(
           onAdmitted: Long => Unit = _ => ()): Long = {
     if (!state.compareAndSet(EngineState.Wait, EngineState.Executing))
       throw RejectedException(s"task rejected: engine state = ${state.get()}")
-    val taskId = audit.nextTaskId()
-    audit.taskEvent(taskId, "executing")
-    // admission point: callers that respond before completion (the HTTP
-    // shell's fire-and-forget taskid reply, WServer.scala:105-120) hook here
-    onAdmitted(taskId)
+    // everything after the CAS runs inside try/finally — a failure in
+    // id allocation or audit (e.g. a TableAuditSink Spark read) must
+    // still release the Executing state or the engine wedges
     try {
-      runWave(taskId, task.nonUpdateWave, task.degree, sources, pkColumns, partitionCols)
-      runWave(taskId, task.updateWave, task.degree, sources, pkColumns, partitionCols)
-      audit.taskEvent(taskId, "finished")
-      taskId
-    } catch {
-      case e: Throwable =>
-        audit.taskEvent(taskId, s"error: ${e.getMessage}")
-        throw e
-    } finally { audit.flush(); state.set(EngineState.Wait) }
+      val taskId = audit.nextTaskId()
+      audit.taskEvent(taskId, "executing")
+      // admission point: callers that respond before completion (the HTTP
+      // shell's fire-and-forget taskid reply, WServer.scala:105-120) hook here
+      onAdmitted(taskId)
+      try {
+        runWave(taskId, task.nonUpdateWave, task.degree, sources, pkColumns, partitionCols)
+        runWave(taskId, task.updateWave, task.degree, sources, pkColumns, partitionCols)
+        audit.taskEvent(taskId, "finished")
+        taskId
+      } catch {
+        case e: Throwable =>
+          audit.taskEvent(taskId, s"error: ${e.getMessage}")
+          throw e
+      }
+    } finally {
+      scala.util.Try(audit.flush())
+      state.set(EngineState.Wait)
+    }
   }
 
   private def runWave(taskId: Long, wave: Seq[TableSpec], degree: Int,

@@ -76,6 +76,7 @@ object ParamBinder {
     val text = Placeholder.replaceAllIn(sql, m => ":" + m.group(1))
     val args: Map[String, Any] = phs.map { case (name, tpe) =>
       val v = values.getOrElse(name, throw MissingParam(name))
+      tpe.render(v)   // same domain validation as the inline path (UInt32 range etc.)
       val typed: Any = tpe match {
         case PDecimal => new JBigDecimal(v.toString)
         case PString  => v.toString

@@ -2,7 +2,7 @@ package graft.server
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import graft.audit.AuditSink
+import graft.audit.{AuditSink, EngineState}
 import graft.calc.{CalcEngine, ViewQueryMeta}
 import graft.ops._
 import graft.orchestration.TaskRunner
@@ -62,6 +62,12 @@ final class WebShell(
   private val calcLog =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** calc single-flight (the reference's CalcRepo state machine,
+    * `calc/CalcLogic.scala:171-183`): one calc batch at a time —
+    * concurrent batches would race on the shared result tables. */
+  private val calcState =
+    new java.util.concurrent.atomic.AtomicReference[EngineState](EngineState.Wait)
+
   def stop(): Unit = {
     server.stop(0)
     pool.shutdown()
@@ -82,16 +88,13 @@ final class WebShell(
     ex.close()
   }
 
-  private def esc(s: String): String =
-    Option(s).getOrElse("null").flatMap {
-      case '\\'            => "\\\\"
-      case '"'             => "\\\""
-      case '\n'            => "\\n"
-      case '\r'            => "\\r"
-      case '\t'            => "\\t"
-      case c if c < ' '    => f"\\u${c.toInt}%04x"
-      case c               => c.toString
-    }
+  /** JSON string-escape via Jackson (single escaping implementation —
+    * no hand-rolled copy to drift): writeValueAsString("x") yields the
+    * quoted literal; strip the quotes for interpolation. */
+  private def esc(s: String): String = {
+    val quoted = mapper.writeValueAsString(Option(s).getOrElse("null"))
+    quoted.substring(1, quoted.length - 1)
+  }
 
   /** POST /task: `{"schemas":[{"schema":"s","tables":[{"operation":...,
     * "name":..., ...}]}], "parallel":{"degree":N}}` — field names are the
@@ -171,11 +174,14 @@ final class WebShell(
         .getOrElse(Map.empty[String, Any])
       qn.path("order_by").asInt(0) -> base.copy(params = base.params ++ params)
     }.toSeq
+    if (!calcState.compareAndSet(EngineState.Wait, EngineState.Calculation))
+      return 409 -> s"""{"error":"calc rejected: state = ${calcState.get()}"}"""
     pool.submit(new Runnable {
       override def run(): Unit =
         try calcEngine.runAll(metas, calcWrite,
           onPhase = (q, phase) => calcLog.put(q, phase))
         catch { case NonFatal(_) => () }
+        finally calcState.set(EngineState.Wait)
     })
     200 -> """{"calcId":"ok"}"""
   }

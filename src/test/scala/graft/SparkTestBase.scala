@@ -15,14 +15,8 @@ trait SparkTestBase extends AnyFunSuite {
 object SparkTestBase {
   lazy val session: SparkSession = {
     val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
+    val s = GraftSession.builder(4, "graft-test")
       .config("spark.sql.warehouse.dir", wh.toString)
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -88,6 +88,25 @@ class SyncEngineSpec extends SparkTestBase {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("W3 watermark keeps the sync column's native type (no long truncation)") {
+    val (store, eng) = freshEngine()
+    // fractional sync column: rows between trunc(max) and max must load
+    val spec0 = TableSpec(SyncOp.Recreate, "db", "t").validate()
+    eng.recreate(spec0, Seq((1L, 10.5)).toDF("id", "score"))
+    val spec = TableSpec(SyncOp.AppendByMax, "db", "t",
+      syncByColumnMax = Some("score")).validate()
+    // 10.7 > 10.5 but a long-truncated watermark (10) would ALSO admit
+    // 10.2 twice; and a truncated comparison would reject nothing — the
+    // killer case is 10.7 vs trunc(10.5)=10: both orders must work
+    val r = eng.appendByMax(spec, Seq((1L, 10.5), (2L, 10.7)).toDF("id", "score"))
+    assert(r.rowsCopied == 1)
+    assert(store.read("db.t").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    // re-run: 10.7 is now the max; nothing loads (trunc would re-admit it)
+    val r2 = eng.appendByMax(spec, Seq((2L, 10.7)).toDF("id", "score"))
+    assert(r2.rowsCopied == 0)
+  }
+
   test("W3 append_bymax bootstraps an absent target with a full load") {
     val (store, eng) = freshEngine()
     val spec = TableSpec(SyncOp.AppendByMax, "db", "t",

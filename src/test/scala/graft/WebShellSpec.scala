@@ -119,6 +119,12 @@ class WebShellSpec extends SparkTestBase {
       assert(st.statusCode() == 200 &&
         st.body().contains("\"query\":\"vq\"") &&
         st.body().contains("\"phase\":\"finished\""))
+      // calc single-flight: once idle again, a burst of two concurrent
+      // submissions admits exactly one (the other gets 409)
+      val codes = (1 to 2).map(_ => post(shell.boundPort, "/calc",
+        """{"queries":[{"query":"vq","params":{"vmin":"10"}}]}""").statusCode())
+      assert(codes.count(_ == 200) == 1 && codes.count(_ == 409) == 1,
+        s"got $codes")
     } finally shell.stop()
   }
 }
