@@ -163,12 +163,22 @@ object Dedup {
     * only sees the converged/changed counter). Returns (id, component)
     * where component = min id of the cluster.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          driverThreshold: Long = 1L << 20): DataFrame = {
     // ids keep their native type (works for long or string ids alike;
-    // a cast here would crash under ANSI on non-numeric ids)
+    // a cast here would crash under ANSI on non-numeric ids).
+    // localCheckpoint: materialize ONCE — the pair list usually sits on
+    // an expensive lineage (MinHash banding) that every propagation
+    // round would otherwise recompute from scratch
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").distinct()
+      .localCheckpoint()
+    // near-dup edge lists are a tiny fraction of the corpus (pairs that
+    // SURVIVED LSH + verification): under the threshold an exact driver
+    // union-find beats O(diameter) distributed rounds by a wide margin;
+    // the distributed path remains for genuinely huge edge sets
+    if (edges.count() <= driverThreshold) return unionFindLocal(edges)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
     var converged = false
@@ -190,6 +200,52 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** Exact union-find over a collected edge list (≤ driverThreshold
+    * edges — bounded memory), min element as component label. */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema.head.dataType
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    // min element of each set as the canonical component label
+    val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+    implicit val ord: Ordering[Any] = new Ordering[Any] {
+      def compare(x: Any, y: Any): Int = (x, y) match {
+        case (a: Long, b: Long)     => java.lang.Long.compare(a, b)
+        case (a: Int, b: Int)       => Integer.compare(a, b)
+        case (a: String, b: String) => a.compareTo(b)
+        case (a, b)                 => a.toString.compareTo(b.toString)
+      }
+    }
+    parent.keys.foreach { x =>
+      val r = find(x)
+      minOf.get(r) match {
+        case Some(m) if ord.compare(m, x) <= 0 => ()
+        case _                                  => minOf(r) = x
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      parent.keys.toSeq.map(x =>
+        org.apache.spark.sql.Row(x, minOf(find(x)))).asJava
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("comp", idType))))
   }
 
   /** Cluster-level near-dup dedup: every transitive duplicate cluster

@@ -64,6 +64,17 @@ class LlmOpsSpec extends SparkTestBase {
     assert(comp == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a"))
   }
 
+  test("driver union-find and distributed propagation agree") {
+    val rnd = new scala.util.Random(5)
+    val pairs = (1 to 200).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, driverThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+  }
+
   test("quality signals + keep decision") {
     val good = "the quick brown fox jumps over the lazy dog and runs to the house in town"
     val bad  = "!!! ??? ,,, ..."
