@@ -56,10 +56,12 @@ final class TableAuditSink(store: TableStore, db: String = "orach_meta")
     synchronized { mem.taskEvent(taskId, status) }
   override def tableEvent(e: TableAudit): Unit =
     synchronized { mem.tableEvent(e) }
+  // reads hold the lock across BOTH sources: a flush between the buffer
+  // snapshot and the table read would return the same event twice
   override def events: Seq[TableAudit] =
-    synchronized { mem.events } ++ persistedTableEvents
+    synchronized { mem.events ++ persistedTableEvents }
   override def taskEvents: Seq[TaskAudit] =
-    synchronized { mem.taskEvents } ++ persistedTaskEvents
+    synchronized { mem.taskEvents ++ persistedTaskEvents }
 
   /** Persist buffered events and clear the buffer. */
   override def flush(): Unit = synchronized {

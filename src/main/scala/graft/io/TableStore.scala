@@ -96,11 +96,16 @@ final class ParquetTableStore(val spark: SparkSession, root: String)
   /** Physically remove whole partitions (dynamic overwrite can only
     * REPLACE partitions present in the written frame — a partition whose
     * rows were all deleted produces no rows to write and must be dropped
-    * explicitly). */
+    * explicitly). Directory names go through Spark's own Hive path
+    * escaping (getPartitionPathString) so values with '/', ':' etc. and
+    * nulls (__HIVE_DEFAULT_PARTITION__) resolve to the real dirs. */
   def dropPartitions(table: String, partCol: String, values: Seq[Any]): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val f = fs
     values.foreach { v =>
-      val p = new Path(dir(table), s"$partCol=$v")
+      val leaf = ExternalCatalogUtils.getPartitionPathString(
+        partCol, Option(v).map(_.toString).getOrElse(null))
+      val p = new Path(dir(table), leaf)
       if (f.exists(p)) f.delete(p, true)
     }
   }

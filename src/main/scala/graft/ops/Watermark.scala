@@ -36,6 +36,13 @@ object Watermark {
     target match {
       case None => MaxValAndCnt(None, 0L)
       case Some(df) =>
+        val dt = df.schema(syncCol).dataType
+        require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+                dt == org.apache.spark.sql.types.TimestampType ||
+                dt == org.apache.spark.sql.types.DateType,
+          s"sync_by_column_max requires a numeric/timestamp/date column; " +
+            s"$syncCol is $dt — a string watermark would compare " +
+            "lexicographically and silently skip deltas")
         val row = df.agg(
           max(col(syncCol)).as("mx"),
           count(lit(1)).as("cnt")).head()

@@ -176,13 +176,19 @@ final class WebShell(
     }.toSeq
     if (!calcState.compareAndSet(EngineState.Wait, EngineState.Calculation))
       return 409 -> s"""{"error":"calc rejected: state = ${calcState.get()}"}"""
-    pool.submit(new Runnable {
-      override def run(): Unit =
-        try calcEngine.runAll(metas, calcWrite,
-          onPhase = (q, phase) => calcLog.put(q, phase))
-        catch { case NonFatal(_) => () }
-        finally calcState.set(EngineState.Wait)
-    })
+    try {
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try calcEngine.runAll(metas, calcWrite,
+            onPhase = (q, phase) => calcLog.put(q, phase))
+          catch { case NonFatal(_) => () }
+          finally calcState.set(EngineState.Wait)
+      })
+    } catch {
+      // submit itself failed → the Runnable's finally will never run;
+      // release the state here or /calc wedges in permanent 409
+      case e: Throwable => calcState.set(EngineState.Wait); throw e
+    }
     200 -> """{"calcId":"ok"}"""
   }
 

@@ -116,6 +116,22 @@ class PartitionedUpdateSpec extends SparkTestBase {
     assert(got == Map(1L -> "NEW", 2L -> "b"))
   }
 
+  test("emptied-partition drop handles Hive-escaped values (slashes) correctly") {
+    val root = tmpDir("pawesc")
+    val store = new ParquetTableStore(spark, root)
+    val eng = new SyncEngine(store)
+    // partition values contain '/', written Hive-escaped (%2F)
+    store.overwritePartitioned("db.t",
+      Seq((1L, "x", "2024/01"), (2L, "y", "2024/02"), (3L, "z", "2024/02"))
+        .toDF("id", "payload", "slice"), Seq("slice"))
+    val spec = TableSpec(SyncOp.AppendWhere, "db", "t",
+      whereFilter = Some("slice = '2024/01'")).validate()
+    eng.appendWherePartitioned(spec,
+      Seq.empty[(Long, String, String)].toDF("id", "payload", "slice"), "slice")
+    assert(store.read("db.t").count() == 2, "escaped partition must be dropped")
+    assert(store.read("db.t").filter($"slice" === "2024/02").count() == 2)
+  }
+
   test("partitioned update with no matches rewrites nothing") {
     val root = tmpDir("pupd")
     val store = new ParquetTableStore(spark, root)

@@ -107,6 +107,17 @@ class SyncEngineSpec extends SparkTestBase {
     assert(r2.rowsCopied == 0)
   }
 
+  test("W3 rejects string sync columns loudly (lexicographic watermark = silent loss)") {
+    val (store, eng) = freshEngine()
+    eng.recreate(TableSpec(SyncOp.Recreate, "db", "t").validate(),
+      Seq((1L, "9")).toDF("id", "ver"))
+    val spec = TableSpec(SyncOp.AppendByMax, "db", "t",
+      syncByColumnMax = Some("ver")).validate()
+    val e = intercept[IllegalArgumentException](
+      eng.appendByMax(spec, Seq((2L, "10")).toDF("id", "ver")))
+    assert(e.getMessage.contains("lexicographically"))
+  }
+
   test("W3 append_bymax bootstraps an absent target with a full load") {
     val (store, eng) = freshEngine()
     val spec = TableSpec(SyncOp.AppendByMax, "db", "t",

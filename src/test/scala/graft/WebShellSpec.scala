@@ -119,12 +119,40 @@ class WebShellSpec extends SparkTestBase {
       assert(st.statusCode() == 200 &&
         st.body().contains("\"query\":\"vq\"") &&
         st.body().contains("\"phase\":\"finished\""))
-      // calc single-flight: once idle again, a burst of two concurrent
-      // submissions admits exactly one (the other gets 409)
-      val codes = (1 to 2).map(_ => post(shell.boundPort, "/calc",
-        """{"queries":[{"query":"vq","params":{"vmin":"10"}}]}""").statusCode())
-      assert(codes.count(_ == 200) == 1 && codes.count(_ == 409) == 1,
-        s"got $codes")
     } finally shell.stop()
+  }
+
+  test("calc single-flight: concurrent batch rejected while one is in flight") {
+    val store = new ParquetTableStore(spark, tmpDir("web"))
+    val audit = new graft.audit.InMemoryAuditSink
+    val runner = new TaskRunner(spark, new SyncEngine(store), audit)
+    Seq((1L, 5.0)).toDF("k", "v").createOrReplaceTempView("web_sf_src")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    // oraTable forces the copy-back write, which blocks on the latch —
+    // the batch is deterministically in flight for the second post
+    val metas = Map("slowq" -> ViewQueryMeta(name = "slowq",
+      sqlText = "SELECT k, v FROM web_sf_src", chTable = "db.sf_res",
+      oraTable = Some("ora.sf")))
+    val shell = new WebShell(runner, new CalcEngine(spark, store), audit,
+      sources = _ => Seq((1L, "a")).toDF("id", "name"),
+      calcMetas = metas,
+      calcWrite = _ => _ => gate.await(),
+      port = 0).start()
+    try {
+      val r1 = post(shell.boundPort, "/calc", """{"queries":[{"query":"slowq"}]}""")
+      assert(r1.statusCode() == 200)
+      val r2 = post(shell.boundPort, "/calc", """{"queries":[{"query":"slowq"}]}""")
+      assert(r2.statusCode() == 409 && r2.body().contains("calc rejected"),
+        s"got ${r2.statusCode()} ${r2.body()}")
+      gate.countDown()
+      // after the batch drains, admission reopens
+      val deadline = System.nanoTime() + 60_000_000_000L
+      var r3 = r2
+      while ({ r3 = post(shell.boundPort, "/calc",
+               """{"queries":[{"query":"slowq"}]}"""); r3.statusCode() == 409 } &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      assert(r3.statusCode() == 200)
+      gate.countDown()
+    } finally { gate.countDown(); shell.stop() }
   }
 }
