@@ -184,6 +184,48 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Persist an IVF index: centroids + per-vector bucket assignments as
+    * store tables, so repeated query batches skip KMeans training and
+    * corpus assignment entirely — the "build once, probe many" shape of
+    * a production ANN service. */
+  def buildIvfIndex(store: graft.io.TableStore, prefix: String,
+                    corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int = 16, iters: Int = 3): Unit = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist, iters)
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val buckets = assignBuckets(base, cents.select(col("cid"), col("cv")))
+    store.overwrite(s"$prefix.centroids", cents)
+    store.overwrite(s"$prefix.buckets", base.join(buckets, "id"))
+  }
+
+  /** Query a persisted IVF index (same semantics as [[ivfTopK]], minus
+    * training/assignment cost). */
+  def ivfTopKIndexed(store: graft.io.TableStore, prefix: String,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val cents = store.read(s"$prefix.centroids")
+    val corpusB = store.read(s"$prefix.buckets")
+      .withColumnRenamed("id", "cand_id")
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", vecNorm2(col("qv")))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("dist", col("qn") - lit(2.0) * vecDot(col("qv"), col("cv")) + col("cnorm"))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("dist").asc, col("cid").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val scored = probes.join(corpusB, "cid")
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("qv"), col("v")).as("cosine"))
+    scored.withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("cand_id").asc)))
+      .filter(col("rnk") <= k)
+  }
+
   /** ANN top-k via LSH banding: candidates sharing ≥1 band bucket with the
     * query are scored exactly, then top-k. Recall < 1 by construction;
     * `bits`/`bands` trade recall vs candidate-set size. */

@@ -171,6 +171,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(ivf == ivf2)
   }
 
+  test("persisted IVF index returns the same results as direct ivfTopK") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 90).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    val store = new graft.io.ParquetTableStore(spark, tmpDir("ivf"))
+    Similarity.buildIvfIndex(store, "ann", df, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val indexed = Similarity.ivfTopKIndexed(store, "ann", queries,
+      "vec_id", "embedding", k = 5, nprobe = 3)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val direct = Similarity.ivfTopK(queries, df, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 3, iters = 2)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(indexed == direct)
+    assert(store.exists("ann.centroids") && store.exists("ann.buckets"))
+  }
+
   test("multimodal: stub decode via mapPartitions keeps schema and batch shape") {
     val media = Multimodal.syntheticCorpus(spark, 30, partitions = 3)
     val feats = Multimodal.extractFeatures(media)
