@@ -29,6 +29,15 @@ object CoreQueries {
   private val dec = "decimal(18,4)"
   private val out = "decimal(38,6)"
 
+  /** Terminal cast for SURFACED aggregate columns: the decimal arithmetic
+    * stays exact/order-independent internally, but the gate surface is
+    * DOUBLE — the driver reads Spark parquet via pyarrow→pandas (decimals
+    * stay `Decimal` objects) and the DuckDB oracle via `.df()` (decimals
+    * lower to float64), so a surfaced DECIMAL hash-mismatches on rendering
+    * alone. decimal(38,6)→double is correctly rounded in both engines. */
+  private def outD(c: org.apache.spark.sql.Column) =
+    c.cast(out).cast("double")
+
   // ---------------------------------------------------------------------
   // A4/A2-style aggregation (the reference's golden-value check shape,
   // v_cache_for_calc_6184_4626.txt:3-4) + TPC-H Q1 shape over lineitem.
@@ -38,10 +47,10 @@ object CoreQueries {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast(dec)).cast(out).as("sum_qty"),
-        sum(col("l_extendedprice").cast(dec)).cast(out).as("sum_base_price"),
-        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(dec))
-          .cast(out).as("sum_disc_price"),
+        outD(sum(col("l_quantity").cast(dec))).as("sum_qty"),
+        outD(sum(col("l_extendedprice").cast(dec))).as("sum_base_price"),
+        outD(sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(dec)))
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   // J3/J4 multi-way equi join through the star schema + group agg —
@@ -57,8 +66,8 @@ object CoreQueries {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(dec))
-          .cast(out).as("revenue"),
+        outD(sum((col("l_extendedprice").cast(dec) * (lit(1).cast(dec) - col("l_discount").cast(dec))).cast(dec)))
+          .as("revenue"),
         count(lit(1)).as("n_rows"))
   }
 
@@ -119,7 +128,7 @@ object CoreQueries {
         "left")
       .groupBy(col("c_custkey"))
       .agg(count(col("o_orderkey")).as("n_open_orders"),
-           sum(col("o_totalprice").cast(dec)).cast(out).as("open_total"))
+           outD(sum(col("o_totalprice").cast(dec))).as("open_total"))
   }
 
   // WF3: row_number-per-group dedup-to-first (rn_pbo = 1 consumption,
@@ -160,7 +169,8 @@ object CoreQueries {
               (col("s_acctbal").cast(dec) * lit(2).cast(dec)).cast(out).as("new_acctbal"))
     sup.join(broadcast(upd), Seq("s_suppkey"), "left")
       .select(col("s_suppkey"), col("s_name"),
-              coalesce(col("new_acctbal"), col("s_acctbal").cast(out)).as("s_acctbal"))
+              coalesce(col("new_acctbal"), col("s_acctbal").cast(out))
+                .cast("double").as("s_acctbal"))
   }
 
   // W2: append_where as kept ∪ incoming — delete-first dedup semantics
@@ -170,10 +180,10 @@ object CoreQueries {
     val part = t(s, dir, "part")
     val pred = col("p_size") >= 25
     val target = part.select(col("p_partkey"), col("p_name"), col("p_size"),
-      (col("p_retailprice").cast(dec) * lit("0.5").cast(dec)).cast(out).as("p_retailprice"))
+      outD(col("p_retailprice").cast(dec) * lit("0.5").cast(dec)).as("p_retailprice"))
     val incoming = part.filter(pred)
       .select(col("p_partkey"), col("p_name"), col("p_size"),
-              col("p_retailprice").cast(out).as("p_retailprice"))
+              outD(col("p_retailprice")).as("p_retailprice"))
     target.filter(!coalesce(pred, lit(false))).unionByName(incoming)
   }
 
@@ -201,7 +211,7 @@ object CoreQueries {
     c.join(n1, Seq("nkey_pad"), "inner")
       .groupBy(col("nkey_pad"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
-           sum(col("c_acctbal").cast(dec)).cast(out).as("total_bal"))
+           outD(sum(col("c_acctbal").cast(dec))).as("total_bal"))
   }
 
   // The flagship calc query (SparkEntry.flagshipSql) parameterized over
@@ -256,9 +266,9 @@ object CoreQueries {
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        sum(when(col("l_discount") > 0.05, col("l_quantity").cast(dec))
-          .otherwise(lit(0).cast(dec))).cast(out).as("qty_discounted"),
-        sum(col("l_quantity").cast(dec)).cast(out).as("qty_total"),
+        outD(sum(when(col("l_discount") > 0.05, col("l_quantity").cast(dec))
+          .otherwise(lit(0).cast(dec)))).as("qty_discounted"),
+        outD(sum(col("l_quantity").cast(dec))).as("qty_total"),
         count(when(col("l_tax") > 0.04, lit(1))).as("high_tax_lines"))
 
   // Tumbling 1-hour event windows (the batch shape of
@@ -272,7 +282,7 @@ object CoreQueries {
       .groupBy(date_format(timestamp_micros(winUs), "yyyy-MM-dd HH:mm:ss").as("win_start"),
                col("event_type"))
       .agg(count(lit(1)).as("n"),
-           sum(col("value").cast(dec)).cast(out).as("total_value"))
+           outD(sum(col("value").cast(dec))).as("total_value"))
   }
 
   // Gap-based sessionization, batch form: a new session starts when the
@@ -290,7 +300,7 @@ object CoreQueries {
       .groupBy(col("user_id"), col("sess_id"))
       .agg(count(lit(1)).as("n_events"),
            min(col("event_id")).as("first_event"),
-           sum(col("value").cast(dec)).cast(out).as("sess_value"))
+           outD(sum(col("value").cast(dec))).as("sess_value"))
   }
 
   // ROLLUP hierarchy totals (region -> nation -> grand total).
@@ -301,7 +311,7 @@ object CoreQueries {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
-           sum(col("c_acctbal").cast(dec)).cast(out).as("total_bal"))
+           outD(sum(col("c_acctbal").cast(dec))).as("total_bal"))
   }
 
   // GROUPING SETS with explicit set list (finer than rollup/cube).
@@ -310,7 +320,7 @@ object CoreQueries {
     s.sql(
       """SELECT event_type, user_id % 10 AS cohort,
         |       count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
         |FROM gs_events
         |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())
         |""".stripMargin)
@@ -345,7 +355,7 @@ object CoreQueries {
     t(s, dir, "customer").createOrReplaceTempView("corr_customer")
     s.sql(
       """SELECT c_custkey, c_nationkey,
-        |       CAST(c_acctbal AS DECIMAL(38,6)) AS acctbal
+        |       CAST(CAST(c_acctbal AS DECIMAL(38,6)) AS DOUBLE) AS acctbal
         |FROM corr_customer c
         |WHERE CAST(c_acctbal AS DECIMAL(18,4)) > (
         |  SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,4)))
@@ -385,9 +395,9 @@ object CoreQueries {
   val oracleSql: Map[String, String] = Map(
     "q0_flagship" ->
       """SELECT r.r_name, count(1) AS cnt,
-        | CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+        | CAST(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
         |      (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)))
-        |      AS DECIMAL(38,6)) AS summa
+        |      AS DECIMAL(38,6)) AS DOUBLE) AS summa
         |FROM lineitem l
         |JOIN (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
         |        FROM orders WHERE o_totalprice > 1000.0) o
@@ -401,7 +411,7 @@ object CoreQueries {
         |  AND c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
         |GROUP BY r.r_name""".stripMargin,
     "q39_correlated" ->
-      """SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(38,6)) AS acctbal
+      """SELECT c_custkey, c_nationkey, CAST(CAST(c_acctbal AS DECIMAL(38,6)) AS DOUBLE) AS acctbal
         |FROM customer c
         |WHERE CAST(c_acctbal AS DECIMAL(18,4)) > (
         |  SELECT avg(CAST(c2.c_acctbal AS DECIMAL(18,4)))
@@ -420,14 +430,14 @@ object CoreQueries {
         |FROM documents WHERE doc_id < 100""".stripMargin,
     "q35_grouping_sets" ->
       """SELECT event_type, user_id % 10 AS cohort, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())""".stripMargin,
     "q19_windowed_events" ->
       """SELECT strftime(make_timestamp(epoch_ns(ts) // 1000 // 3600000000 * 3600000000),
         |                '%Y-%m-%d %H:%M:%S') AS win_start,
         |       event_type, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_value
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q31_sessionize" ->
       """WITH g AS (
@@ -443,11 +453,11 @@ object CoreQueries {
         |  FROM g)
         |SELECT user_id, sess_id, count(*) AS n_events,
         |       min(event_id) AS first_event,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sess_value
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sess_value
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
     "q32_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
-        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_bal
+        |       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -479,21 +489,21 @@ object CoreQueries {
         |GROUP BY o_orderpriority""".stripMargin,
     "q18_conditional_agg" ->
       """SELECT l_returnflag,
-        | CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4))
-        |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,6)) AS qty_discounted,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS qty_total,
+        | CAST(CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_quantity AS DECIMAL(18,4))
+        |               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,6)) AS DOUBLE) AS qty_discounted,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS qty_total,
         | count(CASE WHEN l_tax > 0.04 THEN 1 END) AS high_tax_lines
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
-        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_disc_price,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q2_join_agg" ->
       """SELECT r_name, n_name,
-        | CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS revenue,
+        | CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
         | count(*) AS n_rows
         |FROM lineitem
         | JOIN orders   ON l_orderkey = o_orderkey
@@ -518,7 +528,7 @@ object CoreQueries {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0)""".stripMargin,
     "q8_left_join_cond" ->
       """SELECT c_custkey, count(o_orderkey) AS n_open_orders,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS open_total
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS open_total
         |FROM customer LEFT JOIN orders
         |  ON c_custkey = o_custkey AND o_orderstatus = 'O' AND o_totalprice > 50000.0
         |GROUP BY c_custkey""".stripMargin,
@@ -533,7 +543,7 @@ object CoreQueries {
         |GROUP BY bucket""".stripMargin,
     "q11_update_merge" ->
       """SELECT s.s_suppkey, s.s_name,
-        | coalesce(u.new_acctbal, CAST(s.s_acctbal AS DECIMAL(38,6))) AS s_acctbal
+        | CAST(coalesce(u.new_acctbal, CAST(s.s_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s_acctbal
         |FROM supplier s LEFT JOIN (
         |  SELECT s_suppkey,
         |    CAST(CAST(s_acctbal AS DECIMAL(18,4)) * CAST(2 AS DECIMAL(18,4)) AS DECIMAL(38,6)) AS new_acctbal
@@ -541,10 +551,10 @@ object CoreQueries {
         |ON s.s_suppkey = u.s_suppkey""".stripMargin,
     "q12_append_where" ->
       """SELECT p_partkey, p_name, p_size,
-        | CAST(CAST(p_retailprice AS DECIMAL(18,4)) * CAST('0.5' AS DECIMAL(18,4)) AS DECIMAL(38,6)) AS p_retailprice
+        | CAST(CAST(CAST(p_retailprice AS DECIMAL(18,4)) * CAST('0.5' AS DECIMAL(18,4)) AS DECIMAL(38,6)) AS DOUBLE) AS p_retailprice
         |FROM part WHERE NOT coalesce(p_size >= 25, false)
         |UNION ALL
-        |SELECT p_partkey, p_name, p_size, CAST(p_retailprice AS DECIMAL(38,6)) AS p_retailprice
+        |SELECT p_partkey, p_name, p_size, CAST(CAST(p_retailprice AS DECIMAL(38,6)) AS DOUBLE) AS p_retailprice
         |FROM part WHERE p_size >= 25""".stripMargin,
     "q13_scalar_funcs" ->
       """SELECT o_orderkey,
@@ -557,7 +567,7 @@ object CoreQueries {
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
     "q14_expr_join" ->
       """SELECT nkey_pad, n_name, count(*) AS n_customers,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total_bal
+        | CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_bal
         |FROM (SELECT lpad(CAST(c_nationkey AS VARCHAR), 3, '0') AS nkey_pad, c_acctbal FROM customer) c
         |JOIN (SELECT lpad(CAST(n_nationkey AS VARCHAR), 3, '0') AS nkey_pad, n_name FROM nation) n
         |USING (nkey_pad)

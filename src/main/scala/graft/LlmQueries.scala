@@ -50,10 +50,10 @@ object LlmQueries {
       toks.as("n_tokens"), stops.as("n_stopwords"),
       when(toks > 0,
         (stops.cast("decimal(18,6)") / toks.cast("decimal(18,6)")).cast(out))
-        .otherwise(lit(0).cast(out)).as("stopword_ratio"),
+        .otherwise(lit(0).cast(out)).cast("double").as("stopword_ratio"),
       when(toks > 0,
         ((length(col("text")) - toks + 1).cast("decimal(18,6)") / toks.cast("decimal(18,6)")).cast(out))
-        .otherwise(lit(0).cast(out)).as("avg_token_len"))
+        .otherwise(lit(0).cast(out)).cast("double").as("avg_token_len"))
   }
 
   // Document fingerprinting: content hash (md5 — bit-identical across
@@ -98,6 +98,8 @@ object LlmQueries {
          (col("grams_a") + col("grams_b") - col("n_shared")).cast("decimal(18,6)"))
           .cast(out).as("jaccard"))
       .filter(col("jaccard") > lit(0.10).cast(out))
+      // threshold compared on the exact decimal; surfaced as double (gate)
+      .withColumn("jaccard", col("jaccard").cast("double"))
   }
 
   // Brute-force cosine top-5 for a fixed probe set (vec_id < 8) — the
@@ -109,7 +111,7 @@ object LlmQueries {
     graft.llm.Similarity.bruteForceTopK(
         emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("cand_id"),
-              col("cosine").cast(out).as("cosine"), col("rnk"))
+              col("cosine").cast(out).cast("double").as("cosine"), col("rnk"))
   }
 
   /** Corpus with planted near-duplicates (each doc re-appears with its
@@ -213,14 +215,14 @@ object LlmQueries {
       """SELECT doc_id, lang,
         | CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
         | CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS INT) AS n_stopwords,
-        | CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
+        | CAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
         |   CAST(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS DECIMAL(18,6))
         |        / CAST(len(regexp_extract_all(text, '\S+')) AS DECIMAL(18,6)) AS DECIMAL(38,6))
-        | ELSE CAST(0 AS DECIMAL(38,6)) END AS stopword_ratio,
-        | CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
+        | ELSE CAST(0 AS DECIMAL(38,6)) END AS DOUBLE) AS stopword_ratio,
+        | CAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
         |   CAST(CAST(length(text) - len(regexp_extract_all(text, '\S+')) + 1 AS DECIMAL(18,6))
         |        / CAST(len(regexp_extract_all(text, '\S+')) AS DECIMAL(18,6)) AS DECIMAL(38,6))
-        | ELSE CAST(0 AS DECIMAL(38,6)) END AS avg_token_len
+        | ELSE CAST(0 AS DECIMAL(38,6)) END AS DOUBLE) AS avg_token_len
         |FROM documents""".stripMargin,
     "q23_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_fp,
@@ -240,8 +242,8 @@ object LlmQueries {
         |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT doc_a, doc_b, n_shared,
-        |  CAST(CAST(n_shared AS DECIMAL(18,6)) /
-        |       CAST(sa.n_grams + sb.n_grams - n_shared AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS jaccard
+        |  CAST(CAST(CAST(n_shared AS DECIMAL(18,6)) /
+        |       CAST(sa.n_grams + sb.n_grams - n_shared AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
         |FROM shared
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
@@ -280,7 +282,7 @@ object LlmQueries {
         |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
         |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
         |  FROM norm q JOIN norm c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
-        |SELECT query_id, cand_id, CAST(cosine AS DECIMAL(38,6)) AS cosine, CAST(rnk AS INT) AS rnk
+        |SELECT query_id, cand_id, CAST(CAST(cosine AS DECIMAL(38,6)) AS DOUBLE) AS cosine, CAST(rnk AS INT) AS rnk
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
         |      FROM pairs) WHERE rnk <= 5""".stripMargin
   )

@@ -28,9 +28,9 @@ object SparkEntry {
   private[graft] val flagshipSql: String =
     """SELECT r.r_name,
       |       count(1) AS cnt,
-      |       CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+      |       CAST(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
       |            (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)))
-      |            AS DECIMAL(38,6)) AS summa
+      |            AS DECIMAL(38,6)) AS DOUBLE) AS summa
       |FROM lineitem l
       |JOIN (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
       |        FROM orders

@@ -30,9 +30,18 @@ class ContractSpec extends SparkTestBase {
         assert(!f.dataType.isInstanceOf[StructType] &&
                !f.dataType.isInstanceOf[MapType],
           s"$name.${f.name}: nested output type ${f.dataType}")
-        if (SparkEntry.oracleSql.contains(name))
+        if (SparkEntry.oracleSql.contains(name)) {
           assert(!f.dataType.isInstanceOf[ArrayType],
             s"$name.${f.name}: array output in an oracle-checked query")
+          // round-1 lesson: the driver reads Spark parquet via
+          // pyarrow→pandas (Decimal objects, '6.550000') but the oracle
+          // via duckdb .df() (float64, '6.55') — a surfaced DECIMAL
+          // hash-mismatches even when value-exact. Keep decimal math
+          // internal; surface DOUBLE.
+          assert(!f.dataType.isInstanceOf[DecimalType],
+            s"$name.${f.name}: surfaced DECIMAL in an oracle-checked query" +
+              " (cast to double at the output boundary)")
+        }
       }
     }
   }

@@ -1,15 +1,23 @@
 #!/usr/bin/env python3
 """Local pre-validation of SparkEntry.oracleSql vs Verify output.
 
-Mimics the driver's correctness gate: for each query, load the Spark
-result parquet (written by graft.Verify) and run the oracle SQL in DuckDB
-over the sf parquet tables; compare schemas (column names sorted) and
-values (rows sorted, column order by name).
+Mimics the driver's correctness gate DTYPE-FAITHFULLY:
+  - Spark side: pyarrow.parquet.read_table(...).to_pandas()
+    (decimals stay decimal.Decimal objects, as the driver sees them)
+  - Oracle side: duckdb con.execute(sql).df()
+    (decimals lower to float64, as the driver sees them)
+Then compares schemas (column names sorted) and values (rows sorted,
+columns ordered by name, string-rendered) — the same surface the driver
+hashes. Round 1 shipped blind because the old version of this tool read
+BOTH sides through DuckDB, so decimal-vs-float rendering matched locally
+but not at the driver.
 
 Usage: python3 tools/check_verify.py <sfDir> <verifyOutDir>
 """
 import sys, json, glob, os
 import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -24,11 +32,12 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = os.path.join(out_dir, name)
-        if not glob.glob(os.path.join(spark_dir, "*.parquet")):
+        files = glob.glob(os.path.join(spark_dir, "*.parquet"))
+        if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+            # dtype-faithful: pyarrow -> pandas, NOT via duckdb
+            got = pq.ParquetDataset(spark_dir).read().to_pandas()
             want = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
@@ -39,14 +48,14 @@ def main(sf_dir, out_dir):
         w = want[wc].sort_values(wc).reset_index(drop=True)
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}"); n_fail += 1; continue
-        # value compare via string render (the driver hashes values)
+        # value compare via string render (the driver hashes rendered values)
         gs = g.astype(str); ws = w.astype(str)
         if not gs.equals(ws):
             diff = (gs != ws).any(axis=1)
             print(f"FAIL {name}: {diff.sum()} mismatched rows; first:")
             idx = diff[diff].index[0]
-            print("  spark:", g.loc[idx].to_dict())
-            print("  duck :", w.loc[idx].to_dict())
+            print("  spark:", gs.loc[idx].to_dict())
+            print("  duck :", ws.loc[idx].to_dict())
             n_fail += 1
             continue
         print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
