@@ -29,7 +29,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the stdout line can get an sbt [info] prefix (round-1 BENCH parse
+    // missed it) — ALSO persist to a file, and print the bare line last
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/bench_out.json"), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}") }
     spark.stop()
+    println(json)
   }
 }

@@ -285,6 +285,25 @@ object CoreQueries {
            outD(sum(col("value").cast(dec))).as("total_value"))
   }
 
+  // TRUE Structured Streaming at the gate: the same tumbling 1-hour
+  // aggregation as q19, but executed as a stream — parquet file source →
+  // withWatermark → window() → memory sink, drained synchronously. The
+  // memory-sink result must equal the batch oracle exactly (stream/batch
+  // parity is the whole point of sharing the Dataset API).
+  def q40_stream_windowed(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.EventStream.runBatchOfStream(
+      s, s"$dir/events.parquet", "q40_stream_mem", df =>
+        df.withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+          .withWatermark("ts_us", "10 minutes")
+          .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               outD(sum(col("value").cast(dec))).as("total_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"), col("n"), col("total_value")))
+  }
+
   // Gap-based sessionization, batch form: a new session starts when the
   // gap to the previous event of the same user exceeds 30 min. lag +
   // cumulative sum over windows (WF coverage beyond rank/ntile).
@@ -370,6 +389,7 @@ object CoreQueries {
     "q38_array_funcs" -> q38_array_funcs _,
     "q39_correlated"  -> q39_correlated _,
     "q19_windowed_events" -> q19_windowed_events _,
+    "q40_stream_windowed" -> q40_stream_windowed _,
     "q31_sessionize"  -> q31_sessionize _,
     "q32_rollup"      -> q32_rollup _,
     "q15_date_clamp"  -> q15_date_clamp _,
@@ -434,6 +454,14 @@ object CoreQueries {
         |FROM events
         |GROUP BY GROUPING SETS ((event_type, user_id % 10), (event_type), ())""".stripMargin,
     "q19_windowed_events" ->
+      """SELECT strftime(make_timestamp(epoch_ns(ts) // 1000 // 3600000000 * 3600000000),
+        |                '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the STREAMING execution of the same 1-hour tumbling aggregation
+    // must reproduce the batch oracle exactly (stream/batch parity)
+    "q40_stream_windowed" ->
       """SELECT strftime(make_timestamp(epoch_ns(ts) // 1000 // 3600000000 * 3600000000),
         |                '%Y-%m-%d %H:%M:%S') AS win_start,
         |       event_type, count(*) AS n,

@@ -74,33 +74,15 @@ object LlmQueries {
 
   // N-gram (word-bigram) Jaccard near-dup candidates via inverted-index
   // self-join — NOT a cross join: explode bigrams, join on bigram, count
-  // shared, Jaccard from exact integer counts. At scale the bigram join is
-  // one shuffle on the bigram key; frequency-capping rare/common shingles
-  // bounds skew.
-  def q25_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
-    val grams = docs.select(col("doc_id"),
-        explode(graft.llm.TextShingles.wordBigrams(col("text"))).as("gram"))
-      .distinct()
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val a = grams.as("a"); val b = grams.as("b")
-    val shared = a.join(b,
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("n_grams", "grams_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("n_grams", "grams_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("n_shared"),
-        (col("n_shared").cast("decimal(18,6)") /
-         (col("grams_a") + col("grams_b") - col("n_shared")).cast("decimal(18,6)"))
-          .cast(out).as("jaccard"))
-      .filter(col("jaccard") > lit(0.10).cast(out))
+  // shared, Jaccard from exact integer counts. `maxDf` drops stop-grams
+  // (a gram shared by f docs contributes f² join rows — the cap is what
+  // keeps the posting-list join partition-safe at corpus scale).
+  def q25_ngram_jaccard(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", minJaccard = 0.10, ngram = 2, maxDf = 150)
       // threshold compared on the exact decimal; surfaced as double (gate)
       .withColumn("jaccard", col("jaccard").cast("double"))
-  }
 
   // Brute-force cosine top-5 for a fixed probe set (vec_id < 8) — the
   // exact-ANN baseline. Queries broadcast; corpus scanned once. Cosine is
@@ -124,19 +106,41 @@ object LlmQueries {
       regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
   }
 
-  // MinHash+LSH near-dup candidates (non-SQL-expressible: banding +
-  // signature family → rows-only driver check; semantics pinned by
-  // LlmOpsSpec instead). Planted dups guarantee recall > 0.
-  def q27_minhash_pairs(s: SparkSession, dir: String): DataFrame =
-    graft.llm.Dedup.minHashCandidates(
-      corpusWithNearDups(s, dir).filter(col("doc_id") % 1000000L < 250),
-      "doc_id", "text", k = 32, bands = 8, ngram = 2, threshold = 0.35)
+  // MinHash+LSH candidates → EXACT bigram-Jaccard verification — the
+  // production candidates→verify shape. The verified output is
+  // engine-independent (exact Jaccard ≥ 0.8 is SQL-expressible) and the
+  // fixture has a wide J gap (nothing between 0.35 and 0.88), so LSH
+  // recall over the verified set is total and the DuckDB oracle matches
+  // exactly. Planted dups (first word dropped, id+1e6) guarantee rows.
+  def q27_minhash_pairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithNearDups(s, dir).filter(col("doc_id") % 1000000L < 250)
+    val cands = graft.llm.Dedup.minHashCandidates(
+      corpus, "doc_id", "text", k = 32, bands = 8, ngram = 2, threshold = 0.35)
+    graft.llm.Dedup.jaccardVerify(
+      cands.select(col("id_a"), col("id_b")), corpus, "doc_id", "text",
+      minJaccard = 0.8)
+  }
 
-  // SimHash near-dup pairs (hamming ≤ 3 over 64-bit fingerprints).
-  def q28_simhash_pairs(s: SparkSession, dir: String): DataFrame =
-    graft.llm.Dedup.simHashPairs(
-      corpusWithNearDups(s, dir).filter(col("doc_id") % 1000000L < 250),
-      "doc_id", "text", maxDist = 3)
+  /** Corpus where each doc re-appears with its words REVERSED (id+1e6):
+    * SimHash is a bag-of-tokens fingerprint, so a reordered copy has the
+    * identical fingerprint (hamming 0) — provably recalled by the chunk
+    * pigeonhole, which makes the verified pair set oracle-checkable. */
+  private def corpusWithReorderedDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+  }
+
+  // SimHash near-dup candidates (hamming ≤ 3 over 64-bit fingerprints)
+  // → exact token-multiset verification: surviving pairs are exactly the
+  // multiset-equal doc pairs (SQL-expressible canonical sorted-token key).
+  def q28_simhash_pairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithReorderedDups(s, dir).filter(col("doc_id") % 1000000L < 250)
+    val cands = graft.llm.Dedup.simHashPairs(corpus, "doc_id", "text", maxDist = 3)
+    graft.llm.Dedup.multisetVerify(cands, corpus, "doc_id", "text")
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 
   // BPE-ish subword counting (pre-tokenizer estimate shape).
   def q29_subword_count(s: SparkSession, dir: String): DataFrame =
@@ -162,8 +166,10 @@ object LlmQueries {
   }
 
   // Embedding near-dup with planted duplicates (each vector re-appears
-  // scaled by 1.001 → cosine ≈ 1): LSH buckets + exact verify must
-  // recover them. rows-only.
+  // scaled by 1.001 → cosine ≈ 1): LSH pair-mode buckets + exact verify.
+  // Deterministic cosine (decimal sums, double finish) makes the verify
+  // threshold and the surfaced value bit-stable cross-engine, so the
+  // DuckDB all-pairs oracle matches exactly.
   def q34_embedding_neardup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
       .select(col("vec_id"), col("embedding"))
@@ -171,17 +177,22 @@ object LlmQueries {
       (col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
     graft.llm.Dedup.embeddingNearDup(planted, "vec_id", "embedding",
-      minCosine = 0.999)
+        minCosine = 0.999, deterministic = true)
+      .select(col("id_a"), col("id_b"),
+              col("cosine").cast(out).cast("double").as("cosine"))
   }
 
   // Composed cleaning pipeline at the gate: per-reason drop histogram +
-  // survivor count over a corpus with planted dups. rows-only (MinHash
-  // stage not SQL-expressible).
+  // survivor count over a corpus with planted dups. The near-dup stage
+  // exact-verifies MinHash candidates (bigram Jaccard ≥ 0.8), so every
+  // stage — quality filter, exact dedup, transitive near-dup kill — is
+  // SQL-expressible (components via a recursive CTE in the oracle).
   def q36_corpus_clean(s: SparkSession, dir: String): DataFrame = {
     val (clean, rejects) = graft.llm.CorpusPipeline.clean(
       corpusWithNearDups(s, dir).filter(col("doc_id") % 1000000L < 300),
       "doc_id", "text",
-      graft.llm.CorpusPipeline.Config(nearDupThreshold = 0.6))
+      graft.llm.CorpusPipeline.Config(nearDupThreshold = 0.35,
+        exactVerifyJaccard = Some(0.8)))
     rejects.groupBy(col("drop_reason")).agg(count(lit(1)).as("n_docs"))
       .unionByName(clean.select(lit("kept").as("drop_reason"))
         .groupBy("drop_reason").agg(count(lit(1)).as("n_docs")))
@@ -231,11 +242,13 @@ object LlmQueries {
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         | min(doc_id) AS min_doc_id FROM documents GROUP BY lang""".stripMargin,
     "q25_ngram_jaccard" ->
-      """WITH grams AS (
+      """WITH grams0 AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(list_transform(range(1, len(string_split(text, ' '))),
         |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
         |  FROM documents WHERE doc_id < 200),
+        |keep AS (SELECT gram FROM grams0 GROUP BY gram HAVING count(*) <= 150),
+        |grams AS (SELECT grams0.doc_id, grams0.gram FROM grams0 JOIN keep USING (gram)),
         |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
         |shared AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
@@ -250,6 +263,132 @@ object LlmQueries {
         |WHERE CAST(CAST(n_shared AS DECIMAL(18,6)) /
         |       CAST(sa.n_grams + sb.n_grams - n_shared AS DECIMAL(18,6)) AS DECIMAL(38,6))
         |      > CAST(0.10 AS DECIMAL(38,6))""".stripMargin,
+    "q27_minhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^\S+\s*', '') AS text
+        |  FROM documents WHERE doc_id < 250),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM corpus),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_shared AS INT) AS n_shared,
+        |  CAST(CAST(CAST(n_shared AS DECIMAL(18,6)) /
+        |       CAST(sa.n_grams + sb.n_grams - n_shared AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(CAST(n_shared AS DECIMAL(18,6)) /
+        |       CAST(sa.n_grams + sb.n_grams - n_shared AS DECIMAL(18,6)) AS DECIMAL(38,6))
+        |      >= CAST(0.8 AS DECIMAL(38,6))""".stripMargin,
+    "q28_simhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+        |  FROM documents WHERE doc_id < 250),
+        |keyed AS (
+        |  SELECT doc_id, array_to_string(list_sort(string_split(text, ' ')), ' ') AS k
+        |  FROM corpus)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        |FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id""".stripMargin,
+    "q33_media_features" ->
+      """WITH m AS (
+        |  SELECT i,
+        |    CASE WHEN i % 3 = 0 THEN 'image'
+        |         WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CASE WHEN i % 3 = 2 THEN greatest(1, (1000 + (i % 10) * 200) // 40)
+        |         WHEN i % 3 = 0 THEN 1 ELSE 0 END AS n_frames
+        |  FROM range(0, 300) t(i))
+        |SELECT kind, count(*) AS n_media,
+        |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+        |       count(*) AS n_decoded
+        |FROM m GROUP BY kind""".stripMargin,
+    "q34_embedding_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM base),
+        |norm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM corpus),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |      / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS cosine
+        |  FROM norm a JOIN norm b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, CAST(CAST(cosine AS DECIMAL(38,6)) AS DOUBLE) AS cosine
+        |FROM pairs WHERE cosine >= 0.999""".stripMargin,
+    "q36_corpus_clean" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^\S+\s*', '') AS text
+        |  FROM documents WHERE doc_id < 300),
+        |prof AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '\S+')) AS n_toks,
+        |    CASE WHEN length(text) > 0
+        |         THEN CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text)
+        |         ELSE 0.0 END AS punct_ratio
+        |  FROM corpus),
+        |keptq AS (
+        |  SELECT doc_id, text FROM prof
+        |  WHERE n_toks BETWEEN 8 AND 100000 AND punct_ratio <= 0.3),
+        |surv AS (
+        |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS keep_id
+        |  FROM keptq),
+        |uniq AS (SELECT doc_id, text FROM surv WHERE doc_id = keep_id),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM uniq),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |nd_pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(CAST(n_shared AS DECIMAL(18,6)) /
+        |        CAST(sa.n_grams + sb.n_grams - n_shared AS DECIMAL(18,6)) AS DECIMAL(38,6))
+        |        >= CAST(0.8 AS DECIMAL(38,6))),
+        |und AS (SELECT id_a AS s, id_b AS d FROM nd_pairs
+        |        UNION SELECT id_b, id_a FROM nd_pairs),
+        |reach AS (
+        |  SELECT s, d FROM und
+        |  UNION
+        |  SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s),
+        |comp AS (SELECT s AS doc_id, least(s, min(d)) AS comp FROM reach GROUP BY s),
+        |losers AS (SELECT doc_id FROM comp WHERE comp < doc_id),
+        |hist AS (
+        |  SELECT 'quality' AS drop_reason, count(*) AS n_docs FROM prof
+        |    WHERE NOT (n_toks BETWEEN 8 AND 100000 AND punct_ratio <= 0.3)
+        |  UNION ALL
+        |  SELECT 'exact_dup', count(*) FROM surv WHERE doc_id <> keep_id
+        |  UNION ALL
+        |  SELECT 'near_dup', count(*) FROM losers
+        |  UNION ALL
+        |  SELECT 'kept', (SELECT count(*) FROM uniq) - (SELECT count(*) FROM losers))
+        |SELECT drop_reason, n_docs FROM hist WHERE n_docs > 0""".stripMargin,
     "q29_subword_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\p{L}{1,4}|\p{N}{1,3}|[^\s\p{L}\p{N}]')) AS INT) AS n_subwords

@@ -36,7 +36,13 @@ final class TableAuditSink(store: TableStore, db: String = "orach_meta")
     StructField("at_ms", LongType, false)))
 
   override def nextTaskId(): Long = synchronized {
-    // durable id: continue after the highest persisted task id
+    // durable id: continue after the highest persisted task id.
+    // SINGLE-WRITER contract: `synchronized` serializes allocation only
+    // within this JVM — the audit store is owned by one engine process
+    // (matching the reference, where one orach service owns its Oracle
+    // audit tables). Two processes sharing a warehouse could both read
+    // the same persisted max and issue duplicate ids; deploy one writer
+    // per store, or front ids with an external sequence.
     val base =
       if (store.exists(taskT)) {
         val row = store.read(taskT)

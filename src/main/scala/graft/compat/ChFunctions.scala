@@ -47,7 +47,13 @@ object ChFunctions {
           case 'S' => out ++= "ss"
           case 's' => out ++= "ss"
           case '%' => out += '%'
-          case c   => out += c
+          case c   =>
+            // fail eagerly (OraTypeMap policy): a stray letter would be
+            // read by Spark as a datetime pattern letter and silently
+            // parse wrong (e.g. %j day-of-year ≠ j in Spark patterns)
+            throw graft.types.OraTypeMap.UnsupportedTypeException(
+              s"unsupported strptime token %$c in format '$fmt' — " +
+                "supported: %Y %y %m %d %H %M %i %S %s %%")
         }
         i += 2
       } else { out += fmt.charAt(i); i += 1 }

@@ -135,6 +135,110 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** B-bit sign-random-projection LSH signature — the corpus-wide hot loop
+  * of embedding LSH (every vector, every band). The lambda form
+  * (`aggregate`/`zip_with` per plane) is CodegenFallback and re-walks the
+  * array once per bit; this is one fused pass: per element, all `bits`
+  * plane components are derived from the same chained xxhash64 and
+  * accumulated.
+  *
+  * Bit p of the result = sign(Σ_i x_i · c_{p,i}) where
+  * c_{p,i} = +1 if xxhash64(seed, p, i) is even else −1 — EXACTLY the
+  * semantics of the built-in `xxhash64(lit(seed), lit(p), i)` chain
+  * (seed 42L, int-fold order), so signatures are bit-identical to the
+  * lambda form. Null elements contribute 0 (embeddings carry none).
+  */
+case class LshSignature(child: Expression, bits: Int, seed: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"bits=$bits must be in [1, 63]")
+
+  override def prettyName: String = "vec_lsh_signature"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got ${other.simpleString}")
+    }
+
+  private def elemT: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Per-plane chained hash state: xxhash64's fold of (seed, plane) with
+    * initial seed 42L; the per-dimension fold completes inside the loop. */
+  @transient private lazy val planeHashes: Array[Long] = {
+    val h0 = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(seed, 42L)
+    Array.tabulate(bits)(p =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(p, h0))
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val dots = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val xv = elemT match {
+          case FloatType => x.getFloat(i).toDouble
+          case _         => x.getDouble(i)
+        }
+        var p = 0
+        while (p < bits) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashInt(i, planeHashes(p))
+          dots(p) += xv * (if ((h & 1L) == 0L) 1.0 else -1.0)
+          p += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < bits) { if (dots(p) >= 0.0) sig |= 1L << p; p += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ph = ctx.addReferenceObj("planeHashes", planeHashes, "long[]")
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val accSnippet = elemT match {
+      case FloatType => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _         => (arr: String, i: String) => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val p = ctx.freshName("p"); val p2 = ctx.freshName("p2")
+      val dots = ctx.freshName("dots"); val xv = ctx.freshName("xv")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $x.numElements();
+         |double[] $dots = new double[$bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i)) {
+         |    double $xv = ${accSnippet(x, i)};
+         |    for (int $p = 0; $p < $bits; $p++) {
+         |      $dots[$p] += $xv * ((($xxh.hashInt($i, $ph[$p]) & 1L) == 0L) ? 1.0D : -1.0D);
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $p2 = 0; $p2 < $bits; $p2++) {
+         |  if ($dots[$p2] >= 0.0D) $sig |= (1L << $p2);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -142,6 +246,8 @@ object VectorFunctions {
   def vecDot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def vecNorm2(a: Column): Column = c(DotProduct(e(a), e(a)))
   def vecCosine(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+  def vecLshSignature(v: Column, bits: Int, seed: Int = 42): Column =
+    c(LshSignature(e(v), bits, seed))
 
   /** SQL registration: `SELECT vec_cosine(a.embedding, b.embedding)`. */
   def registerSql(spark: SparkSession): Unit = {

@@ -39,14 +39,28 @@ final class CatalogTableStore(val spark: SparkSession) extends TableStore {
 
   override def read(table: String): DataFrame = spark.table(table)
 
-  /** Staged overwrite: write to a side table then atomically swap via
-    * rename — same reasoning as ParquetTableStore (self-referential
-    * overwrites must not scan the files being replaced; Spark refuses
-    * "cannot overwrite a path that is also being read from" otherwise). */
+  /** Nonce-suffixed staging name: two concurrent overwrites of the same
+    * table must not clobber each other's staging table (a deterministic
+    * name would), mirroring ParquetTableStore's nanoTime suffix. */
+  private def stagingName(db: Option[String], t: String): String = {
+    val s = s"__staging_${t}_${java.lang.Long.toHexString(System.nanoTime())}"
+    db.map(d => s"$d.$s").getOrElse(s)
+  }
+
+  /** Staged overwrite: write to a side table then swap via drop+rename —
+    * same reasoning as ParquetTableStore (self-referential overwrites
+    * must not scan the files being replaced; Spark refuses "cannot
+    * overwrite a path that is also being read from" otherwise).
+    *
+    * NOT atomic: a crash between DROP and RENAME leaves the target
+    * missing (the staging table survives with the full data — recovery =
+    * rename it manually). Spark SQL has no exchange/REPLACE-swap for
+    * catalog tables; single-writer task orchestration (C5 single-flight)
+    * keeps the window from being raced in-process. */
   override def overwrite(table: String, df: DataFrame): Unit = {
     ensureDatabases(Seq(table))
     val (db, t) = parse(table)
-    val staging = db.map(d => s"$d.__staging_$t").getOrElse(s"__staging_$t")
+    val staging = stagingName(db, t)
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     df.write.mode(SaveMode.Overwrite).saveAsTable(staging)
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -76,7 +90,7 @@ final class CatalogTableStore(val spark: SparkSession) extends TableStore {
                         numBuckets: Int, bucketCols: Seq[String]): Unit = {
     ensureDatabases(Seq(table))
     val (db, t) = parse(table)
-    val staging = db.map(d => s"$d.__staging_$t").getOrElse(s"__staging_$t")
+    val staging = stagingName(db, t)
     spark.sql(s"DROP TABLE IF EXISTS $staging")
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

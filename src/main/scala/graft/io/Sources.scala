@@ -34,16 +34,43 @@ object Sources {
       upperBound: Option[Long] = None,
       sessionInit: Option[String] = None)  // C8 context injection
 
+  /** Type-directed SQL literal for watermark values, honouring the
+    * native-type watermark contract (graft.ops.Watermark.MaxValAndCnt
+    * keeps decimal/timestamp values precisely to avoid truncation):
+    * integers/decimals render as plain text (`toPlainString` — no
+    * scientific notation, no fraction loss, so `c > v` never re-pulls
+    * already-loaded rows), temporal values as TO_TIMESTAMP/TO_DATE
+    * literals the Oracle side can push down. Anything else fails
+    * eagerly (Watermark already rejects string sync columns). */
+  private[graft] def sqlLiteral(v: Any): String = v match {
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+    case f: Float  => new java.math.BigDecimal(f.toString).toPlainString
+    case d: Double => new java.math.BigDecimal(d.toString).toPlainString
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal           => d.bigDecimal.toPlainString
+    case ts: java.sql.Timestamp  =>
+      s"TO_TIMESTAMP('$ts', 'YYYY-MM-DD HH24:MI:SS.FF')"
+    case i: java.time.Instant    =>
+      s"TO_TIMESTAMP('${java.sql.Timestamp.from(i)}', 'YYYY-MM-DD HH24:MI:SS.FF')"
+    case d: java.sql.Date        => s"TO_DATE('$d', 'YYYY-MM-DD')"
+    case d: java.time.LocalDate  => s"TO_DATE('$d', 'YYYY-MM-DD')"
+    case other => throw graft.types.OraTypeMap.UnsupportedTypeException(
+      s"unsupported watermark literal type ${other.getClass.getName} " +
+        s"(value $other) — sync_by_column_max supports numeric/timestamp/date")
+  }
+
   /** S1: the Oracle pull query, assembled exactly like the reference's
     * `getDataResultSet` (`ora/jdbcSession.scala:347-373`): projection
     * (only_columns | *), raw where_filter, optional watermark predicate,
     * optional ORDER BY. Returned as text so it can ship to any engine —
-    * the Spark reader uses it via the `query` option. */
-  def pullQuery(spec: TableSpec, maxValue: Option[Long] = None): String = {
+    * the Spark reader uses it via the `query` option. The watermark
+    * keeps its NATIVE type ([[sqlLiteral]]): an `Option[Long]` surface
+    * here would truncate fractional watermarks and re-pull loaded rows. */
+  def pullQuery(spec: TableSpec, maxValue: Option[Any] = None): String = {
     val cols = spec.onlyColumns.map(_.mkString(", ").toUpperCase)
       .getOrElse("*")
     val watermark = (spec.syncByColumnMax, maxValue) match {
-      case (Some(c), Some(v)) => Some(s"$c > $v")
+      case (Some(c), Some(v)) => Some(s"$c > ${sqlLiteral(v)}")
       case _                  => None
     }
     val conds = spec.whereFilter.toSeq ++ watermark.toSeq

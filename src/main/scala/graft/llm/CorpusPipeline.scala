@@ -24,7 +24,13 @@ object CorpusPipeline {
       dropNearDups: Boolean = true,
       minhashK: Int = 32,
       minhashBands: Int = 8,
-      nearDupThreshold: Double = 0.8)
+      nearDupThreshold: Double = 0.8,
+      // when set, MinHash candidate pairs are re-verified by EXACT n-gram
+      // Jaccard >= value before the transitive kill — the production
+      // candidates→verify shape, and what makes the near-dup stage
+      // engine-independent (exact Jaccard is SQL-expressible, signature
+      // agreement is not)
+      exactVerifyJaccard: Option[Double] = None)
 
   /** Returns the cleaned corpus with profile columns attached, plus
     * bookkeeping columns `drop_reason` on the rejected frame. */
@@ -60,8 +66,13 @@ object CorpusPipeline {
       // near-dup kill: transitive clusters via connected components —
       // each duplicate CHAIN keeps exactly its min-id member (a≈b, b≈c
       // drops both b and c even if (a,c) was never a candidate pair)
-      val pairs = Dedup.minHashCandidates(uniqued, idCol, textCol,
+      val candidates = Dedup.minHashCandidates(uniqued, idCol, textCol,
         cfg.minhashK, cfg.minhashBands, threshold = cfg.nearDupThreshold)
+      val pairs = cfg.exactVerifyJaccard match {
+        case Some(minJ) => Dedup.jaccardVerify(candidates,
+          uniqued.select(col(idCol), col(textCol)), idCol, textCol, minJ)
+        case None => candidates
+      }
       val losers = Dedup.nearDupLosers(pairs).withColumnRenamed("id", idCol)
       val nearRejects = uniqued.join(losers, Seq(idCol), "left_semi")
         .withColumn("drop_reason", lit("near_dup"))

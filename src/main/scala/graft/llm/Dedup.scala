@@ -256,12 +256,95 @@ object Dedup {
       .select(col("id"))
 
   /** Embedding near-dup: pairs above a cosine threshold via LSH buckets
-    * (delegates to Similarity's banding; exact verify). */
+    * + exact cosine verify. Pair-mode path — no top-k window (the
+    * round-1 form paid a row_number shuffle+sort only to keep every
+    * row). `deterministic=true` computes the verify cosine with exact
+    * decimal sums (cross-engine bit-stable — the gate form). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       minCosine: Double, bits: Int = 16, bands: Int = 4): DataFrame =
-    Similarity.lshBucketTopK(df, df, idCol, vecCol, k = Int.MaxValue,
-        bits = bits, bands = bands)
-      .filter(col("cosine") >= minCosine)
-      .filter(col("query_id") < col("cand_id"))
-      .select(col("query_id").as("id_a"), col("cand_id").as("id_b"), col("cosine"))
+                       minCosine: Double, bits: Int = 16, bands: Int = 4,
+                       deterministic: Boolean = false): DataFrame =
+    Similarity.lshBucketPairs(df, idCol, vecCol, minCosine,
+      bits = bits, bands = bands, deterministic = deterministic)
+
+  /** Exact n-gram Jaccard verification of candidate pairs (id_a, id_b):
+    * joins the texts back, intersects DISTINCT shingle sets per pair.
+    * Candidates are few (post-LSH), so the array intersection is
+    * map-side work after two hash joins — no all-pairs anything.
+    * Returns (id_a, id_b, n_shared, jaccard) with `jaccard` an exact
+    * DECIMAL(38,6) ratio surfaced as double (cross-engine stable). */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, minJaccard: Double,
+                    ngram: Int = 2): DataFrame = {
+    val g = docs.select(col(idCol),
+      array_distinct(TextShingles.wordNgrams(col(textCol), ngram)).as("__grams"))
+    val d6 = "decimal(18,6)"
+    pairs
+      .join(g.select(col(idCol).as("id_a"), col("__grams").as("__ga")), "id_a")
+      .join(g.select(col(idCol).as("id_b"), col("__grams").as("__gb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ga"), col("__gb"))).as("n_shared"),
+        (size(col("__ga")) + size(col("__gb"))).as("__n_union0"))
+      .withColumn("jaccard",
+        (col("n_shared").cast(d6) /
+          (col("__n_union0") - col("n_shared")).cast(d6)).cast("decimal(38,6)"))
+      .filter(col("jaccard") >= lit(minJaccard).cast("decimal(38,6)"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+              col("jaccard").cast("double").as("jaccard"))
+  }
+
+  /** Exact token-MULTISET equality verification of candidate pairs:
+    * keeps pairs whose word multisets are identical (canonical key =
+    * space-join of the sorted token array — bijective because tokens
+    * contain no spaces). SimHash is a bag-of-tokens fingerprint, so a
+    * multiset-equal pair provably has hamming 0 and is always recalled
+    * by the chunk pigeonhole — which makes simHashPairs + this verify
+    * an exactly-characterized (oracle-checkable) operator. */
+  def multisetVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      concat_ws(" ", sort_array(TextShingles.words(col(textCol)))).as("__k"))
+    pairs
+      .join(keyed.select(col(idCol).as("id_a"), col("__k").as("__ka")), "id_a")
+      .join(keyed.select(col(idCol).as("id_b"), col("__k").as("__kb")), "id_b")
+      .filter(col("__ka") === col("__kb"))
+      .drop("__ka", "__kb")
+  }
+
+  /** N-gram Jaccard near-dup pairs via an inverted-index (posting-list)
+    * self-join with a document-frequency cap: grams appearing in more
+    * than `maxDf` documents are dropped from BOTH the size and the join
+    * side (stop-gram removal — a boilerplate gram shared by f docs
+    * would otherwise contribute f² join rows and dominate a partition
+    * at corpus scale; same idea as the MinHash `maxBucketSize` guard).
+    * Exact within the capped gram space; one shuffle on the gram key. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        minJaccard: Double, ngram: Int = 2,
+                        maxDf: Int = Int.MaxValue): DataFrame = {
+    val grams0 = docs.select(col(idCol).as("doc_id"),
+        explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
+      .distinct()
+    val grams =
+      if (maxDf == Int.MaxValue) grams0
+      else {
+        val df_ = grams0.groupBy("gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("gram")
+        grams0.join(df_, Seq("gram"))  // keep only sub-cap grams
+      }
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val d6 = "decimal(18,6)"
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_grams", "grams_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_grams", "grams_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast(d6) /
+         (col("grams_a") + col("grams_b") - col("n_shared")).cast(d6))
+          .cast("decimal(38,6)").as("jaccard"))
+      .filter(col("jaccard") > lit(minJaccard).cast("decimal(38,6)"))
+  }
 }

@@ -76,8 +76,17 @@ object Similarity {
     when(pmod(xxhash64(lit(seed), lit(plane), dim), lit(2)) === 0, lit(1.0))
       .otherwise(lit(-1.0))
 
-  /** B-bit sign signature of a vector under the deterministic hyperplanes. */
-  def lshSignature(vec: Column, bits: Int, seed: Int = 42): Column = {
+  /** B-bit sign signature of a vector under the deterministic hyperplanes.
+    * Native fused-loop codegen kernel (graft.functions.LshSignature) —
+    * this runs over the FULL corpus on every LSH pass, so it must not be
+    * a CodegenFallback lambda chain. Bit-identical to
+    * [[lshSignatureReference]] (spec-pinned). */
+  def lshSignature(vec: Column, bits: Int, seed: Int = 42): Column =
+    graft.functions.VectorFunctions.vecLshSignature(vec, bits, seed)
+
+  /** Reference lambda form of [[lshSignature]] (CodegenFallback — kept
+    * only as the independent oracle for the kernel-equivalence spec). */
+  private[graft] def lshSignatureReference(vec: Column, bits: Int, seed: Int = 42): Column = {
     val bitCols = (0 until bits).map { p =>
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
@@ -224,6 +233,32 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("cand_id").asc)))
       .filter(col("rnk") <= k)
+  }
+
+  /** Pair-mode LSH: all (id_a < id_b) pairs sharing ≥1 band bucket whose
+    * exact cosine clears `minCosine` — the near-dup shape. Unlike
+    * [[lshBucketTopK]] there is NO top-k window (no row_number, no extra
+    * shuffle+sort): the cosine threshold filters map-side right after the
+    * bucket join, which is the plan you want when k is unbounded. */
+  def lshBucketPairs(df: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double, bits: Int = 16, bands: Int = 4,
+                     seed: Int = 42, deterministic: Boolean = false): DataFrame = {
+    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__bucket",
+        explode(bandKeys(lshSignature(col("__v"), bits, seed), bits, bands)))
+    val pairs = b.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("va"))
+      .join(b.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("vb")),
+            Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .distinct()   // a pair may share several bands
+    val cos =
+      if (deterministic)
+        cosineDeterministic(col("va"), col("vb"),
+          norm2Decimal(col("va")), norm2Decimal(col("vb")))
+      else cosine(col("va"), col("vb"))
+    pairs.select(col("id_a"), col("id_b"), cos.as("cosine"))
+      .filter(col("cosine") >= minCosine)
   }
 
   /** ANN top-k via LSH banding: candidates sharing ≥1 band bucket with the

@@ -188,14 +188,23 @@ final class SyncEngine(val store: TableStore) {
         updatesSrc.filter(Watermark.watermarkPredicate(scol, wm))
       case None => updatesSrc
     }
-    val ordCol = spec.syncUpdateByColumnMax.getOrElse(pkColumns.head)
+    // survivor ordering: sync col (last-loaded-wins, the reference's
+    // dictionary semantics) when given, then ALL update_fields as a
+    // deterministic tiebreaker — ordering by pk alone would be constant
+    // within the partition and pick an arbitrary survivor per run.
+    // Rows still tied after (sync, update_fields) are identical in every
+    // projected column, so the survivor is value-identical either way.
+    val ordCols = (spec.syncUpdateByColumnMax.toSeq ++ updCols).distinct
+    val ord =
+      if (ordCols.nonEmpty) ordCols.map(c => col(c).desc)
+      else Seq(col(pkColumns.head).desc)   // pk-only projection: rows identical
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pkColumns.map(col): _*)
-      .orderBy(col(ordCol).desc)
+      .orderBy(ord: _*)
     val feed = feed0
       .select((pkColumns ++ updCols ++
-        (if (pkColumns.contains(ordCol) || updCols.contains(ordCol)) Nil
-         else Seq(ordCol))).distinct.map(col): _*)
+        spec.syncUpdateByColumnMax.toSeq.filterNot(c =>
+          pkColumns.contains(c) || updCols.contains(c))).distinct.map(col): _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select((pkColumns ++ updCols).map(col): _*)

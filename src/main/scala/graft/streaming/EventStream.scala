@@ -70,8 +70,17 @@ object EventStream {
                        name: String,
                        transform: DataFrame => DataFrame,
                        mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    spark.catalog.dropTempView(name)   // re-runs re-register the sink view
     val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    // the file-stream source requires a DIRECTORY basePath; a single
+    // parquet file (pyarrow-written fixtures) streams from its parent
+    // with a glob pinned to the one file
+    val f = new java.io.File(sourceDir)
+    val stream =
+      if (f.isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else spark.readStream.schema(schema).parquet(sourceDir)
     val q = transform(stream).writeStream
       .outputMode(mode)
       .format("memory").queryName(name)

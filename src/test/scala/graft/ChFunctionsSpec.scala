@@ -11,6 +11,10 @@ class ChFunctionsSpec extends SparkTestBase {
     assert(ChFunctions.strptimeToSpark("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
     assert(ChFunctions.strptimeToSpark("%d.%m.%y") == "dd.MM.yy")
     assert(ChFunctions.strptimeToSpark("plain") == "plain")
+    // unsupported tokens fail eagerly instead of silently mis-parsing
+    intercept[graft.types.OraTypeMap.UnsupportedTypeException] {
+      ChFunctions.strptimeToSpark("%Y-%j")
+    }
   }
 
   test("SQL aliases: ClickHouse-dialect function names run through spark.sql") {

@@ -44,6 +44,85 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("jaccardVerify keeps exactly the candidate pairs clearing the exact threshold") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = base.split(" ").drop(1).mkString(" ")   // drop first word
+    val mid  = (1 to 20).map(i => s"w$i").mkString(" ") + " " +
+               (100 to 119).map(i => s"x$i").mkString(" ")
+    val df = docs((1, base), (2, near), (3, mid))
+    val cands = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.jaccardVerify(cands, df, "doc_id", "text", minJaccard = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))   // (1,3)/(2,3) share only half the grams
+    // and the surfaced jaccard is an exact ratio: 38 shared / 39 union
+    val j = Dedup.jaccardVerify(cands, df, "doc_id", "text", 0.8)
+      .select("jaccard").as[Double].head()
+    assert(math.abs(j - BigDecimal(38) ./(BigDecimal(39)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("multisetVerify keeps reordered copies, drops near-but-unequal multisets") {
+    val a = "alpha beta gamma delta alpha"
+    val b = "alpha alpha delta gamma beta"        // same multiset, reordered
+    val c = "alpha beta gamma delta delta"        // different multiset
+    val df = docs((1, a), (2, b), (3, c))
+    val cands = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+      .withColumn("hamming", lit(0))
+    val got = Dedup.multisetVerify(cands, df, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("simhash of a word-reversed doc is identical (bag-of-tokens invariance)") {
+    val base = (1 to 100).map(i => s"tok${i % 37}").mkString(" ")
+    val rev  = base.split(" ").reverse.mkString(" ")
+    val sh = docs((1, base), (2, rev))
+      .select(Dedup.simHash(TextShingles.words($"text")).as("sh"))
+      .as[Long].collect()
+    assert(sh(0) == sh(1))
+  }
+
+  test("ngramJaccardPairs maxDf drops boilerplate grams from sizes AND join") {
+    // 6 docs share a boilerplate prefix; two of them are true near-dups
+    val boiler = "copyright all rights reserved please read carefully"
+    val df = docs(
+      (1, s"$boiler unique one text body alpha beta gamma delta"),
+      (2, s"$boiler unique one text body alpha beta gamma epsilon"),
+      (3, s"$boiler totally different payload here nothing shared"),
+      (4, s"$boiler another separate body of words entirely distinct"),
+      (5, s"$boiler yet more unrelated content goes right here now"),
+      (6, s"$boiler final filler document with its own words too"))
+    // uncapped: the shared boilerplate inflates jaccard of EVERY pair
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", minJaccard = 0.2)
+      .count()
+    // capped at df<=2: boilerplate grams (df=6) vanish; only the true
+    // near-dup pair (1,2) clears the threshold
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        minJaccard = 0.2, maxDf = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(uncapped > 1)
+    assert(capped == Set((1L, 2L)))
+  }
+
+  test("pair-mode LSH matches the windowed top-k path and plans no Window") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .limit(120).select($"vec_id", $"embedding")
+    val planted = emb.unionByName(emb.select(($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.001f)).as("embedding")))
+    val pairMode = Dedup.embeddingNearDup(planted, "vec_id", "embedding",
+      minCosine = 0.999, deterministic = true)
+    // no top-k window in the pair-mode plan
+    val plan = pairMode.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "pair-mode LSH must not plan a Window")
+    val got = pairMode.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // old path (windowed top-k with unbounded k) for comparison
+    val old = Similarity.lshBucketTopK(planted, planted, "vec_id", "embedding",
+        k = Int.MaxValue, deterministic = true)
+      .filter($"cosine" >= 0.999).filter($"query_id" < $"cand_id")
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    assert(got == old)
+    assert(got.size >= 100)   // planted pairs recovered
+  }
+
   test("langId picks the language whose markers dominate (incl. CJK without \\b)") {
     val got = Seq(
       "the cat and the dog of the house is in that corner it seems",

@@ -22,6 +22,27 @@ class SourcesAndCatalogSpec extends SparkTestBase {
       "SELECT ID, VAL FROM msk.t1 ORDER BY id desc")
   }
 
+  test("watermark literals render type-directed (no Long truncation, temporal pushdown)") {
+    // fractional decimal watermark must NOT truncate (re-pull bug)
+    assert(Sources.sqlLiteral(new java.math.BigDecimal("123.456789")) == "123.456789")
+    assert(Sources.sqlLiteral(BigDecimal("9" * 20 + ".5")) == "9" * 20 + ".5")
+    assert(Sources.sqlLiteral(42L) == "42")
+    assert(Sources.sqlLiteral(0.25d) == "0.25")
+    assert(Sources.sqlLiteral(java.sql.Timestamp.valueOf("2024-03-05 10:11:12.25")) ==
+      "TO_TIMESTAMP('2024-03-05 10:11:12.25', 'YYYY-MM-DD HH24:MI:SS.FF')")
+    assert(Sources.sqlLiteral(java.sql.Date.valueOf("2024-03-05")) ==
+      "TO_DATE('2024-03-05', 'YYYY-MM-DD')")
+    // through pullQuery: native decimal watermark in the predicate
+    val spec = TableSpec(SyncOp.AppendByMax, "msk", "t1",
+      syncByColumnMax = Some("amt"))
+    assert(Sources.pullQuery(spec, maxValue = Some(new java.math.BigDecimal("10.5"))) ==
+      "SELECT * FROM msk.t1 WHERE (amt > 10.5)")
+    // unsupported literal type fails eagerly, not silently
+    intercept[graft.types.OraTypeMap.UnsupportedTypeException] {
+      Sources.sqlLiteral("2024-01-01")
+    }
+  }
+
   test("jdbc conf carries reference defaults (fetch/batch 1000)") {
     val c = JdbcSourceConf(url = "jdbc:h2:mem:x")
     assert(c.fetchSize == 1000 && c.batchSize == 1000)

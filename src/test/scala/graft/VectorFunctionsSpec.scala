@@ -58,6 +58,28 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(r == ((3L, 1.0)))
   }
 
+  test("native LSH signature is bit-identical to the lambda reference on real embeddings") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .limit(100).select($"vec_id", $"embedding")
+    for (bits <- Seq(8, 16); seed <- Seq(42, 7)) {
+      val mismatches = emb.select(
+          vecLshSignature($"embedding", bits, seed).as("native"),
+          graft.llm.Similarity.lshSignatureReference($"embedding", bits, seed).as("ref"))
+        .filter($"native" =!= $"ref").count()
+      assert(mismatches == 0, s"bits=$bits seed=$seed: $mismatches mismatches")
+    }
+  }
+
+  test("native LSH signature edge cases: empty vector sets every bit; bounds enforced") {
+    val sig = Seq(Tuple1(Array.empty[Float])).toDF("v")
+      .select(vecLshSignature($"v", 16).as("s")).as[Long].head()
+    assert(sig == (1L << 16) - 1)   // all dots 0.0, 0.0 >= 0 → bit set (lambda parity)
+    intercept[IllegalArgumentException] {
+      graft.functions.LshSignature(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression($"v"), 64, 42)
+    }
+  }
+
   test("type check rejects non-array inputs") {
     val err = intercept[Exception] {
       Seq((1, 2)).toDF("x", "y").select(vecDot($"x", $"y")).collect()
