@@ -151,9 +151,13 @@ object CoreQueries {
   // cityHash64(part_field); bucket assignment under xxhash64 differs
   // (SURVEY.md §7.4), so the driver-checkable form orders by the key
   // itself — bucket sizes and membership are then engine-independent.
+  // Computed via the SCALABLE ntile (range repartition + offsets +
+  // closed-form buckets, ops/GlobalRank) — `ntile() OVER (ORDER BY)`
+  // would move the whole table to one partition; this is bit-identical
+  // and survives cluster scale. Spec-pinned against the window form.
   def q10_ntile(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .withColumn("bucket", ntile(8).over(Window.orderBy(col("o_orderkey"))))
+    graft.ops.GlobalRank.ntileScalable(
+        t(s, dir, "orders"), 8, Seq(col("o_orderkey")))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("bucket_rows"),
            min(col("o_orderkey")).as("min_key"),
