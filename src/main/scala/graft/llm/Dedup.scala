@@ -60,32 +60,40 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     val sigd = minHashSignatures(df, idCol, textCol, k, ngram, seed)
-    val banded = sigd.select(col("doc_id"), col("sig"),
+      // lazy checkpoint: the signature frame feeds the banding AND both
+      // sides of the pair join — without it the explode+groupBy lineage
+      // would recompute three times. Lazy (not eager) keeps the operator
+      // itself lazy for pipeline composition.
+      .localCheckpoint(eager = false)
+    // band rows carry ONLY (band, bucket, doc_id): shipping the k-long
+    // signature array through the band-exploded shuffle would duplicate
+    // it `bands` times; candidate pairs are few, so joining signatures
+    // back afterwards moves far less data at corpus scale
+    val banded = sigd.select(col("doc_id"),
       explode(array((0 until bands).map { bnd =>
         struct(lit(bnd).as("band"),
           xxhash64(slice(col("sig"), bnd * rows + 1, rows)).as("bucket"))
       }: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"),
-              col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     // skew guard: drop degenerate buckets (boilerplate shingle sets)
     val sized = banded.withColumn("bsz",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)
-    val a = sized.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = sized.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    // score per matched band row (cheap zip_with), then collapse the
-    // multi-band duplicates with one groupBy — no wide array distinct
-    a.join(b, Seq("band", "bucket"))
+    val idPairs = sized.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+      .join(sized.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
+            Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()   // a pair may share several bands
+    // one signature-agreement score per pair (it is band-independent)
+    idPairs
+      .join(sigd.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigd.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => x === y), m => m)).cast("double") / lit(k))
           .as("sig_sim"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("sig_sim")).as("sig_sim"))
       .filter(col("sig_sim") >= threshold)
   }
 

@@ -243,15 +243,21 @@ object Similarity {
   def lshBucketPairs(df: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double, bits: Int = 16, bands: Int = 4,
                      seed: Int = 42, deterministic: Boolean = false): DataFrame = {
-    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .withColumn("__bucket",
-        explode(bandKeys(lshSignature(col("__v"), bits, seed), bits, bands)))
-    val pairs = b.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("va"))
-      .join(b.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("vb")),
-            Seq("__bucket"))
+    // bucket rows carry ONLY (bucket, id): shipping the vectors through
+    // the band-exploded shuffle would duplicate every embedding `bands`
+    // times; candidates are a tiny fraction of the corpus, so joining
+    // the vectors back afterwards moves far less data at corpus scale
+    val b = df.select(col(idCol).as("__id"),
+        explode(bandKeys(lshSignature(col(vecCol), bits, seed), bits, bands))
+          .as("__bucket"))
+    val idPairs = b.select(col("__bucket"), col("__id").as("id_a"))
+      .join(b.select(col("__bucket"), col("__id").as("id_b")), Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .select(col("id_a"), col("id_b"))
       .distinct()   // a pair may share several bands
+    val pairs = idPairs
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
     val cos =
       if (deterministic)
         cosineDeterministic(col("va"), col("vb"),
@@ -268,17 +274,22 @@ object Similarity {
                     idCol: String, vecCol: String, k: Int,
                     bits: Int = 16, bands: Int = 4, seed: Int = 42,
                     deterministic: Boolean = false): DataFrame = {
+    // ids-only bucket join (see lshBucketPairs): vectors join back after
+    // the pair set is deduped, instead of riding the band-exploded shuffle
     def withBuckets(df: DataFrame, id: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_v"))
-        .withColumn("__bucket",
-          explode(bandKeys(lshSignature(col(s"${id}_v"), bits, seed), bits, bands)))
+      df.select(col(idCol).as(id),
+        explode(bandKeys(lshSignature(col(vecCol), bits, seed), bits, bands))
+          .as("__bucket"))
     val qb = withBuckets(queries, "query_id")
     val cb = withBuckets(candidates, "cand_id")
     val cand = cb.join(qb, Seq("__bucket"))
       .filter(col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"),
-              col("query_id_v").as("qv"), col("cand_id_v").as("cv"))
+      .select(col("query_id"), col("cand_id"))
       .distinct()   // a pair may share several bands
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+            "query_id")
+      .join(candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv")),
+            "cand_id")
     val cos =
       if (deterministic)
         cosineDeterministic(col("qv"), col("cv"),
