@@ -30,34 +30,45 @@ object ChFunctions {
   def parseDateTime(c: Column, chFormat: String): Column =
     to_timestamp(c, strptimeToSpark(chFormat))
 
-  /** strptime → Spark datetime pattern for the tokens ClickHouse supports. */
+  /** strptime → Spark datetime pattern for the tokens ClickHouse
+    * supports. Unknown % tokens fail eagerly (OraTypeMap policy); bare
+    * literal letters/quotes are single-quoted in the output — Spark
+    * reserves every letter as a pattern char, so an unquoted literal
+    * `h` in "%H h" would silently parse as clock-hour-of-am-pm. */
   def strptimeToSpark(fmt: String): String = {
     val out = new StringBuilder
+    val litBuf = new StringBuilder
+    def flush(): Unit = if (litBuf.nonEmpty) {
+      val s = litBuf.toString
+      if (s.exists(c => c.isLetter || c == '\''))
+        out ++= "'" + s.replace("'", "''") + "'"
+      else out ++= s
+      litBuf.clear()
+    }
     var i = 0
     while (i < fmt.length) {
       if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
-        fmt.charAt(i + 1) match {
-          case 'Y' => out ++= "yyyy"
-          case 'y' => out ++= "yy"
-          case 'm' => out ++= "MM"
-          case 'd' => out ++= "dd"
-          case 'H' => out ++= "HH"
-          case 'M' => out ++= "mm"
-          case 'i' => out ++= "mm"
-          case 'S' => out ++= "ss"
-          case 's' => out ++= "ss"
-          case '%' => out += '%'
+        val tok = fmt.charAt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'd' => "dd"
+          case 'H' => "HH"
+          case 'M' => "mm"
+          case 'i' => "mm"
+          case 'S' => "ss"
+          case 's' => "ss"
+          case '%' => litBuf += '%'; ""
           case c   =>
-            // fail eagerly (OraTypeMap policy): a stray letter would be
-            // read by Spark as a datetime pattern letter and silently
-            // parse wrong (e.g. %j day-of-year ≠ j in Spark patterns)
             throw graft.types.OraTypeMap.UnsupportedTypeException(
               s"unsupported strptime token %$c in format '$fmt' — " +
                 "supported: %Y %y %m %d %H %M %i %S %s %%")
         }
+        if (tok.nonEmpty) { flush(); out ++= tok }
         i += 2
-      } else { out += fmt.charAt(i); i += 1 }
+      } else { litBuf += fmt.charAt(i); i += 1 }
     }
+    flush()
     out.result()
   }
 

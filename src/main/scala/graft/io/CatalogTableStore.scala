@@ -39,12 +39,37 @@ final class CatalogTableStore(val spark: SparkSession) extends TableStore {
 
   override def read(table: String): DataFrame = spark.table(table)
 
+  /** Staging tables older than this are treated as leftovers of a
+    * crashed overwrite and dropped on the next overwrite of the same
+    * target (age-gating avoids dropping a CONCURRENT writer's live
+    * staging table). */
+  private val StagingTtlMs = 60L * 60 * 1000
+
   /** Nonce-suffixed staging name: two concurrent overwrites of the same
     * table must not clobber each other's staging table (a deterministic
-    * name would), mirroring ParquetTableStore's nanoTime suffix. */
+    * name would). The nonce leads with wall-clock millis so
+    * [[cleanupStaging]] can age-gate across JVMs. */
   private def stagingName(db: Option[String], t: String): String = {
-    val s = s"__staging_${t}_${java.lang.Long.toHexString(System.nanoTime())}"
+    val s = f"__staging_${t}_${System.currentTimeMillis()}%013d_" +
+      f"${scala.util.Random.nextInt(0x1000000)}%06x"
     db.map(d => s"$d.$s").getOrElse(s)
+  }
+
+  /** Drop staging leftovers for `t` beyond the TTL — a crash between
+    * saveAsTable and the rename leaks a full-size staging copy that
+    * nothing else would ever reclaim. */
+  private def cleanupStaging(db: Option[String], t: String): Unit = {
+    val database = db.getOrElse(spark.catalog.currentDatabase)
+    val prefix = s"__staging_${t}_"
+    val cutoff = System.currentTimeMillis() - StagingTtlMs
+    spark.catalog.listTables(database).collect().map(_.name)
+      .filter(_.startsWith(prefix))
+      .foreach { name =>
+        val millis = name.stripPrefix(prefix).takeWhile(_.isDigit)
+        val ts = if (millis.isEmpty) Long.MaxValue else
+          try millis.toLong catch { case _: NumberFormatException => Long.MaxValue }
+        if (ts < cutoff) spark.sql(s"DROP TABLE IF EXISTS $database.`$name`")
+      }
   }
 
   /** Staged overwrite: write to a side table then swap via drop+rename —
@@ -60,8 +85,8 @@ final class CatalogTableStore(val spark: SparkSession) extends TableStore {
   override def overwrite(table: String, df: DataFrame): Unit = {
     ensureDatabases(Seq(table))
     val (db, t) = parse(table)
+    cleanupStaging(db, t)
     val staging = stagingName(db, t)
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
     df.write.mode(SaveMode.Overwrite).saveAsTable(staging)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"ALTER TABLE $staging RENAME TO $table")
@@ -90,8 +115,8 @@ final class CatalogTableStore(val spark: SparkSession) extends TableStore {
                         numBuckets: Int, bucketCols: Seq[String]): Unit = {
     ensureDatabases(Seq(table))
     val (db, t) = parse(table)
+    cleanupStaging(db, t)
     val staging = stagingName(db, t)
-    spark.sql(s"DROP TABLE IF EXISTS $staging")
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)

@@ -44,8 +44,17 @@ object Sources {
     * eagerly (Watermark already rejects string sync columns). */
   private[graft] def sqlLiteral(v: Any): String = v match {
     case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
-    case f: Float  => new java.math.BigDecimal(f.toString).toPlainString
-    case d: Double => new java.math.BigDecimal(d.toString).toPlainString
+    case f: Float if java.lang.Float.isFinite(f) =>
+      new java.math.BigDecimal(f.toString).toPlainString
+    case d: Double if java.lang.Double.isFinite(d) =>
+      new java.math.BigDecimal(d.toString).toPlainString
+    case f @ (_: Float | _: Double) =>
+      // max() over a double column with one NaN row returns NaN (Spark
+      // orders NaN above every double) — reject it as the typed error,
+      // not a NumberFormatException from BigDecimal
+      throw graft.types.OraTypeMap.UnsupportedTypeException(
+        s"non-finite watermark value $f — the sync column contains " +
+          "NaN/Infinity rows; clean them or use a different sync column")
     case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal           => d.bigDecimal.toPlainString
     case ts: java.sql.Timestamp  =>

@@ -48,12 +48,16 @@ object CorpusPipeline {
       .withColumn("drop_reason", lit("quality"))
     val kept = profiled.filter(col("keep_quality"))
 
-    // exact dedup: survivor = min id per content hash
+    // exact dedup: survivor = min id per CONTENT (window keyed by the
+    // text itself, not its 64-bit hash — at corpus scale a hash
+    // collision would silently drop a distinct document; the rows
+    // already carry the text, so keying on it adds no shuffle volume).
+    // content_hash stays as a metadata column only.
     val survivors = kept
       .withColumn("content_hash", xxhash64(col(textCol)))
       .withColumn("__keep_id",
         min(col(idCol)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
+          org.apache.spark.sql.expressions.Window.partitionBy(col(textCol))))
     val exactRejects = survivors.filter(col(idCol) =!= col("__keep_id"))
       .withColumn("drop_reason", lit("exact_dup"))
     val uniqued = survivors.filter(col(idCol) === col("__keep_id"))

@@ -270,9 +270,11 @@ object Dedup {
     * decimal sums (cross-engine bit-stable — the gate form). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        minCosine: Double, bits: Int = 16, bands: Int = 4,
-                       deterministic: Boolean = false): DataFrame =
+                       deterministic: Boolean = false,
+                       maxBucketSize: Int = 10000): DataFrame =
     Similarity.lshBucketPairs(df, idCol, vecCol, minCosine,
-      bits = bits, bands = bands, deterministic = deterministic)
+      bits = bits, bands = bands, deterministic = deterministic,
+      maxBucketSize = maxBucketSize)
 
   /** Exact n-gram Jaccard verification of candidate pairs (id_a, id_b):
     * joins the texts back, intersects DISTINCT shingle sets per pair.
@@ -284,17 +286,28 @@ object Dedup {
                     textCol: String, minJaccard: Double,
                     ngram: Int = 2): DataFrame = {
     val g = docs.select(col(idCol),
-      array_distinct(TextShingles.wordNgrams(col(textCol), ngram)).as("__grams"))
+      array_distinct(TextShingles.wordNgrams(col(textCol), ngram)).as("__grams"),
+      col(textCol).as("__text"))
     val d6 = "decimal(18,6)"
     pairs
-      .join(g.select(col(idCol).as("id_a"), col("__grams").as("__ga")), "id_a")
-      .join(g.select(col(idCol).as("id_b"), col("__grams").as("__gb")), "id_b")
+      .join(g.select(col(idCol).as("id_a"), col("__grams").as("__ga"),
+                     col("__text").as("__ta")), "id_a")
+      .join(g.select(col(idCol).as("id_b"), col("__grams").as("__gb"),
+                     col("__text").as("__tb")), "id_b")
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("__ga"), col("__gb"))).as("n_shared"),
-        (size(col("__ga")) + size(col("__gb"))).as("__n_union0"))
+        (size(col("__ga")) + size(col("__gb"))).as("__n_union0"),
+        col("__ta"), col("__tb"))
+      // J = |∩|/|∪| is 0/0 for two shingle-less (sub-ngram) texts — a
+      // NULL that the filter would silently drop even for IDENTICAL
+      // short duplicates; define the degenerate case by text equality
       .withColumn("jaccard",
-        (col("n_shared").cast(d6) /
-          (col("__n_union0") - col("n_shared")).cast(d6)).cast("decimal(38,6)"))
+        when(col("__n_union0") === 0,
+          when(col("__ta") === col("__tb"), lit(1).cast("decimal(38,6)"))
+            .otherwise(lit(0).cast("decimal(38,6)")))
+        .otherwise(
+          (col("n_shared").cast(d6) /
+            (col("__n_union0") - col("n_shared")).cast(d6)).cast("decimal(38,6)")))
       .filter(col("jaccard") >= lit(minJaccard).cast("decimal(38,6)"))
       .select(col("id_a"), col("id_b"), col("n_shared"),
               col("jaccard").cast("double").as("jaccard"))

@@ -242,16 +242,29 @@ object Similarity {
     * bucket join, which is the plan you want when k is unbounded. */
   def lshBucketPairs(df: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double, bits: Int = 16, bands: Int = 4,
-                     seed: Int = 42, deterministic: Boolean = false): DataFrame = {
+                     seed: Int = 42, deterministic: Boolean = false,
+                     maxBucketSize: Int = 10000): DataFrame = {
     // bucket rows carry ONLY (bucket, id): shipping the vectors through
     // the band-exploded shuffle would duplicate every embedding `bands`
     // times; candidates are a tiny fraction of the corpus, so joining
-    // the vectors back afterwards moves far less data at corpus scale
+    // the vectors back afterwards moves far less data at corpus scale.
+    //
+    // SIZE THE SIGNATURE FOR THE CORPUS: each band key has bits/bands
+    // bits, so a band hashes the corpus into at most 2^(bits/bands)
+    // buckets — with the 16/4 defaults that is 16 buckets/band, fine
+    // for thousands of vectors but quadratic for millions; use e.g.
+    // bits=64/bands=4 (65k buckets) or more at corpus scale. The
+    // `maxBucketSize` guard caps the damage of any hot bucket
+    // (mirrors Dedup.minHashCandidates): an over-full bucket is
+    // dropped, trading recall for never emitting its |bucket|² pairs.
     val b = df.select(col(idCol).as("__id"),
         explode(bandKeys(lshSignature(col(vecCol), bits, seed), bits, bands))
           .as("__bucket"))
-    val idPairs = b.select(col("__bucket"), col("__id").as("id_a"))
-      .join(b.select(col("__bucket"), col("__id").as("id_b")), Seq("__bucket"))
+    val sized = b.withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("__bucket"))))
+      .filter(col("__bsz") <= maxBucketSize)
+    val idPairs = sized.select(col("__bucket"), col("__id").as("id_a"))
+      .join(sized.select(col("__bucket"), col("__id").as("id_b")), Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()   // a pair may share several bands

@@ -37,12 +37,28 @@ object GlobalRank {
     * row index in the lower 33) — no second window shuffle. */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
                       outCol: String = "__grn",
-                      partitions: Int = 0): DataFrame = {
+                      partitions: Int = 0): DataFrame =
+    globalRowNumberWithTotal(df, sortCols, outCol, partitions)._1
+
+  /** [[globalRowNumber]] plus the total row count — the count falls out
+    * of the per-partition metadata for free, so callers (NTILE) never
+    * pay a second scan of the input lineage (which could also disagree
+    * with the ranked frame if the lineage is nondeterministic). */
+  def globalRowNumberWithTotal(df: DataFrame, sortCols: Seq[Column],
+                               outCol: String = "__grn",
+                               partitions: Int = 0): (DataFrame, Long) = {
     val p = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(p, sortCols: _*)
+    val sorted = df.repartitionByRange(p, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .localCheckpoint()
+    // pin partitioning + order across the counts action and the final
+    // plan: reliable checkpoint when a checkpoint dir is configured
+    // (survives executor loss), executor-local otherwise (test/local
+    // runs — an executor loss there kills the JVM anyway)
+    val ranged =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        sorted.checkpoint()
+      else sorted.localCheckpoint()
     val withId = ranged.withColumn("__mid", monotonically_increasing_id())
     val pidOf = shiftright(col("__mid"), 33).cast("int")
     val idxOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))
@@ -53,7 +69,8 @@ object GlobalRank {
       acc + counts.getOrElse(pid, 0L)
     }.dropRight(1)
     val offCol = element_at(array(offsets.map(lit): _*), pidOf + 1)
-    withId.withColumn(outCol, idxOf + offCol + lit(1L)).drop("__mid")
+    (withId.withColumn(outCol, idxOf + offCol + lit(1L)).drop("__mid"),
+     counts.values.sum)
   }
 
   /** NTILE(k) over the globally-ordered frame, computed from the global
@@ -62,8 +79,7 @@ object GlobalRank {
   def ntileScalable(df: DataFrame, k: Int, sortCols: Seq[Column],
                     outCol: String = "bucket"): DataFrame = {
     require(k >= 1, "ntile bucket count must be >= 1")
-    val n = df.count()   // pre-rank count: avoids re-running the rank lineage
-    val ranked = globalRowNumber(df, sortCols)
+    val (ranked, n) = globalRowNumberWithTotal(df, sortCols)
     val big = n / k + (if (n % k > 0) 1L else 0L)   // ceil(N/k)
     val small = n / k
     val nBig = n % k                                 // buckets holding `big`

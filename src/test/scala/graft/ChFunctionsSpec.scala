@@ -10,7 +10,10 @@ class ChFunctionsSpec extends SparkTestBase {
     assert(ChFunctions.strptimeToSpark("%Y-%m-%d") == "yyyy-MM-dd")
     assert(ChFunctions.strptimeToSpark("%Y-%m-%d %H:%M:%S") == "yyyy-MM-dd HH:mm:ss")
     assert(ChFunctions.strptimeToSpark("%d.%m.%y") == "dd.MM.yy")
-    assert(ChFunctions.strptimeToSpark("plain") == "plain")
+    // bare literal letters are quoted (Spark reserves all letters)
+    assert(ChFunctions.strptimeToSpark("plain") == "'plain'")
+    assert(ChFunctions.strptimeToSpark("%H h") == "HH' h'")
+    assert(ChFunctions.strptimeToSpark("%Y-%m-%dT%H") == "yyyy-MM-dd'T'HH")
     // unsupported tokens fail eagerly instead of silently mis-parsing
     intercept[graft.types.OraTypeMap.UnsupportedTypeException] {
       ChFunctions.strptimeToSpark("%Y-%j")

@@ -26,6 +26,23 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(clean.columns.contains("lang_pred") && clean.columns.contains("n_tokens"))
   }
 
+  test("exactVerifyJaccard keeps only candidate pairs clearing the exact threshold") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = base.split(" ").drop(1).mkString(" ")    // J ≈ 58/59
+    val mid  = (1 to 30).map(i => s"tok$i").mkString(" ") + " " +
+               (200 to 229).map(i => s"zz$i").mkString(" ")  // J ≈ 0.5 vs base
+    val docs = Seq((1L, base), (2L, near), (3L, mid)).toDF("doc_id", "text")
+    // loose signature threshold lets (1,3) through as a CANDIDATE; the
+    // exact-verify stage must kill it while keeping the true near-dup
+    val (clean, rejects) = CorpusPipeline.clean(docs, "doc_id", "text",
+      CorpusPipeline.Config(nearDupThreshold = 0.2,
+        exactVerifyJaccard = Some(0.8)))
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    val reasons = rejects.select("doc_id", "drop_reason")
+      .as[(Long, String)].collect().toMap
+    assert(reasons == Map(2L -> "near_dup"))
+  }
+
   // GraftExtensions needs a fresh JVM-first session (getOrCreate in the
   // shared test JVM would reuse the existing one and skip extensions) —
   // covered by `runMain graft.ExtDemo` instead; see .claude verify skill.
