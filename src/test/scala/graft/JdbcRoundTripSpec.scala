@@ -67,6 +67,25 @@ class JdbcRoundTripSpec extends SparkTestBase {
     assert(sumAmt == srcSum)
   }
 
+  test("sessionInitStatement runs before the read (C8 context injection, live)") {
+    // Spark runs sessionInitStatement on each DATA connection (not the
+    // schema-resolution probe), so prove it via a visible side effect:
+    // the init statement logs a row that must exist after the read
+    dropIfExists("APP.T_CTX"); dropIfExists("APP.INIT_LOG")
+    exec("CREATE TABLE APP.T_CTX (ID BIGINT NOT NULL)",
+         "INSERT INTO APP.T_CTX VALUES (1), (2), (3)",
+         "CREATE TABLE APP.INIT_LOG (MARK BIGINT)")
+    val conf = JdbcSourceConf(url = url,
+      sessionInit = Some("INSERT INTO APP.INIT_LOG VALUES (42)"))
+    val df = Sources.readJdbc(spark, conf, "SELECT ID FROM APP.T_CTX")
+    assert(df.count() == 3)
+    val logged = withConn { c =>
+      val rs = c.createStatement().executeQuery("SELECT count(*) FROM APP.INIT_LOG")
+      rs.next(); rs.getLong(1)
+    }
+    assert(logged >= 1, "sessionInitStatement never ran on the data connection")
+  }
+
   test("JDBC write respects numPartitions as the connection-pool bound") {
     dropIfExists("APP.POOL_T")
     import spark.implicits._
