@@ -188,9 +188,18 @@ object LlmQueries {
   // stage — quality filter, exact dedup, transitive near-dup kill — is
   // SQL-expressible (components via a recursive CTE in the oracle).
   def q36_corpus_clean(s: SparkSession, dir: String): DataFrame = {
+    val base = corpusWithNearDups(s, dir).filter(col("doc_id") % 1000000L < 300)
+    // plant one sub-minTokens junk doc and one exact copy of doc 0 so
+    // EVERY stage (quality, exact_dup, near_dup, kept) shows up in the
+    // gate histogram — the raw fixture only rejects near-dups
+    val docs0 = t(s, dir, "documents")
+    val planted = base
+      .unionByName(s.range(1).select(lit(2000000L).as("doc_id"),
+        lit("!!! ...").as("text")))
+      .unionByName(docs0.filter(col("doc_id") === 0)
+        .select(lit(3000000L).as("doc_id"), col("text")))
     val (clean, rejects) = graft.llm.CorpusPipeline.clean(
-      corpusWithNearDups(s, dir).filter(col("doc_id") % 1000000L < 300),
-      "doc_id", "text",
+      planted, "doc_id", "text",
       graft.llm.CorpusPipeline.Config(nearDupThreshold = 0.35,
         exactVerifyJaccard = Some(0.8)))
     rejects.groupBy(col("drop_reason")).agg(count(lit(1)).as("n_docs"))
@@ -339,7 +348,11 @@ object LlmQueries {
         |  SELECT doc_id, text FROM documents WHERE doc_id < 300
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^\S+\s*', '') AS text
-        |  FROM documents WHERE doc_id < 300),
+        |  FROM documents WHERE doc_id < 300
+        |  UNION ALL
+        |  SELECT 2000000 AS doc_id, '!!! ...' AS text
+        |  UNION ALL
+        |  SELECT 3000000 AS doc_id, text FROM documents WHERE doc_id = 0),
         |prof AS (
         |  SELECT doc_id, text,
         |    len(regexp_extract_all(text, '\S+')) AS n_toks,

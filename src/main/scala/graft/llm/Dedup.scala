@@ -80,6 +80,9 @@ object Dedup {
       count(lit(1)).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)
+      // both sides of the self-join read this frame — without pinning,
+      // the bucket-size window (a shuffle) runs twice
+      .localCheckpoint(eager = false)
     val idPairs = sized.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(sized.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
             Seq("band", "bucket"))
@@ -140,7 +143,9 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole covers hamming <= 3")
-    val sh = simHashes(df, idCol, textCol)
+    // the fingerprint frame feeds both sides of the chunk self-join;
+    // pin it or the 64-sum groupBy recomputes twice
+    val sh = simHashes(df, idCol, textCol).localCheckpoint(eager = false)
     val chunked = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

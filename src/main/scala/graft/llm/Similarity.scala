@@ -263,6 +263,9 @@ object Similarity {
     val sized = b.withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(col("__bucket"))))
       .filter(col("__bsz") <= maxBucketSize)
+      // both sides of the self-join read this frame — pin it so the
+      // signature computation + bucket-size window run once
+      .localCheckpoint(eager = false)
     val idPairs = sized.select(col("__bucket"), col("__id").as("id_a"))
       .join(sized.select(col("__bucket"), col("__id").as("id_b")), Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
