@@ -207,6 +207,24 @@ object LlmQueries {
         .groupBy("drop_reason").agg(count(lit(1)).as("n_docs")))
   }
 
+  // PII-style redaction pass (scrubbing stage of a cleaning pipeline):
+  // emails/URLs/phone runs → placeholder tokens, with per-doc counts.
+  // Patterns live in the Java∩RE2 regex subset so the DuckDB oracle is
+  // byte-identical; three planted docs guarantee non-zero counts.
+  def q41_redact(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(s.range(1).select(lit(9000001L).as("doc_id"),
+        lit("contact me at alice.smith@example.com or bob@test.org for details").as("text")))
+      .unionByName(s.range(1).select(lit(9000002L).as("doc_id"),
+        lit("see https://example.com/path?q=1 and email carol@x.io or call +1-555-123-4567 now").as("text")))
+      .unionByName(s.range(1).select(lit(9000003L).as("doc_id"),
+        lit("numbers 12345678 and 1-800-555-0199 plus word text").as("text")))
+    val (ne, nu, np) = graft.llm.TextAnalysis.redactionCounts(col("text"))
+    planted.select(col("doc_id"),
+      ne.as("n_emails"), nu.as("n_urls"), np.as("n_phones"),
+      md5(graft.llm.TextAnalysis.redact(col("text")).cast("binary")).as("redacted_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"   -> q20_dedup_exact _,
     "q21_token_count"   -> q21_token_count _,
@@ -221,7 +239,8 @@ object LlmQueries {
     "q30_langid"        -> q30_langid _,
     "q33_media_features" -> q33_media_features _,
     "q34_embedding_neardup" -> q34_embedding_neardup _,
-    "q36_corpus_clean"  -> q36_corpus_clean _
+    "q36_corpus_clean"  -> q36_corpus_clean _,
+    "q41_redact"        -> q41_redact _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -402,6 +421,26 @@ object LlmQueries {
         |  UNION ALL
         |  SELECT 'kept', (SELECT count(*) FROM uniq) - (SELECT count(*) FROM losers))
         |SELECT drop_reason, n_docs FROM hist WHERE n_docs > 0""".stripMargin,
+    "q41_redact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 9000001, 'contact me at alice.smith@example.com or bob@test.org for details'
+        |  UNION ALL SELECT 9000002, 'see https://example.com/path?q=1 and email carol@x.io or call +1-555-123-4567 now'
+        |  UNION ALL SELECT 9000003, 'numbers 12345678 and 1-800-555-0199 plus word text'),
+        |r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS no_url
+        |  FROM corpus)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9\-]{6,}[0-9]')) AS INT) AS n_phones,
+        |  md5(regexp_replace(
+        |    regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_fp
+        |FROM r""".stripMargin,
     "q29_subword_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\p{L}{1,4}|\p{N}{1,3}|[^\s\p{L}\p{N}]')) AS INT) AS n_subwords

@@ -108,6 +108,38 @@ object TextAnalysis {
         i => array_min(slice(hashes, i + 1, lit(window))))))
   }
 
+  // -------------------------------------------------------------------
+  // PII-style redaction — the scrubbing stage of a training-data
+  // pipeline. Patterns stay in the Java∩RE2 common regex subset
+  // (character classes, +, ?, {m,n} — no backrefs/lookarounds) so a
+  // DuckDB oracle can replicate them byte-for-byte.
+  // -------------------------------------------------------------------
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern   = "https?://[^\\s]+"
+  /** digits/dashes only (no spaces — a spaced pattern would swallow
+    * numeric word runs), 8+ chars, optional leading +. */
+  val PhonePattern = "\\+?[0-9][0-9\\-]{6,}[0-9]"
+
+  /** Counts of redactable spans (URL first — emails/digits inside URLs
+    * must count as URL, so they are counted on the URL-stripped text). */
+  def redactionCounts(text: Column): (Column, Column, Column) = {
+    val noUrl = regexp_replace(text, UrlPattern, "<URL>")
+    (regexp_count(noUrl, lit(EmailPattern)),
+     regexp_count(text, lit(UrlPattern)),
+     regexp_count(regexp_replace(noUrl, EmailPattern, "<EMAIL>"),
+       lit(PhonePattern)))
+  }
+
+  /** Scrub emails/URLs/phone-like runs with placeholder tokens.
+    * Replacement order matters: URLs first (emails and digit runs can
+    * appear inside them), then emails, then phones. */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Full document-profile pass over a corpus frame. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

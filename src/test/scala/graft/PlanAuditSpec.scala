@@ -1,0 +1,52 @@
+package graft
+
+/** Automated plan-quality assertions — the properties that decide
+  * whether a query survives a 100× scale-up, pinned so a regression
+  * (a filter that stops pushing, a dim that stops broadcasting, a
+  * window that sneaks back in) fails CI instead of surfacing as a
+  * cluster incident. String checks are kept loose (node names +
+  * key fragments), not full plan snapshots. */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("q4: scan prunes lineitem to the two projected columns") {
+    val p = plan("q4_distinct_keys")
+    assert(p.contains("l_orderkey") && p.contains("l_linenumber"))
+    assert(!p.contains("l_extendedprice") && !p.contains("l_comment"),
+      "distinct-keys scan must not read unprojected columns")
+  }
+
+  test("q6: watermark predicate pushes down to the parquet scan") {
+    val p = plan("q6_bymax_delta")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(event_id"),
+      s"watermark filter not pushed:\n${p.take(800)}")
+  }
+
+  test("q2: dimension joins broadcast (no shuffle join for nation/region)") {
+    val p = plan("q2_join_agg")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast dim joins")
+  }
+
+  test("q1: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "expected partial aggregation before the exchange")
+  }
+
+  test("q0 flagship: broadcast-heavy plan, filters pushed") {
+    val p = plan("q0_flagship")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters"))
+  }
+
+  test("q10: scalable ntile stays windowless") {
+    assert(!plan("q10_ntile").contains("Window"))
+  }
+
+  test("q34: pair-mode near-dup plans no top-k row_number") {
+    assert(!plan("q34_embedding_neardup").contains("row_number"))
+  }
+}
