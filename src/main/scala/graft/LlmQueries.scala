@@ -429,11 +429,11 @@ object LlmQueries {
         |  UNION ALL SELECT 9000003, 'numbers 12345678 and 1-800-555-0199 plus word text'),
         |r AS (
         |  SELECT doc_id, text,
-        |    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS no_url
+        |    regexp_replace(text, 'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g') AS no_url
         |  FROM corpus)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) AS INT) AS n_urls,
         |  CAST(len(regexp_extract_all(
         |    regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9][0-9\-]{6,}[0-9]')) AS INT) AS n_phones,

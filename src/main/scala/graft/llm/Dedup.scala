@@ -60,11 +60,12 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     val sigd = minHashSignatures(df, idCol, textCol, k, ngram, seed)
-      // lazy checkpoint: the signature frame feeds the banding AND both
-      // sides of the pair join — without it the explode+groupBy lineage
-      // would recompute three times. Lazy (not eager) keeps the operator
-      // itself lazy for pipeline composition.
-      .localCheckpoint(eager = false)
+      // persist (NOT localCheckpoint): the signature frame feeds the
+      // banding AND both sides of the pair join — without pinning, the
+      // explode+groupBy lineage recomputes three times. persist keeps
+      // the lineage, so an executor loss recomputes instead of killing
+      // the job (localCheckpoint blocks are unrecoverable).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band rows carry ONLY (band, bucket, doc_id): shipping the k-long
     // signature array through the band-exploded shuffle would duplicate
     // it `bands` times; candidate pairs are few, so joining signatures
@@ -81,8 +82,9 @@ object Dedup {
         .partitionBy(col("band"), col("bucket"))))
       .filter(col("bsz") <= maxBucketSize)
       // both sides of the self-join read this frame — without pinning,
-      // the bucket-size window (a shuffle) runs twice
-      .localCheckpoint(eager = false)
+      // the bucket-size window (a shuffle) runs twice. persist keeps
+      // lineage (fault-tolerant), unlike localCheckpoint.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idPairs = sized.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
       .join(sized.select(col("band"), col("bucket"), col("doc_id").as("id_b")),
             Seq("band", "bucket"))
@@ -144,8 +146,10 @@ object Dedup {
                    maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole covers hamming <= 3")
     // the fingerprint frame feeds both sides of the chunk self-join;
-    // pin it or the 64-sum groupBy recomputes twice
-    val sh = simHashes(df, idCol, textCol).localCheckpoint(eager = false)
+    // pin it or the 64-sum groupBy recomputes twice (persist keeps
+    // lineage — fault-tolerant, unlike localCheckpoint)
+    val sh = simHashes(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

@@ -264,8 +264,9 @@ object Similarity {
         count(lit(1)).over(Window.partitionBy(col("__bucket"))))
       .filter(col("__bsz") <= maxBucketSize)
       // both sides of the self-join read this frame — pin it so the
-      // signature computation + bucket-size window run once
-      .localCheckpoint(eager = false)
+      // signature computation + bucket-size window run once. persist
+      // keeps lineage (fault-tolerant), unlike localCheckpoint.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idPairs = sized.select(col("__bucket"), col("__id").as("id_a"))
       .join(sized.select(col("__bucket"), col("__id").as("id_b")), Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -115,7 +115,9 @@ object TextAnalysis {
   // DuckDB oracle can replicate them byte-for-byte.
   // -------------------------------------------------------------------
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val UrlPattern   = "https?://[^\\s]+"
+  /** whitespace spelled as an explicit class: Java's \s includes \x0B,
+    * RE2's does not — [^\s] would redact different spans per engine. */
+  val UrlPattern   = "https?://[^ \\t\\n\\x0B\\f\\r]+"
   /** digits/dashes only (no spaces — a spaced pattern would swallow
     * numeric word runs), 8+ chars, optional leading +. */
   val PhonePattern = "\\+?[0-9][0-9\\-]{6,}[0-9]"

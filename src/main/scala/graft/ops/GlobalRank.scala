@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scalable global ordering operators.
@@ -49,8 +48,7 @@ object GlobalRank {
                                partitions: Int = 0): (DataFrame, Long) = {
     val p = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(p, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
+    val sorted = rangedFrame(df, sortCols, p)
     // pin partitioning + order across the counts action and the final
     // plan: reliable checkpoint when a checkpoint dir is configured
     // (survives executor loss), executor-local otherwise (test/local
@@ -72,6 +70,15 @@ object GlobalRank {
     (withId.withColumn(outCol, idxOf + offCol + lit(1L)).drop("__mid"),
      counts.values.sum)
   }
+
+  /** The pre-checkpoint ranking stage (range repartition + in-partition
+    * sort) — exposed so plan audits can assert it stays window-free
+    * (the checkpoint truncates the final query's visible plan, which
+    * would otherwise make a "no Window" assertion vacuous upstream). */
+  private[graft] def rangedFrame(df: DataFrame, sortCols: Seq[Column],
+                                 partitions: Int): DataFrame =
+    df.repartitionByRange(partitions, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
 
   /** NTILE(k) over the globally-ordered frame, computed from the global
     * row number in closed form (SQL-standard bucket sizing: the first

@@ -15,7 +15,9 @@ class PlanAuditSpec extends SparkTestBase {
   test("q4: scan prunes lineitem to the two projected columns") {
     val p = plan("q4_distinct_keys")
     assert(p.contains("l_orderkey") && p.contains("l_linenumber"))
-    assert(!p.contains("l_extendedprice") && !p.contains("l_comment"),
+    // columns that DO exist in the fixture — a vacuous check against a
+    // column the data lacks could never fire
+    assert(!p.contains("l_extendedprice") && !p.contains("l_discount"),
       "distinct-keys scan must not read unprojected columns")
   }
 
@@ -42,8 +44,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("PushedFilters"))
   }
 
-  test("q10: scalable ntile stays windowless") {
+  test("q10: scalable ntile stays windowless (both sides of the checkpoint)") {
+    // the checkpoint truncates q10's visible plan, so audit the
+    // pre-checkpoint ranking stage explicitly as well as the tail
     assert(!plan("q10_ntile").contains("Window"))
+    val orders = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+    val pre = graft.ops.GlobalRank
+      .rangedFrame(orders, Seq(org.apache.spark.sql.functions.col("o_orderkey")), 8)
+      .queryExecution.executedPlan.toString
+    assert(!pre.contains("Window") && !pre.contains("row_number"),
+      "ranking stage must use range partitioning, not a window")
   }
 
   test("q34: pair-mode near-dup plans no top-k row_number") {
