@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Training-data-pipeline operators over `documents` / `embeddings`
   * (builder-prompt north star; not present in the reference, which is
