@@ -326,6 +326,39 @@ object CoreQueries {
            outD(sum(col("value").cast(dec))).as("sess_value"))
   }
 
+  // The TYPED Dataset path at the gate: KeyValueGroupedDataset.mapGroups
+  // per-user sessionization — the same gap semantics as q31 but computed
+  // imperatively per group (the API surface behind
+  // streaming/EventStream.sessionize). Determinism: the value column is
+  // Spark-cast to DECIMAL(18,4) BEFORE the typed boundary (so both
+  // engines round identically), events sort in-group on (ts, event_id),
+  // and exact decimal sums are order-independent anyway. Scale bound:
+  // one user's events must fit an executor (the mapGroups contract).
+  def q42_typed_sessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapNs = 30L * 60L * 1000000000L
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("value").cast(dec).as("vdec"))
+      .as[(Long, Long, Long, java.math.BigDecimal)]
+    val per = ev.groupByKey(_._1).mapGroups { (uid, it) =>
+      val rows = it.toArray.sortBy(r => (r._2, r._3))
+      var sessions = if (rows.isEmpty) 0L else 1L
+      var prevTs = Long.MinValue
+      var total = java.math.BigDecimal.ZERO
+      var first = true
+      rows.foreach { r =>
+        if (!first && r._2 - prevTs > gapNs) sessions += 1
+        prevTs = r._2; first = false
+        total = total.add(r._4)
+      }
+      (uid, sessions, rows.length.toLong, total)
+    }
+    per.toDF("user_id", "n_sessions", "n_events", "total_value")
+      .withColumn("total_value",
+        col("total_value").cast(out).cast("double"))
+  }
+
   // ROLLUP hierarchy totals (region -> nation -> grand total).
   def q32_rollup(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -395,6 +428,7 @@ object CoreQueries {
     "q19_windowed_events" -> q19_windowed_events _,
     "q40_stream_windowed" -> q40_stream_windowed _,
     "q31_sessionize"  -> q31_sessionize _,
+    "q42_typed_sessions" -> q42_typed_sessions _,
     "q32_rollup"      -> q32_rollup _,
     "q15_date_clamp"  -> q15_date_clamp _,
     "q16_window_rank" -> q16_window_rank _,
@@ -487,6 +521,23 @@ object CoreQueries {
         |       min(event_id) AS first_event,
         |       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sess_value
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    // the TYPED mapGroups execution of the same gap semantics, rolled up
+    // per user — must agree with the pure-SQL session computation
+    "q42_typed_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, value,
+        |         CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM g)
+        |SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id""".stripMargin,
     "q32_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_bal
