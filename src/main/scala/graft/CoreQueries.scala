@@ -359,6 +359,28 @@ object CoreQueries {
         col("total_value").cast(out).cast("double"))
   }
 
+  // Custom typed Aggregator at the gate: exact bounded top-k per group
+  // (functions.TopKByScore) — top-3 orders per customer WITHOUT a
+  // window sort. Must equal the row_number() formulation; the shuffle
+  // carries at most 3 (price, orderkey) pairs per customer instead of
+  // every order row (see the Aggregator's scaladoc for the scale math).
+  def q43_topk_agg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.TopKByScore(3)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (ck, buf) =>
+        buf.items.zipWithIndex.map { case ((price, ok), i) =>
+          (ck, ok, i + 1, price)
+        }
+      }
+      .toDF("o_custkey", "o_orderkey", "rnk", "o_totalprice")
+  }
+
   // ROLLUP hierarchy totals (region -> nation -> grand total).
   def q32_rollup(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
@@ -429,6 +451,7 @@ object CoreQueries {
     "q40_stream_windowed" -> q40_stream_windowed _,
     "q31_sessionize"  -> q31_sessionize _,
     "q42_typed_sessions" -> q42_typed_sessions _,
+    "q43_topk_agg"    -> q43_topk_agg _,
     "q32_rollup"      -> q32_rollup _,
     "q15_date_clamp"  -> q15_date_clamp _,
     "q16_window_rank" -> q16_window_rank _,
@@ -564,6 +587,13 @@ object CoreQueries {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         rank() OVER (PARTITION BY o_custkey
         |                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+    // the bounded-Aggregator execution must match the row_number window
+    "q43_topk_agg" ->
+      """SELECT o_custkey, o_orderkey, CAST(rnk AS INT) AS rnk, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         |  FROM orders) WHERE rnk <= 3""".stripMargin,
     "q17_exists_agg" ->
       """SELECT o_orderpriority, count(*) AS order_count FROM orders

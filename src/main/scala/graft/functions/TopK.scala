@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** k-bounded (score, payload) list — buffer AND result of the top-k
+  * aggregator (a case class so `Encoders.product` applies). */
+final case class TopKBuf(items: Seq[(Double, Long)])
+
+/** Bounded exact top-k as a typed [[Aggregator]] — the scale-correct
+  * alternative to `row_number() OVER (PARTITION BY g ORDER BY s)` +
+  * `rnk <= k`: the window form shuffles and sorts EVERY row of every
+  * group; this keeps a k-bounded buffer per group that partial
+  * aggregation collapses map-side, so the shuffle carries at most k
+  * (score, payload) pairs per group — the difference between sorting
+  * the whole table and merging k-element lists at corpus scale.
+  *
+  * Ordering: score DESC, payload ASC (deterministic tiebreak) — i.e.
+  * row_number semantics, not rank (no tie expansion). Exact, not a
+  * sketch: top-k is mergeable, so partial aggregation loses nothing.
+  */
+class TopKByScore(k: Int)
+    extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
+  require(k >= 1, "k must be >= 1")
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def trim(s: Seq[(Double, Long)]): TopKBuf =
+    TopKBuf(s.sortWith(better).take(k))
+
+  override def zero: TopKBuf = TopKBuf(Nil)
+  override def reduce(buf: TopKBuf, x: (Double, Long)): TopKBuf =
+    trim(buf.items :+ x)
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+    trim(a.items ++ b.items)
+  override def finish(buf: TopKBuf): TopKBuf = buf
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+}
