@@ -350,7 +350,9 @@ object CoreQueries {
       rows.foreach { r =>
         if (!first && r._2 - prevTs > gapNs) sessions += 1
         prevTs = r._2; first = false
-        total = total.add(r._4)
+        // value is nullable in the schema: SQL sum() skips NULLs, so
+        // the typed path must too (add(null) would NPE)
+        if (r._4 != null) total = total.add(r._4)
       }
       (uid, sessions, rows.length.toLong, total)
     }

@@ -23,15 +23,24 @@ class TopKByScore(k: Int)
     extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
   require(k >= 1, "k must be >= 1")
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** Total order even for NaN (Double.compare ranks NaN above +Inf,
+    * matching Spark's DESC window ordering — a raw `>` would make NaN
+    * unordered and the sort comparator non-transitive). */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    if (c != 0) c > 0 else a._2 < b._2
+  }
 
   private def trim(s: Seq[(Double, Long)]): TopKBuf =
     TopKBuf(s.sortWith(better).take(k))
 
   override def zero: TopKBuf = TopKBuf(Nil)
   override def reduce(buf: TopKBuf, x: (Double, Long)): TopKBuf =
-    trim(buf.items :+ x)
+    // common case at scale: a full buffer rejects a non-improving row
+    // with ONE comparison against the current k-th element (trim keeps
+    // the buffer sorted, so .last is the cutoff) — no append, no re-sort
+    if (buf.items.size >= k && !better(x, buf.items.last)) buf
+    else trim(buf.items :+ x)
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
     trim(a.items ++ b.items)
   override def finish(buf: TopKBuf): TopKBuf = buf

@@ -23,13 +23,18 @@ object Layout {
                      bitsPerDim: Int = 16,
                      zcodeCol: String = "__zcode"): DataFrame = {
     require(cols.nonEmpty, "zorder needs at least one column")
+    require(!df.columns.contains(zcodeCol),
+      s"input already has a '$zcodeCol' column — pass a different zcodeCol")
     val aggs = cols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val scale = (1L << bitsPerDim) - 1
     val dims: Seq[Column] = cols.zipWithIndex.map { case (c, i) =>
-      val mn = row.getDouble(2 * i); val mx = row.getDouble(2 * i + 1)
+      // empty frame / all-NULL column → null aggregates → constant dim 0
+      // (NULL values themselves clamp to 0 inside ZOrderCode)
+      val mn = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
       val span = if (mx > mn) mx - mn else 1.0
       // linear scale to [0, 2^bits): rank-free, monotonic, codegen-able
       ((col(c).cast("double") - lit(mn)) / lit(span) * lit(scale.toDouble))

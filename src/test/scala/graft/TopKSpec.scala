@@ -21,9 +21,13 @@ class TopKSpec extends SparkTestBase {
     val viaWindow = df.withColumn("rnk",
         row_number().over(Window.partitionBy($"g").orderBy($"s".desc, $"p".asc)))
       .filter($"rnk" <= 4).select($"g", $"p", $"rnk")
-    assert(viaAgg.count() == viaWindow.count())
-    assert(viaAgg.as("a").join(viaWindow.as("w"), Seq("g", "p"))
-      .filter(col("a.rnk") =!= col("w.rnk")).count() == 0)
+    val n = viaWindow.count()
+    assert(viaAgg.count() == n)
+    val joined = viaAgg.as("a").join(viaWindow.as("w"), Seq("g", "p")).cache()
+    // the join itself must cover every row — equal counts with
+    // different row SETS would otherwise pass vacuously
+    assert(joined.count() == n)
+    assert(joined.filter(col("a.rnk") =!= col("w.rnk")).count() == 0)
   }
 
   test("aggregation is partial (map-side combine) and plans no window") {
