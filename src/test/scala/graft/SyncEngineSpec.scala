@@ -194,6 +194,27 @@ class SyncEngineSpec extends SparkTestBase {
     assert(store.read("db.t").count() == 1)
   }
 
+  test("W5 duplicate-PK dedup without a sync column picks a DETERMINISTIC survivor") {
+    // ordering is sync-col + all update_fields; without a sync col the
+    // update_fields order alone must fix the survivor (desc → "v9")
+    // regardless of input partitioning/arrival order
+    val survivors = (1 to 3).map { i =>
+      val (store, eng) = freshEngine()
+      eng.recreate(TableSpec(SyncOp.Recreate, "db", s"det$i").validate(),
+        src((1, "a", 1)))
+      val spec = TableSpec(SyncOp.Update, "db", s"det$i",
+        updateFields = Some(Seq("name")),
+        syncUpdateByColumnMax = None).validate()
+      val rows = Seq((1L, "v1", 1L), (1L, "v9", 2L), (1L, "v5", 3L))
+      val shuffled = scala.util.Random.shuffle(rows)
+      val updates = shuffled.toDF("id", "name", "ver").repartition(3)
+      eng.update(spec, updates, pkColumns = Seq("id"))
+      store.read(s"db.det$i").select("name").as[String].head()
+    }
+    assert(survivors.distinct == Seq("v9"),
+      s"survivor must be the update_fields-desc max every run: $survivors")
+  }
+
   test("W6 update watermark: only rows above target max(sync) feed the merge") {
     val (store, eng) = freshEngine()
     eng.recreate(TableSpec(SyncOp.Recreate, "db", "t").validate(),
