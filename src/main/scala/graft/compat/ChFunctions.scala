@@ -120,10 +120,19 @@ object ChFunctions {
       "CREATE OR REPLACE TEMPORARY FUNCTION toYear(x TIMESTAMP) RETURNS INT RETURN year(x)",
       "CREATE OR REPLACE TEMPORARY FUNCTION toYYYYMMDD(x TIMESTAMP) RETURNS INT RETURN cast(date_format(x, 'yyyyMMdd') AS int)",
       "CREATE OR REPLACE TEMPORARY FUNCTION today() RETURNS DATE RETURN current_date()",
-      "CREATE OR REPLACE TEMPORARY FUNCTION toString(x STRING) RETURNS STRING RETURN x",
       "CREATE OR REPLACE TEMPORARY FUNCTION toFixedString(x STRING, n INT) RETURNS STRING RETURN substring(x, 1, n)",
       "CREATE OR REPLACE TEMPORARY FUNCTION cityHash64(x STRING) RETURNS BIGINT RETURN xxhash64(x)",
       "CREATE OR REPLACE TEMPORARY FUNCTION parseDateTimeYmd(x STRING) RETURNS TIMESTAMP RETURN to_timestamp(x, 'yyyy-MM-dd')"
     ).foreach(spark.sql(_))
+    // toString must accept NUMERIC arguments (the reference's cached SQL
+    // calls it on numbers — v_cache_for_calc_6184_4626.txt:126,130); a SQL
+    // UDF needs one declared parameter type, so register a plain Cast
+    // expression instead — any castable input type works and it stays a
+    // builtin Cast inside codegen.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "toString",
+      exprs => org.apache.spark.sql.catalyst.expressions.Cast(
+        exprs.head, org.apache.spark.sql.types.StringType),
+      "built-in")
   }
 }

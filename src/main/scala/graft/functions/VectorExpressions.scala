@@ -146,7 +146,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * c_{p,i} = +1 if xxhash64(seed, p, i) is even else −1 — EXACTLY the
   * semantics of the built-in `xxhash64(lit(seed), lit(p), i)` chain
   * (seed 42L, int-fold order), so signatures are bit-identical to the
-  * lambda form. Null elements contribute 0 (embeddings carry none).
+  * lambda form FOR FINITE, NULL-FREE vectors (the embedding contract).
+  * Outside that domain the two forms diverge by design: a NaN dot is
+  * `>= 0` in Spark SQL's total order (NaN sorts above all doubles) but
+  * false under Java's `>=` here, and a null element nulls the whole
+  * lambda dot while contributing 0 here.
   */
 case class LshSignature(child: Expression, bits: Int, seed: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -239,6 +243,92 @@ case class LshSignature(child: Expression, bits: Int, seed: Int)
     copy(child = newChild)
 }
 
+/** Static kernel shared by [[DecimalDotProduct]]'s eval and codegen (a
+  * top-level object's methods compile to static Java methods, so the
+  * generated code calls the exact same bytecode the interpreter runs —
+  * eval/codegen parity by construction).
+  *
+  * Replicates the `aggregate(zip_with(a,b,(x,y) => (x*y)::decimal(38,15)),
+  * 0::decimal(38,15), (acc,x) => (acc+x)::decimal(38,15))` lambda chain
+  * bit for bit:
+  *   - per element: IEEE double product, then Spark's ANSI double→decimal
+  *     cast = BigDecimal of the SHORTEST double string, setScale(15,
+  *     HALF_UP), overflow (precision > 38) throws;
+  *   - sum: decimal(38,15) + decimal(38,15) needs precision 39, so Spark's
+  *     `adjustPrecisionScale` (allowPrecisionLoss, the default) types the
+  *     Add as decimal(38,14) — every merge step rounds the exact sum to
+  *     SCALE 14 (HALF_UP), and the lambda's explicit re-cast widens it
+  *     back to scale 15. The kernel replays exactly that
+  *     add→setScale(14, HALF_UP)→setScale(15) sequence per element;
+  *   - zip_with pads the shorter array with null and a null element nulls
+  *     the running sum ⇒ length mismatch or any null element → null.
+  */
+object DecimalVecOps {
+  private val Precision = 38
+  private val Scale = 15
+
+  /** Returns null exactly when the lambda form yields null. */
+  def dotDecimal(x: ArrayData, y: ArrayData,
+                 xFloat: Boolean, yFloat: Boolean): org.apache.spark.sql.types.Decimal = {
+    val nx = x.numElements(); val ny = y.numElements()
+    if (nx != ny) return null
+    var sum = java.math.BigDecimal.ZERO.setScale(Scale)
+    var i = 0
+    while (i < nx) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xa = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yb = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val pd = new java.math.BigDecimal(java.lang.Double.toString(xa * yb))
+        .setScale(Scale, java.math.RoundingMode.HALF_UP)
+      if (pd.precision > Precision)
+        throw new ArithmeticException(
+          s"vec_dot_decimal: product overflows decimal($Precision,$Scale)")
+      // ANSI Add of two (38,15) is typed (38,14) by adjustPrecisionScale:
+      // round each merge to scale 14, then the lambda re-casts to (38,15)
+      sum = sum.add(pd).setScale(Scale - 1, java.math.RoundingMode.HALF_UP)
+      if (sum.precision > Precision)
+        throw new ArithmeticException(
+          s"vec_dot_decimal: sum overflows decimal($Precision,${Scale - 1})")
+      sum = sum.setScale(Scale)
+      i += 1
+    }
+    org.apache.spark.sql.types.Decimal(sum)
+  }
+}
+
+/** Exact DECIMAL(38,15) Σ a_i·b_i — the deterministic-cosine kernel.
+  *
+  * The oracle-checked queries (q26/q34) need dot products whose surfaced
+  * double is bit-stable across engines; the lambda chain that guaranteed
+  * that (see [[DecimalVecOps]]) is CodegenFallback and dominated their
+  * wall time. This expression computes the identical decimal (spec-pinned
+  * against the retained lambda reference) in one fused loop.
+  */
+case class DecimalDotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override def prettyName: String = "vec_dot_decimal"
+  override def dataType: DataType = DecimalType(38, 15)
+  override def nullable: Boolean = true   // null element ⇒ null result
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DecimalVecOps.dotDecimal(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemType(left) == FloatType, elemType(right) == FloatType)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val xF = elemType(left) == FloatType
+      val yF = elemType(right) == FloatType
+      s"""
+         |${ev.value} = graft.functions.DecimalVecOps.dotDecimal($x, $y, $xF, $yF);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
   private def e(col: Column): Expression = ColumnBridge.expression(col)
@@ -246,6 +336,7 @@ object VectorFunctions {
   def vecDot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def vecNorm2(a: Column): Column = c(DotProduct(e(a), e(a)))
   def vecCosine(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+  def vecDotDecimal(a: Column, b: Column): Column = c(DecimalDotProduct(e(a), e(b)))
   def vecLshSignature(v: Column, bits: Int, seed: Int = 42): Column =
     c(LshSignature(e(v), bits, seed))
 

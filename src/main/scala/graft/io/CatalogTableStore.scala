@@ -60,15 +60,20 @@ final class CatalogTableStore(val spark: SparkSession) extends TableStore {
     * nothing else would ever reclaim. */
   private def cleanupStaging(db: Option[String], t: String): Unit = {
     val database = db.getOrElse(spark.catalog.currentDatabase)
-    val prefix = s"__staging_${t}_"
+    // anchored on the full 13-digit-millis + 6-hex-nonce suffix: a bare
+    // prefix match for table `t` would also catch a sibling `t_1`'s
+    // staging name `__staging_t_1_<millis>_<hex>` and then misparse the
+    // sibling's "1" as an ancient timestamp — dropping a CONCURRENT
+    // overwrite's live staging table
+    val pat = ("^__staging_" + java.util.regex.Pattern.quote(t) +
+      "_(\\d{13})_[0-9a-f]{6}$").r
     val cutoff = System.currentTimeMillis() - StagingTtlMs
     spark.catalog.listTables(database).collect().map(_.name)
-      .filter(_.startsWith(prefix))
       .foreach { name =>
-        val millis = name.stripPrefix(prefix).takeWhile(_.isDigit)
-        val ts = if (millis.isEmpty) Long.MaxValue else
-          try millis.toLong catch { case _: NumberFormatException => Long.MaxValue }
-        if (ts < cutoff) spark.sql(s"DROP TABLE IF EXISTS $database.`$name`")
+        pat.findFirstMatchIn(name).foreach { m =>
+          if (m.group(1).toLong < cutoff)
+            spark.sql(s"DROP TABLE IF EXISTS $database.`$name`")
+        }
       }
   }
 

@@ -92,7 +92,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()   // a pair may share several bands
     // one signature-agreement score per pair (it is band-independent)
-    idPairs
+    val result = idPairs
       .join(sigd.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigd.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -100,6 +100,16 @@ object Dedup {
             (x, y) => x === y), m => m)).cast("double") / lit(k))
           .as("sig_sim"))
       .filter(col("sig_sim") >= threshold)
+      // eagerly materialize the (small) candidate set so the signature /
+      // bucket intermediates can be unpersisted before returning — a
+      // long-lived session would otherwise accumulate their cached
+      // blocks across pipeline invocations. Lineage is kept: a lost
+      // result block recomputes from source.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    sigd.unpersist(false)
+    sized.unpersist(false)
+    result
   }
 
   // -------------------------------------------------------------------
@@ -161,13 +171,19 @@ object Dedup {
       col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("key"),
       col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "key"))
+    val result = a.join(b, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxDist)
+      // see minHashCandidates: materialize the small pair set, release
+      // the fingerprint cache before returning
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    sh.unpersist(false)
+    result
   }
 
   /** Connected components over a near-dup pair list (id_a, id_b) —

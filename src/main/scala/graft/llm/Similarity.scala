@@ -26,8 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact decimal sum of elementwise double products. */
+  /** Exact decimal sum of elementwise double products — native fused
+    * kernel (graft.functions.DecimalDotProduct), bit-identical to
+    * [[dotDecimalReference]] (spec-pinned): the lambda chain was
+    * CodegenFallback and dominated q26/q34 wall time. */
   def dotDecimal(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecDotDecimal(a, b)
+
+  /** Reference lambda form of [[dotDecimal]] (CodegenFallback — kept only
+    * as the independent oracle for the kernel-equivalence spec). */
+  private[graft] def dotDecimalReference(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) =>
         (x.cast("double") * y.cast("double")).cast("decimal(38,15)")),
@@ -280,8 +288,16 @@ object Similarity {
         cosineDeterministic(col("va"), col("vb"),
           norm2Decimal(col("va")), norm2Decimal(col("vb")))
       else cosine(col("va"), col("vb"))
-    pairs.select(col("id_a"), col("id_b"), cos.as("cosine"))
+    val result = pairs.select(col("id_a"), col("id_b"), cos.as("cosine"))
       .filter(col("cosine") >= minCosine)
+      // eagerly materialize the (small) verified pair set so the bucket
+      // frame's cached blocks are released before returning (repeated
+      // pipeline invocations in a long session would otherwise
+      // accumulate them). Lineage kept — still fault-tolerant.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    sized.unpersist(false)
+    result
   }
 
   /** ANN top-k via LSH banding: candidates sharing ≥1 band bucket with the

@@ -46,6 +46,12 @@ object GlobalRank {
   def globalRowNumberWithTotal(df: DataFrame, sortCols: Seq[Column],
                                outCol: String = "__grn",
                                partitions: Int = 0): (DataFrame, Long) = {
+    // same guard as Layout.withZOrderCode: the helper id column and the
+    // output column must not silently clobber caller columns
+    require(!df.columns.contains("__mid"),
+      "input frame already carries the helper column __mid")
+    require(!df.columns.contains(outCol),
+      s"input frame already carries output column $outCol")
     val p = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = rangedFrame(df, sortCols, p)

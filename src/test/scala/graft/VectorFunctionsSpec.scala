@@ -80,6 +80,67 @@ class VectorFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("native decimal dot is bit-identical to the lambda reference on real embeddings") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .limit(60).select($"vec_id", $"embedding")
+    val pairs = emb.as("x").join(emb.as("y"), col("x.vec_id") < col("y.vec_id"))
+    // compare the DECIMAL(38,15) values themselves, not a rounded double
+    val mismatches = pairs.select(
+        vecDotDecimal(col("x.embedding"), col("y.embedding")).as("native"),
+        graft.llm.Similarity.dotDecimalReference(
+          col("x.embedding"), col("y.embedding")).as("ref"))
+      .filter($"native" =!= $"ref" ||
+              $"native".cast("string") =!= $"ref".cast("string"))
+      .count()
+    assert(mismatches == 0)
+    // and the full deterministic-cosine surface (decimal sums + double
+    // finish) is unchanged by the kernel swap
+    val n2 = pairs.select(
+        (vecDotDecimal(col("x.embedding"), col("y.embedding")).cast("double") /
+          sqrt(vecDotDecimal(col("x.embedding"), col("x.embedding")).cast("double") *
+               vecDotDecimal(col("y.embedding"), col("y.embedding")).cast("double"))).as("k"),
+        (graft.llm.Similarity.dotDecimalReference(col("x.embedding"), col("y.embedding")).cast("double") /
+          sqrt(graft.llm.Similarity.dotDecimalReference(col("x.embedding"), col("x.embedding")).cast("double") *
+               graft.llm.Similarity.dotDecimalReference(col("y.embedding"), col("y.embedding")).cast("double"))).as("r"))
+      .filter($"k" =!= $"r").count()
+    assert(n2 == 0)
+  }
+
+  test("native decimal dot matches the lambda reference on adversarial doubles") {
+    // magnitudes spanning 2^-40 .. 2^40, signs mixed — exercises the
+    // shortest-string → setScale(15, HALF_UP) rounding path heavily
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      val n = 1 + rnd.nextInt(24)
+      def arr = Array.fill(n)(
+        (rnd.nextDouble() - 0.5) * math.pow(2.0, rnd.nextInt(81) - 40))
+      (i.toLong, arr, arr)
+    }
+    val df2 = rows.toDF("id", "a", "b")
+    val bad = df2.select(
+        vecDotDecimal($"a", $"b").as("native"),
+        graft.llm.Similarity.dotDecimalReference($"a", $"b").as("ref"))
+      .filter($"native" =!= $"ref" ||
+              $"native".cast("string") =!= $"ref".cast("string"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("decimal dot null semantics mirror zip_with: length mismatch / null element → null; empty → 0") {
+    val df3 = Seq(
+      (1L, Array[java.lang.Double](1.0, 2.0), Array[java.lang.Double](3.0, 4.0, 5.0)),
+      (2L, Array[java.lang.Double](1.0, null), Array[java.lang.Double](3.0, 4.0)),
+      (3L, Array.empty[java.lang.Double], Array.empty[java.lang.Double]))
+      .toDF("id", "a", "b")
+    val got = df3.select($"id",
+        vecDotDecimal($"a", $"b").cast("string").as("native"),
+        graft.llm.Similarity.dotDecimalReference($"a", $"b").cast("string").as("ref"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(1L)._1 == null && got(1L)._2 == null)
+    assert(got(2L)._1 == null && got(2L)._2 == null)
+    assert(got(3L)._1 == "0.000000000000000" && got(3L)._1 == got(3L)._2)
+  }
+
   test("type check rejects non-array inputs") {
     val err = intercept[Exception] {
       Seq((1, 2)).toDF("x", "y").select(vecDot($"x", $"y")).collect()
