@@ -1,0 +1,28 @@
+package graft
+
+/** Time a single SparkEntry query repeatedly — the stage-audit companion
+  * to [[Bench]] (same session config, same count() sink). Usage:
+  * `runMain graft.BenchOne <queryName> [reps]` with SPARK_GRAFT_SF_DIR /
+  * SPARK_GRAFT_CPUS as in Bench.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(cpus.toInt, "graft-bench-one").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val fn = SparkEntry.queries(name)
+    val times = (1 to reps).map { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[benchone] $name rep$i: $secs%.3f s ($n rows)")
+      secs
+    }
+    println(f"[benchone] $name min=${times.min}%.3f s over $reps reps")
+    spark.stop()
+  }
+}

@@ -175,8 +175,10 @@ object LlmQueries {
     val planted = emb.unionByName(emb.select(
       (col("vec_id") + 1000000L).as("vec_id"),
       transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    // bits pinned explicitly: the operator default now derives width
+    // from the corpus count; the gate fixture stays bit-for-bit stable
     graft.llm.Dedup.embeddingNearDup(planted, "vec_id", "embedding",
-        minCosine = 0.999, deterministic = true)
+        minCosine = 0.999, bits = 16, deterministic = true)
       .select(col("id_a"), col("id_b"),
               col("cosine").cast(out).cast("double").as("cosine"))
   }

@@ -48,16 +48,19 @@ object CorpusPipeline {
       .withColumn("drop_reason", lit("quality"))
     val kept = profiled.filter(col("keep_quality"))
 
-    // exact dedup: survivor = min id per CONTENT (window keyed by the
-    // text itself, not its 64-bit hash — at corpus scale a hash
-    // collision would silently drop a distinct document; the rows
-    // already carry the text, so keying on it adds no shuffle volume).
-    // content_hash stays as a metadata column only.
+    // exact dedup: survivor = min id per CONTENT. The window partitions
+    // on (content_hash, text): the 64-bit hash leads so shuffle
+    // partitioning and in-partition comparisons work on an 8-byte key
+    // and only fall through to the full text on a hash collision —
+    // which the text tiebreaker then resolves EXACTLY (two distinct
+    // documents sharing a hash still land in different groups, so a
+    // collision can never silently drop a distinct document).
     val survivors = kept
       .withColumn("content_hash", xxhash64(col(textCol)))
       .withColumn("__keep_id",
         min(col(idCol)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col(textCol))))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("content_hash"), col(textCol))))
     val exactRejects = survivors.filter(col(idCol) =!= col("__keep_id"))
       .withColumn("drop_reason", lit("exact_dup"))
     val uniqued = survivors.filter(col(idCol) === col("__keep_id"))
@@ -69,15 +72,25 @@ object CorpusPipeline {
     } else {
       // near-dup kill: transitive clusters via connected components —
       // each duplicate CHAIN keeps exactly its min-id member (a≈b, b≈c
-      // drops both b and c even if (a,c) was never a candidate pair)
-      val candidates = Dedup.minHashCandidates(uniqued, idCol, textCol,
+      // drops both b and c even if (a,c) was never a candidate pair).
+      // The corpus is shingled ONCE and the frame shared between MinHash
+      // candidate generation and the exact-Jaccard verify (both stages
+      // otherwise recompute the n-gram split over every document).
+      val gramsF = uniqued.select(col(idCol).as("doc_id"),
+          TextShingles.wordNgrams(col(textCol), 2).as("__grams"),
+          col(textCol).as("__text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val candidates = Dedup.minHashCandidatesFromGrams(gramsF,
         cfg.minhashK, cfg.minhashBands, threshold = cfg.nearDupThreshold)
       val pairs = cfg.exactVerifyJaccard match {
-        case Some(minJ) => Dedup.jaccardVerify(candidates,
-          uniqued.select(col(idCol), col(textCol)), idCol, textCol, minJ)
+        case Some(minJ) => Dedup.jaccardVerifyGrams(
+          candidates.select(col("id_a"), col("id_b")), gramsF, idCol, minJ)
         case None => candidates
       }
+      // nearDupLosers materializes the edge list (checkpoint/collect)
+      // before returning, so the shingle cache can be released here
       val losers = Dedup.nearDupLosers(pairs).withColumnRenamed("id", idCol)
+      gramsF.unpersist(false)
       val nearRejects = uniqued.join(losers, Seq(idCol), "left_semi")
         .withColumn("drop_reason", lit("near_dup"))
       val clean = uniqued.join(losers, Seq(idCol), "left_anti")

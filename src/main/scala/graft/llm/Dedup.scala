@@ -39,13 +39,21 @@ object Dedup {
   /** (doc_id, sig array<long>) signatures: k min-hashes over word
     * n-gram shingles. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, ngram: Int = 2, seed: Int = 42): DataFrame = {
-    val shingled = df.select(col(idCol).as("doc_id"),
-      explode(TextShingles.wordNgrams(col(textCol), ngram)).as("shingle"))
+                        k: Int, ngram: Int = 2, seed: Int = 42): DataFrame =
+    minHashSignaturesFromShingled(
+      df.select(col(idCol).as("doc_id"),
+        explode(TextShingles.wordNgrams(col(textCol), ngram)).as("shingle")),
+      k, seed)
+
+  /** Signature core over an exploded (doc_id, shingle) frame — shared by
+    * the text path and the pre-shingled pipeline path. */
+  private def minHashSignaturesFromShingled(shingled: DataFrame, k: Int,
+                                            seed: Int): DataFrame = {
+    val hashed = shingled
       .select(col("doc_id"), xxhash64(col("shingle"), lit(seed)).as("h"))
     val mins = (0 until k).map(i =>
       min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    shingled.groupBy(col("doc_id"))
+    hashed.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
         array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
@@ -56,10 +64,31 @@ object Dedup {
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 32, bands: Int = 8, ngram: Int = 2,
                         threshold: Double = 0.5, seed: Int = 42,
-                        maxBucketSize: Int = 1000): DataFrame = {
+                        maxBucketSize: Int = 1000): DataFrame =
+    minHashCandidatesFromShingled(
+      df.select(col(idCol).as("doc_id"),
+        explode(TextShingles.wordNgrams(col(textCol), ngram)).as("shingle")),
+      k, bands, threshold, seed, maxBucketSize)
+
+  /** [[minHashCandidates]] over a pre-shingled (doc_id, __grams) frame —
+    * composed pipelines (CorpusPipeline) shingle the corpus ONCE and
+    * share the frame between candidate generation and exact verify
+    * instead of recomputing the n-gram split in both stages. */
+  def minHashCandidatesFromGrams(grams: DataFrame,
+                                 k: Int = 32, bands: Int = 8,
+                                 threshold: Double = 0.5, seed: Int = 42,
+                                 maxBucketSize: Int = 1000): DataFrame =
+    minHashCandidatesFromShingled(
+      grams.select(col("doc_id"), explode(col("__grams")).as("shingle")),
+      k, bands, threshold, seed, maxBucketSize)
+
+  private def minHashCandidatesFromShingled(shingled: DataFrame,
+                                            k: Int, bands: Int,
+                                            threshold: Double, seed: Int,
+                                            maxBucketSize: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
-    val sigd = minHashSignatures(df, idCol, textCol, k, ngram, seed)
+    val sigd = minHashSignaturesFromShingled(shingled, k, seed)
       // persist (NOT localCheckpoint): the signature frame feeds the
       // banding AND both sides of the pair join — without pinning, the
       // explode+groupBy lineage recomputes three times. persist keeps
@@ -292,9 +321,11 @@ object Dedup {
     * + exact cosine verify. Pair-mode path — no top-k window (the
     * round-1 form paid a row_number shuffle+sort only to keep every
     * row). `deterministic=true` computes the verify cosine with exact
-    * decimal sums (cross-engine bit-stable — the gate form). */
+    * decimal sums (cross-engine bit-stable — the gate form). `bits = 0`
+    * (default) derives the signature width from the corpus count
+    * (Similarity.suggestLshBits); pass explicitly to pin fixtures. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       minCosine: Double, bits: Int = 16, bands: Int = 4,
+                       minCosine: Double, bits: Int = 0, bands: Int = 4,
                        deterministic: Boolean = false,
                        maxBucketSize: Int = 10000): DataFrame =
     Similarity.lshBucketPairs(df, idCol, vecCol, minCosine,
@@ -309,10 +340,19 @@ object Dedup {
     * DECIMAL(38,6) ratio surfaced as double (cross-engine stable). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, minJaccard: Double,
-                    ngram: Int = 2): DataFrame = {
-    val g = docs.select(col(idCol),
-      array_distinct(TextShingles.wordNgrams(col(textCol), ngram)).as("__grams"),
-      col(textCol).as("__text"))
+                    ngram: Int = 2): DataFrame =
+    jaccardVerifyGrams(pairs,
+      docs.select(col(idCol).as("doc_id"),
+        TextShingles.wordNgrams(col(textCol), ngram).as("__grams"),
+        col(textCol).as("__text")),
+      idCol, minJaccard)
+
+  /** [[jaccardVerify]] over a pre-shingled (doc_id, __grams, __text)
+    * frame — see [[minHashCandidatesFromGrams]]: pipelines shingle once. */
+  def jaccardVerifyGrams(pairs: DataFrame, gramsF: DataFrame, idCol: String,
+                         minJaccard: Double): DataFrame = {
+    val g = gramsF.select(col("doc_id").as(idCol),
+      array_distinct(col("__grams")).as("__grams"), col("__text"))
     val d6 = "decimal(18,6)"
     pairs
       .join(g.select(col(idCol).as("id_a"), col("__grams").as("__ga"),

@@ -243,30 +243,50 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Band-key width sized for the corpus: with `width = bits/bands` bits
+    * per band a band hashes the corpus into 2^width buckets, so expected
+    * occupancy is n/2^width — this picks the smallest width keeping that
+    * near `targetBucket`, clamped to [4, 15] (the signature is a single
+    * long, so bits = width·bands ≤ 60 with the default 4 bands; a
+    * larger corpus should ALSO shrink targetBucket only with care —
+    * bucket-join cost is Σ|bucket|², so occupancy is the knob that
+    * matters). A fixed small default (the old 16/4 = 16 buckets/band)
+    * is quadratic for millions of vectors — a production footgun the
+    * round-2 review flagged; deriving from n removes it while
+    * `maxBucketSize` still caps pathological hot buckets. */
+  def suggestLshBits(corpusSize: Long, bands: Int = 4,
+                     targetBucket: Int = 64): Int = {
+    val ratio = math.max(1L, corpusSize).toDouble / math.max(1, targetBucket)
+    val width = math.max(4, math.min(15,
+      math.ceil(math.log(math.max(1.0, ratio)) / math.log(2.0)).toInt))
+    width * bands
+  }
+
   /** Pair-mode LSH: all (id_a < id_b) pairs sharing ≥1 band bucket whose
     * exact cosine clears `minCosine` — the near-dup shape. Unlike
     * [[lshBucketTopK]] there is NO top-k window (no row_number, no extra
     * shuffle+sort): the cosine threshold filters map-side right after the
-    * bucket join, which is the plan you want when k is unbounded. */
+    * bucket join, which is the plan you want when k is unbounded.
+    *
+    * `bits = 0` (the default) derives the signature width from the
+    * corpus count via [[suggestLshBits]] — one cheap count() of the
+    * input buys a bucket space sized to the corpus instead of a fixed
+    * default that silently goes quadratic at production scale. Pass an
+    * explicit `bits` to pin behavior (gate fixtures do). */
   def lshBucketPairs(df: DataFrame, idCol: String, vecCol: String,
-                     minCosine: Double, bits: Int = 16, bands: Int = 4,
+                     minCosine: Double, bits: Int = 0, bands: Int = 4,
                      seed: Int = 42, deterministic: Boolean = false,
                      maxBucketSize: Int = 10000): DataFrame = {
+    val bitsN = if (bits > 0) bits else suggestLshBits(df.count(), bands)
     // bucket rows carry ONLY (bucket, id): shipping the vectors through
     // the band-exploded shuffle would duplicate every embedding `bands`
     // times; candidates are a tiny fraction of the corpus, so joining
     // the vectors back afterwards moves far less data at corpus scale.
-    //
-    // SIZE THE SIGNATURE FOR THE CORPUS: each band key has bits/bands
-    // bits, so a band hashes the corpus into at most 2^(bits/bands)
-    // buckets — with the 16/4 defaults that is 16 buckets/band, fine
-    // for thousands of vectors but quadratic for millions; use e.g.
-    // bits=64/bands=4 (65k buckets) or more at corpus scale. The
-    // `maxBucketSize` guard caps the damage of any hot bucket
+    // The `maxBucketSize` guard caps the damage of any hot bucket
     // (mirrors Dedup.minHashCandidates): an over-full bucket is
     // dropped, trading recall for never emitting its |bucket|² pairs.
     val b = df.select(col(idCol).as("__id"),
-        explode(bandKeys(lshSignature(col(vecCol), bits, seed), bits, bands))
+        explode(bandKeys(lshSignature(col(vecCol), bitsN, seed), bitsN, bands))
           .as("__bucket"))
     val sized = b.withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(col("__bucket"))))
@@ -302,16 +322,19 @@ object Similarity {
 
   /** ANN top-k via LSH banding: candidates sharing ≥1 band bucket with the
     * query are scored exactly, then top-k. Recall < 1 by construction;
-    * `bits`/`bands` trade recall vs candidate-set size. */
+    * `bits`/`bands` trade recall vs candidate-set size. `bits = 0`
+    * derives the width from the CANDIDATE corpus count
+    * ([[suggestLshBits]]); pass explicitly to pin. */
   def lshBucketTopK(queries: DataFrame, candidates: DataFrame,
                     idCol: String, vecCol: String, k: Int,
-                    bits: Int = 16, bands: Int = 4, seed: Int = 42,
+                    bits: Int = 0, bands: Int = 4, seed: Int = 42,
                     deterministic: Boolean = false): DataFrame = {
+    val bitsN = if (bits > 0) bits else suggestLshBits(candidates.count(), bands)
     // ids-only bucket join (see lshBucketPairs): vectors join back after
     // the pair set is deduped, instead of riding the band-exploded shuffle
     def withBuckets(df: DataFrame, id: String) =
       df.select(col(idCol).as(id),
-        explode(bandKeys(lshSignature(col(vecCol), bits, seed), bits, bands))
+        explode(bandKeys(lshSignature(col(vecCol), bitsN, seed), bitsN, bands))
           .as("__bucket"))
     val qb = withBuckets(queries, "query_id")
     val cb = withBuckets(candidates, "cand_id")

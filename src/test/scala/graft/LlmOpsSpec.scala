@@ -126,6 +126,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got.size >= 100)   // planted pairs recovered
   }
 
+  test("corpus-aware LSH sizing keeps bucket occupancy bounded on a 1e5-vector corpus") {
+    // the width formula itself
+    assert(Similarity.suggestLshBits(1000, bands = 4) == 16)     // 4-bit floor
+    assert(Similarity.suggestLshBits(100000, bands = 4) == 44)   // 11-bit bands
+    assert(Similarity.suggestLshBits(10000000L, bands = 4) == 60) // 15-bit cap
+    // 1e5 deterministic pseudo-random 16-dim vectors (hash-derived
+    // components) — the banding under the derived width must spread the
+    // corpus instead of the old fixed 16/4's 16-buckets-per-band blowup
+    val dims = 16
+    val vecs = spark.range(100000).select($"id",
+      array((0 until dims).map(d =>
+        (pmod(xxhash64($"id", lit(d)), lit(2000)).cast("double") / 1000.0 - 1.0)): _*)
+        .as("v"))
+    val bits = Similarity.suggestLshBits(100000, bands = 4)
+    val buckets = vecs.select(
+        explode(Similarity.bandKeys(
+          Similarity.lshSignature($"v", bits), bits, 4)).as("b"))
+      .groupBy($"b").count()
+    val (nBuckets, maxBucket) = buckets
+      .agg(count(lit(1)), max($"count")).as[(Long, Long)].head()
+    // 2^11 = 2048 buckets/band × 4 bands; expected occupancy ≈ 49
+    assert(nBuckets > 2000, s"only $nBuckets distinct buckets")
+    assert(maxBucket < 2000,
+      s"hot bucket of $maxBucket rows — sizing failed to spread the corpus")
+  }
+
   test("langId picks the language whose markers dominate (incl. CJK without \\b)") {
     val got = Seq(
       "the cat and the dog of the house is in that corner it seems",
