@@ -361,6 +361,70 @@ object CoreQueries {
         col("total_value").cast(out).cast("double"))
   }
 
+  // STATEFUL Structured Streaming at the gate: EventStream.sessionize
+  // (mapGroupsWithState) executed as a real 2-micro-batch stream. The
+  // corpus is split into two files by event parity (every user has
+  // events in BOTH halves) and streamed with maxFilesPerTrigger=1, so
+  // the final per-user (n_events, total_value) is correct ONLY if the
+  // group state survives across micro-batches — a dropped state would
+  // leave batch-2 rows missing batch-1 counts and fail the oracle.
+  //
+  // Determinism: session-gap CLOSURE is processing-time-based in
+  // streaming (wall clock — not oracle-checkable, and its registered
+  // timeouts livelock processAllAvailable; see sessionize's scaladoc),
+  // so the gate runs with NoTimeout and the checked surface is the
+  // cumulative state itself. Values are floor-quantized to whole-number doubles
+  // (value*10000 is the same IEEE double in both engines, floor exact)
+  // so the state's running double sum is integer-exact and
+  // order-independent.
+  def q44_stateful_sessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStream
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q44_events")
+    val ev = t(s, dir, "events").select(
+      col("event_id"),
+      timestamp_micros(expr("ts div 1000")).as("ts"),
+      col("user_id"), col("event_type"),
+      floor(coalesce(col("value"), lit(0.0)) * 10000).cast("double").as("value"))
+    rewriteTwoFiles(ev, tmp)
+    val streamed = EventStream.runBatchOfStream(
+      s, tmp.getAbsolutePath, "q44_state_mem",
+      df => EventStream.sessionize(
+        df.as[EventStream.Event], useTimeout = false).toDF(),
+      mode = org.apache.spark.sql.streaming.OutputMode.Update(),
+      options = Map("maxFilesPerTrigger" -> "1"))
+    // Update-mode sink holds one row per (user, batch) at the cumulative
+    // state of that point; n_events strictly grows, so the struct max is
+    // the FINAL state per user
+    streamed.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+              col("m.total_value").cast("bigint").as("total_value"))
+  }
+
+  /** Deterministic two-file rewrite (event-id parity halves) for the
+    * multi-micro-batch stream fixture; idempotent across reruns. */
+  private def rewriteTwoFiles(df: DataFrame, target: java.io.File): Unit = {
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.toSeq.foreach(del)
+      f.delete(); ()
+    }
+    del(target); target.mkdirs()
+    Seq(0, 1).foreach { p =>
+      val part = new java.io.File(target, s"__half$p")
+      df.filter(pmod(col("event_id"), lit(2)) === p).coalesce(1)
+        .write.mode("overwrite").parquet(part.getAbsolutePath)
+      val src = part.listFiles.toSeq
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+        .getOrElse(sys.error(s"no parquet part written under $part"))
+      java.nio.file.Files.move(src.toPath,
+        new java.io.File(target, s"batch$p.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      del(part)
+    }
+  }
+
   // Custom typed Aggregator at the gate: exact bounded top-k per group
   // (functions.TopKByScore) — top-3 orders per customer WITHOUT a
   // window sort. Must equal the row_number() formulation; the shuffle
@@ -454,6 +518,7 @@ object CoreQueries {
     "q31_sessionize"  -> q31_sessionize _,
     "q42_typed_sessions" -> q42_typed_sessions _,
     "q43_topk_agg"    -> q43_topk_agg _,
+    "q44_stateful_sessions" -> q44_stateful_sessions _,
     "q32_rollup"      -> q32_rollup _,
     "q15_date_clamp"  -> q15_date_clamp _,
     "q16_window_rank" -> q16_window_rank _,
@@ -563,6 +628,14 @@ object CoreQueries {
         |SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events,
         |       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id""".stripMargin,
+    // the STATEFUL streaming execution: final per-user mapGroupsWithState
+    // state after two micro-batches must equal the plain batch aggregate
+    // (value pre-quantized to whole numbers — see q44's scaladoc)
+    "q44_stateful_sessions" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(CAST(floor(COALESCE(value, 0) * 10000) AS BIGINT)) AS BIGINT)
+        |         AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
     "q32_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_bal

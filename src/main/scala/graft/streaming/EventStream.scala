@@ -40,13 +40,26 @@ object EventStream {
 
   /** Per-user sessionization via mapGroupsWithState: a session closes
     * after `gapMs` of inactivity (processing-time timeout in streaming;
-    * in batch each group arrives complete and closes immediately). */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
-      : Dataset[SessionSummary] = {
+    * in batch each group arrives complete and closes immediately).
+    *
+    * `useTimeout = false` runs with NoTimeout: state still accumulates
+    * across micro-batches but never wall-clock-closes. REQUIRED when the
+    * stream is drained with `processAllAvailable()` (the q44 gate and any
+    * finite-replay harness): with ProcessingTimeTimeout Spark's
+    * micro-batch engine considers another batch necessary whenever
+    * registered timeouts exist (`shouldRunAnotherBatch` is
+    * unconditionally true for processing-time timeouts, so the clock can
+    * fire them), so it keeps scheduling empty batches and
+    * processAllAvailable never observes "no new data" — a livelock, not
+    * a slow drain. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                 useTimeout: Boolean = true): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[(Long, Double), SessionSummary](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[(Long, Double), SessionSummary](timeoutConf) {
         case (uid, it, state: GroupState[(Long, Double)]) =>
           if (state.hasTimedOut) {
             val (n, v) = state.get
@@ -58,29 +71,33 @@ object EventStream {
             val n = n0 + evs.size
             val v = v0 + evs.map(_.value).sum
             state.update((n, v))
-            state.setTimeoutDuration(gapMs)
+            if (useTimeout) state.setTimeoutDuration(gapMs)
             SessionSummary(uid, n, v, closed = false)
           }
       }
   }
 
   /** Drive a parquet-backed stream of events through a transform into an
-    * in-memory table, synchronously (test/local harness). */
+    * in-memory table, synchronously (test/local harness). `options` pass
+    * through to the file source — e.g. maxFilesPerTrigger=1 forces one
+    * micro-batch per file so stateful operators demonstrably carry state
+    * ACROSS batches. */
   def runBatchOfStream(spark: SparkSession, sourceDir: String,
                        name: String,
                        transform: DataFrame => DataFrame,
-                       mode: OutputMode = OutputMode.Complete()): DataFrame = {
+                       mode: OutputMode = OutputMode.Complete(),
+                       options: Map[String, String] = Map.empty): DataFrame = {
     spark.catalog.dropTempView(name)   // re-runs re-register the sink view
     val schema = spark.read.parquet(sourceDir).schema
     // the file-stream source requires a DIRECTORY basePath; a single
     // parquet file (pyarrow-written fixtures) streams from its parent
     // with a glob pinned to the one file
     val f = new java.io.File(sourceDir)
+    val reader = spark.readStream.schema(schema).options(options)
     val stream =
       if (f.isFile)
-        spark.readStream.schema(schema)
-          .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else spark.readStream.schema(schema).parquet(sourceDir)
+        reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(sourceDir)
     val q = transform(stream).writeStream
       .outputMode(mode)
       .format("memory").queryName(name)

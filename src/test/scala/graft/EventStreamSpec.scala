@@ -44,6 +44,28 @@ class EventStreamSpec extends SparkTestBase {
     assert(out(101L) == ((2L, 12.0)))
   }
 
+  test("stateful stream carries mapGroupsWithState state across micro-batches") {
+    val dir = tmpDir("stream") + "/stateful"
+    // two files, one micro-batch each (maxFilesPerTrigger=1): user 100's
+    // final state must include BOTH batches' events
+    Seq(Event(1, ts(0), 100, "click", 1.0), Event(3, ts(2), 101, "view", 5.0))
+      .toDF().coalesce(1).write.parquet(dir)
+    Seq(Event(2, ts(1), 100, "click", 2.0), Event(4, ts(7), 100, "click", 3.0))
+      .toDF().coalesce(1).write.mode("append").parquet(dir)
+    val sink = EventStream.runBatchOfStream(spark, dir, "stateful_test",
+      df => EventStream.sessionize(df.as[Event], useTimeout = false).toDF(),
+      mode = org.apache.spark.sql.streaming.OutputMode.Update(),
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val rows = sink.select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSeq
+    // user 100 appears once per batch touching it, with CUMULATIVE state
+    val u100 = rows.filter(_._1 == 100L).map(r => (r._2, r._3)).sortBy(_._1)
+    assert(u100.last == ((3L, 6.0)),
+      s"state not carried across micro-batches: $u100")
+    assert(u100.size == 2, s"expected one update row per micro-batch: $u100")
+    assert(rows.filter(_._1 == 101L).map(r => (r._2, r._3)) == Seq((1L, 5.0)))
+  }
+
   test("late events beyond the watermark are dropped in streaming append mode") {
     val dir = tmpDir("stream") + "/late"
     // batch 1: events at 10:00-10:08; batch 2 (second file): a very late
