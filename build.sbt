@@ -13,8 +13,11 @@ Test / fork := true
 run / fork := true
 // Forked run output inherits sbt's stdout DIRECTLY (no [info] logger
 // prefix) — the bench driver parses the final stdout line as bare JSON,
-// and sbt's default LoggedOutput strategy was prefixing it.
+// and sbt's default LoggedOutput strategy was prefixing it. showSuccess
+// off keeps sbt from appending "[success] Total time..." AFTER that
+// line, so the bench JSON is the last stdout line of `sbt runMain`.
 run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
