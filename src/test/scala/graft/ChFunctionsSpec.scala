@@ -25,7 +25,7 @@ class ChFunctionsSpec extends SparkTestBase {
     val r = spark.sql(
       """SELECT toYear(TIMESTAMP '2024-03-05 10:00:00') AS y,
         |       toYYYYMMDD(TIMESTAMP '2024-03-05 10:00:00') AS ymd,
-        |       toString(CAST(42 AS STRING)) AS s,
+        |       toString(42) AS s,
         |       toFixedString('hello world', 5) AS fx,
         |       cityHash64('abc') AS h,
         |       parseDateTimeYmd('2024-03-05') AS ts,
@@ -38,6 +38,18 @@ class ChFunctionsSpec extends SparkTestBase {
     assert(r.getLong(4) == Seq("abc").toDF("x")
       .select(xxhash64($"x")).as[Long].head())
     assert(r.getTimestamp(5).toString.startsWith("2024-03-05"))
+  }
+
+  test("SQL toString accepts numeric COLUMNS like ClickHouse's (no pre-cast)") {
+    // the reference's cached SQL calls toString on numbers
+    // (v_cache_for_calc_6184_4626.txt:126,130); the alias is a plain
+    // Cast registration, so any castable input works from spark.sql
+    ChFunctions.registerSqlAliases(spark)
+    Seq((7L, 2.5, "x")).toDF("n", "d", "s").createOrReplaceTempView("tostr_t")
+    val r = spark.sql(
+      "SELECT toString(n) AS a, toString(d) AS b, toString(s) AS c FROM tostr_t")
+      .as[(String, String, String)].head()
+    assert(r == (("7", "2.5", "x")))
   }
 
   test("column helpers: clamp idioms and date conversions") {

@@ -29,6 +29,17 @@ class GlobalRankSpec extends SparkTestBase {
     }
   }
 
+  test("helper/output column collisions are rejected, not silently clobbered") {
+    val withMid = spark.range(3).select(col("id").as("k"), lit(1L).as("__mid"))
+    intercept[IllegalArgumentException] {
+      GlobalRank.globalRowNumber(withMid, Seq(col("k")))
+    }
+    val withOut = spark.range(3).select(col("id").as("k"), lit(1L).as("rn"))
+    intercept[IllegalArgumentException] {
+      GlobalRank.globalRowNumber(withOut, Seq(col("k")), "rn")
+    }
+  }
+
   test("scalable ntile plans no window at all") {
     val df = spark.range(0, 100).select(col("id").as("k"))
     val plan = GlobalRank.ntileScalable(df, 4, Seq(col("k")))

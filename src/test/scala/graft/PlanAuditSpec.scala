@@ -59,4 +59,16 @@ class PlanAuditSpec extends SparkTestBase {
   test("q34: pair-mode near-dup plans no top-k row_number") {
     assert(!plan("q34_embedding_neardup").contains("row_number"))
   }
+
+  test("q26/q34: deterministic cosine runs the native kernel, no lambda chains") {
+    // the decimal dot must be the fused vec_dot_decimal expression;
+    // aggregate/zip_with higher-order lambdas are CodegenFallback and
+    // were 5-10× the gate queries' wall time before the kernel swap
+    for (q <- Seq("q26_cosine_topk", "q34_embedding_neardup")) {
+      val p = plan(q)
+      assert(p.contains("vec_dot_decimal"), s"$q lost the native kernel")
+      assert(!p.contains("zip_with") && !p.contains("aggregate("),
+        s"$q plans an interpreted higher-order lambda chain")
+    }
+  }
 }

@@ -64,6 +64,27 @@ class SourcesAndCatalogSpec extends SparkTestBase {
     assert(!store.exists("wh1.t"))
   }
 
+  test("staging cleanup reclaims only THIS table's expired leftovers, not a sibling's") {
+    val store = new CatalogTableStore(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS wh4")
+    val oldMillis = f"${System.currentTimeMillis() - 2L * 60 * 60 * 1000}%013d"
+    // an expired leftover of table `t` itself — must be reclaimed...
+    Seq((1L, "stale")).toDF("id", "s")
+      .write.saveAsTable(s"wh4.__staging_t_${oldMillis}_00ab12")
+    // ...and a staging table of the SIBLING `t_1`, whose name ALSO starts
+    // with the prefix `__staging_t_` — a prefix match would parse its
+    // "1" as an ancient timestamp and drop a live concurrent overwrite
+    Seq((9L, "live")).toDF("id", "s")
+      .write.saveAsTable(s"wh4.__staging_t_1_${oldMillis}_00cd34")
+    store.overwrite("wh4.t", Seq((2L, "x")).toDF("id", "s"))
+    val names = spark.catalog.listTables("wh4").collect().map(_.name).toSet
+    assert(!names.exists(n => n.startsWith("__staging_t_") && n.endsWith("00ab12")),
+      "expired staging leftover of t was not reclaimed")
+    assert(names.contains(s"__staging_t_1_${oldMillis}_00cd34"),
+      "sibling table's staging table was wrongly dropped")
+    spark.sql("DROP DATABASE wh4 CASCADE")
+  }
+
   test("catalog store: primary key kept in table properties (S10)") {
     val store = new CatalogTableStore(spark)
     store.overwrite("wh1.pkt", Seq((1L, 2L, "x")).toDF("k1", "k2", "v"))
