@@ -387,7 +387,9 @@ object CoreQueries {
       timestamp_micros(expr("ts div 1000")).as("ts"),
       col("user_id"), col("event_type"),
       floor(coalesce(col("value"), lit(0.0)) * 10000).cast("double").as("value"))
-    rewriteTwoFiles(ev, tmp)
+    rewritePartFiles(tmp, Seq(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)))
     val streamed = EventStream.runBatchOfStream(
       s, tmp.getAbsolutePath, "q44_state_mem",
       df => EventStream.sessionize(
@@ -403,26 +405,77 @@ object CoreQueries {
               col("m.total_value").cast("bigint").as("total_value"))
   }
 
-  /** Deterministic two-file rewrite (event-id parity halves) for the
-    * multi-micro-batch stream fixture; idempotent across reruns. */
-  private def rewriteTwoFiles(df: DataFrame, target: java.io.File): Unit = {
+  /** Deterministic multi-file stream fixture: each frame in `parts`
+    * becomes one parquet file batch<i>.parquet (written in order, so
+    * file mtimes AND lexicographic names both give the intended
+    * micro-batch order under maxFilesPerTrigger=1); idempotent. */
+  private def rewritePartFiles(target: java.io.File,
+                               parts: Seq[DataFrame]): Unit = {
     def del(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.toSeq.foreach(del)
       f.delete(); ()
     }
     del(target); target.mkdirs()
-    Seq(0, 1).foreach { p =>
-      val part = new java.io.File(target, s"__half$p")
-      df.filter(pmod(col("event_id"), lit(2)) === p).coalesce(1)
-        .write.mode("overwrite").parquet(part.getAbsolutePath)
-      val src = part.listFiles.toSeq
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val tmp = new java.io.File(target, s"__part$i")
+      p.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val src = tmp.listFiles.toSeq
         .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-        .getOrElse(sys.error(s"no parquet part written under $part"))
+        .getOrElse(sys.error(s"no parquet part written under $tmp"))
       java.nio.file.Files.move(src.toPath,
-        new java.io.File(target, s"batch$p.parquet").toPath,
+        new java.io.File(target, s"batch$i.parquet").toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      del(part)
+      del(tmp)
     }
+  }
+
+  // EVENT-TIME stateful streaming at the gate: watermark-driven session
+  // closure (flatMapGroupsWithState + EventTimeTimeout) whose emitted
+  // session set equals the BATCH gap-sessionization bit for bit — the
+  // deterministic counterpart of q44's cumulative-state check, and the
+  // full streaming analog of q31/q42's 30-minute session semantics.
+  //
+  // Fixture: events time-split at the ts midpoint into two ordered
+  // files (per-user event order holds across micro-batches), plus a
+  // far-future sentinel event (its own user, filtered out) whose only
+  // job is to advance the watermark past every session's gap horizon so
+  // end-of-input sessions flush. Gap arithmetic runs on floored
+  // epoch-micros longs and values are floor-quantized — both identical
+  // integer math in Spark and DuckDB.
+  def q45_eventtime_sessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.EventStream
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q45_events")
+    val base = t(s, dir, "events").select(
+      col("event_id"),
+      expr("ts div 1000").as("ts_us"),
+      col("user_id"),
+      floor(coalesce(col("value"), lit(0.0)) * 10000).cast("double").as("value"))
+    val mm = base.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val (minUs, maxUs) = (mm.getLong(0), mm.getLong(1))
+    val midUs = minUs / 2 + maxUs / 2
+    // sentinel: far enough that watermark (sentinel − delay) clears every
+    // possible timeout (last + gap + 1ms) with a day of margin
+    val sentinelUs = maxUs + (30L * 60 + 24L * 3600) * 1000000L
+    def shaped(df: DataFrame) = df.select(
+      col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+      col("ts_us"), col("user_id"), col("value"))
+    rewritePartFiles(tmp, Seq(
+      shaped(base.filter(col("ts_us") < midUs)),
+      shaped(base.filter(col("ts_us") >= midUs)),
+      shaped(s.range(1).select(lit(-1L).as("event_id"),
+        lit(sentinelUs).as("ts_us"), lit(-1L).as("user_id"),
+        lit(0.0).as("value")))))
+    val streamed = EventStream.runBatchOfStream(
+      s, tmp.getAbsolutePath, "q45_state_mem",
+      df => EventStream.sessionizeEventTime(
+        df.as[EventStream.EventUs]).toDF(),
+      mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+      options = Map("maxFilesPerTrigger" -> "1"))
+    streamed.filter(col("user_id") >= 0)
+      .select(col("user_id"), col("first_event"), col("n_events"),
+              col("total_value").cast("bigint").as("total_value"))
   }
 
   // Custom typed Aggregator at the gate: exact bounded top-k per group
@@ -519,6 +572,7 @@ object CoreQueries {
     "q42_typed_sessions" -> q42_typed_sessions _,
     "q43_topk_agg"    -> q43_topk_agg _,
     "q44_stateful_sessions" -> q44_stateful_sessions _,
+    "q45_eventtime_sessions" -> q45_eventtime_sessions _,
     "q32_rollup"      -> q32_rollup _,
     "q15_date_clamp"  -> q15_date_clamp _,
     "q16_window_rank" -> q16_window_rank _,
@@ -636,6 +690,27 @@ object CoreQueries {
         |       CAST(sum(CAST(floor(COALESCE(value, 0) * 10000) AS BIGINT)) AS BIGINT)
         |         AS total_value
         |FROM events GROUP BY user_id""".stripMargin,
+    // the EVENT-TIME stateful streaming execution: every emitted closed
+    // session must equal the batch gap-sessionization (gap math on
+    // floored epoch-micros, values floor-quantized — see q45's scaladoc)
+    "q45_eventtime_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |         floor(COALESCE(value, 0) * 10000) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, v, ts_us,
+        |         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS prev_us
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, event_id, v,
+        |         CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM g)
+        |SELECT user_id, min(event_id) AS first_event, count(*) AS n_events,
+        |       CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS total_value
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
     "q32_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
         |       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_bal

@@ -77,6 +77,86 @@ object EventStream {
       }
   }
 
+  /** Event carrying BOTH a watermark-able timestamp and the exact
+    * epoch-micros long the session-gap arithmetic runs on (identical
+    * integer math in any engine — no sub-ms truncation surprises). */
+  final case class EventUs(event_id: Long, ts: java.sql.Timestamp,
+                           ts_us: Long, user_id: Long, value: Double)
+
+  /** A closed session: identified by its MIN event id (unique per
+    * session since event ids are unique — the q31 `first_event`
+    * convention, stable even when the time-first event is not the
+    * lowest-id one). */
+  final case class ClosedSession(user_id: Long, first_event: Long,
+                                 n_events: Long, total_value: Double)
+
+  /** Internal state of [[sessionizeEventTime]] (public only because the
+    * state encoder's generated code needs a public constructor). */
+  final case class OpenSession(first_event: Long, n: Long,
+                               v: Double, last_us: Long)
+
+  /** EVENT-TIME sessionization with deterministic gap closure — the
+    * watermark-driven counterpart of [[sessionize]]: a session closes
+    * when event time advances `gapUs` past its last event (decided by
+    * the DATA and the watermark, never the wall clock), so the emitted
+    * session set is exactly the batch gap-sessionization of the input —
+    * oracle-checkable (gate query q45), unlike processing-time timeouts.
+    *
+    * Mechanics: per user, the open session folds in each micro-batch's
+    * events in (ts_us, event_id) order; a gap > gapUs closes it inline,
+    * and `setTimeoutTimestamp(last + gap)` flushes sessions whose user
+    * goes quiet once the WATERMARK passes that point (an
+    * EventTimeTimeout — Spark runs the extra empty batch for it when
+    * the watermark advances, and stops when it stops: no
+    * processAllAvailable livelock). The input must be time-ordered
+    * ACROSS micro-batches per user (older file = older events), which
+    * the finite-replay fixture guarantees by splitting on a ts midpoint.
+    *
+    * Emission contract: Append mode; every session is emitted exactly
+    * once, when it closes. Sessions still open at end-of-input stay in
+    * state — a finite replay appends a far-future sentinel event (its
+    * own user) to advance the watermark past every possible timeout. */
+  def sessionizeEventTime(events: Dataset[EventUs],
+                          gapUs: Long = 30L * 60 * 1000 * 1000,
+                          watermarkDelay: String = "10 minutes")
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.first_event, s.n, s.v))
+          } else {
+            val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            evs.foreach { e =>
+              open match {
+                case Some(s) if e.ts_us - s.last_us > gapUs =>
+                  closed += ClosedSession(uid, s.first_event, s.n, s.v)
+                  open = Some(OpenSession(e.event_id, 1L, e.value, e.ts_us))
+                case Some(s) =>
+                  open = Some(OpenSession(math.min(s.first_event, e.event_id),
+                    s.n + 1L, s.v + e.value, e.ts_us))
+                case None =>
+                  open = Some(OpenSession(e.event_id, 1L, e.value, e.ts_us))
+              }
+            }
+            val s = open.get
+            state.update(s)
+            // flush when the watermark passes the session's gap horizon;
+            // always in the future of this batch's watermark (the new
+            // last event is younger than any watermark the engine has)
+            state.setTimeoutTimestamp(s.last_us / 1000 + gapUs / 1000 + 1)
+            closed.iterator
+          }
+      }
+  }
+
   /** Drive a parquet-backed stream of events through a transform into an
     * in-memory table, synchronously (test/local harness). `options` pass
     * through to the file source — e.g. maxFilesPerTrigger=1 forces one

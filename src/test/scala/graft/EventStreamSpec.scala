@@ -66,6 +66,35 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows.filter(_._1 == 101L).map(r => (r._2, r._3)) == Seq((1L, 5.0)))
   }
 
+  test("event-time sessionization: inline gap closure, cross-batch continuation, watermark flush") {
+    import graft.streaming.EventStream.{EventUs, ClosedSession}
+    def evUs(id: Long, minute: Int, uid: Long, v: Double): EventUs = {
+      val t = ts(minute); EventUs(id, t, t.getTime * 1000L, uid, v)
+    }
+    val dir = tmpDir("stream") + "/evtime"
+    // batch 0: u100 opens a session (2 events); u101 opens one
+    Seq(evUs(1, 0, 100, 1.0), evUs(2, 10, 100, 2.0), evUs(4, 20, 101, 10.0))
+      .toDF().coalesce(1).write.parquet(dir)
+    // batch 1: u101 continues within the gap ACROSS the batch boundary;
+    // u100 returns after 80 min — closes the old session inline
+    Seq(evUs(5, 40, 101, 20.0), evUs(3, 90, 100, 4.0))
+      .toDF().coalesce(1).write.mode("append").parquet(dir)
+    // batch 2: sentinel 2 days out — watermark passes every gap horizon,
+    // flushing the sessions still open at end-of-input
+    Seq(evUs(-1, 2 * 24 * 60, -1, 0.0))
+      .toDF().coalesce(1).write.mode("append").parquet(dir)
+    val got = EventStream.runBatchOfStream(spark, dir, "evtime_test",
+        df => EventStream.sessionizeEventTime(df.as[EventUs]).toDF(),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .as[ClosedSession].collect().filter(_.user_id >= 0)
+      .map(s => (s.user_id, s.first_event, s.n_events, s.total_value)).toSet
+    assert(got == Set(
+      (100L, 1L, 2L, 3.0),    // closed inline by the 80-min gap
+      (100L, 3L, 1L, 4.0),    // flushed by the sentinel watermark
+      (101L, 4L, 2L, 30.0)))  // ONE session spanning two micro-batches
+  }
+
   test("late events beyond the watermark are dropped in streaming append mode") {
     val dir = tmpDir("stream") + "/late"
     // batch 1: events at 10:00-10:08; batch 2 (second file): a very late
