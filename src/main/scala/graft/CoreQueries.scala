@@ -429,6 +429,32 @@ object CoreQueries {
     }
   }
 
+  // As-of (point-in-time) join at the gate: each click gets the user's
+  // most recent purchase at or before it — ops/AsofJoin's union+window
+  // plan (ONE key shuffle, linear cost) vs DuckDB's native ASOF JOIN as
+  // the oracle. The build side pre-dedups (user, ts) deterministically;
+  // no-match probes surface -1 (both engines) so every column stays a
+  // non-null BIGINT.
+  def q46_asof_join(s: SparkSession, dir: String): DataFrame = {
+    // all ts math in floored epoch-MICROS: DuckDB timestamps are µs, so
+    // its epoch_ns() is ns-truncated-to-µs — comparing raw Spark nanos
+    // against it would diverge in the sub-µs digits (and could even flip
+    // a same-µs as-of ordering)
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts div 1000").as("purchase_ts_us"), col("event_id"))
+      .groupBy(col("user_id"), col("purchase_ts_us"))
+      .agg(min(col("event_id")).as("purchase_id"))
+    graft.ops.AsofJoin.asofBackward(clicks, purch,
+        keyCols = Seq("user_id"), probeTs = "ts_us", buildTs = "purchase_ts_us",
+        payloadCols = Seq("purchase_id", "purchase_ts_us"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("purchase_ts_us"), lit(-1L)).as("purchase_ts_us"))
+  }
+
   // EVENT-TIME stateful streaming at the gate: watermark-driven session
   // closure (flatMapGroupsWithState + EventTimeTimeout) whose emitted
   // session set equals the BATCH gap-sessionization bit for bit — the
@@ -573,6 +599,7 @@ object CoreQueries {
     "q43_topk_agg"    -> q43_topk_agg _,
     "q44_stateful_sessions" -> q44_stateful_sessions _,
     "q45_eventtime_sessions" -> q45_eventtime_sessions _,
+    "q46_asof_join"   -> q46_asof_join _,
     "q32_rollup"      -> q32_rollup _,
     "q15_date_clamp"  -> q15_date_clamp _,
     "q16_window_rank" -> q16_window_rank _,
@@ -690,6 +717,19 @@ object CoreQueries {
         |       CAST(sum(CAST(floor(COALESCE(value, 0) * 10000) AS BIGINT)) AS BIGINT)
         |         AS total_value
         |FROM events GROUP BY user_id""".stripMargin,
+    // point-in-time correctness vs DuckDB's NATIVE ASOF JOIN
+    "q46_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS purchase_ts_us, min(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, epoch_ns(ts) // 1000)
+        |SELECT c.event_id, c.user_id,
+        |       COALESCE(p.purchase_id, -1) AS purchase_id,
+        |       COALESCE(p.purchase_ts_us, -1) AS purchase_ts_us
+        |FROM clicks c ASOF LEFT JOIN purch p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.purchase_ts_us""".stripMargin,
     // the EVENT-TIME stateful streaming execution: every emitted closed
     // session must equal the batch gap-sessionization (gap math on
     // floored epoch-micros, values floor-quantized — see q45's scaladoc)

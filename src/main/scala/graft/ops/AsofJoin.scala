@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: attach to each probe row the most recent
+  * build row with the same key and build ts ≤ probe ts — the
+  * feature/label-alignment primitive of training-data pipelines (join
+  * each example to the feature snapshot that was live when the example
+  * happened; anything newer is leakage). No reference analog; DuckDB's
+  * native ASOF JOIN is the oracle (gate query q46).
+  *
+  * Plan shape (the 100 TB part): the naive formulation — a join on
+  * key + ts inequality, then "latest per probe row" — is a
+  * BroadcastNestedLoopJoin or an exploding range join followed by a
+  * dedup. This instead UNIONS the tagged inputs and runs ONE window per
+  * key ordered by (ts, side): `last(payload, ignoreNulls)` over the
+  * unbounded-preceding frame carries the latest build payload forward
+  * onto every subsequent probe row. Exactly one shuffle (the window
+  * partition on the key), codegen'd window functions, cost linear in
+  * |probe| + |build| — never |probe|×|build|.
+  *
+  * Tie semantics: build sorts BEFORE probe at equal ts (side 0 < 1), so
+  * a snapshot stamped at exactly the probe's ts is visible ("≤", like
+  * DuckDB `ON probe.ts >= build.ts`). Among equal-ts build rows of one
+  * key the LAST in `tieCols` order wins — pass a unique tiebreaker (or
+  * pre-dedup the build side) for a deterministic result.
+  */
+object AsofJoin {
+
+  /** @param probe      left side; all its columns survive
+    * @param build      right side; only `payloadCols` are attached
+    * @param keyCols    equality keys present on both sides
+    * @param probeTs    ordering column on `probe` (numeric or timestamp)
+    * @param buildTs    ordering column on `build` (same type as probeTs)
+    * @param payloadCols build columns to carry onto probe rows (null when
+    *                    no build row is at or before the probe ts)
+    * @param tieCols    deterministic order among equal-ts build rows of a
+    *                    key (last one wins); empty if (key, ts) is unique
+    */
+  def asofBackward(probe: DataFrame, build: DataFrame,
+                   keyCols: Seq[String], probeTs: String, buildTs: String,
+                   payloadCols: Seq[String],
+                   tieCols: Seq[String] = Nil): DataFrame = {
+    val helper = Seq("__ts", "__side", "__tie")
+    require((probe.columns ++ build.columns).intersect(helper).isEmpty,
+      s"inputs must not carry the helper columns ${helper.mkString(", ")}")
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    require(payloadCols.intersect(probe.columns.toSeq).isEmpty,
+      "payload column names must not collide with probe columns")
+    val probeCols = probe.columns.toSeq
+    // probe rows keep their columns; build rows carry nulls for them
+    val p = probe
+      .withColumn("__ts", col(probeTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", array(Seq.empty[Column]: _*).cast("array<string>"))
+    val pAligned = payloadCols.foldLeft(p)((df, c) =>
+      df.withColumn(c, lit(null).cast(build.schema(c).dataType)))
+    val b0 = build
+      .withColumn("__ts", col(buildTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__tie", array(tieCols.map(c => col(c).cast("string")): _*))
+    val bAligned = probeCols.filterNot(keyCols.contains)
+      .foldLeft(b0)((df, c) =>
+        df.withColumn(c, lit(null).cast(probe.schema(c).dataType)))
+      .select((keyCols ++ probeCols.filterNot(keyCols.contains) ++
+        payloadCols ++ helper).map(col): _*)
+    val unioned = pAligned
+      .select((keyCols ++ probeCols.filterNot(keyCols.contains) ++
+        payloadCols ++ helper).map(col): _*)
+      .unionByName(bAligned)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    carried.filter(col("__side") === 1)
+      .select((probeCols ++ payloadCols).map(col): _*)
+  }
+}

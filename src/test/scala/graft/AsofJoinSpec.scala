@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.AsofJoin
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // build: price snapshots per symbol; probe: trades to be stamped with
+  // the price that was live at trade time
+  lazy val snaps = Seq(
+    ("A", 10L, 100.0), ("A", 20L, 110.0), ("A", 30L, 120.0),
+    ("B", 15L, 7.0)
+  ).toDF("sym", "snap_ts", "price")
+  lazy val trades = Seq(
+    (1L, "A", 5L),    // before any snapshot → null
+    (2L, "A", 10L),   // exactly at a snapshot → inclusive (<=)
+    (3L, "A", 25L),   // between snapshots → 20L one
+    (4L, "A", 99L),   // after all → latest
+    (5L, "B", 14L),   // before B's only snapshot → null
+    (6L, "C", 50L)    // key with no build rows at all → null
+  ).toDF("trade_id", "sym", "trade_ts")
+
+  test("asof backward: inclusive ties, gaps, missing keys") {
+    val got = AsofJoin.asofBackward(trades, snaps,
+        keyCols = Seq("sym"), probeTs = "trade_ts", buildTs = "snap_ts",
+        payloadCols = Seq("price"))
+      .select($"trade_id", $"price").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(got == Map(
+      1L -> None, 2L -> Some(100.0), 3L -> Some(110.0),
+      4L -> Some(120.0), 5L -> None, 6L -> None))
+  }
+
+  test("equal-ts build rows resolve by the tie column (last wins)") {
+    val dup = snaps.unionByName(Seq(("A", 20L, 111.0)).toDF("sym", "snap_ts", "price"))
+    val got = AsofJoin.asofBackward(trades.filter($"trade_id" === 3), dup,
+        keyCols = Seq("sym"), probeTs = "trade_ts", buildTs = "snap_ts",
+        payloadCols = Seq("price"), tieCols = Seq("price"))
+      .select($"price").as[Double].head()
+    assert(got == 111.0)   // "111.0" > "110.0" in tie order → last wins
+  }
+
+  test("matches an inequality-join formulation on real events (sf0.001)") {
+    val ev = spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts".as("ts_ns"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"), $"event_id")
+      .groupBy($"user_id", $"pts").agg(min($"event_id").as("purchase_id"))
+    val got = AsofJoin.asofBackward(clicks, purch,
+        keyCols = Seq("user_id"), probeTs = "ts_ns", buildTs = "pts",
+        payloadCols = Seq("purchase_id", "pts"))
+      .select($"event_id", coalesce($"purchase_id", lit(-1L)))
+      .as[(Long, Long)].collect().toMap
+    // reference: plain inequality join + max-ts pick (exploding plan —
+    // fine at spec scale, the thing asofBackward exists to avoid)
+    val ref = clicks.join(purch,
+        clicks("user_id") === purch("user_id") && $"pts" <= $"ts_ns", "left")
+      .groupBy(clicks("event_id").as("event_id"))
+      .agg(max(struct($"pts", $"purchase_id")).as("m"))
+      .select($"event_id", coalesce($"m.purchase_id", lit(-1L)))
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref)
+    assert(got.values.exists(_ >= 0), "fixture must produce real matches")
+  }
+
+  test("plans one window over the key, never a nested-loop or range join") {
+    val plan = AsofJoin.asofBackward(trades, snaps,
+        keyCols = Seq("sym"), probeTs = "trade_ts", buildTs = "snap_ts",
+        payloadCols = Seq("price"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"as-of join must not plan a nested loop:\n${plan.take(600)}")
+    assert(plan.contains("Window"), "expected the carry-forward window")
+  }
+
+  test("helper-column and payload collisions are rejected") {
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(trades.withColumn("__side", lit(1)), snaps,
+        Seq("sym"), "trade_ts", "snap_ts", Seq("price"))
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(trades.withColumn("price", lit(1.0)), snaps,
+        Seq("sym"), "trade_ts", "snap_ts", Seq("price"))
+    }
+  }
+}
