@@ -455,6 +455,23 @@ object CoreQueries {
         coalesce(col("purchase_ts_us"), lit(-1L)).as("purchase_ts_us"))
   }
 
+  // Range (point-in-interval) join at the gate: orders against 120
+  // overlapping price bands — ops/RangeJoin's binned equi-join (one
+  // bucket shuffle, no nested loop) vs DuckDB's plain inequality join.
+  // Band bounds are exact doubles (multiples of 5000), so containment
+  // compares identically in both engines; o_totalprice passes through
+  // untouched.
+  def q47_range_join(s: SparkSession, dir: String): DataFrame = {
+    val bands = s.range(120).select(col("id").as("band_id"),
+      (col("id") * 5000).cast("double").as("lo"),
+      (col("id") * 5000 + 12500).cast("double").as("hi"))
+    graft.ops.RangeJoin.pointInInterval(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        bands, valueCol = "o_totalprice", loCol = "lo", hiCol = "hi",
+        binWidth = 12500.0)
+      .select(col("o_orderkey"), col("band_id"), col("o_totalprice"))
+  }
+
   // EVENT-TIME stateful streaming at the gate: watermark-driven session
   // closure (flatMapGroupsWithState + EventTimeTimeout) whose emitted
   // session set equals the BATCH gap-sessionization bit for bit — the
@@ -600,6 +617,7 @@ object CoreQueries {
     "q44_stateful_sessions" -> q44_stateful_sessions _,
     "q45_eventtime_sessions" -> q45_eventtime_sessions _,
     "q46_asof_join"   -> q46_asof_join _,
+    "q47_range_join"  -> q47_range_join _,
     "q32_rollup"      -> q32_rollup _,
     "q15_date_clamp"  -> q15_date_clamp _,
     "q16_window_rank" -> q16_window_rank _,
@@ -717,6 +735,15 @@ object CoreQueries {
         |       CAST(sum(CAST(floor(COALESCE(value, 0) * 10000) AS BIGINT)) AS BIGINT)
         |         AS total_value
         |FROM events GROUP BY user_id""".stripMargin,
+    // binned range join vs DuckDB's plain inequality join
+    "q47_range_join" ->
+      """WITH bands AS (
+        |  SELECT CAST(band_id AS BIGINT) AS band_id,
+        |         CAST(band_id * 5000 AS DOUBLE) AS lo,
+        |         CAST(band_id * 5000 + 12500 AS DOUBLE) AS hi
+        |  FROM range(120) t(band_id))
+        |SELECT o.o_orderkey, b.band_id, o.o_totalprice
+        |FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi""".stripMargin,
     // point-in-time correctness vs DuckDB's NATIVE ASOF JOIN
     "q46_asof_join" ->
       """WITH clicks AS (

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (point-in-interval) join: pair each point row with every
+  * interval row whose [lo, hi) contains the point's value. Spark plans a
+  * bare `p.v >= i.lo AND p.v < i.hi` join as BroadcastNestedLoopJoin —
+  * O(|points|·|intervals|) and a guaranteed stall at corpus scale. No
+  * reference analog; the oracle (gate query q47) is DuckDB's plain
+  * inequality join.
+  *
+  * Plan shape: fixed-width BINNING turns the inequality into an equality
+  * — a point lands in bucket floor(v/w); an interval explodes to the
+  * buckets it overlaps, floor(lo/w)..floor(hi/w). A containing interval
+  * ALWAYS shares the point's bucket (floor is monotonic), so an
+  * equi-join on the bucket followed by the exact containment filter is
+  * complete; and each matching (point, interval) pair meets in exactly
+  * ONE bucket (the point's), so no dedup is needed. One shuffle on the
+  * bucket key; cost |points| + Σ(interval span/w) + |matches|.
+  *
+  * Pick `binWidth` near the TYPICAL interval width: too small explodes
+  * the interval side (span/w bucket rows per interval), too large packs
+  * many intervals per bucket (join fan-out approaches the nested loop).
+  * Both degrade gracefully — correctness never depends on the width.
+  */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+                      valueCol: String, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(points.columns.intersect(intervals.columns).isEmpty,
+      "point and interval column names must be disjoint (alias before joining)")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "inputs must not carry the helper column __bin")
+    val p = points.withColumn("__bin",
+      floor(col(valueCol) / binWidth).cast("long"))
+    val i = intervals
+      .filter(col(hiCol) > col(loCol))   // empty intervals match nothing
+      .withColumn("__bin", explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    p.join(i, Seq("__bin"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bin")
+  }
+}
