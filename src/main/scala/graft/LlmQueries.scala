@@ -226,6 +226,24 @@ object LlmQueries {
       md5(graft.llm.TextAnalysis.redact(col("text")).cast("binary")).as("redacted_fp"))
   }
 
+  // BM25-style relevance scoring at the gate (rational-decimal variant —
+  // see llm/Relevance's scaladoc for why ln() can't cross the engine
+  // boundary bit-stably). Fixed 4-term query over the documents corpus.
+  def q48_bm25(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Relevance.bm25Deterministic(
+      t(s, dir, "documents"), "doc_id", "text",
+      Seq("join", "vector", "filter", "scan"))
+
+  // Deterministic train/val/test splitting at the gate: assignment is a
+  // pure function of doc_id (stable under reruns/resharding/appends —
+  // what randomSplit can't give). Gate key = the engine-independent LCG
+  // mix; production key = xxhash64 (Sampling.xxKey).
+  def q49_hash_split(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.assignSplits(
+      t(s, dir, "documents").select(col("doc_id")),
+      graft.ops.Sampling.lcgKey(col("doc_id")),
+      Seq("train" -> 900, "val" -> 50, "test" -> 50))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"   -> q20_dedup_exact _,
     "q21_token_count"   -> q21_token_count _,
@@ -241,7 +259,9 @@ object LlmQueries {
     "q33_media_features" -> q33_media_features _,
     "q34_embedding_neardup" -> q34_embedding_neardup _,
     "q36_corpus_clean"  -> q36_corpus_clean _,
-    "q41_redact"        -> q41_redact _
+    "q41_redact"        -> q41_redact _,
+    "q48_bm25"          -> q48_bm25 _,
+    "q49_hash_split"    -> q49_hash_split _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -442,6 +462,30 @@ object LlmQueries {
         |    regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_fp
         |FROM r""".stripMargin,
+    // rational-decimal BM25: integer numerators/denominators, one
+    // decimal(18,6)-rounded division per factor, exact decimal sum
+    "q48_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS S, CAST(count(*) AS BIGINT) AS N FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('join','vector','filter','scan') GROUP BY doc_id, w),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(CAST(2*s.N - 2*x.df + 1 AS DECIMAL(18,4)) / CAST(2*x.df + 1 AS DECIMAL(18,4)) AS DECIMAL(18,6)) AS idf6,
+        |    CAST(CAST(10*t.tf*s.S AS DECIMAL(27,4)) / CAST(10*t.tf*s.S + 3*s.S + 9*l.dl*s.N AS DECIMAL(27,4)) AS DECIMAL(18,6)) AS tfn6
+        |  FROM tf t JOIN dfx x USING (w) JOIN dl l USING (doc_id) CROSS JOIN stats s)
+        |SELECT doc_id, CAST(CAST(SUM(idf6*tfn6) AS DECIMAL(38,12)) AS DOUBLE) AS score
+        |FROM scored GROUP BY doc_id""".stripMargin,
+    // pure-integer LCG mix — identical arithmetic in any engine
+    "q49_hash_split" ->
+      """WITH k AS (
+        |  SELECT doc_id, ((doc_id * 1103515245 + 12345) % 1000000007) % 1000 AS key
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN key < 900 THEN 'train' WHEN key < 950 THEN 'val' ELSE 'test' END AS split
+        |FROM k""".stripMargin,
     "q29_subword_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\p{L}{1,4}|\p{N}{1,3}|[^\s\p{L}\p{N}]')) AS INT) AS n_subwords

@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-relevance scoring over a document corpus — BM25, the ranking
+  * function behind practically every retrieval stage of a training-data
+  * pipeline (dedup-aware sampling, quality-weighted selection, nearest
+  * queries over text). No reference analog; gate query q48.
+  *
+  * Execution shape: tokenize once (map-only), tf = one groupBy(doc, term)
+  * over the TERM-FILTERED token stream (the query's terms only — the
+  * full vocabulary is never aggregated), df/dl/corpus stats from the same
+  * scan, then a broadcast join of the tiny per-term stats back onto the
+  * tf rows. One real shuffle (the tf groupBy); everything else is
+  * broadcast. Scales with |matching tokens|, not |vocabulary|.
+  *
+  * Two variants:
+  *   - [[bm25]]: the real thing — Lucene-shaped idf `ln(1 + (N-df+.5)/
+  *     (df+.5))`, double math, codegen'd. Use this in production.
+  *   - [[bm25Deterministic]]: the gate form. ln() and double division
+  *     round differently across engines in the last ulp, so this variant
+  *     keeps every factor RATIONAL: idf_r = (N-df+0.5)/(df+0.5) =
+  *     (2N-2df+1)/(2df+1) and tf-norm = tf·S/(tf·S + k1(1-b)S + k1·b·dl·N)
+  *     = 10·tf·S/(10·tf·S + 3S + 9·dl·N) for (k1=1.2, b=0.75) — pure
+  *     integer numerators/denominators, ONE decimal division each,
+  *     rounded to DECIMAL(18,6) identically in Spark and DuckDB, then an
+  *     exact decimal sum. Same per-term monotonicity as BM25 (rational
+  *     idf is the pre-log Robertson form); not the same totals.
+  */
+object Relevance {
+
+  /** Per-document token stream + per-doc/corpus stats, shared plumbing.
+    * Returns (tf rows, dl frame, 1-row stats frame (S, N)). */
+  private def plumbing(docs: DataFrame, idCol: String, textCol: String,
+                       terms: Seq[String])
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextShingles.words(col(textCol))).as("w"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("S"), count(lit(1)).as("N"))
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    (tf, dl, stats)
+  }
+
+  /** Production BM25 (k1, b tunable): (doc_id, score) for documents
+    * matching ≥1 query term, higher = more relevant. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val (tf, dl, stats) = plumbing(docs, idCol, textCol, terms)
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("N") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = col("tf") /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl") * col("N") / col("S")))
+    tf.join(broadcast(df_), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * tfn).as("s"))
+      .groupBy(col("doc_id")).agg(sum(col("s")).as("score"))
+  }
+
+  /** Gate variant: rational idf, decimal arithmetic, cross-engine
+    * bit-stable (see class doc). k1=1.2, b=0.75 fixed (they make the
+    * tf-norm coefficients the exact integers 10/3/9). */
+  def bm25Deterministic(docs: DataFrame, idCol: String, textCol: String,
+                        terms: Seq[String]): DataFrame = {
+    val (tf, dl, stats) = plumbing(docs, idCol, textCol, terms)
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val d4 = "decimal(18,4)"; val d274 = "decimal(27,4)"
+    val idf6 = ((lit(2) * col("N") - lit(2) * col("df") + lit(1)).cast(d4) /
+      (lit(2) * col("df") + lit(1)).cast(d4)).cast("decimal(18,6)")
+    val num = lit(10) * col("tf") * col("S")
+    val den = num + lit(3) * col("S") + lit(9) * col("dl") * col("N")
+    val tfn6 = (num.cast(d274) / den.cast(d274)).cast("decimal(18,6)")
+    tf.join(broadcast(df_), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf6 * tfn6).as("s"))   // exact (37,12)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).cast("decimal(38,12)").cast("double").as("score"))
+  }
+}

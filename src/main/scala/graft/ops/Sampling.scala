@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting — train/val/test
+  * assignment as a PURE FUNCTION of each row's id, so the split is
+  * stable under reruns, repartitioning, cluster resizing and incremental
+  * appends (a row never migrates between splits when new data arrives).
+  * `df.sample()`/`randomSplit()` guarantee none of that: they reseed per
+  * partition and reshuffle membership whenever the partitioning changes —
+  * unacceptable for the train/eval hygiene of a corpus pipeline. Gate
+  * query q49; no reference analog.
+  *
+  * Map-only (no shuffle, no state): the key expression evaluates inside
+  * whole-stage codegen and the assignment is a chain of comparisons.
+  */
+object Sampling {
+
+  private val Mille = 1000L
+
+  /** Production key: well-mixed 64-bit hash of the id (seeded). */
+  def xxKey(id: Column, seed: Int = 42): Column =
+    pmod(xxhash64(id, lit(seed)), lit(Mille))
+
+  /** Engine-independent key (the gate form): multiplicative LCG mix in
+    * plain integer arithmetic any engine evaluates identically. Weaker
+    * mixing than xxhash64 but unbiased per-mille for id-like keys. */
+  def lcgKey(id: Column): Column =
+    pmod(pmod(id * lit(1103515245L) + lit(12345L), lit(1000000007L)), lit(Mille))
+
+  /** Attach a split label from per-mille weights, e.g.
+    * Seq("train" -> 900, "val" -> 50, "test" -> 50). `key` must be a
+    * [0, 1000) column ([[xxKey]] / [[lcgKey]]). */
+  def assignSplits(df: DataFrame, key: Column,
+                   splits: Seq[(String, Int)],
+                   outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "split weights must be positive")
+    require(splits.map(_._2).sum == Mille,
+      s"per-mille split weights must sum to $Mille")
+    require(!df.columns.contains(outCol),
+      s"input frame already carries output column $outCol")
+    // cumulative upper bounds per split; cascade built back-to-front so
+    // the first bound containing the key wins
+    val cuts = splits.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+    val cascade = splits.zip(cuts).init.reverse
+      .foldLeft(lit(splits.last._1): Column) {
+        case (els, ((name, _), hi)) => when(key < hi, lit(name)).otherwise(els)
+      }
+    df.withColumn(outCol, cascade)
+  }
+
+  /** Keep a deterministic `keepPerMille`/1000 fraction of rows. */
+  def sampleByHash(df: DataFrame, key: Column, keepPerMille: Int): DataFrame = {
+    require(keepPerMille >= 0 && keepPerMille <= Mille, "fraction out of range")
+    df.filter(key < keepPerMille)
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.llm.Relevance
+import org.apache.spark.sql.functions._
+
+class RelevanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // tiny corpus with controlled term statistics: "rare" appears in one
+  // doc, "common" in all, tf varies
+  lazy val docs = Seq(
+    (1L, "common rare common alpha beta gamma"),
+    (2L, "common alpha alpha beta beta gamma gamma delta"),
+    (3L, "common common common alpha beta")
+  ).toDF("doc_id", "text")
+
+  test("bm25: rare terms outscore common ones; tf raises the score") {
+    val scores = Relevance.bm25(docs, "doc_id", "text", Seq("rare", "common"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.keySet == Set(1L, 2L, 3L))
+    assert(scores.values.forall(_ > 0))
+    // doc 1 has the only "rare" hit → must dominate
+    assert(scores(1L) > scores(2L) && scores(1L) > scores(3L))
+    // docs 2 and 3 differ only in "common" tf (1 vs 3) and length;
+    // higher tf in a shorter doc must not score lower
+    assert(scores(3L) > scores(2L))
+  }
+
+  test("deterministic variant ranks single-term queries identically to bm25") {
+    // ln(1 + x) is monotone in the rational idf x, and the tf-norm is
+    // shared — so a single-term ranking must agree between variants
+    for (term <- Seq("common", "alpha", "beta")) {
+      def ranking(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy(desc("score"), asc("doc_id")).select("doc_id")
+          .as[Long].collect().toSeq
+      val prod = ranking(Relevance.bm25(docs, "doc_id", "text", Seq(term)))
+      val det = ranking(Relevance.bm25Deterministic(docs, "doc_id", "text", Seq(term)))
+      assert(prod == det, s"term '$term': $prod vs $det")
+    }
+  }
+
+  test("matching docs only; unmatched terms contribute nothing") {
+    val scores = Relevance.bm25(docs, "doc_id", "text", Seq("rare", "nosuchterm"))
+      .as[(Long, Double)].collect().toMap
+    assert(scores.keySet == Set(1L))
+  }
+
+  test("plan: per-term stats broadcast, no vocabulary-wide shuffle of scores") {
+    val plan = Relevance.bm25Deterministic(docs, "doc_id", "text", Seq("rare"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin") == false,
+      "per-term stats should broadcast")
+    // the term filter must reach the token stream before aggregation
+    assert(plan.contains("isin") || plan.contains("IN ") || plan.contains("rare"),
+      "term filter not visible in the plan")
+  }
+}
