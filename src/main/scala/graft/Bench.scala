@@ -31,6 +31,11 @@ object Bench {
       // a failed query reports -1.0, never a fake timing — a regression
       // must read as breakage, not as a faster run
       val times = (1 to reps).map { _ =>
+        // each rep must pay the full query: operators that persist() their
+        // result would otherwise be cache-substituted in reps 2+ (identical
+        // canonicalized plans) and the reported minimum would time a cache
+        // scan, not the query
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>

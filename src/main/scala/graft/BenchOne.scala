@@ -16,6 +16,7 @@ object BenchOne {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val fn = SparkEntry.queries(name)
     val times = (1 to reps).map { i =>
+      spark.catalog.clearCache()   // see Bench: no cross-rep cache reuse
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val secs = (System.nanoTime() - t0) / 1e9

@@ -290,6 +290,12 @@ object DecimalVecOps {
         throw new ArithmeticException(
           s"vec_dot_decimal: sum overflows decimal($Precision,${Scale - 1})")
       sum = sum.setScale(Scale)
+      // the lambda's (38,14)→(38,15) recast ALSO overflow-checks: a sum
+      // with precision exactly 38 at scale 14 gains a digit here, and
+      // parity means throwing exactly where the reference throws
+      if (sum.precision > Precision)
+        throw new ArithmeticException(
+          s"vec_dot_decimal: sum overflows decimal($Precision,$Scale)")
       i += 1
     }
     org.apache.spark.sql.types.Decimal(sum)

@@ -88,9 +88,13 @@ object CorpusPipeline {
         case None => candidates
       }
       // nearDupLosers materializes the edge list (checkpoint/collect)
-      // before returning, so the shingle cache can be released here
+      // before returning, so the shingle cache AND the candidate-pair
+      // cache (minHashCandidatesFromGrams returns a persisted frame)
+      // can both be released here — repeated clean() calls in a
+      // long-lived session must not accumulate dead cached blocks
       val losers = Dedup.nearDupLosers(pairs).withColumnRenamed("id", idCol)
       gramsF.unpersist(false)
+      candidates.unpersist(false)
       val nearRejects = uniqued.join(losers, Seq(idCol), "left_semi")
         .withColumn("drop_reason", lit("near_dup"))
       val clean = uniqued.join(losers, Seq(idCol), "left_anti")

@@ -256,8 +256,13 @@ object Similarity {
     * `maxBucketSize` still caps pathological hot buckets. */
   def suggestLshBits(corpusSize: Long, bands: Int = 4,
                      targetBucket: Int = 64): Int = {
+    require(bands >= 1 && bands <= 63, s"bands=$bands out of [1, 63]")
     val ratio = math.max(1L, corpusSize).toDouble / math.max(1, targetBucket)
-    val width = math.max(4, math.min(15,
+    // total bits must fit LshSignature's single long (≤ 63), so the
+    // per-band cap is min(15, 63/bands) — bands > 4 trade band width
+    // for band count within the same signature
+    val widthCap = math.min(15, 63 / bands)
+    val width = math.max(math.min(4, widthCap), math.min(widthCap,
       math.ceil(math.log(math.max(1.0, ratio)) / math.log(2.0)).toInt))
     width * bands
   }

@@ -50,32 +50,45 @@ object AsofJoin {
     require(payloadCols.intersect(probe.columns.toSeq).isEmpty,
       "payload column names must not collide with probe columns")
     val probeCols = probe.columns.toSeq
-    // probe rows keep their columns; build rows carry nulls for them
+    // probe rows keep their columns; build rows carry a null PAYLOAD
+    // STRUCT. The payload travels as ONE struct so the window attaches
+    // one whole build ROW — per-column last(ignoreNulls) would skip a
+    // null field independently and stitch fields from different build
+    // rows (a row that never existed; ASOF attaches the matched row
+    // as-is, nulls included).
+    val payloadStruct = struct(payloadCols.map(col): _*)
     val p = probe
       .withColumn("__ts", col(probeTs))
       .withColumn("__side", lit(1))
       .withColumn("__tie", array(Seq.empty[Column]: _*).cast("array<string>"))
-    val pAligned = payloadCols.foldLeft(p)((df, c) =>
-      df.withColumn(c, lit(null).cast(build.schema(c).dataType)))
+      .withColumn("__payload",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payloadCols.map(c => org.apache.spark.sql.types.StructField(
+            c, build.schema(c).dataType)))))
+    // SQL equality semantics: a build row with any NULL key can never
+    // match (the window's partitionBy would group null==null otherwise)
     val b0 = build
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__ts", col(buildTs))
       .withColumn("__side", lit(0))
       .withColumn("__tie", array(tieCols.map(c => col(c).cast("string")): _*))
+      .withColumn("__payload", payloadStruct)
     val bAligned = probeCols.filterNot(keyCols.contains)
       .foldLeft(b0)((df, c) =>
         df.withColumn(c, lit(null).cast(probe.schema(c).dataType)))
       .select((keyCols ++ probeCols.filterNot(keyCols.contains) ++
-        payloadCols ++ helper).map(col): _*)
-    val unioned = pAligned
+        Seq("__payload") ++ helper).map(col): _*)
+    val unioned = p
       .select((keyCols ++ probeCols.filterNot(keyCols.contains) ++
-        payloadCols ++ helper).map(col): _*)
+        Seq("__payload") ++ helper).map(col): _*)
       .unionByName(bAligned)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carried = unioned.withColumn("__payload",
+      last(col("__payload"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select((probeCols ++ payloadCols).map(col): _*)
+      .select(probeCols.map(col) ++
+        payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
   }
 }

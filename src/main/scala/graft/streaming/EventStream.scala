@@ -148,10 +148,16 @@ object EventStream {
             }
             val s = open.get
             state.update(s)
-            // flush when the watermark passes the session's gap horizon;
-            // always in the future of this batch's watermark (the new
-            // last event is younger than any watermark the engine has)
-            state.setTimeoutTimestamp(s.last_us / 1000 + gapUs / 1000 + 1)
+            // flush when the watermark passes the session's gap horizon —
+            // clamped above the CURRENT GLOBAL watermark: another user's
+            // younger events may have advanced it past this session's
+            // horizon already (per-user ordering says nothing about the
+            // global clock), and setTimeoutTimestamp throws on a
+            // timestamp at or before the watermark. Clamped sessions
+            // just flush at the next watermark advance.
+            state.setTimeoutTimestamp(
+              math.max(s.last_us / 1000 + gapUs / 1000 + 1,
+                state.getCurrentWatermarkMs() + 1))
             closed.iterator
           }
       }

@@ -76,6 +76,35 @@ class AsofJoinSpec extends SparkTestBase {
     assert(plan.contains("Window"), "expected the carry-forward window")
   }
 
+  test("a matched build row is attached AS-IS: its null fields stay null") {
+    // build rows: (ts=10, a=1, b=2) then (ts=20, a=null, b=3). A probe at
+    // 25 matches the ts=20 ROW — per-column null-skipping would stitch
+    // (a=1, b=3), a row that never existed
+    val build2 = Seq(("A", 10L, Option(1L), Option(2L)),
+                     ("A", 20L, Option.empty[Long], Option(3L)))
+      .toDF("sym", "snap_ts", "a", "b")
+    val probe2 = Seq((1L, "A", 25L)).toDF("trade_id", "sym", "trade_ts")
+    val got = AsofJoin.asofBackward(probe2, build2,
+        keyCols = Seq("sym"), probeTs = "trade_ts", buildTs = "snap_ts",
+        payloadCols = Seq("a", "b"))
+      .select($"a", $"b").as[(Option[Long], Option[Long])].head()
+    assert(got == ((None, Some(3L))), s"expected the ts=20 row as-is, got $got")
+  }
+
+  test("null-key build rows never match (SQL equality semantics)") {
+    val build2 = Seq((Option("A"), 10L, 1L), (Option.empty[String], 5L, 99L))
+      .toDF("sym", "snap_ts", "payload")
+    val probe2 = Seq((1L, Option("A"), 20L), (2L, Option.empty[String], 20L))
+      .toDF("trade_id", "sym", "trade_ts")
+    val got = AsofJoin.asofBackward(probe2, build2,
+        keyCols = Seq("sym"), probeTs = "trade_ts", buildTs = "snap_ts",
+        payloadCols = Seq("payload"))
+      .select($"trade_id", $"payload").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got == Map(1L -> Some(1L), 2L -> None),
+      "a null-key probe row must survive with a null payload, not match a null-key build row")
+  }
+
   test("helper-column and payload collisions are rejected") {
     intercept[IllegalArgumentException] {
       AsofJoin.asofBackward(trades.withColumn("__side", lit(1)), snaps,

@@ -131,6 +131,11 @@ class LlmOpsSpec extends SparkTestBase {
     assert(Similarity.suggestLshBits(1000, bands = 4) == 16)     // 4-bit floor
     assert(Similarity.suggestLshBits(100000, bands = 4) == 44)   // 11-bit bands
     assert(Similarity.suggestLshBits(10000000L, bands = 4) == 60) // 15-bit cap
+    // the signature is one long: width*bands must stay ≤ 63 for ANY bands
+    assert(Similarity.suggestLshBits(10000000L, bands = 8) == 56)  // 7-bit cap
+    assert(Similarity.suggestLshBits(10000000L, bands = 16) == 48) // 3-bit cap
+    for (b <- 1 to 63)
+      assert(Similarity.suggestLshBits(Long.MaxValue, bands = b) <= 63)
     // 1e5 deterministic pseudo-random 16-dim vectors (hash-derived
     // components) — the banding under the derived width must spread the
     // corpus instead of the old fixed 16/4's 16-buckets-per-band blowup

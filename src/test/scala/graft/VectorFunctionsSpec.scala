@@ -141,6 +141,20 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(got(3L)._1 == "0.000000000000000" && got(3L)._1 == got(3L)._2)
   }
 
+  test("decimal dot overflow parity: kernel throws exactly where the lambda recast throws") {
+    // 1000 products of 1e20 sum to 1e23: precision 38 at scale 14 (passes
+    // the Add check) but 39 after the recast to scale 15 — the lambda's
+    // final cast throws under ANSI, and the kernel must throw too, not
+    // return an out-of-range Decimal
+    val big = Seq(Tuple1(Array.fill(1000)(1e10))).toDF("v")
+    intercept[Exception] {
+      big.select(vecDotDecimal($"v", $"v")).collect()
+    }
+    intercept[Exception] {
+      big.select(graft.llm.Similarity.dotDecimalReference($"v", $"v")).collect()
+    }
+  }
+
   test("type check rejects non-array inputs") {
     val err = intercept[Exception] {
       Seq((1, 2)).toDF("x", "y").select(vecDot($"x", $"y")).collect()
