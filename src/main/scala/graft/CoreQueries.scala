@@ -521,6 +521,22 @@ object CoreQueries {
               col("total_value").cast("bigint").as("total_value"))
   }
 
+  // Spark's NATIVE session_window operator at the gate — the idiomatic
+  // counterpart of the hand-rolled q31 (lag+cumsum) / q42 (typed) / q45
+  // (streaming) sessionizations. Boundary semantics differ from those:
+  // an event extends a session iff it lands STRICTLY inside the running
+  // [min_ts, max_ts + gap) window, i.e. a gap of exactly 30 min starts a
+  // NEW session — the oracle mirrors that with `>= gap`, not `> gap`.
+  def q50_session_window(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      timestamp_micros(expr("ts div 1000")).as("tsm"))
+    ev.groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        col("n_events"), col("first_event"))
+  }
+
   // Custom typed Aggregator at the gate: exact bounded top-k per group
   // (functions.TopKByScore) — top-3 orders per customer WITHOUT a
   // window sort. Must equal the row_number() formulation; the shuffle
@@ -618,6 +634,7 @@ object CoreQueries {
     "q45_eventtime_sessions" -> q45_eventtime_sessions _,
     "q46_asof_join"   -> q46_asof_join _,
     "q47_range_join"  -> q47_range_join _,
+    "q50_session_window" -> q50_session_window _,
     "q32_rollup"      -> q32_rollup _,
     "q15_date_clamp"  -> q15_date_clamp _,
     "q16_window_rank" -> q16_window_rank _,
@@ -735,6 +752,22 @@ object CoreQueries {
         |       CAST(sum(CAST(floor(COALESCE(value, 0) * 10000) AS BIGINT)) AS BIGINT)
         |         AS total_value
         |FROM events GROUP BY user_id""".stripMargin,
+    // native session_window semantics: strictly-inside extends, >= gap splits
+    "q50_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |g AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS prev_us
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, event_id, ts_us,
+        |         CAST(sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM g)
+        |SELECT user_id, min(ts_us) AS sess_start_us, count(*) AS n_events, min(event_id) AS first_event
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
     // binned range join vs DuckDB's plain inequality join
     "q47_range_join" ->
       """WITH bands AS (
