@@ -244,6 +244,19 @@ object LlmQueries {
       graft.ops.Sampling.lcgKey(col("doc_id")),
       Seq("train" -> 900, "val" -> 50, "test" -> 50))
 
+  // Bounded-memory heavy hitters at the gate: vocabulary items with
+  // ≥ 100 occurrences via per-partition SpaceSaving sketches + exact
+  // recount (recall provably total for minCount > n/k — k auto-derived).
+  // Oracle = the plain GROUP BY ... HAVING the sketch path avoids.
+  def q51_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = t(s, dir, "documents")
+      .select(explode(graft.llm.TextShingles.words(col("text"))).as("w"))
+      .as[String]
+    graft.ops.HeavyHitters.heavyHitters(words, minCount = 100)
+      .select(col("item").as("w"), col("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact"   -> q20_dedup_exact _,
     "q21_token_count"   -> q21_token_count _,
@@ -261,7 +274,8 @@ object LlmQueries {
     "q36_corpus_clean"  -> q36_corpus_clean _,
     "q41_redact"        -> q41_redact _,
     "q48_bm25"          -> q48_bm25 _,
-    "q49_hash_split"    -> q49_hash_split _
+    "q49_hash_split"    -> q49_hash_split _,
+    "q51_heavy_hitters" -> q51_heavy_hitters _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -478,6 +492,10 @@ object LlmQueries {
         |  FROM tf t JOIN dfx x USING (w) JOIN dl l USING (doc_id) CROSS JOIN stats s)
         |SELECT doc_id, CAST(CAST(SUM(idf6*tfn6) AS DECIMAL(38,12)) AS DOUBLE) AS score
         |FROM scored GROUP BY doc_id""".stripMargin,
+    // the exact aggregate the sketch+recount path reproduces
+    "q51_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT w, count(*) AS cnt FROM tok GROUP BY w HAVING count(*) >= 100""".stripMargin,
     // pure-integer LCG mix — identical arithmetic in any engine
     "q49_hash_split" ->
       """WITH k AS (
