@@ -24,8 +24,17 @@ import org.apache.spark.sql.functions._
   * Tie semantics: build sorts BEFORE probe at equal ts (side 0 < 1), so
   * a snapshot stamped at exactly the probe's ts is visible ("≤", like
   * DuckDB `ON probe.ts >= build.ts`). Among equal-ts build rows of one
-  * key the LAST in `tieCols` order wins — pass a unique tiebreaker (or
-  * pre-dedup the build side) for a deterministic result.
+  * key the LAST in `tieCols` order wins — compared on the columns'
+  * NATIVE types (numeric ids order numerically, not lexically); pass a
+  * unique tiebreaker (or pre-dedup the build side) for a deterministic
+  * result.
+  *
+  * Null ordering values: a build row with a null `buildTs` is dropped —
+  * under the `<=` comparison semantics a null timestamp can never be at
+  * or before anything (nulls-first ordering would otherwise carry it
+  * onto every unmatched probe row). A probe row with a null `probeTs`
+  * survives with a null payload for the same reason: it sorts before
+  * every (non-null-ts) build row of its key.
   */
 object AsofJoin {
 
@@ -57,21 +66,37 @@ object AsofJoin {
     // rows (a row that never existed; ASOF attaches the matched row
     // as-is, nulls included).
     val payloadStruct = struct(payloadCols.map(col): _*)
+    // tiebreak travels as a struct of the NATIVE column values (struct
+    // ordering is field-by-field on the native types) — a string cast
+    // would order numeric ids lexicographically ("10" < "9"). The probe
+    // side's tie value is irrelevant (ties only matter among build rows
+    // at one (__ts, __side)), so it rides a typed null.
+    val tieType = org.apache.spark.sql.types.StructType(
+      tieCols.map(c => org.apache.spark.sql.types.StructField(
+        c, build.schema(c).dataType)))
+    val probeTie = if (tieCols.isEmpty) lit(0) else lit(null).cast(tieType)
+    val buildTie = if (tieCols.isEmpty) lit(0)
+                   else struct(tieCols.map(col): _*)
     val p = probe
       .withColumn("__ts", col(probeTs))
       .withColumn("__side", lit(1))
-      .withColumn("__tie", array(Seq.empty[Column]: _*).cast("array<string>"))
+      .withColumn("__tie", probeTie)
       .withColumn("__payload",
         lit(null).cast(org.apache.spark.sql.types.StructType(
           payloadCols.map(c => org.apache.spark.sql.types.StructField(
             c, build.schema(c).dataType)))))
-    // SQL equality semantics: a build row with any NULL key can never
-    // match (the window's partitionBy would group null==null otherwise)
+    // SQL comparison semantics: a build row with any NULL key can never
+    // match (the window's partitionBy would group null==null otherwise),
+    // and neither can one with a NULL ts — nulls sort FIRST ascending,
+    // so an unfiltered null-ts build row would masquerade as "before
+    // everything" and carry its payload onto probe rows with no true
+    // match.
     val b0 = build
-      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .filter((keyCols.map(col(_).isNotNull) :+ col(buildTs).isNotNull)
+        .reduce(_ && _))
       .withColumn("__ts", col(buildTs))
       .withColumn("__side", lit(0))
-      .withColumn("__tie", array(tieCols.map(c => col(c).cast("string")): _*))
+      .withColumn("__tie", buildTie)
       .withColumn("__payload", payloadStruct)
     val bAligned = probeCols.filterNot(keyCols.contains)
       .foldLeft(b0)((df, c) =>

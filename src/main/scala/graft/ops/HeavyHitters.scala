@@ -23,27 +23,50 @@ import org.apache.spark.sql.functions._
   * (the recount). `k = 0` derives k from one count() of the input so the
   * n/k < minCount premise holds at any scale (with a 4× safety factor);
   * an explicit k is the caller's promise that minCount > n/k.
+  *
+  * Memory bounds: k is capped at [[MaxK]] (2^27) — the per-partition
+  * sketch is O(k) heap, and int arithmetic on the compaction threshold
+  * must not overflow. A derived k hitting the cap means minCount is
+  * below ~4n/2^27; at that point the recall premise needs a partition
+  * count check, not a bigger sketch. The candidate set (≤ partitions×k
+  * distinct items) is broadcast for the recount only while its measured
+  * size is ≤ `broadcastLimit`; past that it falls back to a plain
+  * (shuffle-planned) join rather than forcing gigabytes onto the driver.
   */
 object HeavyHitters {
 
-  /** All (item, cnt) with cnt ≥ minCount. */
+  /** Hard cap on the per-partition sketch size (2^27 counters). */
+  private[graft] val MaxK: Int = 1 << 27
+
+  private[graft] def deriveK(n: Long, minCount: Long): Int =
+    math.max(1024L, math.min(MaxK.toLong, 4L * n / minCount)).toInt
+
+  /** All (item, cnt) with cnt ≥ minCount.
+    * @param broadcastLimit max candidate-set size (items) that may be
+    *        broadcast for the exact recount; above it the join is left
+    *        to Spark's planner. */
   def heavyHitters(items: Dataset[String], minCount: Long,
-                   k: Int = 0): DataFrame = {
+                   k: Int = 0, broadcastLimit: Long = 4L * 1000 * 1000): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
+    require(k >= 0 && k <= MaxK, s"k must be in [0, $MaxK]: the sketch is O(k) heap per partition")
     val spark = items.sparkSession
     import spark.implicits._
-    val kN =
-      if (k > 0) k
-      else {
-        val n = items.count()
-        math.max(1024L, math.min(Int.MaxValue.toLong, 4L * n / minCount)).toInt
-      }
+    val kN = if (k > 0) k else deriveK(items.count(), minCount)
     val cands = items.mapPartitions(it => sketchItems(it, kN).iterator)
-      .toDF("item").distinct()
-    items.toDF("item")
-      .join(broadcast(cands), "item")
-      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
+      .toDF("item").distinct().persist()
+    try {
+      val nCands = cands.count()
+      val recount =
+        if (nCands <= broadcastLimit) items.toDF("item").join(broadcast(cands), "item")
+        else items.toDF("item").join(cands, "item")
+      val out = recount
+        .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minCount)
+      // materialize the (small, ≥minCount-filtered) result before
+      // releasing the candidate cache; lineage keeps it fault-tolerant
+      out.persist().count()
+      out
+    } finally cands.unpersist()
   }
 
   /** SpaceSaving summary of one partition: the ≤ k tracked items.
@@ -56,12 +79,16 @@ object HeavyHitters {
     * guaranteed for every true heavy hitter and the exact recount
     * restores precision). */
   private[graft] def sketchItems(it: Iterator[String], k: Int): Seq[String] = {
-    val counts = new java.util.HashMap[String, java.lang.Long](k * 2)
+    // initial capacities are cosmetic (both structures grow); keep them
+    // modest so a large k doesn't pre-allocate gigabytes
+    val counts = new java.util.HashMap[String, java.lang.Long](
+      math.min(k, 1 << 16) * 2)
     val heap = new java.util.PriorityQueue[(Long, String)](
-      k + 1, java.util.Comparator.comparingLong((p: (Long, String)) => p._1))
+      math.min(k + 1, 1 << 16),
+      java.util.Comparator.comparingLong((p: (Long, String)) => p._1))
     def push(c: Long, w: String): Unit = {
       heap.add((c, w))
-      if (heap.size > 4 * k) {             // compact: drop stale entries
+      if (heap.size.toLong > 4L * k) {     // compact: drop stale entries
         heap.clear()
         counts.forEach((kw, kc) => heap.add((kc.longValue(), kw)))
       }

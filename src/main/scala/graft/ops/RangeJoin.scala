@@ -22,25 +22,41 @@ import org.apache.spark.sql.functions._
   * Pick `binWidth` near the TYPICAL interval width: too small explodes
   * the interval side (span/w bucket rows per interval), too large packs
   * many intervals per bucket (join fan-out approaches the nested loop).
-  * Both degrade gracefully — correctness never depends on the width.
+  * Correctness never depends on the width, but a too-small width is a
+  * cost cliff, not a graceful one: a single interval spanning more than
+  * `maxBinsPerInterval` buckets FAILS FAST with an actionable per-row
+  * error (raise binWidth) instead of letting `sequence()` abort deep in
+  * a stage on Spark's max array length.
   */
 object RangeJoin {
 
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       valueCol: String, loCol: String, hiCol: String,
-                      binWidth: Double): DataFrame = {
+                      binWidth: Double,
+                      maxBinsPerInterval: Long = 1L << 22): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval >= 1, "maxBinsPerInterval must be >= 1")
     require(points.columns.intersect(intervals.columns).isEmpty,
       "point and interval column names must be disjoint (alias before joining)")
     require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
       "inputs must not carry the helper column __bin")
     val p = points.withColumn("__bin",
       floor(col(valueCol) / binWidth).cast("long"))
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
+    // per-row span guard: when the assert passes it yields null and
+    // coalesce falls through to hiBin — keeping the check inside the
+    // sequence() argument so the optimizer can't prune it away
+    val guardedHi = coalesce(
+      assert_true(hiBin - loBin < lit(maxBinsPerInterval),
+        format_string("RangeJoin: interval [%s, %s) spans >= " +
+          s"$maxBinsPerInterval bins at binWidth=$binWidth — raise " +
+          "binWidth (or maxBinsPerInterval)", col(loCol), col(hiCol)))
+        .cast("long"),
+      hiBin)
     val i = intervals
       .filter(col(hiCol) > col(loCol))   // empty intervals match nothing
-      .withColumn("__bin", explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+      .withColumn("__bin", explode(sequence(loBin, guardedHi)))
     p.join(i, Seq("__bin"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bin")

@@ -38,7 +38,35 @@ class AsofJoinSpec extends SparkTestBase {
         keyCols = Seq("sym"), probeTs = "trade_ts", buildTs = "snap_ts",
         payloadCols = Seq("price"), tieCols = Seq("price"))
       .select($"price").as[Double].head()
-    assert(got == 111.0)   // "111.0" > "110.0" in tie order → last wins
+    assert(got == 111.0)   // 111.0 > 110.0 in tie order → last wins
+  }
+
+  test("numeric tiebreakers order natively, not lexicographically") {
+    // seq 9 vs 10: lexicographic would pick 9 ("10" < "9"); native picks 10
+    val build2 = Seq(("A", 20L, 9L, 9.0), ("A", 20L, 10L, 10.0))
+      .toDF("sym", "snap_ts", "seq", "price")
+    val probe2 = Seq((1L, "A", 25L)).toDF("trade_id", "sym", "trade_ts")
+    val got = AsofJoin.asofBackward(probe2, build2,
+        keyCols = Seq("sym"), probeTs = "trade_ts", buildTs = "snap_ts",
+        payloadCols = Seq("price"), tieCols = Seq("seq"))
+      .select($"price").as[Double].head()
+    assert(got == 10.0,
+      s"tiebreak must use the column's natural numeric order, got $got")
+  }
+
+  test("null-ts build rows never match; null-ts probe rows survive unmatched") {
+    val build2 = Seq((Option(10L), 1L), (Option.empty[Long], 99L))
+      .toDF("snap_ts", "payload").withColumn("sym", lit("A"))
+    val probe2 = Seq((1L, Option(20L)), (2L, Option(5L)), (3L, Option.empty[Long]))
+      .toDF("trade_id", "trade_ts").withColumn("sym", lit("A"))
+    val got = AsofJoin.asofBackward(probe2, build2,
+        keyCols = Seq("sym"), probeTs = "trade_ts", buildTs = "snap_ts",
+        payloadCols = Seq("payload"))
+      .select($"trade_id", $"payload").as[(Long, Option[Long])]
+      .collect().toMap
+    // the null-ts build row (payload 99) must never be carried: not onto
+    // the pre-snapshot probe (id 2), not onto the null-ts probe (id 3)
+    assert(got == Map(1L -> Some(1L), 2L -> None, 3L -> None))
   }
 
   test("matches an inequality-join formulation on real events (sf0.001)") {

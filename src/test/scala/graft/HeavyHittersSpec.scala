@@ -39,4 +39,29 @@ class HeavyHittersSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(got == Map("a" -> 500L, "b" -> 300L))
   }
+
+  test("derived k clamps to [1024, 2^27] without int overflow") {
+    assert(HeavyHitters.deriveK(100L, 1L) == 1024)
+    // 4n/minCount ≥ 2^31 — the regime that used to overflow Int
+    val big = HeavyHitters.deriveK(Long.MaxValue / 8, 1L)
+    assert(big == HeavyHitters.MaxK && big > 0)
+    assert(HeavyHitters.deriveK(1L << 40, 1L << 20) == (1L << 22).toInt)
+  }
+
+  test("oversized candidate sets fall back to a planner-chosen join (no forced broadcast)") {
+    val words = (Seq.fill(500)("a") ++ Seq.fill(300)("b") ++
+      (1 to 200).map(i => s"x$i")).toDS()
+    // broadcastLimit=0 forces the fallback path; result must be identical
+    val got = HeavyHitters.heavyHitters(words, minCount = 300, k = 8,
+        broadcastLimit = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 500L, "b" -> 300L))
+  }
+
+  test("explicit k beyond the sketch-memory cap is rejected") {
+    val words = Seq("a").toDS()
+    intercept[IllegalArgumentException] {
+      HeavyHitters.heavyHitters(words, minCount = 1, k = HeavyHitters.MaxK + 1)
+    }
+  }
 }

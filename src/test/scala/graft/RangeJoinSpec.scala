@@ -47,6 +47,18 @@ class RangeJoinSpec extends SparkTestBase {
       s"range join must not plan a nested loop:\n${plan.take(600)}")
   }
 
+  test("an interval spanning too many bins fails fast with an actionable error") {
+    // [5, 30) at width 0.25 = 100 bins > the 10-bin cap
+    val ex = intercept[Exception] {
+      RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi",
+        binWidth = 0.25, maxBinsPerInterval = 10).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("RangeJoin: interval")),
+      s"expected the per-row span message, got: ${ex.getMessage}")
+  }
+
   test("column collisions are rejected") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points.withColumn("lo", lit(0.0)),
