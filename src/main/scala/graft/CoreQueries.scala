@@ -619,6 +619,150 @@ object CoreQueries {
         |""".stripMargin)
   }
 
+  // Bloom-filter-pruned semi join at the gate (ops/BloomPrune): lineitem
+  // pruned to high-value orders via a distributed-built Catalyst
+  // BloomFilterAggregate probe, then an exact semi join removes the
+  // sketch's false positives — result identical to the plain IN-subquery
+  // the oracle runs. The 100 TB point: the 128 KiB sketch filters the
+  // fact scan BEFORE the join shuffle; only might-match rows shuffle.
+  def q53_bloom_semi(s: SparkSession, dir: String): DataFrame = {
+    val hi = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+    graft.ops.BloomPrune.semiJoinPruned(
+      t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice")),
+      hi, bigKey = "l_orderkey", smallKey = "o_orderkey",
+      expectedItems = 1L << 16, numBits = 1L << 20)
+  }
+
+  // STREAM-STREAM time-bounded join at the gate: clicks joined to the
+  // same user's purchases within 24 h, both sides real streams of one
+  // source (self-join), watermarked so the engine can bound join state —
+  // the streaming-enrichment primitive. Inner join + finite replay ⇒
+  // the emitted set equals the batch inequality join (the oracle).
+  // All time math in epoch-micros timestamps (both engines µs-exact).
+  def q54_stream_stream_join(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.streaming.EventStream.runBatchOfStream(
+      s, s"$dir/events.parquet", "q54_join_mem", df => {
+        val base = df.withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+        val clicks = base.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+                  col("ts_us").as("click_ts"))
+          .withWatermark("click_ts", "10 minutes")
+        val purch = base.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+                  col("user_id").as("p_user"),
+                  col("ts_us").as("purchase_ts"))
+          .withWatermark("purchase_ts", "10 minutes")
+        clicks.join(purch,
+            col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 24 HOURS"))
+          .select(col("click_id"), col("purchase_id"), col("user_id"))
+      },
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  // STREAMING exact dedup at the gate: dropDuplicates over a 2-micro-batch
+  // stream (events split by id parity — most (user_id, event_type) pairs
+  // occur in BOTH halves, so the emitted distinct set is correct ONLY if
+  // the dedup state survives across batches). Append mode; oracle =
+  // batch SELECT DISTINCT.
+  def q55_stream_dedup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q55_events")
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    rewritePartFiles(tmp, Seq(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0),
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)))
+    graft.streaming.EventStream.runBatchOfStream(
+      s, tmp.getAbsolutePath, "q55_dedup_mem",
+      df => df.select(col("user_id"), col("event_type"))
+              .dropDuplicates(Seq("user_id", "event_type")),
+      mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+      options = Map("maxFilesPerTrigger" -> "1"))
+  }
+
+  // PIVOT (long→wide) at the gate: order counts + exact decimal totals
+  // per year × status, statuses pinned explicitly (Seq("F","O","P") — a
+  // production pivot never collect()s its value domain). Empty cells
+  // surface 0 in both engines (Spark pivot yields NULL, coalesced here;
+  // DuckDB conditional aggregation likewise COALESCEd).
+  def q56_pivot(s: SparkSession, dir: String): DataFrame = {
+    val piv = t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("o_totalprice").cast(dec)).as("total"))
+    piv.select(col("order_year"),
+      coalesce(col("F_cnt"), lit(0L)).as("f_cnt"),
+      outD(coalesce(col("F_total"), lit(0).cast(dec))).as("f_total"),
+      coalesce(col("O_cnt"), lit(0L)).as("o_cnt"),
+      outD(coalesce(col("O_total"), lit(0).cast(dec))).as("o_total"),
+      coalesce(col("P_cnt"), lit(0L)).as("p_cnt"),
+      outD(coalesce(col("P_total"), lit(0).cast(dec))).as("p_total"))
+  }
+
+  // EXACT per-group percentiles (median + p90) by discrete selection:
+  // row_number over (price, orderkey) + integer index formulas — pure
+  // value SELECTION, no interpolation arithmetic, so the surfaced
+  // doubles are raw pass-throughs and cross-engine exact. Scale note:
+  // exact percentiles require a per-group sort (here 5 fat groups — the
+  // window shuffles on the segment key); at billions of rows per group
+  // switch to percentile_approx (t-digest sketch, map-side mergeable) —
+  // kept off the gate because sketches aren't cross-engine comparable.
+  def q57_percentile(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    val j = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    j.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        max(when(col("rn") === expr("(n+1) div 2"), col("o_totalprice")))
+          .as("median_price"),
+        max(when(col("rn") === expr("(9*n+9) div 10"), col("o_totalprice")))
+          .as("p90_price"))
+  }
+
+  // INTERVAL-OVERLAP join at the gate (ops/RangeJoin.intervalOverlap):
+  // per-customer order-activity spans × fixed 45-day calendar windows,
+  // paired via bucket explosion with exactly-once emission (the overlap
+  // start's bucket) — vs DuckDB's plain double-inequality join. All
+  // bounds are integer day offsets (datediff — identical in both).
+  def q58_interval_overlap(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+    val cust = t(s, dir, "orders").filter(col("o_custkey") < 500)
+      .groupBy(col("o_custkey"))
+      .agg(min(day).cast("long").as("c_lo"),
+           (max(day) + 1).cast("long").as("c_hi"))
+    val win = s.range(80).select(col("id").as("win_id"),
+      (col("id") * 30).as("w_lo"), (col("id") * 30 + 45).as("w_hi"))
+    graft.ops.RangeJoin.intervalOverlap(cust, win,
+        lLo = "c_lo", lHi = "c_hi", rLo = "w_lo", rHi = "w_hi",
+        binWidth = 64.0)
+      .select(col("o_custkey"), col("win_id"),
+        (least(col("c_hi"), col("w_hi")) - greatest(col("c_lo"), col("w_lo")))
+          .as("overlap_days"))
+  }
+
+  // UNPIVOT (wide→long, melt) at the gate: Dataset.unpivot over the three
+  // lineitem measures — map-only (no shuffle), the feature-flattening
+  // step of a metrics pipeline. Oracle = the UNION ALL it replaces.
+  def q59_unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q0_flagship"     -> q0_flagship _,
     "q35_grouping_sets" -> q35_grouping_sets _,
@@ -635,6 +779,13 @@ object CoreQueries {
     "q46_asof_join"   -> q46_asof_join _,
     "q47_range_join"  -> q47_range_join _,
     "q50_session_window" -> q50_session_window _,
+    "q53_bloom_semi"  -> q53_bloom_semi _,
+    "q54_stream_stream_join" -> q54_stream_stream_join _,
+    "q55_stream_dedup" -> q55_stream_dedup _,
+    "q56_pivot"       -> q56_pivot _,
+    "q57_percentile"  -> q57_percentile _,
+    "q58_interval_overlap" -> q58_interval_overlap _,
+    "q59_unpivot"     -> q59_unpivot _,
     "q32_rollup"      -> q32_rollup _,
     "q15_date_clamp"  -> q15_date_clamp _,
     "q16_window_rank" -> q16_window_rank _,
@@ -768,6 +919,69 @@ object CoreQueries {
         |  FROM g)
         |SELECT user_id, min(ts_us) AS sess_start_us, count(*) AS n_events, min(event_id) AS first_event
         |FROM s GROUP BY user_id, sess_id""".stripMargin,
+    // Bloom-pruned semi join must equal the plain IN-subquery
+    "q53_bloom_semi" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+    // stream-stream inner join over a finite replay = the batch join
+    "q54_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+        | AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 86400000000""".stripMargin,
+    // streaming dropDuplicates across micro-batches = batch DISTINCT
+    "q55_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,
+    "q56_pivot" ->
+      """SELECT year(o_orderdate) AS order_year,
+        | count(CASE WHEN o_orderstatus='F' THEN 1 END) AS f_cnt,
+        | CAST(CAST(COALESCE(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS DECIMAL(38,6)) AS DOUBLE) AS f_total,
+        | count(CASE WHEN o_orderstatus='O' THEN 1 END) AS o_cnt,
+        | CAST(CAST(COALESCE(sum(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS DECIMAL(38,6)) AS DOUBLE) AS o_total,
+        | count(CASE WHEN o_orderstatus='P' THEN 1 END) AS p_cnt,
+        | CAST(CAST(COALESCE(sum(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS DECIMAL(38,6)) AS DOUBLE) AS p_total
+        |FROM orders GROUP BY 1""".stripMargin,
+    // discrete-selection percentiles: same window + index formulas
+    "q57_percentile" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment, o.o_totalprice, o.o_orderkey
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |         count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM j)
+        |SELECT c_mktsegment,
+        |       max(CASE WHEN rn = (n+1)//2 THEN o_totalprice END) AS median_price,
+        |       max(CASE WHEN rn = (9*n+9)//10 THEN o_totalprice END) AS p90_price
+        |FROM r GROUP BY c_mktsegment""".stripMargin,
+    // binned interval-overlap join vs the plain double-inequality join
+    "q58_interval_overlap" ->
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |         CAST(min(date_diff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT) AS c_lo,
+        |         CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) + 1 AS BIGINT) AS c_hi
+        |  FROM orders WHERE o_custkey < 500 GROUP BY o_custkey),
+        |win AS (
+        |  SELECT CAST(range AS BIGINT) AS win_id,
+        |         CAST(range*30 AS BIGINT) AS w_lo,
+        |         CAST(range*30+45 AS BIGINT) AS w_hi
+        |  FROM range(80))
+        |SELECT o_custkey, win_id,
+        |       CAST(least(c_hi, w_hi) - greatest(c_lo, w_lo) AS BIGINT) AS overlap_days
+        |FROM cust JOIN win ON c_lo < w_hi AND w_lo < c_hi""".stripMargin,
+    // unpivot = the UNION ALL it replaces
+    "q59_unpivot" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_tax', l_tax FROM lineitem""".stripMargin,
     // binned range join vs DuckDB's plain inequality join
     "q47_range_join" ->
       """WITH bands AS (

@@ -244,6 +244,19 @@ object LlmQueries {
       graft.ops.Sampling.lcgKey(col("doc_id")),
       Seq("train" -> 900, "val" -> 50, "test" -> 50))
 
+  // Stratified deterministic sampling at the gate: per-language keep
+  // fractions (the corpus-rebalancing move — downsample the dominant
+  // language, keep all of a rare one), membership a pure function of
+  // doc_id so re-weights never reshuffle which rows survive. Map-only;
+  // the rate lookup is a codegen'd comparison cascade.
+  def q52_stratified_sample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSampleByHash(
+        t(s, dir, "documents"),
+        graft.ops.Sampling.lcgKey(col("doc_id")), col("lang"),
+        Seq("en" -> 500, "zh" -> 800, "es" -> 1000, "de" -> 250),
+        defaultPerMille = 100)
+      .select(col("doc_id"), col("lang"))
+
   // Bounded-memory heavy hitters at the gate: vocabulary items with
   // ≥ 100 occurrences via per-partition SpaceSaving sketches + exact
   // recount (recall provably total for minCount > n/k — k auto-derived).
@@ -275,7 +288,8 @@ object LlmQueries {
     "q41_redact"        -> q41_redact _,
     "q48_bm25"          -> q48_bm25 _,
     "q49_hash_split"    -> q49_hash_split _,
-    "q51_heavy_hitters" -> q51_heavy_hitters _
+    "q51_heavy_hitters" -> q51_heavy_hitters _,
+    "q52_stratified_sample" -> q52_stratified_sample _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -504,6 +518,12 @@ object LlmQueries {
         |SELECT doc_id,
         |  CASE WHEN key < 900 THEN 'train' WHEN key < 950 THEN 'val' ELSE 'test' END AS split
         |FROM k""".stripMargin,
+    // same LCG key, per-stratum thresholds
+    "q52_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id * 1103515245 + 12345) % 1000000007) % 1000 <
+        |  CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 800 WHEN 'es' THEN 1000
+        |            WHEN 'de' THEN 250 ELSE 100 END""".stripMargin,
     "q29_subword_count" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\p{L}{1,4}|\p{N}{1,3}|[^\s\p{L}\p{N}]')) AS INT) AS n_subwords

@@ -56,4 +56,27 @@ object Sampling {
     require(keepPerMille >= 0 && keepPerMille <= Mille, "fraction out of range")
     df.filter(key < keepPerMille)
   }
+
+  /** STRATIFIED deterministic sampling: a per-stratum keep fraction —
+    * the corpus-rebalancing primitive (e.g. downsample the dominant
+    * language, keep all of a rare one) with the same stability contract
+    * as [[sampleByHash]]: membership is a pure function of the row id,
+    * so strata re-weights never reshuffle which individual rows survive.
+    * Map-only; the rate lookup compiles to a comparison cascade inside
+    * whole-stage codegen (no join against a rate table needed until the
+    * stratum count is large). Gate query q52. */
+  def stratifiedSampleByHash(df: DataFrame, key: Column, stratum: Column,
+                             ratesPerMille: Seq[(String, Int)],
+                             defaultPerMille: Int = 0): DataFrame = {
+    require(ratesPerMille.forall { case (_, r) => r >= 0 && r <= Mille },
+      "per-stratum rates must be in [0, 1000]")
+    require(defaultPerMille >= 0 && defaultPerMille <= Mille,
+      "default rate out of range")
+    require(ratesPerMille.map(_._1).distinct.size == ratesPerMille.size,
+      "duplicate stratum in rate list")
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille): Column) {
+      case (els, (s, r)) => when(stratum === s, lit(r)).otherwise(els)
+    }
+    df.filter(key < rate)
+  }
 }

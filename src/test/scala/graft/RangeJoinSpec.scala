@@ -68,4 +68,61 @@ class RangeJoinSpec extends SparkTestBase {
       RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", 0.0)
     }
   }
+
+  // ---- intervalOverlap ----
+
+  lazy val leftIv = Seq(
+    (1L, 0.0, 10.0), (2L, 5.0, 15.0), (3L, 20.0, 30.0), (4L, 40.0, 40.0)
+  ).toDF("lid", "llo", "lhi")
+  lazy val rightIv = Seq(
+    (10L, -5.0, 1.0),    // overlaps 1 only (touches [0,10) at [0,1))
+    (11L, 9.0, 21.0),    // overlaps 1, 2, 3
+    (12L, 15.0, 20.0),   // gap [15,20): overlaps nothing (both ends exclusive)
+    (13L, -100.0, 100.0) // covers every non-empty left interval
+  ).toDF("rid", "rlo", "rhi")
+
+  val expectedOverlap = Set(
+    (1L, 10L), (1L, 11L), (2L, 11L), (3L, 11L),
+    (1L, 13L), (2L, 13L), (3L, 13L))
+
+  private def runOv(w: Double) =
+    RangeJoin.intervalOverlap(leftIv, rightIv, "llo", "lhi", "rlo", "rhi", w)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSeq
+
+  test("overlap semantics: half-open intervals, empty left dropped, adjacency is no overlap") {
+    val got = runOv(8.0)
+    assert(got.toSet == expectedOverlap, s"got ${got.toSet}")
+    assert(got.size == got.toSet.size, "each pair must be emitted exactly once")
+  }
+
+  test("overlap bin width never changes the result and never duplicates pairs") {
+    for (w <- Seq(0.5, 3.0, 25.0, 1000.0)) {
+      val got = runOv(w)
+      assert(got.toSet == expectedOverlap, s"width $w changed the match set")
+      assert(got.size == got.toSet.size, s"width $w duplicated pairs")
+    }
+  }
+
+  test("overlap join plans on the bin key, never a nested loop") {
+    val plan = RangeJoin.intervalOverlap(leftIv, rightIv,
+        "llo", "lhi", "rlo", "rhi", 8.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"interval overlap must not plan a nested loop:\n${plan.take(600)}")
+  }
+
+  test("overlap join validates inputs like pointInInterval") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(leftIv, rightIv.withColumn("llo", lit(0.0)),
+        "llo", "lhi", "rlo", "rhi", 8.0)
+    }
+    val ex = intercept[Exception] {
+      RangeJoin.intervalOverlap(leftIv, rightIv, "llo", "lhi", "rlo", "rhi",
+        binWidth = 0.5, maxBinsPerInterval = 10).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("RangeJoin: interval")))
+  }
 }

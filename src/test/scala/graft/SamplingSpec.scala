@@ -62,6 +62,34 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("stratified sampling applies per-stratum rates; stays stable under re-weighting") {
+    val rows = spark.range(0, 9000)
+      .select($"id", concat(lit("s"), pmod($"id", lit(3))).as("stratum"))
+    val kept = Sampling.stratifiedSampleByHash(rows, Sampling.xxKey($"id"),
+        $"stratum", Seq("s0" -> 1000, "s1" -> 200), defaultPerMille = 0)
+      .as[(Long, String)].collect()
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStratum.getOrElse("s0", 0) == 3000, "rate 1000 keeps everything")
+    assert(byStratum.get("s2").isEmpty, "default 0 drops the unmapped stratum")
+    assert(math.abs(byStratum("s1") - 600) < 150, s"rate 200 ≈ 600 rows, got $byStratum")
+    // re-weighting s1 upward only ADDS rows — survivors never churn
+    val wider = Sampling.stratifiedSampleByHash(rows, Sampling.xxKey($"id"),
+        $"stratum", Seq("s0" -> 1000, "s1" -> 500), defaultPerMille = 0)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(kept.map(_._1).toSet.subsetOf(wider))
+  }
+
+  test("stratified rates are validated") {
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSampleByHash(ids.withColumn("st", lit("a")),
+        Sampling.xxKey($"id"), $"st", Seq("a" -> 1001))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSampleByHash(ids.withColumn("st", lit("a")),
+        Sampling.xxKey($"id"), $"st", Seq("a" -> 500, "a" -> 600))
+    }
+  }
+
   test("assignment is map-only: no shuffle in the plan") {
     val plan = Sampling.assignSplits(ids, Sampling.xxKey($"id"),
         Seq("train" -> 900, "val" -> 100))
