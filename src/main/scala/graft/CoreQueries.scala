@@ -685,6 +685,24 @@ object CoreQueries {
       options = Map("maxFilesPerTrigger" -> "1"))
   }
 
+  // STREAM-STATIC enrichment join at the gate: the events stream joined
+  // to a broadcast dimension table (stateless — each micro-batch joins
+  // independently, no streaming state at all), the standard dimension-
+  // lookup shape of a streaming ingest pipeline. Deterministic: inner
+  // equi-join, finite replay ⇒ output = the batch join.
+  def q60_stream_static_join(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nation = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    graft.streaming.EventStream.runBatchOfStream(
+      s, s"$dir/events.parquet", "q60_enrich_mem", df =>
+        df.select(col("event_id"), col("user_id"), col("event_type"))
+          .withColumn("n_nationkey", pmod(col("user_id"), lit(25)))
+          .join(broadcast(nation), Seq("n_nationkey"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+                  col("n_name")),
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   // PIVOT (long→wide) at the gate: order counts + exact decimal totals
   // per year × status, statuses pinned explicitly (Seq("F","O","P") — a
   // production pivot never collect()s its value domain). Empty cells
@@ -783,6 +801,7 @@ object CoreQueries {
     "q54_stream_stream_join" -> q54_stream_stream_join _,
     "q55_stream_dedup" -> q55_stream_dedup _,
     "q56_pivot"       -> q56_pivot _,
+    "q60_stream_static_join" -> q60_stream_static_join _,
     "q57_percentile"  -> q57_percentile _,
     "q58_interval_overlap" -> q58_interval_overlap _,
     "q59_unpivot"     -> q59_unpivot _,
@@ -932,6 +951,10 @@ object CoreQueries {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
         | AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 86400000000""".stripMargin,
+    // stream-static broadcast enrichment = the batch dimension join
+    "q60_stream_static_join" ->
+      """SELECT e.event_id, e.user_id, e.event_type, n.n_name
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey""".stripMargin,
     // streaming dropDuplicates across micro-batches = batch DISTINCT
     "q55_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""".stripMargin,

@@ -244,6 +244,30 @@ object LlmQueries {
       graft.ops.Sampling.lcgKey(col("doc_id")),
       Seq("train" -> 900, "val" -> 50, "test" -> 50))
 
+  // K-means ASSIGNMENT at the gate (llm/Similarity.assignToCentroids):
+  // every embedding assigned to its nearest of 8 pinned centroids (the
+  // lowest-id vectors — a deterministic "init"; full Lloyd training is
+  // ivfCentroids) by squared-L2 via |v|²+|c|²−2·v·c on the native
+  // decimal-dot kernel, double finish — cross-engine exact, ties to the
+  // lowest centroid id.
+  def q61_kmeans_assign(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.Similarity.assignToCentroids(
+        emb, emb.filter(col("vec_id") < 8),
+        idCol = "vec_id", vecCol = "embedding",
+        centroidIdCol = "vec_id", centroidVecCol = "embedding")
+      .select(col("vec_id"), col("centroid_id"),
+              col("dist2").cast(out).cast("double").as("dist2"))
+  }
+
+  // TF-IDF top-3 terms per document at the gate (llm/Relevance
+  // .tfIdfDeterministicTopK): the rational pre-log score tf·N/df, one
+  // decimal division rounded to DECIMAL(18,6) in both engines (ln()
+  // isn't cross-engine bit-stable; the production tfIdfTopK uses it).
+  def q62_tfidf_terms(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Relevance.tfIdfDeterministicTopK(
+      t(s, dir, "documents"), idCol = "doc_id", textCol = "text", k = 3)
+
   // Stratified deterministic sampling at the gate: per-language keep
   // fractions (the corpus-rebalancing move — downsample the dominant
   // language, keep all of a rare one), membership a pure function of
@@ -289,7 +313,9 @@ object LlmQueries {
     "q48_bm25"          -> q48_bm25 _,
     "q49_hash_split"    -> q49_hash_split _,
     "q51_heavy_hitters" -> q51_heavy_hitters _,
-    "q52_stratified_sample" -> q52_stratified_sample _
+    "q52_stratified_sample" -> q52_stratified_sample _,
+    "q61_kmeans_assign" -> q61_kmeans_assign _,
+    "q62_tfidf_terms"   -> q62_tfidf_terms _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -518,6 +544,39 @@ object LlmQueries {
         |SELECT doc_id,
         |  CASE WHEN key < 900 THEN 'train' WHEN key < 950 THEN 'val' ELSE 'test' END AS split
         |FROM k""".stripMargin,
+    // nearest-centroid assignment: decimal norms/dots, double combine
+    "q61_kmeans_assign" ->
+      """WITH nv AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, embedding AS cvec, nrm AS cnrm FROM nv WHERE vec_id < 8),
+        |p AS (
+        |  SELECT v.vec_id, c.centroid_id,
+        |    CAST(v.nrm AS DOUBLE) + CAST(c.cnrm AS DOUBLE)
+        |    - 2*CAST(list_sum(list_transform(list_zip(v.embedding, c.cvec),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) AS dist2
+        |  FROM nv v CROSS JOIN c),
+        |a AS (SELECT vec_id, centroid_id, dist2,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rn
+        |      FROM p)
+        |SELECT vec_id, centroid_id, CAST(CAST(dist2 AS DECIMAL(38,6)) AS DOUBLE) AS dist2
+        |FROM a WHERE rn = 1""".stripMargin,
+    // rational TF-IDF: one decimal division, rounded identically
+    "q62_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |n AS (SELECT count(*) AS N FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.w,
+        |    CAST(CAST(t.tf*n.N AS DECIMAL(27,4)) / CAST(x.df AS DECIMAL(27,4)) AS DECIMAL(18,6)) AS score6
+        |  FROM tf t JOIN dfx x USING (w) CROSS JOIN n)
+        |SELECT doc_id, w AS term, CAST(rnk AS INT) AS rnk, CAST(score6 AS DOUBLE) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score6 DESC, w ASC) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
     // same LCG key, per-stratum thresholds
     "q52_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

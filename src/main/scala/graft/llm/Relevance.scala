@@ -64,6 +64,58 @@ object Relevance {
       .groupBy(col("doc_id")).agg(sum(col("s")).as("score"))
   }
 
+  /** TF-IDF top-k terms per document over the FULL vocabulary — the
+    * keyword-extraction / topic-signature primitive (BM25 above scores
+    * docs against a fixed query; this characterizes each doc by its own
+    * most distinctive terms). Execution shape: tokenize (map-only), one
+    * groupBy(doc, term) for tf, one groupBy(term) for df, broadcast df
+    * + the 1-row N back onto tf, then a PER-DOC row_number window (the
+    * partition key is the doc id — millions of small partitions, never
+    * a global sort). Production form; `ln` keeps it off the gate. */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    val scored = tfIdfScored(docs, idCol, textCol)
+      .withColumn("score",
+        col("tf") * log(col("N").cast("double") / col("df")))
+    rankPerDoc(scored, k)
+  }
+
+  /** Gate form of [[tfIdfTopK]] (query q62): the PRE-LOG rational score
+    * tf·N/df — one decimal division rounded to DECIMAL(18,6) identically
+    * in both engines. Per-term it is a strictly monotone transform of
+    * tf·ln(N/df) only when tf is fixed, so the top-k SETS can differ
+    * from the log form; the gate pins the rational ranking itself. */
+  def tfIdfDeterministicTopK(docs: DataFrame, idCol: String,
+                             textCol: String, k: Int = 3): DataFrame = {
+    val d274 = "decimal(27,4)"
+    val scored = tfIdfScored(docs, idCol, textCol)
+      .withColumn("score6",
+        ((col("tf") * col("N")).cast(d274) / col("df").cast(d274))
+          .cast("decimal(18,6)"))
+      .withColumn("score", col("score6").cast("double"))
+    rankPerDoc(scored, k, orderCol = "score6")
+  }
+
+  private def tfIdfScored(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextShingles.words(col(textCol))).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("N"))
+    tf.join(broadcast(df_), "w").crossJoin(broadcast(n))
+  }
+
+  private def rankPerDoc(scored: DataFrame, k: Int,
+                         orderCol: String = "score"): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col(orderCol).desc, col("w").asc)
+    scored.withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("w").as("term"), col("rnk"), col("score"))
+  }
+
   /** Gate variant: rational idf, decimal arithmetic, cross-engine
     * bit-stable (see class doc). k1=1.2, b=0.75 fixed (they make the
     * tf-norm coefficients the exact integers 10/3/9). */

@@ -77,6 +77,42 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Assign every vector to its nearest centroid by squared L2 distance —
+    * the k-means assignment step as a standalone operator (cluster-based
+    * corpus curation / diversity sampling: bucket the corpus, then sample
+    * or cap per cluster). The full deterministic Lloyd training already
+    * lives in [[ivfCentroids]]; this exposes one assignment pass
+    * over an ARBITRARY centroid frame (trained, loaded, or hand-picked).
+    *
+    * Scale shape: centroids are broadcast (k×dim — the same legitimate
+    * small model as IVF), the corpus is scanned once, and the argmin is a
+    * groupBy min(struct(dist, id)) — map-side partial, one shuffle keyed
+    * on the vector id, never a window. Distance via the expansion
+    * |v|² + |c|² − 2·v·c on the native decimal-dot kernel: three fused
+    * codegen'd sums, and the combination runs in IEEE double — the same
+    * exact-decimal-sums + double-finish recipe as
+    * [[cosineDeterministic]], so the assignment is oracle-checkable
+    * (gate query q61). Ties break toward the lowest centroid id.
+    */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String,
+                        centroidIdCol: String, centroidVecCol: String)
+      : DataFrame = {
+    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("vv"))
+      .withColumn("vn", norm2Decimal(col("vv")))
+    val c = centroids.select(col(centroidIdCol).as("centroid_id"),
+        col(centroidVecCol).as("cv"))
+      .withColumn("cn", norm2Decimal(col("cv")))
+    val dist2 = col("vn").cast("double") + col("cn").cast("double") -
+      lit(2.0) * dotDecimal(col("vv"), col("cv")).cast("double")
+    v.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("centroid_id"), dist2.as("dist2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("centroid_id"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("centroid_id"),
+        col("m.dist2").as("dist2"))
+  }
+
   /** B pseudo-random hyperplane components for dimension d, derived from
     * xxhash64(seed, plane, dim) → ±1. Deterministic, no driver-side RNG
     * state, evaluated inside codegen. */

@@ -284,6 +284,53 @@ class LlmOpsSpec extends SparkTestBase {
     assert(ivf == ivf2)
   }
 
+  test("centroid assignment: planted clusters assign home; ties break to lowest id") {
+    val rnd = new scala.util.Random(47)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.05f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toSeq.toDF("cid", "cvec")
+    val got = Similarity.assignToCentroids(df, cents,
+        "vec_id", "embedding", "cid", "cvec")
+      .select($"vec_id", $"centroid_id").as[(Long, Long)].collect().toMap
+    assert(got.size == 80)
+    assert(vecs.forall { case (id, _) => got(id) == id % 4 },
+      "tightly planted vectors must assign to their generating centroid")
+    // exact tie: two identical centroids → the lower id wins
+    val dupCents = Seq((5L, centers(0)), (2L, centers(0))).toDF("cid", "cvec")
+    val tied = Similarity.assignToCentroids(df.filter($"vec_id" === 0), dupCents,
+        "vec_id", "embedding", "cid", "cvec")
+      .select($"centroid_id").as[Long].head()
+    assert(tied == 2L, "equal distances must resolve to the lowest centroid id")
+  }
+
+  test("centroid assignment distances match the reference decimal lambda form") {
+    val rnd = new scala.util.Random(53)
+    val df = (0 until 30).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = (0 until 3).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("cid", "cvec")
+    val got = Similarity.assignToCentroids(df, cents,
+        "vec_id", "embedding", "cid", "cvec")
+      .as[(Long, Long, Double)].collect().toSet
+    // independent recomputation through the CodegenFallback lambda chain
+    val ref = df.crossJoin(cents)
+      .select($"vec_id", $"cid",
+        (Similarity.dotDecimalReference($"embedding", $"embedding").cast("double")
+          + Similarity.dotDecimalReference($"cvec", $"cvec").cast("double")
+          - lit(2.0) * Similarity.dotDecimalReference($"embedding", $"cvec").cast("double"))
+          .as("dist2"))
+      .groupBy($"vec_id")
+      .agg(min(struct($"dist2", $"cid")).as("m"))
+      .select($"vec_id", $"m.cid", $"m.dist2")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == ref, "kernel-built distances must be bit-identical to the lambda form")
+  }
+
   test("persisted IVF index returns the same results as direct ivfTopK") {
     val rnd = new scala.util.Random(31)
     val vecs = (0 until 90).map(i =>

@@ -55,4 +55,33 @@ class RelevanceSpec extends SparkTestBase {
            !plan.contains("CartesianProduct"),
       "only the 1-row stats broadcast may nested-loop")
   }
+
+  test("tf-idf: a doc's unique term ranks first; ubiquitous terms rank last") {
+    val top = Relevance.tfIdfTopK(docs, "doc_id", "text", k = 10)
+      .as[(Long, String, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(top(1L).head == "rare", s"doc 1's distinctive term must win: ${top(1L)}")
+    // "common" is in every doc → idf = ln(1) = 0 → it must rank last in
+    // every doc (all other terms have positive idf)
+    assert(top.values.forall(_.last == "common"), s"got $top")
+  }
+
+  test("tf-idf deterministic variant: exact rational scores on a pinned fixture") {
+    // doc 1 "rare": tf=1, df=1, N=3 → 3.0; doc 3 "common": tf=3, df=3 → 3.0
+    val got = Relevance.tfIdfDeterministicTopK(docs, "doc_id", "text", k = 10)
+      .as[(Long, String, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got((1L, "rare")) == 3.0)         // tf=1, df=1: 1*3/1
+    assert(got((3L, "common")) == 3.0)       // tf=3, df=3: 3*3/3
+    assert(got((2L, "delta")) == 3.0)        // tf=1, df=1: 1*3/1
+    assert(got((2L, "alpha")) == 2.0)        // tf=2, df=3: 2*3/3
+  }
+
+  test("tf-idf per-doc ranking is deterministic: ties break on the term") {
+    val a = Relevance.tfIdfDeterministicTopK(docs, "doc_id", "text", k = 3)
+      .as[(Long, String, Int, Double)].collect().toSet
+    val b = Relevance.tfIdfDeterministicTopK(docs.repartition(7), "doc_id", "text", k = 3)
+      .as[(Long, String, Int, Double)].collect().toSet
+    assert(a == b, "partitioning must not change the extracted terms")
+  }
 }
