@@ -570,6 +570,14 @@ object CoreQueries {
            outD(sum(col("c_acctbal").cast(dec))).as("total_bal"))
   }
 
+  // CUBE: all 2^2 grouping combinations (completes the grouping family:
+  // rollup q32, grouping sets q35, cube here).
+  def q63_cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(year(col("o_orderdate")).as("order_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+           outD(sum(col("o_totalprice").cast(dec))).as("total"))
+
   // GROUPING SETS with explicit set list (finer than rollup/cube).
   def q35_grouping_sets(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "events").createOrReplaceTempView("gs_events")
@@ -806,6 +814,7 @@ object CoreQueries {
     "q58_interval_overlap" -> q58_interval_overlap _,
     "q59_unpivot"     -> q59_unpivot _,
     "q32_rollup"      -> q32_rollup _,
+    "q63_cube"        -> q63_cube _,
     "q15_date_clamp"  -> q15_date_clamp _,
     "q16_window_rank" -> q16_window_rank _,
     "q17_exists_agg"  -> q17_exists_agg _,
@@ -862,6 +871,10 @@ object CoreQueries {
         | CAST(list_contains(string_split(text, ' '), 'data') AS INT) AS has_data,
         | array_to_string(string_split(text, ' ')[1:3], '|') AS first3
         |FROM documents WHERE doc_id < 100""".stripMargin,
+    "q63_cube" ->
+      """SELECT year(o_orderdate) AS order_year, o_orderstatus, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (year(o_orderdate), o_orderstatus)""".stripMargin,
     "q35_grouping_sets" ->
       """SELECT event_type, user_id % 10 AS cohort, count(*) AS n,
         |       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value

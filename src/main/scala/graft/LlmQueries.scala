@@ -268,6 +268,15 @@ object LlmQueries {
     graft.llm.Relevance.tfIdfDeterministicTopK(
       t(s, dir, "documents"), idCol = "doc_id", textCol = "text", k = 3)
 
+  // Bigram language model at the gate (llm/LanguageModel.topFollowers):
+  // top-3 followers of every frequent head word by rational conditional
+  // probability pair_cnt/head_cnt — one decimal division, identical in
+  // both engines. The production per-doc LM scorer (docAvgLogProb, ln)
+  // is spec-checked instead.
+  def q64_bigram_lm(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.topFollowers(
+      t(s, dir, "documents"), textCol = "text", minHeadCount = 50, k = 3)
+
   // Stratified deterministic sampling at the gate: per-language keep
   // fractions (the corpus-rebalancing move — downsample the dominant
   // language, keep all of a rare one), membership a pure function of
@@ -315,7 +324,8 @@ object LlmQueries {
     "q51_heavy_hitters" -> q51_heavy_hitters _,
     "q52_stratified_sample" -> q52_stratified_sample _,
     "q61_kmeans_assign" -> q61_kmeans_assign _,
-    "q62_tfidf_terms"   -> q62_tfidf_terms _
+    "q62_tfidf_terms"   -> q62_tfidf_terms _,
+    "q64_bigram_lm"     -> q64_bigram_lm _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -576,6 +586,24 @@ object LlmQueries {
         |SELECT doc_id, w AS term, CAST(rnk AS INT) AS rnk, CAST(score6 AS DOUBLE) AS score
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score6 DESC, w ASC) AS rnk
         |      FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
+    // rational bigram conditional probabilities, one decimal division
+    "q64_bigram_lm" ->
+      """WITH grams AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM documents),
+        |bg AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM grams),
+        |cab AS (SELECT w1, w2, count(*) AS pair_cnt FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS head_cnt FROM cab GROUP BY 1),
+        |j AS (SELECT cab.w1, cab.w2, cab.pair_cnt, ca.head_cnt
+        |      FROM cab JOIN ca USING (w1) WHERE ca.head_cnt >= 50),
+        |scored AS (SELECT w1, w2, pair_cnt, head_cnt,
+        |  CAST(CAST(pair_cnt AS DECIMAL(18,4)) / CAST(head_cnt AS DECIMAL(18,4)) AS DECIMAL(18,6)) AS p6
+        |  FROM j)
+        |SELECT w1, w2, CAST(pair_cnt AS BIGINT) AS pair_cnt, head_cnt, CAST(rnk AS INT) AS rnk,
+        |       CAST(p6 AS DOUBLE) AS cond_p
+        |FROM (SELECT *, row_number() OVER (PARTITION BY w1 ORDER BY p6 DESC, w2 ASC) AS rnk FROM scored)
         |WHERE rnk <= 3""".stripMargin,
     // same LCG key, per-stratum thresholds
     "q52_stratified_sample" ->

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Count-based bigram language model over a corpus — the classic
+  * LM-quality signal of a training-data pipeline (KenLM-style scoring:
+  * docs whose bigrams are improbable under the corpus model are
+  * gibberish/boilerplate candidates). No reference analog; gate query
+  * q64.
+  *
+  * Execution shape: one bigram explosion (map-only, stays in codegen —
+  * TextShingles), ONE groupBy(w1, w2) for pair counts; head counts
+  * derive from the pair counts (groupBy w1 — re-aggregating the already
+  * counted pairs, never the raw token stream twice). Both aggregates
+  * partial map-side. The follower ranking windows per HEAD WORD —
+  * millions of small partitions, never a global sort. Scoring joins doc
+  * bigrams to the model on (w1, w2): a plain shuffle join keyed by the
+  * bigram — vocabulary-sized, not corpus-sized.
+  */
+object LanguageModel {
+
+  /** Bigram model: (w1, w2, pair_cnt, head_cnt) for every observed
+    * bigram. `head_cnt` = Σ pair_cnt over the head word — the
+    * conditional-probability denominator P(w2|w1) = pair_cnt/head_cnt. */
+  def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
+    val bg = docs.select(
+        explode(TextShingles.wordBigrams(col(textCol))).as("gram"))
+      .select(substring_index(col("gram"), " ", 1).as("w1"),
+              substring_index(col("gram"), " ", -1).as("w2"))
+    val cab = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+    val ca = cab.groupBy(col("w1")).agg(sum(col("pair_cnt")).as("head_cnt"))
+    cab.join(ca, "w1")
+  }
+
+  /** Gate form: top-k followers of every frequent head word by RATIONAL
+    * conditional probability — one decimal division rounded to
+    * DECIMAL(18,6) identically in both engines (ln() is not
+    * cross-engine bit-stable; [[docAvgLogProb]] is the production
+    * scorer). Ties break on the follower word. */
+  def topFollowers(docs: DataFrame, textCol: String,
+                   minHeadCount: Long, k: Int): DataFrame = {
+    val d4 = "decimal(18,4)"
+    val p6 = (col("pair_cnt").cast(d4) / col("head_cnt").cast(d4))
+      .cast("decimal(18,6)")
+    val byHead = Window.partitionBy(col("w1"))
+      .orderBy(col("p6").desc, col("w2").asc)
+    bigramModel(docs, textCol)
+      .filter(col("head_cnt") >= minHeadCount)
+      .withColumn("p6", p6)
+      .withColumn("rnk", row_number().over(byHead))
+      .filter(col("rnk") <= k)
+      .select(col("w1"), col("w2"), col("pair_cnt"), col("head_cnt"),
+              col("rnk"), col("p6").cast("double").as("cond_p"))
+  }
+
+  /** Production LM scoring: per-document average bigram log-probability
+    * under the model trained on `modelDocs` (defaults to scoring the
+    * corpus against itself; pass a reference corpus to score INCOMING
+    * docs — higher = more natural, the LM-quality filter thresholds on
+    * this). Bigrams unseen in the model back off to `floorProb` instead
+    * of −∞. Double math (ln) — spec-checked, not oracle-gated. */
+  def docAvgLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    floorProb: Double = 1e-9,
+                    modelDocs: Option[DataFrame] = None): DataFrame = {
+    require(floorProb > 0 && floorProb < 1, "floorProb must be in (0,1)")
+    val model = bigramModel(modelDocs.getOrElse(docs), textCol)
+      .select(col("w1"), col("w2"),
+        (col("pair_cnt").cast("double") / col("head_cnt")).as("p"))
+    val docBg = docs.select(col(idCol).as("doc_id"),
+        explode(TextShingles.wordBigrams(col(textCol))).as("gram"))
+      .select(col("doc_id"),
+              substring_index(col("gram"), " ", 1).as("w1"),
+              substring_index(col("gram"), " ", -1).as("w2"))
+    docBg.join(model, Seq("w1", "w2"), "left")
+      .select(col("doc_id"),
+        log(greatest(coalesce(col("p"), lit(floorProb)), lit(floorProb)))
+          .as("lp"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("lp")) / count(lit(1))).as("avg_log_prob"),
+           count(lit(1)).as("n_bigrams"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.llm.LanguageModel
+import org.apache.spark.sql.functions._
+
+class LanguageModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // controlled bigram statistics: "a b" ×3, "a c" ×1, "b a" ×2 (across
+  // doc boundaries bigrams never form — each doc tokenizes separately)
+  lazy val docs = Seq(
+    (1L, "a b a c"),      // bigrams: (a,b) (b,a) (a,c)
+    (2L, "a b"),          // (a,b)
+    (3L, "b a b"),        // (b,a) (a,b)
+    (4L, "z z")           // (z,z)
+  ).toDF("doc_id", "text")
+
+  test("bigram model counts pairs and heads exactly") {
+    val m = LanguageModel.bigramModel(docs, "text")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(m(("a", "b")) == ((3L, 4L)))   // a→{b:3, c:1}, head a = 4
+    assert(m(("a", "c")) == ((1L, 4L)))
+    assert(m(("b", "a")) == ((2L, 2L)))
+    assert(m(("z", "z")) == ((1L, 1L)))
+    assert(m.size == 4)
+  }
+
+  test("topFollowers ranks by conditional probability with word tiebreak") {
+    val got = LanguageModel.topFollowers(docs, "text", minHeadCount = 2, k = 2)
+      .as[(String, String, Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._5) -> (r._2, r._6)).toMap
+    assert(got(("a", 1)) == (("b", 0.75)))
+    assert(got(("a", 2)) == (("c", 0.25)))
+    assert(got(("b", 1)) == (("a", 1.0)))
+    assert(!got.contains(("z", 1)), "head below minHeadCount must drop")
+  }
+
+  test("docAvgLogProb: corpus-typical docs outscore unseen-bigram docs") {
+    val scored = LanguageModel.docAvgLogProb(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // doc 2 is the single most probable bigram (p=0.75); doc 4's (z,z)
+    // has p=1.0 under its own head — both well above doc 1 (has p=0.25)
+    assert(scored(2L) > scored(1L))
+    assert(scored.values.forall(_ <= 0.0), "log probs must be non-positive")
+    // scored against a REFERENCE model, an unseen bigram bottoms out at
+    // ln(floorProb) — far below any in-model doc
+    val probe = Seq((9L, "q r"), (10L, "a b")).toDF("doc_id", "text")
+    val vsModel = LanguageModel.docAvgLogProb(
+        probe, "doc_id", "text", floorProb = 1e-9, modelDocs = Some(docs))
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(vsModel(9L) == math.log(1e-9), "unseen bigram must hit the floor")
+    assert(vsModel(10L) == math.log(0.75), "in-model bigram must score its true probability")
+  }
+
+  test("model counts are partition-independent") {
+    val a = LanguageModel.bigramModel(docs, "text")
+      .as[(String, String, Long, Long)].collect().toSet
+    val b = LanguageModel.bigramModel(docs.repartition(13), "text")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+}

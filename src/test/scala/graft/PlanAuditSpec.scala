@@ -56,6 +56,36 @@ class PlanAuditSpec extends SparkTestBase {
       "ranking stage must use range partitioning, not a window")
   }
 
+  test("q53: bloom probe filters the fact side BEFORE the exact semi join") {
+    val p = plan("q53_bloom_semi")
+    assert(p.contains("might_contain"), s"expected the bloom probe:\n${p.take(600)}")
+    // the probe must sit under the join (scan-side), not above it
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "might_contain must appear below the join in the plan tree (scan side)")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q58: interval overlap joins on the bin key, no nested loop") {
+    val p = plan("q58_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"overlap join must stay an equi-join:\n${p.take(600)}")
+  }
+
+  test("q59: unpivot stays map-only (no exchange)") {
+    val p = plan("q59_unpivot")
+    assert(!p.contains("Exchange"), s"unpivot must not shuffle:\n${p.take(600)}")
+  }
+
+  test("q61: centroid assignment broadcasts centroids and partial-aggregates the argmin") {
+    val p = plan("q61_kmeans_assign")
+    assert(p.contains("vec_dot_decimal"), "distance must run the native kernel")
+    assert(p.contains("partial_min") || p.contains("partial"),
+      "argmin must combine map-side before the shuffle")
+    assert(!p.contains("Window"), "assignment must not use a window")
+  }
+
   test("q34: pair-mode near-dup plans no top-k row_number") {
     assert(!plan("q34_embedding_neardup").contains("row_number"))
   }
