@@ -23,7 +23,13 @@ object LanguageModel {
 
   /** Bigram model: (w1, w2, pair_cnt, head_cnt) for every observed
     * bigram. `head_cnt` = Σ pair_cnt over the head word — the
-    * conditional-probability denominator P(w2|w1) = pair_cnt/head_cnt. */
+    * conditional-probability denominator P(w2|w1) = pair_cnt/head_cnt.
+    *
+    * The pair-count frame is persisted: both the returned rows and the
+    * head-count re-aggregation read it, and without the cache Catalyst
+    * plans TWO full tokenize+explode+groupBy passes over the corpus
+    * (the subtrees differ, so ReuseExchange can't dedup them). The
+    * cached frame is vocabulary-sized — bounded, corpus-independent. */
   def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
     val bg = docs.select(
         explode(TextShingles.wordBigrams(col(textCol))).as("gram"))
@@ -31,6 +37,7 @@ object LanguageModel {
               substring_index(col("gram"), " ", -1).as("w2"))
     val cab = bg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("pair_cnt"))
+      .persist()
     val ca = cab.groupBy(col("w1")).agg(sum(col("pair_cnt")).as("head_cnt"))
     cab.join(ca, "w1")
   }

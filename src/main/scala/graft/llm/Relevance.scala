@@ -100,7 +100,10 @@ object Relevance {
                           textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextShingles.words(col(textCol))).as("w"))
+    // persisted: tf feeds both the scored rows and the df re-aggregation;
+    // uncached, Catalyst would tokenize + aggregate the corpus twice
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .persist()
     val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("N"))
     tf.join(broadcast(df_), "w").crossJoin(broadcast(n))
