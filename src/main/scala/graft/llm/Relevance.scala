@@ -31,17 +31,40 @@ import org.apache.spark.sql.functions._
 object Relevance {
 
   /** Per-document token stream + per-doc/corpus stats, shared plumbing.
-    * Returns (tf rows, dl frame, 1-row stats frame (S, N)). */
+    * Returns (tf rows, dl frame, 1-row stats frame (S, N)).
+    *
+    * ONE corpus pass: doc length and the per-term counts come out of a
+    * single groupBy(doc_id) with one conditional-sum column per query
+    * term (the term list is small and static), then the term columns
+    * melt back to (doc_id, w, tf) rows. The naive formulation — one
+    * aggregation for dl, a second term-filtered one for tf — scans and
+    * explodes the corpus twice (the subtrees differ, ReuseExchange
+    * can't dedup them). The per-doc frame is persisted: tf, dl and the
+    * corpus stats all read it. */
   private def plumbing(docs: DataFrame, idCol: String, textCol: String,
                        terms: Seq[String])
       : (DataFrame, DataFrame, DataFrame) = {
     require(terms.nonEmpty, "query terms must be non-empty")
+    require(terms.distinct.size == terms.size, "query terms must be distinct")
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextShingles.words(col(textCol))).as("w"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(sum(col("dl")).as("S"), count(lit(1)).as("N"))
-    val tf = toks.filter(col("w").isin(terms: _*))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("w") === t, 1L).otherwise(0L)).as(s"__tf_$i")
+    }
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .persist()
+    val dl = perDoc.select(col("doc_id"), col("dl"))
+    val stats = perDoc.agg(sum(col("dl")).as("S"), count(lit(1)).as("N"))
+    val termOf = terms.zipWithIndex
+      .foldLeft(lit(null).cast("string")) { case (els, (t, i)) =>
+        when(col("metric") === s"__tf_$i", lit(t)).otherwise(els)
+      }
+    val tf = perDoc
+      .unpivot(Array(col("doc_id")),
+        terms.indices.map(i => col(s"__tf_$i")).toArray, "metric", "tf")
+      .filter(col("tf") > 0)
+      .select(col("doc_id"), termOf.as("w"), col("tf"))
     (tf, dl, stats)
   }
 
