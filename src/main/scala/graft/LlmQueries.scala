@@ -268,6 +268,39 @@ object LlmQueries {
     graft.llm.Relevance.tfIdfDeterministicTopK(
       t(s, dir, "documents"), idCol = "doc_id", textCol = "text", k = 3)
 
+  // END-TO-END curation pipeline at the gate: quality filter → exact
+  // dedup (hash-first survivor window, the q36 pattern) → per-language
+  // stratified rebalance → train/val/test assignment, every stage one
+  // of the engine's first-class operators and the whole composition
+  // SQL-expressible. Every stage provably BITES on the fixture: the
+  // corpus is unioned with a full id-shifted clone (dedup must drop
+  // every clone), the 40-token bar drops ~1/3 of docs, and the strata
+  // rates drop more. The split key is SALTED so it decorrelates from
+  // the sampling key (same-key composition would send every row of a
+  // low-rate stratum to "train"). Map-only except the one dedup shuffle.
+  def q65_curation_pipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs0 = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val corpus = docs0.unionByName(docs0.select(
+      (col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text")))
+    val quality = corpus
+      .filter(regexp_count(col("text"), lit("\\S+")) >= 40)
+    val deduped = quality
+      .withColumn("__h", xxhash64(col("text")))
+      .withColumn("__keep",
+        min(col("doc_id")).over(Window.partitionBy(col("__h"), col("text"))))
+      .filter(col("doc_id") === col("__keep"))
+    val sampled = graft.ops.Sampling.stratifiedSampleByHash(
+      deduped, graft.ops.Sampling.lcgKey(col("doc_id")), col("lang"),
+      Seq("en" -> 500, "zh" -> 800, "es" -> 1000, "de" -> 250),
+      defaultPerMille = 100)
+    graft.ops.Sampling.assignSplits(
+      sampled.select(col("doc_id"), col("lang")),
+      graft.ops.Sampling.lcgKey(col("doc_id"), salt = 777L),
+      Seq("train" -> 900, "val" -> 50, "test" -> 50))
+  }
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -325,7 +358,8 @@ object LlmQueries {
     "q52_stratified_sample" -> q52_stratified_sample _,
     "q61_kmeans_assign" -> q61_kmeans_assign _,
     "q62_tfidf_terms"   -> q62_tfidf_terms _,
-    "q64_bigram_lm"     -> q64_bigram_lm _
+    "q64_bigram_lm"     -> q64_bigram_lm _,
+    "q65_curation_pipeline" -> q65_curation_pipeline _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -587,6 +621,31 @@ object LlmQueries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score6 DESC, w ASC) AS rnk
         |      FROM scored)
         |WHERE rnk <= 3""".stripMargin,
+    // quality -> exact-dedup -> stratified rebalance -> split, composed
+    "q65_curation_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, lang, text FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, text FROM corpus
+        |  WHERE len(regexp_extract_all(text, '\S+')) >= 40),
+        |d AS (
+        |  SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM q)
+        |  WHERE doc_id = keep_id),
+        |s AS (
+        |  SELECT doc_id, lang FROM d
+        |  WHERE ((doc_id * 1103515245 + 12345) % 1000000007) % 1000 <
+        |    CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 800 WHEN 'es' THEN 1000
+        |              WHEN 'de' THEN 250 ELSE 100 END),
+        |k AS (
+        |  SELECT doc_id, lang,
+        |    (((((doc_id + 777) * 1103515245 + 12345) % 1000000007)
+        |       * 1664525 + 1013904223) % 1000000007) % 1000 AS key FROM s)
+        |SELECT doc_id, lang,
+        |  CASE WHEN key < 900 THEN 'train' WHEN key < 950 THEN 'val' ELSE 'test' END AS split
+        |FROM k""".stripMargin,
     // rational bigram conditional probabilities, one decimal division
     "q64_bigram_lm" ->
       """WITH grams AS (

@@ -25,9 +25,26 @@ object Sampling {
 
   /** Engine-independent key (the gate form): multiplicative LCG mix in
     * plain integer arithmetic any engine evaluates identically. Weaker
-    * mixing than xxhash64 but unbiased per-mille for id-like keys. */
-  def lcgKey(id: Column): Column =
-    pmod(pmod(id * lit(1103515245L) + lit(12345L), lit(1000000007L)), lit(Mille))
+    * mixing than xxhash64 but unbiased per-mille for id-like keys.
+    *
+    * `salt` decorrelates keys drawn from the same id for DIFFERENT
+    * decisions — e.g. a stratified keep-sample and a train/val/test
+    * split: on one key, every row a low keep-rate stratum retains would
+    * also have key < 900 and land in "train". A salted key applies a
+    * SECOND multiplicative round: merely adding the salt shifts the
+    * residue, and a shift survives `mod 1000` — the "salted" key would
+    * be the unsalted one rotated by a constant, perfectly correlated.
+    * The extra multiply wraps the modulus ~a× per unit shift, breaking
+    * the relation. salt = 0 keeps the legacy single-round gate formula
+    * (pinned by the q49/q52 oracles). */
+  def lcgKey(id: Column, salt: Long = 0L): Column = {
+    val p = 1000000007L
+    val r1 = pmod((id + lit(salt)) * lit(1103515245L) + lit(12345L), lit(p))
+    val mixed =
+      if (salt == 0L) r1
+      else pmod(r1 * lit(1664525L) + lit(1013904223L), lit(p))
+    pmod(mixed, lit(Mille))
+  }
 
   /** Attach a split label from per-mille weights, e.g.
     * Seq("train" -> 900, "val" -> 50, "test" -> 50). `key` must be a

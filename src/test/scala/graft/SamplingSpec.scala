@@ -79,6 +79,20 @@ class SamplingSpec extends SparkTestBase {
     assert(kept.map(_._1).toSet.subsetOf(wider))
   }
 
+  test("salted lcg keys decorrelate decisions drawn from the same id") {
+    val keys = ids.select($"id",
+        Sampling.lcgKey($"id").as("k0"),
+        Sampling.lcgKey($"id", salt = 777L).as("k1"))
+      .as[(Long, Long, Long)].collect()
+    assert(keys.forall { case (_, k0, k1) => k0 >= 0 && k0 < 1000 && k1 >= 0 && k1 < 1000 })
+    // composing sample(keep k0<250) with split(k1<900) must NOT send
+    // every surviving row to one split — the unsalted composition would
+    val kept = keys.filter(_._2 < 250)
+    val trainFrac = kept.count(_._3 < 900).toDouble / kept.length
+    assert(math.abs(trainFrac - 0.9) < 0.05,
+      s"salted split must stay ~900 per-mille among sampled rows, got $trainFrac")
+  }
+
   test("stratified rates are validated") {
     intercept[IllegalArgumentException] {
       Sampling.stratifiedSampleByHash(ids.withColumn("st", lit("a")),
