@@ -43,6 +43,14 @@ class BloomPruneSpec extends SparkTestBase {
       s"sketch passed $passed of 10000 rows for $members members — not selective")
   }
 
+  test("an empty build side yields an empty result, not a crash") {
+    val none = small.filter($"sk" < 0)
+    // the aggregate over zero rows returns a null sketch; might_contain
+    // on a null bloom is null → the filter drops every row, and the
+    // exact join agrees
+    assert(BloomPrune.semiJoinPruned(big, none, "k", "sk").count() == 0)
+  }
+
   test("null keys on either side never match (SQL equality semantics)") {
     val b = Seq(Option(1L), Option(2L), None).toDF("k")
     val sm = Seq(Option(1L), None).toDF("sk")
