@@ -380,8 +380,7 @@ object CoreQueries {
   def q44_stateful_sessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.EventStream
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q44_events")
+    val tmp = fixtureDir("q44_events")
     val ev = t(s, dir, "events").select(
       col("event_id"),
       timestamp_micros(expr("ts div 1000")).as("ts"),
@@ -405,16 +404,31 @@ object CoreQueries {
               col("m.total_value").cast("bigint").as("total_value"))
   }
 
+  private def del(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.toSeq.foreach(del)
+    f.delete(); ()
+  }
+
+  /** Per-JVM root for streaming fixture files. A FIXED path would race:
+    * two processes (a Verify and a Bench, parallel test JVMs) rewriting
+    * and streaming the same directory interleave deletes with the other
+    * side's mid-stream reads. Unique per process, removed on exit. */
+  private lazy val streamFixtureRoot: java.io.File = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_stream_fixtures_").toFile
+    sys.addShutdownHook(del(d))
+    d
+  }
+
+  private def fixtureDir(name: String): java.io.File =
+    new java.io.File(streamFixtureRoot, name)
+
   /** Deterministic multi-file stream fixture: each frame in `parts`
     * becomes one parquet file batch<i>.parquet (written in order, so
     * file mtimes AND lexicographic names both give the intended
     * micro-batch order under maxFilesPerTrigger=1); idempotent. */
   private def rewritePartFiles(target: java.io.File,
                                parts: Seq[DataFrame]): Unit = {
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.toSeq.foreach(del)
-      f.delete(); ()
-    }
     del(target); target.mkdirs()
     parts.zipWithIndex.foreach { case (p, i) =>
       val tmp = new java.io.File(target, s"__part$i")
@@ -488,8 +502,7 @@ object CoreQueries {
   def q45_eventtime_sessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.streaming.EventStream
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q45_events")
+    val tmp = fixtureDir("q45_events")
     val base = t(s, dir, "events").select(
       col("event_id"),
       expr("ts div 1000").as("ts_us"),
@@ -678,8 +691,7 @@ object CoreQueries {
   // the dedup state survives across batches). Append mode; oracle =
   // batch SELECT DISTINCT.
   def q55_stream_dedup(s: SparkSession, dir: String): DataFrame = {
-    val tmp = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q55_events")
+    val tmp = fixtureDir("q55_events")
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"))
     rewritePartFiles(tmp, Seq(

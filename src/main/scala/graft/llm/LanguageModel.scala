@@ -12,12 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Execution shape: one bigram explosion (map-only, stays in codegen —
   * TextShingles), ONE groupBy(w1, w2) for pair counts; head counts
-  * derive from the pair counts (groupBy w1 — re-aggregating the already
-  * counted pairs, never the raw token stream twice). Both aggregates
-  * partial map-side. The follower ranking windows per HEAD WORD —
-  * millions of small partitions, never a global sort. Scoring joins doc
-  * bigrams to the model on (w1, w2): a plain shuffle join keyed by the
-  * bigram — vocabulary-sized, not corpus-sized.
+  * attach as a window sum over the head word (re-aggregating the
+  * already-counted pairs, never the raw token stream twice). The
+  * follower ranking windows per HEAD WORD — millions of small
+  * partitions, never a global sort. Scoring joins doc bigrams to the
+  * model on (w1, w2): a plain shuffle join keyed by the bigram —
+  * vocabulary-sized, not corpus-sized.
   */
 object LanguageModel {
 
@@ -25,21 +25,23 @@ object LanguageModel {
     * bigram. `head_cnt` = Σ pair_cnt over the head word — the
     * conditional-probability denominator P(w2|w1) = pair_cnt/head_cnt.
     *
-    * The pair-count frame is persisted: both the returned rows and the
-    * head-count re-aggregation read it, and without the cache Catalyst
-    * plans TWO full tokenize+explode+groupBy passes over the corpus
-    * (the subtrees differ, so ReuseExchange can't dedup them). The
-    * cached frame is vocabulary-sized — bounded, corpus-independent. */
+    * head_cnt attaches as a WINDOW sum over the head-word partition of
+    * the pair counts (vocabulary-sized rows, per-key partitions). The
+    * self-join-on-own-aggregate alternative consumes the pair counts
+    * twice — Catalyst then plans TWO full tokenize+explode+groupBy
+    * passes over the corpus (the subtrees differ, ReuseExchange can't
+    * dedup them), unless a cache nobody can release pins the frame.
+    * The window keeps the lineage linear: one corpus pass, fully lazy,
+    * no session state. */
   def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
     val bg = docs.select(
         explode(TextShingles.wordBigrams(col(textCol))).as("gram"))
       .select(substring_index(col("gram"), " ", 1).as("w1"),
               substring_index(col("gram"), " ", -1).as("w2"))
-    val cab = bg.groupBy(col("w1"), col("w2"))
+    bg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("pair_cnt"))
-      .persist()
-    val ca = cab.groupBy(col("w1")).agg(sum(col("pair_cnt")).as("head_cnt"))
-    cab.join(ca, "w1")
+      .withColumn("head_cnt",
+        sum(col("pair_cnt")).over(Window.partitionBy(col("w1"))))
   }
 
   /** Gate form: top-k followers of every frequent head word by RATIONAL
@@ -68,7 +70,12 @@ object LanguageModel {
     * corpus against itself; pass a reference corpus to score INCOMING
     * docs — higher = more natural, the LM-quality filter thresholds on
     * this). Bigrams unseen in the model back off to `floorProb` instead
-    * of −∞. Double math (ln) — spec-checked, not oracle-gated. */
+    * of −∞. Documents with fewer than two tokens have no bigrams — no
+    * evidence either way — and score AT THE FLOOR (ln(floorProb),
+    * n_bigrams = 0) rather than silently vanishing: every input doc id
+    * appears in the output exactly once, so a threshold filter treats
+    * short docs deterministically (they fail any threshold above the
+    * floor). Double math (ln) — spec-checked, not oracle-gated. */
   def docAvgLogProb(docs: DataFrame, idCol: String, textCol: String,
                     floorProb: Double = 1e-9,
                     modelDocs: Option[DataFrame] = None): DataFrame = {
@@ -81,12 +88,17 @@ object LanguageModel {
       .select(col("doc_id"),
               substring_index(col("gram"), " ", 1).as("w1"),
               substring_index(col("gram"), " ", -1).as("w2"))
-    docBg.join(model, Seq("w1", "w2"), "left")
+    val scored = docBg.join(model, Seq("w1", "w2"), "left")
       .select(col("doc_id"),
         log(greatest(coalesce(col("p"), lit(floorProb)), lit(floorProb)))
           .as("lp"))
       .groupBy(col("doc_id"))
       .agg((sum(col("lp")) / count(lit(1))).as("avg_log_prob"),
            count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("avg_log_prob"), lit(math.log(floorProb)))
+          .as("avg_log_prob"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
 }

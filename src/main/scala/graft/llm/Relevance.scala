@@ -8,12 +8,12 @@ import org.apache.spark.sql.functions._
   * pipeline (dedup-aware sampling, quality-weighted selection, nearest
   * queries over text). No reference analog; gate query q48.
   *
-  * Execution shape: tokenize once (map-only), tf = one groupBy(doc, term)
-  * over the TERM-FILTERED token stream (the query's terms only — the
-  * full vocabulary is never aggregated), df/dl/corpus stats from the same
-  * scan, then a broadcast join of the tiny per-term stats back onto the
-  * tf rows. One real shuffle (the tf groupBy); everything else is
-  * broadcast. Scales with |matching tokens|, not |vocabulary|.
+  * Execution shape: tokenize once (map-only), one groupBy(doc) producing
+  * doc length plus one conditional-sum column per query term (the full
+  * vocabulary is never aggregated), melt to (doc, term) rows, df via a
+  * window over the term-matching rows, 1-row corpus stats broadcast.
+  * Linear lineage — nothing consumed twice, nothing cached, fully lazy.
+  * Scales with |matching tokens|, not |vocabulary|.
   *
   * Two variants:
   *   - [[bm25]]: the real thing — Lucene-shaped idf `ln(1 + (N-df+.5)/
@@ -30,20 +30,29 @@ import org.apache.spark.sql.functions._
   */
 object Relevance {
 
-  /** Per-document token stream + per-doc/corpus stats, shared plumbing.
-    * Returns (tf rows, dl frame, 1-row stats frame (S, N)).
+  /** Per-document term rows + 1-row corpus stats, shared plumbing.
+    * Returns (tf rows carrying (doc_id, dl, w, tf, df), stats (S, N)).
     *
-    * ONE corpus pass: doc length and the per-term counts come out of a
-    * single groupBy(doc_id) with one conditional-sum column per query
+    * ONE corpus tokenize: doc length and the per-term counts come out of
+    * a single groupBy(doc_id) with one conditional-sum column per query
     * term (the term list is small and static), then the term columns
-    * melt back to (doc_id, w, tf) rows. The naive formulation — one
-    * aggregation for dl, a second term-filtered one for tf — scans and
-    * explodes the corpus twice (the subtrees differ, ReuseExchange
-    * can't dedup them). The per-doc frame is persisted: tf, dl and the
-    * corpus stats all read it. */
+    * melt back to (doc_id, dl, w, tf) rows — dl rides the unpivot ids,
+    * so no join back for it. df attaches as a window count over the
+    * term-matching rows only (a shuffle of |matching doc-term pairs|,
+    * not the vocabulary). The whole lineage is linear: nothing is
+    * consumed twice, so nothing needs caching — the operator is fully
+    * lazy and holds no session state.
+    *
+    * S (total tokens) and N (docs with ≥1 token) are global corpus
+    * aggregates; deriving them from the same groupBy would consume that
+    * subtree twice (→ a persist that some caller must release). Instead
+    * they come from a separate MAP-ONLY pass (`size(words)`, no explode,
+    * no shuffle, 1-row result) — or, at very large corpora, from the
+    * caller via `corpusStats`, making the operator strictly one-pass. */
   private def plumbing(docs: DataFrame, idCol: String, textCol: String,
-                       terms: Seq[String])
-      : (DataFrame, DataFrame, DataFrame) = {
+                       terms: Seq[String],
+                       corpusStats: Option[(Long, Long)])
+      : (DataFrame, DataFrame) = {
     require(terms.nonEmpty, "query terms must be non-empty")
     require(terms.distinct.size == terms.size, "query terms must be distinct")
     val toks = docs.select(col(idCol).as("doc_id"),
@@ -53,36 +62,42 @@ object Relevance {
     }
     val perDoc = toks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dl"), tfCols: _*)
-      .persist()
-    val dl = perDoc.select(col("doc_id"), col("dl"))
-    val stats = perDoc.agg(sum(col("dl")).as("S"), count(lit(1)).as("N"))
     val termOf = terms.zipWithIndex
       .foldLeft(lit(null).cast("string")) { case (els, (t, i)) =>
         when(col("metric") === s"__tf_$i", lit(t)).otherwise(els)
       }
     val tf = perDoc
-      .unpivot(Array(col("doc_id")),
+      .unpivot(Array(col("doc_id"), col("dl")),
         terms.indices.map(i => col(s"__tf_$i")).toArray, "metric", "tf")
       .filter(col("tf") > 0)
-      .select(col("doc_id"), termOf.as("w"), col("tf"))
-    (tf, dl, stats)
+      .select(col("doc_id"), col("dl"), termOf.as("w"), col("tf"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
+    val stats = corpusStats match {
+      case Some((s, n)) =>
+        docs.sparkSession.range(1).select(lit(s).as("S"), lit(n).as("N"))
+      case None =>
+        val sz = size(TextShingles.words(col(textCol)))
+        docs.agg(coalesce(sum(sz.cast("long")), lit(0L)).as("S"),
+                 count(when(sz > 0, 1)).as("N"))
+    }
+    (tf, stats)
   }
 
   /** Production BM25 (k1, b tunable): (doc_id, score) for documents
-    * matching ≥1 query term, higher = more relevant. */
+    * matching ≥1 query term, higher = more relevant.
+    * @param corpusStats precomputed (total tokens S, doc count N) — pass
+    *        at very large corpora to skip the map-only stats pass. */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
-           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
-      : DataFrame = {
-    val (tf, dl, stats) = plumbing(docs, idCol, textCol, terms)
-    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           corpusStats: Option[(Long, Long)] = None): DataFrame = {
+    val (tf, stats) = plumbing(docs, idCol, textCol, terms, corpusStats)
     val idf = log(lit(1.0) +
       (col("N") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfn = col("tf") /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
         lit(b) * col("dl") * col("N") / col("S")))
-    tf.join(broadcast(df_), "w")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+    tf.crossJoin(broadcast(stats))
       .select(col("doc_id"), (idf * tfn).as("s"))
       .groupBy(col("doc_id")).agg(sum(col("s")).as("score"))
   }
@@ -91,10 +106,10 @@ object Relevance {
     * keyword-extraction / topic-signature primitive (BM25 above scores
     * docs against a fixed query; this characterizes each doc by its own
     * most distinctive terms). Execution shape: tokenize (map-only), one
-    * groupBy(doc, term) for tf, one groupBy(term) for df, broadcast df
-    * + the 1-row N back onto tf, then a PER-DOC row_number window (the
-    * partition key is the doc id — millions of small partitions, never
-    * a global sort). Production form; `ln` keeps it off the gate. */
+    * groupBy(doc, term) for tf, df as a window count over the term
+    * partition, the 1-row N broadcast, then a PER-DOC row_number window
+    * (the partition key is the doc id — millions of small partitions,
+    * never a global sort). Production form; `ln` keeps it off the gate. */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3): DataFrame = {
     val scored = tfIdfScored(docs, idCol, textCol)
@@ -123,13 +138,17 @@ object Relevance {
                           textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextShingles.words(col(textCol))).as("w"))
-    // persisted: tf feeds both the scored rows and the df re-aggregation;
-    // uncached, Catalyst would tokenize + aggregate the corpus twice
     val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-      .persist()
-    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // df = docs containing w = tf rows per w, attached as a window count
+    // over the term partition: one reshuffle of the (doc, term) rows, but
+    // a LINEAR lineage — the self-join-on-own-aggregate alternative
+    // consumes tf twice, which either tokenizes the corpus twice or pins
+    // a corpus-sized cache nobody can release. N is a column-pruned
+    // count-only scan of docs (no tokenize).
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
     val n = docs.agg(count(lit(1)).as("N"))
-    tf.join(broadcast(df_), "w").crossJoin(broadcast(n))
+    withDf.crossJoin(broadcast(n))
   }
 
   private def rankPerDoc(scored: DataFrame, k: Int,
@@ -146,18 +165,16 @@ object Relevance {
     * bit-stable (see class doc). k1=1.2, b=0.75 fixed (they make the
     * tf-norm coefficients the exact integers 10/3/9). */
   def bm25Deterministic(docs: DataFrame, idCol: String, textCol: String,
-                        terms: Seq[String]): DataFrame = {
-    val (tf, dl, stats) = plumbing(docs, idCol, textCol, terms)
-    val df_ = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+                        terms: Seq[String],
+                        corpusStats: Option[(Long, Long)] = None): DataFrame = {
+    val (tf, stats) = plumbing(docs, idCol, textCol, terms, corpusStats)
     val d4 = "decimal(18,4)"; val d274 = "decimal(27,4)"
     val idf6 = ((lit(2) * col("N") - lit(2) * col("df") + lit(1)).cast(d4) /
       (lit(2) * col("df") + lit(1)).cast(d4)).cast("decimal(18,6)")
     val num = lit(10) * col("tf") * col("S")
     val den = num + lit(3) * col("S") + lit(9) * col("dl") * col("N")
     val tfn6 = (num.cast(d274) / den.cast(d274)).cast("decimal(18,6)")
-    tf.join(broadcast(df_), "w")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+    tf.crossJoin(broadcast(stats))
       .select(col("doc_id"), (idf6 * tfn6).as("s"))   // exact (37,12)
       .groupBy(col("doc_id"))
       .agg(sum(col("s")).cast("decimal(38,12)").cast("double").as("score"))

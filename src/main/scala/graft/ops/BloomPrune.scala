@@ -56,15 +56,35 @@ object BloomPrune {
   /** Exact semi join of `big` to `small`'s keys, Bloom-pre-pruned: the
     * sketch drops non-matching big rows before the exact join's shuffle;
     * the exact join drops the sketch's false positives. Result is
-    * identical to a plain semi join (the oracle form). */
+    * identical to a plain semi join (the oracle form).
+    *
+    * Mismatched key types are WIDENED to their common type before
+    * hashing on both sides — xxhash64 is type-sensitive (an int 5 and a
+    * long 5 hash differently), so hashing the raw columns would turn
+    * every cross-type match into a bloom false NEGATIVE the exact join
+    * can never recover. Keys with no lossless common type (e.g. string
+    * vs numeric, whose join coercion is value-lossy) are rejected with a
+    * clear error rather than silently dropping matches. */
   def semiJoinPruned(big: DataFrame, small: DataFrame,
                      bigKey: String, smallKey: String,
                      expectedItems: Long = 1L << 22,
                      numBits: Long = 1L << 23): DataFrame = {
-    val keys = small.select(col(smallKey)).filter(col(smallKey).isNotNull)
+    import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+    import org.apache.spark.sql.types.StringType
+    val (bt, st) = (big.schema(bigKey).dataType, small.schema(smallKey).dataType)
+    val common =
+      if (bt == st) bt
+      else TypeCoercion.findWiderTypeForTwo(bt, st) match {
+        case Some(t) if !(t == StringType && (bt != StringType || st != StringType)) => t
+        case _ => throw new IllegalArgumentException(
+          s"bloom prune requires keys with a lossless common type; got $bt vs $st")
+      }
+    val keys = small.select(col(smallKey).cast(common).as(smallKey))
+      .filter(col(smallKey).isNotNull)
     val bf = bloomBytes(keys, smallKey, expectedItems, numBits)
-    big.filter(mightContain(bf, col(bigKey)))
-      .join(keys.select(col(smallKey).as(bigKey)).distinct(),
-        Seq(bigKey), "left_semi")
+    // left_semi emits each big row at most once even with duplicate build
+    // keys — no distinct needed on the build side
+    big.filter(mightContain(bf, col(bigKey).cast(common)))
+      .join(keys.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
   }
 }

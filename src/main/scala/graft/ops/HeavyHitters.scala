@@ -41,10 +41,19 @@ object HeavyHitters {
   private[graft] def deriveK(n: Long, minCount: Long): Int =
     math.max(1024L, math.min(MaxK.toLong, 4L * n / minCount)).toInt
 
-  /** All (item, cnt) with cnt ≥ minCount.
+  /** All (item, cnt) with cnt ≥ minCount. The returned frame is LAZY and
+    * holds no cached state — repeated calls in a long-lived session
+    * accumulate nothing.
     * @param broadcastLimit max candidate-set size (items) that may be
-    *        broadcast for the exact recount; above it the join is left
-    *        to Spark's planner. */
+    *        pulled to the driver and broadcast for the exact recount —
+    *        this bounds driver memory exactly as the broadcast itself
+    *        would. Above it the candidate semi-join is left to Spark's
+    *        planner, and (the price of staying cache-free) the sketch
+    *        pass re-runs lazily inside that join when the result is
+    *        consumed. Candidate sets differ run to run (equal-minimum
+    *        eviction is arbitrary) but every true heavy hitter is in
+    *        EVERY pass's candidates and the recount is exact, so the
+    *        final result is deterministic regardless. */
   def heavyHitters(items: Dataset[String], minCount: Long,
                    k: Int = 0, broadcastLimit: Long = 4L * 1000 * 1000): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
@@ -54,19 +63,17 @@ object HeavyHitters {
     val kN = if (k > 0) k else deriveK(items.count(), minCount)
     val cands = items.mapPartitions(it => sketchItems(it, kN).iterator)
       .toDF("item").distinct().persist()
-    try {
-      val nCands = cands.count()
-      val recount =
-        if (nCands <= broadcastLimit) items.toDF("item").join(broadcast(cands), "item")
-        else items.toDF("item").join(cands, "item")
-      val out = recount
-        .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") >= minCount)
-      // materialize the (small, ≥minCount-filtered) result before
-      // releasing the candidate cache; lineage keeps it fault-tolerant
-      out.persist().count()
-      out
+    val recount = try {
+      if (cands.count() <= broadcastLimit) {
+        // bounded by broadcastLimit — the same rows a broadcast would
+        // ship to the driver anyway; embedding them as a local relation
+        // keeps the returned plan free of the (now-released) cache
+        val local = cands.as[String].collect().toSeq.toDF("item")
+        items.toDF("item").join(broadcast(local), "item")
+      } else items.toDF("item").join(cands, "item")
     } finally cands.unpersist()
+    recount.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
   }
 
   /** SpaceSaving summary of one partition: the ≤ k tracked items.

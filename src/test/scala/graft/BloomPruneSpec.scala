@@ -51,6 +51,25 @@ class BloomPruneSpec extends SparkTestBase {
     assert(BloomPrune.semiJoinPruned(big, none, "k", "sk").count() == 0)
   }
 
+  test("mismatched key widths still match: int fact key vs long build key") {
+    // xxhash64 is type-sensitive — without widening, every cross-type
+    // match would be a bloom false negative and silently vanish
+    val bInt = big.select($"k".cast("int").as("k"), $"payload")
+    val got = BloomPrune.semiJoinPruned(bInt, small, "k", "sk")
+      .as[(Int, Long)].collect().toSet
+    val ref = bInt.join(small.select($"sk".as("k")), Seq("k"), "left_semi")
+      .as[(Int, Long)].collect().toSet
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("keys with no lossless common type are rejected, not silently empty") {
+    val bStr = big.select($"k".cast("string").as("k"))
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.semiJoinPruned(bStr, small, "k", "sk")
+    }
+    assert(e.getMessage.contains("lossless common type"))
+  }
+
   test("null keys on either side never match (SQL equality semantics)") {
     val b = Seq(Option(1L), Option(2L), None).toDF("k")
     val sm = Seq(Option(1L), None).toDF("sk")

@@ -54,6 +54,20 @@ class LanguageModelSpec extends SparkTestBase {
     assert(vsModel(10L) == math.log(0.75), "in-model bigram must score its true probability")
   }
 
+  test("docAvgLogProb: sub-2-token docs appear once, scored at the floor") {
+    val probe = Seq((1L, "single"), (2L, ""), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val scored = LanguageModel.docAvgLogProb(
+        probe, "doc_id", "text", floorProb = 1e-9, modelDocs = Some(docs))
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // no bigrams → no evidence → deterministic floor score, never absent:
+    // a threshold filter must see every input doc exactly once
+    assert(scored.keySet == Set(1L, 2L, 3L))
+    assert(scored(1L) == (math.log(1e-9), 0L))
+    assert(scored(2L) == (math.log(1e-9), 0L))
+    assert(scored(3L)._2 == 1L)
+  }
+
   test("model counts are partition-independent") {
     val a = LanguageModel.bigramModel(docs, "text")
       .as[(String, String, Long, Long)].collect().toSet

@@ -45,15 +45,33 @@ class RelevanceSpec extends SparkTestBase {
     assert(scores.keySet == Set(1L))
   }
 
-  test("plan: per-term stats broadcast, no vocabulary-wide shuffle of scores") {
+  test("plan: one tokenize-explode, linear lineage, no cartesian") {
     val plan = Relevance.bm25Deterministic(docs, "doc_id", "text", Seq("rare"))
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), "per-term stats should broadcast")
+    // the corpus must be exploded exactly once — a second Generate means
+    // the tokenize+aggregate subtree is being consumed twice (the
+    // double-scan trap the window-based df exists to prevent). The
+    // map-only stats pass uses size(), not explode.
+    assert("Generate".r.findAllIn(plan).size == 1,
+      s"expected exactly one explode of the corpus:\n${plan.take(800)}")
     // exactly ONE nested-loop join is legitimate: the 1-row (S, N) stats
     // frame cross-joined as a broadcast. Anything more is a regression.
     assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1 &&
            !plan.contains("CartesianProduct"),
       "only the 1-row stats broadcast may nested-loop")
+    assert(!plan.contains("InMemoryTableScan"),
+      "bm25 must be fully lazy — no hidden caches")
+  }
+
+  test("precomputed corpus stats give identical scores") {
+    val s = docs.select(explode(graft.llm.TextShingles.words($"text"))).count()
+    val n = docs.count()
+    val a = Relevance.bm25Deterministic(docs, "doc_id", "text", Seq("rare"))
+      .as[(Long, Double)].collect().toMap
+    val b = Relevance.bm25Deterministic(docs, "doc_id", "text", Seq("rare"),
+        corpusStats = Some((s, n)))
+      .as[(Long, Double)].collect().toMap
+    assert(a == b, s"$a vs $b")
   }
 
   test("tf-idf: a doc's unique term ranks first; ubiquitous terms rank last") {
