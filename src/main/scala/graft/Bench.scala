@@ -5,17 +5,24 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line {"metric","value","unit","queries","sf"}.
   *
   * Measurement protocol (round-2 verdict: a single pass is too noisy to
-  * adjudicate — unchanged queries swung 5–10× run-to-run on a busy VM):
-  * each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
-  * the per-query MINIMUM — the estimator least sensitive to external
-  * contention; "value" is the sum of the minimums. The first rep absorbs
-  * plan compilation + codegen; a global warm-up action absorbs session
-  * init. Queries run in sorted name order.
+  * adjudicate — unchanged queries swung 5–10× run-to-run on a busy VM;
+  * round-4 verdict: back-to-back reps of ONE query share any sustained
+  * noise window, so the per-query min doesn't protect — q27 recorded
+  * 16.74 s while a clean re-run measured 2.44 s):
+  * reps are INTERLEAVED — the full sorted query list runs as pass 1,
+  * then pass 2, ... pass N (default 3), and each query reports the
+  * MINIMUM across passes. A sustained noisy window now inflates one
+  * pass of many queries instead of every rep of one query, and the min
+  * across passes recovers the clean number. The first pass absorbs plan
+  * compilation + codegen; a global warm-up action absorbs session init.
   *
   * Output: the bare JSON line is the LAST stdout line (build.sbt sets
   * `run / outputStrategy := StdoutOutput` so sbt's forked-run logger
   * cannot prefix it with [info]), and the same line is persisted to
   * SPARK_GRAFT_BENCH_OUT (default ./bench_out.json, cwd-relative).
+  * Per-query values are rounded to 3 decimals so the line stays small
+  * enough for the driver's tail capture (round-4 verdict: the 66-query
+  * line at full double precision overflowed it and parsed as null).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,25 +34,32 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: session init, codegen compiler, parquet footer reads
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // pass-major order: every query once per pass, min across passes
+    val timesByQuery = scala.collection.mutable.LinkedHashMap(
+      names.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    for (_ <- 1 to reps; (name, fn) <- names) {
+      // each rep must pay the full query: operators that persist() their
+      // result would otherwise be cache-substituted in reps 2+ (identical
+      // canonicalized plans) and the reported minimum would time a cache
+      // scan, not the query
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
       // a failed query reports -1.0, never a fake timing — a regression
       // must read as breakage, not as a faster run
-      val times = (1 to reps).map { _ =>
-        // each rep must pay the full query: operators that persist() their
-        // result would otherwise be cache-substituted in reps 2+ (identical
-        // canonicalized plans) and the reported minimum would time a cache
-        // scan, not the query
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
+      val t =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
-      }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      timesByQuery(name) = timesByQuery(name) :+ t
+    }
+    def round3(v: Double): Double = math.rint(v * 1000) / 1000
+    val results = timesByQuery.toSeq.map { case (name, ts) =>
+      name -> (if (ts.exists(_ < 0)) -1.0 else round3(ts.min))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = round3(results.map(_._2).filter(_ >= 0).sum)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")

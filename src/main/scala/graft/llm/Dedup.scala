@@ -105,13 +105,20 @@ object Dedup {
           xxhash64(slice(col("sig"), bnd * rows + 1, rows)).as("bucket"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // skew guard: drop degenerate buckets (boilerplate shingle sets)
-    val sized = banded.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("bucket"))))
+    // skew guard: drop degenerate buckets (boilerplate shingle sets).
+    // groupBy + join, NOT count().over(Window.partitionBy(band, bucket)):
+    // the guard exists precisely because degenerate buckets are huge, and
+    // a window would pull the entire hot bucket into ONE task before the
+    // filter could drop it — partial aggregation collapses it map-side
+    // instead (round-4 verdict). `banded` is consumed by both the size
+    // aggregate and the join, but it is a map-only explode over the
+    // already-pinned signature frame, so the recompute is cheap.
+    val keepBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucketSize)
+    val sized = banded.join(keepBuckets, Seq("band", "bucket"))
       // both sides of the self-join read this frame — without pinning,
-      // the bucket-size window (a shuffle) runs twice. persist keeps
+      // the bucket-size aggregate + join run twice. persist keeps
       // lineage (fault-tolerant), unlike localCheckpoint.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idPairs = sized.select(col("band"), col("bucket"), col("doc_id").as("id_a"))

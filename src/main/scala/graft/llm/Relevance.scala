@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * Execution shape: tokenize once (map-only), one groupBy(doc) producing
   * doc length plus one conditional-sum column per query term (the full
-  * vocabulary is never aggregated), melt to (doc, term) rows, df via a
-  * window over the term-matching rows, 1-row corpus stats broadcast.
-  * Linear lineage — nothing consumed twice, nothing cached, fully lazy.
-  * Scales with |matching tokens|, not |vocabulary|.
+  * vocabulary is never aggregated), melt to (doc, term) rows, df from the
+  * same map-only corpus-stats pass (never a term-partitioned window —
+  * a frequent term's window partition is corpus-sized), 1-row corpus
+  * stats broadcast. Scales with |matching tokens|, not |vocabulary|.
+  * Past `largeTermThreshold` query terms the conditional-sum plan (one
+  * column per term) would grow quadratically, so the operator switches
+  * to a filter-on-terms + groupBy(doc, term) shape over one pinned
+  * (doc, term) count frame — same numbers, vocabulary-proof plan.
   *
   * Two variants:
   *   - [[bm25]]: the real thing — Lucene-shaped idf `ln(1 + (N-df+.5)/
@@ -30,31 +34,55 @@ import org.apache.spark.sql.functions._
   */
 object Relevance {
 
-  /** Per-document term rows + 1-row corpus stats, shared plumbing.
-    * Returns (tf rows carrying (doc_id, dl, w, tf, df), stats (S, N)).
+  private val MemDisk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** Per-document term rows ready for scoring — columns
+    * (doc_id, dl, w, tf, df, S, N) — plus an optional pinned frame the
+    * caller must release after materializing its result.
     *
-    * ONE corpus tokenize: doc length and the per-term counts come out of
-    * a single groupBy(doc_id) with one conditional-sum column per query
-    * term (the term list is small and static), then the term columns
-    * melt back to (doc_id, dl, w, tf) rows — dl rides the unpivot ids,
-    * so no join back for it. df attaches as a window count over the
-    * term-matching rows only (a shuffle of |matching doc-term pairs|,
-    * not the vocabulary). The whole lineage is linear: nothing is
-    * consumed twice, so nothing needs caching — the operator is fully
-    * lazy and holds no session state.
+    * Small/static term lists (≤ `largeTermThreshold`): ONE corpus
+    * tokenize — doc length and the per-term counts come out of a single
+    * groupBy(doc_id) with one conditional-sum column per query term,
+    * then the term columns melt back to (doc_id, dl, w, tf) rows — dl
+    * rides the unpivot ids, so no join back for it. df comes from the
+    * SAME map-only stats pass (`array_contains(words, term)` — no
+    * explode, no shuffle, 1-row result) and resolves per row from the
+    * broadcast stats via a when-chain. The round-4 verdict retired the
+    * previous `count().over(Window.partitionBy(w))` df: a window
+    * partition is one task, and a frequent query term's partition holds
+    * nearly every document at corpus scale — a straggler the groupBy/
+    * stats forms never create. Lineage is linear, nothing pinned.
+    *
+    * Large/dynamic term lists: the conditional-sum plan grows one
+    * aggregate column per term (quadratic plan size), so past the
+    * threshold the shape switches to filter-on-terms + groupBy(doc,
+    * term) over ONE pinned (doc, term) count frame: tokenize once,
+    * aggregate once, derive dl / df / S / N from the cached counts
+    * (map-side partial aggregation throughout, AQE-splittable joins,
+    * no window). Returns the pin for the caller to release.
     *
     * S (total tokens) and N (docs with ≥1 token) are global corpus
-    * aggregates; deriving them from the same groupBy would consume that
-    * subtree twice (→ a persist that some caller must release). Instead
-    * they come from a separate MAP-ONLY pass (`size(words)`, no explode,
-    * no shuffle, 1-row result) — or, at very large corpora, from the
-    * caller via `corpusStats`, making the operator strictly one-pass. */
+    * aggregates; at very large corpora pass them via `corpusStats` —
+    * the small shape then runs strictly one tokenize plus the map-only
+    * df probe (df depends on the query terms, so callers cannot
+    * precompute it). */
   private def plumbing(docs: DataFrame, idCol: String, textCol: String,
                        terms: Seq[String],
-                       corpusStats: Option[(Long, Long)])
-      : (DataFrame, DataFrame) = {
+                       corpusStats: Option[(Long, Long)],
+                       largeTermThreshold: Int)
+      : (DataFrame, Option[DataFrame]) = {
     require(terms.nonEmpty, "query terms must be non-empty")
     require(terms.distinct.size == terms.size, "query terms must be distinct")
+    if (terms.size <= largeTermThreshold)
+      (plumbingConditional(docs, idCol, textCol, terms, corpusStats), None)
+    else plumbingFiltered(docs, idCol, textCol, terms, corpusStats)
+  }
+
+  /** Conditional-sum shape (see [[plumbing]]): one aggregate column per
+    * term, fully lazy, no session state. */
+  private[graft] def plumbingConditional(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], corpusStats: Option[(Long, Long)]): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextShingles.words(col(textCol))).as("w"))
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
@@ -71,51 +99,118 @@ object Relevance {
         terms.indices.map(i => col(s"__tf_$i")).toArray, "metric", "tf")
       .filter(col("tf") > 0)
       .select(col("doc_id"), col("dl"), termOf.as("w"), col("tf"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
+    // df per term from a map-only docs pass (array_contains — no
+    // explode, no shuffle, 1-row result), riding the broadcast stats row
+    val wordsArr = TextShingles.words(col(textCol))
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      count(when(array_contains(wordsArr, t), 1)).as(s"__df_$i")
+    }
+    val stats = corpusStats match {
+      case Some((s, n)) =>
+        docs.agg(dfCols.head, dfCols.tail: _*)
+          .select(lit(s).as("S") +: lit(n).as("N") +:
+            terms.indices.map(i => col(s"__df_$i")): _*)
+      case None =>
+        val sz = size(wordsArr)
+        docs.agg(coalesce(sum(sz.cast("long")), lit(0L)).as("S"),
+          count(when(sz > 0, 1)).as("N") +: dfCols: _*)
+    }
+    val dfOf = terms.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (els, (t, i)) =>
+        when(col("w") === t, col(s"__df_$i")).otherwise(els)
+      }
+    tf.crossJoin(broadcast(stats))
+      .withColumn("df", dfOf)
+      .drop(terms.indices.map(i => s"__df_$i"): _*)
+  }
+
+  /** Filter + groupBy(doc, term) shape for large/dynamic term sets (see
+    * [[plumbing]]): one tokenize into a pinned (doc, term) count frame,
+    * everything else derived from the cache. Returns (rows, pin). */
+  private[graft] def plumbingFiltered(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], corpusStats: Option[(Long, Long)])
+      : (DataFrame, Option[DataFrame]) = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextShingles.words(col(textCol))).as("w"))
+    // the full-vocabulary (doc, term) counts feed dl, df, S/N and the
+    // scored rows — pin once (persist keeps lineage: an executor loss
+    // recomputes instead of failing, unlike localCheckpoint)
+    val tf0 = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf")).persist(MemDisk)
+    val dl = tf0.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val tfq = tf0.filter(col("w").isInCollection(terms))
+    // df = docs containing w = tf rows per w: groupBy + join, never a
+    // term-partitioned window (single-task straggler on frequent terms)
+    val dfA = tfq.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val stats = corpusStats match {
       case Some((s, n)) =>
         docs.sparkSession.range(1).select(lit(s).as("S"), lit(n).as("N"))
       case None =>
-        val sz = size(TextShingles.words(col(textCol)))
-        docs.agg(coalesce(sum(sz.cast("long")), lit(0L)).as("S"),
-                 count(when(sz > 0, 1)).as("N"))
+        dl.agg(coalesce(sum(col("dl")), lit(0L)).as("S"),
+               count(when(col("dl") > 0, 1)).as("N"))
     }
-    (tf, stats)
+    val rows = tfq.join(dl, Seq("doc_id")).join(dfA, Seq("w"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"), col("w"), col("tf"), col("df"),
+              col("S"), col("N"))
+    (rows, Some(tf0))
+  }
+
+  /** Materialize `result` (so downstream actions read the cache, not the
+    * pinned lineage), then release the plumbing pin. House pattern —
+    * mirrors Dedup.minHashCandidates / Similarity.lshBucketPairs. */
+  private def finishWithPin(result: DataFrame, pin: Option[DataFrame])
+      : DataFrame = pin match {
+    case None => result
+    case Some(p) =>
+      val r = result.persist(MemDisk)
+      r.count()
+      p.unpersist(false)
+      r
   }
 
   /** Production BM25 (k1, b tunable): (doc_id, score) for documents
     * matching ≥1 query term, higher = more relevant.
     * @param corpusStats precomputed (total tokens S, doc count N) — pass
-    *        at very large corpora to skip the map-only stats pass. */
+    *        at very large corpora to skip the map-only stats pass.
+    * @param largeTermThreshold past this many query terms the plan
+    *        switches from one conditional-sum column per term to the
+    *        filter + groupBy(doc, term) shape (score parity spec-pinned). */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-           corpusStats: Option[(Long, Long)] = None): DataFrame = {
-    val (tf, stats) = plumbing(docs, idCol, textCol, terms, corpusStats)
+           corpusStats: Option[(Long, Long)] = None,
+           largeTermThreshold: Int = 64): DataFrame = {
+    val (tf, pin) =
+      plumbing(docs, idCol, textCol, terms, corpusStats, largeTermThreshold)
     val idf = log(lit(1.0) +
       (col("N") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfn = col("tf") /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
         lit(b) * col("dl") * col("N") / col("S")))
-    tf.crossJoin(broadcast(stats))
-      .select(col("doc_id"), (idf * tfn).as("s"))
-      .groupBy(col("doc_id")).agg(sum(col("s")).as("score"))
+    finishWithPin(
+      tf.select(col("doc_id"), (idf * tfn).as("s"))
+        .groupBy(col("doc_id")).agg(sum(col("s")).as("score")),
+      pin)
   }
 
   /** TF-IDF top-k terms per document over the FULL vocabulary — the
     * keyword-extraction / topic-signature primitive (BM25 above scores
     * docs against a fixed query; this characterizes each doc by its own
     * most distinctive terms). Execution shape: tokenize (map-only), one
-    * groupBy(doc, term) for tf, df as a window count over the term
-    * partition, the 1-row N broadcast, then a PER-DOC row_number window
-    * (the partition key is the doc id — millions of small partitions,
-    * never a global sort). Production form; `ln` keeps it off the gate. */
+    * groupBy(doc, term) for tf (pinned — it feeds both the df aggregate
+    * and the scored rows), df via groupBy(term) + join (map-side partial
+    * aggregation; a term-partitioned window would put a stop-word's
+    * corpus-sized partition into one task), the 1-row N broadcast, then
+    * a PER-DOC row_number window (the partition key is the doc id —
+    * millions of small partitions, never a global sort). Production
+    * form; `ln` keeps it off the gate. */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 3): DataFrame = {
-    val scored = tfIdfScored(docs, idCol, textCol)
-      .withColumn("score",
-        col("tf") * log(col("N").cast("double") / col("df")))
-    rankPerDoc(scored, k)
+    val (scored0, pin) = tfIdfScored(docs, idCol, textCol)
+    val scored = scored0.withColumn("score",
+      col("tf") * log(col("N").cast("double") / col("df")))
+    finishWithPin(rankPerDoc(scored, k), pin)
   }
 
   /** Gate form of [[tfIdfTopK]] (query q62): the PRE-LOG rational score
@@ -126,29 +221,33 @@ object Relevance {
   def tfIdfDeterministicTopK(docs: DataFrame, idCol: String,
                              textCol: String, k: Int = 3): DataFrame = {
     val d274 = "decimal(27,4)"
-    val scored = tfIdfScored(docs, idCol, textCol)
+    val (scored0, pin) = tfIdfScored(docs, idCol, textCol)
+    val scored = scored0
       .withColumn("score6",
         ((col("tf") * col("N")).cast(d274) / col("df").cast(d274))
           .cast("decimal(18,6)"))
       .withColumn("score", col("score6").cast("double"))
-    rankPerDoc(scored, k, orderCol = "score6")
+    finishWithPin(rankPerDoc(scored, k, orderCol = "score6"), pin)
   }
 
+  /** (doc_id, w, tf, df, N) rows over the full vocabulary + the pinned
+    * tf frame the caller releases after materializing (see callers).
+    * df = docs containing w = tf rows per w, aggregated with groupBy
+    * (map-side partial) and joined back on the term key — AQE can split
+    * a skewed shuffle join; it cannot split the skewed window this
+    * replaced (round-4 verdict: a stop-word's window partition is
+    * corpus-sized — single-task straggler at 100×). The join consumes
+    * tf twice, hence the pin: the alternative re-tokenizes the corpus. */
   private def tfIdfScored(docs: DataFrame, idCol: String,
-                          textCol: String): DataFrame = {
+                          textCol: String): (DataFrame, Option[DataFrame]) = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextShingles.words(col(textCol))).as("w"))
-    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    // df = docs containing w = tf rows per w, attached as a window count
-    // over the term partition: one reshuffle of the (doc, term) rows, but
-    // a LINEAR lineage — the self-join-on-own-aggregate alternative
-    // consumes tf twice, which either tokenizes the corpus twice or pins
-    // a corpus-sized cache nobody can release. N is a column-pruned
-    // count-only scan of docs (no tokenize).
-    val withDf = tf.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
+    val tf = toks.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf")).persist(MemDisk)
+    val dfA = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // N is a column-pruned count-only scan of docs (no tokenize)
     val n = docs.agg(count(lit(1)).as("N"))
-    withDf.crossJoin(broadcast(n))
+    (tf.join(dfA, Seq("w")).crossJoin(broadcast(n)), Some(tf))
   }
 
   private def rankPerDoc(scored: DataFrame, k: Int,
@@ -166,17 +265,20 @@ object Relevance {
     * tf-norm coefficients the exact integers 10/3/9). */
   def bm25Deterministic(docs: DataFrame, idCol: String, textCol: String,
                         terms: Seq[String],
-                        corpusStats: Option[(Long, Long)] = None): DataFrame = {
-    val (tf, stats) = plumbing(docs, idCol, textCol, terms, corpusStats)
+                        corpusStats: Option[(Long, Long)] = None,
+                        largeTermThreshold: Int = 64): DataFrame = {
+    val (tf, pin) =
+      plumbing(docs, idCol, textCol, terms, corpusStats, largeTermThreshold)
     val d4 = "decimal(18,4)"; val d274 = "decimal(27,4)"
     val idf6 = ((lit(2) * col("N") - lit(2) * col("df") + lit(1)).cast(d4) /
       (lit(2) * col("df") + lit(1)).cast(d4)).cast("decimal(18,6)")
     val num = lit(10) * col("tf") * col("S")
     val den = num + lit(3) * col("S") + lit(9) * col("dl") * col("N")
     val tfn6 = (num.cast(d274) / den.cast(d274)).cast("decimal(18,6)")
-    tf.crossJoin(broadcast(stats))
-      .select(col("doc_id"), (idf6 * tfn6).as("s"))   // exact (37,12)
-      .groupBy(col("doc_id"))
-      .agg(sum(col("s")).cast("decimal(38,12)").cast("double").as("score"))
+    finishWithPin(
+      tf.select(col("doc_id"), (idf6 * tfn6).as("s"))   // exact (37,12)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("s")).cast("decimal(38,12)").cast("double").as("score")),
+      pin)
   }
 }

@@ -329,12 +329,20 @@ object Similarity {
     val b = df.select(col(idCol).as("__id"),
         explode(bandKeys(lshSignature(col(vecCol), bitsN, seed), bitsN, bands))
           .as("__bucket"))
-    val sized = b.withColumn("__bsz",
-        count(lit(1)).over(Window.partitionBy(col("__bucket"))))
+      // the bucket frame feeds the size aggregate AND the guarded join —
+      // pin it so the signature kernel runs over the corpus exactly once
+      // (persist keeps lineage — fault-tolerant, unlike localCheckpoint)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // guard via groupBy + join, NOT count().over(Window.partitionBy):
+    // a degenerate bucket is exactly what the guard targets, and a
+    // window would materialize all of it in ONE task before the filter;
+    // partial aggregation collapses it map-side (round-4 verdict)
+    val keepBuckets = b.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBucketSize)
+    val sized = b.join(keepBuckets, Seq("__bucket"))
       // both sides of the self-join read this frame — pin it so the
-      // signature computation + bucket-size window run once. persist
-      // keeps lineage (fault-tolerant), unlike localCheckpoint.
+      // bucket-size aggregate + join run once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idPairs = sized.select(col("__bucket"), col("__id").as("id_a"))
       .join(sized.select(col("__bucket"), col("__id").as("id_b")), Seq("__bucket"))
@@ -357,6 +365,7 @@ object Similarity {
       // accumulate them). Lineage kept — still fault-tolerant.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
+    b.unpersist(false)
     sized.unpersist(false)
     result
   }

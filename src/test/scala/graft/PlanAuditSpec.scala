@@ -90,6 +90,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!plan("q34_embedding_neardup").contains("row_number"))
   }
 
+  test("q62: the only window is the per-doc ranking; df partial-aggregates") {
+    // round-4 verdict: df via count().over(Window.partitionBy(term)) put
+    // a stop-word's corpus-sized partition into ONE task. df now comes
+    // from groupBy(term)+join — the sole surviving window is the per-doc
+    // row_number (millions of small partitions).
+    val p = plan("q62_tfidf_terms")
+    val winSpecs = "windowspecdefinition\\(([A-Za-z_0-9]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.startsWith("doc_id")),
+      s"windows must partition by doc_id only, got: $winSpecs")
+    assert(p.contains("partial_count"),
+      "df must combine map-side before the shuffle")
+  }
+
+  test("q27/q28/q34: dedup candidate paths plan no window at all") {
+    // the LSH bucket-size guards aggregate map-side (groupBy+join) —
+    // a window guard would materialize the degenerate bucket it exists
+    // to drop inside a single task (round-4 verdict)
+    for (q <- Seq("q27_minhash_pairs", "q28_simhash_pairs",
+                  "q34_embedding_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition"), s"$q plans a window")
+      assert(p.contains("partial_"),
+        s"$q must partial-aggregate its guard/verify counts")
+    }
+  }
+
   test("q26/q34: deterministic cosine runs the native kernel, no lambda chains") {
     // the decimal dot must be the fused vec_dot_decimal expression;
     // aggregate/zip_with higher-order lambdas are CodegenFallback and

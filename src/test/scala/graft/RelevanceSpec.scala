@@ -95,6 +95,47 @@ class RelevanceSpec extends SparkTestBase {
     assert(got((2L, "alpha")) == 2.0)        // tf=2, df=3: 2*3/3
   }
 
+  test("large term sets: filtered shape matches the conditional-sum form exactly") {
+    // past largeTermThreshold the plan switches from one conditional-sum
+    // column per term to filter + groupBy(doc, term); the deterministic
+    // variant's decimal sums are order-independent, so the two shapes
+    // must agree to the bit
+    val manyTerms = Seq("rare", "common", "alpha", "beta", "gamma", "delta") ++
+      (1 to 114).map(i => s"zz$i")
+    assert(manyTerms.size > 64)
+    def scores(threshold: Int) =
+      Relevance.bm25Deterministic(docs, "doc_id", "text", manyTerms,
+          largeTermThreshold = threshold)
+        .as[(Long, Double)].collect().toMap
+    val conditional = scores(threshold = 1000)
+    val filtered = scores(threshold = 64)
+    assert(conditional == filtered, s"$conditional vs $filtered")
+    // production (double) form: same doc set, same scores up to
+    // summation-order ulps
+    def prodScores(threshold: Int) =
+      Relevance.bm25(docs, "doc_id", "text", manyTerms,
+          largeTermThreshold = threshold)
+        .as[(Long, Double)].collect().toMap
+    val pc = prodScores(1000); val pf = prodScores(64)
+    assert(pc.keySet == pf.keySet)
+    pc.foreach { case (id, s) => assert(math.abs(s - pf(id)) <= 1e-12 * math.max(1.0, math.abs(s))) }
+  }
+
+  test("filtered shape plans no term window and releases its pin") {
+    val manyTerms = Seq("rare", "common") ++ (1 to 80).map(i => s"zz$i")
+    val r = Relevance.bm25Deterministic(docs, "doc_id", "text", manyTerms)
+    val p = r.queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition"),
+      s"df must come from groupBy+join, not a term window:\n${p.take(800)}")
+    // the tf pin must be gone once the result is materialized — only the
+    // (small) result frame itself may remain cached
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val r2 = Relevance.bm25Deterministic(docs, "doc_id", "text", manyTerms)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1, s"leaked pins: $before -> $after")
+    r2.unpersist()
+  }
+
   test("tf-idf per-doc ranking is deterministic: ties break on the term") {
     val a = Relevance.tfIdfDeterministicTopK(docs, "doc_id", "text", k = 3)
       .as[(Long, String, Int, Double)].collect().toSet
