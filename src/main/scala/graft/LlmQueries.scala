@@ -301,6 +301,47 @@ object LlmQueries {
       Seq("train" -> 900, "val" -> 50, "test" -> 50))
   }
 
+  // q65 with the LM-QUALITY stage wired in — the full production
+  // curation story: token-count quality ∧ LM score ∧ dedup ∧ rebalance
+  // ∧ split. The LM stage scores every quality survivor by its rational
+  // bigram conditional-probability mass under a model trained on the
+  // BASE corpus (LanguageModel.docCondProbMassDeterministic — the
+  // oracle-safe form of the ln scorer) and drops docs whose AVERAGE
+  // falls below 0.0340, thresholded by cross-multiplication
+  // (sum_p6 ≥ 0.0340·n — exact decimals, no tie-prone division): on
+  // the fixture the per-doc averages sit tightly around ~0.0345, so
+  // the bar provably drops a fraction (gibberish-like tails) while the
+  // clone-dedup, 40-token and strata stages keep biting as in q65.
+  def q66_curation_lm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs0 = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val corpus = docs0.unionByName(docs0.select(
+      (col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text")))
+    val quality = corpus
+      .filter(regexp_count(col("text"), lit("\\S+")) >= 40)
+    val lm = graft.llm.LanguageModel.docCondProbMassDeterministic(
+        quality, "doc_id", "text", modelDocs = Some(docs0))
+      .filter(col("sum_p6") >=
+        lit("0.0340").cast("decimal(18,6)") * col("n_bigrams"))
+      .select(col("doc_id"), col("sum_p6"))
+    val lmKept = quality.join(lm, Seq("doc_id"))
+    val deduped = lmKept
+      .withColumn("__h", xxhash64(col("text")))
+      .withColumn("__keep",
+        min(col("doc_id")).over(Window.partitionBy(col("__h"), col("text"))))
+      .filter(col("doc_id") === col("__keep"))
+    val sampled = graft.ops.Sampling.stratifiedSampleByHash(
+      deduped, graft.ops.Sampling.lcgKey(col("doc_id")), col("lang"),
+      Seq("en" -> 500, "zh" -> 800, "es" -> 1000, "de" -> 250),
+      defaultPerMille = 100)
+    graft.ops.Sampling.assignSplits(
+      sampled.select(col("doc_id"), col("lang"),
+        col("sum_p6").cast("double").as("lm_mass")),
+      graft.ops.Sampling.lcgKey(col("doc_id"), salt = 777L),
+      Seq("train" -> 900, "val" -> 50, "test" -> 50))
+  }
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -359,7 +400,8 @@ object LlmQueries {
     "q61_kmeans_assign" -> q61_kmeans_assign _,
     "q62_tfidf_terms"   -> q62_tfidf_terms _,
     "q64_bigram_lm"     -> q64_bigram_lm _,
-    "q65_curation_pipeline" -> q65_curation_pipeline _
+    "q65_curation_pipeline" -> q65_curation_pipeline _,
+    "q66_curation_lm"   -> q66_curation_lm _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -644,6 +686,57 @@ object LlmQueries {
         |    (((((doc_id + 777) * 1103515245 + 12345) % 1000000007)
         |       * 1664525 + 1013904223) % 1000000007) % 1000 AS key FROM s)
         |SELECT doc_id, lang,
+        |  CASE WHEN key < 900 THEN 'train' WHEN key < 950 THEN 'val' ELSE 'test' END AS split
+        |FROM k""".stripMargin,
+    // q65 + the rational LM-quality stage (base-corpus bigram model)
+    "q66_curation_lm" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, lang, text FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, text FROM corpus
+        |  WHERE len(regexp_extract_all(text, '\S+')) >= 40),
+        |mg AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM documents),
+        |mbg AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM mg),
+        |cab AS (SELECT w1, w2, count(*) AS pair_cnt FROM mbg GROUP BY 1, 2),
+        |ca AS (SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS head_cnt FROM cab GROUP BY 1),
+        |model AS (SELECT cab.w1, cab.w2,
+        |  CAST(CAST(pair_cnt AS DECIMAL(18,4)) / CAST(head_cnt AS DECIMAL(18,4)) AS DECIMAL(18,6)) AS p6
+        |  FROM cab JOIN ca USING (w1)),
+        |dbg0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM q),
+        |dbg AS (SELECT doc_id, string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM dbg0),
+        |sc AS (
+        |  SELECT d.doc_id, coalesce(m.p6, CAST(0 AS DECIMAL(18,6))) AS p6
+        |  FROM dbg d LEFT JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2),
+        |lm AS (
+        |  SELECT doc_id, CAST(sum(p6) AS DECIMAL(38,6)) AS sum_p6,
+        |    count(*) AS n_bigrams
+        |  FROM sc GROUP BY doc_id),
+        |lmk AS (
+        |  SELECT q.doc_id, q.lang, q.text, lm.sum_p6
+        |  FROM q JOIN lm USING (doc_id)
+        |  WHERE lm.sum_p6 >= CAST('0.0340' AS DECIMAL(18,6)) * lm.n_bigrams),
+        |d AS (
+        |  SELECT doc_id, lang, sum_p6 FROM (
+        |    SELECT doc_id, lang, sum_p6, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM lmk)
+        |  WHERE doc_id = keep_id),
+        |s AS (
+        |  SELECT doc_id, lang, sum_p6 FROM d
+        |  WHERE ((doc_id * 1103515245 + 12345) % 1000000007) % 1000 <
+        |    CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 800 WHEN 'es' THEN 1000
+        |              WHEN 'de' THEN 250 ELSE 100 END),
+        |k AS (
+        |  SELECT doc_id, lang, sum_p6,
+        |    (((((doc_id + 777) * 1103515245 + 12345) % 1000000007)
+        |       * 1664525 + 1013904223) % 1000000007) % 1000 AS key FROM s)
+        |SELECT doc_id, lang, CAST(sum_p6 AS DOUBLE) AS lm_mass,
         |  CASE WHEN key < 900 THEN 'train' WHEN key < 950 THEN 'val' ELSE 'test' END AS split
         |FROM k""".stripMargin,
     // rational bigram conditional probabilities, one decimal division

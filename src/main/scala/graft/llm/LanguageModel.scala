@@ -65,6 +65,50 @@ object LanguageModel {
               col("rnk"), col("p6").cast("double").as("cond_p"))
   }
 
+  /** Gate form of [[docAvgLogProb]]: per-document RATIONAL bigram
+    * conditional-probability mass under the model — cross-engine
+    * bit-stable (ln() is not): per bigram p6 = pair_cnt/head_cnt as in
+    * [[topFollowers]] (one decimal division, rounded to DECIMAL(18,6)
+    * identically in both engines), unseen bigrams contribute exactly 0,
+    * and the doc score is the EXACT decimal sum of p6 plus the bigram
+    * count — no final division: avg = sum/n ties at the rounding digit
+    * for round divisors (sum/40 midpoints), and Spark (decimal
+    * HALF_UP) and an engine rounding via double disagree on ties.
+    * Threshold on the average by CROSS-MULTIPLICATION instead:
+    * avg ≥ T  ⟺  sum_p6 ≥ T·n_bigrams, both sides exact decimals.
+    * Higher mass per bigram = the doc's bigrams are more typical of
+    * the model corpus. Docs without bigrams (< 2 tokens) get
+    * sum_p6 = 0, n_bigrams = 0 — present exactly once; note they pass
+    * a cross-multiplied bar VACUOUSLY (0 ≥ T·0), so add
+    * `n_bigrams > 0` when evidence-less docs must fail. Same join
+    * shape as [[docAvgLogProb]]: model keyed by (w1, w2) —
+    * vocabulary-sized, AQE-splittable, never a window. */
+  def docCondProbMassDeterministic(docs: DataFrame, idCol: String,
+                                   textCol: String,
+                                   modelDocs: Option[DataFrame] = None)
+      : DataFrame = {
+    val d4 = "decimal(18,4)"; val d6 = "decimal(18,6)"
+    val model = bigramModel(modelDocs.getOrElse(docs), textCol)
+      .select(col("w1"), col("w2"),
+        (col("pair_cnt").cast(d4) / col("head_cnt").cast(d4))
+          .cast(d6).as("p6"))
+    val docBg = docs.select(col(idCol).as("doc_id"),
+        explode(TextShingles.wordBigrams(col(textCol))).as("gram"))
+      .select(col("doc_id"),
+              substring_index(col("gram"), " ", 1).as("w1"),
+              substring_index(col("gram"), " ", -1).as("w2"))
+    val scored = docBg.join(model, Seq("w1", "w2"), "left")
+      .select(col("doc_id"),
+        coalesce(col("p6"), lit(0).cast(d6)).as("p6"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("p6")).cast("decimal(38,6)").as("sum_p6"),
+           count(lit(1)).as("n_bigrams"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sum_p6"), lit(0).cast("decimal(38,6)")).as("sum_p6"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
   /** Production LM scoring: per-document average bigram log-probability
     * under the model trained on `modelDocs` (defaults to scoring the
     * corpus against itself; pass a reference corpus to score INCOMING

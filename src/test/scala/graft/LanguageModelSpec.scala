@@ -68,6 +68,47 @@ class LanguageModelSpec extends SparkTestBase {
     assert(scored(3L)._2 == 1L)
   }
 
+  test("docCondProbMassDeterministic: exact mass, gibberish fails any positive bar") {
+    // corpus of well-modeled docs + one gibberish doc whose bigrams are
+    // all unseen under the reference model → sum_p6 = 0 exactly
+    val probe = Seq(
+      (1L, "a b"),                  // in-model bigram
+      (2L, "zz1 zz2 zz3 zz4"),      // pure gibberish vs the model
+      (3L, "x")                     // sub-2-token: 0 mass, 0 bigrams
+    ).toDF("doc_id", "text")
+    val scored = LanguageModel.docCondProbMassDeterministic(
+        probe, "doc_id", "text", modelDocs = Some(docs))
+      .as[(Long, java.math.BigDecimal, Long)].collect()
+      .map(r => r._1 -> (r._2.doubleValue, r._3)).toMap
+    assert(scored.keySet == Set(1L, 2L, 3L), "every input doc appears once")
+    assert(scored(1L)._1 > 0.0 && scored(1L)._2 == 1L)
+    assert(scored(2L) == (0.0, 3L), "unseen bigrams contribute exactly 0")
+    assert(scored(3L) == (0.0, 0L))
+    // the cross-multiplied threshold (avg ≥ T ⟺ sum ≥ T·n) drops the
+    // gibberish doc for ANY positive bar and keeps doc 1 for a bar
+    // below its avg; evidence-less docs (n = 0) pass vacuously, so the
+    // strict form adds n_bigrams > 0
+    val kept = LanguageModel.docCondProbMassDeterministic(
+        probe, "doc_id", "text", modelDocs = Some(docs))
+      .filter(col("n_bigrams") > 0 && col("sum_p6") >=
+        lit("0.000001").cast("decimal(18,6)") * col("n_bigrams"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"got $kept")
+  }
+
+  test("q66 LM stage provably drops rows the q65 pipeline keeps") {
+    val dir = sf("sf0.001")
+    val with65 = SparkEntry.queries("q65_curation_pipeline")(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val with66 = SparkEntry.queries("q66_curation_lm")(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    // same pipeline modulo the LM bar: q66's survivors are a strict
+    // subset of q65's — the LM stage bites, and only the LM stage
+    assert(with66.subsetOf(with65), "LM stage may only remove docs")
+    assert(with66.size < with65.size, "LM bar must drop at least one doc")
+    assert(with66.nonEmpty, "LM bar must not drop everything")
+  }
+
   test("model counts are partition-independent") {
     val a = LanguageModel.bigramModel(docs, "text")
       .as[(String, String, Long, Long)].collect().toSet
