@@ -243,6 +243,102 @@ case class LshSignature(child: Expression, bits: Int, seed: Int)
     copy(child = newChild)
 }
 
+/** Static kernel shared by [[LshBandKeys]]'s eval and codegen — same
+  * parity-by-construction trick as [[DecimalVecOps]]. */
+object LshOps {
+  /** One fused pass: all `width·bands` plane dots, then the per-band
+    * keys (band b's key bit j = sign bit of plane b·width+j) — exactly
+    * the bits [[LshSignature]] would produce, sliced per band, so for
+    * total bits ≤ 63 the keys equal
+    * `bandKeys(lshSignature(v, bits), bits, bands)` bit for bit. */
+  def bandKeys(x: ArrayData, planeHashes: Array[Long], width: Int,
+               bands: Int, isFloat: Boolean): ArrayData = {
+    val bits = width * bands
+    val n = x.numElements()
+    val dots = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) {
+        val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        var p = 0
+        while (p < bits) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashInt(i, planeHashes(p))
+          dots(p) += xv * (if ((h & 1L) == 0L) 1.0 else -1.0)
+          p += 1
+        }
+      }
+      i += 1
+    }
+    val keys = new Array[Long](bands)
+    var p = 0
+    while (p < bits) {
+      if (dots(p) >= 0.0) keys(p / width) |= 1L << (p % width)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+}
+
+/** Per-band LSH bucket keys as `array<long>` (element b = band b's
+  * `width`-bit key) — the MULTI-LONG signature path. [[LshSignature]]
+  * packs all bits into one long, capping bits ≤ 63 and therefore the
+  * bucket space at 2^63 across all bands; corpora ≫ 10^8 vectors want
+  * wider signatures. Emitting keys per band lifts the cap entirely
+  * (any `bands`; only the per-band width is bounded by the long) and
+  * skips the slice/shift banding chain. Plane p's component is the
+  * same chained xxhash64 as [[LshSignature]], so for total bits ≤ 63
+  * the keys are bit-identical to `bandKeys(lshSignature(...))`
+  * (spec-pinned — existing fixtures and gates stay stable). */
+case class LshBandKeys(child: Expression, bits: Int, bands: Int, seed: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bands >= 1 && bits % bands == 0,
+    s"bits=$bits must divide into bands=$bands")
+  private val width = bits / bands
+  require(width >= 1 && width <= 63,
+    s"band width ${width} must be in [1, 63] (a 64-bit band mask " +
+      "overflows to 0 and collapses all buckets)")
+
+  override def prettyName: String = "vec_lsh_band_keys"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got ${other.simpleString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Identical chaining to [[LshSignature.planeHashes]] — parity. */
+  @transient private lazy val planeHashes: Array[Long] = {
+    val h0 = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(seed, 42L)
+    Array.tabulate(bits)(p =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(p, h0))
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    LshOps.bandKeys(a.asInstanceOf[ArrayData], planeHashes, width, bands, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ph = ctx.addReferenceObj("planeHashes", planeHashes, "long[]")
+    nullSafeCodeGen(ctx, ev, x => {
+      s"""
+         |${ev.value} = graft.functions.LshOps.bandKeys($x, $ph, $width, $bands, $isFloat);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 /** Static kernel shared by [[DecimalDotProduct]]'s eval and codegen (a
   * top-level object's methods compile to static Java methods, so the
   * generated code calls the exact same bytecode the interpreter runs —
@@ -345,6 +441,8 @@ object VectorFunctions {
   def vecDotDecimal(a: Column, b: Column): Column = c(DecimalDotProduct(e(a), e(b)))
   def vecLshSignature(v: Column, bits: Int, seed: Int = 42): Column =
     c(LshSignature(e(v), bits, seed))
+  def vecLshBandKeys(v: Column, bits: Int, bands: Int, seed: Int = 42): Column =
+    c(LshBandKeys(e(v), bits, bands, seed))
 
   /** SQL registration: `SELECT vec_cosine(a.embedding, b.embedding)`. */
   def registerSql(spark: SparkSession): Unit = {

@@ -141,6 +141,25 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** (band, key) structs for a vector, choosing the signature layout by
+    * width: total bits ≤ 63 pack into ONE long ([[lshSignature]] +
+    * [[bandKeys]] — the layout every pinned fixture uses), wider
+    * signatures use the MULTI-LONG kernel (LshBandKeys: one long key
+    * per band, no total-bits cap — the ≫10^8-vector corpus path). The
+    * two layouts are bit-compatible where they overlap (spec-pinned):
+    * plane hashes chain identically, so a ≤63-bit signature's band
+    * keys agree between them. */
+  def bandKeysOf(vec: Column, bits: Int, bands: Int, seed: Int = 42): Column = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bits=$bits must divide into bands=$bands")
+    if (bits <= 63) bandKeys(lshSignature(vec, bits, seed), bits, bands)
+    else {
+      val keys = graft.functions.VectorFunctions.vecLshBandKeys(vec, bits, bands, seed)
+      zip_with(keys, sequence(lit(0), lit(bands - 1)),
+        (k, b) => struct(b.cast("int").as("band"), k.as("key")))
+    }
+  }
+
   /** Band the signature into `bands` keys of `bits/bands` bits each. */
   def bandKeys(sig: Column, bits: Int, bands: Int): Column = {
     require(bands >= 1 && bits % bands == 0 && bits / bands <= 63,
@@ -282,23 +301,22 @@ object Similarity {
   /** Band-key width sized for the corpus: with `width = bits/bands` bits
     * per band a band hashes the corpus into 2^width buckets, so expected
     * occupancy is n/2^width — this picks the smallest width keeping that
-    * near `targetBucket`, clamped to [4, 15] (the signature is a single
-    * long, so bits = width·bands ≤ 60 with the default 4 bands; a
-    * larger corpus should ALSO shrink targetBucket only with care —
-    * bucket-join cost is Σ|bucket|², so occupancy is the knob that
-    * matters). A fixed small default (the old 16/4 = 16 buckets/band)
-    * is quadratic for millions of vectors — a production footgun the
-    * round-2 review flagged; deriving from n removes it while
-    * `maxBucketSize` still caps pathological hot buckets. */
+    * near `targetBucket`, clamped to [4, 30] (a larger corpus should
+    * ALSO shrink targetBucket only with care — bucket-join cost is
+    * Σ|bucket|², so occupancy is the knob that matters). Total bits are
+    * no longer capped at a single long: [[bandKeysOf]] switches to the
+    * multi-long kernel past 63, so width scales to genuinely huge
+    * corpora (width 30 ≈ 10^9 buckets/band). A fixed small default
+    * (the old 16/4 = 16 buckets/band) is quadratic for millions of
+    * vectors — a production footgun the round-2 review flagged;
+    * deriving from n removes it while `maxBucketSize` still caps
+    * pathological hot buckets. */
   def suggestLshBits(corpusSize: Long, bands: Int = 4,
                      targetBucket: Int = 64): Int = {
     require(bands >= 1 && bands <= 63, s"bands=$bands out of [1, 63]")
     val ratio = math.max(1L, corpusSize).toDouble / math.max(1, targetBucket)
-    // total bits must fit LshSignature's single long (≤ 63), so the
-    // per-band cap is min(15, 63/bands) — bands > 4 trade band width
-    // for band count within the same signature
-    val widthCap = math.min(15, 63 / bands)
-    val width = math.max(math.min(4, widthCap), math.min(widthCap,
+    val widthCap = 30
+    val width = math.max(4, math.min(widthCap,
       math.ceil(math.log(math.max(1.0, ratio)) / math.log(2.0)).toInt))
     width * bands
   }
@@ -327,8 +345,7 @@ object Similarity {
     // (mirrors Dedup.minHashCandidates): an over-full bucket is
     // dropped, trading recall for never emitting its |bucket|² pairs.
     val b = df.select(col(idCol).as("__id"),
-        explode(bandKeys(lshSignature(col(vecCol), bitsN, seed), bitsN, bands))
-          .as("__bucket"))
+        explode(bandKeysOf(col(vecCol), bitsN, bands, seed)).as("__bucket"))
       // the bucket frame feeds the size aggregate AND the guarded join —
       // pin it so the signature kernel runs over the corpus exactly once
       // (persist keeps lineage — fault-tolerant, unlike localCheckpoint)
@@ -384,8 +401,7 @@ object Similarity {
     // the pair set is deduped, instead of riding the band-exploded shuffle
     def withBuckets(df: DataFrame, id: String) =
       df.select(col(idCol).as(id),
-        explode(bandKeys(lshSignature(col(vecCol), bitsN, seed), bitsN, bands))
-          .as("__bucket"))
+        explode(bandKeysOf(col(vecCol), bitsN, bands, seed)).as("__bucket"))
     val qb = withBuckets(queries, "query_id")
     val cb = withBuckets(candidates, "cand_id")
     val cand = cb.join(qb, Seq("__bucket"))

@@ -130,12 +130,13 @@ class LlmOpsSpec extends SparkTestBase {
     // the width formula itself
     assert(Similarity.suggestLshBits(1000, bands = 4) == 16)     // 4-bit floor
     assert(Similarity.suggestLshBits(100000, bands = 4) == 44)   // 11-bit bands
-    assert(Similarity.suggestLshBits(10000000L, bands = 4) == 60) // 15-bit cap
-    // the signature is one long: width*bands must stay ≤ 63 for ANY bands
-    assert(Similarity.suggestLshBits(10000000L, bands = 8) == 56)  // 7-bit cap
-    assert(Similarity.suggestLshBits(10000000L, bands = 16) == 48) // 3-bit cap
-    for (b <- 1 to 63)
-      assert(Similarity.suggestLshBits(Long.MaxValue, bands = b) <= 63)
+    // widths are no longer capped by one long (bandKeysOf switches to
+    // the multi-long kernel past 63 total bits) — only the per-corpus
+    // occupancy target and the 30-bit width cap apply
+    assert(Similarity.suggestLshBits(10000000L, bands = 4) == 72)  // 18-bit bands
+    assert(Similarity.suggestLshBits(10000000L, bands = 8) == 144)
+    for (b <- 1 to 63)   // 30-bit cap per band for ANY corpus size
+      assert(Similarity.suggestLshBits(Long.MaxValue, bands = b) == 30 * b)
     // 1e5 deterministic pseudo-random 16-dim vectors (hash-derived
     // components) — the banding under the derived width must spread the
     // corpus instead of the old fixed 16/4's 16-buckets-per-band blowup
@@ -245,6 +246,32 @@ class LlmOpsSpec extends SparkTestBase {
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("multi-long (128-bit) LSH keeps high recall on clustered data") {
+    // bits > 63 exercises the wide band-key kernel end-to-end through
+    // lshBucketTopK — the ≫10^8-vector corpus configuration that the
+    // single-long signature could not express
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val wide = Similarity.lshBucketTopK(queries, df, "vec_id", "embedding", 5,
+      bits = 128, bands = 16)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(wide).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+    // and the pair path (lshBucketPairs → embeddingNearDup) accepts the
+    // wide configuration too
+    val pairs = Dedup.embeddingNearDup(df, "vec_id", "embedding",
+      minCosine = 0.95, bits = 128, bands = 16)
+    assert(pairs.count() > 0)
   }
 
   test("connected components groups transitive near-dup chains") {

@@ -80,6 +80,66 @@ class VectorFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("multi-long band keys agree with the single-long layout where they overlap") {
+    // bits <= 63: bandKeysOf picks lshSignature+bandKeys; the wide
+    // kernel must produce the identical (band, key) structs — the
+    // bit-compatibility contract that keeps pinned fixtures stable
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .limit(100).select($"vec_id", $"embedding")
+    for ((bits, bands) <- Seq((48, 4), (48, 8), (16, 4)); seed <- Seq(42, 7)) {
+      val mism = emb.select(
+          graft.llm.Similarity.bandKeysOf($"embedding", bits, bands, seed).as("narrow"),
+          vecLshBandKeys($"embedding", bits, bands, seed).as("wide"))
+        .select(explode(zip_with($"narrow", $"wide",
+          (n, w) => n.getField("key") =!= w)).as("diff"))
+        .filter($"diff").count()
+      assert(mism == 0, s"bits=$bits bands=$bands seed=$seed")
+    }
+  }
+
+  test("128-bit band keys are bit-identical to the per-plane lambda reference") {
+    def planeComponent(plane: Int, dim: org.apache.spark.sql.Column, seed: Int): org.apache.spark.sql.Column =
+      when(pmod(xxhash64(lit(seed), lit(plane), dim), lit(2)) === 0, lit(1.0))
+        .otherwise(lit(-1.0))
+    def refBandKey(vec: org.apache.spark.sql.Column, b: Int, width: Int, seed: Int): org.apache.spark.sql.Column =
+      (0 until width).map { j =>
+        val p = b * width + j
+        val dot = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x.cast("double") * planeComponent(p, i, seed)),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val bits = 128; val bands = 8; val width = bits / bands
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .limit(40).select($"vec_id", $"embedding")
+    val mism = emb.select(
+        vecLshBandKeys($"embedding", bits, bands, 42).as("wide"),
+        array((0 until bands).map(b =>
+          refBandKey($"embedding", b, width, 42)): _*).as("ref"))
+      .select(explode(zip_with($"wide", $"ref", (w, r) => w =!= r)).as("diff"))
+      .filter($"diff").count()
+    assert(mism == 0)
+  }
+
+  test("wide band-key edge cases: empty vector sets every bit; width bounds enforced") {
+    // all dots 0.0, 0.0 >= 0 → every bit set (lambda parity): each
+    // 63-wide band key is 2^63 - 1 = Long.MaxValue
+    val keys = Seq(Tuple1(Array.empty[Float])).toDF("v")
+      .select(vecLshBandKeys($"v", 126, 2).as("k")).as[Seq[Long]].head()
+    assert(keys == Seq(Long.MaxValue, Long.MaxValue), s"got $keys")
+    // a 64-bit band mask would overflow to 0 and collapse all buckets
+    intercept[IllegalArgumentException] {
+      graft.functions.LshBandKeys(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression($"v"), 128, 2, 42)
+    }
+    // bits must divide into bands
+    intercept[IllegalArgumentException] {
+      graft.functions.LshBandKeys(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression($"v"), 100, 3, 42)
+    }
+  }
+
   test("native decimal dot is bit-identical to the lambda reference on real embeddings") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
       .limit(60).select($"vec_id", $"embedding")
