@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side shape is real and tested — schema, partitioning,
   * batch-iterator transform signature (`mapPartitions`, the JVM analog of
-  * `mapInPandas` batch processing). The codec itself is STUBBED with a
-  * deterministic fake (this container has no image/audio libs): see
-  * [[StubCodec]] — swap `decode` for a real implementation (javacv,
-  * ImageIO, ffmpeg-cli) without touching the pipeline shape.
+  * `mapInPandas` batch processing). Codecs are pluggable behind
+  * [[MediaCodec]]: [[MediaCodecs.BuiltinCodec]] decodes real BMP 24-bit
+  * and WAV PCM-16 payloads pure-JVM; [[StubCodec]] remains the
+  * deterministic fake for formats that need native libs (JPEG/MP3/
+  * video — absent in this container) and for pinned fixtures.
   */
 object Multimodal {
 
@@ -31,11 +32,21 @@ object Multimodal {
       n_frames: Int,
       decode_ok: Boolean)
 
+  /** Codec contract: one media row in, one feature row out. Must be
+    * serializable (implement as an `object`) — instances ship to
+    * executors inside the mapPartitions closure. Real formats a JVM
+    * can decode without native libs live in
+    * [[MediaCodecs.BuiltinCodec]] (BMP 24-bit, WAV PCM-16). */
+  trait MediaCodec extends Serializable {
+    def decode(row: MediaRow): MediaFeatures
+  }
+
   /** STUB decode: deterministic pseudo-features from the payload bytes —
-    * `???`-grade placeholder for a real codec, but shape-faithful:
-    * consumes bytes, emits a fixed-width float vector per media item.
-    * Deterministic so tests can assert exact outputs. */
-  object StubCodec {
+    * `???`-grade placeholder for codecs that genuinely need native libs
+    * (JPEG/MP3/video), but shape-faithful: consumes bytes, emits a
+    * fixed-width float vector per media item. Deterministic so tests
+    * can assert exact outputs. */
+  object StubCodec extends MediaCodec {
     val FeatureDim = 16
     def decode(row: MediaRow): MediaFeatures = {
       var h = 0xcbf29ce484222325L
@@ -71,12 +82,15 @@ object Multimodal {
   /** Batch decode/feature-extract: `mapPartitions` so a real codec can
     * amortize per-partition init (model load, ffmpeg process) across the
     * batch — the same contract `mapInPandas` gives Python. Partition
-    * count controls decode parallelism; payloads never hit the driver. */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    * count controls decode parallelism; payloads never hit the driver.
+    * Default codec is the stub (pinned fixtures); pass
+    * [[MediaCodecs.BuiltinCodec]] for real BMP/WAV payloads. */
+  def extractFeatures(media: Dataset[MediaRow],
+                      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition init happens here (codec/context); stub has none
-      it.map(StubCodec.decode)
+      it.map(codec.decode)
     }
   }
 

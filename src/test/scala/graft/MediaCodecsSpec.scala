@@ -1,0 +1,115 @@
+package graft
+
+import graft.llm.{MediaCodecs, Multimodal}
+import graft.llm.Multimodal.MediaRow
+
+class MediaCodecsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("BMP round trip: decoded pixel stats match the generator exactly") {
+    // 5x3 image, solid-ish gradient; width 5 forces a padded stride (15 -> 16)
+    val (w, h) = (5, 3)
+    def px(x: Int, y: Int) = (x * 40, y * 80, 200)
+    val bytes = MediaCodecs.encodeBmp24(w, h, px)
+    val Some((f, frames)) = MediaCodecs.decodeBmp24(bytes)
+    assert(frames == 1)
+    // independent expected stats straight from the generator
+    val pixels = for (y <- 0 until h; x <- 0 until w) yield px(x, y)
+    val n = pixels.size
+    assert(math.abs(f(0) - pixels.map(_._1).sum.toDouble / n / 255.0) < 1e-6)
+    assert(math.abs(f(1) - pixels.map(_._2).sum.toDouble / n / 255.0) < 1e-6)
+    assert(math.abs(f(2) - pixels.map(_._3).sum.toDouble / n / 255.0) < 1e-6)
+    val lumas = pixels.map { case (r, g, b) => 0.299 * r + 0.587 * g + 0.114 * b }
+    assert(math.abs(f(3) - lumas.sum / n / 255.0) < 1e-6)
+    // 8-bin luma histogram fractions sum to 1
+    assert(math.abs((5 until 13).map(f(_).toDouble).sum - 1.0) < 1e-6)
+    assert(math.abs(f(13) - w.toDouble / (w + h)) < 1e-6)
+  }
+
+  test("WAV round trip: RMS / mean / zero crossings match the samples exactly") {
+    // a square wave: rms = amplitude, zcr = one crossing per half-period
+    val amp: Short = 8192
+    val samples = Array.tabulate[Short](800)(i => if ((i / 4) % 2 == 0) amp else (-amp).toShort)
+    val bytes = MediaCodecs.encodePcm16Wav(16000, samples)
+    val Some((f, frames)) = MediaCodecs.decodeWavPcm16(bytes)
+    assert(frames == 0)
+    assert(math.abs(f(0) - amp / 32768.0) < 1e-6, "rms of a square wave = amplitude")
+    assert(math.abs(f(1) - 0.0) < 1e-6, "symmetric wave has zero mean")
+    val zc = (1 until samples.length)
+      .count(i => (samples(i - 1) >= 0) != (samples(i) >= 0))
+    assert(math.abs(f(2) - zc.toDouble / (samples.length - 1)) < 1e-6)
+    assert(math.abs(f(3) - amp / 32768.0) < 1e-6)
+    assert(math.abs(f(12) - 0.16) < 1e-6)   // 16000 / 1e5
+  }
+
+  test("builtin codec sniffs magic bytes and fails closed on garbage") {
+    val bmpRow = MediaRow(1L, "image",
+      MediaCodecs.encodeBmp24(4, 4, (_, _) => (10, 20, 30)), 4, 4, 0, 0L)
+    val wavRow = MediaRow(2L, "audio",
+      MediaCodecs.encodePcm16Wav(8000, Array.tabulate[Short](100)(i => (i * 300).toShort)),
+      0, 0, 8000, 0L)
+    val junkRow = MediaRow(3L, "video", Array.tabulate[Byte](64)(_.toByte), 0, 0, 0, 0L)
+    val truncated = MediaRow(4L, "image",
+      MediaCodecs.encodeBmp24(8, 8, (_, _) => (1, 2, 3)).take(60), 8, 8, 0, 0L)
+    val got = Seq(bmpRow, wavRow, junkRow, truncated)
+      .map(MediaCodecs.BuiltinCodec.decode)
+    assert(got(0).decode_ok && got(0).n_frames == 1)
+    assert(got(1).decode_ok && got(1).n_frames == 0)
+    assert(!got(2).decode_ok && got(2).feature.forall(_ == 0.0f))
+    assert(!got(3).decode_ok, "truncated pixel array must fail, not overread")
+  }
+
+  test("real-bytes corpus flows through the distributed extractFeatures pipeline") {
+    // mixed BMP/WAV payloads across partitions — the same mapPartitions
+    // plumbing q33 gates, now decoding real wire formats
+    val rows = (0 until 60).map { i =>
+      if (i % 2 == 0)
+        MediaRow(i.toLong, "image",
+          MediaCodecs.encodeBmp24(8 + i % 5, 6, (x, y) => (x * 20 % 256, y * 30 % 256, i % 256)),
+          8 + i % 5, 6, 0, 0L)
+      else
+        MediaRow(i.toLong, "audio",
+          MediaCodecs.encodePcm16Wav(16000,
+            Array.tabulate[Short](400 + i)(j => ((j * (i + 3) * 137) % 20000 - 10000).toShort)),
+          0, 0, 16000, 0L)
+    }
+    val ds = spark.createDataset(rows).repartition(4)
+    val feats = Multimodal.extractFeatures(ds, MediaCodecs.BuiltinCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.size == 60)
+    assert(feats.values.forall(_.decode_ok), "every real payload must decode")
+    assert(feats.values.filter(_.kind == "image").forall(_.n_frames == 1))
+    assert(feats.values.filter(_.kind == "audio").forall(_.n_frames == 0))
+    // distributed result == local decode (codec is a pure function)
+    val local = rows.map(MediaCodecs.BuiltinCodec.decode).map(f => f.media_id -> f).toMap
+    assert(feats.forall { case (id, f) =>
+      f.feature.sameElements(local(id).feature) })
+  }
+
+  test("multi-channel WAV averages channels; odd-length chunks stay aligned") {
+    // hand-build a stereo WAV: L = 1000, R = 3000 -> mono mean 2000
+    val nFrames = 50
+    val mono = MediaCodecs.encodePcm16Wav(8000, Array.fill[Short](nFrames)(2000))
+    val stereoData = new Array[Byte](nFrames * 4)
+    for (i <- 0 until nFrames) {
+      def w16(o: Int, v: Int): Unit = {
+        stereoData(o) = (v & 0xff).toByte
+        stereoData(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      w16(i * 4, 1000); w16(i * 4 + 2, 3000)
+    }
+    val header = mono.take(44)
+    def patch16(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte }
+    def patch32(b: Array[Byte], o: Int, v: Int): Unit = {
+      patch16(b, o, v & 0xffff); patch16(b, o + 2, v >>> 16) }
+    val stereo = header ++ stereoData
+    patch16(stereo, 22, 2)                       // channels
+    patch32(stereo, 28, 8000 * 4)                // byte rate
+    patch16(stereo, 32, 4)                       // block align
+    patch32(stereo, 40, stereoData.length)       // data size
+    patch32(stereo, 4, 36 + stereoData.length)   // riff size
+    val Some((f, _)) = MediaCodecs.decodeWavPcm16(stereo)
+    assert(math.abs(f(1) - 2000.0 / 32768.0) < 1e-6, s"mean ${f(1)}")
+  }
+}
