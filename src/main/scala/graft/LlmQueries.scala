@@ -684,7 +684,7 @@ object LlmQueries {
         |k AS (
         |  SELECT doc_id, lang,
         |    (((((doc_id + 777) * 1103515245 + 12345) % 1000000007)
-        |       * 1664525 + 1013904223) % 1000000007) % 1000 AS key FROM s)
+        |       * 1665302 + 1013904223) % 1000000007) % 1000 AS key FROM s)
         |SELECT doc_id, lang,
         |  CASE WHEN key < 900 THEN 'train' WHEN key < 950 THEN 'val' ELSE 'test' END AS split
         |FROM k""".stripMargin,
@@ -735,7 +735,7 @@ object LlmQueries {
         |k AS (
         |  SELECT doc_id, lang, sum_p6,
         |    (((((doc_id + 777) * 1103515245 + 12345) % 1000000007)
-        |       * 1664525 + 1013904223) % 1000000007) % 1000 AS key FROM s)
+        |       * 1665302 + 1013904223) % 1000000007) % 1000 AS key FROM s)
         |SELECT doc_id, lang, CAST(sum_p6 AS DOUBLE) AS lm_mass,
         |  CASE WHEN key < 900 THEN 'train' WHEN key < 950 THEN 'val' ELSE 'test' END AS split
         |FROM k""".stripMargin,

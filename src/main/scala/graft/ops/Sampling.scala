@@ -31,18 +31,29 @@ object Sampling {
     * decisions — e.g. a stratified keep-sample and a train/val/test
     * split: on one key, every row a low keep-rate stratum retains would
     * also have key < 900 and land in "train". A salted key applies a
-    * SECOND multiplicative round: merely adding the salt shifts the
-    * residue, and a shift survives `mod 1000` — the "salted" key would
-    * be the unsalted one rotated by a constant, perfectly correlated.
-    * The extra multiply wraps the modulus ~a× per unit shift, breaking
-    * the relation. salt = 0 keeps the legacy single-round gate formula
-    * (pinned by the q49/q52 oracles). */
+    * SECOND multiplicative round whose MULTIPLIER depends on the salt
+    * (`a2 + salt`). Both parts are load-bearing:
+    *   - merely ADDING the salt shifts the residue, and a shift
+    *     survives `mod 1000` — the "salted" key would be the unsalted
+    *     one rotated by a constant, perfectly correlated (the round-4
+    *     trap);
+    *   - a second round with a FIXED multiplier decorrelates a salted
+    *     key from the unsalted one but NOT two salted keys from each
+    *     other: their pre-mod difference is again a constant shift
+    *     (found by this round's chi-square property spec). A
+    *     salt-dependent multiplier makes any two salted keys relate by
+    *     an affine map with multiplier (a2+s2)/(a2+s1) ≠ 1 mod p,
+    *     which spreads across the mod-1000 residues.
+    * salt = 0 keeps the legacy single-round gate formula (pinned by
+    * the q49/q52 oracles); salted keys are pinned by q65/q66. */
   def lcgKey(id: Column, salt: Long = 0L): Column = {
     val p = 1000000007L
+    require(salt >= 0L && salt < p - 1664525L,
+      s"salt must be in [0, ${p - 1664525L}) to keep the salted multiplier nonzero mod $p")
     val r1 = pmod((id + lit(salt)) * lit(1103515245L) + lit(12345L), lit(p))
     val mixed =
       if (salt == 0L) r1
-      else pmod(r1 * lit(1664525L) + lit(1013904223L), lit(p))
+      else pmod(r1 * lit(1664525L + salt) + lit(1013904223L), lit(p))
     pmod(mixed, lit(Mille))
   }
 

@@ -93,6 +93,43 @@ class SamplingSpec extends SparkTestBase {
       s"salted split must stay ~900 per-mille among sampled rows, got $trainFrac")
   }
 
+  test("property: salted key pairs pass a chi-square independence test; additive salting fails it") {
+    // the round-4 trap, pinned as a statistical property so it can never
+    // silently regress: keys drawn from the same id under different
+    // salts must be jointly uniform. 10x10 decile contingency table over
+    // 100k ids, X² = Σ (obs - exp)²/exp with exp from the marginals;
+    // df = 81, so X² ≲ 124 at α = 0.001 — threshold 150 is generous for
+    // a correct key and astronomically far below any correlated one.
+    val n = 100000L
+    val big = spark.range(n).toDF("id")
+    def chi2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): Double = {
+      val cells = big.select((a / 100).cast("int").as("da"), (b / 100).cast("int").as("db"))
+        .groupBy("da", "db").count()
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val rowT = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      val colT = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+      (for (ra <- rowT.keys; cb <- colT.keys) yield {
+        val exp = rowT(ra).toDouble * colT(cb) / n
+        val obs = cells.getOrElse((ra, cb), 0L).toDouble
+        (obs - exp) * (obs - exp) / exp
+      }).sum
+    }
+    for ((s1, s2) <- Seq((0L, 777L), (777L, 12345L), (42L, 43L))) {
+      val x2 = chi2(Sampling.lcgKey($"id", s1), Sampling.lcgKey($"id", s2))
+      assert(x2 < 150.0, s"salts ($s1, $s2): X² = $x2 — keys are correlated")
+    }
+    // power check: the ADDITIVE-only "salt" (the round-4 bug — a shifted
+    // residue survives mod 1000 as a near-rotation) must blow the same
+    // statistic up by orders of magnitude, proving the test can detect
+    // exactly the failure it exists to prevent
+    val additive = pmod(
+      pmod(($"id" + lit(777L)) * lit(1103515245L) + lit(12345L), lit(1000000007L)),
+      lit(1000L))
+    val broken = chi2(Sampling.lcgKey($"id", 0L), additive)
+    assert(broken > 10000.0,
+      s"additive salting must register as correlated, got X² = $broken")
+  }
+
   test("stratified rates are validated") {
     intercept[IllegalArgumentException] {
       Sampling.stratifiedSampleByHash(ids.withColumn("st", lit("a")),
