@@ -320,7 +320,10 @@ object LlmQueries {
       (col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text")))
     val quality = corpus
       .filter(regexp_count(col("text"), lit("\\S+")) >= 40)
-    val lm = graft.llm.LanguageModel.docCondProbMassDeterministic(
+    // scores form (docs with >= 2 tokens only — every 40-token quality
+    // survivor qualifies): skips the operator's id-frame left join, one
+    // less corpus scan before the inner join below
+    val lm = graft.llm.LanguageModel.docCondProbMassScores(
         quality, "doc_id", "text", modelDocs = Some(docs0))
       .filter(col("sum_p6") >=
         lit("0.0340").cast("decimal(18,6)") * col("n_bigrams"))

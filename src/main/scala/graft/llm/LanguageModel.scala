@@ -87,6 +87,21 @@ object LanguageModel {
                                    textCol: String,
                                    modelDocs: Option[DataFrame] = None)
       : DataFrame = {
+    val scored = docCondProbMassScores(docs, idCol, textCol, modelDocs)
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("sum_p6"), lit(0).cast("decimal(38,6)")).as("sum_p6"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
+  /** [[docCondProbMassDeterministic]] restricted to docs that HAVE
+    * bigrams (≥ 2 tokens) — the inner form, without the id-frame left
+    * join. Callers that re-join the scores to the corpus anyway (the
+    * q66 curation pipeline) save one full corpus scan; callers that
+    * need every input id exactly once use the public wrapper above. */
+  def docCondProbMassScores(docs: DataFrame, idCol: String,
+                            textCol: String,
+                            modelDocs: Option[DataFrame] = None): DataFrame = {
     val d4 = "decimal(18,4)"; val d6 = "decimal(18,6)"
     val model = bigramModel(modelDocs.getOrElse(docs), textCol)
       .select(col("w1"), col("w2"),
@@ -97,16 +112,12 @@ object LanguageModel {
       .select(col("doc_id"),
               substring_index(col("gram"), " ", 1).as("w1"),
               substring_index(col("gram"), " ", -1).as("w2"))
-    val scored = docBg.join(model, Seq("w1", "w2"), "left")
+    docBg.join(model, Seq("w1", "w2"), "left")
       .select(col("doc_id"),
         coalesce(col("p6"), lit(0).cast(d6)).as("p6"))
       .groupBy(col("doc_id"))
       .agg(sum(col("p6")).cast("decimal(38,6)").as("sum_p6"),
            count(lit(1)).as("n_bigrams"))
-    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("sum_p6"), lit(0).cast("decimal(38,6)")).as("sum_p6"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
 
   /** Production LM scoring: per-document average bigram log-probability

@@ -14,8 +14,18 @@ object TextShingles {
     * document has fewer than two words. */
   def wordBigrams(text: Column): Column = wordNgrams(text, 2)
 
-  /** Word n-grams joined by single spaces. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  /** Word n-grams joined by single spaces — native fused expression
+    * (graft.functions.WordNgrams): one tokenize per row, all grams in
+    * one pass. The combinator form below is kept only as the oracle for
+    * the parity spec: its transform lambda is CodegenFallback AND the
+    * interpreter re-evaluates the split(text) subtree per emitted gram,
+    * so shingling a document costs O(tokens²) characters. */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.wordNgrams(text, n)
+
+  /** Reference lambda form of [[wordNgrams]] (see above — parity spec
+    * oracle only; quadratic in interpreted evaluation). */
+  private[graft] def wordNgramsReference(text: Column, n: Int): Column = {
     require(n >= 1)
     val ws = words(text)
     val cnt = size(ws)
