@@ -99,9 +99,34 @@ object TextAnalysis {
 
   /** Winnowing-style robust fingerprint set: min rolling hash per window
     * of `w` consecutive shingle hashes → small set of positions that
-    * survives local edits. Returned as array<long>. */
-  def winnowingFingerprints(text: Column, ngram: Int = 3, window: Int = 4): Column = {
-    val hashes = transform(TextShingles.wordNgrams(text, ngram), s => xxhash64(s))
+    * survives local edits. Returned as array<long>.
+    *
+    * COLUMN form — composition convenience only: the window lambda
+    * references the hash-array expression, which interpreted evaluation
+    * recomputes per window position (O(tokens²) per doc, the same trap
+    * the native WordNgrams kernel fixed). Corpora should use
+    * [[winnowingFingerprintsFrame]], which materializes the hash array
+    * as a real column first. */
+  def winnowingFingerprints(text: Column, ngram: Int = 3, window: Int = 4): Column =
+    winnowOver(
+      transform(TextShingles.wordNgrams(text, ngram), s => xxhash64(s)), window)
+
+  /** Frame-level winnowing — the corpus path: one projection
+    * materializes the shingle-hash array, the next computes window
+    * minima over the materialized ATTRIBUTE (cheap per-row reads, no
+    * re-evaluation — linear in tokens). Multiple references to a
+    * non-trivial alias keep CollapseProject from re-inlining the hash
+    * expression into the window lambda (plan-audited in the spec). */
+  def winnowingFingerprintsFrame(df: org.apache.spark.sql.DataFrame,
+                                 idCol: String, textCol: String,
+                                 ngram: Int = 3, window: Int = 4)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        transform(TextShingles.wordNgrams(col(textCol), ngram),
+          s => xxhash64(s)).as("__h"))
+      .select(col(idCol), winnowOver(col("__h"), window).as("fingerprints"))
+
+  private def winnowOver(hashes: Column, window: Int): Column = {
     val n = size(hashes)
     when(n <= 0, array().cast("array<bigint>")).otherwise(
       array_distinct(transform(sequence(lit(0), greatest(n - window, lit(0))),

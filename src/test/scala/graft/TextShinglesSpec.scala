@@ -32,4 +32,23 @@ class TextShinglesSpec extends SparkTestBase {
     assert(!p.contains("transform(") && !p.contains("element_at"),
       "lambda chain leaked back into the shingle path")
   }
+
+  test("frame-level winnowing equals the column form and hashes each doc once") {
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select($"doc_id", $"text").limit(100)
+    val colForm = docs.select($"doc_id",
+        graft.llm.TextAnalysis.winnowingFingerprints($"text").as("fingerprints"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val frame = graft.llm.TextAnalysis.winnowingFingerprintsFrame(
+        docs, "doc_id", "text")
+    val frameForm = frame.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(colForm == frameForm)
+    // the hash array must be materialized once, not re-inlined into the
+    // window lambda by CollapseProject (that re-inlining is exactly the
+    // quadratic evaluation the frame form exists to avoid)
+    val p = frame.queryExecution.optimizedPlan.toString
+    assert("word_ngrams".r.findAllIn(p).size == 1,
+      s"hash array inlined more than once:\n${p.take(600)}")
+  }
 }
