@@ -345,6 +345,54 @@ object LlmQueries {
       Seq("train" -> 900, "val" -> 50, "test" -> 50))
   }
 
+  // Training-sequence chunking at the gate: overlapping 32-token windows
+  // at stride 24 (llm/Chunking.chunkByTokens) — map-only explode inside
+  // the scan stage; the pass that turns a curated corpus into model
+  // inputs. The final short chunk and full token coverage are part of
+  // the checked contract.
+  def q67_token_chunks(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Chunking.chunkByTokens(
+      t(s, dir, "documents"), idCols = Seq("doc_id"), textCol = "text",
+      chunkSize = 32, stride = 24)
+
+  // Semi-structured extraction at the gate: pull a typed field out of a
+  // JSON payload column (events.props) and aggregate it — get_json_object
+  // is a scan-stage expression, so at 100 TB this is one scan plus one
+  // map-side-partial groupBy on a low-cardinality key.
+  def q68_json_extract(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t(s, dir, "events")
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           count(col("k")).as("n_with_k"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+  }
+
+  // Gopher-style repetition signals at the gate: exact integer
+  // token/bigram totals, distinct counts, and hottest-gram frequencies
+  // per document (TextAnalysis.repetitionSignals — one corpus scan,
+  // gram-keyed then doc-keyed map-side-partial aggregation, no windows).
+  def q69_repetition(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextAnalysis.repetitionSignals(
+      t(s, dir, "documents"), idCol = "doc_id", textCol = "text")
+
+  // Greedy sequence packing at the gate (ops/Packing.packGreedy): docs
+  // fill ~512-token bins within 8 deterministic hash streams — the
+  // batch-assembly step before training. Global-order packing would be
+  // one task; the bucketed form is the shape that survives 100 TB.
+  def q70_seq_packing(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.ops.Packing.packGreedy(
+        docs, col("doc_id"), col("n_tokens"), budget = 512L, buckets = 8)
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n_tokens"),
+              col("bin_id"))
+  }
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -404,7 +452,11 @@ object LlmQueries {
     "q62_tfidf_terms"   -> q62_tfidf_terms _,
     "q64_bigram_lm"     -> q64_bigram_lm _,
     "q65_curation_pipeline" -> q65_curation_pipeline _,
-    "q66_curation_lm"   -> q66_curation_lm _
+    "q66_curation_lm"   -> q66_curation_lm _,
+    "q67_token_chunks"  -> q67_token_chunks _,
+    "q68_json_extract"  -> q68_json_extract _,
+    "q69_repetition"    -> q69_repetition _,
+    "q70_seq_packing"   -> q70_seq_packing _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -800,6 +852,54 @@ object LlmQueries {
         |  FROM norm q JOIN norm c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
         |SELECT query_id, cand_id, CAST(CAST(cosine AS DECIMAL(38,6)) AS DOUBLE) AS cosine, CAST(rnk AS INT) AS rnk
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
-        |      FROM pairs) WHERE rnk <= 5""".stripMargin
+        |      FROM pairs) WHERE rnk <= 5""".stripMargin,
+    // overlapping token windows, 1-based inclusive list slices
+    "q67_token_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, (len(toks)-1)//24)) AS chunk_id FROM t
+        |      WHERE len(toks) >= 1)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[chunk_id*24+1 : least(chunk_id*24+32, len(toks))], ' ') AS chunk_text,
+        |  CAST(least(chunk_id*24+32, len(toks)) - chunk_id*24 AS BIGINT) AS n_chunk_tokens
+        |FROM s""".stripMargin,
+    // sum(BIGINT) is HUGEINT in DuckDB -> cast back so both engines
+    // surface int64
+    "q68_json_extract" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    // exact integer repetition signals; inner join is safe because every
+    // document has >= 2 tokens (bigram row always present)
+    "q69_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tc AS (SELECT doc_id, w, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+        |tok AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |          count(*) AS n_distinct_tokens, max(c) AS top_token_cnt
+        |        FROM tc GROUP BY 1),
+        |gi AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t),
+        |bc AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g FROM gi) GROUP BY 1, 2),
+        |big AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |          count(*) AS n_distinct_bigrams, max(c) AS top_bigram_cnt
+        |        FROM bc GROUP BY 1)
+        |SELECT tok.doc_id, n_tokens, n_distinct_tokens, top_token_cnt,
+        |       n_bigrams, n_distinct_bigrams, top_bigram_cnt
+        |FROM tok JOIN big ON tok.doc_id = big.doc_id""".stripMargin,
+    // same bucketed greedy pack: cumulative tokens before each doc in its
+    // stream, integer-divided by the budget
+    "q70_seq_packing" ->
+      """WITH s AS (SELECT doc_id, lang, doc_id % 8 AS bucket,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before FROM s)
+        |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+        |  CAST(cum_before // 512 AS BIGINT) AS bin_id
+        |FROM c""".stripMargin
   )
 }

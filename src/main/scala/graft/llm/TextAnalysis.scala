@@ -167,6 +167,41 @@ object TextAnalysis {
         EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** Gopher-style repetition signals: per-document token/bigram counts,
+    * distinct counts, and the hottest token/bigram frequency — the exact
+    * integer numerators a repetition filter thresholds on (surface counts,
+    * not ratios: a rational average ties at the rounding digit across
+    * engines — threshold by cross-multiplication downstream).
+    *
+    * Shape at 100 TB: ONE corpus scan (tokens and bigrams are emitted from
+    * the same explode as a tagged union), then two shuffles — the first
+    * keyed by (doc, kind, gram) so even a degenerate all-same-token
+    * document spreads over the gram dimension, the second by doc. Both are
+    * map-side partial aggregates; no windows.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tagged = concat(
+      transform(TextShingles.words(col(textCol)),
+        w => struct(lit("t").as("kind"), w.as("g"))),
+      transform(TextShingles.wordNgrams(col(textCol), 2),
+        g => struct(lit("b").as("kind"), g.as("g"))))
+    // one (doc,kind,gram) rollup, then conditional aggregates straight to
+    // doc level — two exchanges total, not three
+    def isKind(kind: String) = col("kind") === kind
+    df.select(col(idCol), explode(tagged).as("tg"))
+      .select(col(idCol), col("tg.kind").as("kind"), col("tg.g").as("g"))
+      .groupBy(col(idCol), col("kind"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(
+        coalesce(sum(when(isKind("t"), col("c"))), lit(0L)).as("n_tokens"),
+        count(when(isKind("t"), lit(1))).as("n_distinct_tokens"),
+        coalesce(max(when(isKind("t"), col("c"))), lit(0L)).as("top_token_cnt"),
+        coalesce(sum(when(isKind("b"), col("c"))), lit(0L)).as("n_bigrams"),
+        count(when(isKind("b"), lit(1))).as("n_distinct_bigrams"),
+        coalesce(max(when(isKind("b"), col("c"))), lit(0L)).as("top_bigram_cnt"))
+  }
+
   /** Full document-profile pass over a corpus frame. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

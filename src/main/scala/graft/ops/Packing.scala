@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Greedy sequence packing: assign documents to fixed-token-budget bins
+  * (the batch-assembly step before LLM pre-training — pack short docs
+  * together so every training sequence is ~full).
+  *
+  * True first-fit packing is inherently sequential, so the scalable form
+  * packs WITHIN deterministic buckets: rows are hashed into `buckets`
+  * independent streams, each stream is ordered by the id and filled
+  * contiguously — a document starts a new bin when the running total
+  * before it has crossed a multiple of `budget`. Bin token totals can
+  * overshoot `budget` by at most one document (documents are never
+  * split); callers that need a hard cap filter oversized docs first.
+  *
+  * Shape at 100 TB: ONE shuffle (hash partition by bucket) + a per-bucket
+  * sort. Each window partition is corpus_size/buckets rows — size
+  * `buckets` to the cluster (e.g. 10× task count) and no single task ever
+  * sees more than a bounded slice; this is the same de-skew rule as the
+  * groupBy+join guards elsewhere (a GLOBAL order-based pack would be one
+  * task and is exactly the straggler we refuse to ship).
+  */
+object Packing {
+
+  /** Pack rows into bins of ~`budget` tokens within `buckets` streams.
+    *
+    * Output: input columns + `bucket` (stream id), `cum_before` (tokens
+    * ahead of this row in its stream) and `bin_id` (bin within stream).
+    * Deterministic: a pure function of (idCol, sizeCol) — re-runs and
+    * retries assign identical bins.
+    */
+  def packGreedy(df: DataFrame, idCol: Column, sizeCol: Column,
+                 budget: Long, buckets: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val w = Window.partitionBy(col("bucket")).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("bucket", pmod(idCol, lit(buckets)).cast("long"))
+      .withColumn("cum_before",
+        (sum(sizeCol.cast("long")).over(w) - sizeCol.cast("long")))
+      // integer DIV, not floor(double /): exact past 2^53 total tokens
+      .withColumn("bin_id", expr(s"cum_before DIV ${budget}L"))
+  }
+}

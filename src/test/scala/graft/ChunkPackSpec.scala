@@ -1,0 +1,116 @@
+package graft
+
+import graft.llm.{Chunking, TextAnalysis}
+import graft.ops.Packing
+import org.apache.spark.sql.functions._
+
+/** Chunking, packing, repetition signals, JSON extraction — the round-5
+  * training-data-assembly operators (gate queries q67–q70). */
+class ChunkPackSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
+    (2L, "a b c"),                                   // shorter than a chunk
+    (3L, "solo")                                     // single token
+  ).toDF("doc_id", "text")
+
+  test("chunking covers every token exactly once at stride boundaries") {
+    val chunks = Chunking.chunkByTokens(docs, Seq("doc_id"), "text",
+        chunkSize = 32, stride = 32) // non-overlapping
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String, Long)].collect()
+    val rebuilt = chunks.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._3).mkString(" ")
+    }
+    val orig = docs.as[(Long, String)].collect().toMap
+    assert(rebuilt == orig, "concat of stride=size chunks must rebuild the doc")
+  }
+
+  test("overlapping chunks: starts advance by stride, all sizes bounded, tail short") {
+    val chunks = Chunking.chunkByTokens(docs.where($"doc_id" === 1L),
+        Seq("doc_id"), "text", chunkSize = 32, stride = 24)
+      .orderBy("chunk_id").as[(Long, Long, String, Long)].collect()
+    // 100 tokens, stride 24 -> starts 0,24,48,72,96 -> 5 chunks
+    assert(chunks.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // chunk i holds min(32, 100 - 24*i) tokens: 32,32,32,28,4
+    assert(chunks.map(_._4).toSeq == Seq(32L, 32L, 32L, 28L, 4L))
+    // chunk i begins with token i*stride+1 (w{i*24+1})
+    chunks.foreach { case (_, i, text, _) =>
+      assert(text.startsWith(s"w${i * 24 + 1} ") || !text.contains(" "))
+    }
+  }
+
+  test("single-token and short docs chunk to one (short) chunk") {
+    val m = Chunking.chunkByTokens(docs, Seq("doc_id"), "text", 32, 24)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), sum("n_chunk_tokens").as("t"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(2L) == (1L, 3L))
+    assert(m(3L) == (1L, 1L))
+  }
+
+  test("chunking validates size/stride") {
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(docs, Seq("doc_id"), "text", 8, 9)
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(docs, Seq("doc_id"), "text", 0, 1)
+    }
+  }
+
+  private lazy val sized = spark.range(0, 2000).select(
+    $"id".as("doc_id"), (pmod($"id" * 37L, lit(90L)) + 10L).as("n_tokens"))
+
+  test("packing: bins are contiguous and per-bin totals bounded by budget + max doc") {
+    val packed = Packing.packGreedy(sized, $"doc_id", $"n_tokens",
+      budget = 512L, buckets = 8)
+    val maxDoc = 99L
+    val binTotals = packed.groupBy("bucket", "bin_id")
+      .agg(sum("n_tokens").as("t")).as[(Long, Long, Long)].collect()
+    assert(binTotals.forall(_._3 <= 512L + maxDoc),
+      "a bin can overshoot by at most one (unsplit) document")
+    // bins within a bucket are dense 0..max (contiguous fill)
+    val byBucket = binTotals.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    byBucket.foreach { case (_, bins) =>
+      assert(bins.toSeq == (0L to bins.max).toSeq)
+    }
+    // every non-final bin is at least budget-full minus one doc
+    val maxBin = byBucket.mapValues(_.max).toMap
+    binTotals.filter(bt => bt._2 < maxBin(bt._1)).foreach { bt =>
+      assert(bt._3 > 512L - maxDoc)
+    }
+  }
+
+  test("packing is deterministic and partition-independent") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.packGreedy(df, $"doc_id", $"n_tokens", 512L, 8)
+        .select("doc_id", "bucket", "bin_id")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(run(sized) == run(sized.repartition(13)))
+  }
+
+  test("repetition signals: exact counts on a hand-built doc") {
+    val d = Seq((1L, "a a b a"), (2L, "solo")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t).toMap
+    // tokens: a,a,b,a -> 4 total, 2 distinct, top 'a' = 3
+    // bigrams: "a a","a b","b a" -> 3 total, 3 distinct, top = 1
+    assert(r(1L) == ((1L, 4L, 2L, 3L, 3L, 3L, 1L)))
+    // single token: no bigrams, zeros not nulls
+    assert(r(2L) == ((2L, 1L, 1L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("json extraction: missing/malformed keys null out, aggregates skip them") {
+    val ev = Seq(
+      ("a", """{"k": 5}"""), ("a", """{"k": 7}"""),
+      ("a", """{"other": 1}"""), ("b", "not json")
+    ).toDF("event_type", "props")
+    val k = get_json_object($"props", "$.k").cast("long")
+    val agg = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(k).as("n_k"), sum(k).as("s"))
+      .as[(String, Long, Long, Option[Long])].collect().map(t => t._1 -> t).toMap
+    assert(agg("a") == (("a", 3L, 2L, Some(12L))))
+    assert(agg("b") == (("b", 1L, 0L, None)))
+  }
+}
