@@ -393,6 +393,31 @@ object LlmQueries {
               col("bin_id"))
   }
 
+  // Winnowing-fingerprint overlap at the gate (Dedup.winnowingOverlapPairs)
+  // — MOSS-style substring-level overlap detection via the sampled
+  // fingerprint inverted index. Fingerprints are xxhash64-derived (no
+  // DuckDB equivalent), so this gates rows-only; the semantics
+  // (guaranteed detection of planted shared runs, maxDf stop-fingerprint
+  // cap) are pinned in ChunkPackSpec.
+  def q71_winnow_overlap(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.winnowingOverlapPairs(
+      t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+      minShared = 2, ngram = 3, window = 4, maxDf = 50)
+
+  // Sign-bit embedding sketch + Hamming top-k at the gate
+  // (Similarity.hammingTopK): 64 float dims packed into two 32-bit words,
+  // XOR+popcount distance — integer arithmetic end-to-end, so unlike
+  // cosine it needs no decimal scaffolding to hash-match the oracle.
+  def q72_hamming_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.Similarity.hammingTopK(
+        emb.where(col("vec_id") < 8), emb,
+        idCol = "vec_id", vecCol = "embedding", dim = 64, k = 5)
+      .select(col("query_id"), col("cand_id"),
+              col("hamming").cast("int").as("hamming"),
+              col("rnk").cast("int").as("rnk"))
+  }
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -456,7 +481,9 @@ object LlmQueries {
     "q67_token_chunks"  -> q67_token_chunks _,
     "q68_json_extract"  -> q68_json_extract _,
     "q69_repetition"    -> q69_repetition _,
-    "q70_seq_packing"   -> q70_seq_packing _
+    "q70_seq_packing"   -> q70_seq_packing _,
+    "q71_winnow_overlap" -> q71_winnow_overlap _,
+    "q72_hamming_topk"  -> q72_hamming_topk _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -900,6 +927,26 @@ object LlmQueries {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS cum_before FROM s)
         |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket, n_tokens,
         |  CAST(cum_before // 512 AS BIGINT) AS bin_id
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // q71_winnow_overlap: rows-only (xxhash64 fingerprints have no DuckDB
+    // equivalent) — intentionally absent here.
+    // sign bits packed 32/word so DuckDB BIGINT arithmetic never
+    // overflows; pure integer surface
+    "q72_hamming_topk" ->
+      """WITH sk AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1,33),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(range(33,65),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i-33)) ELSE 0 END)) AS BIGINT) AS w1
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hamming
+        |  FROM sk q JOIN sk c ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, cand_id, CAST(hamming AS INT) AS hamming, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY hamming ASC, cand_id ASC) AS rnk FROM pairs)
+        |WHERE rnk <= 5""".stripMargin
   )
 }

@@ -91,6 +91,63 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Σ popcount(a_i XOR b_i) over the common prefix of two packed
+  * sign-sketch word arrays (array<long>) — the Hamming kernel of binary
+  * embedding search. The `aggregate(zip_with(...))` lambda form runs
+  * interpreted (CodegenFallback) per candidate pair; this is one fused
+  * popcount loop inside whole-stage codegen. Null words contribute 0. */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "vec_hamming"
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint>, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0; var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $s = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $s += java.lang.Long.bitCount($x.getLong($i) ^ $y.getLong($i));
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** cos(a,b) = dot/(‖a‖·‖b‖), one fused loop; 0.0 when either norm is 0. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends VectorBinaryExpression {
@@ -439,6 +496,7 @@ object VectorFunctions {
   def vecNorm2(a: Column): Column = c(DotProduct(e(a), e(a)))
   def vecCosine(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
   def vecDotDecimal(a: Column, b: Column): Column = c(DecimalDotProduct(e(a), e(b)))
+  def vecHamming(a: Column, b: Column): Column = c(HammingDistance(e(a), e(b)))
   def vecLshSignature(v: Column, bits: Int, seed: Int = 42): Column =
     c(LshSignature(e(v), bits, seed))
   def vecLshBandKeys(v: Column, bits: Int, bands: Int, seed: Int = 42): Column =

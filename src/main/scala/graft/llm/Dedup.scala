@@ -403,6 +403,46 @@ object Dedup {
       .drop("__ka", "__kb")
   }
 
+  /** Winnowing-fingerprint overlap pairs: documents sharing at least
+    * `minShared` winnowed shingle fingerprints — the MOSS-style local
+    * (substring-level) overlap detector: winnowing guarantees any shared
+    * run of ~`window + ngram - 1` tokens leaves at least one common
+    * fingerprint, at a sampled fraction of the full shingle set.
+    *
+    * Same inverted-index shape as [[ngramJaccardPairs]] — explode the
+    * (already distinct) per-doc fingerprint set, drop fingerprints hotter
+    * than `maxDf` (a boilerplate fingerprint shared by f docs contributes
+    * f² join rows), self-join on the fingerprint, count shared. One
+    * shuffle keyed by fingerprint; ids-only pair rows. Fingerprints are
+    * xxhash64-derived, so this op is spec-checked (planted-overlap
+    * fixtures) and gates rows-only — no DuckDB hash equivalent. */
+  def winnowingOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                            minShared: Int, ngram: Int = 3, window: Int = 4,
+                            maxDf: Int = Int.MaxValue): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps0 = TextAnalysis
+      .winnowingFingerprintsFrame(docs, idCol, textCol, ngram, window)
+      .select(col(idCol).as("doc_id"), explode(col("fingerprints")).as("fp"))
+    val fps =
+      if (maxDf == Int.MaxValue) fps0
+      else {
+        val hot = fps0.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("fp")
+        fps0.join(hot, Seq("fp"))
+      }
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+    fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_fps", "fps_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_fps", "fps_b"), "doc_b")
+  }
+
   /** N-gram Jaccard near-dup pairs via an inverted-index (posting-list)
     * self-join with a document-frequency cap: grams appearing in more
     * than `maxDf` documents are dropped from BOTH the size and the join

@@ -77,6 +77,65 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  // -------------------------------------------------------------------
+  // Sign-bit (binary) embedding sketches: 1 bit per dimension, packed
+  // 32 dims per long word — a 32× memory cut over float32 that turns
+  // similarity into XOR+popcount. The classic cheap pre-filter in front
+  // of exact cosine at corpus scale (and the integer form is exactly
+  // cross-engine reproducible, so it gate-checks: q72).
+  // -------------------------------------------------------------------
+
+  /** Pack sign bits of dims [from, from+32) into one non-negative long
+    * (bit i set iff vec[from+i] > 0; missing dims read as 0). The 32-way
+    * sum is fully unrolled — plain codegen'd arithmetic, no lambdas. */
+  private def signWord(vec: Column, from: Int): Column =
+    (0 until 32).map { i =>
+      when(element_at(vec, from + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Sign sketch of a `dim`-dimensional vector: array of ceil(dim/32)
+    * packed words, each in [0, 2^32). 32-bit packing (not 64) keeps every
+    * word exactly representable in engines whose BIGINT arithmetic traps
+    * on 2^63 overflow — the sketch is portable integer data. */
+  def signSketch(vec: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    array((0 until dim by 32).map(signWord(vec, _)): _*)
+  }
+
+  /** Hamming distance between two equal-length sign sketches:
+    * Σ popcount(a_i XOR b_i) — the native fused kernel
+    * (graft.functions.HammingDistance, whole-stage codegen). */
+  def hammingDistance(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecHamming(a, b)
+
+  /** Reference lambda form of [[hammingDistance]] — parity-spec oracle
+    * only: higher-order lambdas are CodegenFallback and run interpreted
+    * per candidate pair. */
+  private[graft] def hammingDistanceReference(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, d) => acc + d)
+
+  /** Hamming top-k of `candidates` for each row of `queries` over sign
+    * sketches. Same broadcast-queries shape as [[bruteForceTopK]], but
+    * each comparison is dim/32 XOR+popcounts instead of dim FMAs, and the
+    * shuffled pair rows carry two small longs instead of float vectors.
+    * Ties break by ascending candidate id. */
+  def hammingTopK(queries: DataFrame, candidates: DataFrame,
+                  idCol: String, vecCol: String, dim: Int, k: Int)
+      : DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      signSketch(col(vecCol), dim).as("qs"))
+    val c = candidates.select(col(idCol).as("cand_id"),
+      signSketch(col(vecCol), dim).as("cs"))
+    val pairs = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        hammingDistance(col("qs"), col("cs")).as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("cand_id").asc)
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Assign every vector to its nearest centroid by squared L2 distance —
     * the k-means assignment step as a standalone operator (cluster-based
     * corpus curation / diversity sampling: bucket the corpus, then sample

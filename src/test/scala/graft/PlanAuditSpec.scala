@@ -117,6 +117,40 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q67: chunking is a single map-only stage — no exchange, no window") {
+    val p = plan("q67_token_chunks")
+    assert(!p.contains("Exchange") && !p.contains("windowspecdefinition"),
+      "chunking must stay inside the scan stage")
+    assert(p.contains("*(1)"),
+      "the whole chunk pipeline must sit in one codegen stage")
+  }
+
+  test("q69: repetition signals plan no window and partial-aggregate both levels") {
+    val p = plan("q69_repetition")
+    assert(!p.contains("windowspecdefinition"))
+    assert(p.contains("partial_count"),
+      "gram rollup must combine map-side before the shuffle")
+  }
+
+  test("q70: packing shuffles once, window partitions by the bucket stream") {
+    val p = plan("q70_seq_packing")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges")
+    val winSpecs = """windowspecdefinition\((\w+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(winSpecs == Set("bucket"),
+      s"pack window must partition by bucket only, got $winSpecs")
+  }
+
+  test("q72: hamming search runs the native kernel on broadcast queries") {
+    val p = plan("q72_hamming_topk")
+    assert(p.contains("vec_hamming"), "hamming must use the fused kernel")
+    assert(!p.contains("zip_with") && !p.contains("aggregate("),
+      "q72 plans an interpreted higher-order lambda chain")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "query side must broadcast")
+  }
+
   test("q26/q34: deterministic cosine runs the native kernel, no lambda chains") {
     // the decimal dot must be the fused vec_dot_decimal expression;
     // aggregate/zip_with higher-order lambdas are CodegenFallback and

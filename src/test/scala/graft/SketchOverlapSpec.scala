@@ -1,0 +1,96 @@
+package graft
+
+import graft.llm.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Sign-bit embedding sketches (q72) and winnowing-overlap pairs (q71). */
+class SketchOverlapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("signSketch packs sign bits 32 per word, little-endian within the word") {
+    val v = Array.fill(64)(-1.0f)
+    v(0) = 1f; v(5) = 2f; v(33) = 0.5f
+    val df = Seq((1L, v.toSeq)).toDF("id", "vec")
+    val sk = df.select(Similarity.signSketch(col("vec"), 64).as("s"))
+      .as[Seq[Long]].head()
+    assert(sk == Seq((1L << 0) | (1L << 5), 1L << 1))
+  }
+
+  test("sketch words stay in [0, 2^32) even with the top dim set") {
+    val v = Array.fill(64)(1.0f) // all bits set -> each word = 2^32 - 1
+    val sk = Seq((1L, v.toSeq)).toDF("id", "vec")
+      .select(Similarity.signSketch(col("vec"), 64).as("s"))
+      .as[Seq[Long]].head()
+    assert(sk == Seq((1L << 32) - 1, (1L << 32) - 1))
+  }
+
+  test("hamming distance: zero to self, dim to negation, matches popcount reference") {
+    def mk(seed: Long) = Array.tabulate(64)(i =>
+      (((seed * 6364136223846793005L + i * 1442695040888963407L) >>> 33) % 7).toFloat - 3f)
+    val vecs = (0L until 50L).map(s => (s, mk(s).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    // reference: sign bits + popcount in plain Scala
+    def bits(v: Seq[Float]): Seq[Long] =
+      (0 until 64 by 32).map(f => (0 until 32).map(i =>
+        if (v(f + i) > 0) 1L << i else 0L).sum)
+    def ham(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val ref = vecs.map { case (id, v) => id -> bits(v) }.toMap
+    val got = Similarity.hammingTopK(
+        df.where($"vec_id" < 3), df, "vec_id", "embedding", dim = 64, k = 5)
+      .select("query_id", "cand_id", "hamming")
+      .as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, c, h) =>
+      assert(h == ham(ref(q), ref(c)), s"pair ($q,$c)")
+    }
+    // self-distance sanity on the raw distance column
+    val self = df.limit(1).select(
+      Similarity.hammingDistance(
+        Similarity.signSketch($"embedding", 64),
+        Similarity.signSketch($"embedding", 64)).as("h"))
+      .as[Int].head()
+    assert(self == 0)
+  }
+
+  test("native hamming kernel agrees with the lambda reference form") {
+    val vecs = (0L until 40L).map { s =>
+      (s, Array.tabulate(64)(i => ((s * 31 + i * 7) % 5).toFloat - 2f).toSeq)
+    }
+    val sk = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", Similarity.signSketch($"embedding", 64).as("s"))
+    val joined = sk.as("a").join(sk.as("b"), $"a.vec_id" < $"b.vec_id")
+    val diff = joined.select(
+        Similarity.hammingDistance($"a.s", $"b.s").as("native"),
+        Similarity.hammingDistanceReference($"a.s", $"b.s").as("ref"))
+      .where($"native" =!= $"ref").count()
+    assert(diff == 0)
+  }
+
+  private def fill(seed: Int, n: Int): String =
+    (0 until n).map(i => s"f${seed}x$i").mkString(" ")
+
+  test("winnowing overlap finds a planted shared run and skips unrelated docs") {
+    val shared = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, fill(1, 20) + " " + shared + " " + fill(11, 20)),
+      (2L, fill(2, 25) + " " + shared + " " + fill(22, 15)),
+      (3L, fill(3, 40))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingOverlapPairs(docs, "doc_id", "text",
+        minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      "only the pair sharing the 12-token run may surface")
+  }
+
+  test("maxDf stop-fingerprint cap drops corpus-wide boilerplate") {
+    val boiler = (0 until 12).map(i => s"b$i").mkString(" ")
+    val docs = (1L to 10L).map(id =>
+      (id, boiler + " " + fill(id.toInt, 30))).toDF("doc_id", "text")
+    val all = Dedup.winnowingOverlapPairs(docs, "doc_id", "text", minShared = 1)
+    assert(all.count() == 45, "boilerplate links every pair without the cap")
+    val capped = Dedup.winnowingOverlapPairs(docs, "doc_id", "text",
+      minShared = 1, maxDf = 5)
+    assert(capped.count() == 0, "df cap must drop the corpus-wide fingerprints")
+  }
+}
