@@ -418,6 +418,40 @@ object LlmQueries {
               col("rnk").cast("int").as("rnk"))
   }
 
+  // Deterministic corpus shuffle at the gate: global training order =
+  // exact global row_number over the full-resolution LCG key
+  // (injective → tie-free), computed by the window-free GlobalRank
+  // machinery (range repartition + per-partition offsets) — the
+  // pseudo-random epoch ordering every trainer needs, reproducible
+  // across runs and retries, with NO single-partition global window.
+  def q73_corpus_shuffle(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.ops.Sampling.lcgKeyRaw(col("doc_id")).as("shuffle_key"))
+    graft.ops.GlobalRank.globalRowNumber(
+      keyed, Seq(col("shuffle_key"), col("doc_id")), outCol = "shuffle_rank")
+  }
+
+  // Train/test decontamination at the gate
+  // (Dedup.crossCorpusContamination): the corpus split into halves by
+  // doc_id parity, test docs reported when they share any exact 5-gram
+  // with a train doc — the benchmark-leakage check, inverted-index join,
+  // never all-pairs. Exact strings, fully oracle-checkable.
+  def q74_decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.llm.Dedup.crossCorpusContamination(
+      train = docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      test  = docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      idCol = "doc_id", textCol = "text", ngram = 5, minShared = 1)
+  }
+
+  // Vocabulary builder at the gate (LanguageModel.buildVocab): top-50
+  // tokens by (count DESC, token ASC) with dense ids — distributed
+  // top-k (TakeOrderedAndProject), id window over exactly k rows.
+  def q75_vocab(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.buildVocab(
+      t(s, dir, "documents"), textCol = "text", k = 50)
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -483,7 +517,10 @@ object LlmQueries {
     "q69_repetition"    -> q69_repetition _,
     "q70_seq_packing"   -> q70_seq_packing _,
     "q71_winnow_overlap" -> q71_winnow_overlap _,
-    "q72_hamming_topk"  -> q72_hamming_topk _
+    "q72_hamming_topk"  -> q72_hamming_topk _,
+    "q73_corpus_shuffle" -> q73_corpus_shuffle _,
+    "q74_decontaminate" -> q74_decontaminate _,
+    "q75_vocab"         -> q75_vocab _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -947,6 +984,34 @@ object LlmQueries {
         |SELECT query_id, cand_id, CAST(hamming AS INT) AS hamming, CAST(rnk AS INT) AS rnk
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
         |        ORDER BY hamming ASC, cand_id ASC) AS rnk FROM pairs)
-        |WHERE rnk <= 5""".stripMargin
+        |WHERE rnk <= 5""".stripMargin,
+    // same unsalted LCG as q52, full resolution; rank over (key, id)
+    "q73_corpus_shuffle" ->
+      """SELECT doc_id, lang, shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT) AS shuffle_rank
+        |FROM (SELECT doc_id, lang,
+        |        (doc_id * 1103515245 + 12345) % 1000000007 AS shuffle_key
+        |      FROM documents)""".stripMargin,
+    // exact 5-gram containment across the parity halves
+    "q74_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, doc_id % 2 AS half,
+        |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |        toks[i+3] || ' ' || toks[i+4] AS gram
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks)-4)) AS i FROM t)),
+        |gd AS (SELECT DISTINCT doc_id, half, gram FROM g)
+        |SELECT a.doc_id AS test_id, b.doc_id AS train_id, count(*) AS n_shared
+        |FROM gd a JOIN gd b ON a.gram = b.gram AND a.half = 1 AND b.half = 0
+        |GROUP BY 1, 2""".stripMargin,
+    // top-50 vocabulary, total (cnt DESC, token ASC) order
+    "q75_vocab" ->
+      """SELECT w, cnt, CAST(rn AS INT) AS vocab_id
+        |FROM (SELECT w, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, w ASC) AS rn
+        |      FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                  FROM documents) GROUP BY 1))
+        |WHERE rn <= 50""".stripMargin
   )
 }

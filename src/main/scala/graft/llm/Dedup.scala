@@ -443,6 +443,42 @@ object Dedup {
                  .withColumnRenamed("n_fps", "fps_b"), "doc_b")
   }
 
+  /** Train/test DECONTAMINATION: test documents sharing at least
+    * `minShared` exact word n-grams with a training document — the
+    * eval-set leakage check every serious pre-training pipeline runs
+    * before reporting benchmark numbers (n-gram containment, the
+    * GPT-3/PaLM-style recipe).
+    *
+    * Same inverted-index discipline as [[ngramJaccardPairs]]: distinct
+    * (doc, gram) per side, grams hotter than `maxDf` ON THE TRAIN SIDE
+    * dropped from both sides (a boilerplate gram in f train docs × g
+    * test docs contributes f·g join rows), join keyed on the gram,
+    * ids-only aggregation. One shuffle on the gram key; never all-pairs.
+    * Exact within the capped gram space — and n-grams are plain strings,
+    * so the whole check is oracle-verifiable (gate q74). */
+  def crossCorpusContamination(train: DataFrame, test: DataFrame,
+                               idCol: String, textCol: String,
+                               ngram: Int = 5, minShared: Int = 1,
+                               maxDf: Int = Int.MaxValue): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+          explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
+        .distinct()
+    val tr0 = grams(train, "train_id")
+    val (tr, te) =
+      if (maxDf == Int.MaxValue) (tr0, grams(test, "test_id"))
+      else {
+        val keep = tr0.groupBy("gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("gram")
+        (tr0.join(keep, Seq("gram")), grams(test, "test_id").join(keep, Seq("gram")))
+      }
+    te.join(tr, Seq("gram"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** N-gram Jaccard near-dup pairs via an inverted-index (posting-list)
     * self-join with a document-frequency cap: grams appearing in more
     * than `maxDf` documents are dropped from BOTH the size and the join

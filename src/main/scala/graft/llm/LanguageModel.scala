@@ -131,6 +131,28 @@ object LanguageModel {
     * appears in the output exactly once, so a threshold filter treats
     * short docs deterministically (they fail any threshold above the
     * floor). Double math (ln) — spec-checked, not oracle-gated. */
+  /** Frequency-ranked vocabulary of the `k` most common tokens, with
+    * dense contiguous ids 1..k by (count DESC, token ASC) — the
+    * tokenizer-prep step (vocab tables, OOV cutoffs, id assignment).
+    *
+    * Scale shape: one tokenize + one map-side-partial groupBy on the
+    * token; the global order is a distributed TakeOrderedAndProject
+    * (per-partition top-k + driver merge of k-bounded heads — never a
+    * full sort), and the id-assigning window runs over exactly k rows.
+    * k is the vocabulary budget (10^4..10^5), driver-safe by design. */
+  def buildVocab(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(TextShingles.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(k)
+    counts.withColumn("vocab_id",
+      row_number().over(Window.orderBy(col("cnt").desc, col("w").asc))
+        .cast("int"))
+  }
+
   def docAvgLogProb(docs: DataFrame, idCol: String, textCol: String,
                     floorProb: Double = 1e-9,
                     modelDocs: Option[DataFrame] = None): DataFrame = {

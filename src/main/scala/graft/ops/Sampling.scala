@@ -46,15 +46,21 @@ object Sampling {
     *     which spreads across the mod-1000 residues.
     * salt = 0 keeps the legacy single-round gate formula (pinned by
     * the q49/q52 oracles); salted keys are pinned by q65/q66. */
-  def lcgKey(id: Column, salt: Long = 0L): Column = {
+  def lcgKey(id: Column, salt: Long = 0L): Column =
+    pmod(lcgKeyRaw(id, salt), lit(Mille))
+
+  /** Full-resolution deterministic key in [0, 1000000007): the LCG value
+    * [[lcgKey]] reduces per-mille. Injective in the id for ids below the
+    * prime modulus (a·x+b mod p is a bijection for prime p), so it also
+    * serves as a TIE-FREE pseudo-random total order — the corpus-shuffle
+    * key (q73). */
+  def lcgKeyRaw(id: Column, salt: Long = 0L): Column = {
     val p = 1000000007L
     require(salt >= 0L && salt < p - 1664525L,
       s"salt must be in [0, ${p - 1664525L}) to keep the salted multiplier nonzero mod $p")
     val r1 = pmod((id + lit(salt)) * lit(1103515245L) + lit(12345L), lit(p))
-    val mixed =
-      if (salt == 0L) r1
-      else pmod(r1 * lit(1664525L + salt) + lit(1013904223L), lit(p))
-    pmod(mixed, lit(Mille))
+    if (salt == 0L) r1
+    else pmod(r1 * lit(1664525L + salt) + lit(1013904223L), lit(p))
   }
 
   /** Attach a split label from per-mille weights, e.g.

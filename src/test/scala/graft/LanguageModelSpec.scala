@@ -116,4 +116,18 @@ class LanguageModelSpec extends SparkTestBase {
       .as[(String, String, Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("buildVocab: dense ids by count desc then token asc, k-bounded, tie-exact") {
+    val corpus = Seq(
+      "b b b a a c", // b:3 a:2 c:1
+      "a c d"        // a:3 total, c:2, d:1
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val v = LanguageModel.buildVocab(corpus, "text", k = 3)
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    // a:3, b:3 tie -> 'a' first; then c:2; d cut by k
+    assert(v.toSeq == Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
+    val full = LanguageModel.buildVocab(corpus.repartition(7), "text", k = 10)
+      .as[(String, Long, Int)].collect().sortBy(_._3)
+    assert(full.map(_._1).toSeq == Seq("a", "b", "c", "d"))
+  }
 }

@@ -83,6 +83,36 @@ class SketchOverlapSpec extends SparkTestBase {
       "only the pair sharing the 12-token run may surface")
   }
 
+  test("decontamination flags exactly the test docs sharing a planted n-gram run") {
+    val leak = (0 until 6).map(i => s"leak$i").mkString(" ")
+    val train = Seq(
+      (10L, fill(1, 20) + " " + leak),
+      (11L, fill(2, 30))).toDF("doc_id", "text")
+    val test = Seq(
+      (20L, leak + " " + fill(3, 20)),   // contaminated
+      (21L, fill(4, 25))).toDF("doc_id", "text")
+    val hits = Dedup.crossCorpusContamination(train, test,
+        "doc_id", "text", ngram = 5, minShared = 1)
+      .select("test_id", "train_id", "n_shared")
+      .as[(Long, Long, Long)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSet == Set((20L, 10L)))
+    // a 6-token run holds exactly two 5-grams
+    assert(hits.head._3 == 2L)
+  }
+
+  test("decontamination train-side maxDf cap drops boilerplate grams from both sides") {
+    val boiler = (0 until 6).map(i => s"bp$i").mkString(" ")
+    val train = (1L to 8L).map(id => (id, boiler + " " + fill(id.toInt, 20)))
+      .toDF("doc_id", "text")
+    val test = Seq((100L, boiler + " " + fill(99, 20))).toDF("doc_id", "text")
+    val uncapped = Dedup.crossCorpusContamination(train, test, "doc_id", "text",
+      ngram = 5, minShared = 1)
+    assert(uncapped.count() == 8, "boilerplate links the test doc to every train doc")
+    val capped = Dedup.crossCorpusContamination(train, test, "doc_id", "text",
+      ngram = 5, minShared = 1, maxDf = 4)
+    assert(capped.count() == 0)
+  }
+
   test("maxDf stop-fingerprint cap drops corpus-wide boilerplate") {
     val boiler = (0 until 12).map(i => s"b$i").mkString(" ")
     val docs = (1L to 10L).map(id =>
