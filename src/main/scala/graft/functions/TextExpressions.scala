@@ -48,6 +48,78 @@ object TextOps {
   }
 }
 
+object WinnowOps {
+  /** Winnowing window minima over a hash array: min of every `window`
+    * consecutive hashes (positions 0..max(n-window,0)), deduplicated in
+    * first-occurrence order — element-for-element identical to
+    * `array_distinct(transform(sequence(...), i => array_min(slice(h,
+    * i+1, window))))` (the lambda reference form, parity-spec-pinned).
+    * Arrays shorter than the window yield their single overall min. */
+  def winnowMins(arr: ArrayData, window: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val positions = math.max(n - window, 0) + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < positions) {
+      var m = arr.getLong(i)
+      var k = i + 1
+      val end = math.min(i + window, n)
+      while (k < end) {
+        val v = arr.getLong(k)
+        if (v < m) m = v
+        k += 1
+      }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native winnowing kernel — one fused sliding-min pass per document.
+  *
+  * The lambda reference form allocates a fresh `slice` array and scans it
+  * with `array_min` PER POSITION, interpreted (higher-order functions are
+  * CodegenFallback): O(tokens × window) allocations per document, the
+  * dominant cost of the winnowing-overlap pass at corpus scale. This
+  * expression computes all window minima in one allocation-free loop.
+  */
+case class WinnowMins(child: Expression, window: Int) extends UnaryExpression {
+  require(window >= 1, s"window=$window must be >= 1")
+
+  override def prettyName: String = "winnow_mins"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    WinnowOps.winnowMins(a.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      s"""
+         |${ev.value} = graft.functions.WinnowOps.winnowMins($x, $window);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 /** Native word-n-gram expression — the corpus-wide hot loop of every
   * shingling stage (MinHash/SimHash dedup, n-gram Jaccard, bigram LM).
   *
@@ -96,4 +168,6 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
 object TextFunctions {
   def wordNgrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))
+  def winnowMins(hashes: Column, window: Int): Column =
+    ColumnBridge.column(WinnowMins(ColumnBridge.expression(hashes), window))
 }

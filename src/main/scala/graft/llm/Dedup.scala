@@ -420,9 +420,13 @@ object Dedup {
                             minShared: Int, ngram: Int = 3, window: Int = 4,
                             maxDf: Int = Int.MaxValue): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // pin the exploded fingerprint frame: it feeds the df guard and BOTH
+    // sides of the self-join — unpinned, the winnowing pass (interpreted
+    // window-min transform, the expensive part) recomputes up to 4×
     val fps0 = TextAnalysis
       .winnowingFingerprintsFrame(docs, idCol, textCol, ngram, window)
       .select(col(idCol).as("doc_id"), explode(col("fingerprints")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fps =
       if (maxDf == Int.MaxValue) fps0
       else {

@@ -111,20 +111,21 @@ object TextAnalysis {
     winnowOver(
       transform(TextShingles.wordNgrams(text, ngram), s => xxhash64(s)), window)
 
-  /** Frame-level winnowing — the corpus path: one projection
-    * materializes the shingle-hash array, the next computes window
-    * minima over the materialized ATTRIBUTE (cheap per-row reads, no
-    * re-evaluation — linear in tokens). Multiple references to a
-    * non-trivial alias keep CollapseProject from re-inlining the hash
-    * expression into the window lambda (plan-audited in the spec). */
+  /** Frame-level winnowing — the corpus path: the shingle-hash array
+    * feeds the native fused sliding-min kernel
+    * (graft.functions.WinnowMins — one allocation-free pass; the lambda
+    * form below allocates a slice and rescans it per position,
+    * interpreted). Bit-parity with [[winnowingFingerprints]] is pinned
+    * in the spec. */
   def winnowingFingerprintsFrame(df: org.apache.spark.sql.DataFrame,
                                  idCol: String, textCol: String,
                                  ngram: Int = 3, window: Int = 4)
       : org.apache.spark.sql.DataFrame =
     df.select(col(idCol),
+      graft.functions.TextFunctions.winnowMins(
         transform(TextShingles.wordNgrams(col(textCol), ngram),
-          s => xxhash64(s)).as("__h"))
-      .select(col(idCol), winnowOver(col("__h"), window).as("fingerprints"))
+          s => xxhash64(s)),
+        window).as("fingerprints"))
 
   private def winnowOver(hashes: Column, window: Int): Column = {
     val n = size(hashes)
