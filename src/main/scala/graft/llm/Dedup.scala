@@ -435,7 +435,7 @@ object Dedup {
         fps0.join(hot, Seq("fp"))
       }
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
-    fps.as("a")
+    val result = fps.as("a")
       .join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -445,6 +445,13 @@ object Dedup {
                  .withColumnRenamed("n_fps", "fps_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
                  .withColumnRenamed("n_fps", "fps_b"), "doc_b")
+      // materialize the (small) pair set, then release the fingerprint
+      // blocks — same persist-then-release discipline as the MinHash
+      // path; lineage is kept, a lost block recomputes from source
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    fps0.unpersist(false)
+    result
   }
 
   /** Train/test DECONTAMINATION: test documents sharing at least
