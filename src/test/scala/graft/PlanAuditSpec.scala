@@ -151,6 +151,22 @@ class PlanAuditSpec extends SparkTestBase {
       "query side must broadcast")
   }
 
+  test("q74: decontamination is a gram-keyed join — no cartesian, no window") {
+    val p = plan("q74_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "cross-corpus check must never go all-pairs")
+    assert(!p.contains("windowspecdefinition"))
+    assert(p.contains("partial_count"),
+      "shared-gram counts must combine map-side")
+    assert(p.contains("word_ngrams"), "shingling must use the native kernel")
+  }
+
+  test("q75: vocabulary top-k is distributed TakeOrdered, not a global sort") {
+    val p = plan("q75_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected distributed top-k:\n${p.take(600)}")
+  }
+
   test("q26/q34: deterministic cosine runs the native kernel, no lambda chains") {
     // the decimal dot must be the fused vec_dot_decimal expression;
     // aggregate/zip_with higher-order lambdas are CodegenFallback and
