@@ -452,6 +452,31 @@ object LlmQueries {
     graft.llm.LanguageModel.buildVocab(
       t(s, dir, "documents"), textCol = "text", k = 50)
 
+  // Per-group quota capping at the gate (Sampling.capPerGroupApprox):
+  // keep ≈10 docs per source — deterministic approximate membership
+  // (LCG key vs integer-DIV rate), one counts groupBy + join + map-only
+  // filter. The exact form would be a per-group rank window with the
+  // largest group in one task; approximate-but-map-only is the 100 TB
+  // answer.
+  def q76_cap_per_group(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.capPerGroupApprox(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        graft.ops.Sampling.lcgKey(col("doc_id")), col("source"),
+        maxPerGroup = 10L)
+      .select(col("doc_id"), col("source"))
+
+  // Canonical normalization at the gate (TextAnalysis.normalizeText):
+  // NFC (native expression, = DuckDB nfc_normalize) + lower + whitespace
+  // collapse, surfaced with the md5 the normalized-dedup pass keys on.
+  // The fixture corpus is ASCII so the gate pins the plumbing; the
+  // unicode semantics (composition, case, runs) are spec-pinned.
+  def q77_normalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      graft.llm.TextAnalysis.normalizeText(col("text")).as("norm_text"),
+      md5(graft.llm.TextAnalysis.normalizeText(col("text")).cast("binary"))
+        .as("norm_fp"))
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -520,7 +545,9 @@ object LlmQueries {
     "q72_hamming_topk"  -> q72_hamming_topk _,
     "q73_corpus_shuffle" -> q73_corpus_shuffle _,
     "q74_decontaminate" -> q74_decontaminate _,
-    "q75_vocab"         -> q75_vocab _
+    "q75_vocab"         -> q75_vocab _,
+    "q76_cap_per_group" -> q76_cap_per_group _,
+    "q77_normalize"     -> q77_normalize _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1004,6 +1031,19 @@ object LlmQueries {
         |SELECT a.doc_id AS test_id, b.doc_id AS train_id, count(*) AS n_shared
         |FROM gd a JOIN gd b ON a.gram = b.gram AND a.half = 1 AND b.half = 0
         |GROUP BY 1, 2""".stripMargin,
+    // same LCG per-mille key; integer-DIV rate — exact in both engines
+    "q76_cap_per_group" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1)
+        |SELECT doc_id, source FROM documents JOIN c USING (source)
+        |WHERE ((doc_id * 1103515245 + 12345) % 1000000007) % 1000 <
+        |  CASE WHEN cnt <= 10 THEN 1000 ELSE (10 * 1000) // cnt END""".stripMargin,
+    // nfc_normalize = Unicode canonical composition in both engines;
+    // whitespace as the explicit ASCII class (Java \s != RE2 \s)
+    "q77_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(nfc_normalize(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(nfc_normalize(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS norm_fp
+        |FROM documents""".stripMargin,
     // top-50 vocabulary, total (cnt DESC, token ASC) order
     "q75_vocab" ->
       """SELECT w, cnt, CAST(rn AS INT) AS vocab_id

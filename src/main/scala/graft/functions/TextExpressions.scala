@@ -46,6 +46,51 @@ object TextOps {
     }
     new GenericArrayData(out)
   }
+
+  /** Unicode canonical composition; already-NFC strings (the common
+    * case) short-circuit without allocating. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Unicode NFC normalization — canonical composition (é as one code
+  * point, not e + combining accent), the prerequisite of any
+  * text-equality operation (exact dedup, n-gram overlap) on real-world
+  * corpora: visually identical strings with different code-point
+  * sequences must hash identically. Spark has no builtin for it; DuckDB
+  * exposes `nfc_normalize`, which this matches (both implement Unicode
+  * canonical composition), making the pass oracle-checkable. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "nfc_normalize"
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TextOps.nfc(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      s"""
+         |${ev.value} = graft.functions.TextOps.nfc($x);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
 }
 
 object WinnowOps {
@@ -170,4 +215,6 @@ object TextFunctions {
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))
   def winnowMins(hashes: Column, window: Int): Column =
     ColumnBridge.column(WinnowMins(ColumnBridge.expression(hashes), window))
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }

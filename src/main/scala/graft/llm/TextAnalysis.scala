@@ -168,6 +168,18 @@ object TextAnalysis {
         EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** Canonical text normalization for equality-based operations (exact
+    * dedup, n-gram containment): Unicode NFC composition (native
+    * `nfc_normalize` expression — é as one code point, matching DuckDB's
+    * `nfc_normalize`), unicode lowercasing, whitespace runs collapsed to
+    * single spaces, ends trimmed. Whitespace is the explicit ASCII class
+    * (Java's `\s` and RE2's disagree on \x0B — same rule as the
+    * redaction patterns). Map-only, scan-speed. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      graft.functions.TextFunctions.nfcNormalize(lower(text)),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
+
   /** Gopher-style repetition signals: per-document token/bigram counts,
     * distinct counts, and the hottest token/bigram frequency — the exact
     * integer numerators a repetition filter thresholds on (surface counts,

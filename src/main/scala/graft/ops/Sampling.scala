@@ -113,4 +113,36 @@ object Sampling {
     }
     df.filter(key < rate)
   }
+
+  /** Approximate per-group quota ("diversity cap"): keep ≈`maxPerGroup`
+    * rows of every group (cap docs per domain / cluster / source — the
+    * corpus-curation move against mega-domains drowning the mix).
+    *
+    * Membership is `key < rate_g` where `rate_g = min(1000,
+    * maxPerGroup·1000 DIV count_g)` per-mille — a pure function of
+    * (key, group count), so re-runs, retries and partitionings agree
+    * row-for-row, and integer DIV keeps both engines bit-identical.
+    * APPROXIMATE by design: the kept count is Binomial(count_g, rate_g)
+    * — within a few percent of the quota for counts ≫ 1000/rate. The
+    * EXACT form would be a per-group rank — i.e. one window task
+    * swallowing the largest group, the straggler this operator exists
+    * to avoid; at 100 TB approximate-but-map-only wins.
+    *
+    * Shape: one map-side-partial groupBy for the counts, joined back on
+    * the group key (plan picks broadcast when the group dimension is
+    * small — not forced, a 10^7-domain corpus must shuffle-join), then a
+    * map-only filter. */
+  def capPerGroupApprox(df: DataFrame, key: Column, groupCol: Column,
+                        maxPerGroup: Long): DataFrame = {
+    require(maxPerGroup >= 0, s"maxPerGroup must be >= 0, got $maxPerGroup")
+    require(!df.columns.contains("__cap_cnt"),
+      "input frame already carries the helper column __cap_cnt")
+    val counts = df.groupBy(groupCol.as("__cap_g"))
+      .agg(count(lit(1)).as("__cap_cnt"))
+    val rate = when(col("__cap_cnt") <= maxPerGroup, lit(Mille.toLong))
+      .otherwise(expr(s"(${maxPerGroup}L * ${Mille}L) DIV __cap_cnt"))
+    df.join(counts, groupCol === col("__cap_g"))
+      .filter(key < rate)
+      .drop("__cap_g", "__cap_cnt")
+  }
 }

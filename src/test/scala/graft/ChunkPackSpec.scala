@@ -101,6 +101,44 @@ class ChunkPackSpec extends SparkTestBase {
     assert(r(2L) == ((2L, 1L, 1L, 1L, 0L, 0L, 0L)))
   }
 
+  test("capPerGroupApprox: small groups untouched, large groups near quota, deterministic") {
+    val df = spark.range(0, 30000).select(
+      $"id".as("doc_id"),
+      concat(lit("g"), pmod($"id", lit(3))).as("grp"))
+    val big = graft.ops.Sampling.capPerGroupApprox(df,
+      graft.ops.Sampling.lcgKey($"doc_id"), $"grp", maxPerGroup = 500L)
+    val kept = big.groupBy("grp").count().as[(String, Long)].collect().toMap
+    // 10000 rows/group, rate 50 per-mille -> E=500, binomial sd ~22
+    kept.values.foreach(k => assert(math.abs(k - 500L) < 120, s"kept=$k"))
+    // below quota: everything survives
+    val small = graft.ops.Sampling.capPerGroupApprox(
+      df.where($"doc_id" < 900),
+      graft.ops.Sampling.lcgKey($"doc_id"), $"grp", maxPerGroup = 500L)
+    assert(small.count() == 900)
+    // pure function of (id, group count): repartitioning changes nothing
+    val a = big.select("doc_id").as[Long].collect().toSet
+    val b = graft.ops.Sampling.capPerGroupApprox(df.repartition(17),
+        graft.ops.Sampling.lcgKey($"doc_id"), $"grp", 500L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("normalizeText: NFC composition, lowercase, whitespace collapse") {
+    import graft.llm.TextAnalysis.normalizeText
+    val decomposed = "Café  du\tMonde\n" // e + combining acute, messy ws
+    val composed = "café du monde"
+    val rows = Seq((1L, decomposed), (2L, "cafÉ du  monde"), (3L, " x "))
+      .toDF("id", "t").select($"id", normalizeText($"t").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(rows(1L) == composed, "NFD input must compose and collapse")
+    assert(rows(2L) == composed, "case must fold")
+    assert(rows(3L) == "x", "ends must trim")
+    // idempotent
+    val again = Seq((1L, rows(1L))).toDF("id", "t")
+      .select(normalizeText($"t")).as[String].head()
+    assert(again == composed)
+  }
+
   test("json extraction: missing/malformed keys null out, aggregates skip them") {
     val ev = Seq(
       ("a", """{"k": 5}"""), ("a", """{"k": 7}"""),
