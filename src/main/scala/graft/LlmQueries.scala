@@ -477,6 +477,25 @@ object LlmQueries {
       md5(graft.llm.TextAnalysis.normalizeText(col("text")).cast("binary"))
         .as("norm_fp"))
 
+  // End-to-end training-sequence ASSEMBLY composite: chunk every
+  // document into overlapping 32-token windows (q67's operator), then
+  // greedily pack the chunks into ~512-token bins across 8 deterministic
+  // streams (q70's operator) — documents in, ready-to-batch training
+  // bins out. The synthetic chunk id orders by (chunk_id, doc_id) and
+  // buckets by doc parity, so streams stay balanced (bucketing by a
+  // doc-major id would pile every chunk-0 into one stream).
+  def q78_chunk_pack(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.llm.Chunking.chunkByTokens(
+        t(s, dir, "documents"), idCols = Seq("doc_id"), textCol = "text",
+        chunkSize = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+        (col("chunk_id") * 10000000L + col("doc_id")).as("cid"))
+    graft.ops.Packing.packGreedy(
+        chunks, col("cid"), col("n_chunk_tokens"), budget = 512L, buckets = 8)
+      .select(col("doc_id"), col("chunk_id"), col("bucket"),
+              col("n_chunk_tokens"), col("bin_id"))
+  }
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -547,7 +566,8 @@ object LlmQueries {
     "q74_decontaminate" -> q74_decontaminate _,
     "q75_vocab"         -> q75_vocab _,
     "q76_cap_per_group" -> q76_cap_per_group _,
-    "q77_normalize"     -> q77_normalize _
+    "q77_normalize"     -> q77_normalize _,
+    "q78_chunk_pack"    -> q78_chunk_pack _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1044,6 +1064,23 @@ object LlmQueries {
         |  trim(regexp_replace(nfc_normalize(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm_text,
         |  md5(trim(regexp_replace(nfc_normalize(lower(text)), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS norm_fp
         |FROM documents""".stripMargin,
+    // q67's chunk CTE composed with q70's pack window
+    "q78_chunk_pack" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, (len(toks)-1)//24)) AS chunk_id FROM t
+        |      WHERE len(toks) >= 1),
+        |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |         CAST(least(chunk_id*24+32, len(toks)) - chunk_id*24 AS BIGINT) AS n_chunk_tokens
+        |       FROM s),
+        |p AS (SELECT doc_id, chunk_id, n_chunk_tokens,
+        |        chunk_id * 10000000 + doc_id AS cid,
+        |        (chunk_id * 10000000 + doc_id) % 8 AS bucket FROM ch),
+        |c2 AS (SELECT *, sum(n_chunk_tokens) OVER (PARTITION BY bucket ORDER BY cid
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chunk_tokens AS cb FROM p)
+        |SELECT doc_id, chunk_id, CAST(bucket AS BIGINT) AS bucket, n_chunk_tokens,
+        |  CAST(cb // 512 AS BIGINT) AS bin_id
+        |FROM c2""".stripMargin,
     // top-50 vocabulary, total (cnt DESC, token ASC) order
     "q75_vocab" ->
       """SELECT w, cnt, CAST(rn AS INT) AS vocab_id
