@@ -31,6 +31,11 @@ object Packing {
     * ahead of this row in its stream) and `bin_id` (bin within stream).
     * Deterministic: a pure function of (idCol, sizeCol) — re-runs and
     * retries assign identical bins.
+    *
+    * Contract: `sizeCol` values must be non-negative (they are token
+    * counts). A negative size would make `cum_before` negative, where
+    * Spark's `DIV` (truncate toward zero) and floor-division engines
+    * disagree — the operator does not define bin ids for that input.
     */
   def packGreedy(df: DataFrame, idCol: Column, sizeCol: Column,
                  budget: Long, buckets: Int): DataFrame = {

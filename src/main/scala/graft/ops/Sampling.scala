@@ -134,7 +134,9 @@ object Sampling {
     * map-only filter. */
   def capPerGroupApprox(df: DataFrame, key: Column, groupCol: Column,
                         maxPerGroup: Long): DataFrame = {
-    require(maxPerGroup >= 0, s"maxPerGroup must be >= 0, got $maxPerGroup")
+    require(maxPerGroup >= 0 && maxPerGroup <= Long.MaxValue / Mille,
+      s"maxPerGroup must be in [0, ${Long.MaxValue / Mille}] " +
+        s"(rate arithmetic is per-mille in long math), got $maxPerGroup")
     require(!df.columns.contains("__cap_cnt"),
       "input frame already carries the helper column __cap_cnt")
     val counts = df.groupBy(groupCol.as("__cap_g"))
