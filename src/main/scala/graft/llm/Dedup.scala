@@ -477,18 +477,39 @@ object Dedup {
           explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
         .distinct()
     val tr0 = grams(train, "train_id")
-    val (tr, te) =
-      if (maxDf == Int.MaxValue) (tr0, grams(test, "test_id"))
-      else {
-        val keep = tr0.groupBy("gram").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf).select("gram")
-        (tr0.join(keep, Seq("gram")), grams(test, "test_id").join(keep, Seq("gram")))
-      }
-    te.join(tr, Seq("gram"))
-      .groupBy(col("test_id"), col("train_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    def pairsOf(tr: DataFrame, te: DataFrame) =
+      te.join(tr, Seq("gram"))
+        .groupBy(col("test_id"), col("train_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    if (maxDf == Int.MaxValue) pairsOf(tr0, grams(test, "test_id"))
+    else {
+      // pin: the train gram frame feeds the df guard AND the join —
+      // unpinned, the explode+distinct shuffle recomputes. Same
+      // persist-then-release discipline as the MinHash path: the (small)
+      // pair set materializes eagerly so the gram blocks can go.
+      val pinned = tr0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keep = pinned.groupBy("gram").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("gram")
+      val result = pairsOf(pinned.join(keep, Seq("gram")),
+          grams(test, "test_id").join(keep, Seq("gram")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count()
+      pinned.unpersist(false)
+      result
+    }
   }
+
+  /** Per-test-document contamination summary over
+    * [[crossCorpusContamination]] pairs: how many train docs a test doc
+    * leaks against, its worst single-source overlap, and total shared
+    * grams — the columns an eval-set filter actually thresholds on. */
+  def contaminationReport(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("test_id"))
+      .agg(count(lit(1)).as("n_train_docs"),
+           max(col("n_shared")).as("max_shared"),
+           sum(col("n_shared")).as("total_shared"))
 
   /** N-gram Jaccard near-dup pairs via an inverted-index (posting-list)
     * self-join with a document-frequency cap: grams appearing in more

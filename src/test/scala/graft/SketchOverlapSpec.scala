@@ -113,6 +113,19 @@ class SketchOverlapSpec extends SparkTestBase {
     assert(capped.count() == 0)
   }
 
+  test("contamination report aggregates per test doc") {
+    val leak = (0 until 6).map(i => s"lk$i").mkString(" ")
+    val train = Seq((1L, leak + " " + fill(1, 10)),
+                    (2L, leak + " " + fill(2, 10))).toDF("doc_id", "text")
+    val test = Seq((9L, leak + " " + fill(9, 10))).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(
+        Dedup.crossCorpusContamination(train, test, "doc_id", "text",
+          ngram = 5, minShared = 1))
+      .as[(Long, Long, Long, Long)].collect()
+    // test doc 9 leaks against both train docs, 2 shared grams each
+    assert(rep.toSeq == Seq((9L, 2L, 2L, 4L)))
+  }
+
   test("maxDf stop-fingerprint cap drops corpus-wide boilerplate") {
     val boiler = (0 until 12).map(i => s"b$i").mkString(" ")
     val docs = (1L to 10L).map(id =>
