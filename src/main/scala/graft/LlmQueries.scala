@@ -496,6 +496,15 @@ object LlmQueries {
               col("n_chunk_tokens"), col("bin_id"))
   }
 
+  // Distributed k-means M-step at the gate
+  // (Similarity.centroidUpdateStats): exact decimal component sums +
+  // member counts per (label, dimension) — q61 covers the E-step
+  // (assignment), this covers the update; together they are the full
+  // Lloyd iteration as gate-checked distributed operators.
+  def q79_centroid_update(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Similarity.centroidUpdateStats(
+      t(s, dir, "embeddings"), labelCol = "label", vecCol = "embedding")
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -567,7 +576,8 @@ object LlmQueries {
     "q75_vocab"         -> q75_vocab _,
     "q76_cap_per_group" -> q76_cap_per_group _,
     "q77_normalize"     -> q77_normalize _,
-    "q78_chunk_pack"    -> q78_chunk_pack _
+    "q78_chunk_pack"    -> q78_chunk_pack _,
+    "q79_centroid_update" -> q79_centroid_update _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1081,6 +1091,15 @@ object LlmQueries {
         |SELECT doc_id, chunk_id, CAST(bucket AS BIGINT) AS bucket, n_chunk_tokens,
         |  CAST(cb // 512 AS BIGINT) AS bin_id
         |FROM c2""".stripMargin,
+    // exact decimal component sums; 1-based subscripts shifted to match
+    // posexplode's 0-based pos
+    "q79_centroid_update" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
+        |  CAST(CAST(CAST(sum(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,15))) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS sum_val,
+        |  count(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS e,
+        |        generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin,
     // top-50 vocabulary, total (cnt DESC, token ASC) order
     "q75_vocab" ->
       """SELECT w, cnt, CAST(rn AS INT) AS vocab_id

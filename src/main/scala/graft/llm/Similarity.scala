@@ -136,6 +136,33 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Distributed centroid UPDATE (the k-means M-step, pairing
+    * [[assignToCentroids]]'s E-step): per (label, dimension) exact
+    * decimal component sums + member counts — the sufficient statistics
+    * of the new centroids. Surfaces sums and counts, NOT means: a
+    * rational mean ties at the rounding digit for round divisors (the
+    * cluster sizes), the cross-engine trap documented in NOTES; callers
+    * divide once in whatever precision they need.
+    *
+    * Shape at 100 TB: posexplode to (label, pos, value) — dim× row
+    * blow-up inside the scan stage — then ONE map-side-partial groupBy
+    * on (label, pos): k·dim result rows, no windows, no collects. The
+    * hot dimension key space is k·dim ≫ cores, so no salting needed. */
+  def centroidUpdateStats(df: DataFrame, labelCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v").cast("double").cast("decimal(38,15)")).as("__s"),
+           count(lit(1)).as("n"))
+      // surface via DOUBLE before the 6-decimal cast: engines agree on
+      // double→decimal ROUNDING but NOT on decimal→decimal downscale
+      // (DuckDB truncates there, Spark rounds half-up)
+      .select(col("label"), col("pos").cast("int").as("pos"),
+        col("__s").cast("double").cast("decimal(38,6)").cast("double")
+          .as("sum_val"),
+        col("n"))
+
   /** Assign every vector to its nearest centroid by squared L2 distance —
     * the k-means assignment step as a standalone operator (cluster-based
     * corpus curation / diversity sampling: bucket the corpus, then sample

@@ -113,6 +113,30 @@ class SketchOverlapSpec extends SparkTestBase {
     assert(capped.count() == 0)
   }
 
+  test("centroid update stats: exact counts, sums match a double reference, partition-independent") {
+    val vecs = (0L until 60L).map { s =>
+      (s, (s % 3).toInt, Array.tabulate(8)(i => ((s * 13 + i * 5) % 11).toFloat / 7f - 0.6f).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidUpdateStats(df, "label", "embedding")
+      .as[(Int, Int, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.size == 3 * 8)
+    // reference: plain double sums (decimal path must agree to ~1e-6)
+    val ref = vecs.groupBy(_._2).flatMap { case (lbl, vs) =>
+      (0 until 8).map(p => (lbl, p) ->
+        (vs.map(_._3(p).toDouble).sum, vs.size.toLong))
+    }
+    ref.foreach { case (k, (s, n)) =>
+      assert(got(k)._2 == n, s"count at $k")
+      assert(math.abs(got(k)._1 - s) < 1e-6, s"sum at $k: ${got(k)._1} vs $s")
+    }
+    val re = Similarity.centroidUpdateStats(df.repartition(7), "label", "embedding")
+      .as[(Int, Int, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(re == got)
+  }
+
   test("contamination report aggregates per test doc") {
     val leak = (0 until 6).map(i => s"lk$i").mkString(" ")
     val train = Seq((1L, leak + " " + fill(1, 10)),
