@@ -31,8 +31,10 @@ object Chunking {
     require(stride >= 1 && stride <= chunkSize,
       s"stride must be in [1, chunkSize], got $stride")
     val n = size(col("toks"))
-    // (n-1)/stride floors via int cast — n >= 1 keeps it non-negative.
-    val lastChunk = ((n - 1) / stride).cast("int")
+    // integer DIV, not an int cast of double division: a double quotient
+    // can land a hair under an exact integer at extreme token counts and
+    // mis-floor; n >= 1 keeps it non-negative.
+    val lastChunk = expr(s"cast((size(toks) - 1) div $stride as int)")
     df.select(idCols.map(col) :+ split(col(textCol), " ").as("toks"): _*)
       .where(n >= 1)
       .select(idCols.map(col) :+ col("toks") :+

@@ -131,7 +131,11 @@ object Sampling {
     * Shape: one map-side-partial groupBy for the counts, joined back on
     * the group key (plan picks broadcast when the group dimension is
     * small — not forced, a 10^7-domain corpus must shuffle-join), then a
-    * map-only filter. */
+    * map-only filter.
+    *
+    * Rows whose group value is NULL are dropped (the equi-join never
+    * matches them); bucket null groups into a sentinel value first if
+    * they must be capped too. */
   def capPerGroupApprox(df: DataFrame, key: Column, groupCol: Column,
                         maxPerGroup: Long): DataFrame = {
     require(maxPerGroup >= 0 && maxPerGroup <= Long.MaxValue / Mille,
