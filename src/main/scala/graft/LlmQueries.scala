@@ -424,6 +424,10 @@ object LlmQueries {
   // machinery (range repartition + per-partition offsets) — the
   // pseudo-random epoch ordering every trainer needs, reproducible
   // across runs and retries, with NO single-partition global window.
+  // 100 TB note: the explicit ORDINAL costs GlobalRank's one pinned
+  // materialization; a trainer that only needs the ORDER skips it —
+  // repartitionByRange(lcgKeyRaw) + sortWithinPartitions is the same
+  // reproducible sequence with no rank column and no checkpoint.
   def q73_corpus_shuffle(s: SparkSession, dir: String): DataFrame = {
     val keyed = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
