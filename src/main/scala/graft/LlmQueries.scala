@@ -509,6 +509,20 @@ object LlmQueries {
     graft.llm.Similarity.centroidUpdateStats(
       t(s, dir, "embeddings"), labelCol = "label", vecCol = "embedding")
 
+  // STREAMING ingest → training-chunk assembly at the gate: q67's
+  // chunking operator applied to a real file-source stream through real
+  // micro-batches (stateless map-only transform ⇒ Append mode, no
+  // state store) — the shape of a continuous corpus-ingest pipeline
+  // where new documents become training sequences as they land.
+  // Deterministic: per-row transform, finite replay ⇒ output = batch.
+  def q80_stream_chunks(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.runBatchOfStream(
+      s, s"$dir/documents.parquet", "q80_chunks_mem", df =>
+        graft.llm.Chunking.chunkByTokens(
+          df, idCols = Seq("doc_id"), textCol = "text",
+          chunkSize = 32, stride = 24),
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -581,7 +595,8 @@ object LlmQueries {
     "q76_cap_per_group" -> q76_cap_per_group _,
     "q77_normalize"     -> q77_normalize _,
     "q78_chunk_pack"    -> q78_chunk_pack _,
-    "q79_centroid_update" -> q79_centroid_update _
+    "q79_centroid_update" -> q79_centroid_update _,
+    "q80_stream_chunks" -> q80_stream_chunks _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -980,6 +995,17 @@ object LlmQueries {
         |      FROM pairs) WHERE rnk <= 5""".stripMargin,
     // overlapping token windows, 1-based inclusive list slices
     "q67_token_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, (len(toks)-1)//24)) AS chunk_id FROM t
+        |      WHERE len(toks) >= 1)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[chunk_id*24+1 : least(chunk_id*24+32, len(toks))], ' ') AS chunk_text,
+        |  CAST(least(chunk_id*24+32, len(toks)) - chunk_id*24 AS BIGINT) AS n_chunk_tokens
+        |FROM s""".stripMargin,
+    // streaming chunking replays the batch chunker exactly (stateless
+    // map, finite source) -> same oracle as q67
+    "q80_stream_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, toks,
         |        unnest(generate_series(0, (len(toks)-1)//24)) AS chunk_id FROM t
