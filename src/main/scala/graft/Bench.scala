@@ -20,11 +20,36 @@ import org.apache.spark.sql.SparkSession
   * `run / outputStrategy := StdoutOutput` so sbt's forked-run logger
   * cannot prefix it with [info]), and the same line is persisted to
   * SPARK_GRAFT_BENCH_OUT (default ./bench_out.json, cwd-relative).
-  * Per-query values are rounded to 3 decimals so the line stays small
-  * enough for the driver's tail capture (round-4 verdict: the 66-query
-  * line at full double precision overflowed it and parsed as null).
+  *
+  * Line-size budget (round-5 verdict: the driver's tail window is 2000
+  * bytes and the 81-query 3-decimal line was 2022 — `parsed: null` for
+  * the third round running): per-query values are integer MILLISECONDS
+  * (`"qunit":"ms"`), per-query keys are the unique `qNN` numeric prefix
+  * of the SparkEntry.queries name (`"q27":1571` for
+  * q27_minhash_pairs — the prefix is how every round's verdict refers
+  * to queries, and full 15-char-average names put the worst-case line
+  * back over the window), and `sf` is the directory basename. BenchSpec
+  * asserts the worst-case serialized line stays under 1900 bytes so
+  * query growth cannot silently regress this again. A failed query
+  * reports -1, never a fake timing.
   */
 object Bench {
+
+  /** `qNN` numeric prefix used as the compact per-query JSON key.
+    * Query names are `qNN_description`; the prefix is unique by
+    * construction (BenchSpec asserts it stays so). */
+  def shortKey(name: String): String = name.takeWhile(_ != '_')
+
+  /** The one JSON line the driver parses. `results` carries integer
+    * milliseconds per full query name (-1 = failure); `totalSec` is
+    * seconds. Shared with BenchSpec so the size guard tests the real
+    * serializer, not a re-implementation. */
+  def serialize(results: Seq[(String, Long)], totalSec: Double, sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + v }
+      .mkString("{", ",", "}")
+    val sf = new java.io.File(sfDir).getName
+    s"""{"metric":"total","value":$totalSec,"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sf"}"""
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,13 +80,10 @@ object Bench {
     }
     def round3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = timesByQuery.toSeq.map { case (name, ts) =>
-      name -> (if (ts.exists(_ < 0)) -1.0 else round3(ts.min))
+      name -> (if (ts.exists(_ < 0)) -1L else math.rint(ts.min * 1000).toLong)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = round3(results.map(_._2).filter(_ >= 0).sum)
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = round3(results.map(_._2).filter(_ >= 0).sum / 1000.0)
+    val json = serialize(results, total, sfDir)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] $outPath write failed: ${e.getMessage}") }
