@@ -395,14 +395,17 @@ object LlmQueries {
 
   // Winnowing-fingerprint overlap at the gate (Dedup.winnowingOverlapPairs)
   // — MOSS-style substring-level overlap detection via the sampled
-  // fingerprint inverted index. Fingerprints are xxhash64-derived (no
-  // DuckDB equivalent), so this gates rows-only; the semantics
-  // (guaranteed detection of planted shared runs, maxDf stop-fingerprint
-  // cap) are pinned in ChunkPackSpec.
+  // fingerprint inverted index. The gate runs the md5-derived 60-bit
+  // shingle hash (TextAnalysis.md5Hash60) so DuckDB can reproduce the
+  // fingerprints and the whole chain — shingle → sliding-window min →
+  // distinct → df cap → self-join — is hash-checked; production default
+  // stays xxhash64, with md5/xxhash64 path equivalence pinned in
+  // SketchOverlapSpec.
   def q71_winnow_overlap(s: SparkSession, dir: String): DataFrame =
     graft.llm.Dedup.winnowingOverlapPairs(
       t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
-      minShared = 2, ngram = 3, window = 4, maxDf = 50)
+      minShared = 2, ngram = 3, window = 4, maxDf = 50,
+      hashFn = graft.llm.TextAnalysis.md5Hash60)
 
   // Sign-bit embedding sketch + Hamming top-k at the gate
   // (Similarity.hammingTopK): 64 float dims packed into two 32-bit words,
@@ -1052,8 +1055,35 @@ object LlmQueries {
         |SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket, n_tokens,
         |  CAST(cum_before // 512 AS BIGINT) AS bin_id
         |FROM c""".stripMargin,
-    // q71_winnow_overlap: rows-only (xxhash64 fingerprints have no DuckDB
-    // equivalent) — intentionally absent here.
+    // full winnowing chain on the md5-derived 60-bit hash (both engines
+    // agree on md5): 3-gram hashes in document order, sliding min over
+    // 4 (ROWS BETWEEN CURRENT AND 3 FOLLOWING mirrors Spark's
+    // short-tail slice), positions capped at greatest(n-4,0)+1 so a doc
+    // with fewer grams than the window still emits its single
+    // whole-array min, DISTINCT per doc, df cap 50, inverted-index
+    // self-join, minShared 2
+    "q71_winnow_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, i, len(toks) - 2 AS n,
+        |        ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks)-2)) AS i FROM t
+        |            WHERE len(toks) >= 3)),
+        |m AS (SELECT doc_id, i, n,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE i <= greatest(n-4, 0) + 1),
+        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+        |f2 AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp)),
+        |sizes AS (SELECT doc_id, count(*) AS n_fps FROM f2 GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |          FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT doc_a, doc_b, n_shared, sa.n_fps AS fps_a, sb.n_fps AS fps_b
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b""".stripMargin,
     // sign bits packed 32/word so DuckDB BIGINT arithmetic never
     // overflows; pure integer surface
     "q72_hamming_topk" ->

@@ -413,18 +413,28 @@ object Dedup {
     * (already distinct) per-doc fingerprint set, drop fingerprints hotter
     * than `maxDf` (a boilerplate fingerprint shared by f docs contributes
     * f² join rows), self-join on the fingerprint, count shared. One
-    * shuffle keyed by fingerprint; ids-only pair rows. Fingerprints are
-    * xxhash64-derived, so this op is spec-checked (planted-overlap
-    * fixtures) and gates rows-only — no DuckDB hash equivalent. */
+    * shuffle keyed by fingerprint; ids-only pair rows. `hashFn` selects
+    * the shingle hash: xxhash64 (production default) or
+    * [[TextAnalysis.md5Hash60]], which DuckDB can reproduce — the gate
+    * (q71) uses the latter so the operator is hash-checked end to end,
+    * with xxhash64/md5 path equivalence pinned in SketchOverlapSpec.
+    *
+    * `maxDf` defaults to a finite 1000: an uncapped run lets one
+    * boilerplate fingerprint shared by f docs emit f² join rows — the
+    * blow-up the cap exists to stop — so opting OUT of the guard
+    * (maxDf = Int.MaxValue) must be explicit, never the silent
+    * default. */
   def winnowingOverlapPairs(docs: DataFrame, idCol: String, textCol: String,
                             minShared: Int, ngram: Int = 3, window: Int = 4,
-                            maxDf: Int = Int.MaxValue): DataFrame = {
+                            maxDf: Int = 1000,
+                            hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     // pin the exploded fingerprint frame: it feeds the df guard and BOTH
     // sides of the self-join — unpinned, the winnowing pass (interpreted
     // window-min transform, the expensive part) recomputes up to 4×
     val fps0 = TextAnalysis
-      .winnowingFingerprintsFrame(docs, idCol, textCol, ngram, window)
+      .winnowingFingerprintsFrame(docs, idCol, textCol, ngram, window, hashFn)
       .select(col(idCol).as("doc_id"), explode(col("fingerprints")).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fps =

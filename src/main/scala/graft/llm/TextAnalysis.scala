@@ -111,20 +111,35 @@ object TextAnalysis {
     winnowOver(
       transform(TextShingles.wordNgrams(text, ngram), s => xxhash64(s)), window)
 
+  /** Cross-engine-computable 60-bit shingle hash: the first 15 hex
+    * digits of md5 parsed as an integer. Both Spark and DuckDB agree on
+    * md5 of the same string, so winnowing built on this hash is
+    * hash-checkable by the DuckDB oracle
+    * (`('0x' || substring(md5(g),1,15))::BIGINT` on the DuckDB side) —
+    * unlike xxhash64, which only Spark implements. Production keeps
+    * xxhash64 (one codegen'd long op vs a full md5 + hex parse); this
+    * exists so the gate variant of an operator is not weaker than the
+    * operator. */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** Frame-level winnowing — the corpus path: the shingle-hash array
     * feeds the native fused sliding-min kernel
     * (graft.functions.WinnowMins — one allocation-free pass; the lambda
     * form below allocates a slice and rescans it per position,
     * interpreted). Bit-parity with [[winnowingFingerprints]] is pinned
-    * in the spec. */
+    * in the spec. `hashFn` selects the shingle hash: xxhash64 default
+    * (production), [[md5Hash60]] for oracle-checked gates — the
+    * sliding-min kernel is hash-agnostic. */
   def winnowingFingerprintsFrame(df: org.apache.spark.sql.DataFrame,
                                  idCol: String, textCol: String,
-                                 ngram: Int = 3, window: Int = 4)
+                                 ngram: Int = 3, window: Int = 4,
+                                 hashFn: Column => Column = xxhash64(_))
       : org.apache.spark.sql.DataFrame =
     df.select(col(idCol),
       graft.functions.TextFunctions.winnowMins(
         transform(TextShingles.wordNgrams(col(textCol), ngram),
-          s => xxhash64(s)),
+          s => hashFn(s)),
         window).as("fingerprints"))
 
   private def winnowOver(hashes: Column, window: Int): Column = {

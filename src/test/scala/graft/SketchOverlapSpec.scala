@@ -1,6 +1,6 @@
 package graft
 
-import graft.llm.{Dedup, Similarity}
+import graft.llm.{Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Sign-bit embedding sketches (q72) and winnowing-overlap pairs (q71). */
@@ -148,6 +148,39 @@ class SketchOverlapSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect()
     // test doc 9 leaks against both train docs, 2 shared grams each
     assert(rep.toSeq == Seq((9L, 2L, 2L, 4L)))
+  }
+
+  test("md5Hash60 matches the cross-engine constant and stays in 60 bits") {
+    // 864072481952782817 = int(md5('hello a b').hexdigest()[:15], 16),
+    // the exact value DuckDB's ('0x' || substring(md5(g),1,15))::BIGINT
+    // produces — the constant both engines must agree on for q71's
+    // oracle to hash-match
+    val got = Seq("hello a b").toDF("s")
+      .select(TextAnalysis.md5Hash60($"s")).as[Long].head()
+    assert(got == 864072481952782817L)
+    val max = (0 until 200).map(i => s"probe $i string")
+      .toDF("s").select(max_by(TextAnalysis.md5Hash60($"s"),
+        TextAnalysis.md5Hash60($"s"))).as[Long].head()
+    assert(max >= 0 && max < (1L << 60))
+  }
+
+  test("winnowing overlap with the md5 gate hash finds the same planted pair") {
+    // the recall guarantee (a shared run >= window+ngram-1 tokens leaves
+    // a common fingerprint) is hash-agnostic; the md5 gate variant must
+    // detect exactly what the xxhash64 production path detects on the
+    // planted fixture, even though the sampled fingerprint VALUES differ
+    val shared = (0 until 12).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, fill(1, 20) + " " + shared + " " + fill(11, 20)),
+      (2L, fill(2, 25) + " " + shared + " " + fill(22, 15)),
+      (3L, fill(3, 40))).toDF("doc_id", "text")
+    val md5Pairs = Dedup.winnowingOverlapPairs(docs, "doc_id", "text",
+        minShared = 1, hashFn = TextAnalysis.md5Hash60)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val xxPairs = Dedup.winnowingOverlapPairs(docs, "doc_id", "text",
+        minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(md5Pairs == Set((1L, 2L)) && xxPairs == md5Pairs)
   }
 
   test("maxDf stop-fingerprint cap drops corpus-wide boilerplate") {
