@@ -167,6 +167,20 @@ class PlanAuditSpec extends SparkTestBase {
       s"expected distributed top-k:\n${p.take(600)}")
   }
 
+  test("q26/q72: brute-force top-k aggregates, never window-sorts the corpus") {
+    // round-5 verdict: the per-query row_number window put every
+    // candidate row into one task's sort — the TopKByScore swap bounds
+    // the shuffle at k pairs per query, and partial aggregation must
+    // survive in the plan
+    for (q <- Seq("q26_cosine_topk", "q72_hamming_topk")) {
+      val p = plan(q)
+      assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
+        s"$q reintroduced the per-query window sort")
+      assert(p.contains("partial_topkbyscore"),
+        s"$q top-k must combine map-side:\n${p.take(600)}")
+    }
+  }
+
   test("q26/q34: deterministic cosine runs the native kernel, no lambda chains") {
     // the decimal dot must be the fused vec_dot_decimal expression;
     // aggregate/zip_with higher-order lambdas are CodegenFallback and
