@@ -8,9 +8,14 @@ import graft.llm.Multimodal.{MediaFeatures, MediaRow}
   *   - BMP, 24-bit uncompressed (BITMAPINFOHEADER): header parse +
   *     pixel stats. The wire format is fully public (Windows BMP spec).
   *   - WAV, PCM 16-bit (RIFF/fmt/data): chunk walk + sample stats.
+  *   - JPEG / PNG / GIF via `javax.imageio.ImageIO` — the readers ship
+  *     in the standard JDK (java.desktop module), pure Java, zero new
+  *     dependencies; decoded pixels feed the same feature contract as
+  *     the BMP path (spec-pinned: a PNG of the same pixels produces
+  *     bit-identical features, PNG being lossless).
   *
-  * Video stays out of scope — no pure-JVM container/codec exists, so a
-  * video payload (or any unparseable payload) returns
+  * MP3 and video stay out of scope — no pure-JVM codec exists, so such
+  * a payload (or any unparseable payload) returns
   * `decode_ok = false` with zeroed features rather than pretending.
   * [[Multimodal.StubCodec]] remains the default for pinned fixtures;
   * select this codec via `Multimodal.extractFeatures(ds, BuiltinCodec)`.
@@ -43,6 +48,7 @@ object MediaCodecs {
         else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
                  p(2) == 'F' && p(3) == 'F' && p(8) == 'W' &&
                  p(9) == 'A' && p(10) == 'V' && p(11) == 'E') decodeWavPcm16(p)
+        else if (isJpeg(p) || isPng(p) || isGif(p)) decodeImageIO(p)
         else None
       decoded match {
         case Some((feats, frames)) =>
@@ -52,6 +58,62 @@ object MediaCodecs {
             new Array[Float](FeatureDim), 0, decode_ok = false)
       }
     }
+  }
+
+  private def isJpeg(p: Array[Byte]): Boolean =
+    p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 &&
+      (p(2) & 0xff) == 0xff
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+      p(3) == 'G'
+  private def isGif(p: Array[Byte]): Boolean =
+    p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+
+  /** JPEG/PNG/GIF via the JDK's ImageIO readers → the same feature
+    * contract as [[decodeBmp24]] (meanRGB, luma stats, 8-bin histogram,
+    * aspect); None when ImageIO cannot parse the payload. Alpha is
+    * ignored (getRGB pre-composites into sRGB). */
+  private[graft] def decodeImageIO(b: Array[Byte]): Option[(Array[Float], Int)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val width = img.getWidth; val height = img.getHeight
+    if (width <= 0 || height <= 0) return None
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var sl = 0.0; var sl2 = 0.0
+    val hist = new Array[Long](8)
+    // one getRGB row at a time: bounded buffer, any underlying raster
+    // layout (banded, indexed, grayscale) normalized to packed sRGB
+    val row = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      img.getRGB(0, y, width, 1, row, 0, width)
+      var x = 0
+      while (x < width) {
+        val px = row(x)
+        val r = (px >> 16) & 0xff; val g = (px >> 8) & 0xff; val bl = px & 0xff
+        sr += r; sg += g; sb += bl
+        val luma = 0.299 * r + 0.587 * g + 0.114 * bl
+        sl += luma; sl2 += luma * luma
+        hist(math.min(7, (luma / 32.0).toInt)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toLong * height
+    val meanL = sl / n
+    val varL = math.max(0.0, sl2 / n - meanL * meanL)
+    val f = new Array[Float](FeatureDim)
+    f(0) = (sr / n / 255.0).toFloat
+    f(1) = (sg / n / 255.0).toFloat
+    f(2) = (sb / n / 255.0).toFloat
+    f(3) = (meanL / 255.0).toFloat
+    f(4) = (varL / (255.0 * 255.0)).toFloat
+    var i = 0
+    while (i < 8) { f(5 + i) = (hist(i).toDouble / n).toFloat; i += 1 }
+    f(13) = (width.toDouble / (width + height)).toFloat
+    Some((f, 1))
   }
 
   /** 24-bit uncompressed BMP → (features, n_frames = 1); None when the
@@ -207,6 +269,24 @@ object MediaCodecs {
       y += 1
     }
     out
+  }
+
+  /** Encode the pixel function through ImageIO into `format` ("png",
+    * "jpg", "gif") — fixture builder proving [[decodeImageIO]] reads the
+    * real interchange formats, not a private byte layout. */
+  def encodeImage(format: String, width: Int, height: Int,
+                  pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, "image dims must be positive")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) {
+      val (r, g, b) = pixel(x, y)
+      img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out),
+      s"no ImageIO writer for format $format")
+    out.toByteArray
   }
 
   /** Minimal mono PCM-16 WAV (RIFF + fmt + data). */

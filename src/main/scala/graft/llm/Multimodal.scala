@@ -36,16 +36,18 @@ object Multimodal {
     * serializable (implement as an `object`) — instances ship to
     * executors inside the mapPartitions closure. Real formats a JVM
     * can decode without native libs live in
-    * [[MediaCodecs.BuiltinCodec]] (BMP 24-bit, WAV PCM-16). */
+    * [[MediaCodecs.BuiltinCodec]] (BMP 24-bit, WAV PCM-16, and
+    * JPEG/PNG/GIF through the JDK's ImageIO readers). */
   trait MediaCodec extends Serializable {
     def decode(row: MediaRow): MediaFeatures
   }
 
   /** STUB decode: deterministic pseudo-features from the payload bytes —
     * `???`-grade placeholder for codecs that genuinely need native libs
-    * (JPEG/MP3/video), but shape-faithful: consumes bytes, emits a
-    * fixed-width float vector per media item. Deterministic so tests
-    * can assert exact outputs. */
+    * (MP3/video only: JPEG/PNG/GIF decode pure-JVM through ImageIO in
+    * [[MediaCodecs.BuiltinCodec]], alongside BMP and PCM WAV), but
+    * shape-faithful: consumes bytes, emits a fixed-width float vector
+    * per media item. Deterministic so tests can assert exact outputs. */
   object StubCodec extends MediaCodec {
     val FeatureDim = 16
     def decode(row: MediaRow): MediaFeatures = {

@@ -42,6 +42,45 @@ class MediaCodecsSpec extends SparkTestBase {
     assert(math.abs(f(12) - 0.16) < 1e-6)   // 16000 / 1e5
   }
 
+  test("PNG decodes bit-identically to the BMP of the same pixels") {
+    // PNG is lossless, and both paths normalize to sRGB before the
+    // shared feature math — so features must be exactly equal
+    val (w, h) = (7, 5)
+    def px(x: Int, y: Int) = ((x * 37) % 256, (y * 61) % 256, (x + y) * 11 % 256)
+    val Some((fBmp, _)) = MediaCodecs.decodeBmp24(MediaCodecs.encodeBmp24(w, h, px))
+    val Some((fPng, frames)) = MediaCodecs.decodeImageIO(
+      MediaCodecs.encodeImage("png", w, h, px))
+    assert(frames == 1)
+    assert(fPng.toSeq == fBmp.toSeq, "PNG and BMP of identical pixels must match")
+  }
+
+  test("JPEG and GIF decode through ImageIO with stats near the source pixels") {
+    val (w, h) = (16, 12)
+    def px(x: Int, y: Int) = (200, 100, 50)   // solid color survives DCT well
+    for (fmt <- Seq("jpg", "gif")) {
+      val bytes = MediaCodecs.encodeImage(fmt, w, h, px)
+      val row = MediaRow(1L, "image", bytes, w, h, 0, 0L)
+      val got = MediaCodecs.BuiltinCodec.decode(row)
+      assert(got.decode_ok, s"$fmt must decode")
+      assert(got.n_frames == 1)
+      // lossy/palette round trip: means within a few intensity levels
+      assert(math.abs(got.feature(0) - 200 / 255.0) < 0.03, s"$fmt meanR")
+      assert(math.abs(got.feature(1) - 100 / 255.0) < 0.03, s"$fmt meanG")
+      assert(math.abs(got.feature(2) - 50 / 255.0) < 0.03, s"$fmt meanB")
+      assert(math.abs(got.feature(13) - w.toDouble / (w + h)) < 1e-6)
+    }
+  }
+
+  test("truncated JPEG fails closed") {
+    val bytes = MediaCodecs.encodeImage("jpg", 8, 8, (_, _) => (9, 9, 9))
+    val got = MediaCodecs.BuiltinCodec.decode(
+      MediaRow(7L, "image", bytes.take(bytes.length / 2), 8, 8, 0, 0L))
+    // ImageIO either throws or returns a null/partial frame; the codec
+    // must never surface decode_ok with garbage stats from an overread
+    if (got.decode_ok) assert(got.feature.forall(f => f >= 0f && f <= 1f))
+    else assert(got.feature.forall(_ == 0.0f))
+  }
+
   test("builtin codec sniffs magic bytes and fails closed on garbage") {
     val bmpRow = MediaRow(1L, "image",
       MediaCodecs.encodeBmp24(4, 4, (_, _) => (10, 20, 30)), 4, 4, 0, 0L)
@@ -60,18 +99,30 @@ class MediaCodecsSpec extends SparkTestBase {
   }
 
   test("real-bytes corpus flows through the distributed extractFeatures pipeline") {
-    // mixed BMP/WAV payloads across partitions — the same mapPartitions
-    // plumbing q33 gates, now decoding real wire formats
+    // mixed BMP/PNG/JPEG/WAV payloads across partitions — the same
+    // mapPartitions plumbing q33 gates, now decoding real wire formats
     val rows = (0 until 60).map { i =>
-      if (i % 2 == 0)
-        MediaRow(i.toLong, "image",
-          MediaCodecs.encodeBmp24(8 + i % 5, 6, (x, y) => (x * 20 % 256, y * 30 % 256, i % 256)),
-          8 + i % 5, 6, 0, 0L)
-      else
-        MediaRow(i.toLong, "audio",
-          MediaCodecs.encodePcm16Wav(16000,
-            Array.tabulate[Short](400 + i)(j => ((j * (i + 3) * 137) % 20000 - 10000).toShort)),
-          0, 0, 16000, 0L)
+      (i % 4) match {
+        case 0 =>
+          MediaRow(i.toLong, "image",
+            MediaCodecs.encodeBmp24(8 + i % 5, 6, (x, y) => (x * 20 % 256, y * 30 % 256, i % 256)),
+            8 + i % 5, 6, 0, 0L)
+        case 1 =>
+          MediaRow(i.toLong, "image",
+            MediaCodecs.encodeImage("png", 8 + i % 5, 6,
+              (x, y) => (x * 20 % 256, y * 30 % 256, i % 256)),
+            8 + i % 5, 6, 0, 0L)
+        case 2 =>
+          MediaRow(i.toLong, "image",
+            MediaCodecs.encodeImage("jpg", 8 + i % 5, 6,
+              (x, y) => (x * 20 % 256, y * 30 % 256, i % 256)),
+            8 + i % 5, 6, 0, 0L)
+        case _ =>
+          MediaRow(i.toLong, "audio",
+            MediaCodecs.encodePcm16Wav(16000,
+              Array.tabulate[Short](400 + i)(j => ((j * (i + 3) * 137) % 20000 - 10000).toShort)),
+            0, 0, 16000, 0L)
+      }
     }
     val ds = spark.createDataset(rows).repartition(4)
     val feats = Multimodal.extractFeatures(ds, MediaCodecs.BuiltinCodec)
