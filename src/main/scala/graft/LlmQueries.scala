@@ -492,11 +492,16 @@ object LlmQueries {
   // buckets by doc parity, so streams stay balanced (bucketing by a
   // doc-major id would pile every chunk-0 into one stream).
   def q78_chunk_pack(s: SparkSession, dir: String): DataFrame = {
+    // synthetic pack-order id: unique while doc_id < 10^12 and
+    // chunk_id <= ~9.2e6 (long overflow bound) — 9.2M chunks × 24-token
+    // stride is a 220M-token document, far past any real corpus doc.
+    // The previous 10^7 multiplier collided at doc_id >= 10^7, i.e. at
+    // exactly the corpus scale the operator targets.
     val chunks = graft.llm.Chunking.chunkByTokens(
         t(s, dir, "documents"), idCols = Seq("doc_id"), textCol = "text",
         chunkSize = 32, stride = 24)
       .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
-        (col("chunk_id") * 10000000L + col("doc_id")).as("cid"))
+        (col("chunk_id") * 1000000000000L + col("doc_id")).as("cid"))
     graft.ops.Packing.packGreedy(
         chunks, col("cid"), col("n_chunk_tokens"), budget = 512L, buckets = 8)
       .select(col("doc_id"), col("chunk_id"), col("bucket"),
@@ -1043,8 +1048,10 @@ object LlmQueries {
         |          count(*) AS n_distinct_bigrams, max(c) AS top_bigram_cnt
         |        FROM bc GROUP BY 1)
         |SELECT tok.doc_id, n_tokens, n_distinct_tokens, top_token_cnt,
-        |       n_bigrams, n_distinct_bigrams, top_bigram_cnt
-        |FROM tok JOIN big ON tok.doc_id = big.doc_id""".stripMargin,
+        |       COALESCE(n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        |       COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt
+        |FROM tok LEFT JOIN big ON tok.doc_id = big.doc_id""".stripMargin,
     // same bucketed greedy pack: cumulative tokens before each doc in its
     // stream, integer-divided by the budget
     "q70_seq_packing" ->
@@ -1144,8 +1151,8 @@ object LlmQueries {
         |         CAST(least(chunk_id*24+32, len(toks)) - chunk_id*24 AS BIGINT) AS n_chunk_tokens
         |       FROM s),
         |p AS (SELECT doc_id, chunk_id, n_chunk_tokens,
-        |        chunk_id * 10000000 + doc_id AS cid,
-        |        (chunk_id * 10000000 + doc_id) % 8 AS bucket FROM ch),
+        |        chunk_id * 1000000000000 + doc_id AS cid,
+        |        (chunk_id * 1000000000000 + doc_id) % 8 AS bucket FROM ch),
         |c2 AS (SELECT *, sum(n_chunk_tokens) OVER (PARTITION BY bucket ORDER BY cid
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chunk_tokens AS cb FROM p)
         |SELECT doc_id, chunk_id, CAST(bucket AS BIGINT) AS bucket, n_chunk_tokens,

@@ -30,6 +30,9 @@ object Chunking {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
     require(stride >= 1 && stride <= chunkSize,
       s"stride must be in [1, chunkSize], got $stride")
+    for (c <- Seq("toks", "chunk", "chunk_id", "chunk_text", "n_chunk_tokens"))
+      require(!df.columns.contains(c),
+        s"input frame already carries the reserved column $c")
     val n = size(col("toks"))
     // integer DIV, not an int cast of double division: a double quotient
     // can land a hair under an exact integer at extreme token counts and

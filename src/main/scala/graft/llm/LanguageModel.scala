@@ -120,17 +120,6 @@ object LanguageModel {
            count(lit(1)).as("n_bigrams"))
   }
 
-  /** Production LM scoring: per-document average bigram log-probability
-    * under the model trained on `modelDocs` (defaults to scoring the
-    * corpus against itself; pass a reference corpus to score INCOMING
-    * docs — higher = more natural, the LM-quality filter thresholds on
-    * this). Bigrams unseen in the model back off to `floorProb` instead
-    * of −∞. Documents with fewer than two tokens have no bigrams — no
-    * evidence either way — and score AT THE FLOOR (ln(floorProb),
-    * n_bigrams = 0) rather than silently vanishing: every input doc id
-    * appears in the output exactly once, so a threshold filter treats
-    * short docs deterministically (they fail any threshold above the
-    * floor). Double math (ln) — spec-checked, not oracle-gated. */
   /** Frequency-ranked vocabulary of the `k` most common tokens, with
     * dense contiguous ids 1..k by (count DESC, token ASC) — the
     * tokenizer-prep step (vocab tables, OOV cutoffs, id assignment).
@@ -153,6 +142,17 @@ object LanguageModel {
         .cast("int"))
   }
 
+  /** Production LM scoring: per-document average bigram log-probability
+    * under the model trained on `modelDocs` (defaults to scoring the
+    * corpus against itself; pass a reference corpus to score INCOMING
+    * docs — higher = more natural, the LM-quality filter thresholds on
+    * this). Bigrams unseen in the model back off to `floorProb` instead
+    * of −∞. Documents with fewer than two tokens have no bigrams — no
+    * evidence either way — and score AT THE FLOOR (ln(floorProb),
+    * n_bigrams = 0) rather than silently vanishing: every input doc id
+    * appears in the output exactly once, so a threshold filter treats
+    * short docs deterministically (they fail any threshold above the
+    * floor). Double math (ln) — spec-checked, not oracle-gated. */
   def docAvgLogProb(docs: DataFrame, idCol: String, textCol: String,
                     floorProb: Double = 1e-9,
                     modelDocs: Option[DataFrame] = None): DataFrame = {

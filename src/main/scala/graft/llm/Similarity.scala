@@ -114,12 +114,18 @@ object Similarity {
   // cross-engine reproducible, so it gate-checks: q72).
   // -------------------------------------------------------------------
 
-  /** Pack sign bits of dims [from, from+32) into one non-negative long
-    * (bit i set iff vec[from+i] > 0; missing dims read as 0). The 32-way
-    * sum is fully unrolled — plain codegen'd arithmetic, no lambdas. */
-  private def signWord(vec: Column, from: Int): Column =
-    (0 until 32).map { i =>
-      when(element_at(vec, from + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+  /** Pack sign bits of dims [from, min(from+32, dim)) into one
+    * non-negative long (bit i set iff vec[from+i] > 0; missing dims read
+    * as 0). The sum is fully unrolled — plain codegen'd arithmetic, no
+    * lambdas. Indices past `dim` are never emitted, and runtime-short
+    * arrays read through `try_element_at` (null → bit 0) — plain
+    * element_at's out-of-bounds-is-null is non-ANSI, and under
+    * spark.sql.ansi.enabled the sketch would throw instead of honoring
+    * the missing-dims-as-0 contract. */
+  private def signWord(vec: Column, from: Int, dim: Int): Column =
+    (0 until math.min(32, dim - from)).map { i =>
+      when(try_element_at(vec, lit(from + i + 1)) > 0f, lit(1L << i))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Sign sketch of a `dim`-dimensional vector: array of ceil(dim/32)
@@ -128,7 +134,7 @@ object Similarity {
     * on 2^63 overflow — the sketch is portable integer data. */
   def signSketch(vec: Column, dim: Int): Column = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    array((0 until dim by 32).map(signWord(vec, _)): _*)
+    array((0 until dim by 32).map(signWord(vec, _, dim)): _*)
   }
 
   /** Hamming distance between two equal-length sign sketches:

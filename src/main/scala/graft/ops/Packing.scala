@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Sentinel for `buckets`: derive from the session's
+    * defaultParallelism (see [[packGreedy]]). */
+  val DeriveBuckets: Int = 0
+
   /** Pack rows into bins of ~`budget` tokens within `buckets` streams.
     *
     * Output: input columns + `bucket` (stream id), `cum_before` (tokens
@@ -32,18 +36,32 @@ object Packing {
     * Deterministic: a pure function of (idCol, sizeCol) — re-runs and
     * retries assign identical bins.
     *
+    * `buckets` defaults to [[DeriveBuckets]] = 4× the session's
+    * defaultParallelism: a naive caller must never serialize the corpus
+    * into one stream, and 4× keeps the largest per-bucket window slice
+    * well under a task's share even with hash imbalance. NOTE the
+    * derived value depends on the session — callers that need
+    * re-run-identical bin ids across differently-sized clusters must
+    * pass `buckets` explicitly (the gate queries do).
+    *
     * Contract: `sizeCol` values must be non-negative (they are token
     * counts). A negative size would make `cum_before` negative, where
     * Spark's `DIV` (truncate toward zero) and floor-division engines
     * disagree — the operator does not define bin ids for that input.
     */
   def packGreedy(df: DataFrame, idCol: Column, sizeCol: Column,
-                 budget: Long, buckets: Int): DataFrame = {
+                 budget: Long, buckets: Int = DeriveBuckets): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(buckets >= 0, s"buckets must be >= 1 (or 0 = derive), got $buckets")
+    for (c <- Seq("bucket", "cum_before", "bin_id"))
+      require(!df.columns.contains(c),
+        s"input frame already carries the output column $c")
+    val nb =
+      if (buckets != DeriveBuckets) buckets
+      else 4 * math.max(1, df.sparkSession.sparkContext.defaultParallelism)
     val w = Window.partitionBy(col("bucket")).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("bucket", pmod(idCol, lit(buckets)).cast("long"))
+    df.withColumn("bucket", pmod(idCol, lit(nb)).cast("long"))
       .withColumn("cum_before",
         (sum(sizeCol.cast("long")).over(w) - sizeCol.cast("long")))
       // integer DIV, not floor(double /): exact past 2^53 total tokens

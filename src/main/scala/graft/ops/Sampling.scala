@@ -133,11 +133,17 @@ object Sampling {
     * small — not forced, a 10^7-domain corpus must shuffle-join), then a
     * map-only filter.
     *
-    * Rows whose group value is NULL are dropped (the equi-join never
-    * matches them); bucket null groups into a sentinel value first if
-    * they must be capped too. */
+    * NULL groups: with the default `includeNulls = false`, rows whose
+    * group value is NULL are dropped (the equi-join never matches
+    * them) — documented, matching SQL inner-join intuition. Pass
+    * `includeNulls = true` to treat all null-group rows as ONE sentinel
+    * group capped like any other: the join switches to null-safe
+    * equality (`<=>`), whose null group pairs with the null count row
+    * `groupBy` already emits — no sentinel value is invented, so no
+    * real group value can collide with it. */
   def capPerGroupApprox(df: DataFrame, key: Column, groupCol: Column,
-                        maxPerGroup: Long): DataFrame = {
+                        maxPerGroup: Long,
+                        includeNulls: Boolean = false): DataFrame = {
     require(maxPerGroup >= 0 && maxPerGroup <= Long.MaxValue / Mille,
       s"maxPerGroup must be in [0, ${Long.MaxValue / Mille}] " +
         s"(rate arithmetic is per-mille in long math), got $maxPerGroup")
@@ -145,9 +151,12 @@ object Sampling {
       "input frame already carries the helper column __cap_cnt")
     val counts = df.groupBy(groupCol.as("__cap_g"))
       .agg(count(lit(1)).as("__cap_cnt"))
+    val joinCond =
+      if (includeNulls) groupCol <=> col("__cap_g")
+      else groupCol === col("__cap_g")
     val rate = when(col("__cap_cnt") <= maxPerGroup, lit(Mille.toLong))
       .otherwise(expr(s"(${maxPerGroup}L * ${Mille}L) DIV __cap_cnt"))
-    df.join(counts, groupCol === col("__cap_g"))
+    df.join(counts, joinCond)
       .filter(key < rate)
       .drop("__cap_g", "__cap_cnt")
   }

@@ -89,6 +89,51 @@ class ChunkPackSpec extends SparkTestBase {
     assert(run(sized) == run(sized.repartition(13)))
   }
 
+  test("packing derives buckets from parallelism when the caller passes none") {
+    val packed = Packing.packGreedy(sized, $"doc_id", $"n_tokens", budget = 512L)
+    val para = spark.sparkContext.defaultParallelism
+    val usedBuckets = packed.select(countDistinct($"bucket")).as[Long].head()
+    // 2000 sequential ids mod nb hit every bucket, so distinct-bucket
+    // count IS the derived nb (holds while nb <= 2000)
+    assert(usedBuckets >= para,
+      s"derived buckets ($usedBuckets) must be >= defaultParallelism ($para) " +
+        "so no caller serializes the corpus into one stream")
+  }
+
+  test("packing and chunking reject reserved output-column collisions") {
+    intercept[IllegalArgumentException] {
+      Packing.packGreedy(sized.withColumn("bin_id", lit(1)),
+        $"doc_id", $"n_tokens", 512L, 8)
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.chunkByTokens(
+        Seq((1L, "a b c", 0)).toDF("doc_id", "text", "chunk_id"),
+        Seq("doc_id"), "text", 32, 24)
+    }
+  }
+
+  test("capPerGroupApprox includeNulls caps null-group rows as one sentinel group") {
+    val df = spark.range(0, 6000).select(
+      $"id".as("doc_id"),
+      when(pmod($"id", lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("g"), pmod($"id", lit(3)))).as("grp"))
+    val dropped = graft.ops.Sampling.capPerGroupApprox(df,
+      graft.ops.Sampling.lcgKey($"doc_id"), $"grp", maxPerGroup = 500L)
+    assert(dropped.where($"grp".isNull).count() == 0,
+      "default behavior: null groups documented-dropped")
+    val kept = graft.ops.Sampling.capPerGroupApprox(df,
+      graft.ops.Sampling.lcgKey($"doc_id"), $"grp", maxPerGroup = 500L,
+      includeNulls = true)
+    val nullKept = kept.where($"grp".isNull).count()
+    // 2000 null rows, quota 500 -> rate 250 per-mille, binomial sd ~19
+    assert(nullKept > 0 && math.abs(nullKept - 500L) < 120,
+      s"null group must be capped like any other, kept=$nullKept")
+    // non-null groups behave identically in both modes
+    val a = dropped.where($"grp".isNotNull).select("doc_id").as[Long].collect().toSet
+    val b = kept.where($"grp".isNotNull).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("repetition signals: exact counts on a hand-built doc") {
     val d = Seq((1L, "a a b a"), (2L, "solo")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionSignals(d, "doc_id", "text")

@@ -183,6 +183,18 @@ class SketchOverlapSpec extends SparkTestBase {
     assert(md5Pairs == Set((1L, 2L)) && xxPairs == md5Pairs)
   }
 
+  test("the DEFAULT maxDf is finite: corpus-wide boilerplate never joins f^2") {
+    // 1100 identical docs — every fingerprint is shared by all 1100,
+    // above the default cap of 1000, so with no maxDf argument at all
+    // the hot fingerprints must drop before the self-join (uncapped
+    // this fixture would emit 1100*1099/2 = 604k pair rows)
+    val boiler = (0 until 12).map(i => s"bp$i").mkString(" ")
+    val docs = (1L to 1100L).map(id => (id, boiler)).toDF("doc_id", "text")
+    assert(Dedup.winnowingOverlapPairs(docs, "doc_id", "text",
+      minShared = 1).count() == 0,
+      "an argument-free call must still engage the hot-fingerprint guard")
+  }
+
   test("maxDf stop-fingerprint cap drops corpus-wide boilerplate") {
     val boiler = (0 until 12).map(i => s"b$i").mkString(" ")
     val docs = (1L to 10L).map(id =>
