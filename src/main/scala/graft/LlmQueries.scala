@@ -531,6 +531,31 @@ object LlmQueries {
           chunkSize = 32, stride = 24),
       mode = org.apache.spark.sql.streaming.OutputMode.Append())
 
+  // SEQUENCE-level decontamination at the gate
+  // (Dedup.sequenceDecontamination): winnowing fingerprints on both
+  // corpus halves + the q74 cross-corpus join shape — catches leaks by
+  // shared RUNS, which exact n-gram containment loses after light
+  // paraphrase. The fixture PLANTS mutated leaks: every 10th train doc
+  // re-enters the test side with its first word dropped (id + 10^6) —
+  // each planted doc must flag against its source despite the edit.
+  // md5-derived fingerprints (TextAnalysis.md5Hash60) keep the whole
+  // chain DuckDB-reproducible; the mutation is pure token arithmetic
+  // (drop element 1 of the single-space split) in both engines.
+  def q81_seq_decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val train = docs.where(col("doc_id") % 2 === 0)
+    val planted = train.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(
+          slice(split(col("text"), " "), lit(2), size(split(col("text"), " "))),
+          " ").as("text"))
+    val test = docs.where(col("doc_id") % 2 === 1).unionByName(planted)
+    graft.llm.Dedup.sequenceDecontamination(
+      train, test, idCol = "doc_id", textCol = "text",
+      minShared = 2, ngram = 3, window = 4, maxDf = 50,
+      hashFn = graft.llm.TextAnalysis.md5Hash60)
+  }
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -604,7 +629,8 @@ object LlmQueries {
     "q77_normalize"     -> q77_normalize _,
     "q78_chunk_pack"    -> q78_chunk_pack _,
     "q79_centroid_update" -> q79_centroid_update _,
-    "q80_stream_chunks" -> q80_stream_chunks _
+    "q80_stream_chunks" -> q80_stream_chunks _,
+    "q81_seq_decontam"  -> q81_seq_decontam _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1022,6 +1048,38 @@ object LlmQueries {
         |  array_to_string(toks[chunk_id*24+1 : least(chunk_id*24+32, len(toks))], ' ') AS chunk_text,
         |  CAST(least(chunk_id*24+32, len(toks)) - chunk_id*24 AS BIGINT) AS n_chunk_tokens
         |FROM s""".stripMargin,
+    // q71's winnowing chain on both corpus halves + the planted mutated
+    // leaks (train docs with their first token dropped, id + 10^6 —
+    // pure token arithmetic, identical in both engines), train-side df
+    // cap, fingerprint-keyed join
+    "q81_seq_decontam" ->
+      """WITH raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |corp AS (
+        |  SELECT doc_id, toks, 0 AS side FROM raw WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, toks, 1 FROM raw WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, toks[2:], 1 FROM raw
+        |  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0),
+        |g AS (SELECT doc_id, side, i, len(toks) - 2 AS n,
+        |        ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id, side, toks,
+        |              unnest(generate_series(1, len(toks)-2)) AS i FROM corp
+        |            WHERE len(toks) >= 3)),
+        |m AS (SELECT doc_id, side, i, n,
+        |        min(h) OVER (PARTITION BY side, doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM g),
+        |fps AS (SELECT DISTINCT doc_id, side, fp FROM m
+        |        WHERE i <= greatest(n-4, 0) + 1),
+        |keep AS (SELECT fp FROM fps WHERE side = 0
+        |         GROUP BY fp HAVING count(*) <= 50)
+        |SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+        |       count(*) AS n_shared
+        |FROM (SELECT doc_id, fp FROM fps WHERE side = 1) te
+        |JOIN keep USING (fp)
+        |JOIN (SELECT doc_id, fp FROM fps WHERE side = 0) tr USING (fp)
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // sum(BIGINT) is HUGEINT in DuckDB -> cast back so both engines
     // surface int64
     "q68_json_extract" ->

@@ -511,6 +511,57 @@ object Dedup {
     }
   }
 
+  /** SEQUENCE-level train/test decontamination: test documents sharing
+    * at least `minShared` winnowing fingerprints with a training
+    * document — [[crossCorpusContamination]]'s exact-n-gram containment
+    * composed with [[winnowingOverlapPairs]]'s sampled run detector.
+    *
+    * Why it exists: exact n-gram containment misses a leak after light
+    * paraphrase or whitespace drift (one changed word kills every
+    * n-gram crossing it). Winnowing guarantees any UNBROKEN shared run
+    * of ≥ `window + ngram - 1` tokens still leaves a common
+    * fingerprint, so an edited leak decomposes into clean sub-runs that
+    * each contribute fingerprints — a mutated copy keeps flagging
+    * (spec-pinned: a mid-run word swap defeats 12-gram containment but
+    * not this check).
+    *
+    * Shape: winnow both corpora (map-only, sampled fingerprint sets),
+    * cap fingerprints hotter than `maxDf` ON THE TRAIN SIDE and drop
+    * them from both sides (a boilerplate fingerprint in f train × g
+    * test docs contributes f·g join rows), join keyed on the
+    * fingerprint, ids-only aggregation. One shuffle on the fingerprint
+    * key; never all-pairs. `hashFn` as in [[winnowingOverlapPairs]]:
+    * xxhash64 production, [[TextAnalysis.md5Hash60]] for the
+    * oracle-checked gate (q81). */
+  def sequenceDecontamination(train: DataFrame, test: DataFrame,
+                              idCol: String, textCol: String,
+                              minShared: Int = 1, ngram: Int = 3,
+                              window: Int = 4, maxDf: Int = 1000,
+                              hashFn: Column => Column = xxhash64(_))
+      : DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    def fps(df: DataFrame, as: String) = TextAnalysis
+      .winnowingFingerprintsFrame(df, idCol, textCol, ngram, window, hashFn)
+      .select(col(idCol).as(as), explode(col("fingerprints")).as("fp"))
+    // pin: the train fingerprint frame feeds the df guard AND the join —
+    // unpinned, the winnowing pass recomputes; persist-then-release as
+    // in the MinHash path
+    val tr0 = fps(train, "train_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = tr0.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    val result = fps(test, "test_id").join(keep, Seq("fp"))
+      .join(tr0, Seq("fp"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    tr0.unpersist(false)
+    result
+  }
+
   /** Per-test-document contamination summary over
     * [[crossCorpusContamination]] pairs: how many train docs a test doc
     * leaks against, its worst single-source overlap, and total shared

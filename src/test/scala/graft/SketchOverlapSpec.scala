@@ -183,6 +183,43 @@ class SketchOverlapSpec extends SparkTestBase {
     assert(md5Pairs == Set((1L, 2L)) && xxPairs == md5Pairs)
   }
 
+  test("sequence decontamination flags a mutated leak that exact containment misses") {
+    // a 13-token leak with its MIDDLE word swapped in the test copy:
+    // every 12-gram crossing the edit dies, so 12-gram exact containment
+    // finds nothing — but the edit splits the leak into two clean >= 6
+    // token runs, each of which winnowing (ngram 3, window 4) guarantees
+    // at least one shared fingerprint for
+    val leak = (0 until 13).map(i => s"leak$i")
+    val mutated = leak.updated(6, "EDITED")
+    val train = Seq(
+      (10L, fill(1, 20) + " " + leak.mkString(" ") + " " + fill(11, 10)),
+      (11L, fill(2, 30))).toDF("doc_id", "text")
+    val test = Seq(
+      (20L, fill(3, 15) + " " + mutated.mkString(" ") + " " + fill(33, 15)),
+      (21L, fill(4, 25))).toDF("doc_id", "text")
+    val exact = Dedup.crossCorpusContamination(train, test, "doc_id", "text",
+      ngram = 12, minShared = 1)
+    assert(exact.count() == 0, "exact 12-gram containment must miss the edited leak")
+    val seq = Dedup.sequenceDecontamination(train, test, "doc_id", "text",
+        minShared = 2)
+      .select("test_id", "train_id").as[(Long, Long)].collect().toSet
+    assert(seq == Set((20L, 10L)),
+      "winnowing must flag exactly the mutated leak pair")
+  }
+
+  test("sequence decontamination honors the train-side df cap") {
+    val boiler = (0 until 10).map(i => s"sb$i").mkString(" ")
+    val train = (1L to 8L).map(id => (id, boiler + " " + fill(id.toInt, 15)))
+      .toDF("doc_id", "text")
+    val test = Seq((100L, boiler + " " + fill(99, 15))).toDF("doc_id", "text")
+    val uncapped = Dedup.sequenceDecontamination(train, test, "doc_id", "text",
+      minShared = 1)
+    assert(uncapped.count() == 8, "boilerplate links the test doc to every train doc")
+    val capped = Dedup.sequenceDecontamination(train, test, "doc_id", "text",
+      minShared = 1, maxDf = 4)
+    assert(capped.count() == 0)
+  }
+
   test("the DEFAULT maxDf is finite: corpus-wide boilerplate never joins f^2") {
     // 1100 identical docs — every fingerprint is shared by all 1100,
     // above the default cap of 1000, so with no maxDf argument at all
