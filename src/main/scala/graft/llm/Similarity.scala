@@ -543,4 +543,60 @@ object Similarity {
       .orderBy(col("cosine").desc, col("cand_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
+
+  // -------------------------------------------------------------------
+  // Unified dispatch — production callers shouldn't hand-pick among the
+  // three individually-checked ANN paths.
+  // -------------------------------------------------------------------
+
+  /** Which ANN path [[topK]] runs. */
+  sealed trait AnnPath
+  /** Exact scan — small corpus. */ case object BruteForce extends AnnPath
+  /** LSH banding — large corpus, no index. */ case object LshBanding extends AnnPath
+  /** Persisted IVF index probe. */ case object IvfIndexed extends AnnPath
+
+  /** Deterministic dispatch rule, factored out so the thresholds are
+    * unit-testable without running a search: a persisted index always
+    * wins (the corpus was already paid for at build time); otherwise
+    * corpora up to `bruteForceThreshold` scan exactly (recall 1 beats
+    * recall <1 whenever the scan is affordable — at k·|Q| comparisons
+    * per candidate row it stays cheap into the low millions), and past
+    * the threshold LSH banding keeps cost ∝ bucket occupancy. */
+  def chooseAnnPath(corpusSize: Long, hasIndex: Boolean,
+                    bruteForceThreshold: Long = 1000000L): AnnPath =
+    if (hasIndex) IvfIndexed
+    else if (corpusSize <= bruteForceThreshold) BruteForce
+    else LshBanding
+
+  /** Unified ANN top-k: routes to [[ivfTopKIndexed]] (when `index`
+    * names a store+prefix where [[buildIvfIndex]] has persisted one),
+    * [[bruteForceTopK]] (small corpus, exact), or [[lshBucketTopK]]
+    * (derived band width) via [[chooseAnnPath]]. All three paths emit
+    * the same (query_id, cand_id, cosine, rnk) schema with the same
+    * tie-break, so callers can switch corpus scale or add an index
+    * without touching downstream code.
+    *
+    * The no-index dispatch pays one `count()` of the candidate side —
+    * an O(metadata) job on a parquet-backed corpus; pass
+    * `corpusSize` explicitly to skip it (and to pin dispatch in tests). */
+  def topK(queries: DataFrame, candidates: DataFrame,
+           idCol: String, vecCol: String, k: Int,
+           index: Option[(graft.io.TableStore, String)] = None,
+           corpusSize: Long = -1L,
+           bruteForceThreshold: Long = 1000000L,
+           nprobe: Int = 4): DataFrame = {
+    val hasIndex = index.exists { case (store, prefix) =>
+      store.exists(s"$prefix.centroids") && store.exists(s"$prefix.buckets") }
+    val n = if (hasIndex || corpusSize >= 0) corpusSize else candidates.count()
+    chooseAnnPath(n, hasIndex, bruteForceThreshold) match {
+      case IvfIndexed =>
+        val (store, prefix) = index.get
+        ivfTopKIndexed(store, prefix, queries, idCol, vecCol, k, nprobe)
+      case BruteForce =>
+        bruteForceTopK(queries, candidates, idCol, vecCol, k,
+          deterministic = false)
+      case LshBanding =>
+        lshBucketTopK(queries, candidates, idCol, vecCol, k)
+    }
+  }
 }

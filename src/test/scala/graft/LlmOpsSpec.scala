@@ -311,6 +311,46 @@ class LlmOpsSpec extends SparkTestBase {
     assert(ivf == ivf2)
   }
 
+  test("unified ANN dispatch: thresholds, schema parity, recall floor on every path") {
+    import Similarity._
+    // the rule itself, without running a search
+    assert(chooseAnnPath(100L, hasIndex = false) == BruteForce)
+    assert(chooseAnnPath(1000000L, hasIndex = false) == BruteForce,
+      "threshold is inclusive")
+    assert(chooseAnnPath(1000001L, hasIndex = false) == LshBanding)
+    assert(chooseAnnPath(100L, hasIndex = true) == IvfIndexed,
+      "a persisted index always wins")
+    // one clustered corpus through all three routes
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def run(res: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      assert(res.columns.toSeq == Seq("query_id", "cand_id", "cosine", "rnk"),
+        "every dispatch path must emit the unified schema")
+      res.select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    }
+    // small corpus -> brute force: identical pair set to the exact scan
+    assert(run(Similarity.topK(queries, df, "vec_id", "embedding", 5)) == exact)
+    // forced LSH (threshold below corpus): recall floor
+    val lsh = run(Similarity.topK(queries, df, "vec_id", "embedding", 5,
+      bruteForceThreshold = 10L))
+    assert(exact.intersect(lsh).size.toDouble / exact.size >= 0.8)
+    // persisted index -> IVF probe: recall floor
+    val store = new graft.io.ParquetTableStore(spark, tmpDir("ann-idx"))
+    Similarity.buildIvfIndex(store, "ann", df, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val ivf = run(Similarity.topK(queries, df, "vec_id", "embedding", 5,
+      index = Some((store, "ann")), nprobe = 3))
+    assert(exact.intersect(ivf).size.toDouble / exact.size >= 0.9)
+  }
+
   test("centroid assignment: planted clusters assign home; ties break to lowest id") {
     val rnd = new scala.util.Random(47)
     val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
