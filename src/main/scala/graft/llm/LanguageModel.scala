@@ -25,23 +25,29 @@ object LanguageModel {
     * bigram. `head_cnt` = Σ pair_cnt over the head word — the
     * conditional-probability denominator P(w2|w1) = pair_cnt/head_cnt.
     *
-    * head_cnt attaches as a WINDOW sum over the head-word partition of
-    * the pair counts (vocabulary-sized rows, per-key partitions). The
-    * self-join-on-own-aggregate alternative consumes the pair counts
-    * twice — Catalyst then plans TWO full tokenize+explode+groupBy
-    * passes over the corpus (the subtrees differ, ReuseExchange can't
-    * dedup them), unless a cache nobody can release pins the frame.
-    * The window keeps the lineage linear: one corpus pass, fully lazy,
-    * no session state. */
+    * head_cnt attaches by RE-AGGREGATING the pair counts on the head
+    * word and joining back — not a window over the w1 partition: a hot
+    * head word ("the") has vocabulary-many followers, and the window
+    * form sorts that whole partition in one task, the same de-skew
+    * argument that moved the TF-IDF df counts (round 4) and brute-force
+    * top-k (round 6) off windows. The corpus is still tokenized ONCE:
+    * both consumers sit above the same Exchange(w1, w2) over the
+    * explode+partial-count subtree, which Catalyst's ReuseExchange
+    * dedups (plan-audited in LanguageModelSpec — the lineage-linear
+    * window form was kept only out of fear this reuse wouldn't
+    * materialize; it does, and the post-shuffle re-aggregate is
+    * vocabulary-sized, so the join costs one extra vocabulary-keyed
+    * exchange, not a corpus pass). */
   def bigramModel(docs: DataFrame, textCol: String): DataFrame = {
     val bg = docs.select(
         explode(TextShingles.wordBigrams(col(textCol))).as("gram"))
       .select(substring_index(col("gram"), " ", 1).as("w1"),
               substring_index(col("gram"), " ", -1).as("w2"))
-    bg.groupBy(col("w1"), col("w2"))
+    val pairs = bg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("pair_cnt"))
-      .withColumn("head_cnt",
-        sum(col("pair_cnt")).over(Window.partitionBy(col("w1"))))
+    val heads = pairs.groupBy(col("w1"))
+      .agg(sum(col("pair_cnt")).as("head_cnt"))
+    pairs.join(heads, Seq("w1"))
   }
 
   /** Gate form: top-k followers of every frequent head word by RATIONAL

@@ -26,6 +26,20 @@ class LanguageModelSpec extends SparkTestBase {
     assert(m.size == 4)
   }
 
+  test("bigramModel: head counts join reuses the pair-count exchange — one corpus pass, no head window") {
+    val m = LanguageModel.bigramModel(docs, "text")
+    m.collect()   // AQE finalizes exchange reuse at execution
+    val plan = m.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("Window"),
+      "head counts must not window over the (vocabulary-many-follower) head partition")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"heads branch must reuse the pair-count shuffle:\n${finalPlan.take(1500)}")
+    val tokenizes = "Generate explode".r.findAllIn(finalPlan).size
+    assert(tokenizes == 1,
+      s"corpus must tokenize exactly once, found $tokenizes:\n${finalPlan.take(1500)}")
+  }
+
   test("topFollowers ranks by conditional probability with word tiebreak") {
     val got = LanguageModel.topFollowers(docs, "text", minHeadCount = 2, k = 2)
       .as[(String, String, Long, Long, Int, Double)].collect()
