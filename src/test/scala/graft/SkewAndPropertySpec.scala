@@ -95,6 +95,83 @@ class SkewAndPropertySpec extends SparkTestBase {
     } }
   }
 
+  // ------------------------------------------------------------------
+  // Sequence property: arbitrary PROGRAMS of W1–W5 ops against one
+  // table, checked against an executable Map model after EVERY step —
+  // the reference's whole reason to exist is that these ops compose
+  // over a long-lived target, so per-op properties alone under-test
+  // the cross-op interactions (a bymax after an update, a notin after
+  // a where-delete, ...).
+  // ------------------------------------------------------------------
+
+  private sealed trait OpG
+  private case class RecreateG(rows: List[(Long, Long)]) extends OpG
+  private case class AppendWhereG(rows: List[(Long, Long)], cut: Long) extends OpG
+  private case class AppendByMaxG(rows: List[(Long, Long)]) extends OpG
+  private case class AppendNotInG(rows: List[(Long, Long)]) extends OpG
+  private case class UpdateG(upds: List[(Long, Long)]) extends OpG
+
+  test("property: random W1-W5 op sequences keep target == model at every step (100 programs)") {
+    // distinct ids per batch; duplicate TARGET ids cannot arise (see the
+    // AppendWhere cut note), so a Map is a faithful model
+    val rowsG: Gen[List[(Long, Long)]] = for {
+      n   <- Gen.choose(0, 10)
+      ids <- Gen.listOfN(n, Gen.choose(1L, 25L))
+      vs  <- Gen.listOfN(n, Gen.choose(0L, 99L))
+    } yield ids.distinct.zip(vs)
+    val opG: Gen[OpG] = Gen.frequency(
+      1 -> rowsG.map(RecreateG),
+      // cut-on-id predicate: delete-then-insert covers exactly the ids
+      // the source can re-insert, so target ids stay unique
+      2 -> Gen.zip(rowsG, Gen.choose(1L, 25L)).map { case (r, c) => AppendWhereG(r, c) },
+      2 -> rowsG.map(AppendByMaxG),
+      2 -> rowsG.map(AppendNotInG),
+      2 -> rowsG.map(UpdateG))
+    val programG: Gen[List[OpG]] = for {
+      first <- rowsG.map(RecreateG)   // update requires an existing target
+      n     <- Gen.choose(2, 5)
+      rest  <- Gen.listOfN(n, opG)
+    } yield first :: rest
+
+    samples(programG, 100).zipWithIndex.foreach { case (program, pi) =>
+      val store = new ParquetTableStore(spark, tmpDir(s"seq$pi"))
+      val eng = new SyncEngine(store)
+      var model = Map.empty[Long, Long]
+      program.zipWithIndex.foreach { case (op, si) =>
+        op match {
+          case RecreateG(rows) =>
+            eng.recreate(TableSpec(SyncOp.Recreate, "db", "t").validate(),
+              rows.toDF("id", "v"))
+            model = rows.toMap
+          case AppendWhereG(rows, cut) =>
+            eng.appendWhere(TableSpec(SyncOp.AppendWhere, "db", "t",
+              whereFilter = Some(s"id >= $cut")).validate(), rows.toDF("id", "v"))
+            model = model.filter(_._1 < cut) ++ rows.filter(_._1 >= cut)
+          case AppendByMaxG(rows) =>
+            eng.appendByMax(TableSpec(SyncOp.AppendByMax, "db", "t",
+              syncByColumnMax = Some("id")).validate(), rows.toDF("id", "v"))
+            val wm = model.keys.maxOption
+            model = model ++ rows.filter(r => wm.forall(r._1 > _))
+          case AppendNotInG(rows) =>
+            eng.appendNotIn(TableSpec(SyncOp.AppendNotIn, "db", "t",
+              syncByColumns = Some(Seq("id"))).validate(), rows.toDF("id", "v"))
+            model = model ++ rows.filterNot(r => model.contains(r._1))
+          case UpdateG(upds) =>
+            eng.update(TableSpec(SyncOp.Update, "db", "t",
+              updateFields = Some(Seq("v"))).validate(),
+              upds.toDF("id", "v"), pkColumns = Seq("id"))
+            val u = upds.toMap
+            model = model.map { case (id, v) => id -> u.getOrElse(id, v) }
+        }
+        val got = store.read("db.t").as[(Long, Long)].collect()
+        assert(got.length == got.map(_._1).distinct.length,
+          s"program $pi step $si ($op): duplicate target ids")
+        assert(got.toMap == model,
+          s"program $pi step $si ($op): target diverged from model")
+      }
+    }
+  }
+
   test("property: update only mutates matched PKs and listed fields") {
     val updGen = for {
       n   <- Gen.choose(0, 10)
