@@ -364,6 +364,8 @@ object Similarity {
       .withColumn("qn", vecNorm2(col("qv")))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("dist", col("qn") - lit(2.0) * vecDot(col("qv"), col("cv")) + col("cnorm"))
+      // probe-selection window is nlist-bounded per query (each partition
+      // holds exactly the centroid table) — not a de-skew risk
       .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("dist").asc, col("cid").asc)))
       .filter(col("pr") <= nprobe)
@@ -372,9 +374,9 @@ object Similarity {
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
         cosine(col("qv"), col("v")).as("cosine"))
-    scored.withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("cand_id").asc)))
-      .filter(col("rnk") <= k)
+    // probed-bucket candidates can still be occupancy * nprobe rows per
+    // query — k-bounded aggregation, not a window sort (see topKPerQuery)
+    topKPerQuery(scored, "cosine", k, ascending = false)
   }
 
   /** Persist an IVF index: centroids + per-vector bucket assignments as
@@ -406,6 +408,8 @@ object Similarity {
       .withColumn("qn", vecNorm2(col("qv")))
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("dist", col("qn") - lit(2.0) * vecDot(col("qv"), col("cv")) + col("cnorm"))
+      // probe-selection window is nlist-bounded per query (each partition
+      // holds exactly the centroid table) — not a de-skew risk
       .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("dist").asc, col("cid").asc)))
       .filter(col("pr") <= nprobe)
@@ -414,9 +418,9 @@ object Similarity {
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
         cosine(col("qv"), col("v")).as("cosine"))
-    scored.withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("cand_id").asc)))
-      .filter(col("rnk") <= k)
+    // probed-bucket candidates can still be occupancy * nprobe rows per
+    // query — k-bounded aggregation, not a window sort (see topKPerQuery)
+    topKPerQuery(scored, "cosine", k, ascending = false)
   }
 
   /** Band-key width sized for the corpus: with `width = bits/bands` bits
@@ -539,9 +543,10 @@ object Similarity {
           norm2Decimal(col("qv")), norm2Decimal(col("cv")))
       else cosine(col("qv"), col("cv"))   // native codegen kernel
     val scored = cand.select(col("query_id"), col("cand_id"), cos.as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+    // shared-bucket candidates are bucket-occupancy-bounded but a hot
+    // bucket still concentrates one query's rows — same k-bounded
+    // aggregation as the brute path (see topKPerQuery)
+    topKPerQuery(scored, "cosine", k, ascending = false)
   }
 
   // -------------------------------------------------------------------
