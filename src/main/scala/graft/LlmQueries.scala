@@ -556,6 +556,25 @@ object LlmQueries {
       hashFn = graft.llm.TextAnalysis.md5Hash60)
   }
 
+  // Connected components at the gate (Dedup.connectedComponents): the
+  // transitive-closure step every near-dup pipeline ends with (pair
+  // lists -> duplicate CLUSTERS -> one survivor per cluster), until now
+  // spec-only because its input edges were hash-valued. The q71 winnow
+  // edge set (md5 fingerprints) makes the whole chain
+  // oracle-reproducible: DuckDB computes the same min-label components
+  // with a recursive CTE over the same pairs. Output: (doc_id, comp_id
+  // = min doc id reachable), one row per node that appears in a pair.
+  def q82_components(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.llm.Dedup.winnowingOverlapPairs(
+      t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+      minShared = 2, ngram = 3, window = 4, maxDf = 50,
+      hashFn = graft.llm.TextAnalysis.md5Hash60)
+    graft.llm.Dedup.connectedComponents(
+        pairs.select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+      .select(col("id").cast("long").as("doc_id"),
+              col("comp").cast("long").as("comp_id"))
+  }
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -630,7 +649,8 @@ object LlmQueries {
     "q78_chunk_pack"    -> q78_chunk_pack _,
     "q79_centroid_update" -> q79_centroid_update _,
     "q80_stream_chunks" -> q80_stream_chunks _,
-    "q81_seq_decontam"  -> q81_seq_decontam _
+    "q81_seq_decontam"  -> q81_seq_decontam _,
+    "q82_components"    -> q82_components _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1080,6 +1100,34 @@ object LlmQueries {
         |JOIN keep USING (fp)
         |JOIN (SELECT doc_id, fp FROM fps WHERE side = 0) tr USING (fp)
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // the q71 winnow edge set + recursive-CTE min-label transitive
+    // closure: walk holds every (node, reachable label); min per node
+    // is exactly connectedComponents' min-id component label. UNION
+    // (not UNION ALL) dedups the frontier so the recursion terminates.
+    "q82_components" ->
+      """WITH RECURSIVE raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, i, len(toks) - 2 AS n,
+        |        ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks)-2)) AS i FROM raw
+        |            WHERE len(toks) >= 3)),
+        |m AS (SELECT doc_id, i, n,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE i <= greatest(n-4, 0) + 1),
+        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+        |f2 AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |walk AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node)
+        |SELECT node AS doc_id, min(lbl) AS comp_id FROM walk GROUP BY node""".stripMargin,
     // sum(BIGINT) is HUGEINT in DuckDB -> cast back so both engines
     // surface int64
     "q68_json_extract" ->
