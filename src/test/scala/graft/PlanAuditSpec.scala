@@ -161,6 +161,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("word_ngrams"), "shingling must use the native kernel")
   }
 
+  test("q81: sequence decontamination joins on fingerprints — no cartesian, no window, native winnow kernel") {
+    val p = plan("q81_seq_decontam")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "cross-corpus run check must never go all-pairs")
+    assert(!p.contains("windowspecdefinition"))
+    assert(p.contains("winnow_mins"),
+      "fingerprints must come from the fused sliding-min kernel")
+    assert(p.contains("partial_count"),
+      "shared-fingerprint counts must combine map-side")
+  }
+
   test("q75: vocabulary top-k is distributed TakeOrdered, not a global sort") {
     val p = plan("q75_vocab")
     assert(p.contains("TakeOrderedAndProject"),

@@ -207,6 +207,25 @@ class SketchOverlapSpec extends SparkTestBase {
       "winnowing must flag exactly the mutated leak pair")
   }
 
+  test("contaminationReport aggregates sequence-level pairs like exact ones") {
+    // the report contract (test_id, n_train_docs, max_shared,
+    // total_shared) is shared across both decontamination operators —
+    // sequence pairs must feed it unchanged
+    val leak = (0 until 13).map(i => s"rl$i").mkString(" ")
+    val train = Seq((1L, leak + " " + fill(1, 10)),
+                    (2L, leak + " " + fill(2, 10))).toDF("doc_id", "text")
+    val test = Seq((9L, leak + " " + fill(9, 10))).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(
+        Dedup.sequenceDecontamination(train, test, "doc_id", "text",
+          minShared = 1))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rep.length == 1)
+    val (testId, nTrain, maxShared, totalShared) = rep.head
+    assert(testId == 9L && nTrain == 2L)
+    assert(maxShared >= 1L && totalShared >= maxShared * 2 - 1,
+      "doc 9 leaks against both train docs")
+  }
+
   test("sequence decontamination honors the train-side df cap") {
     val boiler = (0 until 10).map(i => s"sb$i").mkString(" ")
     val train = (1L to 8L).map(id => (id, boiler + " " + fill(id.toInt, 15)))
