@@ -562,6 +562,62 @@ object Dedup {
     result
   }
 
+  /** Persist a winnowing-fingerprint index of the TRAIN corpus for
+    * [[sequenceDecontaminationIndexed]] — the "build once, probe many"
+    * shape (same pattern as Similarity.buildIvfIndex): the train corpus
+    * is huge and static, eval/test sets arrive repeatedly, so the
+    * expensive side (tokenize + winnow + df cap over the full training
+    * data) should be paid once and stored as a capped posting list.
+    * Writes `prefix.fps` (train_id, fp — already df-capped) and
+    * `prefix.meta` (ngram, window, maxDf, hash label) so a probe with
+    * mismatched parameters fails loudly instead of silently finding
+    * nothing. */
+  def buildDecontamIndex(store: graft.io.TableStore, prefix: String,
+                         train: DataFrame, idCol: String, textCol: String,
+                         ngram: Int = 3, window: Int = 4, maxDf: Int = 1000,
+                         hashFn: Column => Column = xxhash64(_),
+                         hashLabel: String = "xxhash64"): Unit = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val fps = TextAnalysis
+      .winnowingFingerprintsFrame(train, idCol, textCol, ngram, window, hashFn)
+      .select(col(idCol).as("train_id"), explode(col("fingerprints")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    store.overwrite(s"$prefix.fps", fps.join(keep, Seq("fp")))
+    fps.unpersist(false)
+    val spark = train.sparkSession
+    import spark.implicits._
+    store.overwrite(s"$prefix.meta",
+      Seq((ngram, window, maxDf, hashLabel))
+        .toDF("ngram", "window", "max_df", "hash"))
+  }
+
+  /** [[sequenceDecontamination]] against a persisted train index: only
+    * the (small, changing) test side winnows; the join reads the stored
+    * capped posting list. `hashFn`/`hashLabel` must match the build —
+    * validated against `prefix.meta`. */
+  def sequenceDecontaminationIndexed(store: graft.io.TableStore, prefix: String,
+                                     test: DataFrame, idCol: String,
+                                     textCol: String, minShared: Int = 1,
+                                     hashFn: Column => Column = xxhash64(_),
+                                     hashLabel: String = "xxhash64")
+      : DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val meta = store.read(s"$prefix.meta").head()
+    val (ngram, window) = (meta.getAs[Int]("ngram"), meta.getAs[Int]("window"))
+    val builtHash = meta.getAs[String]("hash")
+    require(builtHash == hashLabel,
+      s"index $prefix was built with hash=$builtHash, probe uses $hashLabel")
+    val te = TextAnalysis
+      .winnowingFingerprintsFrame(test, idCol, textCol, ngram, window, hashFn)
+      .select(col(idCol).as("test_id"), explode(col("fingerprints")).as("fp"))
+    te.join(store.read(s"$prefix.fps"), Seq("fp"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-test-document contamination summary over
     * [[crossCorpusContamination]] pairs: how many train docs a test doc
     * leaks against, its worst single-source overlap, and total shared

@@ -226,6 +226,34 @@ class SketchOverlapSpec extends SparkTestBase {
       "doc 9 leaks against both train docs")
   }
 
+  test("indexed sequence decontamination == direct, and rejects hash mismatch") {
+    val leak = (0 until 13).map(i => s"ix$i")
+    val mutated = leak.updated(6, "EDITED")
+    val train = Seq(
+      (10L, fill(1, 20) + " " + leak.mkString(" ") + " " + fill(11, 10)),
+      (11L, fill(2, 30))).toDF("doc_id", "text")
+    val test = Seq(
+      (20L, fill(3, 15) + " " + mutated.mkString(" ") + " " + fill(33, 15)),
+      (21L, fill(4, 25))).toDF("doc_id", "text")
+    val direct = Dedup.sequenceDecontamination(train, test, "doc_id", "text",
+        minShared = 2)
+      .select("test_id", "train_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    val store = new graft.io.ParquetTableStore(spark, tmpDir("decontam-idx"))
+    Dedup.buildDecontamIndex(store, "dc", train, "doc_id", "text")
+    val indexed = Dedup.sequenceDecontaminationIndexed(store, "dc", test,
+        "doc_id", "text", minShared = 2)
+      .select("test_id", "train_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(indexed == direct && direct.nonEmpty,
+      "probing the persisted index must equal the direct two-corpus run")
+    intercept[IllegalArgumentException] {
+      Dedup.sequenceDecontaminationIndexed(store, "dc", test,
+        "doc_id", "text", hashFn = TextAnalysis.md5Hash60,
+        hashLabel = "md5hash60")
+    }
+  }
+
   test("sequence decontamination honors the train-side df cap") {
     val boiler = (0 until 10).map(i => s"sb$i").mkString(" ")
     val train = (1L to 8L).map(id => (id, boiler + " " + fill(id.toInt, 15)))
