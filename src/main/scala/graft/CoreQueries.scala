@@ -583,6 +583,22 @@ object CoreQueries {
            outD(sum(col("c_acctbal").cast(dec))).as("total_bal"))
   }
 
+  // Z-order layout key at the gate (ops/Layout.withZOrderCode + the
+  // native zorder_code expression): the multi-column clustering code
+  // that keeps every keyed column's per-file min/max narrow so scans
+  // filtered on ANY key prune. Deterministic end to end — min/max
+  // scaling is plain IEEE double math with truncation (DuckDB needs an
+  // explicit trunc(): its double→BIGINT cast ROUNDS, Spark's truncates)
+  // and the Morton interleave (bit i of dim d → position i·n+d) is
+  // integer bit-math both engines agree on.
+  def q83_zorder(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.withZOrderCode(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+                                   col("o_totalprice")),
+        cols = Seq("o_custkey", "o_totalprice"),
+        bitsPerDim = 16, zcodeCol = "zcode")
+      .select(col("o_orderkey"), col("zcode"))
+
   // CUBE: all 2^2 grouping combinations (completes the grouping family:
   // rollup q32, grouping sets q35, cube here).
   def q63_cube(s: SparkSession, dir: String): DataFrame =
@@ -827,6 +843,7 @@ object CoreQueries {
     "q59_unpivot"     -> q59_unpivot _,
     "q32_rollup"      -> q32_rollup _,
     "q63_cube"        -> q63_cube _,
+    "q83_zorder"      -> q83_zorder _,
     "q15_date_clamp"  -> q15_date_clamp _,
     "q16_window_rank" -> q16_window_rank _,
     "q17_exists_agg"  -> q17_exists_agg _,
@@ -883,6 +900,18 @@ object CoreQueries {
         | CAST(list_contains(string_split(text, ' '), 'data') AS INT) AS has_data,
         | array_to_string(string_split(text, ' ')[1:3], '|') AS first3
         |FROM documents WHERE doc_id < 100""".stripMargin,
+    "q83_zorder" ->
+      """WITH st AS (SELECT min(CAST(o_custkey AS DOUBLE)) AS mn_a, max(CAST(o_custkey AS DOUBLE)) AS mx_a,
+        |                   min(CAST(o_totalprice AS DOUBLE)) AS mn_b, max(CAST(o_totalprice AS DOUBLE)) AS mx_b
+        |            FROM orders),
+        |sc AS (SELECT o_orderkey,
+        |         CAST(trunc((CAST(o_custkey AS DOUBLE) - mn_a) / (CASE WHEN mx_a > mn_a THEN mx_a - mn_a ELSE 1.0 END) * 65535.0) AS BIGINT) AS a,
+        |         CAST(trunc((CAST(o_totalprice AS DOUBLE) - mn_b) / (CASE WHEN mx_b > mn_b THEN mx_b - mn_b ELSE 1.0 END) * 65535.0) AS BIGINT) AS b
+        |       FROM orders, st)
+        |SELECT o_orderkey,
+        |  CAST(list_sum(list_transform(range(0,16), i -> ((a >> i) & 1) << (2*i))) +
+        |       list_sum(list_transform(range(0,16), i -> ((b >> i) & 1) << (2*i+1))) AS BIGINT) AS zcode
+        |FROM sc""".stripMargin,
     "q63_cube" ->
       """SELECT year(o_orderdate) AS order_year, o_orderstatus, count(*) AS n,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total
