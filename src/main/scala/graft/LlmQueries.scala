@@ -575,6 +575,42 @@ object LlmQueries {
               col("comp").cast("long").as("comp_id"))
   }
 
+  // LSH ANN at the gate (Similarity.lshSignatureMd5 + bandKeys +
+  // deterministic cosine + the k-bounded topKPerQuery): until now the
+  // LSH path was recall-checked only — its xxhash64 hyperplanes had no
+  // DuckDB peer. The md5-parity hyperplanes + exact-decimal plane dots
+  // make every signature bit cross-engine deterministic, so the ENTIRE
+  // search — signature, banding, bucket-join candidate set, exact
+  // rerank, top-k — hash-checks. Same banding math as production
+  // (16 bits / 4 bands), so the gate exercises the real shape.
+  def q84_lsh_topk(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity
+    val emb = t(s, dir, "embeddings")
+    val sigs = emb.select(col("vec_id"), col("embedding"),
+      Similarity.lshSignatureMd5(col("embedding"), 16, dims = 64).as("sig"))
+    val keys = sigs.select(col("vec_id"), col("embedding"),
+      explode(Similarity.bandKeys(col("sig"), 16, 4)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val q = keys.where(col("vec_id") < 8)
+    val cand = keys.as("c").join(q.as("q"),
+        col("c.band") === col("q.band") && col("c.key") === col("q.key") &&
+          col("c.vec_id") =!= col("q.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"))
+      .distinct()
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        "query_id")
+      .join(emb.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        "cand_id")
+    val scored = cand.select(col("query_id"), col("cand_id"),
+      Similarity.cosineDeterministic(col("qv"), col("cv"),
+        Similarity.norm2Decimal(col("qv")),
+        Similarity.norm2Decimal(col("cv"))).as("cosine"))
+    Similarity.topKPerQuery(scored, "cosine", k = 5, ascending = false)
+      .select(col("query_id"), col("cand_id"),
+        col("cosine").cast(out).cast("double").as("cosine"), col("rnk"))
+  }
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -650,7 +686,8 @@ object LlmQueries {
     "q79_centroid_update" -> q79_centroid_update _,
     "q80_stream_chunks" -> q80_stream_chunks _,
     "q81_seq_decontam"  -> q81_seq_decontam _,
-    "q82_components"    -> q82_components _
+    "q82_components"    -> q82_components _,
+    "q84_lsh_topk"      -> q84_lsh_topk _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1128,6 +1165,39 @@ object LlmQueries {
         |  UNION
         |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node)
         |SELECT node AS doc_id, min(lbl) AS comp_id FROM walk GROUP BY node""".stripMargin,
+    // md5-parity hyperplanes (±1 by md5Hash60('lsh:p:d') % 2), plane
+    // dots as exact DECIMAL(38,15) (float32 converts exactly → every
+    // signature bit deterministic), 16-bit signature / 4 bands, shared
+    // band-key candidates, q26's deterministic-cosine rerank
+    "q84_lsh_topk" ->
+      """WITH sig AS (SELECT vec_id, embedding,
+        |  CAST(list_sum(list_transform(range(0,16), p ->
+        |    CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), i ->
+        |      CAST(CAST(embedding[i] AS DOUBLE) *
+        |        (CASE WHEN (('0x'||substring(md5('lsh:' || p || ':' || (i-1)),1,15))::BIGINT) % 2 = 0
+        |              THEN 1.0 ELSE -1.0 END) AS DECIMAL(38,15)))) >= 0
+        |         THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM embeddings),
+        |keys AS (SELECT vec_id, band, (sig >> (band*4)) & 15 AS key
+        |         FROM (SELECT vec_id, sig, unnest(range(0,4)) AS band FROM sig)),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+        |         FROM keys q JOIN keys c ON q.band = c.band AND q.key = c.key
+        |         WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |norm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT cand.query_id, cand.cand_id,
+        |    CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+        |  FROM cand JOIN norm q ON q.vec_id = cand.query_id
+        |            JOIN norm c ON c.vec_id = cand.cand_id)
+        |SELECT query_id, cand_id, CAST(CAST(cosine AS DECIMAL(38,6)) AS DOUBLE) AS cosine, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+        |      FROM pairs) WHERE rnk <= 5""".stripMargin,
     // sum(BIGINT) is HUGEINT in DuckDB -> cast back so both engines
     // surface int64
     "q68_json_extract" ->

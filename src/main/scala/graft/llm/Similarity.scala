@@ -70,7 +70,7 @@ object Similarity {
     * negated back on output (exact for integer-valued scores like
     * hamming; cosine uses DESC directly). Ties break ascending payload —
     * row_number parity, pinned by q26/q72 hash equality at the gate. */
-  private def topKPerQuery(pairs: DataFrame, scoreCol: String, k: Int,
+  private[graft] def topKPerQuery(pairs: DataFrame, scoreCol: String, k: Int,
                            ascending: Boolean): DataFrame = {
     val agg = udaf(new graft.functions.TopKByScore(k),
       org.apache.spark.sql.Encoders.product[(Double, Long)])
@@ -258,6 +258,43 @@ object Similarity {
           (x, i) => x.cast("double") * planeComponent(p, i, seed)),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1L) * lit(1L << p)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** The md5-parity hyperplane component for (plane p, dim d): ±1 by
+    * the parity of the first 15 md5 hex digits of "lsh:p:d" — the same
+    * value [[TextAnalysis.md5Hash60]] (and DuckDB's
+    * `('0x'||substring(md5(..),1,15))::BIGINT`) produce, computed here
+    * driver-side with the JDK digest because the component matrix is
+    * DATA-INDEPENDENT: baking it in as literals keeps the signature in
+    * whole-stage codegen instead of evaluating bits·dims md5s per row
+    * (parity with the expression form is spec-pinned). */
+  private[graft] def md5PlaneComponent(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"lsh:$plane:$dim".getBytes("US-ASCII"))
+      .map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Gate form of the LSH signature on cross-engine md5-parity
+    * hyperplanes: each plane dot runs through the native
+    * [[dotDecimal]] kernel (exact DECIMAL(38,15) accumulation —
+    * deterministic rounding both engines reproduce, the proven q26
+    * recipe) against a LITERAL ±1 plane vector, so the SIGN of every
+    * plane dot — hence every signature bit — is bit-reproducible in
+    * DuckDB, which is what lets the whole LSH search path hash-check
+    * at the gate (q84). 16 fused codegen loops per row, no interpreted
+    * lambdas; production uses the fused xxhash64 [[lshSignature]]
+    * kernel — the gate variant shares its banding math and recall
+    * behavior by construction. */
+  def lshSignatureMd5(vec: Column, bits: Int, dims: Int): Column = {
+    require(bits >= 1 && bits <= 63, s"bits=$bits out of [1, 63]")
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val bitCols = (0 until bits).map { p =>
+      val plane = array(
+        (0 until dims).map(d => lit(md5PlaneComponent(p, d))): _*)
+      when(dotDecimal(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }

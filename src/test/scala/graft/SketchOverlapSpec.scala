@@ -150,6 +150,22 @@ class SketchOverlapSpec extends SparkTestBase {
     assert(rep.toSeq == Seq((9L, 2L, 2L, 4L)))
   }
 
+  test("md5 plane components: driver-side digest == the md5Hash60 expression parity") {
+    // the literal coefficient matrix baked into lshSignatureMd5 must
+    // match what the DuckDB oracle computes from md5('lsh:p:d') — pin
+    // it against the same-engine expression over a (p, d) grid
+    val grid = for (p <- 0 until 6; d <- 0 until 10) yield (p, d)
+    val fromExpr = grid.map { case (p, d) => s"lsh:$p:$d" }
+      .toDF("s")
+      .select(when(pmod(TextAnalysis.md5Hash60($"s"), lit(2)) === 0, 1.0)
+        .otherwise(-1.0))
+      .as[Double].collect()
+    val fromDigest = grid.map { case (p, d) =>
+      Similarity.md5PlaneComponent(p, d) }
+    assert(fromExpr.toSeq == fromDigest,
+      "literal hyperplanes diverge from the expression/oracle md5 parity")
+  }
+
   test("md5Hash60 matches the cross-engine constant and stays in 60 bits") {
     // 864072481952782817 = int(md5('hello a b').hexdigest()[:15], 16),
     // the exact value DuckDB's ('0x' || substring(md5(g),1,15))::BIGINT
