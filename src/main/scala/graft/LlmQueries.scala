@@ -575,6 +575,33 @@ object LlmQueries {
               col("comp").cast("long").as("comp_id"))
   }
 
+  // STREAMING decontamination at the gate: the persisted-index probe
+  // (sequenceDecontaminationIndexed) applied to a real file-source
+  // stream of incoming documents — the continuous-ingest leak filter a
+  // production pipeline runs in front of training. Build the train
+  // index once (batch), then the stream side only winnows each
+  // micro-batch and stream-static-joins the stored postings; the
+  // groupBy count runs in Complete mode. Deterministic: finite replay
+  // of a stateless transform + aggregation ⇒ output ≡ the batch run,
+  // so the oracle is q81's chain minus the planted branch.
+  def q85_stream_decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val store = new graft.io.ParquetTableStore(
+      s, java.nio.file.Files.createTempDirectory("q85idx").toString)
+    graft.llm.Dedup.buildDecontamIndex(store, "dc",
+      docs.where(col("doc_id") % 2 === 0), idCol = "doc_id",
+      textCol = "text", ngram = 3, window = 4, maxDf = 50,
+      hashFn = graft.llm.TextAnalysis.md5Hash60, hashLabel = "md5hash60")
+    graft.streaming.EventStream.runBatchOfStream(
+      s, s"$dir/documents.parquet", "q85_decontam_mem", df =>
+        graft.llm.Dedup.sequenceDecontaminationIndexed(store, "dc",
+          df.where(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+          idCol = "doc_id", textCol = "text", minShared = 2,
+          hashFn = graft.llm.TextAnalysis.md5Hash60,
+          hashLabel = "md5hash60"),
+      mode = org.apache.spark.sql.streaming.OutputMode.Complete())
+  }
+
   // LSH ANN at the gate (Similarity.lshSignatureMd5 + bandKeys +
   // deterministic cosine + the k-bounded topKPerQuery): until now the
   // LSH path was recall-checked only — its xxhash64 hyperplanes had no
@@ -687,7 +714,8 @@ object LlmQueries {
     "q80_stream_chunks" -> q80_stream_chunks _,
     "q81_seq_decontam"  -> q81_seq_decontam _,
     "q82_components"    -> q82_components _,
-    "q84_lsh_topk"      -> q84_lsh_topk _
+    "q84_lsh_topk"      -> q84_lsh_topk _,
+    "q85_stream_decontam" -> q85_stream_decontam _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1165,6 +1193,29 @@ object LlmQueries {
         |  UNION
         |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node)
         |SELECT node AS doc_id, min(lbl) AS comp_id FROM walk GROUP BY node""".stripMargin,
+    // q81's winnowing chain restricted to the real halves (no planted
+    // branch) — the streaming probe replays to exactly the batch result
+    "q85_stream_decontam" ->
+      """WITH raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, doc_id % 2 AS side, i, len(toks) - 2 AS n,
+        |        ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks)-2)) AS i FROM raw
+        |            WHERE len(toks) >= 3)),
+        |m AS (SELECT doc_id, side, i, n,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM g),
+        |fps AS (SELECT DISTINCT doc_id, side, fp FROM m
+        |        WHERE i <= greatest(n-4, 0) + 1),
+        |keep AS (SELECT fp FROM fps WHERE side = 0
+        |         GROUP BY fp HAVING count(*) <= 50)
+        |SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+        |       count(*) AS n_shared
+        |FROM (SELECT doc_id, fp FROM fps WHERE side = 1) te
+        |JOIN keep USING (fp)
+        |JOIN (SELECT doc_id, fp FROM fps WHERE side = 0) tr USING (fp)
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // md5-parity hyperplanes (±1 by md5Hash60('lsh:p:d') % 2), plane
     // dots as exact DECIMAL(38,15) (float32 converts exactly → every
     // signature bit deterministic), 16-bit signature / 4 bands, shared
