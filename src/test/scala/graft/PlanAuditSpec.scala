@@ -192,6 +192,18 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q84: md5-LSH search plans literal-plane kernel dots and aggregated top-k") {
+    val p = plan("q84_lsh_topk")
+    assert(p.contains("vec_dot_decimal"),
+      "plane dots must run the native decimal kernel, not interpreted lambdas")
+    assert(!p.contains("zip_with") && !p.contains("aggregate("),
+      "q84 plans an interpreted higher-order lambda chain")
+    assert(!p.contains("md5"),
+      "plane components must be baked-in literals, not per-row md5 calls")
+    assert(!p.contains("Window") && p.contains("partial_topkbyscore"),
+      "rerank must be the k-bounded aggregation")
+  }
+
   test("q26/q34: deterministic cosine runs the native kernel, no lambda chains") {
     // the decimal dot must be the fused vec_dot_decimal expression;
     // aggregate/zip_with higher-order lambdas are CodegenFallback and
