@@ -602,6 +602,24 @@ object LlmQueries {
       mode = org.apache.spark.sql.streaming.OutputMode.Complete())
   }
 
+  // IVF ANN at the gate (Similarity.ivfTopKDeterministic): bucket
+  // assignment, nprobe probe selection, and exact rerank with every
+  // distance an IEEE-double combination of exact decimal sums —
+  // centroids pinned to the iters=0 init (first nlist vectors by id)
+  // because Lloyd training averages doubles and is not
+  // oracle-comparable (q61/q79 gate the E/M steps separately). With
+  // q26 (brute), q72 (Hamming), and q84 (LSH), every ANN route is now
+  // hash-checked end to end.
+  def q86_ivf_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.Similarity.ivfTopKDeterministic(
+        emb.where(col("vec_id") < 8), emb,
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        nlist = 16, nprobe = 4)
+      .select(col("query_id"), col("cand_id"),
+              col("cosine").cast(out).cast("double").as("cosine"), col("rnk"))
+  }
+
   // LSH ANN at the gate (Similarity.lshSignatureMd5 + bandKeys +
   // deterministic cosine + the k-bounded topKPerQuery): until now the
   // LSH path was recall-checked only — its xxhash64 hyperplanes had no
@@ -715,7 +733,8 @@ object LlmQueries {
     "q81_seq_decontam"  -> q81_seq_decontam _,
     "q82_components"    -> q82_components _,
     "q84_lsh_topk"      -> q84_lsh_topk _,
-    "q85_stream_decontam" -> q85_stream_decontam _
+    "q85_stream_decontam" -> q85_stream_decontam _,
+    "q86_ivf_topk"      -> q86_ivf_topk _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1216,6 +1235,48 @@ object LlmQueries {
         |JOIN keep USING (fp)
         |JOIN (SELECT doc_id, fp FROM fps WHERE side = 0) tr USING (fp)
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // iters=0 centroids (first nlist by id), dist = vnrm - 2*dot + cnrm
+    // with each term an exact DECIMAL(38,15) sum cast to DOUBLE (the
+    // NOTES combination rule); assignment rn=1 == Spark's
+    // min(struct(dist, cid)); probe and rerank tie-break (dist|cosine,
+    // id) == topKPerQuery
+    "q86_ivf_topk" ->
+      """WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings ORDER BY vec_id LIMIT 16),
+        |cn AS (SELECT cid, cv,
+        |  CAST(list_sum(list_transform(cv,
+        |    x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) AS cnrm
+        |  FROM cents),
+        |vn AS (SELECT vec_id, embedding,
+        |  CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) AS vnrm
+        |  FROM embeddings),
+        |ad AS (SELECT v.vec_id AS cand_id, c.cid,
+        |  v.vnrm - 2*CAST(list_sum(list_transform(list_zip(v.embedding, c.cv),
+        |      p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) + c.cnrm AS dist
+        |  FROM vn v CROSS JOIN cn c),
+        |assign AS (SELECT cand_id, cid FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY cand_id ORDER BY dist ASC, cid ASC) AS rn FROM ad)
+        |  WHERE rn = 1),
+        |probes AS (SELECT query_id, cid FROM
+        |  (SELECT cand_id AS query_id, cid, dist,
+        |     row_number() OVER (PARTITION BY cand_id ORDER BY dist ASC, cid ASC) AS pr
+        |   FROM ad WHERE cand_id < 8)
+        |  WHERE pr <= 4),
+        |norm AS (SELECT vec_id, embedding,
+        |  list_sum(list_transform(embedding,
+        |    x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (SELECT p.query_id, a.cand_id,
+        |  CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |      z -> CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |    / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+        |  FROM probes p JOIN assign a USING (cid)
+        |  JOIN norm q ON q.vec_id = p.query_id
+        |  JOIN norm c ON c.vec_id = a.cand_id
+        |  WHERE a.cand_id <> p.query_id)
+        |SELECT query_id, cand_id, CAST(CAST(cosine AS DECIMAL(38,6)) AS DOUBLE) AS cosine, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+        |      FROM pairs) WHERE rnk <= 5""".stripMargin,
     // md5-parity hyperplanes (±1 by md5Hash60('lsh:p:d') % 2), plane
     // dots as exact DECIMAL(38,15) (float32 converts exactly → every
     // signature bit deterministic), 16-bit signature / 4 bands, shared

@@ -416,6 +416,52 @@ object Similarity {
     topKPerQuery(scored, "cosine", k, ascending = false)
   }
 
+  /** Gate form of IVF top-k, cross-engine deterministic end to end
+    * (q86): centroids are the first `nlist` corpus vectors by id (the
+    * Lloyd iters=0 init — training itself averages doubles and is not
+    * oracle-comparable; q61/q79 gate the E/M steps separately), and
+    * every distance is the IEEE-double COMBINATION of exact decimal
+    * sums (`‖v‖² − 2·v·c + ‖c‖²`, each term a [[dotDecimal]] kernel
+    * result cast to double — the NOTES determinism rule), so bucket
+    * assignment, probe selection, and the exact rerank reproduce
+    * bit-for-bit in DuckDB. Windowless: assignment argmin is
+    * groupBy + min(struct), probe selection and rerank are the
+    * k-bounded [[topKPerQuery]]. Production stays [[ivfTopK]] (trained
+    * centroids, fast double kernels) — same probe/rerank shape. */
+  def ivfTopKDeterministic(queries: DataFrame, candidates: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe ($nprobe) <= nlist ($nlist)")
+    val cents = candidates
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .orderBy("cid").limit(nlist)
+      .withColumn("cnrm", norm2Decimal(col("cv")).cast("double"))
+    val corpus = candidates
+      .select(col(idCol).cast("long").as("cand_id"), col(vecCol).as("v"))
+      .withColumn("vnrm", norm2Decimal(col("v")).cast("double"))
+    def dist = col("vnrm") - lit(2.0) * dotDecimal(col("v"), col("cv")).cast("double") + col("cnrm")
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col("cand_id"), dist.as("dist"), col("cid"))
+      .groupBy("cand_id")
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("cid"))
+      .join(corpus.select(col("cand_id"), col("v")), "cand_id")
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("v"))
+      .withColumn("vnrm", norm2Decimal(col("v")).cast("double"))
+    val probePairs = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cid").as("cand_id"), dist.as("dist"))
+    val probes = topKPerQuery(probePairs, "dist", nprobe, ascending = true)
+      .select(col("query_id"), col("cand_id").as("cid"))
+      .join(q.select(col("query_id"), col("v").as("qv")), "query_id")
+    val scored = probes.join(assigned, "cid")
+      .filter(col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineDeterministic(col("qv"), col("v"),
+          norm2Decimal(col("qv")), norm2Decimal(col("v"))).as("cosine"))
+    topKPerQuery(scored, "cosine", k, ascending = false)
+  }
+
   /** Persist an IVF index: centroids + per-vector bucket assignments as
     * store tables, so repeated query batches skip KMeans training and
     * corpus assignment entirely — the "build once, probe many" shape of
