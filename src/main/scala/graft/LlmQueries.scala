@@ -620,6 +620,24 @@ object LlmQueries {
               col("cosine").cast(out).cast("double").as("cosine"), col("rnk"))
   }
 
+  // Product-quantization ADC search at the gate
+  // (Similarity.pqTopKDeterministic): encode the corpus to m=4 subspace
+  // codes against iters=0 codebooks, per-query LUT of exact subspace
+  // distances, fixed-order recombine, k-bounded rank. Completes the
+  // embedding-compression family (sign sketch q72 = 1 bit/dim; PQ =
+  // log2(nlist) bits/subspace) with the same decimal-distance recipe
+  // as q86.
+  def q87_pq_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.Similarity.pqTopKDeterministic(
+        emb.where(col("vec_id") < 8), emb,
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        m = 4, dims = 64, nlist = 16)
+      .select(col("query_id"), col("cand_id"),
+              col("approx_dist").cast(out).cast("double").as("approx_dist"),
+              col("rnk"))
+  }
+
   // LSH ANN at the gate (Similarity.lshSignatureMd5 + bandKeys +
   // deterministic cosine + the k-bounded topKPerQuery): until now the
   // LSH path was recall-checked only — its xxhash64 hyperplanes had no
@@ -734,7 +752,8 @@ object LlmQueries {
     "q82_components"    -> q82_components _,
     "q84_lsh_topk"      -> q84_lsh_topk _,
     "q85_stream_decontam" -> q85_stream_decontam _,
-    "q86_ivf_topk"      -> q86_ivf_topk _
+    "q86_ivf_topk"      -> q86_ivf_topk _,
+    "q87_pq_topk"       -> q87_pq_topk _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1277,6 +1296,40 @@ object LlmQueries {
         |SELECT query_id, cand_id, CAST(CAST(cosine AS DECIMAL(38,6)) AS DOUBLE) AS cosine, CAST(rnk AS INT) AS rnk
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
         |      FROM pairs) WHERE rnk <= 5""".stripMargin,
+    // PQ: subvector slices per subspace j, iters=0 codebooks (first 16
+    // by id), decimal-exact subspace distances, argmin codes (rn=1 ==
+    // Spark's min(struct)), per-query LUT join on (j, code),
+    // fixed-order pivot recombine — sum() over doubles would be
+    // order-nondeterministic
+    "q87_pq_topk" ->
+      """WITH sv AS (
+        |  SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS s
+        |  FROM (SELECT vec_id, embedding, unnest(range(0,4)) AS j FROM embeddings)),
+        |svn AS (SELECT vec_id, j, s,
+        |  CAST(list_sum(list_transform(s,
+        |    x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) AS nrm
+        |  FROM sv),
+        |books AS (SELECT j, vec_id AS cid, s AS cv, nrm AS cnrm FROM svn
+        |          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |ad AS (SELECT v.vec_id AS cand_id, v.j, b.cid,
+        |  v.nrm - 2*CAST(list_sum(list_transform(list_zip(v.s, b.cv),
+        |      z -> CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) + b.cnrm AS dist
+        |  FROM svn v JOIN books b ON b.j = v.j),
+        |codes AS (SELECT cand_id, j, cid AS code FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY cand_id, j ORDER BY dist ASC, cid ASC) AS rn FROM ad)
+        |  WHERE rn = 1),
+        |lut AS (SELECT cand_id AS query_id, j, cid AS code, dist AS d FROM ad WHERE cand_id < 8),
+        |per AS (SELECT l.query_id, c.cand_id, c.j, l.d
+        |        FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+        |        WHERE c.cand_id <> l.query_id),
+        |piv AS (SELECT query_id, cand_id,
+        |          max(CASE WHEN j=0 THEN d END) + max(CASE WHEN j=1 THEN d END) +
+        |          max(CASE WHEN j=2 THEN d END) + max(CASE WHEN j=3 THEN d END) AS approx_dist
+        |        FROM per GROUP BY 1, 2)
+        |SELECT query_id, cand_id,
+        |  CAST(CAST(approx_dist AS DECIMAL(38,6)) AS DOUBLE) AS approx_dist, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, cand_id ASC) AS rnk
+        |      FROM piv) WHERE rnk <= 5""".stripMargin,
     // md5-parity hyperplanes (±1 by md5Hash60('lsh:p:d') % 2), plane
     // dots as exact DECIMAL(38,15) (float32 converts exactly → every
     // signature bit deterministic), 16-bit signature / 4 bands, shared

@@ -462,6 +462,97 @@ object Similarity {
     topKPerQuery(scored, "cosine", k, ascending = false)
   }
 
+  // -------------------------------------------------------------------
+  // Product quantization (PQ): split each vector into m subspaces,
+  // quantize every subvector to its nearest subspace centroid, store
+  // only the m small codes — the classic embedding-compression ANN
+  // path (sign sketches compress to 1 bit/dim; PQ keeps geometry at
+  // ~log2(nlist) bits per subspace). Search is asymmetric distance
+  // computation (ADC): the query stays exact, each candidate's
+  // distance is the sum of its m looked-up subspace distances — a
+  // per-query LUT of m·nlist entries joined against the codes table,
+  // map-only over the (tiny) codes, never the raw vectors.
+  // -------------------------------------------------------------------
+
+  /** Subspace codebooks for the deterministic gate form: per subspace
+    * j, centroids = the first `nlist` corpus subvectors by id (the
+    * same iters=0 convention as [[ivfTopKDeterministic]] — trained
+    * codebooks average doubles and are not oracle-comparable).
+    * Returns (j, cid, cv, cnrm). */
+  def pqCodebooks(candidates: DataFrame, idCol: String, vecCol: String,
+                  m: Int, sub: Int, nlist: Int): DataFrame = {
+    val base = candidates
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("v"))
+      .orderBy("cid").limit(nlist)
+    (0 until m).map { j =>
+      base.select(lit(j).as("j"), col("cid"),
+        slice(col("v"), j * sub + 1, sub).as("cv"))
+    }.reduce(_ unionByName _)
+      .withColumn("cnrm", norm2Decimal(col("cv")).cast("double"))
+  }
+
+  /** PQ encode: (cand_id, j, code) — the nearest codebook entry per
+    * subspace, distances decimal-exact (see [[ivfTopKDeterministic]]),
+    * argmin via groupBy + min(struct) (windowless), ties to the lowest
+    * centroid id. The output is the compressed corpus: m · log2(nlist)
+    * bits per vector. */
+  def pqEncode(candidates: DataFrame, idCol: String, vecCol: String,
+               m: Int, sub: Int, nlist: Int): DataFrame = {
+    val books = pqCodebooks(candidates, idCol, vecCol, m, sub, nlist)
+    val subs = (0 until m).map { j =>
+      candidates.select(col(idCol).cast("long").as("cand_id"), lit(j).as("j"),
+        slice(col(vecCol), j * sub + 1, sub).as("sv"))
+    }.reduce(_ unionByName _)
+      .withColumn("vnrm", norm2Decimal(col("sv")).cast("double"))
+    subs.join(broadcast(books), Seq("j"))
+      .select(col("cand_id"), col("j"),
+        (col("vnrm") - lit(2.0) * dotDecimal(col("sv"), col("cv")).cast("double")
+          + col("cnrm")).as("dist"),
+        col("cid"))
+      .groupBy(col("cand_id"), col("j"))
+      .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("code"))
+  }
+
+  /** PQ ADC top-k, cross-engine deterministic (gate q87): per query,
+    * build the m·nlist LUT of exact subspace distances, join it to the
+    * codes on (j, code), and recombine the m per-subspace doubles in a
+    * FIXED expression order (a pivot — `sum()` over doubles would be
+    * order-nondeterministic), then rank ascending with the k-bounded
+    * [[topKPerQuery]]. Approximate by construction (quantization
+    * error); the gate checks the COMPUTATION, recall vs brute force is
+    * spec-checked like LSH/IVF. */
+  def pqTopKDeterministic(queries: DataFrame, candidates: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          m: Int = 4, dims: Int = 64, nlist: Int = 16)
+      : DataFrame = {
+    require(m >= 1 && dims % m == 0,
+      s"dims=$dims must split into m=$m equal subspaces")
+    require(m <= 16, s"the fixed-order pivot recombine supports m <= 16, got $m")
+    val sub = dims / m
+    val codes = pqEncode(candidates, idCol, vecCol, m, sub, nlist)
+    val books = pqCodebooks(candidates, idCol, vecCol, m, sub, nlist)
+    val qsubs = (0 until m).map { j =>
+      queries.select(col(idCol).cast("long").as("query_id"), lit(j).as("j"),
+        slice(col(vecCol), j * sub + 1, sub).as("qv"))
+    }.reduce(_ unionByName _)
+      .withColumn("qnrm", norm2Decimal(col("qv")).cast("double"))
+    val lut = qsubs.join(broadcast(books), Seq("j"))
+      .select(col("query_id"), col("j"), col("cid").as("code"),
+        (col("qnrm") - lit(2.0) * dotDecimal(col("qv"), col("cv")).cast("double")
+          + col("cnrm")).as("d"))
+    val perSub = codes.join(lut, Seq("j", "code"))
+      .filter(col("cand_id") =!= col("query_id"))
+    // fixed-order recombine: one column per subspace, then d0+d1+...+dm
+    val aggCols = (0 until m).map(j =>
+      max(when(col("j") === j, col("d"))).as(s"d$j"))
+    val pivoted = perSub.groupBy(col("query_id"), col("cand_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val approx = (0 until m).map(j => col(s"d$j")).reduce(_ + _)
+    val scored = pivoted.select(col("query_id"), col("cand_id"),
+      approx.as("approx_dist"))
+    topKPerQuery(scored, "approx_dist", k, ascending = true)
+  }
+
   /** Persist an IVF index: centroids + per-vector bucket assignments as
     * store tables, so repeated query batches skip KMeans training and
     * corpus assignment entirely — the "build once, probe many" shape of

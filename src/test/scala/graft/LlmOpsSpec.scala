@@ -351,6 +351,38 @@ class LlmOpsSpec extends SparkTestBase {
     assert(exact.intersect(ivf).size.toDouble / exact.size >= 0.9)
   }
 
+  test("PQ: codes are bounded and complete; ADC search recalls clustered neighbors") {
+    val rnd = new scala.util.Random(59)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding",
+        m = 4, sub = 8, nlist = 16)
+      .as[(Long, Int, Long)].collect()
+    assert(codes.length == 120 * 4, "m code rows per vector")
+    assert(codes.forall { case (_, _, code) => code >= 0 && code < 16 })
+    val queries = df.filter($"vec_id" < 4)
+    val pq = Similarity.pqTopKDeterministic(queries, df, "vec_id", "embedding",
+        k = 5, m = 4, dims = 32, nlist = 16)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(pq.size == 4 * 5)
+    // what coarse (iters=0) quantization actually promises: same-cluster
+    // candidates share codes, so ADC ranks the query's HOME CLUSTER
+    // ahead of the others (within-cluster order then ties to low ids) —
+    // assert cluster-level recall, not exact-neighbor recall
+    val homeCluster = pq.count { case (q, c) => c % 4 == q % 4 }
+    assert(homeCluster >= 18,
+      s"only $homeCluster/20 PQ results from the query's planted cluster")
+    // determinism across partitionings
+    val pq2 = Similarity.pqTopKDeterministic(queries, df.repartition(7),
+        "vec_id", "embedding", k = 5, m = 4, dims = 32, nlist = 16)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(pq == pq2)
+  }
+
   test("centroid assignment: planted clusters assign home; ties break to lowest id") {
     val rnd = new scala.util.Random(47)
     val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
