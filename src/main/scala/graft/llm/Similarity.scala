@@ -491,18 +491,26 @@ object Similarity {
       .withColumn("cnrm", norm2Decimal(col("cv")).cast("double"))
   }
 
+  /** One scan → m (id, j, subvector) rows per input vector: explode an
+    * inline struct array instead of unioning m per-subspace branches,
+    * which would plan m separate scans of the corpus. */
+  private def subspaceRows(df: DataFrame, idCol: String, vecCol: String,
+                           as: String, m: Int, sub: Int): DataFrame =
+    df.select(col(idCol).cast("long").as(as),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"),
+            slice(col(vecCol), j * sub + 1, sub).as("sv"))): _*)).as("e"))
+      .select(col(as), col("e.j").as("j"), col("e.sv").as("sv"))
+
   /** PQ encode: (cand_id, j, code) — the nearest codebook entry per
     * subspace, distances decimal-exact (see [[ivfTopKDeterministic]]),
     * argmin via groupBy + min(struct) (windowless), ties to the lowest
     * centroid id. The output is the compressed corpus: m · log2(nlist)
-    * bits per vector. */
+    * bits per vector. One corpus scan (subspaces explode inside it). */
   def pqEncode(candidates: DataFrame, idCol: String, vecCol: String,
                m: Int, sub: Int, nlist: Int): DataFrame = {
     val books = pqCodebooks(candidates, idCol, vecCol, m, sub, nlist)
-    val subs = (0 until m).map { j =>
-      candidates.select(col(idCol).cast("long").as("cand_id"), lit(j).as("j"),
-        slice(col(vecCol), j * sub + 1, sub).as("sv"))
-    }.reduce(_ unionByName _)
+    val subs = subspaceRows(candidates, idCol, vecCol, "cand_id", m, sub)
       .withColumn("vnrm", norm2Decimal(col("sv")).cast("double"))
     subs.join(broadcast(books), Seq("j"))
       .select(col("cand_id"), col("j"),
@@ -531,14 +539,11 @@ object Similarity {
     val sub = dims / m
     val codes = pqEncode(candidates, idCol, vecCol, m, sub, nlist)
     val books = pqCodebooks(candidates, idCol, vecCol, m, sub, nlist)
-    val qsubs = (0 until m).map { j =>
-      queries.select(col(idCol).cast("long").as("query_id"), lit(j).as("j"),
-        slice(col(vecCol), j * sub + 1, sub).as("qv"))
-    }.reduce(_ unionByName _)
-      .withColumn("qnrm", norm2Decimal(col("qv")).cast("double"))
+    val qsubs = subspaceRows(queries, idCol, vecCol, "query_id", m, sub)
+      .withColumn("qnrm", norm2Decimal(col("sv")).cast("double"))
     val lut = qsubs.join(broadcast(books), Seq("j"))
       .select(col("query_id"), col("j"), col("cid").as("code"),
-        (col("qnrm") - lit(2.0) * dotDecimal(col("qv"), col("cv")).cast("double")
+        (col("qnrm") - lit(2.0) * dotDecimal(col("sv"), col("cv")).cast("double")
           + col("cnrm")).as("d"))
     val perSub = codes.join(lut, Seq("j", "code"))
       .filter(col("cand_id") =!= col("query_id"))
