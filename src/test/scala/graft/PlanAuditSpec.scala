@@ -204,6 +204,19 @@ class PlanAuditSpec extends SparkTestBase {
       "rerank must be the k-bounded aggregation")
   }
 
+  test("q86/q87: decimal-ANN gates plan kernel dots, no windows, aggregated top-k") {
+    for (q <- Seq("q86_ivf_topk", "q87_pq_topk")) {
+      val p = plan(q)
+      assert(p.contains("vec_dot_decimal"), s"$q lost the native decimal kernel")
+      assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
+        s"$q must stay windowless (argmin = min(struct), rank = aggregation)")
+      assert(p.contains("partial_topkbyscore"),
+        s"$q top-k must combine map-side")
+      assert(!p.contains("zip_with") && !p.contains("aggregate("),
+        s"$q plans an interpreted higher-order lambda chain")
+    }
+  }
+
   test("q26/q34: deterministic cosine runs the native kernel, no lambda chains") {
     // the decimal dot must be the fused vec_dot_decimal expression;
     // aggregate/zip_with higher-order lambdas are CodegenFallback and
