@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning — the subword-tokenizer trainer of
+  * an LLM data pipeline (the vocabulary every later token-count /
+  * chunking stage assumes). No reference analog; spec-checked, not
+  * oracle-gated: each round's argmax feeds the NEXT round's transform,
+  * and that iterative dependence has no single-statement SQL form for a
+  * DuckDB oracle — correctness is pinned instead by an independent
+  * in-memory reference implementation (BpeSpec: exact merge-sequence
+  * equality, including the paper's classic fixture).
+  *
+  * Scale shape (the part that matters at 100 TB): the CORPUS is
+  * touched exactly once — one tokenize + one groupBy(word) produces the
+  * word-frequency table, which is VOCABULARY-sized (10^5..10^7 rows
+  * regardless of corpus size). Every merge iteration then runs over
+  * that table: one map-side-partial pair-count aggregation, a driver
+  * argmax of ONE row (orderBy+limit(1) = TakeOrderedAndProject, never a
+  * full sort), and a vocabulary-sized typed map applying the merge.
+  * k merges = k tiny jobs after one corpus shuffle — the corpus never
+  * re-enters.
+  *
+  * Determinism: ties on pair count break lexicographically on (left,
+  * right), so the learned merge sequence is a pure function of the
+  * corpus — re-runs, retries and partitionings agree (spec-pinned).
+  */
+object Bpe {
+
+  /** End-of-word sentinel appended as a final symbol, as in the
+    * original BPE formulation — lets merges distinguish word-final
+    * units ("est</w>") from word-internal ones. Chosen to never collide
+    * with real symbols (corpus words contain no '<'-framed tokens). */
+  val EndOfWord = "</w>"
+
+  /** Word-frequency table as (symbols, cnt) — the one corpus pass.
+    * Symbols = the word's characters plus [[EndOfWord]]. */
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextShingles.words(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(split(col("w"), ""), array(lit(EndOfWord))).as("syms"),
+        col("cnt"))
+
+  /** Learn up to `numMerges` merges from a (syms, cnt) frame (see
+    * [[wordFrequencies]]). Stops early when no adjacent pair reaches
+    * `minPairCount`. Returns merge rules in rank order. */
+  def learnMerges(wordFreq: DataFrame, numMerges: Int,
+                  minPairCount: Long = 2): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val spark = wordFreq.sparkSession
+    import spark.implicits._
+    var vocab: Dataset[(Seq[String], Long)] =
+      wordFreq.select(col("syms"), col("cnt")).as[(Seq[String], Long)]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    var iter = 0
+    while (!done && iter < numMerges) {
+      // adjacent-pair counts, weighted by word frequency: vocab-sized
+      // flatMap + one map-side-partial aggregation
+      val best = vocab.flatMap { case (syms, cnt) =>
+          syms.iterator.zip(syms.iterator.drop(1))
+            .map { case (a, b) => ((a, b), cnt) }.toSeq
+        }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), c) => (a, b, c) }
+        // argmax with the deterministic (count DESC, pair ASC) tie-break
+        // — TakeOrderedAndProject, one driver row
+        .orderBy(col("_3").desc, col("_1").asc, col("_2").asc)
+        .limit(1).collect().headOption
+      best match {
+        case Some((l, r, c)) if c >= minPairCount =>
+          merges += ((l, r))
+          val next = vocab.map { case (syms, cnt) =>
+              (mergeOnce(syms, l, r), cnt)
+            }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          vocab.unpersist(false)
+          vocab = next
+        case _ => done = true
+      }
+      iter += 1
+    }
+    vocab.unpersist(false)
+    merges.toSeq
+  }
+
+  /** [[wordFrequencies]] + [[learnMerges]] in one call. */
+  def learn(docs: DataFrame, textCol: String, numMerges: Int,
+            minPairCount: Long = 2): Seq[(String, String)] =
+    learnMerges(wordFrequencies(docs, textCol), numMerges, minPairCount)
+
+  /** One left-to-right pass replacing adjacent (l, r) with l+r — the
+    * standard greedy application (after a replacement the cursor moves
+    * past the new symbol, so "aaa" under (a,a) becomes ["aa","a"]). */
+  private[graft] def mergeOnce(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Encode one word (without sentinel) through the ranked merges —
+    * driver-side helper for tests/tooling; corpus-scale encoding maps
+    * this over a words column. */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.split("").toSeq :+ EndOfWord
+    merges.foreach { case (l, r) => syms = mergeOnce(syms, l, r) }
+    syms
+  }
+
+  /** Distributed encode: (word, subword tokens) for every distinct word
+    * of the corpus — vocab-sized output; the merge table ships in the
+    * closure (10^4-ish rules). */
+  def encodeWords(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(TextShingles.words(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .distinct()
+      .as[String]
+      .map(w => (w, encodeWord(w, merges)))
+      .toDF("word", "tokens")
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.llm.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge learning vs an independent in-memory reference — the
+  * oracle-substitute for an operator whose per-round argmax feeds the
+  * next round's transform (not single-statement-SQL expressible).
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Straight-line reference implementation on plain Scala maps. */
+  private def referenceMerges(wordCounts: Map[String, Long], numMerges: Int,
+                              minPairCount: Long): Seq[(String, String)] = {
+    var vocab: Map[Seq[String], Long] = wordCounts.map { case (w, c) =>
+      (w.split("").toSeq :+ Bpe.EndOfWord) -> c
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.size < numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some((p, c)) if c >= minPairCount =>
+          merges += p
+          vocab = vocab.groupMapReduce {
+            case (syms, _) => Bpe.mergeOnce(syms, p._1, p._2)
+          } { case (_, c) => c }(_ + _)
+        case _ => done = true
+      }
+    }
+    merges.toSeq
+  }
+
+  test("classic fixture: merge sequence matches the hand-derivable order") {
+    // the BPE paper's example vocabulary; es/est ties break
+    // lexicographically, then word-boundary and stem merges follow
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val docs = words.toSeq.flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w) }.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = Bpe.learn(docs, "text", numMerges = 6)
+    val ref = referenceMerges(words, 6, 2)
+    assert(got == ref)
+    assert(got.take(2) == Seq(("e", "s"), ("es", "t")),
+      s"es then est must merge first (9 occurrences each, lex tie-break): $got")
+    // encoding through the learned merges segments a training word
+    assert(Bpe.encodeWord("newest", got).mkString(" ").contains("est"))
+  }
+
+  test("distributed learner == reference on a randomized corpus; partition-independent") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    val words = (0 until 40).map { _ =>
+      (0 until (2 + rnd.nextInt(5))).map(_ => alphabet(rnd.nextInt(4))).mkString
+    }
+    val counts = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val ref = referenceMerges(counts, 10, 2)
+    val got = Bpe.learn(docs, "text", numMerges = 10)
+    assert(got == ref, s"engine $got vs reference $ref")
+    val got2 = Bpe.learn(docs.repartition(9), "text", numMerges = 10)
+    assert(got2 == got, "merge sequence must not depend on partitioning")
+  }
+
+  test("learning stops when no pair reaches minPairCount; encode covers every word") {
+    val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    // every adjacent pair occurs once -> below the default floor of 2
+    assert(Bpe.learn(docs, "text", numMerges = 5).isEmpty)
+    val merges = Bpe.learn(
+      Seq((1L, "ab ab ab cd")).toDF("doc_id", "text"), "text", numMerges = 3)
+    val enc = Bpe.encodeWords(
+        Seq((1L, "ab ab ab cd")).toDF("doc_id", "text"), "text", merges)
+      .as[(String, Seq[String])].collect().toMap
+    assert(enc.keySet == Set("ab", "cd"))
+    assert(enc("ab") == Seq("ab" + Bpe.EndOfWord) || enc("ab").nonEmpty)
+    // round trip: concatenated tokens minus the sentinel rebuild the word
+    enc.foreach { case (w, toks) =>
+      assert(toks.mkString.stripSuffix(Bpe.EndOfWord) == w)
+    }
+  }
+}
