@@ -416,6 +416,14 @@ object Similarity {
     topKPerQuery(scored, "cosine", k, ascending = false)
   }
 
+  /** The deterministic-gate squared distance: the IEEE-double
+    * combination of exact decimal sums, `vnrm − 2·(v·c) + cnrm`, with
+    * this FIXED association — shared by the IVF (q86) and PQ (q87)
+    * gate paths so their oracles mirror one expression shape. */
+  private def decimalSqDist(vnrm: Column, v: Column, cv: Column,
+                            cnrm: Column): Column =
+    vnrm - lit(2.0) * dotDecimal(v, cv).cast("double") + cnrm
+
   /** Gate form of IVF top-k, cross-engine deterministic end to end
     * (q86): centroids are the first `nlist` corpus vectors by id (the
     * Lloyd iters=0 init — training itself averages doubles and is not
@@ -440,7 +448,7 @@ object Similarity {
     val corpus = candidates
       .select(col(idCol).cast("long").as("cand_id"), col(vecCol).as("v"))
       .withColumn("vnrm", norm2Decimal(col("v")).cast("double"))
-    def dist = col("vnrm") - lit(2.0) * dotDecimal(col("v"), col("cv")).cast("double") + col("cnrm")
+    def dist = decimalSqDist(col("vnrm"), col("v"), col("cv"), col("cnrm"))
     val assigned = corpus.crossJoin(broadcast(cents))
       .select(col("cand_id"), dist.as("dist"), col("cid"))
       .groupBy("cand_id")
@@ -514,8 +522,8 @@ object Similarity {
       .withColumn("vnrm", norm2Decimal(col("sv")).cast("double"))
     subs.join(broadcast(books), Seq("j"))
       .select(col("cand_id"), col("j"),
-        (col("vnrm") - lit(2.0) * dotDecimal(col("sv"), col("cv")).cast("double")
-          + col("cnrm")).as("dist"),
+        decimalSqDist(col("vnrm"), col("sv"), col("cv"), col("cnrm"))
+          .as("dist"),
         col("cid"))
       .groupBy(col("cand_id"), col("j"))
       .agg(min(struct(col("dist"), col("cid"))).getField("cid").as("code"))
@@ -543,8 +551,8 @@ object Similarity {
       .withColumn("qnrm", norm2Decimal(col("sv")).cast("double"))
     val lut = qsubs.join(broadcast(books), Seq("j"))
       .select(col("query_id"), col("j"), col("cid").as("code"),
-        (col("qnrm") - lit(2.0) * dotDecimal(col("sv"), col("cv")).cast("double")
-          + col("cnrm")).as("d"))
+        decimalSqDist(col("qnrm"), col("sv"), col("cv"), col("cnrm"))
+          .as("d"))
     val perSub = codes.join(lut, Seq("j", "code"))
       .filter(col("cand_id") =!= col("query_id"))
     // fixed-order recombine: one column per subspace, then d0+d1+...+dm
