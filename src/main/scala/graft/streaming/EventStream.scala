@@ -163,6 +163,31 @@ object EventStream {
       }
   }
 
+  /** PRODUCTION sink shape: stream a parquet directory through a
+    * stateless/append transform into a parquet SINK with a checkpoint —
+    * nothing ever collects to the driver (the memory sink used by the
+    * gate harness does), and the checkpoint makes the query resumable
+    * exactly-once. Returns after draining available input; the output
+    * directory is then a normal table any batch job reads. */
+  def runStreamToParquet(spark: SparkSession, sourceDir: String,
+                         outDir: String, checkpointDir: String,
+                         transform: DataFrame => DataFrame,
+                         options: Map[String, String] = Map.empty): Unit = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val f = new java.io.File(sourceDir)
+    val reader = spark.readStream.schema(schema).options(options)
+    val stream =
+      if (f.isFile)
+        reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(sourceDir)
+    val q = transform(stream).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet").option("path", outDir)
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   /** Drive a parquet-backed stream of events through a transform into an
     * in-memory table, synchronously (test/local harness). `options` pass
     * through to the file source — e.g. maxFilesPerTrigger=1 forces one

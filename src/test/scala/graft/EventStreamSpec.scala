@@ -95,6 +95,27 @@ class EventStreamSpec extends SparkTestBase {
       (101L, 4L, 2L, 30.0)))  // ONE session spanning two micro-batches
   }
 
+  test("parquet-sink streaming: chunker output lands in files with a checkpoint, no driver collect") {
+    // the production path next to the gate's memory sink: stream the
+    // documents fixture through the q80 chunking transform into a
+    // parquet SINK, then read the result back as a plain batch table
+    // and compare against the batch run of the same transform
+    val out = tmpDir("stream-out"); val ckpt = tmpDir("stream-ckpt")
+    def chunk(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Chunking.chunkByTokens(
+        df.select($"doc_id", $"text"), Seq("doc_id"), "text", 32, 24)
+    graft.streaming.EventStream.runStreamToParquet(
+      spark, sf("sf0.001") + "/documents.parquet", out, ckpt, chunk)
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "chunk_id", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = chunk(spark.read.parquet(sf("sf0.001") + "/documents.parquet"))
+      .select("doc_id", "chunk_id", "n_chunk_tokens")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(new java.io.File(ckpt).exists, "checkpoint must be written")
+  }
+
   test("late events beyond the watermark are dropped in streaming append mode") {
     val dir = tmpDir("stream") + "/late"
     // batch 1: events at 10:00-10:08; batch 2 (second file): a very late
