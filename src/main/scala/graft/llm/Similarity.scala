@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate/exact nearest-neighbor search over an embedding column
@@ -399,14 +398,7 @@ object Similarity {
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", vecNorm2(col("qv")))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("dist", col("qn") - lit(2.0) * vecDot(col("qv"), col("cv")) + col("cnorm"))
-      // probe-selection window is nlist-bounded per query (each partition
-      // holds exactly the centroid table) — not a de-skew risk
-      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("dist").asc, col("cid").asc)))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid"))
+    val probes = ivfProbeList(q, cents, nprobe)
     val scored = probes.join(corpusB, "cid")
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),
@@ -414,6 +406,27 @@ object Similarity {
     // probed-bucket candidates can still be occupancy * nprobe rows per
     // query — k-bounded aggregation, not a window sort (see topKPerQuery)
     topKPerQuery(scored, "cosine", k, ascending = false)
+  }
+
+  /** nprobe nearest centroids per query as (query_id, qv, cid) rows —
+    * the probe-selection step shared by [[ivfTopK]] and
+    * [[ivfTopKIndexed]]. Selection is the k-bounded [[topKPerQuery]]
+    * (nprobe-bounded aggregation buffers), not a row_number window:
+    * the old per-query window was nlist-bounded and safe, but the
+    * aggregator form removes the sort entirely and makes every ANN
+    * selection in this file one shape. Ties break to the lowest cid
+    * (window parity, pinned by the indexed==direct spec). */
+  private def ivfProbeList(q: DataFrame, cents: DataFrame,
+                           nprobe: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val probePairs = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cid").cast("long").as("cand_id"),
+        (col("qn") - lit(2.0) * vecDot(col("qv"), col("cv")) + col("cnorm"))
+          .as("dist"))
+    topKPerQuery(probePairs, "dist", nprobe, ascending = true)
+      .select(col("query_id"), col("cand_id").cast("int").as("cid"))
+      .join(q.select(col("query_id"), col("qv")), "query_id")
+      .select(col("query_id"), col("qv"), col("cid"))
   }
 
   /** The deterministic-gate squared distance: the IEEE-double
@@ -593,14 +606,7 @@ object Similarity {
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", vecNorm2(col("qv")))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("dist", col("qn") - lit(2.0) * vecDot(col("qv"), col("cv")) + col("cnorm"))
-      // probe-selection window is nlist-bounded per query (each partition
-      // holds exactly the centroid table) — not a de-skew risk
-      .withColumn("pr", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("dist").asc, col("cid").asc)))
-      .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("cid"))
+    val probes = ivfProbeList(q, cents, nprobe)
     val scored = probes.join(corpusB, "cid")
       .filter(col("cand_id") =!= col("query_id"))
       .select(col("query_id"), col("cand_id"),

@@ -439,8 +439,13 @@ class LlmOpsSpec extends SparkTestBase {
     val store = new graft.io.ParquetTableStore(spark, tmpDir("ivf"))
     Similarity.buildIvfIndex(store, "ann", df, "vec_id", "embedding",
       nlist = 8, iters = 2)
-    val indexed = Similarity.ivfTopKIndexed(store, "ann", queries,
+    val indexedDf = Similarity.ivfTopKIndexed(store, "ann", queries,
       "vec_id", "embedding", k = 5, nprobe = 3)
+    // probe selection + rerank are both the k-bounded aggregator now —
+    // the whole indexed search path must plan without any Window node
+    assert(!indexedDf.queryExecution.executedPlan.toString.contains("Window"),
+      "IVF probe/rerank must not plan a Window")
+    val indexed = indexedDf
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     val direct = Similarity.ivfTopK(queries, df, "vec_id", "embedding", 5,
       nlist = 8, nprobe = 3, iters = 2)
