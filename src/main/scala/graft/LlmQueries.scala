@@ -674,6 +674,35 @@ object LlmQueries {
         col("cosine").cast(out).cast("double").as("cosine"), col("rnk"))
   }
 
+  // Paragraph-level dedup at the gate (Dedup.dedupParagraphInstances +
+  // reassembleParagraphs): the C4/RefinedWeb sub-document cleaning step
+  // — boilerplate paragraphs repeated across the corpus are removed
+  // while the documents survive. The corpus has no structural
+  // separators, so pseudo-paragraphs are 10-token windows from the
+  // gate-checked chunker (q67's machinery); keep-first = the min
+  // (doc_id, pos) instance; paragraphs under 10 chars are exempt
+  // (exercising the minLen path on short tail chunks). Every original
+  // doc_id survives via left join — one fixture doc dedups to the
+  // empty string, pinning that contract.
+  def q88_para_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val paras = graft.llm.Chunking.chunkByTokens(
+        docs.select(col("doc_id"), col("text")),
+        idCols = Seq("doc_id"), textCol = "text",
+        chunkSize = 10, stride = 10)
+      .select(col("doc_id"), col("chunk_id").as("pos"),
+        col("chunk_text").as("para"))
+    val kept = graft.llm.Dedup.dedupParagraphInstances(
+      paras, keepFirst = true, minLen = 10)
+    val rebuilt = graft.llm.Dedup.reassembleParagraphs(kept, sep = " ")
+    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -753,7 +782,8 @@ object LlmQueries {
     "q84_lsh_topk"      -> q84_lsh_topk _,
     "q85_stream_decontam" -> q85_stream_decontam _,
     "q86_ivf_topk"      -> q86_ivf_topk _,
-    "q87_pq_topk"       -> q87_pq_topk _
+    "q87_pq_topk"       -> q87_pq_topk _,
+    "q88_para_dedup"    -> q88_para_dedup _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1516,6 +1546,32 @@ object LlmQueries {
         |      FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt
         |            FROM (SELECT unnest(string_split(text, ' ')) AS w
         |                  FROM documents) GROUP BY 1))
-        |WHERE rn <= 50""".stripMargin
+        |WHERE rn <= 50""".stripMargin,
+    // q67's chunk CTE at (10, 10) as pseudo-paragraphs; keep-first = the
+    // row_number-1 instance under (doc_id, pos) order (Spark's
+    // min(struct) picks the same one); < 10-char paragraphs exempt;
+    // string_agg ORDER BY pos rebuilds, LEFT JOIN keeps emptied docs
+    "q88_para_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, (len(toks)-1)//10)) AS pos FROM t
+        |      WHERE len(toks) >= 1),
+        |paras AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |    array_to_string(toks[pos*10+1 : least(pos*10+10, len(toks))], ' ') AS para
+        |  FROM s),
+        |kept AS (
+        |  SELECT doc_id, pos, para FROM (
+        |    SELECT doc_id, pos, para,
+        |           row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |    FROM paras WHERE length(para) >= 10) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, pos, para FROM paras WHERE length(para) < 10
+        |),
+        |agg AS (SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text,
+        |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.text, '') AS text,
+        |       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin
   )
 }

@@ -665,4 +665,73 @@ object Dedup {
           .cast("decimal(38,6)").as("jaccard"))
       .filter(col("jaccard") > lit(minJaccard).cast("decimal(38,6)"))
   }
+
+  // -------------------------------------------------------------------
+  // Paragraph-level (sub-document) dedup — the C4/RefinedWeb cleaning
+  // step: a boilerplate paragraph repeated across the corpus (headers,
+  // navigation, license blocks) is removed from every document while the
+  // documents themselves survive. Finer-grained than [[exact]] (whole
+  // docs) and cheaper than near-dup pairing: one shuffle on the
+  // paragraph hash, one on the doc id to reassemble.
+  // -------------------------------------------------------------------
+
+  /** Split `textCol` on `sepRegex` into 0-based paragraph instances —
+    * the (doc_id, pos, para) frame the dedup core consumes. Map-only
+    * (explode inside the scan stage). Callers with structural splits
+    * (fixed token windows, sentence segmentation) build the instance
+    * frame themselves and skip this. */
+  def splitParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      sepRegex: String = "\n{2,}"): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sepRegex)).as(Seq("pos", "para")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("para"))
+
+  /** Corpus-wide paragraph dedup over a (doc_id, pos, para) instance
+    * frame. Paragraphs shorter than `minLen` characters are exempt
+    * (always kept) — short connectives dedup to nonsense and C4-style
+    * pipelines only target substantial boilerplate. Among duplicate
+    * groups, `keepFirst = true` keeps exactly the instance with the
+    * smallest (doc_id, pos) (first occurrence in corpus order);
+    * `keepFirst = false` drops EVERY instance whose paragraph occurs
+    * more than once (the stricter C4 rule).
+    *
+    * Shape at 100 TB: groupBy on the paragraph value (hash-partitioned,
+    * map-side partial min/count — a boilerplate paragraph with f
+    * instances collapses to one row per map task before the shuffle,
+    * so hot paragraphs de-skew for free), then an ids-only join back.
+    * No windows, no collects. */
+  def dedupParagraphInstances(paras: DataFrame, keepFirst: Boolean = true,
+                              minLen: Int = 1): DataFrame = {
+    val exempt = paras.filter(length(col("para")) < minLen)
+    val cand = paras.filter(length(col("para")) >= minLen)
+    val kept =
+      if (keepFirst)
+        // the min-(doc_id, pos) instance IS the survivor row — no join
+        // back needed; struct min is one map-side-partial aggregate
+        cand.groupBy(col("para"))
+          .agg(min(struct(col("doc_id"), col("pos"))).as("m"))
+          .select(col("m.doc_id").as("doc_id"), col("m.pos").as("pos"),
+            col("para"))
+      else
+        cand.join(
+          cand.groupBy(col("para")).agg(count(lit(1)).as("__n"))
+            .filter(col("__n") === 1).select("para"),
+          Seq("para"))
+          .select(col("doc_id"), col("pos"), col("para"))
+    kept.unionByName(exempt)
+  }
+
+  /** Reassemble documents from surviving paragraph instances:
+    * (doc_id, text) with paragraphs re-joined by `sep` in `pos` order.
+    * Documents that lost every paragraph are absent — callers wanting
+    * every original id left-join this result. Per-doc ordering is an
+    * array_sort of the collected (pos, para) structs — bounded by the
+    * paragraphs of ONE document, never a window over the corpus. */
+  def reassembleParagraphs(kept: DataFrame, sep: String = "\n\n"): DataFrame =
+    kept.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("para"))))
+        .as("ps"))
+      .select(col("doc_id"),
+        array_join(transform(col("ps"), p => p.getField("para")), sep)
+          .as("text"))
 }

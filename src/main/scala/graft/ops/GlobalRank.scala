@@ -86,6 +86,73 @@ object GlobalRank {
     df.repartitionByRange(partitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
 
+  /** Exact global running sum (inclusive prefix sum) of `valueCol`
+    * under `sortCols`, without a global window — the distributed prefix
+    * sum backing token-budget selection ([[takeWhileBudget]]) and any
+    * "cumulative X in corpus order" statistic.
+    *
+    * Shape: the same range-repartition + checkpoint pin as
+    * [[globalRowNumber]]; per-PARTITION value totals collected (≤ p
+    * rows of metadata) become cross-partition offsets, and the
+    * in-partition prefix is a running-sum window PARTITIONED BY the
+    * range-partition id — bounded by one partition's rows (n/p), never
+    * the corpus, exactly the per-bucket shape Packing.packGreedy uses.
+    * Ordering must be total (tie-free) for a deterministic result.
+    * Values sum as long (token counts, byte sizes — the budget-shaped
+    * inputs); exact, no float drift. */
+  def globalRunningSum(df: DataFrame, sortCols: Seq[Column],
+                       valueCol: String, outCol: String = "cum",
+                       partitions: Int = 0): DataFrame = {
+    require(!df.columns.contains("__mid"),
+      "input frame already carries the helper column __mid")
+    require(!df.columns.contains(outCol),
+      s"input frame already carries output column $outCol")
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = rangedFrame(df, sortCols, p)
+    val ranged =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        sorted.checkpoint()
+      else sorted.localCheckpoint()
+    val withId = ranged.withColumn("__mid", monotonically_increasing_id())
+    val pidOf = shiftright(col("__mid"), 33).cast("int")
+    val idxOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    // per-partition value totals: ≤ p rows — metadata, not data
+    val sums = withId.groupBy(pidOf.as("__pid"))
+      .agg(sum(col(valueCol).cast("long")).as("__s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until p).scanLeft(0L) { case (acc, pid) =>
+      acc + sums.getOrElse(pid, 0L)
+    }.dropRight(1)
+    val offCol = element_at(array(offsets.map(lit): _*), pidOf + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pidOf)
+      .orderBy(idxOf.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withId
+      .withColumn(outCol, sum(col(valueCol).cast("long")).over(w) + offCol)
+      .drop("__mid")
+  }
+
+  /** The maximal prefix of the corpus (under `sortCols`) whose running
+    * `valueCol` total stays within `budget` — "fill a token budget in
+    * a fixed order", the step that cuts a curated corpus down to the
+    * compute-matched training set. A row survives iff the INCLUSIVE
+    * running sum through it is ≤ budget (rows with value 0 at the
+    * boundary survive; the first row alone exceeding the budget kills
+    * the whole prefix from there on — values must be non-negative for
+    * the prefix semantics to be meaningful). Output adds `cumCol`, the
+    * inclusive running total, so callers can see how full the budget
+    * ran. */
+  def takeWhileBudget(df: DataFrame, sortCols: Seq[Column],
+                      valueCol: String, budget: Long,
+                      cumCol: String = "cum"): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    globalRunningSum(df, sortCols, valueCol, cumCol)
+      .filter(col(cumCol) <= budget)
+  }
+
   /** NTILE(k) over the globally-ordered frame, computed from the global
     * row number in closed form (SQL-standard bucket sizing: the first
     * N mod k buckets hold ceil(N/k) rows, the rest floor(N/k)). */

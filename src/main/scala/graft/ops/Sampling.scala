@@ -160,4 +160,52 @@ object Sampling {
       .filter(key < rate)
       .drop("__cap_g", "__cap_cnt")
   }
+
+  /** Downsample toward a TARGET MIXTURE: per-group target shares (in
+    * per-mille of the final sample) plus a target total row count
+    * derive each group's deterministic keep rate —
+    * `rate_g = min(1000, (targetTotal·share_g DIV 1000)·1000 DIV n_g)`
+    * — the Pile-style mixture-reweighting step (fix the composition of
+    * the training set, not just per-group rates). All arithmetic is
+    * integer long math (per-mille + DIV), so membership is a pure
+    * function of (key, group count) both engines reproduce bit-for-bit
+    * (gate q90). APPROXIMATE like [[capPerGroupApprox]]: kept counts
+    * are Binomial(n_g, rate_g); a group whose target exceeds its
+    * population keeps everything (rate clamps at 1000) and the realized
+    * mixture shifts accordingly — under-populated groups cannot be
+    * upsampled by a filter. Groups absent from `sharesPerMille` (and
+    * NULL groups — the share cascade yields 0) are dropped.
+    *
+    * Shape: one map-side-partial groupBy for the counts, a join back on
+    * the group key (broadcast when small), then a map-only filter —
+    * no windows, no collects. */
+  def sampleToMixture(df: DataFrame, key: Column, groupCol: Column,
+                      sharesPerMille: Seq[(String, Int)],
+                      targetTotal: Long): DataFrame = {
+    require(sharesPerMille.nonEmpty && sharesPerMille.forall(_._2 >= 0),
+      "mixture shares must be non-negative")
+    require(sharesPerMille.map(_._2).sum == Mille,
+      s"per-mille mixture shares must sum to $Mille")
+    require(sharesPerMille.map(_._1).distinct.size == sharesPerMille.size,
+      "duplicate group in share list")
+    require(targetTotal >= 0 && targetTotal <= Long.MaxValue / Mille,
+      s"targetTotal must be in [0, ${Long.MaxValue / Mille}] " +
+        s"(share arithmetic is per-mille in long math), got $targetTotal")
+    for (c <- Seq("__mix_g", "__mix_cnt", "__mix_share"))
+      require(!df.columns.contains(c),
+        s"input frame already carries the helper column $c")
+    val share = sharesPerMille.foldLeft(lit(0L): Column) {
+      case (els, (g, w)) => when(groupCol === g, lit(w.toLong)).otherwise(els)
+    }
+    val counts = df.groupBy(groupCol.as("__mix_g"))
+      .agg(count(lit(1)).as("__mix_cnt"))
+    val rate = when(col("__mix_share") === 0L, lit(0L)).otherwise(
+      least(lit(Mille),
+        expr(s"((${targetTotal}L * __mix_share) DIV ${Mille}L) " +
+          s"* ${Mille}L DIV __mix_cnt")))
+    df.withColumn("__mix_share", share)
+      .join(counts, groupCol === col("__mix_g"))
+      .filter(key < rate)
+      .drop("__mix_g", "__mix_cnt", "__mix_share")
+  }
 }

@@ -16,6 +16,41 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == Set((1L, 3L), (3L, 1L)))
   }
 
+  test("paragraph dedup: keep-first vs drop-all, minLen exemption, ordered reassembly") {
+    // boilerplate "HEADER TEXT HERE" repeats across docs 1/2/3; "ok" is a
+    // short connective under minLen; doc 3 is all boilerplate
+    val df = docs(
+      (1L, "HEADER TEXT HERE\n\nunique alpha content\n\nok"),
+      (2L, "second unique body\n\nHEADER TEXT HERE\n\nok"),
+      (3L, "HEADER TEXT HERE"))
+    val paras = Dedup.splitParagraphs(df, "doc_id", "text")
+    assert(paras.count() == 7)
+    // keep-first: the (1, 0) instance of the header survives, later ones
+    // drop; "ok" (< minLen chars) is exempt in BOTH docs
+    val first = Dedup.dedupParagraphInstances(paras, keepFirst = true, minLen = 3)
+      .select("doc_id", "pos", "para").as[(Long, Long, String)].collect().toSet
+    assert(first == Set(
+      (1L, 0L, "HEADER TEXT HERE"), (1L, 1L, "unique alpha content"),
+      (1L, 2L, "ok"), (2L, 0L, "second unique body"), (2L, 2L, "ok")))
+    // drop-all: every header instance goes, including doc 1's
+    val strict = Dedup.dedupParagraphInstances(paras, keepFirst = false, minLen = 3)
+      .select("doc_id", "para").as[(Long, String)].collect().toSet
+    assert(!strict.exists(_._2 == "HEADER TEXT HERE"))
+    assert(strict.map(_._2).intersect(Set("unique alpha content", "second unique body")).size == 2)
+    // reassembly joins surviving paragraphs in pos order; doc 3 lost
+    // everything and is absent (the gate left-joins it back as "")
+    val rebuilt = Dedup.reassembleParagraphs(
+        Dedup.dedupParagraphInstances(paras, keepFirst = true, minLen = 3))
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt(1L) == "HEADER TEXT HERE\n\nunique alpha content\n\nok")
+    assert(rebuilt(2L) == "second unique body\n\nok")
+    assert(!rebuilt.contains(3L))
+    // the dedup plan is groupBy-only: no Window node
+    val plan = Dedup.dedupParagraphInstances(paras, keepFirst = true, minLen = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "paragraph dedup must not plan a Window")
+  }
+
   test("minhash signature similarity tracks jaccard; near-dups found, distinct docs not") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = base.replace("today", "tomorrow")
