@@ -703,6 +703,44 @@ object LlmQueries {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  // Token-budget prefix at the gate (GlobalRank.takeWhileBudget): the
+  // distributed prefix sum — range repartition, per-partition totals as
+  // ≤p rows of metadata, in-partition running window — cuts the corpus
+  // to the compute-matched training budget in a fixed order. Integer
+  // token counts sum exactly, so the inclusive cumulative totals (and
+  // the budget boundary itself) are cross-engine bit-identical.
+  def q89_token_budget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.ops.GlobalRank.takeWhileBudget(
+      docs, Seq(col("doc_id")), "n_tokens", budget = 15000L)
+  }
+
+  // Mixture sampling at the gate (Sampling.sampleToMixture): per-group
+  // keep rates DERIVED from target mixture shares + group counts — the
+  // Pile-style composition-reweighting step. All long math (per-mille
+  // shares, integer DIV, the LCG membership key), so the kept row set
+  // reproduces bit-for-bit in DuckDB. The fr share oversubscribes its
+  // population, pinning the rate clamp (keep-all) branch.
+  def q90_mixture_sample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sampleToMixture(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      graft.ops.Sampling.lcgKey(col("doc_id")), col("lang"),
+      Seq("en" -> 300, "zh" -> 150, "es" -> 100, "de" -> 50, "fr" -> 400),
+      targetTotal = 200L)
+
+  // Repeated-span scrubbing at the gate (Dedup.scrubRepeatedSpans): the
+  // fixed-width approximation of suffix-array substring dedup — any
+  // 10-token run occurring in ≥2 distinct docs is removed from ALL of
+  // them at arbitrary alignment (what paragraph dedup q88 misses when
+  // the repeat straddles a boundary). Pure string/int ops, so cleaned
+  // text and removal counts are cross-engine exact; 24 fixture docs
+  // scrub to the empty string, pinning the emptied-doc contract.
+  def q91_span_scrub(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.scrubRepeatedSpans(
+      t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+      n = 10, minDocs = 2)
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -783,7 +821,10 @@ object LlmQueries {
     "q85_stream_decontam" -> q85_stream_decontam _,
     "q86_ivf_topk"      -> q86_ivf_topk _,
     "q87_pq_topk"       -> q87_pq_topk _,
-    "q88_para_dedup"    -> q88_para_dedup _
+    "q88_para_dedup"    -> q88_para_dedup _,
+    "q89_token_budget"  -> q89_token_budget _,
+    "q90_mixture_sample" -> q90_mixture_sample _,
+    "q91_span_scrub"    -> q91_span_scrub _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1572,6 +1613,56 @@ object LlmQueries {
         |SELECT d.doc_id, COALESCE(a.text, '') AS text,
         |       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
         |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // inclusive running token total in doc_id order; sum(BIGINT) is
+    // HUGEINT in DuckDB -> cast back; budget boundary is exact integer
+    // arithmetic in both engines
+    "q89_token_budget" ->
+      """WITH s AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM s)
+        |SELECT doc_id, n_tokens, cum FROM c WHERE cum <= 15000""".stripMargin,
+    // same derived-rate formula in DuckDB integer math: target_g =
+    // (total*share)//1000, rate_g = least(1000, target_g*1000//n_g),
+    // LCG per-mille membership key as in q49/q52/q76
+    "q90_mixture_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT lang, n,
+        |        CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 150
+        |                  WHEN 'es' THEN 100 WHEN 'de' THEN 50
+        |                  WHEN 'fr' THEN 400 ELSE 0 END AS share
+        |      FROM c)
+        |SELECT doc_id, lang FROM documents JOIN (
+        |  SELECT lang, CASE WHEN share = 0 THEN 0
+        |    ELSE least(1000, ((200 * share) // 1000) * 1000 // n) END AS rate
+        |  FROM r) rr USING (lang)
+        |WHERE ((doc_id * 1103515245 + 12345) % 1000000007) % 1000 < rate""".stripMargin,
+    // sliding 10-gram windows (1-based list slices), distinct-doc df,
+    // covered positions via a 0..9 offset cross join, ANTI JOIN scrub,
+    // string_agg reassembly; LEFT JOIN keeps untouched and emptied docs
+    "q91_span_scrub" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(toks[i:i+9], ' ') AS gram
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks)-9)) AS i FROM t
+        |            WHERE len(toks) >= 10)),
+        |f AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df
+        |                        FROM g GROUP BY 1) WHERE df >= 2),
+        |sp AS (SELECT doc_id, i FROM g JOIN f USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, i + o AS p
+        |        FROM sp CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS o) os),
+        |tok AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p FROM t),
+        |kept AS (SELECT tok.doc_id, tok.w, tok.p FROM tok
+        |         ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p),
+        |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text, count(*) AS nk
+        |        FROM kept GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(a.text, '') AS text,
+        |       CAST(d.orig - COALESCE(a.nk, 0) AS BIGINT) AS n_removed_tokens
+        |FROM (SELECT doc_id, len(string_split(text, ' ')) AS orig FROM documents) d
         |LEFT JOIN agg a USING (doc_id)""".stripMargin
   )
 }

@@ -136,4 +136,36 @@ object Bpe {
       .map(w => (w, encodeWord(w, merges)))
       .toDF("word", "tokens")
   }
+
+  /** Tokenize the CORPUS through the learned merges: (doc_id, tokens,
+    * n_subwords) with each document's subword tokens in original word
+    * order — the pass that turns cleaned text into model input ids'
+    * string form. The merge loop runs once per DISTINCT word
+    * ([[encodeWords]] — vocab-sized work no matter the corpus size),
+    * and documents pick their encodings up by a join on the word (the
+    * planner broadcasts the dictionary when it fits; a 10^7-word vocab
+    * legitimately shuffle-joins). Per-doc reassembly is an array_sort
+    * of that document's (pos, tokens) structs — bounded by one doc,
+    * never a window. Empty/whitespace-only docs surface an empty token
+    * array via the final left join. */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextShingles.words(col(textCol))).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+    val dict = encodeWords(docs, textCol, merges)
+    val perDoc = words
+      .join(dict, col("w") === col("word"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("tokens"))))
+        .as("ps"))
+      .select(col("doc_id"),
+        flatten(transform(col("ps"), p => p.getField("tokens")))
+          .as("tokens"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tokens"), array().cast("array<string>")).as("tokens"))
+      .withColumn("n_subwords", size(col("tokens")).cast("long"))
+  }
 }

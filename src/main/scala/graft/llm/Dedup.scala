@@ -721,6 +721,74 @@ object Dedup {
     kept.unionByName(exempt)
   }
 
+  /** Flagged span starts for [[scrubRepeatedSpans]]: 0-based token
+    * positions `s` such that the n-token window starting at `s` occurs
+    * in ≥ `minDocs` DISTINCT documents. One corpus scan exploding the
+    * sliding windows, one map-side-partial distinct-doc count on the
+    * gram, an ids-only semi join back. Returns (doc_id, s). */
+  def repeatedSpanStarts(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"span width must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val windows = toks
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("s"),
+        col("toks"))
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+        array_join(slice(col("toks"), col("s") + 1, lit(n)), " ").as("gram"))
+    val flagged = windows.groupBy(col("gram"))
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select("gram")
+    windows.join(flagged, Seq("gram")).select(col("doc_id"), col("s"))
+  }
+
+  /** Remove every token covered by a REPEATED SPAN — the fixed-width
+    * approximation of suffix-array substring dedup ("Deduplicating
+    * Training Data Makes Language Models Better"-style): any n-token
+    * run occurring in ≥ `minDocs` distinct documents is scrubbed from
+    * ALL of them, and the survivors re-join into cleaned text. Catches
+    * boilerplate at arbitrary alignment, which paragraph dedup
+    * ([[dedupParagraphInstances]]) misses when the repeat straddles a
+    * paragraph boundary.
+    *
+    * Returns every input document: (doc_id, text, n_removed_tokens) —
+    * untouched docs keep their full text, fully-scrubbed docs surface
+    * the empty string.
+    *
+    * Shape at 100 TB: the window explode is an n× row blow-up INSIDE
+    * the scan stage; the gram count is map-side partial (a boilerplate
+    * gram collapses per task before the shuffle); covered positions
+    * explode only the FLAGGED spans (≪ corpus, factor n bounded);
+    * the scrub is an anti join on (doc_id, pos); reassembly sorts
+    * within one doc. No windows, no collects. */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int, minDocs: Int = 2): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val spans = repeatedSpanStarts(docs, idCol, textCol, n, minDocs)
+    val covered = spans
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (n - 1))).as("pos"))
+      .distinct()
+    val tokens = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "para")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("para"))
+    val kept = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = reassembleParagraphs(kept, sep = " ")
+    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("__kept"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("__orig"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        (col("__orig") - coalesce(col("__kept"), lit(0L)))
+          .as("n_removed_tokens"))
+  }
+
   /** Reassemble documents from surviving paragraph instances:
     * (doc_id, text) with paragraphs re-joined by `sep` in `pos` order.
     * Documents that lost every paragraph are absent — callers wanting

@@ -86,4 +86,31 @@ class BpeSpec extends SparkTestBase {
       assert(toks.mkString.stripSuffix(Bpe.EndOfWord) == w)
     }
   }
+
+  test("encodeDocs tokenizes the corpus in word order; empty docs get empty arrays") {
+    val docs = Seq(
+      (1L, "low lower lowest"),
+      (2L, "lowest low"),
+      (3L, "")).toDF("doc_id", "text")
+    val merges = Bpe.learn(docs, "text", numMerges = 6, minPairCount = 2)
+    assert(merges.nonEmpty)
+    val got = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // the distributed doc encode must equal the driver-side reference:
+    // encodeWord over each doc's words, concatenated in order
+    for ((id, text) <- Seq(1L -> "low lower lowest", 2L -> "lowest low")) {
+      val ref = text.split(" ").toSeq.flatMap(w => Bpe.encodeWord(w, merges))
+      assert(got(id)._1 == ref, s"doc $id: ${got(id)._1} vs $ref")
+      assert(got(id)._2 == ref.length.toLong)
+    }
+    assert(got(3L) == ((Seq.empty[String], 0L)), "empty doc -> empty tokens")
+    // subword round trip: tokens rebuild the original text
+    val rebuilt = got(1L)._1.mkString.replace(Bpe.EndOfWord, " ").trim
+    assert(rebuilt == "low lower lowest")
+    // no Window node in the encode plan
+    val plan = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "doc encode must not plan a Window")
+  }
 }

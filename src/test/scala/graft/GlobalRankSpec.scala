@@ -40,6 +40,42 @@ class GlobalRankSpec extends SparkTestBase {
     }
   }
 
+  test("globalRunningSum equals the single-partition window running sum") {
+    val df = spark.range(0, 5000).select(
+      (col("id") * 7919 % 10007).as("k"),
+      (col("id") % 37 + 1).as("v"))
+    val viaWindow = df.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val viaGlobal = GlobalRank.globalRunningSum(df, Seq(col("k")), "v", "cum")
+    assert(viaGlobal.as("g").join(viaWindow.as("w"), Seq("k"))
+      .filter(col("g.cum") =!= col("w.cum")).count() == 0)
+    // the only window in the plan partitions by the range-partition id —
+    // never a global (empty-partition) window
+    val plan = viaGlobal.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+           !plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      "running sum must not plan an unpartitioned window")
+  }
+
+  test("takeWhileBudget: inclusive boundary, zero-value rows at the edge survive") {
+    val df = Seq((1L, 10L), (2L, 0L), (3L, 5L), (4L, 0L), (5L, 1L))
+      .toDF("id", "v")
+    // cum: 10, 10, 15, 15, 16 — budget 15 keeps ids 1..4 (the zero-value
+    // row AT the boundary included), id 5 tips over
+    val kept = GlobalRank.takeWhileBudget(df, Seq(col("id")), "v", budget = 15L)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(kept.keySet == Set(1L, 2L, 3L, 4L))
+    assert(kept(4L) == 15L)
+    // budget below the first row -> empty prefix
+    assert(GlobalRank.takeWhileBudget(df, Seq(col("id")), "v", 9L).count() == 0)
+    // column guards match the rest of the file's discipline
+    intercept[IllegalArgumentException] {
+      GlobalRank.globalRunningSum(
+        df.withColumn("cum", lit(1L)), Seq(col("id")), "v", "cum")
+    }
+  }
+
   test("scalable ntile plans no window at all") {
     val df = spark.range(0, 100).select(col("id").as("k"))
     val plan = GlobalRank.ntileScalable(df, 4, Seq(col("k")))

@@ -51,6 +51,39 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!plan.contains("Window"), "paragraph dedup must not plan a Window")
   }
 
+  test("repeated-span scrub removes shared runs at any alignment; unique text survives") {
+    val boiler = (1 to 10).map(i => s"B$i").mkString(" ")   // the shared run
+    val df = docs(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"$boiler epsilon zeta eta theta"),              // different alignment
+      (3L, "iota kappa lambda mu nu xi omicron pi rho sigma tau"),
+      (4L, boiler))                                         // nothing but the run
+    // flagged starts: doc 1 at pos 2, doc 2 at pos 0, doc 4 at pos 0
+    val starts = Dedup.repeatedSpanStarts(df, "doc_id", "text", n = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(starts == Set((1L, 2L), (2L, 0L), (4L, 0L)))
+    val out = Dedup.scrubRepeatedSpans(df, "doc_id", "text", n = 10)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == (("alpha beta gamma delta", 10L)))
+    assert(out(2L) == (("epsilon zeta eta theta", 10L)))
+    assert(out(3L)._2 == 0L && out(3L)._1.startsWith("iota"),
+      "unique doc untouched")
+    assert(out(4L) == (("", 10L)), "fully-boilerplate doc scrubs to empty")
+    // overlapping flagged windows must not double-count removals: two
+    // docs sharing an 11-token run flag two overlapping 10-windows whose
+    // union is 11 tokens
+    val run11 = (1 to 11).map(i => s"C$i").mkString(" ")
+    val df2 = docs((1L, s"$run11 tail1 tail2"), (2L, s"pre1 $run11"))
+    val out2 = Dedup.scrubRepeatedSpans(df2, "doc_id", "text", n = 10)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out2 == Map(1L -> 11L, 2L -> 11L))
+    // shape: no Window node anywhere in the scrub plan
+    val plan = Dedup.scrubRepeatedSpans(df, "doc_id", "text", n = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "span scrub must not plan a Window")
+  }
+
   test("minhash signature similarity tracks jaccard; near-dups found, distinct docs not") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = base.replace("today", "tomorrow")

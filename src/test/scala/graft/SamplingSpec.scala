@@ -79,6 +79,52 @@ class SamplingSpec extends SparkTestBase {
     assert(kept.map(_._1).toSet.subsetOf(wider))
   }
 
+  test("mixture sampling derives per-group rates from target shares; clamps oversubscribed groups") {
+    // groups: g0 = 6000 rows, g1 = 2000, g2 = 1000, plus g3 absent from
+    // the shares and some null-group rows
+    val rows = spark.range(0, 9000)
+      .select($"id", when(pmod($"id", lit(10)) === 9, lit(null).cast("string"))
+        .otherwise(concat(lit("g"),
+          when($"id" % 9 < 6, 0).when($"id" % 9 < 8, 1).otherwise(2))).as("g"))
+    // target 1000 rows at shares 50% g0 / 30% g1 / 20% g2:
+    // rate_g0 = 500*1000/6000 ≈ 83, rate_g1 = 300*1000/2000 = 150,
+    // rate_g2 = 200*1000/1000 = 200 per-mille
+    val kept = Sampling.sampleToMixture(rows, Sampling.xxKey($"id"), $"g",
+        Seq("g0" -> 500, "g1" -> 300, "g2" -> 200), targetTotal = 1000L)
+      .as[(Long, String)].collect()
+    val by = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!by.contains(null) && !by.keys.exists(_ == "g3"),
+      "null and unshared groups are dropped")
+    // binomial tolerance: expected 450/270/180 of the non-null population
+    assert(math.abs(by("g0") - 450) < 120, s"g0 ≈ 450, got $by")
+    assert(math.abs(by("g1") - 270) < 100, s"g1 ≈ 270, got $by")
+    assert(math.abs(by("g2") - 180) < 90, s"g2 ≈ 180, got $by")
+    // a group whose target exceeds its population keeps everything
+    val small = spark.range(0, 1100)
+      .select($"id", when($"id" < 100, "rare").otherwise("big").as("g"))
+    val clamped = Sampling.sampleToMixture(small, Sampling.xxKey($"id"), $"g",
+        Seq("rare" -> 500, "big" -> 500), targetTotal = 400L)
+      .as[(Long, String)].collect()
+    assert(clamped.count(_._2 == "rare") == 100,
+      "oversubscribed group clamps to keep-all")
+    // membership is a pure function of the id: raising the target only
+    // ever ADDS rows (same stability contract as the stratified sampler)
+    val keptSet = kept.map(_._1).toSet
+    val wider = Sampling.sampleToMixture(rows, Sampling.xxKey($"id"), $"g",
+        Seq("g0" -> 500, "g1" -> 300, "g2" -> 200), targetTotal = 2000L)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(keptSet.subsetOf(wider), "survivors never churn as the target grows")
+    // contract validation
+    intercept[IllegalArgumentException] {
+      Sampling.sampleToMixture(rows, Sampling.xxKey($"id"), $"g",
+        Seq("g0" -> 999), targetTotal = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.sampleToMixture(rows, Sampling.xxKey($"id"), $"g",
+        Seq("g0" -> 500, "g0" -> 500), targetTotal = 10L)
+    }
+  }
+
   test("salted lcg keys decorrelate decisions drawn from the same id") {
     val keys = ids.select($"id",
         Sampling.lcgKey($"id").as("k0"),
