@@ -741,6 +741,19 @@ object LlmQueries {
       t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
       n = 10, minDocs = 2)
 
+  // Curation v2 composite at the gate: the three round-6 operators
+  // chained the way a production pipeline runs them — paragraph dedup
+  // (q88's boilerplate pass) → repeated-span scrub over the DEDUPED
+  // text (q91 at a finer alignment) → token-budget prefix (q89) to the
+  // compute-matched cut. Every stage is individually hash-checked; this
+  // pins their composition: stage boundaries (emptied docs dropping
+  // out, token recounts on rebuilt text) are where composition bugs
+  // would hide.
+  def q92_curate_v2(s: SparkSession, dir: String): DataFrame =
+    graft.llm.CorpusPipeline.curateSubdocBudget(
+      t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+      budget = 12000L)
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -824,7 +837,8 @@ object LlmQueries {
     "q88_para_dedup"    -> q88_para_dedup _,
     "q89_token_budget"  -> q89_token_budget _,
     "q90_mixture_sample" -> q90_mixture_sample _,
-    "q91_span_scrub"    -> q91_span_scrub _
+    "q91_span_scrub"    -> q91_span_scrub _,
+    "q92_curate_v2"     -> q92_curate_v2 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1663,6 +1677,45 @@ object LlmQueries {
         |SELECT d.doc_id, COALESCE(a.text, '') AS text,
         |       CAST(d.orig - COALESCE(a.nk, 0) AS BIGINT) AS n_removed_tokens
         |FROM (SELECT doc_id, len(string_split(text, ' ')) AS orig FROM documents) d
-        |LEFT JOIN agg a USING (doc_id)""".stripMargin
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // q88's dedup CTE -> q91's scrub CTE over the rebuilt text -> q89's
+    // budget window; fully-scrubbed docs drop out of the token recount
+    // (they have no kept2 rows), matching the Spark-side text<>'' filter
+    "q92_curate_v2" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s0 AS (SELECT doc_id, toks,
+        |         unnest(generate_series(0, (len(toks)-1)//10)) AS pos FROM t0
+        |       WHERE len(toks) >= 1),
+        |paras AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |    array_to_string(toks[pos*10+1 : least(pos*10+10, len(toks))], ' ') AS para
+        |  FROM s0),
+        |kept1 AS (
+        |  SELECT doc_id, pos, para FROM (
+        |    SELECT doc_id, pos, para,
+        |           row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |    FROM paras WHERE length(para) >= 10) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, pos, para FROM paras WHERE length(para) < 10),
+        |d1 AS (SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text
+        |       FROM kept1 GROUP BY doc_id),
+        |t1 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d1),
+        |g AS (SELECT doc_id, i, array_to_string(toks[i:i+9], ' ') AS gram
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks)-9)) AS i FROM t1
+        |            WHERE len(toks) >= 10)),
+        |f AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS df
+        |                        FROM g GROUP BY 1) WHERE df >= 2),
+        |sp AS (SELECT doc_id, i FROM g JOIN f USING (gram)),
+        |cov AS (SELECT DISTINCT doc_id, i + o AS p
+        |        FROM sp CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS o) os),
+        |tok AS (SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p FROM t1),
+        |kept2 AS (SELECT tok.doc_id, tok.w, tok.p FROM tok
+        |          ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p),
+        |d2 AS (SELECT doc_id, count(*) AS n_tokens FROM kept2 GROUP BY doc_id),
+        |c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM d2)
+        |SELECT doc_id, n_tokens, cum FROM c WHERE cum <= 12000""".stripMargin
   )
 }

@@ -105,4 +105,44 @@ object CorpusPipeline {
           allowMissingColumns = true))
     }
   }
+
+  /** SUB-document curation + budget cut — the composition [[clean]]
+    * stops short of: boilerplate paragraphs deduped corpus-wide
+    * (fixed `paraTokens`-token windows as pseudo-paragraphs, for
+    * corpora without structural separators), then repeated spans of
+    * `spanN` tokens scrubbed from the DEDUPED text at arbitrary
+    * alignment, then the surviving corpus cut to `budget` total tokens
+    * in ascending-id order. Returns (doc_id, n_tokens, cum) — the
+    * training-set manifest; join back on doc_id for the cleaned text.
+    *
+    * Every stage is an individually gate-checked operator
+    * (q88/q91/q89); the composition itself is gate query q92 — stage
+    * boundaries (emptied docs dropping out, token recounts on rebuilt
+    * text) are where composition bugs would hide. Fully-scrubbed docs
+    * are excluded before the budget (empty text is not a training
+    * row). Shapes: two groupBy-dedup stages + the pid-partitioned
+    * running-sum window — no corpus-wide windows, no collects beyond
+    * the ≤p offset rows. */
+  def curateSubdocBudget(docs: DataFrame, idCol: String, textCol: String,
+                         budget: Long,
+                         paraTokens: Int = 10, paraMinLen: Int = 10,
+                         spanN: Int = 10, spanMinDocs: Int = 2): DataFrame = {
+    val paras = Chunking.chunkByTokens(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
+        idCols = Seq("doc_id"), textCol = "__t",
+        chunkSize = paraTokens, stride = paraTokens)
+      .select(col("doc_id"), col("chunk_id").as("pos"),
+        col("chunk_text").as("para"))
+    val deduped = Dedup.reassembleParagraphs(
+      Dedup.dedupParagraphInstances(
+        paras, keepFirst = true, minLen = paraMinLen), sep = " ")
+    val scrubbed = Dedup.scrubRepeatedSpans(
+      deduped, idCol = "doc_id", textCol = "text",
+      n = spanN, minDocs = spanMinDocs)
+    val survivors = scrubbed.filter(col("text") =!= "")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    graft.ops.GlobalRank.takeWhileBudget(
+      survivors, Seq(col("doc_id")), "n_tokens", budget)
+  }
 }

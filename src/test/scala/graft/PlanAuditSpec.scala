@@ -217,6 +217,53 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q88/q91: sub-document dedup gates plan partial aggregation, no windows, no cartesian") {
+    for (q <- Seq("q88_para_dedup", "q91_span_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
+        s"$q must stay windowless (keep-first/argmin = min(struct) aggregation)")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q planned an all-pairs join")
+      assert(p.contains("partial_"), s"$q lost map-side partial aggregation")
+    }
+  }
+
+  test("q89: the only window partitions by the range-partition id, never the corpus") {
+    // the budget prefix sum is range-repartitioned with per-partition
+    // offsets; its running-sum window must be keyed by the partition id
+    // (bounded n/p rows) — an unpartitioned window would be the global
+    // single-task sort this operator exists to avoid. The checkpoint
+    // truncates the visible plan, so audit the window's partition spec
+    // in the tail: `windowspecdefinition(<pid expr>, ...)` with a
+    // non-empty partition clause.
+    val p = plan("q89_token_budget")
+    assert(p.contains("windowspecdefinition"), "expected the in-partition running sum")
+    assert(!p.matches("(?s).*windowspecdefinition\\(__mid[^,]*ASC.*"),
+      "window must partition by pid, not merely order globally")
+    assert(p.contains("shiftright"),
+      "window partition key must be the __mid-derived partition id")
+  }
+
+  test("q92: composite curation plans no cartesian and no corpus-wide window") {
+    // stages 1-2 (dedup + scrub) are windowless aggregations; stage 3
+    // contributes the one pid-partitioned running-sum window (see the
+    // q89 audit) — nothing may window over the whole corpus
+    val p = plan("q92_curate_v2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "q92 planned an all-pairs join")
+    if (p.contains("windowspecdefinition"))
+      assert(p.contains("shiftright"),
+        "the only window allowed is the pid-partitioned running sum")
+  }
+
+  test("q90: mixture sampling is a counts join + map-only filter") {
+    val p = plan("q90_mixture_sample")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
+      "q90 must not plan a window")
+    assert(p.contains("partial_count"), "group counts must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("q26/q34: deterministic cosine runs the native kernel, no lambda chains") {
     // the decimal dot must be the fused vec_dot_decimal expression;
     // aggregate/zip_with higher-order lambdas are CodegenFallback and
