@@ -133,16 +133,25 @@ object CorpusPipeline {
         chunkSize = paraTokens, stride = paraTokens)
       .select(col("doc_id"), col("chunk_id").as("pos"),
         col("chunk_text").as("para"))
+    // pin the deduped corpus: the scrub stage reads its input three
+    // times (window explode, span flag-back, final rejoin), and here
+    // that input is the whole chunk+dedup+reassemble lineage — uncached
+    // it recomputes per read (measured 3× the composite's wall time at
+    // sf0.1). The budget stage's eager checkpoint materializes the
+    // result, so the cache is released before returning.
     val deduped = Dedup.reassembleParagraphs(
       Dedup.dedupParagraphInstances(
         paras, keepFirst = true, minLen = paraMinLen), sep = " ")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scrubbed = Dedup.scrubRepeatedSpans(
       deduped, idCol = "doc_id", textCol = "text",
       n = spanN, minDocs = spanMinDocs)
     val survivors = scrubbed.filter(col("text") =!= "")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    graft.ops.GlobalRank.takeWhileBudget(
+    val result = graft.ops.GlobalRank.takeWhileBudget(
       survivors, Seq(col("doc_id")), "n_tokens", budget)
+    deduped.unpersist(false)
+    result
   }
 }
