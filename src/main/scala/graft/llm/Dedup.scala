@@ -667,6 +667,73 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Incremental exact dedup — the continuous-ingest shape of [[exact]]:
+  // the accumulated corpus is represented by its (content_hash, doc_id)
+  // index in a store table, each incoming batch anti-joins it, and the
+  // index grows by the batch's novel hashes. Build once, probe many —
+  // the same contract as the decontamination index (q85), completing
+  // the pair: substring-level (winnowing postings) and document-level
+  // (content hashes) both probe persisted state.
+  // -------------------------------------------------------------------
+
+  /** (Re)build the exact-dedup index for `prefix`: one row per distinct
+    * content hash with its min-id survivor. Index size ∝ DISTINCT
+    * documents, not corpus bytes. */
+  def buildExactIndex(store: graft.io.TableStore, prefix: String,
+                      corpus: DataFrame, idCol: String, textCol: String): Unit =
+    store.overwrite(s"$prefix.hashes",
+      corpus.groupBy(xxhash64(col(textCol)).as("content_hash"))
+        .agg(min(col(idCol)).as("survivor_id")))
+
+  /** The batch rows whose content is NOT already in the index, deduped
+    * within the batch too (min id per content survives — a batch that
+    * repeats itself must not pass wholesale). Anti join on the 8-byte
+    * hash: the index side ships no text, so the probe moves hashes,
+    * never documents. Same collision stance as [[exact]]: xxhash64 over
+    * full content (collision odds ≪ data-corruption odds; callers
+    * needing certainty re-verify text equality on the survivor join). */
+  def dedupAgainstIndex(store: graft.io.TableStore, prefix: String,
+                        batch: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    require(!batch.columns.contains("content_hash"),
+      "batch frame already carries the helper column content_hash")
+    val indexed = store.read(s"$prefix.hashes").select("content_hash")
+    val hashed = batch.withColumn("content_hash", xxhash64(col(textCol)))
+    val firstInBatch = hashed
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("__first_id"))
+    hashed
+      .join(firstInBatch,
+        hashed("content_hash") === firstInBatch("content_hash") &&
+          col(idCol) === col("__first_id"))
+      .drop(firstInBatch("content_hash")).drop("__first_id")
+      .join(indexed, Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+  }
+
+  /** Admit a batch: return its novel rows AND grow the index by their
+    * hashes (append-only — existing survivors never change). The novel
+    * frame is CHECKPOINTED before the append: its lineage reads the
+    * pre-append index, and a later action on a merely-cached (or
+    * uncached) frame would recompute against the mutated table and
+    * silently return nothing. Reliable checkpoint when a checkpoint
+    * dir is configured, executor-local otherwise (the globalRowNumber
+    * convention). */
+  def updateExactIndex(store: graft.io.TableStore, prefix: String,
+                       batch: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val novel0 = dedupAgainstIndex(store, prefix, batch, idCol, textCol)
+    val novel =
+      if (batch.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        novel0.checkpoint()
+      else novel0.localCheckpoint()
+    store.append(s"$prefix.hashes",
+      novel.select(xxhash64(col(textCol)).as("content_hash"),
+        col(idCol).as("survivor_id")))
+    novel
+  }
+
+  // -------------------------------------------------------------------
   // Paragraph-level (sub-document) dedup — the C4/RefinedWeb cleaning
   // step: a boilerplate paragraph repeated across the corpus (headers,
   // navigation, license blocks) is removed from every document while the

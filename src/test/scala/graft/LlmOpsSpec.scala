@@ -16,6 +16,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == Set((1L, 3L), (3L, 1L)))
   }
 
+  test("incremental exact dedup: batches probe the persisted index, novel hashes accumulate") {
+    val store = new graft.io.ParquetTableStore(spark, tmpDir("dedup-idx"))
+    Dedup.buildExactIndex(store, "ix",
+      docs((1L, "aa bb"), (2L, "cc dd"), (3L, "aa bb")), "doc_id", "text")
+    // index holds one row per distinct content with the min-id survivor
+    val idx = store.read("ix.hashes").select("survivor_id")
+      .as[Long].collect().toSet
+    assert(idx == Set(1L, 2L))
+    // batch: 10 dups corpus content, 11/13 repeat each other, 12 novel
+    val batch = docs((10L, "aa bb"), (11L, "ee ff"), (12L, "gg hh"), (13L, "ee ff"))
+    val novel = Dedup.dedupAgainstIndex(store, "ix", batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(novel == Set(11L, 12L), "corpus dup and within-batch later copy must drop")
+    // admit the batch; the returned frame must survive RE-ACTIONS after
+    // the index has grown under its lineage (checkpoint contract)
+    val admitted = Dedup.updateExactIndex(store, "ix", batch, "doc_id", "text")
+    assert(admitted.select("doc_id").as[Long].collect().toSet == Set(11L, 12L))
+    assert(admitted.count() == 2, "re-action after the append must not recompute to empty")
+    // a second batch repeating batch-1 content is now fully known
+    val second = Dedup.dedupAgainstIndex(store, "ix",
+      docs((20L, "ee ff"), (21L, "ii jj")), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(second == Set(21L))
+    assert(store.read("ix.hashes").count() == 4,
+      "index = 2 seed + 2 admitted contents")
+  }
+
   test("paragraph dedup: keep-first vs drop-all, minLen exemption, ordered reassembly") {
     // boilerplate "HEADER TEXT HERE" repeats across docs 1/2/3; "ok" is a
     // short connective under minLen; doc 3 is all boilerplate
