@@ -739,7 +739,7 @@ object LlmQueries {
   def q91_span_scrub(s: SparkSession, dir: String): DataFrame =
     graft.llm.Dedup.scrubRepeatedSpans(
       t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
-      n = 10, minDocs = 2)
+      n = 10, minDocs = 2, hashGrams = false)
 
   // Curation v2 composite at the gate: the three round-6 operators
   // chained the way a production pipeline runs them — paragraph dedup
@@ -752,7 +752,7 @@ object LlmQueries {
   def q92_curate_v2(s: SparkSession, dir: String): DataFrame =
     graft.llm.CorpusPipeline.curateSubdocBudget(
       t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
-      budget = 12000L)
+      budget = 12000L, spanHashGrams = false)
 
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional

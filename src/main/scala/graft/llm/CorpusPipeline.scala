@@ -126,7 +126,8 @@ object CorpusPipeline {
   def curateSubdocBudget(docs: DataFrame, idCol: String, textCol: String,
                          budget: Long,
                          paraTokens: Int = 10, paraMinLen: Int = 10,
-                         spanN: Int = 10, spanMinDocs: Int = 2): DataFrame = {
+                         spanN: Int = 10, spanMinDocs: Int = 2,
+                         spanHashGrams: Boolean = true): DataFrame = {
     val paras = Chunking.chunkByTokens(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("__t")),
         idCols = Seq("doc_id"), textCol = "__t",
@@ -145,7 +146,7 @@ object CorpusPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scrubbed = Dedup.scrubRepeatedSpans(
       deduped, idCol = "doc_id", textCol = "text",
-      n = spanN, minDocs = spanMinDocs)
+      n = spanN, minDocs = spanMinDocs, hashGrams = spanHashGrams)
     val survivors = scrubbed.filter(col("text") =!= "")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))

@@ -792,25 +792,36 @@ object Dedup {
     * positions `s` such that the n-token window starting at `s` occurs
     * in ≥ `minDocs` DISTINCT documents. One corpus scan exploding the
     * sliding windows, one map-side-partial distinct-doc count on the
-    * gram, an ids-only semi join back. Returns (doc_id, s). */
+    * window key, an ids-only semi join back. Returns (doc_id, s).
+    *
+    * `hashGrams = true` (production default) keys the count and the
+    * flag-back join on `xxhash64(gram)` — the window frame is an
+    * n×-corpus row blow-up, and shipping an 8-byte key instead of the
+    * n-token string cuts its shuffle severalfold. A hash collision
+    * over-flags one span (scrubs non-repeated content) at ~2⁻⁶⁴ odds —
+    * the [[exact]]-dedup stance. The gate queries pass `false`: raw
+    * gram strings, bit-exact to the DuckDB oracle by construction
+    * (the q71 xxhash64-production / exact-gate pattern). */
   def repeatedSpanStarts(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int, minDocs: Int = 2): DataFrame = {
+                         n: Int, minDocs: Int = 2,
+                         hashGrams: Boolean = true): DataFrame = {
     require(n >= 1, s"span width must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("toks"))
+    val gram = array_join(slice(col("toks"), col("s") + 1, lit(n)), " ")
     val windows = toks
       .where(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(sequence(lit(0), size(col("toks")) - n)).as("s"),
         col("toks"))
       .select(col("doc_id"), col("s").cast("long").as("s"),
-        array_join(slice(col("toks"), col("s") + 1, lit(n)), " ").as("gram"))
-    val flagged = windows.groupBy(col("gram"))
+        (if (hashGrams) xxhash64(gram) else gram).as("k"))
+    val flagged = windows.groupBy(col("k"))
       .agg(count_distinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= minDocs)
-      .select("gram")
-    windows.join(flagged, Seq("gram")).select(col("doc_id"), col("s"))
+      .select("k")
+    windows.join(flagged, Seq("k")).select(col("doc_id"), col("s"))
   }
 
   /** Remove every token covered by a REPEATED SPAN — the fixed-width
@@ -833,10 +844,11 @@ object Dedup {
     * the scrub is an anti join on (doc_id, pos); reassembly sorts
     * within one doc. No windows, no collects. */
   def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int, minDocs: Int = 2): DataFrame = {
+                         n: Int, minDocs: Int = 2,
+                         hashGrams: Boolean = true): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("toks"))
-    val spans = repeatedSpanStarts(docs, idCol, textCol, n, minDocs)
+    val spans = repeatedSpanStarts(docs, idCol, textCol, n, minDocs, hashGrams)
     val covered = spans
       .select(col("doc_id"),
         explode(sequence(col("s"), col("s") + (n - 1))).as("pos"))

@@ -109,6 +109,19 @@ class LlmOpsSpec extends SparkTestBase {
     val plan = Dedup.scrubRepeatedSpans(df, "doc_id", "text", n = 10)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "span scrub must not plan a Window")
+    // production hashed-gram mode == exact-string gate mode (collisions
+    // aside, which 2^-64 makes unobservable here), and the hashed plan
+    // must not carry gram strings into the count exchange
+    val hashed = Dedup.scrubRepeatedSpans(df, "doc_id", "text", n = 10,
+        hashGrams = true)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = Dedup.scrubRepeatedSpans(df, "doc_id", "text", n = 10,
+        hashGrams = false)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(hashed == exact, "hashed and exact gram modes must agree")
+    val hplan = Dedup.repeatedSpanStarts(df, "doc_id", "text", n = 10)
+      .queryExecution.executedPlan.toString
+    assert(hplan.contains("xxhash64"), "production mode must key on the hash")
   }
 
   test("minhash signature similarity tracks jaccard; near-dups found, distinct docs not") {
