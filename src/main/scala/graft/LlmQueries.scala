@@ -754,6 +754,50 @@ object LlmQueries {
       t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
       budget = 12000L, spanHashGrams = false)
 
+  // SEMANTIC dedup at the gate (Dedup.semanticDedup — SemDeDup):
+  // cluster the embedding space on the 8 pinned iters=0 centroids
+  // (q61's deterministic "init"), then flag within-cluster cosine
+  // near-dups keep-first. Fixture plants a ×1.001-scaled copy of every
+  // vector (the q34 corpus): same direction ⇒ same nearest centroid ⇒
+  // every planted copy is a within-cluster loser. Deterministic cosine
+  // (decimal sums, double finish) makes the ≥ 0.999 threshold
+  // bit-stable cross-engine.
+  def q93_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val planted = emb.unionByName(emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding")))
+    graft.llm.Dedup.semanticDedup(planted, "vec_id", "embedding",
+      centroids = emb.filter(col("vec_id") < 8),
+      centroidIdCol = "vec_id", centroidVecCol = "embedding",
+      minCosine = 0.999, deterministic = true)
+  }
+
+  // Quality-aware cluster resolution at the gate
+  // (Dedup.resolveClustersBest): the q82 near-dup components resolved
+  // to their LONGEST member (token count as the quality score, ties →
+  // lowest id) instead of blind min-id — the keep-best step a real
+  // pipeline runs after transitive clustering. Integer scores, so the
+  // argmax is cross-engine exact.
+  def q94_cluster_best(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.llm.Dedup.winnowingOverlapPairs(
+      docs, idCol = "doc_id", textCol = "text",
+      minShared = 2, ngram = 3, window = 4, maxDf = 50,
+      hashFn = graft.llm.TextAnalysis.md5Hash60)
+    val comps = graft.llm.Dedup.connectedComponents(
+      pairs.select(col("doc_a").as("id_a"), col("doc_b").as("id_b")))
+    graft.llm.Dedup.resolveClustersBest(
+        comps.select(col("id").cast("long").as("doc_id"),
+          col("comp").cast("long").as("comp_id")),
+        docs.select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_toks")),
+        idCol = "doc_id", compCol = "comp_id", scoreCol = "n_toks")
+      .select(col("doc_id"), col("comp_id"),
+        col("survivor_id").cast("long").as("survivor_id"))
+  }
+
   // Bigram language model at the gate (llm/LanguageModel.topFollowers):
   // top-3 followers of every frequent head word by rational conditional
   // probability pair_cnt/head_cnt — one decimal division, identical in
@@ -838,7 +882,9 @@ object LlmQueries {
     "q89_token_budget"  -> q89_token_budget _,
     "q90_mixture_sample" -> q90_mixture_sample _,
     "q91_span_scrub"    -> q91_span_scrub _,
-    "q92_curate_v2"     -> q92_curate_v2 _
+    "q92_curate_v2"     -> q92_curate_v2 _,
+    "q93_semantic_dedup" -> q93_semantic_dedup _,
+    "q94_cluster_best"  -> q94_cluster_best _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1716,6 +1762,77 @@ object LlmQueries {
         |        CAST(sum(n_tokens) OVER (ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         |      FROM d2)
-        |SELECT doc_id, n_tokens, cum FROM c WHERE cum <= 12000""".stripMargin
+        |SELECT doc_id, n_tokens, cum FROM c WHERE cum <= 12000""".stripMargin,
+    // SemDeDup: q61's assignment recipe + q34's deterministic-cosine
+    // pair recipe, pairs restricted to a shared centroid_id
+    "q93_semantic_dedup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |         list_transform(embedding, x -> CAST(x * CAST(1.001 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM base),
+        |nv AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM corpus),
+        |c AS (SELECT vec_id AS centroid_id, embedding AS cvec, nrm AS cnrm FROM nv WHERE vec_id < 8),
+        |p AS (
+        |  SELECT v.vec_id, c.centroid_id,
+        |    CAST(v.nrm AS DOUBLE) + CAST(c.cnrm AS DOUBLE)
+        |    - 2*CAST(list_sum(list_transform(list_zip(v.embedding, c.cvec),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) AS dist2
+        |  FROM nv v CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT vec_id, centroid_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rn
+        |    FROM p) WHERE rn = 1),
+        |av AS (SELECT a.vec_id, a.centroid_id, n.embedding, n.nrm FROM asg a JOIN nv n USING (vec_id)),
+        |losers AS (
+        |  SELECT DISTINCT b.vec_id AS vec_id
+        |  FROM av a JOIN av b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |  WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= 0.999)
+        |SELECT v.vec_id, v.centroid_id,
+        |  CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        |FROM asg v LEFT JOIN losers l ON v.vec_id = l.vec_id""".stripMargin,
+    // q82's component closure resolved to the max-token (tie min-id)
+    // member; score compared as DOUBLE on both sides (integer-valued)
+    "q94_cluster_best" ->
+      """WITH RECURSIVE raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, i, len(toks) - 2 AS n,
+        |        ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks)-2)) AS i FROM raw
+        |            WHERE len(toks) >= 3)),
+        |m AS (SELECT doc_id, i, n,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE i <= greatest(n-4, 0) + 1),
+        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+        |f2 AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |walk AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+        |comp AS (SELECT node AS doc_id, min(lbl) AS comp_id FROM walk GROUP BY node),
+        |tc AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS sc FROM documents),
+        |j AS (SELECT c.doc_id, c.comp_id, t.sc FROM comp c JOIN tc t USING (doc_id)),
+        |mx AS (SELECT comp_id, max(sc) AS ms FROM j GROUP BY comp_id),
+        |best AS (SELECT j.comp_id, min(j.doc_id) AS survivor_id
+        |         FROM j JOIN mx ON j.comp_id = mx.comp_id AND j.sc = mx.ms
+        |         GROUP BY j.comp_id)
+        |SELECT j.doc_id, j.comp_id, b.survivor_id
+        |FROM j JOIN best b ON j.comp_id = b.comp_id""".stripMargin
   )
 }

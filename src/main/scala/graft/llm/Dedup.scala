@@ -881,4 +881,88 @@ object Dedup {
       .select(col("doc_id"),
         array_join(transform(col("ps"), p => p.getField("para")), sep)
           .as("text"))
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space by k-means
+    * assignment to `centroids`, then compare pairs ONLY within a
+    * cluster — the move that turns all-pairs cosine dedup (O(n²) at
+    * corpus scale) into Σ cluster², with k sized so a cluster's pair
+    * join fits a task. A doc is a duplicate iff some LOWER-id doc in
+    * its cluster has cosine ≥ `minCosine` — the keep-first stance of
+    * [[exact]], deterministic under any partitioning.
+    *
+    * Scale shape: centroids broadcast (k rows, caller-bounded), the
+    * within-cluster self-join is one shuffle on centroid_id, and
+    * clusters larger than `maxClusterSize` skip pairing entirely
+    * (their members all survive — under-dedup on pathological skew,
+    * never a wrong drop, never a cluster²-blow-up task). The guard is
+    * a groupBy+join count, no window anywhere.
+    *
+    * `deterministic = true` computes the verify cosine with exact
+    * decimal sums (cross-engine bit-stable — the gate form);
+    * production uses the fused native cosine kernel.
+    *
+    * Returns one row per input doc: (vec_id, centroid_id, keep) with
+    * keep ∈ {0, 1}. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, centroidIdCol: String,
+                    centroidVecCol: String, minCosine: Double,
+                    deterministic: Boolean = false,
+                    maxClusterSize: Int = 100000): DataFrame = {
+    require(maxClusterSize >= 2,
+      s"maxClusterSize must be >= 2, got $maxClusterSize")
+    val assigned = Similarity.assignToCentroids(emb, centroids,
+        idCol, vecCol, centroidIdCol, centroidVecCol)
+      .select(col("vec_id"), col("centroid_id"))
+    val withVec = assigned.join(
+      emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v")),
+      Seq("vec_id"))
+    val sizes = withVec.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__csz"))
+    val paired = withVec.join(sizes, Seq("centroid_id"))
+      .filter(col("__csz") <= maxClusterSize)
+      .withColumn("__n", Similarity.norm2Decimal(col("__v")))
+    val a = paired.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("__v").as("va"), col("__n").as("na"))
+    val b = paired.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("__v").as("vb"), col("__n").as("nb"))
+    val cos =
+      if (deterministic)
+        Similarity.cosineDeterministic(col("va"), col("vb"),
+          col("na"), col("nb"))
+      else Similarity.cosine(col("va"), col("vb"))
+    val losers = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b") && cos >= lit(minCosine))
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(losers.withColumn("__dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        when(col("__dup").isNotNull, lit(0)).otherwise(lit(1)).as("keep"))
+  }
+
+  /** QUALITY-AWARE cluster resolution: given near-dup clusters
+    * (`idCol`, `compCol` — e.g. [[connectedComponents]] output) and
+    * per-doc quality scores, keep the HIGHEST-scoring member of each
+    * cluster (ties → lowest id) instead of [[nearDupLosers]]'s blind
+    * min-id — what a production pipeline actually wants when one copy
+    * of a near-dup group is the longer / cleaner one. One
+    * map-side-partial min(struct) groupBy on the component id — never
+    * a window; ids-only shuffle (scores ride as one numeric column).
+    *
+    * Returns (idCol, compCol, survivor_id) for every clustered doc;
+    * survivors are the rows with idCol == survivor_id. */
+  def resolveClustersBest(components: DataFrame, scores: DataFrame,
+                          idCol: String = "id", compCol: String = "comp",
+                          scoreCol: String = "score"): DataFrame = {
+    val joined = components
+      .select(col(idCol).as("__id"), col(compCol).as("__comp"))
+      .join(scores.select(col(idCol).as("__id"),
+        col(scoreCol).cast("double").as("__s")), Seq("__id"))
+    val best = joined.groupBy(col("__comp"))
+      .agg(min(struct((-col("__s")).as("ns"), col("__id").as("id")))
+        .as("m"))
+      .select(col("__comp"), col("m.id").as("survivor_id"))
+    joined.join(best, Seq("__comp"))
+      .select(col("__id").as(idCol), col("__comp").as(compCol),
+        col("survivor_id"))
+  }
 }

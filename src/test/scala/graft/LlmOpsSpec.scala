@@ -579,4 +579,54 @@ class LlmOpsSpec extends SparkTestBase {
     val rp = Multimodal.resizePlan(media.toDF(), maxSide = 64)
     assert(rp.select(max($"out_w")).head().getInt(0) <= 64)
   }
+
+  test("semantic dedup flags within-cluster cosine dups keep-first; guard and plan") {
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .limit(100).select($"vec_id", $"embedding")
+    val planted = emb.unionByName(emb.select(($"vec_id" + 1000000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.001f)).as("embedding")))
+    val cents = emb.filter($"vec_id" < 4)
+    val out = Dedup.semanticDedup(planted, "vec_id", "embedding",
+      cents, "vec_id", "embedding", minCosine = 0.999)
+    val rows = out.select($"vec_id", $"keep").as[(Long, Int)].collect().toMap
+    assert(rows.size == 200)
+    // keep-first: every original survives, every planted higher-id copy
+    // is its cluster-mate loser
+    assert((0L until 100L).forall(rows(_) == 1), "originals must survive")
+    assert((0L until 100L).forall(i => rows(i + 1000000L) == 0),
+      "planted scaled copies must be flagged")
+    // production (native cosine) agrees on this fixture
+    val prod = Dedup.semanticDedup(planted, "vec_id", "embedding",
+        cents, "vec_id", "embedding", minCosine = 0.999, deterministic = false)
+      .select($"vec_id", $"keep").as[(Long, Int)].collect().toMap
+    assert(prod == rows)
+    // cluster-size guard: clusters over the cap skip pairing — every
+    // doc survives (under-dedup, never a wrong drop or a fat task)
+    val guarded = Dedup.semanticDedup(planted, "vec_id", "embedding",
+        cents, "vec_id", "embedding", minCosine = 0.999, maxClusterSize = 2)
+      .select($"keep").as[Int].collect()
+    assert(guarded.forall(_ == 1), "oversized clusters must skip pairing")
+    // scale shape: no window, no cartesian; the only crossJoin is the
+    // broadcast centroid table inside assignToCentroids
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "semantic dedup must not plan a Window")
+    assert(!plan.contains("CartesianProduct"),
+      "the within-cluster pair join must be an equi-join on centroid_id")
+  }
+
+  test("cluster resolution keeps the best-scoring member, ties to lowest id") {
+    val comps = Seq((1L, 1L), (5L, 1L), (9L, 1L), (20L, 20L), (21L, 20L))
+      .toDF("id", "comp")
+    val scores = Seq((1L, 10.0), (5L, 30.0), (9L, 30.0), (20L, 2.0), (21L, 7.0))
+      .toDF("id", "score")
+    val out = Dedup.resolveClustersBest(comps, scores)
+    val got = out.select($"id", $"comp", $"survivor_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // cluster 1: max score 30 shared by 5 and 9 → tie to 5; cluster 20:
+    // 21 outscores the min-id member
+    assert(got == Set((1L, 1L, 5L), (5L, 1L, 5L), (9L, 1L, 5L),
+      (20L, 20L, 21L), (21L, 20L, 21L)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "argmax must be a min(struct) groupBy, not a window")
+  }
 }

@@ -275,4 +275,26 @@ class PlanAuditSpec extends SparkTestBase {
         s"$q plans an interpreted higher-order lambda chain")
     }
   }
+
+  test("q93: semantic dedup — native kernel, windowless, pairs equi-join on cluster") {
+    val p = plan("q93_semantic_dedup")
+    assert(p.contains("vec_dot_decimal"), "q93 lost the native decimal-dot kernel")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
+      "assignment argmin and keep-first must be aggregations, not windows")
+    // the only nested-loop allowed is the k-row broadcast centroid
+    // cross join inside assignToCentroids (k caller-bounded); the pair
+    // join itself must never go cartesian over the corpus
+    assert(!p.contains("CartesianProduct"),
+      "within-cluster pairing must equi-join on centroid_id")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "q93 lost map-side partial aggregation")
+  }
+
+  test("q94: cluster resolution argmax is a partial min(struct) groupBy, no window") {
+    val p = plan("q94_cluster_best")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
+      "survivor selection must not plan a window")
+    assert(p.contains("partial_min"), "argmax must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }
