@@ -774,6 +774,21 @@ object LlmQueries {
       minCosine = 0.999, deterministic = true)
   }
 
+  // TOKEN-budget mixture sampling at the gate
+  // (Sampling.sampleToMixtureWeighted): the q90 composition step with
+  // targets in TOKENS — per-language keep rates derived from token
+  // SUMS, the way a training-mixture spec is actually written. fr's
+  // budget exceeds its population → rate clamps to keep-all (pinned);
+  // the others land partial rates. All long math + the LCG key.
+  def q95_token_mixture(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sampleToMixtureWeighted(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_toks")),
+      graft.ops.Sampling.lcgKey(col("doc_id")), col("lang"),
+      col("n_toks"),
+      Seq("en" -> 300, "zh" -> 150, "es" -> 100, "de" -> 50, "fr" -> 400),
+      targetWeight = 12000L)
+
   // Quality-aware cluster resolution at the gate
   // (Dedup.resolveClustersBest): the q82 near-dup components resolved
   // to their LONGEST member (token count as the quality score, ties →
@@ -884,7 +899,8 @@ object LlmQueries {
     "q91_span_scrub"    -> q91_span_scrub _,
     "q92_curate_v2"     -> q92_curate_v2 _,
     "q93_semantic_dedup" -> q93_semantic_dedup _,
-    "q94_cluster_best"  -> q94_cluster_best _
+    "q94_cluster_best"  -> q94_cluster_best _,
+    "q95_token_mixture" -> q95_token_mixture _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1833,6 +1849,19 @@ object LlmQueries {
         |         FROM j JOIN mx ON j.comp_id = mx.comp_id AND j.sc = mx.ms
         |         GROUP BY j.comp_id)
         |SELECT j.doc_id, j.comp_id, b.survivor_id
-        |FROM j JOIN best b ON j.comp_id = b.comp_id""".stripMargin
+        |FROM j JOIN best b ON j.comp_id = b.comp_id""".stripMargin,
+    // q90's rate derivation over token SUMS instead of row counts
+    "q95_token_mixture" ->
+      """WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks FROM documents),
+        |c AS (SELECT lang, sum(n_toks) AS w FROM d GROUP BY 1),
+        |r AS (SELECT lang, w,
+        |        CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 150
+        |                  WHEN 'es' THEN 100 WHEN 'de' THEN 50
+        |                  WHEN 'fr' THEN 400 ELSE 0 END AS share
+        |      FROM c),
+        |rr AS (SELECT lang, CASE WHEN share = 0 OR w <= 0 THEN 0
+        |        ELSE least(1000, ((12000 * share) // 1000) * 1000 // w) END AS rate FROM r)
+        |SELECT doc_id, lang, n_toks FROM d JOIN rr USING (lang)
+        |WHERE ((doc_id * 1103515245 + 12345) % 1000000007) % 1000 < rate""".stripMargin
   )
 }

@@ -208,4 +208,49 @@ object Sampling {
       .filter(key < rate)
       .drop("__mix_g", "__mix_cnt", "__mix_share")
   }
+
+  /** [[sampleToMixture]] with WEIGHTED group sizes — the form a
+    * training-mixture spec actually uses: targets are TOKEN budgets,
+    * not document counts (a group of few huge documents must
+    * downsample harder than its row count suggests). `weight` is a
+    * non-negative integer column (per-doc token count, byte size, …);
+    * each group's keep rate derives from its weight SUM —
+    * `rate_g = min(1000, (targetWeight·share_g DIV 1000)·1000 DIV w_g)`
+    * — while membership stays the per-ROW `key` filter, so the kept
+    * WEIGHT per group is rate_g·w_g/1000 in expectation. Same integer
+    * long math (bit-reproducible cross-engine, gate q95), same
+    * approximation stance as [[sampleToMixture]] (clamped rates
+    * keep-all; under-populated groups cannot be upsampled), same
+    * one-groupBy + join + map-only-filter shape. A group whose weight
+    * sum is ≤ 0 is dropped (nothing to budget). */
+  def sampleToMixtureWeighted(df: DataFrame, key: Column, groupCol: Column,
+                              weight: Column,
+                              sharesPerMille: Seq[(String, Int)],
+                              targetWeight: Long): DataFrame = {
+    require(sharesPerMille.nonEmpty && sharesPerMille.forall(_._2 >= 0),
+      "mixture shares must be non-negative")
+    require(sharesPerMille.map(_._2).sum == Mille,
+      s"per-mille mixture shares must sum to $Mille")
+    require(sharesPerMille.map(_._1).distinct.size == sharesPerMille.size,
+      "duplicate group in share list")
+    require(targetWeight >= 0 && targetWeight <= Long.MaxValue / Mille,
+      s"targetWeight must be in [0, ${Long.MaxValue / Mille}] " +
+        s"(share arithmetic is per-mille in long math), got $targetWeight")
+    for (c <- Seq("__mix_g", "__mix_w", "__mix_share"))
+      require(!df.columns.contains(c),
+        s"input frame already carries the helper column $c")
+    val share = sharesPerMille.foldLeft(lit(0L): Column) {
+      case (els, (g, w)) => when(groupCol === g, lit(w.toLong)).otherwise(els)
+    }
+    val weights = df.groupBy(groupCol.as("__mix_g"))
+      .agg(sum(weight.cast("long")).as("__mix_w"))
+    val rate = when(col("__mix_share") === 0L || col("__mix_w") <= 0L, lit(0L))
+      .otherwise(least(lit(Mille),
+        expr(s"((${targetWeight}L * __mix_share) DIV ${Mille}L) " +
+          s"* ${Mille}L DIV __mix_w")))
+    df.withColumn("__mix_share", share)
+      .join(weights, groupCol === col("__mix_g"))
+      .filter(key < rate)
+      .drop("__mix_g", "__mix_w", "__mix_share")
+  }
 }

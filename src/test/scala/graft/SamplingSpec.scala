@@ -125,6 +125,48 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("weighted mixture derives rates from weight sums, not row counts") {
+    // two groups with EQUAL row counts but 10× different weights: a
+    // count-based mixture would give them equal rates; the weighted
+    // form must downsample the heavy group 10× harder
+    val rows = spark.range(0, 2000)
+      .select($"id", when($"id" % 2 === 0, "heavy").otherwise("light").as("g"),
+        when($"id" % 2 === 0, 100L).otherwise(10L).as("w"))
+    // weights: heavy = 100k, light = 10k. target 10k at 50/50 shares →
+    // rate_heavy = 5000*1000/100000 = 50‰, rate_light = 5000*1000/10000
+    // = 500‰ — kept WEIGHT ≈ 5k each despite the 10× row asymmetry
+    val kept = Sampling.sampleToMixtureWeighted(rows, Sampling.xxKey($"id"),
+        $"g", $"w", Seq("heavy" -> 500, "light" -> 500), targetWeight = 10000L)
+      .as[(Long, String, Long)].collect()
+    val wBy = kept.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(math.abs(wBy("heavy") - 5000L) < 2500, s"heavy weight ≈ 5k, got $wBy")
+    assert(math.abs(wBy("light") - 5000L) < 2500, s"light weight ≈ 5k, got $wBy")
+    // oversubscribed on WEIGHT clamps to keep-all
+    val clamped = Sampling.sampleToMixtureWeighted(rows, Sampling.xxKey($"id"),
+        $"g", $"w", Seq("heavy" -> 500, "light" -> 500), targetWeight = 30000L)
+      .as[(Long, String, Long)].collect()
+    assert(clamped.count(_._2 == "light") == 1000,
+      "light's 15k budget exceeds its 10k population → keep-all")
+    // a zero-weight group has nothing to budget and is dropped
+    val zero = rows.withColumn("w", when($"g" === "light", 0L).otherwise($"w"))
+    val z = Sampling.sampleToMixtureWeighted(zero, Sampling.xxKey($"id"),
+        $"g", $"w", Seq("heavy" -> 500, "light" -> 500), targetWeight = 10000L)
+      .as[(Long, String, Long)].collect()
+    assert(!z.exists(_._2 == "light"), "zero-weight group must drop, not divide by zero")
+    // survivors never churn as the target grows
+    val keptSet = kept.map(_._1).toSet
+    val wider = Sampling.sampleToMixtureWeighted(rows, Sampling.xxKey($"id"),
+        $"g", $"w", Seq("heavy" -> 500, "light" -> 500), targetWeight = 20000L)
+      .as[(Long, String, Long)].collect().map(_._1).toSet
+    assert(keptSet.subsetOf(wider))
+    // plan shape: counts join + map-only filter, no window
+    val plan = Sampling.sampleToMixtureWeighted(rows, Sampling.xxKey($"id"),
+        $"g", $"w", Seq("heavy" -> 500, "light" -> 500), targetWeight = 10000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "weighted mixture must not plan a window")
+    assert(plan.contains("partial_sum"), "weight sums must combine map-side")
+  }
+
   test("salted lcg keys decorrelate decisions drawn from the same id") {
     val keys = ids.select($"id",
         Sampling.lcgKey($"id").as("k0"),
