@@ -734,6 +734,136 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Incremental FUZZY dedup: continuous-ingest near-dup filtering
+  // against a persisted MinHash-LSH index. The accumulated corpus is
+  // represented by its signatures + band keys (8-byte rows — no text
+  // ships at probe time); each arriving batch computes signatures only
+  // for ITSELF, band-joins the stored keys for candidates, verifies by
+  // signature agreement, and drops within-batch near-dups keep-first.
+  // Completes the build-once/probe-many family next to the exact-hash
+  // index ([[buildExactIndex]]) and the decontamination index
+  // ([[buildDecontamIndex]]).
+  // -------------------------------------------------------------------
+
+  /** (doc_id, band, bucket) band keys of a signature frame — the same
+    * banding math as [[minHashCandidates]] (bucket = xxhash64 of the
+    * band's signature slice), shared by the batch path and the index. */
+  private def bandRowsOf(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    sig.select(col("doc_id"),
+      explode(array((0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          xxhash64(slice(col("sig"), bnd * rows + 1, rows)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
+  /** MinHash signature-agreement of two equal-length signature arrays
+    * — the verify score of [[minHashCandidates]], factored for the
+    * index probe. */
+  private def sigAgreement(a: Column, b: Column, k: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+      .cast("double") / lit(k)
+
+  /** Build the persisted fuzzy index over the accumulated corpus:
+    * `prefix.sigs` (doc_id, sig), `prefix.bands` (doc_id, band,
+    * bucket — hot buckets over `maxBucketSize` dropped at build so a
+    * boilerplate bucket can't blow up every future probe), and
+    * `prefix.meta` pinning (k, bands, ngram, seed, threshold params)
+    * so a probe with mismatched hashing fails loudly. Banding reads
+    * the STORED signature table — one signature computation, and the
+    * band lineage is a parquet scan, not a recompute. */
+  def buildFuzzyIndex(store: graft.io.TableStore, prefix: String,
+                      corpus: DataFrame, idCol: String, textCol: String,
+                      k: Int = 32, bands: Int = 8, ngram: Int = 2,
+                      seed: Int = 42, maxBucketSize: Int = 1000): Unit = {
+    require(k % bands == 0, "k must divide into bands")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    store.overwrite(s"$prefix.sigs",
+      minHashSignatures(corpus, idCol, textCol, k, ngram, seed))
+    val banded = bandRowsOf(store.read(s"$prefix.sigs"), k, bands)
+    val keep = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select("band", "bucket")
+    store.overwrite(s"$prefix.bands", banded.join(keep, Seq("band", "bucket")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    store.overwrite(s"$prefix.meta",
+      Seq((k, bands, ngram, seed, maxBucketSize))
+        .toDF("k", "bands", "ngram", "seed", "max_bucket_size"))
+  }
+
+  /** The batch rows that are near-dups of NEITHER the indexed corpus
+    * nor a lower-id row of the same batch (keep-first, the
+    * [[dedupAgainstIndex]] stance at signature granularity). Probe
+    * cost scales with the BATCH: batch-side signatures + a band-key
+    * join against the stored postings + signature-agreement verify on
+    * the candidate pairs only. `threshold` is the verify floor on
+    * signature agreement (≈ Jaccard for MinHash). */
+  def dedupFuzzyAgainstIndex(store: graft.io.TableStore, prefix: String,
+                             batch: DataFrame, idCol: String, textCol: String,
+                             threshold: Double = 0.5): DataFrame = {
+    val meta = store.read(s"$prefix.meta").head()
+    val (k, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+    val (ngram, seed) = (meta.getAs[Int]("ngram"), meta.getAs[Int]("seed"))
+    val maxBucketSize = meta.getAs[Int]("max_bucket_size")
+    val sig = minHashSignatures(batch, idCol, textCol, k, ngram, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // corpus near-dups: band-key join against the stored postings,
+    // verified by signature agreement on the candidate pairs only
+    val cand = bandRowsOf(sig, k, bands)
+      .join(store.read(s"$prefix.bands")
+        .select(col("doc_id").as("__corpus_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("doc_id"), col("__corpus_id")).distinct()
+    val corpusDups = cand
+      .join(sig.select(col("doc_id"), col("sig")), Seq("doc_id"))
+      .join(store.read(s"$prefix.sigs")
+        .select(col("doc_id").as("__corpus_id"), col("sig").as("__csig")),
+        Seq("__corpus_id"))
+      .filter(sigAgreement(col("sig"), col("__csig"), k) >= threshold)
+      .select(col("doc_id")).distinct()
+    // within-batch near-dups keep-first: the standard pair path over
+    // the batch alone (batch-sized, not corpus-sized)
+    val batchLosers = minHashCandidates(batch, idCol, textCol, k, bands,
+        ngram, threshold, seed, maxBucketSize)
+      .select(col("id_b").as("doc_id")).distinct()
+    val out = batch
+      .join(corpusDups.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+      .join(batchLosers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    sig.unpersist(false)
+    out
+  }
+
+  /** Admit a batch: return its novel rows AND grow the index by their
+    * signatures and band keys (append-only). Same checkpoint contract
+    * as [[updateExactIndex]]: the novel frame's lineage reads the
+    * PRE-append tables, so it is pinned before the append — a
+    * re-action afterwards must not recompute against the grown index. */
+  def updateFuzzyIndex(store: graft.io.TableStore, prefix: String,
+                       batch: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.5): DataFrame = {
+    val novel0 = dedupFuzzyAgainstIndex(store, prefix, batch, idCol,
+      textCol, threshold)
+    val novel =
+      if (batch.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        novel0.checkpoint()
+      else novel0.localCheckpoint()
+    val meta = store.read(s"$prefix.meta").head()
+    val (k, bands) = (meta.getAs[Int]("k"), meta.getAs[Int]("bands"))
+    val (ngram, seed) = (meta.getAs[Int]("ngram"), meta.getAs[Int]("seed"))
+    val sig = minHashSignatures(novel, idCol, textCol, k, ngram, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    store.append(s"$prefix.sigs", sig)
+    store.append(s"$prefix.bands", bandRowsOf(sig, k, bands))
+    sig.unpersist(false)
+    novel
+  }
+
+  // -------------------------------------------------------------------
   // Paragraph-level (sub-document) dedup — the C4/RefinedWeb cleaning
   // step: a boilerplate paragraph repeated across the corpus (headers,
   // navigation, license blocks) is removed from every document while the

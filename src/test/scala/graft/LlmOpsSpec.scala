@@ -43,6 +43,42 @@ class LlmOpsSpec extends SparkTestBase {
       "index = 2 seed + 2 admitted contents")
   }
 
+  test("incremental fuzzy dedup: batches probe the persisted band index for NEAR-dups") {
+    // corpus doc 1 is a 16-token run; the batch repeats it with ONE word
+    // changed (high Jaccard — exact dedup would miss it)
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi"
+    val store = new graft.io.ParquetTableStore(spark, tmpDir("fuzzy-idx"))
+    Dedup.buildFuzzyIndex(store, "fx",
+      docs((1L, base), (2L, "completely different words about storage engines and query planners running here")),
+      "doc_id", "text")
+    assert(store.exists("fx.sigs") && store.exists("fx.bands") && store.exists("fx.meta"))
+    // batch: 10 = near-dup of corpus 1; 11/13 near-dups of each other
+    // (keep-first → 13 drops); 12 novel
+    val batch = docs(
+      (10L, base.replace("theta", "CHANGED")),
+      (11L, "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"),
+      (12L, "entirely novel content with its own vocabulary spanning many unique tokens today"),
+      (13L, "one two three four five six seven eight nine ten eleven twelve thirteen ALTERED"))
+    val novel = Dedup.dedupFuzzyAgainstIndex(store, "fx", batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(novel == Set(11L, 12L),
+      s"corpus near-dup and within-batch later copy must drop, got $novel")
+    // admit; the returned frame must survive re-actions after the append
+    val admitted = Dedup.updateFuzzyIndex(store, "fx", batch, "doc_id", "text")
+    assert(admitted.select("doc_id").as[Long].collect().toSet == Set(11L, 12L))
+    assert(admitted.count() == 2,
+      "re-action after the append must not recompute against the grown index")
+    // a second batch near-duplicating batch-1 admitted content is now known
+    val second = Dedup.dedupFuzzyAgainstIndex(store, "fx",
+      docs((20L, "one two three four five six seven eight nine ten eleven twelve REVISED fourteen"),
+           (21L, "fresh material unrelated to anything indexed so far with distinct terms")),
+      "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(second == Set(21L), s"near-dup of admitted doc 11 must drop, got $second")
+    assert(store.read("fx.sigs").count() == 4, "sigs = 2 seed + 2 admitted")
+  }
+
   test("paragraph dedup: keep-first vs drop-all, minLen exemption, ordered reassembly") {
     // boilerplate "HEADER TEXT HERE" repeats across docs 1/2/3; "ok" is a
     // short connective under minLen; doc 3 is all boilerplate
