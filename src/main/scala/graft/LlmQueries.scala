@@ -774,6 +774,18 @@ object LlmQueries {
       minCosine = 0.999, deterministic = true)
   }
 
+  // Vocabulary OOV-rate check at the gate (LanguageModel.oovCounts):
+  // per-doc token/OOV counts against the q75 vocab builder capped at
+  // k=20 (the fixture corpus has 31 distinct words, so a 20-word vocab
+  // leaves real OOV mass — 0..40 per doc). Integer surface, broadcast
+  // vocab join, one partial groupBy.
+  def q96_oov_rate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.llm.LanguageModel.oovCounts(docs,
+      graft.llm.LanguageModel.buildVocab(docs, textCol = "text", k = 20),
+      idCol = "doc_id", textCol = "text")
+  }
+
   // TOKEN-budget mixture sampling at the gate
   // (Sampling.sampleToMixtureWeighted): the q90 composition step with
   // targets in TOKENS — per-language keep rates derived from token
@@ -900,7 +912,8 @@ object LlmQueries {
     "q92_curate_v2"     -> q92_curate_v2 _,
     "q93_semantic_dedup" -> q93_semantic_dedup _,
     "q94_cluster_best"  -> q94_cluster_best _,
-    "q95_token_mixture" -> q95_token_mixture _
+    "q95_token_mixture" -> q95_token_mixture _,
+    "q96_oov_rate"      -> q96_oov_rate _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1862,6 +1875,16 @@ object LlmQueries {
         |rr AS (SELECT lang, CASE WHEN share = 0 OR w <= 0 THEN 0
         |        ELSE least(1000, ((12000 * share) // 1000) * 1000 // w) END AS rate FROM r)
         |SELECT doc_id, lang, n_toks FROM d JOIN rr USING (lang)
-        |WHERE ((doc_id * 1103515245 + 12345) % 1000000007) % 1000 < rate""".stripMargin
+        |WHERE ((doc_id * 1103515245 + 12345) % 1000000007) % 1000 < rate""".stripMargin,
+    // q75's vocab construction at k=20 + a left join onto the token
+    // stream; counts stay integers (no tie-prone ratio)
+    "q96_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w FROM (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rn
+        |      FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY 1)) WHERE rn <= 20)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       count(*) FILTER (WHERE v.w IS NULL) AS n_oov
+        |FROM tok LEFT JOIN v ON tok.w = v.w
+        |GROUP BY doc_id""".stripMargin
   )
 }

@@ -148,6 +148,29 @@ object LanguageModel {
         .cast("int"))
   }
 
+  /** Per-document OUT-OF-VOCABULARY counts against a fixed vocabulary
+    * — the tokenizer-coverage check run before committing a vocab (an
+    * OOV rate that creeps up as a corpus drifts means the vocab needs
+    * rebuilding). Returns (doc_id, n_tokens, n_oov); callers threshold
+    * on the pair (integer surface — no tie-prone ratio division).
+    *
+    * Scale shape: the vocab (k rows, the caller's vocabulary budget)
+    * broadcast-joins onto the exploded token stream inside the scan
+    * stage; one map-side-partial groupBy(doc_id). Every input doc
+    * appears exactly once (split yields [""] for empty text — one
+    * counted token, deterministically OOV unless "" is in the vocab). */
+  def oovCounts(docs: DataFrame, vocab: DataFrame, idCol: String,
+                textCol: String, vocabCol: String = "w"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextShingles.words(col(textCol))).as("w"))
+    toks.join(
+        broadcast(vocab.select(col(vocabCol).as("w"), lit(1).as("__in"))),
+        Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           count(when(col("__in").isNull, lit(1))).as("n_oov"))
+  }
+
   /** Production LM scoring: per-document average bigram log-probability
     * under the model trained on `modelDocs` (defaults to scoring the
     * corpus against itself; pass a reference corpus to score INCOMING

@@ -144,4 +144,27 @@ class LanguageModelSpec extends SparkTestBase {
       .as[(String, Long, Int)].collect().sortBy(_._3)
     assert(full.map(_._1).toSeq == Seq("a", "b", "c", "d"))
   }
+
+  test("oovCounts: exact per-doc token/OOV counts, every doc present, broadcast vocab") {
+    val corpus = Seq(
+      (1L, "a b c a"),   // 4 tokens, c OOV under {a,b}
+      (2L, "x y z"),     // all 3 OOV
+      (3L, "a a"),       // fully covered
+      (4L, "")           // split("") = [""] — one token, OOV
+    ).toDF("doc_id", "text")
+    val vocab = Seq("a", "b").toDF("w")
+    val out = LanguageModel.oovCounts(corpus, vocab, "doc_id", "text")
+    val got = out.as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 4L, 1L), (2L, 3L, 3L), (3L, 2L, 0L), (4L, 1L, 1L)))
+    // the k-row vocab must broadcast, and the rollup must combine map-side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "vocab join must broadcast")
+    assert(plan.contains("partial_count"), "doc rollup must be partial")
+    // composes with buildVocab: top-1 vocab of the spec corpus is "a"
+    val v1 = LanguageModel.buildVocab(corpus, "text", k = 1)
+    val oov1 = LanguageModel.oovCounts(corpus, v1, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(oov1(3L) == ((2L, 0L)), "doc of only 'a' has zero OOV under the top-1 vocab")
+  }
 }
