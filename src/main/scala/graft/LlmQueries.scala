@@ -786,6 +786,52 @@ object LlmQueries {
       idCol = "doc_id", textCol = "text")
   }
 
+  // Classifier-based quality scoring at the gate
+  // (Relevance.hashedLinearScore): the fastText/CCNet-style hashed
+  // linear model at inference — tokens hash into 64 buckets, a fixed
+  // weight table (LCG-derived per-mille weights, identical arithmetic
+  // in both engines) broadcast-joins on, docs score exact decimal
+  // weight sums. Gate hashes with md5Hash60 (cross-engine); production
+  // defaults to xxhash64.
+  def q97_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val v = (col("id") * 1103515245L + 12345L) % 1000000007L % 2001L - 1000L
+    val weights = s.range(dim).select(col("id").cast("int").as("bucket"),
+      (v.cast("decimal(27,4)") / lit(1000).cast("decimal(27,4)"))
+        .cast("decimal(18,6)").as("weight"))
+    graft.llm.Relevance.hashedLinearScore(
+        t(s, dir, "documents"), "doc_id", "text", weights, dim,
+        hashFn = graft.llm.TextAnalysis.md5Hash60)
+      .select(col("doc_id"), col("n_tokens"),
+        col("score").cast("double").as("score"))
+  }
+
+  // DSIR importance scoring at the gate (Relevance.dsirScore): weights
+  // LEARNED from a target-vs-raw corpus split (target = every 7th doc,
+  // standing in for the curated high-quality corpus), then the hashed
+  // linear scorer ranks the whole pool by target-likeness. The
+  // deterministic pre-log rational weight (the q62 recipe) replaces the
+  // production ln — sums of ratios, not sums of logs; the gate pins the
+  // learn+score plumbing. md5Hash60 buckets cross-engine.
+  def q98_dsir_score(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.llm.Relevance.dsirScore(
+        raw = docs, target = docs.filter(col("doc_id") % 7 === 0),
+        idCol = "doc_id", textCol = "text", dim = 128,
+        hashFn = graft.llm.TextAnalysis.md5Hash60, deterministic = true)
+      .select(col("doc_id"), col("n_tokens"),
+        col("score").cast("double").as("score"))
+  }
+
+  // N-gram novelty at the gate (Relevance.ngramNovelty): per doc, how
+  // many of its distinct trigrams occur in NO other document — integer
+  // counts only. Grams hash through md5Hash60 before the shuffle (the
+  // span-scrub trade; production uses xxhash64).
+  def q99_ngram_novelty(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Relevance.ngramNovelty(
+      t(s, dir, "documents"), "doc_id", "text", n = 3,
+      hashFn = graft.llm.TextAnalysis.md5Hash60)
+
   // TOKEN-budget mixture sampling at the gate
   // (Sampling.sampleToMixtureWeighted): the q90 composition step with
   // targets in TOKENS — per-language keep rates derived from token
@@ -913,7 +959,10 @@ object LlmQueries {
     "q93_semantic_dedup" -> q93_semantic_dedup _,
     "q94_cluster_best"  -> q94_cluster_best _,
     "q95_token_mixture" -> q95_token_mixture _,
-    "q96_oov_rate"      -> q96_oov_rate _
+    "q96_oov_rate"      -> q96_oov_rate _,
+    "q97_quality_classifier" -> q97_quality_classifier _,
+    "q98_dsir_score"    -> q98_dsir_score _,
+    "q99_ngram_novelty" -> q99_ngram_novelty _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1885,6 +1934,59 @@ object LlmQueries {
         |SELECT doc_id, count(*) AS n_tokens,
         |       count(*) FILTER (WHERE v.w IS NULL) AS n_oov
         |FROM tok LEFT JOIN v ON tok.w = v.w
+        |GROUP BY doc_id""".stripMargin,
+    // LCG-derived weight table + md5-derived bucket hashing; exact
+    // decimal weight sums surfaced as DOUBLE
+    "q97_quality_classifier" ->
+      """WITH wt AS (
+        |  SELECT i AS bucket,
+        |    CAST(CAST((i*1103515245 + 12345) % 1000000007 % 2001 - 1000 AS DECIMAL(27,4))
+        |         / CAST(1000 AS DECIMAL(27,4)) AS DECIMAL(18,6)) AS w6
+        |  FROM range(0, 64) t(i)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    (('0x' || substring(md5(tk), 1, 15))::BIGINT) % 64 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(CAST(sum(w6) AS DECIMAL(38,6)) AS DOUBLE) AS score
+        |FROM tok JOIN wt USING (bucket)
+        |GROUP BY doc_id""".stripMargin,
+    // weights learned from the target/raw bucket counts (add-one
+    // smoothing over the 128-bucket spine); pre-log rational ratio via
+    // the q62 decimal-division recipe; exact decimal score sums
+    "q98_dsir_score" ->
+      """WITH tokr AS (
+        |  SELECT doc_id, (('0x' || substring(md5(tk), 1, 15))::BIGINT) % 128 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)),
+        |tokt AS (SELECT bucket FROM tokr WHERE doc_id % 7 = 0),
+        |tc AS (SELECT bucket, count(*) AS t FROM tokt GROUP BY bucket),
+        |rc AS (SELECT bucket, count(*) AS r FROM tokr GROUP BY bucket),
+        |tt AS (SELECT count(*) + 128 AS tot_t FROM tokt),
+        |rt AS (SELECT count(*) + 128 AS tot_r FROM tokr),
+        |wt AS (
+        |  SELECT i AS bucket,
+        |    CAST(CAST(CAST(COALESCE(tc.t, 0) + 1 AS DECIMAL(19,0)) * CAST(rt.tot_r AS DECIMAL(19,0)) AS DECIMAL(27,4))
+        |       / CAST(CAST(COALESCE(rc.r, 0) + 1 AS DECIMAL(19,0)) * CAST(tt.tot_t AS DECIMAL(19,0)) AS DECIMAL(27,4))
+        |       AS DECIMAL(18,6)) AS w6
+        |  FROM range(0, 128) s(i)
+        |  LEFT JOIN tc ON tc.bucket = i LEFT JOIN rc ON rc.bucket = i
+        |  CROSS JOIN tt CROSS JOIN rt)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(CAST(sum(w6) AS DECIMAL(38,6)) AS DOUBLE) AS score
+        |FROM tokr JOIN wt USING (bucket)
+        |GROUP BY doc_id""".stripMargin,
+    // distinct trigrams per doc via the md5-hashed gram key; df=1 =
+    // novel; integer counts only (no cross-engine division)
+    "q99_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i FROM t)),
+        |gd AS (SELECT DISTINCT doc_id,
+        |        (('0x' || substring(md5(gram), 1, 15))::BIGINT) AS gh FROM g),
+        |dfx AS (SELECT gh, count(*) AS df FROM gd GROUP BY gh)
+        |SELECT doc_id, count(*) AS n_grams,
+        |       count(*) FILTER (WHERE df = 1) AS n_novel
+        |FROM gd JOIN dfx USING (gh)
         |GROUP BY doc_id""".stripMargin
   )
 }

@@ -281,4 +281,173 @@ object Relevance {
         .agg(sum(col("s")).cast("decimal(38,12)").cast("double").as("score")),
       pin)
   }
+
+  /** Hashed-feature LINEAR scorer — the fastText/CCNet-style quality
+    * classifier at inference time: tokens hash into `dim` buckets (the
+    * hashing trick, so the model is a fixed-width table regardless of
+    * vocabulary), the trained per-bucket weights broadcast onto the
+    * token stream, and each document scores the weight sum of its
+    * tokens. The threshold-filter step of classifier-based corpus
+    * curation, as one scan + one partial groupBy.
+    *
+    * `weights` is the trained model: (bucket int ∈ [0, dim), weight —
+    * cast to decimal(18,6)). Buckets absent from the table score 0.
+    * Returns (doc_id, n_tokens, score decimal(38,6)) — exact decimal
+    * sums, so equal-weight runs tie exactly instead of drifting in
+    * double rounding; callers needing a double surface cast once.
+    *
+    * `hashFn` is pluggable like the winnowing family: xxhash64
+    * production default, [[TextAnalysis.md5Hash60]] when a
+    * cross-engine-reproducible bucket assignment is needed (gate q97).
+    * Scale shape: the weight table is `dim` rows (typically ≤ 2^21 —
+    * fastText's default bucket count) and broadcasts; the token stream
+    * never shuffles strings, only (doc_id, bucket). */
+  def hashedLinearScore(docs: DataFrame, idCol: String, textCol: String,
+                        weights: DataFrame, dim: Int,
+                        hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(TextShingles.words(col(textCol))).as("__w"))
+      .select(col("doc_id"),
+        pmod(hashFn(col("__w")), lit(dim.toLong)).as("bucket"))
+    toks.join(
+        broadcast(weights.select(col("bucket").cast("long").as("bucket"),
+          col("weight").cast("decimal(18,6)").as("__wt"))),
+        Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__wt"), lit(0).cast("decimal(18,6)")))
+          .cast("decimal(38,6)").as("score"))
+  }
+
+  /** DSIR-style hashed importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): learn a
+    * per-bucket weight table from a small high-quality TARGET corpus
+    * versus the RAW pool, so [[hashedLinearScore]] can rank every raw
+    * document by how target-like its hashed token distribution is —
+    * the data-selection step of a pretraining pipeline, with no
+    * trained classifier required.
+    *
+    * Both corpora hash tokens into the same `dim` buckets (the hashing
+    * trick — fixed-width model, vocabulary-free). With add-one
+    * smoothing over the `dim`-bucket spine, production weight per
+    * bucket is the log importance ratio
+    * `ln((t_b+1)/(T+dim)) − ln((r_b+1)/(R+dim))`, folded to one ln of
+    * the cross-multiplied rational so it costs a single transcendental
+    * per bucket. A doc's importance = Σ tokens' bucket weights.
+    *
+    * Execution shape — the tagged-union pattern (repetitionSignals):
+    * one map-only tokenize per corpus, union with a side tag, ONE
+    * groupBy(bucket) computing both corpora's counts (map-side partial;
+    * ≤ `dim` result rows, PINNED — the totals re-aggregate and the
+    * spine join both read it, and their plans differ by an inferred
+    * join-key null filter, so ReuseExchange cannot dedup them; the pin
+    * guarantees the corpora tokenize ONCE), spine completion against
+    * `range(dim)` — every join here is against ≤ dim rows, so the
+    * learn step stays broadcast-only. The returned weight table is
+    * materialized eagerly (the count pin is released before returning)
+    * and comes back PERSISTED — it is the trained model; callers
+    * unpersist it when done scoring (dsirScore's gate path holds it
+    * for the life of the query, like the IVF index). The
+    * expensive side (scoring the raw pool) is [[hashedLinearScore]]
+    * — weight table broadcast, ids-only shuffle.
+    *
+    * `deterministic = true` replaces the ln with the PRE-LOG rational
+    * ratio `(t_b+1)(R+dim) / ((r_b+1)(T+dim))` — one decimal division
+    * rounded to DECIMAL(18,6) identically in Spark and DuckDB (the q62
+    * recipe), since ln never crosses engines bit-stably. Per-bucket it
+    * is a strictly monotone transform of the log weight, but SUMS of
+    * ratios rank differently than sums of logs — the gate (q98) pins
+    * the rational form's plumbing; production selection uses the log
+    * form. Cross-products are computed in decimal(19,0)·decimal(19,0)
+    * (exact to 1e38, no int64 overflow); the deterministic division
+    * additionally requires products < 1e23 (the decimal(27,4) domain —
+    * holds to ~10^11 tokens per corpus), while the log path is
+    * unbounded. Returns (bucket, weight). */
+  def dsirWeights(target: DataFrame, raw: DataFrame, textCol: String,
+                  dim: Int, hashFn: Column => Column = xxhash64(_),
+                  deterministic: Boolean = false): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val spark = target.sparkSession
+    def toks(df: DataFrame, isTarget: Int) =
+      df.select(explode(TextShingles.words(col(textCol))).as("__w"))
+        .select(lit(isTarget).as("__is_t"),
+          pmod(hashFn(col("__w")), lit(dim.toLong)).as("bucket"))
+    val counts = toks(target, 1).unionByName(toks(raw, 0))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__is_t") === 1, 1L).otherwise(0L)).as("__tc"),
+           sum(when(col("__is_t") === 0, 1L).otherwise(0L)).as("__rc"))
+      .persist(MemDisk)
+    val full = spark.range(dim).select(col("id").as("bucket"))
+      .join(broadcast(counts), Seq("bucket"), "left")
+      .crossJoin(broadcast(counts
+        .agg((coalesce(sum(col("__tc")), lit(0L)) + dim).as("__tt"),
+             (coalesce(sum(col("__rc")), lit(0L)) + dim).as("__rt"))))
+    val d190 = "decimal(19,0)"
+    val num = (coalesce(col("__tc"), lit(0L)) + 1L).cast(d190) *
+      col("__rt").cast(d190)
+    val den = (coalesce(col("__rc"), lit(0L)) + 1L).cast(d190) *
+      col("__tt").cast(d190)
+    val w =
+      if (deterministic)
+        (num.cast("decimal(27,4)") / den.cast("decimal(27,4)"))
+          .cast("decimal(18,6)")
+      else log(num.cast("double") / den.cast("double"))
+    finishWithPin(full.select(col("bucket"), w.as("weight")), Some(counts))
+  }
+
+  /** DSIR importance scores for every raw document: [[dsirWeights]]
+    * learned from (target, raw), then [[hashedLinearScore]] over the
+    * raw pool. Returns (doc_id, n_tokens, score decimal(38,6)) —
+    * higher = more target-like. Select by taking the global top-k
+    * (TakeOrderedAndProject via limit, the q75 shape) or a hash-gated
+    * threshold; gate q98 surfaces the scores themselves. */
+  def dsirScore(raw: DataFrame, target: DataFrame, idCol: String,
+                textCol: String, dim: Int,
+                hashFn: Column => Column = xxhash64(_),
+                deterministic: Boolean = false): DataFrame =
+    hashedLinearScore(raw, idCol, textCol,
+      dsirWeights(target, raw, textCol, dim, hashFn, deterministic),
+      dim, hashFn)
+
+  /** N-gram NOVELTY per document: of a doc's distinct word n-grams, how
+    * many appear in no other document. The inverse of the boilerplate /
+    * near-dup signals (q25/q88 flag what is SHARED; this scores what is
+    * UNIQUE) — low novelty marks template-heavy or heavily-duplicated
+    * docs that survive exact dedup, high novelty marks genuinely fresh
+    * text worth keeping at selection time.
+    *
+    * Returns (doc_id, n_grams, n_novel) — distinct-gram count and the
+    * df==1 subset, integers only (callers derive the ratio; a rational
+    * average would tie at the rounding digit cross-engine). Docs with
+    * fewer than `n` words emit no grams and are absent from the result
+    * (inner semantics, same as the tf frames).
+    *
+    * Execution shape — the tfIdfScored skeleton: tokenize+shingle
+    * map-only (native fused WordNgrams), one groupBy(doc, gram) for the
+    * distinct-gram frame (pinned — it feeds both sides), df via
+    * groupBy(gram) + join (map-side partial; never a gram-partitioned
+    * window — a boilerplate gram's partition is corpus-sized), one
+    * final groupBy(doc). Grams hash to int64 BEFORE the shuffle
+    * (`hashFn` — xxhash64 production, md5Hash60 at the gate q99) so the
+    * exchanges move (doc_id, long) pairs, not gram strings; a hash
+    * collision conflates two grams corpus-wide (novelty undercounts),
+    * at 2^-64 per pair — the span-scrub trade, documented there. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3,
+                   hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(TextShingles.wordNgrams(col(textCol), n)).as("__g"))
+      .select(col("doc_id"), hashFn(col("__g")).as("__gh"))
+      .groupBy(col("doc_id"), col("__gh")).agg(count(lit(1)).as("__c"))
+      .persist(MemDisk)
+    val dfA = grams.groupBy(col("__gh")).agg(count(lit(1)).as("__df"))
+    finishWithPin(
+      grams.join(dfA, Seq("__gh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("__df") === 1L, 1)).as("n_novel")),
+      Some(grams))
+  }
 }
