@@ -832,6 +832,32 @@ object LlmQueries {
       t(s, dir, "documents"), "doc_id", "text", n = 3,
       hashFn = graft.llm.TextAnalysis.md5Hash60)
 
+  // DSIR SELECTION at the gate: q98's scores → global top-200 by
+  // (exact decimal score DESC, doc_id ASC) via limit — distributed
+  // TakeOrderedAndProject (the q75 shape), never a global sort. The
+  // importance-resampling "keep the most target-like slice" step.
+  def q100_dsir_select(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.llm.Relevance.dsirScore(
+        raw = docs, target = docs.filter(col("doc_id") % 7 === 0),
+        idCol = "doc_id", textCol = "text", dim = 128,
+        hashFn = graft.llm.TextAnalysis.md5Hash60, deterministic = true)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(200)
+      .select(col("doc_id"), col("n_tokens"),
+        col("score").cast("double").as("score"))
+  }
+
+  // Temperature-flattened mixture at the gate
+  // (Sampling.sampleToTemperature): kept language sizes ∝ n^0.5 —
+  // sqrt is IEEE-correctly-rounded in both engines, the n^α table
+  // rounds once to decimal(27,6), and the rate math is the usual
+  // per-mille long DIV; membership through the cross-engine LCG key.
+  def q101_temperature_mix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sampleToTemperature(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        key = graft.ops.Sampling.lcgKey(col("doc_id")), groupCol = col("lang"),
+        alpha = 0.5, targetTotal = 250L)
+
   // TOKEN-budget mixture sampling at the gate
   // (Sampling.sampleToMixtureWeighted): the q90 composition step with
   // targets in TOKENS — per-language keep rates derived from token
@@ -962,7 +988,9 @@ object LlmQueries {
     "q96_oov_rate"      -> q96_oov_rate _,
     "q97_quality_classifier" -> q97_quality_classifier _,
     "q98_dsir_score"    -> q98_dsir_score _,
-    "q99_ngram_novelty" -> q99_ngram_novelty _
+    "q99_ngram_novelty" -> q99_ngram_novelty _,
+    "q100_dsir_select"  -> q100_dsir_select _,
+    "q101_temperature_mix" -> q101_temperature_mix _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1987,6 +2015,44 @@ object LlmQueries {
         |SELECT doc_id, count(*) AS n_grams,
         |       count(*) FILTER (WHERE df = 1) AS n_novel
         |FROM gd JOIN dfx USING (gh)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+    // q98's weight/score CTEs + top-200 on the EXACT decimal sum
+    // (ties broken by doc_id) — surfaced as DOUBLE after selection
+    "q100_dsir_select" ->
+      """WITH tokr AS (
+        |  SELECT doc_id, (('0x' || substring(md5(tk), 1, 15))::BIGINT) % 128 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)),
+        |tokt AS (SELECT bucket FROM tokr WHERE doc_id % 7 = 0),
+        |tc AS (SELECT bucket, count(*) AS t FROM tokt GROUP BY bucket),
+        |rc AS (SELECT bucket, count(*) AS r FROM tokr GROUP BY bucket),
+        |tt AS (SELECT count(*) + 128 AS tot_t FROM tokt),
+        |rt AS (SELECT count(*) + 128 AS tot_r FROM tokr),
+        |wt AS (
+        |  SELECT i AS bucket,
+        |    CAST(CAST(CAST(COALESCE(tc.t, 0) + 1 AS DECIMAL(19,0)) * CAST(rt.tot_r AS DECIMAL(19,0)) AS DECIMAL(27,4))
+        |       / CAST(CAST(COALESCE(rc.r, 0) + 1 AS DECIMAL(19,0)) * CAST(tt.tot_t AS DECIMAL(19,0)) AS DECIMAL(27,4))
+        |       AS DECIMAL(18,6)) AS w6
+        |  FROM range(0, 128) s(i)
+        |  LEFT JOIN tc ON tc.bucket = i LEFT JOIN rc ON rc.bucket = i
+        |  CROSS JOIN tt CROSS JOIN rt),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tokens, CAST(sum(w6) AS DECIMAL(38,6)) AS s6
+        |  FROM tokr JOIN wt USING (bucket)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, CAST(s6 AS DOUBLE) AS score
+        |FROM scored ORDER BY s6 DESC, doc_id ASC LIMIT 200""".stripMargin,
+    // sqrt is IEEE-correctly-rounded in both engines; n^0.5 rounds
+    // once to DECIMAL(27,6) (double→decimal rounds in both), exact
+    // decimal total, one double multiply/divide/floor, per-mille DIV
+    "q101_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+        |s AS (SELECT lang, cnt, CAST(sqrt(cnt) AS DECIMAL(27,6)) AS sq FROM c),
+        |tt AS (SELECT CAST(sum(sq) AS DOUBLE) AS tot FROM s),
+        |r AS (SELECT lang, cnt,
+        |        CAST(floor(250.0 * CAST(sq AS DOUBLE) / tot) AS BIGINT) AS kg
+        |      FROM s CROSS JOIN tt),
+        |rr AS (SELECT lang, least(1000, (kg * 1000) // cnt) AS rate FROM r)
+        |SELECT doc_id, documents.lang FROM documents JOIN rr USING (lang)
+        |WHERE ((doc_id * 1103515245 + 12345) % 1000000007) % 1000 < rate""".stripMargin
   )
 }

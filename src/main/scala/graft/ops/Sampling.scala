@@ -253,4 +253,65 @@ object Sampling {
       .filter(key < rate)
       .drop("__mix_g", "__mix_w", "__mix_share")
   }
+
+  /** TEMPERATURE-flattened mixture sampling — the multilingual
+    * rebalancing step of mC4 / XLM-R / BLOOM-style corpora: kept group
+    * sizes proportional to n_g^alpha instead of n_g, so head languages
+    * (or domains) flatten toward the tail without anyone upsampling.
+    * Unlike [[sampleToMixture]] the target shares are not given — they
+    * are DERIVED from the observed group counts:
+    * `k_g = floor(targetTotal · n_g^α / Σ n^α)`, keep rate
+    * `min(1000, k_g·1000 DIV n_g)` per-mille, membership the usual
+    * pure per-row `key` filter (survivors never churn on re-runs).
+    *
+    * Determinism: each group's n^α is rounded ONCE to 6 decimal digits
+    * via the shortest-double-string HALF_UP rule — exactly what both
+    * Spark's `cast(double as decimal)` and DuckDB's double→decimal
+    * conversion produce (the blessed q26-family parity) — so the
+    * cross-group SUM is exact decimal, never an order-sensitive float
+    * summation, and the final scale k_g is one IEEE-double
+    * multiply+divide+floor on bit-identical inputs. At `alpha = 0.5`
+    * n^α is `sqrt`, correctly rounded per IEEE-754 in every engine →
+    * the whole derivation is cross-engine exact (gate q101). Other
+    * alphas go through `pow`, which carries no correct-rounding
+    * guarantee — production use only, spec-checked.
+    *
+    * Shape: the rates derive EAGERLY from one groupBy(group) count job
+    * (map-side partial; the collect is ≤ |groups| rows — languages or
+    * domains, hundreds at most — the sampleToMixture share list built
+    * from data instead of handed in), then membership is a map-only
+    * when-chain filter: no join, nothing pinned, scan-speed. Null- or
+    * unseen-group rows drop, matching the mixture samplers. */
+  def sampleToTemperature(df: DataFrame, key: Column, groupCol: Column,
+                          alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1] (flattening), got $alpha")
+    require(targetTotal >= 0 && targetTotal <= Long.MaxValue / Mille,
+      s"targetTotal must be in [0, ${Long.MaxValue / Mille}], got $targetTotal")
+    val cnts: Seq[(String, Long)] = df
+      .groupBy(groupCol.cast("string").as("__tmp_g"))
+      .agg(count(lit(1)).as("__tmp_cnt"))
+      .collect().toSeq
+      .collect { case r if !r.isNullAt(0) => (r.getString(0), r.getLong(1)) }
+      .sortBy(_._1)
+    if (cnts.isEmpty) return df.filter(lit(false))
+    // n^alpha rounded once to 6 digits, the way both engines cast
+    // double→decimal: shortest decimal string of the double, HALF_UP
+    def pow6(n: Long): BigDecimal = {
+      val p = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      BigDecimal(java.math.BigDecimal.valueOf(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val sq = cnts.map { case (g, n) => (g, n, pow6(n)) }
+    val tot = sq.map(_._3).sum.doubleValue
+    val rates = sq.map { case (g, n, s) =>
+      val kg = math.floor(targetTotal.toDouble * s.doubleValue / tot).toLong
+      (g, math.min(Mille, kg * Mille / n))
+    }
+    val rate = rates.foldLeft(lit(0L): Column) {
+      case (els, (g, r)) => when(groupCol === g, lit(r)).otherwise(els)
+    }
+    df.filter(key < rate)
+  }
 }

@@ -167,6 +167,58 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("partial_sum"), "weight sums must combine map-side")
   }
 
+  test("temperature sampling flattens head groups toward n^alpha; alpha=1 is proportional") {
+    // head = 8000 rows, mid = 1500, tail = 500: at alpha=0.5 the kept
+    // sizes go as sqrt(n) → sqrt ratios 89.4 : 38.7 : 22.4 ≈ 59/26/15%
+    // of the target, vs 80/15/5% raw
+    val rows = spark.range(0, 10000)
+      .select($"id", when($"id" < 8000, "head")
+        .when($"id" < 9500, "mid").otherwise("tail").as("g"))
+    val kept = Sampling.sampleToTemperature(rows, Sampling.xxKey($"id"),
+        $"g", alpha = 0.5, targetTotal = 2000L)
+      .as[(Long, String)].collect()
+    val by = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // expected ≈ 2000 · sqrt share: head ≈ 1188, mid ≈ 514, tail ≈ 297
+    assert(math.abs(by("head") - 1188) < 200, s"head ≈ 1188, got $by")
+    assert(math.abs(by("mid") - 514) < 130, s"mid ≈ 514, got $by")
+    assert(math.abs(by("tail") - 297) < 100, s"tail ≈ 297, got $by")
+    // flattening: head's kept share < raw share, tail's kept share > raw
+    val tot = kept.length.toDouble
+    assert(by("head") / tot < 0.8 && by("tail") / tot > 0.05,
+      s"alpha=0.5 must flatten the mixture, got $by")
+    // alpha = 1: n^1 = n → k_g ∝ n → every rate equals target/total —
+    // proportional downsampling, no flattening
+    val prop = Sampling.sampleToTemperature(rows, Sampling.xxKey($"id"),
+        $"g", alpha = 1.0, targetTotal = 2000L)
+      .as[(Long, String)].collect()
+    val byP = prop.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byP("head") - 1600) < 200, s"alpha=1 head ≈ 1600, got $byP")
+    assert(math.abs(byP("tail") - 100) < 60, s"alpha=1 tail ≈ 100, got $byP")
+    // survivors never churn as the target grows (pure-key membership)
+    val wider = Sampling.sampleToTemperature(rows, Sampling.xxKey($"id"),
+        $"g", alpha = 0.5, targetTotal = 4000L)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(kept.map(_._1).toSet.subsetOf(wider),
+      "survivors never churn as the target grows")
+    // null groups drop; a target above the population clamps keep-all
+    val withNull = spark.range(0, 1000).select($"id",
+      when($"id" % 10 === 9, lit(null).cast("string")).otherwise("g").as("g"))
+    val keptN = Sampling.sampleToTemperature(withNull, Sampling.xxKey($"id"),
+        $"g", alpha = 0.5, targetTotal = 5000L)
+      .as[(Long, String)].collect()
+    assert(keptN.forall(_._2 == "g"), "null-group rows are dropped")
+    assert(keptN.length == 900, "oversubscribed target clamps to keep-all")
+    // contract validation
+    intercept[IllegalArgumentException] {
+      Sampling.sampleToTemperature(rows, Sampling.xxKey($"id"), $"g",
+        alpha = 0.0, targetTotal = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.sampleToTemperature(rows, Sampling.xxKey($"id"), $"g",
+        alpha = 1.5, targetTotal = 10L)
+    }
+  }
+
   test("salted lcg keys decorrelate decisions drawn from the same id") {
     val keys = ids.select($"id",
         Sampling.lcgKey($"id").as("k0"),
