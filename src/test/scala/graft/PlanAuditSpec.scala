@@ -297,4 +297,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_min"), "argmax must combine map-side")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("q97/q98: hashed scorers broadcast the weight table, aggregate partial, never window") {
+    for (q <- Seq("q97_quality_classifier", "q98_dsir_score")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q weight table must broadcast")
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$q doc rollup must combine map-side")
+      assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
+        s"$q must not plan a window")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not shuffle-join the dim-bounded weight side")
+    }
+  }
+
+  test("q99: novelty df is a groupBy+join on hashed gram keys — no window, no cartesian") {
+    val p = plan("q99_ngram_novelty")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
+      "df must never be a gram-partitioned window (boilerplate gram = corpus-sized partition)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("partial_count"), "gram counts must combine map-side")
+  }
+
+  test("q100: dsir selection is distributed TakeOrdered, not a global sort") {
+    val p = plan("q100_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k selection must be TakeOrdered:\n${p.take(600)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-k must not plan a global range sort")
+  }
+
+  test("q101: temperature sampling is a map-only key filter — no join, no shuffle") {
+    val p = plan("q101_temperature_mix")
+    assert(!p.contains("Join"), "membership must be a when-chain, not a join")
+    assert(!p.contains("Exchange"), "the sampling filter itself must not shuffle")
+  }
 }
