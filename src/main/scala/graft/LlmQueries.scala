@@ -858,6 +858,18 @@ object LlmQueries {
         key = graft.ops.Sampling.lcgKey(col("doc_id")), groupCol = col("lang"),
         alpha = 0.5, targetTotal = 250L)
 
+  // EXACT per-group quota at the gate (Sampling.capPerGroupExact):
+  // exactly min(n_g, 70) docs per language, chosen by the smallest
+  // (lcgKeyRaw, doc_id) — the k-bounded BottomKLong aggregator, never a
+  // per-group row_number window. On the fixture: fr (64 docs) keeps all
+  // (under-populated edge), de (70) sits exactly on the boundary,
+  // en/es/zh (218/73/75) are cut to 70. Integer keys end to end.
+  def q102_cap_exact(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.capPerGroupExact(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
+      groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
+
   // TOKEN-budget mixture sampling at the gate
   // (Sampling.sampleToMixtureWeighted): the q90 composition step with
   // targets in TOKENS — per-language keep rates derived from token
@@ -990,7 +1002,8 @@ object LlmQueries {
     "q98_dsir_score"    -> q98_dsir_score _,
     "q99_ngram_novelty" -> q99_ngram_novelty _,
     "q100_dsir_select"  -> q100_dsir_select _,
-    "q101_temperature_mix" -> q101_temperature_mix _
+    "q101_temperature_mix" -> q101_temperature_mix _,
+    "q102_cap_exact"    -> q102_cap_exact _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2053,6 +2066,15 @@ object LlmQueries {
         |      FROM s CROSS JOIN tt),
         |rr AS (SELECT lang, least(1000, (kg * 1000) // cnt) AS rate FROM r)
         |SELECT doc_id, documents.lang FROM documents JOIN rr USING (lang)
-        |WHERE ((doc_id * 1103515245 + 12345) % 1000000007) % 1000 < rate""".stripMargin
+        |WHERE ((doc_id * 1103515245 + 12345) % 1000000007) % 1000 < rate""".stripMargin,
+    // exact quota = the row_number the operator exists to avoid — fine
+    // as an oracle, the engines agree on the integer (key, id) order
+    "q102_cap_exact" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
+        |                    doc_id) AS rn
+        |  FROM documents) WHERE rn <= 70""".stripMargin
   )
 }

@@ -47,3 +47,41 @@ class TopKByScore(k: Int)
   override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
 }
+
+/** k-bounded (key, id) list — buffer and result of [[BottomKLong]]. */
+final case class BottomKBuf(items: Seq[(Long, Long)])
+
+/** Exact bottom-k over INTEGER keys as a typed [[Aggregator]]: keeps the
+  * k smallest (key, id) pairs ordered (key ASC, id ASC). The Long-score
+  * sibling of [[TopKByScore]] — integer keys (LCG shuffle keys, token
+  * counts, per-mille rates) must not round-trip through Double, which
+  * loses exactness past 2^53 and turns distinct keys into ties.
+  *
+  * Same scale story: partial aggregation collapses every map task to a
+  * k-bounded buffer per group before the shuffle, so an exact per-group
+  * quota never becomes one task sorting the largest group (the
+  * row_number-window shape this replaces). */
+class BottomKLong(k: Int)
+    extends Aggregator[(Long, Long), BottomKBuf, BottomKBuf] {
+  require(k >= 1, "k must be >= 1")
+
+  private def better(a: (Long, Long), b: (Long, Long)): Boolean =
+    if (a._1 != b._1) a._1 < b._1 else a._2 < b._2
+
+  private def trim(s: Seq[(Long, Long)]): BottomKBuf =
+    BottomKBuf(s.sortWith(better).take(k))
+
+  override def zero: BottomKBuf = BottomKBuf(Nil)
+  override def reduce(buf: BottomKBuf, x: (Long, Long)): BottomKBuf =
+    // full buffer rejects a non-improving row with one comparison
+    // against the current k-th element (trim keeps the buffer sorted)
+    if (buf.items.size >= k && !better(x, buf.items.last)) buf
+    else trim(buf.items :+ x)
+  override def merge(a: BottomKBuf, b: BottomKBuf): BottomKBuf =
+    trim(a.items ++ b.items)
+  override def finish(buf: BottomKBuf): BottomKBuf = buf
+  override def bufferEncoder: Encoder[BottomKBuf] =
+    Encoders.product[BottomKBuf]
+  override def outputEncoder: Encoder[BottomKBuf] =
+    Encoders.product[BottomKBuf]
+}

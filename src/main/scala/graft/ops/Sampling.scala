@@ -161,6 +161,53 @@ object Sampling {
       .drop("__cap_g", "__cap_cnt")
   }
 
+  /** EXACT per-group quota: keep exactly `min(n_g, maxPerGroup)` rows of
+    * each group — the rows with the `maxPerGroup` smallest (orderKey,
+    * id) pairs (largest when `ascending = false`). With an LCG/xxhash
+    * orderKey this is exact deterministic per-group subsampling; with a
+    * quality score it is per-group best-N retention.
+    *
+    * Shape: one map-side-partial groupBy whose buffer is the k-bounded
+    * [[graft.functions.BottomKLong]] aggregator — every map task ships
+    * at most `maxPerGroup` (key, id) pairs per group, so the exact
+    * quota never plans the row_number window that would sort the
+    * largest group in ONE task (the straggler shape
+    * [[capPerGroupApprox]] exists to avoid). Survivor ids then
+    * semi-join the input — ids only, no payload shuffle.
+    *
+    * Integer keys stay integers end to end (no Double round-trip —
+    * distinct keys past 2^53 must not collide into ties). Ties break
+    * ascending id in both directions. NULL groups form their own capped
+    * group (groupBy semantics — unlike the join-based approx, nothing
+    * is dropped). `idCol` must be a unique non-null row id; a NULL
+    * orderKey row is dropped (documented: quotas need a total order).
+    *
+    * Memory: each partial buffer holds ≤ maxPerGroup pairs PER GROUP
+    * seen by that task (16 B each) — sized for quotas up to ~10^6; for
+    * larger caps use [[capPerGroupApprox]] (rate filter, O(1)/group). */
+  def capPerGroupExact(df: DataFrame, orderKey: Column, groupCol: Column,
+                       idCol: Column, maxPerGroup: Int,
+                       ascending: Boolean = true): DataFrame = {
+    require(maxPerGroup >= 1 && maxPerGroup <= (1 << 20),
+      s"maxPerGroup must be in [1, ${1 << 20}] (k-bounded buffers); " +
+        s"use capPerGroupApprox beyond, got $maxPerGroup")
+    require(!df.columns.contains("__ce_id"),
+      "input frame already carries the helper column __ce_id")
+    val agg = udaf(new graft.functions.BottomKLong(maxPerGroup),
+      org.apache.spark.sql.Encoders.product[(Long, Long)])
+    val k0 = orderKey.cast("long")
+    // DESC = bottom-k of the negated key; LCG/count keys are far from
+    // Long.MinValue so the negation cannot overflow
+    val k = if (ascending) k0 else -k0
+    val winners = df
+      .filter(k.isNotNull)
+      .groupBy(groupCol.as("__ce_g"))
+      .agg(agg(k, idCol.cast("long")).as("__ce_top"))
+      .select(explode(col("__ce_top").getField("items")).as("__ce_it"))
+      .select(col("__ce_it._2").as("__ce_id"))
+    df.join(winners, idCol.cast("long") === col("__ce_id"), "left_semi")
+  }
+
   /** Downsample toward a TARGET MIXTURE: per-group target shares (in
     * per-mille of the final sample) plus a target total row count
     * derive each group's deterministic keep rate —

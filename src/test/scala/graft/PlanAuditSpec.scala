@@ -332,4 +332,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), "membership must be a when-chain, not a join")
     assert(!p.contains("Exchange"), "the sampling filter itself must not shuffle")
   }
+
+  test("q102: exact quota is a k-bounded partial aggregate, never a window") {
+    val p = plan("q102_cap_exact")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
+      "the exact per-group cap must not plan the row_number window it replaces")
+    assert(p.contains("partial_bottomklong"),
+      s"quota buffers must combine map-side:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }

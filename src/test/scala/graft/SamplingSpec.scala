@@ -287,4 +287,72 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"split assignment must not shuffle:\n$plan")
   }
+
+  // ---- capPerGroupExact -------------------------------------------
+
+  lazy val grouped = spark.range(0, 3000)
+    .select($"id", (
+      when($"id" < 2000, lit("big"))          // 2000 rows
+        .when($"id" < 2900, lit("mid"))       // 900 rows
+        .otherwise(lit("small"))).as("g"))    // 100 rows
+
+  test("capPerGroupExact keeps exactly min(n_g, N) rows per group, the N smallest keys") {
+    val capped = Sampling.capPerGroupExact(grouped,
+      Sampling.lcgKeyRaw($"id"), $"g", $"id", maxPerGroup = 500)
+    val counts = capped.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 500L, "mid" -> 500L, "small" -> 100L))
+    // exactly the window-rank reference rows, not just the right counts
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy(Sampling.lcgKeyRaw($"id"), $"id")
+    val ref = grouped.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 500).select($"id").as[Long].collect().toSet
+    assert(capped.select($"id").as[Long].collect().toSet == ref)
+  }
+
+  test("capPerGroupExact descending keeps the LARGEST keys (best-N retention)") {
+    val best = Sampling.capPerGroupExact(grouped, $"id", $"g", $"id",
+      maxPerGroup = 3, ascending = false)
+      .select($"g", $"id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet }
+    assert(best("big") == Set(1999L, 1998L, 1997L))
+    assert(best("mid") == Set(2899L, 2898L, 2897L))
+    assert(best("small") == Set(2999L, 2998L, 2997L))
+  }
+
+  test("capPerGroupExact: NULL groups are capped as their own group; NULL keys drop") {
+    val df = spark.range(0, 100).select($"id",
+      when($"id" % 2 === 0, lit("a")).otherwise(lit(null: String)).as("g"),
+      when($"id" < 90, $"id").as("k"))
+    val capped = Sampling.capPerGroupExact(df, $"k", $"g", $"id", maxPerGroup = 10)
+    val byG = capped.groupBy("g").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byG == Map(Some("a") -> 10L, None -> 10L))
+    // the 10 smallest non-null keys of each group — never a null-key row
+    assert(capped.select($"id").as[Long].collect().toSet ==
+      ((0L until 20L).filter(_ % 2 == 0) ++ (1L until 20L by 2)).toSet)
+  }
+
+  test("capPerGroupExact is partition-independent and validates its cap") {
+    val a = Sampling.capPerGroupExact(grouped,
+      Sampling.lcgKeyRaw($"id"), $"g", $"id", 37).select($"id").as[Long].collect().toSet
+    val b = Sampling.capPerGroupExact(grouped.repartition(13),
+      Sampling.lcgKeyRaw($"id"), $"g", $"id", 37).select($"id").as[Long].collect().toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroupExact(grouped, $"id", $"g", $"id", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.capPerGroupExact(grouped, $"id", $"g", $"id", (1 << 20) + 1)
+    }
+  }
+
+  test("capPerGroupExact plans a partial aggregate, never a window") {
+    val plan = Sampling.capPerGroupExact(grouped,
+        Sampling.lcgKeyRaw($"id"), $"g", $"id", 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("windowspecdefinition"),
+      s"exact cap must not plan a window:\n$plan")
+    assert(plan.contains("partial_bottomklong"),
+      s"quota buffers must combine map-side:\n$plan")
+  }
 }
