@@ -870,6 +870,24 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // Bin ASSEMBLY at the gate (Packing.assembleBins): the q78 chunk→pack
+  // chain materialized into actual training sequences — one row per
+  // (bucket, bin_id), member chunks joined by '\n' in pack order. The
+  // per-bin order is an array_sort bounded by one bin (~512 tokens),
+  // never a window; the groupBy combines map-side.
+  def q104_pack_assemble(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.llm.Chunking.chunkByTokens(
+        t(s, dir, "documents"), idCols = Seq("doc_id"), textCol = "text",
+        chunkSize = 32, stride = 24)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        col("n_chunk_tokens"),
+        (col("chunk_id") * 1000000000000L + col("doc_id")).as("cid"))
+    val packed = graft.ops.Packing.packGreedy(
+      chunks, col("cid"), col("n_chunk_tokens"), budget = 512L, buckets = 8)
+    graft.ops.Packing.assembleBins(
+      packed, col("cid"), col("n_chunk_tokens"), col("chunk_text"))
+  }
+
   // TOKEN-budget mixture sampling at the gate
   // (Sampling.sampleToMixtureWeighted): the q90 composition step with
   // targets in TOKENS — per-language keep rates derived from token
@@ -1003,7 +1021,8 @@ object LlmQueries {
     "q99_ngram_novelty" -> q99_ngram_novelty _,
     "q100_dsir_select"  -> q100_dsir_select _,
     "q101_temperature_mix" -> q101_temperature_mix _,
-    "q102_cap_exact"    -> q102_cap_exact _
+    "q102_cap_exact"    -> q102_cap_exact _,
+    "q104_pack_assemble" -> q104_pack_assemble _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2075,6 +2094,26 @@ object LlmQueries {
         |         row_number() OVER (PARTITION BY lang
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
-        |  FROM documents) WHERE rn <= 70""".stripMargin
+        |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // q78's CTE + chunk text, assembled per bin: string_agg(... ORDER BY
+    // cid) mirrors the array_sort reassembly; the sum casts to BIGINT
+    // (DuckDB's int128 sum renders as float through the driver's path)
+    "q104_pack_assemble" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, (len(toks)-1)//24)) AS chunk_id FROM t
+        |      WHERE len(toks) >= 1),
+        |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |         CAST(least(chunk_id*24+32, len(toks)) - chunk_id*24 AS BIGINT) AS n_chunk_tokens,
+        |         array_to_string(toks[chunk_id*24+1 : chunk_id*24+32], ' ') AS chunk_text
+        |       FROM s),
+        |p AS (SELECT *, chunk_id * 1000000000000 + doc_id AS cid,
+        |        (chunk_id * 1000000000000 + doc_id) % 8 AS bucket FROM ch),
+        |c2 AS (SELECT *, sum(n_chunk_tokens) OVER (PARTITION BY bucket ORDER BY cid
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chunk_tokens AS cb FROM p)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(cb // 512 AS BIGINT) AS bin_id,
+        |  count(*) AS n_items, CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+        |  string_agg(chunk_text, chr(10) ORDER BY cid) AS text
+        |FROM c2 GROUP BY 1, 2""".stripMargin
   )
 }

@@ -67,4 +67,32 @@ object Packing {
       // integer DIV, not floor(double /): exact past 2^53 total tokens
       .withColumn("bin_id", expr(s"cum_before DIV ${budget}L"))
   }
+
+  /** Materialize packed bins as training sequences: one row per
+    * (bucket, bin_id) with the member payloads joined by `sep` in pack
+    * order (ascending `idCol`), plus item and token counts — the final
+    * assembly step after [[packGreedy]] (a training sequence is its
+    * bin's documents concatenated with a separator/EOS token).
+    *
+    * Shape: ONE map-side-partial groupBy on (bucket, bin_id). Per-bin
+    * ordering is an array_sort of the collected (id, payload) structs —
+    * bounded by one bin (~`budget` tokens by construction), never a
+    * window over the stream (the reassembleParagraphs rule). `idCol`
+    * must be the pack-order id passed to packGreedy (unique per row, so
+    * the struct sort is total and deterministic). */
+  def assembleBins(packed: DataFrame, idCol: Column, sizeCol: Column,
+                   textCol: Column, sep: String = "\n"): DataFrame = {
+    for (c <- Seq("bucket", "bin_id"))
+      require(packed.columns.contains(c),
+        s"assembleBins expects a packGreedy output (missing column $c)")
+    packed.groupBy(col("bucket"), col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(sizeCol.cast("long")).as("n_tokens"),
+        array_sort(collect_list(struct(idCol.cast("long").as("i"),
+          textCol.as("t")))).as("__bs"))
+      .withColumn("text",
+        array_join(transform(col("__bs"), s => s.getField("t")), sep))
+      .drop("__bs")
+  }
 }

@@ -184,6 +184,45 @@ class ChunkPackSpec extends SparkTestBase {
     assert(again == composed)
   }
 
+  test("assembleBins concatenates a bin's payloads in pack order with exact counts") {
+    val docs = Seq(
+      (1L, "a a a", 3L), (2L, "b b", 2L), (3L, "c c c c", 4L),
+      (4L, "d", 1L), (5L, "e e", 2L))
+      .toDF("doc_id", "text", "n_tokens")
+    // one bucket, budget 5; cum_before = 0,3,5,9,10 → bins 0,0,1,1,2
+    val packed = Packing.packGreedy(docs, $"doc_id", $"n_tokens", 5L, 1)
+    val bins = Packing.assembleBins(packed, $"doc_id", $"n_tokens", $"text",
+        sep = " | ")
+      .select($"bin_id", $"n_items", $"n_tokens", $"text")
+      .as[(Long, Long, Long, String)].collect().map(b => b._1 -> b).toMap
+    assert(bins(0L) == ((0L, 2L, 5L, "a a a | b b")))
+    assert(bins(1L) == ((1L, 2L, 5L, "c c c c | d")))
+    assert(bins(2L) == ((2L, 1L, 2L, "e e")))
+  }
+
+  test("assembleBins is partition-independent, requires a packed frame, plans no window") {
+    val withText = sized.withColumn("text",
+      concat(lit("doc"), $"doc_id".cast("string")))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Packing.assembleBins(
+          Packing.packGreedy(df, $"doc_id", $"n_tokens", 512L, 8),
+          $"doc_id", $"n_tokens", $"text")
+        .select($"bucket", $"bin_id", $"text")
+        .as[(Long, Long, String)].collect().toSet
+    assert(run(withText) == run(withText.repartition(13)))
+    intercept[IllegalArgumentException] {
+      Packing.assembleBins(withText, $"doc_id", $"n_tokens", $"text")
+    }
+    val plan = Packing.assembleBins(
+        Packing.packGreedy(withText, $"doc_id", $"n_tokens", 512L, 8),
+        $"doc_id", $"n_tokens", $"text")
+      .queryExecution.executedPlan.toString
+    // the pack stage owns the (bucket-bounded) running-sum window; the
+    // ASSEMBLY itself must add only a partial-combining aggregate
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("partial"),
+      s"bin assembly must aggregate with a partial stage:\n$plan")
+  }
+
   test("json extraction: missing/malformed keys null out, aggregates skip them") {
     val ev = Seq(
       ("a", """{"k": 5}"""), ("a", """{"k": 7}"""),

@@ -333,6 +333,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), "the sampling filter itself must not shuffle")
   }
 
+  test("q104: bin assembly adds one partial-combining aggregate to the pack plan") {
+    val p = plan("q104_pack_assemble")
+    // exactly the q78 shape plus a groupBy: still only the bucket-
+    // partitioned pack window, never one keyed finer
+    val winSpecs = """windowspecdefinition\((\w+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(winSpecs == Set("bucket"),
+      s"only the pack stage may window, partitioned by bucket; got $winSpecs")
+    assert(p.contains("ObjectHashAggregate"),
+      s"collect_list assembly must be an object-hash aggregate:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("q102: exact quota is a k-bounded partial aggregate, never a window") {
     val p = plan("q102_cap_exact")
     assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
