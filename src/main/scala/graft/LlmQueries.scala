@@ -870,6 +870,19 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // Weighted source INTERLEAVE at the gate
+  // (GlobalRank.interleaveSources): three corpora woven into one epoch
+  // order with 1:2:4 rates — per-source window-free global ranks,
+  // integer virtual time, then one window-free rank over the union.
+  // The dataset-mixing step that fixes WHEN each source's rows are seen.
+  def q103_interleave(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GlobalRank.interleaveSources(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      sourceCol = col("source"),
+      orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
+      idCol = col("doc_id"),
+      weights = Seq("src0" -> 1, "src1" -> 2, "src2" -> 4))
+
   // Bin ASSEMBLY at the gate (Packing.assembleBins): the q78 chunk→pack
   // chain materialized into actual training sequences — one row per
   // (bucket, bin_id), member chunks joined by '\n' in pack order. The
@@ -1022,6 +1035,7 @@ object LlmQueries {
     "q100_dsir_select"  -> q100_dsir_select _,
     "q101_temperature_mix" -> q101_temperature_mix _,
     "q102_cap_exact"    -> q102_cap_exact _,
+    "q103_interleave"   -> q103_interleave _,
     "q104_pack_assemble" -> q104_pack_assemble _
   )
 
@@ -2095,6 +2109,18 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // per-source ranks → integer virtual time → epoch order; the oracle
+    // may use the windows the operator exists to avoid
+    "q103_interleave" ->
+      """WITH w(source, wt) AS (VALUES ('src0', 1), ('src1', 2), ('src2', 4)),
+        |r AS (SELECT doc_id, d.source, wt,
+        |        CAST(row_number() OVER (PARTITION BY d.source
+        |          ORDER BY (doc_id * 1103515245 + 12345) % 1000000007, doc_id) AS BIGINT) AS src_rank
+        |      FROM documents d JOIN w USING (source)),
+        |v AS (SELECT doc_id, source, src_rank, (src_rank * 1000000) // wt AS vt FROM r)
+        |SELECT doc_id, source, src_rank, vt,
+        |  CAST(row_number() OVER (ORDER BY vt, source, src_rank) AS BIGINT) AS epoch_rank
+        |FROM v""".stripMargin,
     // q78's CTE + chunk text, assembled per bin: string_agg(... ORDER BY
     // cid) mirrors the array_sort reassembly; the sum casts to BIGINT
     // (DuckDB's int128 sum renders as float through the driver's path)

@@ -174,4 +174,47 @@ object GlobalRank {
           .otherwise((lit(nBig) + (r - cut - 1) / small + 1).cast("int"))
     ranked.withColumn(outCol, bucket).drop("__grn")
   }
+
+  /** Deterministic WEIGHTED INTERLEAVE of corpus sources into one
+    * global training order (epoch materialization for a mixture spec):
+    * in any prefix of the epoch, a source with twice the weight
+    * contributes twice the rows. Each source is ranked independently
+    * (by `orderKey`, then `idCol` — pass an LCG key for a shuffled
+    * epoch) and its rows placed at integer virtual time
+    * `vt = src_rank · VtScale DIV weight`; the epoch order is
+    * (vt, source, src_rank) — all long math, reproducible anywhere.
+    *
+    * Shape: one [[globalRowNumber]] per source (sources are a mixture
+    * spec — a handful, validated ≤ 256) plus one over the union;
+    * every rank is the window-free range-partition form, so no source —
+    * however large — ever sorts in a single task. Rows whose source is
+    * absent from `weights` are dropped (the spec DEFINES the epoch).
+    *
+    * Overflow bound: src_rank · VtScale stays in Long for ranks below
+    * ~9.2e12 — a 9-trillion-row source is past any epoch this targets. */
+  def interleaveSources(df: DataFrame, sourceCol: Column, orderKey: Column,
+                        idCol: Column, weights: Seq[(String, Int)],
+                        outCol: String = "epoch_rank"): DataFrame = {
+    require(weights.nonEmpty && weights.size <= 256,
+      s"weights must list 1..256 sources, got ${weights.size}")
+    require(weights.forall(_._2 >= 1), "source weights must be >= 1")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate source in weights")
+    for (c <- Seq("src_rank", "vt", outCol))
+      require(!df.columns.contains(c),
+        s"input frame already carries the output column $c")
+    val perSource = weights.map { case (name, w) =>
+      val part = df.filter(sourceCol === lit(name))
+      globalRowNumber(part, Seq(orderKey, idCol), outCol = "src_rank")
+        .withColumn("vt", expr(s"src_rank * ${VtScale}L DIV ${w}L"))
+    }
+    val union = perSource.reduce(_.unionByName(_))
+    globalRowNumber(union,
+      Seq(col("vt"), sourceCol, col("src_rank")), outCol = outCol)
+  }
+
+  /** Virtual-time resolution of [[interleaveSources]]: weight w places a
+    * source's k-th row at k·VtScale/w, so relative rates are exact for
+    * any weight ≤ VtScale. */
+  val VtScale = 1000000L
 }

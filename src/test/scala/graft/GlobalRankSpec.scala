@@ -82,4 +82,69 @@ class GlobalRankSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "scalable ntile must not plan a Window")
   }
+
+  // ---- interleaveSources ------------------------------------------
+
+  private lazy val mixed = spark.range(0, 1200).select(
+    col("id"),
+    when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+      .otherwise("c").as("src"))   // 400 rows each
+
+  test("interleave: any epoch prefix holds sources in weight proportion") {
+    val epoch = GlobalRank.interleaveSources(mixed, col("src"), col("id"),
+        col("id"), Seq("a" -> 1, "b" -> 2, "c" -> 3))
+      .orderBy("epoch_rank")
+      .select("src", "epoch_rank").as[(String, Long)].collect()
+    // weights 1:2:3 → in the first 120 rows expect 20/40/60 ± the
+    // interleave phase (at most one row per source of drift)
+    for (n <- Seq(60, 120, 300)) {
+      val c = epoch.take(n).groupBy(_._1).view.mapValues(_.length).toMap
+      assert(math.abs(c("a") - n / 6) <= 1, s"prefix $n: $c")
+      assert(math.abs(c("b") - n / 3) <= 1, s"prefix $n: $c")
+      assert(math.abs(c("c") - n / 2) <= 1, s"prefix $n: $c")
+    }
+    // total = everything with a listed source, ranks dense from 1
+    assert(epoch.length == 1200)
+    assert(epoch.map(_._2).toSet == (1L to 1200L).toSet)
+  }
+
+  test("interleave equals the window reference and is partition-independent") {
+    val weights = Seq("a" -> 1, "b" -> 2, "c" -> 3)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GlobalRank.interleaveSources(df, col("src"), col("id"), col("id"),
+          weights)
+        .select("id", "epoch_rank").as[(Long, Long)].collect().toMap
+    val got = run(mixed)
+    assert(got == run(mixed.repartition(17)))
+    val wCol = element_at(
+      map(weights.flatMap { case (s, w) => Seq(lit(s), lit(w.toLong)) }: _*),
+      col("src"))
+    val ref = mixed
+      .withColumn("src_rank",
+        row_number().over(Window.partitionBy("src").orderBy("id")).cast("long"))
+      .withColumn("wt", wCol)
+      .withColumn("vt", expr(s"src_rank * ${GlobalRank.VtScale}L DIV wt"))
+      .withColumn("epoch_rank",
+        row_number().over(Window.orderBy(col("vt"), col("src"), col("src_rank")))
+          .cast("long"))
+      .select("id", "epoch_rank").as[(Long, Long)].collect().toMap
+    assert(got == ref)
+  }
+
+  test("interleave drops unlisted sources and validates weights") {
+    val epoch = GlobalRank.interleaveSources(mixed, col("src"), col("id"),
+      col("id"), Seq("a" -> 1))
+    assert(epoch.select("src").distinct().as[String].collect().toSeq == Seq("a"))
+    intercept[IllegalArgumentException] {
+      GlobalRank.interleaveSources(mixed, col("src"), col("id"), col("id"), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      GlobalRank.interleaveSources(mixed, col("src"), col("id"), col("id"),
+        Seq("a" -> 0))
+    }
+    intercept[IllegalArgumentException] {
+      GlobalRank.interleaveSources(mixed, col("src"), col("id"), col("id"),
+        Seq("a" -> 1, "a" -> 2))
+    }
+  }
 }

@@ -333,6 +333,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), "the sampling filter itself must not shuffle")
   }
 
+  test("q103: interleave ranks are the window-free form — any window is pid-partitioned") {
+    // per-source and epoch ranks both come from globalRowNumber: the
+    // only admissible window partitions by the __mid-derived partition
+    // id (bounded n/p), exactly the q89 rule
+    val p = plan("q103_interleave")
+    assert(!p.matches("(?s).*windowspecdefinition\\(__mid[^,]*ASC.*"),
+      "rank windows must partition by pid, never merely order globally")
+    assert(!p.matches("(?s).*windowspecdefinition\\(source.*"),
+      "no window may partition by source (a whole source in one task)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("q104: bin assembly adds one partial-combining aggregate to the pack plan") {
     val p = plan("q104_pack_assemble")
     // exactly the q78 shape plus a groupBy: still only the bucket-
