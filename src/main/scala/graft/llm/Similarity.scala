@@ -797,4 +797,96 @@ object Similarity {
         lshBucketTopK(queries, candidates, idCol, vecCol, k)
     }
   }
+
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998):
+    * per query, greedily select `k` of its candidates maximizing
+    * `λ·relevance − (1−λ)·max cosine to the already-selected` — the
+    * diversification pass after ANN retrieval (redundant near-copies
+    * stop crowding out distinct results). Iterative greedy argmax has
+    * no SQL form (each pick conditions the next), so like BPE this is
+    * spec-pinned, not oracle-gated.
+    *
+    * Input: one row per (query, candidate) with the candidate's
+    * relevance and VECTOR — i.e. an ANN route's top-C joined back to
+    * its embeddings. Scale shape: `groupByKey(query_id)` +
+    * `flatMapGroups`, each group C candidates where C is the ANN
+    * retrieval depth — bounded BY CONSTRUCTION, enforced by
+    * `maxCandidates` (fail-closed: an unbounded group means the caller
+    * fed a cross join, not a retrieval). The greedy loop is O(k·C)
+    * cosines over one group in one task; queries parallelize freely.
+    *
+    * Determinism: selection compares doubles but every input is the
+    * same bits on every executor, and ties break on ascending cand_id —
+    * re-runs and repartitions reproduce the selection exactly.
+    * First pick (empty selected set) is pure relevance. */
+  def mmrRerank(cands: DataFrame, queryIdCol: String, candIdCol: String,
+                relCol: String, vecCol: String, k: Int,
+                lambda: Double = 0.5,
+                maxCandidates: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    require(maxCandidates >= 1, "maxCandidates must be >= 1")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val typed = cands
+      .where(col(vecCol).isNotNull && col(relCol).isNotNull)
+      .select(
+        col(queryIdCol).cast("long"), col(candIdCol).cast("long"),
+        col(relCol).cast("double"), col(vecCol).cast("array<double>"))
+      .as[(Long, Long, Double, Array[Double])]
+    typed.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val rows = it.toArray
+      require(rows.length <= maxCandidates,
+        s"query $qid has ${rows.length} candidates > $maxCandidates — " +
+          "mmrRerank expects ANN-bounded retrieval, not a cross join")
+      val n = rows.length
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val d = math.min(a.length, b.length)
+        while (i < d) { dot += a(i) * b(i); na += a(i) * a(i)
+          nb += b(i) * b(i); i += 1 }
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      }
+      val picked = new Array[Boolean](n)
+      // running max-cosine to the selected set, updated per pick —
+      // O(k·C) total instead of recomputing O(C·|sel|) per round.
+      // -Inf, NOT 0: the max over selected can be NEGATIVE (opposed
+      // vectors), and clamping it at 0 would silently erase the
+      // diversity BONUS classical MMR grants anti-correlated picks
+      // (found by the driver-reference spec).
+      val maxSim = new Array[Double](n)
+      java.util.Arrays.fill(maxSim, Double.NegativeInfinity)
+      val out = Seq.newBuilder[(Long, Long, Int, Double)]
+      var r = 0
+      while (r < math.min(k, n)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            // round 0 has no selected set: pure relevance
+            val s = lambda * rows(i)._3 -
+              (if (r == 0) 0.0 else (1.0 - lambda) * maxSim(i))
+            // ties → ascending cand_id (rows are unsorted; compare ids)
+            if (s > bestScore ||
+                (s == bestScore && (best < 0 || rows(i)._2 < rows(best)._2))) {
+              best = i; bestScore = s
+            }
+          }
+          i += 1
+        }
+        picked(best) = true
+        out += ((qid, rows(best)._2, r + 1, bestScore))
+        i = 0
+        while (i < n) {
+          if (!picked(i)) {
+            val c = cos(rows(i)._4, rows(best)._4)
+            if (c > maxSim(i)) maxSim(i) = c
+          }
+          i += 1
+        }
+        r += 1
+      }
+      out.result().iterator
+    }.toDF("query_id", "cand_id", "mmr_rank", "mmr_score")
+  }
 }
