@@ -870,6 +870,20 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // HARD-NEGATIVE mining at the gate (Similarity.hardNegatives): per
+  // query, top-5 most-similar embeddings with a DIFFERENT label —
+  // contrastive-training negatives on the q26 decimal-exact cosine and
+  // the k-bounded topKPerQuery buffers; the label inequality rides the
+  // join so same-class rows never reach the buffers.
+  def q105_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.Similarity.hardNegatives(
+        emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding",
+        "label", k = 5)
+      .select(col("query_id"), col("cand_id"),
+        col("cosine").cast(out).cast("double").as("cosine"), col("rnk"))
+  }
+
   // Weighted source INTERLEAVE at the gate
   // (GlobalRank.interleaveSources): three corpora woven into one epoch
   // order with 1:2:4 rates — per-source window-free global ranks,
@@ -1036,7 +1050,8 @@ object LlmQueries {
     "q101_temperature_mix" -> q101_temperature_mix _,
     "q102_cap_exact"    -> q102_cap_exact _,
     "q103_interleave"   -> q103_interleave _,
-    "q104_pack_assemble" -> q104_pack_assemble _
+    "q104_pack_assemble" -> q104_pack_assemble _,
+    "q105_hard_negatives" -> q105_hard_negatives _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2109,6 +2124,22 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // q26's decimal-cosine recipe + the label-inequality join condition
+    "q105_hard_negatives" ->
+      """WITH norm AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+        |  FROM norm q JOIN norm c ON q.vec_id < 8 AND c.vec_id <> q.vec_id AND c.label <> q.label)
+        |SELECT query_id, cand_id, CAST(CAST(cosine AS DECIMAL(38,6)) AS DOUBLE) AS cosine, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+        |      FROM pairs) WHERE rnk <= 5""".stripMargin,
     // per-source ranks → integer virtual time → epoch order; the oracle
     // may use the windows the operator exists to avoid
     "q103_interleave" ->

@@ -105,6 +105,36 @@ object Similarity {
     topKPerQuery(pairs, "cosine", k, ascending = false)
   }
 
+  /** HARD-NEGATIVE mining for contrastive/embedding training: for each
+    * query, the top-k most-similar candidates with a DIFFERENT label —
+    * the near-misses that make the best negatives (random negatives are
+    * trivially separable; the hardest ones sit just across the class
+    * boundary). Same broadcast-queries + fused-kernel +
+    * [[topKPerQuery]] shape as [[bruteForceTopK]]; the label inequality
+    * rides the join condition, so same-class candidates never enter the
+    * per-query k-bounded buffers. NULL-labeled rows are excluded from
+    * BOTH sides (an unknown class cannot be asserted a negative). */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int, deterministic: Boolean = true): DataFrame = {
+    val q = queries.where(col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        col(labelCol).as("qlab"))
+      .withColumn("qn", norm2Decimal(col("qv")))
+    val c = candidates.where(col(labelCol).isNotNull)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
+        col(labelCol).as("clab"))
+      .withColumn("cn", norm2Decimal(col("cv")))
+    val cos =
+      if (deterministic)
+        cosineDeterministic(col("qv"), col("cv"), col("qn"), col("cn"))
+      else cosine(col("qv"), col("cv"))
+    val pairs = c.join(broadcast(q),
+        col("cand_id") =!= col("query_id") && col("clab") =!= col("qlab"))
+      .select(col("query_id"), col("cand_id"), cos.as("cosine"))
+    topKPerQuery(pairs, "cosine", k, ascending = false)
+  }
+
   // -------------------------------------------------------------------
   // Sign-bit (binary) embedding sketches: 1 bit per dimension, packed
   // 32 dims per long word — a 32× memory cut over float32 that turns

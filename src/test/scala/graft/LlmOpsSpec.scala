@@ -373,6 +373,37 @@ class LlmOpsSpec extends SparkTestBase {
     assert(first == 2L)
   }
 
+  test("hardNegatives: only cross-label candidates, = brute force on the filtered corpus") {
+    val rnd = new scala.util.Random(13)
+    val df = (0L until 60L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = df.filter($"vec_id" < 4)
+    val got = Similarity.hardNegatives(queries, df, "vec_id", "embedding",
+        "label", k = 5)
+      .select("query_id", "cand_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    // no same-label candidate ever surfaces
+    val labelOf = (0L until 60L).map(i => i -> (i % 3)).toMap
+    assert(got.forall { case (q, c, _) => labelOf(q) != labelOf(c) })
+    // per query, identical to brute force over the pre-filtered corpus
+    val ref = (0L until 4L).flatMap { q =>
+      Similarity.bruteForceTopK(
+          df.filter($"vec_id" === q),
+          df.filter($"label" =!= labelOf(q)), "vec_id", "embedding", k = 5)
+        .select("query_id", "cand_id", "rnk")
+        .as[(Long, Long, Int)].collect()
+    }.toSet
+    assert(got == ref)
+    // null-labeled rows are excluded from both sides
+    val withNull = df.withColumn("label",
+      when($"vec_id" === 7L, lit(null: String)).otherwise($"label"))
+    val gotN = Similarity.hardNegatives(withNull, withNull, "vec_id",
+        "embedding", "label", k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect()
+    assert(!gotN.exists(_._2 == 7L) && !gotN.exists(_._1 == 7L))
+  }
+
   test("LSH bucket topk achieves high recall vs brute force on clustered data") {
     val rnd = new scala.util.Random(11)
     // 4 clusters of 25 vectors each

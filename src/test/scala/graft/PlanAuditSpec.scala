@@ -183,7 +183,8 @@ class PlanAuditSpec extends SparkTestBase {
     // candidate row into one task's sort — the TopKByScore swap bounds
     // the shuffle at k pairs per query, and partial aggregation must
     // survive in the plan
-    for (q <- Seq("q26_cosine_topk", "q72_hamming_topk")) {
+    for (q <- Seq("q26_cosine_topk", "q72_hamming_topk",
+                  "q105_hard_negatives")) {
       val p = plan(q)
       assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
         s"$q reintroduced the per-query window sort")
