@@ -870,6 +870,17 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // WATER-FILLING budget at the gate (Sampling.waterFillBudget):
+  // exactly 293 docs, as evenly across languages as sizes allow — the
+  // level lands at λ=58 with remainder 3, so de/en/es (first capped
+  // langs in order) keep 59 and fr/zh keep 58. Closed-form integer λ,
+  // |groups|-bounded metadata, BottomKLong selection buffers.
+  def q106_water_fill(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.waterFillBudget(
+      t(s, dir, "documents").select(col("doc_id"), col("lang")),
+      orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
+      groupCol = col("lang"), idCol = col("doc_id"), totalBudget = 293L)
+
   // HARD-NEGATIVE mining at the gate (Similarity.hardNegatives): per
   // query, top-5 most-similar embeddings with a DIFFERENT label —
   // contrastive-training negatives on the q26 decimal-exact cosine and
@@ -1051,7 +1062,8 @@ object LlmQueries {
     "q102_cap_exact"    -> q102_cap_exact _,
     "q103_interleave"   -> q103_interleave _,
     "q104_pack_assemble" -> q104_pack_assemble _,
-    "q105_hard_negatives" -> q105_hard_negatives _
+    "q105_hard_negatives" -> q105_hard_negatives _,
+    "q106_water_fill"   -> q106_water_fill _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2124,6 +2136,25 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // brute-force the water level over generate_series (fixture-scale),
+    // then the same largest-remainder caps and per-group rank filter
+    "q106_water_fill" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |lv AS (SELECT unnest(generate_series(0, 293)) AS l),
+        |sp AS (SELECT l, sum(least(cnt, l)) AS spend FROM lv CROSS JOIN c GROUP BY l),
+        |lam AS (SELECT max(l) AS lambda FROM sp WHERE spend <= 293),
+        |s2 AS (SELECT lambda, (SELECT sum(least(cnt, lambda)) FROM c) AS spent FROM lam),
+        |capped AS (SELECT lang, row_number() OVER (ORDER BY lang) AS rk
+        |           FROM c CROSS JOIN lam WHERE cnt > lambda),
+        |caps AS (SELECT c.lang,
+        |           least(cnt, lambda) +
+        |             COALESCE(CASE WHEN rk <= 293 - spent THEN 1 ELSE 0 END, 0) AS cap
+        |         FROM c CROSS JOIN s2 LEFT JOIN capped USING (lang)),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY (doc_id*1103515245+12345) % 1000000007, doc_id) AS rn
+        |      FROM documents)
+        |SELECT doc_id, r.lang FROM r JOIN caps ON r.lang = caps.lang WHERE rn <= cap""".stripMargin,
     // q26's decimal-cosine recipe + the label-inequality join condition
     "q105_hard_negatives" ->
       """WITH norm AS (

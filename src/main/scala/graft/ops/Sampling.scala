@@ -208,6 +208,81 @@ object Sampling {
     df.join(winners, idCol.cast("long") === col("__ce_id"), "left_semi")
   }
 
+  /** WATER-FILLING row budget across groups: keep exactly `totalBudget`
+    * rows overall, as evenly across groups as group sizes allow — small
+    * groups keep everything, large groups are capped at a common water
+    * level λ (the largest level whose total fits the budget), and the
+    * integer remainder goes one row each to the first capped groups in
+    * group-value order. The fair-share mixture step when no explicit
+    * per-group shares exist ("give every domain an equal voice up to
+    * the compute budget"). Fully deterministic integer math; membership
+    * per group is the smallest (orderKey, id) pairs, as in
+    * [[capPerGroupExact]].
+    *
+    * Scale shape: λ depends only on the MULTISET of group counts —
+    * one map-side-partial groupBy collected as ≤|groups| longs (group
+    * domains are mixture specs: languages, sources, clusters — the
+    * sampleToTemperature precedent); the remainder ranking windows over
+    * the ≤|groups|-row counts frame, never the corpus; selection is the
+    * k-bounded BottomKLong aggregator with buffers ≤ λ+1, then an
+    * ids-only semi join. NULL groups form their own group. Budgets
+    * needing λ ≥ 2^20 are refused (buffer bound) — at that level use
+    * rate-based mixture ops instead. */
+  def waterFillBudget(df: DataFrame, orderKey: Column, groupCol: Column,
+                      idCol: Column, totalBudget: Long): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be >= 0, got $totalBudget")
+    for (c <- Seq("__wf_g", "__wf_cnt", "__wf_cap", "__wf_id"))
+      require(!df.columns.contains(c),
+        s"input frame already carries the helper column $c")
+    val counts = df.groupBy(groupCol.as("__wf_g"))
+      .agg(count(lit(1)).as("__wf_cnt"))
+    val cs = counts.select(col("__wf_cnt")).collect().map(_.getLong(0)).sorted
+    val total = cs.sum
+    if (totalBudget >= total) return df
+    // closed-form level: walk groups ascending; once the per-remaining-
+    // group share drops below the next count, that share IS the level
+    val m = cs.length
+    var prefix = 0L; var i = 0; var lambda = 0L
+    var found = false
+    while (!found) {
+      val cand = (totalBudget - prefix) / (m - i)
+      if (cand < cs(i)) { lambda = cand; found = true }
+      else { prefix += cs(i); i += 1 }   // i < m: budget < total ensures stop
+    }
+    val spent = prefix + lambda * (m - i)
+    val extra = totalBudget - spent      // 0 <= extra < m - i capped groups
+    require(lambda + 1 <= (1 << 20),
+      s"water level $lambda exceeds the exact-buffer bound (2^20); " +
+        "use capPerGroupApprox/sampleToMixture rates at this scale")
+    // per-group caps: min(cnt, λ) + 1 for the first `extra` capped
+    // groups in group-value order — windows over ≤|groups| rows only
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__wf_g").asc_nulls_last)
+    val cappedG = counts.filter(col("__wf_cnt") > lambda)
+      .withColumn("__wf_rk", row_number().over(wOrd))
+      .withColumn("__wf_cap",
+        lit(lambda) + when(col("__wf_rk") <= extra, 1L).otherwise(0L))
+      .select(col("__wf_g"), col("__wf_cap"))
+    val caps = counts.filter(col("__wf_cnt") <= lambda)
+      .select(col("__wf_g"), col("__wf_cnt").as("__wf_cap"))
+      .unionByName(cappedG)
+    val agg = udaf(new graft.functions.BottomKLong((lambda + 1).toInt),
+      org.apache.spark.sql.Encoders.product[(Long, Long)])
+    val k0 = orderKey.cast("long")
+    val winners = df.filter(k0.isNotNull)
+      .groupBy(groupCol.as("__wf_g"))
+      .agg(agg(k0, idCol.cast("long")).as("__wf_top"))
+      .select(col("__wf_g"),
+        posexplode(col("__wf_top").getField("items")).as(Seq("pos", "it")))
+      // null-safe join: the NULL group's cap row must pair with the
+      // NULL group's buffer (plain = would silently drop it)
+      .join(caps.withColumnRenamed("__wf_g", "__wf_g2"),
+        col("__wf_g") <=> col("__wf_g2"))
+      .filter(col("pos") < col("__wf_cap"))
+      .select(col("it._2").as("__wf_id"))
+    df.join(winners, idCol.cast("long") === col("__wf_id"), "left_semi")
+  }
+
   /** Downsample toward a TARGET MIXTURE: per-group target shares (in
     * per-mille of the final sample) plus a target total row count
     * derive each group's deterministic keep rate —

@@ -346,6 +346,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q106: water-fill selects through bottom-k buffers; only the counts frame windows") {
+    val p = plan("q106_water_fill")
+    assert(p.contains("partial_bottomklong"),
+      s"selection buffers must combine map-side:\n${p.take(800)}")
+    // the one admissible window ranks the ≤|groups|-row counts frame by
+    // group value (remainder distribution) — never a corpus column
+    val winSpecs = """windowspecdefinition\((\w+)""".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(winSpecs.subsetOf(Set("__wf_g")),
+      s"only the counts-frame remainder window is allowed, got $winSpecs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
   test("q104: bin assembly adds one partial-combining aggregate to the pack plan") {
     val p = plan("q104_pack_assemble")
     // exactly the q78 shape plus a groupBy: still only the bucket-

@@ -346,6 +346,56 @@ class SamplingSpec extends SparkTestBase {
     }
   }
 
+  test("waterFillBudget hits the budget exactly, small groups keep all, level is even") {
+    // groups: 10, 100, 1000, 1000 rows
+    val df = spark.range(0, 2110).select($"id",
+      when($"id" < 10, "tiny").when($"id" < 110, "small")
+        .when($"id" < 1110, "bigA").otherwise("bigB").as("g"))
+    val kept = Sampling.waterFillBudget(df, Sampling.lcgKeyRaw($"id"), $"g",
+      $"id", totalBudget = 500L)
+    val byG = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    // λ = (500-10)/3 = 163 (< 1000 after tiny absorbed); wait: walk:
+    // sorted [10,100,1000,1000]; cand=125>=10 → cand=(490)/3=163>=100 →
+    // cand=(390)/2=195<1000 → λ=195, spent=110+390=500, extra 0
+    assert(byG == Map("tiny" -> 10L, "small" -> 100L,
+      "bigA" -> 195L, "bigB" -> 195L))
+    assert(byG.values.sum == 500L)
+  }
+
+  test("waterFillBudget distributes the remainder to the first capped groups; over-budget keeps all") {
+    val df = spark.range(0, 300).select($"id",
+      (concat(lit("g"), ($"id" % 3).cast("string"))).as("g"))  // 100 each
+    val kept = Sampling.waterFillBudget(df, Sampling.lcgKeyRaw($"id"), $"g",
+      $"id", totalBudget = 200L)
+    // λ = 66, spent 198, extra 2 → g0,g1 keep 67; g2 keeps 66
+    val byG = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(byG == Map("g0" -> 67L, "g1" -> 67L, "g2" -> 66L))
+    // membership is the capPerGroupExact rule: smallest (key, id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy(Sampling.lcgKeyRaw($"id"), $"id")
+    val ranked = df.withColumn("rn", row_number().over(w))
+    val expect = ranked.filter(($"g" =!= "g2" && $"rn" <= 67) ||
+        ($"g" === "g2" && $"rn" <= 66))
+      .select($"id").as[Long].collect().toSet
+    assert(kept.select($"id").as[Long].collect().toSet == expect)
+    assert(Sampling.waterFillBudget(df, Sampling.lcgKeyRaw($"id"), $"g",
+      $"id", totalBudget = 300L).count() == 300L)
+    assert(Sampling.waterFillBudget(df, Sampling.lcgKeyRaw($"id"), $"g",
+      $"id", totalBudget = 0L).count() == 0L)
+  }
+
+  test("waterFillBudget caps NULL groups as their own group, partition-independent") {
+    val df = spark.range(0, 200).select($"id",
+      when($"id" % 2 === 0, "a").otherwise(lit(null: String)).as("g"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.waterFillBudget(d, Sampling.lcgKeyRaw($"id"), $"g", $"id", 100L)
+    val byG = run(df).groupBy("g").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(byG == Map(Some("a") -> 50L, None -> 50L))
+    assert(run(df).select($"id").as[Long].collect().toSet ==
+      run(df.repartition(11)).select($"id").as[Long].collect().toSet)
+  }
+
   test("capPerGroupExact plans a partial aggregate, never a window") {
     val plan = Sampling.capPerGroupExact(grouped,
         Sampling.lcgKeyRaw($"id"), $"g", $"id", 50)
