@@ -870,6 +870,15 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // Token-frequency SPECTRUM at the gate
+  // (LanguageModel.tokenFrequencySpectrum): per-language Zipf bands —
+  // distinct types and occurrences per power-of-two count band;
+  // band = length(bin(cnt))-1, pure integer/string math both engines
+  // share. Two map-side-partial groupBys, vocabulary-bounded.
+  def q107_freq_spectrum(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.tokenFrequencySpectrum(
+      t(s, dir, "documents"), textCol = "text", groupCols = Seq("lang"))
+
   // WATER-FILLING budget at the gate (Sampling.waterFillBudget):
   // exactly 293 docs, as evenly across languages as sizes allow — the
   // level lands at λ=58 with remainder 3, so de/en/es (first capped
@@ -1063,7 +1072,8 @@ object LlmQueries {
     "q103_interleave"   -> q103_interleave _,
     "q104_pack_assemble" -> q104_pack_assemble _,
     "q105_hard_negatives" -> q105_hard_negatives _,
-    "q106_water_fill"   -> q106_water_fill _
+    "q106_water_fill"   -> q106_water_fill _,
+    "q107_freq_spectrum" -> q107_freq_spectrum _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2136,6 +2146,13 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // per-(lang, band) type/occurrence counts; bin() agrees bit-for-bit
+    "q107_freq_spectrum" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT lang, w, count(*) AS cnt FROM w GROUP BY 1, 2)
+        |SELECT lang, CAST(length(bin(cnt)) - 1 AS INT) AS band,
+        |  count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+        |FROM c GROUP BY 1, 2""".stripMargin,
     // brute-force the water level over generate_series (fixture-scale),
     // then the same largest-remainder caps and per-group rank filter
     "q106_water_fill" ->

@@ -148,6 +148,30 @@ object LanguageModel {
         .cast("int"))
   }
 
+  /** Token-frequency SPECTRUM (frequency of frequencies): distinct
+    * token types and total occurrences per power-of-two count band —
+    * the Zipf diagnostic that says at a glance whether a corpus has a
+    * healthy long tail (band 0 = hapax legomena) or a duplication-
+    * inflated head. `band = floor(log2(count))` computed as
+    * `length(bin(cnt)) - 1` — pure integer/string ops both engines
+    * evaluate identically, no float log.
+    *
+    * Scale shape: one map-side-partial groupBy(token) over the exploded
+    * stream (vocabulary-bounded result), then a second tiny groupBy
+    * over ≤64 bands (× the `groupCols` domain — pass e.g. the language
+    * to spectrum each sub-corpus separately). Token strings are the
+    * shuffle key — vocabulary-bounded and short; hash first only if a
+    * pathological corpus makes individual types huge. */
+  def tokenFrequencySpectrum(docs: DataFrame, textCol: String,
+                             groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    docs
+      .select(g :+ explode(TextShingles.words(col(textCol))).as("w"): _*)
+      .groupBy(g :+ col("w"): _*).agg(count(lit(1)).as("cnt"))
+      .groupBy(g :+ (length(bin(col("cnt"))) - 1).cast("int").as("band"): _*)
+      .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_occurrences"))
+  }
+
   /** Per-document OUT-OF-VOCABULARY counts against a fixed vocabulary
     * — the tokenizer-coverage check run before committing a vocab (an
     * OOV rate that creeps up as a corpus drifts means the vocab needs

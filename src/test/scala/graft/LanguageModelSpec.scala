@@ -167,4 +167,27 @@ class LanguageModelSpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(oov1(3L) == ((2L, 0L)), "doc of only 'a' has zero OOV under the top-1 vocab")
   }
+
+  test("tokenFrequencySpectrum: exact power-of-two bands, totals preserved") {
+    // counts: a=8 (band 3), b=4 (band 2), c=3 d=2 (band 1), e=f=g=1 (band 0)
+    val docs = Seq(
+      (1L, "a a a a b b c c"),
+      (2L, "a a a a b b c d d e f g"))
+      .toDF("doc_id", "text")
+    val got = LanguageModel.tokenFrequencySpectrum(docs, "text")
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      0 -> ((3L, 3L)),   // e f g
+      1 -> ((2L, 5L)),   // c=3, d=2
+      2 -> ((1L, 4L)),   // b
+      3 -> ((1L, 8L)))) // a
+    // occurrences across bands = total token count
+    assert(got.values.map(_._2).sum == 20L)
+    // grouped variant spectra each sub-corpus independently
+    val byLang = Seq((1L, "x x x", "en"), (2L, "x y", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val g = LanguageModel.tokenFrequencySpectrum(byLang, "text", Seq("lang"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(g == Set(("en", 1, 1L, 3L), ("fr", 0, 2L, 2L)))
+  }
 }
