@@ -870,6 +870,17 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // CURRICULUM ordering at the gate (GlobalRank.curriculumOrder):
+  // 4 difficulty tiers by token count (NTILE parity with ntileScalable),
+  // shuffled within a tier by the LCG key, one window-free epoch rank —
+  // easy-first training order without a difficulty sort.
+  def q108_curriculum(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GlobalRank.curriculumOrder(
+      t(s, dir, "documents").select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks")),
+      difficultyCol = col("n_toks"), idCol = col("doc_id"),
+      stages = 4, shuffleKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")))
+
   // Token-frequency SPECTRUM at the gate
   // (LanguageModel.tokenFrequencySpectrum): per-language Zipf bands —
   // distinct types and occurrences per power-of-two count band;
@@ -1073,7 +1084,8 @@ object LlmQueries {
     "q104_pack_assemble" -> q104_pack_assemble _,
     "q105_hard_negatives" -> q105_hard_negatives _,
     "q106_water_fill"   -> q106_water_fill _,
-    "q107_freq_spectrum" -> q107_freq_spectrum _
+    "q107_freq_spectrum" -> q107_freq_spectrum _,
+    "q108_curriculum"   -> q108_curriculum _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2146,6 +2158,15 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // ntile + within-stage LCG shuffle + epoch row_number
+    "q108_curriculum" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents),
+        |st AS (SELECT doc_id, n_toks,
+        |         CAST(ntile(4) OVER (ORDER BY n_toks, doc_id) AS INT) AS stage FROM d),
+        |k AS (SELECT *, (doc_id*1103515245+12345) % 1000000007 AS sk FROM st)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, stage,
+        |  CAST(row_number() OVER (ORDER BY stage, sk, doc_id) AS BIGINT) AS epoch_rank
+        |FROM k""".stripMargin,
     // per-(lang, band) type/occurrence counts; bin() agrees bit-for-bit
     "q107_freq_spectrum" ->
       """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -217,4 +217,24 @@ object GlobalRank {
     * source's k-th row at k·VtScale/w, so relative rates are exact for
     * any weight ≤ VtScale. */
   val VtScale = 1000000L
+
+  /** CURRICULUM ordering: partition the corpus into `stages` difficulty
+    * tiers (SQL-standard NTILE over `difficultyCol`, easiest first) and
+    * emit a global training order that walks the tiers in sequence,
+    * shuffled WITHIN each tier by `shuffleKey` — train on the easy
+    * stage first, hard last, without the order becoming a difficulty
+    * sort (adjacent batches stay i.i.d. within a stage).
+    *
+    * Pure composition of the window-free primitives: [[ntileScalable]]
+    * for the tiers + one [[globalRowNumber]] over (stage, shuffleKey,
+    * id) — two ranked shuffles total, no corpus-keyed window anywhere.
+    * Output: input columns + `stage` (1-based) + `epoch_rank`. */
+  def curriculumOrder(df: DataFrame, difficultyCol: Column, idCol: Column,
+                      stages: Int, shuffleKey: Column,
+                      outCol: String = "epoch_rank"): DataFrame = {
+    val staged = ntileScalable(df, stages,
+      Seq(difficultyCol, idCol), outCol = "stage")
+    globalRowNumber(staged,
+      Seq(col("stage"), shuffleKey, idCol), outCol = outCol)
+  }
 }

@@ -131,6 +131,26 @@ class GlobalRankSpec extends SparkTestBase {
     assert(got == ref)
   }
 
+  test("curriculum: stages ascend with difficulty, epoch walks stages in order") {
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") * 7919 % 997).as("diff"))
+    val out = GlobalRank.curriculumOrder(df, col("diff"), col("id"),
+        stages = 4, shuffleKey = col("id") * 31 % 101)
+      .select(col("id"), col("diff"), col("stage"), col("epoch_rank"))
+      .as[(Long, Long, Int, Long)].collect()
+    // every stage-1 difficulty <= every stage-2 difficulty, etc.
+    val maxByStage = out.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minByStage = out.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    for (s <- 1 to 3) assert(maxByStage(s) <= minByStage(s + 1))
+    // epoch order is stage-major
+    val stagesInOrder = out.sortBy(_._4).map(_._3).toSeq
+    assert(stagesInOrder == stagesInOrder.sorted)
+    // within a stage the order follows the shuffle key, not difficulty
+    val s1 = out.filter(_._3 == 1).sortBy(_._4).map(_._2).toSeq
+    assert(s1 != s1.sorted, "stage must be shuffled, not difficulty-sorted")
+    assert(out.map(_._4).toSet == (1L to 1000L).toSet)
+  }
+
   test("interleave drops unlisted sources and validates weights") {
     val epoch = GlobalRank.interleaveSources(mixed, col("src"), col("id"),
       col("id"), Seq("a" -> 1))
