@@ -870,6 +870,35 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // STREAMING dedup INGEST at the gate
+  // (EventStream.runStreamForeachBatch + Dedup.updateExactIndex): the
+  // even half seeds the persisted content-hash index; the stream then
+  // replays the whole corpus with every row PLANTED TWICE (id-shifted
+  // clone) through foreachBatch probe-and-admit. Index hits (even
+  // originals + their clones) drop, within-batch dups resolve to the
+  // min id — exactly the odd originals land in the sink table.
+  def q109_stream_dedup_ingest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val store = new graft.io.ParquetTableStore(
+      s, java.nio.file.Files.createTempDirectory("q109idx").toString)
+    graft.llm.Dedup.buildExactIndex(store, "dd",
+      docs.where(col("doc_id") % 2 === 0), idCol = "doc_id", textCol = "text")
+    graft.streaming.EventStream.runStreamForeachBatch(
+      s, s"$dir/documents.parquet", { (batch, _) =>
+        val withDups = batch
+          .select(explode(array(
+            struct(col("doc_id"), col("text")),
+            struct((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+            .as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+        val novel = graft.llm.Dedup.updateExactIndex(store, "dd", withDups,
+          idCol = "doc_id", textCol = "text")
+        if (store.exists("dd.novel")) store.append("dd.novel", novel)
+        else store.overwrite("dd.novel", novel)
+      })
+    store.read("dd.novel").select(col("doc_id"), col("text"))
+  }
+
   // CURRICULUM ordering at the gate (GlobalRank.curriculumOrder):
   // 4 difficulty tiers by token count (NTILE parity with ntileScalable),
   // shuffled within a tier by the LCG key, one window-free epoch rank —
@@ -1085,7 +1114,8 @@ object LlmQueries {
     "q105_hard_negatives" -> q105_hard_negatives _,
     "q106_water_fill"   -> q106_water_fill _,
     "q107_freq_spectrum" -> q107_freq_spectrum _,
-    "q108_curriculum"   -> q108_curriculum _
+    "q108_curriculum"   -> q108_curriculum _,
+    "q109_stream_dedup_ingest" -> q109_stream_dedup_ingest _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2158,6 +2188,16 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // novel = not in the even-seeded index, min id within the batch
+    "q109_stream_dedup_ingest" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |novel AS (
+        |  SELECT doc_id, text FROM all_docs d
+        |  WHERE NOT EXISTS (SELECT 1 FROM documents e
+        |                    WHERE e.doc_id % 2 = 0 AND e.text = d.text))
+        |SELECT min(doc_id) AS doc_id, text FROM novel GROUP BY text""".stripMargin,
     // ntile + within-stage LCG shuffle + epoch row_number
     "q108_curriculum" ->
       """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents),

@@ -188,6 +188,31 @@ object EventStream {
     try { q.processAllAvailable() } finally q.stop()
   }
 
+  /** CONTINUOUS-INGEST shape: stream a parquet directory through
+    * `foreachBatch`, where each micro-batch runs an arbitrary
+    * batch-side action — probe and UPDATE a persisted index, append a
+    * sink table — the things a pure streaming sink cannot do. This is
+    * how the incremental dedup/decontamination indexes run against a
+    * live feed: batch N's admissions are visible to batch N+1 (pinned
+    * by the cross-batch spec). Synchronous; `options` as in
+    * [[runBatchOfStream]] (maxFilesPerTrigger=1 → one batch per file). */
+  def runStreamForeachBatch(spark: SparkSession, sourceDir: String,
+                            perBatch: (DataFrame, Long) => Unit,
+                            options: Map[String, String] = Map.empty): Unit = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val f = new java.io.File(sourceDir)
+    val reader = spark.readStream.schema(schema).options(options)
+    val stream =
+      if (f.isFile)
+        reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else reader.parquet(sourceDir)
+    val q = stream.writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                     id: Long) => perBatch(df.toDF(), id))
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   /** Drive a parquet-backed stream of events through a transform into an
     * in-memory table, synchronously (test/local harness). `options` pass
     * through to the file source — e.g. maxFilesPerTrigger=1 forces one

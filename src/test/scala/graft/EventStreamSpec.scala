@@ -129,4 +129,32 @@ class EventStreamSpec extends SparkTestBase {
       df => EventStream.windowedTypeCounts(df, watermark = "1 minutes"))
     assert(got.count() >= 4)
   }
+
+  test("foreachBatch ingest: batch N's index admissions dedup batch N+1") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("stream") + "/ingest"
+    // batch 0: two docs; batch 1: a dup of doc 1 (cross-batch), a
+    // within-batch dup pair, and a novel doc
+    Seq((1L, "alpha"), (2L, "beta"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(dir)
+    Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"), (13L, "delta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(dir)
+    val store = new graft.io.ParquetTableStore(spark, tmpDir("ingestidx"))
+    graft.llm.Dedup.buildExactIndex(store, "dd",
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    EventStream.runStreamForeachBatch(spark, dir, { (batch, _) =>
+      val novel = graft.llm.Dedup.updateExactIndex(store, "dd",
+        batch, "doc_id", "text")
+      if (store.exists("dd.novel")) store.append("dd.novel", novel)
+      else store.overwrite("dd.novel", novel)
+    }, options = Map("maxFilesPerTrigger" -> "1"))
+    val got = store.read("dd.novel")
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    // alpha@10 is dropped ONLY if batch 0's admission was visible;
+    // gamma resolves within batch 1 to the min id
+    assert(got == Set((1L, "alpha"), (2L, "beta"),
+      (11L, "gamma"), (13L, "delta")))
+    // index grew to exactly the distinct texts
+    assert(store.read("dd.hashes").count() == 4)
+  }
 }
