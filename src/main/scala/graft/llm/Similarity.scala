@@ -624,6 +624,36 @@ object Similarity {
     store.overwrite(s"$prefix.buckets", base.join(buckets, "id"))
   }
 
+  /** Admit a batch of vectors into a persisted IVF index: assign each
+    * to its nearest EXISTING centroid and append to the buckets table —
+    * the continuous-ingest path of the ANN family (the exact/fuzzy
+    * dedup and decontamination indexes have the same build-once/
+    * admit-many shape). Centroids stay FIXED: admission must not move
+    * the buckets queries already probe; re-train with [[buildIvfIndex]]
+    * when drift accumulates (returned assignments let callers monitor
+    * per-bucket occupancy for exactly that). Batch ids must be new —
+    * the index stores one row per id and this appends blindly.
+    *
+    * The returned (id, cid) frame is CHECKPOINTED before the append
+    * (the updateExactIndex contract: its lineage reads store state, and
+    * re-actioning after the append would recompute against the mutated
+    * table). */
+  def updateIvfIndex(store: graft.io.TableStore, prefix: String,
+                     batch: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val cents = store.read(s"$prefix.centroids")
+    val base = batch.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val assigned0 = base.join(
+      assignBuckets(base, cents.select(col("cid"), col("cv"))), "id")
+    val assigned =
+      if (batch.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        assigned0.checkpoint()
+      else assigned0.localCheckpoint()
+    store.append(s"$prefix.buckets", assigned)
+    assigned.select(col("id"), col("cid"))
+  }
+
   /** Query a persisted IVF index (same semantics as [[ivfTopK]], minus
     * training/assignment cost). */
   def ivfTopKIndexed(store: graft.io.TableStore, prefix: String,

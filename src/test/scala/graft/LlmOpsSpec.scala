@@ -629,6 +629,43 @@ class LlmOpsSpec extends SparkTestBase {
     assert(store.exists("ann.centroids") && store.exists("ann.buckets"))
   }
 
+  test("IVF index admission: fixed centroids, appended buckets, admitted vectors searchable") {
+    val rnd = new scala.util.Random(37)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val store = new graft.io.ParquetTableStore(spark, tmpDir("ivfadm"))
+    Similarity.buildIvfIndex(store, "ann", df, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val centsBefore = store.read("ann.centroids").collect().toSet
+    // admit 20 new vectors, one an exact clone of vector 5
+    val batch = ((100L, vecs(5)._2) +: (101 until 120).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))).toDF(
+      "vec_id", "embedding")
+    val assigned = Similarity.updateIvfIndex(store, "ann", batch,
+      "vec_id", "embedding")
+    val rows = assigned.as[(Long, Long)].collect().toMap
+    assert(rows.keySet == (Set(100L) ++ (101L until 120L)))
+    val cids = store.read("ann.centroids").select("cid")
+      .as[Long].collect().toSet
+    assert(rows.values.forall(cids.contains))
+    // centroids untouched, buckets grew by exactly the batch
+    assert(store.read("ann.centroids").collect().toSet == centsBefore)
+    assert(store.read("ann.buckets").count() == 80)
+    // the clone lands in vector 5's bucket and the indexed search
+    // finds it first for query 5 (cosine 1)
+    val b5 = store.read("ann.buckets").filter($"id" === 5L)
+      .select("cid").as[Long].head()
+    assert(rows(100L) == b5, "clone must join its original's bucket")
+    val top = Similarity.ivfTopKIndexed(store, "ann",
+        df.filter($"vec_id" === 5), "vec_id", "embedding", k = 3, nprobe = 2)
+      .filter($"rnk" === 1).select("cand_id").as[Long].head()
+    assert(top == 100L)
+    // re-action after the append must not recompute against the
+    // mutated buckets (checkpoint contract)
+    assert(assigned.count() == 20)
+  }
+
   test("multimodal: stub decode via mapPartitions keeps schema and batch shape") {
     val media = Multimodal.syntheticCorpus(spark, 30, partitions = 3)
     val feats = Multimodal.extractFeatures(media)
