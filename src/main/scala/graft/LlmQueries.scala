@@ -870,6 +870,39 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // GOPHER rule battery at the gate (TextAnalysis.gopherCounts +
+  // gopherKeep): the full Rae-et-al document-quality gate as one
+  // map-only pass — integer counts surfaced raw, every ratio rule a
+  // cross-multiplied integer comparison (a float ratio would tie at
+  // the rounding digit across engines). minWords=30/minStopwords=1
+  // tuned to the fixture (words 10–99, only "the" from the stopword
+  // list occurs) so keep genuinely splits the corpus (334/166).
+  def q111_gopher(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextAnalysis._
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"), gopherCounts(col("text")).as("c"))
+      .select(col("doc_id"), col("c.*"),
+        when(gopherKeep(col("c"), minWords = 30, minStopwords = 1), 1)
+          .otherwise(0).as("keep"))
+  }
+
+  // SQ8 scalar-quantization ANN at the gate (Similarity.sqTopK): per-dim
+  // min/span affine codes (4× memory cut keeping per-dim resolution —
+  // between the q72 sign sketch and q87's PQ in the compression
+  // family), exact query vs dequantized candidates, the shared q86/q87
+  // decimal squared-distance recipe, k-bounded rank. No separate gate
+  // form: min/max are selections and the affine maps are chains of
+  // correctly-rounded IEEE ops, so production IS the deterministic path.
+  def q110_sq_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.Similarity.sqTopK(
+        emb.where(col("vec_id") < 8), emb,
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+      .select(col("query_id"), col("cand_id"),
+        col("approx_dist").cast(out).cast("double").as("approx_dist"),
+        col("rnk"))
+  }
+
   // STREAMING dedup INGEST at the gate
   // (EventStream.runStreamForeachBatch + Dedup.updateExactIndex): the
   // even half seeds the persisted content-hash index; the stream then
@@ -1115,7 +1148,9 @@ object LlmQueries {
     "q106_water_fill"   -> q106_water_fill _,
     "q107_freq_spectrum" -> q107_freq_spectrum _,
     "q108_curriculum"   -> q108_curriculum _,
-    "q109_stream_dedup_ingest" -> q109_stream_dedup_ingest _
+    "q109_stream_dedup_ingest" -> q109_stream_dedup_ingest _,
+    "q110_sq_topk"      -> q110_sq_topk _,
+    "q111_gopher"       -> q111_gopher _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2188,6 +2223,83 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // Gopher battery: integer counts + cross-multiplied keep rule;
+    // patterns in the Java∩RE2 subset, (?m)/(?i) inline flags shared
+    "q111_gopher" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '\S')) AS INT) AS n_word_chars,
+        |    CAST(len(regexp_extract_all(text, '#')) AS INT) AS n_hash,
+        |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS INT) AS n_ellipsis,
+        |    CAST(CASE WHEN length(text) = 0 THEN 0
+        |              ELSE len(regexp_extract_all(text, '\n')) + 1 END AS INT) AS n_lines,
+        |    CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS INT) AS n_bullet_lines,
+        |    CAST(len(regexp_extract_all(text, '(?m)\.\.\.$')) AS INT) AS n_ellipsis_lines,
+        |    CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS INT) AS n_alpha_words,
+        |    CAST(CASE WHEN len(regexp_extract_all(text, '(?i)\bthe\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bbe\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bto\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bof\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\band\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bthat\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bhave\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bwith\b')) > 0 THEN 1 ELSE 0 END AS INT)
+        |      AS n_stopwords_present
+        |  FROM documents)
+        |SELECT *,
+        |  CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+        |        AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        |        AND 1000 * (n_hash + n_ellipsis) <= 100 * n_words
+        |        AND 1000 * n_bullet_lines <= 900 * n_lines
+        |        AND 1000 * n_ellipsis_lines <= 300 * n_lines
+        |        AND 1000 * n_alpha_words >= 800 * n_words
+        |        AND n_stopwords_present >= 1
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM c""".stripMargin,
+    // SQ8: per-dim min/span stats, floor-clamped affine codes, exact
+    // query vs dequantized candidates, the q86/q87 decimal sq-dist
+    // recipe — every step a selection, exact integer, or chain of
+    // correctly-rounded IEEE ops, so production and oracle agree
+    "q110_sq_topk" ->
+      """WITH dims AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |stats AS (
+        |  SELECT d, min(x) AS mn, max(x) - min(x) AS sp FROM dims GROUP BY d),
+        |codes AS (
+        |  SELECT vec_id AS cand_id, d,
+        |    CASE WHEN sp > 0
+        |         THEN CAST(least(greatest(floor(((x - mn) / sp) * 255.0), 0), 255) AS BIGINT)
+        |         ELSE 0 END AS c
+        |  FROM dims JOIN stats USING (d)),
+        |vhat AS (
+        |  SELECT cand_id, d, mn + (CAST(c AS DOUBLE) * sp) / 255.0 AS xh
+        |  FROM codes JOIN stats USING (d)),
+        |cn AS (
+        |  SELECT cand_id, CAST(sum(CAST(xh * xh AS DECIMAL(38,15))) AS DOUBLE) AS cnrm
+        |  FROM vhat GROUP BY cand_id),
+        |qn AS (
+        |  SELECT vec_id AS query_id,
+        |    CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) AS qnrm
+        |  FROM embeddings WHERE vec_id < 8),
+        |dotp AS (
+        |  SELECT qd.vec_id AS query_id, v.cand_id,
+        |    CAST(sum(CAST(qd.x * v.xh AS DECIMAL(38,15))) AS DOUBLE) AS dot
+        |  FROM dims qd JOIN vhat v USING (d)
+        |  WHERE qd.vec_id < 8 AND v.cand_id <> qd.vec_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT query_id, cand_id, q.qnrm - 2*d.dot + c.cnrm AS approx_dist
+        |  FROM dotp d JOIN qn q USING (query_id) JOIN cn c USING (cand_id))
+        |SELECT query_id, cand_id,
+        |  CAST(CAST(approx_dist AS DECIMAL(38,6)) AS DOUBLE) AS approx_dist,
+        |  CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY approx_dist ASC, cand_id ASC) AS rnk FROM pairs)
+        |WHERE rnk <= 5""".stripMargin,
     // novel = not in the even-seeded index, min id within the batch
     "q109_stream_dedup_ingest" ->
       """WITH all_docs AS (

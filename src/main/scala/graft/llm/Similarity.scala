@@ -609,6 +609,97 @@ object Similarity {
     topKPerQuery(scored, "approx_dist", k, ascending = true)
   }
 
+  // -------------------------------------------------------------------
+  // Scalar quantization (SQ8): per-dimension affine quantization of
+  // each component to an 8-bit code — the 4× memory cut that keeps
+  // per-dimension resolution, sitting between the 1-bit sign sketch
+  // (q72) and PQ's subspace codes (q87) in the compression family.
+  // The model is 2·dim doubles (per-dim min and span — a one-row
+  // broadcast frame, the same bounded-model contract as centroids);
+  // encode and dequantize are map-only transforms inside the scan
+  // stage. Search is asymmetric: the query stays exact, candidates are
+  // dequantized from their codes.
+  //
+  // Cross-engine determinism needs no special gate form: min/max are
+  // SELECTIONS (no rounding), and the affine maps are chains of
+  // individually-correctly-rounded IEEE ops (−, /, ×) on bit-identical
+  // inputs — deterministic by the NOTES rule (only order-sensitive
+  // float SUMS and non-sqrt transcendentals are unsafe). floor() is
+  // exact, so the codes are exactly reproducible integers; distances
+  // then follow the q86/q87 decimal recipe.
+  // -------------------------------------------------------------------
+
+  /** Per-dimension quantization stats as ONE row of two ordered
+    * array<double> columns (mins, spans). posexplode feeds a map-side
+    * partial groupBy(d); the final collect_list is dim-bounded (the
+    * centroid-model contract), sorted by dimension — never a window. */
+  def sqStats(candidates: DataFrame, vecCol: String): DataFrame =
+    candidates
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(
+        struct(col("d"), col("mn"), col("mx")))).as("s"))
+      .select(
+        transform(col("s"), e => e.getField("mn")).as("mins"),
+        transform(col("s"), e => e.getField("mx") - e.getField("mn"))
+          .as("spans"))
+
+  /** SQ8 encode: (cand_id, codes array<int>), code_i =
+    * clamp(floor((x_i − mn_i)/span_i · 255), 0, 255) (0 where the
+    * dimension is constant). Codes clamp on BOTH ends so vectors
+    * outside the stats frame's range (late-arriving batches) still
+    * encode. Map-only over the corpus; stats ride a broadcast. */
+  def sqEncode(candidates: DataFrame, idCol: String, vecCol: String,
+               stats: DataFrame): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    candidates.crossJoin(broadcast(stats))
+      .select(col(idCol).cast("long").as("cand_id"),
+        transform(sequence(lit(0), size(v) - 1), i => {
+          val x  = element_at(v, i + 1)
+          val mn = element_at(col("mins"), i + 1)
+          val sp = element_at(col("spans"), i + 1)
+          when(sp > 0,
+            least(greatest(floor(((x - mn) / sp) * lit(255.0)), lit(0L)),
+              lit(255L)).cast("int"))
+            .otherwise(lit(0))
+        }).as("codes"))
+  }
+
+  /** Dequantized vectors from codes: x̂_i = mn_i + (code_i · span_i)/255
+    * — map-only, used by the search path and exposed for reconstruction
+    * -error audits. */
+  def sqDecode(codes: DataFrame, stats: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(stats))
+      .select(col("cand_id"),
+        transform(sequence(lit(0), size(col("codes")) - 1), i =>
+          element_at(col("mins"), i + 1) +
+            (element_at(col("codes"), i + 1).cast("double") *
+              element_at(col("spans"), i + 1)) / lit(255.0)).as("v"))
+
+  /** SQ8 ADC top-k (gate q110): exact query against dequantized
+    * candidates, squared distance via the shared q86/q87 decimal
+    * recipe, k-bounded [[topKPerQuery]] rank — windowless end to end
+    * and cross-engine deterministic with no separate gate form (see
+    * the section comment). Approximate by construction (quantization
+    * error); recall vs brute force is spec-checked like LSH/IVF/PQ. */
+  def sqTopK(queries: DataFrame, candidates: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val stats = sqStats(candidates, vecCol)
+    val codes = sqEncode(candidates, idCol, vecCol, stats)
+    val cand = sqDecode(codes, stats)
+      .withColumn("cnrm", norm2Decimal(col("v")).cast("double"))
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnrm", norm2Decimal(col("qv")).cast("double"))
+    val scored = cand.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        decimalSqDist(col("qnrm"), col("qv"), col("v"), col("cnrm"))
+          .as("approx_dist"))
+    topKPerQuery(scored, "approx_dist", k, ascending = true)
+  }
+
   /** Persist an IVF index: centroids + per-vector bucket assignments as
     * store tables, so repeated query batches skip KMeans training and
     * corpus assignment entirely — the "build once, probe many" shape of

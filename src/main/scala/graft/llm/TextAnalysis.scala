@@ -84,6 +84,72 @@ object TextAnalysis {
       s.getField("stopword_ratio") >= minStopwordRatio
   }
 
+  // -------------------------------------------------------------------
+  // Gopher rule battery (Rae et al. 2021, Appendix A): the full
+  // document-level quality gate of a web-scale curation pipeline, as
+  // ONE map-only pass of integer counts plus cross-multiplied
+  // threshold comparisons. Counts stay integers and every ratio rule
+  // is a·count ≤ b·count (never a float division) — a rational ratio
+  // ties at the rounding digit across engines, the integer
+  // cross-product cannot (the NOTES determinism rule). Patterns stay
+  // in the Java∩RE2 subset so a DuckDB oracle replays them exactly.
+  // -------------------------------------------------------------------
+
+  /** The Gopher stopword list ("contains at least two of"). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document integer counts feeding [[gopherKeep]], one struct:
+    * words, word chars, symbol hits (# / ellipsis), lines, bullet-start
+    * and ellipsis-end lines, words containing a letter, distinct
+    * stopwords present. Single scan, codegen'd regexp counts. */
+  def gopherCounts(text: Column): Column = {
+    val nWords = regexp_count(text, lit("\\S+"))
+    val stopsPresent = gopherStopwords.map { w =>
+      when(regexp_count(text, lit("(?i)\\b" + w + "\\b")) > 0, 1).otherwise(0)
+    }.reduce(_ + _)
+    struct(
+      nWords.as("n_words"),
+      regexp_count(text, lit("\\S")).as("n_word_chars"),
+      regexp_count(text, lit("#")).as("n_hash"),
+      regexp_count(text, lit("\\.\\.\\.")).as("n_ellipsis"),
+      when(length(text) === 0, 0)
+        .otherwise(regexp_count(text, lit("\n")) + 1).as("n_lines"),
+      regexp_count(text, lit("(?m)^[ \\t]*[-*•]")).as("n_bullet_lines"),
+      regexp_count(text, lit("(?m)\\.\\.\\.$")).as("n_ellipsis_lines"),
+      regexp_count(text, lit("\\S*[A-Za-z]\\S*")).as("n_alpha_words"),
+      stopsPresent.as("n_stopwords_present"))
+  }
+
+  /** The keep decision over [[gopherCounts]]: word count in range, mean
+    * word length in [minMeanLen, maxMeanLen], symbol (# + "...") to
+    * word ratio, bullet-start / ellipsis-end line fractions, fraction
+    * of words with an alphabetic character, ≥ minStopwords distinct
+    * stopwords. Ratio thresholds are per-mille integers and every rule
+    * is cross-multiplied — exact integer math end to end. */
+  def gopherKeep(counts: Column,
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 minMeanLen: Int = 3, maxMeanLen: Int = 10,
+                 maxSymbolPerMille: Int = 100,
+                 maxBulletPerMille: Int = 900,
+                 maxEllipsisLinePerMille: Int = 300,
+                 minAlphaPerMille: Int = 800,
+                 minStopwords: Int = 2): Column = {
+    val w  = counts.getField("n_words")
+    val ch = counts.getField("n_word_chars")
+    val ln = counts.getField("n_lines")
+    w.between(minWords, maxWords) &&
+      ch >= lit(minMeanLen) * w && ch <= lit(maxMeanLen) * w &&
+      lit(1000) * (counts.getField("n_hash") + counts.getField("n_ellipsis")) <=
+        lit(maxSymbolPerMille) * w &&
+      lit(1000) * counts.getField("n_bullet_lines") <=
+        lit(maxBulletPerMille) * ln &&
+      lit(1000) * counts.getField("n_ellipsis_lines") <=
+        lit(maxEllipsisLinePerMille) * ln &&
+      lit(1000) * counts.getField("n_alpha_words") >= lit(minAlphaPerMille) * w &&
+      counts.getField("n_stopwords_present") >= minStopwords
+  }
+
   /** Polynomial rolling-hash fingerprint over word tokens:
     * fp = Σ hash(w_i) * 31^(n-1-i)  (mod 2^61−1) — order-sensitive,
     * unlike a bag-of-words hash. The modulus lives in DECIMAL(38,0)

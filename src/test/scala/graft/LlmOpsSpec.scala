@@ -345,6 +345,43 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!rows(1)._3 && rows(1)._2 > 0.5)
   }
 
+  test("gopher rule battery: each rule independently drops its violator") {
+    import TextAnalysis._
+    // base doc passes every rule with defaults (50+ words, mean len in
+    // [3,10], no symbols/bullets, alphabetic, 2 distinct stopwords)
+    val okWords = (1 to 60).map(i => if (i % 2 == 0) "have" else "word")
+    val ok = okWords.mkString(" ") + " the end"
+    val tooShort   = "the quick brown fox and the dog"          // < 50 words
+    val tooSymbol  = okWords.map(_ + " #").mkString(" ")        // 1 hash/word
+    val bulletDoc  = (1 to 10).map(i => "- have word the item " + i)
+      .mkString("\n")                                            // all bullets
+    val ellipsisDoc = (1 to 10).map(i => "have word the item " + i + " ...")
+      .mkString("\n")                                            // all ... ends
+    val numeric    = (1 to 60).map(i => i.toString).mkString(" ") +
+      " the have"                                                // <80% alpha
+    val noStops    = (1 to 60).map(_ => "word").mkString(" ")    // 0 stopwords
+    val longWords  = (1 to 60).map(_ => "pneumonoultramicroscopic")
+      .mkString(" ") + " the have"                               // mean len >10
+    val docs = Seq(
+      (0L, ok), (1L, tooShort), (2L, tooSymbol), (3L, bulletDoc),
+      (4L, ellipsisDoc), (5L, numeric), (6L, noStops), (7L, longWords))
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        gopherCounts($"text").as("c"))
+      .select($"doc_id", gopherKeep($"c").as("keep"), $"c")
+      .orderBy("doc_id")
+    val keeps = got.select("keep").as[Boolean].collect()
+    assert(keeps(0), "clean doc must pass")
+    assert(!keeps.tail.exists(identity),
+      "every planted violator must drop: " + keeps.mkString(","))
+    // counts are exact integers on a known doc
+    val c = docs.where($"doc_id" === 3L)
+      .select(gopherCounts($"text").as("c")).select($"c.*")
+      .as[(Int, Int, Int, Int, Int, Int, Int, Int, Int)].head()
+    assert(c._5 == 10, s"10 lines, got ${c._5}")      // n_lines
+    assert(c._6 == 10, s"10 bullet lines, got ${c._6}") // n_bullet_lines
+  }
+
   test("rolling fingerprint is order-sensitive; winnowing survives a local edit") {
     val df = Seq(
       "alpha beta gamma delta epsilon zeta eta theta iota kappa",
@@ -556,6 +593,59 @@ class LlmOpsSpec extends SparkTestBase {
         "vec_id", "embedding", k = 5, m = 4, dims = 32, nlist = 16)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     assert(pq == pq2)
+  }
+
+  test("SQ8: codes bounded, reconstruction within one step, high recall") {
+    val rnd = new scala.util.Random(61)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val stats = Similarity.sqStats(df, "embedding")
+    val (mins, spans) = stats.as[(Seq[Double], Seq[Double])].head()
+    assert(mins.length == 32 && spans.length == 32 && spans.forall(_ >= 0))
+    val codes = Similarity.sqEncode(df, "vec_id", "embedding", stats)
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.length == 120)
+    assert(codes.forall(_._2.forall(c => c >= 0 && c <= 255)))
+    // dequantized values sit within one quantization step of the input
+    val dec = Similarity.sqDecode(
+        Similarity.sqEncode(df, "vec_id", "embedding", stats), stats)
+      .as[(Long, Seq[Double])].collect().toMap
+    vecs.foreach { case (id, v) =>
+      v.zip(dec(id)).zipWithIndex.foreach { case ((x, xh), d) =>
+        val step = spans(d) / 255.0
+        assert(math.abs(x - xh) <= step + 1e-12,
+          s"vec $id dim $d: |$x - $xh| > step $step")
+      }
+    }
+    // 8-bit per-dim resolution barely moves neighbor order: recall >= 0.9
+    val queries = df.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sqTopK(queries, df, "vec_id", "embedding", k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(sq.size == 4 * 5)
+    val recall = exact.intersect(sq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    // determinism across partitionings
+    val sq2 = Similarity.sqTopK(queries, df.repartition(7),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(sq == sq2)
+    // constant dimension -> span 0 -> code 0, exact reconstruction
+    val flat = Seq((0L, Array(1.5f, 2f)), (1L, Array(1.5f, 3f)))
+      .toDF("vec_id", "embedding")
+    val fStats = Similarity.sqStats(flat, "embedding")
+    val fCodes = Similarity.sqEncode(flat, "vec_id", "embedding", fStats)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(fCodes(0L).head == 0 && fCodes(1L).head == 0)
+    val fDec = Similarity.sqDecode(
+        Similarity.sqEncode(flat, "vec_id", "embedding", fStats), fStats)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(fDec(0L).head == 1.5 && fDec(1L).head == 1.5)
   }
 
   test("centroid assignment: planted clusters assign home; ties break to lowest id") {

@@ -218,6 +218,14 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q110: SQ8 gate plans the kernel dots, no windows, aggregated top-k") {
+    val p = plan("q110_sq_topk")
+    assert(p.contains("vec_dot_decimal"), "q110 lost the native decimal kernel")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
+      "q110 must stay windowless (stats = groupBy, rank = aggregation)")
+    assert(p.contains("partial_topkbyscore"), "q110 top-k must combine map-side")
+  }
+
   test("q88/q91: sub-document dedup gates plan partial aggregation, no windows, no cartesian") {
     for (q <- Seq("q88_para_dedup", "q91_span_scrub")) {
       val p = plan(q)
