@@ -870,6 +870,54 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // CORPUS SNAPSHOT DIFF at the gate (Dedup.corpusDiff): the
+  // incremental-pipeline primitive — classify every doc id across two
+  // corpus versions as added/removed/changed/unchanged by content
+  // hash (hashes ship, not text; one id-keyed full-outer join). The
+  // "next crawl" is simulated in-query: %7 ids dropped, %10 texts
+  // mutated, %13 re-enter as new ids.
+  def q112_corpus_diff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val next = docs.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0, concat(col("text"), lit(" mutated")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.llm.Dedup.corpusDiff(docs, next, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("status"))
+  }
+
+  // LEAKAGE-SAFE SPLIT at the gate (Dedup.leakageSafeSplits): near-dup
+  // clusters (q82's md5-winnowing component chain) land WHOLE on one
+  // side of train/val/test — the split key is the cluster
+  // representative's LCG hash, not the doc's. 94 fixture docs have a
+  // rep ≠ self, so per-doc hashing would demonstrably leak.
+  def q113_leak_split(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.llm.Dedup.winnowingOverlapPairs(
+        docs, idCol = "doc_id", textCol = "text",
+        minShared = 2, ngram = 3, window = 4, maxDf = 50,
+        hashFn = graft.llm.TextAnalysis.md5Hash60)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    graft.llm.Dedup.leakageSafeSplits(
+        docs.select(col("doc_id")), pairs, "doc_id",
+        Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      .select(col("doc_id"), col("rep").cast("long").as("rep"), col("split"))
+  }
+
+  // SORTED LENGTH BATCHING at the gate (Packing.lengthBatches +
+  // paddingStats): consecutive runs of 32 in (n_tokens, doc_id) order
+  // share a batch; per-batch padding accounting (waste = n·max − sum)
+  // is integer-exact. The rank is the window-free globalRowNumber.
+  def q114_length_batches(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val batched = graft.ops.Packing.lengthBatches(
+      docs, col("n_tokens"), col("doc_id"), batchSize = 32)
+    graft.ops.Packing.paddingStats(batched, col("n_tokens"), col("batch_id"))
+  }
+
   // GOPHER rule battery at the gate (TextAnalysis.gopherCounts +
   // gopherKeep): the full Rae-et-al document-quality gate as one
   // map-only pass — integer counts surfaced raw, every ratio rule a
@@ -1150,7 +1198,10 @@ object LlmQueries {
     "q108_curriculum"   -> q108_curriculum _,
     "q109_stream_dedup_ingest" -> q109_stream_dedup_ingest _,
     "q110_sq_topk"      -> q110_sq_topk _,
-    "q111_gopher"       -> q111_gopher _
+    "q111_gopher"       -> q111_gopher _,
+    "q112_corpus_diff"  -> q112_corpus_diff _,
+    "q113_leak_split"   -> q113_leak_split _,
+    "q114_length_batches" -> q114_length_batches _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2223,6 +2274,62 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // content-hash classify across the simulated next crawl; text
+    // equality stands in for the engine-local xxhash64 equality
+    "q112_corpus_diff" ->
+      """WITH newc AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text || ' mutated' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM documents o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id""".stripMargin,
+    // q82's recursive-CTE component chain, then the cluster-rep LCG
+    // split (q49's key formula on the rep, not the doc)
+    "q113_leak_split" ->
+      """WITH RECURSIVE raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, i, len(toks) - 2 AS n,
+        |        ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks)-2)) AS i FROM raw
+        |            WHERE len(toks) >= 3)),
+        |m AS (SELECT doc_id, i, n,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE i <= greatest(n-4, 0) + 1),
+        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+        |f2 AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |      UNION SELECT doc_b, doc_a FROM pairs),
+        |walk AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+        |comp AS (SELECT node AS doc_id, min(lbl) AS comp_id FROM walk GROUP BY node),
+        |sel AS (SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS rep
+        |        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+        |k AS (SELECT doc_id, CAST(rep AS BIGINT) AS rep,
+        |        ((rep * 1103515245 + 12345) % 1000000007) % 1000 AS key FROM sel)
+        |SELECT doc_id, rep,
+        |  CASE WHEN key < 900 THEN 'train' WHEN key < 950 THEN 'val' ELSE 'test' END AS split
+        |FROM k""".stripMargin,
+    // consecutive 32-runs in (n_tokens, doc_id) order; sum(BIGINT) is
+    // HUGEINT in DuckDB -> cast back
+    "q114_length_batches" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n_tokens, doc_id) AS rn FROM d)
+        |SELECT CAST((rn - 1) // 32 AS BIGINT) AS batch_id,
+        |  count(*) AS n_rows, max(n_tokens) AS max_len,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+        |  CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS waste
+        |FROM r GROUP BY 1""".stripMargin,
     // Gopher battery: integer counts + cross-multiplied keep rule;
     // patterns in the Java∩RE2 subset, (?m)/(?i) inline flags shared
     "q111_gopher" ->

@@ -324,6 +324,55 @@ object Dedup {
       .filter(col("id") =!= col("comp"))
       .select(col("id"))
 
+  /** LEAKAGE-SAFE train/valid/test assignment: every member of a
+    * near-dup cluster lands on the SAME side of the split. A per-doc
+    * hash split leaks — a near-duplicate pair straddling train/test
+    * inflates eval — so the split key is the cluster REPRESENTATIVE
+    * (min-id component label from `pairs`; singletons represent
+    * themselves), hashed through the same deterministic LCG keying as
+    * [[graft.ops.Sampling.assignSplits]]. Output adds `rep` and
+    * `split`; stable under reruns, resharding, and corpus appends that
+    * don't change the cluster structure.
+    *
+    * Shape at 100 TB: components are bounded by the near-dup EDGE set
+    * (ids only), the rep join is one id-keyed shuffle, and the split
+    * itself is a map-only key filter. */
+  def leakageSafeSplits(df: DataFrame, pairs: DataFrame, idCol: String,
+                        splits: Seq[(String, Int)],
+                        outCol: String = "split"): DataFrame = {
+    for (c <- Seq("rep", outCol))
+      require(!df.columns.contains(c),
+        s"input frame already carries output column $c")
+    val comp = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
+    val withRep = df
+      .join(comp, col(idCol) === col("__cc_id"), "left")
+      .withColumn("rep", coalesce(col("__cc_comp"), col(idCol)))
+      .drop("__cc_id", "__cc_comp")
+    graft.ops.Sampling.assignSplits(withRep,
+      graft.ops.Sampling.lcgKey(col("rep")), splits, outCol)
+  }
+
+  /** SNAPSHOT DIFF between two corpus versions — the incremental-
+    * pipeline primitive that turns "re-run everything" into "process
+    * what moved": each doc id classifies as added / removed / changed /
+    * unchanged by content hash. Hashes ship instead of text (8 bytes a
+    * row), one id-keyed full-outer join; null texts compare null-safely
+    * (null ↔ null is unchanged). */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).cast("long").as("id"),
+      xxhash64(col(textCol)).as("__ho"), lit(true).as("__po"))
+    val n = newDf.select(col(idCol).cast("long").as("id"),
+      xxhash64(col(textCol)).as("__hn"), lit(true).as("__pn"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(col("__ho") <=> col("__hn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Embedding near-dup: pairs above a cosine threshold via LSH buckets
     * + exact cosine verify. Pair-mode path — no top-k window (the
     * round-1 form paid a row_number shuffle+sort only to keep every

@@ -95,4 +95,39 @@ object Packing {
         array_join(transform(col("__bs"), s => s.getField("t")), sep))
       .drop("__bs")
   }
+
+  /** SORTED LENGTH BATCHING for padded (non-packed) training/inference:
+    * order the corpus by (sizeCol, idCol) and cut consecutive runs of
+    * `batchSize` rows — neighbors in length share a batch, so padding
+    * each batch to its own max wastes the least compute (the dynamic-
+    * batching step of an inference/eval pipeline; [[packGreedy]] is the
+    * concat-packing alternative for pre-training). Deterministic: a
+    * pure function of (sizeCol, idCol).
+    *
+    * Shape: one window-free
+    * [[graft.ops.GlobalRank.globalRowNumber]] ranked shuffle — never a
+    * global window. Output: input columns + `batch_id` (0-based). */
+  def lengthBatches(df: DataFrame, sizeCol: Column, idCol: Column,
+                    batchSize: Int, outCol: String = "batch_id"): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(!df.columns.contains(outCol),
+      s"input frame already carries the output column $outCol")
+    GlobalRank.globalRowNumber(df, Seq(sizeCol, idCol), outCol = "__lbr")
+      .withColumn(outCol, expr(s"(__lbr - 1) DIV ${batchSize}L"))
+      .drop("__lbr")
+  }
+
+  /** Per-batch padding accounting over a [[lengthBatches]] output:
+    * rows, max length (= the padded width), total real tokens, and
+    * `waste` = n_rows·max_len − sum_len (the padding tokens the batch
+    * burns). One map-side-partial groupBy; integer-exact. */
+  def paddingStats(batched: DataFrame, sizeCol: Column,
+                   batchCol: Column): DataFrame =
+    batched.groupBy(batchCol.as("batch_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(sizeCol.cast("long")).as("max_len"),
+        sum(sizeCol.cast("long")).as("sum_len"))
+      .withColumn("waste",
+        col("n_rows") * col("max_len") - col("sum_len"))
 }

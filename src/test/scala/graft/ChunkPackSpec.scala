@@ -112,6 +112,38 @@ class ChunkPackSpec extends SparkTestBase {
     }
   }
 
+  test("lengthBatches: full batches of length-neighbors, exact padding accounting") {
+    // 100 docs, lengths 1..100 -> 10 batches of 10 consecutive lengths
+    val df = (1 to 100).map(i => (i.toLong, (101 - i).toLong))
+      .toDF("doc_id", "n_tokens")
+    val batched = Packing.lengthBatches(df, $"n_tokens", $"doc_id", 10)
+    val rows = batched.select($"doc_id", $"n_tokens", $"batch_id")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 100)
+    // batch b holds exactly lengths 10b+1..10b+10
+    rows.foreach { case (_, len, b) =>
+      assert((len - 1) / 10 == b, s"len $len in batch $b")
+    }
+    val stats = Packing.paddingStats(batched, $"n_tokens", $"batch_id")
+      .select($"batch_id", $"n_rows", $"max_len", $"sum_len", $"waste")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stats.length == 10)
+    stats.foreach { case (b, n, mx, sm, w) =>
+      assert(n == 10 && mx == 10 * b + 10)
+      assert(sm == (10 * b + 1 to 10 * b + 10).sum)
+      assert(w == n * mx - sm && w == 45, s"batch $b waste $w")
+    }
+    // partition-independence + guard
+    val again = Packing.lengthBatches(df.repartition(7), $"n_tokens",
+        $"doc_id", 10)
+      .select($"doc_id", $"batch_id").as[(Long, Long)].collect().toSet
+    assert(again == rows.map(r => (r._1, r._3)).toSet)
+    intercept[IllegalArgumentException] {
+      Packing.lengthBatches(df.withColumn("batch_id", lit(1)),
+        $"n_tokens", $"doc_id", 10)
+    }
+  }
+
   test("capPerGroupApprox includeNulls caps null-group rows as one sentinel group") {
     val df = spark.range(0, 6000).select(
       $"id".as("doc_id"),

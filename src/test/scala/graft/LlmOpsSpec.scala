@@ -333,6 +333,51 @@ class LlmOpsSpec extends SparkTestBase {
     assert(local == dist)
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged, null-safely") {
+    val old = Seq(
+      (1L, "same"), (2L, "gone"), (3L, "before"), (4L, null: String))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "same"), (3L, "after"), (4L, null: String), (5L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(old, neu, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "removed", 3L -> "changed",
+      4L -> "unchanged",   // null text in both: null-safe equality
+      5L -> "added"))
+  }
+
+  test("leakageSafeSplits: whole clusters land on one split side") {
+    // 30 docs; clusters {1,2,3}, {10,11}; rest singletons
+    val docs = (1L to 30L).toList.toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.leakageSafeSplits(docs, pairs, "doc_id",
+        Seq("train" -> 500, "val" -> 250, "test" -> 250))
+      .select($"doc_id", $"rep".cast("long"), $"split")
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 30)
+    val byId = got.map(r => r._1 -> r).toMap
+    // reps: cluster members share the min-id label, singletons self-rep
+    assert(Seq(1L, 2L, 3L).forall(byId(_)._2 == 1L))
+    assert(Seq(10L, 11L).forall(byId(_)._2 == 10L))
+    assert(byId(7L)._2 == 7L)
+    // the point: cluster members share the SPLIT, and it equals the
+    // rep's own singleton assignment under the same weights
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size == 1)
+    assert(Seq(10L, 11L).map(byId(_)._3).distinct.size == 1)
+    val repSplit = graft.ops.Sampling.assignSplits(
+        Seq(1L).toDF("doc_id"), graft.ops.Sampling.lcgKey($"doc_id"),
+        Seq("train" -> 500, "val" -> 250, "test" -> 250))
+      .select($"split").as[String].head()
+    assert(byId(2L)._3 == repSplit)
+    // output-column guard
+    intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplits(docs.withColumn("rep", lit(1L)), pairs,
+        "doc_id", Seq("train" -> 1000))
+    }
+  }
+
   test("quality signals + keep decision") {
     val good = "the quick brown fox jumps over the lazy dog and runs to the house in town"
     val bad  = "!!! ??? ,,, ..."
