@@ -870,6 +870,36 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // CCNet-style LM-quality buckets at the gate
+  // (LanguageModel.perplexityBuckets): every doc ranked by the integer
+  // MICRO-average of its bigram conditional-probability mass under the
+  // corpus model — (sum_p6·10⁶) DIV n_bigrams, exact floor division
+  // where the rational average would tie at the rounding digit — and
+  // cut into head/middle/tail tiers by the window-free ntile.
+  def q115_ppl_buckets(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.perplexityBuckets(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+        buckets = 3)
+      .select(col("doc_id"), col("avg_micro"), col("bucket"))
+
+  // RETRIEVAL-EVAL metrics at the gate (Relevance.retrievalMetrics):
+  // the measurement harness over a ranked search output — q26's
+  // decimal-exact brute-force top-5 scored against same-label qrels
+  // (embeddings carry class labels; relevant = same label). Integer
+  // surface: hit counts, first relevant rank, reciprocal rank in micro
+  // units (a float 1/rank sum is order-sensitive).
+  def q116_retrieval_eval(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val results = graft.llm.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5)
+    val qrels = emb.where(col("vec_id") < 8).select(
+        col("vec_id").as("query_id"), col("label").as("qlab"))
+      .join(emb.select(col("vec_id").as("cand_id"), col("label").as("clab")),
+        col("cand_id") =!= col("query_id") && col("qlab") === col("clab"))
+      .select(col("query_id"), col("cand_id"))
+    graft.llm.Relevance.retrievalMetrics(results, qrels, k = 5)
+  }
+
   // CORPUS SNAPSHOT DIFF at the gate (Dedup.corpusDiff): the
   // incremental-pipeline primitive — classify every doc id across two
   // corpus versions as added/removed/changed/unchanged by content
@@ -1201,7 +1231,9 @@ object LlmQueries {
     "q111_gopher"       -> q111_gopher _,
     "q112_corpus_diff"  -> q112_corpus_diff _,
     "q113_leak_split"   -> q113_leak_split _,
-    "q114_length_batches" -> q114_length_batches _
+    "q114_length_batches" -> q114_length_batches _,
+    "q115_ppl_buckets"  -> q115_ppl_buckets _,
+    "q116_retrieval_eval" -> q116_retrieval_eval _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2274,6 +2306,63 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // q66's bigram-model fragment -> integer micro-average -> ntile
+    "q115_ppl_buckets" ->
+      """WITH mg AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM documents),
+        |mbg AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM mg),
+        |cab AS (SELECT w1, w2, count(*) AS pair_cnt FROM mbg GROUP BY 1, 2),
+        |ca AS (SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS head_cnt FROM cab GROUP BY 1),
+        |model AS (SELECT cab.w1, cab.w2,
+        |  CAST(CAST(pair_cnt AS DECIMAL(18,4)) / CAST(head_cnt AS DECIMAL(18,4)) AS DECIMAL(18,6)) AS p6
+        |  FROM cab JOIN ca USING (w1)),
+        |dbg0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM documents),
+        |dbg AS (SELECT doc_id, string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM dbg0),
+        |sc AS (SELECT d.doc_id, coalesce(m.p6, CAST(0 AS DECIMAL(18,6))) AS p6
+        |       FROM dbg d LEFT JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2),
+        |agg AS (SELECT doc_id, CAST(sum(p6) AS DECIMAL(38,6)) AS sum_p6, count(*) AS n_bigrams FROM sc GROUP BY 1),
+        |av AS (SELECT doc_id,
+        |  CASE WHEN n_bigrams > 0 THEN CAST(sum_p6 * 1000000 AS BIGINT) // n_bigrams ELSE -1 END AS avg_micro
+        |  FROM agg)
+        |SELECT doc_id, CAST(avg_micro AS BIGINT) AS avg_micro,
+        |  CAST(ntile(3) OVER (ORDER BY avg_micro DESC, doc_id) AS INT) AS bucket
+        |FROM av""".stripMargin,
+    // q26's decimal-cosine top-5 joined to same-label qrels; integer
+    // metrics (reciprocal rank in micro units via floor division)
+    "q116_retrieval_eval" ->
+      """WITH norm AS (
+        |  SELECT vec_id, embedding, label,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+        |  FROM norm q JOIN norm c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |res AS (SELECT query_id, cand_id, rnk FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+        |   FROM pairs) WHERE rnk <= 5),
+        |qrels AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+        |          FROM embeddings q JOIN embeddings c
+        |            ON q.vec_id < 8 AND c.vec_id <> q.vec_id AND q.label = c.label),
+        |h AS (SELECT r.query_id, count(*) AS hits, min(r.rnk) AS fr
+        |      FROM res r JOIN qrels USING (query_id, cand_id) GROUP BY 1),
+        |nr AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1)
+        |SELECT q.query_id,
+        |  CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel,
+        |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  CAST(coalesce(h.fr, 0) AS INT) AS first_rank,
+        |  CAST(CASE WHEN h.fr IS NOT NULL THEN 1000000 // h.fr ELSE 0 END AS BIGINT) AS rr_micro
+        |FROM (SELECT DISTINCT query_id FROM res) q
+        |LEFT JOIN nr ON nr.query_id = q.query_id
+        |LEFT JOIN h ON h.query_id = q.query_id""".stripMargin,
     // content-hash classify across the simulated next crawl; text
     // equality stands in for the engine-local xxhash64 equality
     "q112_corpus_diff" ->

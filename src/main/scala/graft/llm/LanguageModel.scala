@@ -126,6 +126,32 @@ object LanguageModel {
            count(lit(1)).as("n_bigrams"))
   }
 
+  /** CCNet-style LM-quality bucketing (Wenzek et al. 2020): rank every
+    * document by how typical its bigrams are of the model corpus and
+    * cut the ranking into `buckets` equal tiers — bucket 1 = "head"
+    * (most model-like), last = "tail" (least; CCNet trains on head+
+    * middle). The per-doc score is the integer MICRO-average
+    * `(sum_p6·10⁶) DIV n_bigrams` — exact floor division in both
+    * engines, where the rational average sum/n would tie at the
+    * rounding digit (the NOTES rule). Docs without bigrams (< 2
+    * tokens) score −1 and sink to the tail, documented.
+    *
+    * Shape: the [[docCondProbMassDeterministic]] vocabulary-keyed join
+    * (never a gram window) + the window-free
+    * [[graft.ops.GlobalRank.ntileScalable]] tiering. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 3,
+                        modelDocs: Option[DataFrame] = None): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val scored = docCondProbMassDeterministic(docs, idCol, textCol, modelDocs)
+    val withAvg = scored.withColumn("avg_micro",
+      when(col("n_bigrams") > 0,
+        expr("CAST(sum_p6 * 1000000 AS BIGINT) DIV n_bigrams"))
+        .otherwise(lit(-1L)))
+    graft.ops.GlobalRank.ntileScalable(withAvg, buckets,
+      Seq(col("avg_micro").desc, col("doc_id")), outCol = "bucket")
+  }
+
   /** Frequency-ranked vocabulary of the `k` most common tokens, with
     * dense contiguous ids 1..k by (count DESC, token ASC) — the
     * tokenizer-prep step (vocab tables, OOV cutoffs, id assignment).

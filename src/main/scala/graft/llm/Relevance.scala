@@ -450,4 +450,43 @@ object Relevance {
           count(when(col("__df") === 1L, 1)).as("n_novel")),
       Some(grams))
   }
+
+  /** RETRIEVAL-EVAL metrics — the measurement harness over any ranked
+    * search output (the four ANN routes, BM25, TF-IDF all emit the
+    * (query_id, cand_id, rnk) shape this consumes): per query against a
+    * relevance-judgment set `qrels` (query_id, cand_id),
+    *   - `n_rel`    total relevant candidates,
+    *   - `hits`     relevant results within the top `k` (recall@k and
+    *                precision@k follow as hits/n_rel, hits/k — left as
+    *                integer numerators: a rational average ties at the
+    *                rounding digit across engines),
+    *   - `first_rank` rank of the first relevant hit (0 = none),
+    *   - `rr_micro` reciprocal rank in exact micro units,
+    *                10⁶ DIV first_rank — the MRR numerator as an
+    *                integer (a float 1/rank SUM is order-sensitive).
+    * Queries absent from `qrels` surface with n_rel = 0.
+    *
+    * Shape: the qrels join rides the (query, cand) keys (ids only) and
+    * both aggregates are map-side partial — no windows, nothing
+    * query-count-bounded on one task. */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val hits = results.filter(col("rnk") <= k)
+      .join(qrels.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__hits"), min(col("rnk")).as("__fr"))
+    val nRel = qrels.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    results.select(col("query_id")).distinct()
+      .join(nRel, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("hits"),
+        coalesce(col("__fr"), lit(0)).cast("int").as("first_rank"),
+        when(col("__fr").isNotNull, expr("CAST(1000000 DIV __fr AS BIGINT)"))
+          .otherwise(lit(0L)).as("rr_micro"))
+  }
 }

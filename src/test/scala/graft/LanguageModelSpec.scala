@@ -190,4 +190,29 @@ class LanguageModelSpec extends SparkTestBase {
       .as[(String, Int, Long, Long)].collect().toSet
     assert(g == Set(("en", 1, 1L, 3L), ("fr", 0, 2L, 2L)))
   }
+
+  test("perplexityBuckets: model-typical docs head, gibberish tail, no-bigram docs sink") {
+    // model: "a b" dominates; probe docs span typicality
+    val probe = Seq(
+      (1L, "a b a b a b"),        // all in-model, high-mass bigrams
+      (2L, "a c b a"),            // mixed typicality
+      (3L, "zz1 zz2 zz3"),        // unseen bigrams: avg_micro = 0
+      (4L, "x"))                  // no bigrams: avg_micro = -1
+      .toDF("doc_id", "text")
+    val got = LanguageModel.perplexityBuckets(probe, "doc_id", "text",
+        buckets = 4, modelDocs = Some(docs))
+      .select($"doc_id", $"avg_micro", $"bucket")
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val byId = got.map(r => r._1 -> r).toMap
+    // ordering: doc1 most typical, then doc2, then unseen, then no-bigram
+    assert(byId(1L)._2 > byId(2L)._2 && byId(2L)._2 > 0)
+    assert(byId(3L)._2 == 0L && byId(4L)._2 == -1L)
+    assert(got.map(_._3).toSeq == Seq(1, 2, 3, 4), "tiers follow typicality")
+    // 4 buckets over 4 docs: ntile gives one doc per tier; determinism
+    val again = LanguageModel.perplexityBuckets(probe.repartition(5),
+        "doc_id", "text", buckets = 4, modelDocs = Some(docs))
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toSet
+    assert(again == got.map(r => (r._1, r._3)).toSet)
+  }
 }

@@ -263,4 +263,34 @@ class RelevanceSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "novelty must not use a window")
   }
+
+  test("retrievalMetrics: exact counts, first-rank reciprocal, no-qrel queries") {
+    // q1: rel = {10, 30}; hits at rnk 2 (10) and 4 (30). q2: rel = {50}
+    // outside top-k. q3: no qrels at all.
+    val results = Seq(
+      (1L, 20L, 1), (1L, 10L, 2), (1L, 40L, 3), (1L, 30L, 4), (1L, 99L, 5),
+      (2L, 60L, 1), (2L, 70L, 2), (2L, 80L, 3),
+      (3L, 11L, 1), (3L, 12L, 2)
+    ).toDF("query_id", "cand_id", "rnk")
+    val qrels = Seq((1L, 10L), (1L, 30L), (2L, 50L))
+      .toDF("query_id", "cand_id")
+    val got = Relevance.retrievalMetrics(results, qrels, k = 3)
+      .as[(Long, Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // k=3 cuts q1's rank-4 hit; rr = 1000000 DIV 2
+    assert(got == Map(
+      1L -> ((2L, 1L, 2, 500000L)),
+      2L -> ((1L, 0L, 0, 0L)),
+      3L -> ((0L, 0L, 0, 0L))))
+    // k=5 recovers the rank-4 hit; first_rank stays the min
+    val got5 = Relevance.retrievalMetrics(results, qrels, k = 5)
+      .as[(Long, Long, Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got5(1L) == ((2L, 2L, 2, 500000L)))
+    // rr_micro is the exact floor division for non-unit ranks
+    val r3 = Seq((9L, 5L, 3)).toDF("query_id", "cand_id", "rnk")
+    val q3 = Seq((9L, 5L)).toDF("query_id", "cand_id")
+    assert(Relevance.retrievalMetrics(r3, q3, k = 3)
+      .select($"rr_micro").as[Long].head() == 333333L)
+  }
 }
