@@ -870,6 +870,22 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // CURATION v3 at the gate (CorpusPipeline.curateLeakSafe): the
+  // release-manifest composition of the round-6 operators — Gopher
+  // quality gate → exact dedup → leakage-safe split keyed on the
+  // winnowing-overlap cluster rep → train-side length batching.
+  // Stage boundaries (quality survivors feeding the dedup, the pair
+  // set built on SURVIVORS only, the split filter feeding the batch
+  // rank) are where composition bugs hide; each stage is separately
+  // gate-checked (q111/q20/q113/q114).
+  def q117_curate_v3(s: SparkSession, dir: String): DataFrame =
+    graft.llm.CorpusPipeline.curateLeakSafe(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        idCol = "doc_id", textCol = "text",
+        splits = Seq("train" -> 900, "val" -> 50, "test" -> 50),
+        batchSize = 32,
+        hashFn = graft.llm.TextAnalysis.md5Hash60)
+
   // CCNet-style LM-quality buckets at the gate
   // (LanguageModel.perplexityBuckets): every doc ranked by the integer
   // MICRO-average of its bigram conditional-probability mass under the
@@ -1233,7 +1249,8 @@ object LlmQueries {
     "q113_leak_split"   -> q113_leak_split _,
     "q114_length_batches" -> q114_length_batches _,
     "q115_ppl_buckets"  -> q115_ppl_buckets _,
-    "q116_retrieval_eval" -> q116_retrieval_eval _
+    "q116_retrieval_eval" -> q116_retrieval_eval _,
+    "q117_curate_v3"    -> q117_curate_v3 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2306,6 +2323,71 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // gopher keep -> min-id dedup -> winnow components -> rep-keyed
+    // split -> train-side consecutive batching (the q111/q20/q113/q114
+    // fragments composed)
+    "q117_curate_v3" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_extract_all(text, '\S+')) AS w,
+        |    len(regexp_extract_all(text, '\S')) AS ch,
+        |    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS sym,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE len(regexp_extract_all(text, '\n')) + 1 END AS ln,
+        |    len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS bl,
+        |    len(regexp_extract_all(text, '(?m)\.\.\.$')) AS el,
+        |    len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS aw,
+        |    (CASE WHEN len(regexp_extract_all(text, '(?i)\bthe\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bbe\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bto\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bof\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\band\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bthat\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bhave\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bwith\b')) > 0 THEN 1 ELSE 0 END) AS st
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text FROM q
+        |  WHERE w BETWEEN 30 AND 100000 AND ch >= 3*w AND ch <= 10*w
+        |    AND 1000*sym <= 100*w AND 1000*bl <= 900*ln AND 1000*el <= 300*ln
+        |    AND 1000*aw >= 800*w AND st >= 1),
+        |uniq AS (SELECT min(doc_id) AS doc_id, text FROM kept GROUP BY text),
+        |raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM uniq),
+        |g AS (SELECT doc_id, i, len(toks) - 2 AS n,
+        |        ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks)-2)) AS i FROM raw
+        |            WHERE len(toks) >= 3)),
+        |m AS (SELECT doc_id, i, n,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM g),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM m WHERE i <= greatest(n-4, 0) + 1),
+        |keepf AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+        |f2 AS (SELECT doc_id, fp FROM fps JOIN keepf USING (fp)),
+        |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |        FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+        |      UNION SELECT doc_b, doc_a FROM prs),
+        |walk AS (
+        |  SELECT src AS node, src AS lbl FROM e
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+        |comp AS (SELECT node AS doc_id, min(lbl) AS comp_id FROM walk GROUP BY node),
+        |sel AS (SELECT u.doc_id,
+        |          CAST(len(string_split(u.text, ' ')) AS BIGINT) AS n_tokens,
+        |          CAST(COALESCE(c.comp_id, u.doc_id) AS BIGINT) AS rep
+        |        FROM uniq u LEFT JOIN comp c ON c.doc_id = u.doc_id),
+        |k AS (SELECT *, ((rep * 1103515245 + 12345) % 1000000007) % 1000 AS key FROM sel),
+        |sp AS (SELECT doc_id, n_tokens, rep,
+        |         CASE WHEN key < 900 THEN 'train' WHEN key < 950 THEN 'val' ELSE 'test' END AS split
+        |       FROM k),
+        |tr AS (SELECT doc_id, n_tokens, rep, split,
+        |         CAST((row_number() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS BIGINT) AS batch_id
+        |       FROM sp WHERE split = 'train')
+        |SELECT doc_id, n_tokens, rep, split, CAST(-1 AS BIGINT) AS batch_id FROM sp WHERE split <> 'train'
+        |UNION ALL
+        |SELECT doc_id, n_tokens, rep, split, batch_id FROM tr""".stripMargin,
     // q66's bigram-model fragment -> integer micro-average -> ntile
     "q115_ppl_buckets" ->
       """WITH mg AS (

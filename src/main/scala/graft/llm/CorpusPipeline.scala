@@ -155,4 +155,53 @@ object CorpusPipeline {
     deduped.unpersist(false)
     result
   }
+
+  /** QUALITY → DEDUP → LEAKAGE-SAFE SPLIT → TRAIN BATCHING — the
+    * release-manifest composition the round-6 operators enable: Gopher
+    * rule battery drops low-quality docs, exact dedup keeps the min-id
+    * copy, the train/val/test split is keyed on the near-dup CLUSTER
+    * representative (winnowing-overlap pairs over the survivors — a
+    * near-dup pair straddling train/test would leak eval), and the
+    * train side is cut into length-homogeneous padded batches
+    * (val/test batch as -1: eval batching is the harness's choice).
+    * Returns (doc_id, n_tokens, rep, split, batch_id).
+    *
+    * Every stage is an individually gate-checked operator
+    * (q111/q20/q113/q114); the composition is gate q117. Shapes: the
+    * quality pass is map-only, dedup one min(struct) groupBy, pairs
+    * the capped inverted-index join, split map-only after the
+    * components join, batching one window-free ranked shuffle over the
+    * train side only. */
+  def curateLeakSafe(docs: DataFrame, idCol: String, textCol: String,
+                     splits: Seq[(String, Int)],
+                     batchSize: Int,
+                     minWords: Int = 30, minStopwords: Int = 1,
+                     winnowMaxDf: Int = 50, minShared: Int = 2,
+                     hashFn: org.apache.spark.sql.Column =>
+                       org.apache.spark.sql.Column = xxhash64(_))
+      : DataFrame = {
+    val counts = TextAnalysis.gopherCounts(col(textCol))
+    val quality = docs.filter(TextAnalysis.gopherKeep(counts,
+      minWords = minWords, minStopwords = minStopwords))
+    val uniqued = quality
+      .groupBy(col(textCol))
+      .agg(min(col(idCol)).as("__keep_id"))
+      .select(col("__keep_id").as(idCol), col(textCol))
+    val pairs = Dedup.winnowingOverlapPairs(
+        uniqued, idCol = idCol, textCol = textCol,
+        minShared = minShared, maxDf = winnowMaxDf, hashFn = hashFn)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    val assigned = Dedup.leakageSafeSplits(
+      uniqued.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens")),
+      pairs, idCol, splits)
+    val train = graft.ops.Packing.lengthBatches(
+      assigned.filter(col("split") === splits.head._1),
+      col("n_tokens"), col(idCol), batchSize)
+    assigned.filter(col("split") =!= splits.head._1)
+      .withColumn("batch_id", lit(-1L))
+      .unionByName(train)
+      .select(col(idCol), col("n_tokens"), col("rep").cast("long").as("rep"),
+        col("split"), col("batch_id"))
+  }
 }

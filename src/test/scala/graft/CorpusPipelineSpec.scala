@@ -43,6 +43,38 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(reasons == Map(2L -> "near_dup"))
   }
 
+  test("curateLeakSafe: stage boundaries compose (quality, dedup, split, batch)") {
+    import graft.llm.CorpusPipeline
+    // distinct tokens: a repetitive doc winnows to ~1 DISTINCT
+    // fingerprint and can never share minShared=2 of them
+    val good = (1 to 40).map(i => s"word$i")
+      .mkString(" ") + " the have"                    // passes gopher defaults
+    val docs = Seq(
+      (1L, good),
+      (2L, good),                                     // exact dup → dropped
+      (3L, "the quick fox"),                          // < 30 words → dropped
+      (4L, good + " extra near dup run over shared winnow fingerprints"),
+      (5L, (1 to 45).map(i => s"tok$i").mkString(" ") + " the have"))
+      .toDF("doc_id", "text")
+    val got = CorpusPipeline.curateLeakSafe(docs, "doc_id", "text",
+        splits = Seq("train" -> 500, "val" -> 250, "test" -> 250),
+        batchSize = 2, minWords = 30, minStopwords = 1,
+        winnowMaxDf = 50, minShared = 2)
+      .select($"doc_id", $"n_tokens", $"rep", $"split", $"batch_id")
+      .as[(Long, Long, Long, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // survivors: 1 (min-id copy), 4, 5; dropped: 2 (dup), 3 (quality)
+    assert(got.keySet == Set(1L, 4L, 5L))
+    // 1 and 4 share >= 2 winnow fingerprints (4 extends 1) → same
+    // cluster rep (1) → same split side; 5 is a singleton
+    assert(got(1L)._3 == 1L && got(4L)._3 == 1L && got(5L)._3 == 5L)
+    assert(got(1L)._4 == got(4L)._4, "near-dup pair must not straddle splits")
+    // train rows batch 0-based; non-train batch = -1
+    got.values.foreach { case (_, _, _, sp, b) =>
+      if (sp == "train") assert(b >= 0L) else assert(b == -1L)
+    }
+  }
+
   // GraftExtensions needs a fresh JVM-first session (getOrCreate in the
   // shared test JVM would reuse the existing one and skip extensions) —
   // covered by `runMain graft.ExtDemo` instead; see .claude verify skill.
