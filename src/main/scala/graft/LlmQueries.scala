@@ -870,6 +870,27 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // PACKED PRETRAINING BLOCKS at the gate (Packing.tokenBlocks): the
+  // GPT-style token stream — corpus concatenated in id order with an
+  // <eos> closing every doc, cut into fixed 64-token blocks that CROSS
+  // document boundaries (every block exactly full except the last).
+  // Docs ship as per-block FRAGMENTS, never single tokens; the oracle
+  // is the naive token-level window form.
+  def q118_token_blocks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.tokenBlocks(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      idCol = col("doc_id"), textCol = "text", blockSize = 64)
+
+  // MULTI-EPOCH reshuffle at the gate (Sampling.epochOrders): epoch e
+  // orders by the salt-e LCG key — every epoch a different
+  // reproducible permutation, no RNG state to checkpoint. Two epochs
+  // surfaced; ranks are the window-free globalRowNumber.
+  def q119_epoch_shuffle(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.epochOrders(
+        t(s, dir, "documents").select(col("doc_id")),
+        idCol = col("doc_id"), epochs = 2)
+      .select(col("doc_id"), col("epoch"), col("epoch_rank"))
+
   // CURATION v3 at the gate (CorpusPipeline.curateLeakSafe): the
   // release-manifest composition of the round-6 operators — Gopher
   // quality gate → exact dedup → leakage-safe split keyed on the
@@ -1250,7 +1271,9 @@ object LlmQueries {
     "q114_length_batches" -> q114_length_batches _,
     "q115_ppl_buckets"  -> q115_ppl_buckets _,
     "q116_retrieval_eval" -> q116_retrieval_eval _,
-    "q117_curate_v3"    -> q117_curate_v3 _
+    "q117_curate_v3"    -> q117_curate_v3 _,
+    "q118_token_blocks" -> q118_token_blocks _,
+    "q119_epoch_shuffle" -> q119_epoch_shuffle _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2323,6 +2346,28 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // naive token-level mirror of the fragment shape: cumulative doc
+    // offsets -> absolute positions -> pos//64 blocks, string_agg in
+    // position order
+    "q118_token_blocks" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') || ['<eos>'] AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks)+1)) AS i FROM t),
+        |off AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+        |cum AS (SELECT doc_id, sum(n) OVER (ORDER BY doc_id) - n AS strt FROM off),
+        |p AS (SELECT c.strt + k.i - 1 AS pos, k.tok FROM tok k JOIN cum c USING (doc_id))
+        |SELECT CAST(pos // 64 AS BIGINT) AS block_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  string_agg(tok, ' ' ORDER BY pos) AS text
+        |FROM p GROUP BY 1""".stripMargin,
+    // salt-e LCG keys (the salted second-stage multiplier), per-epoch
+    // row_number
+    "q119_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest(range(1,3)) AS epoch),
+        |k AS (SELECT d.doc_id, e.epoch,
+        |  (((d.doc_id + e.epoch) * 1103515245 + 12345) % 1000000007 * (1664525 + e.epoch) + 1013904223) % 1000000007 AS sk
+        |  FROM documents d CROSS JOIN e)
+        |SELECT doc_id, CAST(epoch AS INT) AS epoch,
+        |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY sk, doc_id) AS BIGINT) AS epoch_rank
+        |FROM k""".stripMargin,
     // gopher keep -> min-id dedup -> winnow components -> rep-keyed
     // split -> train-side consecutive batching (the q111/q20/q113/q114
     // fragments composed)

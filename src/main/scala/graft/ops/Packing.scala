@@ -117,6 +117,52 @@ object Packing {
       .drop("__lbr")
   }
 
+  /** GPT-style PACKED PRETRAINING BLOCKS: concatenate the corpus in
+    * ascending `idCol` order into one virtual token stream (an `eos`
+    * marker closing every document) and cut fixed `blockSize`-token
+    * blocks that CROSS document boundaries — the standard pretraining
+    * tokenization ([[packGreedy]] never splits a document;
+    * this always fills every block exactly). The final short block is
+    * kept. Output: (block_id, n_tokens, text).
+    *
+    * Shape at 100 TB: the global offsets come from the window-free
+    * [[GlobalRank.globalRunningSum]]; each document then emits one
+    * FRAGMENT row per block it touches (≤ ceil(n/blockSize)+1 — doc
+    * fragments ship, never individual tokens), and blocks reassemble
+    * with one map-side-partial groupBy whose per-block sort is bounded
+    * by the fragments of one block. Integer long math end to end. */
+  def tokenBlocks(df: DataFrame, idCol: Column, textCol: String,
+                  blockSize: Int, eos: String = "<eos>"): DataFrame = {
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    val sized = df
+      .select(idCol.as("__id"),
+        concat(split(col(textCol), " "), array(lit(eos))).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+    val withCum = GlobalRank.globalRunningSum(
+      sized, Seq(col("__id")), "__n", outCol = "__cum")
+    val spanned = withCum
+      .withColumn("__start", col("__cum") - col("__n"))
+      .withColumn("block_id",
+        explode(sequence(expr(s"__start DIV ${blockSize}L"),
+          expr(s"(__start + __n - 1) DIV ${blockSize}L"))))
+    // fragment of this doc inside this block: token-array slice
+    val fragFrom = greatest(col("block_id") * blockSize, col("__start"))
+    val fragTo = least((col("block_id") + 1) * blockSize,
+      col("__start") + col("__n"))           // exclusive
+    val frags = spanned.select(col("block_id"),
+      fragFrom.as("__f"),
+      (fragTo - fragFrom).cast("int").as("__len"),
+      slice(col("__toks"), (fragFrom - col("__start") + 1).cast("int"),
+        (fragTo - fragFrom).cast("int")).as("__frag"))
+    frags.groupBy(col("block_id"))
+      .agg(sum(col("__len")).as("n_tokens"),
+        array_sort(collect_list(struct(col("__f"), col("__frag"))))
+          .as("__fs"))
+      .withColumn("text", array_join(
+        flatten(transform(col("__fs"), s => s.getField("__frag"))), " "))
+      .drop("__fs")
+  }
+
   /** Per-batch padding accounting over a [[lengthBatches]] output:
     * rows, max length (= the padded width), total real tokens, and
     * `waste` = n_rows·max_len − sum_len (the padding tokens the batch

@@ -85,6 +85,28 @@ object Sampling {
     df.withColumn(outCol, cascade)
   }
 
+  /** MULTI-EPOCH deterministic reshuffle: epoch e orders the corpus by
+    * the salt-e LCG key (salted multipliers are pairwise independent —
+    * the round-5 correlation fix), so every epoch is a DIFFERENT
+    * reproducible permutation of the same rows — the "reshuffle between
+    * epochs" contract of a training loop, with no RNG state to
+    * checkpoint (resume = recompute the key). One window-free
+    * [[GlobalRank.globalRowNumber]] ranked shuffle per epoch; epochs is
+    * a training-plan constant (validated ≤ 128).
+    * Output: input columns + `epoch` (1-based) + `outCol`. */
+  def epochOrders(df: DataFrame, idCol: Column, epochs: Int,
+                  outCol: String = "epoch_rank"): DataFrame = {
+    require(epochs >= 1 && epochs <= 128,
+      s"epochs must be in [1, 128], got $epochs")
+    require(!df.columns.contains("epoch"),
+      "input frame already carries the output column epoch")
+    (1 to epochs).map { e =>
+      GlobalRank.globalRowNumber(
+        df.withColumn("epoch", lit(e)),
+        Seq(lcgKeyRaw(idCol, e.toLong), idCol), outCol)
+    }.reduce(_ unionByName _)
+  }
+
   /** Keep a deterministic `keepPerMille`/1000 fraction of rows. */
   def sampleByHash(df: DataFrame, key: Column, keepPerMille: Int): DataFrame = {
     require(keepPerMille >= 0 && keepPerMille <= Mille, "fraction out of range")

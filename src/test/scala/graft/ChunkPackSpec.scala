@@ -144,6 +144,33 @@ class ChunkPackSpec extends SparkTestBase {
     }
   }
 
+  test("tokenBlocks: blocks cross doc boundaries, every block full but the last") {
+    val df = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"))
+      .toDF("doc_id", "text")
+    // stream: a b c <eos> d e <eos> f <eos>  (9 tokens, blockSize 4)
+    val got = Packing.tokenBlocks(df, $"doc_id", "text", blockSize = 4)
+      .select($"block_id", $"n_tokens", $"text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 4L, "a b c <eos>"),
+      (1L, 4L, "d e <eos> f"),      // crosses the doc-2/doc-3 boundary
+      (2L, 1L, "<eos>")))
+    // partition-independence
+    val again = Packing.tokenBlocks(df.repartition(5), $"doc_id", "text",
+        blockSize = 4)
+      .select($"block_id", $"text").as[(Long, String)].collect().toSet
+    assert(again == got.map(r => (r._1, r._3)).toSet)
+    // a doc longer than a block spans several fragments
+    val long = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val blocks = Packing.tokenBlocks(long, $"doc_id", "text", blockSize = 3)
+      .select($"block_id", $"n_tokens", $"text")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(blocks.length == 4 && blocks.take(3).forall(_._2 == 3L))
+    assert(blocks.map(_._3).mkString(" ") ==
+      (1 to 10).map(i => s"t$i").mkString(" ") + " <eos>")
+  }
+
   test("capPerGroupApprox includeNulls caps null-group rows as one sentinel group") {
     val df = spark.range(0, 6000).select(
       $"id".as("doc_id"),

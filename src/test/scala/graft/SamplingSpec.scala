@@ -405,4 +405,34 @@ class SamplingSpec extends SparkTestBase {
     assert(plan.contains("partial_bottomklong"),
       s"quota buffers must combine map-side:\n$plan")
   }
+
+  test("epochOrders: each epoch a distinct permutation, deterministic, guarded") {
+    val df = (1L to 200L).toList.toDF("id")
+    val got = Sampling.epochOrders(df, $"id", epochs = 3)
+      .select($"id", $"epoch", $"epoch_rank")
+      .as[(Long, Int, Long)].collect()
+    assert(got.length == 600)
+    val byEpoch = got.groupBy(_._2)
+    // every epoch is a full permutation of 1..200
+    (1 to 3).foreach { e =>
+      assert(byEpoch(e).map(_._3).sorted.toSeq == (1L to 200L),
+        s"epoch $e is not a permutation")
+    }
+    // epochs genuinely reshuffle: the same id gets different ranks
+    val r1 = byEpoch(1).map(r => r._1 -> r._3).toMap
+    val r2 = byEpoch(2).map(r => r._1 -> r._3).toMap
+    assert((1L to 200L).count(i => r1(i) != r2(i)) > 150,
+      "epoch orders must differ for most rows")
+    // deterministic across partitionings
+    val again = Sampling.epochOrders(df.repartition(7), $"id", epochs = 3)
+      .select($"id", $"epoch", $"epoch_rank")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(again == got.toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.epochOrders(df.withColumn("epoch", lit(1)), $"id", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochOrders(df, $"id", epochs = 0)
+    }
+  }
 }
