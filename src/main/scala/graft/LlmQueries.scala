@@ -870,6 +870,18 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // CORPUS → VOCAB-ID SEQUENCES at the gate
+  // (LanguageModel.encodeWithVocab): every token maps through the
+  // q75 vocabulary (k=20 so the fixture genuinely produces OOV hits),
+  // id sequences surfaced as space-joined strings (a string renders
+  // identically through every readback path; arrays don't). k-row
+  // broadcast, per-doc array_sort reassembly — never a corpus window.
+  def q120_vocab_encode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = graft.llm.LanguageModel.buildVocab(docs, "text", k = 20)
+    graft.llm.LanguageModel.encodeWithVocab(docs, "doc_id", "text", vocab)
+  }
+
   // PACKED PRETRAINING BLOCKS at the gate (Packing.tokenBlocks): the
   // GPT-style token stream — corpus concatenated in id order with an
   // <eos> closing every doc, cut into fixed 64-token blocks that CROSS
@@ -1273,7 +1285,8 @@ object LlmQueries {
     "q116_retrieval_eval" -> q116_retrieval_eval _,
     "q117_curate_v3"    -> q117_curate_v3 _,
     "q118_token_blocks" -> q118_token_blocks _,
-    "q119_epoch_shuffle" -> q119_epoch_shuffle _
+    "q119_epoch_shuffle" -> q119_epoch_shuffle _,
+    "q120_vocab_encode" -> q120_vocab_encode _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2346,6 +2359,24 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // q75's vocab fragment at k=20, positional token join, per-doc
+    // string_agg in token order
+    "q120_vocab_encode" ->
+      """WITH v AS (
+        |  SELECT w, CAST(rn AS INT) AS vocab_id
+        |  FROM (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rn
+        |        FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |              FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                    FROM documents) GROUP BY 1))
+        |  WHERE rn <= 20),
+        |tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |         unnest(range(0, len(string_split(text,' ')))) AS pos FROM documents),
+        |j AS (SELECT doc_id, pos, COALESCE(v.vocab_id, 0) AS tid
+        |      FROM tk LEFT JOIN v USING (w))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  string_agg(tid::VARCHAR, ' ' ORDER BY pos) AS ids
+        |FROM j GROUP BY 1""".stripMargin,
     // naive token-level mirror of the fragment shape: cumulative doc
     // offsets -> absolute positions -> pos//64 blocks, string_agg in
     // position order

@@ -126,6 +126,36 @@ object LanguageModel {
            count(lit(1)).as("n_bigrams"))
   }
 
+  /** CORPUS TOKENIZATION TO VOCAB IDS — the final doc → id-sequence
+    * step a trainer consumes: every token maps through the `vocab`
+    * frame ([[buildVocab]]'s (w, vocab_id) shape) with out-of-vocab
+    * tokens mapped to `oovId`. Returns (doc_id, n_tokens, n_oov,
+    * ids) with `ids` the space-joined id sequence in token order (a
+    * string surface renders identically through every readback path;
+    * split on ' ' for the array).
+    *
+    * Shape: tokens posexplode inside the scan stage, the vocab rides a
+    * k-row broadcast (the [[oovCounts]] precedent), per-doc reassembly
+    * is an array_sort bounded by one document — never a corpus
+    * window. */
+  def encodeWithVocab(docs: DataFrame, idCol: String, textCol: String,
+                      vocab: DataFrame, oovId: Int = 0): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextShingles.words(col(textCol))).as(Seq("pos", "w")))
+      .join(broadcast(vocab.select(col("w"), col("vocab_id"))),
+        Seq("w"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("vocab_id"), lit(oovId)).as("tid"))
+    toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("tid") === oovId, 1)).as("n_oov"),
+        array_sort(collect_list(struct(col("pos"), col("tid"))))
+          .as("__ts"))
+      .withColumn("ids", array_join(
+        transform(col("__ts"), s => s.getField("tid").cast("string")), " "))
+      .drop("__ts")
+  }
+
   /** CCNet-style LM-quality bucketing (Wenzek et al. 2020): rank every
     * document by how typical its bigrams are of the model corpus and
     * cut the ranking into `buckets` equal tiers — bucket 1 = "head"

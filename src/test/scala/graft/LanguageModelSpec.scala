@@ -191,6 +191,26 @@ class LanguageModelSpec extends SparkTestBase {
     assert(g == Set(("en", 1, 1L, 3L), ("fr", 0, 2L, 2L)))
   }
 
+  test("encodeWithVocab: in-order ids, OOV mapped, counts exact") {
+    val corpus = Seq(
+      (1L, "a b a c"),
+      (2L, "zz a b"))           // zz is out of a 3-word vocab
+      .toDF("doc_id", "text")
+    val vocab = LanguageModel.buildVocab(corpus, "text", k = 3)
+    // counts: a=3, b=2, c=1, zz=1 → vocab (a=1, b=2, c=3); zz OOV
+    val got = LanguageModel.encodeWithVocab(corpus, "doc_id", "text", vocab)
+      .select($"doc_id", $"n_tokens", $"n_oov", $"ids")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 0L, "1 2 1 3")))
+    assert(got(2L) == ((2L, 3L, 1L, "0 1 2")))
+    // custom OOV id flows through both the ids and the count
+    val gotOov = LanguageModel.encodeWithVocab(corpus, "doc_id", "text",
+        vocab, oovId = 99)
+      .select($"doc_id", $"n_oov", $"ids")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(gotOov(2L) == ((2L, 1L, "99 1 2")))
+  }
+
   test("perplexityBuckets: model-typical docs head, gibberish tail, no-bigram docs sink") {
     // model: "a b" dominates; probe docs span typicality
     val probe = Seq(
