@@ -2385,10 +2385,15 @@ object LlmQueries {
         |tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks)+1)) AS i FROM t),
         |off AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
         |cum AS (SELECT doc_id, sum(n) OVER (ORDER BY doc_id) - n AS strt FROM off),
-        |p AS (SELECT c.strt + k.i - 1 AS pos, k.tok FROM tok k JOIN cum c USING (doc_id))
-        |SELECT CAST(pos // 64 AS BIGINT) AS block_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  string_agg(tok, ' ' ORDER BY pos) AS text
-        |FROM p GROUP BY 1""".stripMargin,
+        |p AS (SELECT k.doc_id, c.strt + k.i - 1 AS pos, k.tok FROM tok k JOIN cum c USING (doc_id)),
+        |b AS (SELECT CAST(pos // 64 AS BIGINT) AS block_id, doc_id, pos, tok FROM p),
+        |fr AS (SELECT block_id, doc_id, min(pos) AS f, count(*) AS flen FROM b GROUP BY 1, 2),
+        |sp AS (SELECT block_id,
+        |         string_agg((f - block_id*64)::VARCHAR || ':' || flen::VARCHAR, ',' ORDER BY f) AS spans
+        |       FROM fr GROUP BY 1),
+        |tx AS (SELECT block_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         string_agg(tok, ' ' ORDER BY pos) AS text FROM b GROUP BY 1)
+        |SELECT block_id, n_tokens, text, spans FROM tx JOIN sp USING (block_id)""".stripMargin,
     // salt-e LCG keys (the salted second-stage multiplier), per-epoch
     // row_number
     "q119_epoch_shuffle" ->

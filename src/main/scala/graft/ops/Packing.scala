@@ -123,7 +123,11 @@ object Packing {
     * blocks that CROSS document boundaries — the standard pretraining
     * tokenization ([[packGreedy]] never splits a document;
     * this always fills every block exactly). The final short block is
-    * kept. Output: (block_id, n_tokens, text).
+    * kept. Output: (block_id, n_tokens, text, spans) — `spans` is the
+    * in-block document layout `start:len,start:len,…` (0-based token
+    * offsets, one entry per document fragment in order): the attention
+    * mask of packed training needs doc boundaries, and a block loses
+    * them the moment fragments concatenate.
     *
     * Shape at 100 TB: the global offsets come from the window-free
     * [[GlobalRank.globalRunningSum]]; each document then emits one
@@ -160,6 +164,10 @@ object Packing {
           .as("__fs"))
       .withColumn("text", array_join(
         flatten(transform(col("__fs"), s => s.getField("__frag"))), " "))
+      .withColumn("spans", array_join(
+        transform(col("__fs"), s => concat(
+          (s.getField("__f") - col("block_id") * blockSize).cast("string"),
+          lit(":"), size(s.getField("__frag")).cast("string"))), ","))
       .drop("__fs")
   }
 

@@ -149,12 +149,12 @@ class ChunkPackSpec extends SparkTestBase {
       .toDF("doc_id", "text")
     // stream: a b c <eos> d e <eos> f <eos>  (9 tokens, blockSize 4)
     val got = Packing.tokenBlocks(df, $"doc_id", "text", blockSize = 4)
-      .select($"block_id", $"n_tokens", $"text")
-      .as[(Long, Long, String)].collect().sortBy(_._1)
+      .select($"block_id", $"n_tokens", $"text", $"spans")
+      .as[(Long, Long, String, String)].collect().sortBy(_._1)
     assert(got.toSeq == Seq(
-      (0L, 4L, "a b c <eos>"),
-      (1L, 4L, "d e <eos> f"),      // crosses the doc-2/doc-3 boundary
-      (2L, 1L, "<eos>")))
+      (0L, 4L, "a b c <eos>", "0:4"),
+      (1L, 4L, "d e <eos> f", "0:3,3:1"),  // crosses the doc-2/3 boundary
+      (2L, 1L, "<eos>", "0:1")))
     // partition-independence
     val again = Packing.tokenBlocks(df.repartition(5), $"doc_id", "text",
         blockSize = 4)
