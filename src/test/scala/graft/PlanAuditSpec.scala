@@ -253,6 +253,56 @@ class PlanAuditSpec extends SparkTestBase {
       "window partition key must be the __mid-derived partition id")
   }
 
+  test("q111/q112: map-only quality battery; diff is one id-keyed join, windowless") {
+    val p111 = plan("q111_gopher")
+    assert(!p111.contains("Exchange") || p111.contains("coalesce"),
+      s"the gopher battery is a scan-stage map — no shuffle expected:\n$p111")
+    assert(!p111.contains("Window") && !p111.contains("windowspecdefinition"))
+    val p112 = plan("q112_corpus_diff")
+    assert(!p112.contains("Window") && !p112.contains("windowspecdefinition"))
+    assert(!p112.contains("CartesianProduct") && !p112.contains("BroadcastNestedLoop"),
+      "the diff must ride the id-keyed join")
+  }
+
+  test("q114/q115/q119: ranked gates window only within range partitions") {
+    // lengthBatches / perplexityBuckets / epochOrders rank through
+    // globalRowNumber: the checkpoint truncates the visible plan, so
+    // like q89 the only acceptable window in the TAIL is the
+    // pid-partitioned in-partition one; a corpus-wide window would
+    // show an un-partitioned windowspecdefinition
+    for (q <- Seq("q114_length_batches", "q115_ppl_buckets",
+        "q119_epoch_shuffle")) {
+      val p = plan(q)
+      assert(!p.matches("(?s).*windowspecdefinition\\(__mid[^,]*ASC.*"),
+        s"$q must not window over the whole corpus")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+    }
+  }
+
+  test("q117/q118: composites plan no cartesian and no corpus-wide window") {
+    for (q <- Seq("q117_curate_v3", "q118_token_blocks")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q planned an all-pairs join")
+      assert(!p.matches("(?s).*windowspecdefinition\\(__mid[^,]*ASC.*"),
+        s"$q must not window over the whole corpus")
+    }
+  }
+
+  test("q116/q120: eval metrics and vocab encode aggregate map-side, no windows") {
+    val p116 = plan("q116_retrieval_eval")
+    assert(!p116.contains("Window") && !p116.contains("windowspecdefinition")
+      || p116.contains("partial_topkbyscore"),
+      "retrieval metrics must not add windows beyond the search's own rank")
+    val p120 = plan("q120_vocab_encode")
+    // buildVocab's id window runs over exactly k rows (TakeOrdered
+    // bounds it); the encode itself must aggregate with a partial stage
+    assert(p120.contains("TakeOrderedAndProject"),
+      "vocab must be the distributed top-k, not a full sort")
+    assert(p120.contains("ObjectHashAggregate") || p120.contains("partial"),
+      "per-doc reassembly must aggregate with a partial stage")
+  }
+
   test("q92: composite curation plans no cartesian and no corpus-wide window") {
     // stages 1-2 (dedup + scrub) are windowless aggregations; stage 3
     // contributes the one pid-partitioned running-sum window (see the
