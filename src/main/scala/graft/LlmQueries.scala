@@ -870,6 +870,23 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // STREAMING QUALITY MONITOR at the gate: the Gopher battery as a
+  // continuous-ingest dashboard — documents stream through a real
+  // file source and the per-language keep/drop tallies aggregate in
+  // Complete mode (stateless scoring + streaming agg; finite replay ⇒
+  // totals ≡ the batch run, which is the oracle).
+  def q121_stream_quality(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.runBatchOfStream(
+      s, s"$dir/documents.parquet", "q121_qmon", { df =>
+        import graft.llm.TextAnalysis._
+        val c = gopherCounts(col("text"))
+        df.select(col("lang"),
+            when(gopherKeep(c, minWords = 30, minStopwords = 1), 1)
+              .otherwise(0).as("k"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("k")).cast("long").as("n_keep"))
+      })
+
   // CORPUS → VOCAB-ID SEQUENCES at the gate
   // (LanguageModel.encodeWithVocab): every token maps through the
   // q75 vocabulary (k=20 so the fixture genuinely produces OOV hits),
@@ -1286,7 +1303,8 @@ object LlmQueries {
     "q117_curate_v3"    -> q117_curate_v3 _,
     "q118_token_blocks" -> q118_token_blocks _,
     "q119_epoch_shuffle" -> q119_epoch_shuffle _,
-    "q120_vocab_encode" -> q120_vocab_encode _
+    "q120_vocab_encode" -> q120_vocab_encode _,
+    "q121_stream_quality" -> q121_stream_quality _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2359,6 +2377,34 @@ object LlmQueries {
         |           ORDER BY (doc_id * 1103515245 + 12345) % 1000000007,
         |                    doc_id) AS rn
         |  FROM documents) WHERE rn <= 70""".stripMargin,
+    // the q111 keep rule aggregated per language — the streaming run
+    // replays to exactly this batch result
+    "q121_stream_quality" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '\S+')) AS w,
+        |    len(regexp_extract_all(text, '\S')) AS ch,
+        |    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS sym,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE len(regexp_extract_all(text, '\n')) + 1 END AS ln,
+        |    len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS bl,
+        |    len(regexp_extract_all(text, '(?m)\.\.\.$')) AS el,
+        |    len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS aw,
+        |    (CASE WHEN len(regexp_extract_all(text, '(?i)\bthe\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bbe\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bto\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bof\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\band\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bthat\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bhave\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bwith\b')) > 0 THEN 1 ELSE 0 END) AS st
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN w BETWEEN 30 AND 100000
+        |        AND ch >= 3*w AND ch <= 10*w
+        |        AND 1000*sym <= 100*w AND 1000*bl <= 900*ln AND 1000*el <= 300*ln
+        |        AND 1000*aw >= 800*w AND st >= 1
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |FROM c GROUP BY lang""".stripMargin,
     // q75's vocab fragment at k=20, positional token join, per-doc
     // string_agg in token order
     "q120_vocab_encode" ->
