@@ -870,6 +870,25 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // SQ8 INDEXED search at the gate (Similarity.buildSqIndex +
+  // sqTopKIndexed): the persisted-index path — stats row + codes table
+  // stored once, queries probe without a stats scan or corpus encode.
+  // Must be indistinguishable from the direct q110 path, so the oracle
+  // is IDENTICAL to q110's — the strongest indexed==direct statement
+  // the gate can make.
+  def q122_sq_indexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = new graft.io.ParquetTableStore(
+      s, java.nio.file.Files.createTempDirectory("q122idx").toString)
+    graft.llm.Similarity.buildSqIndex(store, "sq", emb, "vec_id", "embedding")
+    graft.llm.Similarity.sqTopKIndexed(store, "sq",
+        emb.where(col("vec_id") < 8), idCol = "vec_id",
+        vecCol = "embedding", k = 5)
+      .select(col("query_id"), col("cand_id"),
+        col("approx_dist").cast(out).cast("double").as("approx_dist"),
+        col("rnk"))
+  }
+
   // STREAMING QUALITY MONITOR at the gate: the Gopher battery as a
   // continuous-ingest dashboard — documents stream through a real
   // file source and the per-language keep/drop tallies aggregate in
@@ -1304,8 +1323,49 @@ object LlmQueries {
     "q118_token_blocks" -> q118_token_blocks _,
     "q119_epoch_shuffle" -> q119_epoch_shuffle _,
     "q120_vocab_encode" -> q120_vocab_encode _,
-    "q121_stream_quality" -> q121_stream_quality _
+    "q121_stream_quality" -> q121_stream_quality _,
+    "q122_sq_indexed"   -> q122_sq_indexed _
   )
+
+  private val Sq8OracleSql: String =
+    """WITH dims AS (
+      |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings),
+      |stats AS (
+      |  SELECT d, min(x) AS mn, max(x) - min(x) AS sp FROM dims GROUP BY d),
+      |codes AS (
+      |  SELECT vec_id AS cand_id, d,
+      |    CASE WHEN sp > 0
+      |         THEN CAST(least(greatest(floor(((x - mn) / sp) * 255.0), 0), 255) AS BIGINT)
+      |         ELSE 0 END AS c
+      |  FROM dims JOIN stats USING (d)),
+      |vhat AS (
+      |  SELECT cand_id, d, mn + (CAST(c AS DOUBLE) * sp) / 255.0 AS xh
+      |  FROM codes JOIN stats USING (d)),
+      |cn AS (
+      |  SELECT cand_id, CAST(sum(CAST(xh * xh AS DECIMAL(38,15))) AS DOUBLE) AS cnrm
+      |  FROM vhat GROUP BY cand_id),
+      |qn AS (
+      |  SELECT vec_id AS query_id,
+      |    CAST(list_sum(list_transform(embedding,
+      |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) AS qnrm
+      |  FROM embeddings WHERE vec_id < 8),
+      |dotp AS (
+      |  SELECT qd.vec_id AS query_id, v.cand_id,
+      |    CAST(sum(CAST(qd.x * v.xh AS DECIMAL(38,15))) AS DOUBLE) AS dot
+      |  FROM dims qd JOIN vhat v USING (d)
+      |  WHERE qd.vec_id < 8 AND v.cand_id <> qd.vec_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT query_id, cand_id, q.qnrm - 2*d.dot + c.cnrm AS approx_dist
+      |  FROM dotp d JOIN qn q USING (query_id) JOIN cn c USING (cand_id))
+      |SELECT query_id, cand_id,
+      |  CAST(CAST(approx_dist AS DECIMAL(38,6)) AS DOUBLE) AS approx_dist,
+      |  CAST(rnk AS INT) AS rnk
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY approx_dist ASC, cand_id ASC) AS rnk FROM pairs)
+      |WHERE rnk <= 5""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q20_dedup_exact" ->
@@ -2666,45 +2726,11 @@ object LlmQueries {
     // query vs dequantized candidates, the q86/q87 decimal sq-dist
     // recipe — every step a selection, exact integer, or chain of
     // correctly-rounded IEEE ops, so production and oracle agree
-    "q110_sq_topk" ->
-      """WITH dims AS (
-        |  SELECT vec_id, unnest(range(0, len(embedding))) AS d,
-        |         CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
-        |stats AS (
-        |  SELECT d, min(x) AS mn, max(x) - min(x) AS sp FROM dims GROUP BY d),
-        |codes AS (
-        |  SELECT vec_id AS cand_id, d,
-        |    CASE WHEN sp > 0
-        |         THEN CAST(least(greatest(floor(((x - mn) / sp) * 255.0), 0), 255) AS BIGINT)
-        |         ELSE 0 END AS c
-        |  FROM dims JOIN stats USING (d)),
-        |vhat AS (
-        |  SELECT cand_id, d, mn + (CAST(c AS DOUBLE) * sp) / 255.0 AS xh
-        |  FROM codes JOIN stats USING (d)),
-        |cn AS (
-        |  SELECT cand_id, CAST(sum(CAST(xh * xh AS DECIMAL(38,15))) AS DOUBLE) AS cnrm
-        |  FROM vhat GROUP BY cand_id),
-        |qn AS (
-        |  SELECT vec_id AS query_id,
-        |    CAST(list_sum(list_transform(embedding,
-        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) AS qnrm
-        |  FROM embeddings WHERE vec_id < 8),
-        |dotp AS (
-        |  SELECT qd.vec_id AS query_id, v.cand_id,
-        |    CAST(sum(CAST(qd.x * v.xh AS DECIMAL(38,15))) AS DOUBLE) AS dot
-        |  FROM dims qd JOIN vhat v USING (d)
-        |  WHERE qd.vec_id < 8 AND v.cand_id <> qd.vec_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT query_id, cand_id, q.qnrm - 2*d.dot + c.cnrm AS approx_dist
-        |  FROM dotp d JOIN qn q USING (query_id) JOIN cn c USING (cand_id))
-        |SELECT query_id, cand_id,
-        |  CAST(CAST(approx_dist AS DECIMAL(38,6)) AS DOUBLE) AS approx_dist,
-        |  CAST(rnk AS INT) AS rnk
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-        |        ORDER BY approx_dist ASC, cand_id ASC) AS rnk FROM pairs)
-        |WHERE rnk <= 5""".stripMargin,
+    "q110_sq_topk" -> Sq8OracleSql,
+    // the persisted-index path must be indistinguishable from direct
+    // SQ8: q122 runs the SAME oracle
+    "q122_sq_indexed" -> Sq8OracleSql,
+
     // novel = not in the even-seeded index, min id within the batch
     "q109_stream_dedup_ingest" ->
       """WITH all_docs AS (

@@ -700,6 +700,59 @@ object Similarity {
     topKPerQuery(scored, "approx_dist", k, ascending = true)
   }
 
+  /** Persist an SQ8 index: the per-dim stats row + the encoded codes
+    * table — repeated query batches skip the stats scan and the corpus
+    * encode entirely (the build-once/probe-many shape of the exact/
+    * fuzzy/decontam/IVF index family). Codes are 4× smaller than the
+    * float corpus; the stats model is 2·dim doubles. */
+  def buildSqIndex(store: graft.io.TableStore, prefix: String,
+                   corpus: DataFrame, idCol: String, vecCol: String): Unit = {
+    val stats = sqStats(corpus, vecCol)
+    store.overwrite(s"$prefix.stats", stats)
+    store.overwrite(s"$prefix.codes",
+      sqEncode(corpus, idCol, vecCol, stats))
+  }
+
+  /** Admit a batch into a persisted SQ8 index: encode against the
+    * FROZEN stored stats (admission must not move anyone's codes —
+    * out-of-range components clamp, exactly the [[sqEncode]] contract;
+    * re-build when drift accumulates) and append. Batch ids must be
+    * new. Checkpointed before the append (the updateExactIndex
+    * contract: the lineage reads store state). */
+  def updateSqIndex(store: graft.io.TableStore, prefix: String,
+                    batch: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val stats = store.read(s"$prefix.stats")
+    val coded0 = sqEncode(batch, idCol, vecCol, stats)
+    val coded =
+      if (batch.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        coded0.checkpoint()
+      else coded0.localCheckpoint()
+    store.append(s"$prefix.codes", coded)
+    coded
+  }
+
+  /** SQ8 ADC top-k against a persisted index ([[buildSqIndex]]): same
+    * search as [[sqTopK]], but candidates come from the stored codes —
+    * no stats scan, no corpus encode. Result ≡ the direct path on the
+    * same corpus (spec-pinned; the gate runs it against the q110
+    * oracle). */
+  def sqTopKIndexed(store: graft.io.TableStore, prefix: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val stats = store.read(s"$prefix.stats")
+    val cand = sqDecode(store.read(s"$prefix.codes"), stats)
+      .withColumn("cnrm", norm2Decimal(col("v")).cast("double"))
+    val q = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnrm", norm2Decimal(col("qv")).cast("double"))
+    val scored = cand.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        decimalSqDist(col("qnrm"), col("qv"), col("v"), col("cnrm"))
+          .as("approx_dist"))
+    topKPerQuery(scored, "approx_dist", k, ascending = true)
+  }
+
   /** Persist an IVF index: centroids + per-vector bucket assignments as
     * store tables, so repeated query batches skip KMeans training and
     * corpus assignment entirely — the "build once, probe many" shape of

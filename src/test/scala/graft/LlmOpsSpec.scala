@@ -693,6 +693,42 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fDec(0L).head == 1.5 && fDec(1L).head == 1.5)
   }
 
+  test("SQ8 index: indexed == direct; admission encodes against frozen stats") {
+    val rnd = new scala.util.Random(67)
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    val store = new graft.io.ParquetTableStore(spark, tmpDir("sq-idx"))
+    Similarity.buildSqIndex(store, "sq", df, "vec_id", "embedding")
+    def run(res: org.apache.spark.sql.DataFrame) = res
+      .select($"query_id", $"cand_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val direct = run(Similarity.sqTopK(queries, df, "vec_id", "embedding", 5))
+    val indexed = run(Similarity.sqTopKIndexed(store, "sq", queries,
+      "vec_id", "embedding", 5))
+    assert(indexed == direct, "the stored-codes path must be indistinguishable")
+    // admission: a clone of vec 0 lands at a new id and must surface as
+    // its nearest neighbor; out-of-range components clamp (frozen stats)
+    val clone = Seq((1000L, vecs(0)._2.map(x => x * 1.001f)),
+        (1001L, Array.fill(16)(99f)))                 // far outside range
+      .toDF("vec_id", "embedding")
+    val admitted = Similarity.updateSqIndex(store, "sq", clone,
+      "vec_id", "embedding")
+    assert(admitted.count() == 2)
+    val after = Similarity.sqTopKIndexed(store, "sq", queries,
+        "vec_id", "embedding", 5)
+      .select($"query_id", $"cand_id", $"rnk")
+      .as[(Long, Long, Int)].collect()
+    assert(after.exists(r => r._1 == 0L && r._2 == 1000L && r._3 == 1),
+      "the admitted near-clone must rank first for its source")
+    // frozen stats: the out-of-range vector's codes all clamp to 0/255
+    val codes = store.read("sq.codes").where($"cand_id" === 1001L)
+      .select($"codes").as[Seq[Int]].head()
+    assert(codes.forall(c => c == 0 || c == 255),
+      s"out-of-range components must clamp, got $codes")
+  }
+
   test("centroid assignment: planted clusters assign home; ties break to lowest id") {
     val rnd = new scala.util.Random(47)
     val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
