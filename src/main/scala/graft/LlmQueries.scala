@@ -870,6 +870,21 @@ object LlmQueries {
       orderKey = graft.ops.Sampling.lcgKeyRaw(col("doc_id")),
       groupCol = col("lang"), idCol = col("doc_id"), maxPerGroup = 70)
 
+  // ASYMMETRIC containment at the gate (Dedup.ngramContainmentPairs):
+  // every 5th doc's first 15 tokens re-enter as a sub-document
+  // (id + 10^6) — symmetric Jaccard scores them low (the union is the
+  // long doc) but containment flags all 100 against their sources.
+  // Cross-multiplied integer threshold, df-capped inverted index.
+  def q123_containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val subs = docs.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 15), " ").as("text"))
+    graft.llm.Dedup.ngramContainmentPairs(
+      docs.unionByName(subs), idCol = "doc_id", textCol = "text",
+      minContainPerMille = 800, ngram = 3, maxDf = 100)
+  }
+
   // SQ8 INDEXED search at the gate (Similarity.buildSqIndex +
   // sqTopKIndexed): the persisted-index path — stats row + codes table
   // stored once, queries probe without a stats scan or corpus encode.
@@ -1324,7 +1339,8 @@ object LlmQueries {
     "q119_epoch_shuffle" -> q119_epoch_shuffle _,
     "q120_vocab_encode" -> q120_vocab_encode _,
     "q121_stream_quality" -> q121_stream_quality _,
-    "q122_sq_indexed"   -> q122_sq_indexed _
+    "q122_sq_indexed"   -> q122_sq_indexed _,
+    "q123_containment"  -> q123_containment _
   )
 
   private val Sq8OracleSql: String =
@@ -2727,6 +2743,29 @@ object LlmQueries {
     // recipe — every step a selection, exact integer, or chain of
     // correctly-rounded IEEE ops, so production and oracle agree
     "q110_sq_topk" -> Sq8OracleSql,
+    // planted 15-token sub-docs; distinct 3-grams, df<=100 cap,
+    // ordered inverted-index join, 1000*shared >= 800*|A|
+    "q123_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |         array_to_string((string_split(text,' '))[1:15], ' ') AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM corpus),
+        |g0 AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |  FROM t WHERE len(toks) >= 3)),
+        |keep AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 100),
+        |g AS (SELECT doc_id, gram FROM g0 JOIN keep USING (gram)),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, p.n_shared, s.n_grams AS grams_a
+        |FROM p JOIN sizes s ON s.doc_id = p.doc_a
+        |WHERE 1000 * p.n_shared >= 800 * s.n_grams""".stripMargin,
     // the persisted-index path must be indistinguishable from direct
     // SQ8: q122 runs the SAME oracle
     "q122_sq_indexed" -> Sq8OracleSql,

@@ -353,6 +353,46 @@ object Dedup {
       graft.ops.Sampling.lcgKey(col("rep")), splits, outCol)
   }
 
+  /** ASYMMETRIC n-gram CONTAINMENT pairs: directional near-dup
+    * detection — `doc_a` is flagged when ≥ `minContainPerMille`‰ of
+    * its distinct n-grams also occur in `doc_b`. Catches what
+    * symmetric Jaccard structurally cannot: a short document quoted
+    * wholesale inside a long one has tiny Jaccard (the union is the
+    * long doc) but containment ≈ 1. The classic use is dropping
+    * sub-documents of retained pages (keep `doc_b`, drop `doc_a`).
+    *
+    * Threshold by cross-multiplication (1000·shared ≥ ‰·|A| — integer
+    * exact); both ordered directions emit when both clear the bar.
+    * Shape: the [[ngramJaccardPairs]] inverted-index join with the
+    * same `maxDf` stop-gram cap — never all-pairs. */
+  def ngramContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                            minContainPerMille: Int, ngram: Int = 2,
+                            maxDf: Int = Int.MaxValue): DataFrame = {
+    require(minContainPerMille >= 1 && minContainPerMille <= 1000,
+      s"minContainPerMille must be in [1, 1000], got $minContainPerMille")
+    val grams0 = docs.select(col(idCol).as("doc_id"),
+        explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
+      .distinct()
+    val grams =
+      if (maxDf == Int.MaxValue) grams0
+      else {
+        val df_ = grams0.groupBy("gram").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("gram")
+        grams0.join(df_, Seq("gram"))
+      }
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_grams", "grams_a"), "doc_a")
+      .filter(lit(1000L) * col("n_shared") >=
+        lit(minContainPerMille.toLong) * col("grams_a"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("grams_a"))
+  }
+
   /** SNAPSHOT DIFF between two corpus versions — the incremental-
     * pipeline primitive that turns "re-run everything" into "process
     * what moved": each doc id classifies as added / removed / changed /

@@ -333,6 +333,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert(local == dist)
   }
 
+  test("ngramContainmentPairs: directional, catches sub-documents Jaccard misses") {
+    val long = (1 to 50).map(i => s"w$i").mkString(" ")
+    val short = (10 to 19).map(i => s"w$i").mkString(" ")  // inside long
+    val other = (100 to 120).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, short), (3L, other))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        minContainPerMille = 900, ngram = 2)
+      .select($"doc_a", $"doc_b", $"n_shared", $"grams_a")
+      .as[(Long, Long, Long, Long)].collect()
+    // short (9 bigrams, all in long) flags against long — one direction only
+    assert(got.toSeq == Seq((2L, 1L, 9L, 9L)))
+    // symmetric Jaccard on the same pair is far below any near-dup bar
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        minJaccard = 0.0, ngram = 2)
+      .where($"doc_a" === 1L && $"doc_b" === 2L)
+      .select($"jaccard".cast("double")).as[Double].head()
+    assert(jac < 0.2, s"jaccard $jac should be low where containment is 1.0")
+    // the df cap silently drops ubiquitous grams from the index
+    val spam = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "a b d"), (4L, "a b e"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramContainmentPairs(spam, "doc_id", "text",
+      minContainPerMille = 500, ngram = 2, maxDf = 2)
+    assert(capped.count() == 0, "the hot gram must not drive pairs")
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged, null-safely") {
     val old = Seq(
       (1L, "same"), (2L, "gone"), (3L, "before"), (4L, null: String))
