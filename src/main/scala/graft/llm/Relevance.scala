@@ -451,6 +451,73 @@ object Relevance {
       Some(grams))
   }
 
+  /** Distributed TRAINING of the hashed logistic quality classifier —
+    * the learning side of [[hashedLinearScore]] (fastText/CCNet-style:
+    * hash tokens into `dim` buckets, learn one weight per bucket by
+    * logistic regression on labeled docs). Batch gradient descent,
+    * `iters` fixed full-corpus passes:
+    *
+    *   margin_i = Σ_j w_j·x_ij,  p_i = σ(margin_i),
+    *   grad_j   = Σ_i (p_i − y_i)·x_ij,   w_j ← w_j − lr·grad_j/n
+    *
+    * DETERMINISM: the two corpus-sized sums (margin per doc, gradient
+    * per bucket) accumulate as exact DECIMAL(38,15) of per-element
+    * double products — partition-order-proof, and reproducible by a
+    * driver-side reference loop bit for bit (spec-pinned, the MMR/BPE
+    * discipline; not oracle-gated — each iteration's weights feed the
+    * next pass, no single-statement SQL form). σ and the lr update run
+    * in IEEE doubles with one fixed expression order.
+    *
+    * Shape at 100 TB: the (doc, bucket, count) feature frame is built
+    * ONCE and persisted (released before returning); per iteration one
+    * map-only margin join (weights ride a dim-bounded literal array —
+    * `dim` ≤ 65536 validated) + two map-side-partial groupBys. The
+    * model is `dim` doubles on the driver — the centroid contract.
+    * Labels must be 0/1. Returns the learned weights. */
+  def trainHashedLogistic(docs: DataFrame, idCol: String, textCol: String,
+                          labelCol: String, dim: Int, iters: Int = 10,
+                          lr: Double = 0.5,
+                          hashFn: Column => Column = xxhash64(_))
+      : Array[Double] = {
+    require(dim >= 1 && dim <= 65536, s"dim must be in [1, 65536], got $dim")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d15 = "decimal(38,15)"
+    val feats = docs.select(col(idCol).as("doc_id"),
+        col(labelCol).cast("double").as("y"),
+        explode(TextShingles.words(col(textCol))).as("__w"))
+      .select(col("doc_id"), col("y"),
+        pmod(hashFn(col("__w")), lit(dim.toLong)).cast("int").as("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = feats.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val w = Array.fill(dim)(0.0)
+    try {
+      for (_ <- 1 to iters) {
+        val wCol = array(w.toSeq.map(lit): _*)
+        val margins = feats
+          .select(col("doc_id"), col("y"),
+            (element_at(wCol, col("bucket") + 1) * col("x"))
+              .cast(d15).as("__mx"))
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(col("__mx")).cast(d15).cast("double").as("m"))
+          // residual in one fixed expression order
+          .select(col("doc_id"),
+            (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("r"))
+        val grads = feats.join(margins, "doc_id")
+          .select(col("bucket"), (col("r") * col("x")).cast(d15).as("__g"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("__g")).cast(d15).cast("double").as("g"))
+          .collect()
+        grads.foreach { row =>
+          val j = row.getInt(0)
+          w(j) = w(j) - lr * (row.getDouble(1) / n)
+        }
+      }
+      w
+    } finally feats.unpersist(false)
+  }
+
   /** RETRIEVAL-EVAL metrics — the measurement harness over any ranked
     * search output (the four ANN routes, BM25, TF-IDF all emit the
     * (query_id, cand_id, rnk) shape this consumes): per query against a

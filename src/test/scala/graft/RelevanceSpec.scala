@@ -264,6 +264,64 @@ class RelevanceSpec extends SparkTestBase {
     assert(!plan.contains("Window"), "novelty must not use a window")
   }
 
+  test("trainHashedLogistic: bit-identical to the driver reference, separates classes") {
+    val docs = Seq(
+      (1L, "good great nice good", 1),
+      (2L, "great fine good", 1),
+      (3L, "bad awful bad", 0),
+      (4L, "awful terrible poor", 0),
+      (5L, "good nice fine great", 1),
+      (6L, "terrible poor bad awful", 0)
+    ).toDF("doc_id", "text", "label")
+    val dim = 16
+    val w = Relevance.trainHashedLogistic(docs, "doc_id", "text", "label",
+      dim, iters = 5, lr = 0.5)
+    // driver-side reference with the IDENTICAL decimal-sum semantics
+    // (per-product Double.toString → setScale(15, HALF_UP), exact adds)
+    // and the same bucket hash (pulled through the same Spark expr)
+    val bmap = docs
+      .select(explode(graft.llm.TextShingles.words($"text")).as("w"))
+      .distinct()
+      .select($"w", pmod(xxhash64($"w"), lit(dim.toLong)).cast("int").as("b"))
+      .as[(String, Int)].collect().toMap
+    def d15(v: Double) =
+      new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(15, java.math.RoundingMode.HALF_UP)
+    val feats = Seq(
+      (1L, "good great nice good", 1.0), (2L, "great fine good", 1.0),
+      (3L, "bad awful bad", 0.0), (4L, "awful terrible poor", 0.0),
+      (5L, "good nice fine great", 1.0), (6L, "terrible poor bad awful", 0.0))
+      .map { case (id, t, y) =>
+        (id, y, t.split(" ").groupBy(bmap).map { case (b, g) =>
+          b -> g.length.toDouble })
+      }
+    val ref = Array.fill(dim)(0.0)
+    for (_ <- 1 to 5) {
+      val grads = scala.collection.mutable.Map[Int, java.math.BigDecimal]()
+      feats.foreach { case (_, y, xs) =>
+        val m = xs.foldLeft(java.math.BigDecimal.ZERO.setScale(15)) {
+          case (acc, (b, x)) => acc.add(d15(ref(b) * x))
+        }.doubleValue
+        val r = 1.0 / (1.0 + math.exp(-m)) - y
+        xs.foreach { case (b, x) =>
+          grads(b) = grads.getOrElse(b,
+            java.math.BigDecimal.ZERO.setScale(15)).add(d15(r * x))
+        }
+      }
+      grads.foreach { case (b, g) =>
+        ref(b) = ref(b) - 0.5 * (g.doubleValue / feats.length)
+      }
+    }
+    assert(w.toSeq == ref.toSeq, "distributed training must match the reference exactly")
+    // the learned weights separate the planted classes
+    def score(t: String) = t.split(" ").map(tok => w(bmap(tok))).sum
+    assert(score("good great nice fine") > 0 && score("bad awful terrible poor") < 0)
+    // exact partition-independence (decimal sums are order-proof)
+    val w2 = Relevance.trainHashedLogistic(docs.repartition(7), "doc_id",
+      "text", "label", dim, iters = 5, lr = 0.5)
+    assert(w2.toSeq == w.toSeq)
+  }
+
   test("retrievalMetrics: exact counts, first-rank reciprocal, no-qrel queries") {
     // q1: rel = {10, 30}; hits at rnk 2 (10) and 4 (30). q2: rel = {50}
     // outside top-k. q3: no qrels at all.
