@@ -171,6 +171,42 @@ class ChunkPackSpec extends SparkTestBase {
       (1 to 10).map(i => s"t$i").mkString(" ") + " <eos>")
   }
 
+  test("property: tokenBlocks reconstructs the exact stream; spans tile every block") {
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 5) {
+      val blockSize = 1 + rnd.nextInt(9)
+      val docs = (1 to 2 + rnd.nextInt(30)).map { i =>
+        (i.toLong, (0 until 1 + rnd.nextInt(12))
+          .map(j => s"d${i}t$j").mkString(" "))
+      }
+      val blocks = Packing.tokenBlocks(docs.toDF("doc_id", "text"),
+          $"doc_id", "text", blockSize)
+        .select($"block_id", $"n_tokens", $"text", $"spans")
+        .as[(Long, Long, String, String)].collect().sortBy(_._1)
+      // 1. contiguous 0-based block ids
+      assert(blocks.map(_._1).toSeq == blocks.indices.map(_.toLong),
+        s"trial $trial: block ids not contiguous")
+      // 2. every block full except possibly the last
+      assert(blocks.init.forall(_._2 == blockSize), s"trial $trial: short mid-block")
+      // 3. reassembled stream == docs joined with <eos> in id order
+      val expect = docs.map(_._2 + " <eos>").mkString(" ")
+      assert(blocks.map(_._3).mkString(" ") == expect,
+        s"trial $trial: stream reconstruction failed")
+      // 4. spans tile each block exactly: start at 0, contiguous, sum = n
+      blocks.foreach { case (b, n, _, spans) =>
+        val parsed = spans.split(",").map { s =>
+          val Array(st, ln) = s.split(":"); (st.toInt, ln.toInt) }
+        assert(parsed.head._1 == 0, s"trial $trial block $b: first span not at 0")
+        parsed.sliding(2).foreach {
+          case Array((s1, l1), (s2, _)) =>
+            assert(s1 + l1 == s2, s"trial $trial block $b: span gap")
+          case _ => ()
+        }
+        assert(parsed.map(_._2).sum == n, s"trial $trial block $b: span sum != n")
+      }
+    }
+  }
+
   test("capPerGroupApprox includeNulls caps null-group rows as one sentinel group") {
     val df = spark.range(0, 6000).select(
       $"id".as("doc_id"),
