@@ -43,6 +43,35 @@ class LlmOpsSpec extends SparkTestBase {
       "index = 2 seed + 2 admitted contents")
   }
 
+  test("property: incremental dedup over random batch splits == global batch dedup") {
+    // the invariant continuous ingest lives on: slicing a corpus into
+    // ANY ordered batch sequence and probing/admitting each must keep
+    // exactly the global min-id survivor set
+    val rnd = new scala.util.Random(73)
+    for (trial <- 1 to 3) {
+      val contents = (1 to 8).map(c => s"content version number $c")
+      val corpus = (1L to 60L).map(i =>
+        (i, contents(rnd.nextInt(contents.length))))
+      val globalKeep = corpus.groupBy(_._2).map(_._2.minBy(_._1)._1).toSet
+      val store = new graft.io.ParquetTableStore(spark, tmpDir(s"pdx$trial"))
+      // random ordered batch split (ids ascend across batches so
+      // first-arrival == min-id)
+      val cuts = (1 to 3).map(_ => 1 + rnd.nextInt(59)).distinct.sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(60)).distinct.sorted
+        .sliding(2).map { case Seq(a, b) => corpus.slice(a, b) }.toSeq
+      Dedup.buildExactIndex(store, "px",
+        batches.head.toDF("doc_id", "text"), "doc_id", "text")
+      batches.tail.foreach { b =>
+        Dedup.updateExactIndex(store, "px", b.toDF("doc_id", "text"),
+          "doc_id", "text")
+      }
+      val kept = store.read("px.hashes").select("survivor_id")
+        .as[Long].collect().toSet
+      assert(kept == globalKeep,
+        s"trial $trial: incremental $kept != global $globalKeep")
+    }
+  }
+
   test("incremental fuzzy dedup: batches probe the persisted band index for NEAR-dups") {
     // corpus doc 1 is a 16-token run; the batch repeats it with ONE word
     // changed (high Jaccard — exact dedup would miss it)
