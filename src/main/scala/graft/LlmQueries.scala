@@ -885,6 +885,30 @@ object LlmQueries {
       minContainPerMille = 800, ngram = 3, maxDf = 100)
   }
 
+  // Tokenizer FERTILITY at the gate (LanguageModel.tokenizerFertility):
+  // per-language doc/word/subword/char totals + subwords-per-word — the
+  // mC4/XLM-R tokenizer-cost table. Map-only regexp counts (the q21/q29
+  // patterns), one tiny groupBy; the single rational divides once via
+  // the shared decimal(27,4)→(18,6) recipe.
+  def q124_fertility(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.tokenizerFertility(
+        t(s, dir, "documents"), textCol = "text", groupCols = Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_subwords"), col("n_chars"),
+        col("fertility").cast("double").as("fertility"))
+
+  // CORPUS n-gram DIVERSITY at the gate (TextAnalysis.ngramDiversity):
+  // per-language distinct-2 — bigram instances, distinct bigrams, and
+  // the type-token ratio. Grams md5Hash60-keyed before the shuffle
+  // (the q99 bridge; production xxhash64), ttr via the decimal recipe.
+  def q125_distinct_ngrams(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextAnalysis.ngramDiversity(
+        t(s, dir, "documents"), textCol = "text", n = 2,
+        groupCols = Seq("lang"),
+        hashFn = graft.llm.TextAnalysis.md5Hash60)
+      .select(col("lang"), col("n_grams"), col("n_distinct"),
+        col("ttr").cast("double").as("ttr"))
+
   // SQ8 INDEXED search at the gate (Similarity.buildSqIndex +
   // sqTopKIndexed): the persisted-index path — stats row + codes table
   // stored once, queries probe without a stats scan or corpus encode.
@@ -1340,7 +1364,9 @@ object LlmQueries {
     "q120_vocab_encode" -> q120_vocab_encode _,
     "q121_stream_quality" -> q121_stream_quality _,
     "q122_sq_indexed"   -> q122_sq_indexed _,
-    "q123_containment"  -> q123_containment _
+    "q123_containment"  -> q123_containment _,
+    "q124_fertility"    -> q124_fertility _,
+    "q125_distinct_ngrams" -> q125_distinct_ngrams _
   )
 
   private val Sq8OracleSql: String =
@@ -2766,6 +2792,35 @@ object LlmQueries {
         |SELECT p.doc_a, p.doc_b, p.n_shared, s.n_grams AS grams_a
         |FROM p JOIN sizes s ON s.doc_id = p.doc_a
         |WHERE 1000 * p.n_shared >= 800 * s.n_grams""".stripMargin,
+    // integer totals + one decimal-recipe division (subwords/words);
+    // regexp classes are the Java∩RE2 q21/q29 patterns
+    "q124_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '\S+')) AS w,
+        |    len(regexp_extract_all(text, '\p{L}{1,4}|\p{N}{1,3}|[^\s\p{L}\p{N}]')) AS s,
+        |    length(text) AS c
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(s) AS BIGINT) AS n_subwords, CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CASE WHEN sum(w) > 0 THEN
+        |    CAST(CAST(CAST(sum(s) AS DECIMAL(27,4)) / CAST(sum(w) AS DECIMAL(27,4))
+        |         AS DECIMAL(18,6)) AS DOUBLE) END AS fertility
+        |FROM d GROUP BY lang""".stripMargin,
+    // per-lang distinct-2: md5Hash60 gram keys (the q99 bridge), ttr
+    // via the decimal recipe
+    "q125_distinct_ngrams" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT lang,
+        |        (('0x' || substring(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT) AS gh
+        |      FROM (SELECT lang, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |            FROM t WHERE len(toks) >= 2)),
+        |pg AS (SELECT lang, gh, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  count(*) AS n_distinct,
+        |  CAST(CAST(CAST(count(*) AS DECIMAL(27,4)) / CAST(sum(cnt) AS DECIMAL(27,4))
+        |       AS DECIMAL(18,6)) AS DOUBLE) AS ttr
+        |FROM pg GROUP BY lang""".stripMargin,
     // the persisted-index path must be indistinguishable from direct
     // SQ8: q122 runs the SAME oracle
     "q122_sq_indexed" -> Sq8OracleSql,

@@ -228,6 +228,38 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("n_occurrences"))
   }
 
+  /** Tokenizer FERTILITY / compression stats per sub-corpus: document,
+    * word (whitespace), subword (BPE-ish pre-tokenizer regex) and
+    * character totals, plus `fertility` = subwords per word — the
+    * metric that says how expensive each language is to tokenize (a
+    * fertility creeping past ~2 flags a vocab that under-serves that
+    * language; mC4/XLM-R report exactly this table). No reference
+    * analog; gate query q124.
+    *
+    * Determinism: integer sums; the one rational (fertility) divides
+    * ONCE via the shared decimal(27,4)→(18,6) recipe (q98), null for a
+    * group with zero words. Surface the decimal as DOUBLE at the gate.
+    *
+    * Scale shape: map-only regexp counts inside the scan stage (never
+    * an exploded token stream — counting doesn't need the tokens), one
+    * map-side-partial groupBy over the |groups| domain. */
+  def tokenizerFertility(docs: DataFrame, textCol: String,
+                         groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val words = sum(col("__w")).cast("decimal(27,4)")
+    val subwords = sum(col("__s")).cast("decimal(27,4)")
+    docs
+      .select(g ++ Seq(
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__w"),
+        TextAnalysis.subwordCount(col(textCol)).cast("long").as("__s"),
+        length(col(textCol)).cast("long").as("__c")): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__s")).as("n_subwords"), sum(col("__c")).as("n_chars"),
+        when(sum(col("__w")) > 0,
+          (subwords / words).cast("decimal(18,6)")).as("fertility"))
+  }
+
   /** Per-document OUT-OF-VOCABULARY counts against a fixed vocabulary
     * — the tokenizer-coverage check run before committing a vocab (an
     * OOV rate that creeps up as a corpus drifts means the vocab needs

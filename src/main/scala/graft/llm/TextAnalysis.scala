@@ -296,6 +296,43 @@ object TextAnalysis {
         coalesce(max(when(isKind("b"), col("c"))), lit(0L)).as("top_bigram_cnt"))
   }
 
+  /** CORPUS-level n-gram diversity (distinct-n, Li et al. 2016) per
+    * sub-corpus: total n-gram instances, distinct n-grams, and the
+    * type-token ratio `ttr` = distinct/instances — the generation-
+    * diversity / template-saturation diagnostic at corpus granularity
+    * ([[repetitionSignals]] is the per-document sibling; this one says
+    * whether a whole slice is template spam). No reference analog; gate
+    * query q125.
+    *
+    * Determinism: grams hash to int64 BEFORE the shuffle (`hashFn` —
+    * xxhash64 production, [[md5Hash60]] at the gate); a collision
+    * conflates two grams corpus-wide (ttr undercounts) at 2^-64 per
+    * pair, the q99 trade. The one rational divides ONCE via the shared
+    * decimal(27,4)→(18,6) recipe.
+    *
+    * Scale shape: map-only shingle+hash inside the scan stage, one
+    * groupBy(group, gram-hash) — map-side partial, so a hot gram
+    * combines before the exchange and the shuffle moves (group, int64)
+    * pairs — then a tiny groupBy over the |groups| domain. Never a
+    * distinct over raw gram strings. */
+  def ngramDiversity(df: DataFrame, textCol: String, n: Int,
+                     groupCols: Seq[String],
+                     hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val g = groupCols.map(col)
+    val distinctC = count(lit(1)).cast("decimal(27,4)")
+    val totalC = sum(col("__cnt")).cast("decimal(27,4)")
+    df.select(g :+
+        explode(TextShingles.wordNgrams(col(textCol), n)).as("__g"): _*)
+      .select(g :+ hashFn(col("__g")).as("__gh"): _*)
+      .groupBy(g :+ col("__gh"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(g: _*)
+      .agg(sum(col("__cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        (distinctC / totalC).cast("decimal(18,6)").as("ttr"))
+  }
+
   /** Full document-profile pass over a corpus frame. */
   def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

@@ -191,6 +191,24 @@ class LanguageModelSpec extends SparkTestBase {
     assert(g == Set(("en", 1, 1L, 3L), ("fr", 0, 2L, 2L)))
   }
 
+  test("tokenizerFertility: exact totals, fertility = subwords/words, zero-word group null") {
+    // "hello world!" → 2 words, subwords: hell+o / worl+d / ! = 5
+    // "ab 12" → 2 words, 2 subwords; "" → 0 words (regexp_count('')=0)
+    val docs = Seq(
+      (1L, "hello world!", "en"),
+      (2L, "ab 12", "en"),
+      (3L, "", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val got = LanguageModel.tokenizerFertility(docs, "text", Seq("lang"))
+      .select($"lang", $"n_docs", $"n_words", $"n_subwords", $"n_chars",
+        $"fertility".cast("double"))
+      .as[(String, Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got("en") == ((2L, 4L, 7L, 17L, Some(1.75))))
+    // a group with zero words surfaces a NULL fertility, not a crash
+    assert(got("xx") == ((1L, 0L, 0L, 0L, None)))
+  }
+
   test("encodeWithVocab: in-order ids, OOV mapped, counts exact") {
     val corpus = Seq(
       (1L, "a b a c"),

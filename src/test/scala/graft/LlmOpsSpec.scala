@@ -16,6 +16,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == Set((1L, 3L), (3L, 1L)))
   }
 
+  test("ngramDiversity: exact instance/distinct counts, ttr, short docs drop, hash-agnostic") {
+    // en bigrams: "a b" ×3, "b a" ×1, "b c" ×1 → 5 instances, 3 distinct
+    // fr: single-word doc emits nothing → group absent entirely
+    val df = Seq(
+      (1L, "a b a b", "en"),   // (a,b) (b,a) (a,b)
+      (2L, "a b c", "en"),     // (a,b) (b,c)
+      (3L, "solo", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.ngramDiversity(df, "text", 2, Seq("lang"))
+      .select($"lang", $"n_grams", $"n_distinct", $"ttr".cast("double"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map("en" -> ((5L, 3L, 0.6))))
+    // gate hash (md5Hash60) counts identically to production xxhash64
+    val md5Got = TextAnalysis.ngramDiversity(df, "text", 2, Seq("lang"),
+        hashFn = TextAnalysis.md5Hash60)
+      .select($"lang", $"n_grams", $"n_distinct", $"ttr".cast("double"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(md5Got == got)
+    // ungrouped variant: one corpus-wide row (fr's zero grams included)
+    val all = TextAnalysis.ngramDiversity(df, "text", 2, Nil)
+      .select($"n_grams", $"n_distinct").as[(Long, Long)].collect()
+    assert(all.toSeq == Seq((5L, 3L)))
+  }
+
   test("incremental exact dedup: batches probe the persisted index, novel hashes accumulate") {
     val store = new graft.io.ParquetTableStore(spark, tmpDir("dedup-idx"))
     Dedup.buildExactIndex(store, "ix",
