@@ -909,6 +909,23 @@ object LlmQueries {
       .select(col("lang"), col("n_grams"), col("n_distinct"),
         col("ttr").cast("double").as("ttr"))
 
+  // Margin-based BITEXT MINING at the gate (Similarity.marginMining):
+  // forward top-4 pairs from the even-id sub-corpus (< 400) into the
+  // odd-id corpus, scored by the Artetxe-Schwenk margin — raw cosine
+  // over the mean of both endpoints' neighborhood cosines. Per-pair
+  // cosines round to decimal(18,6) before the neighborhood sums, one
+  // q22-recipe division, DOUBLE surface.
+  def q126_margin_mining(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    graft.llm.Similarity.marginMining(
+        emb.where(col("vec_id") % 2 === 0 && col("vec_id") < 400),
+        emb.where(col("vec_id") % 2 === 1),
+        idCol = "vec_id", vecCol = "embedding", k = 4)
+      .select(col("query_id"), col("cand_id"),
+        col("cosine").cast(out).cast("double").as("cosine"),
+        col("rnk"), col("margin").cast("double").as("margin"))
+  }
+
   // SQ8 INDEXED search at the gate (Similarity.buildSqIndex +
   // sqTopKIndexed): the persisted-index path — stats row + codes table
   // stored once, queries probe without a stats scan or corpus encode.
@@ -1366,7 +1383,8 @@ object LlmQueries {
     "q122_sq_indexed"   -> q122_sq_indexed _,
     "q123_containment"  -> q123_containment _,
     "q124_fertility"    -> q124_fertility _,
-    "q125_distinct_ngrams" -> q125_distinct_ngrams _
+    "q125_distinct_ngrams" -> q125_distinct_ngrams _,
+    "q126_margin_mining" -> q126_margin_mining _
   )
 
   private val Sq8OracleSql: String =
@@ -2821,6 +2839,42 @@ object LlmQueries {
         |  CAST(CAST(CAST(count(*) AS DECIMAL(27,4)) / CAST(sum(cnt) AS DECIMAL(27,4))
         |       AS DECIMAL(18,6)) AS DOUBLE) AS ttr
         |FROM pg GROUP BY lang""".stripMargin,
+    // forward/backward top-4 neighborhoods over the even<400 → odd
+    // split; margin = 2·kf·kb·cos6 / (sf·kb + sb·kf), the q22 division
+    "q126_margin_mining" ->
+      """WITH norm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM embeddings),
+        |cosf AS (
+        |  SELECT s.vec_id AS query_id, t.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(list_zip(s.embedding, t.embedding),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |      / sqrt(CAST(s.nrm AS DOUBLE) * CAST(t.nrm AS DOUBLE)) AS cosine
+        |  FROM norm s JOIN norm t
+        |    ON s.vec_id % 2 = 0 AND s.vec_id < 400 AND t.vec_id % 2 = 1),
+        |fwdk AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id ASC) AS rnk FROM cosf)
+        |  WHERE rnk <= 4),
+        |fstats AS (
+        |  SELECT query_id, CAST(sum(CAST(cosine AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sf,
+        |         count(*) AS kf
+        |  FROM fwdk GROUP BY 1),
+        |bstats AS (
+        |  SELECT cand_id, CAST(sum(CAST(cosine AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sb,
+        |         count(*) AS kb
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY cand_id
+        |          ORDER BY cosine DESC, query_id ASC) AS brnk FROM cosf)
+        |  WHERE brnk <= 4 GROUP BY 1)
+        |SELECT f.query_id, f.cand_id,
+        |  CAST(CAST(f.cosine AS DECIMAL(38,6)) AS DOUBLE) AS cosine,
+        |  CAST(f.rnk AS INT) AS rnk,
+        |  CASE WHEN (sf*kb + sb*kf) > 0 THEN
+        |    CAST(CAST(CAST(CAST(f.cosine AS DECIMAL(18,6)) * kf * kb * 2 AS DECIMAL(18,6))
+        |         / CAST(sf*kb + sb*kf AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) END AS margin
+        |FROM fwdk f JOIN fstats USING (query_id) JOIN bstats USING (cand_id)""".stripMargin,
     // the persisted-index path must be indistinguishable from direct
     // SQ8: q122 runs the SAME oracle
     "q122_sq_indexed" -> Sq8OracleSql,

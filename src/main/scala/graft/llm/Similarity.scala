@@ -135,6 +135,59 @@ object Similarity {
     topKPerQuery(pairs, "cosine", k, ascending = false)
   }
 
+  /** Margin-based BITEXT MINING (Artetxe & Schwenk 2019): score each
+    * forward nearest-neighbor pair (x ∈ src, y ∈ tgt) by its cosine
+    * RELATIVE to how promiscuous both endpoints are —
+    *   margin(x,y) = cos(x,y) / (avgNNk(x)/2 + avgNNk(y)/2)
+    * — which demotes "hub" vectors that are near everything (raw cosine
+    * ranks hubs first; margin > ~1.06 is the usual mining threshold).
+    * The parallel-corpus mining step of a multilingual pipeline; also
+    * the better duplicate-pair scorer when embedding norms are noisy.
+    * `src`/`tgt` id spaces must be disjoint (callers mine across
+    * corpora; a shared id would be dropped as a self-match).
+    *
+    * Returns the forward top-k pairs (query_id, cand_id, cosine, rnk —
+    * rnk by raw cosine) with `margin` attached. Thresholding happens
+    * downstream; with actual neighbor counts kf/kb (boundary queries
+    * may have < k neighbors) the exact form is
+    *   margin = 2·kf·kb·cos / (sumF·kb + sumB·kf),
+    * null when the denominator is ≤ 0 (all-negative neighborhoods
+    * assert nothing).
+    *
+    * Determinism: per-pair cosines round to decimal(18,6) BEFORE the
+    * neighborhood sums (a float sum is order-sensitive; the rounded
+    * decimal sum is exact), integer count multipliers, ONE division via
+    * the q22 (18,6)/(18,6)→(38,6) recipe, DOUBLE surface — gate q126.
+    *
+    * Scale shape: two [[bruteForceTopK]] passes (broadcast queries, k-
+    * bounded buffers, no windows) → |src|·k and |tgt|·k pair frames;
+    * neighborhood sums are map-side-partial groupBys over those, joined
+    * back on the pair endpoints — everything shuffles k-bounded rows,
+    * never the |src|×|tgt| cross product. */
+  def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
+                   vecCol: String, k: Int,
+                   deterministic: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val c6 = "decimal(18,6)"
+    val fwd = bruteForceTopK(src, tgt, idCol, vecCol, k, deterministic)
+    val bwd = bruteForceTopK(tgt, src, idCol, vecCol, k, deterministic)
+    def nnStats(tk: DataFrame, sumName: String, cntName: String) =
+      tk.groupBy(col("query_id"))
+        .agg(sum(col("cosine").cast(c6)).cast(c6).as(sumName),
+             count(lit(1)).as(cntName))
+    val fs = nnStats(fwd, "__sf", "__kf")
+    val bs = nnStats(bwd, "__sb", "__kb")
+      .withColumnRenamed("query_id", "cand_id")
+    val num = (col("__c6") * col("__kf") * col("__kb") * 2).cast(c6)
+    val den = (col("__sf") * col("__kb") + col("__sb") * col("__kf")).cast(c6)
+    fwd
+      .withColumn("__c6", col("cosine").cast(c6))
+      .join(fs, Seq("query_id"))
+      .join(bs, Seq("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rnk"),
+        when(den > 0, (num / den).cast("decimal(38,6)")).as("margin"))
+  }
+
   // -------------------------------------------------------------------
   // Sign-bit (binary) embedding sketches: 1 bit per dimension, packed
   // 32 dims per long word — a 32× memory cut over float32 that turns

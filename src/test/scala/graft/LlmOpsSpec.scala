@@ -536,6 +536,68 @@ class LlmOpsSpec extends SparkTestBase {
     assert(first == 2L)
   }
 
+  test("marginMining: hub vectors demote below mutual near-pairs, formula exact vs driver reference") {
+    // x0↔y0: an isolated mutual pair (moderate cosine, low neighborhoods
+    // → margin > 1). yHub sits near EVERY src vector, so its backward
+    // neighborhood sum is large → margin < the mutual pair's despite a
+    // comparable raw cosine.
+    val rnd = new scala.util.Random(41)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val e0 = unit(Array.tabulate(8)(i => if (i == 0) 1f else 0.05f * i))
+    val hubDir = unit(Array.fill(8)(1f))
+    // src: x0 ≈ e0 plus 5 vectors clustered around hubDir
+    val src = (0L, e0.map(x => (x + 0.02f))) +: (1L to 5L).map(i =>
+      (2 * i, unit(hubDir.map(x => x + rnd.nextGaussian().toFloat * 0.15f))))
+    // tgt: y0 ≈ e0, yHub = hubDir, plus noise
+    val tgt = Seq((1001L, e0), (1003L, hubDir)) ++ (2L to 5L).map(i =>
+      (1001L + 2 * i, unit(Array.fill(8)(rnd.nextGaussian().toFloat))))
+    val sdf = src.toDF("vec_id", "embedding")
+    val tdf = tgt.toDF("vec_id", "embedding")
+    val got = Similarity.marginMining(sdf, tdf, "vec_id", "embedding", k = 3)
+      .select($"query_id", $"cand_id", $"cosine",
+        $"margin".cast("double"), $"rnk")
+      .as[(Long, Long, Double, Double, Int)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r._4).toMap
+    assert(byPair((0L, 1001L)) > 1.0,
+      s"mutual isolated pair must clear margin 1, got ${byPair((0L, 1001L))}")
+    // every hub pairing scores a LOWER margin than the mutual pair
+    val hubMargins = got.filter(_._2 == 1003L).map(_._4)
+    assert(hubMargins.nonEmpty && hubMargins.forall(_ < byPair((0L, 1001L))),
+      s"hub margins $hubMargins must sit below ${byPair((0L, 1001L))}")
+    // exact-formula parity with a driver-side reference (cosines rounded
+    // to 6dp pre-sum, 2·kf·kb·cos / (sf·kb + sb·kf))
+    def cosRef(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => BigDecimal(x.toDouble * y.toDouble).setScale(15, BigDecimal.RoundingMode.HALF_UP) }.sum
+      val na = a.map(x => BigDecimal(x.toDouble * x.toDouble).setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum
+      val nb = b.map(x => BigDecimal(x.toDouble * x.toDouble).setScale(15, BigDecimal.RoundingMode.HALF_UP)).sum
+      dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    val tMap = tgt.toMap
+    def top3(cands: Seq[(Long, Double)]) =
+      cands.sortBy { case (id, c) => (-c, id) }.take(3)
+    val refMargins = for {
+      (qid, qv) <- src
+      fwd = top3(tgt.map { case (cid, cv) => cid -> cosRef(qv, cv) })
+      (cid, c) <- fwd
+    } yield {
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val sf = fwd.map(p => r6(p._2)).sum
+      val bwd = top3(src.map { case (sid, sv) => sid -> cosRef(tMap(cid), sv) })
+      val sb = bwd.map(p => r6(p._2)).sum
+      val kf = fwd.size; val kb = bwd.size
+      val num = r6(c) * 2 * kf * kb
+      val den = sf * kb + sb * kf
+      (qid, cid) -> (num / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    refMargins.foreach { case (pair, m) =>
+      assert(math.abs(byPair(pair) - m) < 1e-9,
+        s"pair $pair: engine ${byPair(pair)} != reference $m")
+    }
+  }
+
   test("hardNegatives: only cross-label candidates, = brute force on the filtered corpus") {
     val rnd = new scala.util.Random(13)
     val df = (0L until 60L).map { i =>

@@ -438,4 +438,28 @@ class PlanAuditSpec extends SparkTestBase {
       s"quota buffers must combine map-side:\n${p.take(800)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("q124/q125: corpus-stat gates aggregate map-side, no windows") {
+    for (q <- Seq("q124_fertility", "q125_distinct_ngrams")) {
+      val p = plan(q)
+      assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
+        s"$q must stay windowless")
+      assert(p.contains("partial_"),
+        s"$q must combine map-side before the shuffle:\n${p.take(600)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    }
+  }
+
+  test("q126: margin mining runs kernel dots, aggregated top-k, no windows") {
+    val p = plan("q126_margin_mining")
+    assert(p.contains("vec_dot_decimal"),
+      "cosines must run the native decimal kernel")
+    assert(p.contains("partial_topkbyscore"),
+      s"both directions' top-k must combine map-side:\n${p.take(600)}")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"),
+      "neighborhood stats must aggregate, never window")
+    // the only nested-loop is the q26-shape broadcast of the QUERY side
+    // (non-equi self-exclusion); a plain cartesian would be a regression
+    assert(!p.contains("CartesianProduct"))
+  }
 }
