@@ -926,6 +926,25 @@ object LlmQueries {
         col("rnk"), col("margin").cast("double").as("margin"))
   }
 
+  // PQ INDEXED search at the gate (Similarity.buildPqIndex +
+  // pqTopKIndexed): the persisted-index path — codebooks + codes +
+  // meta stored once, queries probe without codebook derivation or a
+  // corpus encode. Must be indistinguishable from the direct q87 path,
+  // so the oracle is IDENTICAL to q87's (the q122 precedent).
+  def q127_pq_indexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = new graft.io.ParquetTableStore(
+      s, java.nio.file.Files.createTempDirectory("q127idx").toString)
+    graft.llm.Similarity.buildPqIndex(store, "pq", emb, "vec_id",
+      "embedding", m = 4, dims = 64, nlist = 16)
+    graft.llm.Similarity.pqTopKIndexed(store, "pq",
+        emb.where(col("vec_id") < 8), idCol = "vec_id",
+        vecCol = "embedding", k = 5)
+      .select(col("query_id"), col("cand_id"),
+        col("approx_dist").cast(out).cast("double").as("approx_dist"),
+        col("rnk"))
+  }
+
   // SQ8 INDEXED search at the gate (Similarity.buildSqIndex +
   // sqTopKIndexed): the persisted-index path — stats row + codes table
   // stored once, queries probe without a stats scan or corpus encode.
@@ -1384,8 +1403,39 @@ object LlmQueries {
     "q123_containment"  -> q123_containment _,
     "q124_fertility"    -> q124_fertility _,
     "q125_distinct_ngrams" -> q125_distinct_ngrams _,
-    "q126_margin_mining" -> q126_margin_mining _
+    "q126_margin_mining" -> q126_margin_mining _,
+    "q127_pq_indexed"   -> q127_pq_indexed _
   )
+
+  private val PqOracleSql: String =
+    """WITH sv AS (
+        |  SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS s
+        |  FROM (SELECT vec_id, embedding, unnest(range(0,4)) AS j FROM embeddings)),
+        |svn AS (SELECT vec_id, j, s,
+        |  CAST(list_sum(list_transform(s,
+        |    x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) AS nrm
+        |  FROM sv),
+        |books AS (SELECT j, vec_id AS cid, s AS cv, nrm AS cnrm FROM svn
+        |          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |ad AS (SELECT v.vec_id AS cand_id, v.j, b.cid,
+        |  v.nrm - 2*CAST(list_sum(list_transform(list_zip(v.s, b.cv),
+        |      z -> CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) + b.cnrm AS dist
+        |  FROM svn v JOIN books b ON b.j = v.j),
+        |codes AS (SELECT cand_id, j, cid AS code FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY cand_id, j ORDER BY dist ASC, cid ASC) AS rn FROM ad)
+        |  WHERE rn = 1),
+        |lut AS (SELECT cand_id AS query_id, j, cid AS code, dist AS d FROM ad WHERE cand_id < 8),
+        |per AS (SELECT l.query_id, c.cand_id, c.j, l.d
+        |        FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
+        |        WHERE c.cand_id <> l.query_id),
+        |piv AS (SELECT query_id, cand_id,
+        |          max(CASE WHEN j=0 THEN d END) + max(CASE WHEN j=1 THEN d END) +
+        |          max(CASE WHEN j=2 THEN d END) + max(CASE WHEN j=3 THEN d END) AS approx_dist
+        |        FROM per GROUP BY 1, 2)
+        |SELECT query_id, cand_id,
+        |  CAST(CAST(approx_dist AS DECIMAL(38,6)) AS DOUBLE) AS approx_dist, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, cand_id ASC) AS rnk
+        |      FROM piv) WHERE rnk <= 5""".stripMargin
 
   private val Sq8OracleSql: String =
     """WITH dims AS (
@@ -1972,35 +2022,11 @@ object LlmQueries {
     // Spark's min(struct)), per-query LUT join on (j, code),
     // fixed-order pivot recombine — sum() over doubles would be
     // order-nondeterministic
-    "q87_pq_topk" ->
-      """WITH sv AS (
-        |  SELECT vec_id, j, embedding[j*16+1 : j*16+16] AS s
-        |  FROM (SELECT vec_id, embedding, unnest(range(0,4)) AS j FROM embeddings)),
-        |svn AS (SELECT vec_id, j, s,
-        |  CAST(list_sum(list_transform(s,
-        |    x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) AS nrm
-        |  FROM sv),
-        |books AS (SELECT j, vec_id AS cid, s AS cv, nrm AS cnrm FROM svn
-        |          WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
-        |ad AS (SELECT v.vec_id AS cand_id, v.j, b.cid,
-        |  v.nrm - 2*CAST(list_sum(list_transform(list_zip(v.s, b.cv),
-        |      z -> CAST(CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE) + b.cnrm AS dist
-        |  FROM svn v JOIN books b ON b.j = v.j),
-        |codes AS (SELECT cand_id, j, cid AS code FROM
-        |  (SELECT *, row_number() OVER (PARTITION BY cand_id, j ORDER BY dist ASC, cid ASC) AS rn FROM ad)
-        |  WHERE rn = 1),
-        |lut AS (SELECT cand_id AS query_id, j, cid AS code, dist AS d FROM ad WHERE cand_id < 8),
-        |per AS (SELECT l.query_id, c.cand_id, c.j, l.d
-        |        FROM codes c JOIN lut l ON l.j = c.j AND l.code = c.code
-        |        WHERE c.cand_id <> l.query_id),
-        |piv AS (SELECT query_id, cand_id,
-        |          max(CASE WHEN j=0 THEN d END) + max(CASE WHEN j=1 THEN d END) +
-        |          max(CASE WHEN j=2 THEN d END) + max(CASE WHEN j=3 THEN d END) AS approx_dist
-        |        FROM per GROUP BY 1, 2)
-        |SELECT query_id, cand_id,
-        |  CAST(CAST(approx_dist AS DECIMAL(38,6)) AS DOUBLE) AS approx_dist, CAST(rnk AS INT) AS rnk
-        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_dist ASC, cand_id ASC) AS rnk
-        |      FROM piv) WHERE rnk <= 5""".stripMargin,
+    "q87_pq_topk" -> PqOracleSql,
+    // the persisted-index path must be indistinguishable from direct
+    // PQ: q127 runs the SAME oracle
+    "q127_pq_indexed" -> PqOracleSql,
+
     // md5-parity hyperplanes (±1 by md5Hash60('lsh:p:d') % 2), plane
     // dots as exact DECIMAL(38,15) (float32 converts exactly → every
     // signature bit deterministic), 16-bit signature / 4 bands, shared

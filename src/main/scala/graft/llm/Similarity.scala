@@ -612,8 +612,16 @@ object Similarity {
     * centroid id. The output is the compressed corpus: m · log2(nlist)
     * bits per vector. One corpus scan (subspaces explode inside it). */
   def pqEncode(candidates: DataFrame, idCol: String, vecCol: String,
-               m: Int, sub: Int, nlist: Int): DataFrame = {
-    val books = pqCodebooks(candidates, idCol, vecCol, m, sub, nlist)
+               m: Int, sub: Int, nlist: Int): DataFrame =
+    pqEncodeWith(candidates, idCol, vecCol,
+      pqCodebooks(candidates, idCol, vecCol, m, sub, nlist), m, sub)
+
+  /** [[pqEncode]] against GIVEN codebooks — the admission path of the
+    * persisted index ([[updatePqIndex]]): codes must come from the
+    * frozen stored books, never from re-derived ones. */
+  private def pqEncodeWith(candidates: DataFrame, idCol: String,
+                           vecCol: String, books: DataFrame,
+                           m: Int, sub: Int): DataFrame = {
     val subs = subspaceRows(candidates, idCol, vecCol, "cand_id", m, sub)
       .withColumn("vnrm", norm2Decimal(col("sv")).cast("double"))
     subs.join(broadcast(books), Seq("j"))
@@ -641,8 +649,17 @@ object Similarity {
       s"dims=$dims must split into m=$m equal subspaces")
     require(m <= 16, s"the fixed-order pivot recombine supports m <= 16, got $m")
     val sub = dims / m
-    val codes = pqEncode(candidates, idCol, vecCol, m, sub, nlist)
     val books = pqCodebooks(candidates, idCol, vecCol, m, sub, nlist)
+    pqSearch(pqEncodeWith(candidates, idCol, vecCol, books, m, sub),
+      books, queries, idCol, vecCol, k, m, sub)
+  }
+
+  /** The PQ ADC search stage shared by the direct and indexed paths:
+    * per-query LUT of exact subspace distances, (j, code) join against
+    * the codes, fixed-order pivot recombine, k-bounded rank. */
+  private def pqSearch(codes: DataFrame, books: DataFrame,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int, m: Int, sub: Int): DataFrame = {
     val qsubs = subspaceRows(queries, idCol, vecCol, "query_id", m, sub)
       .withColumn("qnrm", norm2Decimal(col("sv")).cast("double"))
     val lut = qsubs.join(broadcast(books), Seq("j"))
@@ -660,6 +677,62 @@ object Similarity {
     val scored = pivoted.select(col("query_id"), col("cand_id"),
       approx.as("approx_dist"))
     topKPerQuery(scored, "approx_dist", k, ascending = true)
+  }
+
+  /** Persist a PQ index: codebooks + encoded codes + a meta row
+    * (m, sub, nlist) — query batches skip codebook derivation and the
+    * corpus encode (the build-once/probe-many shape of the exact/fuzzy/
+    * decontam/IVF/SQ8 index family). The codes table is the compressed
+    * corpus — m · log2(nlist) bits per vector. */
+  def buildPqIndex(store: graft.io.TableStore, prefix: String,
+                   corpus: DataFrame, idCol: String, vecCol: String,
+                   m: Int = 4, dims: Int = 64, nlist: Int = 16): Unit = {
+    require(m >= 1 && dims % m == 0,
+      s"dims=$dims must split into m=$m equal subspaces")
+    require(m <= 16, s"the fixed-order pivot recombine supports m <= 16, got $m")
+    val sub = dims / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = pqCodebooks(corpus, idCol, vecCol, m, sub, nlist)
+    store.overwrite(s"$prefix.books", books)
+    store.overwrite(s"$prefix.codes",
+      pqEncodeWith(corpus, idCol, vecCol, books, m, sub))
+    store.overwrite(s"$prefix.meta",
+      Seq((m, sub, nlist)).toDF("m", "sub", "nlist"))
+  }
+
+  /** Admit a batch into a persisted PQ index: encode against the FROZEN
+    * stored codebooks (admission must not move codes queries already
+    * rank against; re-build when drift accumulates) and append. Batch
+    * ids must be new. Checkpointed before the append (the
+    * updateExactIndex contract: the lineage reads store state). */
+  def updatePqIndex(store: graft.io.TableStore, prefix: String,
+                    batch: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val meta = store.read(s"$prefix.meta").head()
+    val (m, sub) = (meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
+    val books = store.read(s"$prefix.books")
+    val coded0 = pqEncodeWith(batch, idCol, vecCol, books, m, sub)
+    val coded =
+      if (batch.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        coded0.checkpoint()
+      else coded0.localCheckpoint()
+    store.append(s"$prefix.codes", coded)
+    coded
+  }
+
+  /** PQ ADC top-k against a persisted index ([[buildPqIndex]]): same
+    * search as [[pqTopKDeterministic]], but codebooks and codes come
+    * from the store — no codebook derivation, no corpus encode. Result
+    * ≡ the direct path on the same corpus (the gate runs it against the
+    * q87 oracle). */
+  def pqTopKIndexed(store: graft.io.TableStore, prefix: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val meta = store.read(s"$prefix.meta").head()
+    pqSearch(store.read(s"$prefix.codes"), store.read(s"$prefix.books"),
+      queries, idCol, vecCol, k,
+      meta.getAs[Int]("m"), meta.getAs[Int]("sub"))
   }
 
   // -------------------------------------------------------------------

@@ -872,6 +872,43 @@ class LlmOpsSpec extends SparkTestBase {
       s"out-of-range components must clamp, got $codes")
   }
 
+  test("PQ index: indexed == direct; admission encodes against frozen codebooks") {
+    val rnd = new scala.util.Random(71)
+    val vecs = (0 until 80).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    val store = new graft.io.ParquetTableStore(spark, tmpDir("pq-idx"))
+    Similarity.buildPqIndex(store, "pq", df, "vec_id", "embedding",
+      m = 4, dims = 16, nlist = 8)
+    def run(res: org.apache.spark.sql.DataFrame) = res
+      .select($"query_id", $"cand_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val direct = run(Similarity.pqTopKDeterministic(queries, df,
+      "vec_id", "embedding", k = 5, m = 4, dims = 16, nlist = 8))
+    val indexed = run(Similarity.pqTopKIndexed(store, "pq", queries,
+      "vec_id", "embedding", 5))
+    assert(indexed == direct, "the stored-codes path must be indistinguishable")
+    // admission: an exact clone of vec 0 gets vec 0's CODES (frozen
+    // books ⇒ identical subspace argmins) and must tie it per subspace
+    val clone = Seq((1000L, vecs(0)._2)).toDF("vec_id", "embedding")
+    val admitted = Similarity.updatePqIndex(store, "pq", clone,
+      "vec_id", "embedding")
+    assert(admitted.count() == 4, "one code row per subspace")
+    val c0 = store.read("pq.codes").where($"cand_id" === 0L)
+      .select($"j", $"code").as[(Int, Long)].collect().toMap
+    val cClone = store.read("pq.codes").where($"cand_id" === 1000L)
+      .select($"j", $"code").as[(Int, Long)].collect().toMap
+    assert(cClone == c0, "identical vector through frozen books must reuse codes")
+    // the admitted clone surfaces for query 0 at the same approx
+    // distance as any candidate sharing all four codes
+    val after = Similarity.pqTopKIndexed(store, "pq", queries,
+        "vec_id", "embedding", 5)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect()
+    assert(after.exists(r => r._1 == 0L && r._2 == 1000L),
+      "the admitted clone must reach query 0's top-5")
+  }
+
   test("centroid assignment: planted clusters assign home; ties break to lowest id") {
     val rnd = new scala.util.Random(47)
     val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
