@@ -926,6 +926,32 @@ object LlmQueries {
         col("rnk"), col("margin").cast("double").as("margin"))
   }
 
+  // STREAMING ANN probe at the gate (EventStream.runStreamForeachBatch
+  // + Similarity.sqTopKIndexed): the online-serving shape — the SQ8
+  // index is built once batch-side, then query vectors ARRIVE AS A
+  // STREAM and each micro-batch probes the stored codes and appends its
+  // top-k to a results table. Finite replay ⇒ the union of per-batch
+  // results ≡ the batch run, so the oracle is q110's — streamed ≡
+  // indexed ≡ direct, the whole SQ8 family pinned to one SQL form.
+  def q128_stream_ann(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val store = new graft.io.ParquetTableStore(
+      s, java.nio.file.Files.createTempDirectory("q128idx").toString)
+    graft.llm.Similarity.buildSqIndex(store, "sq", emb, "vec_id", "embedding")
+    graft.streaming.EventStream.runStreamForeachBatch(
+      s, s"$dir/embeddings.parquet", { (batch, _) =>
+        val res = graft.llm.Similarity.sqTopKIndexed(store, "sq",
+          batch.where(col("vec_id") < 8), idCol = "vec_id",
+          vecCol = "embedding", k = 5)
+        if (store.exists("sq.results")) store.append("sq.results", res)
+        else store.overwrite("sq.results", res)
+      })
+    store.read("sq.results")
+      .select(col("query_id"), col("cand_id"),
+        col("approx_dist").cast(out).cast("double").as("approx_dist"),
+        col("rnk"))
+  }
+
   // PQ INDEXED search at the gate (Similarity.buildPqIndex +
   // pqTopKIndexed): the persisted-index path — codebooks + codes +
   // meta stored once, queries probe without codebook derivation or a
@@ -1404,7 +1430,8 @@ object LlmQueries {
     "q124_fertility"    -> q124_fertility _,
     "q125_distinct_ngrams" -> q125_distinct_ngrams _,
     "q126_margin_mining" -> q126_margin_mining _,
-    "q127_pq_indexed"   -> q127_pq_indexed _
+    "q127_pq_indexed"   -> q127_pq_indexed _,
+    "q128_stream_ann"   -> q128_stream_ann _
   )
 
   private val PqOracleSql: String =
@@ -2904,6 +2931,9 @@ object LlmQueries {
     // the persisted-index path must be indistinguishable from direct
     // SQ8: q122 runs the SAME oracle
     "q122_sq_indexed" -> Sq8OracleSql,
+    // streamed probe of the stored SQ8 codes: finite replay ==> union
+    // of micro-batch results == the batch run == q110's oracle
+    "q128_stream_ann" -> Sq8OracleSql,
 
     // novel = not in the even-seeded index, min id within the batch
     "q109_stream_dedup_ingest" ->

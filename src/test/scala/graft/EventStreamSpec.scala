@@ -157,4 +157,38 @@ class EventStreamSpec extends SparkTestBase {
     // index grew to exactly the distinct texts
     assert(store.read("dd.hashes").count() == 4)
   }
+
+  test("streaming ANN probe: per-micro-batch results union to the batch run") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(83)
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val store = new graft.io.ParquetTableStore(spark, tmpDir("annidx"))
+    graft.llm.Similarity.buildSqIndex(store, "sq",
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    // queries arrive over TWO micro-batches (one file each)
+    val qdir = tmpDir("stream") + "/annq"
+    corpus.filter(_._1 < 2).toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(qdir)
+    corpus.filter(v => v._1 >= 2 && v._1 < 4).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(qdir)
+    EventStream.runStreamForeachBatch(spark, qdir, { (batch, _) =>
+      val res = graft.llm.Similarity.sqTopKIndexed(store, "sq",
+        batch, "vec_id", "embedding", k = 5)
+      if (store.exists("sq.results")) store.append("sq.results", res)
+      else store.overwrite("sq.results", res)
+    }, options = Map("maxFilesPerTrigger" -> "1"))
+    val streamed = store.read("sq.results")
+      .select($"query_id", $"cand_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val batchRun = graft.llm.Similarity.sqTopKIndexed(store, "sq",
+        corpus.filter(_._1 < 4).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 5)
+      .select($"query_id", $"cand_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batchRun,
+      "union of micro-batch probes must equal the one-shot batch probe")
+    assert(streamed.map(_._1) == Set(0L, 1L, 2L, 3L),
+      "every streamed query must surface results")
+  }
 }
