@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import graft.compat.ChFunctions._
 
 /** Core relational operator coverage (SURVEY.md §2) as driver-checkable
@@ -18,13 +19,46 @@ import graft.compat.ChFunctions._
 object CoreQueries {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as long (ns since epoch) — orderings and
-    // comparisons on it are then exact, and no query surfaces raw ts.
+    // events.ts has shipped under MORE THAN ONE physical encoding across
+    // fixture generations (INT64 epoch-nanos through round 5; TIMESTAMP(µs)
+    // NTZ from round 6) — so, like the reference's type mapping which keys
+    // on the LOGICAL column type from JDBC metadata rather than a fixed
+    // physical layout (column/OraChColumn.scala:47-58), ingestion dispatches
+    // on the read schema and surfaces ONE contract: after t(), events.ts is
+    // ALWAYS epoch-MICROSECONDS as LongType. µs (not ns) because DuckDB
+    // timestamps are µs-precision, so every oracle comparison is exact.
+    // nanosAsLong stays on so a nanos-encoded fixture still reads (as long).
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema.fieldNames.contains("ts"))
+      df.withColumn("ts", tsToMicros(df)) else df
   }
+
+  /** The normalized table reader, exposed for the schema-contract spec. */
+  private[graft] def tRead(spark: SparkSession, dir: String,
+                           name: String): DataFrame = t(spark, dir, name)
+
+  /** `ts` as epoch-microseconds LongType regardless of the fixture's
+    * physical encoding. NTZ→epoch is deterministic (naive-as-UTC, matching
+    * DuckDB's `epoch_ns(ts)`) because every graft session pins
+    * `spark.sql.session.timeZone=UTC` (GraftSession.scala:17). */
+  private[graft] def tsToMicros(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case LongType => expr(s"$c div 1000")              // epoch-ns fixture
+      case TimestampNTZType | TimestampType =>
+        unix_micros(col(c).cast(TimestampType))          // µs fixture
+      case other => sys.error(s"events.$c: unsupported physical type $other")
+    }
+
+  /** `ts` as a TimestampType column (µs precision) — the shape streaming
+    * watermarks/windows need; same schema dispatch as [[tsToMicros]]. */
+  private[graft] def tsAsTimestamp(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case LongType => timestamp_micros(expr(s"$c div 1000"))
+      case TimestampNTZType | TimestampType => col(c).cast(TimestampType)
+      case other => sys.error(s"events.$c: unsupported physical type $other")
+    }
 
   private val dec = "decimal(18,4)"
   private val out = "decimal(38,6)"
@@ -135,8 +169,8 @@ object CoreQueries {
   // v_cache...txt:145). Deterministic: the order key (ts, event_id) is
   // unique per user.
   def q9_rownum_dedup(s: SparkSession, dir: String): DataFrame = {
-    // ts is read as epoch-nanos long (see t()) — ordering matches the
-    // oracle's nanosecond timestamp ordering exactly.
+    // ts is epoch-micros long (see t()) — ordering matches the oracle's
+    // µs timestamp ordering exactly.
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
     t(s, dir, "events")
@@ -276,12 +310,12 @@ object CoreQueries {
         count(when(col("l_tax") > 0.04, lit(1))).as("high_tax_lines"))
 
   // Tumbling 1-hour event windows (the batch shape of
-  // streaming/EventStream.windowedTypeCounts). ts is epoch-nanos long
+  // streaming/EventStream.windowedTypeCounts). ts is epoch-micros long
   // (see t()); the bucket arithmetic stays in integers so the oracle
   // matches exactly.
   def q19_windowed_events(s: SparkSession, dir: String): DataFrame = {
     // integer floor-div chain (Spark `div` = long division) — no doubles
-    val winUs = expr("(ts div 1000) div 3600000000 * 3600000000")
+    val winUs = expr("ts div 3600000000 * 3600000000")
     t(s, dir, "events")
       .groupBy(date_format(timestamp_micros(winUs), "yyyy-MM-dd HH:mm:ss").as("win_start"),
                col("event_type"))
@@ -298,7 +332,7 @@ object CoreQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.streaming.EventStream.runBatchOfStream(
       s, s"$dir/events.parquet", "q40_stream_mem", df =>
-        df.withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+        df.withColumn("ts_us", tsAsTimestamp(df))
           .withWatermark("ts_us", "10 minutes")
           .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -313,11 +347,11 @@ object CoreQueries {
   // cumulative sum over windows (WF coverage beyond rank/ntile).
   def q31_sessionize(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    val gapNs = 30L * 60L * 1000000000L
+    val gapUs = 30L * 60L * 1000000L
     t(s, dir, "events")
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapUs, 1L).otherwise(0L))
       .withColumn("sess_id", sum(col("new_sess")).over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("sess_id"))
@@ -336,7 +370,7 @@ object CoreQueries {
   // one user's events must fit an executor (the mapGroups contract).
   def q42_typed_sessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val gapNs = 30L * 60L * 1000000000L
+    val gapUs = 30L * 60L * 1000000L
     val ev = t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
               col("value").cast(dec).as("vdec"))
@@ -348,7 +382,7 @@ object CoreQueries {
       var total = java.math.BigDecimal.ZERO
       var first = true
       rows.foreach { r =>
-        if (!first && r._2 - prevTs > gapNs) sessions += 1
+        if (!first && r._2 - prevTs > gapUs) sessions += 1
         prevTs = r._2; first = false
         // value is nullable in the schema: SQL sum() skips NULLs, so
         // the typed path must too (add(null) would NPE)
@@ -383,7 +417,7 @@ object CoreQueries {
     val tmp = fixtureDir("q44_events")
     val ev = t(s, dir, "events").select(
       col("event_id"),
-      timestamp_micros(expr("ts div 1000")).as("ts"),
+      timestamp_micros(col("ts")).as("ts"),
       col("user_id"), col("event_type"),
       floor(coalesce(col("value"), lit(0.0)) * 10000).cast("double").as("value"))
     rewritePartFiles(tmp, Seq(
@@ -450,15 +484,13 @@ object CoreQueries {
   // no-match probes surface -1 (both engines) so every column stays a
   // non-null BIGINT.
   def q46_asof_join(s: SparkSession, dir: String): DataFrame = {
-    // all ts math in floored epoch-MICROS: DuckDB timestamps are µs, so
-    // its epoch_ns() is ns-truncated-to-µs — comparing raw Spark nanos
-    // against it would diverge in the sub-µs digits (and could even flip
-    // a same-µs as-of ordering)
+    // all ts math in epoch-MICROS (the t() contract): DuckDB timestamps
+    // are µs too, so every as-of comparison is exact in both engines
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts").as("ts_us"))
     val purch = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), expr("ts div 1000").as("purchase_ts_us"), col("event_id"))
+      .select(col("user_id"), col("ts").as("purchase_ts_us"), col("event_id"))
       .groupBy(col("user_id"), col("purchase_ts_us"))
       .agg(min(col("event_id")).as("purchase_id"))
     graft.ops.AsofJoin.asofBackward(clicks, purch,
@@ -505,7 +537,7 @@ object CoreQueries {
     val tmp = fixtureDir("q45_events")
     val base = t(s, dir, "events").select(
       col("event_id"),
-      expr("ts div 1000").as("ts_us"),
+      col("ts").as("ts_us"),
       col("user_id"),
       floor(coalesce(col("value"), lit(0.0)) * 10000).cast("double").as("value"))
     val mm = base.agg(min(col("ts_us")), max(col("ts_us"))).head()
@@ -542,7 +574,7 @@ object CoreQueries {
   // NEW session — the oracle mirrors that with `>= gap`, not `> gap`.
   def q50_session_window(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
-      timestamp_micros(expr("ts div 1000")).as("tsm"))
+      timestamp_micros(col("ts")).as("tsm"))
     ev.groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
       .select(col("user_id"),
@@ -682,7 +714,7 @@ object CoreQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.streaming.EventStream.runBatchOfStream(
       s, s"$dir/events.parquet", "q54_join_mem", df => {
-        val base = df.withColumn("ts_us", timestamp_micros(expr("ts div 1000")))
+        val base = df.withColumn("ts_us", tsAsTimestamp(df))
         val clicks = base.filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
                   col("ts_us").as("click_ts"))

@@ -5,8 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Canonical session factory: every knob the engine depends on in one
   * place (UTC timestamps for oracle parity, shuffle partitions sized to
   * cores not the 200 default, AQE for runtime re-planning/skew splits,
-  * nanos-as-long for the TIMESTAMP(NANOS) fixtures, the GraftExtensions
-  * function installer). Mains and user code build through here. */
+  * nanos-as-long so TIMESTAMP(NANOS)-encoded fixtures still read — the
+  * events.ts physical encoding has drifted across fixture generations and
+  * ingestion dispatches on the read schema (CoreQueries.tsToMicros) — and
+  * the GraftExtensions function installer). Mains and user code build
+  * through here. */
 object GraftSession {
   def builder(cores: Int = Runtime.getRuntime.availableProcessors(),
               appName: String = "graft"): SparkSession.Builder =

@@ -19,10 +19,11 @@ object StreamDemo {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       srcDir.resolve("part-0.parquet"))
     val src = srcDir.toString
-    // ts arrives as epoch-nanos long (nanosAsLong); streaming watermarks
-    // need a real timestamp column
+    // the fixture's physical ts encoding varies across generations;
+    // streaming watermarks need a real timestamp column — dispatch on the
+    // read schema (CoreQueries.tsAsTimestamp)
     def withTs(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      df.withColumn("ts", CoreQueries.tsAsTimestamp(df))
     val transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
       df => EventStream.windowedTypeCounts(withTs(df), "1 hour", "2 hours")
 
