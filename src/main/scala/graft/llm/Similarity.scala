@@ -159,18 +159,36 @@ object Similarity {
     * decimal sum is exact), integer count multipliers, ONE division via
     * the q22 (18,6)/(18,6)→(38,6) recipe, DOUBLE surface — gate q126.
     *
-    * Scale shape: two [[bruteForceTopK]] passes (broadcast queries, k-
-    * bounded buffers, no windows) → |src|·k and |tgt|·k pair frames;
-    * neighborhood sums are map-side-partial groupBys over those, joined
+    * Scale shape: both neighbor passes go through the unified [[topK]]
+    * dispatch, so each CORPUS side picks its own path by size/index —
+    * brute force (broadcast queries, exact) only below the dispatch
+    * threshold; past it LSH banding, or a persisted IVF/SQ8/PQ index
+    * when one is supplied. Margin arithmetic is independent of how
+    * neighbors were found (kf/kb are the ACTUAL neighbor counts, so
+    * partial LSH neighborhoods score correctly). Neighborhood sums are
+    * map-side-partial groupBys over the k-bounded pair frames, joined
     * back on the pair endpoints — everything shuffles k-bounded rows,
-    * never the |src|×|tgt| cross product. */
+    * never the |src|×|tgt| cross product, and neither corpus is ever
+    * broadcast whole (the round-6 scale caveat, closed).
+    *
+    * `srcIndex`/`tgtIndex` name persisted IVF indices over the
+    * respective corpus (srcIndex serves the backward pass tgt→src);
+    * `srcSize`/`tgtSize` skip the dispatch `count()` when known. */
   def marginMining(src: DataFrame, tgt: DataFrame, idCol: String,
                    vecCol: String, k: Int,
-                   deterministic: Boolean = true): DataFrame = {
+                   deterministic: Boolean = true,
+                   srcIndex: Option[(graft.io.TableStore, String)] = None,
+                   tgtIndex: Option[(graft.io.TableStore, String)] = None,
+                   srcSize: Long = -1L, tgtSize: Long = -1L,
+                   bruteForceThreshold: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val c6 = "decimal(18,6)"
-    val fwd = bruteForceTopK(src, tgt, idCol, vecCol, k, deterministic)
-    val bwd = bruteForceTopK(tgt, src, idCol, vecCol, k, deterministic)
+    val fwd = topK(src, tgt, idCol, vecCol, k, index = tgtIndex,
+      corpusSize = tgtSize, bruteForceThreshold = bruteForceThreshold,
+      deterministic = deterministic)
+    val bwd = topK(tgt, src, idCol, vecCol, k, index = srcIndex,
+      corpusSize = srcSize, bruteForceThreshold = bruteForceThreshold,
+      deterministic = deterministic)
     def nnStats(tk: DataFrame, sumName: String, cntName: String) =
       tk.groupBy(col("query_id"))
         .agg(sum(col("cosine").cast(c6)).cast(c6).as(sumName),
@@ -1112,7 +1130,8 @@ object Similarity {
            index: Option[(graft.io.TableStore, String)] = None,
            corpusSize: Long = -1L,
            bruteForceThreshold: Long = 1000000L,
-           nprobe: Int = 4): DataFrame = {
+           nprobe: Int = 4,
+           deterministic: Boolean = false): DataFrame = {
     val hasIndex = index.exists { case (store, prefix) =>
       store.exists(s"$prefix.centroids") && store.exists(s"$prefix.buckets") }
     val n = if (hasIndex || corpusSize >= 0) corpusSize else candidates.count()
@@ -1121,10 +1140,10 @@ object Similarity {
         val (store, prefix) = index.get
         ivfTopKIndexed(store, prefix, queries, idCol, vecCol, k, nprobe)
       case BruteForce =>
-        bruteForceTopK(queries, candidates, idCol, vecCol, k,
-          deterministic = false)
+        bruteForceTopK(queries, candidates, idCol, vecCol, k, deterministic)
       case LshBanding =>
-        lshBucketTopK(queries, candidates, idCol, vecCol, k)
+        lshBucketTopK(queries, candidates, idCol, vecCol, k,
+          deterministic = deterministic)
     }
   }
 

@@ -1084,4 +1084,61 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!out.queryExecution.executedPlan.toString.contains("Window"),
       "argmax must be a min(struct) groupBy, not a window")
   }
+
+  test("marginMining past the dispatch threshold never broadcasts a corpus side") {
+    // corpora larger than the (test-pinned) threshold must route both
+    // neighbor passes through LSH banding: the brute kernel's signature —
+    // a non-equi BroadcastNestedLoopJoin over a whole corpus — must be
+    // absent from the plan (the round-6 scale caveat, closed). Small
+    // stat-frame BroadcastHashJoins are fine and expected.
+    val rnd = new scala.util.Random(17)
+    def vecs(ids: Range, base: Long) = ids.map(i =>
+      (base + i, Array.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val src = vecs(0 until 40, 0L)
+    val tgt = vecs(0 until 40, 1000L)
+    val mined = Similarity.marginMining(src, tgt, "vec_id", "embedding",
+      k = 3, deterministic = false, bruteForceThreshold = 10L)
+    val p = mined.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "large-corpus margin mining must not broadcast-scan a corpus side")
+    assert(mined.count() > 0)
+  }
+
+  test("marginMining LSH route keeps a recall floor vs brute force") {
+    // planted structure: each src vector has one near-duplicate in tgt
+    // (the pair LSH must recover) plus background noise. Recall of the
+    // rnk=1 forward neighbor under the LSH route vs exact brute force.
+    val rnd = new scala.util.Random(23)
+    val bases = (0 until 60).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val src = bases.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val tgt = bases.zipWithIndex.map { case (v, i) =>
+      (1000L + i, v.map(x => x + rnd.nextGaussian().toFloat * 0.05f)) }
+      .toDF("vec_id", "embedding")
+    def rank1(df: DataFrame) = df.filter($"rnk" === 1)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val exact = rank1(Similarity.marginMining(
+      src, tgt, "vec_id", "embedding", k = 2, deterministic = false))
+    val lsh = rank1(Similarity.marginMining(
+      src, tgt, "vec_id", "embedding", k = 2, deterministic = false,
+      bruteForceThreshold = 10L))
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH-route rank-1 recall $recall below floor 0.5")
+  }
+
+  test("marginMining brute path results are dispatch-invariant (topK routing is transparent)") {
+    val rnd = new scala.util.Random(29)
+    val src = (0 until 20).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val tgt = (0 until 20).map(i =>
+      (500L + i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    def rows(df: DataFrame) = df
+      .select($"query_id", $"cand_id", $"rnk", $"margin".cast("string"))
+      .as[(Long, Long, Int, String)].collect().toSet
+    // defaults (dispatch counts, picks brute) ≡ explicit sizes (no count)
+    val a = rows(Similarity.marginMining(src, tgt, "vec_id", "embedding", k = 3))
+    val b = rows(Similarity.marginMining(src, tgt, "vec_id", "embedding", k = 3,
+      srcSize = 20L, tgtSize = 20L))
+    assert(a == b && a.nonEmpty)
+  }
 }
