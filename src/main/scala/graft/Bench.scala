@@ -43,12 +43,26 @@ object Bench {
   /** The one JSON line the driver parses. `results` carries integer
     * milliseconds per full query name (-1 = failure); `totalSec` is
     * seconds. Shared with BenchSpec so the size guard tests the real
-    * serializer, not a re-implementation. */
-  def serialize(results: Seq[(String, Long)], totalSec: Double, sfDir: String): String = {
+    * serializer, not a re-implementation.
+    *
+    * `reps` records the interleaved-pass count behind each per-query
+    * minimum (round-6 verdict: min-across-runs must be the RECORDED
+    * artifact, not a protocol footnote). `nfail`/`failed` make a partial
+    * run self-describing: a total computed with failed queries excluded
+    * is NOT comparable to a green round's total, and cross-referencing
+    * -1 sentinels shouldn't be required to notice (round-6 advice).
+    * `failed` lists short keys, capped at 12 so a catastrophic run
+    * cannot blow the driver's 2000-byte tail window. */
+  def serialize(results: Seq[(String, Long)], totalSec: Double, sfDir: String,
+                reps: Int = 1): String = {
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val failedJson = failed.take(12).map("\"" + shortKey(_) + "\"")
+      .mkString("[", ",", "]")
     val sf = new java.io.File(sfDir).getName
-    s"""{"metric":"total","value":$totalSec,"unit":"sec","qunit":"ms","queries":$qs,"sf":"$sf"}"""
+    s"""{"metric":"total","value":$totalSec,"unit":"sec","qunit":"ms","reps":$reps,""" +
+      s""""nfail":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sf"}"""
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,7 +97,7 @@ object Bench {
       name -> (if (ts.exists(_ < 0)) -1L else math.rint(ts.min * 1000).toLong)
     }
     val total = round3(results.map(_._2).filter(_ >= 0).sum / 1000.0)
-    val json = serialize(results, total, sfDir)
+    val json = serialize(results, total, sfDir, reps)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] $outPath write failed: ${e.getMessage}") }
