@@ -1,0 +1,702 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.LlmGateUtil._
+
+/** Text-analysis gates (token/quality/langid/Gopher/fingerprint
+  * statistics, BM25, TF-IDF, LM scoring, tokenizer diagnostics,
+  * streaming quality). Split from LlmQueries by domain (round-6
+  * verdict ask #5) — pure code motion.
+  */
+object LlmTextGates {
+
+  // Token counting: whitespace tokenization via regexp_count — robust to
+  // empty strings, stays in codegen.
+  def q21_token_count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_count(col("text"), lit("\\S+")).as("n_tokens"),
+      length(col("text")).as("len_chars"))
+
+  // Quality scoring: deterministic integer counts + exact decimal ratios
+  // (length / token / stopword signals a filtering pipeline keys on).
+  def q22_quality(s: SparkSession, dir: String): DataFrame = {
+    val toks  = regexp_count(col("text"), lit("\\S+"))
+    val stops = regexp_count(col("text"),
+      lit("\\b(the|a|of|and|to|in|is|it)\\b"))
+    t(s, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      toks.as("n_tokens"), stops.as("n_stopwords"),
+      when(toks > 0,
+        (stops.cast("decimal(18,6)") / toks.cast("decimal(18,6)")).cast(out))
+        .otherwise(lit(0).cast(out)).cast("double").as("stopword_ratio"),
+      when(toks > 0,
+        ((length(col("text")) - toks + 1).cast("decimal(18,6)") / toks.cast("decimal(18,6)")).cast(out))
+        .otherwise(lit(0).cast(out)).cast("double").as("avg_token_len"))
+  }
+
+  // Corpus language statistics (the aggregate view a langid pass feeds).
+  def q24_lang_stats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("total_chars"),
+           min(col("doc_id")).as("min_doc_id"))
+
+  // BPE-ish subword counting (pre-tokenizer estimate shape).
+  def q29_subword_count(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.llm.TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+
+  // Heuristic language ID — the operator is pure regexp-count + argmax,
+  // so it IS SQL-expressible and gets a full DuckDB oracle.
+  def q30_langid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.llm.TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  // Multimodal plumbing at the gate: synthetic binary corpus →
+  // mapPartitions stub decode → per-kind feature stats. Deterministic;
+  // rows-only (custom codec isn't SQL-expressible).
+  def q33_media_features(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.llm.Multimodal.syntheticCorpus(s, 300, partitions = 4)
+    graft.llm.Multimodal.extractFeatures(media).toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+           sum(col("n_frames")).as("total_frames"),
+           count(when(col("decode_ok"), lit(1))).as("n_decoded"))
+  }
+
+  // PII-style redaction pass (scrubbing stage of a cleaning pipeline):
+  // emails/URLs/phone runs → placeholder tokens, with per-doc counts.
+  // Patterns live in the Java∩RE2 regex subset so the DuckDB oracle is
+  // byte-identical; three planted docs guarantee non-zero counts.
+  def q41_redact(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(s.range(1).select(lit(9000001L).as("doc_id"),
+        lit("contact me at alice.smith@example.com or bob@test.org for details").as("text")))
+      .unionByName(s.range(1).select(lit(9000002L).as("doc_id"),
+        lit("see https://example.com/path?q=1 and email carol@x.io or call +1-555-123-4567 now").as("text")))
+      .unionByName(s.range(1).select(lit(9000003L).as("doc_id"),
+        lit("numbers 12345678 and 1-800-555-0199 plus word text").as("text")))
+    val (ne, nu, np) = graft.llm.TextAnalysis.redactionCounts(col("text"))
+    planted.select(col("doc_id"),
+      ne.as("n_emails"), nu.as("n_urls"), np.as("n_phones"),
+      md5(graft.llm.TextAnalysis.redact(col("text")).cast("binary")).as("redacted_fp"))
+  }
+
+  // BM25-style relevance scoring at the gate (rational-decimal variant —
+  // see llm/Relevance's scaladoc for why ln() can't cross the engine
+  // boundary bit-stably). Fixed 4-term query over the documents corpus.
+  def q48_bm25(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Relevance.bm25Deterministic(
+      t(s, dir, "documents"), "doc_id", "text",
+      Seq("join", "vector", "filter", "scan"))
+
+  // TF-IDF top-3 terms per document at the gate (llm/Relevance
+  // .tfIdfDeterministicTopK): the rational pre-log score tf·N/df, one
+  // decimal division rounded to DECIMAL(18,6) in both engines (ln()
+  // isn't cross-engine bit-stable; the production tfIdfTopK uses it).
+  def q62_tfidf_terms(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Relevance.tfIdfDeterministicTopK(
+      t(s, dir, "documents"), idCol = "doc_id", textCol = "text", k = 3)
+
+  // Semi-structured extraction at the gate: pull a typed field out of a
+  // JSON payload column (events.props) and aggregate it — get_json_object
+  // is a scan-stage expression, so at 100 TB this is one scan plus one
+  // map-side-partial groupBy on a low-cardinality key.
+  def q68_json_extract(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    t(s, dir, "events")
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           count(col("k")).as("n_with_k"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+  }
+
+  // Gopher-style repetition signals at the gate: exact integer
+  // token/bigram totals, distinct counts, and hottest-gram frequencies
+  // per document (TextAnalysis.repetitionSignals — one corpus scan,
+  // gram-keyed then doc-keyed map-side-partial aggregation, no windows).
+  def q69_repetition(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextAnalysis.repetitionSignals(
+      t(s, dir, "documents"), idCol = "doc_id", textCol = "text")
+
+  // Vocabulary builder at the gate (LanguageModel.buildVocab): top-50
+  // tokens by (count DESC, token ASC) with dense ids — distributed
+  // top-k (TakeOrderedAndProject), id window over exactly k rows.
+  def q75_vocab(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.buildVocab(
+      t(s, dir, "documents"), textCol = "text", k = 50)
+
+  // Vocabulary OOV-rate check at the gate (LanguageModel.oovCounts):
+  // per-doc token/OOV counts against the q75 vocab builder capped at
+  // k=20 (the fixture corpus has 31 distinct words, so a 20-word vocab
+  // leaves real OOV mass — 0..40 per doc). Integer surface, broadcast
+  // vocab join, one partial groupBy.
+  def q96_oov_rate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.llm.LanguageModel.oovCounts(docs,
+      graft.llm.LanguageModel.buildVocab(docs, textCol = "text", k = 20),
+      idCol = "doc_id", textCol = "text")
+  }
+
+  // Classifier-based quality scoring at the gate
+  // (Relevance.hashedLinearScore): the fastText/CCNet-style hashed
+  // linear model at inference — tokens hash into 64 buckets, a fixed
+  // weight table (LCG-derived per-mille weights, identical arithmetic
+  // in both engines) broadcast-joins on, docs score exact decimal
+  // weight sums. Gate hashes with md5Hash60 (cross-engine); production
+  // defaults to xxhash64.
+  def q97_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val v = (col("id") * 1103515245L + 12345L) % 1000000007L % 2001L - 1000L
+    val weights = s.range(dim).select(col("id").cast("int").as("bucket"),
+      (v.cast("decimal(27,4)") / lit(1000).cast("decimal(27,4)"))
+        .cast("decimal(18,6)").as("weight"))
+    graft.llm.Relevance.hashedLinearScore(
+        t(s, dir, "documents"), "doc_id", "text", weights, dim,
+        hashFn = graft.llm.TextAnalysis.md5Hash60)
+      .select(col("doc_id"), col("n_tokens"),
+        col("score").cast("double").as("score"))
+  }
+
+  // DSIR importance scoring at the gate (Relevance.dsirScore): weights
+  // LEARNED from a target-vs-raw corpus split (target = every 7th doc,
+  // standing in for the curated high-quality corpus), then the hashed
+  // linear scorer ranks the whole pool by target-likeness. The
+  // deterministic pre-log rational weight (the q62 recipe) replaces the
+  // production ln — sums of ratios, not sums of logs; the gate pins the
+  // learn+score plumbing. md5Hash60 buckets cross-engine.
+  def q98_dsir_score(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.llm.Relevance.dsirScore(
+        raw = docs, target = docs.filter(col("doc_id") % 7 === 0),
+        idCol = "doc_id", textCol = "text", dim = 128,
+        hashFn = graft.llm.TextAnalysis.md5Hash60, deterministic = true)
+      .select(col("doc_id"), col("n_tokens"),
+        col("score").cast("double").as("score"))
+  }
+
+  // N-gram novelty at the gate (Relevance.ngramNovelty): per doc, how
+  // many of its distinct trigrams occur in NO other document — integer
+  // counts only. Grams hash through md5Hash60 before the shuffle (the
+  // span-scrub trade; production uses xxhash64).
+  def q99_ngram_novelty(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Relevance.ngramNovelty(
+      t(s, dir, "documents"), "doc_id", "text", n = 3,
+      hashFn = graft.llm.TextAnalysis.md5Hash60)
+
+  // Tokenizer FERTILITY at the gate (LanguageModel.tokenizerFertility):
+  // per-language doc/word/subword/char totals + subwords-per-word — the
+  // mC4/XLM-R tokenizer-cost table. Map-only regexp counts (the q21/q29
+  // patterns), one tiny groupBy; the single rational divides once via
+  // the shared decimal(27,4)→(18,6) recipe.
+  def q124_fertility(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.tokenizerFertility(
+        t(s, dir, "documents"), textCol = "text", groupCols = Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_subwords"), col("n_chars"),
+        col("fertility").cast("double").as("fertility"))
+
+  // CORPUS n-gram DIVERSITY at the gate (TextAnalysis.ngramDiversity):
+  // per-language distinct-2 — bigram instances, distinct bigrams, and
+  // the type-token ratio. Grams md5Hash60-keyed before the shuffle
+  // (the q99 bridge; production xxhash64), ttr via the decimal recipe.
+  def q125_distinct_ngrams(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextAnalysis.ngramDiversity(
+        t(s, dir, "documents"), textCol = "text", n = 2,
+        groupCols = Seq("lang"),
+        hashFn = graft.llm.TextAnalysis.md5Hash60)
+      .select(col("lang"), col("n_grams"), col("n_distinct"),
+        col("ttr").cast("double").as("ttr"))
+
+  // STREAMING QUALITY MONITOR at the gate: the Gopher battery as a
+  // continuous-ingest dashboard — documents stream through a real
+  // file source and the per-language keep/drop tallies aggregate in
+  // Complete mode (stateless scoring + streaming agg; finite replay ⇒
+  // totals ≡ the batch run, which is the oracle).
+  def q121_stream_quality(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.runBatchOfStream(
+      s, s"$dir/documents.parquet", "q121_qmon", { df =>
+        import graft.llm.TextAnalysis._
+        val c = gopherCounts(col("text"))
+        df.select(col("lang"),
+            when(gopherKeep(c, minWords = 30, minStopwords = 1), 1)
+              .otherwise(0).as("k"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("k")).cast("long").as("n_keep"))
+      })
+
+  // CORPUS → VOCAB-ID SEQUENCES at the gate
+  // (LanguageModel.encodeWithVocab): every token maps through the
+  // q75 vocabulary (k=20 so the fixture genuinely produces OOV hits),
+  // id sequences surfaced as space-joined strings (a string renders
+  // identically through every readback path; arrays don't). k-row
+  // broadcast, per-doc array_sort reassembly — never a corpus window.
+  def q120_vocab_encode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = graft.llm.LanguageModel.buildVocab(docs, "text", k = 20)
+    graft.llm.LanguageModel.encodeWithVocab(docs, "doc_id", "text", vocab)
+  }
+
+  // CCNet-style LM-quality buckets at the gate
+  // (LanguageModel.perplexityBuckets): every doc ranked by the integer
+  // MICRO-average of its bigram conditional-probability mass under the
+  // corpus model — (sum_p6·10⁶) DIV n_bigrams, exact floor division
+  // where the rational average would tie at the rounding digit — and
+  // cut into head/middle/tail tiers by the window-free ntile.
+  def q115_ppl_buckets(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.perplexityBuckets(
+        t(s, dir, "documents"), idCol = "doc_id", textCol = "text",
+        buckets = 3)
+      .select(col("doc_id"), col("avg_micro"), col("bucket"))
+
+  // GOPHER rule battery at the gate (TextAnalysis.gopherCounts +
+  // gopherKeep): the full Rae-et-al document-quality gate as one
+  // map-only pass — integer counts surfaced raw, every ratio rule a
+  // cross-multiplied integer comparison (a float ratio would tie at
+  // the rounding digit across engines). minWords=30/minStopwords=1
+  // tuned to the fixture (words 10–99, only "the" from the stopword
+  // list occurs) so keep genuinely splits the corpus (334/166).
+  def q111_gopher(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.TextAnalysis._
+    val docs = t(s, dir, "documents")
+    docs.select(col("doc_id"), gopherCounts(col("text")).as("c"))
+      .select(col("doc_id"), col("c.*"),
+        when(gopherKeep(col("c"), minWords = 30, minStopwords = 1), 1)
+          .otherwise(0).as("keep"))
+  }
+
+  // Token-frequency SPECTRUM at the gate
+  // (LanguageModel.tokenFrequencySpectrum): per-language Zipf bands —
+  // distinct types and occurrences per power-of-two count band;
+  // band = length(bin(cnt))-1, pure integer/string math both engines
+  // share. Two map-side-partial groupBys, vocabulary-bounded.
+  def q107_freq_spectrum(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.tokenFrequencySpectrum(
+      t(s, dir, "documents"), textCol = "text", groupCols = Seq("lang"))
+
+  // Bigram language model at the gate (llm/LanguageModel.topFollowers):
+  // top-3 followers of every frequent head word by rational conditional
+  // probability pair_cnt/head_cnt — one decimal division, identical in
+  // both engines. The production per-doc LM scorer (docAvgLogProb, ln)
+  // is spec-checked instead.
+  def q64_bigram_lm(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.topFollowers(
+      t(s, dir, "documents"), textCol = "text", minHeadCount = 50, k = 3)
+
+  // Bounded-memory heavy hitters at the gate: vocabulary items with
+  // ≥ 100 occurrences via per-partition SpaceSaving sketches + exact
+  // recount (recall provably total for minCount > n/k — k auto-derived).
+  // Oracle = the plain GROUP BY ... HAVING the sketch path avoids.
+  def q51_heavy_hitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = t(s, dir, "documents")
+      .select(explode(graft.llm.TextShingles.words(col("text"))).as("w"))
+      .as[String]
+    graft.ops.HeavyHitters.heavyHitters(words, minCount = 100)
+      .select(col("item").as("w"), col("cnt"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_token_count"   -> q21_token_count _,
+    "q22_quality"       -> q22_quality _,
+    "q24_lang_stats"    -> q24_lang_stats _,
+    "q29_subword_count" -> q29_subword_count _,
+    "q30_langid"        -> q30_langid _,
+    "q33_media_features" -> q33_media_features _,
+    "q41_redact"        -> q41_redact _,
+    "q48_bm25"          -> q48_bm25 _,
+    "q51_heavy_hitters" -> q51_heavy_hitters _,
+    "q62_tfidf_terms"   -> q62_tfidf_terms _,
+    "q64_bigram_lm"     -> q64_bigram_lm _,
+    "q68_json_extract"  -> q68_json_extract _,
+    "q69_repetition"    -> q69_repetition _,
+    "q75_vocab"         -> q75_vocab _,
+    "q96_oov_rate"      -> q96_oov_rate _,
+    "q97_quality_classifier" -> q97_quality_classifier _,
+    "q98_dsir_score"    -> q98_dsir_score _,
+    "q99_ngram_novelty" -> q99_ngram_novelty _,
+    "q107_freq_spectrum" -> q107_freq_spectrum _,
+    "q111_gopher"       -> q111_gopher _,
+    "q115_ppl_buckets"  -> q115_ppl_buckets _,
+    "q120_vocab_encode" -> q120_vocab_encode _,
+    "q121_stream_quality" -> q121_stream_quality _,
+    "q124_fertility"    -> q124_fertility _,
+    "q125_distinct_ngrams" -> q125_distinct_ngrams _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q21_token_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        | CAST(length(text) AS INT) AS len_chars FROM documents""".stripMargin,
+    "q22_quality" ->
+      """SELECT doc_id, lang,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS INT) AS n_stopwords,
+        | CAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
+        |   CAST(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is|it)\b')) AS DECIMAL(18,6))
+        |        / CAST(len(regexp_extract_all(text, '\S+')) AS DECIMAL(18,6)) AS DECIMAL(38,6))
+        | ELSE CAST(0 AS DECIMAL(38,6)) END AS DOUBLE) AS stopword_ratio,
+        | CAST(CASE WHEN len(regexp_extract_all(text, '\S+')) > 0 THEN
+        |   CAST(CAST(length(text) - len(regexp_extract_all(text, '\S+')) + 1 AS DECIMAL(18,6))
+        |        / CAST(len(regexp_extract_all(text, '\S+')) AS DECIMAL(18,6)) AS DECIMAL(38,6))
+        | ELSE CAST(0 AS DECIMAL(38,6)) END AS DOUBLE) AS avg_token_len
+        |FROM documents""".stripMargin,
+    "q24_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | min(doc_id) AS min_doc_id FROM documents GROUP BY lang""".stripMargin,
+    "q33_media_features" ->
+      """WITH m AS (
+        |  SELECT i,
+        |    CASE WHEN i % 3 = 0 THEN 'image'
+        |         WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CASE WHEN i % 3 = 2 THEN greatest(1, (1000 + (i % 10) * 200) // 40)
+        |         WHEN i % 3 = 0 THEN 1 ELSE 0 END AS n_frames
+        |  FROM range(0, 300) t(i))
+        |SELECT kind, count(*) AS n_media,
+        |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+        |       count(*) AS n_decoded
+        |FROM m GROUP BY kind""".stripMargin,
+    "q41_redact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 9000001, 'contact me at alice.smith@example.com or bob@test.org for details'
+        |  UNION ALL SELECT 9000002, 'see https://example.com/path?q=1 and email carol@x.io or call +1-555-123-4567 now'
+        |  UNION ALL SELECT 9000003, 'numbers 12345678 and 1-800-555-0199 plus word text'),
+        |r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, 'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g') AS no_url
+        |  FROM corpus)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\x0B\f\r]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9\-]{6,}[0-9]')) AS INT) AS n_phones,
+        |  md5(regexp_replace(
+        |    regexp_replace(no_url, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9\-]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_fp
+        |FROM r""".stripMargin,
+    // rational-decimal BM25: integer numerators/denominators, one
+    // decimal(18,6)-rounded division per factor, exact decimal sum
+    "q48_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS S, CAST(count(*) AS BIGINT) AS N FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+        |       WHERE w IN ('join','vector','filter','scan') GROUP BY doc_id, w),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CAST(CAST(2*s.N - 2*x.df + 1 AS DECIMAL(18,4)) / CAST(2*x.df + 1 AS DECIMAL(18,4)) AS DECIMAL(18,6)) AS idf6,
+        |    CAST(CAST(10*t.tf*s.S AS DECIMAL(27,4)) / CAST(10*t.tf*s.S + 3*s.S + 9*l.dl*s.N AS DECIMAL(27,4)) AS DECIMAL(18,6)) AS tfn6
+        |  FROM tf t JOIN dfx x USING (w) JOIN dl l USING (doc_id) CROSS JOIN stats s)
+        |SELECT doc_id, CAST(CAST(SUM(idf6*tfn6) AS DECIMAL(38,12)) AS DOUBLE) AS score
+        |FROM scored GROUP BY doc_id""".stripMargin,
+    // the exact aggregate the sketch+recount path reproduces
+    "q51_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT w, count(*) AS cnt FROM tok GROUP BY w HAVING count(*) >= 100""".stripMargin,
+    // rational TF-IDF: one decimal division, rounded identically
+    "q62_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+        |dfx AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |n AS (SELECT count(*) AS N FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.w,
+        |    CAST(CAST(t.tf*n.N AS DECIMAL(27,4)) / CAST(x.df AS DECIMAL(27,4)) AS DECIMAL(18,6)) AS score6
+        |  FROM tf t JOIN dfx x USING (w) CROSS JOIN n)
+        |SELECT doc_id, w AS term, CAST(rnk AS INT) AS rnk, CAST(score6 AS DOUBLE) AS score
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score6 DESC, w ASC) AS rnk
+        |      FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
+    // rational bigram conditional probabilities, one decimal division
+    "q64_bigram_lm" ->
+      """WITH grams AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM documents),
+        |bg AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM grams),
+        |cab AS (SELECT w1, w2, count(*) AS pair_cnt FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS head_cnt FROM cab GROUP BY 1),
+        |j AS (SELECT cab.w1, cab.w2, cab.pair_cnt, ca.head_cnt
+        |      FROM cab JOIN ca USING (w1) WHERE ca.head_cnt >= 50),
+        |scored AS (SELECT w1, w2, pair_cnt, head_cnt,
+        |  CAST(CAST(pair_cnt AS DECIMAL(18,4)) / CAST(head_cnt AS DECIMAL(18,4)) AS DECIMAL(18,6)) AS p6
+        |  FROM j)
+        |SELECT w1, w2, CAST(pair_cnt AS BIGINT) AS pair_cnt, head_cnt, CAST(rnk AS INT) AS rnk,
+        |       CAST(p6 AS DOUBLE) AS cond_p
+        |FROM (SELECT *, row_number() OVER (PARTITION BY w1 ORDER BY p6 DESC, w2 ASC) AS rnk FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
+    "q29_subword_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\p{L}{1,4}|\p{N}{1,3}|[^\s\p{L}\p{N}]')) AS INT) AS n_subwords
+        |FROM documents""".stripMargin,
+    "q30_langid" ->
+      """WITH hits AS (
+        |  SELECT doc_id, 'en' AS lang,
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|in|that|it)\b')) AS INT) AS h FROM documents
+        |  UNION ALL SELECT doc_id, 'de',
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS INT) FROM documents
+        |  UNION ALL SELECT doc_id, 'fr',
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|une|que|dans)\b')) AS INT) FROM documents
+        |  UNION ALL SELECT doc_id, 'es',
+        |    CAST(len(regexp_extract_all(text, '(?i)\b(el|los|las|es|una|que|por|con)\b')) AS INT) FROM documents
+        |  UNION ALL SELECT doc_id, 'zh',
+        |    CAST(len(regexp_extract_all(text, '(的|是|了|在|我|有|他|不)')) AS INT) FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN mx.h > 0 THEN mx.lang ELSE 'und' END AS lang_pred
+        |FROM (SELECT doc_id, max(struct_pack(h := h, lang := lang)) AS mx
+        |      FROM hits GROUP BY doc_id)""".stripMargin,
+    // sum(BIGINT) is HUGEINT in DuckDB -> cast back so both engines
+    // surface int64
+    "q68_json_extract" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    // exact integer repetition signals; inner join is safe because every
+    // document has >= 2 tokens (bigram row always present)
+    "q69_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tc AS (SELECT doc_id, w, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+        |tok AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |          count(*) AS n_distinct_tokens, max(c) AS top_token_cnt
+        |        FROM tc GROUP BY 1),
+        |gi AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i FROM t),
+        |bc AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g FROM gi) GROUP BY 1, 2),
+        |big AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |          count(*) AS n_distinct_bigrams, max(c) AS top_bigram_cnt
+        |        FROM bc GROUP BY 1)
+        |SELECT tok.doc_id, n_tokens, n_distinct_tokens, top_token_cnt,
+        |       COALESCE(n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+        |       COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt
+        |FROM tok LEFT JOIN big ON tok.doc_id = big.doc_id""".stripMargin,
+    // top-50 vocabulary, total (cnt DESC, token ASC) order
+    "q75_vocab" ->
+      """SELECT w, cnt, CAST(rn AS INT) AS vocab_id
+        |FROM (SELECT w, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, w ASC) AS rn
+        |      FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |            FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                  FROM documents) GROUP BY 1))
+        |WHERE rn <= 50""".stripMargin,
+    // q75's vocab construction at k=20 + a left join onto the token
+    // stream; counts stay integers (no tie-prone ratio)
+    "q96_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w FROM (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rn
+        |      FROM (SELECT w, count(*) AS cnt FROM tok GROUP BY 1)) WHERE rn <= 20)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       count(*) FILTER (WHERE v.w IS NULL) AS n_oov
+        |FROM tok LEFT JOIN v ON tok.w = v.w
+        |GROUP BY doc_id""".stripMargin,
+    // LCG-derived weight table + md5-derived bucket hashing; exact
+    // decimal weight sums surfaced as DOUBLE
+    "q97_quality_classifier" ->
+      """WITH wt AS (
+        |  SELECT i AS bucket,
+        |    CAST(CAST((i*1103515245 + 12345) % 1000000007 % 2001 - 1000 AS DECIMAL(27,4))
+        |         / CAST(1000 AS DECIMAL(27,4)) AS DECIMAL(18,6)) AS w6
+        |  FROM range(0, 64) t(i)),
+        |tok AS (
+        |  SELECT doc_id,
+        |    (('0x' || substring(md5(tk), 1, 15))::BIGINT) % 64 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(CAST(sum(w6) AS DECIMAL(38,6)) AS DOUBLE) AS score
+        |FROM tok JOIN wt USING (bucket)
+        |GROUP BY doc_id""".stripMargin,
+    // weights learned from the target/raw bucket counts (add-one
+    // smoothing over the 128-bucket spine); pre-log rational ratio via
+    // the q62 decimal-division recipe; exact decimal score sums
+    "q98_dsir_score" ->
+      """WITH tokr AS (
+        |  SELECT doc_id, (('0x' || substring(md5(tk), 1, 15))::BIGINT) % 128 AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)),
+        |tokt AS (SELECT bucket FROM tokr WHERE doc_id % 7 = 0),
+        |tc AS (SELECT bucket, count(*) AS t FROM tokt GROUP BY bucket),
+        |rc AS (SELECT bucket, count(*) AS r FROM tokr GROUP BY bucket),
+        |tt AS (SELECT count(*) + 128 AS tot_t FROM tokt),
+        |rt AS (SELECT count(*) + 128 AS tot_r FROM tokr),
+        |wt AS (
+        |  SELECT i AS bucket,
+        |    CAST(CAST(CAST(COALESCE(tc.t, 0) + 1 AS DECIMAL(19,0)) * CAST(rt.tot_r AS DECIMAL(19,0)) AS DECIMAL(27,4))
+        |       / CAST(CAST(COALESCE(rc.r, 0) + 1 AS DECIMAL(19,0)) * CAST(tt.tot_t AS DECIMAL(19,0)) AS DECIMAL(27,4))
+        |       AS DECIMAL(18,6)) AS w6
+        |  FROM range(0, 128) s(i)
+        |  LEFT JOIN tc ON tc.bucket = i LEFT JOIN rc ON rc.bucket = i
+        |  CROSS JOIN tt CROSS JOIN rt)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(CAST(sum(w6) AS DECIMAL(38,6)) AS DOUBLE) AS score
+        |FROM tokr JOIN wt USING (bucket)
+        |GROUP BY doc_id""".stripMargin,
+    // distinct trigrams per doc via the md5-hashed gram key; df=1 =
+    // novel; integer counts only (no cross-engine division)
+    "q99_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+        |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i FROM t)),
+        |gd AS (SELECT DISTINCT doc_id,
+        |        (('0x' || substring(md5(gram), 1, 15))::BIGINT) AS gh FROM g),
+        |dfx AS (SELECT gh, count(*) AS df FROM gd GROUP BY gh)
+        |SELECT doc_id, count(*) AS n_grams,
+        |       count(*) FILTER (WHERE df = 1) AS n_novel
+        |FROM gd JOIN dfx USING (gh)
+        |GROUP BY doc_id""".stripMargin,
+    // the q111 keep rule aggregated per language — the streaming run
+    // replays to exactly this batch result
+    "q121_stream_quality" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '\S+')) AS w,
+        |    len(regexp_extract_all(text, '\S')) AS ch,
+        |    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS sym,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE len(regexp_extract_all(text, '\n')) + 1 END AS ln,
+        |    len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS bl,
+        |    len(regexp_extract_all(text, '(?m)\.\.\.$')) AS el,
+        |    len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS aw,
+        |    (CASE WHEN len(regexp_extract_all(text, '(?i)\bthe\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bbe\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bto\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bof\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\band\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bthat\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bhave\b')) > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN len(regexp_extract_all(text, '(?i)\bwith\b')) > 0 THEN 1 ELSE 0 END) AS st
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN w BETWEEN 30 AND 100000
+        |        AND ch >= 3*w AND ch <= 10*w
+        |        AND 1000*sym <= 100*w AND 1000*bl <= 900*ln AND 1000*el <= 300*ln
+        |        AND 1000*aw >= 800*w AND st >= 1
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |FROM c GROUP BY lang""".stripMargin,
+    // q75's vocab fragment at k=20, positional token join, per-doc
+    // string_agg in token order
+    "q120_vocab_encode" ->
+      """WITH v AS (
+        |  SELECT w, CAST(rn AS INT) AS vocab_id
+        |  FROM (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rn
+        |        FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |              FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                    FROM documents) GROUP BY 1))
+        |  WHERE rn <= 20),
+        |tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |         unnest(range(0, len(string_split(text,' ')))) AS pos FROM documents),
+        |j AS (SELECT doc_id, pos, COALESCE(v.vocab_id, 0) AS tid
+        |      FROM tk LEFT JOIN v USING (w))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  string_agg(tid::VARCHAR, ' ' ORDER BY pos) AS ids
+        |FROM j GROUP BY 1""".stripMargin,
+    // q66's bigram-model fragment -> integer micro-average -> ntile
+    "q115_ppl_buckets" ->
+      """WITH mg AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM documents),
+        |mbg AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM mg),
+        |cab AS (SELECT w1, w2, count(*) AS pair_cnt FROM mbg GROUP BY 1, 2),
+        |ca AS (SELECT w1, CAST(sum(pair_cnt) AS BIGINT) AS head_cnt FROM cab GROUP BY 1),
+        |model AS (SELECT cab.w1, cab.w2,
+        |  CAST(CAST(pair_cnt AS DECIMAL(18,4)) / CAST(head_cnt AS DECIMAL(18,4)) AS DECIMAL(18,6)) AS p6
+        |  FROM cab JOIN ca USING (w1)),
+        |dbg0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM documents),
+        |dbg AS (SELECT doc_id, string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM dbg0),
+        |sc AS (SELECT d.doc_id, coalesce(m.p6, CAST(0 AS DECIMAL(18,6))) AS p6
+        |       FROM dbg d LEFT JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2),
+        |agg AS (SELECT doc_id, CAST(sum(p6) AS DECIMAL(38,6)) AS sum_p6, count(*) AS n_bigrams FROM sc GROUP BY 1),
+        |av AS (SELECT doc_id,
+        |  CASE WHEN n_bigrams > 0 THEN CAST(sum_p6 * 1000000 AS BIGINT) // n_bigrams ELSE -1 END AS avg_micro
+        |  FROM agg)
+        |SELECT doc_id, CAST(avg_micro AS BIGINT) AS avg_micro,
+        |  CAST(ntile(3) OVER (ORDER BY avg_micro DESC, doc_id) AS INT) AS bucket
+        |FROM av""".stripMargin,
+    // Gopher battery: integer counts + cross-multiplied keep rule;
+    // patterns in the Java∩RE2 subset, (?m)/(?i) inline flags shared
+    "q111_gopher" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '\S')) AS INT) AS n_word_chars,
+        |    CAST(len(regexp_extract_all(text, '#')) AS INT) AS n_hash,
+        |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS INT) AS n_ellipsis,
+        |    CAST(CASE WHEN length(text) = 0 THEN 0
+        |              ELSE len(regexp_extract_all(text, '\n')) + 1 END AS INT) AS n_lines,
+        |    CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS INT) AS n_bullet_lines,
+        |    CAST(len(regexp_extract_all(text, '(?m)\.\.\.$')) AS INT) AS n_ellipsis_lines,
+        |    CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS INT) AS n_alpha_words,
+        |    CAST(CASE WHEN len(regexp_extract_all(text, '(?i)\bthe\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bbe\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bto\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bof\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\band\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bthat\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bhave\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bwith\b')) > 0 THEN 1 ELSE 0 END AS INT)
+        |      AS n_stopwords_present
+        |  FROM documents)
+        |SELECT *,
+        |  CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+        |        AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        |        AND 1000 * (n_hash + n_ellipsis) <= 100 * n_words
+        |        AND 1000 * n_bullet_lines <= 900 * n_lines
+        |        AND 1000 * n_ellipsis_lines <= 300 * n_lines
+        |        AND 1000 * n_alpha_words >= 800 * n_words
+        |        AND n_stopwords_present >= 1
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM c""".stripMargin,
+    // integer totals + one decimal-recipe division (subwords/words);
+    // regexp classes are the Java∩RE2 q21/q29 patterns
+    "q124_fertility" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '\S+')) AS w,
+        |    len(regexp_extract_all(text, '\p{L}{1,4}|\p{N}{1,3}|[^\s\p{L}\p{N}]')) AS s,
+        |    length(text) AS c
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(s) AS BIGINT) AS n_subwords, CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CASE WHEN sum(w) > 0 THEN
+        |    CAST(CAST(CAST(sum(s) AS DECIMAL(27,4)) / CAST(sum(w) AS DECIMAL(27,4))
+        |         AS DECIMAL(18,6)) AS DOUBLE) END AS fertility
+        |FROM d GROUP BY lang""".stripMargin,
+    // per-lang distinct-2: md5Hash60 gram keys (the q99 bridge), ttr
+    // via the decimal recipe
+    "q125_distinct_ngrams" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT lang,
+        |        (('0x' || substring(md5(toks[i] || ' ' || toks[i+1]), 1, 15))::BIGINT) AS gh
+        |      FROM (SELECT lang, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |            FROM t WHERE len(toks) >= 2)),
+        |pg AS (SELECT lang, gh, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  count(*) AS n_distinct,
+        |  CAST(CAST(CAST(count(*) AS DECIMAL(27,4)) / CAST(sum(cnt) AS DECIMAL(27,4))
+        |       AS DECIMAL(18,6)) AS DOUBLE) AS ttr
+        |FROM pg GROUP BY lang""".stripMargin,
+    // per-(lang, band) type/occurrence counts; bin() agrees bit-for-bit
+    "q107_freq_spectrum" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT lang, w, count(*) AS cnt FROM w GROUP BY 1, 2)
+        |SELECT lang, CAST(length(bin(cnt)) - 1 AS INT) AS band,
+        |  count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+        |FROM c GROUP BY 1, 2""".stripMargin,
+  )
+}

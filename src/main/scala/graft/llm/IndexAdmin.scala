@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Operational health surface for the persisted index families
+  * (exact/fuzzy dedup, decontamination, IVF/SQ8/PQ ANN): `stats` to
+  * monitor and `compact` to repair — the `system.tables` probe precedent
+  * of the reference (S10, `clickhouse/jdbsChSession.scala:60-91`) applied
+  * to index tables. A 100 TB operator runs `stats` on a schedule and
+  * `compact` when segment counts or bucket occupancy drift.
+  *
+  * The indices are append-only (build writes one generation; every
+  * `update*` appends novel rows), so two things degrade over update
+  * cycles: physical segment counts (small parquet files per append → scan
+  * overhead) and, for the banded fuzzy index, cumulative bucket occupancy
+  * (the build-time `maxBucketSize` cap bounds each BUILD, but appended
+  * generations can push a bucket past it — every future probe then pays
+  * the hot bucket). `compact` fixes both: one generation per component,
+  * and the bands table re-capped to its build contract.
+  */
+object IndexAdmin {
+
+  /** Component tables a prefix may own, across all index families. */
+  private[llm] val ComponentSuffixes: Seq[String] =
+    Seq("hashes", "sigs", "bands", "fps", "centroids", "buckets",
+        "stats", "codes", "books", "meta")
+
+  private def existing(store: graft.io.TableStore,
+                       prefix: String): Seq[String] =
+    ComponentSuffixes.filter(sfx => store.exists(s"$prefix.$sfx"))
+
+  /** Index-health snapshot: one row per (component, metric) with a LONG
+    * value, deterministic row set. Per component: `rows`. Family
+    * extras — `bands`: `n_buckets`, `max_bucket`, `over_cap_buckets`
+    * (vs the meta cap); `buckets` (IVF posting lists): `n_lists`,
+    * `max_list`, `min_list`; `hashes`: `distinct_hash`; `fps`:
+    * `distinct_fp`, `max_df`. Every metric is a distributed aggregate;
+    * only the O(#metrics) result reaches the driver. */
+  def stats(store: graft.io.TableStore, prefix: String): DataFrame = {
+    val spark = store.spark
+    val comps = existing(store, prefix)
+    require(comps.nonEmpty, s"no index tables under prefix $prefix")
+    def agg1(df: DataFrame, metric: String, v: org.apache.spark.sql.Column,
+             comp: String): Seq[(String, String, Long)] =
+      // coalesce: min/max over an empty component (e.g. a bands table
+      // whose every build bucket was over-cap) reports 0, not NULL
+      Seq((comp, metric,
+        df.agg(coalesce(v.cast("long"), lit(0L))).head().getLong(0)))
+    val rows: Seq[(String, String, Long)] = comps.flatMap { comp =>
+      val t = store.read(s"$prefix.$comp")
+      val base = Seq((comp, "rows", t.count()))
+      val extra = comp match {
+        case "bands" =>
+          val occ = t.groupBy(col("band"), col("bucket"))
+            .agg(count(lit(1)).as("__n"))
+          val cap = metaCap(store, prefix)
+          agg1(occ, "n_buckets", count(lit(1)), comp) ++
+            agg1(occ, "max_bucket", max(col("__n")), comp) ++
+            cap.toSeq.flatMap(c => agg1(occ, "over_cap_buckets",
+              count(when(col("__n") > c, 1)), comp))
+        case "buckets" if t.columns.contains("cid") =>
+          val occ = t.groupBy(col("cid")).agg(count(lit(1)).as("__n"))
+          agg1(occ, "n_lists", count(lit(1)), comp) ++
+            agg1(occ, "max_list", max(col("__n")), comp) ++
+            agg1(occ, "min_list", min(col("__n")), comp)
+        case "hashes" =>
+          agg1(t, "distinct_hash", countDistinct(col("content_hash")), comp)
+        case "fps" =>
+          val df_ = t.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+          agg1(t, "distinct_fp", countDistinct(col("fp")), comp) ++
+            agg1(df_, "max_df", max(col("__n")), comp)
+        case _ => Nil
+      }
+      base ++ extra
+    }
+    val schema = StructType(Seq(
+      StructField("component", StringType, nullable = false),
+      StructField("metric", StringType, nullable = false),
+      StructField("value", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2, r._3)), 1),
+      schema)
+  }
+
+  /** The fuzzy index's build-time bucket cap, when its meta records one. */
+  private def metaCap(store: graft.io.TableStore,
+                      prefix: String): Option[Int] =
+    if (!store.exists(s"$prefix.meta")) None
+    else {
+      val m = store.read(s"$prefix.meta")
+      if (m.columns.contains("max_bucket_size"))
+        Some(m.select(col("max_bucket_size")).head().getInt(0))
+      else None
+    }
+
+  /** Rewrite every component into `targetFiles` files (one generation —
+    * the C10 OPTIMIZE FINAL analog over index tables) and re-apply the
+    * fuzzy bands cap from meta: buckets that appended past
+    * `max_bucket_size` are dropped WHOLE, restoring the build contract
+    * (a hot bucket taxes every future probe and its candidates are
+    * boilerplate-dominated anyway — same rationale as the build cap,
+    * `Dedup.buildFuzzyIndex`). Probe results over in-cap buckets are
+    * unchanged. Returns the stats frame AFTER compaction. */
+  def compact(store: graft.io.TableStore, prefix: String,
+              targetFiles: Int = 0): DataFrame = {
+    val spark = store.spark
+    val files = if (targetFiles > 0) targetFiles
+      else spark.sparkContext.defaultParallelism
+    metaCap(store, prefix).foreach { cap =>
+      if (store.exists(s"$prefix.bands")) {
+        val bands = store.read(s"$prefix.bands")
+        val keep = bands.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= cap).select("band", "bucket")
+        store.overwrite(s"$prefix.bands", bands.join(keep, Seq("band", "bucket")))
+      }
+    }
+    existing(store, prefix).foreach(sfx =>
+      store.compact(s"$prefix.$sfx", files))
+    stats(store, prefix)
+  }
+}
