@@ -46,11 +46,42 @@ object Bpe {
 
   /** Learn up to `numMerges` merges from a (syms, cnt) frame (see
     * [[wordFrequencies]]). Stops early when no adjacent pair reaches
-    * `minPairCount`. Returns merge rules in rank order. */
+    * `minPairCount`. Returns merge rules in rank order.
+    *
+    * Driver-round-trip batching (round-6 verdict ask #8): one
+    * 1-row collect per merge is vocab-size round trips, so each pass
+    * collects the top-`batchSize` stale candidates and accepts a PREFIX
+    * of them whose sequential equivalence is provable from the stale
+    * counts alone — the accepted merges are exactly what merge-at-a-time
+    * BPE would have picked (spec-pinned: identical sequence, fewer
+    * jobs). Candidate `(c,d)` after already-accepted merges {(aj,bj)} is
+    * provably next when:
+    *
+    *   - SYMBOL-DISJOINT from every accepted (aj, bj, aj+bj): its own
+    *     count is then untouched by the accepted applications, and no
+    *     surviving old pair can overtake it (old counts only decrease,
+    *     and the stale sort already put (c,d) ahead of all of them in
+    *     the deterministic (count DESC, pair ASC) total order);
+    *   - STRICTLY above every count a CREATED pair could reach: a pair
+    *     born of accepted (aj,bj) is (x,aj·bj), (aj·bj,y) or a
+    *     created-created adjacency, and each is bounded by its stale
+    *     precursor — a pair with right = aj or left = bj — whose count
+    *     is read from the window (precursors outside the window are
+    *     ≤ the window's last count).
+    *
+    * First rejection ends the batch (later candidates' validity depends
+    * on the rejected merge being applied first). Worst case accepts 1
+    * per pass (sequential behavior, same round trips as before); flat
+    * count distributions accept most of the window — corpus-shaped,
+    * typically ~batchSize× fewer driver round trips. Accepted merges
+    * being symbol-disjoint also makes their application order-free; one
+    * vocab map applies the whole batch. */
   def learnMerges(wordFreq: DataFrame, numMerges: Int,
-                  minPairCount: Long = 2): Seq[(String, String)] = {
+                  minPairCount: Long = 2,
+                  batchSize: Int = 16): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     val spark = wordFreq.sparkSession
     import spark.implicits._
     var vocab: Dataset[(Seq[String], Long)] =
@@ -59,32 +90,52 @@ object Bpe {
     vocab.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
-    var iter = 0
-    while (!done && iter < numMerges) {
+    while (!done && merges.size < numMerges) {
+      val want = math.min(batchSize, numMerges - merges.size)
       // adjacent-pair counts, weighted by word frequency: vocab-sized
-      // flatMap + one map-side-partial aggregation
-      val best = vocab.flatMap { case (syms, cnt) =>
+      // flatMap + one map-side-partial aggregation; the deterministic
+      // (count DESC, pair ASC) sort + limit is TakeOrderedAndProject —
+      // `want` driver rows, never a full sort
+      val top = vocab.flatMap { case (syms, cnt) =>
           syms.iterator.zip(syms.iterator.drop(1))
             .map { case (a, b) => ((a, b), cnt) }.toSeq
         }
         .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
         .map { case ((a, b), c) => (a, b, c) }
-        // argmax with the deterministic (count DESC, pair ASC) tie-break
-        // — TakeOrderedAndProject, one driver row
         .orderBy(col("_3").desc, col("_1").asc, col("_2").asc)
-        .limit(1).collect().headOption
-      best match {
-        case Some((l, r, c)) if c >= minPairCount =>
-          merges += ((l, r))
-          val next = vocab.map { case (syms, cnt) =>
-              (mergeOnce(syms, l, r), cnt)
-            }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next.count()
-          vocab.unpersist(false)
-          vocab = next
-        case _ => done = true
+        .limit(want).collect()
+      // bound for any pair OUTSIDE the collected window
+      val cm = if (top.length < want) 0L else top.last._3
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var stop = false
+      top.foreach { case cand @ (l, r, c) =>
+        if (!stop) {
+          if (c < minPairCount) { stop = true }
+          else if (accepted.isEmpty) accepted += cand
+          else {
+            val symSet = accepted.iterator
+              .flatMap(a => Iterator(a._1, a._2, a._1 + a._2)).toSet
+            val disjoint = !symSet(l) && !symSet(r)
+            val precursorBound = top.iterator.filter { case (pl, pr, _) =>
+                accepted.exists { case (aj, bj, _) => pr == aj || pl == bj }
+              }.map(_._3).foldLeft(0L)(math.max)
+            if (disjoint && c > math.max(cm, precursorBound)) accepted += cand
+            else stop = true
+          }
+        }
       }
-      iter += 1
+      if (accepted.isEmpty) done = true
+      else {
+        val rules = accepted.map(a => (a._1, a._2)).toSeq
+        merges ++= rules
+        val next = vocab.map { case (syms, cnt) =>
+            (rules.foldLeft(syms) { case (s, (l, r)) => mergeOnce(s, l, r) },
+              cnt)
+          }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        vocab.unpersist(false)
+        vocab = next
+      }
     }
     vocab.unpersist(false)
     merges.toSeq
