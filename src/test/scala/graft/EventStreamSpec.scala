@@ -95,6 +95,72 @@ class EventStreamSpec extends SparkTestBase {
       (101L, 4L, 2L, 30.0)))  // ONE session spanning two micro-batches
   }
 
+  test("event-time sessionization keeps state bounded: closed sessions leave the state store") {
+    // The 100 TB contract behind q45: session state is per-OPEN-session,
+    // not per-seen-session — watermark-flushed sessions must be REMOVED
+    // from the store, or an unbounded event history accumulates
+    // unbounded state. Asserted on the engine's own state-store metrics.
+    import graft.streaming.EventStream.EventUs
+    def evUs(id: Long, minute: Int, uid: Long, v: Double): EventUs = {
+      val t = ts(minute); EventUs(id, t, t.getTime * 1000L, uid, v)
+    }
+    val dir = tmpDir("stream") + "/evstate"
+    // 6 users × 2 sessions each (80-min gap closes the first inline)
+    val users = 100L to 105L
+    users.zipWithIndex.foreach { case (u, i) =>
+      Seq(evUs(u * 10 + 1, i, u, 1.0), evUs(u * 10 + 2, i + 90, u, 2.0))
+        .toDF().coalesce(1).write.mode("append").parquet(dir)
+    }
+    Seq(evUs(-1, 5 * 24 * 60, -1, 0.0))   // sentinel flushes everything
+      .toDF().coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    spark.catalog.dropTempView("evstate_mem")
+    val q = EventStream.sessionizeEventTime(
+        spark.readStream.schema(schema).parquet(dir).as[EventUs]).toDF()
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("evstate_mem").start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table("evstate_mem").filter($"user_id" >= 0).count()
+    assert(emitted == users.size * 2L, s"expected 12 sessions, got $emitted")
+    val progresses = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    val removed = progresses.map(_.stateOperators.map(_.numRowsRemoved).sum).sum
+    val finalRows = progresses.last.stateOperators.map(_.numRowsTotal).sum
+    assert(removed >= users.size.toLong,
+      s"watermark flushes must REMOVE state rows (removed=$removed)")
+    assert(finalRows <= 1L,
+      s"only the sentinel's open session may remain in state, got $finalRows")
+  }
+
+  test("native session_window streaming keeps state bounded after watermark eviction") {
+    // q50's operator in its streaming form: closed session windows are
+    // evicted from the state store once the watermark passes them.
+    val dir = tmpDir("stream") + "/swstate"
+    val users = 200L to 204L
+    users.zipWithIndex.foreach { case (u, i) =>
+      Seq((u * 10 + 1, ts(i), u), (u * 10 + 2, ts(i + 90), u))
+        .toDF("event_id", "tsm", "user_id")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    Seq((-1L, ts(5 * 24 * 60), -1L)).toDF("event_id", "tsm", "user_id")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    spark.catalog.dropTempView("swstate_mem")
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("tsm", "10 minutes")
+      .groupBy($"user_id", session_window($"tsm", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("sess_start"), $"n_events")
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("swstate_mem").start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table("swstate_mem").filter($"user_id" >= 0).count()
+    assert(emitted == users.size * 2L, s"expected 10 sessions, got $emitted")
+    val progresses = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    val finalRows = progresses.last.stateOperators.map(_.numRowsTotal).sum
+    assert(finalRows <= 1L,
+      s"evicted session windows must leave the store, got $finalRows rows")
+  }
+
   test("parquet-sink streaming: chunker output lands in files with a checkpoint, no driver collect") {
     // the production path next to the gate's memory sink: stream the
     // documents fixture through the q80 chunking transform into a
