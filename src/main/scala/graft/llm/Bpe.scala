@@ -128,11 +128,20 @@ object Bpe {
       else {
         val rules = accepted.map(a => (a._1, a._2)).toSeq
         merges ++= rules
-        val next = vocab.map { case (syms, cnt) =>
+        // checkpoint, not persist: each pass builds on the last, and a
+        // merely-persisted chain keeps the FULL logical plan — k passes
+        // deep, the plan string alone (re-rendered per AQE update) grows
+        // past any heap. Checkpointing materializes the vocab-sized
+        // frame AND truncates lineage to a scan. Reliable checkpoint
+        // when a dir is configured, executor-local otherwise (the
+        // updateExactIndex convention).
+        val mapped = vocab.map { case (syms, cnt) =>
             (rules.foldLeft(syms) { case (s, (l, r)) => mergeOnce(s, l, r) },
               cnt)
-          }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
+          }
+        val next =
+          if (spark.sparkContext.getCheckpointDir.isDefined) mapped.checkpoint()
+          else mapped.localCheckpoint()
         vocab.unpersist(false)
         vocab = next
       }

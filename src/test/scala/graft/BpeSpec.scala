@@ -113,4 +113,64 @@ class BpeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "doc encode must not plan a Window")
   }
+
+  test("batched candidate evaluation: identical merge sequence, fewer Spark jobs") {
+    // the round-trip cut behind the batchSize default: same learned
+    // sequence as merge-at-a-time, measurably fewer driver round trips
+    // (each pass = one count job + one apply job for up to batchSize
+    // merges). Counted on the engine's own job listener.
+    //
+    // Corpus shape matters: chain-heavy corpora (one dominant word whose
+    // merges feed each other) are INHERENTLY sequential — created pairs
+    // tie with their parent and win the next argmax — so batching
+    // correctly degrades to one merge per pass there. The shape that
+    // batches well is the natural-text one: frequent bigrams embedded in
+    // DIVERSE contexts (every precursor pair is context-diluted), with
+    // decaying frequencies. Build exactly that: 30 symbol-disjoint target
+    // bigrams with strictly decaying counts, each occurrence wrapped in
+    // random neighbors from a 62-char alphabet.
+    val rnd = new scala.util.Random(13)
+    val chars = (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).map(_.toString)
+    val words = (0 until 30).flatMap { i =>
+      val (l, r) = (chars(2 * i), chars(2 * i + 1))
+      Seq.fill(300 - 9 * i)(
+        chars(rnd.nextInt(62)) + l + r + chars(rnd.nextInt(62)))
+    }
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val wf = Bpe.wordFrequencies(docs, "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wf.count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def countJobs(body: => Seq[(String, String)]): (Seq[(String, String)], Int) = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      try {
+        val r = body
+        // the listener bus is async: poll until the count is stable
+        var last = -1
+        var stable = 0
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (stable < 3 && System.nanoTime() < deadline) {
+          val now = jobs.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+          Thread.sleep(100)
+        }
+        (r, jobs.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (seq1, jobs1) = countJobs(Bpe.learnMerges(wf, 20, batchSize = 1))
+    val (seqN, jobsN) = countJobs(Bpe.learnMerges(wf, 20, batchSize = 16))
+    wf.unpersist(false)
+    assert(seqN == seq1, s"batched $seqN must equal sequential $seq1")
+    assert(seq1.size >= 10, s"corpus too trivial to exercise batching: $seq1")
+    assert(jobsN < jobs1 / 2,
+      s"batching must cut driver round trips: $jobsN vs $jobs1 jobs")
+  }
 }
