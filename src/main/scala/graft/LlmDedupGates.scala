@@ -327,8 +327,23 @@ object LlmDedupGates {
       .filter(col("metric").isin("rows", "distinct_hash"))
   }
 
+  // BLOOM-pre-filtered decontamination at the gate
+  // (Dedup.decontaminateBloom): same exact result as the q74 gram join,
+  // but the train gram stream probes a test-gram sketch at the scan
+  // stage — the shape that survives a 100 TB train corpus against a
+  // bounded eval suite. Split differs from q74 (thirds, not halves) so
+  // the two gates pin different results.
+  def q130_bloom_decontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.llm.Dedup.decontaminateBloom(
+      train = docs.where(pmod(col("doc_id"), lit(3)) =!= 0),
+      test  = docs.where(pmod(col("doc_id"), lit(3)) === 0),
+      idCol = "doc_id", textCol = "text", ngram = 5, minShared = 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_index_stats"  -> q129_index_stats _,
+    "q130_bloom_decontam" -> q130_bloom_decontam _,
     "q20_dedup_exact"   -> q20_dedup_exact _,
     "q23_fingerprint"   -> q23_fingerprint _,
     "q25_ngram_jaccard" -> q25_ngram_jaccard _,
@@ -349,6 +364,17 @@ object LlmDedupGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q130_bloom_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS is_test,
+        |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |        toks[i+3] || ' ' || toks[i+4] AS gram
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks)-4)) AS i FROM t)),
+        |gd AS (SELECT DISTINCT doc_id, is_test, gram FROM g)
+        |SELECT a.doc_id AS test_id, b.doc_id AS train_id, count(*) AS n_shared
+        |FROM gd a JOIN gd b ON a.gram = b.gram AND a.is_test = 1 AND b.is_test = 0
+        |GROUP BY 1, 2""".stripMargin,
     "q129_index_stats" ->
       """SELECT 'hashes' AS component, 'rows' AS metric,
         |       count(DISTINCT text) AS value FROM documents

@@ -600,6 +600,47 @@ object Dedup {
     }
   }
 
+  /** [[crossCorpusContamination]] with a Bloom pre-filter on the TRAIN
+    * gram stream — the asymmetry a real decontamination run has: the
+    * train corpus is the 100 TB side, the eval suite is bounded. The
+    * test corpus's distinct grams build one small sketch
+    * (distributed-built, ~bytes per thousand grams); every train gram
+    * probes it AT THE SCAN STAGE, so grams that cannot match any test
+    * gram — virtually all of them — drop before the gram join's
+    * shuffle. The exact join then removes the sketch's false
+    * positives: the result is IDENTICAL to
+    * [[crossCorpusContamination]] (spec-pinned), only the shuffled
+    * volume changes — test-gram-bounded instead of train-sized.
+    * Same contract as [[graft.ops.BloomPrune.semiJoinPruned]] (q53),
+    * applied to the decontamination join. */
+  def decontaminateBloom(train: DataFrame, test: DataFrame,
+                         idCol: String, textCol: String,
+                         ngram: Int = 5, minShared: Int = 1,
+                         expectedItems: Long = 1L << 20,
+                         numBits: Long = 1L << 23): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+          explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
+        .distinct()
+    // the test gram frame feeds the sketch build AND the join — pinned
+    // (persist-then-release, the crossCorpusContamination discipline)
+    val te = grams(test, "test_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = graft.ops.BloomPrune.bloomBytes(
+      te.select(col("gram")).distinct(), "gram", expectedItems, numBits)
+    val tr = grams(train, "train_id")
+      .filter(graft.ops.BloomPrune.mightContain(bloom, col("gram")))
+    val out = te.join(tr, Seq("gram"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    te.unpersist(false)
+    out
+  }
+
   /** SEQUENCE-level train/test decontamination: test documents sharing
     * at least `minShared` winnowing fingerprints with a training
     * document — [[crossCorpusContamination]]'s exact-n-gram containment

@@ -1085,6 +1085,34 @@ class LlmOpsSpec extends SparkTestBase {
       "argmax must be a min(struct) groupBy, not a window")
   }
 
+  test("decontaminateBloom ≡ crossCorpusContamination; sketch probes the train scan") {
+    // planted contamination: test docs 100/101 quote train docs' 5-gram
+    // runs; doc 102 is clean. The bloom variant must return the exact
+    // pair set of the plain gram join (false positives die in the exact
+    // join; false negatives are impossible).
+    val train = docs(
+      (1, "the quick brown fox jumps over the lazy dog tonight"),
+      (2, "pack my box with five dozen liquor jugs right now"),
+      (3, "completely unrelated training content nothing shared here at all"))
+    val test = docs(
+      (100, "prefix words the quick brown fox jumps over suffix"),
+      (101, "pack my box with five dozen liquor jugs copied"),
+      (102, "this evaluation document shares no five gram with training"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"test_id", $"train_id", $"n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = norm(Dedup.crossCorpusContamination(
+      train, test, "doc_id", "text", ngram = 5, minShared = 1))
+    val bloom = Dedup.decontaminateBloom(
+      train, test, "doc_id", "text", ngram = 5, minShared = 1)
+    assert(norm(bloom) == exact, s"bloom ${norm(bloom)} vs exact $exact")
+    assert(exact.map(_._1) == Set(100L, 101L), "planted leaks must flag")
+    val p = bloom.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      "train grams must probe the sketch at the scan stage")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("marginMining past the dispatch threshold never broadcasts a corpus side") {
     // corpora larger than the (test-pinned) threshold must route both
     // neighbor passes through LSH banding: the brute kernel's signature —
