@@ -29,6 +29,10 @@ def main(sf_dir, out_dir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    errs_path = os.path.join(out_dir, "errors.json")
+    if os.path.exists(errs_path):
+        for name, msg in sorted(json.load(open(errs_path)).items()):
+            print(f"SPARK-FAIL {name}: {msg[:160]}")
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         spark_dir = os.path.join(out_dir, name)
