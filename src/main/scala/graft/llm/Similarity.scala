@@ -1100,6 +1100,49 @@ object Similarity {
   /** Exact scan — small corpus. */ case object BruteForce extends AnnPath
   /** LSH banding — large corpus, no index. */ case object LshBanding extends AnnPath
   /** Persisted IVF index probe. */ case object IvfIndexed extends AnnPath
+  /** Persisted SQ8 index probe + exact rerank. */ case object SqIndexed extends AnnPath
+  /** Persisted PQ index probe + exact rerank. */ case object PqIndexed extends AnnPath
+
+  /** Which persisted index family lives under `prefix`, decided by the
+    * component tables present ([[buildIvfIndex]]: centroids+buckets;
+    * [[buildPqIndex]]: books+codes+meta; [[buildSqIndex]]:
+    * stats+codes). None when no complete index is stored. */
+  def detectIndexKind(store: graft.io.TableStore,
+                      prefix: String): Option[AnnPath] =
+    if (store.exists(s"$prefix.centroids") && store.exists(s"$prefix.buckets"))
+      Some(IvfIndexed)
+    else if (store.exists(s"$prefix.books") && store.exists(s"$prefix.codes") &&
+             store.exists(s"$prefix.meta"))
+      Some(PqIndexed)
+    else if (store.exists(s"$prefix.stats") && store.exists(s"$prefix.codes"))
+      Some(SqIndexed)
+    else None
+
+  /** Exact-cosine rerank of an ANN candidate pair set: join the
+    * (query_id, cand_id) pairs — k-bounded per query — back to their
+    * raw vectors and re-rank by true cosine. The standard second stage
+    * after a compressed-domain (SQ8/PQ ADC) first stage: the index
+    * finds the shortlist cheaply, the shortlist pays exact math. Also
+    * what makes every [[topK]] route emit the same `cosine` schema. */
+  private def rescoreCosine(pairs: DataFrame, queries: DataFrame,
+                            candidates: DataFrame, idCol: String,
+                            vecCol: String, k: Int,
+                            deterministic: Boolean): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("qv"))
+      .withColumn("qn", norm2Decimal(col("qv")))
+    val c = candidates.select(col(idCol).cast("long").as("cand_id"),
+        col(vecCol).as("cv"))
+      .withColumn("cn", norm2Decimal(col("cv")))
+    val cos =
+      if (deterministic)
+        cosineDeterministic(col("qv"), col("cv"), col("qn"), col("cn"))
+      else cosine(col("qv"), col("cv"))
+    val scored = pairs.select(col("query_id"), col("cand_id"))
+      .join(q, "query_id").join(c, "cand_id")
+      .select(col("query_id"), col("cand_id"), cos.as("cosine"))
+    topKPerQuery(scored, "cosine", k, ascending = false)
+  }
 
   /** Deterministic dispatch rule, factored out so the thresholds are
     * unit-testable without running a search: a persisted index always
@@ -1114,13 +1157,20 @@ object Similarity {
     else if (corpusSize <= bruteForceThreshold) BruteForce
     else LshBanding
 
-  /** Unified ANN top-k: routes to [[ivfTopKIndexed]] (when `index`
-    * names a store+prefix where [[buildIvfIndex]] has persisted one),
+  /** Unified ANN top-k: routes to a persisted index probe (IVF, SQ8,
+    * or PQ — whichever family [[detectIndexKind]] finds under `index`),
     * [[bruteForceTopK]] (small corpus, exact), or [[lshBucketTopK]]
-    * (derived band width) via [[chooseAnnPath]]. All three paths emit
-    * the same (query_id, cand_id, cosine, rnk) schema with the same
-    * tie-break, so callers can switch corpus scale or add an index
-    * without touching downstream code.
+    * (derived band width) via [[chooseAnnPath]]. EVERY route emits the
+    * same (query_id, cand_id, cosine, rnk) schema with the same
+    * tie-break, so callers can switch corpus scale, change index kind,
+    * or add an index without touching downstream code: the
+    * compressed-domain SQ8/PQ probes retrieve `k · rerankFactor`
+    * shortlist pairs and re-rank them by EXACT cosine
+    * ([[rescoreCosine]] — the standard two-stage retrieval, which is
+    * also why their approx-distance surface never leaks out of the
+    * dispatch). For the SQ8/PQ routes `candidates` must carry the raw
+    * vectors of the indexed ids (the rerank joins them back; a pair
+    * whose candidate id is absent from the frame is dropped).
     *
     * The no-index dispatch pays one `count()` of the candidate side —
     * an O(metadata) job on a parquet-backed corpus; pass
@@ -1131,19 +1181,34 @@ object Similarity {
            corpusSize: Long = -1L,
            bruteForceThreshold: Long = 1000000L,
            nprobe: Int = 4,
-           deterministic: Boolean = false): DataFrame = {
-    val hasIndex = index.exists { case (store, prefix) =>
-      store.exists(s"$prefix.centroids") && store.exists(s"$prefix.buckets") }
-    val n = if (hasIndex || corpusSize >= 0) corpusSize else candidates.count()
-    chooseAnnPath(n, hasIndex, bruteForceThreshold) match {
-      case IvfIndexed =>
+           deterministic: Boolean = false,
+           rerankFactor: Int = 2): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val kind = index.flatMap { case (store, prefix) =>
+      detectIndexKind(store, prefix) }
+    kind match {
+      case Some(IvfIndexed) =>
         val (store, prefix) = index.get
         ivfTopKIndexed(store, prefix, queries, idCol, vecCol, k, nprobe)
-      case BruteForce =>
-        bruteForceTopK(queries, candidates, idCol, vecCol, k, deterministic)
-      case LshBanding =>
-        lshBucketTopK(queries, candidates, idCol, vecCol, k,
-          deterministic = deterministic)
+      case Some(SqIndexed) =>
+        val (store, prefix) = index.get
+        rescoreCosine(
+          sqTopKIndexed(store, prefix, queries, idCol, vecCol, k * rerankFactor),
+          queries, candidates, idCol, vecCol, k, deterministic)
+      case Some(PqIndexed) =>
+        val (store, prefix) = index.get
+        rescoreCosine(
+          pqTopKIndexed(store, prefix, queries, idCol, vecCol, k * rerankFactor),
+          queries, candidates, idCol, vecCol, k, deterministic)
+      case _ =>
+        val n = if (corpusSize >= 0) corpusSize else candidates.count()
+        chooseAnnPath(n, hasIndex = false, bruteForceThreshold) match {
+          case BruteForce =>
+            bruteForceTopK(queries, candidates, idCol, vecCol, k, deterministic)
+          case _ =>
+            lshBucketTopK(queries, candidates, idCol, vecCol, k,
+              deterministic = deterministic)
+        }
     }
   }
 

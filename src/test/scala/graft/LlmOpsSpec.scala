@@ -751,6 +751,61 @@ class LlmOpsSpec extends SparkTestBase {
     assert(exact.intersect(ivf).size.toDouble / exact.size >= 0.9)
   }
 
+  test("unified dispatch routes SQ8/PQ indices through exact-cosine rerank, uniform schema") {
+    import Similarity._
+    val rnd = new scala.util.Random(37)
+    val centers = Array.fill(4)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val exact = Similarity.bruteForceTopK(queries, df, "vec_id", "embedding", 5)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    def run(res: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      assert(res.columns.toSeq == Seq("query_id", "cand_id", "cosine", "rnk"),
+        "indexed routes must emit the unified cosine schema, not approx_dist")
+      res.select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    }
+    val sqStore = new graft.io.ParquetTableStore(spark, tmpDir("sq-idx"))
+    Similarity.buildSqIndex(sqStore, "sq", df, "vec_id", "embedding")
+    assert(detectIndexKind(sqStore, "sq").contains(SqIndexed))
+    val sq = run(Similarity.topK(queries, df, "vec_id", "embedding", 5,
+      index = Some((sqStore, "sq"))))
+    assert(exact.intersect(sq).size.toDouble / exact.size >= 0.8,
+      s"SQ8-indexed recall too low: ${exact.intersect(sq).size}/5-sets")
+    // PQ on a tight-cluster corpus ties in ADC space (within-cluster
+    // codes are near-identical), so its honest check is planted-clone
+    // recovery on individually-separated vectors: ADC shortlists the
+    // clone, the exact rerank pins it rank-1
+    val base = (0 until 120).map(i =>
+      (100L + i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val clones = (0 until 4).map(i =>
+      (500L + i, base(i)._2.map(x => x + rnd.nextGaussian().toFloat * 0.02f)))
+    val pdf = (base ++ clones).toDF("vec_id", "embedding")
+    val pQueries = pdf.filter($"vec_id" < 104)
+    val pqStore = new graft.io.ParquetTableStore(spark, tmpDir("pq-idx"))
+    Similarity.buildPqIndex(pqStore, "pq", pdf, "vec_id", "embedding",
+      m = 4, dims = 64, nlist = 16)
+    assert(detectIndexKind(pqStore, "pq").contains(PqIndexed))
+    val pqRes = Similarity.topK(pQueries, pdf, "vec_id", "embedding", 5,
+      index = Some((pqStore, "pq")))
+    assert(pqRes.columns.toSeq == Seq("query_id", "cand_id", "cosine", "rnk"))
+    val rank1 = pqRes.filter($"rnk" === 1)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toMap
+    (0 until 4).foreach { i =>
+      assert(rank1(100L + i) == 500L + i,
+        s"query ${100 + i}: planted clone must be rank-1, got ${rank1(100L + i)}")
+    }
+    // IVF detection priority unaffected
+    val ivStore = new graft.io.ParquetTableStore(spark, tmpDir("iv-idx"))
+    Similarity.buildIvfIndex(ivStore, "iv", df, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    assert(detectIndexKind(ivStore, "iv").contains(IvfIndexed))
+    assert(detectIndexKind(ivStore, "nothing-here").isEmpty)
+  }
+
   test("PQ: codes are bounded and complete; ADC search recalls clustered neighbors") {
     val rnd = new scala.util.Random(59)
     val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
