@@ -178,4 +178,31 @@ object UnigramLm {
         .map(_.toSeq).getOrElse(Seq.empty[String])))
       .toDF("word", "pieces")
   }
+
+  /** [[Bpe.encodeDocs]]' sibling: (doc_id, pieces, n_subwords) with each
+    * document's pieces in original word order. Viterbi runs once per
+    * DISTINCT word ([[encodeWords]] — vocab-sized work regardless of
+    * corpus size); documents pick encodings up by a word join, and
+    * per-doc reassembly is an array_sort bounded by one document. */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 pieces: Seq[(String, Long)],
+                 maxPieceLen: Int = 8): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextShingles.words(col(textCol))).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+    val dict = encodeWords(docs, textCol, pieces, maxPieceLen)
+    val perDoc = words
+      .join(dict, col("w") === col("word"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("pieces"))))
+        .as("ps"))
+      .select(col("doc_id"),
+        flatten(transform(col("ps"), p => p.getField("pieces")))
+          .as("pieces"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pieces"), array().cast("array<string>")).as("pieces"))
+      .withColumn("n_subwords", size(col("pieces")).cast("long"))
+  }
 }
