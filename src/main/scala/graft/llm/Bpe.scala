@@ -88,6 +88,18 @@ object Bpe {
       wordFreq.select(col("syms"), col("cnt")).as[(Seq[String], Long)]
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     vocab.count()
+    // the superseded generation's checkpoint (blocks or files), freed
+    // once the NEXT generation has materialized — without this a long
+    // training accumulates one vocab-sized checkpoint per pass
+    var prevGen: Option[org.apache.spark.rdd.RDD[(Seq[String], Long)]] = None
+    def freeGen(r: org.apache.spark.rdd.RDD[(Seq[String], Long)]): Unit = {
+      r.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true); ()
+      }
+      r.unpersist(false); ()
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.size < numMerges) {
@@ -132,21 +144,26 @@ object Bpe {
         // merely-persisted chain keeps the FULL logical plan — k passes
         // deep, the plan string alone (re-rendered per AQE update) grows
         // past any heap. Checkpointing materializes the vocab-sized
-        // frame AND truncates lineage to a scan. Reliable checkpoint
-        // when a dir is configured, executor-local otherwise (the
-        // updateExactIndex convention).
-        val mapped = vocab.map { case (syms, cnt) =>
+        // frame AND truncates lineage to a scan. RDD-level so the
+        // superseded generation can be FREED (Dataset.checkpoint hides
+        // its internal RDD; its files/blocks would live to the end of
+        // training). Reliable checkpoint when a dir is configured,
+        // executor-local otherwise (the updateExactIndex convention).
+        val gen = vocab.map { case (syms, cnt) =>
             (rules.foldLeft(syms) { case (s, (l, r)) => mergeOnce(s, l, r) },
               cnt)
-          }
-        val next =
-          if (spark.sparkContext.getCheckpointDir.isDefined) mapped.checkpoint()
-          else mapped.localCheckpoint()
+          }.rdd
+        if (spark.sparkContext.getCheckpointDir.isDefined) gen.checkpoint()
+        else { gen.localCheckpoint(); () }
+        gen.count()
         vocab.unpersist(false)
-        vocab = next
+        prevGen.foreach(freeGen)
+        prevGen = Some(gen)
+        vocab = spark.createDataset(gen)
       }
     }
     vocab.unpersist(false)
+    prevGen.foreach(freeGen)
     merges.toSeq
   }
 
@@ -210,10 +227,16 @@ object Bpe {
     * array via the final left join. */
   def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
                  merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val words = docs.select(col(idCol).as("doc_id"),
         posexplode(TextShingles.words(col(textCol))).as(Seq("pos", "w")))
       .where(length(col("w")) > 0)
-    val dict = encodeWords(docs, textCol, merges)
+    // dictionary from the words frame already built — going back to
+    // `docs` (encodeWords) would tokenize the whole corpus twice
+    val dict = words.select(col("w")).distinct().as[String]
+      .map(w => (w, encodeWord(w, merges)))
+      .toDF("word", "tokens")
     val perDoc = words
       .join(dict, col("w") === col("word"))
       .groupBy(col("doc_id"))

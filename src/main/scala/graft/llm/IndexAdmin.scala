@@ -36,44 +36,57 @@ object IndexAdmin {
     * extras — `bands`: `n_buckets`, `max_bucket`, `over_cap_buckets`
     * (vs the meta cap); `buckets` (IVF posting lists): `n_lists`,
     * `max_list`, `min_list`; `hashes`: `distinct_hash`; `fps`:
-    * `distinct_fp`, `max_df`. Every metric is a distributed aggregate;
-    * only the O(#metrics) result reaches the driver. */
+    * `distinct_fp`, `max_df`. ONE Spark job per component: each
+    * component's metrics come out of a single multi-aggregate over its
+    * (occupancy) frame — a scheduled health probe must not pay one
+    * full scan per metric. */
   def stats(store: graft.io.TableStore, prefix: String): DataFrame = {
     val spark = store.spark
     val comps = existing(store, prefix)
     require(comps.nonEmpty, s"no index tables under prefix $prefix")
-    def agg1(df: DataFrame, metric: String, v: org.apache.spark.sql.Column,
-             comp: String): Seq[(String, String, Long)] =
-      // coalesce: min/max over an empty component (e.g. a bands table
-      // whose every build bucket was over-cap) reports 0, not NULL
-      Seq((comp, metric,
-        df.agg(coalesce(v.cast("long"), lit(0L))).head().getLong(0)))
+    // one agg(...) head() per component; min/max over an empty frame
+    // (e.g. a bands table whose every build bucket was over-cap)
+    // coalesce to 0, not NULL
+    def aggRow(df: DataFrame, comp: String,
+               metrics: (String, org.apache.spark.sql.Column)*)
+        : Seq[(String, String, Long)] = {
+      val r = df.agg(
+        metrics.head._2.cast("long").as("m0"),
+        metrics.tail.zipWithIndex.map { case ((_, c), i) =>
+          c.cast("long").as(s"m${i + 1}") }: _*).head()
+      metrics.zipWithIndex.map { case ((name, _), i) =>
+        (comp, name, if (r.isNullAt(i)) 0L else r.getLong(i)) }
+    }
     val rows: Seq[(String, String, Long)] = comps.flatMap { comp =>
       val t = store.read(s"$prefix.$comp")
-      val base = Seq((comp, "rows", t.count()))
-      val extra = comp match {
+      comp match {
         case "bands" =>
           val occ = t.groupBy(col("band"), col("bucket"))
             .agg(count(lit(1)).as("__n"))
           val cap = metaCap(store, prefix)
-          agg1(occ, "n_buckets", count(lit(1)), comp) ++
-            agg1(occ, "max_bucket", max(col("__n")), comp) ++
-            cap.toSeq.flatMap(c => agg1(occ, "over_cap_buckets",
-              count(when(col("__n") > c, 1)), comp))
+          aggRow(occ, comp,
+            Seq("rows" -> sum(col("__n")),
+                "n_buckets" -> count(lit(1)),
+                "max_bucket" -> max(col("__n"))) ++
+              cap.toSeq.map(c =>
+                "over_cap_buckets" -> count(when(col("__n") > c, 1))): _*)
         case "buckets" if t.columns.contains("cid") =>
           val occ = t.groupBy(col("cid")).agg(count(lit(1)).as("__n"))
-          agg1(occ, "n_lists", count(lit(1)), comp) ++
-            agg1(occ, "max_list", max(col("__n")), comp) ++
-            agg1(occ, "min_list", min(col("__n")), comp)
+          aggRow(occ, comp,
+            "rows" -> sum(col("__n")), "n_lists" -> count(lit(1)),
+            "max_list" -> max(col("__n")), "min_list" -> min(col("__n")))
         case "hashes" =>
-          agg1(t, "distinct_hash", countDistinct(col("content_hash")), comp)
+          aggRow(t, comp,
+            "rows" -> count(lit(1)),
+            "distinct_hash" -> countDistinct(col("content_hash")))
         case "fps" =>
-          val df_ = t.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
-          agg1(t, "distinct_fp", countDistinct(col("fp")), comp) ++
-            agg1(df_, "max_df", max(col("__n")), comp)
-        case _ => Nil
+          val occ = t.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+          aggRow(occ, comp,
+            "rows" -> sum(col("__n")), "distinct_fp" -> count(lit(1)),
+            "max_df" -> max(col("__n")))
+        case _ =>
+          aggRow(t, comp, "rows" -> count(lit(1)))
       }
-      base ++ extra
     }
     val schema = StructType(Seq(
       StructField("component", StringType, nullable = false),

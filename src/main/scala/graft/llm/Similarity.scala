@@ -201,7 +201,15 @@ object Similarity {
     fwd
       .withColumn("__c6", col("cosine").cast(c6))
       .join(fs, Seq("query_id"))
-      .join(bs, Seq("cand_id"))
+      // LEFT: under approximate routes (LSH/indexed) a forward
+      // candidate may have NO backward neighborhood — its bucket/probe
+      // set missed every src vector. An inner join would silently drop
+      // the pair (its forward cosine/rank are still valid!); instead
+      // the missing stats null the margin — "this pair's margin could
+      // not be established", the same contract as den ≤ 0. On the
+      // brute route every candidate has kb ≥ 1, so results are
+      // join-type-invariant (gate q126's hash is unchanged).
+      .join(bs, Seq("cand_id"), "left")
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rnk"),
         when(den > 0, (num / den).cast("decimal(38,6)")).as("margin"))
   }
@@ -943,10 +951,14 @@ object Similarity {
   }
 
   /** Query a persisted IVF index (same semantics as [[ivfTopK]], minus
-    * training/assignment cost). */
+    * training/assignment cost). `deterministic` scores probed
+    * candidates with the decimal-exact kernel (the [[bruteForceTopK]]
+    * flag) so an index-backed side of a deterministic pipeline — e.g.
+    * [[marginMining]] — keeps the cross-engine cosine contract. */
   def ivfTopKIndexed(store: graft.io.TableStore, prefix: String,
                      queries: DataFrame, idCol: String, vecCol: String,
-                     k: Int, nprobe: Int = 4): DataFrame = {
+                     k: Int, nprobe: Int = 4,
+                     deterministic: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
     val cents = store.read(s"$prefix.centroids")
     val corpusB = store.read(s"$prefix.buckets")
@@ -955,10 +967,14 @@ object Similarity {
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", vecNorm2(col("qv")))
     val probes = ivfProbeList(q, cents, nprobe)
+    val cos =
+      if (deterministic)
+        cosineDeterministic(col("qv"), col("v"),
+          norm2Decimal(col("qv")), norm2Decimal(col("v")))
+      else cosine(col("qv"), col("v"))
     val scored = probes.join(corpusB, "cid")
       .filter(col("cand_id") =!= col("query_id"))
-      .select(col("query_id"), col("cand_id"),
-        cosine(col("qv"), col("v")).as("cosine"))
+      .select(col("query_id"), col("cand_id"), cos.as("cosine"))
     // probed-bucket candidates can still be occupancy * nprobe rows per
     // query — k-bounded aggregation, not a window sort (see topKPerQuery)
     topKPerQuery(scored, "cosine", k, ascending = false)
@@ -1144,12 +1160,15 @@ object Similarity {
     topKPerQuery(scored, "cosine", k, ascending = false)
   }
 
-  /** Deterministic dispatch rule, factored out so the thresholds are
-    * unit-testable without running a search: a persisted index always
-    * wins (the corpus was already paid for at build time); otherwise
-    * corpora up to `bruteForceThreshold` scan exactly (recall 1 beats
-    * recall <1 whenever the scan is affordable — at k·|Q| comparisons
-    * per candidate row it stays cheap into the low millions), and past
+  /** Deterministic size-threshold rule, factored out so the thresholds
+    * are unit-testable without running a search: a persisted index
+    * always wins (the corpus was already paid for at build time — here
+    * abstracted as `hasIndex`; [[topK]] resolves WHICH indexed route
+    * via [[detectIndexKind]], so the IvfIndexed return stands for "an
+    * indexed route", not necessarily IVF); otherwise corpora up to
+    * `bruteForceThreshold` scan exactly (recall 1 beats recall <1
+    * whenever the scan is affordable — at k·|Q| comparisons per
+    * candidate row it stays cheap into the low millions), and past
     * the threshold LSH banding keeps cost ∝ bucket occupancy. */
   def chooseAnnPath(corpusSize: Long, hasIndex: Boolean,
                     bruteForceThreshold: Long = 1000000L): AnnPath =
@@ -1189,7 +1208,8 @@ object Similarity {
     kind match {
       case Some(IvfIndexed) =>
         val (store, prefix) = index.get
-        ivfTopKIndexed(store, prefix, queries, idCol, vecCol, k, nprobe)
+        ivfTopKIndexed(store, prefix, queries, idCol, vecCol, k, nprobe,
+          deterministic = deterministic)
       case Some(SqIndexed) =>
         val (store, prefix) = index.get
         rescoreCosine(
@@ -1206,7 +1226,11 @@ object Similarity {
           case BruteForce =>
             bruteForceTopK(queries, candidates, idCol, vecCol, k, deterministic)
           case _ =>
+            // band width derived from the size the dispatch already
+            // holds — lshBucketTopK's bits=0 default would re-count the
+            // corpus, defeating an explicitly passed corpusSize
             lshBucketTopK(queries, candidates, idCol, vecCol, k,
+              bits = suggestLshBits(n, 4),
               deterministic = deterministic)
         }
     }

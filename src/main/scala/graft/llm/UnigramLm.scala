@@ -52,20 +52,26 @@ object UnigramLm {
                  seedSize: Int): Seq[(String, Long)] = {
     val spark = wordFreq.sparkSession
     import spark.implicits._
-    def subCounts(minLen: Int, maxLen: Int) = wordFreq
+    // ONE substring-count aggregation serves both the top-seedSize cut
+    // and the char floor (pinned so the two actions don't recompute the
+    // corpus-table flatMap; released once both are collected)
+    val counts = wordFreq
       .flatMap { case (w, c) =>
         (for {
           i <- 0 until w.length
-          l <- minLen to math.min(maxLen, w.length - i)
+          l <- 1 to math.min(maxPieceLen, w.length - i)
         } yield w.substring(i, i + l)).map(_ -> c)
       }
       .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
       .map { case (p, c) => (p, c) }
-    val top = subCounts(1, maxPieceLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = counts
       .orderBy(col("_2").desc, col("_1").asc)
       .limit(seedSize).collect().toSeq
-    val chars = subCounts(1, 1).collect().toSeq
-    (top ++ chars.filterNot(ch => top.exists(_._1 == ch._1)))
+    val chars = counts.filter(_._1.length == 1).collect().toSeq
+    counts.unpersist(false)
+    val topKeys = top.map(_._1).toSet
+    (top ++ chars.filterNot(ch => topKeys(ch._1)))
       .sortBy { case (p, c) => (-c, p) }
   }
 
@@ -187,10 +193,19 @@ object UnigramLm {
   def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
                  pieces: Seq[(String, Long)],
                  maxPieceLen: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scores = pieces.toMap
+    val total = scores.values.sum
     val words = docs.select(col(idCol).as("doc_id"),
         posexplode(TextShingles.words(col(textCol))).as(Seq("pos", "w")))
       .where(length(col("w")) > 0)
-    val dict = encodeWords(docs, textCol, pieces, maxPieceLen)
+    // dictionary from the words frame already built — going back to
+    // `docs` would tokenize the whole corpus a second time
+    val dict = words.select(col("w")).distinct().as[String]
+      .map(w => (w, viterbi(w, scores, total, maxPieceLen)
+        .map(_.toSeq).getOrElse(Seq.empty[String])))
+      .toDF("word", "pieces")
     val perDoc = words
       .join(dict, col("w") === col("word"))
       .groupBy(col("doc_id"))

@@ -1202,11 +1202,22 @@ class LlmOpsSpec extends SparkTestBase {
       .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
     val exact = rank1(Similarity.marginMining(
       src, tgt, "vec_id", "embedding", k = 2, deterministic = false))
-    val lsh = rank1(Similarity.marginMining(
+    val mined = Similarity.marginMining(
       src, tgt, "vec_id", "embedding", k = 2, deterministic = false,
-      bruteForceThreshold = 10L))
+      bruteForceThreshold = 10L)
+    val lsh = rank1(mined)
     val recall = lsh.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH-route rank-1 recall $recall below floor 0.5")
+    // no silent pair loss: every forward neighbor survives to the
+    // output even when its backward neighborhood is empty (the margin
+    // is null there, not the row absent)
+    val fwdPairs = Similarity.topK(src, tgt, "vec_id", "embedding", 2,
+        bruteForceThreshold = 10L)
+      .select($"query_id", $"cand_id").as[(Long, Long)].collect().toSet
+    val minedPairs = mined.select($"query_id", $"cand_id")
+      .as[(Long, Long)].collect().toSet
+    assert(minedPairs == fwdPairs,
+      s"margin join dropped pairs: missing ${fwdPairs.diff(minedPairs)}")
   }
 
   test("marginMining brute path results are dispatch-invariant (topK routing is transparent)") {
