@@ -1168,6 +1168,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("property: decontaminateBloom ≡ crossCorpusContamination on random corpora") {
+    // the bloom path's only permitted divergence is performance: false
+    // positives die in the exact join, false negatives are impossible.
+    // Randomized corpora across seeds pin the result identity beyond
+    // the planted fixture.
+    val lex = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    for (seed <- Seq(5, 17, 23)) {
+      val rnd = new scala.util.Random(seed)
+      def corpus(base: Long, n: Int) = (0 until n).map { i =>
+        (base + i,
+          (0 until (6 + rnd.nextInt(8))).map(_ => lex(rnd.nextInt(10))).mkString(" "))
+      }
+      val train = docs(corpus(0L, 30): _*)
+      val test = docs(corpus(1000L, 12): _*)
+      def norm(df: org.apache.spark.sql.DataFrame) = df
+        .select($"test_id", $"train_id", $"n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+      val exact = norm(Dedup.crossCorpusContamination(
+        train, test, "doc_id", "text", ngram = 3, minShared = 1))
+      val bloom = norm(Dedup.decontaminateBloom(
+        train, test, "doc_id", "text", ngram = 3, minShared = 1))
+      assert(bloom == exact,
+        s"seed $seed: bloom diverged — only in bloom ${bloom.diff(exact)}, " +
+          s"missing ${exact.diff(bloom)}")
+      assert(exact.nonEmpty, s"seed $seed: vacuous corpus (no shared grams)")
+    }
+  }
+
   test("marginMining past the dispatch threshold never broadcasts a corpus side") {
     // corpora larger than the (test-pinned) threshold must route both
     // neighbor passes through LSH banding: the brute kernel's signature —

@@ -462,4 +462,14 @@ class PlanAuditSpec extends SparkTestBase {
     // (non-equi self-exclusion); a plain cartesian would be a regression
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q130: bloom decontamination probes the sketch at the train scan, gram-keyed join only") {
+    val p = plan("q130_bloom_decontam")
+    assert(p.contains("might_contain"),
+      "train grams must probe the test-gram sketch before the join shuffle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "decontamination must stay a gram-keyed equi join, never all-pairs")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
+    assert(p.contains("partial_count"), "pair counts must combine map-side")
+  }
 }
