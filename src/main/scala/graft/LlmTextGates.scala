@@ -302,7 +302,31 @@ object LlmTextGates {
       .select(col("item").as("w"), col("cnt"))
   }
 
+  // Corpus length-distribution diagnostics (ops/Stats): exact type-1
+  // quantiles — smallest v whose cumulative count reaches
+  // ceil(pm·n/1000), per-mille integer thresholds so both engines run
+  // identical arithmetic — per-language plus the global corpus ('all')
+  // in one frame. The global path is the window-free distributed prefix
+  // sum (GlobalRank.globalRunningSum); the per-language path's window
+  // partitions by lang, bounded by one group's distinct lengths.
+  def q131_len_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val probs = Seq(("p50", 500), ("p90", 900), ("p99", 990))
+    graft.ops.Stats.exactQuantilesByGroup(docs, "lang", "n_chars", probs)
+      .unionByName(
+        graft.ops.Stats.exactQuantiles(docs, "n_chars", probs)
+          .select(lit("all").as("lang"), col("label"), col("q")))
+  }
+
+  // Exact equi-width length histogram (ops/Stats.equiWidthHistogram):
+  // integer bin width ceil((max−min+1)/nBins) — no float bin edges —
+  // 1-row min/max stats frame broadcast back, one ≤nBins-row shuffle.
+  def q132_len_histogram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.equiWidthHistogram(t(s, dir, "documents"), "n_chars", 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_len_quantiles" -> q131_len_quantiles _,
+    "q132_len_histogram" -> q132_len_histogram _,
     "q21_token_count"   -> q21_token_count _,
     "q22_quality"       -> q22_quality _,
     "q24_lang_stats"    -> q24_lang_stats _,
@@ -331,6 +355,38 @@ object LlmTextGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q131_len_quantiles" ->
+      """WITH c AS (SELECT lang AS g, n_chars AS v, count(*) AS cnt
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum FROM c),
+        |n AS (SELECT g, sum(cnt) AS n FROM c GROUP BY 1),
+        |p AS (SELECT * FROM (VALUES ('p50', 500), ('p90', 900), ('p99', 990)) t(label, pm))
+        |SELECT r.g AS lang, p.label, min(r.v) AS q
+        |FROM r JOIN n USING (g) CROSS JOIN p
+        |WHERE r.cum >= (p.pm * n.n + 999) // 1000
+        |GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'all' AS lang, p.label, min(r.v) AS q FROM
+        | (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum
+        |  FROM (SELECT n_chars AS v, count(*) AS cnt FROM documents
+        |        WHERE n_chars IS NOT NULL GROUP BY 1)) r
+        | CROSS JOIN (SELECT count(*) AS n FROM documents
+        |             WHERE n_chars IS NOT NULL) n
+        | CROSS JOIN (SELECT * FROM (VALUES ('p50', 500), ('p90', 900),
+        |             ('p99', 990)) t(label, pm)) p
+        |WHERE r.cum >= (p.pm * n.n + 999) // 1000
+        |GROUP BY 2""".stripMargin,
+    "q132_len_histogram" ->
+      """WITH s AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx
+        |           FROM documents WHERE n_chars IS NOT NULL),
+        |w AS (SELECT mn, (mx - mn + 8) // 8 AS w FROM s)
+        |SELECT (d.n_chars - w.mn) // w.w AS bin,
+        |       w.mn + ((d.n_chars - w.mn) // w.w) * w.w AS lo,
+        |       w.mn + ((d.n_chars - w.mn) // w.w + 1) * w.w - 1 AS hi,
+        |       count(*) AS cnt
+        |FROM documents d CROSS JOIN w
+        |WHERE d.n_chars IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q21_token_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
         | CAST(length(text) AS INT) AS len_chars FROM documents""".stripMargin,

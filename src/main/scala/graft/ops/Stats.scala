@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT order statistics — the corpus-distribution
+  * diagnostics a training-data pipeline reads before choosing chunk
+  * sizes, packing budgets, and quality cutoffs (doc-length p50/p99,
+  * token-count histograms per language).
+  *
+  * Exactness contract: all three entry points implement one explicit,
+  * engine-independent rule (type-1 / lower quantile: the smallest value
+  * v whose cumulative count reaches ceil(pm·n/1000), with the fraction
+  * given in PER-MILLE so the threshold is pure integer arithmetic —
+  * float thresholds would hinge on whether an engine parses `0.9` as
+  * an exact decimal or an IEEE double; histogram: integer bin width
+  * ceil((max−min+1)/nBins)) so a SQL engine reproduces the result
+  * bit-for-bit from the same rule — no dependence on any engine's
+  * interpolation flavor. Values are integer-domain (lengths,
+  * token counts, byte sizes); continuous inputs pre-scale to fixed
+  * point upstream, the repo-wide decimal discipline. NULL values are
+  * excluded up front (engines disagree on NULL sort placement, and a
+  * NULL length is a missing measurement, not a rank).
+  *
+  * Scale shape (the 100 TB story): everything runs over the VALUE
+  * HISTOGRAM (one map-side-partial groupBy on the value — distinct
+  * values, not rows, cross the shuffle; doc-length-like domains
+  * collapse 10¹¹ rows to ~10⁶ counts). The global cumulative count is
+  * [[GlobalRank.globalRunningSum]]'s window-free distributed prefix
+  * sum; the per-group variant's window partitions by the GROUP key —
+  * bounded by one group's distinct values, never the corpus. Probe
+  * sets (the quantile fractions) are caller-bounded literals and ride
+  * a broadcast; the histogram's min/max row is a 1-row broadcast
+  * cross join, not a driver collect. No global windows, no data-sized
+  * collects, no sort of the raw corpus anywhere.
+  */
+object Stats {
+
+  private def validateProbs(probs: Seq[(String, Int)]): Unit = {
+    require(probs.nonEmpty, "need at least one quantile fraction")
+    probs.foreach { case (label, pm) =>
+      require(pm > 0 && pm <= 1000,
+        s"per-mille fraction $label=$pm outside (0, 1000]")
+    }
+    require(probs.map(_._1).distinct.size == probs.size,
+      "quantile labels must be distinct")
+  }
+
+  /** The (label, pm) probe frame — tiny, literal, broadcast. */
+  private def probeFrame(df: DataFrame,
+                         probs: Seq[(String, Int)]): DataFrame = {
+    import df.sparkSession.implicits._
+    probs.map { case (l, pm) => (l, pm.toLong) }.toDF("label", "pm")
+  }
+
+  /** ceil(pm·n/1000) as integer arithmetic — the rank a quantile probe
+    * must reach. Always ≥ 1 for pm ≥ 1, so an all-NULL/empty frame
+    * yields no rows rather than a phantom quantile. */
+  private val threshold = expr("(pm * n + 999) div 1000")
+
+  /** Exact global quantiles of integer-valued `valueCol`: for each
+    * (label, pm) the smallest value v with |{rows ≤ v}| ≥
+    * ceil(pm·n/1000) — the type-1 lower quantile, exact on ties and
+    * duplicates. `probs` are per-mille: p50 = 500, p99 = 990.
+    *
+    * Output: (label, q) — one row per requested fraction.
+    *
+    * Plan: value-histogram groupBy → window-free global prefix sum
+    * over value order ([[GlobalRank.globalRunningSum]]) → broadcast
+    * non-equi join against the probe fractions → min(v) per label.
+    * The join input is (distinct values × probes) at worst — probes
+    * are a handful of literals, so this stays metadata-sized. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     probs: Seq[(String, Int)]): DataFrame = {
+    validateProbs(probs)
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = GlobalRank.globalRunningSum(counts, Seq(col("v").asc), "cnt")
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    cum.crossJoin(broadcast(total))
+      .join(broadcast(probeFrame(df, probs)), col("cum") >= threshold)
+      .groupBy(col("label"))
+      .agg(min(col("v")).as("q"))
+  }
+
+  /** Per-group exact quantiles: [[exactQuantiles]]'s rule applied
+    * independently within every `groupCol` value (per-language length
+    * percentiles, per-source token budgets). NULL groups form their
+    * own group, matching the repo-wide aggregation stance; NULL
+    * values are excluded as in the global form.
+    *
+    * Output: (groupCol, label, q).
+    *
+    * Plan: one groupBy on (group, value), a running-sum window
+    * PARTITIONED BY the group — bounded by one group's distinct
+    * values, the legitimate (non-global) window shape — group totals
+    * from a second metadata-sized groupBy, then the same broadcast
+    * probe join. Two shuffles total, both on the group key. */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+                            valueCol: String,
+                            probs: Seq[(String, Int)]): DataFrame = {
+    validateProbs(probs)
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v").asc)
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
+    val totals = counts.groupBy(col("g").as("g2"))
+      .agg(sum(col("cnt")).as("n"))
+    cum.join(totals, col("g") <=> col("g2"))
+      .join(broadcast(probeFrame(df, probs)), col("cum") >= threshold)
+      .groupBy(col("g").as(groupCol), col("label"))
+      .agg(min(col("v")).as("q"))
+  }
+
+  /** Exact equi-width histogram of integer-valued `valueCol` over
+    * `nBins` bins: integer width w = ceil((max−min+1)/nBins), bin i
+    * covers [min+i·w, min+(i+1)·w−1], every value lands in exactly one
+    * bin and only non-empty bins surface. Pure integer arithmetic —
+    * any engine computing the same rule matches bit-for-bit (no float
+    * bin edges to disagree on rounding). NULL values are excluded.
+    *
+    * Output: (bin, lo, hi, cnt) — bin 0-based, bounds inclusive.
+    *
+    * Plan: one 1-row min/max aggregate broadcast-cross-joined back
+    * (lazy — no driver action), bin assignment map-side with integer
+    * `div`, one map-side-partial groupBy on the bin id. One shuffle
+    * of ≤ nBins rows. */
+  def equiWidthHistogram(df: DataFrame, valueCol: String,
+                         nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val v = col(valueCol).cast("long")
+    val stats = df.where(col(valueCol).isNotNull)
+      .agg(min(v).as("mn"), max(v).as("mx"))
+    df.where(col(valueCol).isNotNull)
+      .select(v.as("__v"))
+      .crossJoin(broadcast(stats))
+      // ceil((mx−mn+1)/nBins) via integer div: (mx−mn+nBins) div nBins;
+      // ≥ 1 whenever the frame is non-empty (mx ≥ mn)
+      .withColumn("__w", expr(s"(mx - mn + $nBins) div $nBins"))
+      .withColumn("bin", expr("(__v - mn) div __w"))
+      .groupBy(col("bin"),
+        (col("mn") + col("bin") * col("__w")).as("lo"),
+        (col("mn") + (col("bin") + 1) * col("__w") - 1).as("hi"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+}

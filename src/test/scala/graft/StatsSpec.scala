@@ -1,0 +1,137 @@
+package graft
+
+import graft.ops.Stats
+import org.apache.spark.sql.functions._
+
+/** ops/Stats — distributed exact order statistics: the quantile rule
+  * against a driver-side sorted reference, per-group vs global
+  * consistency, partition independence, and the histogram's exact
+  * integer binning. */
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val probs = Seq(("p50", 500), ("p90", 900), ("p99", 990))
+
+  /** Driver reference: type-1 lower quantile over a sorted vector with
+    * the identical integer threshold rule. */
+  private def refQuantile(values: Seq[Long], pm: Int): Long = {
+    val sorted = values.sorted
+    val rank = ((pm.toLong * sorted.size + 999) / 1000).toInt // ceil
+    sorted(rank - 1)
+  }
+
+  lazy val mixed = Seq.tabulate(997)(i => (i.toLong * 7919L) % 1000L)
+
+  test("exactQuantiles matches the driver-side sorted reference") {
+    val df = mixed.toDF("v")
+    val got = Stats.exactQuantiles(df, "v", probs)
+      .as[(String, Long)].collect().toMap
+    for ((label, pm) <- probs)
+      assert(got(label) == refQuantile(mixed, pm),
+        s"$label: got ${got(label)}, want ${refQuantile(mixed, pm)}")
+  }
+
+  test("quantiles are exact on heavy ties and p1000 is the maximum") {
+    val values = Seq.fill(500)(5L) ++ Seq.fill(499)(9L) ++ Seq(1L)
+    val df = values.toDF("v")
+    val got = Stats.exactQuantiles(df, "v",
+        Seq(("p1", 1), ("p500", 500), ("p501", 501), ("p1000", 1000)))
+      .as[(String, Long)].collect().toMap
+    assert(got("p1") == 1L)      // rank 1 = the single minimum
+    assert(got("p500") == 5L)    // rank 500 still inside the 5-run
+    assert(got("p501") == 5L)    // rank 501: 1 + 500 fives = cum 501
+    assert(got("p1000") == 9L)   // full fraction = maximum
+  }
+
+  test("exactQuantiles is partition-independent and ignores NULL values") {
+    val df = mixed.toDF("v")
+      .unionByName(Seq.empty[Option[Long]].toDF("v"))
+    val withNulls = df.unionByName(
+      Seq[Option[Long]](None, None, None).toDF("v"))
+    val a = Stats.exactQuantiles(withNulls, "v", probs)
+      .as[(String, Long)].collect().toMap
+    val b = Stats.exactQuantiles(withNulls.repartition(13), "v", probs)
+      .as[(String, Long)].collect().toMap
+    assert(a == b, "result must not depend on partitioning")
+    for ((label, pm) <- probs)
+      assert(a(label) == refQuantile(mixed, pm),
+        s"$label must be computed over non-NULL values only")
+  }
+
+  test("exactQuantilesByGroup equals per-group global runs; NULL group kept") {
+    val rows = mixed.zipWithIndex.map { case (v, i) =>
+      (if (i % 3 == 0) Some("a") else if (i % 3 == 1) Some("b") else None, v)
+    }
+    val df = rows.toDF("g", "v")
+    val grouped = Stats.exactQuantilesByGroup(df, "g", "v", probs)
+      .as[(Option[String], String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(grouped.keySet == Set(Some("a"), Some("b"), None),
+      "every group including NULL must surface")
+    for (g <- Seq(Some("a"), Some("b"), None)) {
+      val vals = rows.filter(_._1 == g).map(_._2)
+      val solo = Stats.exactQuantiles(vals.toDF("v"), "v", probs)
+        .as[(String, Long)].collect().toMap
+      assert(grouped(g) == solo, s"group $g must equal its own global run")
+      for ((label, pm) <- probs)
+        assert(grouped(g)(label) == refQuantile(vals, pm))
+    }
+  }
+
+  test("equiWidthHistogram: exact integer bins, total preserved, no overlap") {
+    val values = mixed
+    val df = values.toDF("v")
+    val bins = Stats.equiWidthHistogram(df, "v", 8)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val mn = values.min
+    val mx = values.max
+    val w = (mx - mn + 8) / 8
+    assert(bins.map(_._4).sum == values.size, "every value lands in a bin")
+    for ((bin, lo, hi, cnt) <- bins) {
+      assert(lo == mn + bin * w && hi == mn + (bin + 1) * w - 1,
+        s"bin $bin bounds must follow the integer rule")
+      assert(cnt == values.count(v => v >= lo && v <= hi),
+        s"bin $bin count must be exact")
+    }
+    val ids = bins.map(_._1)
+    assert(ids.distinct.length == ids.length, "bins must be disjoint")
+  }
+
+  test("single-value input collapses to one bin of width >= 1") {
+    val df = Seq.fill(42)(7L).toDF("v")
+    val bins = Stats.equiWidthHistogram(df, "v", 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(bins.length == 1)
+    assert(bins.head._1 == 0L && bins.head._2 == 7L && bins.head._4 == 42L)
+  }
+
+  test("production cross-check: percentile_approx at tight accuracy agrees") {
+    // the approximate production path (one pass, mergeable sketch) lands
+    // on the exact answer at high accuracy on integer data — the
+    // exact/approx pair mirrors the heavy-hitters sketch + recount stance
+    val df = mixed.toDF("v")
+    val approx = df.agg(
+        percentile_approx(col("v"), lit(0.5), lit(100000)).as("p50"))
+      .as[Long].head()
+    val exact = Stats.exactQuantiles(df, "v", Seq(("p50", 500)))
+      .as[(String, Long)].collect().head._2
+    assert(math.abs(approx - exact) <= 1,
+      s"approx $approx must land within 1 of exact $exact")
+  }
+
+  test("validation: bad fractions and duplicate labels fail loud") {
+    val df = Seq(1L).toDF("v")
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantiles(df, "v", Seq(("p0", 0)))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantiles(df, "v", Seq(("x", 1001)))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantiles(df, "v", Seq(("x", 500), ("x", 900)))
+    }
+    intercept[IllegalArgumentException] {
+      Stats.exactQuantiles(df, "v", Seq.empty)
+    }
+  }
+}
