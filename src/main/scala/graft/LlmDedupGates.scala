@@ -211,6 +211,23 @@ object LlmDedupGates {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  // CCNet-style boilerplate removal at the gate
+  // (Dedup.removeBoilerplate): the DOCUMENT-FREQUENCY policy next to
+  // q88's dedup-to-first — lines in > maxDf distinct docs drop from
+  // ALL of them, everything else survives verbatim. Every doc gets two
+  // planted footer lines (df = corpus size ≫ maxDf=2): the footers die
+  // everywhere, doc bodies survive unless the fixture repeats them
+  // past the threshold — the exact rule the oracle recomputes.
+  // hashKeys=false for bit-exact parity (production ships 8-byte
+  // xxhash64 keys through the shuffle instead of line text).
+  def q133_boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs2 = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit("|Subscribe to our newsletter|All rights reserved")).as("text"))
+    graft.llm.Dedup.removeBoilerplate(docs2, "doc_id", "text",
+      sep = "|", maxDf = 2, hashKeys = false)
+  }
+
   // Repeated-span scrubbing at the gate (Dedup.scrubRepeatedSpans): the
   // fixed-width approximation of suffix-array substring dedup — any
   // 10-token run occurring in ≥2 distinct docs is removed from ALL of
@@ -344,6 +361,7 @@ object LlmDedupGates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_index_stats"  -> q129_index_stats _,
     "q130_bloom_decontam" -> q130_bloom_decontam _,
+    "q133_boilerplate"  -> q133_boilerplate _,
     "q20_dedup_exact"   -> q20_dedup_exact _,
     "q23_fingerprint"   -> q23_fingerprint _,
     "q25_ngram_jaccard" -> q25_ngram_jaccard _,
@@ -364,6 +382,22 @@ object LlmDedupGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q133_boilerplate" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id,
+        |         text || '|Subscribe to our newsletter|All rights reserved' AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, i AS pos, parts[i] AS line, len(parts) AS n_lines
+        |      FROM (SELECT doc_id, string_split(text, '|') AS parts,
+        |                   unnest(generate_series(1, len(string_split(text, '|')))) AS i
+        |            FROM docs2)),
+        |df AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+        |k AS (SELECT l.doc_id, l.pos, l.line, l.n_lines
+        |      FROM l JOIN df USING (line) WHERE df.df <= 2)
+        |SELECT doc_id, string_agg(line, '|' ORDER BY pos) AS text_clean,
+        |       count(*) AS n_kept,
+        |       CAST(any_value(n_lines) - count(*) AS BIGINT) AS n_dropped
+        |FROM k GROUP BY doc_id""".stripMargin,
     "q130_bloom_decontam" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS is_test,

@@ -1048,6 +1048,63 @@ object Dedup {
     kept.unionByName(exempt)
   }
 
+  /** CCNet-style BOILERPLATE removal over a (doc_id, pos, para)
+    * instance frame: drop EVERY instance of a paragraph/line that
+    * occurs in MORE THAN `maxDf` distinct documents (navigation bars,
+    * cookie banners, "all rights reserved" footers), keep everything
+    * else — including legitimate repeats within the threshold. The
+    * third policy next to [[dedupParagraphInstances]]'s keep-first
+    * (dedup to one instance) and drop-all-duplicates (strict C4):
+    * boilerplate is defined by DOCUMENT FREQUENCY, not by being
+    * duplicated at all — a quote shared by three docs survives
+    * maxDf=10 where a footer on ten thousand dies.
+    *
+    * `hashKeys = true` (production default) keys the df count and the
+    * drop join on `xxhash64(para)` so the shuffle ships 8-byte keys
+    * instead of paragraph text — the [[repeatedSpanStarts]] stance; a
+    * collision over-drops one paragraph at ~2⁻⁶⁴ odds. Gates pass
+    * `false` for bit-exact DuckDB parity.
+    *
+    * Shape at 100 TB: one map-side-partial distinct-doc count on the
+    * paragraph key (a hot footer collapses per map task before the
+    * shuffle — boilerplate de-skews itself), then an ids-only anti
+    * join. No windows, no collects. */
+  def boilerplateParagraphInstances(paras: DataFrame, maxDf: Long,
+                                    hashKeys: Boolean = true): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val key = if (hashKeys) xxhash64(col("para")) else col("para")
+    val hot = paras.select(key.as("__k"), col("doc_id"))
+      .groupBy(col("__k"))
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__k")
+    paras.withColumn("__k", key)
+      .join(hot, Seq("__k"), "left_anti")
+      .select(col("doc_id"), col("pos"), col("para"))
+  }
+
+  /** Whole-document boilerplate removal: split on the LITERAL `sep`,
+    * drop lines by [[boilerplateParagraphInstances]]'s df > `maxDf`
+    * rule, reassemble survivors in original order. Returns
+    * (doc_id, text_clean, n_kept, n_dropped); documents whose every
+    * line was boilerplate are absent (the [[reassembleParagraphs]]
+    * contract — callers wanting every id left-join this result). */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        sep: String, maxDf: Long,
+                        hashKeys: Boolean = true): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val paras = splitParagraphs(docs, idCol, textCol, quoted)
+    val kept = boilerplateParagraphInstances(paras, maxDf, hashKeys)
+    val rebuilt = reassembleParagraphs(kept, sep)
+      .withColumnRenamed("text", "text_clean")
+    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+    val totals = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), quoted)).cast("long").as("__n_lines"))
+    rebuilt.join(counts, Seq("doc_id")).join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("text_clean"), col("n_kept"),
+        (col("__n_lines") - col("n_kept")).as("n_dropped"))
+  }
+
   /** Flagged span starts for [[scrubRepeatedSpans]]: 0-based token
     * positions `s` such that the n-token window starting at `s` occurs
     * in ≥ `minDocs` DISTINCT documents. One corpus scan exploding the

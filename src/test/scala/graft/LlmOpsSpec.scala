@@ -1264,4 +1264,53 @@ class LlmOpsSpec extends SparkTestBase {
       srcSize = 20L, tgtSize = 20L))
     assert(a == b && a.nonEmpty)
   }
+
+  test("removeBoilerplate: df-threshold policy — hot lines die everywhere, legit repeats survive") {
+    // footer F in all 4 docs (df=4 > maxDf=2); quote Q shared by docs
+    // 1+2 (df=2, at the threshold — survives); bodies unique
+    val df = docs(
+      (1, "body one|Q|F"),
+      (2, "body two|Q|F"),
+      (3, "body three|F"),
+      (4, "F|body four|F"))
+    val out = Dedup.removeBoilerplate(df, "doc_id", "text",
+        sep = "|", maxDf = 2, hashKeys = false)
+      .select($"doc_id", $"text_clean", $"n_kept", $"n_dropped")
+      .as[(Long, String, Long, Long)].collect().toMap2
+    assert(out(1L) == (("body one|Q", 2L, 1L)))
+    assert(out(2L) == (("body two|Q", 2L, 1L)))
+    assert(out(3L) == (("body three", 1L, 1L)))
+    // every instance of a hot line drops, including repeats inside one doc
+    assert(out(4L) == (("body four", 1L, 2L)))
+  }
+
+  test("removeBoilerplate: fully-boilerplate docs are absent; hashKeys parity; dedup contrast") {
+    val df = docs((1, "F"), (2, "F"), (3, "F"), (4, "unique|F"))
+    val out = Dedup.removeBoilerplate(df, "doc_id", "text",
+      sep = "|", maxDf = 2, hashKeys = false)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(4L),
+      "docs reduced to nothing must be absent, the reassemble contract")
+    // production hashed keys compute the identical result
+    val hashed = Dedup.removeBoilerplate(df, "doc_id", "text",
+      sep = "|", maxDf = 2, hashKeys = true)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val plain = Dedup.removeBoilerplate(df, "doc_id", "text",
+      sep = "|", maxDf = 2, hashKeys = false)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(hashed == plain)
+    // contrast with dedupParagraphInstances: keep-first would RETAIN one
+    // F instance; the df policy removes them all
+    val paras = Dedup.splitParagraphs(df, "doc_id", "text",
+      java.util.regex.Pattern.quote("|"))
+    val keepFirst = Dedup.dedupParagraphInstances(paras, keepFirst = true)
+    assert(keepFirst.filter($"para" === "F").count() == 1L)
+    assert(Dedup.boilerplateParagraphInstances(paras, maxDf = 2,
+      hashKeys = false).filter($"para" === "F").count() == 0L)
+  }
+
+  private implicit class Map2Ops(
+      rows: Array[(Long, String, Long, Long)]) {
+    def toMap2: Map[Long, (String, Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
 }
