@@ -472,4 +472,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
     assert(p.contains("partial_count"), "pair counts must combine map-side")
   }
+
+  test("q131: quantiles run over the value histogram — partial counts, probe broadcast, no global window") {
+    val p = plan("q131_len_quantiles")
+    assert(p.contains("partial_count"),
+      "value histogram must combine map-side before the shuffle")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the probe-fraction join must ride a broadcast")
+    // the per-lang window partitions by the group key; the global path's
+    // window partitions by the range-partition id — neither is corpus-wide
+    assert(!p.contains("windowspecdefinition()"),
+      "no unpartitioned (corpus-global) window allowed")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q132: histogram is one partial-combining aggregate over map-side bins") {
+    val p = plan("q132_len_histogram")
+    assert(p.contains("partial_count"), "bin counts must combine map-side")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
+    // the 1-row min/max stats frame joins back as a broadcast, lazily
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "stats row must broadcast back, not shuffle")
+  }
+
+  test("q133: boilerplate removal is a df-count anti join + per-doc reassembly, windowless") {
+    val p = plan("q133_boilerplate")
+    assert(p.contains("LeftAnti"), "hot lines must drop via an anti join")
+    assert(p.contains("partial_count"),
+      "line document-frequency must combine map-side")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }
