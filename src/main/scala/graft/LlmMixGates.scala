@@ -454,7 +454,28 @@ object LlmMixGates {
         defaultPerMille = 100)
       .select(col("doc_id"), col("lang"))
 
+  // Iterative graph diffusion at the gate (ops/GraphOps.pageRank):
+  // quality/trust propagation over a deterministic skewed document
+  // graph — each doc links to doc_id div 2 (a hub-forming collapse)
+  // and to (doc_id²+1) mod n (quadratic spray). 3 iterations, damping
+  // 850‰, all arithmetic integer micro-units, so the oracle's
+  // unrolled-CTE replay matches bit-for-bit. The Pregel-by-joins
+  // shape: per iteration a src-keyed join + one partial dst sum.
+  def q134_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nFrame = docs.agg(count(lit(1)).as("__n"))
+    val e1 = docs.select(col("doc_id").as("src"),
+      expr("doc_id div 2").as("dst"))
+    val e2 = docs.crossJoin(broadcast(nFrame))
+      .select(col("doc_id").as("src"),
+        expr("(doc_id * doc_id + 1) % __n").as("dst"))
+    graft.ops.GraphOps.pageRank(e1.unionByName(e2), "src", "dst",
+        iters = 3, dampingPm = 850)
+      .select(col("node").as("doc_id"), col("rank_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_pagerank"     -> q134_pagerank _,
     "q36_corpus_clean"  -> q36_corpus_clean _,
     "q49_hash_split"    -> q49_hash_split _,
     "q52_stratified_sample" -> q52_stratified_sample _,
@@ -486,6 +507,35 @@ object LlmMixGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q134_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 1) % nn.n FROM documents, nn),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT node
+        |          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |i1 AS (SELECT e.dst AS node, sum(r0.rank // deg.outdeg) AS m
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT nodes.node,
+        |         CAST(150000 + (850 * coalesce(i1.m, 0)) // 1000 AS BIGINT) AS rank
+        |       FROM nodes LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, sum(r1.rank // deg.outdeg) AS m
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT nodes.node,
+        |         CAST(150000 + (850 * coalesce(i2.m, 0)) // 1000 AS BIGINT) AS rank
+        |       FROM nodes LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, sum(r2.rank // deg.outdeg) AS m
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT nodes.node,
+        |         CAST(150000 + (850 * coalesce(i3.m, 0)) // 1000 AS BIGINT) AS rank
+        |       FROM nodes LEFT JOIN i3 USING (node))
+        |SELECT node AS doc_id, rank AS rank_micro FROM r3""".stripMargin,
     "q36_corpus_clean" ->
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 300

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.GraphOps
+import org.apache.spark.sql.functions._
+
+/** ops/GraphOps.pageRank — the integer-rule diffusion: fixed points,
+  * hand-computed small graphs, dangling mass, determinism. */
+class GraphOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int,
+                    dampingPm: Int = 850): Map[Long, Long] =
+    GraphOps.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        iters, dampingPm)
+      .as[(Long, Long)].collect().toMap
+
+  test("a directed ring is a fixed point: every rank stays exactly 1e6") {
+    // outdeg 1 everywhere, in-deg 1 everywhere:
+    // r' = 150000 + 850*1e6 div 1000 = 1_000_000 each iteration
+    val ring = (0L until 10L).map(i => (i, (i + 1) % 10))
+    for (iters <- Seq(1, 3, 7))
+      assert(ranks(ring, iters).values.toSet == Set(1000000L),
+        s"ring must be invariant at iters=$iters")
+  }
+
+  test("star graph: hub accumulates, leaves fall to the base, hand-computed") {
+    // 4 leaves -> hub 0; hub -> leaf 1. After one iteration:
+    //   hub: in = 4 leaves × (1e6 div 1) = 4e6 → 150000 + 850*4e6 div 1000
+    //   leaf1: in = hub 1e6 → 150000 + 850000; other leaves: base only
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+    val r1 = ranks(star, 1)
+    assert(r1(0L) == 150000L + 850L * 4000000L / 1000L) // 3_550_000
+    assert(r1(1L) == 1000000L)
+    assert(r1(2L) == 150000L && r1(3L) == 150000L && r1(4L) == 150000L)
+    // second iteration: hub receives leaf1's full 1e6 (it kept rank —
+    // it got the hub's mass in iter 1) plus 3 × 150000 from the bare
+    // leaves; leaf1 receives the hub's 3_550_000
+    val r2 = ranks(star, 2)
+    assert(r2(0L) == 150000L + 850L * (1000000L + 3 * 150000L) / 1000L) // 1_382_500
+    assert(r2(1L) == 150000L + 850L * 3550000L / 1000L)    // 3_167_500
+  }
+
+  test("dangling nodes keep their base rank and their mass drops") {
+    // 0 -> 1, 1 has no out-edges: node 1 is a sink
+    val r = ranks(Seq((0L, 1L)), 2)
+    assert(r(1L) == 150000L + 850L * 150000L / 1000L,
+      "sink keeps receiving from 0's shrinking rank")
+    assert(r(0L) == 150000L, "no in-edges: base rank only")
+  }
+
+  test("iters=0 returns the uniform start; multi-edges contribute per instance") {
+    assert(ranks(Seq((0L, 1L)), 0).values.toSet == Set(1000000L))
+    // double edge 0->1 plus 0->2: outdeg 3, node 1 gets 2 shares
+    val r = ranks(Seq((0L, 1L), (0L, 1L), (0L, 2L)), 1)
+    val share = 1000000L / 3L // 333_333
+    assert(r(1L) == 150000L + 850L * (2 * share) / 1000L)
+    assert(r(2L) == 150000L + 850L * share / 1000L)
+  }
+
+  test("result is partition-independent and repeatable") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.tabulate(400)(i =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    val a = ranks(edges, 3)
+    val b = GraphOps.pageRank(
+        edges.toDF("src", "dst").repartition(17), "src", "dst", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "integer rule must be partitioning-invariant")
+  }
+
+  test("validation fails loud on bad damping or negative iters") {
+    val df = Seq((0L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(df, "src", "dst", -1)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRank(df, "src", "dst", 1, dampingPm = 1001)
+    }
+  }
+}
