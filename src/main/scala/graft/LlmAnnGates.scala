@@ -358,7 +358,20 @@ object LlmAnnGates {
       |        ORDER BY approx_dist ASC, cand_id ASC) AS rnk FROM pairs)
       |WHERE rnk <= 5""".stripMargin
 
+  // Johnson–Lindenstrauss reduction at the gate
+  // (Similarity.rademacherProjectRows): 64-dim embeddings → 8
+  // components, signs from the deterministic LCG-bit hash both
+  // engines re-derive — ±1 entries keep every term an exact IEEE
+  // negation, so the decimal-sum recipe hash-matches where a Gaussian
+  // matrix couldn't. Map-only (no shuffle); the production packed form
+  // (rademacherProject) feeds LSH/IVF after the cut.
+  def q135_jl_project(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Similarity.rademacherProjectRows(
+      t(s, dir, "embeddings").filter(col("vec_id") < 200),
+      idCol = "vec_id", vecCol = "embedding", dim = 64, outDim = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_jl_project"   -> q135_jl_project _,
     "q26_cosine_topk"   -> q26_cosine_topk _,
     "q61_kmeans_assign" -> q61_kmeans_assign _,
     "q72_hamming_topk"  -> q72_hamming_topk _,
@@ -377,6 +390,27 @@ object LlmAnnGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q135_jl_project" ->
+      """WITH t AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 200),
+        |ji AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |ii AS (SELECT unnest(generate_series(0, 63)) AS i),
+        |h AS (
+        |  SELECT i, j, xor(h2, h2 >> 13) AS h3 FROM (
+        |    SELECT i, j, ((xor(h0, h0 >> 16) % 2147483648) * 2246822519)
+        |                   % 4294967296 AS h2 FROM (
+        |      SELECT ii.i, ji.j,
+        |        (ii.i*2654435761 + ji.j*40503 + 2246822519) % 4294967296 AS h0
+        |      FROM ii CROSS JOIN ji))),
+        |terms AS (
+        |  SELECT t.vec_id, h.j,
+        |    CASE WHEN (h.h3 >> 16) % 2 = 0
+        |         THEN CAST(CAST(v[h.i+1] AS DOUBLE) AS DECIMAL(38,15))
+        |         ELSE CAST(-CAST(v[h.i+1] AS DOUBLE) AS DECIMAL(38,15)) END AS term
+        |  FROM t CROSS JOIN h),
+        |p AS (SELECT vec_id, j, sum(term) AS s FROM terms GROUP BY 1, 2)
+        |SELECT vec_id, CAST(j AS INT) AS j,
+        |       CAST(CAST(CAST(s AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS proj
+        |FROM p""".stripMargin,
     // nearest-centroid assignment: decimal norms/dots, double combine
     "q61_kmeans_assign" ->
       """WITH nv AS (

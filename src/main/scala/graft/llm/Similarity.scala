@@ -56,6 +56,74 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vecCosine(a, b)
 
+  // -------------------------------------------------------------------
+  // Johnson–Lindenstrauss dimensionality reduction (Rademacher signs,
+  // Achlioptas 2003): proj_j = Σ_i s(i,j)·v_i with s ∈ {±1} from a
+  // deterministic integer hash — no stored projection matrix, any
+  // engine (or any executor, any round) re-derives the identical
+  // signs. ±1 entries keep every term an EXACT IEEE negation, so the
+  // house decimal-sum recipe makes the whole projection cross-engine
+  // bit-exact — a Gaussian matrix could never hash-match. Use: shrink
+  // 1k-dim embeddings to 32–64 dims before LSH/IVF/cluster passes —
+  // distance-preserving within (1±ε) at outDim = O(log n / ε²).
+  // -------------------------------------------------------------------
+
+  /** The sign s(i,j): bit 16 of a two-round xor-shift-multiply mix of
+    * (input dim i, output dim j). A single LINEAR form (LCG of
+    * a·i + b·j) is not enough: two output dims then differ by a
+    * constant, and bit 16 of x vs x+c is carry-correlated — measured
+    * column correlations hit 58/64 and the JL variance blew up. The
+    * avalanche rounds drop measured column correlation to the
+    * iid-expected √dim. Every operation stays in 32-bit range via
+    * explicit mods so the DuckDB oracle replays it on BIGINTs without
+    * overflow (and Spark's ANSI long arithmetic never traps). */
+  private def rademacherSign(i: Int, j: Int): Double = {
+    val h0 = (i.toLong * 2654435761L + j.toLong * 40503L + 2246822519L) % 4294967296L
+    val h1 = h0 ^ (h0 >> 16)
+    val h2 = ((h1 % 2147483648L) * 2246822519L) % 4294967296L
+    val h3 = h2 ^ (h2 >> 13)
+    if (((h3 >> 16) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Reduced vectors, packed: adds `outCol` = ARRAY<DOUBLE>(outDim)
+    * to every row. `dim` is the (constant) input dimensionality —
+    * the IVF/PQ builders' constant-dim contract. Map-only: the sign
+    * vectors are outDim constant arrays broadcast inside the plan,
+    * each component one fused native decimal dot ([[dotDecimal]]).
+    * Scale: outDim·dim multiply-adds per row inside the scan stage,
+    * no shuffle, no state. */
+  def rademacherProject(df: DataFrame, vecCol: String, dim: Int,
+                        outDim: Int, outCol: String = "proj"): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(outDim >= 1 && outDim <= dim,
+      s"outDim must be in [1, dim=$dim], got $outDim")
+    val comps = (0 until outDim).map { j =>
+      val signs = array((0 until dim).map(i => lit(rademacherSign(i, j))): _*)
+      dotDecimal(col(vecCol), signs).cast("double")
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
+
+  /** Gate form of [[rademacherProject]]: exploded (id, j, proj) rows
+    * with the decimal(38,6)→double surface every oracle-compared
+    * double in the repo uses. */
+  def rademacherProjectRows(df: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, outDim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(outDim >= 1 && outDim <= dim,
+      s"outDim must be in [1, dim=$dim], got $outDim")
+    val comps = (0 until outDim).map { j =>
+      val signs = array((0 until dim).map(i => lit(rademacherSign(i, j))): _*)
+      // through DOUBLE before the (38,6) surface: a direct
+      // decimal(38,15)→(38,6) downscale hits engine rounding-mode
+      // disagreement on ~half the rows; double→decimal ties are
+      // measure-zero (the q26 recipe)
+      dotDecimal(col(vecCol), signs).cast("double")
+        .cast("decimal(38,6)").cast("double")
+    }
+    df.select(col(idCol), posexplode(array(comps: _*)).as(Seq("j", "proj")))
+  }
+
   /** Per-query top-k WITHOUT a window: groupBy(query_id) + the k-bounded
     * [[graft.functions.TopKByScore]] Aggregator, then posexplode the
     * k-element buffer back to (payload, rnk) rows. The row_number-window

@@ -1308,6 +1308,54 @@ class LlmOpsSpec extends SparkTestBase {
       hashKeys = false).filter($"para" === "F").count() == 0L)
   }
 
+  test("rademacherProject: JL contract — norms preserved in expectation, exact determinism") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.rademacherProject(df, "embedding", dim = 64,
+        outDim = 16)
+      .select($"vec_id", $"proj").as[(Long, Seq[Double])].collect().toMap
+    val ratios = vecs.map { case (id, v) =>
+      val trueNorm2 = v.map(x => x.toDouble * x.toDouble).sum
+      // E[proj_j²] = ‖v‖² per component for ±1 signs; the outDim-average
+      // concentrates (relative σ ≈ √(2/16) ≈ 0.35) — 5× per-vector band,
+      // tight band on the 30-vector mean
+      val est = out(id).map(p => p * p).sum / 16.0
+      assert(est > trueNorm2 / 5.0 && est < trueNorm2 * 5.0,
+        s"vec $id: norm estimate $est vs true $trueNorm2")
+      est / trueNorm2
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.4,
+      s"mean norm ratio $mean must concentrate near 1")
+    // bit-exact repeatability across partitionings (decimal sums)
+    val again = Similarity.rademacherProject(df.repartition(7), "embedding",
+        dim = 64, outDim = 16)
+      .select($"vec_id", $"proj").as[(Long, Seq[Double])].collect().toMap
+    assert(out == again)
+  }
+
+  test("rademacherProjectRows equals the packed form modulo the decimal surface") {
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 10).map(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val packed = Similarity.rademacherProject(df, "embedding", 32, 4)
+      .select($"vec_id", $"proj").as[(Long, Seq[Double])].collect().toMap
+    val rows = Similarity.rademacherProjectRows(df, "vec_id", "embedding", 32, 4)
+      .as[(Long, Int, Double)].collect()
+    assert(rows.length == 40)
+    for ((id, j, p) <- rows) {
+      val raw = packed(id)(j)
+      assert(math.abs(p - raw) < 5e-7,
+        s"row surface must be the decimal(38,6) rounding of the packed value")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rademacherProject(df, "embedding", dim = 32, outDim = 33)
+    }
+  }
+
   private implicit class Map2Ops(
       rows: Array[(Long, String, Long, Long)]) {
     def toMap2: Map[Long, (String, Long, Long)] =
