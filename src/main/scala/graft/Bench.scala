@@ -23,9 +23,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Line-size budget (round-5 verdict: the driver's tail window is 2000
   * bytes and the 81-query 3-decimal line was 2022 — `parsed: null` for
-  * the third round running): per-query values are integer MILLISECONDS
-  * (`"qunit":"ms"`), per-query keys are the unique `qNN` numeric prefix
-  * of the SparkEntry.queries name (`"q27":1571` for
+  * the third round running): per-query values are integer CENTISECONDS
+  * (`"qunit":"cs"` — round 7: 137+ queries put the 6-digit-ms worst
+  * case at 1944B; 10 ms resolution is far inside run-to-run noise and
+  * drops a digit per entry), per-query keys are the unique `qNN`
+  * numeric prefix of the SparkEntry.queries name (`"q27":157` for
   * q27_minhash_pairs — the prefix is how every round's verdict refers
   * to queries, and full 15-char-average names put the worst-case line
   * back over the window), and `sf` is the directory basename. BenchSpec
@@ -41,7 +43,7 @@ object Bench {
   def shortKey(name: String): String = name.takeWhile(_ != '_')
 
   /** The one JSON line the driver parses. `results` carries integer
-    * milliseconds per full query name (-1 = failure); `totalSec` is
+    * centiseconds per full query name (-1 = failure); `totalSec` is
     * seconds. Shared with BenchSpec so the size guard tests the real
     * serializer, not a re-implementation.
     *
@@ -51,17 +53,17 @@ object Bench {
     * run self-describing: a total computed with failed queries excluded
     * is NOT comparable to a green round's total, and cross-referencing
     * -1 sentinels shouldn't be required to notice (round-6 advice).
-    * `failed` lists short keys, capped at 12 so a catastrophic run
+    * `failed` lists short keys, capped at 8 so a catastrophic run
     * cannot blow the driver's 2000-byte tail window. */
   def serialize(results: Seq[(String, Long)], totalSec: Double, sfDir: String,
                 reps: Int = 1): String = {
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
-    val failedJson = failed.take(12).map("\"" + shortKey(_) + "\"")
+    val failedJson = failed.take(8).map("\"" + shortKey(_) + "\"")
       .mkString("[", ",", "]")
     val sf = new java.io.File(sfDir).getName
-    s"""{"metric":"total","value":$totalSec,"unit":"sec","qunit":"ms","reps":$reps,""" +
+    s"""{"metric":"total","value":$totalSec,"unit":"sec","qunit":"cs","reps":$reps,""" +
       s""""nfail":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sf"}"""
   }
   def main(args: Array[String]): Unit = {
@@ -94,9 +96,9 @@ object Bench {
     }
     def round3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = timesByQuery.toSeq.map { case (name, ts) =>
-      name -> (if (ts.exists(_ < 0)) -1L else math.rint(ts.min * 1000).toLong)
+      name -> (if (ts.exists(_ < 0)) -1L else math.rint(ts.min * 100).toLong)
     }
-    val total = round3(results.map(_._2).filter(_ >= 0).sum / 1000.0)
+    val total = round3(results.map(_._2).filter(_ >= 0).sum / 100.0)
     val json = serialize(results, total, sfDir, reps)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>

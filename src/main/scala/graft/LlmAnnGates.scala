@@ -370,8 +370,20 @@ object LlmAnnGates {
       t(s, dir, "embeddings").filter(col("vec_id") < 200),
       idCol = "vec_id", vecCol = "embedding", dim = 64, outDim = 8)
 
+  // Exact covariance sufficient statistics (Similarity
+  // .covarianceStats): per dimension pair i ≤ j the exact decimal
+  // Σ x_i·x_j — the PCA/whitening input. Pair expansion is a
+  // higher-order transform×slice comprehension inside the scan stage
+  // (no self-join), one map-side-partial groupBy on (i, j) → 2080
+  // metadata rows at dim 64; float products exact in double, summed
+  // under the q79 decimal recipe.
+  def q138_covariance_stats(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Similarity.covarianceStats(
+      t(s, dir, "embeddings"), vecCol = "embedding")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_jl_project"   -> q135_jl_project _,
+    "q138_covariance_stats" -> q138_covariance_stats _,
     "q26_cosine_topk"   -> q26_cosine_topk _,
     "q61_kmeans_assign" -> q61_kmeans_assign _,
     "q72_hamming_topk"  -> q72_hamming_topk _,
@@ -390,6 +402,14 @@ object LlmAnnGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q138_covariance_stats" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+        |                  generate_subscripts(embedding, 1) AS i FROM embeddings)
+        |SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+        |  CAST(CAST(CAST(sum(CAST(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE) AS DECIMAL(38,15))) AS DOUBLE) AS DECIMAL(38,6)) AS DOUBLE) AS sum_xy,
+        |  count(*) AS n
+        |FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |GROUP BY 1, 2""".stripMargin,
     "q135_jl_project" ->
       """WITH t AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < 200),
         |ji AS (SELECT unnest(generate_series(0, 7)) AS j),

@@ -358,9 +358,25 @@ object LlmDedupGates {
       idCol = "doc_id", textCol = "text", ngram = 5, minShared = 1)
   }
 
+  // Blocked edit-distance near-dup pairs (Dedup
+  // .blockedEditDistancePairs): record-linkage blocking on a coarse
+  // length bucket (div 16 — most ≤12-edit pairs preserve it), pairwise
+  // Levenshtein ≤ 12 WITHIN a block only. Spark's 3-arg levenshtein
+  // (early-exit, −1 past bound) and DuckDB's 2-arg + filter compute
+  // the identical unit-cost distance. Planted near-dups (first word
+  // dropped) land within edit 12 of their source whenever the dropped
+  // word is short enough — plus the fixture's own close pairs.
+  def q137_edit_pairs(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithNearDups(s, dir)
+    graft.llm.Dedup.blockedEditDistancePairs(
+      corpus, "doc_id", "text",
+      blockKey = Seq(expr("length(text) div 16")), maxDist = 12)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_index_stats"  -> q129_index_stats _,
     "q130_bloom_decontam" -> q130_bloom_decontam _,
+    "q137_edit_pairs"   -> q137_edit_pairs _,
     "q133_boilerplate"  -> q133_boilerplate _,
     "q20_dedup_exact"   -> q20_dedup_exact _,
     "q23_fingerprint"   -> q23_fingerprint _,
@@ -382,6 +398,18 @@ object LlmDedupGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q137_edit_pairs" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '') FROM documents),
+        |k AS (SELECT doc_id, text, length(text) // 16 AS bk FROM c),
+        |ok AS (SELECT bk FROM k GROUP BY bk HAVING count(*) BETWEEN 2 AND 10000),
+        |kb AS (SELECT k.* FROM k JOIN ok USING (bk))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       levenshtein(a.text, b.text) AS dist
+        |FROM kb a JOIN kb b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 12""".stripMargin,
     "q133_boilerplate" ->
       """WITH docs2 AS (
         |  SELECT doc_id,

@@ -324,9 +324,22 @@ object LlmTextGates {
   def q132_len_histogram(s: SparkSession, dir: String): DataFrame =
     graft.ops.Stats.equiWidthHistogram(t(s, dir, "documents"), "n_chars", 8)
 
+  // Per-language HyperLogLog register table over the document texts
+  // (ops/Sketches.hllRegisters): the mergeable distinct-count sketch —
+  // 2^6 integer registers per language instead of a distinct-key
+  // shuffle. Gate runs the md5-derived 60-bit hash so DuckDB rebuilds
+  // the registers from the same rule (bucket = h mod 64, rho = 55 −
+  // bitlength(h div 64)); the float estimate stays spec-pinned.
+  def q136_hll_registers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.hllRegisters(
+      t(s, dir, "documents"), col("text"), b = 6,
+      hashFn = graft.llm.TextAnalysis.md5Hash60, hashBits = 60,
+      groupCols = Seq("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_len_quantiles" -> q131_len_quantiles _,
     "q132_len_histogram" -> q132_len_histogram _,
+    "q136_hll_registers" -> q136_hll_registers _,
     "q21_token_count"   -> q21_token_count _,
     "q22_quality"       -> q22_quality _,
     "q24_lang_stats"    -> q24_lang_stats _,
@@ -355,6 +368,13 @@ object LlmTextGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q136_hll_registers" ->
+      """WITH h AS (SELECT lang, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+        |           FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT lang, h % 64 AS bucket, h // 64 AS w FROM h)
+        |SELECT lang, bucket,
+        |       CAST(max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS INT) AS r
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "q131_len_quantiles" ->
       """WITH c AS (SELECT lang AS g, n_chars AS v, count(*) AS cnt
         |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),

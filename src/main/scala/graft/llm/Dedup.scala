@@ -1282,4 +1282,75 @@ object Dedup {
       .select(col("__id").as(idCol), col("__comp").as(compCol),
         col("survivor_id"))
   }
+
+  /** Edit-distance (Levenshtein) verified near-duplicate pairs under
+    * record-linkage BLOCKING: docs sharing the caller's block key are
+    * compared pairwise, pairs within `maxDist` edits surface as
+    * (id_a, id_b, dist), id_a < id_b. The classic exact-verify stage
+    * for SHORT text fields (titles, URLs, product names) where
+    * character-level edits matter and shingle Jaccard is too coarse —
+    * for whole documents the MinHash/SimHash family upstream is the
+    * right tool and [[editDistanceVerify]] re-checks ITS candidates.
+    *
+    * Scale shape: pair generation happens only WITHIN a block (the
+    * self-join keys on the block columns — one shuffle each side,
+    * never all-pairs), and blocks larger than `maxBlock` are skipped
+    * entirely — the semanticDedup maxClusterSize fail-safe: a
+    * degenerate key (empty title) would otherwise go quadratic. The
+    * comparison runs Spark's built-in 3-arg `levenshtein(a, b, max)`
+    * — codegen'd, O(len·maxDist) with early exit, returns −1 past the
+    * bound so out-of-range pairs filter before anything else ships.
+    * Blocking is an approximation by construction (a near-dup pair
+    * split across blocks is not compared — the recall/cost dial every
+    * record-linkage system exposes); choose keys so edits within
+    * `maxDist` usually preserve them, e.g. coarse length buckets. */
+  def blockedEditDistancePairs(docs: DataFrame, idCol: String,
+                               textCol: String, blockKey: Seq[Column],
+                               maxDist: Int,
+                               maxBlock: Long = 10000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxBlock >= 2, s"maxBlock must be >= 2, got $maxBlock")
+    val keyed = docs.select(
+      blockKey.zipWithIndex.map { case (c, i) => c.as(s"__bk$i") } ++
+        Seq(col(idCol).as("__id"), col(textCol).as("__text")): _*)
+    val bks = blockKey.indices.map(i => s"__bk$i")
+    val small = keyed.groupBy(bks.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBlock && col("__n") >= 2)
+      .drop("__n")
+    val inBlock = keyed.join(small, bks)
+    val a = bks.map(col) :+ col("__id").as("id_a") :+
+      col("__text").as("__ta")
+    val b = bks.map(col) :+ col("__id").as("id_b") :+
+      col("__text").as("__tb")
+    inBlock.select(a: _*)
+      .join(inBlock.select(b: _*), bks)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Exact edit-distance re-verification of CANDIDATE pairs from any
+    * upstream recall stage (MinHash bands, SimHash chunks, blocking):
+    * joins each (doc_a, doc_b) pair's texts back by id — ids-only
+    * shuffles until the bounded pair set — and keeps pairs within
+    * `maxDist` edits. The sketch stages guarantee recall; this
+    * guarantees precision in the strictest character-level sense. */
+  def editDistanceVerify(pairs: DataFrame, docs: DataFrame,
+                         idCol: String, textCol: String,
+                         maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val t = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(t.select(col("__id"), col("__t").as("__ta")),
+        col("doc_a") === col("__id")).drop("__id")
+      .join(t.select(col("__id"), col("__t").as("__tb")),
+        col("doc_b") === col("__id")).drop("__id")
+      .withColumn("dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
 }

@@ -374,6 +374,148 @@ object Similarity {
           .as("sum_val"),
         col("n"))
 
+  /** Exact second-moment sufficient statistics of an embedding column:
+    * for every dimension pair i ≤ j, the exact decimal sum Σ x_i·x_j
+    * over all vectors, plus the row count — everything PCA/whitening
+    * needs (with the per-dim first moments from
+    * [[centroidUpdateStats]]) in dim(dim+1)/2 + dim driver rows.
+    * Products of two floats are EXACT in double (24+24 ≤ 53 mantissa
+    * bits), so cast-to-decimal(38,15)-then-sum is partition-order-proof
+    * — the [[centroidUpdateStats]] recipe applied to the outer product.
+    * Surface via DOUBLE before the (38,6) cast, the q79 rule.
+    *
+    * Scale shape: the pair expansion runs INSIDE the scan stage as a
+    * higher-order `transform`×`slice` comprehension — no self-join, no
+    * second shuffle; one map-side-partial groupBy on (i, j) whose
+    * result is dim²-bounded metadata, never data-sized. The dim²×row
+    * intermediate exists only inside codegen'd map tasks. */
+  def covarianceStats(df: DataFrame, vecCol: String): DataFrame = {
+    val pairs = expr(
+      s"""flatten(transform($vecCol, (x, i) ->
+         |  transform(slice($vecCol, i + 1, size($vecCol) - i), (y, k) ->
+         |    struct(i AS i, i + k AS j,
+         |      cast(cast(x AS double) * cast(y AS double)
+         |           AS decimal(38,15)) AS p))))""".stripMargin)
+    df.where(col(vecCol).isNotNull)
+      .select(explode(pairs).as("e"))
+      .groupBy(col("e.i").cast("int").as("i"),
+        col("e.j").cast("int").as("j"))
+      .agg(sum(col("e.p")).as("__s"), count(lit(1)).as("n"))
+      .select(col("i"), col("j"),
+        col("__s").cast("double").cast("decimal(38,6)").cast("double")
+          .as("sum_xy"),
+        col("n"))
+  }
+
+  /** Deterministic cyclic Jacobi eigendecomposition of a symmetric
+    * matrix — fixed sweep order, convergence on off-diagonal norm;
+    * returns (eigenvalues, eigenvectors as rows) sorted by eigenvalue
+    * DESC with a deterministic sign convention (largest-|component|
+    * entry positive, ties to the lower index). Pure driver math over a
+    * dim×dim matrix — bounded model state, the IVF-centroid
+    * precedent. */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until n; q <- p + 1 until n) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-18) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until n) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until n) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+          for (k <- 0 until n) {
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - s * vkq
+            v(k)(q) = s * vkp + c * vkq
+          }
+        }
+      }
+      sweep += 1
+    }
+    val pairsIdx = (0 until n)
+      .map(i => (a(i)(i), i))
+      .sortBy { case (lam, i) => (-lam, i) }
+    val values = pairsIdx.map(_._1).toArray
+    val vectors = pairsIdx.map { case (_, i) =>
+      val vec = Array.tabulate(n)(k => v(k)(i))
+      // deterministic sign: the largest-|x| component (lowest index on
+      // ties) points positive
+      val pivot = vec.indices.maxBy(k => (math.abs(vec(k)), -k))
+      if (vec(pivot) < 0) vec.map(x => -x) else vec
+    }.toArray
+    (values, vectors)
+  }
+
+  /** PCA whitening of an embedding column: project onto the top
+    * `outDim` principal components scaled to unit variance — the
+    * standard pre-step before cosine-based dedup/retrieval when raw
+    * dimensions are correlated (whitened space makes Euclidean ≈
+    * Mahalanobis). Covariance comes from [[covarianceStats]] +
+    * [[centroidUpdateStats]] (exact decimal sums → dim²-bounded driver
+    * rows — metadata, not data), eigenpairs from the deterministic
+    * [[jacobiEigen]], and the projection rides the fused decimal-dot
+    * kernel with the whitening rows baked in as LITERAL arrays — one
+    * map-only pass over the corpus, the rademacherProject shape, no
+    * broadcast needed. Iterative eigensolve has no SQL form — model
+    * spec-pinned like BPE/MMR; the covariance input is the
+    * hash-checked surface (gate q138).
+    *
+    * Output: (idCol, `outCol` array<double> of length outDim). */
+  def pcaWhiten(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                outDim: Int, eps: Double = 1e-9,
+                outCol: String = "white"): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(outDim >= 1 && outDim <= dim,
+      s"outDim must be in [1, dim=$dim], got $outDim")
+    val moments = covarianceStats(df, vecCol)
+      .select(col("i"), col("j"), col("sum_xy"), col("n")).collect()
+    require(moments.nonEmpty, "empty input: no covariance to whiten")
+    val n = moments.head.getLong(3).toDouble
+    val sums = df.where(col(vecCol).isNotNull)
+      .withColumn("__l", lit(0))
+    val firstMoments = centroidUpdateStats(sums, "__l", vecCol)
+      .select(col("pos"), col("sum_val")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val cov = Array.ofDim[Double](dim, dim)
+    moments.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val sxy = r.getDouble(2)
+      val c = (sxy - firstMoments(i) * firstMoments(j) / n) / n
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (values, vectors) = jacobiEigen(cov)
+    val mean = Array.tabulate(dim)(i => firstMoments(i) / n)
+    val comps = (0 until outDim).map { r =>
+      val scale = 1.0 / math.sqrt(math.max(values(r), 0.0) + eps)
+      val row = vectors(r)
+      // (x − μ)·w = x·w − μ·w: fold the mean shift into a constant so
+      // the per-row work stays one fused decimal dot
+      val w = array((0 until dim).map(i => lit(row(i) * scale)): _*)
+      val shift = (0 until dim).map(i => mean(i) * row(i) * scale).sum
+      (dotDecimal(col(vecCol), w).cast("double") - lit(shift))
+    }
+    df.where(col(vecCol).isNotNull)
+      .select(col(idCol), array(comps: _*).as(outCol))
+  }
+
   /** Assign every vector to its nearest centroid by squared L2 distance —
     * the k-means assignment step as a standalone operator (cluster-based
     * corpus curation / diversity sampling: bucket the corpus, then sample

@@ -22,25 +22,25 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("worst-case serialized bench line stays under 1900 bytes") {
-    // worst case: every query at 6-digit ms (a 100+-second query), a
-    // 3-decimal total, AND 12 failures (the failed-list cap) — strictly
+    // worst case: every query at 5-digit cs (a 100+-second query), a
+    // 3-decimal total, AND 8 failures (the failed-list cap) — strictly
     // wider than anything a passing run emits
     val worst = names.zipWithIndex.map { case (n, i) =>
-      n -> (if (i < 12) -1L else 999999L) }
+      n -> (if (i < 8) -1L else 99999L) }
     val line = Bench.serialize(worst, 9999.999, "/root/testdata/sf0.1", reps = 3)
     assert(line.length < 1900,
       s"bench line ${line.length}B would overflow the driver's 2000B tail window")
   }
 
   test("serializer emits the driver contract fields with sf basename") {
-    val line = Bench.serialize(Seq("q0_flagship" -> 1312L, "q27_minhash_pairs" -> -1L),
+    val line = Bench.serialize(Seq("q0_flagship" -> 131L, "q27_minhash_pairs" -> -1L),
       1.312, "/root/testdata/sf0.1", reps = 3)
     assert(line ==
-      """{"metric":"total","value":1.312,"unit":"sec","qunit":"ms","reps":3,""" +
-        """"nfail":1,"failed":["q27"],"queries":{"q0":1312,"q27":-1},"sf":"sf0.1"}""")
+      """{"metric":"total","value":1.312,"unit":"sec","qunit":"cs","reps":3,""" +
+        """"nfail":1,"failed":["q27"],"queries":{"q0":131,"q27":-1},"sf":"sf0.1"}""")
   }
 
-  test("failed list caps at 12 keys so a catastrophic run still fits the window") {
+  test("failed list caps at 8 keys so a catastrophic run still fits the window") {
     val allFail = names.map(_ -> -1L)
     val line = Bench.serialize(allFail, 0.0, "/root/testdata/sf0.1", reps = 3)
     assert(line.length < 1900, s"all-fail line ${line.length}B overflows")

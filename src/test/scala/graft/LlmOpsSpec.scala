@@ -1356,6 +1356,79 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  /** Driver Levenshtein reference — classic DP, unit costs. */
+  private def refLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private lazy val editCorpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(41)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    (0 until 60).map { i =>
+      val base = Seq.fill(4 + rnd.nextInt(3))(
+        words(rnd.nextInt(words.length))).mkString(" ")
+      (i.toLong, base)
+    }
+  }
+
+  test("blockedEditDistancePairs equals the within-block driver reference") {
+    val df = editCorpus.toDF("doc_id", "text")
+    val got = Dedup.blockedEditDistancePairs(df, "doc_id", "text",
+        blockKey = Seq(expr("length(text) div 8")), maxDist = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val byBlock = editCorpus.groupBy(_._2.length / 8)
+    val want = (for {
+      (_, docs) <- byBlock.toSeq
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      d = refLev(ta, tb) if d <= 6
+    } yield (ia, ib, d)).toSet
+    assert(got == want)
+  }
+
+  test("blockedEditDistancePairs skips blocks past maxBlock and is partition-independent") {
+    // one degenerate block (everyone length 5) plus a small pair block
+    val rows = (0L until 30L).map(i => (i, "xxxxx")) ++
+      Seq((100L, "abcdefgh"), (101L, "abcdefgi"))
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.blockedEditDistancePairs(df, "doc_id", "text",
+        blockKey = Seq(expr("length(text)")), maxDist = 2, maxBlock = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((100L, 101L, 1)),
+      "the 30-doc degenerate block must be skipped whole")
+    val re = Dedup.blockedEditDistancePairs(df.repartition(7), "doc_id",
+        "text", blockKey = Seq(expr("length(text)")), maxDist = 2,
+        maxBlock = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(re == got)
+    intercept[IllegalArgumentException] {
+      Dedup.blockedEditDistancePairs(df, "doc_id", "text",
+        blockKey = Seq(expr("length(text)")), maxDist = -1)
+    }
+  }
+
+  test("editDistanceVerify re-checks upstream candidate pairs exactly") {
+    val df = editCorpus.toDF("doc_id", "text")
+    // candidates: ALL pairs (tiny corpus) — verify must keep exactly
+    // the ≤4-edit ones regardless of how candidates were produced
+    val cands = (for {
+      (ia, _) <- editCorpus; (ib, _) <- editCorpus if ia < ib
+    } yield (ia, ib)).toDF("doc_a", "doc_b")
+    val got = Dedup.editDistanceVerify(cands, df, "doc_id", "text",
+        maxDist = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (ia, ta) <- editCorpus; (ib, tb) <- editCorpus if ia < ib
+      d = refLev(ta, tb) if d <= 4
+    } yield (ia, ib, d)).toSet
+    assert(got == want)
+  }
+
   private implicit class Map2Ops(
       rows: Array[(Long, String, Long, Long)]) {
     def toMap2: Map[Long, (String, Long, Long)] =
