@@ -336,10 +336,39 @@ object LlmTextGates {
       hashFn = graft.llm.TextAnalysis.md5Hash60, hashBits = 60,
       groupCols = Seq("lang"))
 
+  // ROUGE-n clipped bigram overlap (Relevance.rougeOverlap) between
+  // each doc and its id-successor — the generation-eval harness next
+  // to q116's retrieval metrics. Grams hash to int64 before the
+  // shuffle (md5Hash60 at the gate); ratios surface as integer
+  // per-mille floor divisions. Zero-overlap and too-short-to-gram
+  // pairs still surface.
+  def q139_rouge_overlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = docs
+      .select(col("doc_id").as("cand_id"),
+        (col("doc_id") + 1).as("ref_id"))
+      .join(docs.select(col("doc_id").as("ref_id")), Seq("ref_id"),
+        "left_semi")
+    graft.llm.Relevance.rougeOverlap(pairs, docs, "doc_id", "text",
+      n = 2, hashFn = graft.llm.TextAnalysis.md5Hash60)
+  }
+
+  // Key-skew diagnostic (ops/Stats.keySkewReport): the 10 heaviest
+  // (lang, source) combinations with exact counts and integer
+  // per-mille share — the pre-partitioning report. orderBy+limit plans
+  // as TakeOrderedAndProject (per-partition top-K + driver K-merge,
+  // never a global sort); the (cnt DESC, keys ASC) total order makes
+  // the cut engine-independent on ties.
+  def q140_key_skew(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.keySkewReport(
+      t(s, dir, "documents"), Seq("lang", "source"), topK = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_len_quantiles" -> q131_len_quantiles _,
     "q132_len_histogram" -> q132_len_histogram _,
     "q136_hll_registers" -> q136_hll_registers _,
+    "q139_rouge_overlap" -> q139_rouge_overlap _,
+    "q140_key_skew"     -> q140_key_skew _,
     "q21_token_count"   -> q21_token_count _,
     "q22_quality"       -> q22_quality _,
     "q24_lang_stats"    -> q24_lang_stats _,
@@ -368,6 +397,34 @@ object LlmTextGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q139_rouge_overlap" ->
+      """WITH raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+        |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+        |            FROM raw WHERE len(toks) >= 2)),
+        |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS t FROM gc GROUP BY 1),
+        |p AS (SELECT a.doc_id AS cand_id, a.doc_id + 1 AS ref_id
+        |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |ov AS (SELECT p.cand_id, p.ref_id, sum(least(ca.c, rb.c)) AS ov
+        |       FROM p JOIN gc ca ON ca.doc_id = p.cand_id
+        |             JOIN gc rb ON rb.doc_id = p.ref_id AND rb.gram = ca.gram
+        |       GROUP BY 1, 2)
+        |SELECT p.cand_id, p.ref_id,
+        |  CAST(coalesce(ct.t, 0) AS BIGINT) AS cand_grams,
+        |  CAST(coalesce(rt.t, 0) AS BIGINT) AS ref_grams,
+        |  CAST(coalesce(ov.ov, 0) AS BIGINT) AS overlap,
+        |  CAST(CASE WHEN coalesce(rt.t, 0) > 0 THEN (1000 * coalesce(ov.ov, 0)) // rt.t ELSE 0 END AS BIGINT) AS recall_pm,
+        |  CAST(CASE WHEN coalesce(ct.t, 0) > 0 THEN (1000 * coalesce(ov.ov, 0)) // ct.t ELSE 0 END AS BIGINT) AS precision_pm
+        |FROM p LEFT JOIN tot ct ON ct.doc_id = p.cand_id
+        |       LEFT JOIN tot rt ON rt.doc_id = p.ref_id
+        |       LEFT JOIN ov ON ov.cand_id = p.cand_id AND ov.ref_id = p.ref_id""".stripMargin,
+    "q140_key_skew" ->
+      """SELECT lang, source, count(*) AS cnt,
+        |  (1000 * count(*)) // t.total AS share_pm
+        |FROM documents CROSS JOIN (SELECT count(*) AS total FROM documents) t
+        |GROUP BY lang, source, t.total
+        |ORDER BY cnt DESC, lang, source LIMIT 10""".stripMargin,
     "q136_hll_registers" ->
       """WITH h AS (SELECT lang, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
         |           FROM documents WHERE text IS NOT NULL),

@@ -556,4 +556,59 @@ object Relevance {
         when(col("__fr").isNotNull, expr("CAST(1000000 DIV __fr AS BIGINT)"))
           .otherwise(lit(0L)).as("rr_micro"))
   }
+
+  /** ROUGE-n style clipped n-gram overlap between candidate/reference
+    * document pairs — the summarization/generation eval harness next to
+    * [[retrievalMetrics]]. Per (cand_id, ref_id) pair: total gram
+    * instances on each side and the CLIPPED overlap
+    * Σ_g min(count_cand(g), count_ref(g)) — overlap/ref_grams is
+    * ROUGE-n recall, overlap/cand_grams the BLEU-style modified
+    * precision; both surfaced as integer PER-MILLE floor divisions
+    * (the exact-rational recipe — a float ratio ties at the rounding
+    * digit). Pairs whose sides share nothing (or are too short to
+    * gram) still surface with overlap 0.
+    *
+    * Scale shape: each doc grams ONCE into a persisted (id, gram-hash,
+    * count) table — grams hash to int64 before any shuffle (the q99
+    * rule), and pairs join that table per side BY ID, so shuffle
+    * volume is pairs×grams, never corpus×corpus. One groupBy per pair
+    * for the clipped sum; totals ride two metadata-sized joins. */
+  def rougeOverlap(pairs: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, n: Int = 2,
+                   hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = docs.select(col(idCol).as("__id"),
+        explode(TextShingles.wordNgrams(col(textCol), n)).as("__g"))
+      .select(col("__id"), hashFn(col("__g")).as("__gh"))
+      .groupBy(col("__id"), col("__gh")).agg(count(lit(1)).as("__c"))
+      .persist(MemDisk)
+    val totals = grams.groupBy(col("__id")).agg(sum(col("__c")).as("__t"))
+    val p = pairs.select(col("cand_id"), col("ref_id"))
+    val overlap = p
+      .join(grams.select(col("__id").as("cand_id"), col("__gh"),
+        col("__c").as("__cc")), Seq("cand_id"))
+      .join(grams.select(col("__id").as("ref_id"), col("__gh"),
+        col("__c").as("__rc")), Seq("ref_id", "__gh"))
+      .groupBy(col("cand_id"), col("ref_id"))
+      .agg(sum(least(col("__cc"), col("__rc"))).as("__ov"))
+    val out = p
+      .join(totals.select(col("__id").as("cand_id"),
+        col("__t").as("__ct")), Seq("cand_id"), "left")
+      .join(totals.select(col("__id").as("ref_id"),
+        col("__t").as("__rt")), Seq("ref_id"), "left")
+      .join(overlap, Seq("cand_id", "ref_id"), "left")
+      .select(col("cand_id"), col("ref_id"),
+        coalesce(col("__ct"), lit(0L)).as("cand_grams"),
+        coalesce(col("__rt"), lit(0L)).as("ref_grams"),
+        coalesce(col("__ov"), lit(0L)).as("overlap"))
+      .withColumn("recall_pm",
+        when(col("ref_grams") > 0,
+          expr("CAST(1000 * overlap DIV ref_grams AS BIGINT)"))
+          .otherwise(lit(0L)))
+      .withColumn("precision_pm",
+        when(col("cand_grams") > 0,
+          expr("CAST(1000 * overlap DIV cand_grams AS BIGINT)"))
+          .otherwise(lit(0L)))
+    finishWithPin(out, Some(grams))
+  }
 }

@@ -128,6 +128,36 @@ object Stats {
     * (lazy — no driver action), bin assignment map-side with integer
     * `div`, one map-side-partial groupBy on the bin id. One shuffle
     * of ≤ nBins rows. */
+  /** Key-skew diagnostic: the `topK` heaviest key combinations with
+    * exact counts and integer per-mille corpus share — what an
+    * operator reads BEFORE choosing a partitioning (is `lang` safe to
+    * shuffle on, or does one value own 40% of the corpus and need
+    * salting / AQE skew handling?). NULL key values count as their own
+    * group, which is exactly the degenerate-key case the report is
+    * for.
+    *
+    * Determinism: rows are selected by (cnt DESC, keys ASC) — a total
+    * order, so the cut at `topK` is engine-independent even on count
+    * ties; share_pm is an integer floor division.
+    *
+    * Plan: one map-side-partial groupBy on the keys, a 1-row total
+    * broadcast back (lazy), then orderBy+limit — Spark plans that as
+    * TakeOrderedAndProject: each partition keeps its own top-K and the
+    * driver merges K-lists, never a global sort. */
+  def keySkewReport(df: DataFrame, keyCols: Seq[String],
+                    topK: Int): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_pm", expr("CAST(1000 * cnt DIV __total AS BIGINT)"))
+      .drop("__total")
+      .orderBy(col("cnt").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topK)
+  }
+
   def equiWidthHistogram(df: DataFrame, valueCol: String,
                          nBins: Int): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")

@@ -351,4 +351,43 @@ class RelevanceSpec extends SparkTestBase {
     assert(Relevance.retrievalMetrics(r3, q3, k = 3)
       .select($"rr_micro").as[Long].head() == 333333L)
   }
+
+  test("rougeOverlap: clipped bigram overlap on a hand-computable fixture") {
+    val docs = Seq(
+      (1L, "a b c a b"),   // bigrams: "a b"×2, "b c", "c a"
+      (2L, "a b d a b"),   // bigrams: "a b"×2, "b d", "d a"
+      (3L, "x y"),         // one bigram, shares nothing
+      (4L, "solo")         // too short to gram
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 1L))
+      .toDF("cand_id", "ref_id")
+    val got = Relevance.rougeOverlap(pairs, docs, "doc_id", "text", n = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    // clip: min(2,2)=2 on "a b", nothing else shared → 2 of 4
+    assert(got((1L, 2L)) == ((4L, 4L, 2L, 500L, 500L)))
+    assert(got((1L, 3L)) == ((4L, 1L, 0L, 0L, 0L)))
+    // gram-less ref/cand surfaces with zero totals, never divides
+    assert(got((1L, 4L)) == ((4L, 0L, 0L, 0L, 0L)))
+    assert(got((4L, 1L)) == ((0L, 4L, 0L, 0L, 0L)))
+  }
+
+  test("rougeOverlap: hash choice does not change results; partition-independent") {
+    val rnd = new scala.util.Random(53)
+    val words = Seq("the", "cat", "sat", "on", "mat", "dog", "ran")
+    val docs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(5))(
+        words(rnd.nextInt(words.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = (0 until 39).map(i => (i.toLong, i.toLong + 1))
+      .toDF("cand_id", "ref_id")
+    def run(df: org.apache.spark.sql.DataFrame,
+            h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      Relevance.rougeOverlap(pairs, df, "doc_id", "text", n = 2, hashFn = h)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val xx = run(docs, xxhash64(_))
+    val md = run(docs, graft.llm.TextAnalysis.md5Hash60)
+    assert(xx == md, "results must be a pure function of the grams")
+    assert(run(docs.repartition(9), xxhash64(_)) == xx)
+  }
 }

@@ -134,4 +134,36 @@ class StatsSpec extends SparkTestBase {
       Stats.exactQuantiles(df, "v", Seq.empty)
     }
   }
+
+  test("keySkewReport: exact counts, floor-division share, deterministic tie cut") {
+    // 10×a, 5×b, 5×c, 2×(NULL) — b/c tie on count, cut must take both
+    // before NULL (keys ASC after cnt DESC; NULL sorts last in Spark asc)
+    val rows = Seq.fill(10)(Some("a")) ++ Seq.fill(5)(Some("b")) ++
+      Seq.fill(5)(Some("c")) ++ Seq.fill(2)(Option.empty[String])
+    val df = rows.toDF("k")
+    val got = Stats.keySkewReport(df, Seq("k"), topK = 3)
+      .as[(Option[String], Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (Some("a"), 10L, 454L),   // 10000/22 = 454.5… floored
+      (Some("b"), 5L, 227L),
+      (Some("c"), 5L, 227L)))
+    // topK past the key count returns every group incl. the NULL key
+    val all = Stats.keySkewReport(df, Seq("k"), topK = 10)
+      .as[(Option[String], Long, Long)].collect().toSeq
+    assert(all.length == 4 && all.last == ((None, 2L, 90L)))
+  }
+
+  test("keySkewReport plans as TakeOrderedAndProject, never a global sort") {
+    val df = Seq.tabulate(100)(i => (s"k${i % 7}", i)).toDF("k", "v")
+    val plan = Stats.keySkewReport(df, Seq("k"), topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    intercept[IllegalArgumentException] {
+      Stats.keySkewReport(df, Seq.empty, topK = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.keySkewReport(df, Seq("k"), topK = 0)
+    }
+  }
 }
