@@ -474,8 +474,20 @@ object LlmMixGates {
       .select(col("node").as("doc_id"), col("rank_micro"))
   }
 
+  // Export-shard assignment (Packing.shardAssign): docs in id order
+  // shard at a 20k-char budget — shard_id = exclusive_prefix DIV
+  // budget, docs never split (the WebDataset layout). Prefix sum is
+  // the window-free globalRunningSum; shard id is map-only integer
+  // arithmetic on top.
+  def q141_shard_assign(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.shardAssign(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      sortCols = Seq(col("doc_id")), valueCol = "n_chars",
+      shardBudget = 20000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_pagerank"     -> q134_pagerank _,
+    "q141_shard_assign" -> q141_shard_assign _,
     "q36_corpus_clean"  -> q36_corpus_clean _,
     "q49_hash_split"    -> q49_hash_split _,
     "q52_stratified_sample" -> q52_stratified_sample _,
@@ -507,6 +519,11 @@ object LlmMixGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q141_shard_assign" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum,
+        |  CAST((sum(n_chars) OVER (ORDER BY doc_id) - n_chars) // 20000 AS BIGINT) AS shard_id
+        |FROM documents""".stripMargin,
     "q134_pagerank" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         |e AS (

@@ -184,4 +184,35 @@ object Packing {
         sum(sizeCol.cast("long")).as("sum_len"))
       .withColumn("waste",
         col("n_rows") * col("max_len") - col("sum_len"))
+
+  /** Export-shard assignment — the final step before a training corpus
+    * ships as fixed-size archive shards (the WebDataset/TFRecord
+    * layout): docs in `sortCols` order are assigned
+    * shard_id = floor(exclusive_prefix_sum / shardBudget), so a shard
+    * closes once its content crosses the budget and a doc NEVER
+    * splits — shard totals land in [budget−maxItem, budget+maxItem).
+    * Deterministic integer rule, no float division.
+    *
+    * Scale shape: the prefix sum is [[GlobalRank.globalRunningSum]]'s
+    * window-free distributed form (range partition + ≤p metadata
+    * offsets); the shard id is map-only arithmetic on top. Output:
+    * input columns + `cum` (inclusive running total) + `shard_id`. */
+  def shardAssign(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+                  shardBudget: Long, cumCol: String = "cum",
+                  shardCol: String = "shard_id"): DataFrame = {
+    require(shardBudget >= 1L,
+      s"shardBudget must be >= 1, got $shardBudget")
+    GlobalRank.globalRunningSum(df, sortCols, valueCol, cumCol)
+      .withColumn(shardCol,
+        expr(s"CAST(($cumCol - $valueCol) DIV $shardBudget AS BIGINT)"))
+  }
+
+  /** Per-shard manifest over a [[shardAssign]] output: item count and
+    * content total per shard — the index file a shard consumer reads.
+    * One map-side-partial groupBy, ≤ #shards rows. */
+  def shardManifest(assigned: DataFrame, valueCol: String,
+                    shardCol: String = "shard_id"): DataFrame =
+    assigned.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col(valueCol).cast("long")).as("total"))
 }

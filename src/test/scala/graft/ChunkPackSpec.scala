@@ -330,4 +330,50 @@ class ChunkPackSpec extends SparkTestBase {
     assert(agg("a") == (("a", 3L, 2L, Some(12L))))
     assert(agg("b") == (("b", 1L, 0L, None)))
   }
+
+  test("shardAssign: exclusive-prefix rule vs window reference, shards contiguous") {
+    val rnd = new scala.util.Random(71)
+    val docs = (0 until 400).map(i => (i.toLong, 50L + rnd.nextInt(400)))
+    val df = docs.toDF("doc_id", "sz")
+    val budget = 2000L
+    val got = Packing.shardAssign(df, Seq(col("doc_id")), "sz", budget)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // reference: driver prefix sum with the identical integer rule
+    var cum = 0L
+    val want = docs.map { case (id, sz) =>
+      cum += sz; (id, sz, cum, (cum - sz) / budget)
+    }
+    assert(got.toSeq == want)
+    // shards are contiguous, monotone, and never split a doc: a doc's
+    // shard is decided by its START offset alone
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+    // every shard's content lands in [budget - maxItem, budget + maxItem)
+    val maxItem = docs.map(_._2).max
+    val totals = got.groupBy(_._4).map { case (s, rs) => s -> rs.map(_._2).sum }
+    val last = totals.keys.max
+    for ((s, t) <- totals if s != last)
+      assert(t >= budget - maxItem && t < budget + maxItem,
+        s"shard $s total $t outside the never-split band")
+  }
+
+  test("shardAssign is partition-independent; shardManifest matches") {
+    val docs = (0 until 300).map(i => (i.toLong, (i % 37 + 1).toLong))
+    val df = docs.toDF("doc_id", "sz")
+    val a = Packing.shardAssign(df, Seq(col("doc_id")), "sz", 150L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val b = Packing.shardAssign(df.repartition(11), Seq(col("doc_id")),
+        "sz", 150L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(a == b)
+    val manifest = Packing.shardManifest(
+        Packing.shardAssign(df, Seq(col("doc_id")), "sz", 150L), "sz")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = a.toSeq.groupBy(_._4).map { case (s, rs) =>
+      s -> ((rs.size.toLong, rs.map(_._2).sum)) }
+    assert(manifest == want)
+    intercept[IllegalArgumentException] {
+      Packing.shardAssign(df, Seq(col("doc_id")), "sz", 0L)
+    }
+  }
 }

@@ -503,4 +503,56 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("q136: HLL registers are one partial-max groupBy — no distinct, no window") {
+    val p = plan("q136_hll_registers")
+    assert(p.contains("partial_max"),
+      "register maxima must combine map-side before the shuffle")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "the sketch is a pure scan→aggregate pipeline")
+  }
+
+  test("q137: edit pairs join only within blocks, never cartesian") {
+    val p = plan("q137_edit_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "blocking must keep pair generation an equi join")
+    assert(p.contains("levenshtein"), "distance must run the native kernel")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
+  }
+
+  test("q138: covariance stats are join-free — pair expansion inside the scan stage") {
+    val p = plan("q138_covariance_stats")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "the transform×slice comprehension must replace the self-join")
+    assert(p.contains("partial_sum"),
+      "pair sums must combine map-side before the (i,j) shuffle")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
+  }
+
+  test("q139: rouge overlap joins grams by pair id — windowless, no cartesian") {
+    val p = plan("q139_rouge_overlap")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "clipped-overlap sums must combine map-side")
+  }
+
+  test("q140: key-skew report is TakeOrderedAndProject, never a global sort") {
+    val p = plan("q140_key_skew")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-K + driver merge:\n${p.take(400)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a range exchange would mean a full global sort")
+    assert(p.contains("partial_count"), "key counts must combine map-side")
+  }
+
+  test("q141: shard assignment windows only by the range-partition id") {
+    val p = plan("q141_shard_assign")
+    // the only window is the in-partition running sum over the
+    // __mid-derived pid — the globalRunningSum contract (q89's audit)
+    assert(!p.contains("windowspecdefinition()"),
+      "no unpartitioned (corpus-global) window allowed")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
