@@ -381,9 +381,37 @@ object LlmAnnGates {
     graft.llm.Similarity.covarianceStats(
       t(s, dir, "embeddings"), vecCol = "embedding")
 
+  // All-corpus k-NN graph (Similarity.knnGraph): every vector's top-4
+  // neighbors, self excluded, deterministic decimal cosine — the
+  // substrate for graph curation. Subset to 300 vectors so the
+  // DuckDB all-pairs oracle stays bounded; the operator itself routes
+  // through the unified ANN dispatch at scale.
+  def q142_knn_graph(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Similarity.knnGraph(
+      t(s, dir, "embeddings").filter(col("vec_id") < 300),
+      "vec_id", "embedding", k = 4, deterministic = true)
+      .select(col("query_id"), col("cand_id"),
+        col("cosine").cast(out).cast("double").as("cosine"), col("rnk"))
+
+  // Embedding-graph centrality (knnGraph → GraphOps.pageRank): rank
+  // mass diffuses along nearest-neighbor edges, scoring how
+  // REPRESENTATIVE each vector is of its neighborhood — hub documents
+  // score high, isolated outliers keep near-base rank. Integer
+  // per-mille rule end to end, so the composite stays hash-exact.
+  def q143_graph_centrality(s: SparkSession, dir: String): DataFrame = {
+    val edges = graft.llm.Similarity.knnGraph(
+      t(s, dir, "embeddings").filter(col("vec_id") < 300),
+      "vec_id", "embedding", k = 4, deterministic = true)
+    graft.ops.GraphOps.pageRank(edges, "query_id", "cand_id",
+        iters = 3, dampingPm = 850)
+      .select(col("node").as("vec_id"), col("rank_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_jl_project"   -> q135_jl_project _,
     "q138_covariance_stats" -> q138_covariance_stats _,
+    "q142_knn_graph"    -> q142_knn_graph _,
+    "q143_graph_centrality" -> q143_graph_centrality _,
     "q26_cosine_topk"   -> q26_cosine_topk _,
     "q61_kmeans_assign" -> q61_kmeans_assign _,
     "q72_hamming_topk"  -> q72_hamming_topk _,
@@ -402,6 +430,56 @@ object LlmAnnGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q142_knn_graph" ->
+      """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        |norm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM sub),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+        |  FROM norm q JOIN norm c ON c.vec_id <> q.vec_id)
+        |SELECT query_id, cand_id, CAST(CAST(cosine AS DECIMAL(38,6)) AS DOUBLE) AS cosine, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+        |      FROM pairs) WHERE rnk <= 4""".stripMargin,
+    "q143_graph_centrality" ->
+      """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        |norm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM sub),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+        |  FROM norm q JOIN norm c ON c.vec_id <> q.vec_id),
+        |e AS (
+        |  SELECT query_id AS src, cand_id AS dst
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+        |        FROM pairs) WHERE rnk <= 4),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT node
+        |          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+        |i1 AS (SELECT e.dst AS node, sum(r0.rank // deg.outdeg) AS m
+        |       FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r1 AS (SELECT nodes.node, CAST(150000 + (850 * coalesce(i1.m, 0)) // 1000 AS BIGINT) AS rank
+        |       FROM nodes LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, sum(r1.rank // deg.outdeg) AS m
+        |       FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r2 AS (SELECT nodes.node, CAST(150000 + (850 * coalesce(i2.m, 0)) // 1000 AS BIGINT) AS rank
+        |       FROM nodes LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, sum(r2.rank // deg.outdeg) AS m
+        |       FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r3 AS (SELECT nodes.node, CAST(150000 + (850 * coalesce(i3.m, 0)) // 1000 AS BIGINT) AS rank
+        |       FROM nodes LEFT JOIN i3 USING (node))
+        |SELECT node AS vec_id, rank AS rank_micro FROM r3""".stripMargin,
     "q138_covariance_stats" ->
       """WITH e AS (SELECT vec_id, unnest(embedding) AS x,
         |                  generate_subscripts(embedding, 1) AS i FROM embeddings)

@@ -173,6 +173,40 @@ object Similarity {
     topKPerQuery(pairs, "cosine", k, ascending = false)
   }
 
+  /** All-corpus k-NN GRAPH: every vector's top-k neighbors among all
+    * the others — (query_id, cand_id, cosine, rnk) edge rows, self
+    * excluded. The substrate for graph-based curation: PageRank-style
+    * centrality over these edges scores how "representative" each doc
+    * is of its embedding neighborhood (gate q143 composes exactly
+    * that), connected components over thresholded edges cluster it,
+    * and MMR re-ranks against it.
+    *
+    * Route selection is [[topK]]'s unified dispatch with the corpus as
+    * its own query set: brute force under the threshold, LSH buckets
+    * above it, or a persisted IVF/SQ8/PQ index. The direct routes
+    * already exclude self-matches; the indexed routes search the
+    * stored corpus (which CONTAINS each query), so the dispatch runs
+    * at k+1 there and the k-bounded re-rank drops self without a
+    * window — each query's candidate set is ≤ k+1 rows by then. */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+               index: Option[(graft.io.TableStore, String)] = None,
+               corpusSize: Long = -1L,
+               bruteForceThreshold: Long = 1000000L,
+               deterministic: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    index match {
+      case None =>
+        topK(emb, emb, idCol, vecCol, k, None, corpusSize,
+          bruteForceThreshold, deterministic = deterministic)
+      case some =>
+        val raw = topK(emb, emb, idCol, vecCol, k + 1, some, corpusSize,
+          bruteForceThreshold, deterministic = deterministic)
+          .where(col("query_id") =!= col("cand_id"))
+        topKPerQuery(raw.select(col("query_id"), col("cand_id"),
+          col("cosine")), "cosine", k, ascending = false)
+    }
+  }
+
   /** HARD-NEGATIVE mining for contrastive/embedding training: for each
     * query, the top-k most-similar candidates with a DIFFERENT label —
     * the near-misses that make the best negatives (random negatives are

@@ -1429,6 +1429,51 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("knnGraph: every node gets k self-free edges; direct == brute force") {
+    val rnd = new scala.util.Random(29)
+    val df = (0 until 80).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(df, "vec_id", "embedding", k = 3,
+        deterministic = true)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(g.length == 80 * 3)
+    assert(g.forall(e => e._1 != e._2), "no self edges")
+    val perQuery = g.groupBy(_._1)
+    assert(perQuery.forall(_._2.map(_._4).sorted.toSeq == Seq(1, 2, 3)))
+    val brute = Similarity.bruteForceTopK(df, df, "vec_id", "embedding",
+        k = 3, deterministic = true)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(g.toSet == brute)
+  }
+
+  test("knnGraph indexed route drops self without losing a neighbor slot") {
+    val rnd = new scala.util.Random(31)
+    val df = (0 until 150).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val store = new graft.io.ParquetTableStore(spark, tmpDir("knn-sq"))
+    Similarity.buildSqIndex(store, "sq", df, "vec_id", "embedding")
+    val g = Similarity.knnGraph(df, "vec_id", "embedding", k = 4,
+        index = Some((store, "sq")))
+      .as[(Long, Long, Double, Int)].collect()
+    assert(g.forall(e => e._1 != e._2), "indexed route must drop self")
+    val perQuery = g.groupBy(_._1).map { case (q, es) => q -> es.length }
+    assert(perQuery.values.forall(_ == 4),
+      "every query must keep a FULL k after the self drop")
+    assert(perQuery.size == 150)
+    // recall sanity vs brute force on rank-1 neighbors
+    val brute1 = Similarity.bruteForceTopK(df, df, "vec_id", "embedding",
+        k = 1).select($"query_id", $"cand_id")
+      .as[(Long, Long)].collect().toMap
+    val got1 = g.filter(_._4 == 1).map(e => e._1 -> e._2).toMap
+    val hit = got1.count { case (q, c) => brute1(q) == c }
+    assert(hit >= 100, s"rank-1 recall too low: $hit/150")
+    intercept[IllegalArgumentException] {
+      Similarity.knnGraph(df, "vec_id", "embedding", k = 0)
+    }
+  }
+
   private implicit class Map2Ops(
       rows: Array[(Long, String, Long, Long)]) {
     def toMap2: Map[Long, (String, Long, Long)] =

@@ -547,6 +547,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_count"), "key counts must combine map-side")
   }
 
+  test("q142/q143: knn graph runs kernel dots + aggregated top-k; centrality joins on graph keys") {
+    val p = plan("q142_knn_graph")
+    assert(p.contains("vec_dot_decimal"), "cosine must run the fused kernel")
+    assert(p.contains("partial_topkbyscore"),
+      "neighbor selection must be the k-bounded aggregator")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
+    val c = plan("q143_graph_centrality")
+    assert(!c.contains("CartesianProduct"))
+    assert(!c.contains("Window") && !c.contains("windowspecdefinition"))
+  }
+
   test("q141: shard assignment windows only by the range-partition id") {
     val p = plan("q141_shard_assign")
     // the only window is the in-partition running sum over the
