@@ -388,8 +388,12 @@ object LlmAnnGates {
   // through the unified ANN dispatch at scale.
   def q142_knn_graph(s: SparkSession, dir: String): DataFrame =
     graft.llm.Similarity.knnGraph(
-      t(s, dir, "embeddings").filter(col("vec_id") < 300),
-      "vec_id", "embedding", k = 4, deterministic = true)
+      // the 300-vector subset is one parquet split — spread it so the
+      // decimal kernel parallelizes (result is aggregation-exact
+      // regardless of partitioning)
+      t(s, dir, "embeddings").filter(col("vec_id") < 300).repartition(32),
+      "vec_id", "embedding", k = 4, corpusSize = 300L,
+      deterministic = true)
       .select(col("query_id"), col("cand_id"),
         col("cosine").cast(out).cast("double").as("cosine"), col("rnk"))
 
@@ -400,8 +404,9 @@ object LlmAnnGates {
   // per-mille rule end to end, so the composite stays hash-exact.
   def q143_graph_centrality(s: SparkSession, dir: String): DataFrame = {
     val edges = graft.llm.Similarity.knnGraph(
-      t(s, dir, "embeddings").filter(col("vec_id") < 300),
-      "vec_id", "embedding", k = 4, deterministic = true)
+      t(s, dir, "embeddings").filter(col("vec_id") < 300).repartition(32),
+      "vec_id", "embedding", k = 4, corpusSize = 300L,
+      deterministic = true)
     graft.ops.GraphOps.pageRank(edges, "query_id", "cand_id",
         iters = 3, dampingPm = 850)
       .select(col("node").as("vec_id"), col("rank_micro"))

@@ -367,7 +367,11 @@ object LlmDedupGates {
   // dropped) land within edit 12 of their source whenever the dropped
   // word is short enough — plus the fixture's own close pairs.
   def q137_edit_pairs(s: SparkSession, dir: String): DataFrame = {
+    // cap the gate corpus at 2000 base docs (a no-op at sf≤0.01): the
+    // within-block pair count grows quadratically with sf and the gate
+    // exists to pin semantics, not to quadratic-scan the bench
     val corpus = corpusWithNearDups(s, dir)
+      .filter(col("doc_id") % 1000000L < 2000)
     graft.llm.Dedup.blockedEditDistancePairs(
       corpus, "doc_id", "text",
       blockKey = Seq(expr("length(text) div 16")), maxDist = 12)
@@ -400,9 +404,9 @@ object LlmDedupGates {
   val oracleSql: Map[String, String] = Map(
     "q137_edit_pairs" ->
       """WITH c AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000
         |  UNION ALL
-        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '') FROM documents),
+        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '') FROM documents WHERE doc_id < 2000),
         |k AS (SELECT doc_id, text, length(text) // 16 AS bk FROM c),
         |ok AS (SELECT bk FROM k GROUP BY bk HAVING count(*) BETWEEN 2 AND 10000),
         |kb AS (SELECT k.* FROM k JOIN ok USING (bk))

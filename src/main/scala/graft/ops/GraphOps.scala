@@ -47,8 +47,12 @@ object GraphOps {
     val spark = edges.sparkSession
     val base = (1000L - dampingPm) * 1000L // (1−d)·1e6 in micro, exact
 
+    // pin the raw edge frame: deg, the contribEdges join, and the node
+    // union all read it — an expensive edge LINEAGE (e.g. a k-NN graph,
+    // q143) would otherwise recompute up to 4× before the downstream
+    // persists materialize
     val e = edges.select(col(srcCol).cast("long").as("__src"),
-      col(dstCol).cast("long").as("__dst"))
+      col(dstCol).cast("long").as("__dst")).persist()
     val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg"))
     // static across iterations: every edge with its source's out-degree
     val contribEdges = e.join(deg, Seq("__src")).persist()
@@ -74,6 +78,7 @@ object GraphOps {
             expr(s"($dampingPm * coalesce(__m, 0L)) div 1000"))
             .as("rank_micro")))
     }
+    e.unpersist()
     contribEdges.unpersist()
     nodes.unpersist()
     ranks
