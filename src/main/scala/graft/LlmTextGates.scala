@@ -243,6 +243,18 @@ object LlmTextGates {
     graft.llm.LanguageModel.encodeWithVocab(docs, "doc_id", "text", vocab)
   }
 
+  // Vocabulary DECODE at the gate (LanguageModel.decodeWithVocab) —
+  // the q120 round trip: encode against the k=20 vocab, decode back;
+  // every in-vocab word survives, every OOV word renders as <unk>.
+  // Same broadcast-join + per-doc array_sort shape as the encoder.
+  def q145_vocab_decode(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vocab = graft.llm.LanguageModel.buildVocab(docs, "text", k = 20)
+    graft.llm.LanguageModel.decodeWithVocab(
+      graft.llm.LanguageModel.encodeWithVocab(docs, "doc_id", "text", vocab),
+      vocab)
+  }
+
   // CCNet-style LM-quality buckets at the gate
   // (LanguageModel.perplexityBuckets): every doc ranked by the integer
   // MICRO-average of its bigram conditional-probability mass under the
@@ -336,6 +348,28 @@ object LlmTextGates {
       hashFn = graft.llm.TextAnalysis.md5Hash60, hashBits = 60,
       groupCols = Seq("lang"))
 
+  // HLL shard-merge + estimate internals (Sketches.hllMerge/
+  // hllEstimate): per-language sketches built on the even/odd doc
+  // halves merge by element-wise max, and the estimator's exact
+  // integer core (occupied buckets + the 2^(S−r) harmonic numerator —
+  // 64·2^55 < 2^63, so it surfaces as BIGINT) hash-checks
+  // cross-engine. The float estimate stays spec-pinned; this gate pins
+  // the MERGE-then-estimate arithmetic the 100 TB per-shard workflow
+  // depends on.
+  def q144_hll_merge(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val docs = t(s, dir, "documents")
+    def shard(m: Int) = Sketches.hllRegisters(
+      docs.where(pmod(col("doc_id"), lit(2)) === m), col("text"), b = 6,
+      hashFn = graft.llm.TextAnalysis.md5Hash60, hashBits = 60,
+      groupCols = Seq("lang"))
+    Sketches.hllEstimate(
+        Sketches.hllMerge(shard(0), shard(1), groupCols = Seq("lang")),
+        b = 6, hashBits = 60, groupCols = Seq("lang"))
+      .select(col("lang"), col("n_buckets"),
+        col("denom_units").cast("long").as("denom_units"))
+  }
+
   // ROUGE-n clipped bigram overlap (Relevance.rougeOverlap) between
   // each doc and its id-successor — the generation-eval harness next
   // to q116's retrieval metrics. Grams hash to int64 before the
@@ -367,6 +401,8 @@ object LlmTextGates {
     "q131_len_quantiles" -> q131_len_quantiles _,
     "q132_len_histogram" -> q132_len_histogram _,
     "q136_hll_registers" -> q136_hll_registers _,
+    "q144_hll_merge"    -> q144_hll_merge _,
+    "q145_vocab_decode" -> q145_vocab_decode _,
     "q139_rouge_overlap" -> q139_rouge_overlap _,
     "q140_key_skew"     -> q140_key_skew _,
     "q21_token_count"   -> q21_token_count _,
@@ -397,6 +433,32 @@ object LlmTextGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q145_vocab_decode" ->
+      """WITH v AS (
+        |  SELECT w
+        |  FROM (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rn
+        |        FROM (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |              FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |                    FROM documents) GROUP BY 1))
+        |  WHERE rn <= 20),
+        |tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS w,
+        |         unnest(range(0, len(string_split(text,' ')))) AS pos FROM documents)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN v.w IS NOT NULL THEN tk.w ELSE '<unk>' END, ' ' ORDER BY pos) AS text
+        |FROM tk LEFT JOIN v USING (w) GROUP BY 1""".stripMargin,
+    "q144_hll_merge" ->
+      """WITH h AS (SELECT lang, doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+        |           FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT lang, doc_id, h % 64 AS bucket, h // 64 AS w FROM h),
+        |rA AS (SELECT lang, bucket, max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS r
+        |       FROM b WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |rB AS (SELECT lang, bucket, max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS r
+        |       FROM b WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        |m AS (SELECT lang, bucket, max(r) AS r
+        |      FROM (SELECT * FROM rA UNION ALL SELECT * FROM rB) GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS INT) AS n_buckets,
+        |  CAST(sum(1::HUGEINT << (55 - r)) + (64 - count(*)) * (1::HUGEINT << 55) AS BIGINT) AS denom_units
+        |FROM m GROUP BY 1""".stripMargin,
     "q139_rouge_overlap" ->
       """WITH raw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |g AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram

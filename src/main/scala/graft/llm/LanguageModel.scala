@@ -156,6 +156,32 @@ object LanguageModel {
       .drop("__ts")
   }
 
+  /** Inverse of [[encodeWithVocab]] — id sequences back to token text
+    * (the detokenization half of the round trip a trainer's data
+    * loader and eval harness both need): each id maps through the
+    * vocab, ids absent from it (the OOV id included, unless the vocab
+    * maps it) render as `unkToken`. Same shape as the encoder: k-row
+    * broadcast join inside the scan stage, per-doc array_sort
+    * reassembly bounded by one document, space-joined string surface.
+    * Round-trip contract (spec-pinned): decode(encode(d)) equals d
+    * with every OOV word replaced by `unkToken`. */
+  def decodeWithVocab(encoded: DataFrame, vocab: DataFrame,
+                      unkToken: String = "<unk>"): DataFrame = {
+    val toks = encoded.select(col("doc_id"),
+        posexplode(split(col("ids"), " ")).as(Seq("pos", "tid")))
+      .withColumn("tid", col("tid").cast("int"))
+      .join(broadcast(vocab.select(col("vocab_id").as("tid"), col("w"))),
+        Seq("tid"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("w"), lit(unkToken)).as("tok"))
+    toks.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .as("__ts"))
+      .withColumn("text",
+        array_join(transform(col("__ts"), s => s.getField("tok")), " "))
+      .drop("__ts")
+  }
+
   /** CCNet-style LM-quality bucketing (Wenzek et al. 2020): rank every
     * document by how typical its bigrams are of the model corpus and
     * cut the ranking into `buckets` equal tiers — bucket 1 = "head"

@@ -253,4 +253,29 @@ class LanguageModelSpec extends SparkTestBase {
       .select($"doc_id", $"bucket").as[(Long, Int)].collect().toSet
     assert(again == got.map(r => (r._1, r._3)).toSet)
   }
+
+  test("decodeWithVocab: round trip restores text with OOV -> unk token") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a rare xylophone word"),
+      (3L, "the the the")).toDF("doc_id", "text")
+    val vocab = LanguageModel.buildVocab(docs, "text", k = 5)
+    val inVocab = vocab.select($"w").as[String].collect().toSet
+    val enc = LanguageModel.encodeWithVocab(docs, "doc_id", "text", vocab)
+    val dec = LanguageModel.decodeWithVocab(enc, vocab)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    for ((id, text) <- Seq((1L, "the cat sat on the mat"),
+        (2L, "a rare xylophone word"), (3L, "the the the"))) {
+      val want = text.split(" ")
+        .map(w => if (inVocab(w)) w else "<unk>").mkString(" ")
+      assert(dec(id) == want, s"doc $id: got ${dec(id)}, want $want")
+    }
+    // custom unk token; ids the vocab has never seen also map to it
+    val alien = Seq((9L, 5L, 2L, "999 1 999")).toDF(
+      "doc_id", "n_tokens", "n_oov", "ids")
+    val dec2 = LanguageModel.decodeWithVocab(alien, vocab, unkToken = "?")
+      .select($"text").as[String].head()
+    assert(dec2.split(" ").count(_ == "?") == 2)
+    assert(!dec2.contains("999"))
+  }
 }
