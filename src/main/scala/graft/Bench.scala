@@ -54,10 +54,15 @@ object Bench {
     * is NOT comparable to a green round's total, and cross-referencing
     * -1 sentinels shouldn't be required to notice (round-6 advice).
     * `failed` lists short keys, capped at 8 so a catastrophic run
-    * cannot blow the driver's 2000-byte tail window. */
+    * cannot blow the driver's 2000-byte tail window. Per-query values
+    * CLAMP at 9999 cs (99.99 s): the artifact must be fixed-size by
+    * construction, and a single query past 100 s at sf0.1 is a
+    * catastrophic regression where the exact digit carries no
+    * information — the clamped 9999 reads as "investigate". */
   def serialize(results: Seq[(String, Long)], totalSec: Double, sfDir: String,
                 reps: Int = 1): String = {
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + v }
+    val qs = results
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + math.min(v, 9999L) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val failedJson = failed.take(8).map("\"" + shortKey(_) + "\"")

@@ -22,14 +22,16 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("worst-case serialized bench line stays under 1900 bytes") {
-    // worst case: every query at 5-digit cs (a 100+-second query), a
-    // 3-decimal total, AND 8 failures (the failed-list cap) — strictly
-    // wider than anything a passing run emits
+    // worst case: every query at the 9999-cs clamp (the serializer
+    // caps values there, so no wider line exists), a 3-decimal total,
+    // AND 8 failures (the failed-list cap)
     val worst = names.zipWithIndex.map { case (n, i) =>
-      n -> (if (i < 8) -1L else 99999L) }
+      n -> (if (i < 8) -1L else 999999L) }
     val line = Bench.serialize(worst, 9999.999, "/root/testdata/sf0.1", reps = 3)
     assert(line.length < 1900,
       s"bench line ${line.length}B would overflow the driver's 2000B tail window")
+    assert(!line.contains("999999") && line.contains("9999"),
+      "per-query values must clamp at 9999 cs by construction")
   }
 
   test("serializer emits the driver contract fields with sf basename") {
