@@ -387,6 +387,116 @@ object LlmTextGates {
       n = 2, hashFn = graft.llm.TextAnalysis.md5Hash60)
   }
 
+  // Count-Min register table over the document token stream
+  // (ops/Sketches.cmRegisters): the mergeable per-key FREQUENCY sketch
+  // next to q136's HLL cardinality sketch — d·2^b integer cells instead
+  // of a token-frequency shuffle. Gate runs the salted md5-derived
+  // 60-bit hash family (row i hashes "i:" + token) so DuckDB rebuilds
+  // the identical table with string math.
+  def q146_cm_registers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.cmRegisters(
+      t(s, dir, "documents").select(explode(split(col("text"), " ")).as("w")),
+      col("w"), d = 3, b = 8, hashFn = graft.llm.TextAnalysis.md5Hash60)
+
+  // CM shard-merge + point query (Sketches.cmMerge/cmQuery): per-shard
+  // sketches on the even/odd doc halves merge by element-wise SUM, then
+  // a probe list (the distinct tokens of the first docs) reads d cells
+  // each and takes the min — the never-undercounting estimate. The whole
+  // per-shard → merge → query workflow a 100 TB frequency rollup runs,
+  // hash-checked cross-engine (all-integer registers and estimates).
+  def q147_cm_merge_query(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val docs = t(s, dir, "documents")
+    def toks(m: Int) = docs.where(pmod(col("doc_id"), lit(2)) === m)
+      .select(explode(split(col("text"), " ")).as("w"))
+    def shard(m: Int) = Sketches.cmRegisters(toks(m), col("w"), d = 3, b = 8,
+      hashFn = graft.llm.TextAnalysis.md5Hash60)
+    val merged = Sketches.cmMerge(shard(0), shard(1))
+    val probes = docs.where(col("doc_id") < 20)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+    Sketches.cmQuery(merged, probes, "w", d = 3, b = 8,
+      hashFn = graft.llm.TextAnalysis.md5Hash60)
+  }
+
+  // Markup stripping (TextAnalysis.stripMarkup/markupTagCount): the
+  // raw-crawl → plain-text extraction stage — script/style/comment
+  // blocks dropped, tags → space, the six ubiquitous entities decoded
+  // after tag removal, whitespace collapsed. Patterns in the Java∩RE2
+  // subset; three planted HTML docs exercise every rule (nested tags,
+  // entity-encoded pseudo-tags, bare `<` comparisons, multi-line lists).
+  def q148_strip_markup(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(s.range(1).select(lit(9000001L).as("doc_id"),
+        lit("<html><head><title>T</title><style>p {color: red;}</style></head><body><p>Hello &amp; welcome</p><!-- hidden note --><script type=\"text/javascript\">var x = 1<2 && y>0;</script><div class=\"x\">a &lt;tag&gt; b</div></body></html>").as("text")))
+      .unionByName(s.range(1).select(lit(9000002L).as("doc_id"),
+        lit("price is 3 < 5 and x &gt; 2 with &quot;quotes&quot; plus &#39;apostrophe&#39; and&nbsp;space").as("text")))
+      .unionByName(s.range(1).select(lit(9000003L).as("doc_id"),
+        lit("<ul>\n<li>one</li>\n<li>two</li>\n</ul>\n\ntrailing   text  here").as("text")))
+    planted.select(col("doc_id"),
+      graft.llm.TextAnalysis.markupTagCount(col("text")).cast("int").as("n_tags"),
+      graft.llm.TextAnalysis.stripMarkup(col("text")).as("text"))
+  }
+
+  // Streaming sketch maintenance (runStreamForeachBatch + Sketches
+  // .cmMerge): the corpus streams in as four real micro-batches
+  // (repartitioned to four files, maxFilesPerTrigger=1), each batch
+  // builds its own CM register table and merges into the accumulator —
+  // localCheckpoint per merge bounds the cross-batch lineage (the
+  // updateExactIndex contract). Merge is associative-sum, so the final
+  // registers are provably identical to the one-shot batch build —
+  // the oracle IS q146's SQL. This is the continuous-ingest frequency
+  // monitor next to the streaming dedup (q109) / quality (q121) gates.
+  def q150_stream_cm_sketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val tmp = java.nio.file.Files.createTempDirectory("q150src").toString
+    t(s, dir, "documents").repartition(4).write
+      .mode("overwrite").parquet(tmp)
+    var acc: DataFrame = null
+    graft.streaming.EventStream.runStreamForeachBatch(
+      s, tmp, { (batch, _) =>
+        val regs = Sketches.cmRegisters(
+          batch.select(explode(split(col("text"), " ")).as("w")),
+          col("w"), d = 3, b = 8, hashFn = graft.llm.TextAnalysis.md5Hash60)
+        acc = (if (acc == null) regs else Sketches.cmMerge(acc, regs))
+          .localCheckpoint(true)
+      }, options = Map("maxFilesPerTrigger" -> "1"))
+    acc
+  }
+
+  // Mergeable fixed-bound histogram + quantiles-from-histogram
+  // (ops/Stats.fixedWidthHistogram/histogramMerge/histogramQuantiles):
+  // the value-distribution member of the sketch trio (HLL distinct /
+  // CM frequency / this) — per-shard histograms with caller-fixed
+  // (lo, width, nBins) merge by bin-wise sum; the quantile is the
+  // smallest bin whose cumulative count reaches the integer per-mille
+  // threshold, so the true value provably lies in [lo, hi]. Shards =
+  // even/odd doc halves; out-of-range clamps to the end bins.
+  def q151_hist_sketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Stats
+    val docs = t(s, dir, "documents")
+    def shard(m: Int) = Stats.fixedWidthHistogram(
+      docs.where(pmod(col("doc_id"), lit(2)) === m), "n_chars",
+      lo = 0L, width = 50L, nBins = 40)
+    Stats.histogramQuantiles(
+      Stats.histogramMerge(shard(0), shard(1)), lo = 0L, width = 50L,
+      probs = Seq("p50" -> 500, "p90" -> 900, "p99" -> 990))
+  }
+
+  // Trained character-trigram language ID (TextAnalysis
+  // .trainLangProfiles/classifyByProfile — Cavnar-Trenkle family): the
+  // data-driven sibling of q30's heuristic langId. Profiles = top-100
+  // trigrams per labeled language (broadcast-sized by construction);
+  // classification = integer profile-overlap argmax, ties → smallest
+  // label, no-hit docs → 'und'. Train and classify on the same corpus
+  // at the gate — the composition is what's hash-checked.
+  def q149_langid_trained(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val profiles = graft.llm.TextAnalysis.trainLangProfiles(
+      docs, "lang", "text", n = 3, topM = 100)
+    graft.llm.TextAnalysis.classifyByProfile(
+      docs, "doc_id", "text", profiles, n = 3, topM = 100)
+  }
+
   // Key-skew diagnostic (ops/Stats.keySkewReport): the 10 heaviest
   // (lang, source) combinations with exact counts and integer
   // per-mille share — the pre-partitioning report. orderBy+limit plans
@@ -402,6 +512,12 @@ object LlmTextGates {
     "q132_len_histogram" -> q132_len_histogram _,
     "q136_hll_registers" -> q136_hll_registers _,
     "q144_hll_merge"    -> q144_hll_merge _,
+    "q146_cm_registers" -> q146_cm_registers _,
+    "q147_cm_merge_query" -> q147_cm_merge_query _,
+    "q148_strip_markup" -> q148_strip_markup _,
+    "q149_langid_trained" -> q149_langid_trained _,
+    "q150_stream_cm_sketch" -> q150_stream_cm_sketch _,
+    "q151_hist_sketch"  -> q151_hist_sketch _,
     "q145_vocab_decode" -> q145_vocab_decode _,
     "q139_rouge_overlap" -> q139_rouge_overlap _,
     "q140_key_skew"     -> q140_key_skew _,
@@ -433,6 +549,80 @@ object LlmTextGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q150_stream_cm_sketch" ->
+      """WITH tk AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |c AS (SELECT i, ('0x' || substring(md5(i::VARCHAR || ':' || w),1,15))::BIGINT % 256 AS bucket
+        |      FROM tk CROSS JOIN (SELECT unnest([0,1,2]) AS i) s)
+        |SELECT CAST(i AS INT) AS row, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q151_hist_sketch" ->
+      """WITH hs AS (SELECT doc_id % 2 AS s, greatest(0, least(39, (n_chars - 0) // 50)) AS bin
+        |            FROM documents WHERE n_chars IS NOT NULL),
+        |sh AS (SELECT s, bin, count(*) AS cnt FROM hs GROUP BY 1, 2),
+        |m AS (SELECT bin, sum(cnt) AS cnt FROM sh GROUP BY 1),
+        |c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM m),
+        |n AS (SELECT sum(cnt) AS n FROM m),
+        |p AS (SELECT * FROM (VALUES ('p50', 500), ('p90', 900), ('p99', 990)) t(label, pm))
+        |SELECT p.label, min(c.bin) AS bin,
+        |  CAST(0 + min(c.bin) * 50 AS BIGINT) AS lo,
+        |  CAST(0 + (min(c.bin) + 1) * 50 - 1 AS BIGINT) AS hi
+        |FROM c CROSS JOIN n JOIN p ON c.cum >= (p.pm * n.n + 999) // 1000
+        |GROUP BY 1""".stripMargin,
+    "q146_cm_registers" ->
+      """WITH tk AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+        |c AS (SELECT i, ('0x' || substring(md5(i::VARCHAR || ':' || w),1,15))::BIGINT % 256 AS bucket
+        |      FROM tk CROSS JOIN (SELECT unnest([0,1,2]) AS i) s)
+        |SELECT CAST(i AS INT) AS row, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q147_cm_merge_query" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |cell AS (SELECT doc_id, i, ('0x' || substring(md5(i::VARCHAR || ':' || w),1,15))::BIGINT % 256 AS bucket
+        |         FROM tk CROSS JOIN (SELECT unnest([0,1,2]) AS i) s),
+        |rA AS (SELECT i, bucket, count(*) AS cnt FROM cell WHERE doc_id % 2 = 0 GROUP BY 1,2),
+        |rB AS (SELECT i, bucket, count(*) AS cnt FROM cell WHERE doc_id % 2 = 1 GROUP BY 1,2),
+        |m AS (SELECT i, bucket, sum(cnt) AS cnt FROM (SELECT * FROM rA UNION ALL SELECT * FROM rB) GROUP BY 1,2),
+        |probe AS (SELECT DISTINCT w FROM tk WHERE doc_id < 20),
+        |pc AS (SELECT w, i, ('0x' || substring(md5(i::VARCHAR || ':' || w),1,15))::BIGINT % 256 AS bucket
+        |       FROM probe CROSS JOIN (SELECT unnest([0,1,2]) AS i) s)
+        |SELECT pc.w AS w, CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS estimate
+        |FROM pc LEFT JOIN m ON m.i = pc.i AND m.bucket = pc.bucket
+        |GROUP BY 1""".stripMargin,
+    "q148_strip_markup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 9000001, '<html><head><title>T</title><style>p {color: red;}</style></head><body><p>Hello &amp; welcome</p><!-- hidden note --><script type="text/javascript">var x = 1<2 && y>0;</script><div class="x">a &lt;tag&gt; b</div></body></html>'
+        |  UNION ALL SELECT 9000002, 'price is 3 < 5 and x &gt; 2 with &quot;quotes&quot; plus &#39;apostrophe&#39; and&nbsp;space'
+        |  UNION ALL SELECT 9000003, '<ul>' || chr(10) || '<li>one</li>' || chr(10) || '<li>two</li>' || chr(10) || '</ul>' || chr(10) || chr(10) || 'trailing   text  here'),
+        |s1 AS (SELECT doc_id, text,
+        |  regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS a FROM corpus),
+        |s2 AS (SELECT doc_id, text, regexp_replace(a, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS a FROM s1),
+        |s3 AS (SELECT doc_id, text, regexp_replace(a, '(?s)<!--.*?-->', ' ', 'g') AS a FROM s2),
+        |s4 AS (SELECT doc_id, text, regexp_replace(a, '</?[A-Za-z!][^>]*>', ' ', 'g') AS a FROM s3),
+        |s5 AS (SELECT doc_id, text,
+        |  replace(replace(replace(replace(replace(replace(a,
+        |    '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', '''') AS a FROM s4)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '</?[A-Za-z!][^>]*>')) AS INT) AS n_tags,
+        |  trim(regexp_replace(a, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS text
+        |FROM s5""".stripMargin,
+    "q149_langid_trained" ->
+      """WITH lt AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+        |g AS (SELECT doc_id, lang, substring(lt, i, 3) AS gram
+        |      FROM (SELECT doc_id, lang, lt, unnest(generate_series(1, greatest(len(lt)-2, 0))) AS i FROM lt)),
+        |prof AS (SELECT label, gram, rank FROM (
+        |    SELECT lang AS label, gram, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |    FROM (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1,2))
+        |  WHERE rank <= 100),
+        |dg AS (SELECT doc_id, gram, count(*) AS dc FROM g GROUP BY 1,2),
+        |sc AS (SELECT doc_id, label, sum(dc * (101 - rank)) AS score
+        |       FROM dg JOIN prof USING (gram) GROUP BY 1,2),
+        |best AS (SELECT doc_id, label, score FROM (
+        |    SELECT doc_id, label, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+        |    FROM sc) WHERE rn = 1)
+        |SELECT d.doc_id, coalesce(b.label, 'und') AS lang_pred,
+        |       CAST(coalesce(b.score, 0) AS BIGINT) AS score
+        |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin,
     "q145_vocab_decode" ->
       """WITH v AS (
         |  SELECT w

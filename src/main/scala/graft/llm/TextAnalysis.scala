@@ -261,6 +261,116 @@ object TextAnalysis {
       graft.functions.TextFunctions.nfcNormalize(lower(text)),
       "[ \\t\\n\\x0B\\f\\r]+", " "))
 
+  // -------------------------------------------------------------------
+  // Markup stripping — the raw-crawl → plain-text extraction stage that
+  // runs BEFORE every text operator in this file (a WET/CC-style corpus
+  // arrives as HTML). Patterns stay in the Java∩RE2 common subset
+  // (inline (?is) flags + non-greedy quantifiers, no backrefs — RE2 has
+  // none, which is why script/style close-tags are spelled out instead
+  // of back-referenced). Map-only, scan-speed.
+  // -------------------------------------------------------------------
+
+  /** Count of markup tags in the raw text (the "how much was markup"
+    * diagnostic surfaced next to the stripped text). */
+  def markupTagCount(text: Column): Column =
+    regexp_count(text, lit("</?[A-Za-z!][^>]*>"))
+
+  /** Strip HTML/XML-style markup to plain text: script/style blocks
+    * dropped whole (their payload is code, not prose), comments dropped,
+    * tags replaced by a space (so `a</p><p>b` does not fuse into `ab`),
+    * the six ubiquitous entities decoded LAST (an entity-encoded
+    * `&lt;p&gt;` is text, not a tag — decoding after tag removal keeps
+    * it), whitespace collapsed to single spaces, ends trimmed. The tag
+    * pattern requires a letter or `!` after `<`, so bare comparisons
+    * (`a < b`) survive. */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "</?[A-Za-z!][^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'"
+    ).foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
+  }
+
+  // -------------------------------------------------------------------
+  // Trained character-n-gram language ID (Cavnar & Trenkle 1994 /
+  // textcat family) — the data-driven sibling of the heuristic
+  // [[langId]]: profiles are LEARNED from a labeled corpus, so new
+  // languages need labels, not code.
+  // -------------------------------------------------------------------
+
+  /** Character n-grams of `text` as array<string> (empty array when the
+    * text is shorter than n — guarded, because Spark's `sequence(1, 0)`
+    * counts DOWN instead of returning empty). */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(text) - lit(n - 1)),
+        i => text.substr(i, lit(n))))
+  }
+
+  /** Train per-language character-n-gram profiles from a labeled corpus:
+    * the `topM` most frequent n-grams of `lower(text)` per label, ranked
+    * (count DESC, gram ASC), output (label, gram, rank ∈ [1, topM]).
+    *
+    * Scale shape: one scan + one map-side-partial groupBy on
+    * (label, gram). The per-label rank IS a window, but over the
+    * char-n-gram count table, whose size is bounded by |alphabet|^n per
+    * label — a property of the character set, not the corpus; the same
+    * bounded-domain argument as the IVF centroid table. The profile
+    * result is langs·topM rows — broadcast-sized by construction. */
+  def trainLangProfiles(df: DataFrame, labelCol: String, textCol: String,
+                        n: Int = 3, topM: Int = 300): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .where(col(labelCol).isNotNull)
+      .select(col(labelCol).as("label"),
+        explode(charNgrams(lower(col(textCol)), n)).as("gram"))
+      .groupBy(col("label"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("cnt").desc, col("gram").asc)))
+      .where(col("rank") <= topM)
+      .select(col("label"), col("gram"), col("rank"))
+  }
+
+  /** Classify each document against [[trainLangProfiles]] output:
+    * per (doc, label) score = Σ over the doc's n-gram OCCURRENCES that
+    * hit the label's profile of (topM + 1 − rank) — hot profile grams
+    * weigh most — argmax by (score DESC, label ASC), docs with no
+    * profile hit → (`fallback`, 0). Output (idCol, lang_pred, score).
+    * Integer end to end; one gram groupBy, profile broadcast
+    * (langs·topM rows), argmax via min(struct), never a window. */
+  def classifyByProfile(df: DataFrame, idCol: String, textCol: String,
+                        profiles: DataFrame, n: Int = 3, topM: Int = 300,
+                        fallback: String = "und"): DataFrame = {
+    val docGrams = df
+      .select(col(idCol), explode(charNgrams(lower(col(textCol)), n)).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("dc"))
+    val scored = docGrams
+      .join(broadcast(profiles), "gram")
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("dc") * (lit(topM + 1) - col("rank"))).as("score"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("neg"), col("label").as("l")))
+        .as("best"))
+      .select(col(idCol), col("best.l").as("lang_pred"),
+        (-col("best.neg")).as("score"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lang_pred"), lit(fallback)).as("lang_pred"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
   /** Gopher-style repetition signals: per-document token/bigram counts,
     * distinct counts, and the hottest token/bigram frequency — the exact
     * integer numerators a repetition filter thresholds on (surface counts,

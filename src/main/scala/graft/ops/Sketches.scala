@@ -130,4 +130,94 @@ object Sketches {
           .otherwise(raw))
       .drop("__occ")
   }
+
+  // ---------------------------------------------------------------------
+  // Count-Min sketch — the mergeable per-key FREQUENCY sibling of the
+  // HLL cardinality sketch. "How often does this token / URL / doc hash
+  // occur?" answered from a fixed d·2^b-cell integer table instead of a
+  // full key-frequency shuffle; per-shard sketches merge by element-wise
+  // SUM, and a point query reads d cells and takes their min (Cormode &
+  // Muthukrishnan 2005: estimate ≥ truth always, ≤ truth + εN with
+  // probability 1−δ for d = ln(1/δ), 2^b = e/ε).
+  //
+  // Determinism: registers are pure integer facts of the d salted
+  // hashes — row i hashes `i + ":" + key`. Production salts xxhash64;
+  // gates pass [[graft.llm.TextAnalysis.md5Hash60]]-style md5 hashing so
+  // DuckDB rebuilds the identical table with string math. All d hashes
+  // are computed in ONE scan stage (posexplode of a d-element literal
+  // array), never d passes over the input.
+
+  private def cmValidate(d: Int, b: Int): Unit = {
+    require(d >= 1 && d <= 8, s"depth d=$d outside [1,8]")
+    require(b >= 4 && b <= 20, s"bucket bits b=$b outside [4,20]")
+  }
+
+  /** The salted-hash family shared by build and query: row i's hash of
+    * `key` is `hashFn(concat(i, ":", key))` masked to 63 bits. The salt
+    * rides the VALUE (not a second hash argument) so any single-column
+    * string hash — xxhash64 production, md5-based for gates —
+    * instantiates the family. */
+  private def cmBucket(key: Column, row: Int, b: Int,
+                       hashFn: Column => Column): Column =
+    pmod(hashFn(concat(lit(s"$row:"), key)).bitwiseAND(lit(Long.MaxValue)),
+      lit(1L << b))
+
+  /** Count-Min register table of `key` occurrences (NULL keys excluded),
+    * weighted by `weight` (default 1 per row): one row per OCCUPIED cell,
+    * (groupCols..., row ∈ [0,d), bucket ∈ [0,2^b), cnt). Absent cells
+    * mean 0 — [[cmQuery]] reconstructs them with a left join + coalesce.
+    *
+    * Scale shape: the d per-row buckets are computed inside the scan
+    * stage and posexploded — one pass, then one map-side-partial groupBy
+    * bounded by |groups|·d·2^b rows. The key stream never shuffles. */
+  def cmRegisters(df: DataFrame, key: Column, d: Int = 4, b: Int = 10,
+                  weight: Column = lit(1L),
+                  hashFn: Column => Column = xxhash64(_),
+                  groupCols: Seq[String] = Nil): DataFrame = {
+    cmValidate(d, b)
+    val cells = array((0 until d).map(i =>
+      struct(lit(i).as("row"), cmBucket(key, i, b, hashFn).as("bucket"))): _*)
+    df.where(key.isNotNull)
+      .select(groupCols.map(col) :+ explode(cells).as("__cell") :+
+        weight.cast("long").as("__w"): _*)
+      .groupBy(groupCols.map(col) :+ col("__cell.row").as("row") :+
+        col("__cell.bucket").as("bucket"): _*)
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Merge register tables built with the SAME (d, b, hashFn):
+    * element-wise sum per (group, row, bucket) — per-shard / per-day
+    * sketches combine without re-reading data. */
+  def cmMerge(a: DataFrame, b: DataFrame,
+              groupCols: Seq[String] = Nil): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "row" :+ "bucket").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-query the sketch: for each row of `keys` (a frame with a
+    * `key` column and, when the sketch is grouped, the same groupCols),
+    * estimate = min over the d rows of the addressed cell (absent cell →
+    * 0 → estimate 0). Output: keys' columns + `estimate`. The estimate
+    * never undercounts; collisions only inflate it.
+    *
+    * Scale shape: the keys frame is the SMALL side (a probe list);
+    * its d cells explode map-side and join the register table on
+    * (group, row, bucket) — a broadcast-size register table (≤ d·2^b
+    * rows per group) makes this a map-only probe. */
+  def cmQuery(registers: DataFrame, keys: DataFrame, keyCol: String,
+              d: Int, b: Int,
+              hashFn: Column => Column = xxhash64(_),
+              groupCols: Seq[String] = Nil): DataFrame = {
+    cmValidate(d, b)
+    val cells = array((0 until d).map(i =>
+      struct(lit(i).as("row"),
+        cmBucket(col(keyCol), i, b, hashFn).as("bucket"))): _*)
+    val joinKeys = groupCols ++ Seq("row", "bucket")
+    keys.withColumn("__cell", explode(cells))
+      .select(keys.columns.map(col) :+ col("__cell.row").as("row") :+
+        col("__cell.bucket").as("bucket"): _*)
+      .join(registers, joinKeys, "left")
+      .groupBy(keys.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
+  }
 }

@@ -158,6 +158,64 @@ object Stats {
       .limit(topK)
   }
 
+  /** FIXED-BOUND equi-width histogram — the MERGEABLE sibling of
+    * [[equiWidthHistogram]] and the quantile member of the sketch trio
+    * (HLL = distinct counts, Count-Min = key frequencies, this =
+    * value distribution): bins are defined by caller-fixed (lo, width,
+    * nBins) instead of data min/max, so per-shard / per-day histograms
+    * built with the same parameters combine by bin-wise SUM without
+    * re-reading data. Out-of-range values CLAMP to the end bins (the
+    * SQ8 frozen-stats stance: a shard must never silently change the
+    * binning the fleet agreed on; end-bin mass says "widen the range"),
+    * so bin 0 and bin nBins−1 are catch-alls. NULLs excluded. Output:
+    * (bin, cnt), occupied bins only — ≤ nBins rows per shard, one
+    * map-side-partial groupBy, nothing else. */
+  def fixedWidthHistogram(df: DataFrame, valueCol: String,
+                          lo: Long, width: Long, nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    require(width >= 1, s"width must be >= 1, got $width")
+    df.where(col(valueCol).isNotNull)
+      .select(greatest(lit(0L), least(lit(nBins - 1L),
+        expr(s"(CAST(${valueCol} AS BIGINT) - ${lo}L) div ${width}L")))
+        .as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histograms built with the SAME (lo, width, nBins): bin-wise
+    * sum. */
+  def histogramMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Approximate quantiles FROM a fixed-bound histogram: for each
+    * (label, pm) probe, the smallest bin whose cumulative count reaches
+    * ceil(pm·n/1000) — the type-1 rule of [[exactQuantiles]] applied at
+    * bin granularity, so the true quantile provably lies in the
+    * returned [lo, hi] interval (exact when width = 1 and values are
+    * in range). All integer; any engine computing the rule matches.
+    * Output: (label, bin, lo, hi).
+    *
+    * Plan: the histogram is ≤ nBins rows of metadata — the running sum
+    * is a window over that bounded domain (the nlist-centroid
+    * argument), the probes a broadcast literal join. */
+  def histogramQuantiles(hist: DataFrame, lo: Long, width: Long,
+                         probs: Seq[(String, Int)]): DataFrame = {
+    validateProbs(probs)
+    require(width >= 1, s"width must be >= 1, got $width")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val total = hist.agg(sum(col("cnt")).as("n"))
+    cum.crossJoin(broadcast(total))
+      .join(broadcast(probeFrame(hist, probs)), col("cum") >= threshold)
+      .groupBy(col("label"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("label"), col("bin"),
+        (lit(lo) + col("bin") * width).as("lo"),
+        (lit(lo) + (col("bin") + 1) * width - 1).as("hi"))
+  }
+
   def equiWidthHistogram(df: DataFrame, valueCol: String,
                          nBins: Int): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")

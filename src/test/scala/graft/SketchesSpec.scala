@@ -145,4 +145,109 @@ class SketchesSpec extends SparkTestBase {
       Sketches.hllEstimate(df, b = 6, hashBits = 5)
     }
   }
+
+  // --------------------------------------------------------------------
+  // Count-Min sketch
+
+  /** Driver CM reference on the md5 family: full register table +
+    * min-over-d point estimates, mirroring cmRegisters/cmQuery. */
+  private def cmRef(keys: Seq[(String, Long)], d: Int, b: Int)
+      : (Map[(Int, Long), Long], String => Long) = {
+    val m = 1L << b
+    val regs = scala.collection.mutable.Map.empty[(Int, Long), Long]
+      .withDefaultValue(0L)
+    for ((k, w) <- keys; i <- 0 until d) {
+      val bucket = md5_60(s"$i:$k") % m
+      regs((i, bucket)) += w
+    }
+    val frozen = regs.toMap
+    val query = (k: String) =>
+      (0 until d).map(i => frozen.getOrElse((i, md5_60(s"$i:$k") % m), 0L)).min
+    (frozen, query)
+  }
+
+  private val cmHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    graft.llm.TextAnalysis.md5Hash60
+
+  private val cmCorpus: Seq[String] =
+    Seq.tabulate(600)(i => s"token${i % 120}") // 120 distinct, 5 each
+
+  test("CM registers equal the independent driver reference (md5 path)") {
+    val got = Sketches.cmRegisters(cmCorpus.toDF("k"), col("k"),
+        d = 3, b = 8, hashFn = cmHash)
+      .as[(Int, Long, Long)].collect()
+      .map { case (r, bk, c) => (r, bk) -> c }.toMap
+    val (want, _) = cmRef(cmCorpus.map(_ -> 1L), 3, 8)
+    assert(got == want)
+  }
+
+  test("CM point query equals the driver min-over-rows estimate and never undercounts") {
+    val regs = Sketches.cmRegisters(cmCorpus.toDF("k"), col("k"),
+      d = 3, b = 8, hashFn = cmHash)
+    val probes = (0 until 120).map(i => s"token$i") :+ "never seen"
+    val got = Sketches.cmQuery(regs, probes.toDF("k"), "k",
+        d = 3, b = 8, hashFn = cmHash)
+      .as[(String, Long)].collect().toMap
+    val (_, ref) = cmRef(cmCorpus.map(_ -> 1L), 3, 8)
+    val truth = cmCorpus.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    for (p <- probes) {
+      assert(got(p) == ref(p), s"probe $p")
+      assert(got(p) >= truth.getOrElse(p, 0L), s"undercount at $p")
+    }
+  }
+
+  test("CM merge of shard sketches equals the sketch of the union") {
+    val (l, r) = cmCorpus.splitAt(251)
+    def reg(ks: Seq[String]) =
+      Sketches.cmRegisters(ks.toDF("k"), col("k"), d = 4, b = 6)
+    val merged = Sketches.cmMerge(reg(l), reg(r))
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    val whole = reg(cmCorpus).as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(merged == whole)
+  }
+
+  test("CM registers are weighted, partition-independent, and NULL-excluding") {
+    val weighted = cmCorpus.zipWithIndex
+      .map { case (k, i) => (k, (i % 3 + 1).toLong) }
+    val df = weighted.toDF("k", "w")
+    val a = Sketches.cmRegisters(df, col("k"), d = 2, b = 7,
+        weight = col("w"), hashFn = cmHash)
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    val b = Sketches.cmRegisters(df.repartition(13), col("k"), d = 2, b = 7,
+        weight = col("w"), hashFn = cmHash)
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+    val (want, _) = cmRef(weighted, 2, 7)
+    assert(a.map { case (r, bk, c) => (r, bk) -> c }.toMap == want)
+    val withNull = weighted.map { case (k, w) => (Option(k), w) } :+
+      ((None: Option[String], 99L))
+    val c = Sketches.cmRegisters(withNull.toDF("k", "w"), col("k"),
+        d = 2, b = 7, weight = col("w"), hashFn = cmHash)
+      .as[(Int, Long, Long)].collect().sorted.toSeq
+    assert(c == a)
+  }
+
+  test("CM grouped registers equal per-filter registers; invalid params fail loud") {
+    val df = cmCorpus.zipWithIndex
+      .map { case (k, i) => (k, if (i % 2 == 0) "x" else "y") }
+      .toDF("k", "g")
+    val grouped = Sketches.cmRegisters(df, col("k"), d = 2, b = 6,
+        groupCols = Seq("g"))
+      .as[(String, Int, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3) -> r._4).toMap }
+    for (g <- Seq("x", "y")) {
+      val solo = Sketches.cmRegisters(df.where(col("g") === g),
+          col("k"), d = 2, b = 6)
+        .as[(Int, Long, Long)].collect()
+        .map { case (r, bk, c) => (r, bk) -> c }.toMap
+      assert(grouped(g) == solo, s"group $g")
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmRegisters(df, col("k"), d = 0, b = 6)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmQuery(df, df, "k", d = 4, b = 26)
+    }
+  }
 }

@@ -166,4 +166,69 @@ class StatsSpec extends SparkTestBase {
       Stats.keySkewReport(df, Seq("k"), topK = 0)
     }
   }
+
+  // --------------------------------------------------------------------
+  // Fixed-bound (mergeable) histogram + quantiles-from-histogram
+
+  test("fixedWidthHistogram matches the driver reference and clamps out-of-range") {
+    val values = Seq(-7L, 0L, 1L, 49L, 50L, 99L, 100L, 512L, 9999L)
+    val got = Stats.fixedWidthHistogram(values.toDF("v"), "v",
+        lo = 0L, width = 50L, nBins = 8)
+      .as[(Long, Long)].collect().toMap
+    def bin(v: Long) = math.max(0L, math.min(7L, Math.floorDiv(v, 50L)))
+    val want = values.groupBy(bin).map { case (b, vs) => b -> vs.size.toLong }
+    assert(got == want)
+    assert(got(0L) == 4L)  // -7 clamps in, 0/1/49 land natively
+    assert(got(7L) == 2L)  // 512 and 9999 clamp to the top bin
+  }
+
+  test("histogramMerge of shard histograms equals the whole-frame histogram") {
+    val vals = Seq.tabulate(500)(i => (i.toLong * 31) % 400)
+    val (l, r) = vals.splitAt(211)
+    def h(vs: Seq[Long]) = Stats.fixedWidthHistogram(vs.toDF("v"), "v",
+      lo = 0L, width = 25L, nBins = 16)
+    val merged = Stats.histogramMerge(h(l), h(r))
+      .as[(Long, Long)].collect().toMap
+    val whole = h(vals).as[(Long, Long)].collect().toMap
+    assert(merged == whole)
+  }
+
+  test("histogramQuantiles brackets the exact quantile; width=1 in-range is exact") {
+    val vals = mixed
+    val hist = Stats.fixedWidthHistogram(vals.toDF("v"), "v",
+      lo = 0L, width = 100L, nBins = 10)
+    val got = Stats.histogramQuantiles(hist, lo = 0L, width = 100L, probs)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    for ((label, pm) <- probs) {
+      val exact = refQuantile(vals, pm)
+      val (lo, hi) = got(label)
+      assert(exact >= lo && exact <= hi, s"$label: $exact not in [$lo,$hi]")
+    }
+    // width=1 over an in-range domain degenerates to the exact rule
+    val h1 = Stats.fixedWidthHistogram(vals.toDF("v"), "v",
+      lo = 0L, width = 1L, nBins = 1000)
+    val q1 = Stats.histogramQuantiles(h1, lo = 0L, width = 1L, probs)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    for ((label, pm) <- probs)
+      assert(q1(label) == refQuantile(vals, pm), s"$label width-1")
+  }
+
+  test("fixed histogram family is partition-independent and guards params") {
+    val vals = Seq.tabulate(300)(i => (i.toLong * 13) % 200)
+    def h(df: org.apache.spark.sql.DataFrame) =
+      Stats.fixedWidthHistogram(df, "v", lo = 0L, width = 10L, nBins = 20)
+    val a = h(vals.toDF("v")).as[(Long, Long)].collect().toMap
+    val b = h(vals.toDF("v").repartition(13)).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Stats.fixedWidthHistogram(vals.toDF("v"), "v", 0L, 0L, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.fixedWidthHistogram(vals.toDF("v"), "v", 0L, 10L, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Stats.histogramQuantiles(h(vals.toDF("v")), 0L, 10L, Seq.empty)
+    }
+  }
 }

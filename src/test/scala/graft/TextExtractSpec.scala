@@ -1,0 +1,129 @@
+package graft
+
+import graft.llm.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** TextAnalysis markup stripping (raw-crawl → plain text) and the
+  * trained character-n-gram language-ID family (charNgrams /
+  * trainLangProfiles / classifyByProfile). */
+class TextExtractSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def strip1(s: String): String =
+    Seq(s).toDF("text").select(TextAnalysis.stripMarkup(col("text")))
+      .as[String].collect().head
+
+  test("stripMarkup drops script/style/comment blocks whole and tags to spaces") {
+    val html = "<html><head><style>p{x:1}</style></head>" +
+      "<body><p>one</p><!-- gone --><script>if (a<b) {}</script>two</body></html>"
+    assert(strip1(html) == "one two")
+  }
+
+  test("stripMarkup decodes entities AFTER tag removal — encoded tags stay text") {
+    assert(strip1("a &lt;p&gt; b &amp; c&nbsp;d &#39;e&#39; &quot;f&quot;") ==
+      "a <p> b & c d 'e' \"f\"")
+  }
+
+  test("stripMarkup keeps bare comparisons and collapses whitespace") {
+    assert(strip1("3 < 5 and x >\t2\n\nok") == "3 < 5 and x > 2 ok")
+    // '<2' is not a tag (needs a letter/!), so the text survives verbatim
+    assert(strip1("if x<2 then") == "if x<2 then")
+  }
+
+  test("stripMarkup is idempotent on its own output") {
+    val html = "<div a=\"1\">x &amp; y</div><p>z</p>"
+    val once = strip1(html)
+    assert(strip1(once) == once)
+  }
+
+  test("markupTagCount counts open/close/self-closing tags only") {
+    val got = Seq("<a href=\"x\">t</a><br/> plain < 5 <!doctype html>")
+      .toDF("text")
+      .select(TextAnalysis.markupTagCount(col("text"))).as[Int].collect().head
+    assert(got == 4) // <a>, </a>, <br/>, <!doctype html>
+  }
+
+  test("charNgrams: exact trigrams, short-text empty, n=1 identity") {
+    def grams(s: String, n: Int) =
+      Seq(s).toDF("t").select(TextAnalysis.charNgrams(col("t"), n))
+        .as[Seq[String]].collect().head
+    assert(grams("abcd", 3) == Seq("abc", "bcd"))
+    assert(grams("ab", 3).isEmpty)
+    assert(grams("", 2).isEmpty)
+    assert(grams("abc", 1) == Seq("a", "b", "c"))
+    intercept[IllegalArgumentException] { TextAnalysis.charNgrams(col("t"), 0) }
+  }
+
+  // Two synthetic "languages" with disjoint character inventories so the
+  // trained profiles separate them provably.
+  private val labeled = Seq(
+    (1L, "aa", "aaaa bbbb aaaa bbbb aaaa"),
+    (2L, "aa", "abab baba abab baba"),
+    (3L, "zz", "zzzz yyyy zzzz yyyy zzzz"),
+    (4L, "zz", "zyzy yzyz zyzy yzyz"))
+
+  test("trainLangProfiles ranks by (count DESC, gram ASC) and caps at topM") {
+    val prof = TextAnalysis.trainLangProfiles(
+        labeled.toDF("doc_id", "lang", "text"), "lang", "text",
+        n = 2, topM = 3)
+      .as[(String, String, Int)].collect().toSet
+    // driver reference: bigram counts per label over lower(text)
+    def ref(label: String): Seq[(String, String, Int)] = {
+      val txts = labeled.filter(_._2 == label).map(_._3.toLowerCase)
+      val counts = txts.flatMap(t => t.sliding(2).toSeq)
+        .groupBy(identity).map { case (g, v) => g -> v.size }
+      counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(3)
+        .zipWithIndex.map { case ((g, _), i) => (label, g, i + 1) }
+    }
+    assert(prof == (ref("aa") ++ ref("zz")).toSet)
+  }
+
+  test("classifyByProfile assigns the matching language; no-hit docs fall back") {
+    val docs = labeled.toDF("doc_id", "lang", "text")
+    val prof = TextAnalysis.trainLangProfiles(docs, "lang", "text",
+      n = 2, topM = 10)
+    val probes = Seq(
+      (101L, "aaa bb aab"),   // aa-charset
+      (102L, "zzz yy zzy"),   // zz-charset
+      (103L, "qqqq wwww")     // neither → und
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.classifyByProfile(probes, "doc_id", "text",
+        prof, n = 2, topM = 10)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(101L)._1 == "aa")
+    assert(got(102L)._1 == "zz")
+    assert(got(103L) == ("und", 0L))
+  }
+
+  test("classifyByProfile ties break to the smallest label and are partition-independent") {
+    // one doc whose grams hit both profiles with identical weight: the
+    // shared gram " a" is planted at the same rank in both labels
+    val sym = Seq((1L, "l1", "pq pq"), (2L, "l2", "pq pq"))
+      .toDF("doc_id", "lang", "text")
+    val prof = TextAnalysis.trainLangProfiles(sym, "lang", "text", n = 2, topM = 5)
+    val probe = Seq((9L, "pq")).toDF("doc_id", "text")
+    val a = TextAnalysis.classifyByProfile(probe, "doc_id", "text", prof,
+      n = 2, topM = 5).as[(Long, String, Long)].collect().head
+    assert(a._2 == "l1") // identical scores → lexicographically first label
+    val docs = labeled.toDF("doc_id", "lang", "text")
+    val p2 = TextAnalysis.trainLangProfiles(docs, "lang", "text", n = 3, topM = 50)
+    val one = TextAnalysis.classifyByProfile(docs, "doc_id", "text", p2,
+      n = 3, topM = 50).as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val many = TextAnalysis.classifyByProfile(docs.repartition(7), "doc_id",
+      "text", p2, n = 3, topM = 50)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(one == many)
+  }
+
+  test("trainLangProfiles drops NULL labels and guards topM") {
+    val withNull = (labeled.map { case (i, l, t) => (i, Option(l), t) } :+
+      ((9L, None: Option[String], "aaaa"))).toDF("doc_id", "lang", "text")
+    val prof = TextAnalysis.trainLangProfiles(withNull, "lang", "text",
+      n = 2, topM = 100)
+    assert(prof.select("label").distinct().as[String].collect().toSet ==
+      Set("aa", "zz"))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainLangProfiles(withNull, "lang", "text", topM = 0)
+    }
+  }
+}
