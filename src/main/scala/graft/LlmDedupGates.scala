@@ -377,7 +377,34 @@ object LlmDedupGates {
       blockKey = Seq(expr("length(text) div 16")), maxDist = 12)
   }
 
+  // ENSEMBLE near-dup vote (Dedup.ensembleNearDupPairs): three
+  // independent signals — distinct-bigram Jaccard > 0.5, trigram
+  // containment ≥ 800‰, winnowing fingerprint overlap ≥ 2 — each
+  // nominate pairs; only ≥2-vote agreement survives (precision through
+  // signal disagreement). The fixture plants BOTH near-dup classes:
+  // first-word-dropped clones (all three signals fire — 3 votes) and
+  // 15-token sub-docs (Jaccard's denominator kills it, containment and
+  // winnowing fire — exactly 2 votes), so the vote arithmetic is
+  // demonstrably doing work, not rubber-stamping one signal.
+  def q152_dedup_ensemble(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .where(col("doc_id") < 250)
+    val corpus = docs
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
+      .unionByName(docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 1, 15), " ").as("text")))
+    graft.llm.Dedup.ensembleNearDupPairs(corpus, "doc_id", "text",
+      minJaccard = 0.5, jaccardNgram = 2,
+      containPerMille = 800, containNgram = 3,
+      winnowMinShared = 2, winnowNgram = 3, winnowWindow = 4,
+      maxDf = 150, winnowMaxDf = 50, minVotes = 2,
+      hashFn = graft.llm.TextAnalysis.md5Hash60)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_dedup_ensemble" -> q152_dedup_ensemble _,
     "q129_index_stats"  -> q129_index_stats _,
     "q130_bloom_decontam" -> q130_bloom_decontam _,
     "q137_edit_pairs"   -> q137_edit_pairs _,
@@ -402,6 +429,68 @@ object LlmDedupGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q152_dedup_ensemble" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '') FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, array_to_string((string_split(text,' '))[1:15], ' ')
+        |  FROM documents WHERE doc_id < 250 AND doc_id % 5 = 0),
+        |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM corpus),
+        |jg0 AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |     i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM t WHERE len(toks) >= 2)),
+        |jkeep AS (SELECT gram FROM jg0 GROUP BY gram HAVING count(*) <= 150),
+        |jg AS (SELECT doc_id, gram FROM jg0 JOIN jkeep USING (gram)),
+        |jsz AS (SELECT doc_id, count(*) AS n FROM jg GROUP BY 1),
+        |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ns
+        |       FROM jg a JOIN jg b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |sig_jac AS (
+        |  SELECT doc_a, doc_b FROM jp
+        |  JOIN jsz sa ON sa.doc_id = jp.doc_a JOIN jsz sb ON sb.doc_id = jp.doc_b
+        |  WHERE CAST(CAST(ns AS DECIMAL(18,6)) / CAST(sa.n + sb.n - ns AS DECIMAL(18,6)) AS DECIMAL(38,6))
+        |        > CAST(0.5 AS DECIMAL(38,6))),
+        |cg0 AS (SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |  FROM t WHERE len(toks) >= 3)),
+        |ckeep AS (SELECT gram FROM cg0 GROUP BY gram HAVING count(*) <= 150),
+        |cg AS (SELECT doc_id, gram FROM cg0 JOIN ckeep USING (gram)),
+        |csz AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY 1),
+        |cp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ns
+        |       FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id <> b.doc_id GROUP BY 1,2),
+        |sig_con AS (
+        |  SELECT DISTINCT least(doc_a, doc_b) AS doc_a, greatest(doc_a, doc_b) AS doc_b
+        |  FROM cp JOIN csz s ON s.doc_id = cp.doc_a
+        |  WHERE 1000 * cp.ns >= 800 * s.n),
+        |wg AS (SELECT doc_id, i, len(toks) - 2 AS n,
+        |        ('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15))::BIGINT AS h
+        |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks)-2)) AS i FROM t
+        |            WHERE len(toks) >= 3)),
+        |wm AS (SELECT doc_id, i, n,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |      FROM wg),
+        |wfps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE i <= greatest(n-4, 0) + 1),
+        |wkeep AS (SELECT fp FROM wfps GROUP BY fp HAVING count(*) <= 50),
+        |wf2 AS (SELECT doc_id, fp FROM wfps JOIN wkeep USING (fp)),
+        |sig_win AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |            FROM wf2 a JOIN wf2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |            GROUP BY 1,2 HAVING count(*) >= 2),
+        |u AS (
+        |  SELECT doc_a, doc_b, 'jac' AS sig FROM sig_jac
+        |  UNION ALL SELECT doc_a, doc_b, 'con' FROM sig_con
+        |  UNION ALL SELECT doc_a, doc_b, 'win' FROM sig_win)
+        |SELECT doc_a, doc_b,
+        |  CAST(max(CASE WHEN sig='jac' THEN 1 ELSE 0 END) AS INT) AS vote_jaccard,
+        |  CAST(max(CASE WHEN sig='con' THEN 1 ELSE 0 END) AS INT) AS vote_contain,
+        |  CAST(max(CASE WHEN sig='win' THEN 1 ELSE 0 END) AS INT) AS vote_winnow,
+        |  CAST(max(CASE WHEN sig='jac' THEN 1 ELSE 0 END) + max(CASE WHEN sig='con' THEN 1 ELSE 0 END)
+        |       + max(CASE WHEN sig='win' THEN 1 ELSE 0 END) AS INT) AS n_votes
+        |FROM u GROUP BY 1,2
+        |HAVING n_votes >= 2""".stripMargin,
     "q137_edit_pairs" ->
       """WITH c AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 2000

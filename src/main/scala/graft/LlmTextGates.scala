@@ -497,6 +497,24 @@ object LlmTextGates {
       docs, "doc_id", "text", profiles, n = 3, topM = 100)
   }
 
+  // Corpus DATA CARD (CorpusPipeline.corpusReport): the per-language
+  // release summary — doc/distinct counts, exact-dup and Gopher-quality
+  // per-mille rates, token/char totals and extremes — in ONE corpus
+  // scan (mixed distinct/plain aggregate = one Expand over the group
+  // key; distinctness counts the md5-derived 60-bit content hash at the
+  // gate, xxhash64 in production). Exact clones of every 4th doc are
+  // planted so the dup-rate arithmetic is demonstrably non-zero.
+  def q153_corpus_report(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val corpus = docs.unionByName(docs.where(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text")))
+    graft.llm.CorpusPipeline.corpusReport(corpus, "text", Seq("lang"),
+        minWords = 30, minStopwords = 1,
+        hashFn = graft.llm.TextAnalysis.md5Hash60)
+      .withColumn("min_chars", col("min_chars").cast("int"))
+      .withColumn("max_chars", col("max_chars").cast("int"))
+  }
+
   // Key-skew diagnostic (ops/Stats.keySkewReport): the 10 heaviest
   // (lang, source) combinations with exact counts and integer
   // per-mille share — the pre-partitioning report. orderBy+limit plans
@@ -518,6 +536,7 @@ object LlmTextGates {
     "q149_langid_trained" -> q149_langid_trained _,
     "q150_stream_cm_sketch" -> q150_stream_cm_sketch _,
     "q151_hist_sketch"  -> q151_hist_sketch _,
+    "q153_corpus_report" -> q153_corpus_report _,
     "q145_vocab_decode" -> q145_vocab_decode _,
     "q139_rouge_overlap" -> q139_rouge_overlap _,
     "q140_key_skew"     -> q140_key_skew _,
@@ -549,6 +568,52 @@ object LlmTextGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q153_corpus_report" ->
+      """WITH corpus AS (
+        |  SELECT lang, text FROM documents
+        |  UNION ALL SELECT lang, text FROM documents WHERE doc_id % 4 = 0),
+        |c AS (
+        |  SELECT lang, text,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '\S')) AS INT) AS n_word_chars,
+        |    CAST(len(regexp_extract_all(text, '#')) AS INT) AS n_hash,
+        |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS INT) AS n_ellipsis,
+        |    CAST(CASE WHEN length(text) = 0 THEN 0
+        |              ELSE len(regexp_extract_all(text, '\n')) + 1 END AS INT) AS n_lines,
+        |    CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS INT) AS n_bullet_lines,
+        |    CAST(len(regexp_extract_all(text, '(?m)\.\.\.$')) AS INT) AS n_ellipsis_lines,
+        |    CAST(len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS INT) AS n_alpha_words,
+        |    CAST(CASE WHEN len(regexp_extract_all(text, '(?i)\bthe\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bbe\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bto\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bof\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\band\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bthat\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bhave\b')) > 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN len(regexp_extract_all(text, '(?i)\bwith\b')) > 0 THEN 1 ELSE 0 END AS INT)
+        |      AS n_stopwords_present
+        |  FROM corpus),
+        |k AS (SELECT lang, text,
+        |  CASE WHEN n_words BETWEEN 30 AND 100000
+        |        AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+        |        AND 1000 * (n_hash + n_ellipsis) <= 100 * n_words
+        |        AND 1000 * n_bullet_lines <= 900 * n_lines
+        |        AND 1000 * n_ellipsis_lines <= 300 * n_lines
+        |        AND 1000 * n_alpha_words >= 800 * n_words
+        |        AND n_stopwords_present >= 1
+        |       THEN 1 ELSE 0 END AS keep,
+        |  n_words FROM c)
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT ('0x' || substring(md5(text),1,15))::BIGINT) AS BIGINT) AS n_distinct,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+        |  CAST(min(length(text)) AS INT) AS min_chars,
+        |  CAST(max(length(text)) AS INT) AS max_chars,
+        |  CAST(sum(keep) AS BIGINT) AS n_quality,
+        |  CAST((1000 * (count(*) - count(DISTINCT ('0x' || substring(md5(text),1,15))::BIGINT))) // count(*) AS BIGINT) AS dup_pm,
+        |  CAST((1000 * sum(keep)) // count(*) AS BIGINT) AS quality_pm
+        |FROM k GROUP BY 1""".stripMargin,
     "q150_stream_cm_sketch" ->
       """WITH tk AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
         |c AS (SELECT i, ('0x' || substring(md5(i::VARCHAR || ':' || w),1,15))::BIGINT % 256 AS bucket

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Composed training-data cleaning pipeline over a document corpus —
@@ -215,5 +215,41 @@ object CorpusPipeline {
       .unionByName(train)
       .select(col(idCol), col("n_tokens"), col("rep").cast("long").as("rep"),
         col("split"), col("batch_id"))
+  }
+
+  /** Corpus DATA CARD — the per-slice summary a release ships next to
+    * the data (and the first thing an operator reads before touching a
+    * new crawl): per group (language / source / shard), document and
+    * distinct-content counts, exact-dup rate, token/char totals, length
+    * extremes, and the Gopher-quality pass rate — all integer surface
+    * (rates as per-mille floor divisions, the repo-wide tie discipline).
+    *
+    * Scale shape: ONE corpus scan. Distinctness counts the 8-byte
+    * content hash (never the text — `hashFn`: xxhash64 production,
+    * md5Hash60 at the gate), and Spark plans the mixed
+    * distinct/non-distinct aggregate as one Expand over the group key —
+    * two map-side-partial shuffles of |groups|-bounded rows, no joins,
+    * no windows. */
+  def corpusReport(docs: DataFrame, textCol: String,
+                   groupCols: Seq[String],
+                   minWords: Int = 50, minStopwords: Int = 2,
+                   hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val text = col(textCol)
+    val keep = TextAnalysis.gopherKeep(TextAnalysis.gopherCounts(text),
+      minWords = minWords, minStopwords = minStopwords)
+    docs.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(hashFn(text)).as("n_distinct"),
+        sum(length(text)).as("total_chars"),
+        sum(TextAnalysis.tokenCount(text).cast("long")).as("total_tokens"),
+        min(length(text)).as("min_chars"),
+        max(length(text)).as("max_chars"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_quality"))
+      .withColumn("dup_pm",
+        expr("CAST(1000 * (n_docs - n_distinct) DIV n_docs AS BIGINT)"))
+      .withColumn("quality_pm",
+        expr("CAST(1000 * n_quality DIV n_docs AS BIGINT)"))
   }
 }

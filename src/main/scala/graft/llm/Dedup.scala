@@ -796,6 +796,60 @@ object Dedup {
       .filter(col("jaccard") > lit(minJaccard).cast("decimal(38,6)"))
   }
 
+  /** ENSEMBLE near-dup vote — precision through signal agreement: three
+    * independent near-dup detectors (distinct-n-gram Jaccard, asymmetric
+    * n-gram containment, winnowing fingerprint overlap) each nominate
+    * pairs, and only pairs with ≥ `minVotes` signals survive. The
+    * signals fail differently — Jaccard misses a short doc quoted in a
+    * long one (containment's case), containment over-fires on
+    * boilerplate frames (Jaccard's denominator punishes them), winnowing
+    * alone sees substring RUNS through light edits — so agreement is a
+    * real precision gate, the aggressive-vs-conservative dedup knob a
+    * curation pipeline exposes.
+    *
+    * Output: (doc_a, doc_b, vote_jaccard, vote_contain, vote_winnow,
+    * n_votes) with doc_a < doc_b (containment's ordered directions
+    * canonicalize; either direction counts as the one containment vote).
+    *
+    * Scale shape: three df-capped inverted-index joins over the corpus —
+    * each bounded exactly as its standalone operator — then one groupBy
+    * over the (small) union of nominated pairs. Never all-pairs; `maxDf`
+    * caps every signal's hot-key blowup. */
+  def ensembleNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                           minJaccard: Double, jaccardNgram: Int = 2,
+                           containPerMille: Int = 800, containNgram: Int = 3,
+                           winnowMinShared: Int = 2, winnowNgram: Int = 3,
+                           winnowWindow: Int = 4,
+                           maxDf: Int = 1000, winnowMaxDf: Int = 50,
+                           minVotes: Int = 2,
+                           hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(minVotes >= 1 && minVotes <= 3,
+      s"minVotes must be in [1, 3], got $minVotes")
+    val jac = ngramJaccardPairs(docs, idCol, textCol, minJaccard,
+        jaccardNgram, maxDf)
+      .select(col("doc_a"), col("doc_b"), lit("jac").as("sig"))
+    val con = ngramContainmentPairs(docs, idCol, textCol, containPerMille,
+        containNgram, maxDf)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        lit("con").as("sig"))
+      .distinct()
+    val win = winnowingOverlapPairs(docs, idCol, textCol, winnowMinShared,
+        winnowNgram, winnowWindow, winnowMaxDf, hashFn)
+      .select(col("doc_a"), col("doc_b"), lit("win").as("sig"))
+    def vote(sig: String) =
+      max(when(col("sig") === sig, 1).otherwise(0)).cast("int")
+    jac.unionByName(con).unionByName(win)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(vote("jac").as("vote_jaccard"),
+        vote("con").as("vote_contain"),
+        vote("win").as("vote_winnow"))
+      .withColumn("n_votes",
+        (col("vote_jaccard") + col("vote_contain") + col("vote_winnow"))
+          .cast("int"))
+      .filter(col("n_votes") >= minVotes)
+  }
+
   // -------------------------------------------------------------------
   // Incremental exact dedup — the continuous-ingest shape of [[exact]]:
   // the accumulated corpus is represented by its (content_hash, doc_id)

@@ -75,6 +75,39 @@ class CorpusPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("corpusReport: hand-checkable data card, one scan with no joins") {
+    import spark.implicits._
+    // lang A: 3 docs, one exact dup pair, all quality-passing (40 words
+    // incl. stopword 'the'); lang B: 2 docs, no dups, both quality-fail
+    // (too short)
+    val good = ("the " + (1 to 39).map(i => s"word$i").mkString(" "))
+    val docs = Seq(
+      (1L, "A", good), (2L, "A", good), (3L, "A", good + " extraone"),
+      (4L, "B", "tiny one"), (5L, "B", "tiny two")
+    ).toDF("doc_id", "lang", "text")
+    val rep = graft.llm.CorpusPipeline.corpusReport(docs, "text",
+      Seq("lang"), minWords = 30, minStopwords = 1)
+    val got = rep.collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L)       // n_docs, n_distinct
+    assert(a.getLong(7) == 3L)                             // n_quality
+    assert(a.getLong(8) == 333L && a.getLong(9) == 1000L)  // dup_pm, quality_pm
+    val b = got("B")
+    assert(b.getLong(1) == 2L && b.getLong(2) == 2L)
+    assert(b.getLong(7) == 0L && b.getLong(8) == 0L && b.getLong(9) == 0L)
+    assert(a.getLong(4) == 3L * 40 + 1)                    // total_tokens
+    val plan = rep.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"data card must not join:\n$plan")
+    // partition independence
+    val again = graft.llm.CorpusPipeline.corpusReport(docs.repartition(7),
+        "text", Seq("lang"), minWords = 30, minStopwords = 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == rep.collect().map(_.toString).sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      graft.llm.CorpusPipeline.corpusReport(docs, "text", Seq.empty)
+    }
+  }
+
   // GraftExtensions needs a fresh JVM-first session (getOrCreate in the
   // shared test JVM would reuse the existing one and skip extensions) —
   // covered by `runMain graft.ExtDemo` instead; see .claude verify skill.

@@ -1474,6 +1474,35 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ensembleNearDupPairs: clone gets 3 votes, sub-doc exactly contain+winnow, strangers absent") {
+    // 30-token base docs from disjoint vocabularies; doc 2 = doc 1 minus
+    // its first word (all three signals); doc 3 = doc 1's first 12 tokens
+    // (containment + winnowing, Jaccard diluted); doc 4 unrelated.
+    val base = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val clone = base.split(" ").drop(1).mkString(" ")
+    val sub = base.split(" ").take(12).mkString(" ")
+    val other = (1 to 30).map(i => s"omega$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, clone), (3L, sub), (4L, other))
+      .toDF("doc_id", "text")
+    val got = graft.llm.Dedup.ensembleNearDupPairs(docs, "doc_id", "text",
+        minJaccard = 0.5, containPerMille = 800, minVotes = 2)
+      .as[(Long, Long, Int, Int, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got((1L, 2L)) == ((1, 1, 1, 3)), s"clone pair: $got")
+    assert(got((1L, 3L)) == ((0, 1, 1, 2)), s"sub-doc pair: $got")
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+    // minVotes = 3 keeps only the full-agreement clone pair
+    val strict = graft.llm.Dedup.ensembleNearDupPairs(docs, "doc_id", "text",
+        minJaccard = 0.5, containPerMille = 800, minVotes = 3)
+      .as[(Long, Long, Int, Int, Int, Int)].collect()
+    assert(strict.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      graft.llm.Dedup.ensembleNearDupPairs(docs, "doc_id", "text",
+        minJaccard = 0.5, minVotes = 0)
+    }
+  }
+
   private implicit class Map2Ops(
       rows: Array[(Long, String, Long, Long)]) {
     def toMap2: Map[Long, (String, Long, Long)] =
