@@ -23,10 +23,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Line-size budget (round-5 verdict: the driver's tail window is 2000
   * bytes and the 81-query 3-decimal line was 2022 — `parsed: null` for
-  * the third round running): per-query values are integer CENTISECONDS
-  * (`"qunit":"cs"` — round 7: 137+ queries put the 6-digit-ms worst
-  * case at 1944B; 10 ms resolution is far inside run-to-run noise and
-  * drops a digit per entry), per-query keys are the unique `qNN`
+  * the third round running): per-query values are integer DECISECONDS
+  * (`"qunit":"ds"` — round 7 moved ms→cs at 137 queries and cs→ds at
+  * 157, each time a digit per entry; 0.1 s resolution stays inside
+  * run-to-run noise for every query the verdicts scrutinize, and the
+  * per-query MINIMUM across reps is what's recorded anyway),
+  * per-query keys are the unique `qNN`
   * numeric prefix of the SparkEntry.queries name (`"q27":157` for
   * q27_minhash_pairs — the prefix is how every round's verdict refers
   * to queries, and full 15-char-average names put the worst-case line
@@ -55,20 +57,20 @@ object Bench {
     * -1 sentinels shouldn't be required to notice (round-6 advice).
     * `failed` lists short keys, capped at 8 so a catastrophic run
     * cannot blow the driver's 2000-byte tail window. Per-query values
-    * CLAMP at 9999 cs (99.99 s): the artifact must be fixed-size by
+    * CLAMP at 999 ds (99.9 s): the artifact must be fixed-size by
     * construction, and a single query past 100 s at sf0.1 is a
     * catastrophic regression where the exact digit carries no
-    * information — the clamped 9999 reads as "investigate". */
+    * information — the clamped 999 reads as "investigate". */
   def serialize(results: Seq[(String, Long)], totalSec: Double, sfDir: String,
                 reps: Int = 1): String = {
     val qs = results
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + math.min(v, 9999L) }
+      .map { case (k, v) => "\"" + shortKey(k) + "\":" + math.min(v, 999L) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
     val failedJson = failed.take(8).map("\"" + shortKey(_) + "\"")
       .mkString("[", ",", "]")
     val sf = new java.io.File(sfDir).getName
-    s"""{"metric":"total","value":$totalSec,"unit":"sec","qunit":"cs","reps":$reps,""" +
+    s"""{"metric":"total","value":$totalSec,"unit":"sec","qunit":"ds","reps":$reps,""" +
       s""""nfail":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sf"}"""
   }
   def main(args: Array[String]): Unit = {
@@ -101,9 +103,9 @@ object Bench {
     }
     def round3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = timesByQuery.toSeq.map { case (name, ts) =>
-      name -> (if (ts.exists(_ < 0)) -1L else math.rint(ts.min * 100).toLong)
+      name -> (if (ts.exists(_ < 0)) -1L else math.rint(ts.min * 10).toLong)
     }
-    val total = round3(results.map(_._2).filter(_ >= 0).sum / 100.0)
+    val total = round3(results.map(_._2).filter(_ >= 0).sum / 10.0)
     val json = serialize(results, total, sfDir, reps)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable =>

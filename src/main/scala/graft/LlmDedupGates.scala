@@ -403,7 +403,25 @@ object LlmDedupGates {
       hashFn = graft.llm.TextAnalysis.md5Hash60)
   }
 
+  // Sorted-neighborhood dedup (Dedup.sortedNeighborhoodPairs →
+  // editDistanceVerify): the record-linkage classic — rank by a cheap
+  // blocking key (here the 30-char text SUFFIX: the planted clones drop
+  // their FIRST word, so they sort adjacent under it), pair within a
+  // 4-rank window (w·n candidates, never n²), verify by bounded
+  // Levenshtein. Rank = the window-free distributed globalRowNumber;
+  // the oracle replays the identical total order (key, doc_id) with a
+  // row_number window and DuckDB's levenshtein.
+  def q156_snm_dedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithNearDups(s, dir)
+      .filter(col("doc_id") % 1000000L < 400)
+    val pairs = graft.llm.Dedup.sortedNeighborhoodPairs(
+      corpus, "doc_id", expr("right(text, 30)"), window = 4)
+    graft.llm.Dedup.editDistanceVerify(pairs, corpus, "doc_id", "text",
+      maxDist = 30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_snm_dedup" -> q156_snm_dedup _,
     "q152_dedup_ensemble" -> q152_dedup_ensemble _,
     "q129_index_stats"  -> q129_index_stats _,
     "q130_bloom_decontam" -> q130_bloom_decontam _,
@@ -429,6 +447,20 @@ object LlmDedupGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q156_snm_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '')
+        |  FROM documents WHERE doc_id < 400),
+        |r AS (SELECT doc_id, text,
+        |        row_number() OVER (ORDER BY right(text, 30), doc_id) AS rnk
+        |      FROM corpus),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             a.text AS ta, b.text AS tb
+        |      FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 4)
+        |SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS INT) AS dist
+        |FROM p WHERE levenshtein(ta, tb) <= 30""".stripMargin,
     "q152_dedup_ensemble" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 250

@@ -497,6 +497,53 @@ object LlmTextGates {
       docs, "doc_id", "text", profiles, n = 3, topM = 100)
   }
 
+  // Text-corpus interchange IO (io/TextCorpusSources): the corpus
+  // round-trips through BOTH line-oriented interchange formats — JSONL
+  // (what crawls ship as) and headered quoted CSV — with explicit
+  // schemas and PERMISSIVE corrupt-record capture (never schema
+  // inference: a 100 TB inference pass reads the corpus twice). The
+  // oracle reads the original parquet, so ANY lossiness in either
+  // writer/reader pair (quoting, escaping, null handling, type
+  // round-trip) breaks the hash — this gate is the IO-fidelity check.
+  def q154_text_formats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.io.TextCorpusSources._
+    val docs = t(s, dir, "documents")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val jl = java.nio.file.Files.createTempDirectory("q154jl").toString
+    val cv = java.nio.file.Files.createTempDirectory("q154cv").toString
+    writeJsonl(docs, jl)
+    writeCsv(docs, cv)
+    val (jClean, _) = quarantine(readJsonl(s, jl, schema))
+    val (cClean, _) = quarantine(readCsv(s, cv, schema))
+    def shape(df: DataFrame, fmt: String) =
+      df.select(lit(fmt).as("fmt"), col("doc_id"), col("lang"),
+        col("n_chars"), col("text"))
+    shape(jClean, "jsonl").unionByName(shape(cClean, "csv"))
+  }
+
+  // Sentence segmentation (TextAnalysis.splitSentences): split on
+  // terminal-punctuation runs + whitespace — the deterministic regex
+  // tier sentence-level dedup runs on (Java∩RE2, no lookbehind). Three
+  // planted docs exercise multi-sentence splits, no-punctuation
+  // passthrough, and the acronym limitation the scaladoc documents.
+  def q155_sentences(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(s.range(1).select(lit(9000001L).as("doc_id"),
+        lit("First one. Second here! Third? The end.").as("text")))
+      .unionByName(s.range(1).select(lit(9000002L).as("doc_id"),
+        lit("no terminal punctuation here").as("text")))
+      .unionByName(s.range(1).select(lit(9000003L).as("doc_id"),
+        lit("Dr. Smith arrived... Then left! Done.").as("text")))
+    planted
+      .select(col("doc_id"),
+        posexplode(graft.llm.TextAnalysis.splitSentences(col("text"))))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("sentence"))
+  }
+
   // Corpus DATA CARD (CorpusPipeline.corpusReport): the per-language
   // release summary — doc/distinct counts, exact-dup and Gopher-quality
   // per-mille rates, token/char totals and extremes — in ONE corpus
@@ -537,6 +584,8 @@ object LlmTextGates {
     "q150_stream_cm_sketch" -> q150_stream_cm_sketch _,
     "q151_hist_sketch"  -> q151_hist_sketch _,
     "q153_corpus_report" -> q153_corpus_report _,
+    "q154_text_formats" -> q154_text_formats _,
+    "q155_sentences"    -> q155_sentences _,
     "q145_vocab_decode" -> q145_vocab_decode _,
     "q139_rouge_overlap" -> q139_rouge_overlap _,
     "q140_key_skew"     -> q140_key_skew _,
@@ -568,6 +617,23 @@ object LlmTextGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q154_text_formats" ->
+      """SELECT 'jsonl' AS fmt, doc_id, lang, n_chars, text FROM documents
+        |UNION ALL
+        |SELECT 'csv' AS fmt, doc_id, lang, n_chars, text FROM documents""".stripMargin,
+    "q155_sentences" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 9000001, 'First one. Second here! Third? The end.'
+        |  UNION ALL SELECT 9000002, 'no terminal punctuation here'
+        |  UNION ALL SELECT 9000003, 'Dr. Smith arrived... Then left! Done.'),
+        |s AS (SELECT doc_id,
+        |        list_filter(list_transform(string_split_regex(text, '[.!?]+[ \t\n]+'),
+        |                                   x -> trim(x)),
+        |                    x -> len(x) > 0) AS sents
+        |      FROM corpus)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS idx, sents[i] AS sentence
+        |FROM (SELECT doc_id, sents, unnest(range(1, len(sents)+1)) AS i FROM s)""".stripMargin,
     "q153_corpus_report" ->
       """WITH corpus AS (
         |  SELECT lang, text FROM documents

@@ -295,6 +295,19 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "[ \\t\\n\\x0B\\f\\r]+", " "))
   }
 
+  /** Sentence segmentation — the regex rule shared by Java and RE2:
+    * split on runs of terminal punctuation `[.!?]+` followed by
+    * whitespace, trim, drop empties. The terminal punctuation of
+    * non-final sentences is consumed by the delimiter (a deterministic,
+    * engine-shared rule); abbreviation-aware segmentation ("Dr. Smith")
+    * needs a model, not a regex — this is the cheap deterministic tier
+    * sentence-level dedup/decontamination runs on. Map-only,
+    * scan-speed; returns array<string>. */
+  def splitSentences(text: Column): Column =
+    filter(
+      transform(split(text, "[.!?]+[ \\t\\n]+"), s => trim(s)),
+      s => length(s) > 0)
+
   // -------------------------------------------------------------------
   // Trained character-n-gram language ID (Cavnar & Trenkle 1994 /
   // textcat family) — the data-driven sibling of the heuristic

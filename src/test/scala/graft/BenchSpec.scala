@@ -22,24 +22,24 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("worst-case serialized bench line stays under 1900 bytes") {
-    // worst case: every query at the 9999-cs clamp (the serializer
-    // caps values there, so no wider line exists), a 3-decimal total,
-    // AND 8 failures (the failed-list cap)
+    // worst case: every query at the 999-ds clamp (the serializer caps
+    // values there, so no wider line exists), a 3-decimal total, AND 8
+    // failures (the failed-list cap)
     val worst = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i < 8) -1L else 999999L) }
     val line = Bench.serialize(worst, 9999.999, "/root/testdata/sf0.1", reps = 3)
     assert(line.length < 1900,
       s"bench line ${line.length}B would overflow the driver's 2000B tail window")
-    assert(!line.contains("999999") && line.contains("9999"),
-      "per-query values must clamp at 9999 cs by construction")
+    assert(!line.contains("9999,") && line.contains("999"),
+      "per-query values must clamp at 999 ds by construction")
   }
 
   test("serializer emits the driver contract fields with sf basename") {
-    val line = Bench.serialize(Seq("q0_flagship" -> 131L, "q27_minhash_pairs" -> -1L),
+    val line = Bench.serialize(Seq("q0_flagship" -> 13L, "q27_minhash_pairs" -> -1L),
       1.312, "/root/testdata/sf0.1", reps = 3)
     assert(line ==
-      """{"metric":"total","value":1.312,"unit":"sec","qunit":"cs","reps":3,""" +
-        """"nfail":1,"failed":["q27"],"queries":{"q0":131,"q27":-1},"sf":"sf0.1"}""")
+      """{"metric":"total","value":1.312,"unit":"sec","qunit":"ds","reps":3,""" +
+        """"nfail":1,"failed":["q27"],"queries":{"q0":13,"q27":-1},"sf":"sf0.1"}""")
   }
 
   test("failed list caps at 8 keys so a catastrophic run still fits the window") {

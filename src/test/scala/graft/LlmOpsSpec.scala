@@ -1503,6 +1503,45 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("sortedNeighborhoodPairs: exactly the window pairs, partition-independent") {
+    // 40 docs keyed by a scrambled-but-deterministic string key
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"key${(i * 17) % 40}%03d"))
+      .map { case (id, k) => (id, f"key${(id * 17) % 40}%03d") }
+      .toDF("doc_id", "text")
+    val window = 3
+    val got = graft.llm.Dedup.sortedNeighborhoodPairs(
+        docs, "doc_id", col("text"), window)
+      .as[(Long, Long, Long)].collect().toSet
+    // driver reference: rank by (key, id), pair every rank distance 1..w
+    val ranked = Seq.tabulate(40)(i => (i.toLong, f"key${(i * 17) % 40}%03d"))
+      .sortBy { case (id, k) => (k, id) }.map(_._1)
+    val want = (for {
+      a <- ranked.indices; d <- 1 to window
+      if a + d < ranked.length
+    } yield (ranked(a), ranked(a + d), d.toLong)).toSet
+    assert(got == want)
+    val again = graft.llm.Dedup.sortedNeighborhoodPairs(
+        docs.repartition(11), "doc_id", col("text"), window)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == got)
+    // composition: clones that share a suffix sort adjacent and verify
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val pairCorpus = Seq((1L, "xxx " + base), (2L, base),
+      (3L, (1 to 20).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val verified = graft.llm.Dedup.editDistanceVerify(
+      graft.llm.Dedup.sortedNeighborhoodPairs(
+        pairCorpus, "doc_id", expr("right(text, 30)"), 2),
+      pairCorpus, "doc_id", "text", maxDist = 10)
+      .as[(Long, Long, Int)].collect()
+    // docs 1 and 2 share their 30-char suffix → equal key, tie to the
+    // lower id: doc 1 ranks first; distance = len("xxx ") = 4
+    assert(verified.toSeq.map(v => (v._1, v._2, v._3)) == Seq((1L, 2L, 4)),
+      s"got ${verified.toSeq}")
+    intercept[IllegalArgumentException] {
+      graft.llm.Dedup.sortedNeighborhoodPairs(docs, "doc_id", col("text"), 0)
+    }
+  }
+
   private implicit class Map2Ops(
       rows: Array[(Long, String, Long, Long)]) {
     def toMap2: Map[Long, (String, Long, Long)] =

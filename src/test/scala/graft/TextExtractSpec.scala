@@ -115,6 +115,19 @@ class TextExtractSpec extends SparkTestBase {
     assert(one == many)
   }
 
+  test("splitSentences: punctuation runs, passthrough, empties") {
+    def split(s: String) =
+      Seq(s).toDF("t").select(TextAnalysis.splitSentences(col("t")))
+        .as[Seq[String]].collect().head
+    assert(split("One here. Two now! Three? End.") ==
+      Seq("One here", "Two now", "Three", "End."))
+    assert(split("no punctuation") == Seq("no punctuation"))
+    assert(split("Dr. Smith arrived... Then left!  Done.") ==
+      Seq("Dr", "Smith arrived", "Then left", "Done."))
+    assert(split("") == Seq.empty)
+    assert(split("!. ?  ") == Seq.empty) // all-delimiter input
+  }
+
   test("trainLangProfiles drops NULL labels and guards topM") {
     val withNull = (labeled.map { case (i, l, t) => (i, Option(l), t) } :+
       ((9L, None: Option[String], "aaaa"))).toDF("doc_id", "lang", "text")
