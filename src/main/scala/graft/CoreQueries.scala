@@ -849,7 +849,30 @@ object CoreQueries {
         Array(col("l_quantity"), col("l_discount"), col("l_tax")),
         "metric", "value")
 
+  // FIRST-TOUCH FUNNEL (ops/EventAnalytics.funnelLevels): highest
+  // view→click→purchase step each user reaches in order within 7 days
+  // of their first view — the ClickHouse windowFunnel question answered
+  // with per-step user-keyed min joins (step-count-bounded), pure
+  // integer epoch-µs arithmetic end to end.
+  def q157_funnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.funnelLevels(
+      t(s, dir, "events"), "user_id", "ts", "event_type",
+      steps = Seq("view", "click", "purchase"),
+      windowUs = 7L * 24 * 3600 * 1000000L)
+
+  // COHORT RETENTION (ops/EventAnalytics.cohortRetention): users cohort
+  // by first-seen day, activity counted per (cohort, day offset) — the
+  // product-analytics retention matrix; two groupBys + one user-keyed
+  // join, result bounded by days², integer day buckets both engines
+  // share.
+  def q158_retention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.cohortRetention(
+      t(s, dir, "events"), "user_id", "ts",
+      periodUs = 24L * 3600 * 1000000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_funnel"     -> q157_funnel _,
+    "q158_retention"  -> q158_retention _,
     "q0_flagship"     -> q0_flagship _,
     "q35_grouping_sets" -> q35_grouping_sets _,
     "q37_stats"       -> q37_stats _,
@@ -897,6 +920,23 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q157_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+        |t1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN t1 ON t1.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= t1.t1 AND e.ts <= t1.t1 + 604800000000 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3
+        |       FROM e JOIN t2 ON t2.user_id = e.user_id JOIN t1 ON t1.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= t2.t2 AND e.ts <= t1.t1 + 604800000000 GROUP BY 1)
+        |SELECT t1.user_id,
+        |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS level
+        |FROM t1 LEFT JOIN t2 ON t2.user_id = t1.user_id LEFT JOIN t3 ON t3.user_id = t1.user_id""".stripMargin,
+    "q158_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, d FROM e)
+        |SELECT f.cohort, a.d - f.cohort AS day_offset, CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN f ON f.user_id = a.user_id GROUP BY 1, 2""".stripMargin,
     "q0_flagship" ->
       """SELECT r.r_name, count(1) AS cnt,
         | CAST(CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,4)) *

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Behavioral event analytics — funnel conversion and cohort retention,
+  * the two queries every product-analytics engine (and ClickHouse's
+  * `windowFunnel`/`retention` function family, the reference's home
+  * ecosystem) answers over an event stream. Both are pure integer
+  * arithmetic over epoch-microsecond timestamps (the CoreQueries `t()`
+  * contract), so results are engine-exact.
+  *
+  * Scale shape: everything is keyed by the user — per-step joins and
+  * groupBys shuffle (user, long) pairs, never event payloads; step
+  * count and period count bound the metadata. No windows, no collects.
+  */
+object EventAnalytics {
+
+  /** FIRST-TOUCH FUNNEL: for each user, the highest step of `steps`
+    * reached in order within `windowUs` of the user's FIRST step-1
+    * event. Step k counts when an event of type steps(k) exists at or
+    * after the user's step-(k−1) time and within the window anchored at
+    * t1 (the deterministic first-occurrence rule: t1 = min ts of
+    * step 1, t_k = min ts of step k in [t_{k−1}, t1 + window]).
+    * Output: (userCol, level ∈ [1, steps.size]) — one row per user who
+    * reached step 1; `level` is monotone by construction.
+    *
+    * One filter+groupBy per step (map-side partial min), then a chain
+    * of user-keyed left joins — steps.size bounded joins of
+    * (user, long) frames. */
+  def funnelLevels(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   windowUs: Long): DataFrame = {
+    require(steps.size >= 2, s"need at least 2 funnel steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(windowUs >= 1, s"windowUs must be >= 1, got $windowUs")
+    val e = events.select(col(userCol).as("__u"),
+      col(tsCol).cast("long").as("__ts"), col(typeCol).as("__k"))
+    val t1 = e.filter(col("__k") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("t1"))
+    // fold: tk frame carries (u, t1, t_{k}) for users who reached step k
+    val stepTimes = steps.tail.zipWithIndex.scanLeft(
+      t1.withColumn("tprev", col("t1"))) { case (prev, (step, i)) =>
+      e.filter(col("__k") === step)
+        .join(prev.select(col("__u"), col("t1"), col("tprev")), "__u")
+        .filter(col("__ts") >= col("tprev") &&
+          col("__ts") <= col("t1") + windowUs)
+        .groupBy(col("__u"), col("t1"))
+        .agg(min(col("__ts")).as(s"t${i + 2}"))
+        .withColumn("tprev", col(s"t${i + 2}"))
+    }
+    // left-join the reach sets back onto the step-1 population
+    val levels = stepTimes.tail.zipWithIndex.foldLeft(
+      t1.select(col("__u"), col("t1"))) { case (acc, (tk, i)) =>
+      acc.join(tk.select(col("__u"), lit(1).as(s"__r${i + 2}")), Seq("__u"), "left")
+    }
+    // build the when-chain deepest-step-OUTERMOST: folding ascending
+    // wraps each deeper step around the shallower chain, so a user with
+    // __r2 and __r3 tests __r3 first and reads level 3
+    val levelCol = steps.indices.tail.foldLeft(
+      lit(1): Column) { (elseC, i) =>
+      when(col(s"__r${i + 1}").isNotNull, i + 1).otherwise(elseC)
+    }
+    levels.select(col("__u").as(userCol), levelCol.cast("int").as("level"))
+  }
+
+  /** COHORT RETENTION: users cohort by the period of their FIRST event
+    * (period = ts div periodUs); for every (cohort, period-offset) the
+    * count of cohort users active in that period. Output:
+    * (cohort, day_offset, n_users) — cohort and offset in period units.
+    *
+    * Two map-side-partial groupBys (first-seen, distinct activity) and
+    * one user-keyed join; the result is bounded by periods², not by
+    * events. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+                      periodUs: Long): DataFrame = {
+    require(periodUs >= 1, s"periodUs must be >= 1, got $periodUs")
+    // integer floor-div (Spark `div`), never `/` — long/long is DOUBLE
+    // division in Spark and a 1.7e15-µs epoch is at the edge of a
+    // double's mantissa
+    val e = events.select(col(userCol).as("__u"),
+      expr(s"CAST($tsCol AS BIGINT) div ${periodUs}L").as("__p"))
+    val first = e.groupBy(col("__u")).agg(min(col("__p")).as("cohort"))
+    val active = e.distinct()
+    active.join(first, "__u")
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.EventAnalytics
+import org.apache.spark.sql.functions._
+
+/** ops/EventAnalytics — funnel levels and cohort retention against
+  * hand-computable fixtures. */
+class EventAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val M = 60L * 1000000L // one minute in µs
+
+  test("funnelLevels: full reach, partial reach, order and window rules") {
+    val events = Seq(
+      // user 1: view→click→purchase in order → level 3 (regression: the
+      // when-chain must test the DEEPEST step first)
+      (1L, 0 * M, "view"), (1L, 5 * M, "click"), (1L, 9 * M, "purchase"),
+      // user 2: view→click, purchase BEFORE the click → level 2 (step
+      // order matters: t3 must be >= t2)
+      (2L, 0 * M, "view"), (2L, 6 * M, "purchase"), (2L, 8 * M, "click"),
+      // user 3: view only → level 1
+      (3L, 0 * M, "view"),
+      // user 4: click/purchase but never a view → absent
+      (4L, 0 * M, "click"), (4L, 1 * M, "purchase"),
+      // user 5: view, click outside the window → level 1
+      (5L, 0 * M, "view"), (5L, 120 * M, "click"),
+      // user 6: second view starts nothing — window anchors at FIRST view;
+      // click within window of first view → level 2
+      (6L, 0 * M, "view"), (6L, 50 * M, "view"), (6L, 55 * M, "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelLevels(events, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"), windowUs = 60 * M)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1, 5L -> 1, 6L -> 2))
+    // partition independence
+    val again = EventAnalytics.funnelLevels(events.repartition(7), "user_id",
+        "ts", "event_type", Seq("view", "click", "purchase"), 60 * M)
+      .as[(Long, Int)].collect().toMap
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnelLevels(events, "user_id", "ts", "event_type",
+        Seq("view"), 60 * M)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnelLevels(events, "user_id", "ts", "event_type",
+        Seq("view", "view"), 60 * M)
+    }
+  }
+
+  test("funnelLevels: four-step funnel reaches every intermediate level") {
+    val steps = Seq("a", "b", "c", "d")
+    val events = (1 to 4).flatMap { reach =>
+      steps.take(reach).zipWithIndex.map { case (s, i) =>
+        (reach.toLong, i * M, s) }
+    }.toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelLevels(events, "user_id", "ts",
+        "event_type", steps, windowUs = 60 * M)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
+  }
+
+  test("cohortRetention matches a driver reference and is partition-independent") {
+    val D = 24L * 3600 * 1000000L
+    val events = Seq(
+      (1L, 0L), (1L, D + 5), (1L, 3 * D),          // cohort 0, days 0/1/3
+      (2L, 0L), (2L, 0L + 7),                       // cohort 0, day 0 twice
+      (3L, D), (3L, 2 * D), (3L, 2 * D + 9)         // cohort 1, days 1/2
+    ).toDF("user_id", "ts")
+    val got = EventAnalytics.cohortRetention(events, "user_id", "ts", D)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Set(
+      (0L, 0L, 2L),  // users 1,2 active day 0
+      (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L))
+    assert(got == want)
+    val again = EventAnalytics.cohortRetention(events.repartition(5),
+        "user_id", "ts", D).as[(Long, Long, Long)].collect().toSet
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.cohortRetention(events, "user_id", "ts", 0L)
+    }
+  }
+}
