@@ -849,6 +849,22 @@ object CoreQueries {
         Array(col("l_quantity"), col("l_discount"), col("l_tax")),
         "metric", "value")
 
+  // SLIDING (hopping) windows at the gate: Spark's native
+  // window(ts, '1 hour', '30 minutes') — each event lands in exactly
+  // size/slide = 2 overlapping windows; the oracle replays the window
+  // membership with integer µs arithmetic (start ∈ {floor(ts/slide)·
+  // slide − k·slide, k < size/slide}). Completes the window-operator
+  // family next to q19's tumbling and q50's session windows.
+  def q160_sliding_window(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("tts", timestamp_micros(col("ts")))
+      .groupBy(window(col("tts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           outD(sum(col("value").cast(dec))).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   // FIRST-TOUCH FUNNEL (ops/EventAnalytics.funnelLevels): highest
   // view→click→purchase step each user reaches in order within 7 days
   // of their first view — the ClickHouse windowFunnel question answered
@@ -873,6 +889,7 @@ object CoreQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_funnel"     -> q157_funnel _,
     "q158_retention"  -> q158_retention _,
+    "q160_sliding_window" -> q160_sliding_window _,
     "q0_flagship"     -> q0_flagship _,
     "q35_grouping_sets" -> q35_grouping_sets _,
     "q37_stats"       -> q37_stats _,
@@ -920,6 +937,15 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q160_sliding_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts, event_type, value FROM events),
+        |w AS (SELECT (ts // 1800000000) * 1800000000 - k * 1800000000 AS ws,
+        |             event_type, value
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) s)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "q157_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
         |t1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),

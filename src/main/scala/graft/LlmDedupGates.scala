@@ -211,6 +211,32 @@ object LlmDedupGates {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  // SENTENCE-level dedup (splitSentences × the paragraph-dedup
+  // machinery): the q88 instance-dedup pipeline at sentence granularity
+  // — the unit sentence-level boilerplate ("Subscribe to our newsletter
+  // today.") actually repeats at. Every 3rd doc gets the planted
+  // boilerplate sentence; dedup-to-first keeps only the (min doc, pos)
+  // instance, reassembly re-joins each doc's survivors in order.
+  def q159_sentence_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("Subscribe to our newsletter today. "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val inst = docs.select(col("doc_id"),
+        posexplode(graft.llm.TextAnalysis.splitSentences(col("text")))
+          .as(Seq("pos", "para")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("para"))
+    val kept = graft.llm.Dedup.dedupParagraphInstances(
+      inst, keepFirst = true, minLen = 1)
+    val rebuilt = graft.llm.Dedup.reassembleParagraphs(kept, sep = ". ")
+    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   // CCNet-style boilerplate removal at the gate
   // (Dedup.removeBoilerplate): the DOCUMENT-FREQUENCY policy next to
   // q88's dedup-to-first — lines in > maxDf distinct docs drop from
@@ -422,6 +448,7 @@ object LlmDedupGates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q156_snm_dedup" -> q156_snm_dedup _,
+    "q159_sentence_dedup" -> q159_sentence_dedup _,
     "q152_dedup_ensemble" -> q152_dedup_ensemble _,
     "q129_index_stats"  -> q129_index_stats _,
     "q130_bloom_decontam" -> q130_bloom_decontam _,
@@ -447,6 +474,29 @@ object LlmDedupGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q159_sentence_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN 'Subscribe to our newsletter today. ' || text ELSE text END AS text
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |        list_filter(list_transform(string_split_regex(text, '[.!?]+[ \t\n]+'),
+        |                                   x -> trim(x)),
+        |                    x -> len(x) > 0) AS arr
+        |      FROM corpus),
+        |inst AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS para
+        |         FROM (SELECT doc_id, arr, unnest(range(1, len(arr)+1)) AS i FROM s)),
+        |kept AS (
+        |  SELECT doc_id, pos, para FROM (
+        |    SELECT doc_id, pos, para,
+        |           row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |    FROM inst WHERE length(para) >= 1) WHERE rn = 1),
+        |agg AS (SELECT doc_id, string_agg(para, '. ' ORDER BY pos) AS text,
+        |               count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.text, '') AS text,
+        |       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM (SELECT DISTINCT doc_id FROM corpus) d
+        |LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q156_snm_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id < 400
