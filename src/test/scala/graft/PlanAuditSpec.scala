@@ -566,4 +566,48 @@ class PlanAuditSpec extends SparkTestBase {
       "no unpartitioned (corpus-global) window allowed")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q146/q147: CM sketch is scan→aggregate; point query joins the register table") {
+    val p = plan("q146_cm_registers")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "the register build is one generate + groupBy, no joins")
+    assert(p.contains("partial_sum"),
+      "cell counts must combine map-side before the shuffle")
+    val q = plan("q147_cm_merge_query")
+    assert(!q.contains("Window") && !q.contains("CartesianProduct"))
+    assert(q.contains("partial_min"),
+      "the min-over-d estimate must combine map-side")
+  }
+
+  test("q153: corpus data card is ONE scan — no joins, no windows") {
+    val p = plan("q153_corpus_report")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "the data card must not join")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
+    // Spark 4 plans the single count-distinct as a multi-phase
+    // HashAggregate over (lang, hash) — no Expand needed; either shape
+    // is one scan, so only assert the aggregate pipeline exists
+    assert(p.contains("HashAggregate"), "expected an aggregate pipeline")
+  }
+
+  test("q156: SNM pairs hash-join on the rank block, never cartesian") {
+    val p = plan("q156_snm_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "block keys must keep SNM pairing an equi join")
+    assert(!p.contains("windowspecdefinition()"),
+      "rank must come from globalRowNumber, not a global window")
+  }
+
+  test("q157/q158: event analytics shuffle user-keyed pairs — no windows, no cartesian") {
+    val p = plan("q157_funnel")
+    assert(!p.contains("Window") && !p.contains("windowspecdefinition"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(p.contains("partial_min"),
+      "per-step first-touch times must combine map-side")
+    val r = plan("q158_retention")
+    assert(!r.contains("Window") && !r.contains("CartesianProduct"))
+    assert(r.contains("partial_min"),
+      "first-seen period must combine map-side")
+  }
 }
