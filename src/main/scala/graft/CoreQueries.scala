@@ -886,9 +886,29 @@ object CoreQueries {
       t(s, dir, "events"), "user_id", "ts",
       periodUs = 24L * 3600 * 1000000L)
 
+  // MARKOV TRANSITIONS (ops/EventAnalytics.eventTransitions): counts and
+  // integer per-mille probabilities of consecutive (prev→next) event
+  // types per user — the behavioral transition matrix next to q157's
+  // funnel. The successor window is user-partitioned (bounded by one
+  // user's history); the totals join broadcasts (alphabet-bounded).
+  def q161_transitions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.eventTransitions(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type")
+
+  // TOP USER PATHS (ops/EventAnalytics.topPaths): the 20 most common
+  // first-3-event journeys — first-k per user via the k-bounded
+  // FirstKByTime aggregator (map-side partial, no per-user window sort),
+  // final top-20 via orderBy+limit = TakeOrderedAndProject.
+  def q162_top_paths(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.topPaths(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+      k = 3, topN = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_funnel"     -> q157_funnel _,
     "q158_retention"  -> q158_retention _,
+    "q161_transitions" -> q161_transitions _,
+    "q162_top_paths"  -> q162_top_paths _,
     "q160_sliding_window" -> q160_sliding_window _,
     "q0_flagship"     -> q0_flagship _,
     "q35_grouping_sets" -> q35_grouping_sets _,
@@ -957,6 +977,24 @@ object CoreQueries {
         |SELECT t1.user_id,
         |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS level
         |FROM t1 LEFT JOIN t2 ON t2.user_id = t1.user_id LEFT JOIN t3 ON t3.user_id = t1.user_id""".stripMargin,
+    "q161_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type FROM events),
+        |x AS (SELECT user_id, event_type AS prev_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |      FROM e),
+        |c AS (SELECT prev_type, next_type, count(*) AS n
+        |      FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST((1000 * n) // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_permille
+        |FROM c""".stripMargin,
+    "q162_top_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type FROM events),
+        |r AS (SELECT user_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM e),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p
+        |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
     "q158_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
         |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),

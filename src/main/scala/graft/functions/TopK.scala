@@ -85,3 +85,44 @@ class BottomKLong(k: Int)
   override def outputEncoder: Encoder[BottomKBuf] =
     Encoders.product[BottomKBuf]
 }
+
+/** One event kept by [[FirstKByTime]] — named fields so gate code can
+  * extract `items.tok` as an array column. */
+final case class EvItem(ts: Long, id: Long, tok: String)
+
+/** k-bounded (ts, id, tok) list ordered ascending by (ts, id). */
+final case class FirstKBuf(items: Seq[EvItem])
+
+/** Exact FIRST-k per group by event time as a typed [[Aggregator]]: the
+  * per-user "first k events" selection behind path analysis. Keeps the k
+  * earliest (ts, id, payload) rows — id breaks timestamp ties so the kept
+  * prefix is a total order both engines reproduce. Same scale story as
+  * [[TopKByScore]]/[[BottomKLong]]: partial aggregation collapses each map
+  * task to a k-bounded buffer, so a user with a million events ships k
+  * rows into the shuffle, not a window sort of their whole history. */
+class FirstKByTime(k: Int)
+    extends Aggregator[(Long, Long, String), FirstKBuf, FirstKBuf] {
+  require(k >= 1, "k must be >= 1")
+
+  private def better(a: EvItem, b: EvItem): Boolean =
+    if (a.ts != b.ts) a.ts < b.ts else a.id < b.id
+
+  private def trim(s: Seq[EvItem]): FirstKBuf =
+    FirstKBuf(s.sortWith(better).take(k))
+
+  override def zero: FirstKBuf = FirstKBuf(Nil)
+  override def reduce(buf: FirstKBuf, x: (Long, Long, String)): FirstKBuf = {
+    val it = EvItem(x._1, x._2, x._3)
+    // full buffer rejects a non-improving row with one comparison
+    // against the current k-th element (trim keeps the buffer sorted)
+    if (buf.items.size >= k && !better(it, buf.items.last)) buf
+    else trim(buf.items :+ it)
+  }
+  override def merge(a: FirstKBuf, b: FirstKBuf): FirstKBuf =
+    trim(a.items ++ b.items)
+  override def finish(buf: FirstKBuf): FirstKBuf = buf
+  override def bufferEncoder: Encoder[FirstKBuf] =
+    Encoders.product[FirstKBuf]
+  override def outputEncoder: Encoder[FirstKBuf] =
+    Encoders.product[FirstKBuf]
+}

@@ -86,4 +86,59 @@ object EventAnalytics {
       .groupBy(col("cohort"), (col("__p") - col("cohort")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** MARKOV TRANSITION MATRIX: for every ordered pair of consecutive
+    * events within a user's history, the count of (prev_type, next_type)
+    * occurrences plus the per-prev transition probability in integer
+    * per-mille (floor division — engine-exact). `idCol` breaks timestamp
+    * ties so consecutive-ness is a total order both engines reproduce.
+    *
+    * The successor window partitions by user — state is bounded by one
+    * user's history, never the corpus (the sessionize shape). Counts and
+    * totals are two partial-agg groupBys over (type, type) pairs; the
+    * totals side is bounded by the event-type alphabet, so the join
+    * broadcasts. */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+                       idCol: String, typeCol: String): DataFrame = {
+    val e = events.select(col(userCol).as("__u"),
+      col(tsCol).cast("long").as("__ts"), col(idCol).as("__id"),
+      col(typeCol).as("__k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__ts"), col("__id"))
+    val counts = e.withColumn("__next", lead(col("__k"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("__k").as("prev_type"), col("__next").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("__total"))
+    counts.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("CAST((1000 * n) div __total AS BIGINT)").as("p_permille"))
+  }
+
+  /** TOP USER PATHS: the `topN` most common journeys, where a journey is
+    * the user's first `k` events joined by '>' in (ts, id) order — the
+    * ClickHouse `sequence`-family / product-analytics "top paths" view.
+    *
+    * First-k selection is the k-bounded [[graft.functions.FirstKByTime]]
+    * aggregator (map-side partial — a heavy user ships k rows into the
+    * shuffle, not a window sort of their history); the final topN is
+    * orderBy+limit = TakeOrderedAndProject (per-partition top-N merge at
+    * the driver, never a global sort). */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+               idCol: String, typeCol: String, k: Int,
+               topN: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val agg = udaf(new graft.functions.FirstKByTime(k),
+      org.apache.spark.sql.Encoders.product[(Long, Long, String)])
+    events.select(col(userCol).as("__u"),
+        col(tsCol).cast("long").as("__ts"), col(idCol).as("__id"),
+        col(typeCol).as("__k"))
+      .groupBy(col("__u"))
+      .agg(agg(col("__ts"), col("__id"), col("__k")).as("__fk"))
+      .select(concat_ws(">", col("__fk.items.tok")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(topN)
+  }
 }

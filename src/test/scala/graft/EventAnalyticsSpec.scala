@@ -80,4 +80,56 @@ class EventAnalyticsSpec extends SparkTestBase {
       EventAnalytics.cohortRetention(events, "user_id", "ts", 0L)
     }
   }
+
+  test("eventTransitions: counts, per-mille floors, tie-break by id") {
+    val events = Seq(
+      // user 1: a→b→b (ties on ts at 2*M resolved by event_id: 11 then 12)
+      (1L, 10L, 0 * M, "a"), (1L, 11L, 2 * M, "b"), (1L, 12L, 2 * M, "b"),
+      // user 2: a→c
+      (2L, 20L, 0 * M, "a"), (2L, 21L, 1 * M, "c"),
+      // user 3: a→b
+      (3L, 30L, 0 * M, "a"), (3L, 31L, 1 * M, "b"),
+      // user 4: single event — no transition
+      (4L, 40L, 0 * M, "a")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics.eventTransitions(events, "user_id", "ts",
+        "event_id", "event_type")
+      .as[(String, String, Long, Long)].collect().toSet
+    // a: 3 outgoing (b,b? no — a→b twice, a→c once); b: b→b once
+    val want = Set(
+      ("a", "b", 2L, 666L),  // floor(2000/3)
+      ("a", "c", 1L, 333L),
+      ("b", "b", 1L, 1000L))
+    assert(got == want)
+    val again = EventAnalytics.eventTransitions(events.repartition(5),
+        "user_id", "ts", "event_id", "event_type")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
+  test("topPaths: first-k order, tie-break, topN boundary") {
+    val events = Seq(
+      // three users share path a>b, one user path b>a, one has 1 event
+      (1L, 1L, 0 * M, "a"), (1L, 2L, 1 * M, "b"), (1L, 3L, 2 * M, "c"),
+      (2L, 4L, 0 * M, "a"), (2L, 5L, 1 * M, "b"),
+      // user 3: ts tie — event_id orders a before b
+      (3L, 6L, 0 * M, "a"), (3L, 7L, 0 * M, "b"),
+      (4L, 8L, 0 * M, "b"), (4L, 9L, 1 * M, "a"),
+      (5L, 10L, 0 * M, "z")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventAnalytics.topPaths(events, "user_id", "ts", "event_id",
+        "event_type", k = 2, topN = 2)
+      .as[(String, Long)].collect().toList
+    // a>b count 3 first; then the n_users=1 paths tie-broken by path
+    // string: "a>b" (already taken), "b>a" < "z" → b>a second
+    assert(got == List(("a>b", 3L), ("b>a", 1L)))
+    val again = EventAnalytics.topPaths(events.repartition(6), "user_id",
+        "ts", "event_id", "event_type", k = 2, topN = 2)
+      .as[(String, Long)].collect().toList
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.topPaths(events, "user_id", "ts", "event_id",
+        "event_type", k = 0, topN = 2)
+    }
+  }
 }
