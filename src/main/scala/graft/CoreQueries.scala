@@ -904,11 +904,27 @@ object CoreQueries {
       t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
       k = 3, topN = 20)
 
+  // SCD TYPE-2 HISTORY (ops/Scd2.buildHistory): orders replayed as a CDC
+  // change stream on the customer dimension (key=custkey, ts=integer
+  // order day, attr=orderstatus, seq=orderkey as the same-day last-writer
+  // rule) → validity-interval rows with no-op collapse and is_current.
+  // The warehouse sibling of W5's latest-value merge — one shuffle on the
+  // key; every window is key-partitioned.
+  def q163_scd2(s: SparkSession, dir: String): DataFrame = {
+    val ch = t(s, dir, "orders").filter(col("o_custkey") < 200)
+      .select(col("o_custkey").as("custkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+          .cast("long").as("ts"),
+        col("o_orderkey").as("seq"), col("o_orderstatus").as("status"))
+    graft.ops.Scd2.buildHistory(ch, "custkey", "ts", "seq", Seq("status"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_funnel"     -> q157_funnel _,
     "q158_retention"  -> q158_retention _,
     "q161_transitions" -> q161_transitions _,
     "q162_top_paths"  -> q162_top_paths _,
+    "q163_scd2"       -> q163_scd2 _,
     "q160_sliding_window" -> q160_sliding_window _,
     "q0_flagship"     -> q0_flagship _,
     "q35_grouping_sets" -> q35_grouping_sets _,
@@ -995,6 +1011,20 @@ object CoreQueries {
         |      FROM r WHERE rn <= 3 GROUP BY user_id)
         |SELECT path, count(*) AS n_users FROM p
         |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+    "q163_scd2" ->
+      """WITH ch AS (SELECT o_custkey AS custkey,
+        |              CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS ts,
+        |              o_orderkey AS seq, o_orderstatus AS status
+        |            FROM orders WHERE o_custkey < 200),
+        |v AS (SELECT custkey, ts, max_by(status, seq) AS status FROM ch GROUP BY 1, 2),
+        |d AS (SELECT *, lag(status) OVER (PARTITION BY custkey ORDER BY ts) AS prev FROM v),
+        |kept AS (SELECT custkey, ts, status FROM d WHERE prev IS NULL OR status <> prev),
+        |h AS (SELECT custkey, status, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY custkey ORDER BY ts) - 1 AS valid_to FROM kept)
+        |SELECT custkey, status, valid_from,
+        |  coalesce(valid_to, 9223372036854775807) AS valid_to,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM h""".stripMargin,
     "q158_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
         |f AS (SELECT user_id, min(d) AS cohort FROM e GROUP BY 1),
