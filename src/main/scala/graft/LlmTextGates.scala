@@ -525,6 +525,43 @@ object LlmTextGates {
     shape(jClean, "jsonl").unionByName(shape(cClean, "csv"))
   }
 
+  // Columnar interchange IO (io/ColumnarSources): the corpus round-trips
+  // through ORC (zstd) with an explicit read schema. The oracle reads
+  // the original parquet, so any writer/reader lossiness (type mapping,
+  // nulls, string encoding) breaks the hash — the ORC sibling of q154's
+  // line-format fidelity check.
+  def q164_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = t(s, dir, "documents")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val tmp = java.nio.file.Files.createTempDirectory("q164orc").toString
+    graft.io.ColumnarSources.writeOrc(docs, tmp)
+    graft.io.ColumnarSources.readOrc(s, tmp, schema)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+  }
+
+  // Schema-evolved parquet read (io/ColumnarSources.readParquetMerged):
+  // two shards written under different schemas (the second adds `score`)
+  // read back as ONE frame via mergeSchema — rows from the older shard
+  // surface NULL score instead of silently dropping the column. The
+  // oracle reconstructs the expected union from the source table.
+  def q165_schema_merge(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("q165ev").toString
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(tmp)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars").as("score"))
+      .write.mode("append").parquet(tmp)
+    graft.io.ColumnarSources.readParquetMerged(s, tmp)
+      .select(col("doc_id"), col("lang"), col("score"))
+  }
+
   // Sentence segmentation (TextAnalysis.splitSentences): split on
   // terminal-punctuation runs + whitespace — the deterministic regex
   // tier sentence-level dedup runs on (Java∩RE2, no lookbehind). Three
@@ -585,6 +622,8 @@ object LlmTextGates {
     "q151_hist_sketch"  -> q151_hist_sketch _,
     "q153_corpus_report" -> q153_corpus_report _,
     "q154_text_formats" -> q154_text_formats _,
+    "q164_orc_roundtrip" -> q164_orc_roundtrip _,
+    "q165_schema_merge" -> q165_schema_merge _,
     "q155_sentences"    -> q155_sentences _,
     "q145_vocab_decode" -> q145_vocab_decode _,
     "q139_rouge_overlap" -> q139_rouge_overlap _,
@@ -617,6 +656,12 @@ object LlmTextGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q164_orc_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars, text FROM documents",
+    "q165_schema_merge" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS score
+        |FROM documents""".stripMargin,
     "q154_text_formats" ->
       """SELECT 'jsonl' AS fmt, doc_id, lang, n_chars, text FROM documents
         |UNION ALL
