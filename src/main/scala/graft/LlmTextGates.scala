@@ -562,6 +562,23 @@ object LlmTextGates {
       .select(col("doc_id"), col("lang"), col("score"))
   }
 
+  // Stride-sampled quantile sketch (ops/Sketches.strideRegisters/
+  // strideQuantiles): the rank member of the mergeable-sketch family —
+  // no value bounds needed (vs q151's fixed-bound histogram). Each hash
+  // shard keeps its block-midpoint ranks; estimates read only the
+  // n/stride-bounded register table. Register construction AND the
+  // estimates are integer-rule deterministic, so the whole path is
+  // hash-checked (md5-derived shard hash at the gate).
+  def q166_stride_quantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(
+      col("l_extendedprice").as("v"),
+      (col("l_orderkey") * 8 + col("l_linenumber")).as("id"))
+    val regs = graft.ops.Sketches.strideRegisters(
+      li, col("v"), col("id"), nShards = 16, stride = 50,
+      hashFn = graft.llm.TextAnalysis.md5Hash60)
+    graft.ops.Sketches.strideQuantiles(regs, Seq(250, 500, 900, 990))
+  }
+
   // Sentence segmentation (TextAnalysis.splitSentences): split on
   // terminal-punctuation runs + whitespace — the deterministic regex
   // tier sentence-level dedup runs on (Java∩RE2, no lookbehind). Three
@@ -624,6 +641,7 @@ object LlmTextGates {
     "q154_text_formats" -> q154_text_formats _,
     "q164_orc_roundtrip" -> q164_orc_roundtrip _,
     "q165_schema_merge" -> q165_schema_merge _,
+    "q166_stride_quantiles" -> q166_stride_quantiles _,
     "q155_sentences"    -> q155_sentences _,
     "q145_vocab_decode" -> q145_vocab_decode _,
     "q139_rouge_overlap" -> q139_rouge_overlap _,
@@ -662,6 +680,21 @@ object LlmTextGates {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS score
         |FROM documents""".stripMargin,
+    "q166_stride_quantiles" ->
+      """WITH src AS (SELECT l_extendedprice AS v, l_orderkey*8 + l_linenumber AS id FROM lineitem),
+        |h AS (SELECT v, id, (('0x'||substring(md5(CAST(id AS VARCHAR)),1,15))::BIGINT) % 16 AS shard FROM src),
+        |r AS (SELECT shard, v, id, CAST(row_number() OVER (PARTITION BY shard ORDER BY v, id) AS BIGINT) AS rn,
+        |             count(*) OVER (PARTITION BY shard) AS cnt FROM h),
+        |blk AS (SELECT shard, rn, v, cnt, (rn-1) // 50 AS b,
+        |               least(50, cnt - ((rn-1)//50)*50) AS sz FROM r),
+        |samp AS (SELECT shard, rn, v, sz AS w FROM blk WHERE rn - b*50 = (sz+1)//2),
+        |ord AS (SELECT shard, rn, v, w,
+        |          sum(w) OVER (ORDER BY v, shard, rn ROWS UNBOUNDED PRECEDING) AS cumw FROM samp),
+        |tot AS (SELECT sum(w) AS W FROM samp),
+        |qs AS (SELECT CAST(unnest([250, 500, 900, 990]) AS INT) AS q)
+        |SELECT qs.q, min(ord.v) AS est
+        |FROM ord, tot, qs WHERE ord.cumw * 1000 >= qs.q * tot.W
+        |GROUP BY qs.q""".stripMargin,
     "q154_text_formats" ->
       """SELECT 'jsonl' AS fmt, doc_id, lang, n_chars, text FROM documents
         |UNION ALL

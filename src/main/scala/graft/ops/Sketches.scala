@@ -220,4 +220,88 @@ object Sketches {
       .groupBy(keys.columns.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
   }
+
+  // -------------------------------------------------------------------
+  // Stride-sampled QUANTILE sketch — the rank/order-statistics member of
+  // the mergeable-sketch family (HLL = distinct, CM = frequency, Stats.
+  // fixedWidthHistogram = bounded-domain distribution). Unlike the
+  // histogram it needs NO value bounds: each hash shard sorts its rows
+  // once and keeps the MIDPOINT element of every stride-sized rank
+  // block, weighted by the block size (Munro-Paterson-style
+  // deterministic rank sampling; the midpoint, not the block min —
+  // block-min attribution piles each block's weight at its smallest
+  // value and biases every quantile low, measured ~13% at stride≈
+  // shard/8). Register table ≤ ⌈n/stride⌉ rows, merge is a plain
+  // union, and an estimate's rank error is ≤ nShards·stride/2 + the
+  // in-block half-widths (each shard's samples sit within stride/2
+  // ranks of their block mass).
+  //
+  // Determinism: shard = hashFn(id) mod nShards and the in-shard order
+  // is (value, id) — a total order both engines replay exactly, so the
+  // register TABLE (not just the estimate) is gate-checkable.
+  //
+  // Scale shape: one shuffle on the shard key; each shard sorts
+  // independently (the per-partition sort ANY distributed quantile
+  // method pays), samples map out, and everything downstream touches
+  // only the n/stride-bounded register table. Pick nShards ≥ cluster
+  // parallelism and stride so n/(nShards·stride) rows fit a task.
+  // -------------------------------------------------------------------
+
+  /** Build stride-sample quantile registers: (shard, rn, v, w) — the
+    * in-shard MIDPOINT value of each stride-sized rank block (ceil
+    * median position of the block, partial last block included),
+    * weighted by the block size. `id` must be unique (the deterministic
+    * tiebreak). */
+  def strideRegisters(df: DataFrame, value: Column, id: Column,
+                      nShards: Int = 64, stride: Int = 100,
+                      hashFn: Column => Column = xxhash64(_)): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(value.as("v"), id.as("id"))
+      .withColumn("shard",
+        pmod(hashFn(col("id").cast("string")), lit(nShards.toLong)))
+    // both windows partition by shard — state bounded by one shard
+    val rankW = Window.partitionBy(col("shard")).orderBy(col("v"), col("id"))
+    val cntW = Window.partitionBy(col("shard"))
+    base.withColumn("rn", row_number().over(rankW).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(cntW))
+      // block b = (rn-1) div stride covers ranks b·stride+1 ..
+      // b·stride+sz; keep its ceil-median rank (integer math only)
+      .withColumn("__b", expr(s"(rn - 1) div ${stride}L"))
+      .withColumn("__sz",
+        least(lit(stride.toLong), col("__cnt") - col("__b") * stride))
+      .filter(col("rn") - col("__b") * stride ===
+        expr(s"(__sz + 1) div 2L"))
+      .select(col("shard"), col("rn"), col("v"), col("__sz").as("w"))
+  }
+
+  /** Merge register tables built with the SAME (nShards, stride,
+    * hashFn) over DISJOINT row sets: plain union — each sample keeps
+    * standing for `w` rows of its own build; rank errors add. */
+  def strideMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+
+  /** Estimate quantiles from the registers: for each q in `qsPermille`
+    * the smallest sampled value whose cumulative weight reaches
+    * q/1000 of the total. Output (q, est). The cumulative window is
+    * GLOBAL but runs over the register table only (≤ n/stride rows by
+    * construction — the bounded-input exception, as GlobalRank's
+    * metadata pass); the total-weight side is a 1-row broadcast. */
+  def strideQuantiles(registers: DataFrame,
+                      qsPermille: Seq[Int]): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be in [1, 1000] per-mille, got $qsPermille")
+    import org.apache.spark.sql.expressions.Window
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val ordW = Window.orderBy(col("v"), col("shard"), col("rn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = registers.agg(sum(col("w")).as("__W"))
+    val qs = qsPermille.toDF("q").select(col("q").cast("int").as("q"))
+    registers.withColumn("__cumw", sum(col("w")).over(ordW))
+      .crossJoin(broadcast(tot))
+      .join(broadcast(qs), col("__cumw") * 1000 >= col("q") * col("__W"))
+      .groupBy(col("q")).agg(min(col("v")).as("est"))
+  }
 }

@@ -250,4 +250,65 @@ class SketchesSpec extends SparkTestBase {
       Sketches.cmQuery(df, df, "k", d = 4, b = 26)
     }
   }
+
+  // ---- stride-sampled quantile sketch --------------------------------
+
+  private def strideEsts(df: org.apache.spark.sql.DataFrame,
+                         nShards: Int, stride: Int,
+                         qs: Seq[Int]): Map[Int, Double] =
+    Sketches.strideQuantiles(
+        Sketches.strideRegisters(df, col("v"), col("id"),
+          nShards = nShards, stride = stride),
+        qs)
+      .as[(Int, Double)].collect().toMap
+
+  test("stride quantiles: rank error within nShards*stride; stride=1 is exact") {
+    val n = 5000
+    // permuted distinct values so sorted rank == value
+    val df = spark.range(n).select(
+      ((col("id") * 2654435761L) % n).cast("double").as("v"),
+      col("id"))
+    val (nShards, stride) = (8, 25)
+    val got = strideEsts(df, nShards, stride, Seq(100, 250, 500, 900, 990))
+    for ((q, est) <- got) {
+      val targetRank = q.toDouble / 1000 * n
+      assert(math.abs(est - targetRank) <= nShards * stride,
+        s"q=$q est=$est target=$targetRank")
+    }
+    // stride 1 keeps every row — estimates are exact order statistics
+    val exact = strideEsts(df, 4, 1, Seq(500, 990))
+    // smallest v with cum count >= q/1000*n (v = rank-1 → ceil-1)
+    assert(exact(500) == math.ceil(0.5 * n) - 1)
+    assert(exact(990) == math.ceil(0.99 * n) - 1)
+  }
+
+  test("stride quantiles: merged disjoint builds stay within additive error; partition-independent") {
+    val n = 4000
+    val df = spark.range(n).select(
+      ((col("id") * 40503L) % n).cast("double").as("v"), col("id"))
+    val (nShards, stride) = (8, 20)
+    val a = Sketches.strideRegisters(df.where(col("id") % 2 === 0),
+      col("v"), col("id"), nShards, stride)
+    val b = Sketches.strideRegisters(df.where(col("id") % 2 === 1),
+      col("v"), col("id"), nShards, stride)
+    val merged = Sketches.strideQuantiles(
+        Sketches.strideMerge(a, b), Seq(250, 500, 900))
+      .as[(Int, Double)].collect().toMap
+    for ((q, est) <- merged) {
+      val targetRank = q.toDouble / 1000 * n
+      // two builds → error bounds add
+      assert(math.abs(est - targetRank) <= 2 * nShards * stride,
+        s"q=$q est=$est target=$targetRank")
+    }
+    val once = strideEsts(df, nShards, stride, Seq(250, 500, 900))
+    val again = strideEsts(df.repartition(13), nShards, stride,
+      Seq(250, 500, 900))
+    assert(once == again)
+    intercept[IllegalArgumentException] {
+      Sketches.strideRegisters(df, col("v"), col("id"), nShards = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.strideQuantiles(a, Seq(0))
+    }
+  }
 }
