@@ -579,6 +579,31 @@ object LlmTextGates {
     graft.ops.Sketches.strideQuantiles(regs, Seq(250, 500, 900, 990))
   }
 
+  /** Planted WordPiece vocab for q167: multi-char plain pieces (sc, st,
+    * sp, me, or, da, hash), multi-char continuations (##an, ##il,
+    * ##ter, ##le, ##ream), and deliberate holes — no plain 'q' or 'w',
+    * so "query"/"window" become [UNK] — exercising every branch of the
+    * greedy longest-match + whole-word-UNK semantics. */
+  private val wordpieceVocab: Seq[String] = Seq(
+    "a", "b", "c", "d", "f", "g", "h", "j", "k", "l", "m", "o", "p",
+    "r", "s", "t", "v", "sc", "st", "sp", "me", "or", "da", "hash",
+    "##a", "##b", "##c", "##d", "##e", "##g", "##h", "##i", "##k",
+    "##l", "##m", "##n", "##o", "##p", "##r", "##s", "##t", "##u",
+    "##w", "##y", "##an", "##il", "##ter", "##le", "##ream")
+
+  // WordPiece greedy longest-match encoding (llm/WordPiece.encodeDocs):
+  // the BERT-family tokenizer next to BPE (q120 whole-word / merge
+  // replay) and Unigram-LM — longest vocab piece at each position,
+  // ## continuation marking, whole word → [UNK] on any miss. The
+  // kernel runs once per DISTINCT word; docs reassemble by join +
+  // in-doc sort. The oracle replays greedy matching as a recursive CTE
+  // over the same literal vocab — the iterative ENCODER is
+  // SQL-expressible even though the trainer is not (trainer is
+  // spec-pinned against an in-memory reference, the Bpe precedent).
+  def q167_wordpiece(s: SparkSession, dir: String): DataFrame =
+    graft.llm.WordPiece.encodeDocs(
+      t(s, dir, "documents"), "doc_id", "text", wordpieceVocab)
+
   // Sentence segmentation (TextAnalysis.splitSentences): split on
   // terminal-punctuation runs + whitespace — the deterministic regex
   // tier sentence-level dedup runs on (Java∩RE2, no lookbehind). Three
@@ -642,6 +667,7 @@ object LlmTextGates {
     "q164_orc_roundtrip" -> q164_orc_roundtrip _,
     "q165_schema_merge" -> q165_schema_merge _,
     "q166_stride_quantiles" -> q166_stride_quantiles _,
+    "q167_wordpiece" -> q167_wordpiece _,
     "q155_sentences"    -> q155_sentences _,
     "q145_vocab_decode" -> q145_vocab_decode _,
     "q139_rouge_overlap" -> q139_rouge_overlap _,
@@ -680,6 +706,37 @@ object LlmTextGates {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS score
         |FROM documents""".stripMargin,
+    "q167_wordpiece" ->
+      """WITH RECURSIVE vocab(tok) AS (SELECT unnest([
+        |    'a','b','c','d','f','g','h','j','k','l','m','o','p',
+        |    'r','s','t','v','sc','st','sp','me','or','da','hash',
+        |    '##a','##b','##c','##d','##e','##g','##h','##i','##k',
+        |    '##l','##m','##n','##o','##p','##r','##s','##t','##u',
+        |    '##w','##y','##an','##il','##ter','##le','##ream'])),
+        |d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws FROM documents),
+        |wp AS (SELECT doc_id, i, ws[i] AS w
+        |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM d)),
+        |words(w) AS (SELECT DISTINCT w FROM wp),
+        |step(w, pos, toks, failed) AS (
+        |  SELECT w, 1, CAST([] AS VARCHAR[]), false FROM words
+        |  UNION ALL
+        |  SELECT s.w, s.pos + CAST(coalesce(m.plen, len(s.w)+1) AS INT),
+        |         CASE WHEN m.tok IS NULL THEN ['[UNK]'] ELSE list_append(s.toks, m.tok) END,
+        |         m.tok IS NULL
+        |  FROM step s LEFT JOIN LATERAL (
+        |    SELECT max_by(v.tok, CASE WHEN s.pos=1 THEN len(v.tok) ELSE len(v.tok)-2 END) AS tok,
+        |           max(CASE WHEN s.pos=1 THEN len(v.tok) ELSE len(v.tok)-2 END) AS plen
+        |    FROM vocab v
+        |    WHERE (s.pos = 1 AND v.tok NOT LIKE '##%' AND v.tok = substr(s.w, 1, len(v.tok)))
+        |       OR (s.pos > 1 AND v.tok LIKE '##%' AND substr(v.tok, 3) = substr(s.w, s.pos, len(v.tok)-2))
+        |  ) m ON true
+        |  WHERE s.pos <= len(s.w) AND NOT s.failed),
+        |enc AS (SELECT w, toks FROM step WHERE pos > len(w))
+        |SELECT wp.doc_id,
+        |  string_agg(array_to_string(enc.toks, ' '), ' ' ORDER BY wp.i) AS toks,
+        |  CAST(sum(len(enc.toks)) AS INT) AS n_subwords
+        |FROM wp JOIN enc ON enc.w = wp.w
+        |GROUP BY wp.doc_id""".stripMargin,
     "q166_stride_quantiles" ->
       """WITH src AS (SELECT l_extendedprice AS v, l_orderkey*8 + l_linenumber AS id FROM lineitem),
         |h AS (SELECT v, id, (('0x'||substring(md5(CAST(id AS VARCHAR)),1,15))::BIGINT) % 16 AS shard FROM src),
