@@ -33,7 +33,7 @@ import org.apache.spark.sql.SparkSession
   * q27_minhash_pairs — the prefix is how every round's verdict refers
   * to queries, and full 15-char-average names put the worst-case line
   * back over the window), and `sf` is the directory basename. BenchSpec
-  * asserts the worst-case serialized line stays under 1900 bytes so
+  * asserts the worst-case serialized line stays under 1980 bytes so
   * query growth cannot silently regress this again. A failed query
   * reports -1, never a fake timing.
   */
@@ -55,7 +55,7 @@ object Bench {
     * run self-describing: a total computed with failed queries excluded
     * is NOT comparable to a green round's total, and cross-referencing
     * -1 sentinels shouldn't be required to notice (round-6 advice).
-    * `failed` lists short keys, capped at 8 so a catastrophic run
+    * `failed` lists short keys, capped at 4 so a catastrophic run
     * cannot blow the driver's 2000-byte tail window. Per-query values
     * CLAMP at 999 ds (99.9 s): the artifact must be fixed-size by
     * construction, and a single query past 100 s at sf0.1 is a
@@ -67,7 +67,7 @@ object Bench {
       .map { case (k, v) => "\"" + shortKey(k) + "\":" + math.min(v, 999L) }
       .mkString("{", ",", "}")
     val failed = results.filter(_._2 < 0).map(_._1)
-    val failedJson = failed.take(8).map("\"" + shortKey(_) + "\"")
+    val failedJson = failed.take(4).map("\"" + shortKey(_) + "\"")
       .mkString("[", ",", "]")
     val sf = new java.io.File(sfDir).getName
     s"""{"metric":"total","value":$totalSec,"unit":"sec","qunit":"ds","reps":$reps,""" +

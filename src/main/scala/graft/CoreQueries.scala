@@ -919,7 +919,33 @@ object CoreQueries {
     graft.ops.Scd2.buildHistory(ch, "custkey", "ts", "seq", Seq("status"))
   }
 
+  // GAP-CONSTRAINED SEQUENCE MATCH (EventAnalytics.sequenceMatchGaps):
+  // the ClickHouse sequenceMatch('(?1)(?t<=g)(?2)(?t<=g)(?3)') question —
+  // view→click→purchase with EVERY consecutive pair ≤ 6 h apart, earliest
+  // completion per user. NOT the q157 funnel: no anchor window, and the
+  // per-gap constraint forces level-wise reachability (greedy
+  // first-occurrence chaining is provably wrong here), implemented as
+  // steps−1 user-keyed semi joins of (user, long) frames.
+  def q168_seq_match(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.sequenceMatchGaps(
+      t(s, dir, "events"), "user_id", "ts", "event_type",
+      steps = Seq("view", "click", "purchase"),
+      maxGapUs = 6L * 3600 * 1000000L)
+
+  // NEGATED SEQUENCE MATCH (EventAnalytics.sequenceMatchNoEvent): a
+  // purchase within 6 h of a view with NO error strictly between — the
+  // clean-conversion CEP question. Exists-semantics reduces to the
+  // LATEST qualifying view per purchase (as-of logic on the equi user
+  // key), so two user-keyed join+max aggregations decide every user.
+  def q169_seq_noevent(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.sequenceMatchNoEvent(
+      t(s, dir, "events"), "user_id", "ts", "event_type",
+      first = "view", last = "purchase", forbidden = "error",
+      maxGapUs = 6L * 3600 * 1000000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_seq_match"  -> q168_seq_match _,
+    "q169_seq_noevent" -> q169_seq_noevent _,
     "q157_funnel"     -> q157_funnel _,
     "q158_retention"  -> q158_retention _,
     "q161_transitions" -> q161_transitions _,
@@ -982,6 +1008,32 @@ object CoreQueries {
         |       event_type, count(*) AS n,
         |       CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "q168_seq_match" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+        |l1 AS (SELECT DISTINCT user_id, ts FROM e WHERE event_type = 'view'),
+        |l2 AS (SELECT DISTINCT b.user_id, b.ts FROM e b
+        |       WHERE b.event_type = 'click' AND EXISTS (
+        |         SELECT 1 FROM l1 p WHERE p.user_id = b.user_id
+        |           AND p.ts <= b.ts AND p.ts >= b.ts - 21600000000)),
+        |l3 AS (SELECT DISTINCT c.user_id, c.ts FROM e c
+        |       WHERE c.event_type = 'purchase' AND EXISTS (
+        |         SELECT 1 FROM l2 p WHERE p.user_id = c.user_id
+        |           AND p.ts <= c.ts AND p.ts >= c.ts - 21600000000))
+        |SELECT user_id, min(ts) AS first_complete_ts FROM l3 GROUP BY 1""".stripMargin,
+    "q169_seq_noevent" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+        |b AS (SELECT user_id, ts AS tb FROM e WHERE event_type = 'purchase'),
+        |wa AS (SELECT b.user_id, b.tb, max(a.ts) AS ta
+        |       FROM b JOIN e a ON a.user_id = b.user_id AND a.event_type = 'view'
+        |        AND a.ts <= b.tb AND a.ts >= b.tb - 21600000000
+        |       GROUP BY 1, 2),
+        |lf AS (SELECT b.user_id, b.tb, max(CASE WHEN f.ts < b.tb THEN f.ts END) AS tfl
+        |       FROM b LEFT JOIN e f ON f.user_id = b.user_id AND f.event_type = 'error'
+        |       GROUP BY 1, 2)
+        |SELECT wa.user_id, min(wa.tb) AS first_clean_ts
+        |FROM wa JOIN lf ON lf.user_id = wa.user_id AND lf.tb = wa.tb
+        |WHERE lf.tfl IS NULL OR lf.tfl <= wa.ta
+        |GROUP BY 1""".stripMargin,
     "q157_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
         |t1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),

@@ -651,7 +651,105 @@ object LlmTextGates {
     graft.ops.Stats.keySkewReport(
       t(s, dir, "documents"), Seq("lang", "source"), topK = 10)
 
+  /** Conversation-shaped corpus for the SFT gates: each document's
+    * words in 8-word chunks become alternating user/assistant turns
+    * (conv_id = doc_id); every 7th conversation starts with the
+    * assistant, so the validation flags discriminate on real variety
+    * (n_turns parity decides ends_assistant; ~45% of conversations are
+    * fully valid at sf0.01). */
+  private def convTurns(s: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(col("text"), " "), x => length(x) > 0)
+    t(s, dir, "documents")
+      .select(col("doc_id").as("conv_id"), ws.as("__ws"))
+      .filter(size(col("__ws")) >= 1)
+      .select(col("conv_id"), col("__ws"), explode(sequence(lit(0L),
+        ceil(size(col("__ws")) / lit(8.0)).cast("long") - 1)).as("idx"))
+      .select(col("conv_id"), col("idx"),
+        when(pmod(col("idx") +
+            when(pmod(col("conv_id"), lit(7L)) === 0L, 1L).otherwise(0L),
+            lit(2L)) === 0L,
+          "user").otherwise("assistant").as("role"),
+        concat_ws(" ",
+          slice(col("__ws"), (col("idx") * 8 + 1).cast("int"), lit(8)))
+          .as("content"))
+  }
+
+  // CHAT-TEMPLATE RENDER (llm/Conversations.render): turn rows → the one
+  // training string the tokenizer consumes (ChatML-style markers, turns
+  // in index order, EOS appended). One conv-keyed groupBy; order pinned
+  // by array_sort on the collected (idx, role, content) structs, never a
+  // sort node.
+  def q170_chat_render(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Conversations.render(convTurns(s, dir),
+      "conv_id", "idx", "role", "content")
+
+  // CONVERSATION VALIDATION (llm/Conversations.validate): the SFT
+  // structural contract — starts-with-user, strict alternation,
+  // ends-with-assistant, gap/duplicate-free indices, no empty turns —
+  // as INT flags per conversation. A planted conversation (id 9000011)
+  // exercises the index-gap + whitespace-only-content paths the organic
+  // corpus cannot produce. Window-free: min-index probe + one
+  // conditional aggregation.
+  def q171_chat_validate(s: SparkSession, dir: String): DataFrame = {
+    val planted = convTurns(s, dir).unionByName(
+      s.range(1).select(lit(9000011L).as("conv_id"), lit(0L).as("idx"),
+          lit("user").as("role"), lit("hi").as("content"))
+        .unionByName(s.range(1).select(lit(9000011L).as("conv_id"),
+          lit(2L).as("idx"), lit("assistant").as("role"),
+          lit("  ").as("content"))))
+    graft.llm.Conversations.validate(planted,
+      "conv_id", "idx", "role", "content")
+  }
+
+  // CONTENT-DEFINED CHUNKING (functions/CdcFunctions.cdcChunks): the
+  // dedup-stable splitter — boundaries where the rolling Rabin hash of
+  // the last 16 bytes masks to zero, so an upstream edit shifts chunk
+  // identities only locally (fixed-size chunking shifts ALL of them).
+  // Native one-pass kernel, map-only at any scale; the gate sanitizes
+  // to ASCII so the DuckDB oracle replays the byte arithmetic as
+  // character arithmetic.
+  def q172_cdc_chunks(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.CdcFunctions.cdcChunks(
+          regexp_replace(col("text"), "[^ -~]", "?"),
+          window = 16, maskBits = 5)))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        col("col").as("chunk"))
+
+  // HLL SET-INTERSECTION core (ops/Sketches.hllIntersectEstimate): how
+  // many distinct documents do two corpus slices SHARE, without joining
+  // them — inclusion–exclusion over three mergeable sketches (A, B,
+  // A∪B by register max). The gate overlaps two doc_id mod-3 shards
+  // (residue 1 in both) and pins the exact integer estimator cores of
+  // all three sketches per language; the float intersection estimate
+  // stays spec-pinned (SketchesSpec accuracy band).
+  def q173_hll_intersect(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val docs = t(s, dir, "documents")
+    def shard(lo: Int, hi: Int) = Sketches.hllRegisters(
+      docs.where(pmod(col("doc_id"), lit(3)) === lo ||
+        pmod(col("doc_id"), lit(3)) === hi),
+      col("text"), b = 6,
+      hashFn = graft.llm.TextAnalysis.md5Hash60, hashBits = 60,
+      groupCols = Seq("lang"))
+    val ra = shard(0, 1)
+    val rb = shard(1, 2)
+    def core(r: DataFrame, suf: String) =
+      Sketches.hllEstimate(r, b = 6, hashBits = 60, groupCols = Seq("lang"))
+        .select(col("lang"), col("n_buckets").as(s"n_buckets_$suf"),
+          col("denom_units").cast("long").as(s"denom_$suf"))
+    core(ra, "a")
+      .join(core(rb, "b"), "lang")
+      .join(core(Sketches.hllMerge(ra, rb, groupCols = Seq("lang")), "u"),
+        "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_chat_render"  -> q170_chat_render _,
+    "q171_chat_validate" -> q171_chat_validate _,
+    "q172_cdc_chunks"   -> q172_cdc_chunks _,
+    "q173_hll_intersect" -> q173_hll_intersect _,
     "q131_len_quantiles" -> q131_len_quantiles _,
     "q132_len_histogram" -> q132_len_histogram _,
     "q136_hll_registers" -> q136_hll_registers _,
@@ -700,6 +798,97 @@ object LlmTextGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q170_chat_render" ->
+      """WITH w AS (SELECT doc_id AS conv_id,
+        |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |      FROM documents),
+        |t0 AS (SELECT conv_id, CAST(k AS BIGINT) AS idx,
+        |         array_to_string(ws[8*k+1 : 8*k+8], ' ') AS content
+        |       FROM (SELECT conv_id, ws,
+        |               unnest(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS k
+        |             FROM w WHERE len(ws) >= 1)),
+        |turns AS (SELECT conv_id, idx,
+        |            CASE WHEN (idx + CASE WHEN conv_id % 7 = 0 THEN 1 ELSE 0 END) % 2 = 0
+        |                 THEN 'user' ELSE 'assistant' END AS role, content
+        |          FROM t0),
+        |r AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |        string_agg('<|im_start|>' || role || chr(10) || content ||
+        |                   '<|im_end|>' || chr(10), '' ORDER BY idx)
+        |          || '<|endoftext|>' AS rendered
+        |      FROM turns GROUP BY conv_id)
+        |SELECT conv_id, n_turns, rendered, CAST(len(rendered) AS INT) AS n_chars
+        |FROM r""".stripMargin,
+    "q171_chat_validate" ->
+      """WITH w AS (SELECT doc_id AS conv_id,
+        |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+        |      FROM documents),
+        |t0 AS (SELECT conv_id, CAST(k AS BIGINT) AS idx,
+        |         array_to_string(ws[8*k+1 : 8*k+8], ' ') AS content
+        |       FROM (SELECT conv_id, ws,
+        |               unnest(range(0, CAST(ceil(len(ws)/8.0) AS BIGINT))) AS k
+        |             FROM w WHERE len(ws) >= 1)),
+        |turns AS (SELECT conv_id, idx,
+        |            CASE WHEN (idx + CASE WHEN conv_id % 7 = 0 THEN 1 ELSE 0 END) % 2 = 0
+        |                 THEN 'user' ELSE 'assistant' END AS role, content
+        |          FROM t0
+        |  UNION ALL SELECT 9000011, 0, 'user', 'hi'
+        |  UNION ALL SELECT 9000011, 2, 'assistant', '  '),
+        |f AS (SELECT conv_id, min(idx) AS imin FROM turns GROUP BY 1),
+        |v AS (SELECT t.conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |        CAST(min(CASE WHEN t.idx = f.imin THEN (t.role = 'user')::INT END) AS INT) AS starts_user,
+        |        CAST(min((t.role = CASE WHEN (t.idx - f.imin) % 2 = 0
+        |                  THEN 'user' ELSE 'assistant' END)::INT) AS INT) AS alternates,
+        |        CAST((max_by(t.role, t.idx) = 'assistant')::INT AS INT) AS ends_assistant,
+        |        CAST((max(t.idx) - min(t.idx) + 1 = count(*)
+        |              AND count(DISTINCT t.idx) = count(*))::INT AS INT) AS contiguous,
+        |        CAST(max((t.content IS NULL OR trim(t.content) = '')::INT) AS INT) AS has_empty
+        |      FROM turns t JOIN f ON f.conv_id = t.conv_id
+        |      GROUP BY t.conv_id)
+        |SELECT *, CAST(starts_user * alternates * ends_assistant * contiguous
+        |               * (1 - has_empty) AS INT) AS valid
+        |FROM v""".stripMargin,
+    "q172_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS t FROM documents),
+        |pos AS (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS p FROM d),
+        |h AS (SELECT doc_id, t, p,
+        |        list_sum(list_transform(range(0, 16),
+        |          j -> unicode(substr(t, CAST(p - j AS INT), 1)) *
+        |               [1,257,66049,974545,457315,529604,107820,709659,381817,126675,555379,731977,117525,203835,385439,57526][CAST(j+1 AS INT)]
+        |               % 1000003)) % 1000003 AS hv
+        |      FROM pos WHERE p >= 16),
+        |bnd AS (SELECT doc_id, p FROM h WHERE p < len(t) AND hv % 32 = 0),
+        |c AS (SELECT d.doc_id, d.t,
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          coalesce(list(bnd.p ORDER BY bnd.p) FILTER (WHERE bnd.p IS NOT NULL), []))
+        |          || [CAST(len(d.t) AS BIGINT)] AS cuts
+        |      FROM d LEFT JOIN bnd ON bnd.doc_id = d.doc_id
+        |      GROUP BY d.doc_id, d.t)
+        |SELECT doc_id, CAST(k - 1 AS INT) AS chunk_idx,
+        |  substr(t, CAST(cuts[CAST(k AS INT)] + 1 AS INT),
+        |         CAST(cuts[CAST(k+1 AS INT)] - cuts[CAST(k AS INT)] AS INT)) AS chunk
+        |FROM (SELECT doc_id, t, cuts, unnest(range(1, len(cuts))) AS k FROM c)""".stripMargin,
+    "q173_hll_intersect" ->
+      """WITH h AS (SELECT lang, doc_id, ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+        |           FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT lang, doc_id, h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (SELECT lang, doc_id % 3 AS m, bucket,
+        |        CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END AS rho FROM b),
+        |ra AS (SELECT lang, bucket, max(rho) AS r FROM r WHERE m IN (0, 1) GROUP BY 1, 2),
+        |rb AS (SELECT lang, bucket, max(rho) AS r FROM r WHERE m IN (1, 2) GROUP BY 1, 2),
+        |ru AS (SELECT lang, bucket, max(r) AS r
+        |       FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1, 2),
+        |ca AS (SELECT lang, CAST(count(*) AS INT) AS n_buckets_a,
+        |         CAST(sum(1::HUGEINT << (55 - r)) + (64 - count(*)) * (1::HUGEINT << 55) AS BIGINT) AS denom_a
+        |       FROM ra GROUP BY 1),
+        |cb AS (SELECT lang, CAST(count(*) AS INT) AS n_buckets_b,
+        |         CAST(sum(1::HUGEINT << (55 - r)) + (64 - count(*)) * (1::HUGEINT << 55) AS BIGINT) AS denom_b
+        |       FROM rb GROUP BY 1),
+        |cu AS (SELECT lang, CAST(count(*) AS INT) AS n_buckets_u,
+        |         CAST(sum(1::HUGEINT << (55 - r)) + (64 - count(*)) * (1::HUGEINT << 55) AS BIGINT) AS denom_u
+        |       FROM ru GROUP BY 1)
+        |SELECT ca.lang, ca.n_buckets_a, ca.denom_a, cb.n_buckets_b, cb.denom_b,
+        |       cu.n_buckets_u, cu.denom_u
+        |FROM ca JOIN cb ON cb.lang = ca.lang JOIN cu ON cu.lang = ca.lang""".stripMargin,
     "q164_orc_roundtrip" ->
       "SELECT doc_id, lang, source, n_chars, text FROM documents",
     "q165_schema_merge" ->

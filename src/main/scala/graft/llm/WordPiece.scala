@@ -73,12 +73,16 @@ object WordPiece {
 
   /** One merge candidate: pair (l, r) with its pair count and the two
     * symbol counts the likelihood score divides by. */
-  private final case class Cand(l: String, r: String, c: Long,
+  // private[llm], not private: the Dataset encoder's generated
+  // SafeProjection is a separate JVM class — a Java-private case class
+  // fails Janino compilation ("Private member cannot be accessed");
+  // package-qualified access compiles to public bytecode.
+  private[llm] final case class Cand(l: String, r: String, c: Long,
                                 cl: Long, cr: Long)
 
   /** score(x) > score(y) by exact cross-multiplication; ties break on
     * (l, r) lexicographically. */
-  private def better(x: Cand, y: Cand): Boolean = {
+  private[llm] def better(x: Cand, y: Cand): Boolean = {
     val sx = BigInt(x.c) * BigInt(y.cl) * BigInt(y.cr)
     val sy = BigInt(y.c) * BigInt(x.cl) * BigInt(x.cr)
     if (sx != sy) sx > sy
@@ -88,9 +92,13 @@ object WordPiece {
 
   /** Learn up to `numMerges` likelihood-scored merges from a
     * (syms, cnt) frame. Returns the merged PIECES in rank order (the
-    * vocab extension beyond the initial alphabet). Stops early when the
-    * best pair's raw count falls under `minPairCount` (rare-pair
-    * ratios are noise: 1/(1·1) scores "infinitely" well). */
+    * vocab extension beyond the initial alphabet). Pairs rarer than
+    * `minPairCount` are excluded from CANDIDACY before the argmax —
+    * not used as a stop signal after it — because the likelihood score
+    * count/(count_l·count_r) is maximal exactly for rare-symbol pairs
+    * (1/(1·1) scores "infinitely" well): thresholding after the argmax
+    * would let one noise pair halt training while good candidates
+    * remain. Training stops when no candidate survives the filter. */
   def learnMerges(wordFreq: DataFrame, numMerges: Int,
                   minPairCount: Long = 2): Seq[String] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
@@ -122,6 +130,7 @@ object WordPiece {
         }
         .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
         .map { case ((a, b), c) => (a, b, c) }.toDF("l", "r", "c")
+        .filter(col("c") >= minPairCount)
       val symc = vocab.flatMap { case (syms, cnt) =>
           syms.iterator.map((_, cnt)).toSeq
         }
@@ -141,7 +150,6 @@ object WordPiece {
           if (better(a, b)) a else b).iterator)
         .collect()
         .reduceOption((a, b) => if (better(a, b)) a else b)
-        .filter(_.c >= minPairCount)
       bestOpt match {
         case None => done = true
         case Some(best) =>

@@ -141,4 +141,92 @@ object EventAnalytics {
       .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("path")).limit(topN)
   }
+
+  /** GAP-CONSTRAINED SEQUENCE MATCH — the ClickHouse
+    * `sequenceMatch('(?1)(?t<=g)(?2)...')` question: does the user's
+    * event stream contain events of types `steps` in chronological
+    * order with EVERY consecutive pair at most `maxGapUs` apart?
+    * Returns one row per matching user with the earliest timestamp at
+    * which the full pattern completes.
+    *
+    * This is NOT the funnel (q157): the funnel window anchors at the
+    * user's first step-1 event, so greedy first-occurrence chaining is
+    * exact. A per-gap constraint breaks greedy — the earliest step-k
+    * match can strand a chain the pattern completes from a later one
+    * (A@0 fails A@95→B@100 under gap 10) — so each level keeps ALL
+    * reachable timestamps: level k = step-k events having ANY level-(k−1)
+    * event within [ts − maxGap, ts]. Equal timestamps chain (>=) — the
+    * simultaneous-burst convention, documented and shared with the
+    * oracle.
+    *
+    * Scale shape: steps.size − 1 user-keyed SEMI joins of (user, long)
+    * frames — the equi key keeps them sort-merge/shuffled-hash, never a
+    * nested loop; each level is bounded by that step's event count and
+    * carries no payload. The final min is one map-side-partial groupBy.
+    */
+  def sequenceMatchGaps(events: DataFrame, userCol: String, tsCol: String,
+                        typeCol: String, steps: Seq[String],
+                        maxGapUs: Long): DataFrame = {
+    require(steps.size >= 2, s"need at least 2 steps, got ${steps.size}")
+    require(maxGapUs >= 1, s"maxGapUs must be >= 1, got $maxGapUs")
+    val e = events.select(col(userCol).as("__u"),
+      col(tsCol).cast("long").as("__ts"), col(typeCol).as("__k"))
+    val level1 = e.filter(col("__k") === steps.head)
+      .select(col("__u"), col("__ts"))
+    val reach = steps.tail.foldLeft(level1) { (prev, step) =>
+      e.filter(col("__k") === step).select(col("__u"), col("__ts"))
+        .join(prev.select(col("__u").as("__pu"), col("__ts").as("__pts")),
+          col("__u") === col("__pu") &&
+            col("__pts") <= col("__ts") &&
+            col("__pts") >= col("__ts") - maxGapUs,
+          "left_semi")
+    }
+    reach.groupBy(col("__u"))
+      .agg(min(col("__ts")).as("first_complete_ts"))
+      .select(col("__u").as(userCol), col("first_complete_ts"))
+  }
+
+  /** NEGATED SEQUENCE MATCH — "A then B within the gap, with NO
+    * `forbidden` event strictly between them" (the abandoned-cart /
+    * clean-conversion CEP question; ClickHouse writes it
+    * `sequenceMatch('(?1)(?t<=g)(?3)')` plus a NOT over the
+    * interleaved pattern). One row per matching user with the earliest
+    * clean completion.
+    *
+    * Exists-semantics with negation reduces to checking, per B event,
+    * only its LATEST qualifying A (as-of logic): if any A works, the
+    * latest A ≤ tB does — fewer events between, same gap feasibility.
+    * So: as-of join B→A (backward, within gap), as-of join B→forbidden
+    * (backward, strict), match iff the latest forbidden before B is
+    * absent or at/before the chosen A. Two user-keyed joins; per-user
+    * state bounded by the as-of machinery, never the corpus.
+    */
+  def sequenceMatchNoEvent(events: DataFrame, userCol: String,
+                           tsCol: String, typeCol: String,
+                           first: String, last: String, forbidden: String,
+                           maxGapUs: Long): DataFrame = {
+    require(maxGapUs >= 1, s"maxGapUs must be >= 1, got $maxGapUs")
+    require(Seq(first, last, forbidden).distinct.size == 3,
+      "first/last/forbidden must be distinct event types")
+    val e = events.select(col(userCol).as("__u"),
+      col(tsCol).cast("long").as("__ts"), col(typeCol).as("__k"))
+    def times(k: String, as: String) =
+      e.filter(col("__k") === k).select(col("__u"), col("__ts").as(as))
+    // as-of backward on the equi user key: per B event, the LATEST A at
+    // or before it within the gap (join + groupBy max of (user, long))
+    val withA = times(last, "tb")
+      .join(times(first, "ta"), Seq("__u"))
+      .filter(col("ta") <= col("tb") && col("ta") >= col("tb") - maxGapUs)
+      .groupBy(col("__u"), col("tb")).agg(max(col("ta")).as("ta"))
+    // per B event, the latest forbidden strictly before it (NULL if none)
+    val lastF = times(last, "tb")
+      .join(times(forbidden, "tf"), Seq("__u"), "left")
+      .groupBy(col("__u"), col("tb"))
+      .agg(max(when(col("tf") < col("tb"), col("tf"))).as("tfl"))
+    withA.join(lastF, Seq("__u", "tb"))
+      .filter(col("tfl").isNull || col("tfl") <= col("ta"))
+      .groupBy(col("__u"))
+      .agg(min(col("tb")).as("first_clean_ts"))
+      .select(col("__u").as(userCol), col("first_clean_ts"))
+  }
 }

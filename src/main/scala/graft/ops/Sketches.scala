@@ -95,6 +95,36 @@ object Sketches {
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("r")).cast("int").as("r"))
 
+  /** SET-INTERSECTION estimate by inclusion–exclusion: |A∩B| ≈
+    * est(A) + est(B) − est(A∪B), the union sketch being the element-wise
+    * register max ([[hllMerge]]) — two corpus slices compare WITHOUT a
+    * distinct-key join, from sketches that may have been built on
+    * different days/shards. Output per group: est_a, est_b, est_union,
+    * est_intersect (clamped ≥ 0 — inclusion–exclusion noise can go
+    * negative when the true overlap is small relative to the sketch
+    * error; the clamp is the standard reading "no evidence of
+    * overlap"). Relative error grows as |A∪B|/|A∩B| — callers wanting
+    * tight small-overlap bounds need a sampling pass, documented here
+    * rather than hidden. Three ≤2^b-row-per-group aggregations and two
+    * group-keyed joins of estimate rows — sketch-bounded, never
+    * data-bounded. */
+  def hllIntersectEstimate(a: DataFrame, b: DataFrame, bBits: Int,
+                           hashBits: Int = 63,
+                           groupCols: Seq[String] = Nil): DataFrame = {
+    val keyed = groupCols.nonEmpty
+    def prep(r: DataFrame) = if (keyed) r else r.withColumn("__g", lit(1))
+    val keys = if (keyed) groupCols else Seq("__g")
+    def est(r: DataFrame, as: String) =
+      hllEstimate(prep(r), bBits, hashBits, keys)
+        .select((keys.map(col) :+ col("estimate").as(as)): _*)
+    val joined = est(a, "est_a")
+      .join(est(b, "est_b"), keys)
+      .join(est(hllMerge(prep(a), prep(b), keys), "est_union"), keys)
+      .withColumn("est_intersect",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)))
+    if (keyed) joined else joined.drop("__g")
+  }
+
   /** Cardinality estimate from a register table: per group, the
     * standard HLL estimator E = α_m·m²·2^S / Σ_j 2^(S−M[j]) (S =
     * hashBits−b+1 keeps the harmonic sum in exact integer units —

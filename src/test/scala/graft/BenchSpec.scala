@@ -21,14 +21,18 @@ class BenchSpec extends AnyFunSuite {
     assert(keys.forall(_.matches("q\\d+")), "query names must start qNN_")
   }
 
-  test("worst-case serialized bench line stays under 1900 bytes") {
+  test("worst-case serialized bench line stays under 1980 bytes") {
     // worst case: every query at the 999-ds clamp (the serializer caps
-    // values there, so no wider line exists), a 3-decimal total, AND 8
-    // failures (the failed-list cap)
+    // values there, so no wider line exists), a 3-decimal total, AND 4
+    // failures (the failed-list cap). Budget history: guard was 1900
+    // at 168 queries; the failed cap moved 8→4 to fund round-7 query
+    // growth and the guard sits at 1980 (driver window 2000). NEXT
+    // capacity step at ~185 queries: move qunit ds→s with a 99-s clamp
+    // (one digit per entry, ~170 B).
     val worst = names.zipWithIndex.map { case (n, i) =>
-      n -> (if (i < 8) -1L else 999999L) }
+      n -> (if (i < 4) -1L else 999999L) }
     val line = Bench.serialize(worst, 9999.999, "/root/testdata/sf0.1", reps = 3)
-    assert(line.length < 1900,
+    assert(line.length < 1980,
       s"bench line ${line.length}B would overflow the driver's 2000B tail window")
     assert(!line.contains("9999,") && line.contains("999"),
       "per-query values must clamp at 999 ds by construction")
@@ -42,7 +46,7 @@ class BenchSpec extends AnyFunSuite {
         """"nfail":1,"failed":["q27"],"queries":{"q0":13,"q27":-1},"sf":"sf0.1"}""")
   }
 
-  test("failed list caps at 8 keys so a catastrophic run still fits the window") {
+  test("failed list caps at 4 keys so a catastrophic run still fits the window") {
     val allFail = names.map(_ -> -1L)
     val line = Bench.serialize(allFail, 0.0, "/root/testdata/sf0.1", reps = 3)
     assert(line.length < 1900, s"all-fail line ${line.length}B overflows")

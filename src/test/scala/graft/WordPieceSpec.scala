@@ -26,14 +26,17 @@ class WordPieceSpec extends SparkTestBase {
         syms.zip(syms.drop(1)).foreach(p =>
           pc(p) = pc.getOrElse(p, 0L) + c)
       }
-      val cands = pc.toSeq.map { case ((l, r), c) => (l, r, c, sc(l), sc(r)) }
+      // candidate filter BEFORE the argmax (mirrors learnMerges: rare
+      // pairs are not candidates, not a stop signal)
+      val cands = pc.toSeq.filter(_._2 >= minPairCount)
+        .map { case ((l, r), c) => (l, r, c, sc(l), sc(r)) }
       val best = cands.sortWith { (x, y) =>
         val sx = BigInt(x._3) * y._4 * y._5
         val sy = BigInt(y._3) * x._4 * x._5
         if (sx != sy) sx > sy
         else if (x._1 != y._1) x._1 < y._1
         else x._2 < y._2
-      }.headOption.filter(_._3 >= minPairCount)
+      }.headOption
       best match {
         case None => done = true
         case Some((l, r, _, _, _)) =>
