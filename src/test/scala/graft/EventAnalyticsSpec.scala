@@ -132,4 +132,74 @@ class EventAnalyticsSpec extends SparkTestBase {
         "event_type", k = 0, topN = 2)
     }
   }
+
+  test("sequenceMatchGaps: level-wise reachability beats greedy chaining") {
+    val events = Seq(
+      // user 1: A@0 dead-ends (no B within gap), but A@95→B@100→C@105
+      // completes — the case greedy first-occurrence chaining misses
+      (1L, 0 * M, "A"), (1L, 95 * M, "A"), (1L, 100 * M, "B"),
+      (1L, 105 * M, "C"),
+      // user 2: in order but second gap too wide → no match
+      (2L, 0 * M, "A"), (2L, 5 * M, "B"), (2L, 30 * M, "C"),
+      // user 3: wrong order (B before A) → no match
+      (3L, 10 * M, "B"), (3L, 20 * M, "A"), (3L, 25 * M, "C"),
+      // user 4: two completions; earliest final-step ts wins
+      (4L, 0 * M, "A"), (4L, 4 * M, "B"), (4L, 8 * M, "C"),
+      (4L, 20 * M, "A"), (4L, 24 * M, "B"), (4L, 28 * M, "C"),
+      // user 5: simultaneous A and B chain (>= convention), then C
+      (5L, 0 * M, "A"), (5L, 0 * M, "B"), (5L, 5 * M, "C")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.sequenceMatchGaps(events, "user_id", "ts",
+        "event_type", Seq("A", "B", "C"), maxGapUs = 10 * M)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 105 * M, 4L -> 8 * M, 5L -> 5 * M))
+    // partition independence
+    val again = EventAnalytics.sequenceMatchGaps(events.repartition(7),
+      "user_id", "ts", "event_type", Seq("A", "B", "C"), maxGapUs = 10 * M)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // guards
+    intercept[IllegalArgumentException] {
+      EventAnalytics.sequenceMatchGaps(events, "user_id", "ts",
+        "event_type", Seq("A"), maxGapUs = 10 * M)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.sequenceMatchGaps(events, "user_id", "ts",
+        "event_type", Seq("A", "B"), maxGapUs = 0)
+    }
+  }
+
+  test("sequenceMatchNoEvent: forbidden strictly between kills the pair") {
+    val events = Seq(
+      // user 1: clean A→B → match at B
+      (1L, 0 * M, "A"), (1L, 5 * M, "B"),
+      // user 2: X strictly between the only A and B → no match
+      (2L, 0 * M, "A"), (2L, 3 * M, "X"), (2L, 5 * M, "B"),
+      // user 3: X between A1 and B, but a LATER A2 after X rescues it
+      (3L, 0 * M, "A"), (3L, 2 * M, "X"), (3L, 4 * M, "A"),
+      (3L, 6 * M, "B"),
+      // user 4: X before A and after B — outside, still clean
+      (4L, 0 * M, "X"), (4L, 1 * M, "A"), (4L, 3 * M, "B"),
+      (4L, 9 * M, "X"),
+      // user 5: X exactly at the A timestamp is NOT strictly between
+      (5L, 0 * M, "A"), (5L, 0 * M, "X"), (5L, 4 * M, "B"),
+      // user 6: A→B outside the gap → no match
+      (6L, 0 * M, "A"), (6L, 50 * M, "B")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventAnalytics.sequenceMatchNoEvent(events, "user_id", "ts",
+        "event_type", first = "A", last = "B", forbidden = "X",
+        maxGapUs = 10 * M)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5 * M, 3L -> 6 * M, 4L -> 3 * M, 5L -> 4 * M))
+    // partition independence
+    val again = EventAnalytics.sequenceMatchNoEvent(events.repartition(5),
+      "user_id", "ts", "event_type", "A", "B", "X", maxGapUs = 10 * M)
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // guards
+    intercept[IllegalArgumentException] {
+      EventAnalytics.sequenceMatchNoEvent(events, "user_id", "ts",
+        "event_type", "A", "B", "A", maxGapUs = 10 * M)
+    }
+  }
 }

@@ -133,6 +133,50 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("intersection estimate lands near the true overlap and clamps at 0") {
+    // 3000 left, 3000 right, 1000 shared → |A|=|B|=3000, |A∩B|=1000
+    val shared = Seq.tabulate(1000)(i => s"shared item $i")
+    val onlyA = Seq.tabulate(2000)(i => s"left only $i")
+    val onlyB = Seq.tabulate(2000)(i => s"right only $i")
+    def reg(ks: Seq[String]) =
+      Sketches.hllRegisters(ks.toDF("k"), col("k"), b = 10)
+    val row = Sketches.hllIntersectEstimate(
+        reg(onlyA ++ shared), reg(onlyB ++ shared), bBits = 10)
+      .select("est_a", "est_b", "est_union", "est_intersect")
+      .as[(Double, Double, Double, Double)].collect().head
+    // HLL relative error at b=10 ≈ 1.04/√1024 ≈ 3.3%; the intersection
+    // inherits errors from three estimates over |A∪B|=5000 — allow a
+    // generous but still diagnostic ±40% band on the 1000-truth
+    assert(math.abs(row._1 - 3000) < 3000 * 0.1, s"est_a ${row._1}")
+    assert(math.abs(row._3 - 5000) < 5000 * 0.1, s"est_union ${row._3}")
+    assert(row._4 > 600 && row._4 < 1400, s"est_intersect ${row._4}")
+    // disjoint sets: inclusion–exclusion noise must clamp at zero, never
+    // report negative overlap
+    val disjoint = Sketches.hllIntersectEstimate(
+        reg(onlyA), reg(onlyB), bBits = 10)
+      .select("est_intersect").as[Double].collect().head
+    assert(disjoint >= 0.0)
+    assert(disjoint < 400, s"disjoint overlap estimate $disjoint")
+  }
+
+  test("grouped intersection estimate equals per-filter estimates") {
+    val rows = (Seq.tabulate(600)(i => ("g1", s"a$i")) ++
+      Seq.tabulate(600)(i => ("g2", s"b$i"))).toDF("g", "k")
+    def reg(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(df, col("k"), b = 8, groupCols = Seq("g"))
+    val left = rows.filter(col("k") =!= "a0")
+    val grouped = Sketches.hllIntersectEstimate(reg(left), reg(rows),
+        bBits = 8, groupCols = Seq("g"))
+      .select("g", "est_intersect").as[(String, Double)].collect().toMap
+    Seq("g1", "g2").foreach { g =>
+      val one = Sketches.hllIntersectEstimate(
+          reg(left.filter(col("g") === g)), reg(rows.filter(col("g") === g)),
+          bBits = 8)
+        .select("est_intersect").as[Double].collect().head
+      assert(math.abs(grouped(g) - one) < 1e-9, s"group $g")
+    }
+  }
+
   test("invalid parameters fail loud") {
     val df = corpus.toDF("k")
     intercept[IllegalArgumentException] {
