@@ -28,9 +28,9 @@ import org.apache.spark.sql.SparkSession
   * 157, each time a digit per entry; 0.1 s resolution stays inside
   * run-to-run noise for every query the verdicts scrutinize, and the
   * per-query MINIMUM across reps is what's recorded anyway),
-  * per-query keys are the unique `qNN`
-  * numeric prefix of the SparkEntry.queries name (`"q27":157` for
-  * q27_minhash_pairs — the prefix is how every round's verdict refers
+  * per-query keys are the unique numeric
+  * prefix of the SparkEntry.queries name (`"27":157` for
+  * q27_minhash_pairs — the digits are how every round's verdict refers
   * to queries, and full 15-char-average names put the worst-case line
   * back over the window), and `sf` is the directory basename. BenchSpec
   * asserts the worst-case serialized line stays under 1980 bytes so
@@ -39,10 +39,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** `qNN` numeric prefix used as the compact per-query JSON key.
-    * Query names are `qNN_description`; the prefix is unique by
-    * construction (BenchSpec asserts it stays so). */
-  def shortKey(name: String): String = name.takeWhile(_ != '_')
+  /** Numeric prefix used as the compact per-query JSON key: `q174_kmv`
+    * → `"174"`. The digits alone are unique by construction (BenchSpec
+    * asserts it); the `q` was dropped at 178 queries — one byte per
+    * entry was the cheapest capacity step left that keeps deciseconds
+    * resolution (the ds→s step would cost a digit of precision on
+    * every sub-10 s query, which is most of them). */
+  def shortKey(name: String): String = name.takeWhile(_ != '_').drop(1)
 
   /** The one JSON line the driver parses. `results` carries integer
     * centiseconds per full query name (-1 = failure); `totalSec` is

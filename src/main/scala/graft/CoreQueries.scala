@@ -943,7 +943,122 @@ object CoreQueries {
       first = "view", last = "purchase", forbidden = "error",
       maxGapUs = 6L * 3600 * 1000000L)
 
+  // DATA-QUALITY CONSTRAINT SUITE (ops/DataQuality.check): the reference's
+  // ad-hoc probe queries (S10 exists/count/PK) generalized Deequ-style —
+  // every row-level rule fused into ONE scan/one aggregate, uniqueness one
+  // shuffle on its key, FKs one anti join each (broadcast dims). The gate
+  // plants one violation batch per rule class (a ‰-slice cloned with a
+  // negative quantity + dup key, an orphan orderkey + bad flag, a null
+  // suppkey) so every counter demonstrably discriminates; the fixture's
+  // own (orderkey, linenumber) duplicates surface in the unique row too.
+  def q174_dq_constraints(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.DataQuality._
+    val li = t(s, dir, "lineitem")
+    val slice = li.filter(col("l_orderkey") % 499 === 0 &&
+      col("l_linenumber") === 1)
+    val base = li
+      .unionByName(slice.withColumn("l_quantity", lit(-1.0)))
+      .unionByName(slice.withColumn("l_orderkey", -col("l_orderkey"))
+        .withColumn("l_returnflag", lit("X")))
+      .unionByName(slice
+        .withColumn("l_orderkey", -col("l_orderkey") - 1000000000L)
+        .withColumn("l_suppkey", lit(null).cast("long")))
+    check(base, Seq(
+      NotNull("l_suppkey"),
+      InRange("l_quantity", 1, 50),
+      InSet("l_returnflag", Seq("A", "N", "R")),
+      Satisfies("price_positive", col("l_extendedprice") > 0),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      ForeignKey(Seq("l_orderkey"), t(s, dir, "orders"), Seq("o_orderkey")),
+      ForeignKey(Seq("l_partkey"), t(s, dir, "part"), Seq("p_partkey"))))
+  }
+
+  // INCREMENTAL VIEW MAINTENANCE (ops/Ivm.applyDelta): keep a per-partkey
+  // count/sum view current under a retract changelog WITHOUT rescanning
+  // the base — the set-based generalization of W3/W4's delta-only pulls.
+  // Changelog here: post-cutoff rows as inserts, every 7th pre-cutoff
+  // order retracted; merged view must equal the full recompute (the
+  // oracle IS that recompute). Delta aggregates first (one shuffle over
+  // the changelog only), then a key join the optimizer broadcasts when
+  // the delta is small; count==0 groups drop — keys can disappear.
+  def q175_ivm_agg(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Ivm
+    val li = t(s, dir, "lineitem")
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val spec = Ivm.AggSpec(
+      Seq("sum_qty" -> col("l_quantity").cast(dec)), "n_rows")
+    val view = Ivm.materialize(
+      li.filter(col("l_shipdate") < cutoff), Seq("l_partkey"), spec)
+    val changes = li.filter(col("l_shipdate") >= cutoff)
+      .withColumn("op", lit(1))
+      .unionByName(li.filter(col("l_shipdate") < cutoff &&
+        col("l_orderkey") % 7 === 0).withColumn("op", lit(-1)))
+    val merged = Ivm.applyDelta(view, changes, Seq("l_partkey"), spec)
+    merged.select(col("l_partkey"), col("n_rows"),
+      outD(col("sum_qty")).as("sum_qty"))
+  }
+
+  // KMV BOTTOM-K SKETCH (ops/Sketches.kmvRegisters/kmvEstimate/
+  // kmvJaccard): the third mergeable sketch next to HLL and CM — the k
+  // smallest distinct hashes ARE a uniform distinct-value sample, so two
+  // corpus slices' sketches estimate their Jaccard resemblance directly
+  // (union bottom-k ∩ both sides), which HLL inclusion–exclusion (q173)
+  // cannot do accurately for small overlaps of large sets. Per-lang
+  // sketches of two overlapping doc_id-mod-3 shards; exact integer cores
+  // gated (k_used, kth hash, n_common, permille), float estimate
+  // spec-pinned — the q136/q146 register-gate stance.
+  def q176_kmv_sketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val docs = t(s, dir, "documents")
+    val k = 64
+    val h = graft.llm.TextAnalysis.md5Hash60 _
+    def shard(lo: Int, hi: Int) = docs.where(
+      pmod(col("doc_id"), lit(3)) === lo || pmod(col("doc_id"), lit(3)) === hi)
+    val ra = Sketches.kmvRegisters(shard(0, 1), col("text"), k, h, Seq("lang"))
+    val rb = Sketches.kmvRegisters(shard(1, 2), col("text"), k, h, Seq("lang"))
+    def core(r: DataFrame, suf: String) =
+      Sketches.kmvEstimate(r, k, groupCols = Seq("lang"))
+        .select(col("lang"), col("k_used").as(s"k_used_$suf"),
+          col("kth").as(s"kth_$suf"))
+    core(ra, "a")
+      .join(core(rb, "b"), "lang")
+      .join(Sketches.kmvJaccard(ra, rb, k, Seq("lang"))
+        .select(col("lang"), col("k_used").as("k_used_u"),
+          col("n_common"), col("jacc_permille")), "lang")
+  }
+
+  // BLOCKED RECORD LINKAGE (ops/EntityResolution.scorePairs): Fellegi–
+  // Sunter field-agreement scoring of candidate pairs inside
+  // (nationkey, mktsegment) blocks — never all-pairs; integer weights
+  // keep the score exact cross-engine. The gate plants perturbed
+  // customer clones (name + '~', balance + 0.5): full-name agreement
+  // fails but the 18-char prefix and ±1.0 balance tolerance hold, so
+  // exactly the clone pairs clear the match threshold.
+  def q177_record_linkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.EntityResolution._
+    val c = t(s, dir, "customer")
+    val aug = c.unionByName(c.filter(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(col("c_name"), lit("~")).as("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + 0.5).as("c_acctbal"),
+        col("c_mktsegment")))
+    scorePairs(aug, "c_custkey",
+      blockCols = Seq("c_nationkey", "c_mktsegment"),
+      compareCols = Seq("c_name", "c_acctbal"),
+      rules = Seq(
+        prefixField("c_name", 18, wAgree = 30, wDisagree = 10),
+        exactField("c_name", wAgree = 20, wDisagree = 5),
+        toleranceField("c_acctbal", 1.0, wAgree = 15, wDisagree = 15)),
+      matchThreshold = 35, possibleThreshold = 10)
+      .filter(col("score") >= 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_dq_constraints" -> q174_dq_constraints _,
+    "q175_ivm_agg"    -> q175_ivm_agg _,
+    "q176_kmv_sketch" -> q176_kmv_sketch _,
+    "q177_record_linkage" -> q177_record_linkage _,
     "q168_seq_match"  -> q168_seq_match _,
     "q169_seq_noevent" -> q169_seq_noevent _,
     "q157_funnel"     -> q157_funnel _,
@@ -999,6 +1114,80 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q174_dq_constraints" ->
+      """WITH slice AS (SELECT * FROM lineitem WHERE l_orderkey % 499 = 0 AND l_linenumber = 1),
+        |base AS (
+        |  SELECT * FROM lineitem
+        |  UNION ALL SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, -1.0, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM slice
+        |  UNION ALL SELECT -l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, 'X', l_linestatus, l_shipdate FROM slice
+        |  UNION ALL SELECT -l_orderkey - 1000000000, l_partkey, NULL, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate FROM slice),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM base),
+        |rep AS (
+        |  SELECT 'not_null' AS rule, 'l_suppkey' AS target, n.n_rows,
+        |         (SELECT CAST(count(*) FILTER (WHERE l_suppkey IS NULL) AS BIGINT) FROM base) AS n_violations FROM n
+        |  UNION ALL SELECT 'in_range', 'l_quantity', n.n_rows,
+        |         (SELECT CAST(count(*) FILTER (WHERE l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) AS BIGINT) FROM base) FROM n
+        |  UNION ALL SELECT 'in_set', 'l_returnflag', n.n_rows,
+        |         (SELECT CAST(count(*) FILTER (WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')) AS BIGINT) FROM base) FROM n
+        |  UNION ALL SELECT 'satisfies', 'price_positive', n.n_rows,
+        |         (SELECT CAST(count(*) FILTER (WHERE NOT (l_extendedprice > 0)) AS BIGINT) FROM base) FROM n
+        |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', n.n_rows,
+        |         (SELECT CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT)
+        |          FROM (SELECT count(*) AS cnt FROM base GROUP BY l_orderkey, l_linenumber)) FROM n
+        |  UNION ALL SELECT 'foreign_key', 'l_orderkey', n.n_rows,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM base b LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |          ON b.l_orderkey = o.o_orderkey WHERE b.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) FROM n
+        |  UNION ALL SELECT 'foreign_key', 'l_partkey', n.n_rows,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM base b LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        |          ON b.l_partkey = p.p_partkey WHERE b.l_partkey IS NOT NULL AND p.p_partkey IS NULL) FROM n)
+        |SELECT rule, target, n_rows, n_violations,
+        |       CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        |FROM rep""".stripMargin,
+    "q175_ivm_agg" ->
+      """WITH eff AS (
+        |  SELECT * FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_orderkey % 7 <> 0
+        |  UNION ALL SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+        |SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty
+        |FROM eff GROUP BY 1""".stripMargin,
+    "q176_kmv_sketch" ->
+      """WITH h AS (SELECT lang, doc_id % 3 AS m,
+        |             ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+        |           FROM documents WHERE text IS NOT NULL),
+        |da AS (SELECT DISTINCT lang, h FROM h WHERE m IN (0, 1)),
+        |db AS (SELECT DISTINCT lang, h FROM h WHERE m IN (1, 2)),
+        |ra AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM da),
+        |rb AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM db),
+        |ka AS (SELECT lang, CAST(count(*) AS INT) AS k_used_a, max(h) AS kth_a FROM ra WHERE rn <= 64 GROUP BY 1),
+        |kb AS (SELECT lang, CAST(count(*) AS INT) AS k_used_b, max(h) AS kth_b FROM rb WHERE rn <= 64 GROUP BY 1),
+        |uu AS (SELECT lang, h, max(a) AS ina, max(b) AS inb
+        |       FROM (SELECT lang, h, 1 AS a, 0 AS b FROM da
+        |             UNION ALL SELECT lang, h, 0, 1 FROM db) GROUP BY 1, 2),
+        |ur AS (SELECT lang, h, ina, inb, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM uu),
+        |ku AS (SELECT lang, CAST(count(*) AS INT) AS k_used_u,
+        |         CAST(count(*) FILTER (WHERE ina = 1 AND inb = 1) AS BIGINT) AS n_common
+        |       FROM ur WHERE rn <= 64 GROUP BY 1)
+        |SELECT ka.lang, k_used_a, kth_a, k_used_b, kth_b, k_used_u, n_common,
+        |       (1000 * n_common) // k_used_u AS jacc_permille
+        |FROM ka JOIN kb ON kb.lang = ka.lang JOIN ku ON ku.lang = ka.lang""".stripMargin,
+    "q177_record_linkage" ->
+      """WITH aug AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+        |  UNION ALL SELECT c_custkey + 1000000, c_name || '~', c_nationkey, c_acctbal + 0.5, c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |p AS (SELECT l.c_custkey AS id_l, r.c_custkey AS id_r,
+        |  CAST(CASE WHEN substring(l.c_name, 1, 18) = substring(r.c_name, 1, 18) THEN 1 ELSE 0 END AS INT) AS agree_c_name_pfx18,
+        |  CAST(CASE WHEN l.c_name = r.c_name THEN 1 ELSE 0 END AS INT) AS agree_c_name,
+        |  CAST(CASE WHEN abs(l.c_acctbal - r.c_acctbal) <= 1.0 THEN 1 ELSE 0 END AS INT) AS agree_c_acctbal_tol
+        |  FROM aug l JOIN aug r ON l.c_nationkey = r.c_nationkey
+        |    AND l.c_mktsegment = r.c_mktsegment AND l.c_custkey < r.c_custkey),
+        |s AS (SELECT *, CAST(CASE WHEN agree_c_name_pfx18 = 1 THEN 30 ELSE -10 END
+        |            + CASE WHEN agree_c_name = 1 THEN 20 ELSE -5 END
+        |            + CASE WHEN agree_c_acctbal_tol = 1 THEN 15 ELSE -15 END AS BIGINT) AS score FROM p)
+        |SELECT id_l, id_r, agree_c_name_pfx18, agree_c_name, agree_c_acctbal_tol, score,
+        |  CASE WHEN score >= 35 THEN 'match' WHEN score >= 10 THEN 'possible' ELSE 'non_match' END AS verdict
+        |FROM s WHERE score >= 10""".stripMargin,
     "q160_sliding_window" ->
       """WITH e AS (SELECT epoch_us(ts) AS ts, event_type, value FROM events),
         |w AS (SELECT (ts // 1800000000) * 1800000000 - k * 1800000000 AS ws,

@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint suite — the "is this table fit to
+  * train on / copy back" gate the reference runs by hand via its probe
+  * queries (row counts, PK presence, column checks —
+  * `ora_ch` readers/jdbsChSession "exists/count/PK" probes, see
+  * SURVEY §2 S10) generalized into one engine operator, in the shape
+  * the public Deequ/Great-Expectations family standardized: a list of
+  * typed constraints evaluated against a frame, producing one report row
+  * per rule `(rule, target, n_rows, n_violations, passed)`.
+  *
+  * Evaluation cost is the point. A naive runner issues one scan per
+  * rule; at 100 TB that is N full reads. Here every ROW-LEVEL rule
+  * (not-null, range, set membership, arbitrary predicate) compiles to a
+  * conditional-sum column in ONE aggregate over ONE scan — adding a
+  * rule adds a counter, not a pass. The two rule classes that
+  * fundamentally need data movement keep it minimal and key-local:
+  * uniqueness is one shuffle on its key columns (partial map-side
+  * aggregation applies), and referential integrity is one left-anti
+  * join per referenced table (broadcast when the reference side is a
+  * dimension, which is the overwhelming case). Nothing collects to the
+  * driver but the report itself (≤ one row per rule).
+  */
+object DataQuality {
+
+  /** One verifiable rule. `target` is the human-readable column (or
+    * column-list) label that appears in the report. */
+  sealed trait Constraint { def name: String; def target: String }
+
+  /** No nulls in `column`. */
+  final case class NotNull(column: String) extends Constraint {
+    val name = "not_null"; val target = column
+  }
+
+  /** `column` within [lo, hi] (inclusive). Nulls count as violations —
+    * range talks about values; absence is NotNull's job only if you ask
+    * for it, but a null is certainly not inside the interval. */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Constraint {
+    val name = "in_range"; val target = column
+  }
+
+  /** `column` drawn from a closed vocabulary. */
+  final case class InSet(column: String, values: Seq[String])
+      extends Constraint {
+    val name = "in_set"; val target = column
+  }
+
+  /** Arbitrary row predicate (must hold). The escape hatch for domain
+    * rules ("price ≥ qty × min_unit_price"); still fused into the single
+    * row-level scan. */
+  final case class Satisfies(label: String, predicate: Column)
+      extends Constraint {
+    val name = "satisfies"; val target = label
+  }
+
+  /** `columns` form a key: a violation is EVERY row whose key value
+    * occurs more than once (both copies are in doubt — the Deequ
+    * uniqueness convention, not the "extras beyond the first" one,
+    * which would require picking a survivor the rule has no basis to
+    * pick). Null-keyed rows group by the null tuple like any value. */
+  final case class Unique(columns: Seq[String]) extends Constraint {
+    val name = "unique"; val target = columns.mkString(",")
+  }
+
+  /** Referential integrity: every non-null `columns` tuple must appear
+    * as `refColumns` in `ref`. Violations = orphan rows. Tuples with
+    * any null component are skipped (SQL FK semantics: null never
+    * fails an FK). */
+  final case class ForeignKey(columns: Seq[String], ref: DataFrame,
+                              refColumns: Seq[String]) extends Constraint {
+    require(columns.nonEmpty && columns.length == refColumns.length,
+      "FK column lists must be non-empty and same length")
+    val name = "foreign_key"; val target = columns.mkString(",")
+  }
+
+  private val reportCols =
+    Seq("rule", "target", "n_rows", "n_violations", "passed")
+
+  /** Violation indicator (1L when the row breaks the rule) for a
+    * row-level constraint. */
+  private def violation(c: Constraint): Column = c match {
+    case NotNull(col0) =>
+      when(col(col0).isNull, 1L).otherwise(0L)
+    case InRange(col0, lo, hi) =>
+      when(col(col0).isNotNull &&
+        col(col0).cast("double").between(lo, hi), 0L).otherwise(1L)
+    case InSet(col0, vs) =>
+      when(col(col0).isin(vs.map(v => v: Any): _*), 0L).otherwise(1L)
+    case Satisfies(_, p) => when(p, 0L).otherwise(1L)
+    case other =>
+      throw new IllegalArgumentException(s"not row-level: ${other.name}")
+  }
+
+  /** Run the suite; returns the report frame
+    * `(rule, target, n_rows, n_violations, passed)`, one row per
+    * constraint, `passed` = 1 iff `n_violations` = 0. Deterministic:
+    * all counters are exact longs. */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "empty constraint suite")
+    val rowLevel = constraints.filter {
+      case _: NotNull | _: InRange | _: InSet | _: Satisfies => true
+      case _ => false
+    }
+    // --- one scan, one 1-row aggregate for every row-level rule ---
+    val rowReport: Option[DataFrame] =
+      if (rowLevel.isEmpty) None
+      else {
+        val aggs = count(lit(1)).as("__n") +:
+          rowLevel.zipWithIndex.map { case (c, i) =>
+            sum(violation(c)).as(s"__v$i") }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        // unpivot the single row into the report shape without a
+        // second scan: explode a literal-indexed array over the row
+        val entries = rowLevel.zipWithIndex.map { case (c, i) =>
+          struct(lit(c.name).as("rule"), lit(c.target).as("target"),
+            col("__n").as("n_rows"),
+            coalesce(col(s"__v$i"), lit(0L)).as("n_violations"))
+        }
+        Some(one.select(explode(array(entries: _*)).as("e"))
+          .select(col("e.rule"), col("e.target"), col("e.n_rows"),
+            col("e.n_violations")))
+      }
+    // --- uniqueness: one shuffle on each key ---
+    val uniqueReports = constraints.collect { case u: Unique =>
+      val keyed = df.groupBy(u.columns.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      keyed.agg(
+        coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("__cnt") > 1, col("__cnt"))
+          .otherwise(0L)), lit(0L)).as("n_violations"))
+        .select(lit(u.name).as("rule"), lit(u.target).as("target"),
+          col("n_rows"), col("n_violations"))
+    }
+    // --- FK: one anti join per referenced table ---
+    val fkReports = constraints.collect { case fk: ForeignKey =>
+      val probe = df.select(fk.columns.map(col): _*)
+      val nonNull = fk.columns.map(col(_).isNotNull).reduce(_ && _)
+      val refKeys = fk.ref
+        .select(fk.refColumns.zip(fk.columns).map { case (r, c) =>
+          col(r).as(s"__r_$c") }: _*)
+        .distinct()
+      val cond = fk.columns.map(c => col(c) === col(s"__r_$c"))
+        .reduce(_ && _)
+      val orphans = probe.filter(nonNull)
+        .join(refKeys, cond, "left_anti")
+      // both sides of this cross join are 1-row aggregates
+      orphans.agg(count(lit(1)).as("n_violations"))
+        .crossJoin(probe.agg(count(lit(1)).as("__total")))
+        .select(lit(fk.name).as("rule"), lit(fk.target).as("target"),
+          col("__total").as("n_rows"), col("n_violations"))
+    }
+    val all = (rowReport.toSeq ++ uniqueReports ++ fkReports)
+      .reduce(_ unionByName _)
+    all.withColumn("passed",
+      when(col("n_violations") === 0L, 1).otherwise(0))
+      .select(reportCols.map(col): _*)
+  }
+
+  /** Convenience: rows of `df` violating any row-level rule in
+    * `constraints`, tagged with the first failing rule — the quarantine
+    * frame a pipeline routes to a reject sink (the mirror of
+    * `check`'s counters; same single-scan shape, map-only). */
+  def quarantine(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    val rowLevel = constraints.filter {
+      case _: NotNull | _: InRange | _: InSet | _: Satisfies => true
+      case _ => false
+    }
+    require(rowLevel.nonEmpty, "quarantine needs row-level rules")
+    val firstFail = rowLevel.foldLeft(lit(null).cast("string")) { (acc, c) =>
+      coalesce(acc, when(violation(c) === 1L,
+        lit(s"${c.name}(${c.target})")))
+    }
+    df.withColumn("__fail", firstFail).filter(col("__fail").isNotNull)
+      .withColumnRenamed("__fail", "failed_rule")
+  }
+}

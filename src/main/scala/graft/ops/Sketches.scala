@@ -334,4 +334,126 @@ object Sketches {
       .join(broadcast(qs), col("__cumw") * 1000 >= col("q") * col("__W"))
       .groupBy(col("q")).agg(min(col("v")).as("est"))
   }
+
+  // -------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct sketch — the third member of the
+  // mergeable-sketch family next to HLL (distinct count) and CM
+  // (frequency): keep the k SMALLEST distinct hash values of a set.
+  // What HLL cannot give and KMV can: a SET-RESEMBLANCE estimator —
+  // the union's bottom-k is a uniform distinct-value sample of A∪B, so
+  // the fraction of it present in both sides estimates Jaccard(A, B)
+  // directly (Beyer et al., SIGMOD'07), with additive error O(1/√k)
+  // independent of set sizes. HLL intersection (q173) goes through
+  // inclusion–exclusion and its error scales with the UNION size —
+  // useless for small overlaps of big corpora, exactly the
+  // contamination-screening case.
+  //
+  // Determinism: registers are the k smallest distinct values of a
+  // deterministic hash — a pure set function of the input, so the
+  // register TABLE is gate-checkable, like the HLL/CM register gates.
+  //
+  // Scale shape: one distinct-style shuffle on (group, hash) — partial
+  // aggregation collapses map-side duplicates — then a group-by whose
+  // shuffle carries k-bounded [[graft.functions.BottomKLong]] buffers,
+  // never the distinct-hash stream. Merge and resemblance touch only
+  // k-row-per-group register tables.
+  // -------------------------------------------------------------------
+
+  /** Build KMV registers: one row per kept hash, `(group…, pos, h)`
+    * with `pos` = 1-based ascending rank among the k smallest distinct
+    * hashes. `hashFn` must map a string to a NON-NEGATIVE long (the
+    * md5Hash60 house recipe; xxhash64 needs masking). */
+  def kmvRegisters(df: DataFrame, key: Column, k: Int = 256,
+                   hashFn: Column => Column,
+                   groupCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val gcols = groupCols.map(col)
+    val hashed = df.select(gcols :+ hashFn(key).as("h"): _*)
+      .filter(col("h").isNotNull)
+      .distinct()                        // (group, h) — shuffle 1
+    bottomK(hashed, k, groupCols)
+  }
+
+  /** Bottom-k of pre-distinct `(group…, h)` rows via the k-bounded
+    * aggregator; emits `(group…, pos, h)`. */
+  private def bottomK(distinctHashes: DataFrame, k: Int,
+                      groupCols: Seq[String]): DataFrame = {
+    val agg = udaf(new graft.functions.BottomKLong(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val gcols = groupCols.map(col)
+    val grouped =
+      if (groupCols.isEmpty)
+        distinctHashes.groupBy(lit(1).as("__g"))
+          .agg(agg(col("h"), col("h")).as("__bk"))
+      else distinctHashes.groupBy(gcols: _*)
+        .agg(agg(col("h"), col("h")).as("__bk"))
+    grouped.select(gcols :+ posexplode(col("__bk.items")): _*)
+      .select(gcols :+ (col("pos") + 1).as("pos") :+
+        col("col._1").as("h"): _*)
+  }
+
+  /** Merge two register tables built with the same (k, hashFn):
+    * union → distinct → re-bottom-k. Result = the registers the
+    * combined input would have produced (KMV merge is lossless up
+    * to k). */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int,
+               groupCols: Seq[String] = Nil): DataFrame = {
+    val gcols = groupCols.map(col)
+    val u = a.select(gcols :+ col("h"): _*)
+      .unionByName(b.select(gcols :+ col("h"): _*))
+      .distinct()
+    bottomK(u, k, groupCols)
+  }
+
+  /** Distinct-count estimate per group: `(group…, k_used, kth,
+    * est_distinct)`. `k_used`/`kth` are the exact integer cores (the
+    * gate-checkable part); `est_distinct` = (k_used−1)·2^hashBits/kth
+    * is IEEE float (spec-pinned, like the HLL float estimate). A
+    * sketch with fewer than k values is exact: est = k_used. */
+  def kmvEstimate(registers: DataFrame, k: Int, hashBits: Int = 60,
+                  groupCols: Seq[String] = Nil): DataFrame = {
+    val gcols = groupCols.map(col)
+    val per = registers.groupBy(gcols: _*)
+      .agg(count(lit(1)).cast("int").as("k_used"), max(col("h")).as("kth"))
+    per.withColumn("est_distinct",
+      when(col("k_used") < k, col("k_used").cast("double"))
+        .otherwise((col("k_used") - 1).cast("double") *
+          lit(math.pow(2.0, hashBits)) / col("kth").cast("double")))
+  }
+
+  /** Jaccard resemblance cores from two register tables (same k,
+    * same hashFn, same groups): per group `(k_used, n_common,
+    * jacc_permille)` where the union's bottom-k serves as the sample,
+    * `n_common` counts sample hashes present in BOTH sketches, and
+    * `jacc_permille` = 1000·n_common div k_used (exact integer —
+    * DuckDB replays it). */
+  def kmvJaccard(a: DataFrame, b: DataFrame, k: Int,
+                 groupCols: Seq[String] = Nil): DataFrame = {
+    val gcols = groupCols.map(col)
+    // flag-union: one row per (group, h) with side-membership bits,
+    // then bottom-k over (h, flags) — the payload long carries the bits
+    val tagged = a.select(gcols :+ col("h") :+ lit(1L).as("__f"): _*)
+      .unionByName(b.select(gcols :+ col("h") :+ lit(2L).as("__f"): _*))
+      .groupBy(gcols :+ col("h"): _*)
+      .agg(sum(col("__f")).as("__flags"))  // distinct h per side → 1|2|3
+    val agg = udaf(new graft.functions.BottomKLong(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val grouped =
+      if (groupCols.isEmpty)
+        tagged.groupBy(lit(1).as("__g"))
+          .agg(agg(col("h"), col("__flags")).as("__bk"))
+      else tagged.groupBy(gcols: _*)
+        .agg(agg(col("h"), col("__flags")).as("__bk"))
+    grouped.select(gcols :+
+      size(col("__bk.items")).as("k_used") :+
+      aggregate(col("__bk.items"), lit(0L),
+        (acc, it) => acc + when(it.getField("_2") === 3L, 1L)
+          .otherwise(0L)).as("n_common"): _*)
+      .withColumn("jacc_permille",
+        expr("(1000 * n_common) div k_used"))
+  }
 }

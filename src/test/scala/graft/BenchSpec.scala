@@ -14,11 +14,11 @@ class BenchSpec extends AnyFunSuite {
 
   private val names = SparkEntry.queries.keys.toSeq.sorted
 
-  test("qNN short keys are unique across all registered queries") {
+  test("numeric short keys are unique across all registered queries") {
     val keys = names.map(Bench.shortKey)
     val dups = keys.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate bench keys: ${dups.mkString(",")}")
-    assert(keys.forall(_.matches("q\\d+")), "query names must start qNN_")
+    assert(keys.forall(_.matches("\\d+")), "query names must start qNN_")
   }
 
   test("worst-case serialized bench line stays under 1980 bytes") {
@@ -26,9 +26,10 @@ class BenchSpec extends AnyFunSuite {
     // values there, so no wider line exists), a 3-decimal total, AND 4
     // failures (the failed-list cap). Budget history: guard was 1900
     // at 168 queries; the failed cap moved 8→4 to fund round-7 query
-    // growth and the guard sits at 1980 (driver window 2000). NEXT
-    // capacity step at ~185 queries: move qunit ds→s with a 99-s clamp
-    // (one digit per entry, ~170 B).
+    // growth; the `q` key prefix was dropped at 178 queries (1 B/entry,
+    // no resolution loss). NEXT capacity step at ~195 queries: move
+    // qunit ds→s with a 99-s clamp (one digit per entry, ~190 B, costs
+    // sub-second resolution — last resort).
     val worst = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i < 4) -1L else 999999L) }
     val line = Bench.serialize(worst, 9999.999, "/root/testdata/sf0.1", reps = 3)
@@ -43,7 +44,7 @@ class BenchSpec extends AnyFunSuite {
       1.312, "/root/testdata/sf0.1", reps = 3)
     assert(line ==
       """{"metric":"total","value":1.312,"unit":"sec","qunit":"ds","reps":3,""" +
-        """"nfail":1,"failed":["q27"],"queries":{"q0":13,"q27":-1},"sf":"sf0.1"}""")
+        """"nfail":1,"failed":["27"],"queries":{"0":13,"27":-1},"sf":"sf0.1"}""")
   }
 
   test("failed list caps at 4 keys so a catastrophic run still fits the window") {

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.DataQuality
+import graft.ops.DataQuality._
+import org.apache.spark.sql.functions._
+
+/** ops/DataQuality — declarative constraint suite: per-rule counters vs
+  * hand-computed truth, the single-scan claim for row-level rules, FK
+  * null-tuple semantics, and the quarantine mirror. */
+class DataQualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // (id, grp, qty, flag)
+  private def frame = Seq(
+    (1L, Option(1L), 10.0, "A"),
+    (2L, Option(1L), -3.0, "B"),        // range + set violation
+    (3L, Option.empty[Long], 200.0, "A"), // null grp + range violation
+    (4L, Option(2L), 20.0, "A"),
+    (4L, Option(2L), 30.0, "R"),        // dup id with row 4
+    (5L, Option(9L), 40.0, "R")         // grp 9 is an FK orphan
+  ).toDF("id", "grp", "qty", "flag")
+
+  private def ref = Seq(1L, 2L, 3L).toDF("ref_id")
+
+  private def report = DataQuality.check(frame, Seq(
+    NotNull("grp"),
+    InRange("qty", 0, 100),
+    InSet("flag", Seq("A", "R")),
+    Satisfies("positive_qty", col("qty") > 0),
+    Unique(Seq("id")),
+    ForeignKey(Seq("grp"), ref, Seq("ref_id"))))
+
+  test("per-rule counters match hand-computed truth") {
+    val got = report.select("rule", "target", "n_rows", "n_violations",
+      "passed").as[(String, String, Long, Long, Int)].collect().toSet
+    val want = Set(
+      ("not_null", "grp", 6L, 1L, 0),
+      ("in_range", "qty", 6L, 2L, 0),      // -3 and 200
+      ("in_set", "flag", 6L, 1L, 0),       // B
+      ("satisfies", "positive_qty", 6L, 1L, 0),
+      ("unique", "id", 6L, 2L, 0),         // both copies of id=4
+      ("foreign_key", "grp", 6L, 1L, 0))   // grp=9; null tuple skipped
+    assert(got == want)
+  }
+
+  test("clean table passes every rule") {
+    val clean = Seq((1L, 1L, 5.0, "A"), (2L, 2L, 6.0, "R"))
+      .toDF("id", "grp", "qty", "flag")
+    val rep = DataQuality.check(clean, Seq(
+      NotNull("grp"), InRange("qty", 0, 100), Unique(Seq("id")),
+      ForeignKey(Seq("grp"), ref, Seq("ref_id"))))
+    assert(rep.agg(min("passed"), max("n_violations"))
+      .as[(Int, Long)].head() == ((1, 0L)))
+  }
+
+  test("row-level rules fuse into one scan (one Aggregate over one source)") {
+    val rowOnly = DataQuality.check(frame, Seq(
+      NotNull("grp"), InRange("qty", 0, 100), InSet("flag", Seq("A", "R")),
+      Satisfies("p", col("qty") > 0)))
+    val scans = rowOnly.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1,
+      s"row-level suite should read the input once, saw ${scans.size} scans")
+  }
+
+  test("quarantine tags each bad row with its first failing rule") {
+    val q = DataQuality.quarantine(frame, Seq(
+      NotNull("grp"), InRange("qty", 0, 100), InSet("flag", Seq("A", "R"))))
+    val got = q.select("id", "failed_rule").as[(Long, String)]
+      .collect().toSet
+    assert(got == Set(
+      (2L, "in_range(qty)"),   // range fires before set in rule order
+      (3L, "not_null(grp)")))
+  }
+
+  test("FK on multi-column tuples and empty-violation coalesce") {
+    val df = Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "c", 9L))
+      .toDF("k1", "k2", "v")
+    val refs = Seq((1L, "a"), (2L, "b"), (9L, "x")).toDF("r1", "r2")
+    val rep = DataQuality.check(df,
+      Seq(ForeignKey(Seq("k1", "k2"), refs, Seq("r1", "r2"))))
+    assert(rep.select("n_violations").as[Long].head() == 1L) // (3,c)
+  }
+}

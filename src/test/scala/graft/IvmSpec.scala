@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.Ivm
+import graft.ops.Ivm.AggSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ops/Ivm — incremental view maintenance: delta-merge ≡ full recompute
+  * (the defining contract), key birth/death, snapshot-diff changelog
+  * round trip, and the no-base-rescan plan claim. */
+class IvmSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val spec = AggSpec(
+    Seq("sum_v" -> col("v").cast("decimal(18,4)")), "n_rows")
+
+  private def view(df: DataFrame) =
+    Ivm.materialize(df, Seq("k"), spec)
+
+  private def asSet(df: DataFrame) =
+    df.select(col("k"), col("n_rows"), col("sum_v").cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("applyDelta ≡ full recompute (inserts, retracts, births, deaths)") {
+    val base = Seq((1L, 10.0), (1L, 5.0), (2L, 7.0), (3L, 1.0))
+      .toDF("k", "v")
+    // retract both rows of key 1's sibling 3 (death), add key 4 (birth),
+    // update key 2 (retract old + insert new)
+    val changes = Seq(
+      (3L, 1.0, -1),             // key 3 dies
+      (4L, 9.0, 1),              // key 4 born
+      (2L, 7.0, -1), (2L, 8.5, 1), // key 2 updated
+      (1L, 2.0, 1)               // key 1 grows
+    ).toDF("k", "v", "op")
+    val got = Ivm.applyDelta(view(base), changes, Seq("k"), spec)
+    val effective = Seq((1L, 10.0), (1L, 5.0), (1L, 2.0), (2L, 8.5),
+      (4L, 9.0)).toDF("k", "v")
+    assert(asSet(got) == asSet(view(effective)))
+    assert(!asSet(got).exists(_._1 == 3L), "dead key must disappear")
+  }
+
+  test("corrupt changelog (over-retract) stays visible as negative count") {
+    val base = Seq((1L, 1.0)).toDF("k", "v")
+    val changes = Seq((1L, 1.0, -1), (1L, 1.0, -1)).toDF("k", "v", "op")
+    val got = Ivm.applyDelta(view(base), changes, Seq("k"), spec)
+    assert(got.select("n_rows").as[Long].collect().toSeq == Seq(-1L))
+  }
+
+  test("snapshotChangelog → applyDelta reproduces the after-snapshot view") {
+    val before = Seq((1L, 1.0), (1L, 1.0), (2L, 3.0), (3L, 4.0))
+      .toDF("k", "v")
+    // after: one copy of (1,1.0) removed (multiplicity!), key 3 gone,
+    // key 5 appears twice
+    val after = Seq((1L, 1.0), (2L, 3.0), (5L, 2.0), (5L, 2.0))
+      .toDF("k", "v")
+    val log = Ivm.snapshotChangelog(before, after)
+    val got = Ivm.applyDelta(view(before), log, Seq("k"), spec,
+      multiplicityCol = Some("multiplicity"))
+    assert(asSet(got) == asSet(view(after)))
+    // the changelog itself is minimal: one collapsed row per changed row-value
+    val rows = log.select("k", "v", "op", "multiplicity")
+      .as[(Long, Double, Int, Long)].collect().toSet
+    assert(rows == Set((1L, 1.0, -1, 1L), (3L, 4.0, -1, 1L),
+      (5L, 2.0, 1, 2L)))
+  }
+
+  test("merge plan never rescans the base frame") {
+    val baseV = view(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+      .localCheckpoint() // stand-in for a persisted materialized view
+    val changes = Seq((1L, 4.0, 1)).toDF("k", "v", "op")
+    val merged = Ivm.applyDelta(baseV, changes, Seq("k"), spec)
+    // exactly two leaves: the checkpointed view and the changelog —
+    // the base fact table is not in the plan at all
+    val leaves = merged.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 2, s"expected view+delta leaves, got $leaves")
+  }
+}
