@@ -1054,7 +1054,69 @@ object CoreQueries {
       .filter(col("score") >= 10)
   }
 
+  // EQUI-DEPTH DISCRETIZATION (ops/Stats.equiDepthBoundaries/discretize):
+  // bucket docs by n_chars into 8 population-equal bins — the feature-
+  // binning / range-partition-boundary op. Boundaries come from the
+  // exactQuantiles plan (value histogram + bounded running sum, NO global
+  // sort); assignment is map-only against one broadcast 7-long array.
+  def q178_discretize(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Stats
+    val docs = t(s, dir, "documents")
+    val bnd = Stats.equiDepthBoundaries(docs, "n_chars", nBuckets = 8)
+    Stats.discretize(docs, "n_chars", bnd)
+      .select(col("doc_id"), col("n_chars"), col("bucket"))
+  }
+
+  // ROBUST OUTLIER REPORT (ops/Stats.robustOutlierReport): Tukey fences
+  // at 1.5·IQR per event_type over floor(value·100) integer cents —
+  // exact group quartiles (no sampled percentile), fences in ×2-scaled
+  // integer arithmetic so no 1.5 ever rounds. floor(double·100) is one
+  // IEEE multiply + floor in both engines — deterministic.
+  def q179_outliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.robustOutlierReport(
+      t(s, dir, "events").select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("v")),
+      "event_type", "v")
+
+  // CM-SKETCH JOIN-SIZE ESTIMATE (ops/Sketches.cmJoinSizeEstimate):
+  // |lineitem ⋈ orders| from two one-pass Count-Min sketches — the
+  // Cormode–Muthukrishnan inner-product bound, min over hash rows of the
+  // register dot product. The planner-side primitive: estimate a join's
+  // output without shuffling either table; everything after the two
+  // scans touches ≤ d·2^b register rows.
+  def q180_cm_join_size(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val h = graft.llm.TextAnalysis.md5Hash60 _
+    val ra = Sketches.cmRegisters(t(s, dir, "lineitem"),
+      col("l_orderkey").cast("string"), d = 4, b = 16, hashFn = h)
+    val rb = Sketches.cmRegisters(t(s, dir, "orders"),
+      col("o_orderkey").cast("string"), d = 4, b = 16, hashFn = h)
+    Sketches.cmJoinSizeEstimate(ra, rb)
+  }
+
+  // SCD2 HISTORY AUDIT (ops/Scd2.auditHistory): the interval-algebra
+  // data-quality suite — inverted/overlapping/gapped intervals and
+  // broken is_current markers, as a DataQuality-shaped report. The gate
+  // corrupts the q163 history four ways (one per rule, keyed by custkey
+  // residue) so every counter provably discriminates; the lag window is
+  // key-partitioned, everything after is a 4-row report.
+  def q181_scd2_audit(s: SparkSession, dir: String): DataFrame = {
+    val hist = q163_scd2(s, dir)
+    val res = pmod(col("custkey"), lit(10))
+    val corrupted = hist.withColumn("valid_to",
+      when(res === 7 && col("is_current") === 1, col("valid_from") - 1)
+        .when(res === 3 && col("is_current") === 0, col("valid_to") + 1)
+        .when(res === 5 && col("is_current") === 0, col("valid_to") - 1)
+        .otherwise(col("valid_to")))
+      .unionByName(hist.filter(res === 1 && col("is_current") === 1))
+    graft.ops.Scd2.auditHistory(corrupted, "custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_discretize"  -> q178_discretize _,
+    "q179_outliers"    -> q179_outliers _,
+    "q180_cm_join_size" -> q180_cm_join_size _,
+    "q181_scd2_audit"  -> q181_scd2_audit _,
     "q174_dq_constraints" -> q174_dq_constraints _,
     "q175_ivm_agg"    -> q175_ivm_agg _,
     "q176_kmv_sketch" -> q176_kmv_sketch _,
@@ -1114,6 +1176,80 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q178_discretize" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM c),
+        |b AS (SELECT i, (SELECT min(v) FROM cum, n WHERE cum >= (i * 125 * n.n + 999) // 1000) AS boundary
+        |      FROM (SELECT unnest(range(1, 8)) AS i))
+        |SELECT d.doc_id, d.n_chars,
+        |  CAST((SELECT count(*) FROM b WHERE b.boundary < d.n_chars) AS INT) AS bucket
+        |FROM documents d""".stripMargin,
+    "q179_outliers" ->
+      """WITH e AS (SELECT event_type AS g, CAST(floor(value*100) AS BIGINT) AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT g, v, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |cum AS (SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v) AS cum FROM c),
+        |t AS (SELECT g, sum(cnt) AS n FROM c GROUP BY 1),
+        |q AS (SELECT cum.g,
+        |  min(v) FILTER (WHERE cum >= (250*t.n+999)//1000) AS q1,
+        |  min(v) FILTER (WHERE cum >= (500*t.n+999)//1000) AS med,
+        |  min(v) FILTER (WHERE cum >= (750*t.n+999)//1000) AS q3
+        |  FROM cum JOIN t ON t.g = cum.g GROUP BY 1)
+        |SELECT e.g AS event_type, CAST(count(*) AS BIGINT) AS n, q.q1, q.med, q.q3,
+        |  CAST(count(*) FILTER (WHERE 2*e.v < 2*q.q1 - 3*(q.q3-q.q1)
+        |                           OR 2*e.v > 2*q.q3 + 3*(q.q3-q.q1)) AS BIGINT) AS n_outliers
+        |FROM e JOIN q ON q.g = e.g GROUP BY 1, q.q1, q.med, q.q3""".stripMargin,
+    "q180_cm_join_size" ->
+      """WITH ra AS (SELECT i, ('0x' || substring(md5(i::VARCHAR || ':' || l_orderkey::VARCHAR),1,15))::BIGINT % 65536 AS bucket,
+        |              CAST(count(*) AS BIGINT) AS cnt
+        |            FROM lineitem CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s GROUP BY 1, 2),
+        |rb AS (SELECT i, ('0x' || substring(md5(i::VARCHAR || ':' || o_orderkey::VARCHAR),1,15))::BIGINT % 65536 AS bucket,
+        |              CAST(count(*) AS BIGINT) AS cnt
+        |            FROM orders CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s GROUP BY 1, 2),
+        |d AS (SELECT ra.i, CAST(sum(ra.cnt * rb.cnt) AS BIGINT) AS dot
+        |      FROM ra JOIN rb ON rb.i = ra.i AND rb.bucket = ra.bucket GROUP BY 1)
+        |SELECT CAST(i AS INT) AS row, dot, (SELECT min(dot) FROM d) AS est FROM d""".stripMargin,
+    "q181_scd2_audit" ->
+      """WITH ch AS (SELECT o_custkey AS custkey,
+        |              CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS ts,
+        |              o_orderkey AS seq, o_orderstatus AS status
+        |            FROM orders WHERE o_custkey < 200),
+        |v AS (SELECT custkey, ts, max_by(status, seq) AS status FROM ch GROUP BY 1, 2),
+        |dd AS (SELECT *, lag(status) OVER (PARTITION BY custkey ORDER BY ts) AS prev FROM v),
+        |kept AS (SELECT custkey, ts, status FROM dd WHERE prev IS NULL OR status <> prev),
+        |h0 AS (SELECT custkey, status, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY custkey ORDER BY ts) - 1 AS valid_to FROM kept),
+        |hist AS (SELECT custkey, status, valid_from,
+        |  coalesce(valid_to, 9223372036854775807) AS valid_to,
+        |  CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current FROM h0),
+        |corrupt AS (
+        |  SELECT custkey, status, valid_from,
+        |    CASE WHEN custkey % 10 = 7 AND is_current = 1 THEN valid_from - 1
+        |         WHEN custkey % 10 = 3 AND is_current = 0 THEN valid_to + 1
+        |         WHEN custkey % 10 = 5 AND is_current = 0 THEN valid_to - 1
+        |         ELSE valid_to END AS valid_to, is_current
+        |  FROM hist
+        |  UNION ALL SELECT custkey, status, valid_from, valid_to, is_current
+        |  FROM hist WHERE custkey % 10 = 1 AND is_current = 1),
+        |lg AS (SELECT *, lag(valid_to) OVER (PARTITION BY custkey ORDER BY valid_from) AS prev_to FROM corrupt),
+        |rowc AS (SELECT
+        |  CAST(count(*) FILTER (WHERE valid_to < valid_from) AS BIGINT) AS inverted,
+        |  CAST(count(*) FILTER (WHERE prev_to IS NOT NULL AND valid_from <= prev_to) AS BIGINT) AS overlap,
+        |  CAST(count(*) FILTER (WHERE prev_to IS NOT NULL AND valid_from - 1 > prev_to) AS BIGINT) AS gap
+        |  FROM lg),
+        |pk AS (SELECT custkey, sum(is_current) AS ncur, max(valid_to) AS maxto,
+        |         max(CASE WHEN is_current = 1 THEN valid_to END) AS curto
+        |       FROM corrupt GROUP BY 1),
+        |cur AS (SELECT CAST(count(*) FILTER (WHERE ncur <> 1 OR curto IS NULL
+        |          OR curto <> maxto OR curto <> 9223372036854775807) AS BIGINT) AS current_marker FROM pk),
+        |rep AS (SELECT 'inverted' AS rule, inverted AS n_violations FROM rowc
+        |  UNION ALL SELECT 'overlap', overlap FROM rowc
+        |  UNION ALL SELECT 'gap', gap FROM rowc
+        |  UNION ALL SELECT 'current_marker', current_marker FROM cur)
+        |SELECT rule, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        |FROM rep""".stripMargin,
     "q174_dq_constraints" ->
       """WITH slice AS (SELECT * FROM lineitem WHERE l_orderkey % 499 = 0 AND l_linenumber = 1),
         |base AS (

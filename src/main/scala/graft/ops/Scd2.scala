@@ -92,4 +92,54 @@ object Scd2 {
   def snapshotAt(history: DataFrame, atTs: Long): DataFrame =
     history.filter(col("valid_from") <= atTs && col("valid_to") >= atTs)
       .drop("valid_from", "valid_to", "is_current")
+
+  /** History-table invariant audit — the SCD2-specific data-quality
+    * suite (DataQuality covers generic rules; interval algebra needs
+    * its own): per key, ordered by `valid_from`, count
+    *   - `inverted`: valid_to < valid_from (empty interval),
+    *   - `overlap`: valid_from ≤ previous row's valid_to,
+    *   - `gap`: valid_from > previous valid_to + 1 (history must tile),
+    *   - `current_marker`: keys whose is_current-flagged row count ≠ 1,
+    *     or whose current row isn't the last interval / isn't open-ended
+    *     per the MaxValue convention.
+    * Output: (rule, n_violations, passed) — the DataQuality report
+    * shape, so warehouse monitors treat both alike.
+    *
+    * Scale: one shuffle on the dimension key; the lag window and the
+    * per-key aggregate are key-partitioned (bounded by one key's
+    * version count) and everything after is a ≤ 4-row report. */
+  def auditHistory(history: DataFrame, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    val lagged = history.withColumn("__prev_to", lag(col("valid_to"), 1).over(w))
+    val rowLevel = lagged.agg(
+      sum(when(col("valid_to") < col("valid_from"), 1L).otherwise(0L))
+        .as("inverted"),
+      sum(when(col("__prev_to").isNotNull &&
+        col("valid_from") <= col("__prev_to"), 1L).otherwise(0L))
+        .as("overlap"),
+      // valid_from − 1 (not prev_to + 1): prev_to can be the open-ended
+      // MaxValue sentinel after a duplicated-current corruption, and
+      // +1 overflows (ANSI Spark throws, DuckDB errors)
+      sum(when(col("__prev_to").isNotNull &&
+        col("valid_from") - 1 > col("__prev_to"), 1L).otherwise(0L))
+        .as("gap"))
+    val perKey = history.groupBy(col(keyCol)).agg(
+      sum(col("is_current").cast("long")).as("__ncur"),
+      max(col("valid_to")).as("__maxto"),
+      max(when(col("is_current") === 1, col("valid_to"))).as("__curto"))
+    val curBad = perKey.agg(
+      sum(when(col("__ncur") =!= 1L ||
+        col("__curto").isNull ||
+        col("__curto") =!= col("__maxto") ||
+        col("__curto") =!= Long.MaxValue, 1L).otherwise(0L))
+        .as("current_marker"))
+    val rep = rowLevel.crossJoin(curBad)   // two 1-row aggregates
+      .select(explode(array(
+        Seq("inverted", "overlap", "gap", "current_marker").map(r =>
+          struct(lit(r).as("rule"),
+            coalesce(col(r), lit(0L)).as("n_violations"))): _*)).as("e"))
+      .select(col("e.rule"), col("e.n_violations"))
+    rep.withColumn("passed",
+      when(col("n_violations") === 0L, 1).otherwise(0))
+  }
 }

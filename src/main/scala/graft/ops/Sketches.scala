@@ -251,6 +251,33 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("estimate"))
   }
 
+  /** JOIN-SIZE ESTIMATION from two Count-Min register tables built with
+    * the same (d, b, hashFn): |R ⋈ S on key| = Σ_k fR(k)·fS(k), and the
+    * CM estimate of that inner product is min over the d hash rows of
+    * the cell-wise dot product (Cormode & Muthukrishnan's inner-product
+    * bound — never undercounts, collisions only inflate). This is the
+    * cardinality-estimation primitive a planner consults BEFORE running
+    * a join: two one-pass sketches answer "how big would it be" without
+    * shuffling either table.
+    *
+    * Output: (group…, row, dot, est) — one row per hash row with its
+    * dot product, `est` = the min repeated (the gate-checkable integer
+    * cores). Plan: the join touches only register tables (≤ d·2^b rows
+    * per group each); absent cells are zero and drop out of the inner
+    * join. */
+  def cmJoinSizeEstimate(a: DataFrame, b: DataFrame,
+                         groupCols: Seq[String] = Nil): DataFrame = {
+    val keys = groupCols ++ Seq("row", "bucket")
+    val dots = a.withColumnRenamed("cnt", "__ca")
+      .join(b.withColumnRenamed("cnt", "__cb"), keys.toSeq)
+      .groupBy((groupCols :+ "row").map(col): _*)
+      .agg(sum(col("__ca") * col("__cb")).as("dot"))
+    val est = dots.groupBy(groupCols.map(col): _*)
+      .agg(min(col("dot")).as("est"))
+    if (groupCols.isEmpty) dots.crossJoin(broadcast(est))
+    else dots.join(broadcast(est), groupCols.toSeq)
+  }
+
   // -------------------------------------------------------------------
   // Stride-sampled QUANTILE sketch — the rank/order-statistics member of
   // the mergeable-sketch family (HLL = distinct, CM = frequency, Stats.

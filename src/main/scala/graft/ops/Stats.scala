@@ -234,4 +234,74 @@ object Stats {
         (col("mn") + (col("bin") + 1) * col("__w") - 1).as("hi"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Equi-depth bucket boundaries of integer-valued `valueCol`: the
+    * (i·1000/nBuckets)-per-mille exact quantiles for i = 1..nBuckets−1
+    * — the feature-discretization / range-partition-boundary op (same
+    * rule a sort-based range partitioner would derive, computed via the
+    * [[exactQuantiles]] plan: no global sort, the value histogram +
+    * bounded running sum). `nBuckets` must divide 1000 so the probe
+    * fractions stay exact integers. Output: (idx ∈ [1, nBuckets),
+    * boundary). */
+  def equiDepthBoundaries(df: DataFrame, valueCol: String,
+                          nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2 && 1000 % nBuckets == 0,
+      s"nBuckets must be >= 2 and divide 1000, got $nBuckets")
+    val probs = (1 until nBuckets).map(i => (i.toString, i * 1000 / nBuckets))
+    exactQuantiles(df, valueCol, probs)
+      .select(col("label").cast("int").as("idx"), col("q").as("boundary"))
+  }
+
+  /** Assign each row its equi-depth bucket: bucket = #{boundaries
+    * strictly below the value} ∈ [0, nBuckets) — values EQUAL to a
+    * boundary fall in the lower bucket, matching the type-1 quantile
+    * rule, so bucket populations differ from n/nBuckets only by tie
+    * mass. Map-only: the boundary table collapses to one broadcast
+    * array row (≤ nBuckets−1 longs) and the count is a fused
+    * higher-order filter — no join, no shuffle, NULL values get NULL. */
+  def discretize(df: DataFrame, valueCol: String, boundaries: DataFrame,
+                 outCol: String = "bucket"): DataFrame = {
+    val arr = boundaries.agg(
+      sort_array(collect_list(col("boundary"))).as("__bnd"))
+    df.crossJoin(broadcast(arr))
+      .withColumn(outCol,
+        when(col(valueCol).isNull, lit(null).cast("int"))
+          .otherwise(size(filter(col("__bnd"),
+            b => b < col(valueCol).cast("long")))))
+      .drop("__bnd")
+  }
+
+  /** Robust (median/IQR) outlier report per group: Tukey's fences at
+    * k = 1.5·IQR computed in ×2-scaled integer arithmetic (2·q1−3·IQR
+    * and 2·q3+3·IQR are exact longs — no 1.5 to round), outliers
+    * counted against 2·value. The classic data-profiling screen that,
+    * unlike z-scores, a few huge outliers cannot mask (median and
+    * quartiles have 25% breakdown; mean/stddev have 0%).
+    *
+    * Output: (group, n, q1, med, q3, n_outliers).
+    *
+    * Plan: quartiles via [[exactQuantilesByGroup]] (two group-keyed
+    * shuffles over the value histogram), then ONE more pass over the
+    * data joined against the per-group stats — broadcast, since groups
+    * are bounded — counting fence violations map-side. */
+  def robustOutlierReport(df: DataFrame, groupCol: String,
+                          valueCol: String): DataFrame = {
+    val qs = exactQuantilesByGroup(df, groupCol, valueCol,
+      Seq(("q1", 250), ("med", 500), ("q3", 750)))
+    val stats = qs.groupBy(col(groupCol))
+      .agg(max(when(col("label") === "q1", col("q"))).as("q1"),
+        max(when(col("label") === "med", col("q"))).as("med"),
+        max(when(col("label") === "q3", col("q"))).as("q3"))
+    val v2 = col(valueCol).cast("long") * 2
+    val iqr = col("q3") - col("q1")
+    df.where(col(valueCol).isNotNull)
+      .join(broadcast(stats), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("q1")).as("q1"), first(col("med")).as("med"),
+        first(col("q3")).as("q3"),
+        sum(when(v2 < col("q1") * 2 - iqr * 3, 1L)
+          .when(v2 > col("q3") * 2 + iqr * 3, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -73,4 +73,41 @@ class Scd2Spec extends SparkTestBase {
     // before any version: empty
     assert(Scd2.snapshotAt(h, -1L).count() == 0)
   }
+
+  test("auditHistory: a built history is clean; each corruption fires its rule") {
+    val h = hist(Seq(
+      (1L, 0L, 1L, "x"), (1L, 10L, 2L, "y"), (1L, 20L, 3L, "z"),
+      (2L, 5L, 4L, "p")))
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      Scd2.auditHistory(df, "k")
+        .as[(String, Long, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val clean = audit(h)
+    assert(clean.values.forall(_ == ((0L, 1))),
+      s"buildHistory output must audit clean: $clean")
+    // inverted: empty interval on key 2
+    val inv = audit(h.withColumn("valid_to",
+      when(col("k") === 2, col("valid_from") - 1).otherwise(col("valid_to"))))
+    assert(inv("inverted") == ((1L, 0)))
+    // overlap: key 1's first interval extended over the second
+    val ovl = audit(h.withColumn("valid_to",
+      when(col("k") === 1 && col("valid_from") === 0, lit(12L))
+        .otherwise(col("valid_to"))))
+    assert(ovl("overlap") == ((1L, 0)))
+    // gap: key 1's first interval truncated
+    val gap = audit(h.withColumn("valid_to",
+      when(col("k") === 1 && col("valid_from") === 0, lit(5L))
+        .otherwise(col("valid_to"))))
+    assert(gap("gap") == ((1L, 0)))
+    // current_marker: duplicated current row (counts ONE bad key, even
+    // though two rows are involved) — and no lag-window overflow on the
+    // MaxValue sentinel riding into prev_to
+    val dup = audit(h.unionByName(h.filter(col("is_current") === 1 &&
+      col("k") === 2)))
+    assert(dup("current_marker") == ((1L, 0)))
+    // closed-out current row: flag says current but interval is finite
+    val closed = audit(h.withColumn("valid_to",
+      when(col("k") === 2, lit(99L)).otherwise(col("valid_to"))))
+    assert(closed("current_marker") == ((1L, 0)))
+  }
 }

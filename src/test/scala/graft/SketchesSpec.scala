@@ -355,4 +355,48 @@ class SketchesSpec extends SparkTestBase {
       Sketches.strideQuantiles(a, Seq(0))
     }
   }
+
+  test("CM join-size estimate: never undercounts, tight at adequate width") {
+    // R: keys 0..199 with multiplicity 1 + key 7 hot (×50);
+    // S: keys 100..299 once each → true |R⋈S| = 100 (keys 100..199)
+    val r = (spark.range(200).selectExpr("CAST(id AS STRING) AS k") union
+      spark.range(49).selectExpr("CAST(7 AS STRING) AS k")).toDF("k")
+    val s2 = spark.range(100, 300).selectExpr("CAST(id AS STRING) AS k")
+    val trueSize = 100L
+    def est(b: Int): Long = {
+      val ra = Sketches.cmRegisters(r, col("k"), d = 4, b = b)
+      val rb = Sketches.cmRegisters(s2, col("k"), d = 4, b = b)
+      Sketches.cmJoinSizeEstimate(ra, rb)
+        .select("est").as[Long].head()
+    }
+    val wide = est(14)
+    assert(wide >= trueSize, "CM inner product must never undercount")
+    // collision bound: E[err] ≤ |R|·|S|/2^b = 249·200/16384 ≈ 3
+    assert(wide <= trueSize + 60, s"b=14 estimate too loose: $wide")
+    // narrow sketch still upper-bounds, just looser
+    assert(est(4) >= wide)
+    // per-row dots all ≥ est, est = their min
+    val ra = Sketches.cmRegisters(r, col("k"), d = 4, b = 10)
+    val rb = Sketches.cmRegisters(s2, col("k"), d = 4, b = 10)
+    val rows = Sketches.cmJoinSizeEstimate(ra, rb)
+      .select("row", "dot", "est").as[(Int, Long, Long)].collect()
+    assert(rows.length == 4 && rows.map(_._3).distinct.length == 1)
+    assert(rows.map(_._2).min == rows.head._3)
+  }
+
+  test("CM join-size estimate respects groups") {
+    val r = spark.range(100).selectExpr("CAST(id AS STRING) AS k",
+      "CAST(id % 2 AS STRING) AS g")
+    val s2 = spark.range(50, 150).selectExpr("CAST(id AS STRING) AS k",
+      "CAST(id % 2 AS STRING) AS g")
+    val ra = Sketches.cmRegisters(r, col("k"), d = 3, b = 12,
+      groupCols = Seq("g"))
+    val rb = Sketches.cmRegisters(s2, col("k"), d = 3, b = 12,
+      groupCols = Seq("g"))
+    val got = Sketches.cmJoinSizeEstimate(ra, rb, Seq("g"))
+      .select("g", "est").distinct().as[(String, Long)].collect().toMap
+    // true per-group join size: 25 each (50..99 split by parity)
+    assert(got("0") >= 25L && got("1") >= 25L)
+    assert(got("0") <= 40L && got("1") <= 40L)
+  }
 }

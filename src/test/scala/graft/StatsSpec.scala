@@ -231,4 +231,48 @@ class StatsSpec extends SparkTestBase {
       Stats.histogramQuantiles(h(vals.toDF("v")), 0L, 10L, Seq.empty)
     }
   }
+
+  test("equi-depth buckets: near-equal populations, boundary ties go low") {
+    // 0..999 → 4 buckets of exactly 250; boundaries are type-1 quantiles
+    val df = spark.range(1000).selectExpr("id AS v")
+    val bnd = Stats.equiDepthBoundaries(df, "v", 4)
+    assert(bnd.orderBy("idx").as[(Int, Long)].collect().toSeq ==
+      Seq((1, 249L), (2, 499L), (3, 749L)))
+    val buckets = Stats.discretize(df, "v", bnd)
+      .groupBy("bucket").count().as[(Int, Long)].collect().toMap
+    assert(buckets == Map(0 -> 250L, 1 -> 250L, 2 -> 250L, 3 -> 250L))
+    // a value equal to a boundary lands in the LOWER bucket
+    val one = Stats.discretize(Seq(249L).toDF("v"), "v", bnd)
+      .select("bucket").as[Int].head()
+    assert(one == 0)
+    // heavy ties: bucket populations shift by tie mass, never crash
+    val ties = Seq.fill(100)(5L) ++ (0L until 100L)
+    val b2 = Stats.equiDepthBoundaries(ties.toDF("v"), "v", 4)
+    val pops = Stats.discretize(ties.toDF("v"), "v", b2)
+      .groupBy("bucket").count().as[(Int, Long)].collect().toMap
+    assert(pops.values.sum == 200L)
+    intercept[IllegalArgumentException] {
+      Stats.equiDepthBoundaries(df, "v", 3) // does not divide 1000
+    }
+  }
+
+  test("robust outlier report: Tukey fences in integer arithmetic") {
+    // group a: 1..100 plus two wild outliers; group b: clean
+    val a = ((1L to 100L) ++ Seq(10000L, -10000L)).map(("a", _))
+    val b = (1L to 50L).map(("b", _))
+    val rep = Stats.robustOutlierReport((a ++ b).toDF("g", "v"), "g", "v")
+      .select("g", "n", "q1", "med", "q3", "n_outliers")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // quartiles of 102 values: ranks ceil(25.5)=26, 51, 77 over the
+    // sorted multiset — the two outliers sit at the extremes
+    assert(rep("a")._3 == 25L && rep("a")._4 == 50L && rep("a")._5 == 76L)
+    // fences via ×2 math: 2v < 2·25−3·51 = −103 (v < −51.5) or
+    // 2v > 2·76+3·51 = 305 (v > 152.5) → only the two ±10000 rows
+    assert(rep("a")._6 == 2L)
+    assert(rep("b")._6 == 0L)
+    // median/quartiles have 25% breakdown: the wild points moved q1/q3
+    // by at most one rank vs the clean 1..100 (26/51/76)
+    assert(math.abs(rep("a")._3 - 26L) <= 1)
+  }
 }
