@@ -1112,7 +1112,48 @@ object CoreQueries {
     graft.ops.Scd2.auditHistory(corrupted, "custkey")
   }
 
+  // TIME-WEIGHTED AVERAGE (the financial-bar / metering aggregate):
+  // per (event_type, day), Σ value·Δt / ΣΔt with the last observation
+  // carried to day end — the answer "what was the average level, not the
+  // average OBSERVATION" that plain avg() gets wrong under irregular
+  // sampling. Integer µs gaps × floor-cent values in DECIMAL(38,0) sums
+  // (a cent·day product is ~4·10¹⁵ and a day of them overflows a long),
+  // surfaced as the exact integer division twap_c. The lead window is
+  // (type, day)-partitioned — state bounded by one group's events.
+  def q182_twap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.timeWeightedAverage(
+      t(s, dir, "events")
+        .withColumn("vc", floor(col("value") * 100).cast("long")),
+      "event_type", "ts", "vc", periodUs = 86400000000L, idCol = "event_id")
+      .select(col("event_type"), col("period").as("day"), col("n"),
+        col("twap").as("twap_c"), col("den"))
+
+  // SLIDING-WINDOW DISTINCT-USER ROLLUP (Sketches.hllSlidingMerge): the
+  // sketch-cube pattern — per-hour HLL registers of user_id built ONCE,
+  // then every trailing 6-hour window's distinct estimate derived by
+  // merging ≤ 6·64 register rows per window, never re-reading events.
+  // The exact-window alternative (q160-style membership replay) rescans
+  // the stream per window; this is how a 100 TB metrics store answers
+  // "uniques over any trailing window" from periodic sketches. Integer
+  // estimator cores gated (n_buckets, denom_units), float estimate
+  // spec-pinned — the q136/q173 register-gate stance.
+  def q183_sliding_hll(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val hourly = Sketches.hllRegisters(
+      t(s, dir, "events")
+        .withColumn("hr", expr("ts div 3600000000L")),
+      col("user_id").cast("string"), b = 6,
+      hashFn = graft.llm.TextAnalysis.md5Hash60, hashBits = 60,
+      groupCols = Seq("hr"))
+    val winReg = Sketches.hllSlidingMerge(hourly, "hr", windowLen = 6)
+    Sketches.hllEstimate(winReg, b = 6, hashBits = 60, groupCols = Seq("w"))
+      .select(col("w"), col("n_buckets"),
+        col("denom_units").cast("long").as("denom_units"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_twap"        -> q182_twap _,
+    "q183_sliding_hll" -> q183_sliding_hll _,
     "q178_discretize"  -> q178_discretize _,
     "q179_outliers"    -> q179_outliers _,
     "q180_cm_join_size" -> q180_cm_join_size _,
@@ -1176,6 +1217,30 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q182_twap" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts,
+        |             CAST(floor(value*100) AS BIGINT) AS vc
+        |           FROM events WHERE value IS NOT NULL),
+        |d AS (SELECT *, ts // 86400000000 AS day FROM e),
+        |l AS (SELECT *, lead(ts) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS next_ts FROM d),
+        |g AS (SELECT event_type, day, vc,
+        |        coalesce(next_ts, (day+1)*86400000000) - ts AS dt FROM l)
+        |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(vc AS HUGEINT) * dt) // sum(dt) AS BIGINT) AS twap_c,
+        |  CAST(sum(dt) AS BIGINT) AS den
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    "q183_sliding_hll" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+        |             ('0x'||substring(md5(user_id::VARCHAR),1,15))::BIGINT AS hv
+        |           FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT hr, hv % 64 AS bucket,
+        |        CASE WHEN hv // 64 = 0 THEN 55 ELSE 55 - length(bin(hv // 64)) END AS rho FROM h),
+        |reg AS (SELECT hr, bucket, max(rho) AS r FROM r GROUP BY 1, 2),
+        |win AS (SELECT hr + k AS w, bucket, r FROM reg CROSS JOIN (SELECT unnest(range(0, 6)) AS k) s),
+        |wreg AS (SELECT w, bucket, max(r) AS r FROM win GROUP BY 1, 2)
+        |SELECT w, CAST(count(*) AS INT) AS n_buckets,
+        |  CAST(sum(1::HUGEINT << (55 - r)) + (64 - count(*)) * (1::HUGEINT << 55) AS BIGINT) AS denom_units
+        |FROM wreg GROUP BY 1""".stripMargin,
     "q178_discretize" ->
       """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE n_chars IS NOT NULL),
         |c AS (SELECT n_chars AS v, count(*) AS cnt FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),

@@ -745,7 +745,18 @@ object LlmTextGates {
         "lang")
   }
 
+  // PMI COLLOCATIONS (TextAnalysis.collocations): the word2vec-style
+  // phrase-detection pass — top word pairs by pointwise mutual
+  // information, scored as the exact integer cross-product
+  // 10⁶·c_ab·N div (c_a·c_b) (log is monotone: the ORDER is PMI's
+  // order, with none of a float log's tie ambiguity). Vocabulary-keyed
+  // joins, TakeOrderedAndProject top-k — never corpus-keyed.
+  def q184_collocations(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextAnalysis.collocations(
+      t(s, dir, "documents"), "text", minPairCount = 5, topK = 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_collocations" -> q184_collocations _,
     "q170_chat_render"  -> q170_chat_render _,
     "q171_chat_validate" -> q171_chat_validate _,
     "q172_cdc_chunks"   -> q172_cdc_chunks _,
@@ -798,6 +809,23 @@ object LlmTextGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q184_collocations" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+        |grams AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM documents),
+        |bg AS (SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2 FROM grams),
+        |pairs AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_cnt
+        |          FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (SELECT p.w1, p.w2, p.pair_cnt,
+        |  CAST((CAST(p.pair_cnt AS HUGEINT) * n.n_total * 1000000)
+        |       // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS ppm
+        |  FROM pairs p JOIN uni a ON a.w = p.w1 JOIN uni b ON b.w = p.w2 CROSS JOIN n)
+        |SELECT w1, w2, pair_cnt, ppm FROM scored
+        |ORDER BY ppm DESC, w1 ASC, w2 ASC LIMIT 20""".stripMargin,
     "q170_chat_render" ->
       """WITH w AS (SELECT doc_id AS conv_id,
         |        list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws

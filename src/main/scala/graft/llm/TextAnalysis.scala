@@ -465,4 +465,48 @@ object TextAnalysis {
       qualitySignals(col(textCol)).as("quality"),
       qualityKeep(col(textCol)).as("keep"),
       rollingFingerprint(col(textCol)).as("fingerprint"))
+
+  /** PMI collocation mining — the top-k word pairs that co-occur far
+    * more than their unigram frequencies predict ("new york", "machine
+    * learning"): the phrase-detection pass a tokenizer/corpus pipeline
+    * runs before vocabulary induction (Mikolov et al.'s word2vec phrase
+    * step uses exactly this statistic). Score is PMI's rational core
+    * scaled to an exact integer, the house ordering recipe:
+    * `ppm = 10⁶·c_ab·N div (c_a·c_b)` — a divided float log would tie
+    * unpredictably at the rounding digit; the integer cross-product
+    * cannot, and log is monotone so the ORDER is PMI's order exactly.
+    *
+    * Output: (w1, w2, pair_cnt, ppm) — the `topK` pairs with pair_cnt ≥
+    * `minPairCount` by (ppm DESC, w1, w2), a total order.
+    *
+    * Scale shape: one scan explodes tokens once for unigram counts and
+    * once for bigrams (two map-side-partial groupBys); the score join
+    * keys on single words (vocabulary-keyed, never corpus-keyed); the
+    * final top-k is orderBy+limit = TakeOrderedAndProject (per-partition
+    * k-lists, no global sort). */
+  def collocations(df: DataFrame, textCol: String, minPairCount: Long,
+                   topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.select(explode(split(col(textCol), " ")).as("w"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nTok = toks.agg(count(lit(1)).as("n_total"))
+    val grams = df.select(
+        explode(TextShingles.wordNgrams(col(textCol), 2)).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"))
+    val pairs = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minPairCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("__ca")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("__cb")), "w2")
+      .crossJoin(broadcast(nTok))
+      .withColumn("ppm", expr(
+        """CAST((CAST(pair_cnt AS DECIMAL(38,0)) * n_total * 1000000)
+          |div (CAST(__ca AS DECIMAL(38,0)) * __cb) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("w1"), col("w2"), col("pair_cnt"), col("ppm"))
+      .orderBy(col("ppm").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
 }

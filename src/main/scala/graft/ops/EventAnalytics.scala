@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics — funnel conversion and cohort retention,
@@ -228,5 +229,46 @@ object EventAnalytics {
       .groupBy(col("__u"))
       .agg(min(col("tb")).as("first_clean_ts"))
       .select(col("__u").as(userCol), col("first_clean_ts"))
+  }
+
+  /** Time-weighted average per (group, period) — the financial-bar /
+    * metering aggregate: Σ value·Δt / ΣΔt with each observation held
+    * until the next one (last carried to period end), which answers
+    * "what was the average LEVEL" where plain avg() answers "what was
+    * the average observation" — different whenever sampling is
+    * irregular (a price quoted once at 9am and once at 9pm is not two
+    * equal-weight samples of the day).
+    *
+    * `tsCol` is epoch-µs long; `valueCol` an INTEGER level (pre-scale
+    * floats to cents/micros — one IEEE multiply + floor is
+    * deterministic); `periodUs` the bar length. Output: (groupCol,
+    * period, n, twap = num DIV den exact integer, den = covered µs).
+    * Sums run in DECIMAL(38,0): a cent·day product is ~4·10¹⁵ and a
+    * period of them can overflow a long.
+    *
+    * Scale shape: the lead window partitions by (group, period) —
+    * state bounded by one bar's events — and the aggregate is one
+    * map-side-partial groupBy on the same key. One shuffle total. */
+  def timeWeightedAverage(events: DataFrame, groupCol: String,
+                          tsCol: String, valueCol: String,
+                          periodUs: Long, idCol: String): DataFrame = {
+    require(periodUs >= 1, s"periodUs must be >= 1, got $periodUs")
+    val ev = events.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(idCol), col(tsCol).cast("long").as("__ts"),
+        expr(s"CAST($tsCol AS BIGINT) div ${periodUs}L").as("period"),
+        col(valueCol).cast("long").as("__v"))
+    val w = Window.partitionBy(col(groupCol), col("period"))
+      .orderBy(col("__ts"), col(idCol))
+    ev.withColumn("__next", lead(col("__ts"), 1).over(w))
+      .withColumn("__dt",
+        coalesce(col("__next"), (col("period") + 1) * periodUs) - col("__ts"))
+      .groupBy(col(groupCol), col("period"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(38,0)") * col("__dt")).as("__num"),
+        sum(col("__dt")).as("den"))
+      .select(col(groupCol), col("period"), col("n"),
+        expr("CAST(__num div CAST(den AS DECIMAL(38,0)) AS BIGINT)")
+          .as("twap"),
+        col("den"))
   }
 }

@@ -95,6 +95,28 @@ object Sketches {
       .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("r")).cast("int").as("r"))
 
+  /** SLIDING-WINDOW register rollup: from per-period register tables
+    * (groupCols…, `timeCol`, bucket, r), the register table of every
+    * trailing window of `windowLen` periods — window w = periods
+    * [w−windowLen+1, w]. This is the sketch-cube pattern: "distinct
+    * users over any trailing 6 h" answered by merging ≤ windowLen·2^b
+    * register rows per window, never re-reading events. Each period row
+    * fans out to the windowLen windows it serves (explode of a literal
+    * sequence, map-side), then element-wise max per (group, w, bucket) —
+    * one shuffle over register rows only. */
+  def hllSlidingMerge(registers: DataFrame, timeCol: String,
+                      windowLen: Int,
+                      groupCols: Seq[String] = Nil): DataFrame = {
+    require(windowLen >= 1, s"windowLen must be >= 1, got $windowLen")
+    registers
+      .select(groupCols.map(col) :+
+        explode(sequence(col(timeCol),
+          col(timeCol) + (windowLen - 1))).as("w") :+
+        col("bucket") :+ col("r"): _*)
+      .groupBy((groupCols :+ "w" :+ "bucket").map(col): _*)
+      .agg(max(col("r")).cast("int").as("r"))
+  }
+
   /** SET-INTERSECTION estimate by inclusion–exclusion: |A∩B| ≈
     * est(A) + est(B) − est(A∪B), the union sketch being the element-wise
     * register max ([[hllMerge]]) — two corpus slices compare WITHOUT a

@@ -202,4 +202,34 @@ class EventAnalyticsSpec extends SparkTestBase {
         "event_type", "A", "B", "A", maxGapUs = 10 * M)
     }
   }
+
+  test("timeWeightedAverage: holds levels between observations, not avg()") {
+    // period 100 µs; group g: v=10 held 90 µs then v=100 held 10 µs →
+    // TWAP = (10·90 + 100·10)/100 = 19, while avg() would say 55
+    val ev = Seq(
+      ("g", 1L, 0L, 10L), ("g", 2L, 90L, 100L),
+      // next period: single observation at t=120 held to period end →
+      // den only covers 120..200 (80 µs), twap = the level itself
+      ("g", 3L, 120L, 7L),
+      // same-ts tiebreak: id 5 follows id 4 at t=300, dt(id4)=0
+      ("h", 4L, 300L, 1000L), ("h", 5L, 300L, 2L)
+    ).toDF("g", "id", "ts", "v")
+    val got = EventAnalytics.timeWeightedAverage(ev, "g", "ts", "v",
+        periodUs = 100L, idCol = "id")
+      .select("g", "period", "n", "twap", "den")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("g", 0L, 2L, 19L, 100L),
+      ("g", 1L, 1L, 7L, 80L),
+      ("h", 3L, 2L, 2L, 100L)))   // zero-dt first writer contributes 0 weight
+    // partition independence
+    val again = EventAnalytics.timeWeightedAverage(ev.repartition(7),
+        "g", "ts", "v", periodUs = 100L, idCol = "id")
+      .select("g", "period", "n", "twap", "den")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.timeWeightedAverage(ev, "g", "ts", "v", 0L, "id")
+    }
+  }
 }

@@ -356,6 +356,31 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("sliding HLL rollup: window registers equal direct merges of their periods") {
+    // periods 0..9, each with its own key range (overlapping neighbors)
+    val df = spark.range(2000).select(
+      (col("id") % 10).as("t"),
+      concat(lit("u"), (col("id") * 7919) % 500).as("k"))
+    val perPeriod = Sketches.hllRegisters(df, col("k"), b = 5,
+      groupCols = Seq("t"))
+    val win = Sketches.hllSlidingMerge(perPeriod, "t", windowLen = 3)
+    // window w must equal the sketch of periods {w-2, w-1, w} directly
+    for (w <- Seq(2L, 5L, 9L)) {
+      val direct = Sketches.hllRegisters(
+        df.filter(col("t") >= w - 2 && col("t") <= w), col("k"), b = 5)
+      val got = win.filter(col("w") === w).select("bucket", "r")
+        .as[(Long, Int)].collect().toMap
+      val want = direct.select("bucket", "r").as[(Long, Int)].collect().toMap
+      assert(got == want, s"window $w")
+    }
+    // trailing partial windows exist past the last period
+    assert(win.filter(col("w") === 11).count() > 0)
+    assert(win.filter(col("w") === 12).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sketches.hllSlidingMerge(perPeriod, "t", 0)
+    }
+  }
+
   test("CM join-size estimate: never undercounts, tight at adequate width") {
     // R: keys 0..199 with multiplicity 1 + key 7 hot (×50);
     // S: keys 100..299 once each → true |R⋈S| = 100 (keys 100..199)

@@ -139,4 +139,29 @@ class TextExtractSpec extends SparkTestBase {
       TextAnalysis.trainLangProfiles(withNull, "lang", "text", topM = 0)
     }
   }
+
+  test("collocations: planted phrase wins by PMI, frequency alone does not") {
+    // "new york" always co-occurs (8×); "the cat"/"the dog"/"cat the"…
+    // are more FREQUENT words but spread across partners, so their PMI
+    // core is lower; words below minPairCount vanish
+    val docs = (Seq.fill(8)("new york") ++
+      Seq.fill(6)("the cat") ++ Seq.fill(6)("the dog") ++
+      Seq.fill(6)("cat the") ++ Seq.fill(6)("dog the") ++
+      Seq.fill(2)("rare pair")).toDF("text")
+    val got = TextAnalysis.collocations(docs, "text",
+        minPairCount = 5, topK = 3)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.head._1 == "new" && got.head._2 == "york")
+    // exact integer core: N = 68 tokens, c_ab = 8, c_new = c_york = 8
+    // → ppm = 10⁶·8·68 div 64 = 8_500_000
+    assert(got.head._4 == 8500000L)
+    // "rare pair" (count 2) filtered by minPairCount
+    assert(!got.exists(r => r._1 == "rare"))
+    assert(got.length == 3)
+    // deterministic tiebreak: "the cat" vs "the dog" share a score —
+    // w2 ascending resolves it
+    val theRows = got.filter(_._1 == "the")
+    if (theRows.length == 2)
+      assert(theRows.map(_._2).toSeq == Seq("cat", "dog"))
+  }
 }
