@@ -1088,9 +1088,9 @@ object CoreQueries {
     import graft.ops.Sketches
     val h = graft.llm.TextAnalysis.md5Hash60 _
     val ra = Sketches.cmRegisters(t(s, dir, "lineitem"),
-      col("l_orderkey").cast("string"), d = 4, b = 16, hashFn = h)
+      col("l_orderkey").cast("string"), d = 3, b = 16, hashFn = h)
     val rb = Sketches.cmRegisters(t(s, dir, "orders"),
-      col("o_orderkey").cast("string"), d = 4, b = 16, hashFn = h)
+      col("o_orderkey").cast("string"), d = 3, b = 16, hashFn = h)
     Sketches.cmJoinSizeEstimate(ra, rb)
   }
 
@@ -1268,10 +1268,10 @@ object CoreQueries {
     "q180_cm_join_size" ->
       """WITH ra AS (SELECT i, ('0x' || substring(md5(i::VARCHAR || ':' || l_orderkey::VARCHAR),1,15))::BIGINT % 65536 AS bucket,
         |              CAST(count(*) AS BIGINT) AS cnt
-        |            FROM lineitem CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s GROUP BY 1, 2),
+        |            FROM lineitem CROSS JOIN (SELECT unnest([0,1,2]) AS i) s GROUP BY 1, 2),
         |rb AS (SELECT i, ('0x' || substring(md5(i::VARCHAR || ':' || o_orderkey::VARCHAR),1,15))::BIGINT % 65536 AS bucket,
         |              CAST(count(*) AS BIGINT) AS cnt
-        |            FROM orders CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) s GROUP BY 1, 2),
+        |            FROM orders CROSS JOIN (SELECT unnest([0,1,2]) AS i) s GROUP BY 1, 2),
         |d AS (SELECT ra.i, CAST(sum(ra.cnt * rb.cnt) AS BIGINT) AS dot
         |      FROM ra JOIN rb ON rb.i = ra.i AND rb.bucket = ra.bucket GROUP BY 1)
         |SELECT CAST(i AS INT) AS row, dot, (SELECT min(dot) FROM d) AS est FROM d""".stripMargin,

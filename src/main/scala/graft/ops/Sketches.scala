@@ -290,10 +290,14 @@ object Sketches {
   def cmJoinSizeEstimate(a: DataFrame, b: DataFrame,
                          groupCols: Seq[String] = Nil): DataFrame = {
     val keys = groupCols ++ Seq("row", "bucket")
+    // localCheckpoint: `dots` (≤ |groups|·d rows) feeds BOTH the min and
+    // the output join — unpinned, the two branches would each recompute
+    // the full register builds (the sketch scans, i.e. the whole cost)
     val dots = a.withColumnRenamed("cnt", "__ca")
       .join(b.withColumnRenamed("cnt", "__cb"), keys.toSeq)
       .groupBy((groupCols :+ "row").map(col): _*)
       .agg(sum(col("__ca") * col("__cb")).as("dot"))
+      .localCheckpoint()
     val est = dots.groupBy(groupCols.map(col): _*)
       .agg(min(col("dot")).as("est"))
     if (groupCols.isEmpty) dots.crossJoin(broadcast(est))
