@@ -1151,7 +1151,56 @@ object CoreQueries {
         col("denom_units").cast("long").as("denom_units"))
   }
 
+  // FACT-TO-SCD2 ENRICHMENT (ops/AsofJoin.asofBackward over
+  // Scd2.buildHistory): attach to every order the dimension state valid
+  // AT ITS DAY — the point-in-time dimension lookup every warehouse
+  // fact load runs. NOT a range join: SCD2 intervals tile, so "the
+  // interval containing ts" ≡ "the latest valid_from ≤ ts" — an
+  // equi-key as-of (one user-keyed shuffle, no interval explosion, and
+  // immune to the open-ended MaxValue interval a binned range join
+  // would explode on).
+  def q185_scd2_enrich(s: SparkSession, dir: String): DataFrame = {
+    val hist = q163_scd2(s, dir)
+      .select(col("custkey"), col("valid_from"),
+        col("status").as("dim_status"))
+    val ord = t(s, dir, "orders").filter(col("o_custkey") < 200)
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1992-01-01")))
+          .cast("long").as("day"))
+    graft.ops.AsofJoin.asofBackward(ord, hist,
+      keyCols = Seq("custkey"), probeTs = "day", buildTs = "valid_from",
+      payloadCols = Seq("dim_status"))
+      .select(col("o_orderkey"), col("custkey"), col("day"),
+        col("dim_status"))
+  }
+
+  // WEIGHTED EXACT QUANTILES (ops/Stats.exactWeightedQuantiles): the
+  // revenue-weighted quantity distribution — "half the SPEND sits at or
+  // below q50 units", which the unweighted median cannot answer. Weights
+  // are price cents (one IEEE multiply + floor); same histogram +
+  // bounded-running-sum plan as q131, no global sort.
+  def q186_weighted_quantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.exactWeightedQuantiles(
+      t(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("v"),
+        floor(col("l_extendedprice") * 100).cast("long").as("wt")),
+      "v", "wt", Seq(("p25", 250), ("p50", 500), ("p75", 750), ("p90", 900)))
+
+  // OHLC BARS (ops/EventAnalytics.ohlcBars): daily open/high/low/close
+  // candles per event_type — open/close via min_by/max_by over a
+  // (ts, event_id) struct key, which partial-aggregates map-side where
+  // a window rank would sort every bar. Integer cents end to end.
+  def q187_ohlc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.ohlcBars(
+      t(s, dir, "events")
+        .withColumn("vc", floor(col("value") * 100).cast("long")),
+      "event_type", "ts", "vc", periodUs = 86400000000L,
+      idCol = "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_scd2_enrich" -> q185_scd2_enrich _,
+    "q186_weighted_quantiles" -> q186_weighted_quantiles _,
+    "q187_ohlc"        -> q187_ohlc _,
     "q182_twap"        -> q182_twap _,
     "q183_sliding_hll" -> q183_sliding_hll _,
     "q178_discretize"  -> q178_discretize _,
@@ -1217,6 +1266,47 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q185_scd2_enrich" ->
+      """WITH ch AS (SELECT o_custkey AS custkey,
+        |              CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS ts,
+        |              o_orderkey AS seq, o_orderstatus AS status
+        |            FROM orders WHERE o_custkey < 200),
+        |v AS (SELECT custkey, ts, max_by(status, seq) AS status FROM ch GROUP BY 1, 2),
+        |dd AS (SELECT *, lag(status) OVER (PARTITION BY custkey ORDER BY ts) AS prev FROM v),
+        |kept AS (SELECT custkey, ts, status FROM dd WHERE prev IS NULL OR status <> prev),
+        |h0 AS (SELECT custkey, status, ts AS valid_from,
+        |        lead(ts) OVER (PARTITION BY custkey ORDER BY ts) - 1 AS valid_to FROM kept),
+        |hist AS (SELECT custkey, status, valid_from,
+        |  coalesce(valid_to, 9223372036854775807) AS valid_to FROM h0),
+        |ord AS (SELECT o_orderkey, o_custkey AS custkey,
+        |          CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+        |        FROM orders WHERE o_custkey < 200)
+        |SELECT o.o_orderkey, o.custkey, o.day, h.status AS dim_status
+        |FROM ord o JOIN hist h ON h.custkey = o.custkey
+        |  AND o.day BETWEEN h.valid_from AND h.valid_to""".stripMargin,
+    "q186_weighted_quantiles" ->
+      """WITH w AS (SELECT CAST(l_quantity AS BIGINT) AS v,
+        |             CAST(floor(l_extendedprice*100) AS BIGINT) AS wt
+        |           FROM lineitem WHERE l_quantity IS NOT NULL
+        |             AND l_extendedprice IS NOT NULL AND floor(l_extendedprice*100) > 0),
+        |c AS (SELECT v, sum(wt) AS cw FROM w GROUP BY 1),
+        |cum AS (SELECT v, sum(cw) OVER (ORDER BY v) AS cum FROM c),
+        |t AS (SELECT sum(cw) AS n FROM c)
+        |SELECT lab AS label, min(v) AS q FROM cum, t,
+        | (SELECT unnest(['p25','p50','p75','p90']) AS lab,
+        |         unnest([250, 500, 750, 900]) AS pm) p
+        |WHERE cum >= (pm * t.n + 999) // 1000
+        |GROUP BY lab""".stripMargin,
+    "q187_ohlc" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts,
+        |             CAST(floor(value*100) AS BIGINT) AS vc
+        |           FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, ts // 86400000000 AS period,
+        |  first(vc ORDER BY ts, event_id) AS open,
+        |  max(vc) AS high, min(vc) AS low,
+        |  last(vc ORDER BY ts, event_id) AS close,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "q182_twap" ->
       """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts,
         |             CAST(floor(value*100) AS BIGINT) AS vc

@@ -231,6 +231,27 @@ object EventAnalytics {
       .select(col("__u").as(userCol), col("first_clean_ts"))
   }
 
+  /** OHLC candle bars per (group, period): open/close = the first/last
+    * observation by (ts, id) — min_by/max_by over a STRUCT ordering key,
+    * which partial-aggregates map-side (each task keeps ONE candidate
+    * per group; a window-rank formulation would sort every row of every
+    * bar) — plus min/max/count. `valueCol` must be an integer level
+    * (pre-scale floats); `idCol` breaks same-µs ties so first/last are a
+    * total order both engines replay. One map-side-partial groupBy, one
+    * shuffle of 5-value rows on (group, period). */
+  def ohlcBars(events: DataFrame, groupCol: String, tsCol: String,
+               valueCol: String, periodUs: Long, idCol: String): DataFrame = {
+    require(periodUs >= 1, s"periodUs must be >= 1, got $periodUs")
+    val ord = struct(col(tsCol).cast("long"), col(idCol))
+    val v = col(valueCol).cast("long")
+    events.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol),
+        expr(s"CAST($tsCol AS BIGINT) div ${periodUs}L").as("period"))
+      .agg(min_by(v, ord).as("open"), max(v).as("high"),
+        min(v).as("low"), max_by(v, ord).as("close"),
+        count(lit(1)).as("n"))
+  }
+
   /** Time-weighted average per (group, period) — the financial-bar /
     * metering aggregate: Σ value·Δt / ΣΔt with each observation held
     * until the next one (last carried to period end), which answers

@@ -84,6 +84,31 @@ object Stats {
       .agg(min(col("v")).as("q"))
   }
 
+  /** WEIGHTED exact quantiles: [[exactQuantiles]] where each row counts
+    * `weightCol` units instead of 1 — the revenue-weighted median
+    * ("half the SPEND sits at or below this quantity"), the
+    * token-budget percentile ("the doc length below which 90% of
+    * TOKENS live"). Weights must be non-negative integers (pre-scale
+    * money to cents, floats to fixed-point); the type-1 rule applies to
+    * the weighted cumulative: smallest v with Σ_{≤v} w ≥
+    * ceil(pm·W/1000). Same plan as the unweighted form — value
+    * histogram (one shuffle), bounded running sum, broadcast probes. */
+  def exactWeightedQuantiles(df: DataFrame, valueCol: String,
+                             weightCol: String,
+                             probs: Seq[(String, Int)]): DataFrame = {
+    validateProbs(probs)
+    val counts = df.where(col(valueCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol).cast("long") > 0)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(col(weightCol).cast("long")).as("cnt"))
+    val cum = GlobalRank.globalRunningSum(counts, Seq(col("v").asc), "cnt")
+    val total = counts.agg(sum(col("cnt")).as("n"))
+    cum.crossJoin(broadcast(total))
+      .join(broadcast(probeFrame(df, probs)), col("cum") >= threshold)
+      .groupBy(col("label"))
+      .agg(min(col("v")).as("q"))
+  }
+
   /** Per-group exact quantiles: [[exactQuantiles]]'s rule applied
     * independently within every `groupCol` value (per-language length
     * percentiles, per-source token budgets). NULL groups form their

@@ -203,6 +203,29 @@ class EventAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("ohlcBars: first/last by (ts, id), same-ts ties broken by id") {
+    val ev = Seq(
+      // period 0: open=5 (t=1), high=30, low=2, close=2 (t=99)
+      ("g", 1L, 1L, 5L), ("g", 2L, 40L, 30L), ("g", 3L, 70L, 2L),
+      ("g", 4L, 99L, 2L),
+      // period 1: same-ts pair — id 6 beats id 5 for close, id 5 opens
+      ("g", 5L, 150L, 11L), ("g", 6L, 150L, 13L)
+    ).toDF("g", "id", "ts", "v")
+    val got = EventAnalytics.ohlcBars(ev, "g", "ts", "v",
+        periodUs = 100L, idCol = "id")
+      .select("g", "period", "open", "high", "low", "close", "n")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("g", 0L, 5L, 30L, 2L, 2L, 4L),
+      ("g", 1L, 11L, 13L, 11L, 13L, 2L)))
+    // partition independence (min_by/max_by merge map-side partials)
+    val again = EventAnalytics.ohlcBars(ev.repartition(5), "g", "ts", "v",
+        100L, "id")
+      .select("g", "period", "open", "high", "low", "close", "n")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(again == got)
+  }
+
   test("timeWeightedAverage: holds levels between observations, not avg()") {
     // period 100 µs; group g: v=10 held 90 µs then v=100 held 10 µs →
     // TWAP = (10·90 + 100·10)/100 = 19, while avg() would say 55

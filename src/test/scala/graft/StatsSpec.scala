@@ -256,6 +256,27 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("weighted quantiles: weight units, not rows, drive the rank") {
+    // values 1,2,3 with weights 1,1,8 → W=10: p50 threshold ceil(5)=5 →
+    // first v with cum ≥ 5 is 3 (unweighted median would say 2)
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 8L)).toDF("v", "wt")
+    val got = Stats.exactWeightedQuantiles(df, "v", "wt",
+      Seq(("p10", 100), ("p20", 200), ("p50", 500), ("p99", 990)))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("p10" -> 1L, "p20" -> 2L, "p50" -> 3L, "p99" -> 3L))
+    // all-weights-1 degenerates to the unweighted rule
+    val vals = (1L to 100L).map((_, 1L))
+    val w1 = Stats.exactWeightedQuantiles(vals.toDF("v", "wt"), "v", "wt",
+      Seq(("p50", 500))).as[(String, Long)].collect().toMap
+    val u = Stats.exactQuantiles(vals.map(_._1).toDF("v"), "v",
+      Seq(("p50", 500))).as[(String, Long)].collect().toMap
+    assert(w1 == u)
+    // zero/negative/null weights are excluded, not crashes
+    val mixed = Seq((1L, 0L), (2L, -5L), (5L, 3L)).toDF("v", "wt")
+    assert(Stats.exactWeightedQuantiles(mixed, "v", "wt",
+      Seq(("p50", 500))).as[(String, Long)].head() == (("p50", 5L)))
+  }
+
   test("robust outlier report: Tukey fences in integer arithmetic") {
     // group a: 1..100 plus two wild outliers; group b: clean
     val a = ((1L to 100L) ++ Seq(10000L, -10000L)).map(("a", _))
