@@ -1197,7 +1197,41 @@ object CoreQueries {
       "event_type", "ts", "vc", periodUs = 86400000000L,
       idCol = "event_id")
 
+  // PARTITIONED LAYOUT + PARTITION PRUNING (io/TableStore's
+  // partitionBy layout as a read-path gate): events written
+  // hive-partitioned by event_type, then a two-type read — the scan
+  // must touch ONLY those directories (PlanAuditSpec pins
+  // PartitionFilters), the on-disk layout every 100 TB table uses so a
+  // predicate becomes an O(1) directory listing instead of a full scan.
+  def q188_partition_prune(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("q188part").toString
+    t(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("vc"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vc")).as("sum_vc"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  // CATEGORY-DISTRIBUTION DRIFT (ops/Stats.categoryDrift): per-language
+  // share comparison of two corpus shards with integer per-mille shares
+  // and |Δ| — the data-monitoring report between snapshots. The gate
+  // drops one language from side B entirely (residue trick) so the
+  // count-0 "category disappeared" row provably surfaces.
+  def q189_category_drift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Stats.categoryDrift(
+      docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      docs.where(pmod(col("doc_id"), lit(2)) === 1 && col("lang") =!= "de"),
+      "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_partition_prune" -> q188_partition_prune _,
+    "q189_category_drift" -> q189_category_drift _,
     "q185_scd2_enrich" -> q185_scd2_enrich _,
     "q186_weighted_quantiles" -> q186_weighted_quantiles _,
     "q187_ohlc"        -> q187_ohlc _,
@@ -1266,6 +1300,26 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q188_partition_prune" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_vc,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE event_type IN ('purchase', 'error')
+        |GROUP BY 1""".stripMargin,
+    "q189_category_drift" ->
+      """WITH a AS (SELECT lang, count(*) AS n_a FROM documents
+        |           WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT lang, count(*) AS n_b FROM documents
+        |      WHERE doc_id % 2 = 1 AND lang <> 'de' GROUP BY 1),
+        |j AS (SELECT coalesce(a.lang, b.lang) AS lang,
+        |        coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |      FROM a FULL OUTER JOIN b ON b.lang = a.lang),
+        |t AS (SELECT sum(n_a) AS wa, sum(n_b) AS wb FROM j)
+        |SELECT lang, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(1000 * n_a // t.wa AS BIGINT) AS share_a_pm,
+        |  CAST(1000 * n_b // t.wb AS BIGINT) AS share_b_pm,
+        |  CAST(abs(1000 * n_a // t.wa - 1000 * n_b // t.wb) AS BIGINT) AS delta_pm
+        |FROM j, t""".stripMargin,
     "q185_scd2_enrich" ->
       """WITH ch AS (SELECT o_custkey AS custkey,
         |              CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS ts,

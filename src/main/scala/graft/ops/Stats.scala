@@ -296,6 +296,34 @@ object Stats {
       .drop("__bnd")
   }
 
+  /** Categorical-distribution drift between two snapshots (train mix
+    * vs yesterday's, shard A vs shard B): per category, counts and
+    * integer per-mille shares on both sides plus |Δshare| — the
+    * monitoring report that catches "the en fraction moved 4 points"
+    * before a model does. L1-style integer shares rather than
+    * PSI/KL: no logarithm to round, exact cross-engine, and the
+    * detection ordering is the same for distribution shifts that
+    * matter. Categories absent on one side surface with count 0 (the
+    * strongest drift signal, not a dropped row). Two count
+    * aggregations + one full-outer join on the category key; totals
+    * are 1-row broadcasts. */
+  def categoryDrift(a: DataFrame, b: DataFrame,
+                    keyCol: String): DataFrame = {
+    def counted(df: DataFrame, as: String) =
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as(as))
+    val joined = counted(a, "n_a").join(counted(b, "n_b"),
+        Seq(keyCol), "full_outer")
+      .withColumn("n_a", coalesce(col("n_a"), lit(0L)))
+      .withColumn("n_b", coalesce(col("n_b"), lit(0L)))
+    val tot = joined.agg(sum(col("n_a")).as("__wa"),
+      sum(col("n_b")).as("__wb"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("share_a_pm", expr("1000 * n_a div __wa"))
+      .withColumn("share_b_pm", expr("1000 * n_b div __wb"))
+      .withColumn("delta_pm", abs(col("share_a_pm") - col("share_b_pm")))
+      .drop("__wa", "__wb")
+  }
+
   /** Robust (median/IQR) outlier report per group: Tukey's fences at
     * k = 1.5·IQR computed in ×2-scaled integer arithmetic (2·q1−3·IQR
     * and 2·q3+3·IQR are exact longs — no 1.5 to round), outliers

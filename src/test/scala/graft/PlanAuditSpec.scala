@@ -610,4 +610,87 @@ class PlanAuditSpec extends SparkTestBase {
     assert(r.contains("partial_min"),
       "first-seen period must combine map-side")
   }
+
+  test("q174: row-level DQ rules fuse into one pass; FKs are anti joins, not loops") {
+    val p = plan("q174_dq_constraints")
+    // 1-row report frames cross-join as BNL legitimately; the DATA-sized
+    // joins must be hash anti joins
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftAnti"), "orphan detection must plan an anti join")
+    assert(!p.contains("windowspecdefinition"))
+    // all four row-level rules fused into one aggregate over one scan
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "row-level counters must combine map-side in the fused aggregate")
+  }
+
+  test("q175: IVM merges delta aggregates — partial aggregation, no window, no loop") {
+    val p = plan("q175_ivm_agg")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "changelog aggregate must combine map-side")
+    assert(!p.contains("CartesianProduct") && !p.contains("windowspecdefinition"))
+  }
+
+  test("q176/q177: KMV buffers aggregate; linkage joins only inside blocks") {
+    val k = plan("q176_kmv_sketch")
+    assert(!k.contains("windowspecdefinition"),
+      "bottom-k must ride the k-bounded aggregator, not a rank window")
+    assert(k.contains("partial_bottomklong") || k.contains("BottomKLong") ||
+      k.contains("partial_"), "KMV must partial-aggregate map-side")
+    val l = plan("q177_record_linkage")
+    assert(!l.contains("CartesianProduct") && !l.contains("BroadcastNestedLoop"),
+      "blocked linkage must be an equi join on the block key")
+  }
+
+  test("q178/q186: quantile machinery plans no corpus-wide window sort") {
+    // the q131 stance: the only window is the range-partition-id prefix
+    // sum inside globalRunningSum — bounded by one partition, and never
+    // the __mid-ordered corpus-wide form
+    for (q <- Seq("q178_discretize", "q186_weighted_quantiles")) {
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition()"),
+        s"$q: no unpartitioned (corpus-global) window allowed")
+      assert(!p.matches("(?s).*windowspecdefinition\\(__mid[^,]*ASC.*"),
+        s"$q must not window over the whole corpus")
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian")
+    }
+  }
+
+  test("q180/q183: sketch estimates touch register tables, not re-scans") {
+    val p = plan("q180_cm_join_size")
+    assert(!p.contains("CartesianProduct") && !p.contains("windowspecdefinition"))
+    // after the localCheckpoint the estimate plan reads the d-row dots
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      "dot products must be pinned, not rebuilt per branch")
+    val h = plan("q183_sliding_hll")
+    assert(!h.contains("windowspecdefinition") && !h.contains("CartesianProduct"))
+    assert(h.contains("partial_max"),
+      "window register merge must combine map-side")
+  }
+
+  test("q182/q187: bar aggregates window only within (group, period)") {
+    val t = plan("q182_twap")
+    assert(t.contains("windowspecdefinition(event_type") ||
+      t.contains("windowspecdefinition(vc#") || t.contains("partitionBy"),
+      "TWAP lead must partition by (group, period)")
+    assert(!t.contains("windowspecdefinition()"),
+      "no partition-less window allowed")
+    val o = plan("q187_ohlc")
+    assert(!o.contains("windowspecdefinition"),
+      "OHLC must use min_by/max_by aggregates, not rank windows")
+    assert(o.contains("partial_min_by") || o.contains("partial_"),
+      "candle endpoints must combine map-side")
+  }
+
+  test("q185: SCD2 enrichment is a keyed as-of — no range explosion, no loop") {
+    val p = plan("q185_scd2_enrich")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    assert(!p.contains("windowspecdefinition()"),
+      "as-of window must partition by the dimension key")
+  }
+
+  test("q188: partition filter prunes the scan to the two event_type dirs") {
+    val p = plan("q188_partition_prune")
+    assert(p.contains("PartitionFilters") && p.contains("event_type"),
+      s"event_type predicate must prune partitions:\n${p.take(600)}")
+  }
 }

@@ -256,6 +256,21 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("categoryDrift: integer shares, |delta|, vanished categories surface") {
+    val a = (Seq.fill(60)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("fr"))
+      .toDF("lang")
+    val b = (Seq.fill(90)("en") ++ Seq.fill(10)("zh")).toDF("lang")
+    val got = Stats.categoryDrift(a, b, "lang")
+      .select("lang", "n_a", "n_b", "share_a_pm", "share_b_pm", "delta_pm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("en") == (("en", 60L, 90L, 600L, 900L, 300L)))
+    assert(got("de") == (("de", 30L, 0L, 300L, 0L, 300L)))   // vanished
+    assert(got("zh") == (("zh", 0L, 10L, 0L, 100L, 100L)))   // appeared
+    assert(got("fr") == (("fr", 10L, 0L, 100L, 0L, 100L)))
+    assert(got.size == 4)
+  }
+
   test("weighted quantiles: weight units, not rows, drive the rank") {
     // values 1,2,3 with weights 1,1,8 → W=10: p50 threshold ceil(5)=5 →
     // first v with cum ≥ 5 is 3 (unweighted median would say 2)
