@@ -44,7 +44,17 @@ object Ivm {
 
   /** Merge a retract-model changelog into the view. `opCol` holds +1
     * (insert) / -1 (retract/delete); an update is two changelog rows.
-    * Returns the updated view with the same schema. */
+    * Returns the updated view with the same schema.
+    *
+    * Join shape matters at scale: a naive full-outer on the keys
+    * shuffles the ENTIRE view every batch. Instead the view splits
+    * into untouched (anti join against the delta's distinct keys — the
+    * small side, so AQE broadcasts it and the split is map-only over
+    * the view) and touched (semi join, same broadcast); only the
+    * touched slice — bounded by the delta's key count — full-outer
+    * joins the delta aggregate, and untouched unions back verbatim.
+    * The probe-and-admit contract Scd2.mergeHistory and the persisted
+    * indices use. */
   def applyDelta(view: DataFrame, changes: DataFrame, keys: Seq[String],
                  spec: AggSpec, opCol: String = "op",
                  multiplicityCol: Option[String] = None): DataFrame = {
@@ -58,12 +68,18 @@ object Ivm {
       spec.sums.map { case (n, e) => sum(sgn * e).as(n) }
     val delta = changes.groupBy(keys.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
+      // read once, feeds three branches (keys, semi/anti probes, merge)
+      .localCheckpoint()
     val metricCols = spec.countCol +: spec.sums.map(_._1)
-    val v = metricCols.foldLeft(view) { (d, c) =>
+    val deltaKeys = delta.select(keys.map(col): _*)
+    val untouched = view.join(deltaKeys, keys, "left_anti")
+    val touched = view.join(deltaKeys, keys, "left_semi")
+    val v = metricCols.foldLeft(touched) { (d, c) =>
       d.withColumnRenamed(c, s"__v_$c") }
     val d = metricCols.foldLeft(delta) { (df, c) =>
       df.withColumnRenamed(c, s"__d_$c") }
-    // full outer: delta may create brand-new keys or touch existing ones
+    // full outer over the TOUCHED slice only: delta may create brand-new
+    // keys (view side null) or retract whole keys (delta drives to 0)
     val merged = v.join(d, keys, "full_outer")
     val out = metricCols.foldLeft(merged) { (df, c) =>
       df.withColumn(c,
@@ -75,6 +91,7 @@ object Ivm {
     // of a silent wrong answer
     out.filter(col(spec.countCol) =!= 0L)
       .select((keys ++ metricCols).map(col): _*)
+      .unionByName(untouched.select((keys ++ metricCols).map(col): _*))
   }
 
   /** Turn a pair of table snapshots into the retract changelog that

@@ -64,14 +64,22 @@ class IvmSpec extends SparkTestBase {
       (5L, 2.0, 1, 2L)))
   }
 
-  test("merge plan never rescans the base frame") {
+  test("merge plan splits the view map-only and never rescans the base frame") {
     val baseV = view(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
       .localCheckpoint() // stand-in for a persisted materialized view
     val changes = Seq((1L, 4.0, 1)).toDF("k", "v", "op")
     val merged = Ivm.applyDelta(baseV, changes, Seq("k"), spec)
-    // exactly two leaves: the checkpointed view and the changelog —
-    // the base fact table is not in the plan at all
+    // every leaf is a checkpointed frame (the view via the semi/anti
+    // split, the delta aggregate via its three probe branches) — the
+    // base fact table appears NOWHERE in the plan
     val leaves = merged.queryExecution.optimizedPlan.collectLeaves()
-    assert(leaves.size == 2, s"expected view+delta leaves, got $leaves")
+    assert(leaves.nonEmpty &&
+      leaves.forall(_.toString.startsWith("LogicalRDD")),
+      s"expected only checkpointed leaves, got $leaves")
+    // the untouched slice passes through an anti join (broadcast-able —
+    // map-only over the view), never a full-view shuffle join
+    val p = merged.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"),
+      s"view must split touched/untouched:\n${p.take(600)}")
   }
 }
