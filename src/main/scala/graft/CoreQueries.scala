@@ -1229,7 +1229,42 @@ object CoreQueries {
       "lang")
   }
 
+  // STREAMING-MAINTAINED MATERIALIZED VIEW (streaming/EventStream.
+  // runStreamForeachBatch × ops/Ivm.applyDelta): the per-type
+  // (count, sum) view maintained INCREMENTALLY — four real micro-batches
+  // of inserts (maxFilesPerTrigger=1 over a repartitioned copy), then a
+  // retract batch withdrawing every user_id%5==0 event. Each merge
+  // touches only that batch's keys (the applyDelta broadcast split);
+  // the final view must equal the one-shot recompute over the effective
+  // rows — which IS the oracle. The continuous-ingest sibling of the
+  // streaming dedup (q109) / CM sketch (q150) gates.
+  def q190_stream_ivm(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Ivm
+    val tmp = java.nio.file.Files.createTempDirectory("q190src").toString
+    t(s, dir, "events").repartition(4).write
+      .mode("overwrite").parquet(tmp + "/src")
+    val spec = Ivm.AggSpec(
+      Seq("sum_vc" -> floor(col("value") * 100).cast("long")
+        .cast("decimal(38,0)")), "n_rows")
+    var view: DataFrame = s.emptyDataFrame
+      .select(lit("").as("event_type"), lit(0L).as("n_rows"),
+        lit(null).cast("decimal(38,0)").as("sum_vc"))
+      .limit(0)
+    graft.streaming.EventStream.runStreamForeachBatch(
+      s, tmp + "/src", { (batch, _) =>
+        view = Ivm.applyDelta(view, batch.withColumn("op", lit(1)),
+          Seq("event_type"), spec).localCheckpoint(true)
+      }, options = Map("maxFilesPerTrigger" -> "1"))
+    val retract = s.read.parquet(tmp + "/src")
+      .where(pmod(col("user_id"), lit(5)) === 0)
+      .withColumn("op", lit(-1))
+    Ivm.applyDelta(view, retract, Seq("event_type"), spec)
+      .select(col("event_type"), col("n_rows"),
+        outD(col("sum_vc")).as("sum_vc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_stream_ivm"  -> q190_stream_ivm _,
     "q188_partition_prune" -> q188_partition_prune _,
     "q189_category_drift" -> q189_category_drift _,
     "q185_scd2_enrich" -> q185_scd2_enrich _,
@@ -1300,6 +1335,10 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q190_stream_ivm" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(CAST(floor(value*100) AS BIGINT)) AS DECIMAL(38,6)) AS DOUBLE) AS sum_vc
+        |FROM events WHERE user_id % 5 <> 0 GROUP BY 1""".stripMargin,
     "q188_partition_prune" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS sum_vc,
