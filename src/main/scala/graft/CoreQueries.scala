@@ -1263,7 +1263,36 @@ object CoreQueries {
         outD(col("sum_vc")).as("sum_vc"))
   }
 
+  // GOLDEN-RECORD SURVIVORSHIP (ops/EntityResolution.goldenRecord): the
+  // MDM step after linkage — per entity, each FIELD from the highest-
+  // priority source that has it (fields independently: the golden name
+  // and golden balance may come from different rows). Three synthetic
+  // source feeds with residue-keyed nulls make every source win
+  // somewhere. One entity-keyed groupBy of min_by aggregates.
+  def q191_golden_record(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val s1 = c.select(col("c_custkey"), lit(1).as("rnk"),
+      when(col("c_custkey") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("c_name")).as("name"),
+      lit(null).cast("double").as("acctbal"),
+      col("c_mktsegment").as("segment"))
+    val s2 = c.select(col("c_custkey"), lit(2).as("rnk"),
+      concat(col("c_name"), lit("_x")).as("name"),
+      when(col("c_custkey") % 4 === 0, lit(null).cast("double"))
+        .otherwise(col("c_acctbal")).as("acctbal"),
+      lit(null).cast("string").as("segment"))
+    val s3 = c.select(col("c_custkey"), lit(3).as("rnk"),
+      lit(null).cast("string").as("name"),
+      (col("c_acctbal") + 1.0).as("acctbal"),
+      lit("FALLBACK").as("segment"))
+    graft.ops.EntityResolution.goldenRecord(
+      s1.unionByName(s2).unionByName(s3),
+      entityCol = "c_custkey", rankCol = "rnk", idCol = "rnk",
+      fields = Seq("name", "acctbal", "segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_golden_record" -> q191_golden_record _,
     "q190_stream_ivm"  -> q190_stream_ivm _,
     "q188_partition_prune" -> q188_partition_prune _,
     "q189_category_drift" -> q189_category_drift _,
@@ -1335,6 +1364,22 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q191_golden_record" ->
+      """WITH src AS (
+        |  SELECT c_custkey, 1 AS rnk,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END AS name,
+        |    CAST(NULL AS DOUBLE) AS acctbal, c_mktsegment AS segment
+        |  FROM customer
+        |  UNION ALL SELECT c_custkey, 2, c_name || '_x',
+        |    CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_acctbal END, NULL
+        |  FROM customer
+        |  UNION ALL SELECT c_custkey, 3, NULL, c_acctbal + 1.0, 'FALLBACK'
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  first(name ORDER BY rnk) FILTER (WHERE name IS NOT NULL) AS name,
+        |  first(acctbal ORDER BY rnk) FILTER (WHERE acctbal IS NOT NULL) AS acctbal,
+        |  first(segment ORDER BY rnk) FILTER (WHERE segment IS NOT NULL) AS segment
+        |FROM src GROUP BY c_custkey""".stripMargin,
     "q190_stream_ivm" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(CAST(sum(CAST(floor(value*100) AS BIGINT)) AS DECIMAL(38,6)) AS DOUBLE) AS sum_vc

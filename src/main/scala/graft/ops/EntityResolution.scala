@@ -98,6 +98,28 @@ object EntityResolution {
         col("score") :+ col("verdict"): _*)
   }
 
+  /** Golden-record survivorship — the step AFTER linkage/clustering in
+    * the MDM pipeline: one row per entity, each field taken from the
+    * highest-priority source that has it (smaller `rankCol` wins,
+    * `idCol` breaks rank ties so the pick is a total order). Field
+    * independence is the point: the golden name and the golden balance
+    * may come from DIFFERENT source rows — a whole-row "best source"
+    * rule loses fields the winner is missing.
+    *
+    * Plan: ONE groupBy on the entity key; each field is a
+    * `min_by(field, ordering-when-non-null)` aggregate (null fields
+    * yield a null ordering, which min_by ignores), so partial
+    * aggregation keeps one candidate per field per map task — no
+    * window, no per-entity sort. */
+  def goldenRecord(df: DataFrame, entityCol: String, rankCol: String,
+                   idCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one field to merge")
+    val ord = struct(col(rankCol), col(idCol))
+    val aggs = fields.map(f =>
+      min_by(col(f), when(col(f).isNotNull, ord)).as(f))
+    df.groupBy(col(entityCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Blocking-design diagnostic: per blocking key, row count and the
     * pair count it will generate (n·(n−1)/2) — run BEFORE scorePairs;
     * the Σ over this frame is the join's output size. One shuffle. */

@@ -66,6 +66,32 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(prof == Set(("B1", 4L, 6L), ("B2", 1L, 0L)))
   }
 
+  test("goldenRecord: per-field source priority, nulls fall through, rank ties broken by id") {
+    val src = Seq(
+      // entity 1: name from rank 2 (rank 1 null), bal from rank 1
+      (1L, 1, 10L, Option.empty[String], Option(5.0)),
+      (1L, 2, 11L, Option("alice"), Option(9.0)),
+      (1L, 3, 12L, Option("al"), Option.empty[Double]),
+      // entity 2: all null name survives as null; rank tie on bal → id wins
+      (2L, 1, 20L, Option.empty[String], Option(1.0)),
+      (2L, 1, 21L, Option.empty[String], Option(2.0))
+    ).toDF("e", "rnk", "id", "name", "bal")
+    val got = EntityResolution.goldenRecord(src, "e", "rnk", "id",
+        Seq("name", "bal"))
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(got == Set(
+      (1L, Some("alice"), Some(5.0)),
+      (2L, None, Some(1.0))))      // tie: id 20 < 21
+    // partition independence (min_by partials merge associatively)
+    val again = EntityResolution.goldenRecord(src.repartition(7), "e",
+        "rnk", "id", Seq("name", "bal"))
+      .as[(Long, Option[String], Option[Double])].collect().toSet
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      EntityResolution.goldenRecord(src, "e", "rnk", "id", Nil)
+    }
+  }
+
   test("resolveEntities: transitive matches cluster, singletons stand alone") {
     // chain 1–2 and 2–6 as matches → {1,2,6} one entity
     val extra = Seq((6L, "B1", Option("alice smitt"), Option(100.3)))

@@ -64,6 +64,34 @@ class IvmSpec extends SparkTestBase {
       (5L, 2.0, 1, 2L)))
   }
 
+  test("property: random changelog chains ≡ one-shot recompute (seeded LCG)") {
+    // deterministic pseudo-random row stream: 120 rows over 12 keys,
+    // split into 4 batches; each batch inserts its rows and retracts a
+    // keyed slice of what is live so far — after every batch the
+    // incrementally-merged view must equal materialize(effective rows)
+    def lcg(x: Long): Long = x * 6364136223846793005L + 1442695040888963407L
+    val rows = (0 until 120).map { i =>
+      val h = lcg(i.toLong + 7)
+      (math.floorMod(h, 12).toLong, math.floorMod(h >> 8, 50).toDouble, i / 30)
+    } // (k, v, batch)
+    var live = Vector.empty[(Long, Double)]
+    var v: org.apache.spark.sql.DataFrame = null
+    for (b <- 0 until 4) {
+      val ins = rows.filter(_._3 == b).map(t => (t._1, t._2))
+      // retract every live row whose key ≡ b (mod 5): exercises deaths
+      val del = live.filter(t => t._1 % 5 == b)
+      val changes = (ins.map(t => (t._1, t._2, 1)) ++
+        del.map(t => (t._1, t._2, -1))).toDF("k", "v", "op")
+      v = if (v == null) Ivm.applyDelta(view(Seq.empty[(Long, Double)]
+            .toDF("k", "v")), changes, Seq("k"), spec)
+          else Ivm.applyDelta(v, changes, Seq("k"), spec)
+      v = v.localCheckpoint()
+      live = live.filterNot(t => t._1 % 5 == b) ++ ins
+      assert(asSet(v) == asSet(view(live.toDF("k", "v"))),
+        s"divergence after batch $b")
+    }
+  }
+
   test("merge plan splits the view map-only and never rescans the base frame") {
     val baseV = view(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
       .localCheckpoint() // stand-in for a persisted materialized view
