@@ -969,6 +969,9 @@ object CoreQueries {
       InSet("l_returnflag", Seq("A", "N", "R")),
       Satisfies("price_positive", col("l_extendedprice") > 0),
       Unique(Seq("l_orderkey", "l_linenumber")),
+      // k-anonymity floor on the (flag, status) quasi-identifier — the
+      // planted 'X' groups are the only ones under 1000
+      MinGroupSize(Seq("l_returnflag", "l_linestatus"), 1000),
       ForeignKey(Seq("l_orderkey"), t(s, dir, "orders"), Seq("o_orderkey")),
       ForeignKey(Seq("l_partkey"), t(s, dir, "part"), Seq("p_partkey"))))
   }
@@ -1291,7 +1294,26 @@ object CoreQueries {
       fields = Seq("name", "acctbal", "segment"))
   }
 
+  // RANGE-FRAME ROLLING AGGREGATES: per-user trailing-7-day event count
+  // and spend at EVERY event — the value-based window frame
+  // (`rangeBetween`, Spark's RangeFrame) the tumbling/sliding/session
+  // gates don't exercise: the frame is defined by the µs ORDER VALUE,
+  // so same-ts peer rows are in each other's frames on both engines
+  // (a ROWS frame would be tie-order-ambiguous and unhashable). The
+  // window partitions by user — state bounded by one user's history.
+  def q192_rolling_range(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(-7L * 86400000000L, 0)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("vc"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(col("vc")).over(w).as("sum_7d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_rolling_range" -> q192_rolling_range _,
     "q191_golden_record" -> q191_golden_record _,
     "q190_stream_ivm"  -> q190_stream_ivm _,
     "q188_partition_prune" -> q188_partition_prune _,
@@ -1364,6 +1386,15 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q192_rolling_range" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts,
+        |             CAST(floor(value*100) AS BIGINT) AS vc FROM events)
+        |SELECT user_id, event_id, ts,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_7d,
+        |  CAST(sum(vc) OVER w AS BIGINT) AS sum_7d
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q191_golden_record" ->
       """WITH src AS (
         |  SELECT c_custkey, 1 AS rnk,
@@ -1563,6 +1594,9 @@ object CoreQueries {
         |  UNION ALL SELECT 'unique', 'l_orderkey,l_linenumber', n.n_rows,
         |         (SELECT CAST(coalesce(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT)
         |          FROM (SELECT count(*) AS cnt FROM base GROUP BY l_orderkey, l_linenumber)) FROM n
+        |  UNION ALL SELECT 'min_group_size', 'l_returnflag,l_linestatus>=1000', n.n_rows,
+        |         (SELECT CAST(coalesce(sum(cnt) FILTER (WHERE cnt < 1000), 0) AS BIGINT)
+        |          FROM (SELECT count(*) AS cnt FROM base GROUP BY l_returnflag, l_linestatus)) FROM n
         |  UNION ALL SELECT 'foreign_key', 'l_orderkey', n.n_rows,
         |         (SELECT CAST(count(*) AS BIGINT) FROM base b LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
         |          ON b.l_orderkey = o.o_orderkey WHERE b.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) FROM n

@@ -66,6 +66,19 @@ object DataQuality {
     val name = "unique"; val target = columns.mkString(",")
   }
 
+  /** k-anonymity floor: every `columns` (quasi-identifier) combination
+    * must cover at least `k` rows — a violation is EVERY row whose
+    * combination is rarer (each such row is re-identifiable; all of
+    * them are in scope, the Unique convention). The release-gating
+    * governance rule next to PII redaction: one shuffle on the
+    * quasi-identifier key. */
+  final case class MinGroupSize(columns: Seq[String], k: Long)
+      extends Constraint {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val name = "min_group_size"
+    val target = s"${columns.mkString(",")}>=$k"
+  }
+
   /** Referential integrity: every non-null `columns` tuple must appear
     * as `refColumns` in `ref`. Violations = orphan rows. Tuples with
     * any null component are skipped (SQL FK semantics: null never
@@ -124,16 +137,12 @@ object DataQuality {
           .select(col("e.rule"), col("e.target"), col("e.n_rows"),
             col("e.n_violations")))
       }
-    // --- uniqueness: one shuffle on each key ---
-    val uniqueReports = constraints.collect { case u: Unique =>
-      val keyed = df.groupBy(u.columns.map(col): _*)
-        .agg(count(lit(1)).as("__cnt"))
-      keyed.agg(
-        coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
-        coalesce(sum(when(col("__cnt") > 1, col("__cnt"))
-          .otherwise(0L)), lit(0L)).as("n_violations"))
-        .select(lit(u.name).as("rule"), lit(u.target).as("target"),
-          col("n_rows"), col("n_violations"))
+    // --- group-size rules (unique / k-anonymity): one shuffle each ---
+    val uniqueReports = constraints.collect {
+      case u: Unique =>
+        groupSizeReport(df, u.columns, col("__cnt") > 1, u.name, u.target)
+      case m: MinGroupSize =>
+        groupSizeReport(df, m.columns, col("__cnt") < m.k, m.name, m.target)
     }
     // --- FK: one anti join per referenced table ---
     val fkReports = constraints.collect { case fk: ForeignKey =>
@@ -159,6 +168,21 @@ object DataQuality {
       when(col("n_violations") === 0L, 1).otherwise(0))
       .select(reportCols.map(col): _*)
   }
+
+  /** Shared group-cardinality counter: violations = rows in groups whose
+    * count satisfies `bad` (cnt > 1 for Unique, cnt < k for
+    * MinGroupSize). */
+  private def groupSizeReport(df: DataFrame, columns: Seq[String],
+                              bad: Column, rule: String,
+                              target: String): DataFrame =
+    df.groupBy(columns.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .agg(
+        coalesce(sum(col("__cnt")), lit(0L)).as("n_rows"),
+        coalesce(sum(when(bad, col("__cnt")).otherwise(0L)), lit(0L))
+          .as("n_violations"))
+      .select(lit(rule).as("rule"), lit(target).as("target"),
+        col("n_rows"), col("n_violations"))
 
   /** Convenience: rows of `df` violating any row-level rule in
     * `constraints`, tagged with the first failing rule — the quarantine

@@ -43,6 +43,18 @@ class DataQualitySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("min_group_size: k-anonymity counts every row of a rare combination") {
+    // flags: A×3, B×1, R×2
+    def rep(k: Long) = DataQuality.check(frame,
+        Seq(MinGroupSize(Seq("flag"), k)))
+      .select("rule", "target", "n_rows", "n_violations")
+      .as[(String, String, Long, Long)].head()
+    assert(rep(2) == (("min_group_size", "flag>=2", 6L, 1L)))   // B
+    assert(rep(3) == (("min_group_size", "flag>=3", 6L, 3L)))   // B + both R
+    assert(rep(1) == (("min_group_size", "flag>=1", 6L, 0L)))
+    intercept[IllegalArgumentException] { MinGroupSize(Seq("flag"), 0) }
+  }
+
   test("clean table passes every rule") {
     val clean = Seq((1L, 1L, 5.0, "A"), (2L, 2L, 6.0, "R"))
       .toDF("id", "grp", "qty", "flag")
