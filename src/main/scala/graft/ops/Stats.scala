@@ -318,8 +318,12 @@ object Stats {
     val tot = joined.agg(sum(col("n_a")).as("__wa"),
       sum(col("n_b")).as("__wb"))
     joined.crossJoin(broadcast(tot))
-      .withColumn("share_a_pm", expr("1000 * n_a div __wa"))
-      .withColumn("share_b_pm", expr("1000 * n_b div __wb"))
+      // an EMPTY snapshot (total 0) reads as all-shares-0, not a
+      // divide-by-zero abort (ANSI `div` throws on 0)
+      .withColumn("share_a_pm",
+        when(col("__wa") > 0, expr("1000 * n_a div __wa")).otherwise(0L))
+      .withColumn("share_b_pm",
+        when(col("__wb") > 0, expr("1000 * n_b div __wb")).otherwise(0L))
       .withColumn("delta_pm", abs(col("share_a_pm") - col("share_b_pm")))
       .drop("__wa", "__wb")
   }

@@ -256,6 +256,14 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("categoryDrift: an empty snapshot reads as all-zero shares, not a crash") {
+    val a = Seq("en", "en", "de").toDF("lang")
+    val rows = Stats.categoryDrift(a, a.limit(0), "lang")
+      .select("lang", "share_a_pm", "share_b_pm")
+      .as[(String, Long, Long)].collect().toSet
+    assert(rows == Set(("en", 666L, 0L), ("de", 333L, 0L)))
+  }
+
   test("categoryDrift: integer shares, |delta|, vanished categories surface") {
     val a = (Seq.fill(60)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("fr"))
       .toDF("lang")
