@@ -1312,7 +1312,24 @@ object CoreQueries {
         sum(col("vc")).over(w).as("sum_7d"))
   }
 
+  // PER-GROUP OLS TREND (ops/Stats.groupTrend): "is this metric moving,
+  // and how fast" — the least-squares slope of value-cents against
+  // event time per type, from the five sufficient statistics in EXACT
+  // decimal arithmetic (rebased seconds so n·Σx² stays inside 38
+  // digits), surfaced as integer µcents/day via truncate-toward-zero
+  // division (matches DuckDB's `//` on negatives). Two group-keyed
+  // aggregations; the regression itself is metadata arithmetic.
+  def q193_trend(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.groupTrend(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"), expr("ts div 1000000").as("xs"),
+          floor(col("value") * 100).cast("long").as("vc")),
+      "event_type", "xs", "vc", outScale = 86400000000L)
+      .select(col("event_type"), col("n"),
+        col("slope").as("slope_ucents_day"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_trend"       -> q193_trend _,
     "q192_rolling_range" -> q192_rolling_range _,
     "q191_golden_record" -> q191_golden_record _,
     "q190_stream_ivm"  -> q190_stream_ivm _,
@@ -1386,6 +1403,19 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q193_trend" ->
+      """WITH e AS (SELECT event_type AS g, epoch_us(ts) // 1000000 AS xs,
+        |             CAST(floor(value*100) AS BIGINT) AS y
+        |           FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT g, min(xs) AS mn FROM e GROUP BY 1),
+        |r AS (SELECT e.g, CAST(e.xs - m.mn AS HUGEINT) AS x,
+        |        CAST(e.y AS HUGEINT) AS y FROM e JOIN m ON m.g = e.g),
+        |s AS (SELECT g, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+        |        sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy
+        |      FROM r GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(((n*sxy - sx*sy) * 86400000000) // (n*sxx - sx*sx) AS BIGINT) AS slope_ucents_day
+        |FROM s""".stripMargin,
     "q192_rolling_range" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts,
         |             CAST(floor(value*100) AS BIGINT) AS vc FROM events)

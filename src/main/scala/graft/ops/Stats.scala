@@ -296,6 +296,50 @@ object Stats {
       .drop("__bnd")
   }
 
+  /** Per-group least-squares TREND: the OLS slope of integer `yCol`
+    * against integer `xCol`, computed entirely from the five sufficient
+    * statistics (n, Σx, Σy, Σx², Σxy) as EXACT decimal arithmetic —
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), surfaced as the
+    * integer `(num · outScale) div den` (truncate-toward-zero in both
+    * engines). The drift/trend detector next to [[categoryDrift]]:
+    * "is this metric moving, and how fast", with none of a float
+    * regression's cross-engine rounding.
+    *
+    * `xCol` is REBASED per group (x − min(x)) before squaring — raw
+    * epoch-µs squared overflows even decimal(38); callers should also
+    * pre-scale x to coarse units (seconds, not µs) so n·Σx² stays far
+    * inside 38 digits. Groups with zero x-variance yield a null slope.
+    *
+    * Plan: one groupBy for the per-group min (broadcast back), one
+    * map-side-partial groupBy for the sufficient statistics — the
+    * regression itself is arithmetic over group-count-bounded rows. */
+  def groupTrend(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String, outScale: Long = 1L): DataFrame = {
+    require(outScale >= 1, s"outScale must be >= 1, got $outScale")
+    val d = "decimal(38,0)"
+    val mins = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol)).agg(min(col(xCol).cast("long")).as("__mn"))
+    val based = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .join(broadcast(mins), groupCol)
+      .select(col(groupCol),
+        (col(xCol).cast("long") - col("__mn")).cast(d).as("x"),
+        col(yCol).cast("long").cast(d).as("y"))
+    val s = based.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast(d).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    s.withColumn("__num",
+        (col("n") * col("sxy") - col("sx") * col("sy")) *
+          lit(outScale).cast(d))
+      .withColumn("__den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col(groupCol), col("n").cast("long").as("n"),
+        // `div` truncates toward zero in BOTH engines (verified against
+        // DuckDB's `//` on negatives — both give −7/2 = −3)
+        when(col("__den") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(__num div __den AS BIGINT)")).as("slope"))
+  }
+
   /** Categorical-distribution drift between two snapshots (train mix
     * vs yesterday's, shard A vs shard B): per category, counts and
     * integer per-mille shares on both sides plus |Δshare| — the

@@ -256,6 +256,30 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("groupTrend: exact OLS slope cores, rebase, trunc-toward-zero, null on flat x") {
+    val df = Seq(
+      // group a: y = 2x → slope exactly 2 (rebase from x=100)
+      ("a", 100L, 0L), ("a", 101L, 2L), ("a", 102L, 4L),
+      // group b: slope −9/6 = −1.5; ×7 → −63 div 6 = −10 (trunc, not −11)
+      ("b", 0L, 3L), ("b", 1L, 1L), ("b", 2L, 0L),
+      // group c: zero x-variance → null slope
+      ("c", 5L, 1L), ("c", 5L, 9L)
+    ).toDF("g", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.groupTrend(d, "g", "x", "y", outScale = 7L)
+        .as[(String, Long, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = run(df)
+    assert(got("a") == ((3L, Some(14L))))   // 2 × 7
+    assert(got("b") == ((3L, Some(-10L)))) // −10.5 truncates toward zero
+    assert(got("c") == ((2L, None)))
+    // partition independence: decimal sufficient statistics are exact
+    assert(run(df.repartition(5)) == got)
+    intercept[IllegalArgumentException] {
+      Stats.groupTrend(df, "g", "x", "y", outScale = 0L)
+    }
+  }
+
   test("categoryDrift: an empty snapshot reads as all-zero shares, not a crash") {
     val a = Seq("en", "en", "de").toDF("lang")
     val rows = Stats.categoryDrift(a, a.limit(0), "lang")
