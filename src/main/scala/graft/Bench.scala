@@ -66,15 +66,24 @@ object Bench {
     * information — the clamped 999 reads as "investigate". */
   def serialize(results: Seq[(String, Long)], totalSec: Double, sfDir: String,
                 reps: Int = 1): String = {
+    // per-query values as ONE csv string in NUMERIC-ascending short-key
+    // order (`"qorder":"numeric-asc"`), keys implicit — the structural
+    // capacity step 197 queries forced: the per-entry `"193":` key
+    // syntax (~7 B × queries) pushed the worst-case object form to
+    // 1994 B. Decode rule (one line, also in NOTES.md): align the csv
+    // with SparkEntry.queries short keys sorted as integers. Worst case
+    // now ~4 B/query → headroom to ~400 queries at the 999-ds clamp.
     val qs = results
-      .map { case (k, v) => "\"" + shortKey(k) + "\":" + math.min(v, 999L) }
-      .mkString("{", ",", "}")
+      .sortBy { case (k, _) => shortKey(k).toInt }
+      .map { case (_, v) => math.min(v, 999L).toString }
+      .mkString(",")
     val failed = results.filter(_._2 < 0).map(_._1)
     val failedJson = failed.take(4).map("\"" + shortKey(_) + "\"")
       .mkString("[", ",", "]")
     val sf = new java.io.File(sfDir).getName
     s"""{"metric":"total","value":$totalSec,"unit":"sec","qunit":"ds","reps":$reps,""" +
-      s""""nfail":${failed.size},"failed":$failedJson,"queries":$qs,"sf":"$sf"}"""
+      s""""nfail":${failed.size},"failed":$failedJson,"qorder":"numeric-asc",""" +
+      s""""qds":"$qs","sf":"$sf"}"""
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1328,7 +1328,39 @@ object CoreQueries {
       .select(col("event_type"), col("n"),
         col("slope").as("slope_ucents_day"))
 
+  // MULTI-TOUCH ATTRIBUTION (ops/EventAnalytics.attribution): credit
+  // purchases back to the view/click touches within 24 h before them —
+  // first/last/linear models side by side, linear as exact integer
+  // micro-credits (1000000 div n — never a repeating decimal). One
+  // user-keyed join + per-touch min-conversion groupBy; windows
+  // partition by (user, conversion) so state is one conversion's touch
+  // set, and the final rollup is alphabet-bounded.
+  def q194_attribution(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.attribution(
+      t(s, dir, "events"), "user_id", "ts", "event_id", "event_type",
+      convType = "purchase", touchTypes = Seq("view", "click"),
+      lookbackUs = 24L * 3600 * 1000000L)
+
+  // TRIANGLE COUNT + CLUSTERING COEFFICIENT (ops/GraphOps
+  // .triangleStats): the supplier co-purchase graph — suppliers
+  // co-occurring in ≥ 25 orders — scored for neighborhood cohesion via
+  // degree-ordered edge orientation (out-neighborhoods bounded O(√m),
+  // so wedge generation is O(m^1.5) regardless of hubs). cc in exact
+  // integer per-mille: (2000·Δ) div (d·(d−1)).
+  def q196_triangles(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = o.as("a").join(o.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+      .agg(count(lit(1)).as("co")).filter(col("co") >= 25)
+    graft.ops.GraphOps.triangleStats(edges, "x", "y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_triangles"   -> q196_triangles _,
+    "q194_attribution" -> q194_attribution _,
     "q193_trend"       -> q193_trend _,
     "q192_rolling_range" -> q192_rolling_range _,
     "q191_golden_record" -> q191_golden_record _,
@@ -1403,6 +1435,40 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q196_triangles" ->
+      """WITH o AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        |e AS (SELECT a.s AS x, b.s AS y FROM o a JOIN o b ON a.ok = b.ok AND a.s < b.s
+        |      GROUP BY 1, 2 HAVING count(*) >= 25),
+        |d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |        SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY 1),
+        |t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |      FROM e e1 JOIN e e2 ON e2.x = e1.y
+        |      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+        |        SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+        |       GROUP BY 1)
+        |SELECT d.node, d.degree, coalesce(pn.triangles, 0) AS triangles,
+        |  CASE WHEN d.degree < 2 THEN 0
+        |       ELSE (2000 * coalesce(pn.triangles, 0)) // (d.degree * (d.degree - 1)) END AS cc_permille
+        |FROM d LEFT JOIN pn ON pn.node = d.node""".stripMargin,
+    "q194_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id, event_type FROM events),
+        |t AS (SELECT * FROM e WHERE event_type IN ('view','click')),
+        |c AS (SELECT user_id, ts AS cts, event_id AS cid FROM e WHERE event_type = 'purchase'),
+        |a0 AS (SELECT t.user_id, t.ts, t.event_id, t.event_type, c.cts, c.cid,
+        |        row_number() OVER (PARTITION BY t.user_id, t.ts, t.event_id
+        |                           ORDER BY c.cts, c.cid) AS rn
+        |       FROM t JOIN c ON c.user_id = t.user_id
+        |        AND c.cts > t.ts AND c.cts <= t.ts + 86400000000),
+        |g AS (SELECT *, count(*) OVER (PARTITION BY user_id, cts, cid) AS n,
+        |        row_number() OVER (PARTITION BY user_id, cts, cid ORDER BY ts, event_id) AS rf,
+        |        row_number() OVER (PARTITION BY user_id, cts, cid ORDER BY ts DESC, event_id DESC) AS rl
+        |      FROM a0 WHERE rn = 1)
+        |SELECT event_type AS touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(CASE WHEN rf=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST(sum(CASE WHEN rl=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+        |  CAST(sum(1000000 // n) AS BIGINT) AS linear_micro
+        |FROM g GROUP BY 1""".stripMargin,
     "q193_trend" ->
       """WITH e AS (SELECT event_type AS g, epoch_us(ts) // 1000000 AS xs,
         |             CAST(floor(value*100) AS BIGINT) AS y

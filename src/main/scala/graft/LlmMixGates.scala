@@ -485,7 +485,20 @@ object LlmMixGates {
       sortCols = Seq(col("doc_id")), valueCol = "n_chars",
       shardBudget = 20000L)
 
+  // Systematic PPS sampling (Sampling.systematicPps): one sample every
+  // 251 weight-chars walking the corpus in doc_id order from phase 100
+  // — token-proportional selection with exact budget adherence; docs
+  // heavier than the stride repeat (copies > 1), the way a
+  // token-weighted trainer consumes them. Pure integer arithmetic over
+  // the window-free distributed prefix sum.
+  def q195_pps_sample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.systematicPps(
+      t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      sortCols = Seq(col("doc_id")), weightCol = "n_chars",
+      stride = 251L, phase = 100L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_pps_sample"   -> q195_pps_sample _,
     "q134_pagerank"     -> q134_pagerank _,
     "q141_shard_assign" -> q141_shard_assign _,
     "q36_corpus_clean"  -> q36_corpus_clean _,
@@ -519,6 +532,15 @@ object LlmMixGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q195_pps_sample" ->
+      """WITH w AS (SELECT doc_id, n_chars,
+        |        sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM documents),
+        |s AS (SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum,
+        |        (cum - 100 + 251) // 251 - (cum - n_chars - 100 + 251) // 251 AS copies
+        |      FROM w)
+        |SELECT doc_id, n_chars, cum, CAST(copies AS BIGINT) AS copies
+        |FROM s WHERE copies >= 1""".stripMargin,
     "q141_shard_assign" ->
       """SELECT doc_id, n_chars,
         |  CAST(sum(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum,

@@ -252,6 +252,64 @@ object EventAnalytics {
         count(lit(1)).as("n"))
   }
 
+  /** MULTI-TOUCH ATTRIBUTION: credit each conversion back to the
+    * marketing touches that preceded it — the first-touch / last-touch /
+    * linear credit models every attribution engine reports side by side.
+    *
+    * Assignment rule (the industry-standard "next conversion" model):
+    * a touch (an event whose type is in `touchTypes`) is attributed to
+    * the user's NEXT conversion (`convType` event) STRICTLY after it and
+    * within `lookbackUs`; touches with no such conversion earn nothing.
+    * Within one conversion's touch set (ordered by (ts, id) — a total
+    * order both engines replay), the earliest touch takes the
+    * first-touch credit, the latest the last-touch credit, and linear
+    * credit splits evenly. Linear credit is surfaced as exact integer
+    * MICRO-credits (`1000000 div n` floor division) — never a repeating
+    * decimal two engines could round apart.
+    *
+    * Output per touch type: (touch_type, n_touches, n_first, n_last,
+    * linear_micro), attributed touches only.
+    *
+    * Scale shape: one user-keyed join touches⋈conversions (equi key
+    * rides the shuffle; the range predicate filters inside the join),
+    * a groupBy per touch picking its min-(ts,id) conversion (map-side
+    * partial), then windows partitioned by (user, conversion) — state
+    * bounded by ONE conversion's touch set, never a user's full history,
+    * let alone the corpus. Final rollup is alphabet-bounded. */
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String, convType: String,
+                  touchTypes: Seq[String], lookbackUs: Long): DataFrame = {
+    require(lookbackUs >= 1, s"lookbackUs must be >= 1, got $lookbackUs")
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      s"convType '$convType' cannot also be a touch type")
+    val e = events.select(col(userCol).as("__u"),
+      col(tsCol).cast("long").as("__ts"), col(idCol).as("__id"),
+      col(typeCol).as("__k"))
+    val touches = e.filter(col("__k").isin(touchTypes: _*))
+    val convs = e.filter(col("__k") === convType)
+      .select(col("__u"), col("__ts").as("__cts"), col("__id").as("__cid"))
+    // per touch: the earliest qualifying conversion (min over the
+    // (cts, cid) struct — lexicographic, so same-µs conversions break
+    // ties on id identically in both engines)
+    val assigned = touches.join(convs, Seq("__u"))
+      .filter(col("__cts") > col("__ts") &&
+        col("__cts") <= col("__ts") + lookbackUs)
+      .groupBy(col("__u"), col("__ts"), col("__id"), col("__k"))
+      .agg(min(struct(col("__cts"), col("__cid"))).as("__conv"))
+    val wConv = Window.partitionBy(col("__u"), col("__conv"))
+    val ord = struct(col("__ts"), col("__id"))
+    assigned
+      .withColumn("__n", count(lit(1)).over(wConv))
+      .withColumn("__tfirst", min(ord).over(wConv))
+      .withColumn("__tlast", max(ord).over(wConv))
+      .groupBy(col("__k").as("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(ord === col("__tfirst"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(ord === col("__tlast"), 1L).otherwise(0L)).as("n_last"),
+        sum(expr("1000000L div __n")).as("linear_micro"))
+  }
+
   /** Time-weighted average per (group, period) — the financial-bar /
     * metering aggregate: Σ value·Δt / ΣΔt with each observation held
     * until the next one (last carried to period end), which answers

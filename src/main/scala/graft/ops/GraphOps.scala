@@ -83,4 +83,78 @@ object GraphOps {
     nodes.unpersist()
     ranks
   }
+
+  /** TRIANGLE COUNT + LOCAL CLUSTERING COEFFICIENT per vertex — the
+    * cohesion statistics of a similarity/co-occurrence graph (how
+    * clique-ish is each node's neighborhood), the structural sibling of
+    * [[pageRank]]'s importance diffusion.
+    *
+    * Algorithm: the degree-ordered edge orientation (Cohen's
+    * MapReduce triangle counting / the `NodeIterator++` scheme) — each
+    * undirected edge {u,v} is directed from the endpoint that is
+    * SMALLER under the total order (degree, id) to the larger. Every
+    * out-neighborhood then has size O(√m), so the wedge join generates
+    * O(m^1.5) candidates worst-case instead of Σ deg² — the difference
+    * between a hub exploding quadratically and bounded work per edge.
+    * Wedges (u→v, u→w with v before w in orientation order) close into
+    * triangles iff oriented edge v→w exists: one equi semi-ish join
+    * against the oriented edge set. Each triangle is found exactly
+    * once, then credited to all three corners.
+    *
+    * Determinism: set semantics throughout (distinct edges, exact
+    * counts); `cc_permille = (2000·triangles) div (deg·(deg−1))` exact
+    * integer floor (0 for deg < 2) — the 2·Δ/(d·(d−1)) definition in
+    * the repo's per-mille discipline.
+    *
+    * Output: (node, degree, triangles, cc_permille), one row per
+    * vertex of the undirected graph.
+    *
+    * Scale shape: three vertex-keyed shuffles (degree count, two wedge
+    * joins) + one corner-explode groupBy; no windows, no collects, and
+    * the orientation bound keeps the wedge frame polynomial in m
+    * regardless of skew — a hub of degree D contributes C(D,2) wedges
+    * UNoriented but only C(outdeg,2) ≤ C(√(2m),2) oriented. */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edge set: a < b, self-loops dropped, distinct
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    // orientation key: degree·2^32 + id — one long, total order (ids
+    // must be < 2^32, which every fixture key is; degrees < 2^31 by m)
+    def keyed(side: String) = deg.select(
+      col("node").as(side),
+      (col("degree") * 4294967296L + col("node")).as(s"__k$side"))
+    val e2 = und.join(keyed("a"), "a").join(keyed("b"), "b")
+    val oriented = e2.select(
+        when(col("__ka") < col("__kb"), col("a")).otherwise(col("b")).as("src"),
+        when(col("__ka") < col("__kb"), col("b")).otherwise(col("a")).as("dst"),
+        when(col("__ka") < col("__kb"), col("__kb")).otherwise(col("__ka")).as("__kdst"))
+      .persist()
+    // wedges centered at src: out-neighbor pairs (v, w), v before w
+    val wedges = oriented.select(col("src"), col("dst").as("v"), col("__kdst").as("__kv"))
+      .join(oriented.select(col("src"), col("dst").as("w"), col("__kdst").as("__kw")), "src")
+      .filter(col("__kv") < col("__kw"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val triangles = wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      .persist()
+    val perNode = triangles.select(col("u").as("node"))
+      .unionByName(triangles.select(col("v").as("node")))
+      .unionByName(triangles.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    val outF = deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("cc_permille",
+        when(col("degree") < 2, 0L).otherwise(
+          expr("(2000 * triangles) div (degree * (degree - 1))")))
+    val out = outF.localCheckpoint()
+    oriented.unpersist(); triangles.unpersist()
+    out
+  }
 }

@@ -458,4 +458,43 @@ object Sampling {
     }
     df.filter(key < rate)
   }
+
+  /** SYSTEMATIC PPS SAMPLING (probability proportional to size): walk
+    * the corpus in `sortCols` order accumulating `weightCol` (token or
+    * char counts), and take one sample at every weight position
+    * `phase, phase+stride, phase+2·stride, …` — the classic systematic
+    * πPS design. A row whose weight interval `(cum−w, cum]` straddles k
+    * sample points appears with `copies = k` (a document heavier than
+    * the stride is taken multiple times — exactly how a
+    * token-proportional trainer would repeat it); expected copies are
+    * w/stride with ZERO variance beyond the within-stride position, the
+    * property that makes systematic PPS the budget sampler of choice
+    * over Poisson sampling (which over/under-shoots the budget).
+    *
+    * Entirely integer arithmetic: with 1 ≤ phase ≤ stride the
+    * points-at-or-below count is S(C) = (C − phase + stride) div stride
+    * (non-negative for C ≥ 0, so floor = truncate in both engines) and
+    * copies = S(cum) − S(cum − w). Deterministic given a tie-free
+    * `sortCols` order; weights must be ≥ 0.
+    *
+    * Output: the input columns + `cum` (inclusive running weight) +
+    * `copies ≥ 1` for sampled rows.
+    *
+    * Scale shape: one [[GlobalRank.globalRunningSum]] (range partition +
+    * per-partition offsets — ≤ p rows of metadata at the driver, window
+    * state bounded by one range partition) + a map-side filter. No
+    * global window, no collect of data. */
+  def systematicPps(df: DataFrame, sortCols: Seq[Column], weightCol: String,
+                    stride: Long, phase: Long): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(phase >= 1 && phase <= stride,
+      s"phase must be in [1, stride], got $phase")
+    val cum = GlobalRank.globalRunningSum(df, sortCols, weightCol, "cum")
+    // points at or below C: S(C) = (C − phase + stride) div stride
+    val copiesC =
+      expr(s"(cum - ${phase}L + ${stride}L) div ${stride}L") -
+        expr(s"(cum - CAST($weightCol AS BIGINT) - ${phase}L + ${stride}L) div ${stride}L")
+    cum.withColumn("copies", copiesC.cast("long"))
+      .filter(col("copies") >= 1)
+  }
 }

@@ -26,10 +26,10 @@ class BenchSpec extends AnyFunSuite {
     // values there, so no wider line exists), a 3-decimal total, AND 4
     // failures (the failed-list cap). Budget history: guard was 1900
     // at 168 queries; the failed cap moved 8→4 to fund round-7 query
-    // growth; the `q` key prefix was dropped at 178 queries (1 B/entry,
-    // no resolution loss). NEXT capacity step at ~195 queries: move
-    // qunit ds→s with a 99-s clamp (one digit per entry, ~190 B, costs
-    // sub-second resolution — last resort).
+    // growth; the `q` key prefix was dropped at 178 queries; at 197
+    // queries the per-entry key syntax itself went — values are now one
+    // csv in numeric-ascending short-key order (keys implicit), which
+    // holds ~400 queries at the 999 clamp.
     val worst = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i < 4) -1L else 999999L) }
     val line = Bench.serialize(worst, 9999.999, "/root/testdata/sf0.1", reps = 3)
@@ -40,11 +40,20 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("serializer emits the driver contract fields with sf basename") {
-    val line = Bench.serialize(Seq("q0_flagship" -> 13L, "q27_minhash_pairs" -> -1L),
+    val line = Bench.serialize(Seq("q27_minhash_pairs" -> -1L, "q0_flagship" -> 13L),
       1.312, "/root/testdata/sf0.1", reps = 3)
     assert(line ==
       """{"metric":"total","value":1.312,"unit":"sec","qunit":"ds","reps":3,""" +
-        """"nfail":1,"failed":["27"],"queries":{"0":13,"27":-1},"sf":"sf0.1"}""")
+        """"nfail":1,"failed":["27"],"qorder":"numeric-asc",""" +
+        """"qds":"13,-1","sf":"sf0.1"}""")
+  }
+
+  test("qds csv aligns with short keys sorted numerically, not lexically") {
+    // q2 must sort before q10 (2 < 10) even though "10" < "2" lexically
+    val line = Bench.serialize(
+      Seq("q10_ntile" -> 3L, "q2_join_agg" -> 7L, "q1_agg" -> 5L),
+      0.0, "/x/sf0.01", reps = 1)
+    assert(line.contains(""""qds":"5,7,3""""), line)
   }
 
   test("failed list caps at 4 keys so a catastrophic run still fits the window") {

@@ -255,4 +255,47 @@ class EventAnalyticsSpec extends SparkTestBase {
       EventAnalytics.timeWeightedAverage(ev, "g", "ts", "v", 0L, "id")
     }
   }
+
+  test("attribution: next-conversion assignment, first/last/linear credit") {
+    val ev = Seq(
+      // user 1: v@0, c@10, v@20 → purchase@30; v@40 has no later purchase
+      // within 60 µs of it... (purchase@30 is BEFORE it → unattributed)
+      (1L, 1L, 0L, "view"), (1L, 2L, 10L, "click"), (1L, 3L, 20L, "view"),
+      (1L, 4L, 30L, "purchase"), (1L, 5L, 40L, "view"),
+      // user 2: touch exactly AT the conversion ts is NOT credited
+      // (strictly-before rule); the earlier click is
+      (2L, 6L, 0L, "click"), (2L, 7L, 5L, "purchase"), (2L, 8L, 5L, "view"),
+      // user 2 second purchase@100: view@5 is outside 60 µs lookback,
+      // click@50 inside → sole touch takes first+last+full linear
+      (2L, 9L, 50L, "click"), (2L, 10L, 100L, "purchase"),
+      // user 3: two touches, TWO purchases — both touches go to the
+      // EARLIER purchase (next-conversion rule), second purchase empty
+      (3L, 11L, 0L, "view"), (3L, 12L, 1L, "click"),
+      (3L, 13L, 2L, "purchase"), (3L, 14L, 3L, "purchase"),
+      // user 4: touches but no purchase at all → nothing
+      (4L, 15L, 0L, "view"), (4L, 16L, 1L, "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventAnalytics.attribution(df, "user_id", "ts", "event_id",
+          "event_type", "purchase", Seq("view", "click"), lookbackUs = 60L)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    val got = run(ev)
+    // u1 conv@30: {v@0, c@10, v@20} n=3, first=v@0, last=v@20
+    // u2 conv@5: {c@0} sole touch = first AND last; conv@100: {c@50} sole
+    // u3 conv@2: {v@0, c@1} n=2, first=v@0, last=c@1
+    // unattributed (earn nothing): v@40 u1 (no later conv), v@5 u2
+    // (same-ts conv not strictly after; next conv outside lookback), u4
+    assert(got == Set(
+      ("view", 3L, 2L, 1L, 333333L + 333333L + 500000L),
+      ("click", 4L, 2L, 3L, 333333L + 1000000L + 1000000L + 500000L)))
+    assert(run(ev.repartition(7)) == got)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.attribution(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("purchase", "view"), 60L)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.attribution(ev, "user_id", "ts", "event_id",
+        "event_type", "purchase", Seq("view"), 0L)
+    }
+  }
 }

@@ -77,4 +77,55 @@ class GraphOpsSpec extends SparkTestBase {
       GraphOps.pageRank(df, "src", "dst", 1, dampingPm = 1001)
     }
   }
+
+  private def triStats(edges: Seq[(Long, Long)]) =
+    GraphOps.triangleStats(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("triangleStats: hand-computed graph, dedup/self-loop/direction rules") {
+    // K3 (1,2,3) + pendant 4 on node 1 + isolated edge 5-6; noise:
+    // reversed duplicate (2,1), self-loop (3,3)
+    val got = triStats(Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (2L, 1L), (3L, 3L),
+      (1L, 4L), (5L, 6L)))
+    // node 1: deg 3, 1 triangle, cc = 2000*1/(3*2)=333
+    assert(got(1L) == ((3L, 1L, 333L)))
+    assert(got(2L) == ((2L, 1L, 1000L)))
+    assert(got(3L) == ((2L, 1L, 1000L)))
+    assert(got(4L) == ((1L, 0L, 0L)))   // deg<2 → cc defined 0
+    assert(got(5L) == ((1L, 0L, 0L)))
+    assert(got(6L) == ((1L, 0L, 0L)))
+  }
+
+  test("triangleStats: K4 counts every triangle once per corner") {
+    // K4: 4 triangles total, each node in C(3,2)=3 of them, cc=1000
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val got = triStats(k4)
+    (0L to 3L).foreach { v => assert(got(v) == ((3L, 3L, 1000L))) }
+  }
+
+  test("triangleStats matches a brute-force reference on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).toSet }
+    val expected = adj.map { case (v, ns) =>
+      val d = ns.size.toLong
+      val tri = ns.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }.toLong
+      v -> ((d, tri, if (d < 2) 0L else 2000L * tri / (d * (d - 1))))
+    }
+    val got = triStats(edges)
+    assert(got == expected)
+    // partition-independence
+    val again = GraphOps.triangleStats(
+        edges.toDF("src", "dst").repartition(13), "src", "dst")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again == got)
+  }
 }

@@ -435,4 +435,38 @@ class SamplingSpec extends SparkTestBase {
       Sampling.epochOrders(df, $"id", epochs = 0)
     }
   }
+
+  test("systematicPps: sample points land exactly, heavy rows repeat") {
+    // weights: 3,4,10,1,2 → cums 3,7,17,18,20; stride 5, phase 5 →
+    // points at 5,10,15,20. id1 covers (0,3] none; id2 (3,7] → {5};
+    // id3 (7,17] → {10,15} = 2 copies; id4 (17,18] none; id5 (18,20] → {20}
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 10L), (4L, 1L), (5L, 2L))
+      .toDF("id", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.systematicPps(d, Seq($"id"), "w", stride = 5L, phase = 5L)
+        .select($"id", $"cum", $"copies")
+        .as[(Long, Long, Long)].collect().toSet
+    val got = run(df)
+    assert(got == Set((2L, 7L, 1L), (3L, 17L, 2L), (5L, 20L, 1L)))
+    // total copies == number of sample points ≤ total weight / stride
+    assert(got.toSeq.map(_._3).sum == 4L)
+    // partitioning-invariant (prefix sum is range-partition + offsets)
+    assert(run(df.repartition(7)) == got)
+    // phase=1 shifts the lattice: points 1,6,11,16 → id1 {1}, id2 {6},
+    // id3 {11,16}, id4/id5 none
+    val shifted = Sampling.systematicPps(df, Seq($"id"), "w", 5L, 1L)
+      .select($"id", $"copies").as[(Long, Long)].collect().toSet
+    assert(shifted == Set((1L, 1L), (2L, 1L), (3L, 2L)))
+    // zero-weight rows are never sampled, never shift the lattice
+    val withZero = Seq((1L, 0L), (2L, 5L), (3L, 0L)).toDF("id", "w")
+    val z = Sampling.systematicPps(withZero, Seq($"id"), "w", 5L, 5L)
+      .select($"id", $"copies").as[(Long, Long)].collect().toSet
+    assert(z == Set((2L, 1L)))
+    intercept[IllegalArgumentException] {
+      Sampling.systematicPps(df, Seq($"id"), "w", 0L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.systematicPps(df, Seq($"id"), "w", 5L, 6L)
+    }
+  }
 }
