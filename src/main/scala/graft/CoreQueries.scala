@@ -1358,7 +1358,37 @@ object CoreQueries {
     graft.ops.GraphOps.triangleStats(edges, "x", "y")
   }
 
+  // AUC BY RANK IDENTITY (ops/Stats.aucPpm): Mann–Whitney AUC of a
+  // synthetic score (value-cents + 2000 for purchases — overlapping
+  // classes, real ties) against the purchase label, in exact integer
+  // ppm. Distinct score VALUES cross the shuffle (histogram
+  // discipline), the prefix sum is window-free, and ties resolve by
+  // the doubled-midrank identity — no per-row rank anywhere.
+  def q198_auc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.aucPpm(
+      t(s, dir, "events").select(
+        (floor(col("value") * 100).cast("long") +
+          when(col("event_type") === "purchase", 2000L).otherwise(0L))
+          .as("score"),
+        (col("event_type") === "purchase").as("label")),
+      "score", "label")
+
+  // CALIBRATION BUCKETS (ops/Stats.reliabilityBuckets): the
+  // reliability-diagram table — scores (value-cents ×20, clamped to
+  // [0, 10⁶)) bucket into deciles; each bin reports promised
+  // (mean_score_ppm) vs delivered (rate_ppm) purchase rate, floor
+  // division throughout. One bucket-keyed partial groupBy.
+  def q199_calibration(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.reliabilityBuckets(
+      t(s, dir, "events").select(
+        least(lit(999999L), floor(col("value") * 100).cast("long") * 20)
+          .as("score_ppm"),
+        (col("event_type") === "purchase").as("label")),
+      "score_ppm", "label", bins = 10)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_auc"         -> q198_auc _,
+    "q199_calibration" -> q199_calibration _,
     "q196_triangles"   -> q196_triangles _,
     "q194_attribution" -> q194_attribution _,
     "q193_trend"       -> q193_trend _,
@@ -1435,6 +1465,24 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q198_auc" ->
+      """WITH s AS (SELECT CAST(floor(value*100) AS BIGINT) +
+        |             CASE WHEN event_type='purchase' THEN 2000 ELSE 0 END AS s,
+        |           event_type='purchase' AS y FROM events),
+        |g AS (SELECT s, count(*) AS c, sum(CASE WHEN y THEN 1 ELSE 0 END) AS p FROM s GROUP BY 1),
+        |w AS (SELECT *, sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) - c AS cb FROM g)
+        |SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(c-p) AS BIGINT) AS n_neg,
+        |  CAST((1000000 * (sum(p*(2*cb + c + 1)) - sum(p)*(sum(p)+1)))
+        |       // (2*sum(p)*sum(c-p)) AS BIGINT) AS auc_ppm
+        |FROM w""".stripMargin,
+    "q199_calibration" ->
+      """WITH s AS (SELECT least(999999, CAST(floor(value*100) AS BIGINT)*20) AS s,
+        |                  event_type='purchase' AS y FROM events)
+        |SELECT s//100000 AS bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(s)//count(*) AS BIGINT) AS mean_score_ppm,
+        |  CAST((1000000*sum(CASE WHEN y THEN 1 ELSE 0 END))//count(*) AS BIGINT) AS rate_ppm
+        |FROM s GROUP BY 1""".stripMargin,
     "q196_triangles" ->
       """WITH o AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
         |e AS (SELECT a.s AS x, b.s AS y FROM o a JOIN o b ON a.ok = b.ok AND a.s < b.s

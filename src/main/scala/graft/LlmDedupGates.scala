@@ -40,6 +40,19 @@ object LlmDedupGates {
       // threshold compared on the exact decimal; surfaced as double (gate)
       .withColumn("jaccard", col("jaccard").cast("double"))
 
+  // PREFIX-FILTERED Jaccard self-join (Dedup.ngramJaccardPairsPrefix,
+  // the PPJoin/All-Pairs principle): lossless near-dup pairs with the
+  // inverted index holding only each doc's rarest |d|−⌈t·|d|⌉+1 grams
+  // under the global (df, gram) order — the exact-semantics scale
+  // alternative to q25's maxDf cap (hot grams rank last and fall out of
+  // every prefix). Same pair set as the uncapped full-index join, by
+  // the pigeonhole completeness proof; the oracle IS that full join.
+  def q197_prefix_jaccard(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.ngramJaccardPairsPrefix(
+        corpusWithNearDups(s, dir).filter(col("doc_id") % 1000000L < 200),
+        "doc_id", "text", minJaccard = 0.5, ngram = 2)
+      .withColumn("jaccard", col("jaccard").cast("double"))
+
   // MinHash+LSH candidates → EXACT bigram-Jaccard verification — the
   // production candidates→verify shape. The verified output is
   // engine-independent (exact Jaccard ≥ 0.8 is SQL-expressible) and the
@@ -457,6 +470,7 @@ object LlmDedupGates {
     "q20_dedup_exact"   -> q20_dedup_exact _,
     "q23_fingerprint"   -> q23_fingerprint _,
     "q25_ngram_jaccard" -> q25_ngram_jaccard _,
+    "q197_prefix_jaccard" -> q197_prefix_jaccard _,
     "q27_minhash_pairs" -> q27_minhash_pairs _,
     "q28_simhash_pairs" -> q28_simhash_pairs _,
     "q34_embedding_neardup" -> q34_embedding_neardup _,
@@ -624,6 +638,31 @@ object LlmDedupGates {
     "q23_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_fp,
         | md5(substring(text, 1, 64)) AS prefix_fp FROM documents""".stripMargin,
+    "q197_prefix_jaccard" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '')
+        |  FROM documents WHERE doc_id < 200),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        |  FROM corpus),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared,
+        |  CAST(CAST(CAST(n_shared AS DECIMAL(18,6)) /
+        |       CAST(sa.n_grams + sb.n_grams - n_shared AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(CAST(n_shared AS DECIMAL(18,6)) /
+        |     CAST(sa.n_grams + sb.n_grams - n_shared AS DECIMAL(18,6)) AS DECIMAL(38,6))
+        |    > CAST(0.5 AS DECIMAL(38,6))""".stripMargin,
     "q25_ngram_jaccard" ->
       """WITH grams0 AS (
         |  SELECT DISTINCT doc_id,

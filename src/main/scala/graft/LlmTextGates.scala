@@ -85,6 +85,19 @@ object LlmTextGates {
       md5(graft.llm.TextAnalysis.redact(col("text")).cast("binary")).as("redacted_fp"))
   }
 
+  // COHEN'S KAPPA (ops/Stats.cohenKappaPpm): chance-corrected agreement
+  // between the fixture's lang labels and a simulated noisy re-annotation
+  // (every 7th doc flipped to 'en') — the label-quality number an
+  // annotation pipeline gates on. Confusion matrix bounded by the
+  // 5-language alphabet²; κ in exact integer ppm.
+  def q200_kappa(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.cohenKappaPpm(
+      t(s, dir, "documents").select(
+        col("lang").as("anno_a"),
+        when(col("doc_id") % 7 === 0, "en").otherwise(col("lang"))
+          .as("anno_b")),
+      "anno_a", "anno_b")
+
   // BM25-style relevance scoring at the gate (rational-decimal variant —
   // see llm/Relevance's scaladoc for why ln() can't cross the engine
   // boundary bit-stably). Fixed 4-term query over the documents corpus.
@@ -788,6 +801,7 @@ object LlmTextGates {
     "q30_langid"        -> q30_langid _,
     "q33_media_features" -> q33_media_features _,
     "q41_redact"        -> q41_redact _,
+    "q200_kappa"        -> q200_kappa _,
     "q48_bm25"          -> q48_bm25 _,
     "q51_heavy_hitters" -> q51_heavy_hitters _,
     "q62_tfidf_terms"   -> q62_tfidf_terms _,
@@ -1230,6 +1244,17 @@ object LlmTextGates {
         |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
         |       count(*) AS n_decoded
         |FROM m GROUP BY kind""".stripMargin,
+    "q200_kappa" ->
+      """WITH t AS (SELECT lang AS a, CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS b FROM documents),
+        |c AS (SELECT a, b, count(*) AS n FROM t GROUP BY 1,2),
+        |r AS (SELECT a AS l, sum(n) AS rr FROM c GROUP BY 1),
+        |k AS (SELECT b AS l, sum(n) AS cc FROM c GROUP BY 1),
+        |pe AS (SELECT sum(r.rr*k.cc) AS rc FROM r JOIN k ON k.l = r.l),
+        |po AS (SELECT sum(n) AS n, sum(CASE WHEN a=b THEN n ELSE 0 END) AS agree FROM c)
+        |SELECT CAST(po.n AS BIGINT) AS n, CAST(po.agree AS BIGINT) AS n_agree,
+        |  CAST(CASE WHEN po.n*po.n = pe.rc THEN 0
+        |   ELSE (1000000*(po.n*po.agree - pe.rc)) // (po.n*po.n - pe.rc) END AS BIGINT) AS kappa_ppm
+        |FROM po, pe""".stripMargin,
     "q41_redact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -796,6 +796,79 @@ object Dedup {
       .filter(col("jaccard") > lit(minJaccard).cast("decimal(38,6)"))
   }
 
+  /** PREFIX-FILTERED n-gram Jaccard self-join (the PPJoin/All-Pairs
+    * prefix principle): identical output to [[ngramJaccardPairs]] with
+    * NO df cap and no recall loss, but the inverted index holds only
+    * each document's PREFIX — its rarest `|d| − ceil(t·|d|) + 1` grams
+    * under the global (df, gram) order — instead of all of them.
+    *
+    * Why it is lossless: two docs with Jaccard > t share ≥ ceil(t·
+    * max(|a|,|b|)) grams, so under ANY global token order each must
+    * carry at least one shared gram inside that prefix (pigeonhole:
+    * skipping ceil(t·|d|) − 1 grams cannot skip every shared one) — the
+    * candidate join on prefix grams alone finds every qualifying pair,
+    * and the exact verify recomputes Jaccard over FULL gram sets.
+    * The threshold is floored to per-mille (t′ = ⌊t·1000⌋/1000 ≤ t) so
+    * the prefix length is computed in exact integer arithmetic and only
+    * ever errs LONGER (more candidates, never fewer).
+    *
+    * This is the scale alternative to `maxDf` stop-gram capping: the
+    * cap changes semantics (capped grams vanish from sizes too); the
+    * prefix filter keeps exact semantics while shrinking the posting
+    * lists by the factor (1 − t) — at t = 0.8 the index joins on 20% of
+    * the grams, and a boilerplate gram ranks LAST in every doc's
+    * (df, gram) order, so hot grams systematically fall out of
+    * prefixes. One extra df-count shuffle + a per-DOC rank window
+    * (state bounded by one document's gram set) buy it.
+    *
+    * Output: (doc_a, doc_b, n_shared, jaccard DECIMAL(38,6)) with
+    * jaccard > minJaccard — byte-identical to [[ngramJaccardPairs]]
+    * (uncapped) by construction. */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+                              minJaccard: Double, ngram: Int = 2): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard < 1.0,
+      s"minJaccard must be in (0, 1) for prefix filtering, got $minJaccard")
+    val tPm = math.floor(minJaccard * 1000).toLong max 1L
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
+      .distinct()
+    val dfCounts = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    val ranked = grams.join(dfCounts, Seq("gram"))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("__df").asc, col("gram").asc)))
+    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    // prefix length: n − ceil(t′·n) + 1, ceil in integer per-mille
+    val prefix = ranked.join(sizes, Seq("doc_id"))
+      .filter(col("__rk") <=
+        col("n_grams") - expr(s"($tPm * n_grams + 999) div 1000") + 1)
+      .select(col("doc_id"), col("gram"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify over FULL gram sets: candidate pairs are few, and
+    // the (doc_b, gram) semi join keeps only genuinely shared grams
+    val shared = cands
+      .join(grams.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
+      .join(grams.select(col("doc_id").as("doc_b"), col("gram")),
+        Seq("doc_b", "gram"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val d6 = "decimal(18,6)"
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("n_grams", "grams_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("n_grams", "grams_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_shared").cast(d6) /
+         (col("grams_a") + col("grams_b") - col("n_shared")).cast(d6))
+          .cast("decimal(38,6)").as("jaccard"))
+      .filter(col("jaccard") > lit(minJaccard).cast("decimal(38,6)"))
+  }
+
   /** ENSEMBLE near-dup vote — precision through signal agreement: three
     * independent near-dup detectors (distinct-n-gram Jaccard, asymmetric
     * n-gram containment, winnowing fingerprint overlap) each nominate

@@ -405,4 +405,108 @@ object Stats {
           .when(v2 > col("q3") * 2 + iqr * 3, 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** AUC (area under the ROC curve) of an integer score against a
+    * boolean label, by the Mann–Whitney rank identity — the
+    * classifier-quality number a curation pipeline reads before
+    * trusting a quality model's threshold. Exactly the probability a
+    * random positive outranks a random negative (ties → ½), in integer
+    * parts-per-million.
+    *
+    * Tie-exact without per-row ranking: group rows by score value;
+    * for a score with `c` rows (`p` positive) and `cb` rows strictly
+    * below, every positive there has DOUBLED midrank `2·cb + c + 1`,
+    * so 2·Σrank⁺ = Σ p·(2·cb + c + 1) and
+    * `auc_ppm = 10⁶·(2·Σrank⁺ − n⁺(n⁺+1)) div (2·n⁺·n⁻)` — every step
+    * integer (DECIMAL(38,0) for the final products: 10⁶·2n² passes a
+    * long at ~10⁶ rows). Output: one row (n_pos, n_neg, auc_ppm).
+    *
+    * Scale shape: one map-side-partial groupBy on the score VALUE
+    * (distinct scores cross the shuffle, not rows — the Stats
+    * histogram discipline), one [[GlobalRank.globalRunningSum]] prefix
+    * sum over those values, one global aggregate. No per-row rank, no
+    * global window, no collect. */
+  def aucPpm(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val s = df.select(col(scoreCol).cast("long").as("__s"),
+      col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    val byScore = s.groupBy(col("__s")).agg(count(lit(1)).as("__c"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__p"))
+    val cum = GlobalRank.globalRunningSum(byScore, Seq(col("__s")), "__c", "__cum")
+    cum.agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__c") - col("__p")).as("n_neg"),
+        sum(col("__p").cast("decimal(38,0)") *
+          (lit(2) * (col("__cum") - col("__c")) + col("__c") + 1)).as("__r2"))
+      .select(col("n_pos"), col("n_neg"),
+        expr("""CAST((1000000 * (__r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)))
+                |div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("auc_ppm"))
+  }
+
+  /** CALIBRATION / RELIABILITY buckets: scores in parts-per-million
+    * [0, 10⁶) bucket into `bins` equal-width bins; each bin reports how
+    * often the label actually fired vs what the score promised — the
+    * reliability-diagram table behind "is this quality model's 0.9
+    * really a 0.9". Output per non-empty bin: (bucket, n, n_pos,
+    * mean_score_ppm = Σscore div n, rate_ppm = 10⁶·n_pos div n), all
+    * floor-division integers. One map-side-partial groupBy on the
+    * bucket id; bins bound the result. */
+  def reliabilityBuckets(df: DataFrame, scorePpmCol: String,
+                         labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && 1000000 % bins == 0,
+      s"bins must divide 1000000, got $bins")
+    val w = 1000000L / bins
+    val s = df.select(col(scorePpmCol).cast("long").as("__s"),
+      col(labelCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__y").isNotNull)
+    s.where(col("__s") >= 0 && col("__s") < 1000000L)
+      .groupBy(expr(s"__s div ${w}L").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("__s")).as("__ss"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("__ss div n").as("mean_score_ppm"),
+        expr("(1000000 * n_pos) div n").as("rate_ppm"))
+  }
+
+  /** COHEN'S KAPPA between two categorical labelings of the same rows —
+    * chance-corrected inter-annotator agreement, the label-quality
+    * number a data pipeline reads before trusting human (or model)
+    * annotations. κ = (pₒ − pₑ)/(1 − pₑ) with pₑ the marginal-product
+    * chance rate, computed entirely from the confusion counts in
+    * integer arithmetic:
+    * `kappa_ppm = 10⁶·(n·Σdiag − Σᵢ rowᵢ·colᵢ) div (n² − Σᵢ rowᵢ·colᵢ)`
+    * (truncation toward zero — both engines' div on possibly-negative
+    * κ). Degenerate pₑ = 1 (both annotators constant) → 0 by
+    * definition here, documented. Output: one row (n, n_agree,
+    * kappa_ppm).
+    *
+    * Scale shape: one groupBy on the (a, b) label pair — the shuffle
+    * carries the confusion MATRIX, bounded by the label alphabet
+    * squared, not the corpus; marginals join broadcast-small. */
+  def cohenKappaPpm(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val conf = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
+      .persist()
+    val rows = conf.groupBy(col("__a").as("__l")).agg(sum(col("__n")).as("__r"))
+    val cols = conf.groupBy(col("__b").as("__l")).agg(sum(col("__n")).as("__c"))
+    val pe = rows.join(cols, Seq("__l"))
+      .agg(coalesce(sum(col("__r").cast("decimal(38,0)") * col("__c")),
+        lit(0).cast("decimal(38,0)")).as("__rc"))
+    val po = conf.agg(sum(col("__n")).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__n"))), lit(0L))
+        .as("n_agree"))
+    val out = po.crossJoin(broadcast(pe))
+      .select(col("n"), col("n_agree"),
+        when(expr("CAST(n AS DECIMAL(38,0)) * n = __rc"), 0L)
+          .otherwise(expr(
+            """CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * n_agree - __rc))
+              |div (CAST(n AS DECIMAL(38,0)) * n - __rc) AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).as("kappa_ppm"))
+      .localCheckpoint()
+    conf.unpersist()
+    out
+  }
 }

@@ -302,6 +302,44 @@ class LlmOpsSpec extends SparkTestBase {
     assert(capped == Set((1L, 2L)))
   }
 
+  test("ngramJaccardPairsPrefix: lossless vs the uncapped full-index join") {
+    // real fixture slice + planted near-dups (first word dropped) — the
+    // completeness claim must hold on messy text, not a toy alphabet
+    val base = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .filter($"doc_id" < 120).select($"doc_id", $"text")
+    val corpus = base.unionByName(base.select(($"doc_id" + 1000000L).as("doc_id"),
+      regexp_replace($"text", "^\\S+\\s*", "").as("text")))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val full = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", minJaccard = t)
+        .select("doc_a", "doc_b", "n_shared").as[(Long, Long, Long)]
+        .collect().toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", minJaccard = t)
+        .select("doc_a", "doc_b", "n_shared").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(pref == full, s"prefix filter lost/invented pairs at t=$t")
+      assert(full.nonEmpty, s"fixture must plant recallable pairs at t=$t")
+    }
+    // the point of the filter: the posting list the join runs on is a
+    // strict fraction (~1−t) of the full inverted index
+    val grams = corpus.select($"doc_id",
+      explode(graft.llm.TextShingles.wordNgrams($"text", 2)).as("gram")).distinct()
+    val fullPostings = grams.count()
+    // reproduce the operator's internal prefix size at t=0.8
+    val dfc = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    val pref08 = grams.join(dfc, Seq("gram"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+          .orderBy($"df".asc, $"gram".asc)))
+      .join(grams.groupBy("doc_id").agg(count(lit(1)).as("n")), Seq("doc_id"))
+      .filter($"rk" <= $"n" - expr("(800 * n + 999) div 1000") + 1)
+      .count()
+    assert(pref08 * 3 < fullPostings,
+      s"prefix index $pref08 should be well under a third of $fullPostings")
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", minJaccard = 1.0)
+    }
+  }
+
   test("pair-mode LSH matches the windowed top-k path and plans no Window") {
     val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
       .limit(120).select($"vec_id", $"embedding")

@@ -343,4 +343,83 @@ class StatsSpec extends SparkTestBase {
     // by at most one rank vs the clean 1..100 (26/51/76)
     assert(math.abs(rep("a")._3 - 26L) <= 1)
   }
+
+  private def auc(rows: Seq[(Long, Boolean)]) =
+    Stats.aucPpm(rows.toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Long)].collect().head
+
+  test("aucPpm: separation, reversal, ties, and the textbook middle case") {
+    // perfect separation → 1.0; total reversal → 0.0
+    assert(auc(Seq((1L, false), (2L, false), (10L, true), (11L, true)))
+      == ((2L, 2L, 1000000L)))
+    assert(auc(Seq((10L, false), (11L, false), (1L, true), (2L, true)))
+      == ((2L, 2L, 0L)))
+    // all scores tied → exactly 1/2 by the midrank convention
+    assert(auc(Seq((5L, true), (5L, false), (5L, true), (5L, false)))._3
+      == 500000L)
+    // hand case: pos {3, 1}, neg {2, 0} → pairs: 3>2,3>0,1>0 win, 1<2
+    // lose → AUC 3/4
+    assert(auc(Seq((3L, true), (1L, true), (2L, false), (0L, false)))._3
+      == 750000L)
+    // mixed ties: pos {2, 1}, neg {2, 0} → 2v2 tie=½, 2>0, 1<2, 1>0 →
+    // 2.5/4 = 0.625
+    assert(auc(Seq((2L, true), (1L, true), (2L, false), (0L, false)))._3
+      == 625000L)
+    // partition independence on a larger random case
+    val rnd = new scala.util.Random(3)
+    val big = Seq.fill(500)((rnd.nextInt(40).toLong, rnd.nextBoolean()))
+    val one = auc(big)
+    val again = Stats.aucPpm(big.toDF("s", "y").repartition(7), "s", "y")
+      .as[(Long, Long, Long)].collect().head
+    assert(one == again)
+    // brute-force pair count cross-check on the same data
+    val pos = big.filter(_._2).map(_._1); val neg = big.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(one._3 == 1000000L * wins / (2L * pos.size * neg.size))
+  }
+
+  test("reliabilityBuckets: bin math, out-of-range exclusion, validation") {
+    val rows = Seq(
+      (50000L, true), (99999L, false),          // bucket 0: 2 rows, 1 pos
+      (100000L, true), (150000L, true),         // bucket 1: 2 rows, 2 pos
+      (999999L, false),                         // bucket 9
+      (1000000L, true), (-1L, true))            // out of range: dropped
+    val got = Stats.reliabilityBuckets(rows.toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      0L -> ((2L, 1L, 74999L, 500000L)),
+      1L -> ((2L, 2L, 125000L, 1000000L)),
+      9L -> ((1L, 0L, 999999L, 0L))))
+    intercept[IllegalArgumentException] {
+      Stats.reliabilityBuckets(rows.toDF("s", "y"), "s", "y", bins = 3)
+    }
+  }
+
+  private def kappa(rows: Seq[(String, String)]) =
+    Stats.cohenKappaPpm(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long)].collect().head
+
+  test("cohenKappaPpm: perfect, chance-level, degenerate, negative") {
+    // perfect agreement → 1.0
+    assert(kappa(Seq(("x", "x"), ("y", "y"), ("x", "x"))) == ((3L, 3L, 1000000L)))
+    // textbook 2×2: [20 5 / 10 15]: po=35/50=0.7,
+    // pe=(25·30+25·20)/2500=0.5 → κ = 0.2/0.5 = 0.4
+    val rows = Seq.fill(20)(("x", "x")) ++ Seq.fill(5)(("x", "y")) ++
+      Seq.fill(10)(("y", "x")) ++ Seq.fill(15)(("y", "y"))
+    assert(kappa(rows) == ((50L, 35L, 400000L)))
+    // both annotators constant → pe = 1 → κ defined 0 here
+    assert(kappa(Seq(("x", "x"), ("x", "x")))._3 == 0L)
+    // systematic disagreement → negative κ (truncated toward zero)
+    // a=[0 2 / 2 0]: po=0, pe=0.5 → κ = −1
+    assert(kappa(Seq(("x", "y"), ("x", "y"), ("y", "x"), ("y", "x")))._3
+      == -1000000L)
+    // partition independence
+    val big = rows ++ rows
+    val one = kappa(big)
+    val again = Stats.cohenKappaPpm(big.toDF("a", "b").repartition(5), "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(one == again)
+  }
 }
