@@ -1386,7 +1386,45 @@ object CoreQueries {
         (col("event_type") === "purchase").as("label")),
       "score_ppm", "label", bins = 10)
 
+  // ASSOCIATION RULES (ops/Association.associationRules): market-basket
+  // support/confidence/lift over order baskets (items = part-key mod 50
+  // classes — dense enough to co-occur), min support 6 per-mille of
+  // baskets (the scale-invariant Apriori knob). Exact integer
+  // per-mille/ppm metrics; the pair join is basket-keyed with the
+  // maxBasketSize hot-key guard; item-count joins broadcast.
+  def q201_assoc_rules(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Association.associationRules(
+      t(s, dir, "lineitem").select(col("l_orderkey").as("bk"),
+        (col("l_partkey") % 50).as("item")),
+      "bk", "item", minSupportPm = 6)
+
+  // RECURSIVE HIERARCHY (ops/Hierarchy.ancestors): the WITH RECURSIVE /
+  // CONNECT BY question Spark lacks natively — full ancestor closure
+  // with hop counts over the doc_id div 2 binary tree, iterative
+  // parent-keyed joins checkpointed per hop, early-exit on an empty
+  // frontier. The oracle IS DuckDB's native WITH RECURSIVE.
+  def q202_hierarchy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Hierarchy.ancestors(
+      t(s, dir, "documents").filter(col("doc_id") >= 1)
+        .select(col("doc_id").as("child"),
+          expr("doc_id div 2").as("parent")),
+      "child", "parent", maxDepth = 12)
+
+  // PEARSON χ² 2×2 (ops/Stats.chiSquare2x2Milli): the A/B significance
+  // statistic — even/odd user cohorts × purchase outcome, closed-form
+  // integer arithmetic in DECIMAL(38,0), cells surfaced for margin
+  // audits. One scan, one partial aggregate, metadata-sized result.
+  def q203_chi2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.chiSquare2x2Milli(
+      t(s, dir, "events").select(
+        (col("user_id") % 2 === 0).as("grp"),
+        (col("event_type") === "purchase").as("label")),
+      "grp", "label")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_assoc_rules" -> q201_assoc_rules _,
+    "q202_hierarchy"   -> q202_hierarchy _,
+    "q203_chi2"        -> q203_chi2 _,
     "q198_auc"         -> q198_auc _,
     "q199_calibration" -> q199_calibration _,
     "q196_triangles"   -> q196_triangles _,
@@ -1465,6 +1503,43 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q201_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 50 AS item FROM lineitem),
+        |nb AS (SELECT count(DISTINCT bk) AS n FROM it),
+        |ic AS (SELECT item, count(*) AS cnt FROM it GROUP BY 1),
+        |pc AS (SELECT a.item AS x, b.item AS y, count(*) AS np
+        |       FROM it a JOIN it b ON a.bk = b.bk AND a.item < b.item GROUP BY 1, 2),
+        |rules AS (
+        |  SELECT x AS ante, y AS cons, np FROM pc WHERE 1000*np >= 6*(SELECT n FROM nb)
+        |  UNION ALL
+        |  SELECT y, x, np FROM pc WHERE 1000*np >= 6*(SELECT n FROM nb))
+        |SELECT r.ante, r.cons, CAST(r.np AS BIGINT) AS n_pair,
+        |  CAST((1000 * r.np) // nb.n AS BIGINT) AS support_pm,
+        |  CAST((1000 * r.np) // ia.cnt AS BIGINT) AS confidence_pm,
+        |  CAST((1000000 * r.np * nb.n) // (ia.cnt * ic2.cnt) AS BIGINT) AS lift_ppm
+        |FROM rules r JOIN ic ia ON ia.item = r.ante
+        |JOIN ic ic2 ON ic2.item = r.cons, nb""".stripMargin,
+    "q202_hierarchy" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT doc_id AS node, doc_id // 2 AS ancestor, 1 AS depth
+        |  FROM documents WHERE doc_id >= 1
+        |  UNION ALL
+        |  SELECT node, ancestor // 2, depth + 1 FROM anc WHERE ancestor >= 1)
+        |SELECT node, CAST(ancestor AS BIGINT) AS ancestor,
+        |  CAST(depth AS INT) AS depth FROM anc""".stripMargin,
+    "q203_chi2" ->
+      """WITH t AS (SELECT user_id % 2 = 0 AS g, event_type = 'purchase' AS y FROM events),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN g AND y THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+        |             CAST(sum(CASE WHEN g AND NOT y THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+        |             CAST(sum(CASE WHEN NOT g AND y THEN 1 ELSE 0 END) AS HUGEINT) AS c2,
+        |             CAST(sum(CASE WHEN NOT g AND NOT y THEN 1 ELSE 0 END) AS HUGEINT) AS d FROM t)
+        |SELECT n, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+        |  CAST(c2 AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+        |  CAST(CASE WHEN (a+b)*(c2+d) = 0 OR (a+c2)*(b+d) = 0 THEN NULL
+        |   ELSE (1000 * n * (a*d - b*c2) * (a*d - b*c2)) // ((a+b)*(c2+d)*(a+c2)*(b+d))
+        |   END AS BIGINT) AS chi2_milli
+        |FROM c""".stripMargin,
     "q198_auc" ->
       """WITH s AS (SELECT CAST(floor(value*100) AS BIGINT) +
         |             CASE WHEN event_type='purchase' THEN 2000 ELSE 0 END AS s,

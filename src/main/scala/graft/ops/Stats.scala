@@ -470,6 +470,38 @@ object Stats {
         expr("(1000000 * n_pos) div n").as("rate_ppm"))
   }
 
+  /** PEARSON χ² for a 2×2 design — the A/B-test significance statistic
+    * (group × outcome), in exact integer MILLI-units via the closed
+    * form χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)): pure integer
+    * products in DECIMAL(38,0), floor division last, no expected-count
+    * float anywhere. The numerator is 10³·N⁵-scale, so exactness holds
+    * to N ≈ 10⁷ rows; past that, pre-aggregate the design (the cells,
+    * not the rows, are the statistic's sufficient statistics — compute
+    * them at any scale, then run the closed form on the 4 counts). Compare `chi2_milli` against 3841 (α=0.05, 1 df)
+    * / 6635 (α=0.01). Degenerate margins (an empty row or column) →
+    * NULL, the honest "test undefined". Output: one row
+    * (n, a, b, c, d, chi2_milli) with the confusion cells surfaced so
+    * the caller can audit the margins. One map-side-partial aggregate
+    * over booleans — a single scan, metadata-sized result. */
+  def chiSquare2x2Milli(df: DataFrame, groupCol: String,
+                        labelCol: String): DataFrame = {
+    val t = df.select(col(groupCol).cast("boolean").as("__g"),
+      col(labelCol).cast("boolean").as("__y"))
+      .where(col("__g").isNotNull && col("__y").isNotNull)
+    def cell(g: Boolean, y: Boolean) =
+      sum(when(col("__g") === g && col("__y") === y, 1L).otherwise(0L))
+    t.agg(count(lit(1)).as("n"), cell(true, true).as("a"),
+        cell(true, false).as("b"), cell(false, true).as("c"),
+        cell(false, false).as("d"))
+      .select(col("n"), col("a"), col("b"), col("c"), col("d"),
+        expr("""CASE WHEN (a+b)*(c+d) = 0 OR (a+c)*(b+d) = 0 THEN NULL
+                |ELSE CAST((1000 * n *
+                |  (CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c) *
+                |  (CAST(a AS DECIMAL(38,0))*d - CAST(b AS DECIMAL(38,0))*c))
+                |div (CAST((a+b) AS DECIMAL(38,0))*(c+d)*(a+c)*(b+d)) AS BIGINT)
+                |END""".stripMargin.replace("\n", " ")).as("chi2_milli"))
+  }
+
   /** COHEN'S KAPPA between two categorical labelings of the same rows —
     * chance-corrected inter-annotator agreement, the label-quality
     * number a data pipeline reads before trusting human (or model)

@@ -1,0 +1,100 @@
+package graft
+
+import graft.ops.{Association, Hierarchy}
+import org.apache.spark.sql.functions._
+
+/** ops/Association (market-basket rules) and ops/Hierarchy (recursive
+  * ancestor closure) against hand-computable fixtures. */
+class AssociationHierarchySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("associationRules: support/confidence/lift from a hand-built basket set") {
+    // 10 baskets: x in 8, y in 4 (all with x), z in 2 (disjoint from y)
+    val rows =
+      (1 to 8).map(b => (b.toLong, "x")) ++
+      (1 to 4).map(b => (b.toLong, "y")) ++
+      Seq((9L, "z"), (10L, "z"), (9L, "x"),
+        (9L, "x"))                      // duplicate (basket, item): set semantics
+    val got = Association.associationRules(rows.toDF("bk", "it"), "bk", "it",
+        minSupportPm = 150)
+      .select($"ante", $"cons", $"n_pair", $"support_pm", $"confidence_pm",
+        $"lift_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // x∧y = 4; |baskets| = 10; |x| = 9 (baskets 1-8 + 9), |y| = 4
+    // x→y: conf 4/9 = 444‰, lift 10⁶·4·10/(9·4) = 1111111
+    assert(got(("x", "y"))   == ((4L, 400L, 444L, 1111111L)))
+    assert(got(("y", "x"))   == ((4L, 400L, 1000L, 1111111L)))
+    // x∧z = 1 < minPairCount → absent in both directions
+    assert(!got.contains(("x", "z")) && !got.contains(("z", "x")))
+    // partition independence
+    val again = Association.associationRules(
+        rows.toDF("bk", "it").repartition(7), "bk", "it", 150)
+      .select($"ante", $"cons", $"n_pair", $"support_pm", $"confidence_pm",
+        $"lift_ppm")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      Association.associationRules(rows.toDF("bk", "it"), "bk", "it", 0)
+    }
+  }
+
+  test("associationRules: maxBasketSize drops mega-baskets entirely") {
+    // basket 1 holds every item (the crawler-session hot key); baskets
+    // 2-4 hold {a,b} — with the cap at 3 the mega-basket contributes
+    // NOTHING, including to item counts and the basket denominator
+    val rows = Seq((1L, "a"), (1L, "b"), (1L, "c"), (1L, "d")) ++
+      (2 to 4).flatMap(b => Seq((b.toLong, "a"), (b.toLong, "b")))
+    val got = Association.associationRules(rows.toDF("bk", "it"), "bk", "it",
+        minSupportPm = 100, maxBasketSize = 3)
+      .select($"ante", $"cons", $"n_pair", $"support_pm")
+      .as[(String, String, Long, Long)].collect().toSet
+    // 3 surviving baskets, a∧b = 3 → support 1000‰
+    assert(got == Set(("a", "b", 3L, 1000L), ("b", "a", 3L, 1000L)))
+  }
+
+  test("ancestors: closure of a binary tree with depths, early exit") {
+    // tree: parent(n) = n/2; nodes 1..15 (root 0 reached by all)
+    val edges = (1L to 15L).map(n => (n, n / 2)).toDF("c", "p")
+    val got = Hierarchy.ancestors(edges, "c", "p", maxDepth = 10)
+      .as[(Long, Long, Int)].collect().toSet
+    // node 11: 11→5→2→1→0 at depths 1..4
+    assert(got.filter(_._1 == 11L) ==
+      Set((11L, 5L, 1), (11L, 2L, 2), (11L, 1L, 3), (11L, 0L, 4)))
+    // node 1: single hop to root
+    assert(got.filter(_._1 == 1L) == Set((1L, 0L, 1)))
+    // closure size: Σ depth(n) for 1..15 = 1+2·2+4·3+8·4 = 49
+    assert(got.size == 49)
+    // depth capped: maxDepth 2 keeps only hops 1 and 2
+    val capped = Hierarchy.ancestors(edges, "c", "p", maxDepth = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(capped == got.filter(_._3 <= 2))
+    // partition independence
+    val again = Hierarchy.ancestors(edges.repartition(5), "c", "p", 10)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(again == got)
+  }
+
+  test("ancestors: cycle fails loud unless requireAcyclic=false") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("c", "p")
+    intercept[IllegalArgumentException] {
+      Hierarchy.ancestors(cyc, "c", "p", maxDepth = 5)
+    }
+    // depth-bounded traversal still terminates and self-loops appear
+    val tolerated = Hierarchy.ancestors(cyc, "c", "p", maxDepth = 5,
+        requireAcyclic = false)
+      .as[(Long, Long, Int)].collect()
+    assert(tolerated.exists(r => r._1 == r._2))
+    assert(tolerated.forall(_._3 <= 5))
+  }
+
+  test("depthAndRoot summarizes the closure per node") {
+    val edges = (1L to 7L).map(n => (n, n / 2)).toDF("c", "p")
+    val got = Hierarchy.depthAndRoot(
+        Hierarchy.ancestors(edges, "c", "p", maxDepth = 10))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((1L, 1, 0L), (2L, 2, 0L), (3L, 2, 0L),
+      (4L, 3, 0L), (5L, 3, 0L), (6L, 3, 0L), (7L, 3, 0L)))
+  }
+}

@@ -397,6 +397,30 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("chiSquare2x2Milli: textbook value, independence, degenerate margins") {
+    def chi(rows: Seq[(Boolean, Boolean)]) =
+      Stats.chiSquare2x2Milli(rows.toDF("g", "y"), "g", "y")
+        .select($"n", $"a", $"b", $"c", $"d", $"chi2_milli")
+        .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    // [10 20 / 30 40]: χ² = 100·(400−600)²/(30·70·40·60) = 4000000/5040000
+    // = 0.7936… → 793 milli
+    val rows = Seq.fill(10)((true, true)) ++ Seq.fill(20)((true, false)) ++
+      Seq.fill(30)((false, true)) ++ Seq.fill(40)((false, false))
+    assert(chi(rows) == ((100L, 10L, 20L, 30L, 40L, Some(793L))))
+    // perfectly proportional margins → χ² = 0 exactly
+    val indep = Seq.fill(10)((true, true)) ++ Seq.fill(10)((true, false)) ++
+      Seq.fill(20)((false, true)) ++ Seq.fill(20)((false, false))
+    assert(chi(indep)._6 == Some(0L))
+    // empty outcome column → undefined, surfaced as NULL not a crash
+    assert(chi(Seq((true, true), (false, true)))._6.isEmpty)
+    // partition independence
+    val a = chi(rows)
+    val b = Stats.chiSquare2x2Milli(rows.toDF("g", "y").repartition(7), "g", "y")
+      .select($"n", $"a", $"b", $"c", $"d", $"chi2_milli")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(a == b)
+  }
+
   private def kappa(rows: Seq[(String, String)]) =
     Stats.cohenKappaPpm(rows.toDF("a", "b"), "a", "b")
       .as[(Long, Long, Long)].collect().head
