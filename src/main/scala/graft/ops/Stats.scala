@@ -518,10 +518,13 @@ object Stats {
     * carries the confusion MATRIX, bounded by the label alphabet
     * squared, not the corpus; marginals join broadcast-small. */
   def cohenKappaPpm(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // the confusion aggregate feeds three readers (marginals ×2, po)
+    // inside ONE final plan — identical exchange subtrees, so Spark's
+    // ReuseExchange computes the shuffle once; no persist/checkpoint
+    // needed (and the plan stays visible to the audit spec)
     val conf = df.select(col(aCol).as("__a"), col(bCol).as("__b"))
       .where(col("__a").isNotNull && col("__b").isNotNull)
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__n"))
-      .persist()
     val rows = conf.groupBy(col("__a").as("__l")).agg(sum(col("__n")).as("__r"))
     val cols = conf.groupBy(col("__b").as("__l")).agg(sum(col("__n")).as("__c"))
     val pe = rows.join(cols, Seq("__l"))
@@ -530,15 +533,12 @@ object Stats {
     val po = conf.agg(sum(col("__n")).as("n"),
       coalesce(sum(when(col("__a") === col("__b"), col("__n"))), lit(0L))
         .as("n_agree"))
-    val out = po.crossJoin(broadcast(pe))
+    po.crossJoin(broadcast(pe))
       .select(col("n"), col("n_agree"),
         when(expr("CAST(n AS DECIMAL(38,0)) * n = __rc"), 0L)
           .otherwise(expr(
             """CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * n_agree - __rc))
               |div (CAST(n AS DECIMAL(38,0)) * n - __rc) AS BIGINT)"""
               .stripMargin.replace("\n", " "))).as("kappa_ppm"))
-      .localCheckpoint()
-    conf.unpersist()
-    out
   }
 }

@@ -693,4 +693,56 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("PartitionFilters") && p.contains("event_type"),
       s"event_type predicate must prune partitions:\n${p.take(600)}")
   }
+
+  test("q194: attribution windows partition by (user, conversion), joins stay equi") {
+    val p = plan("q194_attribution")
+    assert(!p.contains("windowspecdefinition()"),
+      "credit windows must partition by (user, conversion)")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "touch-conversion pairing must ride the user equi key")
+  }
+
+  test("q195/q198: prefix-sum operators stay free of global windows") {
+    // systematicPps and aucPpm both ride globalRunningSum — the window
+    // inside partitions by the range-partition id, never empty
+    for (q <- Seq("q195_pps_sample", "q198_auc")) {
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition()"),
+        s"$q must not sort the corpus under one window partition")
+    }
+  }
+
+  test("q196/q201: co-occurrence self-joins are equi on the basket key") {
+    for (q <- Seq("q196_triangles", "q201_assoc_rules")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q pair generation must join on the order key, not enumerate pairs")
+    }
+  }
+
+  test("q197: prefix-filtered join plans no cartesian and prunes text early") {
+    val p = plan("q197_prefix_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // the per-doc rank window must partition by doc_id (bounded state)
+    assert(!p.contains("windowspecdefinition()"),
+      "prefix rank must partition by doc_id")
+  }
+
+  test("q203/q200: test statistics reduce map-side to metadata rows") {
+    val chi = plan("q203_chi2")
+    assert(chi.contains("partial_count") || chi.contains("partial_sum"),
+      "chi-square cells must combine map-side")
+    assert(!chi.contains("windowspecdefinition"))
+    val kap = plan("q200_kappa")
+    // kappa's 1-row chance-rate frame crossJoins BY DESIGN — the audit
+    // is that it broadcasts (1-row metadata), not that no product exists
+    assert(kap.contains("Broadcast"),
+      "kappa's 1-row chance-rate frame must broadcast")
+  }
+
+  test("q202: hierarchy iteration plans equi joins, never a loop product") {
+    val p = plan("q202_hierarchy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "frontier expansion must join on the parent key")
+  }
 }
