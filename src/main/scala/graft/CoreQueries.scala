@@ -1421,7 +1421,37 @@ object CoreQueries {
         (col("event_type") === "purchase").as("label")),
       "grp", "label")
 
+  // COMMIT-LOG TIME TRAVEL (ops/CommitLog.snapshotAt): "the table AS OF
+  // version v" reconstructed from an append-only add/remove action log
+  // (orders replayed as actions: every 11th orderkey a remove) — one
+  // key-keyed max_by aggregate, map-side partial, removes drop. The
+  // lakehouse read next to SCD2's attribute history and IVM's live view.
+  def q204_time_travel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CommitLog.snapshotAt(
+      t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("v"),
+        when(col("o_orderkey") % 11 === 0, "remove").otherwise("add").as("op"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100).cast("long").as("total_c")),
+      "custkey", "v", "op", version = 4000L,
+      payloadCols = Seq("status", "total_c"))
+
+  // QUANTILE NORMALIZATION (ops/Stats.quantileNormalize): map each
+  // event type's value distribution onto the global one — rank kept,
+  // scale drift killed. The quantile function materializes at 1000
+  // per-mille points only (broadcast probe of the global histogram),
+  // so the row-level transform is one broadcast join; the rank window
+  // is type-partitioned.
+  def q205_quantile_norm(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.quantileNormalize(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("vc")),
+      "event_type", "vc", "event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_quantile_norm" -> q205_quantile_norm _,
+    "q204_time_travel" -> q204_time_travel _,
     "q201_assoc_rules" -> q201_assoc_rules _,
     "q202_hierarchy"   -> q202_hierarchy _,
     "q203_chi2"        -> q203_chi2 _,
@@ -1503,6 +1533,29 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q205_quantile_norm" ->
+      """WITH base AS (SELECT event_type g, event_id id, CAST(floor(value*100) AS BIGINT) v
+        |              FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY v, id) rk,
+        |        count(*) OVER (PARTITION BY g) n FROM base),
+        |rr AS (SELECT g, id, v, (1000*rk + n - 1)//n AS pm FROM r),
+        |h AS (SELECT v, count(*) c FROM base GROUP BY 1),
+        |cumt AS (SELECT v, c, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) cum FROM h),
+        |nt AS (SELECT count(*) AS N FROM base),
+        |pms AS (SELECT pm, (pm*N + 999)//1000 AS need FROM range(1,1001) t(pm), nt),
+        |qmap AS (SELECT pm, v AS normalized FROM cumt JOIN pms ON cum - c < need AND need <= cum)
+        |SELECT rr.g AS event_type, rr.id AS event_id, rr.v AS vc,
+        |  CAST(rr.pm AS BIGINT) AS pm, qmap.normalized
+        |FROM rr JOIN qmap USING (pm)""".stripMargin,
+    "q204_time_travel" ->
+      """WITH log AS (SELECT o_custkey AS custkey, o_orderkey AS v,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN 'remove' ELSE 'add' END AS op,
+        |  o_orderstatus AS status, CAST(floor(o_totalprice*100) AS BIGINT) AS total_c
+        | FROM orders),
+        |s AS (SELECT custkey, arg_max(op, v) AS op, CAST(max(v) AS BIGINT) AS last_version,
+        |        arg_max(status, v) AS status, arg_max(total_c, v) AS total_c
+        |      FROM log WHERE v <= 4000 GROUP BY custkey)
+        |SELECT custkey, last_version, status, total_c FROM s WHERE op = 'add'""".stripMargin,
     "q201_assoc_rules" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 50 AS item FROM lineitem),
         |nb AS (SELECT count(DISTINCT bk) AS n FROM it),

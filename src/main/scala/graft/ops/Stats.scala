@@ -470,6 +470,56 @@ object Stats {
         expr("(1000000 * n_pos) div n").as("rate_ppm"))
   }
 
+  /** QUANTILE NORMALIZATION across groups — the feature-pipeline
+    * transform that maps every group's value distribution onto the
+    * GLOBAL one (each row keeps its within-group rank but takes the
+    * global value at that rank), killing per-group scale/offset drift
+    * while preserving order. Rule, all integer: within-group per-mille
+    * position pm = ⌈1000·rank/n_g⌉ (rank by (value, id) — tie-free),
+    * normalized = the global type-1 quantile at pm (smallest value
+    * whose cumulative count reaches ⌈pm·N/1000⌉ — the exactQuantiles
+    * rule evaluated at per-mille resolution).
+    *
+    * Output: (groupCol, idCol, valueCol, pm, normalized) per non-null
+    * row.
+    *
+    * Scale shape: the quantile FUNCTION is materialized only at the
+    * 1000 per-mille points — a ≤1000-row map built by probing the
+    * global value histogram (distinct values, window-free prefix sum)
+    * with a broadcast probe set, then broadcast-joined back to rows.
+    * The rank window partitions by the GROUP — state bounded by one
+    * group, the sessionize caveat: groups are languages/sources, not
+    * one giant key. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        col(valueCol).cast("long").as("__v"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"), col("__id"))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+    val ranked = base
+      .withColumn("__rk", row_number().over(wg))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("pm", expr("(1000 * __rk + __n - 1) div __n"))
+    val hist = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val cum = GlobalRank.globalRunningSum(hist, Seq(col("__v")), "__c", "__cum")
+    val nTot = base.agg(count(lit(1)).as("__N"))
+    val pms = spark.range(1, 1001).select(col("id").as("pm"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__need", expr("(pm * __N + 999) div 1000"))
+    // the covering histogram bucket: cum − c < need ≤ cum — exactly one
+    // row per pm; the probe set broadcasts, the histogram streams
+    val qmap = cum.join(broadcast(pms),
+        col("__cum") - col("__c") < col("__need") &&
+          col("__need") <= col("__cum"))
+      .select(col("pm"), col("__v").as("normalized"))
+    ranked.join(broadcast(qmap), Seq("pm"))
+      .select(col("__g").as(groupCol), col("__id").as(idCol),
+        col("__v").as(valueCol), col("pm"), col("normalized"))
+  }
+
   /** PEARSON χ² for a 2×2 design — the A/B-test significance statistic
     * (group × outcome), in exact integer MILLI-units via the closed
     * form χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)): pure integer

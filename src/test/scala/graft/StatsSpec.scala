@@ -397,6 +397,45 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("quantileNormalize maps group ranks onto the global distribution") {
+    // group a: 1..4 (low scale); group b: 101..104 (high scale) —
+    // normalization must give BOTH groups the same 8-value global
+    // profile positionally: rank k of 4 → pm in {250,500,750,1000} →
+    // global quantiles at ranks ceil(pm·8/1000) = {2,4,6,8}
+    val rows = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L),
+      ("b", 5L, 101L), ("b", 6L, 102L), ("b", 7L, 103L), ("b", 8L, 104L))
+      .toDF("g", "id", "v")
+    val got = Stats.quantileNormalize(rows, "g", "v", "id")
+      .select($"g", $"id", $"v", $"pm", $"normalized")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    // sorted global values: 1,2,3,4,101,102,103,104 → ranks 2,4,6,8 =
+    // 2, 4, 102, 104
+    assert(got(("a", 1L)) == ((250L, 2L)))
+    assert(got(("a", 4L)) == ((1000L, 104L)))
+    assert(got(("b", 5L)) == ((250L, 2L)))
+    assert(got(("b", 8L)) == ((1000L, 104L)))
+    // both groups normalize to the identical value multiset
+    val byG = Stats.quantileNormalize(rows, "g", "v", "id")
+      .select($"g", $"normalized").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted.toSeq }
+    assert(byG("a") == byG("b"))
+    // identity: normalizing ONE group against itself returns its own
+    // values at every rank
+    val one = (1L to 10L).map(v => ("x", v, v * 7)).toDF("g", "id", "v")
+    val idm = Stats.quantileNormalize(one, "g", "v", "id")
+      .select($"v", $"normalized").as[(Long, Long)].collect()
+    assert(idm.forall { case (v, n) => v == n })
+    // partition independence
+    val a1 = Stats.quantileNormalize(rows.repartition(5), "g", "v", "id")
+      .select($"g", $"id", $"pm", $"normalized")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val a2 = Stats.quantileNormalize(rows, "g", "v", "id")
+      .select($"g", $"id", $"pm", $"normalized")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(a1 == a2)
+  }
+
   test("chiSquare2x2Milli: textbook value, independence, degenerate margins") {
     def chi(rows: Seq[(Boolean, Boolean)]) =
       Stats.chiSquare2x2Milli(rows.toDF("g", "y"), "g", "y")
