@@ -1449,7 +1449,59 @@ object CoreQueries {
           floor(col("value") * 100).cast("long").as("vc")),
       "event_type", "vc", "event_id")
 
+  // COLUMN PROFILER (ops/Profiler.profileColumns): the ANALYZE-TABLE /
+  // data-catalog report — per column: nulls, distinct cardinality,
+  // native-order min/max (rendered after), modal value with the
+  // (count, value)-struct tie rule. One fused aggregate scan + one
+  // unpivoted (column, value) groupBy; a planted nullable column
+  // proves the null path. S10's exists/count/PK probes generalized.
+  def q206_profile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.profileColumns(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 10 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")).as("prio")),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "prio"))
+
+  // SET OPERATIONS (INTERSECT / EXCEPT, set and multiset forms): the
+  // SQL-standard surface between union and join — customers ordering in
+  // both 1995 and 1996, in 1995 only, and the EXCEPT ALL multiset
+  // difference (per-customer surplus of 1995 orders over 1996 ones —
+  // duplicates matter). Branch-labeled union so one gate pins all four
+  // semantics; Catalyst plans set ops as aggregates/anti-joins on the
+  // distinct keys, never row-at-a-time.
+  def q207_set_ops(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    val i = yr(1995).intersect(yr(1996)).withColumn("op", lit("intersect"))
+    val e = yr(1995).except(yr(1996)).withColumn("op", lit("except"))
+    val ia = yr(1995).intersectAll(yr(1996))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("__m"))
+      .select(col("o_custkey"), lit("intersect_all").as("op"), col("__m"))
+    val ea = yr(1995).exceptAll(yr(1996))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("__m"))
+      .select(col("o_custkey"), lit("except_all").as("op"), col("__m"))
+    i.withColumn("__m", lit(1L)).unionByName(e.withColumn("__m", lit(1L)))
+      .unionByName(ia).unionByName(ea)
+      .select(col("o_custkey"), col("op"), col("__m").as("multiplicity"))
+  }
+
+  // PER-GROUP WINSORIZATION (ops/Stats.winsorize): clamp each event
+  // type's values into its own [p05, p95] per-mille fences — the
+  // outlier-taming transform before averaging; exact type-1 group
+  // quantiles ride a broadcast join, the clamp is map-only.
+  def q208_winsorize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.winsorize(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("vc")),
+      "event_type", "vc", loPm = 50, hiPm = 950)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_set_ops"     -> q207_set_ops _,
+    "q208_winsorize"   -> q208_winsorize _,
+    "q206_profile"     -> q206_profile _,
     "q205_quantile_norm" -> q205_quantile_norm _,
     "q204_time_travel" -> q204_time_travel _,
     "q201_assoc_rules" -> q201_assoc_rules _,
@@ -1533,6 +1585,59 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q207_set_ops" ->
+      """WITH y95 AS (SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+        |y96 AS (SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996),
+        |i AS (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96),
+        |e AS (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96),
+        |ia AS (SELECT o_custkey, CAST(count(*) AS BIGINT) m FROM
+        |        (SELECT o_custkey FROM y95 INTERSECT ALL SELECT o_custkey FROM y96) GROUP BY 1),
+        |ea AS (SELECT o_custkey, CAST(count(*) AS BIGINT) m FROM
+        |        (SELECT o_custkey FROM y95 EXCEPT ALL SELECT o_custkey FROM y96) GROUP BY 1)
+        |SELECT o_custkey, 'intersect' AS op, CAST(1 AS BIGINT) AS multiplicity FROM i
+        |UNION ALL SELECT o_custkey, 'except', 1 FROM e
+        |UNION ALL SELECT o_custkey, 'intersect_all', m FROM ia
+        |UNION ALL SELECT o_custkey, 'except_all', m FROM ea""".stripMargin,
+    "q208_winsorize" ->
+      """WITH base AS (SELECT event_type g, event_id id, CAST(floor(value*100) AS BIGINT) v
+        |              FROM events WHERE value IS NOT NULL),
+        |nn AS (SELECT g, count(*) AS n FROM base GROUP BY 1),
+        |h AS (SELECT g, v, count(*) c FROM base GROUP BY 1, 2),
+        |cumt AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) cum FROM h),
+        |fen AS (SELECT c.g,
+        |   min(CASE WHEN c.cum >= (50*nn.n+999)//1000 THEN c.v END) AS lo,
+        |   min(CASE WHEN c.cum >= (950*nn.n+999)//1000 THEN c.v END) AS hi
+        | FROM cumt c JOIN nn ON nn.g = c.g GROUP BY 1)
+        |SELECT b.g AS event_type, b.id AS event_id, b.v AS vc,
+        |  CASE WHEN b.v < lo THEN lo WHEN b.v > hi THEN hi ELSE b.v END AS winsorized,
+        |  CAST(CASE WHEN b.v < lo OR b.v > hi THEN 1 ELSE 0 END AS BIGINT) AS clipped
+        |FROM base b JOIN fen ON fen.g = b.g""".stripMargin,
+    "q206_profile" ->
+      """WITH src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS prio
+        |     FROM orders),
+        |L AS (
+        | SELECT 'o_orderkey' AS "column", CAST(o_orderkey AS VARCHAR) AS val FROM src
+        | UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM src
+        | UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM src
+        | UNION ALL SELECT 'prio', prio FROM src),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src),
+        |nn AS (SELECT "column", CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |       FROM L GROUP BY 1),
+        |mm AS (SELECT 'o_orderkey' AS "column", CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |         CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM src
+        |  UNION ALL SELECT 'o_custkey', CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM src
+        |  UNION ALL SELECT 'o_orderstatus', min(o_orderstatus), max(o_orderstatus) FROM src
+        |  UNION ALL SELECT 'prio', min(prio), max(prio) FROM src),
+        |h AS (SELECT "column", val, count(*) AS cnt FROM L WHERE val IS NOT NULL GROUP BY 1, 2),
+        |sh AS (SELECT "column", CAST(count(*) AS BIGINT) AS n_distinct,
+        |         first(val ORDER BY cnt DESC, val DESC) AS top_value,
+        |         CAST(max(cnt) AS BIGINT) AS top_count
+        |       FROM h GROUP BY 1)
+        |SELECT nn."column", tot.n, nn.n_null, coalesce(sh.n_distinct, 0) AS n_distinct,
+        |  mm.min_value, mm.max_value, sh.top_value, sh.top_count
+        |FROM nn JOIN mm ON mm."column" = nn."column"
+        |LEFT JOIN sh ON sh."column" = nn."column", tot""".stripMargin,
     "q205_quantile_norm" ->
       """WITH base AS (SELECT event_type g, event_id id, CAST(floor(value*100) AS BIGINT) v
         |              FROM events WHERE value IS NOT NULL),

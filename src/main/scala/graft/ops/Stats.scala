@@ -470,6 +470,34 @@ object Stats {
         expr("(1000000 * n_pos) div n").as("rate_ppm"))
   }
 
+  /** PER-GROUP WINSORIZATION: clamp every value into its group's
+    * [loPm, hiPm] per-mille fences (exact type-1 quantiles) — the
+    * outlier-taming transform applied before means/regressions so one
+    * wild sensor reading can't own the aggregate. Keeps every row
+    * (unlike trimming); adds `clipped` (0/1) so downstream can count
+    * what moved. Fences from [[exactQuantilesByGroup]] ride a
+    * broadcast join (groups × 2 rows); the clamp itself is map-only
+    * integer comparison. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                loPm: Int, hiPm: Int): DataFrame = {
+    require(loPm >= 1 && hiPm <= 1000 && loPm < hiPm,
+      s"need 1 <= loPm < hiPm <= 1000, got [$loPm, $hiPm]")
+    val fences = exactQuantilesByGroup(df, groupCol, valueCol,
+        Seq(("lo", loPm), ("hi", hiPm)))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("label") === "lo", col("q"))).as("__lo"),
+        max(when(col("label") === "hi", col("q"))).as("__hi"))
+    val v = col(valueCol).cast("long")
+    df.where(col(valueCol).isNotNull)
+      .join(broadcast(fences), groupCol)
+      .withColumn("winsorized",
+        when(v < col("__lo"), col("__lo"))
+          .when(v > col("__hi"), col("__hi")).otherwise(v))
+      .withColumn("clipped",
+        when(v < col("__lo") || v > col("__hi"), 1L).otherwise(0L))
+      .drop("__lo", "__hi")
+  }
+
   /** QUANTILE NORMALIZATION across groups — the feature-pipeline
     * transform that maps every group's value distribution onto the
     * GLOBAL one (each row keeps its within-group rank but takes the

@@ -745,4 +745,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       "frontier expansion must join on the parent key")
   }
+
+  test("q206: profiler aggregates combine map-side, no windows anywhere") {
+    val p = plan("q206_profile")
+    assert(p.contains("partial_"), "fused basics must partial-aggregate")
+    assert(!p.contains("windowspecdefinition"),
+      "mode/distinct must come from groupBys, not rank windows")
+  }
+
+  test("q207: set operations plan as aggregates/joins, never products") {
+    val p = plan("q207_set_ops")
+    assert(!p.contains("CartesianProduct"),
+      "intersect/except must not enumerate pairs")
+  }
+
+  test("q208: winsorize fences broadcast onto the fact side") {
+    val p = plan("q208_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      "group fences (groups × 2 rows) must broadcast")
+  }
 }

@@ -397,6 +397,27 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("winsorize clamps into per-group type-1 fences, flags movers") {
+    // group a: 1..100 → p50‰ fence = value at rank ceil(50·100/1000)=5,
+    // p950 fence = rank 95; group b: all 7s → fences 7/7, nothing clips
+    val rows = (1L to 100L).map(v => ("a", v, v)) ++
+      (101L to 110L).map(i => ("b", i, 7L))
+    val got = Stats.winsorize(rows.toDF("g", "id", "v"), "g", "v",
+        loPm = 50, hiPm = 950)
+      .select($"g", $"id", $"v", $"winsorized", $"clipped")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val a = got.filter(_._1 == "a")
+    assert(a.filter(_._3 < 5L).forall(r => r._4 == 5L && r._5 == 1L))
+    assert(a.filter(_._3 > 95L).forall(r => r._4 == 95L && r._5 == 1L))
+    assert(a.filter(r => r._3 >= 5L && r._3 <= 95L)
+      .forall(r => r._4 == r._3 && r._5 == 0L))
+    assert(a.count(_._5 == 1L) == 9L)   // 1..4 and 96..100
+    assert(got.filter(_._1 == "b").forall(r => r._4 == 7L && r._5 == 0L))
+    intercept[IllegalArgumentException] {
+      Stats.winsorize(rows.toDF("g", "id", "v"), "g", "v", 950, 50)
+    }
+  }
+
   test("quantileNormalize maps group ranks onto the global distribution") {
     // group a: 1..4 (low scale); group b: 101..104 (high scale) —
     // normalization must give BOTH groups the same 8-value global
