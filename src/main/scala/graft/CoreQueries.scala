@@ -1498,7 +1498,34 @@ object CoreQueries {
           floor(col("value") * 100).cast("long").as("vc")),
       "event_type", "vc", loPm = 50, hiPm = 950)
 
+  // GAP-FILL / RESAMPLE (ops/Resample.gapFillLocf): each user's daily
+  // last-seen value carried onto a dense day spine — the
+  // regularization step before anything that assumes regular sampling.
+  // Spine = sequence(min, max) per group (span-bounded arrays); LOCF
+  // window partitions by user.
+  def q209_gap_fill(s: SparkSession, dir: String): DataFrame = {
+    val obs = t(s, dir, "events").where(col("value").isNotNull)
+      .groupBy(col("user_id"), expr("ts div 86400000000").as("day"))
+      .agg(max_by(floor(col("value") * 100).cast("long"),
+        struct(col("ts"), col("event_id"))).as("vc"))
+    graft.ops.Resample.gapFillLocf(obs, "user_id", "day", "vc")
+  }
+
+  // WINDOWLESS PERCENT_RANK / CUME_DIST (GlobalRank.percentRanks): the
+  // SQL rank-distribution functions in exact integer ppm without the
+  // single-partition global window — both are functions of the VALUE,
+  // so the histogram prefix sum + one value-keyed join replaces the
+  // corpus sort.
+  def q210_percent_rank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GlobalRank.percentRanks(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("vc")),
+      "vc")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_gap_fill"    -> q209_gap_fill _,
+    "q210_percent_rank" -> q210_percent_rank _,
     "q207_set_ops"     -> q207_set_ops _,
     "q208_winsorize"   -> q208_winsorize _,
     "q206_profile"     -> q206_profile _,
@@ -1585,6 +1612,28 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q209_gap_fill" ->
+      """WITH obs AS (SELECT user_id g, epoch_us(ts)//86400000000 p,
+        |        first(CAST(floor(value*100) AS BIGINT) ORDER BY ts DESC, event_id DESC) v
+        |      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |b AS (SELECT g, min(p) mn, max(p) mx FROM obs GROUP BY 1),
+        |sp AS (SELECT g, unnest(generate_series(mn, mx)) AS p FROM b),
+        |j AS (SELECT sp.g, sp.p, obs.v,
+        |        CAST(CASE WHEN obs.v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+        |      FROM sp LEFT JOIN obs ON obs.g = sp.g AND obs.p = sp.p)
+        |SELECT g AS user_id, CAST(p AS BIGINT) AS day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY g ORDER BY p
+        |    ROWS UNBOUNDED PRECEDING) AS vc, filled
+        |FROM j""".stripMargin,
+    "q210_percent_rank" ->
+      """WITH base AS (SELECT event_id, CAST(floor(value*100) AS BIGINT) vc
+        |              FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_id, vc,
+        |  CAST(rank() OVER (ORDER BY vc) AS BIGINT) rk,
+        |  CAST(count(*) OVER (ORDER BY vc) AS BIGINT) cum,
+        |  CAST(count(*) OVER () AS BIGINT) n FROM base)
+        |SELECT event_id, vc, (1000000*(rk-1))//(n-1) AS pr_ppm,
+        |  (1000000*cum)//n AS cume_ppm FROM r""".stripMargin,
     "q207_set_ops" ->
       """WITH y95 AS (SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1995),
         |y96 AS (SELECT o_custkey FROM orders WHERE year(CAST(o_orderdate AS DATE)) = 1996),

@@ -237,4 +237,36 @@ object GlobalRank {
     globalRowNumber(staged,
       Seq(col("stage"), shuffleKey, idCol), outCol = outCol)
   }
+
+  /** Windowless PERCENT_RANK and CUME_DIST over the whole frame — the
+    * two SQL rank-distribution window functions, in exact integer ppm,
+    * without a single-partition global window (the standard
+    * `Window.orderBy(v)` form funnels the corpus through one task).
+    *
+    * SQL semantics reproduced exactly: ties share the rank of their
+    * FIRST peer (percent_rank) and the cumulative count THROUGH their
+    * LAST peer (cume_dist) — both functions of the VALUE alone, which
+    * is what makes the windowless plan possible: the value histogram's
+    * prefix sum gives rank_v = cum − cnt + 1 and cume_v = cum, and one
+    * value-keyed equi join carries them back to rows.
+    *   pr_ppm   = 10⁶·(rank_v − 1) div (n − 1)    (0 when n = 1)
+    *   cume_ppm = 10⁶·cum_v div n
+    *
+    * Scale shape: distinct values shuffle (histogram discipline), the
+    * prefix sum is [[globalRunningSum]], and the row join is a plain
+    * equi shuffle on the value — no global sort of rows anywhere. */
+  def percentRanks(df: DataFrame, valueCol: String): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull)
+    val hist = base.groupBy(col(valueCol).cast("long").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = globalRunningSum(hist, Seq(col("__v")), "__c", "__cum")
+    val nTot = cum.agg(sum(col("__c")).as("__n"))
+    val vmap = cum.crossJoin(broadcast(nTot))
+      .select(col("__v"),
+        when(col("__n") === 1L, 0L).otherwise(
+          expr("(1000000 * (__cum - __c)) div (__n - 1)")).as("pr_ppm"),
+        expr("(1000000 * __cum) div __n").as("cume_ppm"))
+    base.join(vmap, col(valueCol).cast("long") === col("__v"))
+      .drop("__v")
+  }
 }

@@ -167,4 +167,29 @@ class GlobalRankSpec extends SparkTestBase {
         Seq("a" -> 1, "a" -> 2))
     }
   }
+
+  test("percentRanks matches SQL percent_rank/cume_dist semantics on ties") {
+    // values 10, 20, 20, 30 (n=4): SQL says
+    //   pr: 0, 1/3, 1/3, 1 → ppm 0, 333333, 333333, 1000000
+    //   cume: 1/4, 3/4, 3/4, 1 → ppm 250000, 750000, 750000, 1000000
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L)).toDF("id", "v")
+    val m = GlobalRank.percentRanks(df, "v")
+      .select(col("id"), col("pr_ppm"), col("cume_ppm"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((0L, 250000L)))
+    assert(m(2L) == ((333333L, 750000L)))
+    assert(m(3L) == ((333333L, 750000L)))
+    assert(m(4L) == ((1000000L, 1000000L)))
+    // single row: pr defined 0, cume 1
+    val one = GlobalRank.percentRanks(Seq((9L, 5L)).toDF("id", "v"), "v")
+      .select(col("pr_ppm"), col("cume_ppm")).as[(Long, Long)].collect().head
+    assert(one == ((0L, 1000000L)))
+    // partition independence
+    val again = GlobalRank.percentRanks(df.repartition(5), "v")
+      .select(col("id"), col("pr_ppm"), col("cume_ppm"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == m)
+  }
 }
