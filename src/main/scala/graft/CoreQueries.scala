@@ -1523,7 +1523,44 @@ object CoreQueries {
           floor(col("value") * 100).cast("long").as("vc")),
       "vc")
 
+  // CONVERSION-LATENCY DISTRIBUTION: time from first view to first
+  // subsequent purchase per user, summarized as exact type-1 quantiles
+  // — the "how long does conversion take" composite (funnel × order
+  // statistics). Two user-keyed min-aggregations + the histogram
+  // quantile plan; no windows.
+  def q211_conversion_latency(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val v1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val lat = e.filter(col("event_type") === "purchase")
+      .join(v1, "user_id")
+      .filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("tp"))
+      .select((col("tp") - col("t1")).as("latency_us"))
+    graft.ops.Stats.exactQuantiles(lat, "latency_us",
+      Seq(("p25", 250), ("p50", 500), ("p75", 750), ("p90", 900)))
+  }
+
+  // NEAREST-IN-TIME AS-OF (ops/AsofJoin.asofNearest): align each error
+  // event to the temporally CLOSEST purchase of the same user —
+  // neither directional as-of answers it; two union+carry passes (the
+  // forward one on the negated axis), equidistant ties to the earlier
+  // match. Per-key bounded window state, no range explosion.
+  def q212_asof_nearest(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    graft.ops.AsofJoin.asofNearest(
+      e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts")),
+      e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("p_id")),
+      keyCols = Seq("user_id"), probeTs = "ts", buildTs = "pts",
+      payloadCols = Seq("p_id"), tieCols = Seq("p_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q211_conversion_latency" -> q211_conversion_latency _,
+    "q212_asof_nearest" -> q212_asof_nearest _,
     "q209_gap_fill"    -> q209_gap_fill _,
     "q210_percent_rank" -> q210_percent_rank _,
     "q207_set_ops"     -> q207_set_ops _,
@@ -1612,6 +1649,28 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q211_conversion_latency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) ts, event_type FROM events),
+        |v1 AS (SELECT user_id, min(ts) t1 FROM e WHERE event_type='view' GROUP BY 1),
+        |lat AS (SELECT min(p.ts) - v1.t1 AS l FROM e p JOIN v1 ON v1.user_id = p.user_id
+        |        WHERE p.event_type='purchase' AND p.ts >= v1.t1 GROUP BY p.user_id, v1.t1),
+        |n AS (SELECT count(*) n FROM lat),
+        |h AS (SELECT l, count(*) c FROM lat GROUP BY 1),
+        |cum AS (SELECT l, c, sum(c) OVER (ORDER BY l ROWS UNBOUNDED PRECEDING) cum FROM h),
+        |p AS (SELECT * FROM (VALUES ('p25', 250), ('p50', 500), ('p75', 750), ('p90', 900)) t(label, pm))
+        |SELECT p.label, CAST(min(cum.l) AS BIGINT) AS q
+        |FROM cum, n, p WHERE cum.cum >= (p.pm*n.n+999)//1000 GROUP BY p.label""".stripMargin,
+    "q212_asof_nearest" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) ts, event_type FROM events),
+        |er AS (SELECT user_id, event_id, ts FROM e WHERE event_type='error'),
+        |pu AS (SELECT user_id, ts AS pts, event_id AS p_id FROM e WHERE event_type='purchase'),
+        |cand AS (SELECT er.user_id, er.event_id, er.ts, pu.pts, pu.p_id,
+        |   CASE WHEN pu.pts <= er.ts THEN er.ts - pu.pts ELSE pu.pts - er.ts END AS d,
+        |   CASE WHEN pu.pts <= er.ts THEN 0 ELSE 1 END AS fwd
+        | FROM er JOIN pu ON pu.user_id = er.user_id),
+        |pick AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY d, fwd, p_id DESC) rn FROM cand)
+        |SELECT er.user_id, er.event_id, er.ts, p.p_id, p.pts AS matched_ts, p.d AS asof_delta
+        |FROM er LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p ON p.event_id = er.event_id""".stripMargin,
     "q209_gap_fill" ->
       """WITH obs AS (SELECT user_id g, epoch_us(ts)//86400000000 p,
         |        first(CAST(floor(value*100) AS BIGINT) ORDER BY ts DESC, event_id DESC) v

@@ -116,4 +116,52 @@ object AsofJoin {
       .select(probeCols.map(col) ++
         payloadCols.map(c => col(s"__payload.$c").as(c)): _*)
   }
+
+  /** NEAREST-in-time as-of: per probe row, the build row of the same
+    * key that minimizes |buildTs − probeTs| — the sensor-alignment /
+    * closest-quote join neither direction alone answers. Built from
+    * TWO [[asofBackward]] passes (the forward pass runs backward over
+    * NEGATED ordering columns), so it inherits the union+carry window
+    * shape — per-key bounded state, no range explosion. Tie rule: an
+    * equidistant earlier match beats the later one; equal-ts build
+    * rows resolve by `tieCols` exactly as in the directional passes.
+    *
+    * Output: probe columns + payloadCols (of the winner, null when the
+    * key has no build rows) + `matched_ts` (winner's buildTs) +
+    * `asof_delta` (|Δ| in the ts unit, null on no match). `probeTs`
+    * must be a signed numeric (epoch-µs long — the repo contract);
+    * timestamps should be converted first. */
+  def asofNearest(probe: DataFrame, build: DataFrame,
+                  keyCols: Seq[String], probeTs: String, buildTs: String,
+                  payloadCols: Seq[String],
+                  tieCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("matched_ts", "asof_delta", "__bts", "__nts", "__npts")
+    require((probe.columns ++ build.columns).intersect(reserved).isEmpty,
+      s"inputs must not carry ${reserved.mkString(", ")}")
+    val probeCols = probe.columns.toSeq
+    val bWithTs = build.withColumn("__bts", col(buildTs))
+    // backward: latest build at or before the probe ts
+    val back = asofBackward(probe, bWithTs, keyCols, probeTs, buildTs,
+        payloadCols :+ "__bts", tieCols)
+      .withColumnRenamed("__bts", "__back_ts")
+    val backRenamed = payloadCols.foldLeft(back)((df, c) =>
+      df.withColumnRenamed(c, s"__back_$c"))
+    // forward: earliest build at or after the probe ts = backward on
+    // the negated time axis
+    val fwd = asofBackward(
+        backRenamed.withColumn("__npts", -col(probeTs)),
+        bWithTs.withColumn("__nts", -col(buildTs)),
+        keyCols, "__npts", "__nts", payloadCols :+ "__bts", tieCols)
+      .withColumnRenamed("__bts", "__fwd_ts")
+    val db = col(probeTs) - col("__back_ts")
+    val df_ = col("__fwd_ts") - col(probeTs)
+    val useBack = col("__fwd_ts").isNull ||
+      (col("__back_ts").isNotNull && db <= df_)
+    fwd.select(probeCols.map(col) ++
+        payloadCols.map(c =>
+          when(useBack, col(s"__back_$c")).otherwise(col(c)).as(c)) ++
+        Seq(when(useBack, col("__back_ts")).otherwise(col("__fwd_ts"))
+            .as("matched_ts"),
+          when(useBack, db).otherwise(df_).as("asof_delta")): _*)
+  }
 }

@@ -143,4 +143,43 @@ class AsofJoinSpec extends SparkTestBase {
         Seq("sym"), "trade_ts", "snap_ts", Seq("price"))
     }
   }
+
+  test("asofNearest: closest match either direction, earlier wins ties") {
+    val probe = Seq(
+      ("a", 1L, 100L),  // back@90 (d=10) vs fwd@105 (d=5) → fwd
+      ("a", 2L, 92L),   // back@90 (d=2) vs fwd@105 (d=13) → back
+      ("a", 3L, 50L),   // nothing before → fwd@90
+      ("a", 4L, 200L),  // nothing after → back@105
+      ("a", 5L, 95L),   // equidistant 90/100... no: back@90 d=5, fwd@105 d=10 → back
+      ("b", 6L, 10L)    // key with no build rows → null
+    ).toDF("k", "id", "t")
+    val build = Seq(("a", 90L, 901L), ("a", 105L, 905L))
+      .toDF("k", "bt", "pay")
+    val got = AsofJoin.asofNearest(probe, build, Seq("k"), "t", "bt",
+        Seq("pay"), tieCols = Seq("pay"))
+      .select(col("id"), col("pay"), col("matched_ts"), col("asof_delta"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Some(905L), Some(105L), Some(5L))))
+    assert(got(2L) == ((Some(901L), Some(90L), Some(2L))))
+    assert(got(3L) == ((Some(901L), Some(90L), Some(40L))))
+    assert(got(4L) == ((Some(905L), Some(105L), Some(95L))))
+    assert(got(5L) == ((Some(901L), Some(90L), Some(5L))))
+    assert(got(6L) == ((None, None, None)))
+    // true equidistance: probe at 97.5 impossible with longs; use 90/104
+    // around probe 97 → back d=7, fwd d=7 → EARLIER (back) wins
+    val eq = AsofJoin.asofNearest(
+        Seq(("a", 1L, 97L)).toDF("k", "id", "t"),
+        Seq(("a", 90L, 901L), ("a", 104L, 904L)).toDF("k", "bt", "pay"),
+        Seq("k"), "t", "bt", Seq("pay"))
+      .select(col("pay"), col("asof_delta")).as[(Long, Long)].collect().head
+    assert(eq == ((901L, 7L)))
+    // exact-ts hit: delta 0, beats everything
+    val hit = AsofJoin.asofNearest(
+        Seq(("a", 1L, 90L)).toDF("k", "id", "t"),
+        Seq(("a", 90L, 901L), ("a", 91L, 911L)).toDF("k", "bt", "pay"),
+        Seq("k"), "t", "bt", Seq("pay"))
+      .select(col("pay"), col("asof_delta")).as[(Long, Long)].collect().head
+    assert(hit == ((901L, 0L)))
+  }
 }
