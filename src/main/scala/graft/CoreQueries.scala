@@ -1558,7 +1558,35 @@ object CoreQueries {
       payloadCols = Seq("p_id"), tieCols = Seq("p_id"))
   }
 
+  // LABEL-PROPAGATION COMMUNITIES (GraphOps.labelPropagation): two
+  // synchronous LPA rounds over the ≥30-co-order supplier graph —
+  // community detection where components see one blob (ties to the
+  // smallest label make plain LPA's order-dependence deterministic).
+  def q213_communities(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = o.as("a").join(o.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+      .agg(count(lit(1)).as("co")).filter(col("co") >= 30)
+    graft.ops.GraphOps.labelPropagation(edges, "x", "y", iters = 2)
+  }
+
+  // 2-D SKYLINE / PARETO FRONTIER (ops/Skyline.skyline2D): parts no
+  // other part beats on BOTH size and price — the sort-scan skyline
+  // distributed via the windowless exclusive prefix max (range
+  // partitions + offset metadata), O(n log n), never a pairwise
+  // dominance join.
+  def q214_skyline(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Skyline.skyline2D(
+      t(s, dir, "part").select(col("p_size"),
+        floor(col("p_retailprice") * 100).cast("long").as("price_c")),
+      "p_size", "price_c")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_communities" -> q213_communities _,
+    "q214_skyline"     -> q214_skyline _,
     "q211_conversion_latency" -> q211_conversion_latency _,
     "q212_asof_nearest" -> q212_asof_nearest _,
     "q209_gap_fill"    -> q209_gap_fill _,
@@ -1649,6 +1677,24 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q213_communities" ->
+      """WITH o AS (SELECT DISTINCT l_orderkey ok, l_suppkey s FROM lineitem),
+        |e0 AS (SELECT a.s x, b.s y FROM o a JOIN o b ON a.ok=b.ok AND a.s<b.s
+        |       GROUP BY 1,2 HAVING count(*) >= 30),
+        |bi AS (SELECT x a, y b FROM e0 UNION SELECT y, x FROM e0),
+        |n AS (SELECT DISTINCT a AS node FROM bi),
+        |l0 AS (SELECT node, node AS lbl FROM n),
+        |c1 AS (SELECT bi.a node, l0.lbl, count(*) c FROM bi JOIN l0 ON l0.node = bi.b GROUP BY 1,2),
+        |l1 AS (SELECT node, first(lbl ORDER BY c DESC, lbl ASC) lbl FROM c1 GROUP BY 1),
+        |c2 AS (SELECT bi.a node, l1.lbl, count(*) c FROM bi JOIN l1 ON l1.node = bi.b GROUP BY 1,2),
+        |l2 AS (SELECT node, first(lbl ORDER BY c DESC, lbl ASC) lbl FROM c2 GROUP BY 1)
+        |SELECT node, CAST(lbl AS BIGINT) AS community FROM l2""".stripMargin,
+    "q214_skyline" ->
+      """WITH pts AS (SELECT CAST(p_size AS BIGINT) x,
+        |               CAST(floor(p_retailprice*100) AS BIGINT) y FROM part),
+        |c AS (SELECT x, max(y) y FROM pts GROUP BY 1)
+        |SELECT x AS p_size, y AS price_c FROM c p WHERE NOT EXISTS (
+        |  SELECT 1 FROM c q WHERE (q.x >= p.x AND q.y >= p.y) AND (q.x > p.x OR q.y > p.y))""".stripMargin,
     "q211_conversion_latency" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) ts, event_type FROM events),
         |v1 AS (SELECT user_id, min(ts) t1 FROM e WHERE event_type='view' GROUP BY 1),

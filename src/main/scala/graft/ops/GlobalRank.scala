@@ -238,6 +238,51 @@ object GlobalRank {
       Seq(col("stage"), shuffleKey, idCol), outCol = outCol)
   }
 
+  /** Exact global running MAX (exclusive prefix max) of `valueCol`
+    * under `sortCols` — the [[globalRunningSum]] shape with max as the
+    * combine: per-partition maxima (≤ p rows of metadata) become
+    * cross-partition offsets, the in-partition prefix is a running-max
+    * window partitioned by the range-partition id. EXCLUSIVE (the max
+    * over STRICTLY earlier rows; Long.MinValue when none) because the
+    * dominance/skyline consumers compare a row against its
+    * predecessors, not itself. Ordering must be total. */
+  def globalRunningMaxExclusive(df: DataFrame, sortCols: Seq[Column],
+                                valueCol: String,
+                                outCol: String = "prevMax",
+                                partitions: Int = 0): DataFrame = {
+    require(!df.columns.contains("__mid"),
+      "input frame already carries the helper column __mid")
+    require(!df.columns.contains(outCol),
+      s"input frame already carries output column $outCol")
+    val p = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = rangedFrame(df, sortCols, p)
+    val ranged =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        sorted.checkpoint()
+      else sorted.localCheckpoint()
+    val withId = ranged.withColumn("__mid", monotonically_increasing_id())
+    val pidOf = shiftright(col("__mid"), 33).cast("int")
+    val idxOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))
+    val maxes = withId.groupBy(pidOf.as("__pid"))
+      .agg(max(col(valueCol).cast("long")).as("__m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // offset for partition i = max over partitions < i (MinValue if none)
+    val offsets = (0 until p).scanLeft(Long.MinValue) { case (acc, pid) =>
+      math.max(acc, maxes.getOrElse(pid, Long.MinValue))
+    }.dropRight(1)
+    val offCol = element_at(array(offsets.map(lit): _*), pidOf + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pidOf).orderBy(idxOf.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    withId
+      .withColumn(outCol, greatest(
+        coalesce(max(col(valueCol).cast("long")).over(w),
+          lit(Long.MinValue)),
+        offCol))
+      .drop("__mid")
+  }
+
   /** Windowless PERCENT_RANK and CUME_DIST over the whole frame — the
     * two SQL rank-distribution window functions, in exact integer ppm,
     * without a single-partition global window (the standard

@@ -84,6 +84,58 @@ object GraphOps {
     ranks
   }
 
+  /** LABEL-PROPAGATION COMMUNITIES (synchronous LPA): every node
+    * starts as its own community and repeatedly adopts the most common
+    * label among its neighbors — the near-linear community detector
+    * (Raghavan et al.) that complements [[triangleStats]]' local
+    * cohesion and connected components' reachability (LPA splits a
+    * sparsely-bridged component where components cannot).
+    *
+    * Determinism (plain LPA is notoriously order-dependent — this
+    * variant is not): updates are SYNCHRONOUS (iteration k+1 reads
+    * only iteration k), the adopted label is max-count with ties to
+    * the SMALLEST label (max_by over the (count, −label) struct — a
+    * total order), isolated nodes keep their own label, and the
+    * iteration count is a caller-fixed bound. Identical results on
+    * any partitioning.
+    *
+    * Output: (node, community) after `iters` rounds.
+    *
+    * Scale shape: per iteration one node-keyed join (labels onto the
+    * bidirectional edge list) + one (node, label) partial-agg groupBy
+    * + one max_by groupBy; labels checkpoint each round so the plan
+    * stays one-iteration deep (the pageRank stance). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 0 && iters <= 64, s"iters must be in [0, 64], got $iters")
+    val spark = edges.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val und = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val bi = pin(und.unionByName(
+        und.select(col("b").as("a"), col("a").as("b"))).distinct())
+    val nodes = pin(bi.select(col("a").as("node")).distinct())
+    var labels = nodes.withColumn("community", col("node"))
+    for (_ <- 1 to iters) {
+      val nbrLabels = bi
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .select(col("a").as("node"), col("community"))
+      val adopted = nbrLabels
+        .groupBy(col("node"), col("community"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("node"))
+        .agg(max_by(col("community"),
+          struct(col("__c"), -col("community"))).as("__new"))
+      labels = pin(nodes.join(adopted, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__new"), col("node")).as("community")))
+    }
+    labels
+  }
+
   /** TRIANGLE COUNT + LOCAL CLUSTERING COEFFICIENT per vertex — the
     * cohesion statistics of a similarity/co-occurrence graph (how
     * clique-ish is each node's neighborhood), the structural sibling of

@@ -105,6 +105,29 @@ class GraphOpsSpec extends SparkTestBase {
     (0L to 3L).foreach { v => assert(got(v) == ((3L, 3L, 1000L))) }
   }
 
+  test("labelPropagation: barbell graph splits where components cannot") {
+    // two K4 cliques {1..4}, {11..14} joined by ONE bridge 4-11:
+    // components see one blob; 2 LPA rounds find two communities
+    def k4(base: Long) = for (a <- 0L to 3L; b <- 0L to 3L if a < b)
+      yield (base + a, base + b)
+    val edges = (k4(1L) ++ k4(11L) :+ (4L, 11L)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, "src", "dst", iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val left = (1L to 4L).map(got)
+    val right = (11L to 14L).map(got)
+    assert(left.toSet.size == 1 && right.toSet.size == 1,
+      s"each clique must agree on one community: $got")
+    assert(left.head != right.head, "bridged cliques must separate")
+    // determinism across partitionings
+    val again = GraphOps.labelPropagation(edges.repartition(7),
+      "src", "dst", iters = 2).as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // iters=0 → everyone its own community
+    val zero = GraphOps.labelPropagation(edges, "src", "dst", 0)
+      .as[(Long, Long)].collect()
+    assert(zero.forall(r => r._1 == r._2))
+  }
+
   test("triangleStats matches a brute-force reference on a random graph") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
