@@ -1584,7 +1584,39 @@ object CoreQueries {
         floor(col("p_retailprice") * 100).cast("long").as("price_c")),
       "p_size", "price_c")
 
+  // k×m CONTINGENCY χ² (Stats.chiSquareKxMMilli): event type ×
+  // user-cohort independence over the COMPLETE 5×3 grid (absent cells
+  // contribute their expected mass); alphabet-bounded cells/margins,
+  // per-cell integer milli terms.
+  def q215_chi2_kxm(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.chiSquareKxMMilli(
+      t(s, dir, "events").select(col("event_type").as("a"),
+        (col("user_id") % 3).cast("string").as("b")),
+      "a", "b")
+
+  // RFM SEGMENTATION (EventAnalytics.rfmSegments): recency/frequency/
+  // monetary quintiles per purchasing user (cume-based — no global row
+  // order needed), segment = 100r+10f+m. Three windowless percentRanks
+  // passes over the per-user metric frame.
+  def q216_rfm(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.rfmSegments(
+      t(s, dir, "events"), "user_id", "ts", "event_type",
+      convType = "purchase", valueCol = "value")
+
+  // ITEM-ITEM SIMILARITY (Association.itemSimilarity): top-5 co-purchase
+  // neighbors per part class by exact integer cosine² ppm — the
+  // "bought X also bought Y" primitive; basket-keyed pair join with
+  // support floor, item-partitioned (alphabet-bounded) top-k window.
+  def q217_item_sim(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Association.itemSimilarity(
+      t(s, dir, "lineitem").select(col("l_orderkey").as("bk"),
+        (col("l_partkey") % 50).as("item")),
+      "bk", "item", k = 5, minCo = 2L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_chi2_kxm"    -> q215_chi2_kxm _,
+    "q216_rfm"         -> q216_rfm _,
+    "q217_item_sim"    -> q217_item_sim _,
     "q213_communities" -> q213_communities _,
     "q214_skyline"     -> q214_skyline _,
     "q211_conversion_latency" -> q211_conversion_latency _,
@@ -1677,6 +1709,45 @@ object CoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q215_chi2_kxm" ->
+      """WITH t AS (SELECT event_type a, CAST(user_id % 3 AS VARCHAR) b FROM events),
+        |cells AS (SELECT a, b, CAST(count(*) AS HUGEINT) o FROM t GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) r FROM cells GROUP BY 1),
+        |cb AS (SELECT b, sum(o) c FROM cells GROUP BY 1),
+        |nn AS (SELECT sum(o) n FROM cells),
+        |grid AS (SELECT ra.a, cb.b, coalesce(cells.o, 0) o, ra.r, cb.c, nn.n
+        |         FROM ra CROSS JOIN cb CROSS JOIN nn
+        |         LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b)
+        |SELECT CAST(max(n) AS BIGINT) n,
+        |  CAST((count(DISTINCT a)-1)*(count(DISTINCT b)-1) AS BIGINT) dof,
+        |  CAST(sum((1000*(o*n - r*c)*(o*n - r*c)) // (n*r*c)) AS BIGINT) chi2_milli
+        |FROM grid""".stripMargin,
+    "q216_rfm" ->
+      """WITH conv AS (SELECT user_id u, epoch_us(ts)//86400000000 d,
+        |        CAST(floor(value*100) AS BIGINT) cents
+        |      FROM events WHERE event_type='purchase'),
+        |anchor AS (SELECT max(d) maxd FROM conv),
+        |m AS (SELECT u, max(d) lastd, CAST(count(*) AS BIGINT) f,
+        |        CAST(sum(cents) AS BIGINT) m_cents FROM conv GROUP BY 1),
+        |mm AS (SELECT u, CAST((SELECT maxd FROM anchor) - lastd AS BIGINT) r_days, f, m_cents FROM m),
+        |qr AS (SELECT u, (5*((1000000*CAST(count(*) OVER (ORDER BY -r_days) AS BIGINT))//(count(*) OVER ())) + 999999)//1000000 AS r_q FROM mm),
+        |qf AS (SELECT u, (5*((1000000*CAST(count(*) OVER (ORDER BY f) AS BIGINT))//(count(*) OVER ())) + 999999)//1000000 AS f_q FROM mm),
+        |qm AS (SELECT u, (5*((1000000*CAST(count(*) OVER (ORDER BY m_cents) AS BIGINT))//(count(*) OVER ())) + 999999)//1000000 AS m_q FROM mm)
+        |SELECT mm.u AS user_id, mm.r_days, mm.f, mm.m_cents,
+        |  CAST(qr.r_q AS BIGINT) r_q, CAST(qf.f_q AS BIGINT) f_q, CAST(qm.m_q AS BIGINT) m_q,
+        |  CAST(qr.r_q*100 + qf.f_q*10 + qm.m_q AS BIGINT) AS segment
+        |FROM mm JOIN qr ON qr.u = mm.u JOIN qf ON qf.u = mm.u JOIN qm ON qm.u = mm.u""".stripMargin,
+    "q217_item_sim" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey bk, l_partkey % 50 item FROM lineitem),
+        |ic AS (SELECT item, CAST(count(*) AS BIGINT) cnt FROM it GROUP BY 1),
+        |pc AS (SELECT a.item x, b.item y, CAST(count(*) AS BIGINT) co FROM it a
+        |       JOIN it b ON a.bk = b.bk AND a.item < b.item GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (SELECT x item, y cand, co FROM pc UNION ALL SELECT y, x, co FROM pc),
+        |s AS (SELECT d.item, d.cand, d.co,
+        |        CAST((1000000 * d.co * d.co) // (ia.cnt * ic2.cnt) AS BIGINT) cos2_ppm
+        |      FROM d JOIN ic ia ON ia.item = d.item JOIN ic ic2 ON ic2.item = d.cand),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item ORDER BY cos2_ppm DESC, cand) AS INT) rnk FROM s)
+        |SELECT item, cand, co, cos2_ppm, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "q213_communities" ->
       """WITH o AS (SELECT DISTINCT l_orderkey ok, l_suppkey s FROM lineitem),
         |e0 AS (SELECT a.s x, b.s y FROM o a JOIN o b ON a.ok=b.ok AND a.s<b.s

@@ -76,4 +76,61 @@ object Association {
     it.unpersist()
     out
   }
+
+  /** ITEM-ITEM SIMILARITY (co-occurrence cosine) — the "customers who
+    * bought X also bought Y" recommender primitive: for every item its
+    * `k` most similar items by co-occurrence cosine, scored as the
+    * exact integer `cos2_ppm = 10⁶·co² div (nᵢ·nⱼ)` (cosine SQUARED —
+    * monotone in cosine, so the ranking is cosine's, with no
+    * cross-engine sqrt). Ties break toward the smaller candidate id.
+    *
+    * Scale shape: the same basket-keyed pair join as
+    * [[associationRules]] (set semantics, `maxBasketSize` hot-key
+    * guard, `minCo` support floor prunes the long tail before
+    * scoring); the top-k window partitions by the ITEM — state bounded
+    * by one item's co-occurring alphabet, never the corpus. */
+  def itemSimilarity(baskets: DataFrame, basketCol: String, itemCol: String,
+                     k: Int, minCo: Long,
+                     maxBasketSize: Int = 10000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCo >= 1, s"minCo must be >= 1, got $minCo")
+    require(maxBasketSize >= 2, s"maxBasketSize must be >= 2, got $maxBasketSize")
+    val it0 = baskets.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+    val sizes = it0.groupBy(col("__bk")).agg(count(lit(1)).as("__sz"))
+    val it = it0.join(sizes.filter(col("__sz") <= maxBasketSize)
+      .select(col("__bk")), Seq("__bk")).persist()
+    val itemCounts = it.groupBy(col("__it").as("__item"))
+      .agg(count(lit(1)).as("__cnt"))
+    val pairs = it.as("a")
+      .join(it.as("b"),
+        col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))
+      .groupBy(col("a.__it").as("__x"), col("b.__it").as("__y"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val directed = pairs.select(col("__x").as("item"), col("__y").as("cand"),
+        col("co"))
+      .unionByName(pairs.select(col("__y").as("item"), col("__x").as("cand"),
+        col("co")))
+    val scored = directed
+      .join(broadcast(itemCounts.withColumnRenamed("__item", "item")
+        .withColumnRenamed("__cnt", "__ni")), "item")
+      .join(broadcast(itemCounts.withColumnRenamed("__item", "cand")
+        .withColumnRenamed("__cnt", "__nc")), "cand")
+      .withColumn("cos2_ppm", expr(
+        """CAST((1000000 * CAST(co AS DECIMAL(38,0)) * co)
+          |div (CAST(__ni AS DECIMAL(38,0)) * __nc) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("cos2_ppm").desc, col("cand").asc)
+    val out = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("item"), col("cand"), col("co"), col("cos2_ppm"),
+        col("rnk"))
+      .localCheckpoint()
+    it.unpersist()
+    out
+  }
 }

@@ -310,6 +310,56 @@ object EventAnalytics {
         sum(expr("1000000L div __n")).as("linear_micro"))
   }
 
+  /** RFM SEGMENTATION — recency / frequency / monetary quintiles per
+    * user, the classic customer-value grid: R = days since the user's
+    * last conversion (anchored at the CORPUS max conversion day — a
+    * data-determined constant, not wall clock), F = conversion count,
+    * M = total conversion value in integer cents. Each metric maps to
+    * a 1–5 quintile via its cume_dist: q = ⌈5·cume_ppm/10⁶⌉ (ties
+    * share a quintile — the SQL-ntile alternative that needs no global
+    * row order), with recency NEGATED first so recent = high score.
+    * `segment = 100·r + 10·f + m` (the 111–555 code marketers read).
+    *
+    * Output per converting user: (userCol, r_days, f, m_cents, r_q,
+    * f_q, m_q, segment).
+    *
+    * Scale shape: one user-keyed aggregate builds the metric frame;
+    * each quintile is a [[GlobalRank.percentRanks]] pass (histogram
+    * prefix sum + broadcast map — no global window); three user-keyed
+    * joins reassemble. */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, convType: String,
+                  valueCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"),
+        expr(s"CAST($tsCol AS BIGINT) div ${dayUs}L").as("__day"),
+        floor(col(valueCol) * 100).cast("long").as("__cents"))
+    val anchor = conv.agg(max(col("__day")).as("__maxd"))
+    val metrics = conv.groupBy(col("__u"))
+      .agg(max(col("__day")).as("__lastd"), count(lit(1)).as("f"),
+        sum(col("__cents")).as("m_cents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("r_days", col("__maxd") - col("__lastd"))
+      .select(col("__u"), col("r_days"), col("f"), col("m_cents"))
+    def quintile(vCol: String, negate: Boolean, out: String) = {
+      // NOT "__v" — percentRanks uses that helper name internally and
+      // the value-map join would self-collide
+      val in = metrics.select(col("__u"),
+        (if (negate) -col(vCol) else col(vCol)).as("__metric"))
+      GlobalRank.percentRanks(in, "__metric")
+        .select(col("__u"),
+          expr("(5 * cume_ppm + 999999) div 1000000").as(out))
+    }
+    metrics
+      .join(quintile("r_days", negate = true, "r_q"), "__u")
+      .join(quintile("f", negate = false, "f_q"), "__u")
+      .join(quintile("m_cents", negate = false, "m_q"), "__u")
+      .select(col("__u").as(userCol), col("r_days"), col("f"),
+        col("m_cents"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).as("segment"))
+  }
+
   /** Time-weighted average per (group, period) — the financial-bar /
     * metering aggregate: Σ value·Δt / ΣΔt with each observation held
     * until the next one (last carried to period end), which answers

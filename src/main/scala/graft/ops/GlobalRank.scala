@@ -301,6 +301,9 @@ object GlobalRank {
     * prefix sum is [[globalRunningSum]], and the row join is a plain
     * equi shuffle on the value — no global sort of rows anywhere. */
   def percentRanks(df: DataFrame, valueCol: String): DataFrame = {
+    require(valueCol != "__v" &&
+      !df.columns.exists(Seq("__v", "pr_ppm", "cume_ppm").contains),
+      "input must not carry the helper/output columns __v, pr_ppm, cume_ppm")
     val base = df.where(col(valueCol).isNotNull)
     val hist = base.groupBy(col(valueCol).cast("long").as("__v"))
       .agg(count(lit(1)).as("__c"))

@@ -580,6 +580,41 @@ object Stats {
                 |END""".stripMargin.replace("\n", " ")).as("chi2_milli"))
   }
 
+  /** PEARSON χ² for a general k×m contingency (two categorical
+    * columns) — independence testing beyond [[chiSquare2x2Milli]]'s
+    * binary design. Per-cell closed form (o·N − r·c)²/(N·r·c) summed
+    * over the COMPLETE r×c grid (absent combinations contribute their
+    * full expected count — skipping them understates χ²), each term
+    * floored to milli-units before the sum: a defined integer rule
+    * both engines replay (ties to the textbook value within
+    * cells·0.001). Output: one row (n, dof, chi2_milli).
+    *
+    * Scale shape: the cell groupBy is alphabet²-bounded; margins are
+    * alphabet-bounded and broadcast; the full grid is a broadcast
+    * cross of the two margin frames. */
+  def chiSquareKxMMilli(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val t = df.select(col(aCol).cast("string").as("__a"),
+      col(bCol).cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+    val cells = t.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
+    val nF = cells.agg(sum(col("__o")).as("__n"))
+    val grid = ra.crossJoin(broadcast(cb)).crossJoin(broadcast(nF))
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    val d38 = "decimal(38,0)"
+    grid.agg(
+        max(col("__n")).as("n"),
+        ((countDistinct(col("__a")) - 1) *
+          (countDistinct(col("__b")) - 1)).as("dof"),
+        sum(expr(
+          s"""(1000 * (CAST(__o AS $d38) * __n - CAST(__r AS $d38) * __c) *
+             |(CAST(__o AS $d38) * __n - CAST(__r AS $d38) * __c))
+             |div (CAST(__n AS $d38) * __r * __c)"""
+            .stripMargin.replace("\n", " ")).cast("long")).as("chi2_milli"))
+  }
+
   /** COHEN'S KAPPA between two categorical labelings of the same rows —
     * chance-corrected inter-annotator agreement, the label-quality
     * number a data pipeline reads before trusting human (or model)

@@ -54,6 +54,33 @@ class AssociationHierarchySpec extends SparkTestBase {
     assert(got == Set(("a", "b", 3L, 1000L), ("b", "a", 3L, 1000L)))
   }
 
+  test("itemSimilarity: cosine^2 scoring, top-k cut, direction symmetry") {
+    // x in baskets 1-4, y in 1-2, z in 3 only
+    val rows = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"),
+      (1L, "y"), (2L, "y"), (3L, "z"))
+    val got = Association.itemSimilarity(rows.toDF("bk", "it"), "bk", "it",
+        k = 1, minCo = 1L)
+      .select($"item", $"cand", $"co", $"cos2_ppm", $"rnk")
+      .as[(String, String, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // cos²(x,y) = 2²/(4·2) = 0.5; cos²(x,z) = 1/(4·1) = 0.25 →
+    // x's top-1 is y; y's and z's top-1 are both x
+    assert(got("x") == (("y", 2L, 500000L)))
+    assert(got("y") == (("x", 2L, 500000L)))
+    assert(got("z") == (("x", 1L, 250000L)))
+    // k=2 exposes x→z as rank 2
+    val k2 = Association.itemSimilarity(rows.toDF("bk", "it"), "bk", "it",
+        k = 2, minCo = 1L)
+      .filter($"item" === "x" && $"rnk" === 2)
+      .select($"cand", $"cos2_ppm").as[(String, Long)].collect().head
+    assert(k2 == (("z", 250000L)))
+    // minCo floor prunes the weak pair entirely
+    val floored = Association.itemSimilarity(rows.toDF("bk", "it"), "bk", "it",
+        k = 2, minCo = 2L)
+      .select($"item", $"cand").as[(String, String)].collect().toSet
+    assert(floored == Set(("x", "y"), ("y", "x")))
+  }
+
   test("ancestors: closure of a binary tree with depths, early exit") {
     // tree: parent(n) = n/2; nodes 1..15 (root 0 reached by all)
     val edges = (1L to 15L).map(n => (n, n / 2)).toDF("c", "p")

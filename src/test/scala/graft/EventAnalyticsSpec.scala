@@ -256,6 +256,36 @@ class EventAnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("rfmSegments: quintiles by cume rule, recency inverted, segment code") {
+    val day = 86400000000L
+    // 5 users, one purchase each on days 1..5 with values 10,20,30,40,50
+    // → every metric splits into clean quintiles
+    val ev = (1 to 5).map { i =>
+      (i.toLong, i.toLong, i * day, "purchase", i * 10.0)
+    } :+ ((9L, 99L, 3 * day, "view", 999.0))   // non-conversions ignored
+    val got = EventAnalytics.rfmSegments(
+        ev.toDF("user_id", "event_id", "ts", "event_type", "value"),
+        "user_id", "ts", "event_type", "purchase", "value")
+      .select($"user_id", $"r_days", $"r_q", $"f_q", $"m_q", $"segment")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // user 5 purchased last (r_days 0 → r_q 5) and highest value (m_q 5);
+    // frequency all tied at 1 → everyone f_q 5 (cume = 1)
+    assert(got(5L) == ((5L, 0L, 5L, 5L, 5L, 555L)))
+    assert(got(1L) == ((1L, 4L, 1L, 5L, 1L, 151L)))
+    assert(got(3L) == ((3L, 2L, 3L, 5L, 3L, 353L)))
+    assert(!got.contains(9L), "non-purchasers carry no segment")
+    // determinism across partitionings
+    val again = EventAnalytics.rfmSegments(
+        ev.toDF("user_id", "event_id", "ts", "event_type", "value")
+          .repartition(7),
+        "user_id", "ts", "event_type", "purchase", "value")
+      .select($"user_id", $"r_days", $"r_q", $"f_q", $"m_q", $"segment")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
   test("attribution: next-conversion assignment, first/last/linear credit") {
     val ev = Seq(
       // user 1: v@0, c@10, v@20 → purchase@30; v@40 has no later purchase

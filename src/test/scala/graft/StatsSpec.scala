@@ -481,6 +481,24 @@ class StatsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("chiSquareKxMMilli: agrees with the 2x2 closed form, full grid") {
+    // same [10 20 / 30 40] design as the 2x2 test → identical χ² 793
+    val rows = Seq.fill(10)(("g1", "y")) ++ Seq.fill(20)(("g1", "n")) ++
+      Seq.fill(30)(("g2", "y")) ++ Seq.fill(40)(("g2", "n"))
+    val got = Stats.chiSquareKxMMilli(rows.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(got._1 == 100L && got._2 == 1L)
+    // per-cell flooring can shave at most cells·1 milli vs the 2x2 form
+    assert(math.abs(got._3 - 793L) <= 4)
+    // absent cell contributes expected mass: 3 categories, one (c,y)
+    // combination never observed — dof counts the full grid
+    val sparse = Seq(("a", "y"), ("a", "n"), ("b", "y"), ("b", "n"),
+      ("c", "n"), ("c", "n"))
+    val s = Stats.chiSquareKxMMilli(sparse.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long)].collect().head
+    assert(s._2 == 2L && s._3 > 0L)
+  }
+
   private def kappa(rows: Seq[(String, String)]) =
     Stats.cohenKappaPpm(rows.toDF("a", "b"), "a", "b")
       .as[(Long, Long, Long)].collect().head
