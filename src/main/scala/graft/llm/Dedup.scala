@@ -826,9 +826,13 @@ object Dedup {
     * (uncapped) by construction. */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
                               minJaccard: Double, ngram: Int = 2): DataFrame = {
-    require(minJaccard > 0.0 && minJaccard < 1.0,
-      s"minJaccard must be in (0, 1) for prefix filtering, got $minJaccard")
-    val tPm = math.floor(minJaccard * 1000).toLong max 1L
+    // lower bound 0.001, not a clamp: flooring t to per-mille must only
+    // ever round DOWN (longer prefix, more candidates). A clamp up to
+    // 1‰ for t < 0.001 would SHORTEN the prefix below what the
+    // pigeonhole argument needs, silently losing recall.
+    require(minJaccard >= 0.001 && minJaccard < 1.0,
+      s"minJaccard must be in [0.001, 1) for prefix filtering, got $minJaccard")
+    val tPm = math.floor(minJaccard * 1000).toLong
     val grams = docs.select(col(idCol).as("doc_id"),
         explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
       .distinct()

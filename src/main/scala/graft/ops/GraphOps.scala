@@ -175,11 +175,13 @@ object GraphOps {
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    // orientation key: degree·2^32 + id — one long, total order (ids
-    // must be < 2^32, which every fixture key is; degrees < 2^31 by m)
+    // orientation key: struct(degree, id) — lexicographic struct
+    // comparison is a total order over ANY long id range (the packed
+    // degree·2^32 + id long silently mis-ordered for ids ≥ 2^32 or
+    // negative ids); the repo's tie-struct idiom
     def keyed(side: String) = deg.select(
       col("node").as(side),
-      (col("degree") * 4294967296L + col("node")).as(s"__k$side"))
+      struct(col("degree"), col("node")).as(s"__k$side"))
     val e2 = und.join(keyed("a"), "a").join(keyed("b"), "b")
     val oriented = e2.select(
         when(col("__ka") < col("__kb"), col("a")).otherwise(col("b")).as("src"),

@@ -46,10 +46,16 @@ object Hierarchy {
     var k = 1
     var n = frontier.count()
     while (n > 0 && k < maxDepth) {
+      // distinct per frontier: on DAG inputs (multiple parents — the
+      // BOM case) a node reaches the same ancestor at the same depth
+      // along several paths; without dedup diamond-heavy DAGs grow the
+      // frontier exponentially and the closure breaks its one-row-per-
+      // (node, ancestor, depth) contract
       frontier = pin(frontier
         .join(e.withColumnRenamed("__c", "ancestor"), Seq("ancestor"))
         .select(col("node"), col("__p").as("ancestor"),
-          (col("depth") + 1).as("depth")))
+          (col("depth") + 1).as("depth"))
+        .distinct())
       n = frontier.count()
       if (n > 0) acc += frontier
       k += 1

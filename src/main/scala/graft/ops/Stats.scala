@@ -439,8 +439,14 @@ object Stats {
         sum(col("__p").cast("decimal(38,0)") *
           (lit(2) * (col("__cum") - col("__c")) + col("__c") + 1)).as("__r2"))
       .select(col("n_pos"), col("n_neg"),
-        expr("""CAST((1000000 * (__r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)))
-                |div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"""
+        // single-class input (n_pos or n_neg = 0, incl. NULL on empty
+        // input): AUC is undefined and ANSI `div` would throw on the
+        // zero denominator — surface NULL (the chiSquare2x2Milli
+        // degenerate-margin pattern)
+        expr("""CASE WHEN n_pos IS NULL OR n_neg IS NULL
+                |         OR n_pos = 0 OR n_neg = 0 THEN NULL
+                |ELSE CAST((1000000 * (__r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)))
+                |div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT) END"""
           .stripMargin.replace("\n", " ")).as("auc_ppm"))
   }
 

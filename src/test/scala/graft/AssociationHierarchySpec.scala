@@ -103,6 +103,27 @@ class AssociationHierarchySpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("ancestors: DAG diamond emits one row per (node, ancestor, depth)") {
+    // diamond: 1 has parents 2 and 3, both of which have parent 4 —
+    // node 1 reaches 4 at depth 2 along TWO paths; the closure must
+    // still carry exactly one (1, 4, 2) row
+    val dag = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("c", "p")
+    val rows = Hierarchy.ancestors(dag, "c", "p", maxDepth = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(rows.length == rows.toSet.size, "closure contains duplicate rows")
+    assert(rows.toSet == Set(
+      (1L, 2L, 1), (1L, 3L, 1), (1L, 4L, 2), (2L, 4L, 1), (3L, 4L, 1)))
+    // stacked diamonds: 4 also reaches 7 through 5 and 6 — path count
+    // to the apex is 2·2 = 4 but row count stays 1 per (node, anc, d)
+    val dbl = (Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 7L), (6L, 7L))).toDF("c", "p")
+    val r2 = Hierarchy.ancestors(dbl, "c", "p", maxDepth = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(r2.length == r2.toSet.size)
+    assert(r2.count(t => t._1 == 1L && t._2 == 7L) == 1)
+    assert(r2.filter(t => t._1 == 1L && t._2 == 7L).head._3 == 4)
+  }
+
   test("ancestors: cycle fails loud unless requireAcyclic=false") {
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("c", "p")
     intercept[IllegalArgumentException] {

@@ -105,6 +105,19 @@ class GraphOpsSpec extends SparkTestBase {
     (0L to 3L).foreach { v => assert(got(v) == ((3L, 3L, 1000L))) }
   }
 
+  test("triangleStats: node ids past 2^32 and negative ids still count right") {
+    // the old packed degree·2^32 + id orientation key overflowed /
+    // mis-ordered here; struct(degree, id) must not care
+    val big = 1L << 40
+    val got = triStats(Seq(
+      (big + 1, big + 2), (big + 2, -big), (big + 1, -big),  // K3
+      (big + 1, 7L)))                                         // pendant
+    assert(got(big + 1) == ((3L, 1L, 333L)))
+    assert(got(big + 2) == ((2L, 1L, 1000L)))
+    assert(got(-big) == ((2L, 1L, 1000L)))
+    assert(got(7L) == ((1L, 0L, 0L)))
+  }
+
   test("labelPropagation: barbell graph splits where components cannot") {
     // two K4 cliques {1..4}, {11..14} joined by ONE bridge 4-11:
     // components see one blob; 2 LPA rounds find two communities

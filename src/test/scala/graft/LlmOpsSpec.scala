@@ -338,6 +338,11 @@ class LlmOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", minJaccard = 1.0)
     }
+    // sub-per-mille thresholds are rejected, not clamped: clamping
+    // 1e-4 up to 1‰ would shorten prefixes below the pigeonhole bound
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsPrefix(corpus, "doc_id", "text", minJaccard = 1e-4)
+    }
   }
 
   test("pair-mode LSH matches the windowed top-k path and plans no Window") {

@@ -379,6 +379,18 @@ class StatsSpec extends SparkTestBase {
     assert(one._3 == 1000000L * wins / (2L * pos.size * neg.size))
   }
 
+  test("aucPpm: single-class and empty inputs surface NULL, not ANSI div error") {
+    val onlyPos = Stats.aucPpm(Seq((1L, true), (2L, true)).toDF("s", "y"), "s", "y")
+      .collect().head
+    assert(onlyPos.getLong(0) == 2L && onlyPos.getLong(1) == 0L && onlyPos.isNullAt(2))
+    val onlyNeg = Stats.aucPpm(Seq((1L, false)).toDF("s", "y"), "s", "y")
+      .collect().head
+    assert(onlyNeg.getLong(0) == 0L && onlyNeg.getLong(1) == 1L && onlyNeg.isNullAt(2))
+    val empty = Stats.aucPpm(Seq.empty[(Long, Boolean)].toDF("s", "y"), "s", "y")
+      .collect().head
+    assert(empty.isNullAt(2))
+  }
+
   test("reliabilityBuckets: bin math, out-of-range exclusion, validation") {
     val rows = Seq(
       (50000L, true), (99999L, false),          // bucket 0: 2 rows, 1 pos
