@@ -660,4 +660,125 @@ object Stats {
               |div (CAST(n AS DECIMAL(38,0)) * n - __rc) AS BIGINT)"""
               .stripMargin.replace("\n", " "))).as("kappa_ppm"))
   }
+
+  /** MARKET-CONCENTRATION indices per group: Herfindahl–Hirschman in
+    * ppm (`hhi_ppm = 10⁶·Σnᵢ² div n²`, the antitrust-screen statistic)
+    * and its complement the Gini–Simpson impurity
+    * (`gini_ppm = 10⁶·(n² − Σnᵢ²) div n²`, the decision-tree split
+    * criterion / ecology diversity index) — "is this priority class
+    * served by one customer or a thousand", "is this shard's language
+    * mix degenerate". Both pure integer arithmetic over category
+    * counts; an equal K-way split reads 10⁶/K, a monopoly 10⁶.
+    *
+    * Output per group: (group, n, n_cat, hhi_ppm, gini_ppm).
+    *
+    * Scale shape: two map-side-partial groupBys — (group, category)
+    * counts then per-group moments; the second shuffle carries one row
+    * per distinct category, never input rows. No windows, no collects. */
+  def concentrationPpm(df: DataFrame, groupCol: String,
+                       catCol: String): DataFrame = {
+    val per = df.select(col(groupCol).as("__g"), col(catCol).as("__c"))
+      .where(col("__g").isNotNull && col("__c").isNotNull)
+      .groupBy(col("__g"), col("__c")).agg(count(lit(1)).as("__n"))
+    per.groupBy(col("__g"))
+      .agg(sum(col("__n")).as("n"), count(lit(1)).as("n_cat"),
+        sum(col("__n").cast("decimal(38,0)") * col("__n")).as("__s2"))
+      .select(col("__g").as(groupCol), col("n"), col("n_cat"),
+        expr("CAST((1000000 * __s2) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("hhi_ppm"),
+        expr("""CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * n - __s2))
+                |div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("gini_ppm"))
+  }
+
+  /** LAG-k AUTOCORRELATION per series, exact signed-r² surface:
+    * `r2_signed_ppm = sign(cov)·10⁶·cov² div (varx·vary)` over the
+    * (xₜ₋ₖ, xₜ) pairs of each group's order — Pearson r itself needs a
+    * square root (irrational), so the engine surfaces the square with
+    * the sign restored: the mean-reversion / momentum diagnostic
+    * ("does yesterday's count predict today's") in a form both engines
+    * compute bit-exactly. NULL when fewer than 2 pairs or either
+    * variance is zero (constant series).
+    *
+    * Values must be integer-domain (counts, pre-scaled cents — the
+    * Stats module contract).
+    *
+    * Scale shape: one group-partitioned lag window (state = one row),
+    * one map-side-partial groupBy of 6 moments per group. Series
+    * COUNT is unbounded; series LENGTH bounds nothing here (moments
+    * stream). */
+  def autocorrPpm(df: DataFrame, groupCol: String, orderCol: String,
+                  valueCol: String, lagK: Int = 1): DataFrame = {
+    require(lagK >= 1, s"lagK must be >= 1, got $lagK")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__o"))
+    val d = "decimal(38,0)"
+    val pairs = df.select(col(groupCol).as("__g"), col(orderCol).as("__o"),
+        col(valueCol).cast("long").as("__y"))
+      .withColumn("__x", lag(col("__y"), lagK).over(w))
+      .where(col("__x").isNotNull)
+    pairs.groupBy(col("__g"))
+      .agg(count(lit(1)).cast(d).as("__n"),
+        sum(col("__x")).cast(d).as("__sx"), sum(col("__y")).cast(d).as("__sy"),
+        sum(col("__x").cast(d) * col("__y")).as("__sxy"),
+        sum(col("__x").cast(d) * col("__x")).as("__sxx"),
+        sum(col("__y").cast(d) * col("__y")).as("__syy"))
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n_pairs"),
+        when(col("__n") < 2 ||
+            col("__n") * col("__sxx") === col("__sx") * col("__sx") ||
+            col("__n") * col("__syy") === col("__sy") * col("__sy"),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            // sign × positive quotient: keeps the division on positive
+            // operands so truncation-direction conventions cannot drift
+            """CAST((CASE WHEN __n * __sxy - __sx * __sy < 0 THEN -1 ELSE 1 END) *
+              |((1000000 * (__n * __sxy - __sx * __sy) * (__n * __sxy - __sx * __sy))
+              |div ((__n * __sxx - __sx * __sx) * (__n * __syy - __sy * __sy))) AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).as("r2_signed_ppm"))
+  }
+
+  /** CUPED variance-reduced experiment readout (Deng et al., WSDM'13 —
+    * the industry-standard pre-period adjustment): per experiment
+    * variant, the raw post-period mean and the covariate-adjusted mean
+    * `ȳᵥ − θ·(x̄ᵥ − x̄)` with θ = cov(x,y)/var(x) fitted GLOBALLY (the
+    * pooled-θ convention), all in exact decimal arithmetic surfaced as
+    * integer milli-units: `theta_ppm` truncated once, per-variant means
+    * truncated once, no double ever enters. x and y are per-unit
+    * pre/post metric values (already unit-aggregated — one row per
+    * experimental unit, the caller's contract).
+    *
+    * Output per variant: (variant, n_units, mean_post_milli,
+    * adj_mean_milli) — adj uses the SURFACED milli means and ppm θ, so
+    * the arithmetic is reproducible from the output itself.
+    *
+    * Scale shape: one global 5-moment aggregate (broadcast, one row) +
+    * one per-variant aggregate; shuffles carry variant cardinality.
+    * NULL adjustment when var(x) = 0 (constant covariate). */
+  def cupedAdjustMilli(units: DataFrame, variantCol: String,
+                       xCol: String, yCol: String): DataFrame = {
+    val d = "decimal(38,6)"
+    val u = units.select(col(variantCol).as("__v"),
+      col(xCol).cast(d).as("__x"), col(yCol).cast(d).as("__y"))
+    val g = u.agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+      sum(col("__x")).as("__gsx"), sum(col("__y")).as("__gsy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("__n"), col("__gsx"),
+        when(col("__n") * col("__sxx") === col("__gsx") * col("__gsx"),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * (__n * __sxy - __gsx * __gsy))
+              |div (__n * __sxx - __gsx * __gsx) AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).as("theta_ppm"))
+    u.groupBy(col("__v"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__nv"),
+        sum(col("__x")).as("__sxv"), sum(col("__y")).as("__syv"))
+      .crossJoin(broadcast(g))
+      .select(col("__v").as(variantCol), col("__nv").cast("long").as("n_units"),
+        expr("CAST((1000 * __syv) div __nv AS BIGINT)").as("mean_post_milli"),
+        expr("""CAST((1000 * __syv) div __nv
+                |- (theta_ppm * ((1000 * __sxv) div __nv - (1000 * __gsx) div __n))
+                |div 1000000 AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("adj_mean_milli"))
+  }
 }
