@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 analytics gates — time-series smoothing/evaluation, graph
+  * distance, concentration, experimentation, and survival operators
+  * (q222+). Split out of `CoreQueries` (2700 lines) the way the LLM
+  * gates were split by domain in round 7; `SparkEntry` unions the maps.
+  *
+  * Shared conventions (the CoreQueries contract): events.ts normalized
+  * to epoch-µs long by `CoreQueries.tRead`, day grain = `ts div
+  * 86400000000` ↔ DuckDB `epoch_us(ts)//86400000000`, exact integer /
+  * decimal arithmetic with `div` ↔ HUGEINT `//` (both truncate toward
+  * zero — DECIMAL `//` in DuckDB is fractional, never use it in an
+  * oracle), surfaced aggregates BIGINT.
+  */
+object AnalyticsGates {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    CoreQueries.tRead(s, dir, name)
+
+  private val dayUs = 86400000000L
+
+  /** Daily event counts per type — the shared spine of the time-series
+    * gates (EWMA, autocorrelation, WAPE). */
+  private def dailyCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts div ${dayUs}L").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val dailyCountsSql =
+    """SELECT event_type, epoch_us(ts)//86400000000 AS day,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // EXPONENTIAL SMOOTHING (ops/Resample.ewmaPpm): bounded-horizon EWMA
+  // of the daily event-count series per type, decay 0.7, horizon 8 —
+  // exact integer weights (700^k·1000^(7−k)), missing lags drop out of
+  // numerator and denominator, ppm surface. One lag window per series.
+  def q222_ewma(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Resample.ewmaPpm(dailyCounts(s, dir),
+      "event_type", "day", "cnt", decayPm = 700, horizon = 8)
+
+  // BFS HOP DISTANCE (ops/GraphOps.hopDistance): unweighted shortest
+  // paths from the minimum part id over a SPARSE part co-occurrence
+  // graph (orders thinned 23×: the full co-purchase graph has diameter
+  // ~1 at small sf — the thinned one spreads hops 0..10, an actual BFS).
+  def q223_hop_distance(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .where(col("l_orderkey") % 23 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val edges = li.as("a").join(li.as("b"), "o")
+      .where(col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y"))
+    val src = edges.agg(least(min(col("x")), min(col("y"))).as("node"))
+    graft.ops.GraphOps.hopDistance(edges, "x", "y", src, maxHops = 12)
+      .select(col("node"), col("hop").cast("int").as("hop"))
+  }
+
+  // CONCENTRATION (ops/Stats.concentrationPpm): customer-concentration
+  // HHI + Gini–Simpson impurity per order priority, exact integer ppm.
+  def q224_concentration(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.concentrationPpm(
+        t(s, dir, "orders"), "o_orderpriority", "o_custkey")
+      .withColumnRenamed("o_orderpriority", "priority")
+
+  // CUPED (ops/Stats.cupedAdjustMilli): variance-reduced A/B readout —
+  // units are users, variant = user_id parity, covariate x = pre-period
+  // (before Jan 16) spend, metric y = post-period spend, both exact
+  // DECIMAL(18,6) sums of the double `value`.
+  def q225_cuped(s: SparkSession, dir: String): DataFrame = {
+    val d = "decimal(18,6)"
+    val split = 19738L // epoch-day of 2024-01-16
+    val units = t(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(
+        sum(when(expr(s"ts div ${dayUs}L") < split,
+          col("value").cast(d)).otherwise(lit(0).cast(d))).as("x"),
+        sum(when(expr(s"ts div ${dayUs}L") >= split,
+          col("value").cast(d)).otherwise(lit(0).cast(d))).as("y"))
+    graft.ops.Stats.cupedAdjustMilli(units, "variant", "x", "y")
+  }
+
+  // AUTOCORRELATION (ops/Stats.autocorrPpm): lag-1 signed-r² of each
+  // type's daily count series — the momentum/mean-reversion diagnostic.
+  def q226_autocorr(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.autocorrPpm(dailyCounts(s, dir),
+      "event_type", "day", "cnt", lagK = 1)
+
+  // SURVIVAL HAZARD (ops/EventAnalytics.hazardByTenure): discrete
+  // life-table churn rates by whole-day tenure — d_t, at-risk suffix
+  // sum n_t, hazard ppm; windowless (globalRunningSum descending).
+  def q227_hazard(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.hazardByTenure(
+      t(s, dir, "events"), "user_id", "ts", periodUs = dayUs)
+
+  // FORECAST BASELINE (ops/Resample.seasonalNaiveWape): season-7
+  // naive forecast of daily counts scored by exact-ppm WAPE per type.
+  def q228_wape(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Resample.seasonalNaiveWape(dailyCounts(s, dir),
+      "event_type", "day", "cnt", season = 7)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_ewma"          -> q222_ewma _,
+    "q223_hop_distance"  -> q223_hop_distance _,
+    "q224_concentration" -> q224_concentration _,
+    "q225_cuped"         -> q225_cuped _,
+    "q226_autocorr"      -> q226_autocorr _,
+    "q227_hazard"        -> q227_hazard _,
+    "q228_wape"          -> q228_wape _)
+
+  val oracleSql: Map[String, String] = Map(
+    "q222_ewma" ->
+      s"""WITH daily AS ($dailyCountsSql),
+        |lagged AS (
+        |  SELECT event_type, day, cnt,
+        |    lag(cnt,1) OVER w c1, lag(cnt,2) OVER w c2, lag(cnt,3) OVER w c3,
+        |    lag(cnt,4) OVER w c4, lag(cnt,5) OVER w c5, lag(cnt,6) OVER w c6,
+        |    lag(cnt,7) OVER w c7
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, cnt,
+        |  CAST((1000000 * (
+        |      CAST(cnt AS HUGEINT) * 1000000000000000000000
+        |    + COALESCE(CAST(c1 AS HUGEINT) *  700000000000000000000, 0)
+        |    + COALESCE(CAST(c2 AS HUGEINT) *  490000000000000000000, 0)
+        |    + COALESCE(CAST(c3 AS HUGEINT) *  343000000000000000000, 0)
+        |    + COALESCE(CAST(c4 AS HUGEINT) *  240100000000000000000, 0)
+        |    + COALESCE(CAST(c5 AS HUGEINT) *  168070000000000000000, 0)
+        |    + COALESCE(CAST(c6 AS HUGEINT) *  117649000000000000000, 0)
+        |    + COALESCE(CAST(c7 AS HUGEINT) *   82354300000000000000, 0)))
+        |  // (  CAST(1000000000000000000000 AS HUGEINT)
+        |    + CASE WHEN c1 IS NULL THEN 0 ELSE  700000000000000000000 END
+        |    + CASE WHEN c2 IS NULL THEN 0 ELSE  490000000000000000000 END
+        |    + CASE WHEN c3 IS NULL THEN 0 ELSE  343000000000000000000 END
+        |    + CASE WHEN c4 IS NULL THEN 0 ELSE  240100000000000000000 END
+        |    + CASE WHEN c5 IS NULL THEN 0 ELSE  168070000000000000000 END
+        |    + CASE WHEN c6 IS NULL THEN 0 ELSE  117649000000000000000 END
+        |    + CASE WHEN c7 IS NULL THEN 0 ELSE   82354300000000000000 END)
+        |  AS BIGINT) AS ewma_ppm
+        |FROM lagged""".stripMargin,
+    "q223_hop_distance" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey o, l_partkey p FROM lineitem WHERE l_orderkey % 23 = 0),
+        |und AS (
+        |  SELECT DISTINCT least(a.p, b.p) AS a, greatest(a.p, b.p) AS b
+        |  FROM li a JOIN li b ON a.o = b.o WHERE a.p < b.p),
+        |adj AS (SELECT a AS s, b AS t FROM und UNION ALL SELECT b, a FROM und),
+        |src AS (SELECT min(s) AS v FROM adj),
+        |bfs AS (
+        |  SELECT v, 0 AS hop FROM src
+        |  UNION
+        |  SELECT adj.t, bfs.hop + 1 FROM bfs JOIN adj ON adj.s = bfs.v
+        |  WHERE bfs.hop < 12)
+        |SELECT v AS node, CAST(min(hop) AS INT) AS hop FROM bfs GROUP BY 1""".stripMargin,
+    "q224_concentration" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS priority, o_custkey,
+        |         CAST(count(*) AS BIGINT) AS n_i
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT priority, CAST(sum(n_i) AS HUGEINT) AS n,
+        |         CAST(sum(n_i*n_i) AS HUGEINT) AS s2,
+        |         CAST(count(*) AS BIGINT) AS n_cat
+        |  FROM per GROUP BY 1)
+        |SELECT priority, CAST(n AS BIGINT) AS n, n_cat,
+        |  CAST((1000000 * s2) // (n*n) AS BIGINT) AS hhi_ppm,
+        |  CAST((1000000 * (n*n - s2)) // (n*n) AS BIGINT) AS gini_ppm
+        |FROM tot""".stripMargin,
+    "q225_cuped" ->
+      """WITH ux AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    sum(CASE WHEN epoch_us(ts)//86400000000 < 19738
+        |        THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS x,
+        |    sum(CASE WHEN epoch_us(ts)//86400000000 >= 19738
+        |        THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS y
+        |  FROM events GROUP BY 1, 2),
+        |-- micro-unit HUGEINTs so every division is integral (// on
+        |-- DECIMAL is fractional in DuckDB; 10^6-scaled ints are exact)
+        |m AS (SELECT variant, CAST(round(x*1000000) AS HUGEINT) xm,
+        |             CAST(round(y*1000000) AS HUGEINT) ym FROM ux),
+        |g AS (
+        |  SELECT CAST(count(*) AS HUGEINT) AS n, sum(xm) AS sx, sum(ym) AS sy,
+        |         sum(xm*ym) AS sxy, sum(xm*xm) AS sxx
+        |  FROM m),
+        |th AS (
+        |  SELECT n, sx,
+        |    CASE WHEN n*sxx = sx*sx THEN NULL
+        |    ELSE CAST((1000000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx) AS BIGINT)
+        |    END AS theta_ppm
+        |  FROM g)
+        |SELECT v.variant, CAST(v.nv AS BIGINT) AS n_units,
+        |  CAST(v.syv // (1000 * v.nv) AS BIGINT) AS mean_post_milli,
+        |  CAST(v.syv // (1000 * v.nv)
+        |     - (th.theta_ppm * (v.sxv // (1000 * v.nv) - th.sx // (1000 * th.n)))
+        |       // 1000000 AS BIGINT) AS adj_mean_milli
+        |FROM (SELECT variant, CAST(count(*) AS HUGEINT) AS nv,
+        |             sum(xm) AS sxv, sum(ym) AS syv
+        |      FROM m GROUP BY 1) v CROSS JOIN th""".stripMargin,
+    "q226_autocorr" ->
+      s"""WITH daily AS ($dailyCountsSql),
+        |pairs AS (
+        |  SELECT event_type, cnt AS y,
+        |    lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS x
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) sx, CAST(sum(y) AS HUGEINT) sy,
+        |    CAST(sum(x*y) AS HUGEINT) sxy,
+        |    CAST(sum(x*x) AS HUGEINT) sxx, CAST(sum(y*y) AS HUGEINT) syy
+        |  FROM pairs WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+        |  CASE WHEN n < 2 OR n*sxx = sx*sx OR n*syy = sy*sy THEN NULL
+        |  ELSE CAST((CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) *
+        |    ((1000000 * (n*sxy - sx*sy) * (n*sxy - sx*sy))
+        |     // ((n*sxx - sx*sx) * (n*syy - sy*sy))) AS BIGINT)
+        |  END AS r2_signed_ppm
+        |FROM m""".stripMargin,
+    "q227_hazard" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(epoch_us(ts)//86400000000) - min(epoch_us(ts)//86400000000) AS tenure
+        |  FROM events GROUP BY 1),
+        |dt AS (SELECT tenure, CAST(count(*) AS BIGINT) AS d_t FROM u GROUP BY 1),
+        |risk AS (
+        |  SELECT tenure, d_t,
+        |    CAST(sum(d_t) OVER (ORDER BY tenure DESC) AS BIGINT) AS n_t
+        |  FROM dt)
+        |SELECT tenure, d_t, n_t,
+        |  CAST((1000000*d_t) // n_t AS BIGINT) AS hazard_ppm
+        |FROM risk""".stripMargin,
+    "q228_wape" ->
+      s"""WITH daily AS ($dailyCountsSql),
+        |f AS (
+        |  SELECT event_type, cnt,
+        |    lag(cnt,7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+        |  FROM daily)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_periods,
+        |  CAST(sum(abs(cnt - fc)) AS BIGINT) AS abs_err,
+        |  CASE WHEN sum(cnt) = 0 THEN NULL
+        |  ELSE CAST((1000000 * CAST(sum(abs(cnt-fc)) AS HUGEINT)) // sum(cnt) AS BIGINT)
+        |  END AS wape_ppm
+        |FROM f WHERE fc IS NOT NULL GROUP BY 1""".stripMargin)
+}

@@ -400,4 +400,37 @@ object EventAnalytics {
           .as("twap"),
         col("den"))
   }
+
+  /** DISCRETE-TIME SURVIVAL (churn) HAZARD by tenure: life-table rates
+    * over per-user activity spans. A user's tenure is the number of
+    * whole periods between their first and last event; at each tenure
+    * value t the op reports d_t (users who "died" — were last seen — at
+    * exactly t), n_t (users still at risk: tenure ≥ t), and the
+    * Kaplan–Meier discrete hazard `hazard_ppm = 10⁶·d_t div n_t` — the
+    * "when do users churn" curve, in exact integer arithmetic (the full
+    * KM survival product is irrational; the hazard TABLE is the exact
+    * sufficient statistic it is built from).
+    *
+    * Output: (tenure, d_t, n_t, hazard_ppm), one row per observed
+    * tenure value; n_t at the smallest tenure = total users.
+    *
+    * Scale shape: one user-keyed min/max aggregate (map-side partial),
+    * one groupBy on tenure (rows = distinct tenures), then a
+    * windowless [[GlobalRank.globalRunningSum]] suffix sum over those
+    * tenure rows (descending order) — no global window, no collect;
+    * everything after the first aggregate is bounded by the tenure
+    * ALPHABET, not the user count. */
+  def hazardByTenure(events: DataFrame, userCol: String, tsCol: String,
+                     periodUs: Long): DataFrame = {
+    require(periodUs >= 1, s"periodUs must be >= 1, got $periodUs")
+    val spans = events.select(col(userCol).as("__u"),
+        expr(s"CAST($tsCol AS BIGINT) div ${periodUs}L").as("__p"))
+      .groupBy(col("__u"))
+      .agg((max(col("__p")) - min(col("__p"))).as("tenure"))
+    val dt = spans.groupBy(col("tenure")).agg(count(lit(1)).as("d_t"))
+    // suffix sum: running sum under DESCENDING tenure = Σ_{t' >= t} d_t'
+    GlobalRank.globalRunningSum(dt, Seq(col("tenure").desc), "d_t", "n_t")
+      .select(col("tenure"), col("d_t"), col("n_t"),
+        expr("(1000000 * d_t) div n_t").as("hazard_ppm"))
+  }
 }

@@ -211,4 +211,59 @@ object GraphOps {
     oriented.unpersist(); triangles.unpersist()
     out
   }
+
+  /** MULTI-SOURCE BFS hop distance over the undirected graph: for every
+    * node reachable from `sources` within `maxHops`, the minimum hop
+    * count — the unweighted shortest-path distance ("how far is every
+    * supplier from the hub", reachability tiers for trust propagation).
+    * Classic frontier iteration with a visited set: each round expands
+    * the current frontier one hop and anti-joins everything already
+    * labeled, so a node is emitted exactly once at its FIRST (= minimal)
+    * hop and cycles cannot loop. Direction is ignored (edges are
+    * canonicalized undirected, self-loops dropped).
+    *
+    * Output: (node, hop) — sources at hop 0; unreachable nodes absent.
+    *
+    * Scale shape: per round one node-keyed join (frontier onto the
+    * adjacency), one distinct, one anti join against visited — all
+    * shuffles on the node id; frontier size is bounded by the hop
+    * neighborhood, never the whole graph, and each round checkpoints so
+    * the plan stays one-round deep. `maxHops` bounds rounds; pass the
+    * graph's known diameter bound, not a huge default. */
+  def hopDistance(edges: DataFrame, srcCol: String, dstCol: String,
+                  sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64,
+      s"maxHops must be in [1, 64], got $maxHops")
+    val spark = edges.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = pin(und.select(col("a").as("s"), col("b").as("t"))
+      .unionByName(und.select(col("b").as("s"), col("a").as("t"))))
+    var frontier = pin(sources.select(
+      col(sources.columns.head).cast("long").as("node")).distinct())
+    var visited = frontier.withColumn("hop", lit(0))
+    val acc = scala.collection.mutable.ArrayBuffer(visited)
+    var k = 1
+    var n = frontier.count()
+    while (n > 0 && k <= maxHops) {
+      val next = pin(frontier
+        .join(adj.withColumnRenamed("s", "node"), Seq("node"))
+        .select(col("t").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti"))
+      n = next.count()
+      if (n > 0) {
+        val labeled = next.withColumn("hop", lit(k))
+        acc += labeled
+        visited = pin(visited.unionByName(labeled))
+        frontier = next
+      }
+      k += 1
+    }
+    acc.reduce(_ unionByName _)
+  }
 }

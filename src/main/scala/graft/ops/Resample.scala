@@ -42,4 +42,91 @@ object Resample {
       .select(col("__g").as(groupCol), col("__p").as(periodCol),
         col("__v").as(valueCol), col("__filled").as("filled"))
   }
+
+  /** BOUNDED-HORIZON EWMA in exact integer ppm: per (group, period) the
+    * exponentially-weighted mean of the last `horizon` observations
+    * with per-mille decay `decayPm` — weight of the k-periods-ago value
+    * is decayPm^k/1000^k, truncated to the horizon so every weight is
+    * an exact integer after scaling by 1000^(horizon−1). Missing lags
+    * (series head) drop out of numerator AND denominator, so early
+    * rows are exact weighted means of what exists — no warm-up bias.
+    * `ewma_ppm = 10⁶·Σ vₖ·wₖ div Σ wₖ`: the smoothed trend line every
+    * daily-metric dashboard draws, reproducible bit-for-bit by any
+    * engine from the same integer rule.
+    *
+    * Input contract: at most one row per (group, period) (pre-aggregate
+    * upstream, the [[gapFillLocf]] sibling contract); values
+    * integer-domain (counts, cents).
+    *
+    * Scale shape: ONE group-partitioned window evaluating horizon−1
+    * lag() calls (state = horizon rows per group); no joins, no
+    * collects. horizon ≤ 8 keeps 10⁶·v·1000^7 inside DECIMAL(38,0) for
+    * values to ~10¹⁰. */
+  def ewmaPpm(obs: DataFrame, groupCol: String, periodCol: String,
+              valueCol: String, decayPm: Int, horizon: Int = 8): DataFrame = {
+    require(decayPm >= 1 && decayPm <= 999,
+      s"decayPm must be in [1, 999], got $decayPm")
+    require(horizon >= 2 && horizon <= 8,
+      s"horizon must be in [2, 8], got $horizon")
+    // exact integer weights: w_k = decayPm^k · 1000^(horizon-1-k)
+    val w: IndexedSeq[BigInt] = (0 until horizon).map { k =>
+      BigInt(decayPm).pow(k) * BigInt(1000).pow(horizon - 1 - k)
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__p"))
+    val d = "decimal(38,0)"
+    val base = obs.select(col(groupCol).as("__g"),
+        col(periodCol).cast("long").as("__p"),
+        col(valueCol).cast("long").as("__v0"))
+    val lagged = (1 until horizon).foldLeft(base) { (df, k) =>
+      df.withColumn(s"__v$k", lag(col("__v0"), k).over(win))
+    }
+    val num = (0 until horizon).map { k =>
+      coalesce(col(s"__v$k").cast(d) * lit(w(k).toString()).cast(d),
+        lit(0).cast(d))
+    }.reduce(_ + _)
+    val den = (0 until horizon).map { k =>
+      when(col(s"__v$k").isNull, lit(0).cast(d))
+        .otherwise(lit(w(k).toString()).cast(d))
+    }.reduce(_ + _)
+    lagged.withColumn("__num", num).withColumn("__den", den)
+      .select(col("__g").as(groupCol), col("__p").as(periodCol),
+        col("__v0").as(valueCol),
+        expr("CAST((1000000 * __num) div __den AS BIGINT)").as("ewma_ppm"))
+  }
+
+  /** SEASONAL-NAIVE FORECAST EVALUATION: score "this period = same
+    * period last season" (the baseline every real forecaster must beat)
+    * with WAPE in exact integer ppm — per group, over the periods where
+    * a season-ago observation exists:
+    * `wape_ppm = 10⁶·Σ|vₜ − vₜ₋ₛ| div Σ vₜ`. Integer-domain values;
+    * NULL when the actuals sum to zero.
+    *
+    * Output per group: (group, n_periods, abs_err, wape_ppm).
+    *
+    * Input contract: one row per (group, period) on a DENSE spine —
+    * run [[gapFillLocf]] first if periods can be missing, otherwise
+    * lag(season) silently reads an older period.
+    *
+    * Scale shape: one group-partitioned lag window + one map-side-
+    * partial groupBy; shuffles carry group cardinality. */
+  def seasonalNaiveWape(obs: DataFrame, groupCol: String, periodCol: String,
+                        valueCol: String, season: Int): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__p"))
+    obs.select(col(groupCol).as("__g"), col(periodCol).cast("long").as("__p"),
+        col(valueCol).cast("long").as("__v"))
+      .withColumn("__f", lag(col("__v"), season).over(win))
+      .where(col("__f").isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_periods"),
+        sum(abs(col("__v") - col("__f"))).as("abs_err"),
+        sum(col("__v")).as("__sv"))
+      .select(col("__g").as(groupCol), col("n_periods"), col("abs_err"),
+        when(col("__sv") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * CAST(abs_err AS DECIMAL(38,0))) div __sv AS BIGINT)"))
+          .as("wape_ppm"))
+  }
 }

@@ -328,4 +328,26 @@ class EventAnalyticsSpec extends SparkTestBase {
         "event_type", "purchase", Seq("view"), 0L)
     }
   }
+
+  test("hazardByTenure: life-table counts, at-risk suffix sums, hazard rule") {
+    // periodUs = 10: users span (last−first) periods
+    // u1: 0..35 → tenure 3; u2: 0..12 → 1; u3: 5..17 → 1; u4: 40..41 → 0
+    val ev = Seq((1L, 0L), (1L, 35L), (2L, 0L), (2L, 12L),
+      (3L, 5L), (3L, 17L), (4L, 40L), (4L, 41L)).toDF("user_id", "ts")
+    val got = EventAnalytics.hazardByTenure(ev, "user_id", "ts", periodUs = 10L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // tenure 0: d=1, at risk all 4 → 250000; tenure 1: d=2, at risk 3
+    // → 666666; tenure 3: d=1, at risk 1 → 10⁶
+    assert(got == Map(
+      0L -> ((1L, 4L, 250000L)),
+      1L -> ((2L, 3L, 666666L)),
+      3L -> ((1L, 1L, 1000000L))))
+    // at-risk counts are a suffix sum: n_t at min tenure = user count
+    val again = EventAnalytics.hazardByTenure(
+        ev.repartition(7), "user_id", "ts", periodUs = 10L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again == got)
+  }
 }

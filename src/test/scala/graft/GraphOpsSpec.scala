@@ -105,6 +105,33 @@ class GraphOpsSpec extends SparkTestBase {
     (0L to 3L).foreach { v => assert(got(v) == ((3L, 3L, 1000L))) }
   }
 
+  test("hopDistance: BFS levels, min-hop on shortcuts, maxHops cutoff") {
+    // path 1-2-3-4-5 plus shortcut 1-4 and island 9-10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (1L, 4L), (9L, 10L)).toDF("src", "dst")
+    val src = Seq(1L).toDF("node")
+    val got = GraphOps.hopDistance(edges, "src", "dst", src, maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    // 4 is reachable in 3 hops via the path but 1 via the shortcut
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    // the island is unreachable → absent, not hop-labeled
+    assert(!got.contains(9L) && !got.contains(10L))
+    // maxHops truncates the far tier
+    val capped = GraphOps.hopDistance(edges, "src", "dst", src, maxHops = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    // multi-source: closest source wins; direction ignored
+    val multi = GraphOps.hopDistance(edges, "src", "dst",
+        Seq(5L, 9L).toDF("node"), maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(multi == Map(5L -> 0, 9L -> 0, 4L -> 1, 10L -> 1,
+      1L -> 2, 3L -> 2, 2L -> 3))
+    // partition independence
+    val again = GraphOps.hopDistance(edges.repartition(7), "src", "dst",
+        src, maxHops = 10).as[(Long, Int)].collect().toMap
+    assert(again == got)
+  }
+
   test("triangleStats: node ids past 2^32 and negative ids still count right") {
     // the old packed degree·2^32 + id orientation key overflowed /
     // mis-ordered here; struct(degree, id) must not care

@@ -31,4 +31,50 @@ class ResampleSpec extends SparkTestBase {
       .as[(String, Long, Long, Long)].collect().toSet
     assert(again == got)
   }
+
+  test("ewmaPpm: hand weights, head truncation, partition independence") {
+    // decay 0.5, horizon 3: weights 4,2,1 (500^k·1000^(2-k) ∝ 4:2:1)
+    val obs = Seq(("a", 1L, 8L), ("a", 2L, 4L), ("a", 3L, 1L)).toDF("g", "p", "v")
+    val got = Resample.ewmaPpm(obs, "g", "p", "v", decayPm = 500, horizon = 3)
+      .as[(String, Long, Long, Long)].collect().toMap2
+    // p=1: only itself → 8.0; p=2: (4·4+2·8)/6 = 32/6 = 5.333…;
+    // p=3: (4·1+2·4+1·8)/7 = 20/7 = 2.857142…
+    assert(got(("a", 1L)) == ((8L, 8000000L)))
+    assert(got(("a", 2L)) == ((4L, 5333333L)))
+    assert(got(("a", 3L)) == ((1L, 2857142L)))
+    // independent groups don't leak into each other's windows
+    val multi = Resample.ewmaPpm(
+        obs.unionByName(Seq(("b", 3L, 100L)).toDF("g", "p", "v")).repartition(5),
+        "g", "p", "v", decayPm = 500, horizon = 3)
+      .as[(String, Long, Long, Long)].collect()
+    assert(multi.toMap2(("b", 3L)) == ((100L, 100000000L)))
+    assert(multi.toMap2(("a", 3L)) == ((1L, 2857142L)))
+    intercept[IllegalArgumentException] {
+      Resample.ewmaPpm(obs, "g", "p", "v", decayPm = 1000, horizon = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Resample.ewmaPpm(obs, "g", "p", "v", decayPm = 500, horizon = 9)
+    }
+  }
+
+  test("seasonalNaiveWape: lag-season error, zero-actuals NULL") {
+    // season 2: forecasts read two ROWS back (dense-spine contract)
+    val obs = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 13L),
+      ("a", 4L, 16L),
+      ("z", 1L, 5L), ("z", 2L, 7L), ("z", 3L, 0L), ("z", 4L, 0L))
+      .toDF("g", "p", "v")
+    val got = Resample.seasonalNaiveWape(obs, "g", "p", "v", season = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    // a: pairs (13 vs 10), (16 vs 20) → abs_err 7, Σv = 29 → 241379 ppm
+    assert(got("a") == ((2L, 7L, 1000000L * 7 / 29)))
+    // z: pairs (0 vs 5), (0 vs 7) → actuals sum 0 → NULL wape
+    assert(got("z") == ((2L, 12L, -1L)))
+  }
+
+  private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[(A, B), (C, D)] =
+      rows.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+  }
 }

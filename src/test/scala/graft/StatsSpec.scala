@@ -379,6 +379,71 @@ class StatsSpec extends SparkTestBase {
     assert(one._3 == 1000000L * wins / (2L * pos.size * neg.size))
   }
 
+  test("concentrationPpm: monopoly, even split, and hand-mixed case") {
+    val df = Seq(
+      ("mono", "x"), ("mono", "x"), ("mono", "x"),
+      ("even", "a"), ("even", "b"), ("even", "c"), ("even", "d"),
+      ("mix", "a"), ("mix", "a"), ("mix", "b")).toDF("g", "c")
+    val got = Stats.concentrationPpm(df, "g", "c")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("mono") == ((3L, 1L, 1000000L, 0L)))
+    assert(got("even") == ((4L, 4L, 250000L, 750000L)))
+    // mix: n=3, Σn² = 4+1 = 5 → hhi 5·10⁶/9 = 555555, gini 444444
+    assert(got("mix") == ((3L, 2L, 555555L, 444444L)))
+    // partition independence
+    val again = Stats.concentrationPpm(df.repartition(7), "g", "c")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(again == Stats.concentrationPpm(df, "g", "c")
+      .as[(String, Long, Long, Long, Long)].collect().toSet)
+  }
+
+  test("autocorrPpm: alternating, trending, constant, and short series") {
+    def ac(rows: Seq[(String, Long, Long)]): Map[String, (Long, Option[Long])] =
+      Stats.autocorrPpm(rows.toDF("g", "o", "v"), "g", "o", "v", lagK = 1)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))))
+        .toMap
+    // perfectly alternating 0,1,0,1… → r = −1 → signed r² = −10⁶
+    val alt = ac((1L to 8L).map(i => ("a", i, i % 2)))
+    assert(alt("a") == ((7L, Some(-1000000L))))
+    // strictly linear trend → r = +1 → +10⁶
+    val lin = ac((1L to 8L).map(i => ("t", i, 10 * i)))
+    assert(lin("t") == ((7L, Some(1000000L))))
+    // constant series → zero variance → NULL
+    val const = ac((1L to 5L).map(i => ("c", i, 7L)))
+    assert(const("c") == ((4L, None)))
+    // single pair → n < 2 → NULL
+    val short = ac(Seq(("s", 1L, 3L), ("s", 2L, 9L)))
+    assert(short("s") == ((1L, None)))
+    // hand case: series (2,4,3) → pairs x=(2,4), y=(4,3): n=2 sx=6
+    // sy=7 sxy=20 sxx=20 syy=25 → cov=40−42=−2, varx=40−36=4,
+    // vary=50−49=1 → signed r² = −10⁶·4/4 = −1000000
+    val hand = ac(Seq(("h", 1L, 2L), ("h", 2L, 4L), ("h", 3L, 3L)))
+    assert(hand("h") == ((2L, Some(-1000000L))))
+  }
+
+  test("cupedAdjustMilli: known theta, adjustment direction, degenerate covariate") {
+    // units: x perfectly predicts y (y = 2x) → theta = 2.0 = 2_000_000 ppm
+    val units = Seq(
+      (0L, 1.0, 2.0), (0L, 3.0, 6.0), (1L, 2.0, 4.0), (1L, 4.0, 8.0))
+      .toDF("variant", "x", "y")
+    val got = Stats.cupedAdjustMilli(units, "variant", "x", "y")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // global x̄ = 2.5; v0: ȳ=4, x̄=2 → adj = 4 − 2·(2−2.5) = 5
+    // v1: ȳ=6, x̄=3 → adj = 6 − 2·(3−2.5) = 5 — adjustment removes the
+    // covariate imbalance entirely when y = θx
+    assert(got(0L) == ((2L, 4000L, 5000L)))
+    assert(got(1L) == ((2L, 6000L, 5000L)))
+    // constant covariate → theta NULL → adj NULL
+    val degen = Stats.cupedAdjustMilli(
+        Seq((0L, 1.0, 2.0), (1L, 1.0, 6.0)).toDF("variant", "x", "y"),
+        "variant", "x", "y")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(degen == Map(0L -> true, 1L -> true))
+  }
+
   test("aucPpm: single-class and empty inputs surface NULL, not ANSI div error") {
     val onlyPos = Stats.aucPpm(Seq((1L, true), (2L, true)).toDF("s", "y"), "s", "y")
       .collect().head
