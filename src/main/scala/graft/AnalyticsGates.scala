@@ -101,6 +101,23 @@ object AnalyticsGates {
     graft.ops.Resample.seasonalNaiveWape(dailyCounts(s, dir),
       "event_type", "day", "cnt", season = 7)
 
+  // APPROX PROFILER (ops/Profiler.approxProfile): the q206 profiler's
+  // 100 TB path made real — pass 2's exact (column, value) histogram
+  // (shuffle ~rows on the o_orderkey id column) swapped for ONE
+  // per-column HLL register build (shuffle ≤ k·2^b rows). Gate pins
+  // the sketch's exact integer core (n_buckets, denom_units) with the
+  // md5 gate hash; the float estimate stays spec-pinned.
+  def q229_approx_profile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.approxProfile(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("prio")),
+        Seq("o_orderkey", "o_orderstatus", "prio"),
+        b = 6, hashFn = graft.llm.TextAnalysis.md5Hash60, hashBits = 60)
+      .select(col("column"), col("n"), col("n_null"),
+        col("min_value"), col("max_value"), col("n_buckets"),
+        col("denom_units").cast("long").as("denom_units"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -108,9 +125,37 @@ object AnalyticsGates {
     "q225_cuped"         -> q225_cuped _,
     "q226_autocorr"      -> q226_autocorr _,
     "q227_hazard"        -> q227_hazard _,
-    "q228_wape"          -> q228_wape _)
+    "q228_wape"          -> q228_wape _,
+    "q229_approx_profile" -> q229_approx_profile _)
 
   val oracleSql: Map[String, String] = Map(
+    "q229_approx_profile" ->
+      """WITH src AS (SELECT o_orderkey, o_orderstatus,
+        |       CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS prio
+        |     FROM orders),
+        |L AS (SELECT 'o_orderkey' AS "column", CAST(o_orderkey AS VARCHAR) AS val FROM src
+        | UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM src
+        | UNION ALL SELECT 'prio', prio FROM src),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM src),
+        |nn AS (SELECT "column", CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+        |       FROM L GROUP BY 1),
+        |mm AS (SELECT 'o_orderkey' AS "column", CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |         CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM src
+        |  UNION ALL SELECT 'o_orderstatus', min(o_orderstatus), max(o_orderstatus) FROM src
+        |  UNION ALL SELECT 'prio', min(prio), max(prio) FROM src),
+        |h AS (SELECT "column", ('0x'||substring(md5(val),1,15))::BIGINT AS h
+        |      FROM L WHERE val IS NOT NULL),
+        |b AS (SELECT "column", h % 64 AS bucket, h // 64 AS w FROM h),
+        |r AS (SELECT "column", bucket,
+        |        max(CASE WHEN w = 0 THEN 55 ELSE 55 - length(bin(w)) END) AS r
+        |      FROM b GROUP BY 1, 2),
+        |sk AS (SELECT "column", CAST(count(*) AS INT) AS n_buckets,
+        |   CAST(sum(1::HUGEINT << (55-r)) + (64-count(*)) * (1::HUGEINT << 55) AS BIGINT) AS denom_units
+        | FROM r GROUP BY 1)
+        |SELECT nn."column", tot.n, nn.n_null, mm.min_value, mm.max_value,
+        |       sk.n_buckets, sk.denom_units
+        |FROM nn JOIN mm ON mm."column" = nn."column"
+        |LEFT JOIN sk ON sk."column" = nn."column", tot""".stripMargin,
     "q222_ewma" ->
       s"""WITH daily AS ($dailyCountsSql),
         |lagged AS (

@@ -104,6 +104,16 @@ object Bench {
       // canonicalized plans) and the reported minimum would time a cache
       // scan, not the query
       spark.catalog.clearCache()
+      // clearCache() only drops CATALOG-cached Datasets; blocks pinned by
+      // operator-internal persist()/localCheckpoint() (iterative graph
+      // ops, index builds) outlive their query and accumulated across the
+      // 200+-query run until the block manager ran hot — BENCH_r07
+      // recorded q100 at 7.9 s where an isolated BenchOne min is 1.5 s.
+      // Dropping every persistent RDD between queries (blocking, so the
+      // release is not racing the next timed region) restores per-query
+      // isolation without a session restart.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       // a failed query reports -1.0, never a fake timing — a regression
       // must read as breakage, not as a faster run

@@ -17,6 +17,8 @@ object BenchOne {
     val fn = SparkEntry.queries(name)
     val times = (1 to reps).map { i =>
       spark.catalog.clearCache()   // see Bench: no cross-rep cache reuse
+      spark.sparkContext.getPersistentRDDs.values   // and no pinned blocks
+        .foreach(_.unpersist(blocking = true))      // from rep to rep
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val secs = (System.nanoTime() - t0) / 1e9

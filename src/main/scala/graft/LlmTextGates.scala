@@ -768,7 +768,38 @@ object LlmTextGates {
     graft.llm.TextAnalysis.collocations(
       t(s, dir, "documents"), "text", minPairCount = 5, topK = 20)
 
+  /** The shared gate blocklist: "tab" nests inside every "table" match
+    * (nested-output path), "a" matches inside words and overlaps
+    * itself (multi-hit path), "scan slow" crosses a token boundary —
+    * the substring semantics a token-level filter cannot express. */
+  private val gateBlocklist =
+    Seq("tab", "table", "scan slow", "a", "merge")
+
+  // BLOCKLIST SCREENING (llm/Blocklist.matchStats over the native
+  // Aho–Corasick expression functions/AcMatches): per-document distinct
+  // blocked terms + total occurrences in ONE codegen'd scan of the
+  // corpus — the pretraining dirty-word/PII-keyword filter at 10⁵
+  // patterns, where per-pattern contains() rescans the corpus |P|
+  // times. Occurrences count overlapping AND nested matches (oracle
+  // replays via per-position substr equality).
+  def q230_blocklist(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Blocklist.matchStats(
+        t(s, dir, "documents").where(col("text").isNotNull)
+          .select(col("doc_id"), col("text")),
+        "text", gateBlocklist)
+      .select(col("doc_id"), col("n_patterns_hit"), col("n_occurrences"))
+
+  // BLOCKLIST HIT AUDIT (llm/Blocklist.hits): the exploded
+  // (document, term, occurrences) table — which terms fire where, the
+  // review surface behind every blocklist threshold decision.
+  def q231_blocklist_hits(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Blocklist.hits(
+      t(s, dir, "documents").where(col("text").isNotNull),
+      Seq("doc_id"), "text", gateBlocklist)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_blocklist" -> q230_blocklist _,
+    "q231_blocklist_hits" -> q231_blocklist_hits _,
     "q184_collocations" -> q184_collocations _,
     "q170_chat_render"  -> q170_chat_render _,
     "q171_chat_validate" -> q171_chat_validate _,
@@ -822,7 +853,35 @@ object LlmTextGates {
     "q125_distinct_ngrams" -> q125_distinct_ngrams _,
   )
 
+  /** Per-position substring-equality replay of the Aho–Corasick
+    * semantics: every text position joins against every pattern whose
+    * literal starts there — occurrence = match END events, so overlaps
+    * and nested patterns count exactly as the automaton counts them. */
+  private val blocklistOccSql =
+    """WITH pats AS (SELECT * FROM (VALUES ('tab',0),('table',1),
+      |    ('scan slow',2),('a',3),('merge',4)) p(pat, pid)),
+      |pos AS (SELECT d.doc_id, unnest(generate_series(1, length(d.text))) AS i,
+      |               d.text AS text
+      |        FROM documents d WHERE d.text IS NOT NULL),
+      |occ AS (SELECT pos.doc_id, p.pid, p.pat, count(*) AS occ
+      |        FROM pos JOIN pats p
+      |          ON substr(pos.text, pos.i, length(p.pat)) = p.pat
+      |        GROUP BY 1, 2, 3)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q230_blocklist" -> (blocklistOccSql +
+      """
+        |SELECT d.doc_id,
+        |  CAST(coalesce(o.np, 0) AS INT) AS n_patterns_hit,
+        |  CAST(coalesce(o.no_, 0) AS BIGINT) AS n_occurrences
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, count(*) AS np, sum(occ) AS no_ FROM occ GROUP BY 1) o
+        |  USING (doc_id)
+        |WHERE d.text IS NOT NULL""".stripMargin),
+    "q231_blocklist_hits" -> (blocklistOccSql +
+      """
+        |SELECT doc_id, pid, pat AS pattern, CAST(occ AS BIGINT) AS occ
+        |FROM occ""".stripMargin),
     "q184_collocations" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),

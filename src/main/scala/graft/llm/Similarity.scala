@@ -154,6 +154,24 @@ object Similarity {
         (col("pos") + 1).as("rnk"))
   }
 
+  /** Fan an under-partitioned corpus out to the session's parallelism
+    * before a per-pair kernel stage. The brute routes run the decimal
+    * cosine kernel in the CORPUS side's partitioning (queries are
+    * broadcast), and a filtered gate sub-corpus — or any corpus small
+    * enough for the brute route — often arrives as ONE parquet split,
+    * serializing |corpus|·|queries| kernel evaluations onto one core
+    * (q142 measured 8.9→1.9 s; q126 carried two such passes). The
+    * round-robin shuffle is bounded by the brute-route admission
+    * (≤ bruteForceThreshold rows) and skipped when the corpus already
+    * has enough splits. Result-invariant: every downstream consumer is
+    * an order-independent aggregate ([[topKPerQuery]]'s total-order
+    * k-merge). */
+  private def spreadKernel(corpus: DataFrame): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    if (corpus.rdd.getNumPartitions < par) corpus.repartition(par)
+    else corpus
+  }
+
   /** Exact brute-force cosine top-k of `candidates` for each row of
     * `queries`. Both frames need (idCol, vecCol). Self-matches excluded.
     * One scan of the corpus (queries broadcast), map-side-bounded
@@ -163,7 +181,8 @@ object Similarity {
                      deterministic: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm2Decimal(col("qv")))
-    val c = candidates.select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
+    val c = spreadKernel(candidates)
+      .select(col(idCol).as("cand_id"), col(vecCol).as("cv"))
       .withColumn("cn", norm2Decimal(col("cv")))
     val cos =
       if (deterministic) cosineDeterministic(col("qv"), col("cv"), col("qn"), col("cn"))
@@ -223,7 +242,7 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         col(labelCol).as("qlab"))
       .withColumn("qn", norm2Decimal(col("qv")))
-    val c = candidates.where(col(labelCol).isNotNull)
+    val c = spreadKernel(candidates.where(col(labelCol).isNotNull))
       .select(col(idCol).as("cand_id"), col(vecCol).as("cv"),
         col(labelCol).as("clab"))
       .withColumn("cn", norm2Decimal(col("cv")))

@@ -33,11 +33,12 @@ import org.apache.spark.sql.functions._
   * gate contract; the sketch path is the documented scale knob. */
 object Profiler {
 
-  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Pass 1 of both profile modes: fused null/min/max aggregate — one
+    * scan, 1-row result — fanned out to one row per column. */
+  private def basicsOf(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     require(cols.forall(df.columns.contains),
       s"unknown columns: ${cols.filterNot(df.columns.contains).mkString(",")}")
-    // pass 1: fused null/min/max aggregate — one scan, 1-row result
     val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
       // min/max under the column's NATIVE order, rendered after — a
       // string-first min would order numerics lexicographically
@@ -47,19 +48,28 @@ object Profiler {
     }
     val onerow = df.agg(aggs.head, aggs.tail: _*)
     // fan the 1-row frame out to one row per column (metadata explode)
-    val basics = onerow.select(explode(array(cols.map(c => struct(
+    onerow.select(explode(array(cols.map(c => struct(
         lit(c).as("column"), col("__n").as("n"),
         col(s"__null_$c").as("n_null"),
         col(s"__min_$c").as("min_value"),
         col(s"__max_$c").as("max_value"))): _*)).as("__s"))
       .select(col("__s.*"))
-    // pass 2: long-form value histogram → distinct + mode per column
-    val long = df.select(explode(array(cols.map(c =>
+  }
+
+  /** Long form shared by pass 2 of both modes: the columns UNPIVOT to
+    * (__col, __val-as-string), NULLs excluded — k columns make the scan
+    * k× wider, not k scans. */
+  private def longForm(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.map(c =>
         struct(lit(c).as("__col"), col(c).cast("string").as("__val"))): _*))
         .as("__s"))
       .select(col("__s.*"))
       .where(col("__val").isNotNull)
-    val hist = long.groupBy(col("__col"), col("__val"))
+
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val basics = basicsOf(df, cols)
+    // pass 2: long-form value histogram → distinct + mode per column
+    val hist = longForm(df, cols).groupBy(col("__col"), col("__val"))
       .agg(count(lit(1)).as("__cnt"))
     val shape = hist.groupBy(col("__col").as("column"))
       .agg(count(lit(1)).as("n_distinct"),
@@ -71,5 +81,48 @@ object Profiler {
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_value"), col("max_value"),
         col("top_value"), col("top_count"))
+  }
+
+  /** The documented 100 TB scale knob of [[profileColumns]], made real:
+    * pass 2's exact (column, value) histogram — whose shuffle degrades
+    * to ~rows on a high-cardinality id column — is replaced by ONE
+    * [[Sketches.hllRegisters]] build over the same long form, grouped
+    * by column name. The shuffle now carries at most k·2^b register
+    * rows after the map-side partial max, whatever the cardinality;
+    * the modal value is dropped (a mode needs the exact histogram —
+    * callers wanting it for bounded-alphabet columns run the exact
+    * profile on those columns alone).
+    *
+    * Output per column: (column, n, n_null, min_value, max_value,
+    * n_buckets, denom_units, estimate) — `n_buckets`/`denom_units` are
+    * the sketch's exact integer core (auditable, engine-reproducible
+    * with a shared hash), `estimate` the float convenience from
+    * [[Sketches.hllEstimate]]. Values sketch by their RENDERED string
+    * (the unpivot needs one type), so 1 and "1" in different columns
+    * count the same — consistent with the exact mode's histogram.
+    *
+    * `hashFn`/`hashBits` default to production xxhash64/63; gates pass
+    * [[graft.llm.TextAnalysis.md5Hash60]]/60 so an external engine
+    * replays the registers from string math alone. */
+  def approxProfile(df: DataFrame, cols: Seq[String], b: Int = 6,
+                    hashFn: org.apache.spark.sql.Column =>
+                      org.apache.spark.sql.Column = xxhash64(_),
+                    hashBits: Int = 63): DataFrame = {
+    val basics = basicsOf(df, cols)
+    val reg = Sketches.hllRegisters(longForm(df, cols), col("__val"),
+      b = b, hashFn = hashFn, hashBits = hashBits, groupCols = Seq("__col"))
+    val est = Sketches.hllEstimate(reg, b = b, hashBits = hashBits,
+        groupCols = Seq("__col"))
+      .withColumnRenamed("__col", "column")
+    basics.join(est, Seq("column"), "left")
+      .select(col("column"), col("n"), col("n_null"),
+        col("min_value"), col("max_value"),
+        // an all-NULL column has no registers: 0 occupied buckets, the
+        // all-empty harmonic denominator m·2^S, estimate 0 distinct
+        coalesce(col("n_buckets"), lit(0)).as("n_buckets"),
+        coalesce(col("denom_units"),
+          lit(BigDecimal(BigInt(1) << (hashBits - b + 1)) * (1 << b))
+            .cast("decimal(38,0)")).as("denom_units"),
+        coalesce(col("estimate"), lit(0.0)).as("estimate"))
   }
 }

@@ -46,4 +46,35 @@ class ProfilerSpec extends SparkTestBase {
       .collect().toSet
     assert(a == got.values.toSet)
   }
+
+  test("approxProfile: shared basics, HLL accuracy, all-null column") {
+    val df = spark.range(0, 2000).selectExpr(
+      "id AS k",                       // 2000 distinct
+      "CAST(id % 7 AS STRING) AS s",   // 7 distinct
+      "CAST(NULL AS STRING) AS z")     // all null
+    val exact = Profiler.profileColumns(df, Seq("k", "s", "z"))
+      .select($"column", $"n_distinct").as[(String, Long)].collect().toMap
+    val got = Profiler.approxProfile(df, Seq("k", "s", "z"), b = 6)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // basics identical to the exact profile
+    assert(got("k").getLong(1) == 2000L && got("k").getLong(2) == 0L)
+    assert(got("z").getLong(2) == 2000L)
+    assert(got("k").getString(3) == "0" && got("s").getString(4) == "6")
+    // estimates within HLL error for b=6 (±~13% at 1σ; allow 3σ), and
+    // the small set essentially exact via the small-range correction
+    val estK = got("k").getDouble(7)
+    assert(math.abs(estK - exact("k")) / exact("k") < 0.4, s"estK=$estK")
+    val estS = got("s").getDouble(7)
+    assert(math.abs(estS - exact("s")) < 1.0, s"estS=$estS")
+    // all-null column: zero occupied buckets, the all-empty harmonic
+    // denominator 64·2^58, estimate 0 distinct
+    assert(got("z").getInt(5) == 0)
+    assert(got("z").getDecimal(6).toBigInteger ==
+      (BigInt(64) << 58).bigInteger)
+    assert(got("z").getDouble(7) == 0.0)
+    // deterministic hash → registers partition-independent
+    val again = Profiler.approxProfile(df.repartition(13), Seq("k", "s", "z"),
+      b = 6).collect().map(r => r.getString(0) -> r.getDecimal(6)).toMap
+    assert(again.forall { case (c, d) => d == got(c).getDecimal(6) })
+  }
 }
