@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.LlmGateUtil._
 
@@ -797,7 +797,48 @@ object LlmTextGates {
       t(s, dir, "documents").where(col("text").isNotNull),
       Seq("doc_id"), "text", gateBlocklist)
 
+  /** Deterministic URL synthesis shared by the URL gates — the fixture
+    * has no URL column, so BOTH engines build the same one from
+    * (doc_id, source, lang): four shapes covering mixed case, default
+    * vs explicit port, tracking-only query, trailing-dot host, naive
+    * ccTLD domains, and an unparseable row. */
+  private def gateUrl: Column =
+    when(col("doc_id") % 4 === 0,
+      concat(lit("HTTPS://WWW."), col("source"), lit(".Example.CO.uk:443/Path/"),
+        col("doc_id").cast("string"), lit("?utm_source=feed&b=2&a=1#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("http://"), col("source"), lit(".example.com:8080/"),
+          col("lang"), lit("/p?id="), col("doc_id").cast("string"),
+          lit("&ref=x&a=1")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://cdn."), col("source"), lit(".example.com.?fbclid=abc")))
+      .otherwise(concat(lit("not a url "), col("doc_id").cast("string")))
+
+  // URL CANONICALIZATION (llm/UrlOps): RFC-3986 syntax normalization +
+  // tracking-param strip + naive registrable domain — the crawl-dedup
+  // key and per-domain rollup identity of a web corpus. Map-only
+  // builtin column functions end to end; unparseable rows surface as
+  // NULLs, never guesses.
+  def q232_url_normalize(s: SparkSession, dir: String): DataFrame = {
+    val withUrl = t(s, dir, "documents").withColumn("url", gateUrl)
+    val host = graft.llm.UrlOps.hostOf(col("url"))
+    withUrl.select(col("doc_id"), col("url"),
+      graft.llm.UrlOps.normalizeUrl(col("url")).as("url_norm"),
+      host.as("host"),
+      graft.llm.UrlOps.registrableDomain(host).as("domain"))
+  }
+
+  // DOMAIN ROLLUP (llm/UrlOps.domainStats): pages / distinct hosts /
+  // distinct canonical URLs per registrable domain — the quota view a
+  // crawl frontier budgets by. One normalize scan + one domain-keyed
+  // aggregate.
+  def q233_domain_stats(s: SparkSession, dir: String): DataFrame =
+    graft.llm.UrlOps.domainStats(
+      t(s, dir, "documents").withColumn("url", gateUrl), "url")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_url_normalize" -> q232_url_normalize _,
+    "q233_domain_stats" -> q233_domain_stats _,
     "q230_blocklist" -> q230_blocklist _,
     "q231_blocklist_hits" -> q231_blocklist_hits _,
     "q184_collocations" -> q184_collocations _,
@@ -868,7 +909,68 @@ object LlmTextGates {
       |          ON substr(pos.text, pos.i, length(p.pat)) = p.pat
       |        GROUP BY 1, 2, 3)""".stripMargin
 
+  /** DuckDB replay of UrlOps on the synthesized gate URLs: same parse
+    * regex (RE2 ≡ Java on this pattern), same normalization rules.
+    * `array_to_string([], ...)` is NULL in DuckDB (Spark's array_join
+    * gives '') — the coalesce keeps the engines aligned on
+    * tracking-only query strings. */
+  private val urlNormSql =
+    """WITH u AS (
+      |  SELECT doc_id, CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.CO.uk:443/Path/' || doc_id || '?utm_source=feed&b=2&a=1#frag'
+      |    WHEN 1 THEN 'http://' || source || '.example.com:8080/' || lang || '/p?id=' || doc_id || '&ref=x&a=1'
+      |    WHEN 2 THEN 'https://cdn.' || source || '.example.com.?fbclid=abc'
+      |    ELSE 'not a url ' || doc_id END AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, url,
+      |    regexp_matches(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$') AS ok,
+      |    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 1) AS scheme0,
+      |    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 2) AS rawhost,
+      |    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 3) AS port_s,
+      |    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 4) AS path0,
+      |    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$', 5) AS query0
+      |  FROM u),
+      |n AS (
+      |  SELECT doc_id, url, ok,
+      |    lower(scheme0) AS scheme, regexp_replace(lower(rawhost), '\.$', '') AS host,
+      |    CASE WHEN port_s = '' THEN NULL ELSE CAST(port_s AS INT) END AS port,
+      |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+      |    coalesce(array_to_string(list_sort(list_filter(str_split(query0, '&'),
+      |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+      |        AND NOT str_split(x, '=')[1] IN ('gclid','fbclid','msclkid','yclid','ref'))), '&'), '') AS q
+      |  FROM p),
+      |f AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN NOT ok THEN NULL ELSE
+      |      scheme || '://' || host ||
+      |      CASE WHEN port IS NULL OR (scheme = 'http' AND port = 80)
+      |                OR (scheme = 'https' AND port = 443)
+      |           THEN '' ELSE ':' || port END ||
+      |      path || CASE WHEN q = '' THEN '' ELSE '?' || q END
+      |    END AS url_norm,
+      |    CASE WHEN NOT ok THEN NULL ELSE host END AS host
+      |  FROM n),
+      |d AS (SELECT *, str_split(host, '.') AS labels FROM f),
+      |norm AS (
+      |  SELECT doc_id, url, url_norm, host,
+      |    CASE WHEN host IS NULL THEN NULL
+      |         WHEN len(labels) <= 1 THEN host
+      |         WHEN len(labels) >= 3 AND length(labels[-1]) = 2
+      |              AND labels[-2] IN ('co','com','net','org','gov','ac','edu')
+      |         THEN array_to_string(labels[-3:], '.')
+      |         ELSE array_to_string(labels[-2:], '.') END AS domain
+      |  FROM d)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q232_url_normalize" -> (urlNormSql +
+      "\nSELECT doc_id, url, url_norm, host, domain FROM norm"),
+    "q233_domain_stats" -> (urlNormSql +
+      """
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls
+        |FROM norm WHERE domain IS NOT NULL GROUP BY 1""".stripMargin),
     "q230_blocklist" -> (blocklistOccSql +
       """
         |SELECT d.doc_id,
