@@ -118,6 +118,25 @@ object AnalyticsGates {
         col("min_value"), col("max_value"), col("n_buckets"),
         col("denom_units").cast("long").as("denom_units"))
 
+  // BENFORD FIRST-DIGIT AUDIT (ops/Stats.benfordDeviationPpm): price
+  // cents per return flag vs the pinned ppm Benford masses — textual
+  // digit extraction, complete 1..9 grid (absent digits emit count 0),
+  // exact integer shares/deviations. TPC-H prices are uniform, so the
+  // deviations are LARGE — which is the audit working, not failing.
+  def q236_benford(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.benfordDeviationPpm(
+      t(s, dir, "lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents")),
+      "l_returnflag", "cents")
+
+  // CUSUM CHANGEPOINT (ops/Stats.cusumChangepoint): the most likely
+  // level-shift day of each type's daily count series — argmax of the
+  // n-scaled cumulative deviation |n·prefix_t − t·total|, all-integer,
+  // ties earliest. One group-partitioned running-sum window.
+  def q237_cusum(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.cusumChangepoint(dailyCounts(s, dir),
+      "event_type", "day", "cnt")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -126,9 +145,40 @@ object AnalyticsGates {
     "q226_autocorr"      -> q226_autocorr _,
     "q227_hazard"        -> q227_hazard _,
     "q228_wape"          -> q228_wape _,
-    "q229_approx_profile" -> q229_approx_profile _)
+    "q229_approx_profile" -> q229_approx_profile _,
+    "q236_benford"       -> q236_benford _,
+    "q237_cusum"         -> q237_cusum _)
 
   val oracleSql: Map[String, String] = Map(
+    "q236_benford" ->
+      """WITH base AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice*100) AS BIGINT) AS v
+        |  FROM lineitem WHERE floor(l_extendedprice*100) >= 1),
+        |d AS (SELECT g, CAST(substr(CAST(v AS VARCHAR),1,1) AS INT) AS digit FROM base),
+        |c AS (SELECT g, digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY 1,2),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |bf AS (SELECT * FROM (VALUES (1,301030),(2,176091),(3,124939),(4,96910),(5,79181),
+        |    (6,66947),(7,57992),(8,51153),(9,45757)) b(digit, benford_ppm)),
+        |grid AS (SELECT n.g, n.n, bf.digit, bf.benford_ppm FROM n CROSS JOIN bf)
+        |SELECT grid.g AS l_returnflag, grid.digit,
+        |  coalesce(c.observed, 0) AS observed, grid.n,
+        |  CAST((1000000*coalesce(c.observed,0)) // grid.n AS BIGINT) AS share_ppm,
+        |  CAST(grid.benford_ppm AS BIGINT) AS benford_ppm,
+        |  CAST(abs((1000000*coalesce(c.observed,0)) // grid.n - grid.benford_ppm) AS BIGINT) AS dev_ppm
+        |FROM grid LEFT JOIN c ON c.g = grid.g AND c.digit = grid.digit""".stripMargin,
+    "q237_cusum" ->
+      s"""WITH daily AS ($dailyCountsSql),
+        |pre AS (SELECT event_type AS g, day AS p, cnt AS v,
+        |        row_number() OVER w AS t, sum(cnt) OVER w AS pre
+        |        FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |tot AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+        |               sum(cnt) AS tot FROM daily GROUP BY 1),
+        |s AS (SELECT pre.g, pre.p, pre.t, tot.n,
+        |       abs(CAST(tot.n AS HUGEINT)*pre.pre - CAST(pre.t AS HUGEINT)*tot.tot) AS a
+        |      FROM pre JOIN tot ON tot.g = pre.g WHERE pre.t < tot.n)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  first(p ORDER BY a DESC, t ASC) AS cp_period,
+        |  CAST(max(a) AS BIGINT) AS s_abs
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "q229_approx_profile" ->
       """WITH src AS (SELECT o_orderkey, o_orderstatus,
         |       CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderpriority END AS prio

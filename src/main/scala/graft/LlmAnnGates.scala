@@ -397,6 +397,16 @@ object LlmAnnGates {
       .select(col("query_id"), col("cand_id"),
         col("cosine").cast(out).cast("double").as("cosine"), col("rnk"))
 
+  // NOTE on nnDescent (Similarity.nnDescent, spec-pinned, NO gate): an
+  // exact-endpoint gate (oracle = brute-force SQL) was tried and
+  // rejected — the fixture embeddings are structure-free, so true
+  // low-cosine "neighbors" share no mutual neighbors for the 2-hop
+  // diffusion to traverse and a residual ~1% of slots never converge.
+  // That is the documented failure mode of NN-descent on random data
+  // (Dong et al. 2011 §5), not an implementation bug; on clustered
+  // data NnDescentSpec pins recall ≥ 0.95, determinism, and per-query
+  // monotone refinement.
+
   // Embedding-graph centrality (knnGraph → GraphOps.pageRank): rank
   // mass diffuses along nearest-neighbor edges, scoring how
   // REPRESENTATIVE each vector is of its neighborhood — hub documents
@@ -451,7 +461,7 @@ object LlmAnnGates {
         |SELECT query_id, cand_id, CAST(CAST(cosine AS DECIMAL(38,6)) AS DOUBLE) AS cosine, CAST(rnk AS INT) AS rnk
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
         |      FROM pairs) WHERE rnk <= 4""".stripMargin,
-    "q143_graph_centrality" ->
+        "q143_graph_centrality" ->
       """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
         |norm AS (
         |  SELECT vec_id, embedding,

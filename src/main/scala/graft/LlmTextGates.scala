@@ -836,9 +836,23 @@ object LlmTextGates {
     graft.llm.UrlOps.domainStats(
       t(s, dir, "documents").withColumn("url", gateUrl), "url")
 
+  // CRAWL FRONTIER SCHEDULING (llm/UrlOps.frontierSchedule): at most 2
+  // fetches per host per wave, priority-desc then url-asc within host —
+  // the politeness constraint as auditable data. One host-partitioned
+  // window (hosts ARE the crawl's parallelism).
+  def q234_frontier(s: SparkSession, dir: String): DataFrame =
+    graft.llm.UrlOps.frontierSchedule(
+        t(s, dir, "documents")
+          .withColumn("url", gateUrl)
+          .withColumn("priority", col("doc_id") % 7),
+        "url", "priority", perHostPerWave = 2, tieCols = Seq("doc_id"))
+      .select(col("doc_id"), col("url_norm"), col("host"),
+        col("priority"), col("wave"), col("slot"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q232_url_normalize" -> q232_url_normalize _,
     "q233_domain_stats" -> q233_domain_stats _,
+    "q234_frontier" -> q234_frontier _,
     "q230_blocklist" -> q230_blocklist _,
     "q231_blocklist_hits" -> q231_blocklist_hits _,
     "q184_collocations" -> q184_collocations _,
@@ -971,6 +985,15 @@ object LlmTextGates {
         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
         |  CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls
         |FROM norm WHERE domain IS NOT NULL GROUP BY 1""".stripMargin),
+    "q234_frontier" -> (urlNormSql +
+      """
+        |SELECT doc_id, url_norm, host, priority,
+        |  CAST((r - 1) // 2 AS INT) AS wave, CAST((r - 1) % 2 AS INT) AS slot
+        |FROM (
+        |  SELECT doc_id, url_norm, host, doc_id % 7 AS priority,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY doc_id % 7 DESC, url_norm, doc_id) AS r
+        |  FROM norm WHERE url_norm IS NOT NULL)""".stripMargin),
     "q230_blocklist" -> (blocklistOccSql +
       """
         |SELECT d.doc_id,

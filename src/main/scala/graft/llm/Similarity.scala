@@ -1499,6 +1499,93 @@ object Similarity {
     }
   }
 
+  /** NN-DESCENT graph-refined k-NN (Dong, Charikar & Li 2011): start
+    * from a cheap seed graph and repeatedly test each vector against
+    * its NEIGHBORS' NEIGHBORS — "a neighbor of my neighbor is likely my
+    * neighbor" — keeping the best k per vector. Converges to
+    * near-exact k-NN graphs in a handful of rounds at a fraction of
+    * the brute-force pair count; the standard construction route when
+    * the corpus is too big for brute force but a one-shot LSH recall
+    * is not enough (LSH misses pairs that share no band; NN-descent
+    * RECOVERS them transitively through mutual neighbors).
+    *
+    * Seed: [[lshBucketTopK]] over the corpus (deterministic banding) —
+    * any (query_id, cand_id, cosine) edge frame can be passed instead.
+    * A vector with NO seed edges in either direction can only be
+    * reached through others' reverse edges; at sane seed settings this
+    * is the isolated-bucket corner, documented not hidden.
+    *
+    * Each round: undirect the current graph (reverse edges count —
+    * the paper's key trick), self-join on the shared endpoint for
+    * 2-hop candidates, drop already-known pairs, score ONLY the new
+    * pairs, and k-merge into the graph via the windowless
+    * [[topKPerQuery]]. All shuffles are bounded by n·(2k)² candidate
+    * rows per round, never n² — and the incremental-scoring anti-join
+    * keeps repeat work to genuinely new pairs. The graph checkpoints
+    * every round (one-round-deep plans, the repo-wide iteration rule).
+    *
+    * Determinism: with `deterministic=true` every cosine is the exact
+    * decimal kernel and ties break by candidate id, so the result is a
+    * pure function of (corpus, k, iters, seed params) — re-runs and
+    * repartitionings agree bit-for-bit. Per-query neighbor quality
+    * (the multiset of kept cosines) is monotonically non-decreasing in
+    * `iters` by construction (k-merge never discards a better
+    * neighbor for a worse one). */
+  def nnDescent(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                iters: Int, deterministic: Boolean = true,
+                seed: Option[DataFrame] = None,
+                lshBits: Int = 0, lshBands: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0 && iters <= 10,
+      s"iters must be in [0, 10], got $iters")
+    val spark = emb.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val base = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__n", norm2Decimal(col("__v")))
+      .persist()
+    base.count()
+    def rescore(pairs: DataFrame): DataFrame = {
+      val joined = pairs
+        .join(base.select(col("__id").as("query_id"), col("__v").as("qv"),
+          col("__n").as("qn")), "query_id")
+        .join(base.select(col("__id").as("cand_id"), col("__v").as("cv"),
+          col("__n").as("cn")), "cand_id")
+      val cos =
+        if (deterministic)
+          cosineDeterministic(col("qv"), col("cv"), col("qn"), col("cn"))
+        else cosine(col("qv"), col("cv"))
+      joined.select(col("query_id"), col("cand_id"), cos.as("cosine"))
+    }
+    var g = pin(seed.getOrElse(
+      lshBucketTopK(emb, emb, idCol, vecCol, k, bits = lshBits,
+        bands = lshBands, deterministic = deterministic))
+      .select(col("query_id"), col("cand_id"), col("cosine")))
+    for (_ <- 1 to iters) {
+      val und = g.select(col("query_id").as("s"), col("cand_id").as("t"))
+        .unionByName(
+          g.select(col("cand_id").as("s"), col("query_id").as("t")))
+        .distinct()
+      val twoHop = und.as("a")
+        .join(und.withColumnRenamed("t", "u").as("b"),
+          col("a.t") === col("b.s"))
+        .select(col("a.s").as("query_id"), col("b.u").as("cand_id"))
+        .where(col("query_id") =!= col("cand_id"))
+        .distinct()
+        // score only pairs the graph doesn't already hold
+        .join(g.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+      g = pin(topKPerQuery(
+        g.unionByName(rescore(twoHop)), "cosine", k, ascending = false)
+        .select(col("query_id"), col("cand_id"), col("cosine")))
+    }
+    base.unpersist()
+    // re-attach ranks (topKPerQuery emits rnk, dropped across rounds to
+    // keep the merge schema minimal)
+    topKPerQuery(g, "cosine", k, ascending = false)
+  }
+
   /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998):
     * per query, greedily select `k` of its candidates maximizing
     * `λ·relevance − (1−λ)·max cosine to the already-selected` — the

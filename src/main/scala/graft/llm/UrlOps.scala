@@ -119,6 +119,44 @@ object UrlOps {
     norm.join(winners, Seq("url_norm", idCol))
   }
 
+  /** Politeness scheduling for a crawl frontier: assign every
+    * parseable URL a (wave, slot) such that at most `perHostPerWave`
+    * URLs of one host land in the same wave — the standard
+    * "don't hammer a host" constraint, materialized as data instead of
+    * hidden in a fetcher's rate limiter so the schedule is auditable
+    * and resumable. Within a host, higher `priorityCol` fetches first;
+    * ties break by canonical URL ascending, then by `tieCols` — pass a
+    * unique row id there whenever the frontier can hold DUPLICATE
+    * canonical URLs (refetch queues), so the order is total and the
+    * schedule is partition-independent and identical across re-runs.
+    *
+    * Output: input row + url_norm, host, wave (0-based), slot
+    * (0..perHostPerWave−1). Unparseable URLs are dropped — they cannot
+    * be fetched.
+    *
+    * Scale shape: ONE window partitioned by host (state = one host's
+    * rows; hosts are the natural parallelism of a crawl). A pathological
+    * mega-host serializes its own ranking — that host is equally the
+    * crawl's bottleneck, so the skew mirrors the real constraint; cap
+    * per-host frontier size upstream if needed. */
+  def frontierSchedule(df: DataFrame, urlCol: String, priorityCol: String,
+                       perHostPerWave: Int,
+                       tieCols: Seq[String] = Nil): DataFrame = {
+    require(perHostPerWave >= 1,
+      s"perHostPerWave must be >= 1, got $perHostPerWave")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col(priorityCol).desc +: col("url_norm") +:
+        tieCols.map(col): _*)
+    df.withColumn("url_norm", normalizeUrl(col(urlCol)))
+      .withColumn("host", hostOf(col(urlCol)))
+      .where(col("url_norm").isNotNull)
+      .withColumn("__r", row_number().over(w) - 1)
+      .withColumn("wave", expr(s"__r div $perHostPerWave").cast("int"))
+      .withColumn("slot", (col("__r") % perHostPerWave).cast("int"))
+      .drop("__r")
+  }
+
   /** Per-registrable-domain crawl stats: pages, distinct hosts,
     * distinct canonical URLs — the quota/skew view a crawl frontier
     * budgets by. One map-only normalize + one domain-keyed aggregate. */

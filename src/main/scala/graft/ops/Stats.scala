@@ -781,4 +781,104 @@ object Stats {
                 |div 1000000 AS BIGINT)"""
           .stripMargin.replace("\n", " ")).as("adj_mean_milli"))
   }
+
+  /** BENFORD first-digit audit (Benford 1938; the fraud/IT-anomaly
+    * screen): per group, the observed first-significant-digit
+    * distribution of a POSITIVE INTEGER-DOMAIN value column against
+    * the Benford expectation log10(1+1/d), with everything in exact
+    * integer ppm. The Benford masses are pinned CONSTANTS of the
+    * contract (rounded to ppm; they sum to exactly 10⁶), so both
+    * engines compare against the identical expectation — no float log
+    * anywhere. First digits extract TEXTUALLY (first char of the
+    * decimal rendering) — exact for integers, engine-identical.
+    *
+    * Output: one row per (group, digit 1..9) — ABSENT digits emit
+    * count 0 (their full expected mass is deviation, the strongest
+    * signal): (group, digit, observed, share_ppm, benford_ppm,
+    * dev_ppm = |share − benford|). Sum dev_ppm per group for the
+    * total-variation headline; rows ≤ 9×|groups|.
+    *
+    * Contract: values < 1 are EXCLUDED (zero/negative have no Benford
+    * digit; pre-scale continuous data to integers upstream). Groups
+    * with no qualifying rows disappear.
+    *
+    * Scale shape: one (group, digit)-keyed partial groupBy (≤ 9 rows
+    * per group after map-side combine) + a broadcast-size digit-grid
+    * join — never row-bounded past the first aggregate. */
+  def benfordDeviationPpm(df: DataFrame, groupCol: String,
+                          valueCol: String): DataFrame = {
+    val benfordPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L) // d=1..9, sums to exactly 10^6
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__v") >= 1)
+      .select(col("__g"),
+        substring(col("__v").cast("string"), 1, 1).cast("int").as("__d"))
+    val counts = base.groupBy(col("__g"), col("__d"))
+      .agg(count(lit(1)).as("observed"))
+    val totals = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val grid = totals.select(col("__g"), col("__n"),
+      explode(array((1 to 9).map { d =>
+        struct(lit(d).as("__d"), lit(benfordPpm(d - 1)).as("benford_ppm"))
+      }: _*)).as("__e"))
+      .select(col("__g"), col("__n"), col("__e.__d").as("__d"),
+        col("__e.benford_ppm").as("benford_ppm"))
+    grid.join(counts, Seq("__g", "__d"), "left")
+      .select(col("__g").as(groupCol), col("__d").as("digit"),
+        coalesce(col("observed"), lit(0L)).as("observed"),
+        col("__n").as("n"), col("benford_ppm"))
+      .withColumn("share_ppm", expr("(1000000 * observed) div n"))
+      .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+      .select(col(groupCol), col("digit"), col("observed"), col("n"),
+        col("share_ppm"), col("benford_ppm"), col("dev_ppm"))
+  }
+
+  /** CUSUM CHANGEPOINT estimate (Page 1954 / Pettitt-style argmax):
+    * per group, the period where the cumulative deviation from the
+    * group mean peaks — the single most likely level-shift point of
+    * the series. Exactly integer: the classic S_t = Σ_{i≤t}(x_i − x̄)
+    * is scaled by n (S'_t = n·prefix_t − t·total), which preserves the
+    * argmax and keeps every term a product of longs — no division, no
+    * floats. The changepoint is argmax_t |S'_t| over t ∈ [1, n−1]
+    * (S'_n ≡ 0 by construction), ties → the EARLIEST period, a total
+    * order both engines replay.
+    *
+    * Input contract: at most one row per (group, period), values
+    * integer-domain. Groups need ≥ 2 periods (otherwise no candidate
+    * t and the group is absent).
+    *
+    * Output per group: (group, n, cp_period — the last period of the
+    * left segment, s_abs — |S'| at the peak as DECIMAL(38,0) cast
+    * BIGINT; callers with n·Σ|v| beyond 2⁶³ keep the decimal form).
+    *
+    * Scale shape: one group-partitioned running-sum window (the
+    * series-per-group model: group cardinality is the parallelism) +
+    * one broadcast-joined per-group aggregate + one max_by partial
+    * groupBy — shuffles carry series rows once. */
+  def cusumChangepoint(obs: DataFrame, groupCol: String, periodCol: String,
+                       valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__p"))
+    val d = "decimal(38,0)"
+    val base = obs.select(col(groupCol).as("__g"),
+      col(periodCol).cast("long").as("__p"),
+      col(valueCol).cast("long").as("__v"))
+    val pre = base
+      .withColumn("__t", row_number().over(w))
+      .withColumn("__pre", sum(col("__v")).over(w))
+    val tot = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__tot"))
+    pre.join(broadcast(tot), Seq("__g"))
+      .where(col("__t") < col("__n"))
+      .withColumn("__s",
+        (col("__n").cast(d) * col("__pre").cast(d)
+          - col("__t").cast(d) * col("__tot").cast(d)))
+      .groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"),
+        max_by(col("__p"), struct(abs(col("__s")).as("a"),
+          (-col("__t")).as("nt"))).as("cp_period"),
+        max(abs(col("__s"))).as("__smax"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("cp_period"), col("__smax").cast("long").as("s_abs"))
+  }
 }

@@ -601,4 +601,52 @@ class StatsSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().head
     assert(one == again)
   }
+
+  test("benfordDeviationPpm: textual digits, complete grid, exclusions") {
+    // group g: values 1,1,19,2,3000 → digits 1×3, 2×1, 3×1 of n=5
+    // 0 and negatives excluded
+    val df = Seq(("g", 1L), ("g", 1L), ("g", 19L), ("g", 2L), ("g", 3000L),
+      ("g", 0L), ("g", -7L)).toDF("grp", "v")
+    val got = Stats.benfordDeviationPpm(df, "grp", "v")
+      .as[(String, Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._5, r._6, r._7))).toMap
+    assert(got.keySet == (1 to 9).toSet)            // complete grid
+    assert(got(1) == ((3L, 600000L, 301030L, 298970L)))
+    assert(got(2) == ((1L, 200000L, 176091L, 23909L)))
+    assert(got(3) == ((1L, 200000L, 124939L, 75061L)))
+    assert(got(9) == ((0L, 0L, 45757L, 45757L)))    // absent digit
+    // the pinned masses sum to exactly 10^6
+    assert(got.values.map(_._3).sum == 1000000L)
+    // a perfectly Benford-weighted multiset has dev < any single mass:
+    // shares themselves are floor-divided, so dev is the flooring residue
+    val bent = (1 to 9).flatMap(d => Seq.fill(
+      Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)(d - 1))(("b", d.toLong)))
+    val dev = Stats.benfordDeviationPpm(bent.toDF("grp", "v"), "grp", "v")
+      .agg(org.apache.spark.sql.functions.sum($"dev_ppm"))
+      .as[Long].collect().head
+    assert(dev < 10000L, s"near-Benford multiset scored dev=$dev")
+  }
+
+  test("cusumChangepoint: level shift found, ties earliest, scale rule") {
+    // series 10,10,10,30,30: mean 18; S'_t = 5·pre_t − t·90
+    // t=1: 50−90=−40; t=2: 100−180=−80; t=3: 150−270=−120 (peak); t=4: 200−360=−160?
+    // wait: pre_4 = 60 → 300 − 360 = −60. argmax |S'| = t=3 (120) → cp day 3
+    val df = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("a", 4L, 30L), ("a", 5L, 30L)).toDF("g", "p", "v")
+    val got = Stats.cusumChangepoint(df, "g", "p", "v")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got == (("a", 5L, 3L, 120L)))
+    // symmetric series: |S'| ties at t=1 and t=2 → earliest period wins
+    val sym = Seq(("s", 1L, 0L), ("s", 2L, 5L), ("s", 3L, 10L))
+      .toDF("g", "p", "v")
+    val g2 = Stats.cusumChangepoint(sym, "g", "p", "v")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(g2 == (("s", 3L, 1L, 15L)))
+    // single-period group absent; partition independence
+    val single = Seq(("x", 1L, 9L)).toDF("g", "p", "v")
+    assert(Stats.cusumChangepoint(single, "g", "p", "v").count() == 0)
+    val rep = Stats.cusumChangepoint(df.repartition(7), "g", "p", "v")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(rep == got)
+  }
 }

@@ -53,6 +53,26 @@ class UrlOpsSpec extends SparkTestBase {
     assert(got == Set((1L, "http://a.com/x?a=1&b=1"), (2L, "http://a.com/y")))
   }
 
+  test("frontierSchedule: per-host wave budget, priority first, total order") {
+    val df = Seq(
+      (1L, "http://a.com/1", 5L), (2L, "http://a.com/2", 9L),
+      (3L, "http://a.com/3", 9L), (4L, "http://a.com/4", 1L),
+      (5L, "http://b.com/x", 0L), (6L, "junk", 9L)
+    ).toDF("id", "url", "prio")
+    val got = UrlOps.frontierSchedule(df, "url", "prio", perHostPerWave = 2,
+        tieCols = Seq("id"))
+      .select($"id", $"wave", $"slot").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // a.com order: prio 9 (urls /2 then /3), prio 5 (/1), prio 1 (/4)
+    assert(got == Map(2L -> ((0, 0)), 3L -> ((0, 1)),
+      1L -> ((1, 0)), 4L -> ((1, 1)), 5L -> ((0, 0))))
+    // budget respected under repartitioning too
+    val waves = UrlOps.frontierSchedule(df.repartition(5), "url", "prio", 2,
+        Seq("id"))
+      .groupBy($"host", $"wave").count().as[(String, Int, Long)].collect()
+    assert(waves.forall(_._3 <= 2))
+  }
+
   test("domainStats aggregates hosts and canonical urls per domain") {
     val df = Seq(
       "http://a.example.com/1", "http://b.example.com/1",
