@@ -764,4 +764,52 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       "group fences (groups × 2 rows) must broadcast")
   }
+
+  test("q230/q232: blocklist and URL normalize stay map-only in codegen") {
+    // one scan, zero shuffles before the surface: a per-pattern join or
+    // a regex-per-pattern loop would show as Exchange/Join nodes
+    val bl = plan("q230_blocklist")
+    assert(!bl.contains("Exchange") || bl.indexOf("Exchange") > bl.indexOf("ac_matches"),
+      "blocklist stats must not shuffle before the automaton scan")
+    // executedPlan.toString marks codegen stages with "*(n)" — the
+    // projection evaluating ac_matches must carry the star
+    val acLine = bl.linesIterator.find(_.contains("ac_matches")).getOrElse("")
+    assert(acLine.contains("*("),
+      s"the automaton expression must stay inside codegen: $acLine")
+    assert(!bl.contains("Join"), "no per-pattern join allowed")
+    val un = plan("q232_url_normalize")
+    assert(!un.contains("Exchange") && !un.contains("Join"),
+      "URL normalization is a pure map — no shuffle, no join")
+  }
+
+  test("q229: approx profiler shuffles registers, not values") {
+    val p = plan("q229_approx_profile")
+    // the exact profiler's (column, value) histogram groupBy is gone;
+    // both aggregates (register max, estimator sum) partial-aggregate
+    assert(p.contains("partial_max") && p.contains("partial_"),
+      "register build must combine map-side")
+    assert(!p.contains("windowspecdefinition"), "no rank windows")
+  }
+
+  test("q236/q237: Benford grid broadcasts; CUSUM is one window pass") {
+    val b = plan("q236_benford")
+    assert(b.contains("partial_count"), "digit counts must map-combine")
+    assert(!b.contains("CartesianProduct"),
+      "digit grid must come from explode, not a product")
+    val c = plan("q237_cusum")
+    assert(c.contains("BroadcastHashJoin"),
+      "per-group totals (|groups| rows) must broadcast onto the series")
+    // exactly one window function pass (running sum + row_number share
+    // the same (group, period) window spec)
+    val firstW = c.indexOf("Window")
+    assert(firstW >= 0 && c.indexOf("Window", firstW + 6) < 0 ||
+      c.sliding(6).count(_ == "Window") <= 2,
+      "CUSUM must not stack window passes")
+  }
+
+  test("q234: frontier schedule plans one host-partitioned window") {
+    val p = plan("q234_frontier")
+    assert(p.contains("windowspecdefinition(host"),
+      "schedule must window by host (hosts are the crawl parallelism)")
+  }
 }
