@@ -137,6 +137,15 @@ object AnalyticsGates {
     graft.ops.Stats.cusumChangepoint(dailyCounts(s, dir),
       "event_type", "day", "cnt")
 
+  // EQUI-DEPTH HISTOGRAM (ops/Stats.equiDepthHistogram): 8 equal-count
+  // value-cents bins per event type — optimizer/catalog statistics with
+  // tie-safe value-level bin assignment, exact integer rank math.
+  def q238_equi_depth(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.equiDepthHistogram(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"), floor(col("value") * 100).as("cents")),
+      "event_type", "cents", bins = 8)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -147,9 +156,21 @@ object AnalyticsGates {
     "q228_wape"          -> q228_wape _,
     "q229_approx_profile" -> q229_approx_profile _,
     "q236_benford"       -> q236_benford _,
-    "q237_cusum"         -> q237_cusum _)
+    "q237_cusum"         -> q237_cusum _,
+    "q238_equi_depth"    -> q238_equi_depth _)
 
   val oracleSql: Map[String, String] = Map(
+    "q238_equi_depth" ->
+      """WITH base AS (SELECT event_type AS g, CAST(floor(value*100) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1,2),
+        |cum AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM h),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1)
+        |SELECT cum.g AS event_type,
+        |  CAST((8*cum.cum + tot.n - 1) // tot.n AS INT) AS bin,
+        |  min(cum.v) AS lo, max(cum.v) AS hi, CAST(sum(cum.c) AS BIGINT) AS cnt
+        |FROM cum JOIN tot ON tot.g = cum.g
+        |GROUP BY 1, 2""".stripMargin,
     "q236_benford" ->
       """WITH base AS (SELECT l_returnflag AS g, CAST(floor(l_extendedprice*100) AS BIGINT) AS v
         |  FROM lineitem WHERE floor(l_extendedprice*100) >= 1),

@@ -881,4 +881,45 @@ object Stats {
       .select(col("__g").as(groupCol), col("n"),
         col("cp_period"), col("__smax").cast("long").as("s_abs"))
   }
+
+  /** EQUI-DEPTH HISTOGRAM (the optimizer-statistics / data-catalog
+    * bin form: equal COUNT per bin, not equal width): per group, bin
+    * boundaries and counts such that bin b holds the rows whose rank
+    * falls in ((b−1)·n/bins, b·n/bins]. Assignment is by VALUE — a
+    * value's rows all land in the bin of their highest rank,
+    * bin(v) = ⌈bins·cum(v)/n⌉ computed as the exact integer
+    * (bins·cum + n − 1) div n — so ties never split across bins
+    * (the histogram stays a function of the value distribution; with
+    * heavy ties some bins end up larger and others absent, which is
+    * the honest equi-depth answer, not an error).
+    *
+    * Output per (group, bin): (group, bin 1-based, lo, hi, cnt);
+    * Σcnt = group size, bins with no resident values absent.
+    *
+    * Scale shape: the value HISTOGRAM shuffles (distinct values, not
+    * rows, after the map-side partial), the running rank is one
+    * group-partitioned window over those distinct-value rows, and the
+    * per-group total broadcasts back — the Stats-wide
+    * histogram-not-rows discipline. */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                         bins: Int): DataFrame = {
+    require(bins >= 1 && bins <= 100000,
+      s"bins must be in [1, 100000], got $bins")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+    val hist = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val tot = hist.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+    hist.withColumn("__cum", sum(col("__c")).over(w))
+      .join(broadcast(tot), Seq("__g"))
+      .withColumn("bin",
+        expr(s"($bins * __cum + __n - 1) div __n").cast("int"))
+      .groupBy(col("__g"), col("bin"))
+      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+        sum(col("__c")).as("cnt"))
+      .select(col("__g").as(groupCol), col("bin"), col("lo"), col("hi"),
+        col("cnt"))
+  }
 }

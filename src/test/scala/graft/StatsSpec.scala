@@ -627,6 +627,33 @@ class StatsSpec extends SparkTestBase {
     assert(dev < 10000L, s"near-Benford multiset scored dev=$dev")
   }
 
+  test("equiDepthHistogram: balanced bins, tie cohesion, sum preserved") {
+    // 1..12 into 4 bins of 3
+    val df = (1L to 12L).map(("g", _)).toDF("grp", "v")
+    val got = Stats.equiDepthHistogram(df, "grp", "v", bins = 4)
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(1 -> ((1L, 3L, 3L)), 2 -> ((4L, 6L, 3L)),
+      3 -> ((7L, 9L, 3L)), 4 -> ((10L, 12L, 3L))))
+    // heavy tie: one value spanning a boundary stays whole
+    val ties = (Seq.fill(7)(5L) ++ Seq(9L)).map(("t", _)).toDF("grp", "v")
+    val gt = Stats.equiDepthHistogram(ties, "grp", "v", bins = 2)
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    // cum(5)=7 of n=8 → bin ceil(14/8)=2: ALL the 5s land in bin 2
+    assert(gt == Map(2 -> ((5L, 9L, 8L))))
+    // counts always reconstruct the group size; partition independent
+    val rnd = new scala.util.Random(7)
+    val big = (1 to 500).map(i => ("r", rnd.nextInt(40).toLong + 1)).toDF("grp", "v")
+    val bins = Stats.equiDepthHistogram(big.repartition(9), "grp", "v", 8)
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(bins.map(_._5).sum == 500L)
+    assert(bins.map(_._2).distinct.length == bins.length)
+    val again = Stats.equiDepthHistogram(big, "grp", "v", 8)
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    assert(again == bins.toSet)
+  }
+
   test("cusumChangepoint: level shift found, ties earliest, scale rule") {
     // series 10,10,10,30,30: mean 18; S'_t = 5·pre_t − t·90
     // t=1: 50−90=−40; t=2: 100−180=−80; t=3: 150−270=−120 (peak); t=4: 200−360=−160?
