@@ -146,6 +146,29 @@ object AnalyticsGates {
         .select(col("event_type"), floor(col("value") * 100).as("cents")),
       "event_type", "cents", bins = 8)
 
+  // TWO-SAMPLE KS DRIFT (ops/Stats.ksTwoSamplePpm): purchase vs view
+  // value-cents distributions — exact integer max-CDF-gap, the numeric
+  // drift sibling of categoryDrift; windowless distributed prefix sums
+  // over the value alphabet.
+  def q239_ks_drift(s: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String) = t(s, dir, "events")
+      .where(col("event_type") === tpe && col("value").isNotNull)
+      .select(floor(col("value") * 100).as("cents"))
+    graft.ops.Stats.ksTwoSamplePpm(side("purchase"), side("view"), "cents")
+  }
+
+  // GINI INEQUALITY (ops/Stats.giniCoefficientPpm): how unequally
+  // customer spend distributes within each order priority — exact
+  // tie-safe histogram Gini, the magnitude-ranking complement of
+  // q224's share-squaring HHI.
+  def q240_gini(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.giniCoefficientPpm(
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"), col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("spend")),
+        "o_orderpriority", "spend")
+      .withColumnRenamed("o_orderpriority", "priority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -157,9 +180,44 @@ object AnalyticsGates {
     "q229_approx_profile" -> q229_approx_profile _,
     "q236_benford"       -> q236_benford _,
     "q237_cusum"         -> q237_cusum _,
-    "q238_equi_depth"    -> q238_equi_depth _)
+    "q238_equi_depth"    -> q238_equi_depth _,
+    "q239_ks_drift"      -> q239_ks_drift _,
+    "q240_gini"          -> q240_gini _)
 
   val oracleSql: Map[String, String] = Map(
+    "q240_gini" ->
+      """WITH per AS (SELECT o_orderpriority AS g, o_custkey,
+        |        CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS x
+        |      FROM orders GROUP BY 1, 2),
+        |h AS (SELECT g, x AS v, CAST(count(*) AS BIGINT) AS c FROM per
+        |      WHERE x >= 0 GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM h),
+        |agg AS (SELECT g, CAST(sum(c) AS HUGEINT) AS n,
+        |         CAST(sum(CAST(v AS HUGEINT)*c) AS HUGEINT) AS s,
+        |         CAST(sum(CAST(v AS HUGEINT)*c*(2*(cum-c) + c + 1)) AS HUGEINT) AS twice
+        |        FROM cum GROUP BY 1)
+        |SELECT g AS priority, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS total,
+        |  CASE WHEN s = 0 THEN NULL
+        |       ELSE CAST((1000000*(twice - (n+1)*s)) // (n*s) AS BIGINT) END AS gini_ppm
+        |FROM agg""".stripMargin,
+    "q239_ks_drift" ->
+      """WITH a AS (SELECT CAST(floor(value*100) AS BIGINT) AS v FROM events
+        |           WHERE event_type='purchase' AND value IS NOT NULL),
+        |b AS (SELECT CAST(floor(value*100) AS BIGINT) AS v FROM events
+        |      WHERE event_type='view' AND value IS NOT NULL),
+        |ha AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM a GROUP BY 1),
+        |hb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+        |m AS (SELECT coalesce(ha.v, hb.v) AS v, coalesce(ca,0) AS ca, coalesce(cb,0) AS cb
+        |      FROM ha FULL JOIN hb ON ha.v = hb.v),
+        |c AS (SELECT v, sum(ca) OVER w AS cumA, sum(cb) OVER w AS cumB
+        |      FROM m WINDOW w AS (ORDER BY v)),
+        |t AS (SELECT CAST(sum(ca) AS HUGEINT) AS na, CAST(sum(cb) AS HUGEINT) AS nb FROM m),
+        |d AS (SELECT c.v, abs(t.nb*c.cumA - t.na*c.cumB) AS d, t.na, t.nb FROM c, t)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CASE WHEN na = 0 OR nb = 0 THEN NULL
+        |       ELSE CAST((1000000*max(d)) // (na*nb) AS BIGINT) END AS ks_ppm,
+        |  first(v ORDER BY d DESC, v ASC) AS at_value
+        |FROM d GROUP BY na, nb""".stripMargin,
     "q238_equi_depth" ->
       """WITH base AS (SELECT event_type AS g, CAST(floor(value*100) AS BIGINT) AS v
         |  FROM events WHERE value IS NOT NULL),

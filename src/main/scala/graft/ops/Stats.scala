@@ -922,4 +922,102 @@ object Stats {
       .select(col("__g").as(groupCol), col("bin"), col("lo"), col("hi"),
         col("cnt"))
   }
+
+  /** Two-sample KOLMOGOROV–SMIRNOV distance in exact integer ppm — the
+    * numeric-distribution drift test (the continuous sibling of
+    * [[categoryDrift]]): D = max_v |F_a(v) − F_b(v)|, computed as the
+    * integer max of |n_b·cumA(v) − n_a·cumB(v)| over the union value
+    * alphabet and surfaced as ks_ppm = 10⁶·max div (n_a·n_b), with
+    * `at_value` the (earliest) value attaining the max — where the two
+    * distributions pull apart hardest. No floats anywhere, so any
+    * engine reproduces the statistic bit-for-bit; significance
+    * thresholds (c(α)·√((n_a+n_b)/(n_a·n_b))) stay caller-side.
+    *
+    * Output: ONE row (n_a, n_b, ks_ppm, at_value); NULL ks when either
+    * sample is empty (no distribution to compare).
+    *
+    * Scale shape: per-side value HISTOGRAMS (distinct values shuffle,
+    * not rows), one full-outer value join, then
+    * [[GlobalRank.globalRunningSum]]'s window-free distributed prefix
+    * sum — twice, once per side's cumulative — and a 1-row aggregate.
+    * Everything after the first groupBys is bounded by the value
+    * alphabet. */
+  def ksTwoSamplePpm(a: DataFrame, b: DataFrame,
+                     valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def hist(df: DataFrame, cnt: String) =
+      df.select(col(valueCol).cast("long").as("__v"))
+        .where(col("__v").isNotNull)
+        .groupBy(col("__v")).agg(count(lit(1)).as(cnt))
+    val merged = hist(a, "__ca").join(hist(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val cum = GlobalRank.globalRunningSum(
+      GlobalRank.globalRunningSum(merged, Seq(col("__v")), "__ca", "__cumA"),
+      Seq(col("__v")), "__cb", "__cumB")
+    val tot = merged.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("__d",
+        abs(col("__nb").cast(d38) * col("__cumA").cast(d38)
+          - col("__na").cast(d38) * col("__cumB").cast(d38)))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(max(col("__d")).as("__dmax"),
+        max_by(col("__v"), struct(col("__d").as("d"),
+          (-col("__v")).as("nv"))).as("at_value"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        when(col("__na") === 0 || col("__nb") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * __dmax) div (CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)"))
+          .as("ks_ppm"),
+        col("at_value"))
+  }
+
+  /** GINI COEFFICIENT in exact integer ppm — the inequality index over
+    * a non-negative magnitude ("what share of token mass do the top
+    * domains hold"), complementing [[concentrationPpm]]'s HHI (which
+    * squares SHARES of categories; Gini ranks MAGNITUDES of units):
+    * G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over the ascending sort.
+    * Tie-safe histogram form: a value v with count c and
+    * cumulative-before count C contributes x_v·(2·(c·C + c(c+1)/2))
+    * to the rank-weighted sum regardless of intra-tie order — every
+    * term an exact integer, G_ppm = 10⁶·(2T − (n+1)·S) div (n·S).
+    *
+    * Output per group: (group, n, total, gini_ppm) — 0 = perfectly
+    * equal, →10⁶·(n−1)/n as one unit holds everything; NULL when the
+    * group total is 0 (no mass to distribute). Negative values are
+    * EXCLUDED (Gini over mixed-sign data is undefined); zeros count
+    * (they widen inequality).
+    *
+    * Scale shape: value histogram (distinct magnitudes shuffle, not
+    * rows) + one group-partitioned window over those histogram rows +
+    * a per-group aggregate — the Stats-wide discipline. */
+  def giniCoefficientPpm(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+    val hist = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__v") >= 0)
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__before", col("__cum") - col("__c"))
+      // rank-weighted block term: x·2·(c·C + c(c+1)/2) = x·c·(2C + c + 1)
+      .withColumn("__t", col("__v").cast(d38) * col("__c").cast(d38)
+        * (lit(2).cast(d38) * col("__before") + col("__c") + 1))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__v").cast(d38) * col("__c").cast(d38)).as("__s"),
+        sum(col("__t")).as("__twice"))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        col("__s").cast("long").as("total"),
+        when(col("__s") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * (__twice - (__n + 1) * __s))
+              |div (CAST(__n AS DECIMAL(38,0)) * __s) AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).as("gini_ppm"))
+  }
 }

@@ -627,6 +627,58 @@ class StatsSpec extends SparkTestBase {
     assert(dev < 10000L, s"near-Benford multiset scored dev=$dev")
   }
 
+  test("giniCoefficientPpm: equality, extremes, tie-safety, exclusions") {
+    // perfectly equal → 0
+    val eq = Seq.fill(4)(("e", 10L)).toDF("grp", "v")
+    def gini(df: org.apache.spark.sql.DataFrame) =
+      Stats.giniCoefficientPpm(df, "grp", "v")
+        .as[(String, Long, Long, Option[Long])].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(gini(eq)("e") == ((4L, 40L, Some(0L))))
+    // one unit holds everything: G = (n−1)/n = 3/4
+    val mono = Seq(("m", 0L), ("m", 0L), ("m", 0L), ("m", 100L)).toDF("grp", "v")
+    assert(gini(mono)("m") == ((4L, 100L, Some(750000L))))
+    // textbook small case {1,2,3,4}: G = (2·(1+4+9+16) − 5·10)/(4·10) = 1/4
+    val t = Seq(("t", 1L), ("t", 2L), ("t", 3L), ("t", 4L)).toDF("grp", "v")
+    assert(gini(t)("t") == ((4L, 10L, Some(250000L))))
+    // ties: {2,2,4} via histogram ≡ sorted-rank formula
+    // 2Σi·x = 2(2+4+12)=36; (n+1)S=32; nS=24 → G=4/24=1/6→166666
+    val ties = Seq(("y", 2L), ("y", 2L), ("y", 4L)).toDF("grp", "v")
+    assert(gini(ties)("y") == ((3L, 8L, Some(166666L))))
+    // all-zero total → NULL; negatives excluded
+    val z = Seq(("z", 0L), ("z", 0L), ("z", -5L)).toDF("grp", "v")
+    assert(gini(z)("z") == ((2L, 0L, None)))
+    // partition independence
+    val big = (1L to 200L).map(("b", _)).toDF("grp", "v")
+    assert(gini(big) == gini(big.repartition(7)))
+  }
+
+  test("ksTwoSamplePpm: hand CDF gap, identical samples, empty side") {
+    // a = {1,2,3,4}, b = {3,4,5,6}: D = 1/2 at v=2 (F_a=0.5, F_b=0)
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    val got = Stats.ksTwoSamplePpm(a, b, "v")
+      .as[(Long, Long, Option[Long], Long)].collect().head
+    assert(got == ((4L, 4L, Some(500000L), 2L)))
+    // symmetric: swapping sides keeps D and the argmax value
+    val swapped = Stats.ksTwoSamplePpm(b, a, "v")
+      .as[(Long, Long, Option[Long], Long)].collect().head
+    assert(swapped == ((4L, 4L, Some(500000L), 2L)))
+    // identical samples → D = 0; at_value = earliest value (all tie)
+    val same = Stats.ksTwoSamplePpm(a, a, "v")
+      .as[(Long, Long, Option[Long], Long)].collect().head
+    assert(same == ((4L, 4L, Some(0L), 1L)))
+    // one empty side → NULL statistic
+    val empty = Seq.empty[Long].toDF("v")
+    val e = Stats.ksTwoSamplePpm(a, empty, "v")
+      .as[(Long, Long, Option[Long], Long)].collect().head
+    assert(e._1 == 4L && e._2 == 0L && e._3.isEmpty)
+    // partition independence
+    val p = Stats.ksTwoSamplePpm(a.repartition(3), b.repartition(5), "v")
+      .as[(Long, Long, Option[Long], Long)].collect().head
+    assert(p == got)
+  }
+
   test("equiDepthHistogram: balanced bins, tie cohesion, sum preserved") {
     // 1..12 into 4 bins of 3
     val df = (1L to 12L).map(("g", _)).toDF("grp", "v")
