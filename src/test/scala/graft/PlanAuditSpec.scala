@@ -812,4 +812,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("windowspecdefinition(host"),
       "schedule must window by host (hosts are the crawl parallelism)")
   }
+
+  test("q238/q240: distribution stats window by group over histograms") {
+    // every windowspecdefinition must carry a partition key — a global
+    // (unpartitioned) window would serialize the whole alphabet
+    for (q <- Seq("q238_equi_depth", "q240_gini")) {
+      val p = plan(q)
+      val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(m =>
+        p.substring(m.end, math.min(p.length, m.end + 40))).toList
+      assert(specs.nonEmpty, s"$q expected a group window")
+      assert(specs.forall(s => !s.startsWith(",") && !s.startsWith("__v")),
+        s"$q has an unpartitioned/value-only window: $specs")
+      assert(p.contains("partial_count"), s"$q histogram must map-combine")
+    }
+  }
+
+  test("q239: KS runs on the windowless prefix sum (pid windows only)") {
+    val p = plan("q239_ks_drift")
+    // globalRunningSum windows partition by the derived partition id,
+    // never leaving a truly global (empty-partition) window spec
+    assert(!p.contains("windowspecdefinition(__v"),
+      "KS cumulatives must not window over the raw value globally")
+  }
 }
