@@ -169,6 +169,47 @@ object AnalyticsGates {
         "o_orderpriority", "spend")
       .withColumnRenamed("o_orderpriority", "priority")
 
+  // PEARSON R² (ops/Stats.pearsonR2Ppm): how tightly each type's
+  // hourly volume tracks total hourly traffic — r² ppm + covariance
+  // sign from one six-sum pass over the joined hourly series. The
+  // micro-unit moment reduction keeps every product n-independent.
+  def q241_pearson(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600000000L
+    val hourly = t(s, dir, "events")
+      .groupBy(col("event_type"), expr(s"ts div ${hourUs}L").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = t(s, dir, "events")
+      .groupBy(expr(s"ts div ${hourUs}L").as("hour"))
+      .agg(count(lit(1)).as("total"))
+    graft.ops.Stats.pearsonR2Ppm(
+      hourly.join(totals, "hour"), "event_type", "cnt", "total")
+  }
+
+  // MANN–KENDALL (ops/Stats.mannKendall): distribution-free monotone
+  // trend test over each type's daily count series — S sign sum +
+  // tau_a ppm; the pair frame is days², never event rows.
+  def q242_mann_kendall(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.mannKendall(dailyCounts(s, dir),
+      "event_type", "day", "cnt")
+
+  // THEIL–SEN (ops/Stats.theilSenSlopePpm): robust median-of-slopes
+  // daily trend per type — the outlier-immune complement of q193's
+  // OLS trend; slope histogram + type-1 median, exact integer.
+  def q243_theil_sen(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.theilSenSlopePpm(dailyCounts(s, dir),
+      "event_type", "day", "cnt")
+
+  // TOTAL-VARIATION DRIFT (ops/Stats.totalVariationPpm): the scalar
+  // lang-mix distance between the even/odd doc_id halves — ½Σ|p−q| in
+  // exact ppm on the common n_a·n_b denominator; the categorical
+  // sibling of q239's KS.
+  def q244_tv_drift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Stats.totalVariationPpm(
+      docs.where(col("doc_id") % 2 === 0),
+      docs.where(col("doc_id") % 2 === 1), "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -182,9 +223,76 @@ object AnalyticsGates {
     "q237_cusum"         -> q237_cusum _,
     "q238_equi_depth"    -> q238_equi_depth _,
     "q239_ks_drift"      -> q239_ks_drift _,
-    "q240_gini"          -> q240_gini _)
+    "q240_gini"          -> q240_gini _,
+    "q241_pearson"       -> q241_pearson _,
+    "q242_mann_kendall"  -> q242_mann_kendall _,
+    "q243_theil_sen"     -> q243_theil_sen _,
+    "q244_tv_drift"      -> q244_tv_drift _)
 
   val oracleSql: Map[String, String] = Map(
+    "q241_pearson" ->
+      """WITH hourly AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
+        |        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |tot AS (SELECT epoch_us(ts)//3600000000 AS hour,
+        |        CAST(count(*) AS BIGINT) AS total FROM events GROUP BY 1),
+        |j AS (SELECT h.event_type AS g, CAST(h.cnt AS HUGEINT) AS x,
+        |             CAST(t.total AS HUGEINT) AS y
+        |      FROM hourly h JOIN tot t ON t.hour = h.hour),
+        |m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+        |             sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx,
+        |             sum(y*y) AS syy
+        |      FROM j GROUP BY 1),
+        |r AS (SELECT g, n, (1000000*(n*sxy - sx*sy)) // (n*n) AS cxy,
+        |             (1000000*(n*sxx - sx*sx)) // (n*n) AS vx,
+        |             (1000000*(n*syy - sy*sy)) // (n*n) AS vy FROM m)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN cxy > 0 THEN 1 WHEN cxy < 0 THEN -1 ELSE 0 END
+        |       AS BIGINT) AS sign,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |       ELSE CAST((1000000*cxy*cxy) // (vx*vy) AS BIGINT) END AS r2_ppm
+        |FROM r""".stripMargin,
+    "q242_mann_kendall" ->
+      s"""WITH daily AS ($dailyCountsSql),
+        |p AS (SELECT a.event_type AS g,
+        |        CASE WHEN b.cnt > a.cnt THEN 1
+        |             WHEN b.cnt < a.cnt THEN -1 ELSE 0 END AS sgn
+        |      FROM daily a JOIN daily b
+        |        ON a.event_type = b.event_type AND a.day < b.day)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(sgn) AS BIGINT) AS s,
+        |  CAST((1000000*CAST(sum(sgn) AS HUGEINT)) // count(*) AS BIGINT)
+        |    AS tau_a_ppm
+        |FROM p GROUP BY 1""".stripMargin,
+    "q243_theil_sen" ->
+      s"""WITH daily AS ($dailyCountsSql),
+        |sl AS (SELECT a.event_type AS g,
+        |         (1000000*(b.cnt - a.cnt)) // (b.day - a.day) AS v
+        |       FROM daily a JOIN daily b
+        |         ON a.event_type = b.event_type AND a.day < b.day),
+        |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM sl GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c,
+        |        sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM h),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1)
+        |SELECT cum.g AS event_type, tot.n AS n_pairs, min(cum.v) AS slope_ppm
+        |FROM cum JOIN tot ON tot.g = cum.g
+        |WHERE cum.cum >= (500*tot.n + 999)//1000
+        |GROUP BY 1, 2""".stripMargin,
+    "q244_tv_drift" ->
+      """WITH a AS (SELECT lang AS k FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT lang AS k FROM documents WHERE doc_id % 2 = 1),
+        |ca AS (SELECT k, CAST(count(*) AS BIGINT) AS ca FROM a GROUP BY 1),
+        |cb AS (SELECT k, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+        |m AS (SELECT coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+        |      FROM ca FULL JOIN cb ON ca.k = cb.k),
+        |t AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+        |             CAST(sum(cb) AS HUGEINT) AS nb FROM m)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CASE WHEN t.na = 0 OR t.nb = 0 THEN NULL
+        |       ELSE CAST((1000000*sum(abs(CAST(m.ca AS HUGEINT)*t.nb
+        |                 - CAST(m.cb AS HUGEINT)*t.na))) // (2*t.na*t.nb)
+        |            AS BIGINT) END AS tv_ppm
+        |FROM m, t GROUP BY t.na, t.nb""".stripMargin,
     "q240_gini" ->
       """WITH per AS (SELECT o_orderpriority AS g, o_custkey,
         |        CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS x

@@ -1020,4 +1020,179 @@ object Stats {
               |div (CAST(__n AS DECIMAL(38,0)) * __s) AS BIGINT)"""
               .stripMargin.replace("\n", " "))).as("gini_ppm"))
   }
+
+  /** PEARSON correlation strength per group, exact integer surface:
+    * r² in ppm plus the sign of the covariance — together they carry
+    * everything r does (r = sign·√(r²)) without either engine ever
+    * touching a square root. The raw n-scaled moments (n·Σxy − ΣxΣy
+    * etc.) grow as n²·x·y and overflow DECIMAL(38,0) around corpus
+    * scale, so each second moment is first reduced to MICRO-units by
+    * one floor division by n² — cxy = ⌊10⁶·cov⌋, vx = ⌊10⁶·var(x)⌋ —
+    * bounding every later product by (10⁶·σxσy)², independent of n.
+    * That floor makes r2_ppm a deterministic ~ppm-precision estimator
+    * (exact-integer-defined, engine-independent), not the exact
+    * rational, which is the repo-wide trade (cf. [[cupedAdjustMilli]]).
+    *
+    * Output: (group, n, sign, r2_ppm) — sign ∈ {−1,0,1} of the
+    * covariance, r2_ppm NULL when either variance floors to 0
+    * (constant column, or spread below the micro grid). NULL x or y
+    * rows are excluded pairwise.
+    *
+    * Scale shape: ONE map-side-partial groupBy carrying six sums —
+    * the single-pass parallel moment formula; nothing downstream
+    * exceeds one row per group. */
+  def pearsonR2Ppm(df: DataFrame, groupCol: String,
+                   xCol: String, yCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val mom = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(xCol).cast("long").cast(d38).as("__x"),
+        col(yCol).cast("long").cast(d38).as("__y"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    mom
+      .withColumn("__cxy",
+        expr("(1000000 * (__n * __sxy - __sx * __sy)) div (__n * __n)"))
+      .withColumn("__vx",
+        expr("(1000000 * (__n * __sxx - __sx * __sx)) div (__n * __n)"))
+      .withColumn("__vy",
+        expr("(1000000 * (__n * __syy - __sy * __sy)) div (__n * __n)"))
+      .select(col("__g").as(groupCol),
+        col("__n").cast("long").as("n"),
+        signum(col("__cxy")).cast("long").as("sign"),
+        when(col("__vx") === 0 || col("__vy") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * CAST(__cxy AS DECIMAL(38,0)) * __cxy)
+              |div (CAST(__vx AS DECIMAL(38,0)) * __vy) AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).as("r2_ppm"))
+  }
+
+  /** MANN–KENDALL trend test per group: S = Σ_{i<j} sign(v_j − v_i)
+    * over the series in `orderCol` order, plus Kendall's τ_a =
+    * S / (n(n−1)/2) in ppm — the non-parametric "is this metric
+    * drifting" screen (monotone-trend sensitive, distribution-free,
+    * tie-tolerant: tied values contribute 0). Pure sign counting —
+    * exact integers end to end.
+    *
+    * Input contract: ONE row per (group, order) — run the series
+    * aggregation (daily counts, hourly sums) first; duplicate order
+    * keys would silently double-count pairs.
+    *
+    * Output: (group, n_pairs, s, tau_a_ppm); groups with a single
+    * period have no pairs and are absent.
+    *
+    * Scale shape: a group-keyed self-join producing the i<j pairs —
+    * O(periods²) per group, bounded by the SERIES length (periods,
+    * e.g. days), never the row count of the underlying data; the
+    * repo's pair-frame precedent is the same bound in
+    * [[cusumChangepoint]]'s prefix scan. One groupBy finishes. */
+  def mannKendall(df: DataFrame, groupCol: String, orderCol: String,
+                  valueCol: String): DataFrame = {
+    val a = df.select(col(groupCol).as("__g"),
+      col(orderCol).cast("long").as("__o"),
+      col(valueCol).cast("long").as("__v"))
+    val b = a.select(col("__g").as("__g2"), col("__o").as("__o2"),
+      col("__v").as("__v2"))
+    a.join(b, col("__g") <=> col("__g2") && col("__o") < col("__o2"))
+      .select(col("__g"),
+        when(col("__v2") > col("__v"), 1L)
+          .when(col("__v2") < col("__v"), -1L)
+          .otherwise(0L).as("__sgn"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__sgn")).as("s"))
+      .select(col("__g").as(groupCol), col("n_pairs"), col("s"),
+        expr("1000000 * s div n_pairs").as("tau_a_ppm"))
+  }
+
+  /** THEIL–SEN trend estimator per group: the median of all pairwise
+    * slopes (v_j − v_i)/(o_j − o_i), i<j — the robust (29.3%
+    * breakdown) alternative to [[groupTrend]]'s least-squares slope,
+    * immune to the outlier days OLS chases. Each slope is floored to
+    * ppm units (10⁶·Δv div Δo — truncation toward zero in both
+    * engines), then the median is the repo's exact type-1 lower
+    * quantile over the slope histogram.
+    *
+    * Input contract: one row per (group, order), as [[mannKendall]].
+    *
+    * Output: (group, n_pairs, slope_ppm).
+    *
+    * Scale shape: the same bounded pair frame as [[mannKendall]]
+    * (periods², not rows), then [[exactQuantilesByGroup]]'s histogram
+    * discipline — distinct slopes shuffle, not pairs. */
+  def theilSenSlopePpm(df: DataFrame, groupCol: String, orderCol: String,
+                       valueCol: String): DataFrame = {
+    val a = df.select(col(groupCol).as("__g"),
+      col(orderCol).cast("long").as("__o"),
+      col(valueCol).cast("long").as("__v"))
+    val b = a.select(col("__g").as("__g2"), col("__o").as("__o2"),
+      col("__v").as("__v2"))
+    val slopes = a
+      .join(b, col("__g") <=> col("__g2") && col("__o") < col("__o2"))
+      // the o==o guard is unreachable through the strict join condition,
+      // but the quantile stage's isNotNull filter pushes down past it and
+      // can evaluate this projection on equal-order pairs first — under
+      // ANSI an unguarded div then throws DIVIDE_BY_ZERO
+      .select(col("__g"),
+        expr("""CASE WHEN __o2 = __o THEN NULL
+               |ELSE (1000000 * (__v2 - __v)) div (__o2 - __o) END"""
+          .stripMargin.replace("\n", " ")).as("__slope"))
+    val med = exactQuantilesByGroup(slopes, "__g", "__slope",
+      Seq(("med", 500)))
+    val n = slopes.groupBy(col("__g").as("__gn"))
+      .agg(count(lit(1)).as("n_pairs"))
+    med.join(n, col("__g") <=> col("__gn"))
+      .select(col("__g").as(groupCol), col("n_pairs"),
+        col("q").as("slope_ppm"))
+  }
+
+  /** TOTAL-VARIATION distance between two categorical distributions,
+    * exact integer ppm: TV = ½·Σ_k |p_k − q_k| — the single-number
+    * drift scalar over a CATEGORICAL column ("how much did the lang
+    * mix move"), completing the drift family next to
+    * [[categoryDrift]]'s per-key share report (same inputs, per-key
+    * rows) and [[ksTwoSamplePpm]] (numeric CDFs). Cross-multiplied to
+    * the common denominator n_a·n_b so no share is ever rounded
+    * before the final division: TV_ppm = 10⁶·Σ|c_a·n_b − c_b·n_a|
+    * div (2·n_a·n_b).
+    *
+    * Output: one row (n_a, n_b, n_keys, tv_ppm) — 0 = identical
+    * mixes, 10⁶ = disjoint supports; NULL if either side is empty.
+    * NULL keys count as their own category (a NULL-rate shift IS
+    * drift).
+    *
+    * Scale shape: two map-side-partial key counts, a key-sized
+    * full-outer join, a broadcast 1-row total, one global aggregate —
+    * rows never cross a shuffle. */
+  def totalVariationPpm(a: DataFrame, b: DataFrame,
+                        keyCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def counted(df: DataFrame, as: String) =
+      df.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as(as))
+    val merged = counted(a, "__ca").join(counted(b, "__cb"),
+        Seq("__k"), "full_outer")
+      .select(coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = merged.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    merged.crossJoin(broadcast(tot))
+      .withColumn("__d",
+        abs(col("__ca").cast(d38) * col("__nb")
+          - col("__cb").cast(d38) * col("__na")))
+      .groupBy(col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("__d")).as("__sd"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("n_keys"),
+        when(col("__na") === 0 || col("__nb") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * __sd) div
+              |(2 * CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).as("tv_ppm"))
+  }
 }

@@ -728,4 +728,114 @@ class StatsSpec extends SparkTestBase {
       .as[(String, Long, Long, Long)].collect().head
     assert(rep == got)
   }
+
+  test("pearsonR2Ppm: exact lines, sign, NULL on constant columns") {
+    // y = 3x + 7: perfect positive — r² = 10⁶ exactly, sign +1
+    val up = Seq.tabulate(50)(i => ("u", i.toLong, 3L * i + 7))
+      .toDF("g", "x", "y")
+    // y = −2x: perfect negative — r² = 10⁶, sign −1
+    val dn = Seq.tabulate(50)(i => ("d", i.toLong, -2L * i))
+      .toDF("g", "x", "y")
+    // constant y — zero variance → NULL r², sign 0
+    val ct = Seq.tabulate(50)(i => ("c", i.toLong, 5L)).toDF("g", "x", "y")
+    val got = Stats.pearsonR2Ppm(up.union(dn).union(ct), "g", "x", "y")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("u") == ((50L, 1L, Some(1000000L))))
+    assert(got("d") == ((50L, -1L, Some(1000000L))))
+    assert(got("c") == ((50L, 0L, None)))
+  }
+
+  test("pearsonR2Ppm: NULL pairs excluded, partition-independent") {
+    val rows = Seq(("g", Some(1L), Some(10L)), ("g", Some(2L), Some(30L)),
+      ("g", Some(3L), Some(20L)), ("g", Some(4L), Some(50L)),
+      ("g", None, Some(99L)), ("g", Some(9L), None))
+    val df = rows.toDF("g", "x", "y")
+    val a = Stats.pearsonR2Ppm(df, "g", "x", "y").collect().head
+    assert(a.getLong(1) == 4L, "NULL x or y rows must not count")
+    val b = Stats.pearsonR2Ppm(df.repartition(7), "g", "x", "y")
+      .collect().head
+    assert(a == b)
+  }
+
+  test("mannKendall: monotone, reversed, tied, driver reference") {
+    def ref(vs: Seq[Long]): (Long, Long) = {
+      val pairs = for (i <- vs.indices; j <- vs.indices if i < j)
+        yield java.lang.Long.signum(vs(j) - vs(i)).toLong
+      (pairs.size.toLong, pairs.sum)
+    }
+    val series = Map(
+      "inc" -> Seq(1L, 2L, 5L, 9L), // S = 6 of 6 → tau 10⁶
+      "dec" -> Seq(9L, 4L, 2L, 1L),
+      "tie" -> Seq(3L, 3L, 3L),
+      "mix" -> Seq(5L, 1L, 4L, 4L, 8L, 2L))
+    val df = series.toSeq.flatMap { case (g, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (g, i.toLong, v) }
+    }.toDF("g", "o", "v")
+    val got = Stats.mannKendall(df, "g", "o", "v")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for ((g, vs) <- series) {
+      val (np, s) = ref(vs)
+      assert(got(g) == ((np, s, 1000000L * s / np)), s"group $g")
+    }
+    assert(got("inc")._3 == 1000000L)
+    assert(got("dec")._3 == -1000000L)
+    assert(got("tie")._3 == 0L)
+    // single-period groups emit nothing
+    val single = Seq(("x", 1L, 9L)).toDF("g", "o", "v")
+    assert(Stats.mannKendall(single, "g", "o", "v").count() == 0)
+  }
+
+  test("theilSenSlopePpm: median pairwise slope vs driver reference") {
+    def ref(pts: Seq[(Long, Long)]): Long = {
+      val slopes = (for {
+        i <- pts.indices; j <- pts.indices if pts(i)._1 < pts(j)._1
+      } yield 1000000L * (pts(j)._2 - pts(i)._2) /
+          (pts(j)._1 - pts(i)._1)).sorted
+      slopes(((slopes.size + 1) / 2) - 1) // type-1 median, ceil(n/2)
+    }
+    // exact line y = 4x + 1 → every slope 4·10⁶
+    val line = Seq.tabulate(9)(i => (i.toLong, 4L * i + 1))
+    // one wild outlier the median must shrug off
+    val robust = Seq((0L, 0L), (1L, 10L), (2L, 20L), (3L, 30L),
+      (4L, 4000L))
+    val df = (line.map { case (o, v) => ("line", o, v) } ++
+      robust.map { case (o, v) => ("rob", o, v) }).toDF("g", "o", "v")
+    val got = Stats.theilSenSlopePpm(df, "g", "o", "v")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("line") == ((36L, 4000000L)))
+    assert(got("rob")._2 == ref(robust))
+    assert(got("rob")._2 == 10000000L, "outlier must not drag the median")
+    val rep = Stats.theilSenSlopePpm(df.repartition(11), "g", "o", "v")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep == got)
+  }
+
+  test("totalVariationPpm: identical, disjoint, NULL keys, reference") {
+    def mk(rows: Seq[String]) =
+      rows.map(Tuple1(_)).toDF("k")
+    val a = mk(Seq("x", "x", "y", "z"))
+    // identical mix → 0
+    val same = Stats.totalVariationPpm(a, mk(Seq("x", "x", "y", "z")), "k")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(same == ((4L, 4L, 3L, Some(0L))))
+    // disjoint supports → 10⁶
+    val disj = Stats.totalVariationPpm(a, mk(Seq("p", "q")), "k")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(disj._4.contains(1000000L))
+    // hand case: a = {x:2,y:2}, b = {x:3,y:1} → ½(|¼| + |¼|) = 250000
+    val hand = Stats.totalVariationPpm(
+        mk(Seq("x", "x", "y", "y")), mk(Seq("x", "x", "x", "y")), "k")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(hand._4.contains(250000L))
+    // NULL keys are a category of their own
+    val withNull = Seq(Some("x"), None, None).map(Tuple1(_)).toDF("k")
+    val nl = Stats.totalVariationPpm(withNull, mk(Seq("x")), "k")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(nl._1 == 3L && nl._3 == 2L)
+    assert(nl._4.contains(666666L)) // |⅓−1|/2 + |⅔−0|/2 = ⅔
+  }
 }
