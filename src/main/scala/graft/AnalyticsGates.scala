@@ -210,6 +210,51 @@ object AnalyticsGates {
       docs.where(col("doc_id") % 2 === 1), "lang")
   }
 
+  // POISSON BOOTSTRAP CI (ops/Stats.bootstrapMeanCiMilli): per-type
+  // mean value-cents with a deterministic 40-replicate 95% CI — every
+  // weight drawn from md5(event_id:rep) against the pinned Poisson(1)
+  // thresholds, so both engines resample identically.
+  def q245_bootstrap_ci(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.bootstrapMeanCiMilli(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).as("cents")),
+      "event_type", "event_id", "cents")
+
+  // PERMUTATION TEST (ops/Stats.permutationTestMilli): is the user-id
+  // parity split's spend difference explainable by chance — 39 exact
+  // md5-parity label reshuffles, add-one p-value in per-mille.
+  def q246_perm_test(s: SparkSession, dir: String): DataFrame = {
+    val units = t(s, dir, "events").where(col("value").isNotNull)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("spend"))
+    graft.ops.Stats.permutationTestMilli(units, "variant", "user_id",
+      "spend")
+  }
+
+  // ONE-WAY ANOVA (ops/Stats.anovaFMicro): does event type explain any
+  // of the value-cents variance — exact integer F in micro-units from
+  // one (n, Σv, Σv²) pass.
+  def q247_anova(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.anovaFMicro(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"), floor(col("value") * 100).as("cents")),
+      "event_type", "cents")
+
+  // K-CORE (ops/GraphOps.kCore): the 3-core of the thinned co-purchase
+  // graph (q223's edge recipe) — peel to fixpoint with per-round
+  // checkpoint pins, fail-loud on non-convergence; oracle = 12
+  // unrolled peel rounds (converges ≤ 10 at every fixture SF).
+  def q248_kcore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .where(col("l_orderkey") % 23 === 0)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val edges = li.as("a").join(li.as("b"), "o")
+      .where(col("a.p") < col("b.p"))
+      .select(col("a.p").as("x"), col("b.p").as("y"))
+    graft.ops.GraphOps.kCore(edges, "x", "y", k = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -227,9 +272,126 @@ object AnalyticsGates {
     "q241_pearson"       -> q241_pearson _,
     "q242_mann_kendall"  -> q242_mann_kendall _,
     "q243_theil_sen"     -> q243_theil_sen _,
-    "q244_tv_drift"      -> q244_tv_drift _)
+    "q244_tv_drift"      -> q244_tv_drift _,
+    "q245_bootstrap_ci"  -> q245_bootstrap_ci _,
+    "q246_perm_test"     -> q246_perm_test _,
+    "q247_anova"         -> q247_anova _,
+    "q248_kcore"         -> q248_kcore _)
+
+  /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
+    * the same pinned thresholds as Stats.poissonThresholds, rendered
+    * as DuckDB SQL. */
+  private def poissonCaseSql(u: String): String =
+    "CASE " + graft.ops.Stats.poissonThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN $u < $t THEN $k" }
+      .mkString(" ") +
+      s" ELSE ${graft.ops.Stats.poissonThresholds.size} END"
+
+  private def md5Hash60Sql(s: String): String =
+    s"(('0x'||substring(md5($s),1,15))::BIGINT)"
+
+  /** 12 unrolled k-core peel rounds (MATERIALIZED — chained CTEs
+    * otherwise inline exponentially in DuckDB). Extra rounds past the
+    * fixpoint are no-ops, so 12 is safe headroom over the ≤10 every
+    * fixture SF needs; the Spark side asserts true convergence. */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH li AS MATERIALIZED (SELECT l_orderkey o, l_partkey p
+        |  FROM lineitem WHERE l_orderkey % 23 = 0),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.p x, b.p y
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |und AS MATERIALIZED (SELECT x, y FROM e0
+        |  UNION ALL SELECT y, x FROM e0),
+        |n0 AS MATERIALIZED (SELECT DISTINCT x AS node FROM und)"""
+        .stripMargin
+    val peels = (1 to rounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT u.x AS node FROM und u
+         |  JOIN n${i - 1} a ON a.node = u.x
+         |  JOIN n${i - 1} b ON b.node = u.y
+         |  GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$peels
+       |SELECT u.x AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM und u JOIN n$rounds a ON a.node = u.x
+       |JOIN n$rounds b ON b.node = u.y
+       |GROUP BY 1""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
+    "q245_bootstrap_ci" -> {
+      val u = md5Hash60Sql("CAST(b.id AS VARCHAR)||':'||CAST(r.r AS VARCHAR)")
+      s"""WITH base AS (SELECT event_type g, event_id id,
+        |        CAST(floor(value*100) AS BIGINT) v
+        |      FROM events WHERE value IS NOT NULL),
+        |pt AS (SELECT g, CAST(count(*) AS BIGINT) n,
+        |        CAST((1000*sum(CAST(v AS HUGEINT))) // count(*) AS BIGINT)
+        |          AS mean_milli
+        |       FROM base GROUP BY 1),
+        |reps AS (SELECT r FROM generate_series(0, 39) t(r)),
+        |w AS (SELECT b.g, r.r, ${poissonCaseSql(u)} AS wt, b.v
+        |      FROM base b CROSS JOIN reps r),
+        |rm AS (SELECT g, r, CAST(sum(wt) AS BIGINT) cnt,
+        |         sum(CAST(wt AS HUGEINT)*v) sv FROM w GROUP BY 1, 2),
+        |means AS (SELECT g, CAST((1000*sv) // cnt AS BIGINT) m
+        |          FROM rm WHERE cnt > 0),
+        |h AS (SELECT g, m, CAST(count(*) AS BIGINT) c FROM means GROUP BY 1, 2),
+        |cum AS (SELECT g, m, c, sum(c) OVER (PARTITION BY g ORDER BY m) cum
+        |        FROM h),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) nr FROM h GROUP BY 1),
+        |lo AS (SELECT cum.g, min(cum.m) q FROM cum JOIN tot ON tot.g = cum.g
+        |       WHERE cum.cum >= (25*tot.nr + 999)//1000 GROUP BY 1),
+        |hi AS (SELECT cum.g, min(cum.m) q FROM cum JOIN tot ON tot.g = cum.g
+        |       WHERE cum.cum >= (975*tot.nr + 999)//1000 GROUP BY 1)
+        |SELECT pt.g AS event_type, pt.n, pt.mean_milli, tot.nr AS n_reps,
+        |       lo.q AS lo_milli, hi.q AS hi_milli
+        |FROM pt JOIN tot ON tot.g = pt.g JOIN lo ON lo.g = pt.g
+        |JOIN hi ON hi.g = pt.g""".stripMargin
+    },
+    "q246_perm_test" -> {
+      val u = md5Hash60Sql("CAST(u.id AS VARCHAR)||':'||CAST(r.r AS VARCHAR)")
+      s"""WITH units AS (SELECT user_id id, CAST(user_id % 2 AS BIGINT) var,
+        |        CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) v
+        |      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |obs AS (SELECT CAST(count(*) AS BIGINT) n,
+        |         abs((1000*sum(CASE WHEN var <> 0 THEN CAST(v AS HUGEINT) ELSE 0 END))
+        |               // nullif(sum(CASE WHEN var <> 0 THEN 1 ELSE 0 END), 0)
+        |           - (1000*sum(CASE WHEN var = 0 THEN CAST(v AS HUGEINT) ELSE 0 END))
+        |               // nullif(sum(CASE WHEN var = 0 THEN 1 ELSE 0 END), 0)) d
+        |        FROM units),
+        |reps AS (SELECT r FROM generate_series(1, 39) t(r)),
+        |pv AS (SELECT r.r, $u % 2 pvar, u.v
+        |       FROM units u CROSS JOIN reps r),
+        |pd AS (SELECT r,
+        |         abs((1000*sum(CASE WHEN pvar = 1 THEN CAST(v AS HUGEINT) ELSE 0 END))
+        |               // nullif(sum(CASE WHEN pvar = 1 THEN 1 ELSE 0 END), 0)
+        |           - (1000*sum(CASE WHEN pvar = 0 THEN CAST(v AS HUGEINT) ELSE 0 END))
+        |               // nullif(sum(CASE WHEN pvar = 0 THEN 1 ELSE 0 END), 0)) d
+        |       FROM pv GROUP BY 1),
+        |cmp AS (SELECT count(*) np,
+        |         sum(CASE WHEN pd.d >= obs.d THEN 1 ELSE 0 END) ge
+        |        FROM pd, obs)
+        |SELECT obs.n AS n_units, CAST(obs.d AS BIGINT) AS diff_milli,
+        |  CAST(cmp.np AS BIGINT) AS n_perms,
+        |  CAST((1000*(1 + cmp.ge)) // (cmp.np + 1) AS BIGINT) AS p_value_pm
+        |FROM obs, cmp""".stripMargin
+    },
+    "q247_anova" ->
+      """WITH base AS (SELECT event_type g, CAST(floor(value*100) AS HUGEINT) v
+        |      FROM events WHERE value IS NOT NULL),
+        |pg AS (SELECT g, CAST(count(*) AS HUGEINT) n, sum(v) s, sum(v*v) ss
+        |       FROM base GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS HUGEINT) k, sum(n) nn, sum(s) st,
+        |               sum(ss) sst, sum((1000*s*s) // n) a
+        |        FROM pg)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+        |  CAST(a - (1000*st*st) // nn AS BIGINT) AS ssb_milli,
+        |  CAST(1000*sst - a AS BIGINT) AS ssw_milli,
+        |  CASE WHEN k <= 1 OR nn <= k OR 1000*sst - a = 0 THEN NULL
+        |       ELSE CAST((1000000*(a - (1000*st*st) // nn)*(nn - k))
+        |                 // ((1000*sst - a)*(k - 1)) AS BIGINT) END AS f_micro
+        |FROM agg""".stripMargin,
+    "q248_kcore" -> kcoreOracleSql(k = 3, rounds = 12),
     "q241_pearson" ->
       """WITH hourly AS (SELECT event_type, epoch_us(ts)//3600000000 AS hour,
         |        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),

@@ -266,4 +266,61 @@ object GraphOps {
     }
     acc.reduce(_ unionByName _)
   }
+
+  /** K-CORE decomposition (fixed k): the maximal subgraph in which
+    * every node keeps degree ≥ k — the classic peel: drop all nodes of
+    * degree < k, recompute degrees in what remains, repeat to
+    * fixpoint. The density screen over similarity/co-occurrence graphs
+    * (a near-dup cluster that survives the 3-core is structural, not
+    * chance pairs; the k-core is also the hard upper bound on
+    * community cores label propagation can find).
+    *
+    * Output: (node, deg) — members of the k-core with their WITHIN-core
+    * degree (all ≥ k); empty when no k-core exists. Direction ignored,
+    * self-loops dropped, duplicate edges counted once.
+    *
+    * Scale shape: per round one node-keyed semi-join of the edge list
+    * onto the surviving node set (both endpoints) + one map-side-partial
+    * degree count — shuffles on node ids only; each round checkpoints
+    * so the plan stays one round deep (the [[hopDistance]] discipline).
+    * Rounds are data-bounded (each drops ≥ 1 node or stops); `maxIter`
+    * is the fail-LOUD guard, not a silent truncation — non-convergence
+    * throws rather than returning a not-yet-core set. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxIter: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 1 && maxIter <= 64,
+      s"maxIter must be in [1, 64], got $maxIter")
+    val spark = edges.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = pin(und.select(col("a").as("s"), col("b").as("t"))
+      .unionByName(und.select(col("b").as("s"), col("a").as("t"))))
+    def degrees(nodes: DataFrame): DataFrame =
+      adj.join(nodes.withColumnRenamed("node", "s"), Seq("s"))
+        .join(nodes.withColumnRenamed("node", "t"), Seq("t"))
+        .groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+    var nodes = pin(adj.select(col("s").as("node")).distinct())
+    var n = nodes.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter && n > 0) {
+      val survivors = pin(degrees(nodes)
+        .where(col("deg") >= k).select(col("node")))
+      val m = survivors.count()
+      converged = m == n
+      nodes = survivors
+      n = m
+      round += 1
+    }
+    if (!converged && n > 0)
+      sys.error(s"kCore(k=$k) did not converge in $maxIter rounds " +
+        s"($n nodes still unstable) — raise maxIter")
+    degrees(nodes)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed EXACT order statistics — the corpus-distribution
@@ -1194,5 +1194,195 @@ object Stats {
             """CAST((1000000 * __sd) div
               |(2 * CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)"""
               .stripMargin.replace("\n", " "))).as("tv_ppm"))
+  }
+
+  /** Poisson(1) inverse-CDF thresholds at 2⁶⁰ scale: a uniform 60-bit
+    * hash u maps to the bootstrap weight k = |{t : u ≥ t}| — the
+    * multinomial resample's standard Poissonization. Pinned integer
+    * constants (⌊2⁶⁰·P(X≤k)⌋, k = 0..8; weights cap at 9, beyond which
+    * P < 10⁻⁹), so both engines draw the identical "random" weight from
+    * the identical md5 bits. */
+  private[graft] val poissonThresholds: Seq[Long] = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+    1152825534095764625L, 1152909688087595836L, 1152920207336574738L)
+
+  /** 60-bit md5-derived uniform hash of `s` — the repo's cross-engine
+    * determinism primitive (TextAnalysis.md5Hash60, inlined here to
+    * keep ops free of the llm package). */
+  private def md5Hash60(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** POISSON-BOOTSTRAP confidence interval for per-group means, fully
+    * deterministic and engine-exact: every (row, replicate) pair draws
+    * a Poisson(1) weight from md5(id:rep) against pinned 2⁶⁰-scale CDF
+    * thresholds — the standard large-scale bootstrap (per-row
+    * independent weights ≈ multinomial resampling; Chamandy et al.'s
+    * "Poisson bootstrap"), the only form that needs no global n before
+    * sampling. Replicate means are exact milli-integers; the CI bounds
+    * are the repo's type-1 lower quantiles over the `reps` replicate
+    * means at `loPm`/`hiPm` per-mille.
+    *
+    * Output: (group, n, mean_milli, n_reps, lo_milli, hi_milli) —
+    * mean_milli the point estimate on the real data; replicates that
+    * draw total weight 0 are absent from the quantile pool (n_reps
+    * reports the survivors).
+    *
+    * Scale shape: a map-side ×reps explode feeding ONE map-side-partial
+    * groupBy on (group, rep) — the shuffle carries groups×reps rows,
+    * never data rows; the quantile stage runs over groups×reps
+    * replicate means. Cost is reps× the scan, the honest price of a
+    * bootstrap; reps = 40 resolves 25‰/975‰ exactly. */
+  def bootstrapMeanCiMilli(df: DataFrame, groupCol: String,
+                           idCol: String, valueCol: String,
+                           reps: Int = 40, loPm: Int = 25,
+                           hiPm: Int = 975): DataFrame = {
+    require(reps >= 4 && reps <= 1000, s"reps in [4,1000], got $reps")
+    val d38 = "decimal(38,0)"
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("long").as("__v"))
+    val point = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"CAST((1000 * sum(CAST(__v AS $d38))) div count(1) AS BIGINT)")
+          .as("mean_milli"))
+    val u = md5Hash60(concat(col("__id"), lit(":"),
+      col("__r").cast("string")))
+    val wt = poissonThresholds.zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (t, k)) =>
+        acc.when(col("__u") < t, k.toLong)
+      }.otherwise(poissonThresholds.size.toLong)
+    val means = base
+      .withColumn("__r", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("__u", u)
+      .withColumn("__w", wt)
+      .groupBy(col("__g"), col("__r"))
+      .agg(sum(col("__w")).as("__cnt"),
+        sum(col("__w").cast(d38) * col("__v")).as("__sv"))
+      .where(col("__cnt") > 0)
+      .select(col("__g"),
+        expr("CAST((1000 * __sv) div __cnt AS BIGINT)").as("__m"))
+    val ci = exactQuantilesByGroup(means, "__g", "__m",
+        Seq(("lo", loPm), ("hi", hiPm)))
+      .groupBy(col("__g").as("__gq"))
+      .agg(max(when(col("label") === "lo", col("q"))).as("lo_milli"),
+        max(when(col("label") === "hi", col("q"))).as("hi_milli"))
+    val nReps = means.groupBy(col("__g").as("__gn"))
+      .agg(count(lit(1)).as("n_reps"))
+    point.join(nReps, col("__g") <=> col("__gn"))
+      .join(ci, col("__g") <=> col("__gq"))
+      .select(col("__g").as(groupCol), col("n"), col("mean_milli"),
+        col("n_reps"), col("lo_milli"), col("hi_milli"))
+  }
+
+  /** PERMUTATION TEST for a two-variant mean difference, deterministic
+    * and engine-exact: the observed |Δmean| (milli-units, floors on
+    * each side) against `perms` label reshuffles drawn from md5(id:p)
+    * parity — Fisher's exact-logic significance test with zero
+    * distributional assumptions, the A/B readout to trust when CUPED's
+    * normality lean is suspect. p = (1 + #{perm ≥ observed}) /
+    * (perms + 1), the add-one form that never reports an impossible 0.
+    *
+    * Input contract: one row per experimental UNIT (pre-aggregate
+    * per-user metrics first — permuting raw events would break the
+    * independence the test needs). `variantCol`: 0 = control, anything
+    * else = treatment.
+    *
+    * Output: one row (n_units, diff_milli, n_perms, p_value_pm);
+    * diff_milli NULL (and every permutation non-counting) if either
+    * observed side is empty. A permutation that lands every unit on
+    * one side yields a NULL replicate diff, which counts toward
+    * n_perms but never toward the ≥ tally — both engines agree on the
+    * NULL-comparison semantics by construction.
+    *
+    * Scale shape: ×perms map-side explode into ONE (rep, side) partial
+    * groupBy — the shuffle carries 2·perms rows; the observed pass is
+    * one more 1-row aggregate. Cost is perms× the unit scan. */
+  def permutationTestMilli(df: DataFrame, variantCol: String,
+                           idCol: String, valueCol: String,
+                           perms: Int = 39): DataFrame = {
+    require(perms >= 3 && perms <= 999, s"perms in [3,999], got $perms")
+    val d38 = "decimal(38,0)"
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        when(col(variantCol) === 0, 0L).otherwise(1L).as("__var"),
+        col(valueCol).cast("long").as("__v"))
+    def diffMilli(g: org.apache.spark.sql.RelationalGroupedDataset,
+                  varCol: String): DataFrame = {
+      val side = (v: Int, c: String) =>
+        sum(when(col(varCol) === v, lit(1L)).otherwise(0L)).as(s"__c$c")
+      val sv = (v: Int, c: String) =>
+        sum(when(col(varCol) === v, col("__v").cast(d38))
+          .otherwise(lit(0).cast(d38))).as(s"__s$c")
+      g.agg(count(lit(1)).as("__n"), side(1, "t"), sv(1, "t"),
+          side(0, "c"), sv(0, "c"))
+        .withColumn("__d",
+          when(col("__ct") === 0 || col("__cc") === 0,
+            lit(null).cast("long"))
+            .otherwise(abs(expr("(1000 * __st) div __ct")
+              - expr("(1000 * __sc) div __cc"))))
+    }
+    val obs = diffMilli(base.groupBy(), "__var")
+      .select(col("__n").as("__nu"), col("__d").as("__obs"))
+    val permed = base
+      .withColumn("__p", explode(sequence(lit(1), lit(perms))))
+      .withColumn("__pvar", md5Hash60(concat(col("__id"), lit(":"),
+        col("__p").cast("string"))) % 2)
+    val permDiffs = diffMilli(permed.groupBy(col("__p")), "__pvar")
+    permDiffs.crossJoin(broadcast(obs))
+      .agg(count(lit(1)).as("__np"),
+        sum(when(col("__d") >= col("__obs"), 1L).otherwise(0L)).as("__ge"),
+        first(col("__nu")).as("n_units"),
+        first(col("__obs")).as("diff_milli"))
+      .select(col("n_units"), col("diff_milli"),
+        col("__np").as("n_perms"),
+        expr("(1000 * (1 + __ge)) div (__np + 1)").as("p_value_pm"))
+  }
+
+  /** ONE-WAY ANOVA F statistic in exact micro-units: does the group
+    * factor explain any of the variance — F = (SSB/(k−1)) /
+    * (SSW/(N−k)) over integer values, with both sums of squares first
+    * reduced to MILLI-units by one floor division (Σ(1000·s_g²) div
+    * n_g — the [[pearsonR2Ppm]] magnitude-bounding trade), then the
+    * F ratio one exact integer division. The k-group generalization
+    * of the 2×2 chi-square's "is there any effect at all" screen, on
+    * means instead of proportions.
+    *
+    * Output: one row (k, n, ssb_milli, ssw_milli, f_micro) — f_micro
+    * NULL when degenerate (single group, no residual df, or zero
+    * within-variance).
+    *
+    * Range: the milli-SS terms are ~1000·n·value² and surface as
+    * BIGINT — exact to ~10⁷ rows/group at cent-scale values; past
+    * that pre-scale the metric (cents→dollars), the
+    * [[chiSquare2x2Milli]] pre-aggregation precedent.
+    *
+    * Scale shape: ONE map-side-partial groupBy carrying (n, Σv, Σv²)
+    * per group, then a k-row aggregate. Nothing else touches data. */
+  def anovaFMicro(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val pg = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").cast(d38).as("__v"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast(d38).as("__n"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__ss"))
+    pg.agg(count(lit(1)).as("__k"), sum(col("__n")).as("__nn"),
+        sum(col("__s")).as("__st"), sum(col("__ss")).as("__sst"),
+        sum(expr("(1000 * __s * __s) div __n")).as("__a"))
+      .select(col("__k").cast("long").as("k"),
+        col("__nn").cast("long").as("n"),
+        expr("CAST(__a - (1000 * __st * __st) div __nn AS BIGINT)")
+          .as("ssb_milli"),
+        expr("CAST(1000 * __sst - __a AS BIGINT)").as("ssw_milli"),
+        when(col("__k") <= 1 || col("__nn") <= col("__k") ||
+            expr("1000 * __sst - __a") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * (__a - (1000 * __st * __st) div __nn)
+              |* (__nn - __k)) div ((1000 * __sst - __a) * (__k - 1))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("f_micro"))
   }
 }

@@ -191,4 +191,42 @@ class GraphOpsSpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(again == got)
   }
+
+  test("kCore: K4 plus a pendant — 3-core keeps exactly the clique") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 :+ ((1L, 5L))).toDF("x", "y")
+    val got = GraphOps.kCore(edges, "x", "y", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "pendant node 5 must peel away; the clique keeps degree 3")
+  }
+
+  test("kCore: peel cascades — a chain has no 2-core, a cycle is one") {
+    val chain = (1L until 7L).map(i => (i, i + 1)).toDF("x", "y")
+    assert(GraphOps.kCore(chain, "x", "y", k = 2).count() == 0,
+      "endpoint removal must cascade through the whole chain")
+    val cycle = ((1L until 7L).map(i => (i, i + 1)) :+ ((7L, 1L)))
+      .toDF("x", "y")
+    val got = GraphOps.kCore(cycle, "x", "y", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 7L).toSet && got.values.forall(_ == 2L))
+  }
+
+  test("kCore: duplicate/self/reversed edges collapse; partition-independent") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val noisy = (k4 ++ k4.map(_.swap) ++ Seq((2L, 2L), (1L, 5L)))
+      .toDF("x", "y")
+    val got = GraphOps.kCore(noisy.repartition(7), "x", "y", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore fails loud when maxIter cuts the peel short") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = (k4 :+ ((1L, 5L))).toDF("x", "y")
+    val e = intercept[RuntimeException] {
+      GraphOps.kCore(edges, "x", "y", k = 3, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
 }

@@ -838,4 +838,65 @@ class StatsSpec extends SparkTestBase {
     assert(nl._1 == 3L && nl._3 == 2L)
     assert(nl._4.contains(666666L)) // |⅓−1|/2 + |⅔−0|/2 = ⅔
   }
+
+  test("bootstrapMeanCiMilli: constant data collapses the CI; bounds bracket") {
+    // constant value: every replicate mean is exactly 1000·c
+    val const = Seq.tabulate(100)(i => ("c", i.toLong, 7L))
+      .toDF("g", "id", "v")
+    val c = Stats.bootstrapMeanCiMilli(const, "g", "id", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(c == (("c", 100L, 7000L, 40L, 7000L, 7000L)))
+    // spread data: lo ≤ point ≤ hi, CI strictly inside the value range,
+    // and the whole result is partition-independent
+    val spread = Seq.tabulate(200)(i => ("s", i.toLong, (i % 50).toLong))
+      .toDF("g", "id", "v")
+    val a = Stats.bootstrapMeanCiMilli(spread, "g", "id", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(a._5 <= a._3 && a._3 <= a._6, s"lo ≤ mean ≤ hi violated: $a")
+    assert(a._5 > 0L && a._6 < 49000L, "CI must be far inside the range")
+    val b = Stats.bootstrapMeanCiMilli(spread.repartition(13), "g", "id", "v")
+      .as[(String, Long, Long, Long, Long, Long)].collect().head
+    assert(a == b, "resampling must be deterministic in the row ids")
+  }
+
+  test("permutationTestMilli: strong effect hits the add-one floor, null effect p=1") {
+    // 20 vs 20 units, disjoint values → no reshuffle can match
+    val effect = Seq.tabulate(40)(i =>
+      (i.toLong, (i % 2).toLong, if (i % 2 == 1) 1000L else 0L))
+      .toDF("id", "variant", "v")
+    val e = Stats.permutationTestMilli(effect, "variant", "id", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(e == ((40L, 1000000L, 39L, 25L)),
+      "p must floor at 1/(P+1) = 25 per-mille")
+    // identical values → every permutation ties the observed 0 → p = 1
+    val nullEff = Seq.tabulate(40)(i => (i.toLong, (i % 2).toLong, 5L))
+      .toDF("id", "variant", "v")
+    val z = Stats.permutationTestMilli(nullEff, "variant", "id", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(z == ((40L, 0L, 39L, 1000L)))
+    // partition independence
+    val r = Stats.permutationTestMilli(effect.repartition(9),
+        "variant", "id", "v")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r == e)
+  }
+
+  test("anovaFMicro: hand case, zero-within NULL, single-group NULL") {
+    // a = {0,2}, b = {10,12}: SSB = 100, SSW = 4, F = 50 exactly
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 10L), ("b", 12L))
+      .toDF("g", "v")
+    val got = Stats.anovaFMicro(df, "g", "v")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(got == ((2L, 4L, 100000L, 4000L, Some(50000000L))))
+    // zero within-variance → NULL (infinite F), SS still surfaced
+    val sep = Seq(("a", 0L), ("a", 0L), ("b", 10L), ("b", 10L))
+      .toDF("g", "v")
+    val s = Stats.anovaFMicro(sep, "g", "v")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(s._4 == 0L && s._5.isEmpty)
+    // one group → no between df → NULL
+    val one = Seq(("a", 1L), ("a", 5L)).toDF("g", "v")
+    assert(Stats.anovaFMicro(one, "g", "v")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head._5.isEmpty)
+  }
 }
