@@ -219,7 +219,8 @@ object AnalyticsGates {
       t(s, dir, "events").where(col("value").isNotNull)
         .select(col("event_type"), col("event_id"),
           floor(col("value") * 100).as("cents")),
-      "event_type", "event_id", "cents")
+      "event_type", "event_id", "cents",
+      hashFn = graft.ops.Stats.md5Hash60)
 
   // PERMUTATION TEST (ops/Stats.permutationTestMilli): is the user-id
   // parity split's spend difference explainable by chance — 39 exact
@@ -229,7 +230,7 @@ object AnalyticsGates {
       .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
       .agg(sum(floor(col("value") * 100).cast("long")).as("spend"))
     graft.ops.Stats.permutationTestMilli(units, "variant", "user_id",
-      "spend")
+      "spend", hashFn = graft.ops.Stats.md5Hash60)
   }
 
   // ONE-WAY ANOVA (ops/Stats.anovaFMicro): does event type explain any

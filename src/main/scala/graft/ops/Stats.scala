@@ -1209,14 +1209,24 @@ object Stats {
 
   /** 60-bit md5-derived uniform hash of `s` — the repo's cross-engine
     * determinism primitive (TextAnalysis.md5Hash60, inlined here to
-    * keep ops free of the llm package). */
-  private def md5Hash60(s: Column): Column =
+    * keep ops free of the llm package). The GATE hash: DuckDB computes
+    * the identical bits. */
+  private[graft] def md5Hash60(s: Column): Column =
     conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit xxhash64-derived uniform hash — the PRODUCTION default for
+    * the resampling operators (codegen'd, ~10× cheaper than md5 per
+    * draw). 2⁶⁴ is an exact multiple of 2⁶⁰, so the pmod fold keeps
+    * the draw uniform. */
+  private[graft] def xx60(s: Column): Column =
+    pmod(xxhash64(s), lit(1L << 60))
 
   /** POISSON-BOOTSTRAP confidence interval for per-group means, fully
     * deterministic and engine-exact: every (row, replicate) pair draws
-    * a Poisson(1) weight from md5(id:rep) against pinned 2⁶⁰-scale CDF
-    * thresholds — the standard large-scale bootstrap (per-row
+    * a Poisson(1) weight from hashFn(id:rep) against pinned 2⁶⁰-scale
+    * CDF thresholds (xxhash64-folded production default; pass
+    * [[md5Hash60]] for oracle-checked gates) — the standard
+    * large-scale bootstrap (per-row
     * independent weights ≈ multinomial resampling; Chamandy et al.'s
     * "Poisson bootstrap"), the only form that needs no global n before
     * sampling. Replicate means are exact milli-integers; the CI bounds
@@ -1236,7 +1246,8 @@ object Stats {
   def bootstrapMeanCiMilli(df: DataFrame, groupCol: String,
                            idCol: String, valueCol: String,
                            reps: Int = 40, loPm: Int = 25,
-                           hiPm: Int = 975): DataFrame = {
+                           hiPm: Int = 975,
+                           hashFn: Column => Column = xx60): DataFrame = {
     require(reps >= 4 && reps <= 1000, s"reps in [4,1000], got $reps")
     val d38 = "decimal(38,0)"
     val base = df.where(col(valueCol).isNotNull)
@@ -1247,7 +1258,7 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         expr(s"CAST((1000 * sum(CAST(__v AS $d38))) div count(1) AS BIGINT)")
           .as("mean_milli"))
-    val u = md5Hash60(concat(col("__id"), lit(":"),
+    val u = hashFn(concat(col("__id"), lit(":"),
       col("__r").cast("string")))
     val wt = poissonThresholds.zipWithIndex
       .foldLeft(when(lit(false), lit(0L))) { case (acc, (t, k)) =>
@@ -1278,8 +1289,9 @@ object Stats {
 
   /** PERMUTATION TEST for a two-variant mean difference, deterministic
     * and engine-exact: the observed |Δmean| (milli-units, floors on
-    * each side) against `perms` label reshuffles drawn from md5(id:p)
-    * parity — Fisher's exact-logic significance test with zero
+    * each side) against `perms` label reshuffles drawn from
+    * hashFn(id:p) parity (xxhash64 fold by default, [[md5Hash60]] at
+    * the gate) — Fisher's exact-logic significance test with zero
     * distributional assumptions, the A/B readout to trust when CUPED's
     * normality lean is suspect. p = (1 + #{perm ≥ observed}) /
     * (perms + 1), the add-one form that never reports an impossible 0.
@@ -1301,7 +1313,8 @@ object Stats {
     * one more 1-row aggregate. Cost is perms× the unit scan. */
   def permutationTestMilli(df: DataFrame, variantCol: String,
                            idCol: String, valueCol: String,
-                           perms: Int = 39): DataFrame = {
+                           perms: Int = 39,
+                           hashFn: Column => Column = xx60): DataFrame = {
     require(perms >= 3 && perms <= 999, s"perms in [3,999], got $perms")
     val d38 = "decimal(38,0)"
     val base = df.where(col(valueCol).isNotNull)
@@ -1327,7 +1340,7 @@ object Stats {
       .select(col("__n").as("__nu"), col("__d").as("__obs"))
     val permed = base
       .withColumn("__p", explode(sequence(lit(1), lit(perms))))
-      .withColumn("__pvar", md5Hash60(concat(col("__id"), lit(":"),
+      .withColumn("__pvar", hashFn(concat(col("__id"), lit(":"),
         col("__p").cast("string"))) % 2)
     val permDiffs = diffMilli(permed.groupBy(col("__p")), "__pvar")
     permDiffs.crossJoin(broadcast(obs))

@@ -834,4 +834,50 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("windowspecdefinition(__v"),
       "KS cumulatives must not window over the raw value globally")
   }
+
+  test("q241/q247: moment statistics are one partial pass, no windows") {
+    for (q <- Seq("q241_pearson", "q247_anova")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum"),
+        s"$q moment sums must combine map-side")
+      assert(!p.contains("windowspecdefinition"),
+        s"$q must not plan any window")
+      assert(!p.contains("CartesianProduct"), s"$q planned a product")
+    }
+  }
+
+  test("q242/q243: trend pair frames join on the group key, not a product") {
+    for (q <- Seq("q242_mann_kendall", "q243_theil_sen")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q pair frame must be a keyed join (bounded by periods²)")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q must aggregate with map-side partials")
+    }
+  }
+
+  test("q245/q246: resampling shuffles replicate aggregates, not rows") {
+    for (q <- Seq("q245_bootstrap_ci", "q246_perm_test")) {
+      val p = plan(q)
+      assert(p.contains("partial_sum"),
+        s"$q replicate sums must combine map-side before the shuffle")
+      assert(p.contains("explode") || p.contains("Generate"),
+        s"$q replicates must fan out via explode, map-side")
+      assert(!p.contains("windowspecdefinition(__id") &&
+        !p.contains("windowspecdefinition(__r"),
+        s"$q must not window over replicates")
+    }
+    // the observed 1-row statistic broadcasts onto the permutation diffs
+    assert(plan("q246_perm_test").contains("Broadcast"),
+      "observed stat must broadcast, never shuffle the diffs against it")
+  }
+
+  test("q244: TV drift aggregates key counts; totals broadcast back") {
+    val p = plan("q244_tv_drift")
+    assert(p.contains("partial_count"), "key counts must map-combine")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the 1-row totals must broadcast onto the key frame")
+    assert(!p.contains("windowspecdefinition"), "TV needs no window")
+  }
 }
