@@ -256,6 +256,40 @@ object AnalyticsGates {
     graft.ops.GraphOps.kCore(edges, "x", "y", k = 3)
   }
 
+  // SPEARMAN (ops/Stats.spearmanR2Ppm): monotone association between
+  // quantity and price per return flag — doubled midranks (tie-exact)
+  // through the Pearson micro-moment recipe, sqrt-free in both engines.
+  def q249_spearman(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.spearmanR2Ppm(
+      t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"),
+        floor(col("l_extendedprice")).as("dollars")),
+      "l_returnflag", "qty", "dollars")
+
+  // ACTIVITY STREAKS (ops/EventAnalytics.activityStreaks): per-user
+  // consecutive-active-day runs — the gaps-and-islands rank trick,
+  // longest streak ties to the earliest start.
+  def q250_streaks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.activityStreaks(
+        t(s, dir, "events")
+          .select(col("user_id"), expr(s"ts div ${dayUs}L").as("day")),
+        "user_id", "day")
+
+  // DWELL TIME (ops/EventAnalytics.dwellByState): inter-event gaps
+  // attributed to the preceding event's type — exact µs, (ts, id)
+  // tie-deterministic.
+  def q251_dwell(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.dwellByState(t(s, dir, "events"),
+      "user_id", "event_type", "ts", "event_id")
+      .withColumnRenamed("state", "event_type")
+
+  // CRAMÉR'S V² (ops/Stats.cramersV2Ppm): effect size of the
+  // priority×status association — the k×m chi-square normalized to
+  // [0,1], exact integer end to end.
+  def q252_cramers_v(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.cramersV2Ppm(t(s, dir, "orders"),
+      "o_orderpriority", "o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -277,7 +311,11 @@ object AnalyticsGates {
     "q245_bootstrap_ci"  -> q245_bootstrap_ci _,
     "q246_perm_test"     -> q246_perm_test _,
     "q247_anova"         -> q247_anova _,
-    "q248_kcore"         -> q248_kcore _)
+    "q248_kcore"         -> q248_kcore _,
+    "q249_spearman"      -> q249_spearman _,
+    "q250_streaks"       -> q250_streaks _,
+    "q251_dwell"         -> q251_dwell _,
+    "q252_cramers_v"     -> q252_cramers_v _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -377,6 +415,74 @@ object AnalyticsGates {
         |  CAST((1000*(1 + cmp.ge)) // (cmp.np + 1) AS BIGINT) AS p_value_pm
         |FROM obs, cmp""".stripMargin
     },
+    "q249_spearman" ->
+      """WITH base AS (SELECT l_returnflag g, CAST(l_quantity AS BIGINT) x,
+        |        CAST(floor(l_extendedprice) AS BIGINT) y FROM lineitem),
+        |hx AS (SELECT g, x, count(*) c FROM base GROUP BY 1, 2),
+        |rx AS (SELECT g, x,
+        |        2*(sum(c) OVER (PARTITION BY g ORDER BY x) - c) + c + 1 AS mr
+        |       FROM hx),
+        |hy AS (SELECT g, y, count(*) c FROM base GROUP BY 1, 2),
+        |ry AS (SELECT g, y,
+        |        2*(sum(c) OVER (PARTITION BY g ORDER BY y) - c) + c + 1 AS mr
+        |       FROM hy),
+        |j AS (SELECT b.g, CAST(rx.mr AS HUGEINT) x, CAST(ry.mr AS HUGEINT) y
+        |      FROM base b JOIN rx ON rx.g = b.g AND rx.x = b.x
+        |      JOIN ry ON ry.g = b.g AND ry.y = b.y),
+        |m AS (SELECT g, CAST(count(*) AS HUGEINT) n, sum(x) sx, sum(y) sy,
+        |             sum(x*y) sxy, sum(x*x) sxx, sum(y*y) syy
+        |      FROM j GROUP BY 1),
+        |r AS (SELECT g, n, (1000000*(n*sxy - sx*sy)) // (n*n) cxy,
+        |             (1000000*(n*sxx - sx*sx)) // (n*n) vx,
+        |             (1000000*(n*syy - sy*sy)) // (n*n) vy FROM m)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN cxy > 0 THEN 1 WHEN cxy < 0 THEN -1 ELSE 0 END
+        |       AS BIGINT) AS sign,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |       ELSE CAST((1000000*cxy*cxy) // (vx*vy) AS BIGINT) END AS r2_ppm
+        |FROM r""".stripMargin,
+    "q250_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id u,
+        |        epoch_us(ts)//86400000000 AS day FROM events),
+        |isl AS (SELECT u, day,
+        |        day - row_number() OVER (PARTITION BY u ORDER BY day) AS k
+        |        FROM d),
+        |st AS (SELECT u, k, CAST(count(*) AS BIGINT) len, min(day) s
+        |       FROM isl GROUP BY 1, 2)
+        |SELECT u AS user_id, CAST(sum(len) AS BIGINT) AS active_periods,
+        |  CAST(count(*) AS BIGINT) AS n_streaks,
+        |  max(len) AS longest_len,
+        |  first(s ORDER BY len DESC, s ASC) AS longest_start
+        |FROM st GROUP BY 1""".stripMargin,
+    "q251_dwell" ->
+      """WITH e AS (SELECT user_id u, event_type t, epoch_us(ts) ts,
+        |        event_id id FROM events),
+        |nx AS (SELECT u, t,
+        |        lead(ts) OVER (PARTITION BY u ORDER BY ts, id) - ts AS dw
+        |       FROM e)
+        |SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_dwells,
+        |  CAST(sum(dw) AS BIGINT) AS total_us,
+        |  CAST(sum(dw) // count(*) AS BIGINT) AS mean_us
+        |FROM nx WHERE dw IS NOT NULL GROUP BY 1""".stripMargin,
+    "q252_cramers_v" ->
+      """WITH t AS (SELECT o_orderpriority a, o_orderstatus b FROM orders),
+        |cells AS (SELECT a, b, CAST(count(*) AS HUGEINT) o FROM t GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) r FROM cells GROUP BY 1),
+        |cb AS (SELECT b, sum(o) c FROM cells GROUP BY 1),
+        |nn AS (SELECT sum(o) n FROM cells),
+        |grid AS (SELECT ra.a, cb.b, ra.r, cb.c, nn.n, coalesce(cells.o, 0) o
+        |         FROM ra CROSS JOIN cb CROSS JOIN nn
+        |         LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+        |chi AS (SELECT max(n) n, count(DISTINCT a) ka, count(DISTINCT b) kb,
+        |          sum((1000*(o*n - r*c)*(o*n - r*c)) // (n*r*c)) chi2_milli
+        |        FROM grid)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST((ka-1)*(kb-1) AS BIGINT) AS dof,
+        |  CAST(chi2_milli AS BIGINT) AS chi2_milli,
+        |  CASE WHEN least(ka, kb) <= 1 THEN NULL
+        |       ELSE CAST((1000*chi2_milli) // (n*(least(ka, kb)-1)) AS BIGINT)
+        |  END AS v2_ppm
+        |FROM chi""".stripMargin,
     "q247_anova" ->
       """WITH base AS (SELECT event_type g, CAST(floor(value*100) AS HUGEINT) v
         |      FROM events WHERE value IS NOT NULL),

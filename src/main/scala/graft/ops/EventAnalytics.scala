@@ -433,4 +433,61 @@ object EventAnalytics {
       .select(col("tenure"), col("d_t"), col("n_t"),
         expr("(1000000 * d_t) div n_t").as("hazard_ppm"))
   }
+
+  /** ACTIVITY STREAKS (gaps-and-islands): per group, the maximal runs
+    * of CONSECUTIVE integer periods with any activity — "longest daily
+    * streak" engagement metrics, data-arrival continuity audits. The
+    * classic island key (period − rank-within-group) groups each run;
+    * duplicate activity within a period collapses first.
+    *
+    * Output: (group, active_periods, n_streaks, longest_len,
+    * longest_start) — longest ties break to the EARLIEST start, a
+    * total order both engines agree on.
+    *
+    * Scale shape: distinct (group, period) first — everything after is
+    * bounded by active periods, not events; one group-partitioned
+    * window over a group's own periods (the legitimate bounded-window
+    * shape), two map-side-partial groupBys. */
+  def activityStreaks(df: DataFrame, groupCol: String,
+                      periodCol: String): DataFrame = {
+    val d = df.select(col(groupCol).as("__g"),
+        col(periodCol).cast("long").as("__p"))
+      .where(col("__p").isNotNull).distinct()
+    val w = Window.partitionBy(col("__g")).orderBy(col("__p"))
+    val streaks = d
+      .withColumn("__k", col("__p") - row_number().over(w))
+      .groupBy(col("__g"), col("__k"))
+      .agg(count(lit(1)).as("__len"), min(col("__p")).as("__s"))
+    streaks.groupBy(col("__g"))
+      .agg(sum(col("__len")).as("active_periods"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_len"),
+        max_by(col("__s"), struct(col("__len"), (-col("__s")).as("__ns")))
+          .as("longest_start"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
+  /** DWELL TIME BY STATE: how long users sit in each event type before
+    * their next event — each inter-event gap is attributed to the
+    * PRECEDING event's type (the "current state" convention); a user's
+    * final event has no successor and contributes nothing. Exact
+    * epoch-µs integers; (ts, id) ordering makes simultaneous events
+    * deterministic in both engines.
+    *
+    * Output: (state, n_dwells, total_us, mean_us).
+    *
+    * Scale shape: ONE user-partitioned lead window (bounded by a
+    * user's own events) + one map-side-partial groupBy on the state. */
+  def dwellByState(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts"), col("__id"))
+    events.select(col(userCol).as("__u"), col(typeCol).as("state"),
+        col(tsCol).cast("long").as("__ts"), col(idCol).as("__id"))
+      .withColumn("__dw", lead(col("__ts"), 1).over(w) - col("__ts"))
+      .where(col("__dw").isNotNull)
+      .groupBy(col("state"))
+      .agg(count(lit(1)).as("n_dwells"), sum(col("__dw")).as("total_us"),
+        expr("sum(__dw) div count(1)").as("mean_us"))
+  }
 }

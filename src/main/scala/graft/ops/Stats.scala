@@ -1353,6 +1353,96 @@ object Stats {
         expr("(1000 * (1 + __ge)) div (__np + 1)").as("p_value_pm"))
   }
 
+  /** SPEARMAN rank correlation strength per group — [[pearsonR2Ppm]]
+    * applied to DOUBLED midranks (2·C + c + 1 for a value with count c
+    * and before-count C: integer, tie-exact, intra-tie order
+    * irrelevant — the [[aucPpm]] midrank identity), so monotone but
+    * non-linear relationships score where Pearson's raw moments miss
+    * them. Pairwise-complete: rows missing either side are dropped
+    * BEFORE ranking (the standard convention).
+    *
+    * Output: (group, n, sign, r2_ppm) — ρ = sign·√(r²/10⁶), no sqrt
+    * in either engine.
+    *
+    * Range: midranks grow with n, so the n-scaled rank moments pass
+    * DECIMAL(38,0) to ~10⁹ rows per group — past that, pre-bucket the
+    * values (ranks over a coarser histogram), the repo's documented
+    * magnitude trade.
+    *
+    * Scale shape: two value histograms + group-partitioned running
+    * sums over DISTINCT values, two value-keyed joins back to rows,
+    * then the one-pass moment aggregate. */
+  def spearmanR2Ppm(df: DataFrame, groupCol: String,
+                    xCol: String, yCol: String): DataFrame = {
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    def midranks(vCol: String, out: String): DataFrame = {
+      base.groupBy(col("__g").as("__gm"), col(vCol).as("__vm"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__gm")).orderBy(col("__vm"))))
+        .select(col("__gm"), col("__vm"),
+          (lit(2L) * (col("__cum") - col("__c")) + col("__c") + 1)
+            .as(out))
+    }
+    val ranked = base
+      .join(midranks("__x", "__mrx"),
+        col("__g") <=> col("__gm") && col("__x") === col("__vm"))
+      .drop("__gm", "__vm")
+      .join(midranks("__y", "__mry"),
+        col("__g") <=> col("__gm") && col("__y") === col("__vm"))
+      .select(col("__g").as("g"), col("__mrx"), col("__mry"))
+    pearsonR2Ppm(ranked, "g", "__mrx", "__mry")
+      .withColumnRenamed("g", groupCol)
+  }
+
+  /** CRAMÉR'S V² in exact integer ppm — the k×m chi-square normalized
+    * to [0, 1] effect size: V² = χ²/(N·(min(k,m)−1)), the
+    * sample-size-free "how strongly are these two categoricals
+    * associated" number ([[chiSquareKxMMilli]] answers "is there any
+    * association"; this answers "how much"). Same exact-integer cell
+    * arithmetic; one more division at the end.
+    *
+    * Output: one row (n, dof, chi2_milli, v2_ppm) — v2_ppm NULL when
+    * either margin is constant (min(k,m) = 1: no association to
+    * measure).
+    *
+    * Scale shape: identical to [[chiSquareKxMMilli]] — the shuffle
+    * carries the contingency CELLS (alphabet², not rows); margins and
+    * the 1-row total broadcast onto the grid. */
+  def cramersV2Ppm(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val t = df.select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+    val cells = t.groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__r"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__c"))
+    val nF = cells.agg(sum(col("__o")).as("__n"))
+    val grid = ra.crossJoin(broadcast(cb)).crossJoin(broadcast(nF))
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+    grid.agg(
+        max(col("__n")).as("__nn"),
+        countDistinct(col("__a")).as("__ka"),
+        countDistinct(col("__b")).as("__kb"),
+        sum(expr(
+          s"""(1000 * (CAST(__o AS $d38) * __n - CAST(__r AS $d38) * __c) *
+             |(CAST(__o AS $d38) * __n - CAST(__r AS $d38) * __c))
+             |div (CAST(__n AS $d38) * __r * __c)"""
+            .stripMargin.replace("\n", " "))).as("__chi"))
+      .select(col("__nn").as("n"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).as("dof"),
+        col("__chi").cast("long").as("chi2_milli"),
+        when(least(col("__ka"), col("__kb")) <= 1, lit(null).cast("long"))
+          .otherwise(expr(
+            """(1000 * __chi) div
+              |(CAST(__nn AS DECIMAL(38,0)) * (least(__ka, __kb) - 1))"""
+              .stripMargin.replace("\n", " "))).as("v2_ppm"))
+  }
+
   /** ONE-WAY ANOVA F statistic in exact micro-units: does the group
     * factor explain any of the variance — F = (SSB/(k−1)) /
     * (SSW/(N−k)) over integer values, with both sums of squares first

@@ -350,4 +350,38 @@ class EventAnalyticsSpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(again == got)
   }
+
+  test("activityStreaks: islands split on gaps, longest ties to earliest") {
+    // user 1: days 1,2,3 | 7 | 10,11,12 → two 3-runs, earliest start 1
+    // user 2: single day; duplicates within a day collapse
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 7L), (1L, 10L),
+      (1L, 11L), (1L, 12L), (2L, 5L), (2L, 5L)).toDF("u", "day")
+    val got = EventAnalytics.activityStreaks(df, "u", "day")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((7L, 3L, 3L, 1L)),
+      "tie between the 1-2-3 and 10-11-12 runs must pick start 1")
+    assert(got(2L) == ((1L, 1L, 1L, 5L)))
+    val rep = EventAnalytics.activityStreaks(df.repartition(7), "u", "day")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(rep == got)
+  }
+
+  test("dwellByState: gaps attribute to the preceding state; ties break on id") {
+    // user 1: A@0 → B@10 → A@25 → (end). Dwells: A 10, B 15.
+    // user 2: simultaneous A@5(id=1), B@5(id=2) → A dwells 0, B last.
+    val ev = Seq((1L, "A", 0L, 10L), (1L, "B", 10L, 11L),
+      (1L, "A", 25L, 12L), (2L, "A", 5L, 1L), (2L, "B", 5L, 2L))
+      .toDF("u", "t", "ts", "id")
+    val got = EventAnalytics.dwellByState(ev, "u", "t", "ts", "id")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map("A" -> ((2L, 10L, 5L)), "B" -> ((1L, 15L, 15L))))
+    val rep = EventAnalytics.dwellByState(ev.repartition(7),
+        "u", "t", "ts", "id")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rep == got)
+  }
 }

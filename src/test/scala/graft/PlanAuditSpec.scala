@@ -872,6 +872,37 @@ class PlanAuditSpec extends SparkTestBase {
       "observed stat must broadcast, never shuffle the diffs against it")
   }
 
+  test("q249: Spearman ranks join on value keys, windows stay grouped") {
+    val p = plan("q249_spearman")
+    // midrank windows must partition by the group — never a global sort
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(m =>
+      p.substring(m.end, math.min(p.length, m.end + 30))).toList
+    assert(specs.nonEmpty && specs.forall(_.startsWith("__g")),
+      s"midrank windows must partition by group: $specs")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q250/q251: behavior windows partition by the user, partials combine") {
+    for ((q, key) <- Seq("q250_streaks" -> "__g", "q251_dwell" -> "__u")) {
+      val p = plan(q)
+      val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(m =>
+        p.substring(m.end, math.min(p.length, m.end + 30))).toList
+      assert(specs.nonEmpty && specs.forall(_.startsWith(key)),
+        s"$q windows must partition by $key: $specs")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q aggregates must map-combine")
+    }
+  }
+
+  test("q252: contingency grid broadcasts margins, cells shuffle not rows") {
+    val p = plan("q252_cramers_v")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "margins and the 1-row total must broadcast onto the grid")
+    assert(p.contains("partial_count"), "cell counts must map-combine")
+    assert(!p.contains("windowspecdefinition"))
+  }
+
   test("q244: TV drift aggregates key counts; totals broadcast back") {
     val p = plan("q244_tv_drift")
     assert(p.contains("partial_count"), "key counts must map-combine")

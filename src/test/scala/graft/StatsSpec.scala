@@ -899,4 +899,55 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.anovaFMicro(one, "g", "v")
       .as[(Long, Long, Long, Long, Option[Long])].collect().head._5.isEmpty)
   }
+
+  test("spearmanR2Ppm: monotone nonlinear scores 10⁶ where Pearson can't") {
+    // y = x³ on distinct x: perfectly monotone — Spearman 10⁶ exactly
+    val cubic = Seq.tabulate(30)(i => ("m", i.toLong, i.toLong * i * i))
+      .toDF("g", "x", "y")
+    val sp = Stats.spearmanR2Ppm(cubic, "g", "x", "y")
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(sp == (("m", 30L, 1L, Some(1000000L))))
+    val pe = Stats.pearsonR2Ppm(cubic, "g", "x", "y")
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(pe._4.exists(_ < 1000000L),
+      "Pearson must NOT see the cubic as a perfect fit")
+    // monotone decreasing → sign −1, still 10⁶
+    val dec = Seq.tabulate(30)(i => ("d", i.toLong, -(i.toLong * i)))
+      .toDF("g", "x", "y")
+    val sd = Stats.spearmanR2Ppm(dec, "g", "x", "y")
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(sd._3 == -1L && sd._4.contains(1000000L))
+  }
+
+  test("spearmanR2Ppm: ties midrank exactly; partition-independent") {
+    // all-tied y → zero rank variance → NULL
+    val tied = Seq.tabulate(20)(i => ("t", i.toLong, 5L)).toDF("g", "x", "y")
+    assert(Stats.spearmanR2Ppm(tied, "g", "x", "y")
+      .as[(String, Long, Long, Option[Long])].collect().head._4.isEmpty)
+    val mixed = Seq(("g", 1L, 10L), ("g", 2L, 10L), ("g", 3L, 20L),
+      ("g", 4L, 15L), ("g", 5L, 20L), ("g", 6L, 30L)).toDF("g", "x", "y")
+    val a = Stats.spearmanR2Ppm(mixed, "g", "x", "y").collect().head
+    val b = Stats.spearmanR2Ppm(mixed.repartition(7), "g", "x", "y")
+      .collect().head
+    assert(a == b)
+  }
+
+  test("cramersV2Ppm: perfect association 10⁶, independence 0, constant NULL") {
+    // bijective 3×3, 2 rows per cell (18 = 3²·2 keeps every floor exact)
+    val perfect = (0 until 18).map(i => (s"a${i % 3}", s"b${i % 3}"))
+      .toDF("a", "b")
+    val p = Stats.cramersV2Ppm(perfect, "a", "b")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(p == ((18L, 4L, 36000L, Some(1000000L))))
+    // exact independence: every (a, b) cell equal
+    val indep = (for (a <- 0 until 3; b <- 0 until 3; _ <- 0 until 2)
+      yield (s"a$a", s"b$b")).toDF("a", "b")
+    val i = Stats.cramersV2Ppm(indep, "a", "b")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(i._3 == 0L && i._4.contains(0L))
+    // constant second margin → min(k,m) = 1 → NULL
+    val const = Seq(("x", "only"), ("y", "only")).toDF("a", "b")
+    assert(Stats.cramersV2Ppm(const, "a", "b")
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
+  }
 }
