@@ -290,6 +290,33 @@ object AnalyticsGates {
     graft.ops.Stats.cramersV2Ppm(t(s, dir, "orders"),
       "o_orderpriority", "o_orderstatus")
 
+  // SEQUENTIAL POISSON SAMPLING (ops/Sampling.sequentialPoissonSample):
+  // 50 length-weighted docs per language, deterministic πps without
+  // replacement — priority = md5-60bit div n_chars, k-bounded bottom-k.
+  def q253_pps_sample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sequentialPoissonSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("n_chars")),
+        col("lang"), col("doc_id"), "n_chars", k = 50,
+        hashFn = c => graft.ops.Stats.md5Hash60(concat(lit("sps:"), c)))
+
+  // SEASONAL INDICES (ops/Resample.seasonalIndices): day-of-week
+  // profile of each type's daily counts — exact-ppm slot-mean vs
+  // overall-mean ratios, cross-multiplied to one division.
+  def q254_seasonal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Resample.seasonalIndices(dailyCounts(s, dir),
+      "event_type", "day", "cnt", season = 7)
+
+  // TIME-DECAY ATTRIBUTION (ops/EventAnalytics.timeDecayAttribution):
+  // view/click credit for purchases with 1-day half-life power-of-two
+  // decay over a 7-day lookback — the recency-weighted sibling of
+  // q194's first/last/linear report.
+  def q255_decay_attrib(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.timeDecayAttribution(t(s, dir, "events"),
+      "user_id", "ts", "event_id", "event_type", convType = "purchase",
+      touchTypes = Seq("view", "click"), lookbackUs = 7L * dayUs,
+      halfLifeUs = dayUs)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -315,7 +342,10 @@ object AnalyticsGates {
     "q249_spearman"      -> q249_spearman _,
     "q250_streaks"       -> q250_streaks _,
     "q251_dwell"         -> q251_dwell _,
-    "q252_cramers_v"     -> q252_cramers_v _)
+    "q252_cramers_v"     -> q252_cramers_v _,
+    "q253_pps_sample"    -> q253_pps_sample _,
+    "q254_seasonal"      -> q254_seasonal _,
+    "q255_decay_attrib"  -> q255_decay_attrib _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -464,6 +494,52 @@ object AnalyticsGates {
         |  CAST(sum(dw) AS BIGINT) AS total_us,
         |  CAST(sum(dw) // count(*) AS BIGINT) AS mean_us
         |FROM nx WHERE dw IS NOT NULL GROUP BY 1""".stripMargin,
+    "q253_pps_sample" -> {
+      val u = md5Hash60Sql("'sps:'||CAST(doc_id AS VARCHAR)")
+      s"""WITH e AS (SELECT doc_id, lang, n_chars,
+        |        $u // CAST(n_chars AS BIGINT) AS pr
+        |      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |        row_number() OVER (PARTITION BY lang ORDER BY pr, doc_id) rn
+        |      FROM e)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 50""".stripMargin
+    },
+    "q254_seasonal" ->
+      s"""WITH daily AS ($dailyCountsSql),
+        |slots AS (SELECT event_type g, day % 7 AS s,
+        |        CAST(count(*) AS BIGINT) n_periods,
+        |        CAST(sum(cnt) AS BIGINT) sum_value
+        |      FROM daily GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(n_periods) AS HUGEINT) nt,
+        |               CAST(sum(sum_value) AS HUGEINT) st
+        |        FROM slots GROUP BY 1)
+        |SELECT slots.g AS event_type, slots.s AS season_slot,
+        |  slots.n_periods, slots.sum_value,
+        |  CASE WHEN tot.st = 0 THEN NULL
+        |       ELSE CAST((1000000*CAST(slots.sum_value AS HUGEINT)*tot.nt)
+        |                 // (CAST(slots.n_periods AS HUGEINT)*tot.st)
+        |            AS BIGINT) END AS index_ppm
+        |FROM slots JOIN tot ON tot.g = slots.g""".stripMargin,
+    "q255_decay_attrib" ->
+      """WITH e AS (SELECT user_id u, epoch_us(ts) ts, event_id id,
+        |        event_type k FROM events),
+        |t AS (SELECT * FROM e WHERE k IN ('view', 'click')),
+        |c AS (SELECT u, ts cts, id cid FROM e WHERE k = 'purchase'),
+        |a0 AS (SELECT t.u, t.ts, t.id, t.k, c.cts, c.cid,
+        |        row_number() OVER (PARTITION BY t.u, t.ts, t.id
+        |                           ORDER BY c.cts, c.cid) rn
+        |       FROM t JOIN c ON c.u = t.u
+        |        AND c.cts > t.ts AND c.cts <= t.ts + 604800000000),
+        |wtd AS (SELECT u, k, cts, cid,
+        |    greatest(1000000 // (1::BIGINT << CAST(least(
+        |      (cts - ts) // 86400000000, 62) AS INT)), 1) w
+        |  FROM a0 WHERE rn = 1),
+        |nrm AS (SELECT k, w,
+        |    sum(w) OVER (PARTITION BY u, cts, cid) wsum FROM wtd)
+        |SELECT k AS touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum((1000000*CAST(w AS HUGEINT)) // wsum) AS BIGINT)
+        |    AS decay_micro
+        |FROM nrm GROUP BY 1""".stripMargin,
     "q252_cramers_v" ->
       """WITH t AS (SELECT o_orderpriority a, o_orderstatus b FROM orders),
         |cells AS (SELECT a, b, CAST(count(*) AS HUGEINT) o FROM t GROUP BY 1, 2),

@@ -276,9 +276,16 @@ object EventAnalytics {
     * partial), then windows partitioned by (user, conversion) — state
     * bounded by ONE conversion's touch set, never a user's full history,
     * let alone the corpus. Final rollup is alphabet-bounded. */
-  def attribution(events: DataFrame, userCol: String, tsCol: String,
-                  idCol: String, typeCol: String, convType: String,
-                  touchTypes: Seq[String], lookbackUs: Long): DataFrame = {
+  /** Shared attribution front end: every touch joined to its earliest
+    * qualifying conversion (min over the (cts, cid) struct —
+    * lexicographic, so same-µs conversions break ties on id
+    * identically in both engines). Columns: (__u, __ts, __id, __k,
+    * __conv{__cts, __cid}). */
+  private def assignedTouches(events: DataFrame, userCol: String,
+                              tsCol: String, idCol: String,
+                              typeCol: String, convType: String,
+                              touchTypes: Seq[String],
+                              lookbackUs: Long): DataFrame = {
     require(lookbackUs >= 1, s"lookbackUs must be >= 1, got $lookbackUs")
     require(touchTypes.nonEmpty, "touchTypes must be non-empty")
     require(!touchTypes.contains(convType),
@@ -289,14 +296,18 @@ object EventAnalytics {
     val touches = e.filter(col("__k").isin(touchTypes: _*))
     val convs = e.filter(col("__k") === convType)
       .select(col("__u"), col("__ts").as("__cts"), col("__id").as("__cid"))
-    // per touch: the earliest qualifying conversion (min over the
-    // (cts, cid) struct — lexicographic, so same-µs conversions break
-    // ties on id identically in both engines)
-    val assigned = touches.join(convs, Seq("__u"))
+    touches.join(convs, Seq("__u"))
       .filter(col("__cts") > col("__ts") &&
         col("__cts") <= col("__ts") + lookbackUs)
       .groupBy(col("__u"), col("__ts"), col("__id"), col("__k"))
       .agg(min(struct(col("__cts"), col("__cid"))).as("__conv"))
+  }
+
+  def attribution(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String, convType: String,
+                  touchTypes: Seq[String], lookbackUs: Long): DataFrame = {
+    val assigned = assignedTouches(events, userCol, tsCol, idCol,
+      typeCol, convType, touchTypes, lookbackUs)
     val wConv = Window.partitionBy(col("__u"), col("__conv"))
     val ord = struct(col("__ts"), col("__id"))
     assigned
@@ -432,6 +443,44 @@ object EventAnalytics {
     GlobalRank.globalRunningSum(dt, Seq(col("tenure").desc), "d_t", "n_t")
       .select(col("tenure"), col("d_t"), col("n_t"),
         expr("(1000000 * d_t) div n_t").as("hazard_ppm"))
+  }
+
+  /** TIME-DECAY ATTRIBUTION: credit each conversion's touches with
+    * exponentially decaying weight — the "recent touches matter more"
+    * model between last-touch (all credit to the newest) and linear
+    * (equal credit). Engine-exact via power-of-two decay: a touch
+    * `age` µs before its conversion weighs
+    * w = max(10⁶ div 2^min(age div halfLifeUs, 62), 1) — halving per
+    * half-life in pure integer shifts, no exp() for engines to
+    * disagree on; the floor at 1 keeps a conversion whose every touch
+    * is ancient (> ~20 half-lives) normalizable instead of 0/0.
+    * Each conversion's credits are its touches' weights normalized to
+    * 10⁶ micro-units (floored), then summed per touch type.
+    *
+    * Output: (touch_type, n_touches, decay_micro) — decay_micro sums
+    * to ≤ 10⁶ per conversion (floor remainder discarded, as
+    * [[attribution]]'s linear credits).
+    *
+    * Scale shape: [[assignedTouches]]'s user-keyed join + the same
+    * (user, conversion)-partitioned window (bounded by one user's
+    * touches), one final groupBy on the touch type. */
+  def timeDecayAttribution(events: DataFrame, userCol: String,
+                           tsCol: String, idCol: String, typeCol: String,
+                           convType: String, touchTypes: Seq[String],
+                           lookbackUs: Long, halfLifeUs: Long): DataFrame = {
+    require(halfLifeUs >= 1, s"halfLifeUs must be >= 1, got $halfLifeUs")
+    val assigned = assignedTouches(events, userCol, tsCol, idCol,
+      typeCol, convType, touchTypes, lookbackUs)
+    val wConv = Window.partitionBy(col("__u"), col("__conv"))
+    assigned
+      .withColumn("__w", expr(
+        s"""greatest(1000000L div shiftleft(1L,
+           |CAST(least((__conv.__cts - __ts) div ${halfLifeUs}L, 62L)
+           |AS INT)), 1L)""".stripMargin.replace("\n", " ")))
+      .withColumn("__wsum", sum(col("__w")).over(wConv))
+      .groupBy(col("__k").as("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(expr("(1000000L * __w) div __wsum")).as("decay_micro"))
   }
 
   /** ACTIVITY STREAKS (gaps-and-islands): per group, the maximal runs

@@ -129,4 +129,43 @@ object Resample {
             "CAST((1000000 * CAST(abs_err AS DECIMAL(38,0))) div __sv AS BIGINT)"))
           .as("wape_ppm"))
   }
+
+  /** CLASSICAL SEASONAL INDICES (multiplicative): per group and season
+    * slot (period mod `season`), the slot's mean as an exact-ppm ratio
+    * of the group's overall mean — the weekday/hour-of-day seasonality
+    * profile a forecaster divides out before trend-fitting, and the
+    * "is Tuesday really 2× Sunday" readout itself. Cross-multiplied to
+    * one integer division: 10⁶·(Σ_slot·n_total) div (n_slot·Σ_total),
+    * so no mean is ever rounded before the ratio. Index 10⁶ = an
+    * average slot; NULL when the group total is 0.
+    *
+    * Input contract: one row per (group, period) series point, periods
+    * non-negative integers ([[ewmaPpm]]'s contract).
+    *
+    * Output: (group, season_slot, n_periods, sum_value, index_ppm).
+    *
+    * Scale shape: one map-side-partial groupBy on (group, slot), a
+    * |groups|-row total frame broadcast back. Nothing beyond the slot
+    * grid crosses the shuffle. */
+  def seasonalIndices(obs: DataFrame, groupCol: String, periodCol: String,
+                      valueCol: String, season: Int): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    val d38 = "decimal(38,0)"
+    val slots = obs.select(col(groupCol).as("__g"),
+        pmod(col(periodCol).cast("long"), lit(season.toLong)).as("__s"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__g"), col("__s"))
+      .agg(count(lit(1)).as("n_periods"), sum(col("__v")).as("sum_value"))
+    val totals = slots.groupBy(col("__g").as("__gt"))
+      .agg(sum(col("n_periods")).as("__nt"), sum(col("sum_value")).as("__st"))
+    slots.join(broadcast(totals), col("__g") <=> col("__gt"))
+      .select(col("__g").as(groupCol), col("__s").as("season_slot"),
+        col("n_periods"), col("sum_value"),
+        when(col("__st") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            s"""CAST((1000000 * CAST(sum_value AS $d38) * __nt)
+               |div (CAST(n_periods AS $d38) * __st) AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).as("index_ppm"))
+  }
 }

@@ -497,4 +497,38 @@ object Sampling {
     cum.withColumn("copies", copiesC.cast("long"))
       .filter(col("copies") >= 1)
   }
+
+  /** SEQUENTIAL POISSON SAMPLING (Ohlsson): a deterministic
+    * fixed-size-k πps-WITHOUT-replacement sample per group — each row
+    * draws priority = u div w (u a 60-bit hash of its id, w its
+    * positive integer weight) and the k smallest priorities win, so
+    * heavier rows systematically draw smaller priorities and inclusion
+    * probability tracks weight share. The without-replacement
+    * complement of [[systematicPps]] (which emits COPIES); the
+    * standard survey-sampling estimator for "give me k docs per
+    * language, length-weighted" selections.
+    *
+    * Ties (equal priority) break on the id inside the k-bounded
+    * aggregator — a total order both engines reproduce. Rows with
+    * NULL or non-positive weight never qualify.
+    *
+    * Output: the surviving input rows, unchanged.
+    *
+    * Scale shape: priority is map-only; selection is
+    * [[capPerGroupExact]]'s k-bounded BottomKLong partial aggregation
+    * (a group with a billion rows ships k-sized buffers into the
+    * shuffle, never a window sort) + an ids-only semi join. */
+  def sequentialPoissonSample(df: DataFrame, groupCol: Column,
+                              idCol: Column, weightCol: String, k: Int,
+                              hashFn: Column => Column = Stats.xx60)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = col(weightCol).cast("long")
+    val eligible = df.filter(w.isNotNull && w > 0)
+      .withColumn("__sps_u", hashFn(idCol.cast("string")))
+      .withColumn("__sps_pri",
+        expr(s"__sps_u div CAST($weightCol AS BIGINT)"))
+    capPerGroupExact(eligible, col("__sps_pri"), groupCol, idCol, k)
+      .drop("__sps_u", "__sps_pri")
+  }
 }

@@ -351,6 +351,28 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(again == got)
   }
 
+  test("timeDecayAttribution: power-of-two decay, per-conversion normalize") {
+    // user 1: touches at age 0.5d (w=10⁶) and 1.5d (w=5·10⁵) before one
+    // conversion → shares 666666 + 333333; user 2: one ancient touch
+    // (25 half-lives → floor weight 1) still gets the full 10⁶.
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, "view",     10L * day - day / 2,      100L),
+      (1L, "click",    10L * day - 3 * day / 2,  101L),
+      (1L, "purchase", 10L * day,                102L),
+      (2L, "view",     40L * day - 25 * day,     200L),
+      (2L, "purchase", 40L * day,                201L)
+    ).toDF("u", "t", "ts", "id")
+    val got = EventAnalytics.timeDecayAttribution(ev, "u", "ts", "id",
+        "t", "purchase", Seq("view", "click"),
+        lookbackUs = 30L * day, halfLifeUs = day)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("click") == ((1L, 333333L)))
+    assert(got("view") == ((2L, 666666L + 1000000L)),
+      "the lone ancient touch must take its conversion's full credit")
+  }
+
   test("activityStreaks: islands split on gaps, longest ties to earliest") {
     // user 1: days 1,2,3 | 7 | 10,11,12 → two 3-runs, earliest start 1
     // user 2: single day; duplicates within a day collapse

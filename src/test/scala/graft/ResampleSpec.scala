@@ -73,6 +73,28 @@ class ResampleSpec extends SparkTestBase {
     assert(got("z") == ((2L, 12L, -1L)))
   }
 
+  test("seasonalIndices: flat series all 10⁶; a hot slot scales exactly") {
+    import graft.ops.Resample
+    // 4 full weeks, constant 10/day → every weekday index = 10⁶
+    val flat = (0L until 28L).map(d => ("f", d, 10L)).toDF("g", "p", "v")
+    val f = Resample.seasonalIndices(flat, "g", "p", "v", season = 7)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+    assert(f.length == 7 && f.forall(r => r._3 == 4L && r._5.contains(1000000L)))
+    // slot 0 doubled: slot mean 20, overall mean 80/7 per... exact:
+    // idx(0) = 10⁶·(80·28)/(4·320) = 1750000; others 10⁶·40·28/(4·320)
+    val hot = (0L until 28L).map(d =>
+      ("h", d, if (d % 7 == 0) 20L else 10L)).toDF("g", "p", "v")
+    val h = Resample.seasonalIndices(hot, "g", "p", "v", season = 7)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> r._5.get).toMap
+    assert(h(0L) == 1750000L && h(1L) == 875000L)
+    // zero group total → NULL indices
+    val zero = Seq(("z", 0L, 0L), ("z", 1L, 0L)).toDF("g", "p", "v")
+    assert(Resample.seasonalIndices(zero, "g", "p", "v", 7)
+      .as[(String, Long, Long, Long, Option[Long])]
+      .collect().forall(_._5.isEmpty))
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[(A, B), (C, D)] =
       rows.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap

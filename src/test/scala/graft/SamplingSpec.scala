@@ -469,4 +469,30 @@ class SamplingSpec extends SparkTestBase {
       Sampling.systematicPps(df, Seq($"id"), "w", 5L, 6L)
     }
   }
+
+  test("sequentialPoissonSample: exact k per group, weight-sensitive, stable") {
+    // 200 rows per group: 100 heavy (w=1000) + 100 light (w=1)
+    val rows = for (g <- Seq("a", "b"); i <- 0 until 200) yield
+      (g, (if (g == "a") 0 else 1000) + i.toLong,
+        if (i < 100) 1000L else 1L)
+    val df = rows.toDF("g", "id", "w")
+    val got = Sampling.sequentialPoissonSample(df, $"g", $"id", "w", 40)
+      .as[(String, Long, Long)].collect()
+    assert(got.groupBy(_._1).forall(_._2.length == 40),
+      "exactly k survivors per group")
+    val heavyShare = got.count(_._3 == 1000L)
+    assert(heavyShare >= 70, // E[heavy] ≈ 80 of 80: w-ratio 1000:1
+      s"heavy rows must dominate the πps sample, got $heavyShare/80")
+    // deterministic in the ids, not the layout
+    val again = Sampling.sequentialPoissonSample(
+        df.repartition(13), $"g", $"id", "w", 40)
+      .as[(String, Long, Long)].collect()
+    assert(got.sortBy(_._2).sameElements(again.sortBy(_._2)))
+    // groups smaller than k keep everything; w <= 0 and NULL never enter
+    val small = Seq(("s", 1L, Some(5L)), ("s", 2L, Some(0L)),
+      ("s", 3L, None)).toDF("g", "id", "w")
+    val kept = Sampling.sequentialPoissonSample(small, $"g", $"id", "w", 10)
+      .as[(String, Long, Option[Long])].collect()
+    assert(kept.map(_._2).toSet == Set(1L))
+  }
 }
