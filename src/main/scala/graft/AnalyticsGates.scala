@@ -317,6 +317,24 @@ object AnalyticsGates {
       touchTypes = Seq("view", "click"), lookbackUs = 7L * dayUs,
       halfLifeUs = dayUs)
 
+  // LORENZ CURVE (ops/Stats.lorenzPoints): decile mass shares of
+  // customer spend per priority — the curve q240's Gini integrates,
+  // tie-exact pro-rata at rank cuts inside tie blocks.
+  def q257_lorenz(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.lorenzPoints(
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"), col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("spend")),
+        "o_orderpriority", "spend")
+      .withColumnRenamed("o_orderpriority", "priority")
+
+  // DISPERSION INDEX (ops/Stats.dispersionIndexMilli): variance-to-mean
+  // of each type's daily counts — the Poisson-ness screen (1000 ≈
+  // Poisson; above = bursty), one exact-integer pass.
+  def q258_dispersion(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.dispersionIndexMilli(dailyCounts(s, dir),
+      "event_type", "cnt")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -345,7 +363,9 @@ object AnalyticsGates {
     "q252_cramers_v"     -> q252_cramers_v _,
     "q253_pps_sample"    -> q253_pps_sample _,
     "q254_seasonal"      -> q254_seasonal _,
-    "q255_decay_attrib"  -> q255_decay_attrib _)
+    "q255_decay_attrib"  -> q255_decay_attrib _,
+    "q257_lorenz"        -> q257_lorenz _,
+    "q258_dispersion"    -> q258_dispersion _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -494,6 +514,40 @@ object AnalyticsGates {
         |  CAST(sum(dw) AS BIGINT) AS total_us,
         |  CAST(sum(dw) // count(*) AS BIGINT) AS mean_us
         |FROM nx WHERE dw IS NOT NULL GROUP BY 1""".stripMargin,
+    "q257_lorenz" ->
+      """WITH per AS (SELECT o_orderpriority g, o_custkey,
+        |        CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) x
+        |      FROM orders GROUP BY 1, 2),
+        |h AS (SELECT g, x v, CAST(count(*) AS BIGINT) c FROM per
+        |      WHERE x >= 0 GROUP BY 1, 2),
+        |cum AS (SELECT g, v, c, sum(c) OVER w cumc,
+        |        sum(CAST(v AS HUGEINT)*c) OVER w cumm
+        |        FROM h WINDOW w AS (PARTITION BY g ORDER BY v)),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) n,
+        |        CAST(sum(CAST(v AS HUGEINT)*c) AS HUGEINT) m FROM h GROUP BY 1),
+        |probe AS (SELECT d FROM generate_series(1, 10) t(d)),
+        |pick AS (SELECT cum.g, probe.d, tot.n, tot.m,
+        |    (probe.d*tot.n + 9)//10 AS r, cum.v, cum.cumc, cum.cumm, cum.c
+        |  FROM cum JOIN tot ON tot.g = cum.g CROSS JOIN probe
+        |  WHERE cum.cumc - cum.c < (probe.d*tot.n + 9)//10
+        |    AND (probe.d*tot.n + 9)//10 <= cum.cumc)
+        |SELECT g AS priority, CAST(d AS BIGINT) AS decile, n AS units,
+        |  CASE WHEN m = 0 THEN NULL ELSE
+        |    CAST((1000000*(CAST(cumm - CAST(v AS HUGEINT)*c AS HUGEINT)
+        |      + (r - (cumc - c))*v)) // m AS BIGINT) END AS share_ppm
+        |FROM pick""".stripMargin,
+    "q258_dispersion" ->
+      s"""WITH daily AS ($dailyCountsSql),
+        |m AS (SELECT event_type g, CAST(count(*) AS HUGEINT) n,
+        |        CAST(sum(cnt) AS HUGEINT) s,
+        |        CAST(sum(CAST(cnt AS HUGEINT)*cnt) AS HUGEINT) ss
+        |      FROM daily GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST((1000*s) // n AS BIGINT) AS mean_milli,
+        |  CASE WHEN s = 0 THEN NULL
+        |       ELSE CAST((1000*(n*ss - s*s)) // (n*s) AS BIGINT)
+        |  END AS dispersion_milli
+        |FROM m""".stripMargin,
     "q253_pps_sample" -> {
       val u = md5Hash60Sql("'sps:'||CAST(doc_id AS VARCHAR)")
       s"""WITH e AS (SELECT doc_id, lang, n_chars,

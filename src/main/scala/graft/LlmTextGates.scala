@@ -849,7 +849,19 @@ object LlmTextGates {
       .select(col("doc_id"), col("url_norm"), col("host"),
         col("priority"), col("wave"), col("slot"))
 
+  // READABILITY (TextAnalysis.readability): Flesch–Kincaid grade in
+  // exact integer milli (vowel-group syllables, floor-milli ratios),
+  // rolled up per language — the surface-form difficulty screen next
+  // to the Gopher battery. Map-only scan + one partial groupBy.
+  def q256_readability(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextAnalysis.readability(t(s, dir, "documents"), "text")
+      .where(col("fk_milli").isNotNull)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("words"),
+        expr("sum(fk_milli) div count(1)").as("mean_fk_milli"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q256_readability" -> q256_readability _,
     "q232_url_normalize" -> q232_url_normalize _,
     "q233_domain_stats" -> q233_domain_stats _,
     "q234_frontier" -> q234_frontier _,
@@ -977,6 +989,23 @@ object LlmTextGates {
       |  FROM d)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q256_readability" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |         AS BIGINT) sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |         AS BIGINT) syl
+        |  FROM documents),
+        |f AS (SELECT lang, words,
+        |    CASE WHEN words = 0 THEN NULL ELSE
+        |      (390*((1000*words)//sentences) + 11800*((1000*syl)//words))
+        |        // 1000 - 15590 END AS fk_milli
+        |  FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(words) AS BIGINT) AS words,
+        |  CAST(sum(fk_milli) // count(*) AS BIGINT) AS mean_fk_milli
+        |FROM f WHERE fk_milli IS NOT NULL GROUP BY 1""".stripMargin,
     "q232_url_normalize" -> (urlNormSql +
       "\nSELECT doc_id, url, url_norm, host, domain FROM norm"),
     "q233_domain_stats" -> (urlNormSql +

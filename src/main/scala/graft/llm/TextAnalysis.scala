@@ -239,6 +239,36 @@ object TextAnalysis {
        lit(PhonePattern)))
   }
 
+  /** READABILITY (Flesch–Kincaid grade, integer milli): the classic
+    * surface-form quality score — 0.39·words/sentence +
+    * 11.8·syllables/word − 15.59 — with syllables approximated as
+    * VOWEL GROUPS ([aeiouy]+ runs, the standard cheap estimator),
+    * every ratio floored to milli so both engines agree bit-for-bit.
+    * All three patterns live in the Java∩RE2 ASCII subset (the
+    * redaction-pattern contract); non-Latin text scores only its
+    * ASCII-word content, documented. NULL when a doc has no words.
+    *
+    * Output columns appended: (words, sentences, syl, fk_milli) —
+    * sentences floors at 1 (fragment docs).
+    *
+    * Scale shape: map-only scan expressions, whole-stage codegen. */
+  def readability(df: org.apache.spark.sql.DataFrame,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    df.withColumn("words",
+        regexp_count(t, lit("[A-Za-z]+")).cast("long"))
+      .withColumn("sentences",
+        greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long"))
+      .withColumn("syl",
+        regexp_count(lower(t), lit("[aeiouy]+")).cast("long"))
+      .withColumn("fk_milli",
+        when(col("words") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """(390 * ((1000 * words) div sentences)
+              |+ 11800 * ((1000 * syl) div words)) div 1000 - 15590"""
+              .stripMargin.replace("\n", " "))))
+  }
+
   /** Scrub emails/URLs/phone-like runs with placeholder tokens.
     * Replacement order matters: URLs first (emails and digit runs can
     * appear inside them), then emails, then phones. */

@@ -1353,6 +1353,84 @@ object Stats {
         expr("(1000 * (1 + __ge)) div (__np + 1)").as("p_value_pm"))
   }
 
+  /** LORENZ CURVE POINTS per group, exact integer ppm: for each of
+    * `points` equal unit-quantiles (deciles by default), the share of
+    * total mass held by the bottom ⌈d·n/points⌉ units — the curve the
+    * [[giniCoefficientPpm]] scalar integrates, read directly ("the
+    * bottom 80% of customers hold 31% of spend"). Tie-exact: a rank
+    * cut inside a tie block takes the block's value pro-rata by unit
+    * count, so intra-tie order never matters. Non-negative values
+    * only, the Gini contract.
+    *
+    * Output: (group, decile ∈ [1, points], units, share_ppm) — the
+    * last point is exactly 10⁶; NULL share when the group mass is 0.
+    *
+    * Scale shape: value histogram (distinct magnitudes shuffle, not
+    * rows), one group window over histogram rows for the twin
+    * count/mass running sums, then a broadcast join against the
+    * `points`-row probe frame picking each rank's covering block. */
+  def lorenzPoints(df: DataFrame, groupCol: String, valueCol: String,
+                   points: Int = 10): DataFrame = {
+    require(points >= 2 && points <= 1000,
+      s"points must be in [2, 1000], got $points")
+    import df.sparkSession.implicits._
+    val d38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+    val hist = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__v") >= 0)
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val cum = hist
+      .withColumn("__cumc", sum(col("__c")).over(w))
+      .withColumn("__cumm",
+        sum(col("__v").cast(d38) * col("__c")).over(w))
+    val tot = hist.groupBy(col("__g").as("__gt"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__v").cast(d38) * col("__c")).as("__m"))
+    val probe = broadcast((1 to points).map(_.toLong).toDF("decile"))
+    val rank = expr(s"(decile * __n + ${points - 1}L) div ${points}L")
+    cum.join(tot, col("__g") <=> col("__gt"))
+      .join(probe,
+        col("__cumc") - col("__c") < rank && rank <= col("__cumc"))
+      .select(col("__g").as(groupCol), col("decile"),
+        col("__n").as("units"),
+        when(col("__m") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            s"""CAST((1000000 * (__cumm - CAST(__v AS $d38) * __c
+               |+ ((decile * __n + ${points - 1}L) div ${points}L
+               |- (__cumc - __c)) * __v)) div __m AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).as("share_ppm"))
+  }
+
+  /** DISPERSION INDEX (variance-to-mean ratio) per group in exact
+    * milli-units: D = var/mean = (n·Σv² − (Σv)²) div (n·Σv) ×1000 —
+    * the Poisson-ness screen over count series (D ≈ 1000 ⇒ Poisson
+    * arrivals; ≫ ⇒ bursty/overdispersed, the retry-storm signature;
+    * ≪ ⇒ regularized/rate-limited). One pass, exact integers.
+    *
+    * Output: (group, n, mean_milli, dispersion_milli) — NULL when the
+    * group mean is 0 (undefined ratio). Intended for COUNT series
+    * (non-negative); negative values are excluded.
+    *
+    * Scale shape: one map-side-partial groupBy carrying (n, Σv, Σv²). */
+  def dispersionIndexMilli(df: DataFrame, groupCol: String,
+                           valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").cast(d38).as("__v"))
+      .where(col("__v") >= 0)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast(d38).as("__n"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__ss"))
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+        expr("CAST((1000 * __s) div __n AS BIGINT)").as("mean_milli"),
+        when(col("__s") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000 * (__n * __ss - __s * __s)) div (__n * __s) AS BIGINT)"))
+          .as("dispersion_milli"))
+  }
+
   /** SPEARMAN rank correlation strength per group — [[pearsonR2Ppm]]
     * applied to DOUBLED midranks (2·C + c + 1 for a value with count c
     * and before-count C: integer, tie-exact, intra-tie order

@@ -551,6 +551,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(c._6 == 10, s"10 bullet lines, got ${c._6}") // n_bullet_lines
   }
 
+  test("readability: hand Flesch–Kincaid, fragment floor, no-word NULL") {
+    import graft.llm.TextAnalysis
+    // "The cat sat. It ran!": 5 words, 2 sentence groups, 5 vowel groups
+    // → fk = (390·2500 + 11800·1000) div 1000 − 15590 = −2815
+    val docs = Seq((0L, "The cat sat. It ran!"),
+      (1L, "abc"),        // no terminator: sentences floors at 1
+      (2L, "123 456 !!")  // no words → NULL grade
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "text")
+      .select($"doc_id", $"words", $"sentences", $"syl", $"fk_milli")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(0L) == ((5L, 2L, 5L, Some(-2815L))))
+    assert(got(1L)._2 == 1L && got(1L)._4.isDefined)
+    assert(got(2L) == ((0L, 1L, 0L, None)))
+    // longer words push the grade UP (more vowel groups per word)
+    val hard = Seq((0L, "incomprehensibilities notwithstanding."))
+      .toDF("doc_id", "text")
+    val fk = TextAnalysis.readability(hard, "text")
+      .select($"fk_milli").as[Long].head()
+    assert(fk > got(0L)._4.get, "polysyllabic text must grade harder")
+  }
+
   test("rolling fingerprint is order-sensitive; winnowing survives a local edit") {
     val df = Seq(
       "alpha beta gamma delta epsilon zeta eta theta iota kappa",

@@ -900,6 +900,51 @@ class StatsSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, Option[Long])].collect().head._5.isEmpty)
   }
 
+  test("lorenzPoints: equal mass is the diagonal, one holder is the corner") {
+    // 10 equal units → share(d) = d·10⁵ exactly
+    val eq = Seq.tabulate(10)(i => ("e", 5L)).toDF("g", "v")
+    val e = Stats.lorenzPoints(eq, "g", "v")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> r._4.get).toMap
+    assert((1 to 10).forall(d => e(d.toLong) == d * 100000L))
+    // nine zeros + one holder → flat 0 until the last decile
+    val corner = (Seq.fill(9)(("c", 0L)) :+ (("c", 100L))).toDF("g", "v")
+    val c = Stats.lorenzPoints(corner, "g", "v")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> r._4.get).toMap
+    assert((1 to 9).forall(d => c(d.toLong) == 0L) && c(10L) == 1000000L)
+    // rank cut inside a tie block takes pro-rata mass: 4 equal units,
+    // decile 5 → rank 2 of 4 → exactly half the mass
+    val tie = Seq.fill(4)(("t", 10L)).toDF("g", "v")
+    val t = Stats.lorenzPoints(tie, "g", "v")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> r._4.get).toMap
+    assert(t(5L) == 500000L && t(10L) == 1000000L)
+    // zero mass → NULL shares; partition independence
+    val z = Seq(("z", 0L), ("z", 0L)).toDF("g", "v")
+    assert(Stats.lorenzPoints(z, "g", "v")
+      .as[(String, Long, Long, Option[Long])].collect().forall(_._4.isEmpty))
+    val rep = Stats.lorenzPoints(corner.repartition(7), "g", "v")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> r._4.get).toMap
+    assert(rep == c)
+  }
+
+  test("dispersionIndexMilli: Poisson-like 1000, constant 0, zero-mean NULL") {
+    val df = Seq(("p", 0L), ("p", 2L), ("k", 7L), ("k", 7L),
+      ("z", 0L), ("z", 0L)).toDF("g", "v")
+    val got = Stats.dispersionIndexMilli(df, "g", "v")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("p") == ((2L, 1000L, Some(1000L)))) // var 1, mean 1
+    assert(got("k") == ((2L, 7000L, Some(0L))))    // constant
+    assert(got("z") == ((2L, 0L, None)))           // undefined ratio
+    // negative values are excluded (count-series contract)
+    val neg = Seq(("n", -5L), ("n", 3L)).toDF("g", "v")
+    assert(Stats.dispersionIndexMilli(neg, "g", "v")
+      .collect().head.getLong(1) == 1L)
+  }
+
   test("spearmanR2Ppm: monotone nonlinear scores 10⁶ where Pearson can't") {
     // y = x³ on distinct x: perfectly monotone — Spearman 10⁶ exactly
     val cubic = Seq.tabulate(30)(i => ("m", i.toLong, i.toLong * i * i))
