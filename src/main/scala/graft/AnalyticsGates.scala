@@ -335,6 +335,25 @@ object AnalyticsGates {
     graft.ops.Stats.dispersionIndexMilli(dailyCounts(s, dir),
       "event_type", "cnt")
 
+  // HOLT LINEAR (ops/Resample.holtForecastMilli): trend-aware one-step
+  // forecasts of the daily count series — the pinned ppm coefficient
+  // table makes the double-exponential recurrence a literal linear
+  // combination both engines evaluate identically.
+  def q259_holt(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Resample.holtForecastMilli(dailyCounts(s, dir),
+      "event_type", "day", "cnt")
+
+  // ABC CLASSIFICATION (ops/Stats.abcClasses): parts triaged by
+  // revenue mass — A holds the first 80%, B to 95%, C the tail;
+  // crossing items stay in the upper class, (mass DESC, id) total
+  // order, windowless global prefix sum.
+  def q260_abc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.abcClasses(
+      t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+          .as("revenue")),
+      "l_partkey", "revenue")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -365,7 +384,9 @@ object AnalyticsGates {
     "q254_seasonal"      -> q254_seasonal _,
     "q255_decay_attrib"  -> q255_decay_attrib _,
     "q257_lorenz"        -> q257_lorenz _,
-    "q258_dispersion"    -> q258_dispersion _)
+    "q258_dispersion"    -> q258_dispersion _,
+    "q259_holt"          -> q259_holt _,
+    "q260_abc"           -> q260_abc _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -514,6 +535,41 @@ object AnalyticsGates {
         |  CAST(sum(dw) AS BIGINT) AS total_us,
         |  CAST(sum(dw) // count(*) AS BIGINT) AS mean_us
         |FROM nx WHERE dw IS NOT NULL GROUP BY 1""".stripMargin,
+    "q259_holt" -> {
+      val w = graft.ops.Resample.holtCoefficientsPpm(
+        alphaPm = 500, betaPm = 300, horizon = 6)
+      val lags = (0 to 6).map(k =>
+        if (k == 0) "cnt AS y0"
+        else s"lag(cnt, $k) OVER w AS y$k").mkString(",\n|    ")
+      val anyNull = (0 to 6).map(k => s"y$k IS NULL").mkString(" OR ")
+      val num = (0 to 6).map(k =>
+        s"${w(k)}*CAST(y$k AS HUGEINT)").mkString(" + ")
+      s"""WITH daily AS ($dailyCountsSql),
+        |lagged AS (SELECT event_type, day, cnt,
+        |    $lags
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, cnt,
+        |  CASE WHEN $anyNull THEN NULL
+        |       ELSE CAST(($num) // 1000 AS BIGINT) END AS forecast_milli
+        |FROM lagged""".stripMargin
+    },
+    "q260_abc" ->
+      """WITH per AS (SELECT l_partkey,
+        |        CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT))
+        |             AS BIGINT) revenue
+        |      FROM lineitem GROUP BY 1),
+        |e AS (SELECT l_partkey, revenue FROM per WHERE revenue >= 0),
+        |cum AS (SELECT l_partkey, revenue,
+        |        sum(revenue) OVER (ORDER BY revenue DESC, l_partkey) cum
+        |        FROM e),
+        |tot AS (SELECT CAST(sum(revenue) AS HUGEINT) t FROM e)
+        |SELECT cum.l_partkey, cum.revenue AS mass,
+        |  CAST(cum.cum AS BIGINT) AS cum_mass,
+        |  CASE WHEN 1000*CAST(cum.cum - cum.revenue AS HUGEINT) < 800*tot.t
+        |       THEN 'A'
+        |       WHEN 1000*CAST(cum.cum - cum.revenue AS HUGEINT) < 950*tot.t
+        |       THEN 'B' ELSE 'C' END AS abc_class
+        |FROM cum, tot""".stripMargin,
     "q257_lorenz" ->
       """WITH per AS (SELECT o_orderpriority g, o_custkey,
         |        CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) x

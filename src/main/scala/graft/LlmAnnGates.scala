@@ -233,6 +233,22 @@ object LlmAnnGates {
     graft.llm.Relevance.retrievalMetrics(results, qrels, k = 5)
   }
 
+  // nDCG@5 at the gate (Relevance.ndcgAtK): the position-sensitive
+  // eval next to q116's hits/MRR — same brute-force top-5 + same-label
+  // qrels, discounts from the pinned ⌊10⁶/log₂(r+1)⌋ table both
+  // engines read as literals.
+  def q261_ndcg(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val results = graft.llm.Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 8), emb, "vec_id", "embedding", k = 5)
+    val qrels = emb.where(col("vec_id") < 8).select(
+        col("vec_id").as("query_id"), col("label").as("qlab"))
+      .join(emb.select(col("vec_id").as("cand_id"), col("label").as("clab")),
+        col("cand_id") =!= col("query_id") && col("qlab") === col("clab"))
+      .select(col("query_id"), col("cand_id"))
+    graft.llm.Relevance.ndcgAtK(results, qrels, k = 5)
+  }
+
   // SQ8 scalar-quantization ANN at the gate (Similarity.sqTopK): per-dim
   // min/span affine codes (4× memory cut keeping per-dim resolution —
   // between the q72 sign sketch and q87's PQ in the compression
@@ -438,6 +454,7 @@ object LlmAnnGates {
     "q105_hard_negatives" -> q105_hard_negatives _,
     "q110_sq_topk"      -> q110_sq_topk _,
     "q116_retrieval_eval" -> q116_retrieval_eval _,
+    "q261_ndcg" -> q261_ndcg _,
     "q122_sq_indexed"   -> q122_sq_indexed _,
     "q126_margin_mining" -> q126_margin_mining _,
     "q127_pq_indexed"   -> q127_pq_indexed _,
@@ -734,6 +751,50 @@ object LlmAnnGates {
         |FROM (SELECT DISTINCT query_id FROM res) q
         |LEFT JOIN nr ON nr.query_id = q.query_id
         |LEFT JOIN h ON h.query_id = q.query_id""".stripMargin,
+    // q116's brute top-5 + same-label qrels scored with the pinned
+    // log2 discount table (literals injected from ndcgWeightsMicro)
+    "q261_ndcg" -> {
+      val w = graft.llm.Relevance.ndcgWeightsMicro(5)
+      val wRows = w.zipWithIndex
+        .map { case (wt, i) => s"(${i + 1}, ${wt})" }.mkString(", ")
+      val prefix = w.scanLeft(0L)(_ + _)
+      val idcgRows = (0 to 5)
+        .map(i => s"($i, ${prefix(i)})").mkString(", ")
+      s"""WITH norm AS (
+        |  SELECT vec_id, embedding, label,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+        |  FROM norm q JOIN norm c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |res AS (SELECT query_id, cand_id, rnk FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS rnk
+        |   FROM pairs) WHERE rnk <= 5),
+        |qrels AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+        |          FROM embeddings q JOIN embeddings c
+        |            ON q.vec_id < 8 AND c.vec_id <> q.vec_id AND q.label = c.label),
+        |wt AS (SELECT * FROM (VALUES $wRows) t(r, w)),
+        |idcg AS (SELECT * FROM (VALUES $idcgRows) t(nr, v)),
+        |d AS (SELECT r.query_id, CAST(sum(wt.w) AS BIGINT) AS dcg
+        |      FROM res r JOIN qrels USING (query_id, cand_id)
+        |      JOIN wt ON wt.r = r.rnk GROUP BY 1),
+        |nr AS (SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY 1),
+        |base AS (SELECT q.query_id,
+        |    CAST(coalesce(nr.n_rel, 0) AS BIGINT) AS n_rel,
+        |    CAST(coalesce(d.dcg, 0) AS BIGINT) AS dcg_micro
+        |  FROM (SELECT DISTINCT query_id FROM res) q
+        |  LEFT JOIN nr ON nr.query_id = q.query_id
+        |  LEFT JOIN d ON d.query_id = q.query_id)
+        |SELECT base.query_id, base.n_rel, base.dcg_micro,
+        |  CASE WHEN base.n_rel = 0 THEN NULL
+        |       ELSE CAST((1000000*base.dcg_micro) // idcg.v AS BIGINT)
+        |  END AS ndcg_micro
+        |FROM base JOIN idcg ON idcg.nr = least(base.n_rel, 5)""".stripMargin
+    },
     // SQ8: per-dim min/span stats, floor-clamped affine codes, exact
     // query vs dequantized candidates, the q86/q87 decimal sq-dist
     // recipe — every step a selection, exact integer, or chain of

@@ -557,6 +557,59 @@ object Relevance {
           .otherwise(lit(0L)).as("rr_micro"))
   }
 
+  /** The pinned nDCG rank-discount table: w_r = ⌊10⁶ / log₂(r+1)⌋ for
+    * r = 1..k, computed once with StrictMath (bit-identical on every
+    * JVM) and injected as LITERALS into both engines — the repo's
+    * pinned-constant recipe for an irrational weight family (the
+    * Benford masses precedent). w_1 = 10⁶, w_3 = 500000. */
+  def ndcgWeightsMicro(k: Int): Seq[Long] = {
+    require(k >= 1 && k <= 1000, s"k in [1,1000], got $k")
+    (1 to k).map(r =>
+      (1000000.0 / (StrictMath.log(r + 1.0) / StrictMath.log(2.0))).toLong)
+  }
+
+  /** nDCG@k with binary relevance, exact integers over the pinned
+    * [[ndcgWeightsMicro]] discount table: DCG = Σ_{relevant r ≤ k} w_r,
+    * IDCG = Σ_{r ≤ min(n_rel, k)} w_r (every relevant doc ranked
+    * first), ndcg_micro = 10⁶·DCG div IDCG — the position-sensitive
+    * complement of [[retrievalMetrics]]' hits/MRR (two rankings with
+    * the same hit count differ in nDCG when one buries its hits).
+    * Queries with no relevant candidates surface NULL (nDCG
+    * undefined), not 0 — 0 means "ranked every hit out of the top k".
+    *
+    * Output: (query_id, n_rel, dcg_micro, ndcg_micro).
+    *
+    * Scale shape: the qrels join rides (query, cand) ids; the discount
+    * table is a k-row broadcast joined on the rank; one partial
+    * groupBy per query. */
+  def ndcgAtK(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    import results.sparkSession.implicits._
+    val w = ndcgWeightsMicro(k)
+    val wf = broadcast(w.zipWithIndex
+      .map { case (wt, i) => (i + 1, wt) }.toDF("__r", "__w"))
+    val prefix = w.scanLeft(0L)(_ + _) // prefix(i) = Σ w_1..w_i
+    val idcgF = broadcast((0 to k)
+      .map(i => (i.toLong, prefix(i))).toDF("__nr", "__idcg"))
+    val dcg = results.filter(col("rnk") <= k)
+      .join(qrels.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"))
+      .join(wf, col("rnk") === col("__r"))
+      .groupBy(col("query_id")).agg(sum(col("__w")).as("__dcg"))
+    val nRel = qrels.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    results.select(col("query_id")).distinct()
+      .join(nRel, Seq("query_id"), "left")
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("__dcg"), lit(0L)).as("dcg_micro"))
+      .join(idcgF, least(col("n_rel"), lit(k.toLong)) === col("__nr"))
+      .select(col("query_id"), col("n_rel"), col("dcg_micro"),
+        when(col("n_rel") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * dcg_micro) div __idcg"))
+          .as("ndcg_micro"))
+  }
+
   /** ROUGE-n style clipped n-gram overlap between candidate/reference
     * document pairs — the summarization/generation eval harness next to
     * [[retrievalMetrics]]. Per (cand_id, ref_id) pair: total gram

@@ -130,6 +130,88 @@ object Resample {
           .as("wape_ppm"))
   }
 
+  /** The bounded-horizon HOLT coefficient table: running the level /
+    * trend recurrences l' = αy + (1−α)(l+b), b' = β(l'−l) + (1−β)b for
+    * `horizon` steps from a cold start (l = y_{t−H}, b = 0) makes the
+    * one-step forecast f = l_t + b_t an exact LINEAR combination of
+    * the last H+1 observations. Coefficients are computed in exact
+    * decimal arithmetic and rounded ONCE to ppm (HALF_EVEN) — the
+    * pinned-literal contract ([[ewmaPpm]]'s bounded-horizon trick
+    * extended to double exponential smoothing); they sum to exactly
+    * 10⁶ up to the rounding of each entry. Index k = weight of
+    * y_{t−k}. */
+  def holtCoefficientsPpm(alphaPm: Int, betaPm: Int,
+                          horizon: Int): Seq[Long] = {
+    require(alphaPm >= 1 && alphaPm <= 999, s"alphaPm in [1,999]: $alphaPm")
+    require(betaPm >= 0 && betaPm <= 999, s"betaPm in [0,999]: $betaPm")
+    require(horizon >= 1 && horizon <= 24, s"horizon in [1,24]: $horizon")
+    val mc = new java.math.MathContext(50)
+    val kilo = BigDecimal(1000)
+    val a = BigDecimal(alphaPm) / kilo
+    val b = BigDecimal(betaPm) / kilo
+    val h = horizon
+    var l = Vector.tabulate(h + 1)(k => if (k == h) BigDecimal(1)
+      else BigDecimal(0))
+    var t = Vector.fill(h + 1)(BigDecimal(0))
+    for (j <- (h - 1) to 0 by -1) {
+      val lp = Vector.tabulate(h + 1) { k =>
+        val carried = (BigDecimal(1) - a) * (l(k) + t(k))
+        if (k == j) carried + a else carried
+      }
+      val tp = Vector.tabulate(h + 1)(k =>
+        b * (lp(k) - l(k)) + (BigDecimal(1) - b) * t(k))
+      l = lp; t = tp
+    }
+    (0 to h).map { k =>
+      ((l(k) + t(k)) * BigDecimal(1000000))
+        .bigDecimal.round(mc)
+        .setScale(0, java.math.RoundingMode.HALF_EVEN).longValueExact()
+    }
+  }
+
+  /** HOLT LINEAR one-step forecast (double exponential smoothing) in
+    * exact milli-units: at each series point, f_{t+1|t} = l_t + b_t
+    * with the bounded-horizon cold start — evaluated as the pinned
+    * [[holtCoefficientsPpm]] linear combination, so both engines
+    * compute identical integers (no recurrence for them to round
+    * differently). The trend-aware upgrade of [[ewmaPpm]]: a steadily
+    * growing series forecasts AHEAD of its last level instead of
+    * lagging it.
+    *
+    * Input contract: DENSE series — one row per consecutive (group,
+    * period); run [[gapFillLocf]] first on gappy data. Points with
+    * fewer than horizon+1 preceding observations emit NULL (the warmup
+    * prefix), rather than a silently-degraded forecast.
+    *
+    * Output: (group, period, value, forecast_milli) — the forecast
+    * made AT `period` for the next period.
+    *
+    * Scale shape: one group-partitioned lag window (bounded by a
+    * group's own series), map-only arithmetic after it. */
+  def holtForecastMilli(obs: DataFrame, groupCol: String,
+                        periodCol: String, valueCol: String,
+                        alphaPm: Int = 500, betaPm: Int = 300,
+                        horizon: Int = 6): DataFrame = {
+    val w = holtCoefficientsPpm(alphaPm, betaPm, horizon)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__p"))
+    val lagged = obs.select(col(groupCol).as("__g"),
+        col(periodCol).cast("long").as("__p"),
+        col(valueCol).cast("long").as("__v"))
+      .select(col("__g") +: col("__p") +: col("__v") +:
+        (0 to horizon).map(k =>
+          lag(col("__v"), k).over(win).as(s"__y$k")): _*)
+    val anyNull = (0 to horizon).map(k => col(s"__y$k").isNull)
+      .reduce(_ || _)
+    val num = (0 to horizon).map(k =>
+      s"${w(k)} * CAST(__y$k AS DECIMAL(38,0))").mkString(" + ")
+    lagged.select(col("__g").as(groupCol), col("__p").as(periodCol),
+      col("__v").as(valueCol),
+      when(anyNull, lit(null).cast("long"))
+        .otherwise(expr(s"CAST(($num) div 1000 AS BIGINT)"))
+        .as("forecast_milli"))
+  }
+
   /** CLASSICAL SEASONAL INDICES (multiplicative): per group and season
     * slot (period mod `season`), the slot's mean as an exact-ppm ratio
     * of the group's overall mean — the weekday/hour-of-day seasonality

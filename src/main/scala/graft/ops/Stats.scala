@@ -1403,6 +1403,41 @@ object Stats {
               .stripMargin.replace("\n", " "))).as("share_ppm"))
   }
 
+  /** ABC (Pareto) CLASSIFICATION: rank items by non-negative mass
+    * descending and label the prefix holding the first `aPm`‰ of total
+    * mass A, through `bPm`‰ B, the tail C — the inventory/attention
+    * triage ("A-parts get daily counts, C-parts yearly"). The item
+    * that CROSSES a threshold stays in the upper class (its
+    * before-cumulative is compared, the standard convention).
+    * (mass DESC, id ASC) is a total order, so ties classify
+    * identically in both engines.
+    *
+    * Output: (id, mass, cum_mass, abc_class).
+    *
+    * Scale shape: the windowless [[GlobalRank.globalRunningSum]] prefix
+    * sum over (−mass, id) order + a broadcast 1-row total — the item
+    * list is already an aggregate (parts, domains), never raw rows. */
+  def abcClasses(df: DataFrame, idCol: String, valueCol: String,
+                 aPm: Int = 800, bPm: Int = 950): DataFrame = {
+    require(aPm >= 1 && aPm < bPm && bPm < 1000,
+      s"need 1 <= aPm < bPm < 1000, got ($aPm, $bPm)")
+    val d38 = "decimal(38,0)"
+    val items = df.select(col(idCol).as("__id"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__v") >= 0)
+    val cum = GlobalRank.globalRunningSum(items,
+      Seq(col("__v").desc, col("__id").asc), "__v", "__cum")
+    val tot = items.agg(sum(col("__v").cast(d38)).as("__t"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("__id").as(idCol), col("__v").as("mass"),
+        col("__cum").as("cum_mass"),
+        when(lit(1000).cast(d38) * (col("__cum") - col("__v"))
+            < lit(aPm).cast(d38) * col("__t"), "A")
+          .when(lit(1000).cast(d38) * (col("__cum") - col("__v"))
+            < lit(bPm).cast(d38) * col("__t"), "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   /** DISPERSION INDEX (variance-to-mean ratio) per group in exact
     * milli-units: D = var/mean = (n·Σv² − (Σv)²) div (n·Σv) ×1000 —
     * the Poisson-ness screen over count series (D ≈ 1000 ⇒ Poisson

@@ -390,4 +390,31 @@ class RelevanceSpec extends SparkTestBase {
     assert(xx == md, "results must be a pure function of the grams")
     assert(run(docs.repartition(9), xxhash64(_)) == xx)
   }
+
+  test("ndcgAtK: perfect 10⁶, buried hit discounts exactly, no-rel NULL") {
+    val w = Relevance.ndcgWeightsMicro(5)
+    assert(w.head == 1000000L && w(2) == 500000L,
+      "w₁ = 10⁶ and w₃ = 10⁶/log₂4 = 500000 exactly")
+    // q1: hits at ranks 1..3 with n_rel=3 → perfect; q2: single hit at
+    // rank 3 of n_rel=1 → 500000; q3: no qrels → NULL
+    val results = Seq(
+      (1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3), (1L, 14L, 4), (1L, 15L, 5),
+      (2L, 21L, 1), (2L, 22L, 2), (2L, 23L, 3),
+      (3L, 31L, 1)).toDF("query_id", "cand_id", "rnk")
+    val qrels = Seq((1L, 11L), (1L, 12L), (1L, 13L), (2L, 23L))
+      .toDF("query_id", "cand_id")
+    val got = Relevance.ndcgAtK(results, qrels, k = 5)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, w.take(3).sum, Some(1000000L))))
+    assert(got(2L) == ((1L, 500000L, Some(500000L))))
+    assert(got(3L) == ((0L, 0L, None)))
+    // more relevant docs than k: IDCG caps at the k-prefix
+    val manyRel = (11L to 20L).map(c => (1L, c)).toDF("query_id", "cand_id")
+    val capped = Relevance.ndcgAtK(results, manyRel, k = 5)
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(capped(1L).contains(1000000L),
+      "all-relevant top-5 must be perfect even with n_rel > k")
+  }
 }

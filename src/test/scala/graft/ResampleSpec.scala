@@ -73,6 +73,30 @@ class ResampleSpec extends SparkTestBase {
     assert(got("z") == ((2L, 12L, -1L)))
   }
 
+  test("holtForecastMilli: pinned table, warmup NULLs, trend leads the level") {
+    import graft.ops.Resample
+    val w = Resample.holtCoefficientsPpm(500, 300, 6)
+    assert(w.sum == 1000000L, "coefficients must sum to exactly 10⁶")
+    // constant series: forecast is the constant (in milli) past warmup
+    val const = (0L until 12L).map(d => ("c", d, 40L)).toDF("g", "p", "v")
+    val c = Resample.holtForecastMilli(const, "g", "p", "v")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert((0L to 5L).forall(c(_).isEmpty), "warmup prefix must be NULL")
+    assert((6L to 11L).forall(c(_).contains(40000L)))
+    // linear growth: the forecast must LEAD the current level (the
+    // trend term working) and equal the driver-applied table exactly
+    val lin = (0L until 12L).map(d => ("l", d, 10L * d)).toDF("g", "p", "v")
+    val got = Resample.holtForecastMilli(lin, "g", "p", "v")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> r._4).toMap
+    val refAt = (t: Long) =>
+      (0 to 6).map(k => w(k) * 10L * (t - k)).sum / 1000L
+    assert((6L to 11L).forall(t => got(t).contains(refAt(t))))
+    assert(got(11L).get > 110000L,
+      "trend-aware forecast must exceed the last observed level")
+  }
+
   test("seasonalIndices: flat series all 10⁶; a hot slot scales exactly") {
     import graft.ops.Resample
     // 4 full weeks, constant 10/day → every weekday index = 10⁶

@@ -930,6 +930,31 @@ class StatsSpec extends SparkTestBase {
     assert(rep == c)
   }
 
+  test("abcClasses: crossing item stays up, ties order by id, boundaries exact") {
+    // masses 80/15/5: A=80% exactly at the boundary → item2 is B
+    val df = Seq((1L, 80L), (2L, 15L), (3L, 5L)).toDF("id", "v")
+    val got = Stats.abcClasses(df, "id", "v")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(1L) == ((80L, "A")))
+    assert(got(2L) == ((95L, "B")))
+    assert(got(3L) == ((100L, "C")))
+    // an item CROSSING 80% from below stays A (before-cum comparison)
+    val cross = Seq((1L, 79L), (2L, 20L), (3L, 1L)).toDF("id", "v")
+    val g2 = Stats.abcClasses(cross, "id", "v")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(g2 == Map(1L -> "A", 2L -> "A", 3L -> "C"),
+      "item 2 crosses the 80% line from 79% — it must stay A")
+    // equal masses tie on id ascending; partition-independent
+    val ties = Seq((5L, 10L), (3L, 10L), (4L, 10L), (1L, 10L))
+      .toDF("id", "v")
+    val t1 = Stats.abcClasses(ties.repartition(7), "id", "v")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(t1 == Map(1L -> 10L, 3L -> 20L, 4L -> 30L, 5L -> 40L))
+  }
+
   test("dispersionIndexMilli: Poisson-like 1000, constant 0, zero-mean NULL") {
     val df = Seq(("p", 0L), ("p", 2L), ("k", 7L), ("k", 7L),
       ("z", 0L), ("z", 0L)).toDF("g", "v")
