@@ -354,6 +354,78 @@ object AnalyticsGates {
           .as("revenue")),
       "l_partkey", "revenue")
 
+  /** Deterministic synthetic coordinates for the spatial gates — two
+    * LCG-style affine maps of the customer key into a 50000×50000
+    * micro-unit box, integer arithmetic both engines share. Capped at
+    * c_custkey ≤ 3000 so the pair count stays bounded as sf grows
+    * (the q137 blocked-pairs precedent — within-radius pairs grow
+    * quadratically with density). */
+  private def geoPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").where(col("c_custkey") <= 3000)
+      .select(col("c_custkey").as("id"),
+        ((col("c_custkey") * 1103515245L + 12345L) % 50000L).as("x"),
+        ((col("c_custkey") * 69069L + 1L) % 50000L).as("y"))
+
+  private val geoPointsSql =
+    """SELECT c_custkey AS id,
+      |       (c_custkey*1103515245 + 12345) % 50000 AS x,
+      |       (c_custkey*69069 + 1) % 50000 AS y
+      |FROM customer WHERE c_custkey <= 3000""".stripMargin
+
+  // SPATIAL RADIUS JOIN (ops/Spatial.radiusPairs): all point pairs
+  // within 1500 micro-units — grid-cell candidate join (cell = radius,
+  // 9-neighbor probe), exact integer squared distances; the oracle is
+  // the brute-force O(n²) join the grid plan replaces.
+  def q262_radius_pairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Spatial.radiusPairs(geoPoints(s, dir),
+      "id", "x", "y", radius = 1500L)
+
+  // GRID DENSITY HOTSPOTS (ops/Spatial.gridHotspots): top-10 densest
+  // 5000-unit cells by (n DESC, cx, cy) — the density diagnostic that
+  // finds the skewed cells before a radius join concentrates on them.
+  def q263_hotspots(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Spatial.gridHotspots(geoPoints(s, dir),
+      "x", "y", cellSize = 5000L, k = 10)
+
+  // MAD OUTLIERS (ops/Stats.madReport): median-absolute-deviation
+  // screen over floor-cent event values per type — the 50%-breakdown
+  // robust-scale sibling of q179's IQR fences, 3-MAD flag rule
+  // cross-multiplied in exact integers.
+  def q264_mad(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.madReport(
+      t(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents")),
+      "event_type", "cents")
+
+  // CROSS-CORRELATION (ops/Stats.crossCorrPpm): daily views vs daily
+  // purchases at lags 0..6 — "does x lead y" via the Pearson
+  // micro-moment recipe per lag; the lag-exploded join is bounded by
+  // periods×lags, never events.
+  def q265_ccf(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(expr(s"ts div ${dayUs}L").as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .withColumn("series", lit("view->purchase"))
+    graft.ops.Stats.crossCorrPpm(daily, "series", "day", "x", "y",
+      maxLag = 6)
+  }
+
+  // GINI SPLIT GAIN (ops/Stats.splitGainPpm): which metadata field
+  // best predicts a document's language — CART split gain per feature
+  // in exact integer ppm (source dominates the id-residue placebo;
+  // the placebo pins the near-zero branch of the arithmetic).
+  def q267_split_gain(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("lang").isNotNull)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 500").as("band"), (col("doc_id") % 5).as("resid"))
+    graft.ops.Stats.splitGainPpm(d, Seq("source", "band", "resid"), "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -386,7 +458,12 @@ object AnalyticsGates {
     "q257_lorenz"        -> q257_lorenz _,
     "q258_dispersion"    -> q258_dispersion _,
     "q259_holt"          -> q259_holt _,
-    "q260_abc"           -> q260_abc _)
+    "q260_abc"           -> q260_abc _,
+    "q262_radius_pairs"  -> q262_radius_pairs _,
+    "q263_hotspots"      -> q263_hotspots _,
+    "q264_mad"           -> q264_mad _,
+    "q265_ccf"           -> q265_ccf _,
+    "q267_split_gain"    -> q267_split_gain _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -429,6 +506,86 @@ object AnalyticsGates {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // brute-force O(n²) distance join — the ground truth the grid
+    // plan must reproduce exactly (inclusive radius, id_a < id_b)
+    "q262_radius_pairs" ->
+      s"""WITH pts AS ($geoPointsSql)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 2250000"""
+        .stripMargin,
+    "q263_hotspots" ->
+      s"""WITH pts AS ($geoPointsSql)
+        |SELECT CAST(x//5000 AS BIGINT) AS cx, CAST(y//5000 AS BIGINT) AS cy,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM pts GROUP BY 1, 2 ORDER BY n DESC, cx, cy LIMIT 10"""
+        .stripMargin,
+    "q264_mad" ->
+      """WITH e AS (SELECT event_type g, CAST(floor(value*100) AS BIGINT) v
+        |           FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT g, v, count(*) cnt FROM e GROUP BY 1,2),
+        |cum AS (SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v) cum FROM c),
+        |t AS (SELECT g, sum(cnt) n FROM c GROUP BY 1),
+        |med AS (SELECT cum.g, min(v) FILTER (WHERE cum >= (500*t.n+999)//1000) med
+        |        FROM cum JOIN t ON t.g=cum.g GROUP BY 1),
+        |d AS (SELECT e.g, abs(e.v - med.med) dev FROM e JOIN med ON med.g = e.g),
+        |dc AS (SELECT g, dev, count(*) cnt FROM d GROUP BY 1,2),
+        |dcum AS (SELECT g, dev, sum(cnt) OVER (PARTITION BY g ORDER BY dev) cum FROM dc),
+        |dt AS (SELECT g, sum(cnt) n FROM dc GROUP BY 1),
+        |mad AS (SELECT dcum.g, min(dev) FILTER (WHERE cum >= (500*dt.n+999)//1000) mad
+        |        FROM dcum JOIN dt ON dt.g=dcum.g GROUP BY 1)
+        |SELECT e.g AS event_type, CAST(count(*) AS BIGINT) AS n, med.med, mad.mad,
+        |  CAST(count(*) FILTER (WHERE abs(e.v - med.med)*1000 > mad.mad*3000) AS BIGINT)
+        |    AS n_outliers
+        |FROM e JOIN med ON med.g=e.g JOIN mad ON mad.g=e.g
+        |GROUP BY 1, med.med, mad.mad""".stripMargin,
+    "q267_split_gain" ->
+      """WITH d AS (SELECT lang, source AS src,
+        |             CAST(n_chars//500 AS VARCHAR) AS band,
+        |             CAST(doc_id % 5 AS VARCHAR) AS resid
+        |           FROM documents WHERE lang IS NOT NULL),
+        |m AS (SELECT lang, 'source' AS f, src AS v FROM d
+        |      UNION ALL SELECT lang, 'band', band FROM d
+        |      UNION ALL SELECT lang, 'resid', resid FROM d),
+        |cells AS (SELECT f, v, lang, CAST(count(*) AS HUGEINT) AS c
+        |          FROM m GROUP BY 1,2,3),
+        |ch AS (SELECT f, v, sum(c) AS nv, sum(c*c) AS ss
+        |       FROM cells GROUP BY 1,2),
+        |agg AS (SELECT f, CAST(count(*) AS BIGINT) AS n_values,
+        |          sum((1000000*ss)//nv) AS childsum, sum(nv) AS n
+        |        FROM ch GROUP BY 1),
+        |par AS (SELECT 1000000 - (1000000*sum(c*c))//(sum(c)*sum(c)) AS p
+        |        FROM (SELECT CAST(count(*) AS HUGEINT) AS c
+        |              FROM d GROUP BY lang))
+        |SELECT f AS feature, CAST(n AS BIGINT) AS n, n_values,
+        |  CAST(p AS BIGINT) AS parent_ppm,
+        |  CAST(1000000 - childsum//n AS BIGINT) AS weighted_ppm,
+        |  CAST(p - (1000000 - childsum//n) AS BIGINT) AS gain_ppm
+        |FROM agg CROSS JOIN par""".stripMargin,
+    "q265_ccf" ->
+      """WITH d AS (SELECT epoch_us(ts)//86400000000 AS day,
+        |  CAST(count(*) FILTER (WHERE event_type='view') AS HUGEINT) AS x,
+        |  CAST(count(*) FILTER (WHERE event_type='purchase') AS HUGEINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT l.lag, a.x, b.y
+        |      FROM (SELECT unnest([0,1,2,3,4,5,6]) AS lag) l
+        |      CROSS JOIN d a JOIN d b ON b.day = a.day + l.lag),
+        |m AS (SELECT lag, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+        |             sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx,
+        |             sum(y*y) AS syy
+        |      FROM p GROUP BY 1),
+        |r AS (SELECT lag, n, (1000000*(n*sxy - sx*sy)) // (n*n) AS cxy,
+        |             (1000000*(n*sxx - sx*sx)) // (n*n) AS vx,
+        |             (1000000*(n*syy - sy*sy)) // (n*n) AS vy FROM m)
+        |SELECT 'view->purchase' AS series, CAST(lag AS BIGINT) AS lag,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN cxy > 0 THEN 1 WHEN cxy < 0 THEN -1 ELSE 0 END
+        |       AS BIGINT) AS sign,
+        |  CASE WHEN n < 2 OR vx = 0 OR vy = 0 THEN NULL
+        |       ELSE CAST((1000000*cxy*cxy) // (vx*vy) AS BIGINT)
+        |  END AS r2_ppm
+        |FROM r""".stripMargin,
     "q245_bootstrap_ci" -> {
       val u = md5Hash60Sql("CAST(b.id AS VARCHAR)||':'||CAST(r.r AS VARCHAR)")
       s"""WITH base AS (SELECT event_type g, event_id id,

@@ -249,6 +249,26 @@ object LlmAnnGates {
     graft.llm.Relevance.ndcgAtK(results, qrels, k = 5)
   }
 
+  // RECIPROCAL RANK FUSION at the gate (Relevance.rrfFuse): the hybrid
+  // retrieval merge — q26's exact-cosine top-20 fused with q72's
+  // Hamming-sketch top-20 per query, score = Σ⌊10⁶/(60+rank)⌋, fused
+  // top-10. Rank-based, so the incomparable score scales never need
+  // calibration; the fused tail demonstrably carries candidates only
+  // one ranker surfaced.
+  def q266_rrf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.where(col("vec_id") < 8)
+    val dense = graft.llm.Similarity.bruteForceTopK(
+        qs, emb, "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("cand_id"), col("rnk"))
+    val ham = graft.llm.Similarity.hammingTopK(
+        qs, emb, idCol = "vec_id", vecCol = "embedding", dim = 64, k = 20)
+      .select(col("query_id"), col("cand_id"), col("rnk"))
+    graft.llm.Relevance.rrfFuse(dense.unionByName(ham), k = 10)
+      .select(col("query_id"), col("cand_id"), col("rrf_micro"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   // SQ8 scalar-quantization ANN at the gate (Similarity.sqTopK): per-dim
   // min/span affine codes (4× memory cut keeping per-dim resolution —
   // between the q72 sign sketch and q87's PQ in the compression
@@ -455,6 +475,7 @@ object LlmAnnGates {
     "q110_sq_topk"      -> q110_sq_topk _,
     "q116_retrieval_eval" -> q116_retrieval_eval _,
     "q261_ndcg" -> q261_ndcg _,
+    "q266_rrf" -> q266_rrf _,
     "q122_sq_indexed"   -> q122_sq_indexed _,
     "q126_margin_mining" -> q126_margin_mining _,
     "q127_pq_indexed"   -> q127_pq_indexed _,
@@ -462,6 +483,47 @@ object LlmAnnGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // cosine top-20 (q26's decimal recipe) ∪ hamming top-20 (q72's
+    // sketch) → RRF score → fused top-10, ties by candidate id
+    "q266_rrf" ->
+      """WITH norm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM embeddings),
+        |cpairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS cosine
+        |  FROM norm q JOIN norm c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |dense AS (SELECT query_id, cand_id, rnk FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cosine DESC, cand_id ASC) AS rnk FROM cpairs)
+        |  WHERE rnk <= 20),
+        |sk AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1,33),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(range(33,65),
+        |      i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i-33)) ELSE 0 END)) AS BIGINT) AS w1
+        |  FROM embeddings),
+        |hpairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hamming
+        |  FROM sk q JOIN sk c ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |ham AS (SELECT query_id, cand_id, rnk FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY hamming ASC, cand_id ASC) AS rnk FROM hpairs)
+        |  WHERE rnk <= 20),
+        |u AS (SELECT * FROM dense UNION ALL SELECT * FROM ham),
+        |sc AS (SELECT query_id, cand_id,
+        |         CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micro
+        |       FROM u GROUP BY 1,2)
+        |SELECT query_id, cand_id, rrf_micro, CAST(rnk AS INT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY rrf_micro DESC, cand_id ASC) AS rnk FROM sc)
+        |WHERE rnk <= 10""".stripMargin,
     "q142_knn_graph" ->
       """WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
         |norm AS (

@@ -235,6 +235,88 @@ object MediaCodecs {
     Some((f, 0))
   }
 
+  /** Integer luminance raster via ImageIO (reads BMP/PNG/GIF/JPEG with
+    * the stock JDK plugins): per-pixel luma in MILLI units
+    * (299·r + 587·g + 114·b — the BT.601 weights ×1000, pure integer
+    * so downstream comparisons never touch a float). None when ImageIO
+    * cannot parse the payload. */
+  private[graft] def lumaPixels(b: Array[Byte])
+      : Option[(Array[Int], Int, Int)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None
+    val width = img.getWidth; val height = img.getHeight
+    if (width <= 0 || height <= 0) return None
+    val out = new Array[Int](width * height)
+    val row = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      img.getRGB(0, y, width, 1, row, 0, width)
+      var x = 0
+      while (x < width) {
+        val px = row(x)
+        out(y * width + x) = 299 * ((px >> 16) & 0xff) +
+          587 * ((px >> 8) & 0xff) + 114 * (px & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some((out, width, height))
+  }
+
+  /** 64-bit DIFFERENCE HASH (dHash) of an image payload — the
+    * perceptual near-duplicate key: luma downsampled onto a 9×8 grid
+    * (exact integer box sums over floor-boundary cells), bit (y,x) set
+    * iff cell (x,y) is brighter than its right neighbor. Compares
+    * AVERAGES by cross-multiplication (sumA·nB > sumB·nA) so unequal
+    * cell sizes never need a division — fully integer, bit-identical
+    * everywhere. Uniform brightness shifts that don't clip preserve
+    * every comparison, resizes/re-encodes move only the few bits whose
+    * cells straddle a change — Hamming distance over these hashes is
+    * the image analog of SimHash over text. None for undecodable or
+    * sub-9×8 payloads (too small to carry the grid) and for images
+    * past 10⁸ pixels (the cross-multiplication sum·count product is
+    * exact in a long up to there — fail closed, never overflow). */
+  def dHash64(b: Array[Byte]): Option[Long] =
+    lumaPixels(b).flatMap { case (luma, w, h) =>
+      if (w < 9 || h < 8 || w.toLong * h > 100000000L) None
+      else {
+        val sums = Array.ofDim[Long](8, 9)
+        val cnts = Array.ofDim[Long](8, 9)
+        var gy = 0
+        while (gy < 8) {
+          val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+          var gx = 0
+          while (gx < 9) {
+            val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+            var s = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) { s += luma(y * w + x); x += 1 }
+              y += 1
+            }
+            sums(gy)(gx) = s
+            cnts(gy)(gx) = (y1 - y0).toLong * (x1 - x0)
+            gx += 1
+          }
+          gy += 1
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          val gy = i / 8; val gx = i % 8
+          // avg(gx) > avg(gx+1) without dividing
+          if (sums(gy)(gx) * cnts(gy)(gx + 1) >
+              sums(gy)(gx + 1) * cnts(gy)(gx))
+            hash |= (1L << i)
+          i += 1
+        }
+        Some(hash)
+      }
+    }
+
   // ---------------------------------------------------------------
   // Encoders — fixture builders for specs/demos (and the proof that
   // the decoders read the real wire format, not a private one).

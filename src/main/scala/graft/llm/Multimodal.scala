@@ -114,4 +114,71 @@ object Multimodal {
               lit(1.0)))
       .withColumn("out_w", ceil(col("width") * col("scale")).cast("int"))
       .withColumn("out_h", ceil(col("height") * col("scale")).cast("int"))
+
+  /** Perceptual hash per image row ([[MediaCodecs.dHash64]]):
+    * (media_id, dhash, decode_ok) — the 64-bit near-duplicate key for
+    * the image side of the corpus, computed where the payload lives
+    * (mapPartitions over the media partitioning; payload bytes never
+    * shuffle — only the 8-byte hash leaves the scan stage). Rows that
+    * fail to decode surface decode_ok = false with dhash 0, the
+    * quarantine-not-drop stance of the DataQuality suite. */
+  def perceptualHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val h = MediaCodecs.dHash64(r.payload)
+        (r.media_id, h.getOrElse(0L), h.isDefined)
+      }
+    }.toDF("media_id", "dhash", "decode_ok")
+  }
+
+  /** Image near-duplicate pairs within `maxHamming` bits over
+    * [[perceptualHashes]] output — banded exactly like MinHash-LSH:
+    * the 64-bit hash slices into maxHamming+1 bands, and by pigeonhole
+    * any pair within the threshold agrees on at least one FULL band,
+    * so candidates are a band-keyed equi-join (ids + hashes shuffle,
+    * never payloads) verified by an exact `bit_count(xor)`. Never an
+    * all-pairs comparison.
+    *
+    * Output: (id_a < id_b, hamming ≤ maxHamming).
+    *
+    * Skew note: a corpus full of EXACT duplicates (or flat images
+    * hashing to the same value) concentrates one band key — run the
+    * exact groupBy-on-dhash dedup first and feed one representative
+    * per hash here, the hash-first discipline of Dedup.minhashLsh. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int,
+                        idCol: String = "media_id",
+                        hashCol: String = "dhash"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming in [0, 15] (64-bit hash needs bands of >= 4 bits), " +
+        s"got $maxHamming")
+    val bands = maxHamming + 1
+    val base = 64 / bands
+    val h = hashes
+      .where(if (hashes.columns.contains("decode_ok")) col("decode_ok")
+             else lit(true))
+      .select(col(idCol).cast("long").as("__id"),
+        col(hashCol).cast("long").as("__h"))
+    val bandCols = (0 until bands).map { i =>
+      val lo = i * base
+      val width = if (i == bands - 1) 64 - lo else base
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("b"),
+        shiftrightunsigned(col("__h"), lo).bitwiseAND(lit(mask)).as("v"))
+    }
+    val probe = h.select(col("__id"), col("__h"),
+        explode(array(bandCols: _*)).as("__band"))
+      .select(col("__id"), col("__h"),
+        col("__band.b").as("__b"), col("__band.v").as("__v"))
+    val left = probe.select(col("__id").as("id_a"),
+      col("__h").as("__ha"), col("__b"), col("__v"))
+    val right = probe.select(col("__id").as("id_b"),
+      col("__h").as("__hb"), col("__b"), col("__v"))
+    left.join(right, Seq("__b", "__v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(__ha ^ __hb)").cast("int").as("hamming"))
+      .distinct() // a close pair matches in several bands — emit once
+      .where(col("hamming") <= maxHamming)
+  }
 }

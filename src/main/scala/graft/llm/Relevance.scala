@@ -610,6 +610,37 @@ object Relevance {
           .as("ndcg_micro"))
   }
 
+  /** RECIPROCAL RANK FUSION (Cormack et al. 2009): combine several
+    * rankings of the same query set — dense ANN + lexical BM25 + a
+    * freshness sort — into one, scoring each (query, candidate) by
+    * Σ_rankings ⌊10⁶ / (rrfK + rank)⌋ and re-ranking. The standard
+    * hybrid-retrieval merge: rank-based, so incomparable scores
+    * (cosine vs BM25) never need calibration. Exact integers — each
+    * term is an integer floor division, the sum is order-free.
+    *
+    * Input: (query_id, cand_id, rnk) with one row per ranking that
+    * placed the candidate (union the rankers' top-k outputs; a
+    * candidate absent from a ranking simply contributes no term).
+    * Output: (query_id, cand_id, rrf_micro, rnk) — fused top-k, ties
+    * by (score DESC, cand_id ASC).
+    *
+    * Scale shape: one (query, cand) partial groupBy over the already
+    * k-bounded ranker outputs, then the k-bounded
+    * [[Similarity.topKPerQuery]] aggregation — input is
+    * queries·rankers·k rows, never a corpus. */
+  def rrfFuse(rankings: DataFrame, k: Int, rrfK: Long = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val scored = rankings
+      .where(col("rnk").isNotNull && col("rnk") >= 1)
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(expr(s"1000000 div ($rrfK + rnk)")).as("rrf_micro"))
+    graft.llm.Similarity.topKPerQuery(
+        scored, "rrf_micro", k, ascending = false)
+      .select(col("query_id"), col("cand_id"),
+        col("rrf_micro").cast("long").as("rrf_micro"), col("rnk"))
+  }
+
   /** ROUGE-n style clipped n-gram overlap between candidate/reference
     * document pairs — the summarization/generation eval harness next to
     * [[retrievalMetrics]]. Per (cand_id, ref_id) pair: total gram

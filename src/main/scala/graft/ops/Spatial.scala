@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Grid-bucketed spatial operators over integer fixed-point
+  * coordinates — the "find everything near X" family (store/user
+  * geo joins, density hotspots) distributed without an all-pairs
+  * join. Coordinates are integer micro-units (micro-degrees,
+  * millimeters — caller pre-scales, the repo-wide fixed-point
+  * discipline), so every distance comparison is exact integer
+  * arithmetic: squared Euclidean distance, never a float sqrt.
+  *
+  * Scale shape: the plane is cut into cells of side `radius`; a point
+  * can only be within `radius` of points in its own or the eight
+  * adjacent cells, so the candidate join is cell-keyed — one shuffle
+  * on the cell key with a constant ×9 replication of the probe side
+  * (ids + two longs, not payloads). An all-pairs distance join is
+  * O(n²); this is O(n·density). Density skew (everyone in one city
+  * cell) concentrates one key — the standard salting/AQE-skew
+  * remedies apply, and [[gridDensity]] is the diagnostic that finds
+  * such cells first.
+  */
+object Spatial {
+
+  /** Floor division that is correct for NEGATIVE coordinates too —
+    * integer `div` truncates toward zero, which would make the four
+    * cells around the origin twice as wide. `c − pmod(c, n)` is an
+    * exact multiple of n, so the trailing `div` is exact integer
+    * arithmetic (never a double `/`). */
+  private def fdiv(c: org.apache.spark.sql.Column, n: Long) =
+    call_function("div", c - pmod(c, lit(n)), lit(n))
+
+  /** All unordered point pairs within `radius` (inclusive, Euclidean)
+    * of each other: (id_a < id_b, dist2 = squared distance).
+    *
+    * Plan: home cell per point; the probe side replicates each point
+    * to its 9 neighbor cells (explode of a literal offset array);
+    * equi-join probe-cell == home-cell; exact integer distance filter.
+    * Every qualifying pair is produced exactly twice (a probing b's
+    * home and b probing a's home — cell adjacency is symmetric), and
+    * the id order filter keeps exactly one.
+    *
+    * Coordinates must sit within ±2⁶¹ᐟ² of each other (squared deltas
+    * stay in a long) — micro-degrees are 10 orders inside the bound. */
+  def radiusPairs(points: DataFrame, idCol: String, xCol: String,
+                  yCol: String, radius: Long): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    val pts = points.select(
+      col(idCol).cast("long").as("__id"),
+      col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__cx", fdiv(col("__x"), radius).cast("long"))
+      .withColumn("__cy", fdiv(col("__y"), radius).cast("long"))
+    val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 }
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val probe = pts
+      .select(col("__id").as("id_a"), col("__x").as("xa"),
+        col("__y").as("ya"),
+        explode(offsets).as("__o"),
+        col("__cx"), col("__cy"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("__cx") + col("__o.dx")).as("__jx"),
+        (col("__cy") + col("__o.dy")).as("__jy"))
+    val home = pts.select(col("__id").as("id_b"), col("__x").as("xb"),
+      col("__y").as("yb"), col("__cx").as("__jx"), col("__cy").as("__jy"))
+    val dx = col("xa") - col("xb")
+    val dy = col("ya") - col("yb")
+    probe.join(home, Seq("__jx", "__jy"))
+      .where(col("id_a") < col("id_b") &&
+        dx * dx + dy * dy <= lit(radius * radius))
+      .select(col("id_a"), col("id_b"), (dx * dx + dy * dy).as("dist2"))
+  }
+
+  /** Point count per grid cell of side `cellSize` — the density map
+    * (and the skew diagnostic for [[radiusPairs]]). One map-side
+    * partial groupBy on the cell key; output is cell-bounded. */
+  def gridDensity(points: DataFrame, xCol: String, yCol: String,
+                  cellSize: Long): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    points.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(fdiv(col(xCol).cast("long"), cellSize).cast("long").as("cx"),
+        fdiv(col(yCol).cast("long"), cellSize).cast("long").as("cy"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Top-k densest cells by (n DESC, cx, cy) — a total order, so the
+    * cut is engine-deterministic. TakeOrderedAndProject over the
+    * cell-bounded density frame, never a global sort of points. */
+  def gridHotspots(points: DataFrame, xCol: String, yCol: String,
+                   cellSize: Long, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    gridDensity(points, xCol, yCol, cellSize)
+      .orderBy(col("n").desc, col("cx"), col("cy"))
+      .limit(k)
+  }
+}

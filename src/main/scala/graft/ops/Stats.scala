@@ -1601,4 +1601,174 @@ object Stats {
               |AS BIGINT)""".stripMargin.replace("\n", " ")))
           .as("f_micro"))
   }
+
+  /** MAD (median absolute deviation) outlier report per group: the
+    * robust-scale sibling of [[robustOutlierReport]]'s IQR fences.
+    * MAD has the maximum 50% breakdown point — half the data can be
+    * corrupted before the estimate moves, where the IQR breaks at 25%.
+    * A row is flagged when 1000·|v − med| > kMilli·mad (the classic
+    * "3 MADs" screen at kMilli = 3000), cross-multiplied so no
+    * division ever happens. All arithmetic exact integer via the
+    * type-1 quantile rule.
+    *
+    * Degeneracy (documented, inherent to MAD): when over half a
+    * group's values are identical, mad = 0 and EVERY deviating row
+    * flags — the caller's signal that the group is essentially
+    * constant, not an error.
+    *
+    * Output: (group, n, med, mad, n_outliers).
+    *
+    * Scale shape: two [[exactQuantilesByGroup]] passes (value
+    * histograms — distinct values shuffle, not rows) + one final
+    * group aggregate; the per-group (med, mad) tables are
+    * group-bounded broadcasts. */
+  def madReport(df: DataFrame, groupCol: String, valueCol: String,
+                kMilli: Long = 3000): DataFrame = {
+    require(kMilli > 0, s"kMilli must be positive, got $kMilli")
+    val meds = exactQuantilesByGroup(df, groupCol, valueCol,
+        Seq(("med", 500)))
+      .select(col(groupCol), col("q").as("__med"))
+    val withMed = df.where(col(valueCol).isNotNull)
+      .join(broadcast(meds), groupCol)
+      .withColumn("__dev", abs(col(valueCol).cast("long") - col("__med")))
+    val mads = exactQuantilesByGroup(withMed, groupCol, "__dev",
+        Seq(("mad", 500)))
+      .select(col(groupCol), col("q").as("__mad"))
+    withMed.join(broadcast(mads), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("__med")).as("med"),
+        first(col("__mad")).as("mad"),
+        sum(when(col("__dev") * 1000 > col("__mad") * kMilli, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** CROSS-correlation function between two series of one group at
+    * lags 0..maxLag: r²·sign of (x_t, y_{t+lag}) pairs in exact ppm —
+    * "does x lead y, and by how much?" (marketing spend → purchases,
+    * deploys → errors). Lag 0 is [[pearsonR2Ppm]] of the aligned
+    * series; the argmax lag over the output is the estimated lead
+    * time. Same micro-moment arithmetic as Pearson — each second
+    * moment floor-reduced by n² before any product, so nothing grows
+    * with series length.
+    *
+    * Input contract: ONE row per (group, time) carrying both series
+    * values (run the period aggregation first); times must be
+    * integers on the period grid (lag l pairs t with t+l exactly).
+    *
+    * Output: (group, lag, n, sign, r2_ppm) — n = pairs at that lag;
+    * lags with < 2 pairs or a constant side yield NULL r2.
+    *
+    * Scale shape: the x side replicates maxLag+1 ways (explode of a
+    * literal lag array — series rows, not raw data) and equi-joins
+    * y on (group, shifted time): ONE join, one (group, lag) partial
+    * groupBy. Bounded by periods·lags, never data rows. */
+  def crossCorrPpm(df: DataFrame, groupCol: String, timeCol: String,
+                   xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 1000,
+      s"maxLag must be in [0, 1000], got $maxLag")
+    val d38 = "decimal(38,0)"
+    val base = df.select(col(groupCol).as("__g"),
+      col(timeCol).cast("long").as("__t"),
+      col(xCol).cast("long").as("__xv"),
+      col(yCol).cast("long").as("__yv"))
+    val lags = array((0 to maxLag).map(l => lit(l.toLong)): _*)
+    val xs = base.where(col("__xv").isNotNull)
+      .select(col("__g"), col("__t"), col("__xv"),
+        explode(lags).as("lag"))
+      .select(col("__g"), (col("__t") + col("lag")).as("__t"),
+        col("lag"), col("__xv"))
+    val ys = base.where(col("__yv").isNotNull)
+      .select(col("__g"), col("__t"), col("__yv"))
+    val mom = xs.join(ys, Seq("__g", "__t"))
+      .select(col("__g"), col("lag"),
+        col("__xv").cast(d38).as("__x"), col("__yv").cast(d38).as("__y"))
+      .groupBy(col("__g"), col("lag"))
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    mom
+      .withColumn("__cxy",
+        expr("(1000000 * (__n * __sxy - __sx * __sy)) div (__n * __n)"))
+      .withColumn("__vx",
+        expr("(1000000 * (__n * __sxx - __sx * __sx)) div (__n * __n)"))
+      .withColumn("__vy",
+        expr("(1000000 * (__n * __syy - __sy * __sy)) div (__n * __n)"))
+      .select(col("__g").as(groupCol), col("lag"),
+        col("__n").cast("long").as("n"),
+        signum(col("__cxy")).cast("long").as("sign"),
+        when(col("__n") < 2 || col("__vx") === 0 || col("__vy") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * CAST(__cxy AS DECIMAL(38,0)) * __cxy)
+              |div (CAST(__vx AS DECIMAL(38,0)) * __vy) AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).as("r2_ppm"))
+  }
+
+  /** GINI-IMPURITY SPLIT GAIN per candidate feature — the
+    * decision-tree split criterion as a feature-ranking screen:
+    * "which metadata column best predicts the label?" (CART; the
+    * supervised sibling of [[concentrationPpm]]'s unsupervised
+    * Gini–Simpson). For each feature f,
+    * gain = impurity(label) − Σ_v (n_v/n)·impurity(label | f = v),
+    * all in exact integer ppm: parent_ppm = 10⁶ − (10⁶·Σ_l c_l²) div n²,
+    * each child contributes (10⁶·Σ_l c_vl²) div n_v, and
+    * weighted_ppm = 10⁶ − (Σ_v child_v) div n — every step a pinned
+    * integer floor both engines replay (DECIMAL(38,0) internally:
+    * 10⁶·n² needs it past ~3·10⁶ rows).
+    *
+    * NULL feature values form their own child (a real split branch);
+    * NULL labels are excluded up front.
+    *
+    * Output: (feature, n, n_values, parent_ppm, weighted_ppm,
+    * gain_ppm) — one row per feature, gain 0 for an independent
+    * feature, parent_ppm for a perfectly predictive one. gain_ppm
+    * can go mildly negative only through floor jitter (< |values|
+    * ppm); the oracle replays the identical floors.
+    *
+    * Scale shape: features unpivot map-side (×|features| row blowup
+    * of (feature, value, label) triples only), then ONE
+    * (feature, value, label) partial groupBy — shuffle bounded by
+    * alphabet sizes, never rows; the parent's label histogram is a
+    * second label-bounded groupBy broadcast into the finish. */
+  def splitGainPpm(df: DataFrame, featureCols: Seq[String],
+                   labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    require(featureCols.distinct.size == featureCols.size,
+      "duplicate feature columns")
+    val d38 = "decimal(38,0)"
+    val labeled = df.where(col(labelCol).isNotNull)
+    val melted = labeled.select(col(labelCol).cast("string").as("__l"),
+        explode(array(featureCols.map(f =>
+          struct(lit(f).as("f"), col(f).cast("string").as("v"))): _*))
+          .as("__fv"))
+      .select(col("__l"), col("__fv.f").as("__f"), col("__fv.v").as("__v"))
+    val cells = melted.groupBy(col("__f"), col("__v"), col("__l"))
+      .agg(count(lit(1)).cast(d38).as("__c"))
+    val children = cells.groupBy(col("__f"), col("__v"))
+      .agg(sum(col("__c")).as("__nv"),
+        sum(col("__c") * col("__c")).as("__ss"))
+      .groupBy(col("__f"))
+      .agg(count(lit(1)).as("n_values"),
+        sum(expr("(1000000 * __ss) div __nv")).as("__childSum"),
+        sum(col("__nv")).as("__n"))
+    val parent = labeled.groupBy(col(labelCol).cast("string").as("__l"))
+      .agg(count(lit(1)).cast(d38).as("__c"))
+      .agg(sum(col("__c")).as("__pn"),
+        sum(col("__c") * col("__c")).as("__pss"))
+      .select(expr("1000000 - (1000000 * __pss) div (__pn * __pn)")
+        .cast("long").as("__parent_ppm"))
+    children.crossJoin(broadcast(parent))
+      .select(col("__f").as("feature"),
+        col("__n").cast("long").as("n"),
+        col("n_values"),
+        col("__parent_ppm").as("parent_ppm"),
+        expr("CAST(1000000 - __childSum div __n AS BIGINT)")
+          .as("weighted_ppm"),
+        (col("__parent_ppm") -
+          expr("CAST(1000000 - __childSum div __n AS BIGINT)"))
+          .as("gain_ppm"))
+  }
 }

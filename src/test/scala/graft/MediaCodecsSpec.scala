@@ -163,4 +163,91 @@ class MediaCodecsSpec extends SparkTestBase {
     val Some((f, _)) = MediaCodecs.decodeWavPcm16(stereo)
     assert(math.abs(f(1) - 2000.0 / 32768.0) < 1e-6, s"mean ${f(1)}")
   }
+
+  // deterministic 36×32 gradient-ish test pattern with structure in
+  // every grid cell (no flat ties for the dHash comparisons)
+  private def pattern(shift: Int)(x: Int, y: Int): (Int, Int, Int) = {
+    val v = ((x * 13 + y * 29 + (x * y) % 37) % 200) + shift
+    (v, (v + 20) min 255, v / 2)
+  }
+
+  test("dHash64: deterministic, format-independent, brightness-invariant") {
+    val bmp = MediaCodecs.encodeBmp24(36, 32, pattern(0))
+    val h1 = MediaCodecs.dHash64(bmp)
+    assert(h1.isDefined)
+    assert(MediaCodecs.dHash64(bmp) == h1, "must be deterministic")
+    // same pixels through PNG (lossless) → identical hash
+    val png = MediaCodecs.encodeImage("png", 36, 32, pattern(0))
+    assert(MediaCodecs.dHash64(png) == h1, "PNG of same pixels differs")
+    // clip-free uniform brightness shift preserves every comparison
+    val bright = MediaCodecs.encodeBmp24(36, 32, pattern(30))
+    assert(MediaCodecs.dHash64(bright) == h1, "brightness shift moved bits")
+  }
+
+  test("dHash64: local edits move few bits, inversion moves many") {
+    val base = MediaCodecs.dHash64(
+      MediaCodecs.encodeBmp24(36, 32, pattern(0))).get
+    // corrupt one grid cell's worth of pixels
+    val edited = MediaCodecs.encodeBmp24(36, 32, (x, y) =>
+      if (x < 4 && y < 4) (255, 255, 255) else pattern(0)(x, y))
+    val he = MediaCodecs.dHash64(edited).get
+    val hd = java.lang.Long.bitCount(base ^ he)
+    assert(hd >= 1 && hd <= 6, s"local edit moved $hd bits")
+    // inversion flips (almost) every comparison
+    val inv = MediaCodecs.encodeBmp24(36, 32, (x, y) => {
+      val (r, g, b) = pattern(0)(x, y); (255 - r, 255 - g, 255 - b) })
+    val hi = MediaCodecs.dHash64(inv).get
+    assert(java.lang.Long.bitCount(base ^ hi) >= 32,
+      "inversion must land far away")
+  }
+
+  test("dHash64: fails closed on garbage and sub-grid images") {
+    assert(MediaCodecs.dHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodecs.dHash64(
+      MediaCodecs.encodeBmp24(8, 8, (_, _) => (1, 2, 3))).isEmpty)
+  }
+
+  test("perceptualHashes + imageNearDupPairs: banded join finds the planted near-dups") {
+    import spark.implicits._
+    // 30 distinct base images; ids 100+i are 1-cell edits of i (near
+    // dups); id 999 is undecodable
+    def img(seed: Int, edit: Boolean)(x: Int, y: Int): (Int, Int, Int) = {
+      val v = ((x * (7 + seed) + y * (11 + 2 * seed) + x * y % (5 + seed))
+        % 200)
+      if (edit && x < 4 && y < 4) (255, 255, 255) else (v, v, v)
+    }
+    val rows = (0 until 30).flatMap { i =>
+      Seq(
+        MediaRow(i.toLong, "image",
+          MediaCodecs.encodeBmp24(36, 32, img(i, edit = false)),
+          36, 32, 0, 0L),
+        MediaRow(100L + i, "image",
+          MediaCodecs.encodeBmp24(36, 32, img(i, edit = true)),
+          36, 32, 0, 0L))
+    } :+ MediaRow(999L, "image", Array[Byte](9, 9, 9), 0, 0, 0, 0L)
+    val hashes = Multimodal.perceptualHashes(
+      spark.createDataset(rows).repartition(5))
+    val hm = hashes.as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!hm(999L)._2 && hm(999L)._1 == 0L, "garbage must quarantine")
+    assert(hm(0L)._2 && hm(0L)._1 != hm(1L)._1,
+      "distinct images must hash apart")
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 7)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length == pairs.map(p => (p._1, p._2)).distinct.length,
+      "each pair exactly once")
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val planted = (0 until 30).map(i => (i.toLong, 100L + i)).toSet
+    // every planted edit is within 7 bits of its base (local edit
+    // bound pinned above) → banding must recover ALL of them
+    val withinThreshold = planted.filter { case (a, b) =>
+      java.lang.Long.bitCount(hm(a)._1 ^ hm(b)._1) <= 7 }
+    assert(withinThreshold.subsetOf(found),
+      s"missed planted pairs: ${withinThreshold.diff(found)}")
+    assert(withinThreshold.size >= 25,
+      s"fixture too weak: only ${withinThreshold.size} planted pairs " +
+        "within threshold")
+    // verify step: nothing past the threshold survives
+    assert(pairs.forall(_._3 <= 7))
+  }
 }

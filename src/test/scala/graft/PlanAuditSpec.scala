@@ -911,4 +911,52 @@ class PlanAuditSpec extends SparkTestBase {
       "the 1-row totals must broadcast onto the key frame")
     assert(!p.contains("windowspecdefinition"), "TV needs no window")
   }
+
+  test("q262/q263: spatial gates join on cell keys — never a distance product") {
+    val p = plan("q262_radius_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "radius pairs must candidate-join on the grid cell, not all-pairs")
+    assert(p.contains("__jx") && p.contains("__jy"),
+      "the equi join must key on the two cell coordinates")
+    assert(!p.contains("windowspecdefinition"))
+    val h = plan("q263_hotspots")
+    assert(h.contains("TakeOrderedAndProject"),
+      "hotspot cut must be distributed top-k, not a global sort")
+    assert(h.contains("partial_count"), "cell counts must map-combine")
+  }
+
+  test("q264/q265: MAD and CCF run on histograms/series, windows stay grouped") {
+    val p = plan("q264_mad")
+    assert(p.contains("partial_count"), "value histogram must map-combine")
+    // the only windows are the per-group running sums of the two
+    // quantile passes — partitioned by the group key, never global
+    assert(!p.contains("windowspecdefinition()"),
+      "no unpartitioned window allowed")
+    val c = plan("q265_ccf")
+    assert(!c.contains("CartesianProduct"),
+      "lagged pairs must equi-join on (group, time)")
+    assert(c.contains("partial_count"), "moments must map-combine")
+    assert(!c.contains("windowspecdefinition"), "CCF needs no window")
+  }
+
+  test("q266: RRF fuses k-bounded ranker outputs through the topk aggregator") {
+    val p = plan("q266_rrf")
+    assert(p.contains("partial_topkbyscore"),
+      "fused cut must be the k-bounded aggregator, never a rank window")
+    assert(!p.contains("windowspecdefinition"))
+    assert(p.contains("partial_sum"), "RRF scores must map-combine")
+  }
+
+  test("q267: split gain shuffles (feature, value, label) cells, not rows") {
+    val p = plan("q267_split_gain")
+    assert(p.contains("partial_count"), "cell counts must map-combine")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the 1-row parent impurity must broadcast onto the feature rows")
+    assert(!p.contains("windowspecdefinition"),
+      "gain arithmetic needs no window")
+    assert(!p.contains("CartesianProduct"),
+      "only the broadcast 1-row cross join is allowed")
+  }
 }

@@ -417,4 +417,33 @@ class RelevanceSpec extends SparkTestBase {
     assert(capped(1L).contains(1000000L),
       "all-relevant top-5 must be perfect even with n_rel > k")
   }
+
+  test("rrfFuse: hand scores, consensus beats single-ranker, ties by id") {
+    // ranker A: 10 > 20 > 30; ranker B: 20 > 10 > 40
+    val rankings = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (1L, 20L, 1), (1L, 10L, 2), (1L, 40L, 3))
+      .toDF("query_id", "cand_id", "rnk")
+    val got = Relevance.rrfFuse(rankings, k = 4)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    val w = (r: Int) => 1000000L / (60 + r)
+    // 10 and 20 both score w(1)+w(2) — tie breaks to the smaller id
+    assert(got.map(r => (r._2, r._3)).toSeq == Seq(
+      (10L, w(1) + w(2)), (20L, w(1) + w(2)),
+      (30L, w(3)), (40L, w(3))))
+    assert(got.map(_._4).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("rrfFuse: k bounds output, invalid ranks dropped, validation") {
+    val rankings = (1L to 30L).map(c => (7L, c, c.toInt))
+      .toDF("query_id", "cand_id", "rnk")
+      .unionByName(Seq((7L, 99L, 0), (7L, 98L, -3))
+        .toDF("query_id", "cand_id", "rnk"))
+    val got = Relevance.rrfFuse(rankings, k = 5)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.length == 5 && !got.exists(r => r._2 == 99L || r._2 == 98L))
+    intercept[IllegalArgumentException](Relevance.rrfFuse(rankings, 0))
+    intercept[IllegalArgumentException](
+      Relevance.rrfFuse(rankings, 5, rrfK = 0))
+  }
 }

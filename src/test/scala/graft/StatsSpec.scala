@@ -1020,4 +1020,110 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.cramersV2Ppm(const, "a", "b")
       .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
   }
+
+  test("madReport: hand medians, 3-MAD flags, degenerate mad=0") {
+    // values 1..9 + outlier 1000: med = 5 (type-1 over 10 values picks
+    // the 5th), devs = {4,3,2,1,0,1,2,3,4,995} → mad = 2 (5th of the
+    // sorted devs 0,1,1,2,2,3,3,4,4,995); 3-MAD rule flags dev > 6.
+    val df = ((1L to 9L) :+ 1000L).map(("g", _)).toDF("g", "v")
+    val r = Stats.madReport(df, "g", "v")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(r == (("g", 10L, 5L, 2L, 1L)))
+    // over half identical → mad = 0: every deviating row flags
+    val const = (Seq.fill(6)(7L) ++ Seq(1L, 2L)).map(("c", _)).toDF("g", "v")
+    val c = Stats.madReport(const, "g", "v")
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(c == (("c", 8L, 7L, 0L, 2L)))
+  }
+
+  test("madReport: partition independence and custom k") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map(i =>
+      (s"g${i % 3}", rnd.nextInt(1000).toLong)).toDF("g", "v")
+    val a = Stats.madReport(df, "g", "v", kMilli = 1500)
+      .collect().map(_.toSeq).toSet
+    val b = Stats.madReport(df.repartition(11), "g", "v", kMilli = 1500)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("crossCorrPpm: lagged copy peaks at its lag, lag 0 equals pearson") {
+    // y is x shifted by 2: perfect correlation at lag 2, noise elsewhere
+    val xs = Seq(5L, 9L, 2L, 7L, 3L, 8L, 1L, 6L, 4L, 10L)
+    val rows = xs.indices.map { i =>
+      val y = if (i >= 2) xs(i - 2) else 0L
+      ("s", i.toLong, xs(i), y)
+    }
+    val df = rows.toDF("g", "t", "x", "y")
+    val r = Stats.crossCorrPpm(df, "g", "t", "x", "y", maxLag = 3)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(v => v._2 -> ((v._3, v._4, v._5))).toMap
+    assert(r(2L)._3.contains(1000000L), s"lag-2 must be perfect: $r")
+    assert(r(2L)._2 == 1L)
+    assert(r(0L)._3.exists(_ < 1000000L))
+    // pair counts shrink with lag: n(lag) = 10 − lag
+    assert((0L to 3L).forall(l => r(l)._1 == 10L - l))
+    // lag 0 must equal pearsonR2Ppm of the aligned series
+    val p = Stats.pearsonR2Ppm(df, "g", "x", "y")
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(r(0L)._2 == p._3 && r(0L)._3 == p._4)
+  }
+
+  test("splitGainPpm: perfect predictor, independent feature, NULL branch") {
+    // label = parity; f_perfect mirrors it, f_indep is constant,
+    // f_null puts half the rows in the NULL child (its own branch)
+    val df = (0 until 40).map { i =>
+      val lab = i % 2
+      (s"l$lab", s"p$lab", "const",
+        if (i < 20) null.asInstanceOf[String] else s"h${i % 2}")
+    }.toDF("lab", "f_perfect", "f_indep", "f_null")
+    val r = Stats.splitGainPpm(df,
+        Seq("f_perfect", "f_indep", "f_null"), "lab")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    // parent: 2 balanced labels → impurity = 500000 ppm
+    assert(r("f_perfect") == (("f_perfect", 40L, 2L, 500000L, 0L, 500000L)))
+    assert(r("f_indep")._5 == 500000L && r("f_indep")._6 == 0L)
+    // NULL child: 20 rows, balanced (impurity 500000); h0/h1 pure
+    // → weighted = (20·500000)/40 = 250000, gain = 250000
+    assert(r("f_null") == (("f_null", 40L, 3L, 500000L, 250000L, 250000L)))
+    intercept[IllegalArgumentException](
+      Stats.splitGainPpm(df, Seq.empty, "lab"))
+    intercept[IllegalArgumentException](
+      Stats.splitGainPpm(df, Seq("f_indep", "f_indep"), "lab"))
+  }
+
+  test("splitGainPpm: partition independence, NULL labels excluded") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 300).map { i =>
+      (if (i % 17 == 0) null else s"l${rnd.nextInt(3)}",
+        s"a${rnd.nextInt(4)}", s"b${rnd.nextInt(2)}")
+    }.toDF("lab", "fa", "fb")
+    val a = Stats.splitGainPpm(df, Seq("fa", "fb"), "lab")
+      .collect().map(_.toSeq).toSet
+    val b = Stats.splitGainPpm(df.repartition(13), Seq("fa", "fb"), "lab")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // NULL labels never count
+    val n = Stats.splitGainPpm(df, Seq("fa"), "lab")
+      .select(col("n")).as[Long].collect().head
+    assert(n == (0 until 300).count(_ % 17 != 0))
+  }
+
+  test("crossCorrPpm: constant side NULL, partition independence") {
+    val const = (0 to 9).map(i => ("c", i.toLong, 5L, i.toLong))
+      .toDF("g", "t", "x", "y")
+    assert(Stats.crossCorrPpm(const, "g", "t", "x", "y", 2)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .forall(_._5.isEmpty))
+    val rnd = new scala.util.Random(11)
+    val df = (0 to 40).map(i =>
+      ("g", i.toLong, rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .toDF("g", "t", "x", "y")
+    val a = Stats.crossCorrPpm(df, "g", "t", "x", "y", 4)
+      .collect().map(_.toSeq).toSet
+    val b = Stats.crossCorrPpm(df.repartition(13), "g", "t", "x", "y", 4)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
