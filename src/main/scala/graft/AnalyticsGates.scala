@@ -426,6 +426,28 @@ object AnalyticsGates {
     graft.ops.Stats.splitGainPpm(d, Seq("source", "band", "resid"), "lang")
   }
 
+  // ISOTONIC CALIBRATION (ops/Stats.isotonicFit): exact PAVA of the
+  // purchase indicator on the dollar-bucket score — driver PAVA over
+  // the ≤10³-level histogram; the oracle replays the minimax
+  // characterization fit(k) = max_{i≤k} min_{j≥k} avg(i..j) in SQL
+  // (values non-negative in the fixture, so div/floor-div agree).
+  def q268_isotonic(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.isotonicFit(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(expr("CAST(floor(value*100) AS LONG) div 100").as("score"),
+          (col("event_type") === "purchase").cast("long").as("y")),
+      "score", "y")
+
+  // TRIMMED MEAN (ops/Stats.trimmedMeanMilli): mean of floor-cent
+  // values inside the exact [5%, 95%] type-1 fences per event type —
+  // the drop-don't-clamp sibling of q208's winsorization.
+  def q269_trimmed_mean(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.trimmedMeanMilli(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents")),
+      "event_type", "cents")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -463,7 +485,9 @@ object AnalyticsGates {
     "q263_hotspots"      -> q263_hotspots _,
     "q264_mad"           -> q264_mad _,
     "q265_ccf"           -> q265_ccf _,
-    "q267_split_gain"    -> q267_split_gain _)
+    "q267_split_gain"    -> q267_split_gain _,
+    "q268_isotonic"      -> q268_isotonic _,
+    "q269_trimmed_mean"  -> q269_trimmed_mean _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -540,6 +564,44 @@ object AnalyticsGates {
         |    AS n_outliers
         |FROM e JOIN med ON med.g=e.g JOIN mad ON mad.g=e.g
         |GROUP BY 1, med.med, mad.mad""".stripMargin,
+    "q268_isotonic" ->
+      """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT)//100 AS s,
+        |             CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y
+        |           FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT s, CAST(count(*) AS BIGINT) AS w,
+        |        CAST(sum(y) AS BIGINT) AS sy FROM e GROUP BY 1),
+        |c AS (SELECT s, w, sy, row_number() OVER (ORDER BY s) AS k,
+        |        sum(w) OVER (ORDER BY s) AS cw,
+        |        sum(sy) OVER (ORDER BY s) AS cs FROM h),
+        |t AS (SELECT a.k AS ka, b.k AS kb,
+        |        CAST(b.cs - (a.cs - a.sy) AS DOUBLE) /
+        |        CAST(b.cw - (a.cw - a.w) AS DOUBLE) AS avgv
+        |      FROM c a JOIN c b ON a.k <= b.k),
+        |inner_ AS (SELECT g.k AS k, t.ka AS ka, min(t.avgv) AS m
+        |           FROM c g JOIN t ON t.ka <= g.k AND t.kb >= g.k
+        |           GROUP BY 1, 2),
+        |fit AS (SELECT k, max(m) AS rate FROM inner_ GROUP BY 1)
+        |SELECT c.s AS score, c.w AS n, fit.rate AS rate
+        |FROM c JOIN fit ON fit.k = c.k""".stripMargin,
+    "q269_trimmed_mean" ->
+      """WITH e AS (SELECT event_type g, CAST(floor(value*100) AS BIGINT) v
+        |           FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT g, v, count(*) cnt FROM e GROUP BY 1,2),
+        |cum AS (SELECT g, v, sum(cnt) OVER (PARTITION BY g ORDER BY v) cum
+        |        FROM c),
+        |t AS (SELECT g, sum(cnt) n FROM c GROUP BY 1),
+        |f AS (SELECT cum.g,
+        |        min(v) FILTER (WHERE cum >= (50*t.n+999)//1000) lo,
+        |        min(v) FILTER (WHERE cum >= (950*t.n+999)//1000) hi
+        |      FROM cum JOIN t ON t.g=cum.g GROUP BY 1)
+        |SELECT e.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE e.v BETWEEN f.lo AND f.hi) AS BIGINT)
+        |    AS n_kept,
+        |  CAST((1000*sum(CASE WHEN e.v BETWEEN f.lo AND f.hi
+        |                      THEN CAST(e.v AS HUGEINT) ELSE 0 END))
+        |       // count(*) FILTER (WHERE e.v BETWEEN f.lo AND f.hi)
+        |       AS BIGINT) AS mean_milli
+        |FROM e JOIN f ON f.g = e.g GROUP BY 1""".stripMargin,
     "q267_split_gain" ->
       """WITH d AS (SELECT lang, source AS src,
         |             CAST(n_chars//500 AS VARCHAR) AS band,

@@ -1707,6 +1707,105 @@ object Stats {
               .stripMargin.replace("\n", " "))).as("r2_ppm"))
   }
 
+  /** ISOTONIC REGRESSION (PAVA) of a binary label on an integer
+    * score — the exact calibration map ("score s ⇒ observed rate r,
+    * non-decreasing in s") that [[reliabilityBuckets]] only
+    * approximates with fixed bins: pool-adjacent-violators over the
+    * score histogram, all pooling decisions by exact cross-
+    * multiplication (never a float compare), surfaced rate = the one
+    * terminal double division s/w (correctly rounded IEEE — the
+    * engine-stable operation; the pooled rational itself never
+    * rounds). Equals the classic minimax characterization
+    * fit(k) = max_{i≤k} min_{j≥k} avg(i..j) — the SQL-expressible
+    * form the oracle replays.
+    *
+    * Output: (score, n, rate) — one row per distinct score, rate
+    * non-decreasing.
+    *
+    * Scale shape: ONE (score, label) histogram groupBy — distinct
+    * scores shuffle, never rows — then driver PAVA over ≤ maxScores
+    * histogram rows (the guarded-driver-step precedent: union-find,
+    * Jacobi; PAVA is O(m) and a calibration axis is ~10³ buckets by
+    * construction). Loud failure past the guard: pre-bucket the
+    * score, don't raise the cap. */
+  def isotonicFit(df: DataFrame, scoreCol: String, labelCol: String,
+                  maxScores: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("s"))
+      .agg(count(lit(1)).as("w"),
+        sum(col(labelCol).cast("long")).as("sy"))
+      .orderBy(col("s"))
+      .as[(Long, Long, Long)].collect()
+    require(hist.length <= maxScores,
+      s"${hist.length} distinct scores exceeds maxScores=$maxScores — " +
+        "pre-bucket the score axis")
+    hist.foreach { case (s, _, sy) =>
+      require(sy >= 0, s"negative label sum at score $s — labels must " +
+        "be non-negative (binary 0/1 calibration)") }
+    // PAVA: blocks of (firstIdx, w, sy); pool while the previous
+    // block's average exceeds the next's (sy1·w2 > sy2·w1, exact)
+    val stack = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long)]
+    hist.zipWithIndex.foreach { case ((_, w, sy), i) =>
+      var cur = (i, w, sy)
+      while (stack.nonEmpty && {
+        val (_, pw, psy) = stack.last
+        // overflow-safe: label sums and weights are row counts
+        BigInt(psy) * cur._2 > BigInt(cur._3) * pw
+      }) {
+        val (pi, pw, psy) = stack.remove(stack.length - 1)
+        cur = (pi, pw + cur._2, psy + cur._3)
+      }
+      stack += cur
+    }
+    val rates = new Array[Double](hist.length)
+    val blocks = stack.toArray
+    blocks.zipWithIndex.foreach { case ((first, w, sy), bi) =>
+      val end = if (bi + 1 < blocks.length) blocks(bi + 1)._1
+                else hist.length
+      val r = sy.toDouble / w.toDouble
+      (first until end).foreach(rates(_) = r)
+    }
+    hist.zipWithIndex.map { case ((s, w, _), i) => (s, w, rates(i)) }
+      .toSeq.toDF("score", "n", "rate")
+  }
+
+  /** TRIMMED mean per group: the mean AFTER dropping everything
+    * outside the exact type-1 [loPm, hiPm] quantile fences — the
+    * robust-location sibling of [[winsorize]] (which clamps instead
+    * of dropping). mean_milli = (1000·Σv) div n_kept, exact integer.
+    *
+    * Output: (group, n, n_kept, mean_milli).
+    *
+    * Scale shape: one [[exactQuantilesByGroup]] pass (value
+    * histograms), fences broadcast, one final group aggregate. */
+  def trimmedMeanMilli(df: DataFrame, groupCol: String, valueCol: String,
+                       loPm: Int = 50, hiPm: Int = 950): DataFrame = {
+    require(loPm >= 1 && hiPm <= 1000 && loPm < hiPm,
+      s"fences must satisfy 1 <= loPm < hiPm <= 1000, got [$loPm, $hiPm]")
+    val d38 = "decimal(38,0)"
+    val fences = exactQuantilesByGroup(df, groupCol, valueCol,
+        Seq(("lo", loPm), ("hi", hiPm)))
+      .groupBy(col(groupCol))
+      .agg(max(when(col("label") === "lo", col("q"))).as("__lo"),
+        max(when(col("label") === "hi", col("q"))).as("__hi"))
+    df.where(col(valueCol).isNotNull)
+      .join(broadcast(fences), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valueCol).cast("long").between(col("__lo"), col("__hi")),
+          1L).otherwise(0L)).as("n_kept"),
+        sum(when(col(valueCol).cast("long").between(col("__lo"), col("__hi")),
+          col(valueCol).cast("long").cast(d38)).otherwise(lit(0).cast(d38)))
+          .as("__s"))
+      .select(col(groupCol), col("n"), col("n_kept"),
+        when(col("n_kept") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((1000 * __s) div n_kept AS BIGINT)"))
+          .as("mean_milli"))
+  }
+
   /** GINI-IMPURITY SPLIT GAIN per candidate feature — the
     * decision-tree split criterion as a feature-ranking screen:
     * "which metadata column best predicts the label?" (CART; the

@@ -912,6 +912,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("windowspecdefinition"), "TV needs no window")
   }
 
+  test("q269: trimmed mean runs on histograms; fences broadcast back") {
+    // (q268 isotonic has no distributed finish to audit: the operator
+    // is one histogram groupBy + a guarded ≤maxScores driver PAVA, so
+    // its result plan is a LocalTableScan by design)
+    val p = plan("q269_trimmed_mean")
+    assert(p.contains("partial_count"), "value histogram must map-combine")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastHashJoin"),
+      "the per-group fences must broadcast onto the rows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q262/q263: spatial gates join on cell keys — never a distance product") {
     val p = plan("q262_radius_pairs")
     assert(!p.contains("CartesianProduct") &&

@@ -1110,6 +1110,62 @@ class StatsSpec extends SparkTestBase {
     assert(n == (0 until 300).count(_ % 17 != 0))
   }
 
+  test("isotonicFit: hand PAVA pools, monotone output, guards") {
+    // raw rates by score: .5, 0, 1, .5 → PAVA pools (1,2)→.25 and
+    // (3,4)→.75
+    val rows = Seq((1L, 1L), (1L, 0L), (2L, 0L), (2L, 0L),
+      (3L, 1L), (3L, 1L), (4L, 1L), (4L, 0L))
+    val df = rows.toDF("score", "y")
+    val got = Stats.isotonicFit(df, "score", "y")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 0.25), (2L, 2L, 0.25),
+      (3L, 2L, 0.75), (4L, 2L, 0.75)))
+    // already isotonic → untouched; fully reversed → one global block
+    val iso = Seq((1L, 0L), (2L, 1L), (3L, 1L))
+    val gi = Stats.isotonicFit(iso.toDF("score", "y"), "score", "y")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(gi.map(_._3).toSeq == Seq(0.0, 1.0, 1.0))
+    val rev = Seq((1L, 1L), (2L, 0L))
+    val gr = Stats.isotonicFit(rev.toDF("score", "y"), "score", "y")
+      .as[(Long, Long, Double)].collect()
+    assert(gr.forall(_._3 == 0.5))
+    intercept[IllegalArgumentException](
+      Stats.isotonicFit(df, "score", "y", maxScores = 2))
+    intercept[IllegalArgumentException](
+      Stats.isotonicFit(Seq((1L, -1L)).toDF("score", "y"), "score", "y"))
+  }
+
+  test("isotonicFit: monotone + mass-preserving on random data, partition-independent") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 2000).map { _ =>
+      val s = rnd.nextInt(40).toLong
+      (s, if (rnd.nextInt(40) < s) 1L else 0L) // noisy increasing rate
+    }
+    val df = rows.toDF("score", "y")
+    val fit = Stats.isotonicFit(df, "score", "y")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(fit.sliding(2).forall(p => p(0)._3 <= p(1)._3), "must be monotone")
+    // PAVA preserves total mass: Σ w·rate = Σ y exactly up to float
+    val mass = fit.map(r => r._2 * r._3).sum
+    assert(math.abs(mass - rows.map(_._2).sum) < 1e-6)
+    val fit2 = Stats.isotonicFit(df.repartition(13), "score", "y")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(fit.toSeq == fit2.toSeq)
+  }
+
+  test("trimmedMeanMilli: outlier immunity, exact fences, empty-keep NULL") {
+    // 1..20 + outlier 1000: [10%, 90%] fences keep 3..19 → mean 11
+    val df = ((1L to 20L) :+ 1000L).map(("g", _)).toDF("g", "v")
+    val r = Stats.trimmedMeanMilli(df, "g", "v", loPm = 100, hiPm = 900)
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(r == (("g", 21L, 17L, Some(11000L))))
+    val r2 = Stats.trimmedMeanMilli(df.repartition(7), "g", "v", 100, 900)
+      .as[(String, Long, Long, Option[Long])].collect().head
+    assert(r2 == r)
+    intercept[IllegalArgumentException](
+      Stats.trimmedMeanMilli(df, "g", "v", 900, 100))
+  }
+
   test("crossCorrPpm: constant side NULL, partition independence") {
     val const = (0 to 9).map(i => ("c", i.toLong, 5L, i.toLong))
       .toDF("g", "t", "x", "y")
