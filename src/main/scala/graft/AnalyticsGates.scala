@@ -448,6 +448,26 @@ object AnalyticsGates {
           floor(col("value") * 100).cast("long").as("cents")),
       "event_type", "cents")
 
+  // CORRELATION MATRIX (ops/Stats.correlationMatrixPpm): every pair of
+  // daily event-type series, exact r²·sign ppm — the metric-redundancy
+  // screen; pairwise-complete on the day axis, one self-join bounded
+  // by days×types.
+  def q270_corr_matrix(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.correlationMatrixPpm(dailyCounts(s, dir),
+      "day", "event_type", "cnt")
+
+  // MAX CONCURRENCY (ops/EventAnalytics.maxConcurrency): peak number
+  // of simultaneously-active users per day (activity span = [first,
+  // last] event) + the earliest instant the peak is hit — sweep-line
+  // over ±1 deltas, starts before ends at equal ts (inclusive
+  // overlap), day-partitioned running count.
+  def q271_concurrency(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "events")
+      .groupBy(col("user_id"), expr(s"ts div ${dayUs}L").as("day"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    graft.ops.EventAnalytics.maxConcurrency(iv, "day", "s", "e")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -487,7 +507,9 @@ object AnalyticsGates {
     "q265_ccf"           -> q265_ccf _,
     "q267_split_gain"    -> q267_split_gain _,
     "q268_isotonic"      -> q268_isotonic _,
-    "q269_trimmed_mean"  -> q269_trimmed_mean _)
+    "q269_trimmed_mean"  -> q269_trimmed_mean _,
+    "q270_corr_matrix"   -> q270_corr_matrix _,
+    "q271_concurrency"   -> q271_concurrency _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -564,6 +586,43 @@ object AnalyticsGates {
         |    AS n_outliers
         |FROM e JOIN med ON med.g=e.g JOIN mad ON mad.g=e.g
         |GROUP BY 1, med.med, mad.mad""".stripMargin,
+    "q270_corr_matrix" ->
+      s"""WITH daily AS ($dailyCountsSql),
+        |l AS (SELECT day AS k, event_type AS a, CAST(cnt AS HUGEINT) AS x
+        |      FROM daily),
+        |j AS (SELECT la.a AS col_a, rb.a AS col_b, la.x AS x, rb.x AS y
+        |      FROM l la JOIN l rb ON rb.k = la.k AND la.a < rb.a),
+        |m AS (SELECT col_a, col_b, CAST(count(*) AS HUGEINT) AS n,
+        |        sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+        |        sum(x*x) AS sxx, sum(y*y) AS syy
+        |      FROM j GROUP BY 1, 2),
+        |r AS (SELECT col_a, col_b, n,
+        |        (1000000*(n*sxy - sx*sy)) // (n*n) AS cxy,
+        |        (1000000*(n*sxx - sx*sx)) // (n*n) AS vx,
+        |        (1000000*(n*syy - sy*sy)) // (n*n) AS vy FROM m)
+        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN cxy > 0 THEN 1 WHEN cxy < 0 THEN -1 ELSE 0 END
+        |       AS BIGINT) AS sign,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |       ELSE CAST((1000000*cxy*cxy) // (vx*vy) AS BIGINT)
+        |  END AS r2_ppm
+        |FROM r""".stripMargin,
+    "q271_concurrency" ->
+      """WITH iv AS (SELECT user_id AS u, epoch_us(ts)//86400000000 AS day,
+        |        min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+        |      FROM events GROUP BY 1, 2),
+        |d AS (SELECT day, s AS t, 1 AS dlt FROM iv
+        |      UNION ALL SELECT day, e, -1 FROM iv),
+        |c AS (SELECT day, t, dlt,
+        |        sum(dlt) OVER (PARTITION BY day ORDER BY t, dlt DESC
+        |          ROWS UNBOUNDED PRECEDING) AS c
+        |      FROM d),
+        |p AS (SELECT day, max(c) AS peak, count(*)//2 AS n_intervals
+        |      FROM c GROUP BY 1)
+        |SELECT c.day, CAST(p.n_intervals AS BIGINT) AS n_intervals,
+        |  CAST(p.peak AS BIGINT) AS peak, min(c.t) AS peak_ts
+        |FROM c JOIN p ON p.day = c.day AND c.c = p.peak
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q268_isotonic" ->
       """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT)//100 AS s,
         |             CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y

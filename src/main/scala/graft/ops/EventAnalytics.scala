@@ -539,4 +539,50 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_dwells"), sum(col("__dw")).as("total_us"),
         expr("sum(__dw) div count(1)").as("mean_us"))
   }
+
+  /** MAX CONCURRENCY per group — the peak number of simultaneously
+    * open intervals (sessions online at once, parallel jobs, open
+    * connections), the capacity-planning number a raw count can't
+    * give. Sweep-line over ±1 deltas: starts sort BEFORE ends at the
+    * same instant, so touching closed intervals [a, t] and [t, b]
+    * count as concurrent — the inclusive-overlap convention, pinned.
+    *
+    * Output: (group, n_intervals, peak, peak_ts) — peak_ts the
+    * EARLIEST instant the peak is reached (a total order: the running
+    * count is fixed given the pinned delta order).
+    *
+    * Scale shape: intervals emit exactly two (group, ts, ±1) rows; the
+    * running count is a group-partitioned window over them (bounded by
+    * a group's intervals — the per-group-series window shape of the
+    * quantile family); one partial groupBy finishes. Null or inverted
+    * intervals (end < start) are rejected loudly — they would silently
+    * corrupt every later count in the sweep. */
+  def maxConcurrency(intervals: DataFrame, groupCol: String,
+                     startCol: String, endCol: String): DataFrame = {
+    val base = intervals.select(col(groupCol).as("__g"),
+      col(startCol).cast("long").as("__s"),
+      col(endCol).cast("long").as("__e"))
+    val bad = base.where(col("__s").isNull || col("__e").isNull ||
+      col("__e") < col("__s")).limit(1).count()
+    require(bad == 0,
+      "null or inverted intervals (end < start) in maxConcurrency input")
+    val deltas = base.select(col("__g"), col("__s").as("__t"),
+        lit(1L).as("__d"))
+      .unionByName(base.select(col("__g"), col("__e").as("__t"),
+        lit(-1L).as("__d")))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__t").asc, col("__d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = deltas.withColumn("__c", sum(col("__d")).over(w))
+    val peaks = swept.groupBy(col("__g"))
+      .agg(max(col("__c")).as("peak"),
+        (count(lit(1)) / 2).cast("long").as("n_intervals"))
+    swept.join(peaks, "__g")
+      .where(col("__c") === col("peak"))
+      .groupBy(col("__g"))
+      .agg(first(col("n_intervals")).as("n_intervals"),
+        first(col("peak")).as("peak"),
+        min(col("__t")).as("peak_ts"))
+      .withColumnRenamed("__g", groupCol)
+  }
 }

@@ -1707,6 +1707,60 @@ object Stats {
               .stripMargin.replace("\n", " "))).as("r2_ppm"))
   }
 
+  /** CORRELATION MATRIX over long-format metrics: for every unordered
+    * metric pair (a < b), [[pearsonR2Ppm]]'s exact r²·sign over the
+    * keys where BOTH metrics are present (pairwise-complete — the
+    * standard matrix semantics) — the feature-redundancy screen run
+    * before model training or metric pruning. Input is
+    * (key, name, value) long format: one row per metric observation,
+    * `keyCol` the alignment axis (day, user, doc).
+    *
+    * Output: (col_a, col_b, n, sign, r2_ppm) — one row per pair with
+    * ≥ 1 aligned key; constant sides yield NULL r².
+    *
+    * Scale shape: ONE key-keyed self-join (name_a < name_b — series
+    * rows, bounded by keys×metrics, never raw data) + one
+    * (a, b) partial moment groupBy. The micro-moment reduction keeps
+    * every product in DECIMAL(38,0) regardless of series length. */
+  def correlationMatrixPpm(df: DataFrame, keyCol: String,
+                           nameCol: String, valueCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = df
+      .where(col(nameCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(nameCol).cast("string").as("__n"),
+        col(valueCol).cast("long").as("__v"))
+    val left = base.select(col("__k"), col("__n").as("col_a"),
+      col("__v").as("__xv"))
+    val right = base.select(col("__k"), col("__n").as("col_b"),
+      col("__v").as("__yv"))
+    val mom = left.join(right, Seq("__k"))
+      .where(col("col_a") < col("col_b"))
+      .select(col("col_a"), col("col_b"),
+        col("__xv").cast(d38).as("__x"), col("__yv").cast(d38).as("__y"))
+      .groupBy(col("col_a"), col("col_b"))
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    mom
+      .withColumn("__cxy",
+        expr("(1000000 * (__n * __sxy - __sx * __sy)) div (__n * __n)"))
+      .withColumn("__vx",
+        expr("(1000000 * (__n * __sxx - __sx * __sx)) div (__n * __n)"))
+      .withColumn("__vy",
+        expr("(1000000 * (__n * __syy - __sy * __sy)) div (__n * __n)"))
+      .select(col("col_a"), col("col_b"),
+        col("__n").cast("long").as("n"),
+        signum(col("__cxy")).cast("long").as("sign"),
+        when(col("__vx") === 0 || col("__vy") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * CAST(__cxy AS DECIMAL(38,0)) * __cxy)
+              |div (CAST(__vx AS DECIMAL(38,0)) * __vy) AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).as("r2_ppm"))
+  }
+
   /** ISOTONIC REGRESSION (PAVA) of a binary label on an integer
     * score — the exact calibration map ("score s ⇒ observed rate r,
     * non-decreasing in s") that [[reliabilityBuckets]] only

@@ -406,4 +406,44 @@ class EventAnalyticsSpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(rep == got)
   }
+
+  test("maxConcurrency: sweep line, inclusive touching, earliest peak ts") {
+    // [1,5],[2,3],[4,8],[8,10]: counts 1,2,1,2,1,{2,1},0 → peak 2,
+    // first reached at t=2; [4,8] and [8,10] touch at 8 → concurrent
+    val iv = Seq(("g", 1L, 5L), ("g", 2L, 3L), ("g", 4L, 8L),
+      ("g", 8L, 10L)).toDF("g", "s", "e")
+    val r = EventAnalytics.maxConcurrency(iv, "g", "s", "e")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(r == (("g", 4L, 2L, 2L)))
+    // disjoint intervals never exceed 1; zero-length interval counts
+    val dis = Seq(("d", 1L, 1L), ("d", 3L, 4L)).toDF("g", "s", "e")
+    val rd = EventAnalytics.maxConcurrency(dis, "g", "s", "e")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(rd == (("d", 2L, 1L, 1L)))
+    // inverted interval fails loud
+    val bad = Seq(("b", 5L, 1L)).toDF("g", "s", "e")
+    intercept[IllegalArgumentException](
+      EventAnalytics.maxConcurrency(bad, "g", "s", "e"))
+  }
+
+  test("maxConcurrency: partition independence on random interval sets") {
+    val rnd = new scala.util.Random(17)
+    val iv = (1 to 400).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (s"g${i % 3}", s, s + rnd.nextInt(50))
+    }.toDF("g", "s", "e")
+    val a = EventAnalytics.maxConcurrency(iv, "g", "s", "e")
+      .collect().map(_.toSeq).toSet
+    val b = EventAnalytics.maxConcurrency(iv.repartition(11), "g", "s", "e")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    // driver sweep reference on one group
+    val one = iv.where(col("g") === "g0")
+      .as[(String, Long, Long)].collect()
+    val deltas = one.flatMap(x => Seq((x._2, 1), (x._3, -1)))
+      .sortBy(d => (d._1, -d._2))
+    val peak = deltas.scanLeft(0)((c, d) => c + d._2).max
+    val got = a.find(_.head == "g0").get
+    assert(got(2) == peak.toLong)
+  }
 }

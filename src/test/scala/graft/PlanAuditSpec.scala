@@ -924,6 +924,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q270/q271: matrix joins on the key axis; sweep windows by group") {
+    val p = plan("q270_corr_matrix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must equi-join on the alignment key")
+    assert(p.contains("partial_count"), "pair moments must map-combine")
+    assert(!p.contains("windowspecdefinition"), "matrix needs no window")
+    val c = plan("q271_concurrency")
+    assert(c.contains("windowspecdefinition(__g"),
+      "the sweep window must partition by the group")
+    assert(!c.contains("CartesianProduct"))
+  }
+
   test("q262/q263: spatial gates join on cell keys — never a distance product") {
     val p = plan("q262_radius_pairs")
     assert(!p.contains("CartesianProduct") &&

@@ -1110,6 +1110,28 @@ class StatsSpec extends SparkTestBase {
     assert(n == (0 until 300).count(_ % 17 != 0))
   }
 
+  test("correlationMatrixPpm: perfect pairs, pairwise-complete n, matches pearson") {
+    // b = 2a (r = +1), c = 100 − a (r = −1); d observed on half the keys
+    val rows = (1L to 10L).flatMap { k =>
+      Seq((k, "a", k), (k, "b", 2 * k), (k, "c", 100 - k)) ++
+        (if (k <= 5) Seq((k, "d", k * k)) else Nil)
+    }
+    val df = rows.toDF("k", "m", "v")
+    val got = Stats.correlationMatrixPpm(df, "k", "m", "v")
+      .as[(String, String, Long, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got(("a", "b")) == ((10L, 1L, Some(1000000L))))
+    assert(got(("a", "c")) == ((10L, -1L, Some(1000000L))))
+    assert(got(("b", "c"))._2 == -1L)
+    assert(got(("a", "d"))._1 == 5L, "pairwise-complete n over d's keys")
+    assert(got.size == 6, "C(4,2) unordered pairs")
+    // each pair must equal the dedicated two-column pearson
+    val wide = (1L to 5L).map(k => ("g", k, k * k)).toDF("g", "x", "y")
+    val p = Stats.pearsonR2Ppm(wide, "g", "x", "y").collect().head
+    assert(got(("a", "d"))._2 == p.getLong(2) &&
+      got(("a", "d"))._3 == Option(p.get(3)).map(_.asInstanceOf[Long]))
+  }
+
   test("isotonicFit: hand PAVA pools, monotone output, guards") {
     // raw rates by score: .5, 0, 1, .5 → PAVA pools (1,2)→.25 and
     // (3,4)→.75
