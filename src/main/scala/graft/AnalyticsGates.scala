@@ -468,6 +468,19 @@ object AnalyticsGates {
     graft.ops.EventAnalytics.maxConcurrency(iv, "day", "s", "e")
   }
 
+  // BEST SPLIT THRESHOLD (ops/Stats.bestSplitThreshold): the
+  // distributed tree-split finder over the value histogram — label
+  // planted as (cents ≥ 3500) XOR a 1-in-7 noise bit, so the argmax
+  // must recover band 34 in every group through the noise.
+  def q272_best_split(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").where(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(floor(value*100) AS LONG) div 100").as("band"),
+        ((floor(col("value") * 100).cast("long") >= 3500) =!=
+          (col("event_id") % 7 === 0)).cast("long").as("y"))
+    graft.ops.Stats.bestSplitThreshold(e, "event_type", "band", "y")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -509,7 +522,8 @@ object AnalyticsGates {
     "q268_isotonic"      -> q268_isotonic _,
     "q269_trimmed_mean"  -> q269_trimmed_mean _,
     "q270_corr_matrix"   -> q270_corr_matrix _,
-    "q271_concurrency"   -> q271_concurrency _)
+    "q271_concurrency"   -> q271_concurrency _,
+    "q272_best_split"    -> q272_best_split _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -586,6 +600,35 @@ object AnalyticsGates {
         |    AS n_outliers
         |FROM e JOIN med ON med.g=e.g JOIN mad ON mad.g=e.g
         |GROUP BY 1, med.med, mad.mad""".stripMargin,
+    "q272_best_split" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(floor(value*100) AS BIGINT)//100 AS v,
+        |    CASE WHEN (CAST(floor(value*100) AS BIGINT) >= 3500)
+        |              <> (event_id % 7 = 0) THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT g, v, CAST(count(*) AS HUGEINT) AS w,
+        |        CAST(sum(y) AS HUGEINT) AS p FROM e GROUP BY 1,2),
+        |c AS (SELECT g, v, w, p,
+        |        sum(w) OVER (PARTITION BY g ORDER BY v) AS cw,
+        |        sum(p) OVER (PARTITION BY g ORDER BY v) AS cp FROM h),
+        |t AS (SELECT g, sum(w) AS n, sum(p) AS pos FROM h GROUP BY 1),
+        |sc AS (SELECT c.g, c.v, c.cw, t.n,
+        |    1000000 - (1000000*(t.pos*t.pos + (t.n-t.pos)*(t.n-t.pos)))
+        |      //(t.n*t.n) AS parent,
+        |    (1000000*(c.cp*c.cp + (c.cw-c.cp)*(c.cw-c.cp)))//c.cw AS lterm,
+        |    (1000000*((t.pos-c.cp)*(t.pos-c.cp) +
+        |       ((t.n-c.cw)-(t.pos-c.cp))*((t.n-c.cw)-(t.pos-c.cp))))
+        |      //(t.n-c.cw) AS rterm
+        |  FROM c JOIN t ON t.g = c.g WHERE c.cw < t.n),
+        |g2 AS (SELECT g, v, cw, n, parent,
+        |         parent - (1000000 - (lterm+rterm)//n) AS gain FROM sc),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY g
+        |           ORDER BY gain DESC, v ASC) AS rn FROM g2)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(parent AS BIGINT) AS parent_ppm, v AS threshold,
+        |  CAST(gain AS BIGINT) AS gain_ppm, CAST(cw AS BIGINT) AS left_n,
+        |  CAST(n - cw AS BIGINT) AS right_n
+        |FROM best WHERE rn = 1""".stripMargin,
     "q270_corr_matrix" ->
       s"""WITH daily AS ($dailyCountsSql),
         |l AS (SELECT day AS k, event_type AS a, CAST(cnt AS HUGEINT) AS x

@@ -509,5 +509,7 @@ object VectorFunctions {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_cosine",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler_ppm",
+      exprs => JaroWinklerPpm(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -1860,6 +1860,73 @@ object Stats {
           .as("mean_milli"))
   }
 
+  /** BEST SPLIT THRESHOLD on a numeric feature — the distributed
+    * decision-tree split finder (the histogram scan at the core of
+    * XGBoost/LightGBM tree building): for every candidate threshold t
+    * (each distinct feature value; split = v ≤ t vs v > t) the Gini
+    * gain of a BINARY label, argmax per group, ties to the smallest
+    * threshold. [[splitGainPpm]] ranks categorical features; this
+    * finds WHERE to cut a numeric one. Exact integer ppm — binary
+    * labels make Σc² = pos² + neg², child terms
+    * (10⁶·(cpos² + (cw−cpos)²)) div cw, gain = parent − weighted, all
+    * in DECIMAL(38,0).
+    *
+    * Output: (group, n, parent_ppm, threshold, gain_ppm, left_n,
+    * right_n) — one row per group with ≥ 2 distinct values; the
+    * max-value "threshold" (empty right child) is not a split and is
+    * excluded.
+    *
+    * Scale shape: ONE (group, value) histogram groupBy carrying
+    * (w, pos) — distinct values shuffle, never rows — a
+    * group-partitioned prefix-sum window bounded by one group's
+    * distinct values, broadcast group totals, and a min(struct)
+    * argmax. The classic row-sorted split scan is a global sort; this
+    * never sorts rows. */
+  def bestSplitThreshold(df: DataFrame, groupCol: String,
+                         featureCol: String, labelCol: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val hist = df.where(col(featureCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"),
+        col(featureCol).cast("long").as("__v"))
+      .agg(count(lit(1)).cast(d38).as("__w"),
+        sum(col(labelCol).cast("long")).cast(d38).as("__p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v").asc)
+    val cum = hist
+      .withColumn("__cw", sum(col("__w")).over(w))
+      .withColumn("__cp", sum(col("__p")).over(w))
+    val totals = hist.groupBy(col("__g").as("__g2"))
+      .agg(sum(col("__w")).as("__n"), sum(col("__p")).as("__pos"))
+    val scored = cum.join(broadcast(totals), col("__g") <=> col("__g2"))
+      .where(col("__cw") < col("__n")) // max value is not a split
+      .withColumn("__parent", expr(
+        """1000000 - (1000000 * (__pos * __pos +
+          |(__n - __pos) * (__n - __pos))) div (__n * __n)"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("__lterm", expr(
+        """(1000000 * (__cp * __cp + (__cw - __cp) * (__cw - __cp)))
+          |div __cw""".stripMargin.replace("\n", " ")))
+      .withColumn("__rterm", expr(
+        """(1000000 * ((__pos - __cp) * (__pos - __cp) +
+          |((__n - __cw) - (__pos - __cp)) * ((__n - __cw) - (__pos - __cp))))
+          |div (__n - __cw)""".stripMargin.replace("\n", " ")))
+      .withColumn("__gain", (col("__parent") -
+        expr("1000000 - (__lterm + __rterm) div __n")).cast("long"))
+    scored.groupBy(col("__g"))
+      .agg(min(struct((-col("__gain")).as("ng"), col("__v").as("v"),
+          col("__cw").cast("long").as("ln"),
+          (col("__n") - col("__cw")).cast("long").as("rn"),
+          col("__n").cast("long").as("n"),
+          col("__parent").cast("long").as("pp"))).as("__best"))
+      .select(col("__g").as(groupCol),
+        col("__best.n").as("n"),
+        col("__best.pp").as("parent_ppm"),
+        col("__best.v").as("threshold"),
+        (-col("__best.ng")).as("gain_ppm"),
+        col("__best.ln").as("left_n"),
+        col("__best.rn").as("right_n"))
+  }
+
   /** GINI-IMPURITY SPLIT GAIN per candidate feature — the
     * decision-tree split criterion as a feature-ranking screen:
     * "which metadata column best predicts the label?" (CART; the

@@ -937,6 +937,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!c.contains("CartesianProduct"))
   }
 
+  test("q272: split finder scans histograms; prefix window stays grouped") {
+    val p = plan("q272_best_split")
+    assert(p.contains("partial_count"), "value histogram must map-combine")
+    assert(p.contains("windowspecdefinition(__g"),
+      "prefix sums must partition by the group")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "group totals must broadcast onto the candidate rows")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q262/q263: spatial gates join on cell keys — never a distance product") {
     val p = plan("q262_radius_pairs")
     assert(!p.contains("CartesianProduct") &&

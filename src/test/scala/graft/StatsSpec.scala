@@ -1132,6 +1132,46 @@ class StatsSpec extends SparkTestBase {
       got(("a", "d"))._3 == Option(p.get(3)).map(_.asInstanceOf[Long]))
   }
 
+  test("bestSplitThreshold: perfect cut found, ties to smallest, argmax exact") {
+    // label = v >= 5: threshold 4 splits perfectly (left 1..4, right 5..8)
+    val perfect = (1L to 8L).flatMap(v =>
+      Seq.fill(3)(("g", v, if (v >= 5) 1L else 0L))).toDF("g", "v", "y")
+    val r = Stats.bestSplitThreshold(perfect, "g", "v", "y")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    // parent = 500000 (balanced), perfect split → gain = parent
+    assert(r == (("g", 24L, 500000L, 4L, 500000L, 12L, 12L)))
+    // constant label → every gain 0, tie breaks to the SMALLEST value
+    val flat = (1L to 5L).map(v => ("f", v, 1L)).toDF("g", "v", "y")
+    val rf = Stats.bestSplitThreshold(flat, "g", "v", "y")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(rf._4 == 1L && rf._5 == 0L)
+    // driver argmax reference on random data
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 500).map(_ =>
+      ("r", rnd.nextInt(20).toLong, rnd.nextInt(2).toLong))
+    def gainAt(t: Long): (Long, Long) = {
+      val n = rows.size.toLong; val pos = rows.map(_._3).sum
+      val parent = 1000000L -
+        (1000000L * (pos * pos + (n - pos) * (n - pos))) / (n * n)
+      val l = rows.filter(_._2 <= t)
+      val (lw, lp) = (l.size.toLong, l.map(_._3).sum)
+      val (rw, rp) = (n - lw, pos - lp)
+      val lt = (1000000L * (lp * lp + (lw - lp) * (lw - lp))) / lw
+      val rt = (1000000L * (rp * rp + (rw - rp) * (rw - rp))) / rw
+      (parent, parent - (1000000L - (lt + rt) / n))
+    }
+    val cands = rows.map(_._2).distinct.sorted.dropRight(1)
+    val best = cands.map(t => (gainAt(t)._2, t))
+      .sortBy(p => (-p._1, p._2)).head
+    val rr = Stats.bestSplitThreshold(rows.toDF("g", "v", "y"), "g", "v", "y")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert((rr._5, rr._4) == best, s"got $rr want $best")
+    val rr2 = Stats.bestSplitThreshold(
+        rows.toDF("g", "v", "y").repartition(13), "g", "v", "y")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(rr == rr2)
+  }
+
   test("isotonicFit: hand PAVA pools, monotone output, guards") {
     // raw rates by score: .5, 0, 1, .5 → PAVA pools (1,2)→.25 and
     // (3,4)→.75

@@ -88,6 +88,15 @@ class StringSimilaritySpec extends SparkTestBase {
     assert(plan.contains("*("), s"not codegen'd:\n$plan")
   }
 
+  test("SQL registration: jaro_winkler_ppm callable from spark.sql") {
+    graft.functions.VectorFunctions.registerSql(spark)
+    Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+      .createOrReplaceTempView("jw_test")
+    val r = spark.sql("SELECT jaro_winkler_ppm(a, b) AS jw FROM jw_test")
+      .as[Long].head()
+    assert(r == 961111L)
+  }
+
   test("oversized input fails loud") {
     val big = "x" * 4001
     intercept[IllegalArgumentException](jw(big, "x"))
