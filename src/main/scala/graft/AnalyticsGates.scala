@@ -481,6 +481,73 @@ object AnalyticsGates {
     graft.ops.Stats.bestSplitThreshold(e, "event_type", "band", "y")
   }
 
+  // TOP SESSION PATHS (ops/EventAnalytics.topPaths): the 20 most
+  // common 3-step event-type journeys per (user, day) session — the
+  // Sankey source table; path order (ts, event_id), cut ties
+  // (n DESC, path).
+  def q273_top_paths(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.topPaths(
+      t(s, dir, "events")
+        .withColumn("day", expr(s"ts div ${dayUs}L")),
+      Seq("user_id", "day"), "ts", "event_id", "event_type",
+      steps = 3, k = 20)
+
+  // PER-CLASS P/R/F1 (ops/EventAnalytics.classReport): the fixture's
+  // lang labels vs q200's simulated noisy re-annotation (every 7th
+  // doc flips to 'en') — per-class precision/recall/F1 in exact ppm;
+  // 'en' trades perfect recall for precision, every other class the
+  // reverse.
+  def q274_class_report(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.classReport(
+      t(s, dir, "documents").where(col("lang").isNotNull)
+        .select(col("lang"),
+          when(col("doc_id") % 7 === 0, "en").otherwise(col("lang"))
+            .as("pred")),
+      "lang", "pred")
+
+  // CUMULATIVE GAINS (ops/Stats.gainsTable): decile targeting table
+  // over the q272 planted score/label — the top half must capture
+  // ~6/7 of positives (the signal), the tail the 1-in-7 noise.
+  def q275_gains(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.gainsTable(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(floor(col("value") * 100).cast("long").as("cents"),
+          ((floor(col("value") * 100).cast("long") >= 3500) =!=
+            (col("event_id") % 7 === 0)).cast("long").as("y")),
+      "cents", "y", bins = 10)
+
+  // FUNCTIONAL DEPENDENCIES (ops/Profiler.functionalDependencies):
+  // schema-discovery probe — o_orderkey → o_orderdate must HOLD (key
+  // uniqueness), the two non-key pairs must violate with real
+  // violation counts. holds surfaced as 0/1 BIGINT (engine-stable).
+  def q276_fd_check(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiler.functionalDependencies(
+        t(s, dir, "orders"),
+        Seq(("o_orderkey", "o_orderdate"),
+          ("o_custkey", "o_orderpriority"),
+          ("o_orderdate", "o_orderpriority")))
+      .withColumn("holds", col("holds").cast("long"))
+
+  // SUBTREE ROLLUP (composite: Hierarchy.ancestors closure → value
+  // join → per-ancestor aggregate): every node's descendant count and
+  // descendant-inclusive n_chars total over the doc_id div 2 tree —
+  // the org-chart / BOM rollup query WITH RECURSIVE exists for.
+  def q277_subtree_rollup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") >= 1)
+    val closure = graft.ops.Hierarchy.ancestors(
+      docs.select(col("doc_id").as("child"),
+        expr("doc_id div 2").as("parent")),
+      "child", "parent", maxDepth = 12)
+    val pairs = closure.select(col("node"), col("ancestor"))
+      .unionByName(docs.select(col("doc_id").as("node"),
+        col("doc_id").as("ancestor")))
+    pairs.join(docs.select(col("doc_id").as("node"), col("n_chars")),
+        "node")
+      .groupBy(col("ancestor"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("n_chars")).as("subtree_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -523,7 +590,12 @@ object AnalyticsGates {
     "q269_trimmed_mean"  -> q269_trimmed_mean _,
     "q270_corr_matrix"   -> q270_corr_matrix _,
     "q271_concurrency"   -> q271_concurrency _,
-    "q272_best_split"    -> q272_best_split _)
+    "q272_best_split"    -> q272_best_split _,
+    "q273_top_paths"     -> q273_top_paths _,
+    "q274_class_report"  -> q274_class_report _,
+    "q275_gains"         -> q275_gains _,
+    "q276_fd_check"      -> q276_fd_check _,
+    "q277_subtree_rollup" -> q277_subtree_rollup _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -600,6 +672,103 @@ object AnalyticsGates {
         |    AS n_outliers
         |FROM e JOIN med ON med.g=e.g JOIN mad ON mad.g=e.g
         |GROUP BY 1, med.med, mad.mad""".stripMargin,
+    "q277_subtree_rollup" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT doc_id AS node, doc_id // 2 AS ancestor
+        |  FROM documents WHERE doc_id >= 1
+        |  UNION ALL
+        |  SELECT node, ancestor // 2 FROM anc WHERE ancestor >= 1),
+        |pairs AS (SELECT node, ancestor FROM anc
+        |          UNION ALL
+        |          SELECT doc_id, doc_id FROM documents WHERE doc_id >= 1),
+        |j AS (SELECT p.ancestor, d.n_chars FROM pairs p
+        |      JOIN documents d ON d.doc_id = p.node)
+        |SELECT CAST(ancestor AS BIGINT) AS ancestor,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(n_chars) AS BIGINT) AS subtree_chars
+        |FROM j GROUP BY 1""".stripMargin,
+    "q276_fd_check" -> {
+      def pairSql(det: String, dep: String) =
+        s"""SELECT '$det' AS det, '$dep' AS dep,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(coalesce(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END), 0)
+           |       AS BIGINT) AS n_violating,
+           |  CAST(coalesce(max(nv), 0) AS BIGINT) AS max_deps,
+           |  CAST(CASE WHEN coalesce(sum(CASE WHEN nv > 1 THEN 1 ELSE 0
+           |       END), 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+           |FROM (SELECT k, count(*) AS nv
+           |      FROM (SELECT DISTINCT CAST($det AS VARCHAR) AS k,
+           |              CAST($dep AS VARCHAR) AS v
+           |            FROM orders WHERE $det IS NOT NULL)
+           |      GROUP BY 1)""".stripMargin
+      Seq(pairSql("o_orderkey", "o_orderdate"),
+        pairSql("o_custkey", "o_orderpriority"),
+        pairSql("o_orderdate", "o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "")
+    },
+    "q273_top_paths" ->
+      """WITH e AS (SELECT user_id u, epoch_us(ts)//86400000000 AS day,
+        |             event_type t,
+        |             row_number() OVER (PARTITION BY user_id,
+        |               epoch_us(ts)//86400000000
+        |               ORDER BY epoch_us(ts), event_id) AS rn
+        |           FROM events),
+        |p AS (SELECT u, day, string_agg(t, '>' ORDER BY rn) AS path
+        |      FROM e WHERE rn <= 3 GROUP BY 1,2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "q274_class_report" ->
+      """WITH t AS (SELECT lang AS l,
+        |             CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS p
+        |           FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT l, p, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1,2),
+        |bt AS (SELECT l AS clazz, sum(n) AS n_true,
+        |         sum(CASE WHEN l = p THEN n ELSE 0 END) AS tp
+        |       FROM c GROUP BY 1),
+        |bp AS (SELECT p AS clazz, sum(n) AS n_pred FROM c GROUP BY 1)
+        |SELECT coalesce(bt.clazz, bp.clazz) AS clazz,
+        |  CAST(coalesce(n_true,0) AS BIGINT) AS n_true,
+        |  CAST(coalesce(n_pred,0) AS BIGINT) AS n_pred,
+        |  CAST(coalesce(tp,0) AS BIGINT) AS tp,
+        |  CASE WHEN coalesce(n_pred,0)=0 THEN NULL
+        |       ELSE CAST((1000000*coalesce(tp,0))//n_pred AS BIGINT)
+        |  END AS precision_ppm,
+        |  CASE WHEN coalesce(n_true,0)=0 THEN NULL
+        |       ELSE CAST((1000000*coalesce(tp,0))//n_true AS BIGINT)
+        |  END AS recall_ppm,
+        |  CASE WHEN coalesce(n_true,0)+coalesce(n_pred,0)=0 THEN NULL
+        |       ELSE CAST((2000000*coalesce(tp,0))
+        |            //(coalesce(n_true,0)+coalesce(n_pred,0)) AS BIGINT)
+        |  END AS f1_ppm
+        |FROM bt FULL OUTER JOIN bp ON bp.clazz = bt.clazz""".stripMargin,
+    "q275_gains" ->
+      """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT) AS s,
+        |    CASE WHEN (CAST(floor(value*100) AS BIGINT) >= 3500)
+        |              <> (event_id % 7 = 0) THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT s, CAST(count(*) AS BIGINT) AS w,
+        |        CAST(sum(y) AS BIGINT) AS p FROM e GROUP BY 1),
+        |c AS (SELECT s, w, p, sum(w) OVER (ORDER BY s DESC) AS cum FROM h),
+        |t AS (SELECT sum(w) AS n, sum(p) AS pos FROM h),
+        |b AS (SELECT (10*c.cum + t.n - 1)//t.n AS bin, sum(w) AS n,
+        |        sum(p) AS n_pos, any_value(t.n) AS tn,
+        |        any_value(t.pos) AS tpos
+        |      FROM c CROSS JOIN t GROUP BY 1),
+        |cb AS (SELECT a.bin, any_value(a.n) AS n, any_value(a.n_pos) AS n_pos,
+        |         sum(b2.n) AS cum_n, sum(b2.n_pos) AS cum_pos,
+        |         any_value(a.tn) AS tn, any_value(a.tpos) AS tpos
+        |       FROM b a JOIN b b2 ON b2.bin <= a.bin GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  CASE WHEN tpos=0 THEN NULL
+        |       ELSE CAST((1000000*cum_pos)//tpos AS BIGINT)
+        |  END AS capture_ppm,
+        |  CASE WHEN tpos=0 OR cum_n=0 THEN NULL
+        |       ELSE CAST((1000000*CAST(cum_pos AS HUGEINT)*tn)
+        |            //(CAST(tpos AS HUGEINT)*cum_n) AS BIGINT)
+        |  END AS lift_ppm
+        |FROM cb""".stripMargin,
     "q272_best_split" ->
       """WITH e AS (SELECT event_type AS g,
         |    CAST(floor(value*100) AS BIGINT)//100 AS v,

@@ -540,6 +540,87 @@ object EventAnalytics {
         expr("sum(__dw) div count(1)").as("mean_us"))
   }
 
+  /** TOP-k SESSION PATHS: the most common `steps`-prefix of event
+    * types per session — the Sankey/user-journey table ("view > click
+    * > purchase: 1200 sessions"). Sessions are whatever key columns
+    * the caller passes (user, user×day, a sessionize() output id).
+    * Path order is (ts, id) — the repo's total event order — and ties
+    * in the final cut break (n DESC, path ASC).
+    *
+    * Output: (path, n) — top k.
+    *
+    * Scale shape: one session-partitioned window bounded by a
+    * session's events, prefix assembly via sort_array over ≤ steps
+    * elements (never a cross-session structure), one path groupBy,
+    * TakeOrderedAndProject cut. */
+  def topPaths(events: DataFrame, sessionCols: Seq[String], tsCol: String,
+               idCol: String, typeCol: String, steps: Int,
+               k: Int): DataFrame = {
+    require(steps >= 1 && steps <= 32, s"steps in [1,32], got $steps")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(sessionCols.nonEmpty, "need at least one session key column")
+    val sess = sessionCols.map(col)
+    val w = Window.partitionBy(sess: _*)
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    events
+      .select(sess :+ col(tsCol) :+ col(idCol) :+
+        col(typeCol).cast("string").as("__t"): _*)
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= steps)
+      .groupBy(sess: _*)
+      .agg(array_join(expr("transform(array_sort(" +
+        "collect_list(struct(__r, __t))), x -> x.__t)"), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
+  /** PER-CLASS classifier report: precision / recall / F1 in exact
+    * integer ppm from the (label, pred) confusion cells — the
+    * class-level complement of [[graft.ops.Stats.cohenKappaPpm]]'s
+    * single agreement number. A class appearing only in labels (never
+    * predicted) or only in predictions still gets a row — silent
+    * class vanishing is the bug this report exists to catch.
+    *
+    * precision = 10⁶·tp div (tp+fp), recall = 10⁶·tp div (tp+fn),
+    * f1 = 2·10⁶·tp div (2tp+fp+fn) — the harmonic mean without ever
+    * forming a fraction; NULL where the denominator is 0.
+    *
+    * Output: (clazz, n_true, n_pred, tp, precision_ppm, recall_ppm,
+    * f1_ppm).
+    *
+    * Scale shape: ONE (label, pred) cell groupBy — alphabet², never
+    * rows — then two alphabet-bounded rollups full-outer-joined on
+    * the class. */
+  def classReport(df: DataFrame, labelCol: String,
+                  predCol: String): DataFrame = {
+    val cells = df
+      .where(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(labelCol).cast("string").as("__l"),
+        col(predCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val byTrue = cells.groupBy(col("__l").as("clazz"))
+      .agg(sum(col("__c")).as("n_true"),
+        sum(when(col("__l") === col("__p"), col("__c")).otherwise(0L))
+          .as("__tp1"))
+    val byPred = cells.groupBy(col("__p").as("clazz"))
+      .agg(sum(col("__c")).as("n_pred"))
+    byTrue.join(byPred, Seq("clazz"), "full_outer")
+      .select(col("clazz"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("__tp1"), lit(0L)).as("tp"))
+      .select(col("clazz"), col("n_true"), col("n_pred"), col("tp"),
+        when(col("n_pred") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * tp) div n_pred")).as("precision_ppm"),
+        when(col("n_true") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * tp) div n_true")).as("recall_ppm"),
+        when(col("n_true") + col("n_pred") === 0, lit(null).cast("long"))
+          .otherwise(expr("(2000000 * tp) div (n_true + n_pred)"))
+          .as("f1_ppm"))
+  }
+
   /** MAX CONCURRENCY per group — the peak number of simultaneously
     * open intervals (sessions online at once, parallel jobs, open
     * connections), the capacity-planning number a raw count can't

@@ -125,4 +125,43 @@ object Profiler {
             .cast("decimal(38,0)")).as("denom_units"),
         coalesce(col("estimate"), lit(0.0)).as("estimate"))
   }
+
+  /** FUNCTIONAL-DEPENDENCY check: for each candidate (determinant →
+    * dependent) pair, does A determine B in the data? The schema-
+    * discovery probe behind normalization audits and join-key
+    * validation ("is product_id → category actually clean?").
+    * Violations are determinant keys carrying MORE THAN ONE distinct
+    * dependent value; NULL dependents count as a value of their own
+    * (a key mapping to {x, NULL} is dirty, not half-clean).
+    *
+    * Output: one row per pair — (det, dep, n_keys, n_violating,
+    * max_deps, holds) with holds = (n_violating == 0).
+    *
+    * Scale shape: per pair ONE (det, dep) distinct-pair groupBy (the
+    * dependency is a property of the DISTINCT mapping — row counts
+    * never matter) + one det-keyed count; pairs evaluated
+    * independently and unioned (pair list is caller-bounded
+    * metadata). NULL determinant keys are excluded — "NULL determines
+    * x" is not a statement about any real key. */
+  def functionalDependencies(df: DataFrame,
+                             pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (determinant, dependent)")
+    require(pairs.distinct.size == pairs.size, "duplicate FD pairs")
+    pairs.map { case (det, dep) =>
+      df.where(col(det).isNotNull)
+        .select(col(det).cast("string").as("__k"),
+          col(dep).cast("string").as("__v"))
+        .distinct()
+        .groupBy(col("__k"))
+        .agg(count(lit(1)).as("__nv"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__nv") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("__nv")).as("max_deps"))
+        .select(lit(det).as("det"), lit(dep).as("dep"),
+          coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+          coalesce(col("n_violating"), lit(0L)).as("n_violating"),
+          coalesce(col("max_deps"), lit(0L)).as("max_deps"),
+          coalesce(col("n_violating") === 0, lit(true)).as("holds"))
+    }.reduce(_ unionByName _)
+  }
 }

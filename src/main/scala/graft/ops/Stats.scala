@@ -1860,6 +1860,62 @@ object Stats {
           .as("mean_milli"))
   }
 
+  /** CUMULATIVE GAINS table: rank the population by score DESC, cut
+    * into `bins` equal-count buckets, and report how much of the
+    * positive class the top buckets capture — the model-targeting
+    * readout ("the top decile catches 38% of converters") next to
+    * [[aucPpm]] (rank quality) and [[reliabilityBuckets]]
+    * (calibration). Exact integers: bucket = ⌈bins·cum/n⌉ over the
+    * score-DESC prefix count, capture_ppm = 10⁶·cum_pos div total_pos,
+    * lift_ppm = 10⁶·cum_pos·n div (total_pos·cum_n) (cross-multiplied
+    * — capture relative to the share of population taken).
+    *
+    * Ties: equal scores land in the same bucket (value-level
+    * assignment — a row-level decile would split ties
+    * order-arbitrarily, the [[equiDepthHistogram]] stance).
+    *
+    * Output: (bin, n, n_pos, cum_n, cum_pos, capture_ppm, lift_ppm).
+    *
+    * Scale shape: one (score → count, positives) histogram groupBy,
+    * the window-free global prefix sum over distinct scores, one bin
+    * groupBy, then a bins²-bounded triangle join for the bin-level
+    * cumulative (bins ≤ 1000 by contract — metadata, no global
+    * window). */
+  def gainsTable(df: DataFrame, scoreCol: String, labelCol: String,
+                 bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins in [2,1000], got $bins")
+    val hist = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__w"),
+        sum(col(labelCol).cast("long")).as("__p"))
+    val cum = GlobalRank.globalRunningSum(hist, Seq(col("__s").desc), "__w")
+    val totals = hist.agg(sum(col("__w")).as("__n"),
+      sum(col("__p")).as("__pos"))
+    val binned = cum.crossJoin(broadcast(totals))
+      .withColumn("bin", expr(s"($bins * cum + __n - 1) div __n"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__w")).as("n"), sum(col("__p")).as("n_pos"),
+        first(col("__n")).as("__n"), first(col("__pos")).as("__pos"))
+    val upto = binned.select(col("bin").as("__b2"), col("n").as("__w2"),
+      col("n_pos").as("__p2"))
+    binned.join(upto, col("__b2") <= col("bin"))
+      .groupBy(col("bin"))
+      .agg(first(col("n")).as("n"), first(col("n_pos")).as("n_pos"),
+        sum(col("__w2")).as("cum_n"), sum(col("__p2")).as("cum_pos"),
+        first(col("__n")).as("__n"), first(col("__pos")).as("__pos"))
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        when(col("__pos") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * cum_pos) div __pos"))
+          .as("capture_ppm"),
+        when(col("__pos") === 0 || col("cum_n") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * CAST(cum_pos AS DECIMAL(38,0)) * __n)
+              |div (CAST(__pos AS DECIMAL(38,0)) * cum_n) AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).as("lift_ppm"))
+  }
+
   /** BEST SPLIT THRESHOLD on a numeric feature — the distributed
     * decision-tree split finder (the histogram scan at the core of
     * XGBoost/LightGBM tree building): for every candidate threshold t

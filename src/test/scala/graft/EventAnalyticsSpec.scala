@@ -407,6 +407,48 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(rep == got)
   }
 
+  test("topPaths: prefix order, short sessions, cut ties by path") {
+    // u1: a,b,c,d (path a>b>c); u2: a,b,c (same); u3: b,a (short path
+    // b>a); u4: a (singleton). Simultaneous events break by id.
+    val ev = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
+      (1L, 40L, 4L, "d"),
+      (2L, 10L, 5L, "a"), (2L, 10L, 6L, "b"), (2L, 30L, 7L, "c"),
+      (3L, 10L, 8L, "b"), (3L, 20L, 9L, "a"),
+      (4L, 10L, 10L, "a"))
+      .toDF("u", "ts", "id", "t")
+    val got = EventAnalytics.topPaths(ev, Seq("u"), "ts", "id", "t",
+        steps = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a>b>c", 2L), ("a", 1L), ("b>a", 1L)))
+    // k cuts deterministically: ties (n=1) order by path asc
+    val cut = EventAnalytics.topPaths(ev.repartition(5), Seq("u"),
+        "ts", "id", "t", steps = 3, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(cut == Seq(("a>b>c", 2L), ("a", 1L)))
+  }
+
+  test("classReport: hand confusion, vanished and invented classes") {
+    // labels: a,a,a,b,b,c; preds: a,a,b,b,b,d — c never predicted,
+    // d never true
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "b"), ("c", "d")).toDF("l", "p")
+    val got = EventAnalytics.classReport(df, "l", "p")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 3L, 2L, 2L,
+      Some(1000000L), Some(666666L), Some(800000L))))
+    assert(got("b") == (("b", 2L, 3L, 2L,
+      Some(666666L), Some(1000000L), Some(800000L))))
+    assert(got("c") == (("c", 1L, 0L, 0L, None, Some(0L), Some(0L))))
+    assert(got("d") == (("d", 0L, 1L, 0L, Some(0L), None, Some(0L))))
+    val rep = EventAnalytics.classReport(df.repartition(7), "l", "p")
+      .collect().map(_.toSeq).toSet
+    assert(rep == got.values.map(t => Seq[Any](t._1, t._2, t._3, t._4,
+      t._5.orNull, t._6.orNull, t._7.orNull)).toSet)
+  }
+
   test("maxConcurrency: sweep line, inclusive touching, earliest peak ts") {
     // [1,5],[2,3],[4,8],[8,10]: counts 1,2,1,2,1,{2,1},0 → peak 2,
     // first reached at t=2; [4,8] and [8,10] touch at 8 → concurrent

@@ -947,6 +947,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q273/q274: journey window stays session-keyed; report cells partial-agg") {
+    val p = plan("q273_top_paths")
+    assert(p.contains("windowspecdefinition(user_id"),
+      "path rank must partition by the session key")
+    assert(p.contains("TakeOrderedAndProject"),
+      "path cut must be distributed top-k, not a global sort")
+    val c = plan("q274_class_report")
+    assert(c.contains("partial_count"), "confusion cells must map-combine")
+    assert(!c.contains("windowspecdefinition") &&
+      !c.contains("CartesianProduct"))
+  }
+
+  test("q275/q276/q277: histogram gains, distinct-mapping FD, closure rollup") {
+    val g = plan("q275_gains")
+    assert(g.contains("partial_count"), "score histogram must map-combine")
+    assert(!g.contains("windowspecdefinition()"),
+      "no unpartitioned window in the gains table")
+    val f = plan("q276_fd_check")
+    assert(f.contains("partial_count") || f.contains("partial_first"),
+      "FD cardinalities must map-combine")
+    assert(!f.contains("windowspecdefinition") &&
+      !f.contains("CartesianProduct"))
+    val r = plan("q277_subtree_rollup")
+    assert(r.contains("partial_count"), "rollup must map-combine")
+    assert(!r.contains("CartesianProduct"))
+  }
+
   test("q262/q263: spatial gates join on cell keys — never a distance product") {
     val p = plan("q262_radius_pairs")
     assert(!p.contains("CartesianProduct") &&

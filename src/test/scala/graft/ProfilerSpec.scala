@@ -77,4 +77,32 @@ class ProfilerSpec extends SparkTestBase {
       b = 6).collect().map(r => r.getString(0) -> r.getDecimal(6)).toMap
     assert(again.forall { case (c, d) => d == got(c).getDecimal(6) })
   }
+
+  test("functionalDependencies: holds, violations, NULL semantics") {
+    // k → a holds; k → b violated by k=2 ({x, y}) and k=3 ({x, NULL});
+    // NULL determinant rows are excluded entirely
+    val df = Seq(
+      (Some(1L), "a1", Some("x")), (Some(1L), "a1", Some("x")),
+      (Some(2L), "a2", Some("x")), (Some(2L), "a2", Some("y")),
+      (Some(3L), "a3", Some("x")), (Some(3L), "a3", None),
+      (None, "zz", Some("q")))
+      .toDF("k", "a", "b")
+    val got = Profiler.functionalDependencies(df,
+        Seq(("k", "a"), ("k", "b")))
+      .as[(String, String, Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("k", "a")) == (("k", "a", 3L, 0L, 1L, true)))
+    assert(got(("k", "b")) == (("k", "b", 3L, 2L, 2L, false)))
+    // row multiplicity never matters: duplicating rows changes nothing
+    val doubled = df.unionByName(df)
+    val again = Profiler.functionalDependencies(doubled,
+        Seq(("k", "a"), ("k", "b")))
+      .collect().map(_.toSeq).toSet
+    assert(again == got.values.map(t =>
+      Seq[Any](t._1, t._2, t._3, t._4, t._5, t._6)).toSet)
+    intercept[IllegalArgumentException](
+      Profiler.functionalDependencies(df, Seq.empty))
+    intercept[IllegalArgumentException](
+      Profiler.functionalDependencies(df, Seq(("k", "a"), ("k", "a"))))
+  }
 }

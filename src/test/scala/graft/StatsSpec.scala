@@ -1132,6 +1132,35 @@ class StatsSpec extends SparkTestBase {
       got(("a", "d"))._3 == Option(p.get(3)).map(_.asInstanceOf[Long]))
   }
 
+  test("gainsTable: perfect ranker, tie cohesion, lift endpoints") {
+    // scores 1..100 (one row each), label = score > 80: a perfect
+    // ranker — decile 1 (scores 91+) captures 10/20, decile 2 the rest
+    val df = (1L to 100L).map(v => (v, if (v > 80) 1L else 0L))
+      .toDF("s", "y")
+    val got = Stats.gainsTable(df, "s", "y", bins = 10)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(got.length == 10)
+    assert(got(0) == ((1L, 10L, 10L, 10L, 10L,
+      Some(500000L), Some(5000000L))))
+    assert(got(1)._5 == 20L && got(1)._6.contains(1000000L))
+    assert(got(9) == ((10L, 10L, 0L, 100L, 20L,
+      Some(1000000L), Some(1000000L))))
+    // tied scores stay in one bucket: 50 rows of score 7, 50 of 3
+    val tied = (Seq.fill(50)((7L, 1L)) ++ Seq.fill(50)((3L, 0L)))
+      .toDF("s", "y")
+    val tg = Stats.gainsTable(tied, "s", "y", bins = 4)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(tg.map(_._1).toSeq == Seq(2L, 4L),
+      s"value-level bins: each tie block lands whole: $tg")
+    val rep = Stats.gainsTable(tied.repartition(7), "s", "y", 4)
+      .collect().map(_.toSeq).toSet
+    assert(rep == tg.map(t => Seq[Any](t._1, t._2, t._3, t._4, t._5,
+      t._6.orNull, t._7.orNull)).toSet)
+    intercept[IllegalArgumentException](Stats.gainsTable(df, "s", "y", 1))
+  }
+
   test("bestSplitThreshold: perfect cut found, ties to smallest, argmax exact") {
     // label = v >= 5: threshold 4 splits perfectly (left 1..4, right 5..8)
     val perfect = (1L to 8L).flatMap(v =>
