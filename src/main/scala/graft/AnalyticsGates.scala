@@ -548,6 +548,51 @@ object AnalyticsGates {
         sum(col("n_chars")).as("subtree_chars"))
   }
 
+  // SEASONAL ENVELOPE (composite: exactQuantilesByGroup over a struct
+  // key): per (type, day-of-week) the p10/p50/p90 band of daily
+  // counts — the expected-range envelope an anomaly monitor compares
+  // today against. Struct group keys ride the existing quantile
+  // machinery unchanged; epoch day 0 = Thursday, so dow = (day+4)%7.
+  def q278_seasonal_envelope(s: SparkSession, dir: String): DataFrame = {
+    val d2 = dailyCounts(s, dir)
+      .select(struct(col("event_type").as("g"),
+        ((col("day") + 4) % 7).as("dow")).as("gk"), col("cnt"))
+    graft.ops.Stats.exactQuantilesByGroup(d2, "gk", "cnt",
+        Seq(("p10", 100), ("p50", 500), ("p90", 900)))
+      .groupBy(col("gk.g").as("event_type"),
+        col("gk.dow").cast("long").as("dow"))
+      .agg(max(when(col("label") === "p10", col("q"))).as("p10"),
+        max(when(col("label") === "p50", col("q"))).as("p50"),
+        max(when(col("label") === "p90", col("q"))).as("p90"))
+  }
+
+  // TOP MOVERS (lag window + distributed top-k): the 10 largest
+  // week-over-week swings in event volume by |Δ| ppm — the BI
+  // "what changed" table; ties broken by the (type, week) total
+  // order, zero/absent baselines excluded (Δ undefined).
+  def q279_top_movers(s: SparkSession, dir: String): DataFrame = {
+    val wk = t(s, dir, "events")
+      .groupBy(col("event_type").as("g"),
+        expr("ts div 604800000000L").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("w"))
+    wk.withColumn("prev", lag(col("cnt"), 1).over(win))
+      .where(col("prev").isNotNull && col("prev") > 0)
+      .withColumn("delta_ppm", expr("(1000000 * (cnt - prev)) div prev"))
+      .orderBy(abs(col("delta_ppm")).desc, col("g"), col("w"))
+      .limit(10)
+      .select(col("g").as("event_type"), col("w").as("week"),
+        col("cnt"), col("prev"), col("delta_ppm"))
+  }
+
+  // NEAREST NEIGHBOR (ops/Spatial.nearestWithin): each point's closest
+  // other point within 1500 units — grid candidates + min(struct)
+  // argmin, distance ties to the smaller neighbor id.
+  def q280_nearest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Spatial.nearestWithin(geoPoints(s, dir),
+      "id", "x", "y", radius = 1500L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -595,7 +640,10 @@ object AnalyticsGates {
     "q274_class_report"  -> q274_class_report _,
     "q275_gains"         -> q275_gains _,
     "q276_fd_check"      -> q276_fd_check _,
-    "q277_subtree_rollup" -> q277_subtree_rollup _)
+    "q277_subtree_rollup" -> q277_subtree_rollup _,
+    "q278_seasonal_envelope" -> q278_seasonal_envelope _,
+    "q279_top_movers"    -> q279_top_movers _,
+    "q280_nearest"       -> q280_nearest _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -672,6 +720,45 @@ object AnalyticsGates {
         |    AS n_outliers
         |FROM e JOIN med ON med.g=e.g JOIN mad ON mad.g=e.g
         |GROUP BY 1, med.med, mad.mad""".stripMargin,
+    "q280_nearest" ->
+      s"""WITH pts AS ($geoPointsSql),
+        |p AS (SELECT a.id AS ia, b.id AS ib,
+        |        (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
+        |      FROM pts a JOIN pts b ON a.id <> b.id
+        |      WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 2250000),
+        |r AS (SELECT ia, ib, d2,
+        |        row_number() OVER (PARTITION BY ia ORDER BY d2, ib) AS rn
+        |      FROM p)
+        |SELECT ia AS id, ib AS nn_id, CAST(d2 AS BIGINT) AS dist2
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q278_seasonal_envelope" ->
+      s"""WITH daily AS ($dailyCountsSql),
+        |d2 AS (SELECT event_type AS g, ((day + 4) % 7) AS dow, cnt
+        |       FROM daily),
+        |c AS (SELECT g, dow, cnt AS v, count(*) AS n1 FROM d2
+        |      GROUP BY 1,2,3),
+        |cum AS (SELECT g, dow, v,
+        |          sum(n1) OVER (PARTITION BY g, dow ORDER BY v) AS cum
+        |        FROM c),
+        |t AS (SELECT g, dow, sum(n1) AS n FROM c GROUP BY 1,2)
+        |SELECT cum.g AS event_type, CAST(cum.dow AS BIGINT) AS dow,
+        |  min(v) FILTER (WHERE cum >= (100*t.n+999)//1000) AS p10,
+        |  min(v) FILTER (WHERE cum >= (500*t.n+999)//1000) AS p50,
+        |  min(v) FILTER (WHERE cum >= (900*t.n+999)//1000) AS p90
+        |FROM cum JOIN t ON t.g = cum.g AND t.dow = cum.dow
+        |GROUP BY 1, 2""".stripMargin,
+    "q279_top_movers" ->
+      """WITH wk AS (SELECT event_type AS g, epoch_us(ts)//604800000000 AS w,
+        |        CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+        |lagd AS (SELECT g, w, cnt,
+        |           lag(cnt) OVER (PARTITION BY g ORDER BY w) AS prev
+        |         FROM wk),
+        |d AS (SELECT g, w, cnt, prev,
+        |        (1000000*(cnt - prev))//prev AS delta_ppm
+        |      FROM lagd WHERE prev IS NOT NULL AND prev > 0)
+        |SELECT g AS event_type, CAST(w AS BIGINT) AS week, cnt, prev,
+        |  CAST(delta_ppm AS BIGINT) AS delta_ppm
+        |FROM d ORDER BY abs(delta_ppm) DESC, g, w LIMIT 10""".stripMargin,
     "q277_subtree_rollup" ->
       """WITH RECURSIVE anc AS (
         |  SELECT doc_id AS node, doc_id // 2 AS ancestor

@@ -73,6 +73,27 @@ object Spatial {
       .select(col("id_a"), col("id_b"), (dx * dx + dy * dy).as("dist2"))
   }
 
+  /** NEAREST NEIGHBOR within `radius`: for every point, the closest
+    * OTHER point at squared distance ≤ radius² — (id, nn_id, dist2) —
+    * or no row when none is in range (the caller left-joins if
+    * presence matters). Ties on distance break to the smaller
+    * neighbor id, a total order. Same cell-keyed candidate plan as
+    * [[radiusPairs]]; the argmin is one map-side-partial min(struct)
+    * groupBy per point, never a rank window. */
+  def nearestWithin(points: DataFrame, idCol: String, xCol: String,
+                    yCol: String, radius: Long): DataFrame = {
+    val pairs = radiusPairs(points, idCol, xCol, yCol, radius)
+    // each unordered pair serves both endpoints
+    val directed = pairs.select(col("id_a").as("id"),
+        col("id_b").as("nn"), col("dist2"))
+      .unionByName(pairs.select(col("id_b").as("id"),
+        col("id_a").as("nn"), col("dist2")))
+    directed.groupBy(col("id"))
+      .agg(min(struct(col("dist2"), col("nn"))).as("__best"))
+      .select(col("id"), col("__best.nn").as("nn_id"),
+        col("__best.dist2").as("dist2"))
+  }
+
   /** Point count per grid cell of side `cellSize` — the density map
     * (and the skew diagnostic for [[radiusPairs]]). One map-side
     * partial groupBy on the cell key; output is cell-bounded. */

@@ -974,6 +974,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!r.contains("CartesianProduct"))
   }
 
+  test("q278/q279/q280: grouped quantile windows, series lag, argmin groupBy") {
+    val e = plan("q278_seasonal_envelope")
+    assert(e.contains("partial_count"), "count histogram must map-combine")
+    assert(!e.contains("windowspecdefinition()"),
+      "quantile windows must stay group-partitioned")
+    val m = plan("q279_top_movers")
+    assert(m.contains("TakeOrderedAndProject"),
+      "movers cut must be distributed top-k")
+    assert(m.contains("windowspecdefinition(g"),
+      "the lag window must partition by the series")
+    val n = plan("q280_nearest")
+    assert(!n.contains("CartesianProduct") &&
+      !n.contains("BroadcastNestedLoopJoin"),
+      "nearest neighbor must ride the cell join")
+    assert(n.contains("partial_min"), "argmin must map-combine")
+    assert(!n.contains("windowspecdefinition"))
+  }
+
   test("q262/q263: spatial gates join on cell keys — never a distance product") {
     val p = plan("q262_radius_pairs")
     assert(!p.contains("CartesianProduct") &&

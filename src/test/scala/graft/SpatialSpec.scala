@@ -73,6 +73,24 @@ class SpatialSpec extends SparkTestBase {
     assert(top == Seq((2L, 2L, 3L), (0L, 0L, 2L)))
   }
 
+  test("nearestWithin: argmin per point, distance ties to smaller id") {
+    // 1 and 2 are mutual nearest; 3 is closer to 2 than to 1;
+    // 4 has two equidistant neighbors (5, 6) → picks 5; 7 isolated
+    val pts = Seq((1L, 0L, 0L), (2L, 3L, 0L), (3L, 7L, 0L),
+      (5L, 100L, 0L), (4L, 103L, 0L), (6L, 106L, 0L),
+      (7L, 500L, 500L))
+    val got = Spatial.nearestWithin(pts.toDF("id", "x", "y"),
+        "id", "x", "y", 10L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got(1L) == ((2L, 9L)))
+    assert(got(2L) == ((1L, 9L)))
+    assert(got(3L) == ((2L, 16L)))
+    assert(got(4L) == ((5L, 9L)), "equidistant tie must pick smaller id")
+    assert(got(5L) == ((4L, 9L)) && got(6L) == ((4L, 9L)))
+    assert(!got.contains(7L), "isolated point emits no row")
+  }
+
   test("validation fails loud") {
     val df = Seq((1L, 0L, 0L)).toDF("id", "x", "y")
     intercept[IllegalArgumentException](
