@@ -593,6 +593,14 @@ object AnalyticsGates {
     graft.ops.Spatial.nearestWithin(geoPoints(s, dir),
       "id", "x", "y", radius = 1500L)
 
+  // DBSCAN (ops/Spatial.dbscan): deterministic density clustering —
+  // eps 1500 / minPts 4 over the synthetic point cloud; border points
+  // pinned to their NEAREST core (classic DBSCAN is scan-order-
+  // dependent there), labels = min core id per component.
+  def q281_dbscan(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Spatial.dbscan(geoPoints(s, dir),
+      "id", "x", "y", eps = 1500L, minPts = 4)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -643,7 +651,8 @@ object AnalyticsGates {
     "q277_subtree_rollup" -> q277_subtree_rollup _,
     "q278_seasonal_envelope" -> q278_seasonal_envelope _,
     "q279_top_movers"    -> q279_top_movers _,
-    "q280_nearest"       -> q280_nearest _)
+    "q280_nearest"       -> q280_nearest _,
+    "q281_dbscan"        -> q281_dbscan _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -720,6 +729,39 @@ object AnalyticsGates {
         |    AS n_outliers
         |FROM e JOIN med ON med.g=e.g JOIN mad ON mad.g=e.g
         |GROUP BY 1, med.med, mad.mad""".stripMargin,
+    "q281_dbscan" ->
+      s"""WITH RECURSIVE pts AS ($geoPointsSql),
+        |p AS (SELECT a.id AS ia, b.id AS ib,
+        |        (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
+        |      FROM pts a JOIN pts b ON a.id < b.id
+        |      WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 2250000),
+        |dir AS (SELECT ia AS id, ib AS nb, d2 FROM p
+        |        UNION ALL SELECT ib, ia, d2 FROM p),
+        |deg AS (SELECT id, count(*) AS deg FROM dir GROUP BY 1),
+        |core AS (SELECT pts.id FROM pts LEFT JOIN deg USING (id)
+        |         WHERE coalesce(deg, 0) + 1 >= 4),
+        |ce AS (SELECT ia AS src, ib AS dst FROM p
+        |         JOIN core ca ON ca.id = p.ia JOIN core cb ON cb.id = p.ib
+        |       UNION
+        |       SELECT ib, ia FROM p
+        |         JOIN core ca ON ca.id = p.ia JOIN core cb ON cb.id = p.ib),
+        |walk AS (
+        |  SELECT src AS node, src AS lbl FROM ce
+        |  UNION
+        |  SELECT ce.dst, w.lbl FROM walk w JOIN ce ON ce.src = w.node),
+        |comp AS (SELECT node, min(lbl) AS comp FROM walk GROUP BY 1),
+        |corelab AS (SELECT c.id, coalesce(comp.comp, c.id) AS cluster
+        |            FROM core c LEFT JOIN comp ON comp.node = c.id),
+        |bor AS (SELECT d.id, cl.cluster,
+        |          row_number() OVER (PARTITION BY d.id
+        |            ORDER BY d.d2, d.nb) AS rn
+        |        FROM dir d JOIN corelab cl ON cl.id = d.nb
+        |        WHERE d.id NOT IN (SELECT id FROM core)),
+        |lab AS (SELECT id, 'core' AS role, cluster FROM corelab
+        |        UNION ALL
+        |        SELECT id, 'border', cluster FROM bor WHERE rn = 1)
+        |SELECT pts.id, coalesce(lab.role, 'noise') AS role, lab.cluster
+        |FROM pts LEFT JOIN lab ON lab.id = pts.id""".stripMargin,
     "q280_nearest" ->
       s"""WITH pts AS ($geoPointsSql),
         |p AS (SELECT a.id AS ia, b.id AS ib,

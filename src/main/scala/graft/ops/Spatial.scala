@@ -106,6 +106,66 @@ object Spatial {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** DBSCAN density clustering (Ester et al. 1996), made fully
+    * DETERMINISTIC: classic DBSCAN's border assignment depends on
+    * scan order; here a border point joins the cluster of its NEAREST
+    * core neighbor (ties to the smaller core id) — a pinned rule, so
+    * the labeling is a pure function of the data. Core iff the
+    * eps-neighborhood INCLUDING the point itself holds ≥ minPts
+    * points; cluster label = the smallest core id of the component.
+    *
+    * Output: (id, role ∈ {core, border, noise}, cluster — NULL for
+    * noise).
+    *
+    * Scale shape: neighborhoods come from [[radiusPairs]]' cell-keyed
+    * join (checkpointed once, consumed three times: degrees, core
+    * edges, border argmin); components via the bounded label
+    * propagation of `Dedup.connectedComponents`; border assignment is
+    * one min(struct) groupBy. Everything is joins + partial
+    * aggregates — no windows, no collects beyond the components
+    * convergence counter. */
+  def dbscan(points: DataFrame, idCol: String, xCol: String,
+             yCol: String, eps: Long, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pairs = radiusPairs(points, idCol, xCol, yCol, eps)
+      .localCheckpoint()
+    val directed = pairs.select(col("id_a").as("id"), col("id_b").as("nb"),
+        col("dist2"))
+      .unionByName(pairs.select(col("id_b").as("id"),
+        col("id_a").as("nb"), col("dist2")))
+    val degrees = directed.groupBy(col("id")).agg(count(lit(1)).as("__deg"))
+    val ids = points.select(col(idCol).cast("long").as("id"))
+      .where(col("id").isNotNull).distinct()
+    val cores = ids.join(degrees, Seq("id"), "left")
+      .where(coalesce(col("__deg"), lit(0L)) + 1 >= minPts)
+      .select(col("id"))
+      .localCheckpoint()
+    val coreEdges = pairs
+      .join(cores.select(col("id").as("id_a")), "id_a")
+      .join(cores.select(col("id").as("id_b")), "id_b")
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.llm.Dedup.connectedComponents(coreEdges)
+      .select(col("id").as("__cid"), col("comp"))
+    val coreLabeled = cores
+      .join(comp, col("id") === col("__cid"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id"))
+        .as("cluster"))
+    val borderBest = directed
+      .join(coreLabeled.select(col("id").as("nb"),
+        col("cluster").as("__nc")), "nb")
+      .join(cores.withColumnRenamed("id", "__self"),
+        col("id") === col("__self"), "left_anti")
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist2"), col("nb"), col("__nc"))).as("__b"))
+      .select(col("id"), col("__b.__nc").as("cluster"))
+    val core = coreLabeled.withColumn("role", lit("core"))
+    val border = borderBest.withColumn("role", lit("border"))
+    val labeled = core.unionByName(border)
+    ids.join(labeled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("role"), lit("noise")).as("role"),
+        col("cluster"))
+  }
+
   /** Top-k densest cells by (n DESC, cx, cy) — a total order, so the
     * cut is engine-deterministic. TakeOrderedAndProject over the
     * cell-bounded density frame, never a global sort of points. */

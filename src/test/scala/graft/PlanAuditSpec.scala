@@ -992,6 +992,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!n.contains("windowspecdefinition"))
   }
 
+  test("q281: dbscan rides the cell join — no distance product, no window") {
+    val p = plan("q281_dbscan")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "neighborhoods must come from the cell-keyed candidate join")
+    assert(!p.contains("windowspecdefinition"),
+      "core/border/label assignment is joins + partial aggregates")
+  }
+
   test("q262/q263: spatial gates join on cell keys — never a distance product") {
     val p = plan("q262_radius_pairs")
     assert(!p.contains("CartesianProduct") &&

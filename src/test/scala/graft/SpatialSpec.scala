@@ -91,6 +91,66 @@ class SpatialSpec extends SparkTestBase {
     assert(!got.contains(7L), "isolated point emits no row")
   }
 
+  test("dbscan: hand blobs — cores, borders, noise, min-id labels") {
+    // blob A {1,2,3} all-pairs within eps; 4 reaches only 3 (border);
+    // blob B {5,6,7}; 8 borders B; 9 isolated
+    val pts = Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 2L, 0L), (4L, 4L, 0L),
+      (5L, 10L, 0L), (6L, 11L, 0L), (7L, 12L, 0L), (8L, 14L, 0L),
+      (9L, 100L, 100L)).toDF("id", "x", "y")
+    val got = Spatial.dbscan(pts, "id", "x", "y", eps = 2L, minPts = 3)
+      .as[(Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(Seq(1L, 2L, 3L).forall(got(_) == (("core", Some(1L)))))
+    assert(got(4L) == (("border", Some(1L))))
+    assert(Seq(5L, 6L, 7L).forall(got(_) == (("core", Some(5L)))))
+    assert(got(8L) == (("border", Some(5L))))
+    assert(got(9L) == (("noise", None)))
+  }
+
+  test("dbscan: matches a driver reference on random points, any partitioning") {
+    val rnd = new scala.util.Random(31)
+    val pts = (1L to 250L).map(i =>
+      (i, rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val eps = 40L; val minPts = 4
+    // driver reference with the identical pinned rules
+    val near = pts.map { case (i, xi, yi) =>
+      i -> pts.filter { case (j, xj, yj) =>
+        j != i &&
+          (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj) <= eps * eps
+      }.map(p => (p._1, (xi - p._2) * (xi - p._2) +
+        (yi - p._3) * (yi - p._3)))
+    }.toMap
+    val core = pts.map(_._1).filter(i => near(i).size + 1 >= minPts).toSet
+    // components over core-core edges (driver union-find)
+    val parent = scala.collection.mutable.Map(core.map(c => c -> c).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (c <- core; (n, _) <- near(c) if core(n)) {
+      val (a, b) = (find(c), find(n))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val label = core.map(c => c -> core.filter(o => find(o) == find(c)).min)
+      .toMap
+    val expect = pts.map { case (i, _, _) =>
+      if (core(i)) (i, "core", Some(label(i)))
+      else {
+        val coreNbs = near(i).filter(p => core(p._1))
+        if (coreNbs.isEmpty) (i, "noise", None)
+        else {
+          val best = coreNbs.minBy(p => (p._2, p._1))
+          (i, "border", Some(label(best._1)))
+        }
+      }
+    }.toSet
+    val got = Spatial.dbscan(
+        pts.toDF("id", "x", "y").repartition(7), "id", "x", "y",
+        eps, minPts)
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(got == expect)
+    assert(got.exists(_._2 == "core") && got.exists(_._2 == "border") &&
+      got.exists(_._2 == "noise"), "fixture must exercise all roles")
+  }
+
   test("validation fails loud") {
     val df = Seq((1L, 0L, 0L)).toDF("id", "x", "y")
     intercept[IllegalArgumentException](
