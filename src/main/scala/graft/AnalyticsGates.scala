@@ -601,6 +601,32 @@ object AnalyticsGates {
     graft.ops.Spatial.dbscan(geoPoints(s, dir),
       "id", "x", "y", eps = 1500L, minPts = 4)
 
+  // L1 TRAJECTORY LENGTH (ops/EventAnalytics.pathLengthL1): Manhattan
+  // path length per user over LCG-synthesized per-event positions —
+  // exact integer (Σ√· would be an order-sensitive float sum).
+  def q282_trajectory(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.pathLengthL1(
+      t(s, dir, "events").select(col("user_id"), col("ts"),
+        col("event_id"),
+        ((col("event_id") * 48271L) % 10000L).as("x"),
+        ((col("event_id") * 16807L) % 10000L).as("y")),
+      "user_id", "ts", "event_id", "x", "y")
+
+  // ROLLING CORRELATION (ops/Stats.rollingCorrPpm): trailing-14-day
+  // view↔purchase coupling at every day — six moment sums share one
+  // RANGE frame, micro-moment ppm finish map-only.
+  def q283_rolling_corr(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(expr(s"ts div ${dayUs}L").as("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .withColumn("series", lit("view->purchase"))
+    graft.ops.Stats.rollingCorrPpm(daily, "series", "day", "x", "y",
+      windowPeriods = 14)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -652,7 +678,9 @@ object AnalyticsGates {
     "q278_seasonal_envelope" -> q278_seasonal_envelope _,
     "q279_top_movers"    -> q279_top_movers _,
     "q280_nearest"       -> q280_nearest _,
-    "q281_dbscan"        -> q281_dbscan _)
+    "q281_dbscan"        -> q281_dbscan _,
+    "q282_trajectory"    -> q282_trajectory _,
+    "q283_rolling_corr"  -> q283_rolling_corr _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -729,6 +757,40 @@ object AnalyticsGates {
         |    AS n_outliers
         |FROM e JOIN med ON med.g=e.g JOIN mad ON mad.g=e.g
         |GROUP BY 1, med.med, mad.mad""".stripMargin,
+    "q282_trajectory" ->
+      """WITH e AS (SELECT user_id u, epoch_us(ts) AS ts, event_id AS id,
+        |   (event_id*48271) % 10000 AS x,
+        |   (event_id*16807) % 10000 AS y FROM events),
+        |l AS (SELECT u,
+        |        x - lag(x) OVER (PARTITION BY u ORDER BY ts, id) AS dx,
+        |        y - lag(y) OVER (PARTITION BY u ORDER BY ts, id) AS dy
+        |      FROM e)
+        |SELECT u AS user_id, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(count(dx) AS BIGINT) AS n_moves,
+        |  CAST(coalesce(sum(abs(dx)+abs(dy)), 0) AS BIGINT) AS l1_total
+        |FROM l GROUP BY 1""".stripMargin,
+    "q283_rolling_corr" ->
+      """WITH d AS (SELECT epoch_us(ts)//86400000000 AS day,
+        |  CAST(count(*) FILTER (WHERE event_type='view') AS HUGEINT) AS x,
+        |  CAST(count(*) FILTER (WHERE event_type='purchase') AS HUGEINT) AS y
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT day, CAST(count(*) OVER w AS HUGEINT) AS n,
+        |        sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |        sum(x*y) OVER w AS sxy, sum(x*x) OVER w AS sxx,
+        |        sum(y*y) OVER w AS syy
+        |      FROM d WINDOW w AS (ORDER BY day
+        |        RANGE BETWEEN 13 PRECEDING AND CURRENT ROW)),
+        |r AS (SELECT day, n, (1000000*(n*sxy - sx*sy))//(n*n) AS cxy,
+        |        (1000000*(n*sxx - sx*sx))//(n*n) AS vx,
+        |        (1000000*(n*syy - sy*sy))//(n*n) AS vy FROM m)
+        |SELECT 'view->purchase' AS series, CAST(day AS BIGINT) AS day,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN cxy > 0 THEN 1 WHEN cxy < 0 THEN -1 ELSE 0 END
+        |       AS BIGINT) AS sign,
+        |  CASE WHEN n < 2 OR vx = 0 OR vy = 0 THEN NULL
+        |       ELSE CAST((1000000*cxy*cxy)//(vx*vy) AS BIGINT)
+        |  END AS r2_ppm
+        |FROM r""".stripMargin,
     "q281_dbscan" ->
       s"""WITH RECURSIVE pts AS ($geoPointsSql),
         |p AS (SELECT a.id AS ia, b.id AS ib,

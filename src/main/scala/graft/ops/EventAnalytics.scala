@@ -621,6 +621,35 @@ object EventAnalytics {
           .as("f1_ppm"))
   }
 
+  /** L1 TRAJECTORY LENGTH per group: total Manhattan distance walked
+    * through a point sequence in (ts, id) order — the mobility /
+    * cursor-path / pointer-telemetry aggregate. L1 deliberately, not
+    * Euclidean: exact integer end to end (a Σ√· is an order-sensitive
+    * float sum, the repo's forbidden shape), and for grid-like
+    * movement L1 IS the distance.
+    *
+    * Output: (group, n_points, n_moves, l1_total) — groups with one
+    * point have 0 moves, 0 length.
+    *
+    * Scale shape: one group-partitioned lag window (bounded by a
+    * group's own points) + one partial groupBy. */
+  def pathLengthL1(points: DataFrame, groupCol: String, tsCol: String,
+                   idCol: String, xCol: String, yCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__ts").asc, col("__id").asc)
+    points.select(col(groupCol).as("__g"),
+        col(tsCol).cast("long").as("__ts"), col(idCol).as("__id"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .withColumn("__dx", col("__x") - lag(col("__x"), 1).over(w))
+      .withColumn("__dy", col("__y") - lag(col("__y"), 1).over(w))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("__dx").isNotNull, 1L).otherwise(0L)).as("n_moves"),
+        coalesce(sum(abs(col("__dx")) + abs(col("__dy"))), lit(0L))
+          .as("l1_total"))
+      .withColumnRenamed("__g", groupCol)
+  }
+
   /** MAX CONCURRENCY per group — the peak number of simultaneously
     * open intervals (sessions online at once, parallel jobs, open
     * connections), the capacity-planning number a raw count can't

@@ -1860,6 +1860,61 @@ object Stats {
           .as("mean_milli"))
   }
 
+  /** ROLLING CORRELATION: at every period, the exact Pearson r²·sign
+    * ppm of the trailing `windowPeriods` (value-based RANGE frame, so
+    * gaps in the series shrink n rather than silently reaching
+    * further back — the tie-safe frame of the rolling-aggregate
+    * family). The time-local complement of [[crossCorrPpm]]: CCF asks
+    * "at what lag", this asks "when did the coupling change".
+    *
+    * Input contract: ONE row per (group, time), integer times.
+    * Output: (group, time, n, sign, r2_ppm) — NULL r² while the
+    * window holds < 2 points or a constant side.
+    *
+    * Scale shape: six moment sums share ONE group-partitioned RANGE
+    * frame (a single window pass bounded by a group's series), then
+    * the micro-moment arithmetic runs map-only per row. */
+  def rollingCorrPpm(df: DataFrame, groupCol: String, timeCol: String,
+                     xCol: String, yCol: String,
+                     windowPeriods: Int): DataFrame = {
+    require(windowPeriods >= 2 && windowPeriods <= 100000,
+      s"windowPeriods in [2, 100000], got $windowPeriods")
+    val d38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__t"))
+      .rangeBetween(-(windowPeriods - 1).toLong, 0L)
+    val base = df.select(col(groupCol).as("__g"),
+        col(timeCol).cast("long").as("__t"),
+        col(xCol).cast("long").cast(d38).as("__x"),
+        col(yCol).cast("long").cast(d38).as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    base
+      // ONE select → one Window exec for all six moments (chained
+      // withColumn inserts Projects that defeat CollapseWindow)
+      .select(col("__g"), col("__t"),
+        count(lit(1)).over(w).cast(d38).as("__n"),
+        sum(col("__x")).over(w).as("__sx"),
+        sum(col("__y")).over(w).as("__sy"),
+        sum(col("__x") * col("__y")).over(w).as("__sxy"),
+        sum(col("__x") * col("__x")).over(w).as("__sxx"),
+        sum(col("__y") * col("__y")).over(w).as("__syy"))
+      .withColumn("__cxy",
+        expr("(1000000 * (__n * __sxy - __sx * __sy)) div (__n * __n)"))
+      .withColumn("__vx",
+        expr("(1000000 * (__n * __sxx - __sx * __sx)) div (__n * __n)"))
+      .withColumn("__vy",
+        expr("(1000000 * (__n * __syy - __sy * __sy)) div (__n * __n)"))
+      .select(col("__g").as(groupCol), col("__t").as(timeCol),
+        col("__n").cast("long").as("n"),
+        signum(col("__cxy")).cast("long").as("sign"),
+        when(col("__n") < 2 || col("__vx") === 0 || col("__vy") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * CAST(__cxy AS DECIMAL(38,0)) * __cxy)
+              |div (CAST(__vx AS DECIMAL(38,0)) * __vy) AS BIGINT)"""
+              .stripMargin.replace("\n", " "))).as("r2_ppm"))
+  }
+
   /** CUMULATIVE GAINS table: rank the population by score DESC, cut
     * into `bins` equal-count buckets, and report how much of the
     * positive class the top buckets capture — the model-targeting

@@ -449,6 +449,26 @@ class EventAnalyticsSpec extends SparkTestBase {
       t._5.orNull, t._6.orNull, t._7.orNull)).toSet)
   }
 
+  test("pathLengthL1: hand path, singleton, simultaneous-ts id order") {
+    val pts = Seq(
+      ("a", 10L, 1L, 0L, 0L), ("a", 20L, 2L, 3L, 4L), ("a", 30L, 3L, 3L, 1L),
+      ("b", 10L, 4L, 5L, 5L),
+      // c: two points at the SAME ts — order must fall back to id
+      ("c", 10L, 5L, 0L, 0L), ("c", 10L, 6L, 2L, 0L))
+      .toDF("g", "ts", "id", "x", "y")
+    val got = EventAnalytics.pathLengthL1(pts, "g", "ts", "id", "x", "y")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((3L, 2L, 10L)))
+    assert(got("b") == ((1L, 0L, 0L)))
+    assert(got("c") == ((2L, 1L, 2L)))
+    val rep = EventAnalytics.pathLengthL1(pts.repartition(5),
+        "g", "ts", "id", "x", "y")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rep == got)
+  }
+
   test("maxConcurrency: sweep line, inclusive touching, earliest peak ts") {
     // [1,5],[2,3],[4,8],[8,10]: counts 1,2,1,2,1,{2,1},0 → peak 2,
     // first reached at t=2; [4,8] and [8,10] touch at 8 → concurrent

@@ -992,6 +992,19 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!n.contains("windowspecdefinition"))
   }
 
+  test("q282/q283: trajectory and rolling windows stay series-partitioned") {
+    val p = plan("q282_trajectory")
+    assert(p.contains("windowspecdefinition(__g"),
+      "lag must partition by the trajectory group")
+    assert(p.contains("partial_count"), "totals must map-combine")
+    val r = plan("q283_rolling_corr")
+    assert(r.contains("windowspecdefinition"), "RANGE frame expected")
+    assert(!r.contains("CartesianProduct"))
+    // all six moments must ride ONE Window operator (one pass)
+    assert("(?m)^\\s*(?:\\+- )?Window ".r.findAllIn(r).size == 1,
+      s"moment sums must share a single Window exec:\n$r")
+  }
+
   test("q281: dbscan rides the cell join — no distance product, no window") {
     val p = plan("q281_dbscan")
     assert(!p.contains("CartesianProduct") &&

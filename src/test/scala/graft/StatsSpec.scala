@@ -1201,6 +1201,34 @@ class StatsSpec extends SparkTestBase {
     assert(rr == rr2)
   }
 
+  test("rollingCorrPpm: perfect window, gap shrinks n, head NULL") {
+    // y = x: every ≥2-point window is exactly 10⁶; time 5 sits alone
+    // in its value-based window after the gap
+    val rows = Seq(0L, 1L, 2L, 5L).map(t => ("s", t, t + 1, t + 1))
+    val df = rows.toDF("g", "t", "x", "y")
+    val got = Stats.rollingCorrPpm(df, "g", "t", "x", "y",
+        windowPeriods = 3)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> ((r._3, r._5))).toMap
+    assert(got(0L) == ((1L, None)), "first point has n=1 → NULL")
+    assert(got(1L) == ((2L, Some(1000000L))))
+    assert(got(2L) == ((3L, Some(1000000L))))
+    assert(got(5L) == ((1L, None)), "gap must shrink the window to n=1")
+    // anti-correlated window
+    val mix = Seq(("m", 0L, 1L, 9L), ("m", 1L, 2L, 7L), ("m", 2L, 3L, 5L))
+      .toDF("g", "t", "x", "y")
+    val m = Stats.rollingCorrPpm(mix, "g", "t", "x", "y", 3)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._2 -> ((r._4, r._5))).toMap
+    assert(m(2L) == ((-1L, Some(1000000L))))
+    val rep = Stats.rollingCorrPpm(df.repartition(5), "g", "t", "x", "y", 3)
+      .collect().map(_.toSeq).toSet
+    assert(rep == Stats.rollingCorrPpm(df, "g", "t", "x", "y", 3)
+      .collect().map(_.toSeq).toSet)
+    intercept[IllegalArgumentException](
+      Stats.rollingCorrPpm(df, "g", "t", "x", "y", 1))
+  }
+
   test("isotonicFit: hand PAVA pools, monotone output, guards") {
     // raw rates by score: .5, 0, 1, .5 → PAVA pools (1,2)→.25 and
     // (3,4)→.75
