@@ -627,6 +627,14 @@ object AnalyticsGates {
       windowPeriods = 14)
   }
 
+  // TOP-K WITH OTHERS (ops/Stats.topKWithOthers): the dashboard
+  // rollup — top-5 sources by total characters plus the reconcilable
+  // OTHER residual (Σ output = Σ input exactly).
+  def q284_top_others(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.topKWithOthers(
+      t(s, dir, "documents").where(col("n_chars").isNotNull),
+      "source", "n_chars", k = 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -680,7 +688,8 @@ object AnalyticsGates {
     "q280_nearest"       -> q280_nearest _,
     "q281_dbscan"        -> q281_dbscan _,
     "q282_trajectory"    -> q282_trajectory _,
-    "q283_rolling_corr"  -> q283_rolling_corr _)
+    "q283_rolling_corr"  -> q283_rolling_corr _,
+    "q284_top_others"    -> q284_top_others _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -757,6 +766,22 @@ object AnalyticsGates {
         |    AS n_outliers
         |FROM e JOIN med ON med.g=e.g JOIN mad ON mad.g=e.g
         |GROUP BY 1, med.med, mad.mad""".stripMargin,
+    "q284_top_others" ->
+      """WITH agg AS (SELECT source AS key,
+        |         CAST(sum(n_chars) AS BIGINT) AS value
+        |       FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |top AS (SELECT key, value,
+        |          row_number() OVER (ORDER BY value DESC, key) AS rank
+        |        FROM agg QUALIFY rank <= 5),
+        |oth AS (SELECT 'OTHER' AS key, CAST(sum(value) AS BIGINT) AS value,
+        |          CAST(count(*) AS BIGINT) AS n_keys
+        |        FROM agg WHERE key NOT IN (SELECT key FROM top)
+        |        HAVING count(*) > 0)
+        |SELECT key, value, CAST(1 AS BIGINT) AS n_keys,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM top
+        |UNION ALL
+        |SELECT key, value, n_keys, CAST(6 AS BIGINT) FROM oth""".stripMargin,
     "q282_trajectory" ->
       """WITH e AS (SELECT user_id u, epoch_us(ts) AS ts, event_id AS id,
         |   (event_id*48271) % 10000 AS x,

@@ -1860,6 +1860,47 @@ object Stats {
           .as("mean_milli"))
   }
 
+  /** TOP-K WITH OTHERS: the k heaviest keys by summed value plus ONE
+    * residual row aggregating everything else — the pie-chart /
+    * dashboard rollup that keeps totals reconcilable (Σ output =
+    * Σ input exactly, unlike a bare LIMIT k). Ties at the cut break
+    * (value DESC, key ASC); the OTHER row carries rank k+1 and the
+    * count of keys it absorbed.
+    *
+    * Output: (key STRING, value, n_keys, rank).
+    *
+    * Scale shape: one key groupBy (map-side partials), a k-bounded
+    * TakeOrderedAndProject for the head, and one 1-row aggregate +
+    * broadcast anti-semi for the residual. Never a global sort. */
+  def topKWithOthers(df: DataFrame, keyCol: String, valueCol: String,
+                     k: Int, otherLabel: String = "OTHER"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val agg = df.where(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(sum(col(valueCol).cast("long")).as("value"))
+    require(!agg.columns.contains(otherLabel),
+      s"otherLabel collides with a column")
+    val top = agg.orderBy(col("value").desc, col("key").asc).limit(k)
+      .localCheckpoint() // consumed twice: output + residual anti join
+    val topTotal = top.agg(
+      coalesce(sum(col("value")), lit(0L)).as("__tv"),
+      count(lit(1)).as("__tk"))
+    val grand = agg.agg(coalesce(sum(col("value")), lit(0L)).as("__gv"),
+      count(lit(1)).as("__gk"))
+    val others = grand.crossJoin(broadcast(topTotal))
+      .where(col("__gk") > col("__tk"))
+      .select(lit(otherLabel).as("key"),
+        (col("__gv") - col("__tv")).as("value"),
+        (col("__gk") - col("__tk")).as("n_keys"),
+        lit(k + 1).cast("long").as("rank"))
+    val head = top
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("value").desc, col("key").asc)).cast("long"))
+      .select(col("key"), col("value"), lit(1L).as("n_keys"), col("rank"))
+    head.unionByName(others)
+  }
+
   /** ROLLING CORRELATION: at every period, the exact Pearson r²·sign
     * ppm of the trailing `windowPeriods` (value-based RANGE frame, so
     * gaps in the series shrink n rather than silently reaching

@@ -207,6 +207,65 @@ class MediaCodecsSpec extends SparkTestBase {
       MediaCodecs.encodeBmp24(8, 8, (_, _) => (1, 2, 3))).isEmpty)
   }
 
+  test("streaming media ingest: dHash probe-and-admit across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def bmp(seed: Int, edit: Boolean) = MediaCodecs.encodeBmp24(36, 32,
+      (x, y) => {
+        val v = ((x * (11 + seed) + y * (17 + 3 * seed) + x * y % 7) % 200)
+        if (edit && x < 4 && y < 4) (255, 255, 255) else (v, v, v)
+      })
+    val src = tmpDir("media-stream") + "/feed"
+    // batch 1: A(1) B(2) C(3) + near-dup of A (101); batch 2 appended
+    // after (file-source picks files in modification order — the
+    // EventStreamSpec cross-batch pattern)
+    Seq(MediaRow(1L, "image", bmp(1, false), 36, 32, 0, 0),
+      MediaRow(2L, "image", bmp(2, false), 36, 32, 0, 0),
+      MediaRow(3L, "image", bmp(3, false), 36, 32, 0, 0),
+      MediaRow(101L, "image", bmp(1, true), 36, 32, 0, 0))
+      .toDF().coalesce(1).write.parquet(src)
+    // batch 2: PNG re-encode of B (202 — exact hash dup ACROSS
+    // batches), new D (4), near-dup of C (103)
+    val bPixels = (x: Int, y: Int) => {
+      val v = ((x * 13 + y * 23 + x * y % 7) % 200); (v, v, v) }
+    Seq(MediaRow(202L, "image",
+        MediaCodecs.encodeImage("png", 36, 32, bPixels), 36, 32, 0, 0),
+      MediaRow(4L, "image", bmp(4, false), 36, 32, 0, 0),
+      MediaRow(103L, "image", bmp(3, true), 36, 32, 0, 0))
+      .toDF().coalesce(1).write.mode("append").parquet(src)
+    // fixture sanity: bmp(2) pixels == bPixels, so the PNG re-encode
+    // must hash-match its BMP source
+    assert(MediaCodecs.dHash64(bmp(2, false)) ==
+      MediaCodecs.dHash64(MediaCodecs.encodeImage("png", 36, 32, bPixels)),
+      "fixture: PNG re-encode must hash-match its BMP source")
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    graft.streaming.EventStream.runStreamForeachBatch(spark, src,
+      (df, _) => {
+        val rows = df.as[MediaRow]
+        val hashes = Multimodal.perceptualHashes(rows)
+          .where(col("decode_ok"))
+        val index = admitted.toSeq.toDF("media_id", "dhash")
+          .withColumn("decode_ok", lit(true))
+        val all = index.unionByName(hashes)
+        val dupPairs = Multimodal.imageNearDupPairs(all, maxHamming = 7)
+        // a batch row is a duplicate if it pairs with the index or
+        // with a smaller batch id (min-id survivor rule)
+        val dupIds = dupPairs.select(col("id_b").as("dup"))
+          .as[Long].collect().toSet
+        hashes.as[(Long, Long, Boolean)].collect().foreach {
+          case (id, h, _) => if (!dupIds.contains(id)) admitted += ((id, h))
+        }
+      },
+      options = Map("maxFilesPerTrigger" -> "1"))
+    val ids = admitted.map(_._1).toSet
+    assert(ids.contains(1L) && ids.contains(2L) && ids.contains(3L) &&
+      ids.contains(4L), s"originals must admit: $ids")
+    assert(!ids.contains(101L), "batch-1 near-dup must drop within batch")
+    assert(!ids.contains(202L),
+      "batch-2 exact re-encode must drop AGAINST THE INDEX (cross-batch)")
+    assert(!ids.contains(103L), "batch-2 near-dup must drop vs the index")
+  }
+
   test("perceptualHashes + imageNearDupPairs: banded join finds the planted near-dups") {
     import spark.implicits._
     // 30 distinct base images; ids 100+i are 1-cell edits of i (near

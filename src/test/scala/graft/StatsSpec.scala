@@ -1201,6 +1201,27 @@ class StatsSpec extends SparkTestBase {
     assert(rr == rr2)
   }
 
+  test("topKWithOthers: reconciling rollup, tie rule, no-residual case") {
+    val df = Seq(("a", 50L), ("a", 50L), ("b", 90L), ("c", 80L),
+      ("d", 10L), ("e", 10L)).toDF("k", "v")
+    val got = Stats.topKWithOthers(df, "k", "v", k = 2)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4)
+    // a=100, b=90, c=80, d=10, e=10 → top2 = a, b; OTHER = 100 (3 keys)
+    assert(got.toSeq == Seq(("a", 100L, 1L, 1L), ("b", 90L, 1L, 2L),
+      ("OTHER", 100L, 3L, 3L)))
+    assert(got.map(_._2).sum == 290L, "Σ output must equal Σ input")
+    // tie at the cut: b=90, c=90 → key order decides
+    val tie = Seq(("b", 90L), ("c", 90L), ("a", 100L)).toDF("k", "v")
+    val t2 = Stats.topKWithOthers(tie, "k", "v", 2)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._4)
+    assert(t2.map(_._1).toSeq == Seq("a", "b", "OTHER"))
+    // k >= distinct keys → no OTHER row
+    val small = Stats.topKWithOthers(tie, "k", "v", 5)
+      .as[(String, Long, Long, Long)].collect()
+    assert(small.length == 3 && !small.exists(_._1 == "OTHER"))
+    intercept[IllegalArgumentException](Stats.topKWithOthers(df, "k", "v", 0))
+  }
+
   test("rollingCorrPpm: perfect window, gap shrinks n, head NULL") {
     // y = x: every ≥2-point window is exactly 10⁶; time 5 sits alone
     // in its value-based window after the gap
