@@ -635,6 +635,15 @@ object AnalyticsGates {
       t(s, dir, "documents").where(col("n_chars").isNotNull),
       "source", "n_chars", k = 5)
 
+  // KAPLAN–MEIER (ops/EventAnalytics.kmSurvivalPpm): q227's life table
+  // extended with the exact-integer survival recurrence S_t =
+  // (S_{t−1}·(n_t−d_t)) div n_t — the pinned-floor form of Π(1−d/n)
+  // both engines replay identically (a float window product would
+  // hinge on association order).
+  def q285_km_survival(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.kmSurvivalPpm(
+      t(s, dir, "events"), "user_id", "ts", periodUs = dayUs)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -689,7 +698,8 @@ object AnalyticsGates {
     "q281_dbscan"        -> q281_dbscan _,
     "q282_trajectory"    -> q282_trajectory _,
     "q283_rolling_corr"  -> q283_rolling_corr _,
-    "q284_top_others"    -> q284_top_others _)
+    "q284_top_others"    -> q284_top_others _,
+    "q285_km_survival"   -> q285_km_survival _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -766,6 +776,26 @@ object AnalyticsGates {
         |    AS n_outliers
         |FROM e JOIN med ON med.g=e.g JOIN mad ON mad.g=e.g
         |GROUP BY 1, med.med, mad.mad""".stripMargin,
+    "q285_km_survival" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    max(epoch_us(ts)//86400000000) - min(epoch_us(ts)//86400000000)
+        |      AS tenure
+        |  FROM events GROUP BY 1),
+        |dt AS (SELECT tenure, CAST(count(*) AS BIGINT) AS d_t
+        |       FROM u GROUP BY 1),
+        |risk AS (SELECT tenure, d_t,
+        |    CAST(sum(d_t) OVER (ORDER BY tenure DESC) AS BIGINT) AS n_t,
+        |    row_number() OVER (ORDER BY tenure) AS rn
+        |  FROM dt),
+        |km AS (SELECT 0 AS rn, CAST(1000000 AS HUGEINT) AS s
+        |       UNION ALL
+        |       SELECT risk.rn, (km.s * (risk.n_t - risk.d_t)) // risk.n_t
+        |       FROM km JOIN risk ON risk.rn = km.rn + 1)
+        |SELECT risk.tenure, risk.d_t, risk.n_t,
+        |  CAST((1000000*risk.d_t) // risk.n_t AS BIGINT) AS hazard_ppm,
+        |  CAST(km.s AS BIGINT) AS surv_ppm
+        |FROM risk JOIN km ON km.rn = risk.rn""".stripMargin,
     "q284_top_others" ->
       """WITH agg AS (SELECT source AS key,
         |         CAST(sum(n_chars) AS BIGINT) AS value

@@ -445,6 +445,47 @@ object EventAnalytics {
         expr("(1000000 * d_t) div n_t").as("hazard_ppm"))
   }
 
+  /** KAPLAN–MEIER survival curve in EXACT integers: S_t =
+    * (S_{t−1} · (n_t − d_t)) div n_t per tenure step, S start 10⁶ —
+    * the float product Π(1 − d/n) replaced by a PINNED integer
+    * recurrence (each step floors once, so the curve sits ≤ #steps
+    * ppm below the real KM — documented, and both engines replay the
+    * identical floors; a float cumulative product would depend on the
+    * engine's window-product association order). Extends
+    * [[hazardByTenure]]'s life table with the survival column.
+    *
+    * Output: (tenure, d_t, n_t, hazard_ppm, surv_ppm) — surv_ppm is
+    * survival THROUGH that tenure, non-increasing, reaching 0 at the
+    * last step (everyone eventually churns in a closed cohort).
+    *
+    * Scale shape: the life table is tenure-bounded (periods, not
+    * rows); the sequential fold runs over ONE collected array of
+    * ≤ periods rows (the guarded-driver-step family: PAVA, Jacobi) —
+    * expressed as a higher-order `aggregate` so it stays inside the
+    * plan; everything upstream is [[hazardByTenure]]'s distributed
+    * shape. */
+  def kmSurvivalPpm(events: DataFrame, userCol: String, tsCol: String,
+                    periodUs: Long): DataFrame = {
+    val lt = hazardByTenure(events, userCol, tsCol, periodUs)
+      .localCheckpoint() // consumed twice: fold + final join
+    val folded = lt
+      .agg(sort_array(collect_list(struct(col("tenure"), col("d_t"),
+        col("n_t")))).as("__arr"))
+      .select(explode(expr(
+        """slice(aggregate(__arr,
+          |array(named_struct('tenure', CAST(-1 AS BIGINT),
+          |                   's', CAST(1000000 AS BIGINT))),
+          |(acc, x) -> array_append(acc, named_struct(
+          |  'tenure', CAST(x.tenure AS BIGINT),
+          |  's', (element_at(acc, -1).s * (x.n_t - x.d_t)) div x.n_t))),
+          |2, 100000000)""".stripMargin.replace("\n", " ")))
+        .as("__km"))
+      .select(col("__km.tenure").as("__t"), col("__km.s").as("surv_ppm"))
+    lt.join(folded, col("tenure") === col("__t"))
+      .select(col("tenure"), col("d_t"), col("n_t"), col("hazard_ppm"),
+        col("surv_ppm"))
+  }
+
   /** TIME-DECAY ATTRIBUTION: credit each conversion's touches with
     * exponentially decaying weight — the "recent touches matter more"
     * model between last-touch (all credit to the newest) and linear

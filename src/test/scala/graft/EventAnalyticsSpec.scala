@@ -449,6 +449,39 @@ class EventAnalyticsSpec extends SparkTestBase {
       t._5.orNull, t._6.orNull, t._7.orNull)).toSet)
   }
 
+  test("kmSurvivalPpm: hand recurrence, monotone to zero, driver reference") {
+    // tenure histogram: t=0 d=2, t=1 d=1, t=2 d=1 → n = 4, 2, 1
+    // S: 10⁶·2/4 = 500000; ·1/2 = 250000; ·0/1 = 0
+    val ev = Seq(
+      (1L, 0L), (2L, 0L),                 // tenure 0 users
+      (3L, 0L), (3L, 86400000000L),       // tenure 1
+      (4L, 0L), (4L, 2 * 86400000000L))   // tenure 2
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.kmSurvivalPpm(ev, "user_id", "ts",
+        86400000000L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 2L, 4L, 500000L, 500000L),
+      (1L, 1L, 2L, 500000L, 250000L),
+      (2L, 1L, 1L, 1000000L, 0L)))
+    // random cohort: non-increasing, ends at 0, matches a driver fold
+    val rnd = new scala.util.Random(13)
+    val big = (1L to 300L).flatMap { u =>
+      val t = rnd.nextInt(12).toLong
+      Seq((u, 0L), (u, t * 86400000000L))
+    }.toDF("user_id", "ts")
+    val rows = EventAnalytics.kmSurvivalPpm(big, "user_id", "ts",
+        86400000000L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.sliding(2).forall(p => p(0)._5 >= p(1)._5))
+    assert(rows.last._5 == 0L)
+    var s = 1000000L
+    rows.foreach { r =>
+      s = s * (r._3 - r._2) / r._3
+      assert(r._5 == s, s"recurrence mismatch at tenure ${r._1}")
+    }
+  }
+
   test("pathLengthL1: hand path, singleton, simultaneous-ts id order") {
     val pts = Seq(
       ("a", 10L, 1L, 0L, 0L), ("a", 20L, 2L, 3L, 4L), ("a", 30L, 3L, 3L, 1L),
