@@ -644,6 +644,27 @@ object AnalyticsGates {
     graft.ops.EventAnalytics.kmSurvivalPpm(
       t(s, dir, "events"), "user_id", "ts", periodUs = dayUs)
 
+  // SUBTREE SHARE-OF-PARENT (composite over q277's rollup): each
+  // node's descendant-inclusive mass as an exact ppm of its parent's —
+  // the "which branch carries the weight" drill-down a BOM/org
+  // hierarchy report reads next to the rollup itself.
+  def q286_subtree_share(s: SparkSession, dir: String): DataFrame = {
+    val roll = q277_subtree_rollup(s, dir)
+      .select(col("ancestor"), col("subtree_chars"))
+      .localCheckpoint() // consumed as both child and parent side
+    val child = roll.where(col("ancestor") >= 1)
+      .select(col("ancestor").as("node"),
+        expr("ancestor div 2").as("parent"),
+        col("subtree_chars").as("node_chars"))
+    child.join(roll.select(col("ancestor").as("parent"),
+        col("subtree_chars").as("parent_chars")), "parent")
+      .select(col("node"), col("parent"), col("node_chars"),
+        col("parent_chars"),
+        when(col("parent_chars") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * node_chars) div parent_chars"))
+          .as("share_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q222_ewma"          -> q222_ewma _,
     "q223_hop_distance"  -> q223_hop_distance _,
@@ -699,7 +720,8 @@ object AnalyticsGates {
     "q282_trajectory"    -> q282_trajectory _,
     "q283_rolling_corr"  -> q283_rolling_corr _,
     "q284_top_others"    -> q284_top_others _,
-    "q285_km_survival"   -> q285_km_survival _)
+    "q285_km_survival"   -> q285_km_survival _,
+    "q286_subtree_share" -> q286_subtree_share _)
 
   /** The Poisson(1) weight ladder over a 60-bit md5 hash expression —
     * the same pinned thresholds as Stats.poissonThresholds, rendered
@@ -776,6 +798,25 @@ object AnalyticsGates {
         |    AS n_outliers
         |FROM e JOIN med ON med.g=e.g JOIN mad ON mad.g=e.g
         |GROUP BY 1, med.med, mad.mad""".stripMargin,
+    "q286_subtree_share" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT doc_id AS node, doc_id // 2 AS ancestor
+        |  FROM documents WHERE doc_id >= 1
+        |  UNION ALL
+        |  SELECT node, ancestor // 2 FROM anc WHERE ancestor >= 1),
+        |pairs AS (SELECT node, ancestor FROM anc
+        |          UNION ALL
+        |          SELECT doc_id, doc_id FROM documents WHERE doc_id >= 1),
+        |roll AS (SELECT p.ancestor, CAST(sum(d.n_chars) AS BIGINT) AS chars
+        |         FROM pairs p JOIN documents d ON d.doc_id = p.node
+        |         GROUP BY 1)
+        |SELECT c.ancestor AS node, c.ancestor // 2 AS parent,
+        |  c.chars AS node_chars, pa.chars AS parent_chars,
+        |  CASE WHEN pa.chars = 0 THEN NULL
+        |       ELSE CAST((1000000*c.chars) // pa.chars AS BIGINT)
+        |  END AS share_ppm
+        |FROM roll c JOIN roll pa ON pa.ancestor = c.ancestor // 2
+        |WHERE c.ancestor >= 1""".stripMargin,
     "q285_km_survival" ->
       """WITH RECURSIVE u AS (
         |  SELECT user_id,
