@@ -2143,4 +2143,213 @@ object Stats {
           expr("CAST(1000000 - __childSum div __n AS BIGINT)"))
           .as("gain_ppm"))
   }
+
+  /** BRIER SCORE with the Murphy decomposition — the one-row summary
+    * of a probabilistic classifier's calibration story: the overall
+    * mean squared error of the ppm forecast against the 0/1 outcome,
+    * split into REL (how far each bin's promised rate sits from its
+    * delivered rate — penalty), RES (how far delivered rates spread
+    * from the base rate — reward), and UNC (the base rate's intrinsic
+    * variance). Forecasts bin into `bins` equal-width buckets (the
+    * [[reliabilityBuckets]] grid).
+    *
+    * Exactness contract (pinned-floor form): per-bin means are floor
+    * divisions (f̄_k = Σp div n_k ppm, ō_k = 10⁶·pos_k div n_k ppm),
+    * the global base rate likewise, and each decomposition term is
+    * Σ n_k·(Δppm)² div (n·10⁶) — every step integer, so a SQL engine
+    * replays it bit-for-bit. The floors mean REL − RES + UNC tracks
+    * the overall Brier only approximately (the textbook identity holds
+    * in the reals); the overall `brier_ppm` is computed directly from
+    * Σ(p − 10⁶y)² and is exact on its own.
+    *
+    * Scale shape: one map-side-partial groupBy on the bucket id (bins
+    * rows out), one 1-row broadcast of the global totals, one final
+    * aggregate over ≤ bins rows. No windows, no collects. */
+  def brierDecompositionPpm(df: DataFrame, scorePpmCol: String,
+                            labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && 1000000 % bins == 0,
+      s"bins must divide 1000000, got $bins")
+    val w = 1000000L / bins
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = df.select(col(scorePpmCol).cast("long").as("__p"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__p").isNotNull && col("__y").isNotNull &&
+        col("__p") >= 0 && col("__p") < 1000000L)
+    val byBin = s.groupBy(expr(s"__p div ${w}L").as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
+        sum(col("__p")).as("__sp"),
+        // per-row squared error accumulates exactly at bin grain:
+        // (p − 10⁶·y)² ≤ 10¹² per row needs the decimal lane
+        sum(((col("__p") - when(col("__y"), 1000000L).otherwise(0L)) *
+          (col("__p") - when(col("__y"), 1000000L).otherwise(0L)))
+          .cast(d38)).as("__sq"))
+    val tot = byBin.agg(sum(col("__n")).as("__tn"),
+      sum(col("__pos")).as("__tpos"))
+    byBin.crossJoin(broadcast(tot))
+      .select(col("__n"), col("__sq"),
+        // pinned floors: bin means and the base rate in ppm
+        expr("__sp div __n").as("__f"),
+        expr("(1000000 * __pos) div __n").as("__o"),
+        expr("(1000000 * __tpos) div __tn").as("__obar"),
+        col("__tn"), col("__tpos"))
+      .agg(max(col("__tn")).as("__tn0"),
+        max(col("__tpos")).as("__tpos0"),
+        max(col("__obar")).as("__obar0"),
+        sum(col("__sq")).as("__tsq"),
+        // n_k·(Δppm)² can reach n_k·10¹² — decimal lane BEFORE the
+        // product, not after (a long product overflows at n_k ~ 10⁷)
+        sum(col("__n").cast(d38) * (col("__f") - col("__o")) *
+          (col("__f") - col("__o"))).as("__rel"),
+        sum(col("__n").cast(d38) * (col("__o") - col("__obar")) *
+          (col("__o") - col("__obar"))).as("__res"))
+      .select(col("__tn0").cast("long").as("n"),
+        col("__tpos0").cast("long").as("n_pos"),
+        expr("CAST(__tsq div (__tn0 * 1000000) AS BIGINT)").as("brier_ppm"),
+        expr("CAST(__rel div (__tn0 * 1000000) AS BIGINT)")
+          .as("reliability_ppm"),
+        expr("CAST(__res div (__tn0 * 1000000) AS BIGINT)")
+          .as("resolution_ppm"),
+        // ō(1−ō) in ppm, both factors already pinned-floor ppm
+        expr("CAST((__obar0 * (1000000 - __obar0)) div 1000000 AS BIGINT)")
+          .as("uncertainty_ppm"))
+  }
+
+  /** McNEMAR'S TEST for paired classifiers — "is model A actually
+    * better than model B on the SAME examples?", the question accuracy
+    * deltas can't answer because they ignore pairing. Counts the
+    * discordant cells (b = A right / B wrong, c = A wrong / B right)
+    * and reports the χ²₁ statistic (b−c)²/(b+c) in milli, plus the
+    * continuity-corrected (|b−c|−1)²/(b+c) variant (floored at 0).
+    * Both NULL when b+c = 0 (identical error patterns — the statistic
+    * is undefined, and ANSI `div` would throw on the zero denominator).
+    *
+    * Scale shape: one map-side-partial global aggregate — four
+    * conditional counts cross the shuffle as one partial row per
+    * partition. */
+  def mcnemarMilli(df: DataFrame, labelCol: String,
+                   predACol: String, predBCol: String): DataFrame = {
+    val s = df.select(col(labelCol).cast("boolean").as("__y"),
+        col(predACol).cast("boolean").as("__a"),
+        col(predBCol).cast("boolean").as("__b"))
+      .where(col("__y").isNotNull && col("__a").isNotNull &&
+        col("__b").isNotNull)
+    s.agg(count(lit(1)).as("n"),
+        sum(when(col("__a") === col("__y") && col("__b") =!= col("__y"),
+          1L).otherwise(0L)).as("b"),
+        sum(when(col("__a") =!= col("__y") && col("__b") === col("__y"),
+          1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        // decimal lane: (b−c)² overflows a long once |b−c| ~ 3·10⁹
+        when(col("b") + col("c") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000 * CAST(b - c AS DECIMAL(38,0)) * (b - c))
+              |div (b + c) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("mcnemar_milli"),
+        when(col("b") + col("c") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000 * CAST(greatest(abs(b - c) - 1, 0) AS DECIMAL(38,0)) *
+              |greatest(abs(b - c) - 1, 0)) div (b + c) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("mcnemar_cc_milli"))
+  }
+
+  /** FANO FACTOR (index of dispersion of COUNTS) per group — the
+    * burstiness diagnostic: variance/mean of the per-period event
+    * count over a shared period spine. 1 = Poisson arrivals; > 1 =
+    * bursty (events clump); < 1 = regular. The spine is the GLOBAL
+    * [min, max] period range across all groups, so periods with no
+    * events count as genuine zeros (dropping them silently inflates
+    * the mean and masks burstiness — the classic mistake this operator
+    * exists to avoid).
+    *
+    * Exact form: with H spine periods, S = Σcount, Q = Σcount² (zero
+    * periods add nothing to S or Q), population variance·H² = H·Q−S²,
+    * so fano_ppm = 10⁶·(H·Q − S²) div (H·S) — every step integer.
+    * NULL when S = 0 (no events: the ratio is undefined).
+    *
+    * Scale shape: one map-side-partial groupBy to (group, period)
+    * counts, one groupBy to per-group moments (rows = groups), one
+    * 1-row broadcast of the global span. No spine materialization —
+    * the zeros enter through H, never as rows. */
+  def fanoFactorPpm(df: DataFrame, groupCol: String,
+                    periodCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = df.select(col(groupCol).as("__g"),
+        col(periodCol).cast("long").as("__t"))
+      .where(col("__g").isNotNull && col("__t").isNotNull)
+    val counts = s.groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val span = counts.agg(min(col("__t")).as("__lo"),
+      max(col("__t")).as("__hi"))
+    counts.groupBy(col("__g"))
+      // decimal lane from the start: S² overflows a long at S ~ 3·10⁹
+      .agg(sum(col("__c")).cast(d38).as("__s"),
+        sum((col("__c") * col("__c")).cast(d38)).as("__q"))
+      .crossJoin(broadcast(span))
+      .select(col("__g").as(groupCol),
+        (col("__hi") - col("__lo") + 1).as("n_periods"),
+        col("__s").cast("long").as("n_events"),
+        expr("CAST((1000 * __s) div (__hi - __lo + 1) AS BIGINT)")
+          .as("mean_milli"),
+        when(col("__s") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * ((__hi - __lo + 1) * __q - __s * __s))
+              |div ((__hi - __lo + 1) * __s) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("fano_ppm"))
+  }
+
+  /** ROLLING z-SCORE ANOMALY FLAGS — "which days broke from their own
+    * recent history?": each observation compares against the trailing
+    * `windowPeriods` periods STRICTLY BEFORE it (the self-exclusion
+    * that keeps a genuine spike from masking itself by inflating its
+    * own baseline). A point is anomalous when |x − mean| > k·σ of the
+    * baseline, evaluated in the cross-multiplied exact-integer form
+    * c²·(c·x − S)² > k²·c²·(c·Q − S²) ⇒ (c·x − S)² > k²·(c·Q − S²)
+    * (c = baseline rows present, S/Q = baseline sum/sum-of-squares) —
+    * no square roots, no floats, bit-replayable in SQL. Points with
+    * fewer than `minPeriods` baseline rows emit flag NULL (not false:
+    * "unknown", not "normal").
+    *
+    * Scale shape: one RANGE window per group over the period axis —
+    * state bounded by one group's window span, never the corpus; the
+    * three baseline moments share a single frame (the one-Window-exec
+    * discipline: all frame functions in ONE select). */
+  def rollingAnomalyFlags(df: DataFrame, groupCol: String,
+                          periodCol: String, valueCol: String,
+                          windowPeriods: Int, k: Int,
+                          minPeriods: Int): DataFrame = {
+    require(windowPeriods >= 2, s"windowPeriods must be >= 2, got $windowPeriods")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minPeriods >= 2 && minPeriods <= windowPeriods,
+      s"minPeriods must be in [2, windowPeriods], got $minPeriods")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = df.select(col(groupCol).as("__g"),
+        col(periodCol).cast("long").as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__g").isNotNull && col("__t").isNotNull &&
+        col("__x").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__t"))
+      .rangeBetween(-windowPeriods.toLong, -1L)
+    // all three moments in ONE select: chained withColumn would plan
+    // one Window exec per moment (interleaved Projects defeat
+    // CollapseWindow — the rollingCorrPpm lesson)
+    s.select(col("__g"), col("__t"), col("__x"),
+        count(col("__x")).over(w).as("__c"),
+        sum(col("__x")).over(w).as("__s"),
+        sum((col("__x") * col("__x")).cast(d38)).over(w).as("__q"))
+      .select(col("__g").as(groupCol), col("__t").as(periodCol),
+        col("__x").as(valueCol),
+        col("__c").cast("long").as("n_baseline"),
+        when(col("__c") < minPeriods, lit(null).cast("boolean"))
+          .otherwise(
+            (col("__c").cast(d38) * col("__x") - col("__s")) *
+              (col("__c").cast(d38) * col("__x") - col("__s")) >
+            lit(k.toLong * k) *
+              (col("__c") * col("__q") - col("__s").cast(d38) * col("__s")))
+          .as("is_anomaly"))
+  }
 }

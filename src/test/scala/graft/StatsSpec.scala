@@ -1322,4 +1322,76 @@ class StatsSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("brierDecompositionPpm: hand-computed Murphy split, range filter") {
+    // bins=2 (width 500000): bin0 = {(2e5,F)×2, (2e5,T)}, bin1 =
+    // {(8e5,T), (8e5,F)}; out-of-range rows must vanish silently
+    val df = (Seq((200000L, false), (200000L, false), (200000L, true),
+        (800000L, true), (800000L, false)) ++
+      Seq((-5L, true), (1000000L, false))) // filtered
+      .toDF("p", "y")
+    val r = Stats.brierDecompositionPpm(df, "p", "y", bins = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((5L, 2L, 280000L, 46666L, 6666L, 240000L)),
+      s"got $r")
+  }
+
+  test("mcnemarMilli: hand discordant cells, all-concordant NULL") {
+    val df = (Seq.fill(5)((true, true, false)) ++
+      Seq.fill(2)((true, false, true)) ++
+      Seq.fill(3)((true, true, true))).toDF("y", "a", "b")
+    val r = Stats.mcnemarMilli(df, "y", "a", "b")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    // b=5, c=2: (b−c)²/(b+c) = 9/7 → 1285; cc: (|3|−1)²/7 = 4/7 → 571
+    assert(r == ((10L, 5L, 2L, Some(1285L), Some(571L))), s"got $r")
+    val conc = Seq((true, true, true), (false, false, false))
+      .toDF("y", "a", "b")
+    val r2 = Stats.mcnemarMilli(conc, "y", "a", "b")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(r2 == ((2L, 0L, 0L, None, None)))
+  }
+
+  test("fanoFactorPpm: shared spine zeros count, regular series = 0") {
+    // span from BOTH groups: lo=0, hi=2, H=3. g: counts {0:2, 2:1}
+    // (period 1 a genuine zero) → 10⁶(3·5−9)/(3·3) = 666666; h: {1:2}
+    // → 10⁶(3·4−4)/(3·2) = 1333333
+    val df = Seq(("g", 0L), ("g", 0L), ("g", 2L), ("h", 1L), ("h", 1L))
+      .toDF("g", "t")
+    val got = Stats.fanoFactorPpm(df, "g", "t")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 3L, 3L, 1000L, Some(666666L))))
+    assert(got("h") == (("h", 3L, 2L, 666L, Some(1333333L))))
+    // one event per period across the whole span: variance 0 → fano 0
+    val reg = Seq(("r", 0L), ("r", 1L), ("r", 2L)).toDF("g", "t")
+    assert(Stats.fanoFactorPpm(reg, "g", "t")
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .head._5.contains(0L))
+  }
+
+  test("rollingAnomalyFlags: spike flags, warmup NULL, gap shrinks, " +
+       "partition independence") {
+    val series = (0L to 9L).map(d => ("g", d, 10L)) :+ (("g", 10L, 100L))
+    val df = series.toDF("g", "t", "x")
+    val got = Stats.rollingAnomalyFlags(df, "g", "t", "x",
+        windowPeriods = 5, k = 3, minPeriods = 3)
+      .as[(String, Long, Long, Long, Option[Boolean])].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got(0L)._5.isEmpty && got(2L)._5.isEmpty) // < 3 baseline rows
+    assert(got(3L) == (("g", 3L, 10L, 3L, Some(false))))
+    // day 10 vs a constant baseline (σ = 0): any deviation flags
+    assert(got(10L) == (("g", 10L, 100L, 5L, Some(true))))
+    // a gap empties the RANGE frame: baseline count 0 → NULL
+    val gap = (0L to 3L).map(d => ("g", d, 10L)) :+ (("g", 20L, 10L))
+    val g20 = Stats.rollingAnomalyFlags(gap.toDF("g", "t", "x"),
+        "g", "t", "x", 5, 3, 3)
+      .as[(String, Long, Long, Long, Option[Boolean])].collect()
+      .find(_._2 == 20L).get
+    assert(g20._4 == 0L && g20._5.isEmpty)
+    val a = Stats.rollingAnomalyFlags(df, "g", "t", "x", 5, 3, 3)
+      .collect().map(_.toSeq).toSet
+    val b = Stats.rollingAnomalyFlags(df.repartition(7), "g", "t", "x",
+        5, 3, 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
