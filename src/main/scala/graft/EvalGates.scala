@@ -71,11 +71,148 @@ object EvalGates {
       .withColumn("is_anomaly", col("is_anomaly").cast("int"))
   }
 
+  // MANN–WHITNEY U (ops/RankTests.mannWhitneyMilli): do purchase
+  // events carry higher value-cents than non-purchase events —
+  // the rank-sum two-sample test, tie-corrected, z² in milli.
+  def q291_mann_whitney(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankTests.mannWhitneyMilli(
+      t(s, dir, "events").select(
+        (col("event_type") === "purchase").as("f"),
+        floor(col("value") * 100).cast("long").as("v")),
+      "f", "v")
+
+  // KRUSKAL–WALLIS H (ops/RankTests.kruskalWallisMilli): does ANY
+  // event type's value distribution sit higher — the k-group rank
+  // ANOVA over value-cents, raw and tie-corrected H in milli.
+  def q292_kruskal_wallis(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankTests.kruskalWallisMilli(
+      t(s, dir, "events").select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("v")),
+      "event_type", "v")
+
+  // WILCOXON SIGNED-RANK (ops/RankTests.wilcoxonSignedRankMilli):
+  // per-user paired spend — first half of the observation span vs the
+  // second half (pairing on the user removes between-user variance).
+  def q293_wilcoxon(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val mid = ev.agg(expr("(min(ts) + max(ts)) div 2").as("__mid"))
+    val pairs = ev.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("ts") < col("__mid"),
+          floor(col("value") * 100).cast("long")).otherwise(0L)), lit(0L))
+          .as("x"),
+        coalesce(sum(when(col("ts") >= col("__mid"),
+          floor(col("value") * 100).cast("long")).otherwise(0L)), lit(0L))
+          .as("y"))
+    graft.ops.RankTests.wilcoxonSignedRankMilli(pairs, "x", "y")
+  }
+
+  // MANN–KENDALL SIGNIFICANCE (ops/RankTests.mannKendallMilli):
+  // extends q231's S/τ with the tie-corrected variance and z² — is
+  // each event type's daily volume actually trending.
+  def q294_mann_kendall_z(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankTests.mannKendallMilli(
+      t(s, dir, "events")
+        .groupBy(col("event_type"), expr(s"ts div ${dayUs}L").as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      "event_type", "day", "cnt")
+
+  // LOG-RANK TEST (ops/RankTests.logRankMilli): do even- and odd-id
+  // user cohorts retain differently — durations are per-user active
+  // spans in days (closed cohort: all observed), the survival-curve
+  // comparison behind q285's Kaplan–Meier plot.
+  def q295_log_rank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankTests.logRankMilli(
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg((max(expr(s"ts div ${dayUs}L")) -
+          min(expr(s"ts div ${dayUs}L"))).as("dur"))
+        .withColumn("f", col("user_id") % 2 === 0)
+        .withColumn("obs", lit(true)),
+      "dur", "f", "obs")
+
+  // BENJAMINI–HOCHBERG FDR (ops/RankTests.bhAdjustPpm): each day's
+  // purchase-share ppm treated as the test battery's p-value column —
+  // the monotone q-value adjustment a 150-test dashboard applies
+  // before calling any day anomalous.
+  def q296_bh_adjust(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankTests.bhAdjustPpm(
+      t(s, dir, "events")
+        .groupBy(expr(s"ts div ${dayUs}L").as("day"))
+        .agg(expr(
+          """(1000000 * sum(CASE WHEN event_type = 'purchase'
+            |THEN 1 ELSE 0 END)) div count(1)"""
+            .stripMargin.replace("\n", " ")).as("p")),
+      "day", "p")
+
+  // MAX DRAWDOWN (ops/EventAnalytics.maxDrawdown): each event type's
+  // daily revenue-cents series against its own running peak — worst
+  // absolute and relative (ppm-of-peak) fall.
+  def q297_drawdown(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.maxDrawdown(
+      t(s, dir, "events")
+        .where(col("value").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"), expr(s"ts div ${dayUs}L").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("v")),
+      "event_type", "day", "v")
+
+  // ECE / MCE (ops/Stats.calibrationErrorPpm): the q287 forecast's
+  // expected and max calibration error — the one-row dashboard
+  // numbers next to the Brier decomposition.
+  def q298_ece(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.calibrationErrorPpm(
+      t(s, dir, "events").select(
+        least(lit(999999L), floor(col("value") * 100).cast("long") * 20)
+          .as("score_ppm"),
+        (col("event_type") === "purchase").as("label")),
+      "score_ppm", "label", bins = 10)
+
+  // FRIEDMAN TEST (ops/RankTests.friedmanMilli): do the five event
+  // types keep the same daily-volume ORDER across days — blocks are
+  // days, treatments event types, tie-exact within-block ranks.
+  def q299_friedman(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankTests.friedmanMilli(
+      t(s, dir, "events").where(col("event_type").isNotNull)
+        .groupBy(expr(s"ts div ${dayUs}L").as("blk"), col("event_type"))
+        .agg(count(lit(1)).as("cnt")),
+      "blk", "event_type", "cnt")
+
+  // COCHRAN–ARMITAGE (ops/RankTests.cochranArmitageMilli): is the
+  // purchase share trending over the day index — the ordered 2×k
+  // proportion-trend test with the epoch-day as the score.
+  def q300_trend_prop(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankTests.cochranArmitageMilli(
+      t(s, dir, "events").where(col("event_type").isNotNull).select(
+        expr(s"ts div ${dayUs}L").as("w"),
+        (col("event_type") === "purchase").as("y")),
+      "w", "y")
+
+  // MOMENTS (ops/Stats.momentsByGroup): shape diagnostics of each
+  // event type's daily-count series — exact skew² and excess kurtosis
+  // from integer power sums, square-root-free.
+  def q301_moments(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.momentsByGroup(
+      t(s, dir, "events").where(col("event_type").isNotNull)
+        .groupBy(col("event_type"), expr(s"ts div ${dayUs}L").as("dy"))
+        .agg(count(lit(1)).as("x")),
+      "event_type", "x")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
     "q289_fano"            -> q289_fano _,
-    "q290_rolling_anomaly" -> q290_rolling_anomaly _)
+    "q290_rolling_anomaly" -> q290_rolling_anomaly _,
+    "q291_mann_whitney"    -> q291_mann_whitney _,
+    "q292_kruskal_wallis"  -> q292_kruskal_wallis _,
+    "q293_wilcoxon"        -> q293_wilcoxon _,
+    "q294_mann_kendall_z"  -> q294_mann_kendall_z _,
+    "q295_log_rank"        -> q295_log_rank _,
+    "q296_bh_adjust"       -> q296_bh_adjust _,
+    "q297_drawdown"        -> q297_drawdown _,
+    "q298_ece"             -> q298_ece _,
+    "q299_friedman"        -> q299_friedman _,
+    "q300_trend_prop"      -> q300_trend_prop _,
+    "q301_moments"         -> q301_moments _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -145,5 +282,221 @@ object EvalGates {
         |  CASE WHEN c < 7 THEN NULL
         |       WHEN (c*x-s)*(c*x-s) > 9*(c*q-s*s) THEN 1 ELSE 0 END
         |    AS is_anomaly
-        |FROM w""".stripMargin)
+        |FROM w""".stripMargin,
+    "q291_mann_whitney" ->
+      """WITH b AS (SELECT event_type='purchase' AS f,
+        |                  CAST(floor(value*100) AS BIGINT) AS v
+        |           FROM events
+        |           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |h AS (SELECT v, count(*) AS t,
+        |             sum(CASE WHEN f THEN 1 ELSE 0 END) AS a
+        |      FROM b GROUP BY v),
+        |r AS (SELECT v, t, a,
+        |             2*(sum(t) OVER (ORDER BY v) - t) + t + 1 AS r2 FROM h),
+        |agg AS (SELECT sum(a) AS na, sum(t-a) AS nb, sum(a*r2) AS ra2,
+        |               sum(t*t*t - t) AS tt FROM r)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(ra2 - na*(na+1) AS BIGINT) AS u2_a,
+        |  CAST(tt AS BIGINT) AS tie_t,
+        |  CASE WHEN na=0 OR nb=0 OR (na+nb+1)*(na+nb)*(na+nb-1) = tt
+        |       THEN NULL
+        |       ELSE CAST((3000*(ra2 - na*(na+1) - na*nb)
+        |                  *(ra2 - na*(na+1) - na*nb)*(na+nb)*(na+nb-1))
+        |            // (na*nb*((na+nb+1)*(na+nb)*(na+nb-1) - tt))
+        |            AS BIGINT) END AS z2_milli
+        |FROM agg""".stripMargin,
+    "q292_kruskal_wallis" ->
+      """WITH gv AS (SELECT event_type AS g,
+        |                   CAST(floor(value*100) AS BIGINT) AS v,
+        |                   count(*) AS c
+        |            FROM events
+        |            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |            GROUP BY 1,2),
+        |h AS (SELECT v, sum(c) AS t FROM gv GROUP BY v),
+        |r AS (SELECT v, t,
+        |             2*(sum(t) OVER (ORDER BY v) - t) + t + 1 AS r2 FROM h),
+        |pg AS (SELECT g, sum(c) AS ng, sum(c*r.r2) AS rg2
+        |       FROM gv JOIN r USING(v) GROUP BY g),
+        |ti AS (SELECT sum(t*t*t - t) AS tt FROM r),
+        |ag AS (SELECT sum(ng) AS n, count(*) AS k,
+        |              sum((rg2*rg2)//ng) AS s FROM pg),
+        |hm AS (SELECT n, k,
+        |         greatest(CAST((3000*s)//(n*(n+1)) - 3000*(n+1) AS BIGINT),
+        |                  0) AS h_milli, ti.tt
+        |       FROM ag, ti)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, h_milli,
+        |  CASE WHEN n*n*n - n = tt THEN NULL
+        |       ELSE CAST((h_milli*(n*n*n - n))//(n*n*n - n - tt) AS BIGINT)
+        |       END AS h_tie_milli
+        |FROM hm""".stripMargin,
+    "q293_wilcoxon" ->
+      """WITH sp AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts)))//2
+        |              AS mid FROM events),
+        |u AS (SELECT user_id,
+        |        coalesce(sum(CASE WHEN epoch_us(ts) < sp.mid
+        |          THEN CAST(floor(value*100) AS BIGINT) ELSE 0 END), 0) AS x,
+        |        coalesce(sum(CASE WHEN epoch_us(ts) >= sp.mid
+        |          THEN CAST(floor(value*100) AS BIGINT) ELSE 0 END), 0) AS y
+        |      FROM events, sp GROUP BY user_id),
+        |d AS (SELECT x - y AS dd FROM u WHERE x - y <> 0),
+        |h AS (SELECT abs(dd) AS v, count(*) AS t,
+        |             sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS a
+        |      FROM d GROUP BY 1),
+        |r AS (SELECT v, t, a,
+        |             2*(sum(t) OVER (ORDER BY v) - t) + t + 1 AS r2 FROM h),
+        |ag AS (SELECT coalesce(sum(t),0) AS n, coalesce(sum(a*r2),0) AS w2,
+        |              coalesce(sum(t*t*t-t),0) AS tt FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(w2 AS BIGINT) AS w2_plus,
+        |  CAST(tt AS BIGINT) AS tie_t,
+        |  CASE WHEN n = 0 THEN NULL
+        |       ELSE CAST((3000*(2*w2 - n*(n+1))*(2*w2 - n*(n+1)))
+        |            // (2*n*(n+1)*(2*n+1) - tt) AS BIGINT) END AS z2_milli
+        |FROM ag""".stripMargin,
+    "q294_mann_kendall_z" ->
+      """WITH d AS (SELECT event_type AS g, epoch_us(ts)//86400000000 AS tt,
+        |                  CAST(count(*) AS BIGINT) AS x
+        |           FROM events GROUP BY 1,2),
+        |p AS (SELECT l.g, sum(CASE WHEN r.x > l.x THEN 1
+        |                           WHEN r.x < l.x THEN -1 ELSE 0 END) AS s
+        |      FROM d l JOIN d r ON l.g = r.g AND l.tt < r.tt GROUP BY l.g),
+        |ti AS (SELECT g, sum(c) AS n, sum(c*(c-1)*(2*c+5)) AS tv
+        |       FROM (SELECT g, x, count(*) AS c FROM d GROUP BY g, x)
+        |       GROUP BY g)
+        |SELECT p.g AS event_type, CAST(ti.n AS BIGINT) AS n,
+        |  CAST(p.s AS BIGINT) AS s,
+        |  CAST(ti.n*(ti.n-1)*(2*ti.n+5) - ti.tv AS BIGINT) AS var18,
+        |  CASE WHEN ti.n*(ti.n-1)*(2*ti.n+5) - ti.tv = 0 THEN NULL
+        |       ELSE CAST((18000*greatest(abs(p.s)-1,0)*greatest(abs(p.s)-1,0))
+        |            // (ti.n*(ti.n-1)*(2*ti.n+5) - ti.tv) AS BIGINT)
+        |       END AS z2_milli
+        |FROM p JOIN ti ON p.g = ti.g""".stripMargin,
+    "q295_log_rank" ->
+      """WITH u AS (SELECT user_id,
+        |             max(epoch_us(ts)//86400000000)
+        |               - min(epoch_us(ts)//86400000000) AS dur,
+        |             user_id % 2 = 0 AS f FROM events GROUP BY user_id),
+        |lt AS (SELECT dur AS t, count(*) AS c,
+        |              sum(CASE WHEN f THEN 1 ELSE 0 END) AS c1
+        |       FROM u GROUP BY dur),
+        |ar AS (SELECT t, c AS d, c1 AS d1,
+        |         sum(c) OVER (ORDER BY t DESC) AS nall,
+        |         sum(c1) OVER (ORDER BY t DESC) AS n1
+        |       FROM lt),
+        |ag AS (SELECT sum(d1) AS o1, sum((1000000*d*n1)//nall) AS e1,
+        |              sum(CASE WHEN nall <= 1 THEN 0
+        |                  ELSE (1000000*d*n1*(nall-n1)*(nall-d))
+        |                       //(nall*nall*(nall-1)) END) AS v
+        |       FROM ar WHERE d > 0)
+        |SELECT CAST(coalesce(o1,0) AS BIGINT) AS o1,
+        |  CAST(coalesce(e1,0) AS BIGINT) AS e1_ppm,
+        |  CAST(coalesce(v,0) AS BIGINT) AS v_ppm,
+        |  CASE WHEN coalesce(v,0)=0 THEN NULL
+        |       ELSE CAST((1000*(1000000*o1-e1)*(1000000*o1-e1))
+        |            //(1000000*v) AS BIGINT) END AS chi2_milli
+        |FROM ag""".stripMargin,
+    "q296_bh_adjust" ->
+      """WITH dd AS (SELECT epoch_us(ts)//86400000000 AS dy, count(*) AS n,
+        |              sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+        |                AS pos
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT dy, (1000000*pos)//n AS p_ppm FROM dd),
+        |m AS (SELECT count(*) AS m FROM p),
+        |r AS (SELECT dy, p_ppm,
+        |             row_number() OVER (ORDER BY p_ppm, dy) AS prank FROM p),
+        |raw AS (SELECT r.dy, r.p_ppm, r.prank,
+        |          least(1000000, (r.p_ppm*m.m)//r.prank) AS rw FROM r, m)
+        |SELECT dy AS day, CAST(p_ppm AS BIGINT) AS p_ppm,
+        |  CAST(prank AS BIGINT) AS p_rank,
+        |  CAST(min(rw) OVER (ORDER BY prank DESC) AS BIGINT) AS q_ppm
+        |FROM raw""".stripMargin,
+    "q297_drawdown" ->
+      """WITH d AS (SELECT event_type, epoch_us(ts)//86400000000 AS dy,
+        |                  sum(CAST(floor(value*100) AS BIGINT)) AS v
+        |           FROM events
+        |           WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |           GROUP BY 1,2),
+        |w AS (SELECT event_type, dy, v,
+        |        max(v) OVER (PARTITION BY event_type ORDER BY dy) AS peak
+        |      FROM d)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_periods,
+        |  CAST(arg_max(v, dy) AS BIGINT) AS final_value,
+        |  CAST(max(peak) AS BIGINT) AS peak,
+        |  CAST(max(peak - v) AS BIGINT) AS max_dd,
+        |  CAST(max(CASE WHEN peak > 0 THEN (1000000*(peak-v))//peak END)
+        |    AS BIGINT) AS max_dd_ppm
+        |FROM w GROUP BY event_type""".stripMargin,
+    "q298_ece" ->
+      """WITH s AS (SELECT least(999999,
+        |                    CAST(floor(value*100) AS BIGINT)*20) AS p,
+        |                  event_type='purchase' AS y FROM events),
+        |f AS (SELECT p, y FROM s WHERE p IS NOT NULL AND y IS NOT NULL
+        |      AND p >= 0 AND p < 1000000),
+        |b AS (SELECT p//100000 AS bk, count(*) AS n,
+        |             sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+        |             sum(p) AS sp FROM f GROUP BY 1),
+        |g AS (SELECT n, abs((1000000*pos)//n - sp//n) AS gap FROM b)
+        |SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(sum(n*gap)//sum(n) AS BIGINT) AS ece_ppm,
+        |  CAST(max(gap) AS BIGINT) AS mce_ppm FROM g""".stripMargin,
+    "q299_friedman" ->
+      """WITH d AS (SELECT epoch_us(ts)//86400000000 AS b, event_type AS j,
+        |                  CAST(count(*) AS BIGINT) AS v
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1,2),
+        |kk AS (SELECT count(DISTINCT j) AS k FROM d),
+        |cb AS (SELECT b FROM d GROUP BY b
+        |       HAVING count(DISTINCT j) = (SELECT k FROM kk)),
+        |ib AS (SELECT d.* FROM d JOIN cb USING(b)),
+        |bv AS (SELECT b, v, count(*) AS t FROM ib GROUP BY b, v),
+        |rk AS (SELECT b, v,
+        |         2*(sum(t) OVER (PARTITION BY b ORDER BY v) - t) + t + 1
+        |           AS r2
+        |       FROM bv),
+        |rr AS (SELECT ib.j, rk.r2
+        |       FROM ib JOIN rk ON ib.b = rk.b AND ib.v = rk.v),
+        |pj AS (SELECT j, count(*) AS n, sum(r2) AS rj2, sum(r2*r2) AS sq
+        |       FROM rr GROUP BY j),
+        |ag AS (SELECT max(n) AS nb, count(*) AS k2, sum(sq) AS a4,
+        |         sum((rj2 - n*((SELECT k FROM kk)+1))
+        |            *(rj2 - n*((SELECT k FROM kk)+1))) AS num FROM pj)
+        |SELECT CAST(nb AS BIGINT) AS n_blocks, CAST(k2 AS BIGINT) AS k,
+        |  CASE WHEN a4 - nb*k2*(k2+1)*(k2+1) = 0 THEN NULL
+        |       ELSE CAST((1000*(k2-1)*num) // (a4 - nb*k2*(k2+1)*(k2+1))
+        |            AS BIGINT) END AS chi2_milli
+        |FROM ag""".stripMargin,
+    "q300_trend_prop" ->
+      """WITH s AS (SELECT epoch_us(ts)//86400000000 AS w,
+        |                  event_type='purchase' AS y
+        |           FROM events WHERE event_type IS NOT NULL),
+        |g AS (SELECT w, count(*) AS n,
+        |             sum(CASE WHEN y THEN 1 ELSE 0 END) AS r
+        |      FROM s GROUP BY w),
+        |ag AS (SELECT sum(n) AS nn, sum(r) AS rr, sum(w*n) AS wn,
+        |              sum(w*w*n) AS w2n, sum(w*r) AS wr FROM g)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(rr AS BIGINT) AS n_success,
+        |  CAST(sign(nn*wr - wn*rr) AS BIGINT) AS trend_sign,
+        |  CASE WHEN rr = 0 OR rr = nn OR nn*w2n - wn*wn = 0 THEN NULL
+        |       ELSE CAST((1000*(nn*wr - wn*rr)*(nn*wr - wn*rr)*nn)
+        |            // (rr*(nn-rr)*(nn*w2n - wn*wn)) AS BIGINT) END
+        |    AS z2_milli
+        |FROM ag""".stripMargin,
+    "q301_moments" ->
+      """WITH d AS (SELECT event_type AS g, epoch_us(ts)//86400000000 AS dy,
+        |                  CAST(count(*) AS BIGINT) AS x
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1,2),
+        |m AS (SELECT g, count(*) AS n, sum(x) AS s1, sum(x*x) AS s2,
+        |             sum(x*x*x) AS s3, sum(x*x*x*x) AS s4 FROM d GROUP BY g),
+        |c AS (SELECT g, n, n*s2 - s1*s1 AS m2,
+        |             n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS m3,
+        |             n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2
+        |               - 3*s1*s1*s1*s1 AS m4
+        |      FROM m)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(sign(m3) AS BIGINT) AS skew_sign,
+        |  CASE WHEN m2 = 0 THEN NULL
+        |       ELSE CAST((1000000*m3*m3)//(m2*m2*m2) AS BIGINT) END
+        |    AS skew2_ppm,
+        |  CASE WHEN m2 = 0 THEN NULL
+        |       ELSE CAST((1000000*m4)//(m2*m2) AS BIGINT) - 3000000
+        |       END AS ex_kurtosis_ppm
+        |FROM c""".stripMargin)
 }

@@ -736,4 +736,54 @@ object EventAnalytics {
         min(col("__t")).as("peak_ts"))
       .withColumnRenamed("__g", groupCol)
   }
+
+  /** MAX DRAWDOWN per group — the risk number behind every cumulative
+    * series (revenue run-rate, balance, cumulative conversions): the
+    * deepest peak-to-trough fall, absolute and as exact ppm of the
+    * peak it fell from. For each point, the running peak is the max
+    * over all EARLIER-OR-EQUAL periods; drawdown = peak − value;
+    * the report takes the worst point per group.
+    *
+    * dd_ppm = max over points of (10⁶·(peak_t − x_t)) div peak_t —
+    * relative to the peak IN FORCE at that point (two different peaks
+    * can host the absolute-worst and relative-worst falls; both are
+    * reported). Points before the first positive peak (peak_t ≤ 0)
+    * are skipped in the ppm lane (a drawdown from a non-positive peak
+    * has no meaningful relative size; ANSI div would also reject 0).
+    *
+    * Output per group: (group, n_periods, final_value, peak,
+    * max_dd, max_dd_ppm) — max_dd ≥ 0; 0 = the series never fell
+    * below a prior peak. max_dd_ppm NULL when no point had a positive
+    * prior peak.
+    *
+    * Scale shape: one running-max window PARTITIONED BY the group
+    * (state bounded by one group's periods, never the corpus — the
+    * per-group series discipline of [[kmSurvivalPpm]]'s life table),
+    * one final groupBy. Contract: one row per (group, period) — pre-
+    * aggregate first (the gate does). */
+  def maxDrawdown(df: DataFrame, groupCol: String, periodCol: String,
+                  valueCol: String): DataFrame = {
+    val s = df.select(col(groupCol).as("__g"),
+        col(periodCol).cast("long").as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__g").isNotNull && col("__t").isNotNull &&
+        col("__x").isNotNull)
+    val w = Window.partitionBy(col("__g")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLast = Window.partitionBy(col("__g")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // both frames in one select (the one-Window-exec discipline);
+    // same partition key, so still a single shuffle
+    s.select(col("__g"), col("__t"), col("__x"),
+        max(col("__x")).over(w).as("__peak"),
+        last(col("__x")).over(wLast).as("__final"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_periods"),
+        max(col("__final")).as("final_value"),
+        max(col("__peak")).as("peak"),
+        max(col("__peak") - col("__x")).as("max_dd"),
+        max(when(col("__peak") > 0,
+          expr("(1000000 * (__peak - __x)) div __peak"))).as("max_dd_ppm"))
+      .withColumnRenamed("__g", groupCol)
+  }
 }

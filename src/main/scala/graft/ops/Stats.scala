@@ -2352,4 +2352,103 @@ object Stats {
               (col("__c") * col("__q") - col("__s").cast(d38) * col("__s")))
           .as("is_anomaly"))
   }
+
+  /** EXPECTED / MAX CALIBRATION ERROR — the one-row companions to
+    * [[reliabilityBuckets]] and [[brierDecompositionPpm]]: how far, on
+    * average and at worst, the forecast's promised rate sits from the
+    * delivered rate, weighted by bin mass:
+    *   ECE(ppm) = Σ_k n_k·|ō_k − f̄_k| div n,   MCE(ppm) = max_k |ō_k − f̄_k|
+    * over `bins` equal-width buckets; per-bin means are the same
+    * pinned floors as the Brier decomposition (f̄ = Σp div n_k,
+    * ō = 10⁶·pos div n_k), so the three calibration reports never
+    * disagree on a bin.
+    *
+    * Scale shape: one map-side-partial groupBy on the bucket id, one
+    * ≤-bins-row final aggregate. */
+  def calibrationErrorPpm(df: DataFrame, scorePpmCol: String,
+                          labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && 1000000 % bins == 0,
+      s"bins must divide 1000000, got $bins")
+    val w = 1000000L / bins
+    val s = df.select(col(scorePpmCol).cast("long").as("__p"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__p").isNotNull && col("__y").isNotNull &&
+        col("__p") >= 0 && col("__p") < 1000000L)
+    s.groupBy(expr(s"__p div ${w}L").as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
+        sum(col("__p")).as("__sp"))
+      .select(col("__n"),
+        abs(expr("(1000000 * __pos) div __n") - expr("__sp div __n"))
+          .as("__gap"))
+      .agg(sum(col("__n")).as("__tn"),
+        sum(col("__n").cast("decimal(38,0)") * col("__gap")).as("__wg"),
+        max(col("__gap")).as("__mce"))
+      .select(col("__tn").cast("long").as("n"),
+        expr("CAST(__wg div __tn AS BIGINT)").as("ece_ppm"),
+        col("__mce").cast("long").as("mce_ppm"))
+  }
+
+  /** EXACT SKEWNESS / KURTOSIS per group — the shape diagnostics
+    * behind "is this metric's distribution normal enough for the
+    * t-test, or do I need [[graft.ops.RankTests]]": third and fourth
+    * standardized central moments from one pass of integer power sums,
+    * square-root-free. With M2 = n·S2 − S1² (= n²·m2),
+    * M3 = n²S3 − 3nS1S2 + 2S1³ (= n³·m3),
+    * M4 = n³S4 − 4n²S1S3 + 6nS1²S2 − 3S1⁴ (= n⁴·m4), the n-powers
+    * cancel exactly:
+    *   g1² (ppm)    = 10⁶·M3² div M2³   (skew² — sign in skew_sign)
+    *   excess (ppm) = 10⁶·M4 div M2² − 3·10⁶
+    * Both NULL when M2 = 0 (constant series). The subtraction runs
+    * AFTER the floor (identical in both engines; the quotient is
+    * non-negative).
+    *
+    * Magnitude bound: M3² ≤ (n·V)⁶ for |x − μ| ≤ V, so the
+    * DECIMAL(38,0) lane holds to n·V ≈ 2·10⁵ — this is a PERIOD-GRAIN
+    * series diagnostic (365 days × values in the thousands), not a
+    * row-grain one; pre-scale the value for wider inputs (the
+    * spearmanR2Ppm magnitude trade).
+    *
+    * Scale shape: one map-side-partial groupBy carrying 5 power sums
+    * per group — rows never shuffle. */
+  def momentsByGroup(df: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame = {
+    val d38c = "decimal(38,0)"
+    val s = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__g").isNotNull && col("__x").isNotNull)
+    s.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__s1"),
+        sum((col("__x") * col("__x")).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__s2"),
+        sum((col("__x").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__x") * col("__x")))
+          .as("__s3"),
+        sum((col("__x").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__x") *
+          col("__x") * col("__x"))).as("__s4"))
+      .select(col("__g"), col("__n"),
+        (col("__n").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__s2") -
+          col("__s1") * col("__s1")).as("__m2"),
+        (col("__n").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__n") * col("__s3") -
+          lit(3) * col("__n") * col("__s1") * col("__s2") +
+          lit(2) * col("__s1") * col("__s1") * col("__s1")).as("__m3"),
+        (col("__n").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__n") * col("__n") *
+          col("__s4") -
+          lit(4) * col("__n").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__n") *
+            col("__s1") * col("__s3") +
+          lit(6) * col("__n").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__s1") *
+            col("__s1") * col("__s2") -
+          lit(3) * col("__s1") * col("__s1") * col("__s1") * col("__s1"))
+          .as("__m4"))
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+        signum(col("__m3")).cast("long").as("skew_sign"),
+        when(col("__m2") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            s"CAST((1000000 * __m3 * __m3) div (__m2 * __m2 * __m2) AS BIGINT)"))
+          .as("skew2_ppm"),
+        when(col("__m2") === 0, lit(null).cast("long"))
+          .otherwise(
+            expr(s"CAST((1000000 * __m4) div (__m2 * __m2) AS BIGINT)")
+              - lit(3000000L))
+          .as("ex_kurtosis_ppm"))
+  }
 }

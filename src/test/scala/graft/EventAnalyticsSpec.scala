@@ -541,4 +541,29 @@ class EventAnalyticsSpec extends SparkTestBase {
     val got = a.find(_.head == "g0").get
     assert(got(2) == peak.toLong)
   }
+
+  test("maxDrawdown: peak-to-trough hand case, monotone-rise zero, " +
+       "non-positive-peak NULL ppm") {
+    import spark.implicits._
+    // g: [10,20,15,5,18] → peaks [10,20,20,20,20], worst fall 20→5
+    // =15 abs, 750000 ppm; final 18
+    val df = (Seq(0L -> 10L, 1L -> 20L, 2L -> 15L, 3L -> 5L, 4L -> 18L)
+        .map { case (t, x) => ("g", t, x) } ++
+      Seq(("up", 0L, 5L), ("up", 1L, 10L)) ++
+      Seq(("neg", 0L, -5L), ("neg", 1L, -10L))).toDF("g", "t", "x")
+    val got = graft.ops.EventAnalytics.maxDrawdown(df, "g", "t", "x")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 5L, 18L, 20L, 15L, Some(750000L))),
+      s"got ${got("g")}")
+    assert(got("up") == (("up", 2L, 10L, 10L, 0L, Some(0L))))
+    // negative peaks carry the absolute fall but no relative lane
+    assert(got("neg") == (("neg", 2L, -10L, -5L, 5L, None)))
+    // order independence: shuffled input, same answer
+    val b = graft.ops.EventAnalytics.maxDrawdown(df.repartition(7),
+        "g", "t", "x")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(b == got)
+  }
 }

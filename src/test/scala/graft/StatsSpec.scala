@@ -1394,4 +1394,32 @@ class StatsSpec extends SparkTestBase {
         5, 3, 3).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("momentsByGroup: hand moments, constant NULL, negative skew sign") {
+    // [1,2,3,4,10]: μ=4, m2=10, m3=36, m4=278.8 → g1²=1.296,
+    // kurt=2.788 → excess −212000 ppm
+    val df = (Seq(1L, 2L, 3L, 4L, 10L).map(("g", _)) ++
+      Seq(("c", 7L), ("c", 7L)) ++
+      Seq(1L, 2L, 3L, 4L, 10L).map(v => ("m", -v))).toDF("g", "x")
+    val got = Stats.momentsByGroup(df, "g", "x")
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 5L, 1L, Some(1296000L), Some(-212000L))),
+      s"got ${got("g")}")
+    // mirrored values: skew sign flips, magnitude and kurtosis hold
+    assert(got("m") == (("m", 5L, -1L, Some(1296000L), Some(-212000L))))
+    // constant series: M2 = 0 → both NULL (sign 0)
+    assert(got("c") == (("c", 2L, 0L, None, None)))
+  }
+
+  test("calibrationErrorPpm: ECE/MCE over the Brier fixture bins") {
+    // bins=2: bin0 {2e5F,2e5F,2e5T}: fb=200000, ob=333333, gap=133333;
+    // bin1 {8e5T,8e5F}: fb=800000, ob=500000, gap=300000;
+    // ECE=(3·133333+2·300000)//5=199999, MCE=300000
+    val df = Seq((200000L, false), (200000L, false), (200000L, true),
+      (800000L, true), (800000L, false)).toDF("p", "y")
+    val r = Stats.calibrationErrorPpm(df, "p", "y", bins = 2)
+      .as[(Long, Long, Long)].collect().head
+    assert(r == ((5L, 199999L, 300000L)), s"got $r")
+  }
 }
