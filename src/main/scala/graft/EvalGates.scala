@@ -197,6 +197,26 @@ object EvalGates {
         .agg(count(lit(1)).as("x")),
       "event_type", "x")
 
+  // RUNS TEST (ops/RankTests.runsTestMilli): is each event type's
+  // daily volume sequence RANDOM around its mean, or does it clump —
+  // mean-cut runs with the exact cross-multiplied z².
+  def q302_runs_test(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankTests.runsTestMilli(
+      t(s, dir, "events").where(col("event_type").isNotNull)
+        .groupBy(col("event_type"), expr(s"ts div ${dayUs}L").as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      "event_type", "day", "cnt")
+
+  // DURBIN–WATSON (ops/Stats.durbinWatsonMilli): lag-1 serial
+  // correlation of each type's daily-count series in the [0,4]
+  // econometrics convention — 2 = white, <2 = momentum.
+  def q303_durbin_watson(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.durbinWatsonMilli(
+      t(s, dir, "events").where(col("event_type").isNotNull)
+        .groupBy(col("event_type"), expr(s"ts div ${dayUs}L").as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      "event_type", "day", "cnt")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -212,7 +232,9 @@ object EvalGates {
     "q298_ece"             -> q298_ece _,
     "q299_friedman"        -> q299_friedman _,
     "q300_trend_prop"      -> q300_trend_prop _,
-    "q301_moments"         -> q301_moments _)
+    "q301_moments"         -> q301_moments _,
+    "q302_runs_test"       -> q302_runs_test _,
+    "q303_durbin_watson"   -> q303_durbin_watson _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -498,5 +520,41 @@ object EvalGates {
         |  CASE WHEN m2 = 0 THEN NULL
         |       ELSE CAST((1000000*m4)//(m2*m2) AS BIGINT) - 3000000
         |       END AS ex_kurtosis_ppm
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    "q302_runs_test" ->
+      """WITH d AS (SELECT event_type AS g, epoch_us(ts)//86400000000 AS tt,
+        |                  CAST(count(*) AS BIGINT) AS x
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1,2),
+        |st AS (SELECT g, count(*) AS n, sum(x) AS s1 FROM d GROUP BY g),
+        |mk AS (SELECT d.g, d.tt, (st.n*d.x > st.s1) AS ab
+        |       FROM d JOIN st USING(g) WHERE st.n*d.x <> st.s1),
+        |lg AS (SELECT g, ab, lag(ab) OVER (PARTITION BY g ORDER BY tt)
+        |         AS pv FROM mk),
+        |ag AS (SELECT g, count(*) AS m,
+        |         sum(CASE WHEN ab THEN 1 ELSE 0 END) AS n1,
+        |         sum(CASE WHEN pv IS NULL OR pv <> ab THEN 1 ELSE 0 END)
+        |           AS r
+        |       FROM lg GROUP BY g)
+        |SELECT g AS event_type, CAST(m AS BIGINT) AS n,
+        |  CAST(n1 AS BIGINT) AS n_above, CAST(m - n1 AS BIGINT) AS n_below,
+        |  CAST(r AS BIGINT) AS runs,
+        |  CASE WHEN n1 = 0 OR m = n1 OR 2*n1*(m-n1) <= m THEN NULL
+        |       ELSE CAST((1000*(m*r - m - 2*n1*(m-n1))
+        |                  *(m*r - m - 2*n1*(m-n1))*(m-1))
+        |            // (2*n1*(m-n1)*(2*n1*(m-n1) - m)) AS BIGINT) END
+        |    AS z2_milli
+        |FROM ag""".stripMargin,
+    "q303_durbin_watson" ->
+      """WITH d AS (SELECT event_type AS g, epoch_us(ts)//86400000000 AS tt,
+        |                  CAST(count(*) AS BIGINT) AS x
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1,2),
+        |lg AS (SELECT g, x, lag(x) OVER (PARTITION BY g ORDER BY tt) AS pv
+        |       FROM d),
+        |ag AS (SELECT g, count(*) AS n, sum(x) AS s1, sum(x*x) AS s2,
+        |              sum((x-pv)*(x-pv)) AS d2 FROM lg GROUP BY g)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n*s2 - s1*s1 = 0 THEN NULL
+        |       ELSE CAST((1000*n*coalesce(d2,0)) // (n*s2 - s1*s1)
+        |            AS BIGINT) END AS dw_milli
+        |FROM ag""".stripMargin)
 }

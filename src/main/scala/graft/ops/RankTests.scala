@@ -423,6 +423,66 @@ object RankTests {
           .as("z2_milli"))
   }
 
+  /** WALD–WOLFOWITZ RUNS TEST (about the mean) per group — "is this
+    * sequence RANDOM, or does it clump/alternate?": count the runs of
+    * consecutive above-mean / below-mean observations; too few runs =
+    * positive serial dependence (clumping), too many = negative
+    * (alternation). The mean cut keeps every comparison exact without
+    * a division: x above mean ⟺ n·x > S₁. Values exactly AT the mean
+    * are dropped (the standard convention for the median variant,
+    * applied to the mean cut).
+    *
+    * Exact z² (cross-multiplied, m = n₁+n₂ kept rows):
+    *   z²·10³ = 1000·(mR − m − 2n₁n₂)²·(m−1)
+    *            div (2n₁n₂·(2n₁n₂ − m))
+    * NULL when either side is empty or 2n₁n₂ ≤ m (σ² ≤ 0 — the
+    * degenerate tiny-side cases).
+    *
+    * Output per group: (group, n, n_above, n_below, runs, z2_milli).
+    *
+    * Scale shape: one group-grain aggregate for (n, S₁) joined back
+    * (k rows broadcast), one lag window PARTITIONED BY group (state
+    * bounded by one group's series), one final groupBy. */
+  def runsTestMilli(df: DataFrame, groupCol: String, tCol: String,
+                    valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).cast("string").as("__g"),
+        col(tCol).cast("long").as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__g").isNotNull && col("__t").isNotNull &&
+        col("__x").isNotNull)
+    val stats = base.groupBy(col("__g").as("__gs"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s1"))
+    val marked = base.join(broadcast(stats), col("__g") === col("__gs"))
+      .where(col("__n") * col("__x") =!= col("__s1")) // drop at-mean rows
+      .select(col("__g"), col("__t"),
+        (col("__n") * col("__x") > col("__s1")).as("__above"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__t"))
+    marked
+      .withColumn("__prev", lag(col("__above"), 1).over(w))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__m"),
+        sum(when(col("__above"), 1L).otherwise(0L)).as("__n1"),
+        // a run starts at the first row and at every sign flip
+        sum(when(col("__prev").isNull ||
+          col("__prev") =!= col("__above"), 1L).otherwise(0L)).as("__r"))
+      .select(col("__g").as(groupCol), col("__m").cast("long").as("n"),
+        col("__n1").cast("long").as("n_above"),
+        (col("__m") - col("__n1")).cast("long").as("n_below"),
+        col("__r").cast("long").as("runs"),
+        when(col("__n1") === 0 || col("__m") === col("__n1") ||
+            lit(2L) * col("__n1") * (col("__m") - col("__n1"))
+              <= col("__m"), lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000 * (CAST(__m AS DECIMAL(38,0)) * __r - __m - 2 * CAST(__n1 AS DECIMAL(38,0)) * (__m - __n1))
+              |     * (CAST(__m AS DECIMAL(38,0)) * __r - __m - 2 * CAST(__n1 AS DECIMAL(38,0)) * (__m - __n1))
+              |     * (__m - 1))
+              |div (2 * CAST(__n1 AS DECIMAL(38,0)) * (__m - __n1)
+              |     * (2 * CAST(__n1 AS DECIMAL(38,0)) * (__m - __n1) - __m))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("z2_milli"))
+  }
+
   /** BENJAMINI–HOCHBERG FDR adjustment — the multiple-comparisons
     * correction every metrics dashboard with 50 simultaneous tests
     * needs: given per-test p-values (ppm), the adjusted q-value is

@@ -2389,6 +2389,50 @@ object Stats {
         col("__mce").cast("long").as("mce_ppm"))
   }
 
+  /** DURBIN–WATSON statistic per group — the residual-autocorrelation
+    * screen for any per-period series: DW = Σ(x_t − x_{t−1})² / Σ(x −
+    * x̄)² ∈ [0, 4]; ≈2 means no lag-1 serial correlation, →0 positive,
+    * →4 negative. Complements [[autocorrLag1Ppm]]-style moments with
+    * the regression-diagnostics convention every econometrics reader
+    * expects. "Adjacent" means adjacent ROW in `tCol` order — a gap in
+    * the period axis still pairs its neighbors (document the spine if
+    * that matters; the gate feeds a dense daily series).
+    *
+    * Exact form: DW·10³ = (1000·n·Σd²) div (n·S₂ − S₁²) — the
+    * denominator is the n-scaled central second moment, so no mean
+    * division ever happens. NULL for constant series (denominator 0).
+    *
+    * Output per group: (group, n, dw_milli).
+    *
+    * Scale shape: one lag window PARTITIONED BY group (bounded by one
+    * group's series), one map-side-partial groupBy. */
+  def durbinWatsonMilli(df: DataFrame, groupCol: String, tCol: String,
+                        valueCol: String): DataFrame = {
+    val d38b = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = df.select(col(groupCol).as("__g"),
+        col(tCol).cast("long").as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__g").isNotNull && col("__t").isNotNull &&
+        col("__x").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__t"))
+    s.withColumn("__prev", lag(col("__x"), 1).over(w))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(d38b)).as("__s1"),
+        sum((col("__x") * col("__x")).cast(d38b)).as("__s2"),
+        sum(((col("__x") - col("__prev")) * (col("__x") - col("__prev")))
+          .cast(d38b)).as("__d2")) // lag NULL on first row → term skipped
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+        when(col("__n").cast(d38b) * col("__s2") - col("__s1") * col("__s1")
+            === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000 * __n * coalesce(__d2, 0))
+              |div (CAST(__n AS DECIMAL(38,0)) * __s2 - __s1 * __s1)
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("dw_milli"))
+  }
+
   /** EXACT SKEWNESS / KURTOSIS per group — the shape diagnostics
     * behind "is this metric's distribution normal enough for the
     * t-test, or do I need [[graft.ops.RankTests]]": third and fourth

@@ -139,6 +139,31 @@ class RankTestsSpec extends SparkTestBase {
       .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
   }
 
+  test("runsTestMilli: alternating max-runs, zero-z balanced, " +
+       "at-mean drop to degenerate NULL") {
+    // [5,1,5,1,5,1]: all alternate → 6 runs; μ=4, σ²=1.2, z²=10/3
+    val alt = (0L to 5L).map(t => ("a", t, if (t % 2 == 0) 5L else 1L))
+    // [5,5,1,1,5,1,5,5,1,1]: mean 3, runs AA|BB|A|B|AA|BB = 6 = μ → z²=0
+    val bal = Seq(5L, 5L, 1L, 1L, 5L, 1L, 5L, 5L, 1L, 1L).zipWithIndex
+      .map { case (v, t) => ("b", t.toLong, v) }
+    // [2,2,2,4,0]: mean 2 — three at-mean rows drop, m=2 → σ²=0 → NULL
+    val dg = Seq(2L, 2L, 2L, 4L, 0L).zipWithIndex
+      .map { case (v, t) => ("d", t.toLong, v) }
+    val df = (alt ++ bal ++ dg).toDF("g", "t", "x")
+    val got = RankTests.runsTestMilli(df, "g", "t", "x")
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 6L, 3L, 3L, 6L, Some(3333L))), s"got $got")
+    assert(got("b") == (("b", 10L, 5L, 5L, 6L, Some(0L))))
+    assert(got("d") == (("d", 2L, 1L, 1L, 2L, None)))
+    // partition independence (lag window + broadcast stats join)
+    val a = RankTests.runsTestMilli(df, "g", "t", "x").collect()
+      .map(_.toSeq).toSet
+    val b = RankTests.runsTestMilli(df.repartition(7), "g", "t", "x")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("bhAdjustPpm: suffix-min monotone q-values, tie rank by id") {
     val df = Seq(("a", 10000L), ("b", 20000L), ("c", 20000L),
       ("d", 500000L), ("e", 900000L)).toDF("id", "p")

@@ -1395,6 +1395,18 @@ class StatsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("durbinWatsonMilli: hand DW, constant NULL, single point") {
+    // [1,2,4]: Σd²=5, nS2−S1²=14 → DW = 15000//14 = 1071
+    val df = (Seq(("g", 0L, 1L), ("g", 1L, 2L), ("g", 2L, 4L)) ++
+      Seq(("c", 0L, 3L), ("c", 1L, 3L)) ++ Seq(("s", 0L, 9L)))
+      .toDF("g", "t", "x")
+    val got = Stats.durbinWatsonMilli(df, "g", "t", "x")
+      .as[(String, Long, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 3L, Some(1071L))), s"got $got")
+    assert(got("c") == (("c", 2L, None)))  // constant → denominator 0
+    assert(got("s") == (("s", 1L, None)))  // single point → denominator 0
+  }
+
   test("momentsByGroup: hand moments, constant NULL, negative skew sign") {
     // [1,2,3,4,10]: μ=4, m2=10, m3=36, m4=278.8 → g1²=1.296,
     // kurt=2.788 → excess −212000 ppm
