@@ -217,6 +217,29 @@ object EvalGates {
         .agg(count(lit(1)).as("cnt")),
       "event_type", "day", "cnt")
 
+  // WELCH'S t² (ops/Stats.welchT2Milli): the unequal-variance A/B test
+  // per event type — even/odd user_id split on whole-dollar values; a
+  // null split, so t² should hover near 0 (and the arithmetic is exact
+  // either way).
+  def q304_welch_t2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.welchT2Milli(
+      t(s, dir, "events").where(col("user_id").isNotNull)
+        .select(col("event_type"), (col("user_id") % 2 === 0).as("f"),
+          floor(col("value")).cast("long").as("v")),
+      "event_type", "f", "v")
+
+  // KENDALL τ-b² (ops/Stats.kendallTau2Ppm): concordance between each
+  // type's daily event count and daily cents volume — positive by
+  // construction (more events ⇒ more volume), with the tie correction
+  // exercised on the repeated daily counts.
+  def q305_kendall_tau(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.kendallTau2Ppm(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .groupBy(col("event_type"), expr(s"ts div ${dayUs}L").as("dd"))
+        .agg(count(lit(1)).as("x"),
+          sum(floor(col("value") * 100).cast("long")).as("y")),
+      "event_type", "x", "y")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -234,7 +257,9 @@ object EvalGates {
     "q300_trend_prop"      -> q300_trend_prop _,
     "q301_moments"         -> q301_moments _,
     "q302_runs_test"       -> q302_runs_test _,
-    "q303_durbin_watson"   -> q303_durbin_watson _)
+    "q303_durbin_watson"   -> q303_durbin_watson _,
+    "q304_welch_t2"        -> q304_welch_t2 _,
+    "q305_kendall_tau"     -> q305_kendall_tau _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -556,5 +581,63 @@ object EvalGates {
         |  CASE WHEN n*s2 - s1*s1 = 0 THEN NULL
         |       ELSE CAST((1000*n*coalesce(d2,0)) // (n*s2 - s1*s1)
         |            AS BIGINT) END AS dw_milli
-        |FROM ag""".stripMargin)
+        |FROM ag""".stripMargin,
+    "q304_welch_t2" ->
+      """WITH b AS (SELECT event_type AS g, (user_id % 2 = 0) AS f,
+        |                  CAST(floor(value) AS BIGINT) AS v
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |             AND user_id IS NOT NULL),
+        |ag AS (SELECT g,
+        |        sum(CASE WHEN f THEN 1 END) AS n1,
+        |        sum(CASE WHEN NOT f THEN 1 END) AS n2,
+        |        sum(CASE WHEN f THEN v END) AS s11,
+        |        sum(CASE WHEN NOT f THEN v END) AS s12,
+        |        sum(CASE WHEN f THEN v*v END) AS s21,
+        |        sum(CASE WHEN NOT f THEN v*v END) AS s22
+        |       FROM b GROUP BY g)
+        |SELECT g AS event_type, CAST(coalesce(n1,0) AS BIGINT) AS n1,
+        |  CAST(coalesce(n2,0) AS BIGINT) AS n2,
+        |  CASE WHEN n1 IS NULL OR n2 IS NULL THEN NULL
+        |       ELSE CAST(sign(s11*n2 - s12*n1) AS BIGINT) END AS sign,
+        |  CASE WHEN n1 IS NULL OR n2 IS NULL OR n1 < 2 OR n2 < 2
+        |         OR (n1*s21 - s11*s11)*n2*n2*(n2-1)
+        |          + (n2*s22 - s12*s12)*n1*n1*(n1-1) = 0 THEN NULL
+        |       ELSE CAST((1000*(s11*n2 - s12*n1)*(s11*n2 - s12*n1)
+        |                  *(n1-1)*(n2-1))
+        |            // ((n1*s21 - s11*s11)*n2*n2*(n2-1)
+        |              + (n2*s22 - s12*s12)*n1*n1*(n1-1)) AS BIGINT)
+        |       END AS t2_milli
+        |FROM ag""".stripMargin,
+    "q305_kendall_tau" ->
+      """WITH d AS (SELECT event_type AS g, epoch_us(ts)//86400000000 AS dd,
+        |                  CAST(count(*) AS BIGINT) AS x,
+        |                  CAST(sum(CAST(floor(value*100) AS BIGINT))
+        |                    AS BIGINT) AS y
+        |           FROM events
+        |           WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |           GROUP BY 1,2),
+        |cells AS (SELECT g, x, y, CAST(count(*) AS HUGEINT) AS c
+        |          FROM d GROUP BY 1,2,3),
+        |pr AS (SELECT a.g AS g,
+        |         sum(CASE WHEN a.x < b.x AND a.y < b.y
+        |             THEN a.c*b.c ELSE 0 END) AS cc,
+        |         sum(CASE WHEN a.x < b.x AND a.y > b.y
+        |             THEN a.c*b.c ELSE 0 END) AS dd
+        |       FROM cells a JOIN cells b ON a.g = b.g
+        |         AND (a.x < b.x OR (a.x = b.x AND a.y < b.y)) GROUP BY 1),
+        |mx AS (SELECT g, sum(t*(t-1)) AS nn1, sum(t) AS n
+        |       FROM (SELECT g, x, count(*) AS t FROM d GROUP BY 1,2)
+        |       GROUP BY 1),
+        |my AS (SELECT g, sum(t*(t-1)) AS nn2
+        |       FROM (SELECT g, y, count(*) AS t FROM d GROUP BY 1,2)
+        |       GROUP BY 1)
+        |SELECT mx.g AS event_type, CAST(mx.n AS BIGINT) AS n,
+        |  CAST(sign(coalesce(cc,0) - coalesce(dd,0)) AS BIGINT) AS sign,
+        |  CASE WHEN mx.n*(mx.n-1) = nn1 OR mx.n*(mx.n-1) = nn2 THEN NULL
+        |       ELSE CAST((1000000*4*(coalesce(cc,0)-coalesce(dd,0))
+        |                          *(coalesce(cc,0)-coalesce(dd,0)))
+        |            // ((mx.n*(mx.n-1) - nn1) * (mx.n*(mx.n-1) - nn2))
+        |            AS BIGINT) END AS tau2_ppm
+        |FROM mx JOIN my USING (g) LEFT JOIN pr ON pr.g = mx.g""".stripMargin)
 }

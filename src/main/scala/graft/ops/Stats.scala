@@ -2495,4 +2495,136 @@ object Stats {
               - lit(3000000L))
           .as("ex_kurtosis_ppm"))
   }
+
+  /** WELCH'S t² per group — the unequal-variance two-sample test every
+    * A/B readout should default to ([[anovaFMicro]] assumes pooled
+    * variance; Welch does not): t² = (x̄₁−x̄₂)² / (s₁²/n₁ + s₂²/n₂),
+    * reduced to ONE exact integer division by clearing denominators:
+    *
+    *   t²·10³ = 1000·(S₁₁n₂ − S₁₂n₁)²·(n₁−1)(n₂−1)
+    *            div [ (n₁S₂₁−S₁₁²)·n₂²(n₂−1) + (n₂S₂₂−S₁₂²)·n₁²(n₁−1) ]
+    *
+    * The division is over non-negative quantities (numerator a square,
+    * denominator a sum of n-scaled variances); the mean-difference
+    * DIRECTION is surfaced separately as `sign` so no signed division
+    * ever happens (the repo-wide div ↔ DuckDB `//` contract).
+    *
+    * Output per group: (group, n1, n2, sign, t2_milli) — t2_milli NULL
+    * when either side has < 2 rows or both variances are 0.
+    *
+    * Overflow bound (the [[chiSquare2x2Milli]] precedent): the
+    * numerator is 10³·(ΔS·n)²·n²-scale — exact in DECIMAL(38,0) while
+    * n·max|x|·n ≲ 10¹⁷ (e.g. n ≤ 2·10⁵ with |x| ≤ 10³); pre-scale the
+    * metric down for bigger inputs.
+    *
+    * Scale shape: ONE map-side-partial groupBy over the rows; all the
+    * algebra happens on the k-row group frame. */
+  def welchT2Milli(df: DataFrame, groupCol: String, flagCol: String,
+                   valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = df.select(col(groupCol).as("__g"),
+        col(flagCol).cast("boolean").as("__f"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__g").isNotNull && col("__f").isNotNull &&
+        col("__x").isNotNull)
+    def side(f: Boolean, c: Column): Column = sum(when(col("__f") === f, c))
+    b.groupBy(col("__g"))
+      .agg(side(true, lit(1L)).cast(d38).as("__n1"),
+        side(false, lit(1L)).cast(d38).as("__n2"),
+        side(true, col("__x").cast(d38)).as("__s11"),
+        side(false, col("__x").cast(d38)).as("__s12"),
+        side(true, (col("__x") * col("__x")).cast(d38)).as("__s21"),
+        side(false, (col("__x") * col("__x")).cast(d38)).as("__s22"))
+      .select(col("__g").as(groupCol),
+        coalesce(col("__n1"), lit(0)).cast("long").as("n1"),
+        coalesce(col("__n2"), lit(0)).cast("long").as("n2"),
+        when(col("__n1").isNull || col("__n2").isNull, lit(null))
+          .otherwise(signum(col("__s11") * col("__n2") -
+            col("__s12") * col("__n1"))).cast("long").as("sign"),
+        when(col("__n1").isNull || col("__n2").isNull ||
+            col("__n1") < 2 || col("__n2") < 2 ||
+            expr("""(__n1*__s21 - __s11*__s11) * __n2*__n2*(__n2-1)
+                  | + (__n2*__s22 - __s12*__s12) * __n1*__n1*(__n1-1)"""
+              .stripMargin.replace("\n", " ")) === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000 * (__s11*__n2 - __s12*__n1)
+              |            * (__s11*__n2 - __s12*__n1)
+              |            * (__n1-1) * (__n2-1))
+              |div ((__n1*__s21 - __s11*__s11) * __n2*__n2*(__n2-1)
+              |   + (__n2*__s22 - __s12*__s12) * __n1*__n1*(__n1-1))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("t2_milli"))
+  }
+
+  /** KENDALL τ-b² in exact integer ppm per group — the
+    * concordance-based rank correlation completing the family
+    * ([[pearsonR2Ppm]] linear, [[spearmanR2Ppm]] monotone-by-midrank):
+    * τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) with the standard tie corrections.
+    * Surfaced squared-with-sign (the repo r² convention kills the
+    * square root): with doubled pair counts N₀ = n(n−1),
+    * N₁ = Σₓtₓ(tₓ−1), N₂ = Σᵧtᵧ(tᵧ−1),
+    *
+    *   tau2_ppm = 10⁶·4·(C−D)² div ((N₀−N₁)(N₀−N₂)),  sign = sgn(C−D)
+    *
+    * Output per group: (group, n, sign, tau2_ppm) — NULL when either
+    * margin is all-ties (N₀ = N₁ or N₀ = N₂).
+    *
+    * Scale shape: rows collapse to VALUE CELLS (group, x, y, count)
+    * first; C and D come from the within-group cell-PAIR join
+    * (lexicographic struct(x,y) ordering counts each unordered pair
+    * once) — O(cells²) per group, never O(rows²). The caller buckets
+    * continuous inputs to bound the cell alphabet (the
+    * [[equiDepthBoundaries]]/[[discretize]] path); tie corrections
+    * come from the two marginal histograms, rows never pair. */
+  def kendallTau2Ppm(df: DataFrame, groupCol: String,
+                     xCol: String, yCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(groupCol).as("__g"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .where(col("__g").isNotNull && col("__x").isNotNull &&
+        col("__y").isNotNull)
+    val cells = base.groupBy(col("__g"), col("__x"), col("__y"))
+      .agg(count(lit(1)).cast(d38).as("__c"))
+    val a = cells.select(col("__g").as("__ga"), col("__x").as("__xa"),
+      col("__y").as("__ya"), col("__c").as("__ca"))
+    val bb = cells.select(col("__g").as("__gb"), col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__c").as("__cb"))
+    // each unordered cell pair once: (xa,ya) < (xb,yb) lexicographic
+    val pairs = a.join(bb, col("__ga") === col("__gb") &&
+        (col("__xa") < col("__xb") ||
+          (col("__xa") === col("__xb") && col("__ya") < col("__yb"))))
+      .groupBy(col("__ga").as("__g"))
+      .agg(
+        sum(when(col("__xa") < col("__xb") && col("__ya") < col("__yb"),
+          col("__ca") * col("__cb")).otherwise(lit(0).cast(d38)))
+          .as("__cc"),
+        sum(when(col("__xa") < col("__xb") && col("__ya") > col("__yb"),
+          col("__ca") * col("__cb")).otherwise(lit(0).cast(d38)))
+          .as("__dd"))
+    def marg(vc: String, gm: String, out: String): DataFrame =
+      base.groupBy(col("__g").as(gm), col(vc))
+        .agg(count(lit(1)).cast(d38).as("__t"))
+        .groupBy(col(gm))
+        .agg(sum(col("__t") * (col("__t") - 1)).as(out),
+          sum(col("__t")).cast(d38).as(out + "_n"))
+    val mx = marg("__x", "__gm", "__nn1")
+    val my = marg("__y", "__gm2", "__nn2").drop("__nn2_n")
+    mx.join(my, col("__gm") === col("__gm2")).drop("__gm2")
+      .join(pairs, col("__gm") === col("__g"), "left")
+      .select(col("__gm").as(groupCol),
+        col("__nn1_n").cast("long").as("n"),
+        signum(coalesce(col("__cc"), lit(0).cast(d38)) -
+          coalesce(col("__dd"), lit(0).cast(d38))).cast("long").as("sign"),
+        when(expr("__nn1_n * (__nn1_n - 1)") === col("__nn1") ||
+            expr("__nn1_n * (__nn1_n - 1)") === col("__nn2"),
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * 4 * (coalesce(__cc,0) - coalesce(__dd,0))
+              |                  * (coalesce(__cc,0) - coalesce(__dd,0)))
+              |div ((__nn1_n * (__nn1_n - 1) - __nn1)
+              |   * (__nn1_n * (__nn1_n - 1) - __nn2))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("tau2_ppm"))
+  }
 }

@@ -1434,4 +1434,45 @@ class StatsSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().head
     assert(r == ((5L, 199999L, 300000L)), s"got $r")
   }
+
+  test("welchT2Milli: hand t², one-sided group, degenerate NULLs") {
+    // A=[1,2,3] (s²=1), B=[5,7] (s²=2): t² = 16/(1/3+1) = 12 exactly
+    val df = (Seq(1L, 2L, 3L).map(("g", true, _)) ++
+      Seq(5L, 7L).map(("g", false, _)) ++
+      Seq(("one", true, 4L), ("one", true, 5L)) ++       // no false side
+      Seq(("tiny", true, 1L), ("tiny", false, 2L)) ++    // n1 < 2
+      Seq(("cst", true, 3L), ("cst", true, 3L),          // both constant
+        ("cst", false, 3L), ("cst", false, 3L))).toDF("g", "f", "x")
+    val got = Stats.welchT2Milli(df, "g", "f", "x")
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 3L, 2L, Some(-1L), Some(12000L))),
+      s"got ${got("g")}")
+    assert(got("one") == (("one", 2L, 0L, None, None)))
+    assert(got("tiny") == (("tiny", 1L, 1L, Some(-1L), None)))
+    assert(got("cst") == (("cst", 2L, 2L, Some(0L), None)))
+  }
+
+  test("kendallTau2Ppm: perfect concordance/discordance, tie correction, " +
+       "all-tie NULL, partition independence") {
+    val df = (Seq((1L, 1L), (2L, 2L), (3L, 3L)).map { case (x, y) =>
+        ("up", x, y) } ++
+      Seq((1L, 3L), (2L, 2L), (3L, 1L)).map { case (x, y) =>
+        ("dn", x, y) } ++
+      // ties: (1,1),(1,2),(2,3) → C=2, D=0, N1=2, N2=0 → τ² = 2/3
+      Seq(("tie", 1L, 1L), ("tie", 1L, 2L), ("tie", 2L, 3L)) ++
+      Seq(("allx", 1L, 1L), ("allx", 1L, 2L))).toDF("g", "x", "y")
+    val got = Stats.kendallTau2Ppm(df, "g", "x", "y")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("up") == (("up", 3L, 1L, Some(1000000L))), s"got $got")
+    assert(got("dn") == (("dn", 3L, -1L, Some(1000000L))))
+    assert(got("tie") == (("tie", 3L, 1L, Some(666666L))))
+    assert(got("allx") == (("allx", 2L, 0L, None)))
+    val a = Stats.kendallTau2Ppm(df, "g", "x", "y").collect()
+      .map(_.toSeq).toSet
+    val b = Stats.kendallTau2Ppm(df.repartition(7), "g", "x", "y")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
