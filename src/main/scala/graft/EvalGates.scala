@@ -240,6 +240,28 @@ object EvalGates {
           sum(floor(col("value") * 100).cast("long")).as("y")),
       "event_type", "x", "y")
 
+  // ROC CURVE (ops/Stats.rocCurvePoints): full threshold sweep of the
+  // q272 planted classifier — whole-dollar score band vs the XOR
+  // label; one row per distinct band with exact (tp, fp) prefixes.
+  def q306_roc_points(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.rocCurvePoints(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(expr("CAST(floor(value*100) AS LONG) div 100").as("s"),
+          ((floor(col("value") * 100).cast("long") >= 3500) =!=
+            (col("event_id") % 7 === 0)).cast("long").as("y")),
+      "s", "y")
+
+  // AVERAGE PRECISION (ops/Stats.averagePrecisionPpm): the PR-AUC
+  // step estimator on the same planted score/label — the imbalance-
+  // robust single number next to q198's ROC-AUC.
+  def q307_avg_precision(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.averagePrecisionPpm(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(expr("CAST(floor(value*100) AS LONG) div 100").as("s"),
+          ((floor(col("value") * 100).cast("long") >= 3500) =!=
+            (col("event_id") % 7 === 0)).cast("long").as("y")),
+      "s", "y")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -259,7 +281,9 @@ object EvalGates {
     "q302_runs_test"       -> q302_runs_test _,
     "q303_durbin_watson"   -> q303_durbin_watson _,
     "q304_welch_t2"        -> q304_welch_t2 _,
-    "q305_kendall_tau"     -> q305_kendall_tau _)
+    "q305_kendall_tau"     -> q305_kendall_tau _,
+    "q306_roc_points"      -> q306_roc_points _,
+    "q307_avg_precision"   -> q307_avg_precision _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -639,5 +663,40 @@ object EvalGates {
         |                          *(coalesce(cc,0)-coalesce(dd,0)))
         |            // ((mx.n*(mx.n-1) - nn1) * (mx.n*(mx.n-1) - nn2))
         |            AS BIGINT) END AS tau2_ppm
-        |FROM mx JOIN my USING (g) LEFT JOIN pr ON pr.g = mx.g""".stripMargin)
+        |FROM mx JOIN my USING (g) LEFT JOIN pr ON pr.g = mx.g""".stripMargin,
+    "q306_roc_points" ->
+      """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT)//100 AS s,
+        |    CASE WHEN (CAST(floor(value*100) AS BIGINT) >= 3500)
+        |              <> (event_id % 7 = 0) THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT s, CAST(count(*) AS BIGINT) AS w,
+        |        CAST(sum(y) AS BIGINT) AS p FROM e GROUP BY 1),
+        |c AS (SELECT s, w, p, sum(w) OVER (ORDER BY s DESC) AS cw,
+        |        sum(p) OVER (ORDER BY s DESC) AS cp FROM h),
+        |t AS (SELECT sum(w) AS n, sum(p) AS pos FROM h)
+        |SELECT s AS threshold, CAST(cp AS BIGINT) AS tp,
+        |  CAST(cw - cp AS BIGINT) AS fp,
+        |  CASE WHEN pos = 0 THEN NULL
+        |       ELSE CAST((1000000*cp)//pos AS BIGINT) END AS tpr_ppm,
+        |  CASE WHEN n = pos THEN NULL
+        |       ELSE CAST((1000000*(cw-cp))//(n-pos) AS BIGINT) END
+        |    AS fpr_ppm,
+        |  CAST((1000000*cp)//cw AS BIGINT) AS precision_ppm
+        |FROM c CROSS JOIN t""".stripMargin,
+    "q307_avg_precision" ->
+      """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT)//100 AS s,
+        |    CASE WHEN (CAST(floor(value*100) AS BIGINT) >= 3500)
+        |              <> (event_id % 7 = 0) THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |h AS (SELECT s, CAST(count(*) AS BIGINT) AS w,
+        |        CAST(sum(y) AS BIGINT) AS p FROM e GROUP BY 1),
+        |c AS (SELECT s, w, p, sum(w) OVER (ORDER BY s DESC) AS cw,
+        |        sum(p) OVER (ORDER BY s DESC) AS cp FROM h)
+        |SELECT CAST(sum(w) AS BIGINT) AS n,
+        |  CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST((1000000*sum(p))//sum(w) AS BIGINT) AS prevalence_ppm,
+        |  CASE WHEN sum(p) = 0 THEN NULL
+        |       ELSE CAST(sum(p * ((1000000*cp)//cw))//sum(p) AS BIGINT)
+        |       END AS ap_ppm
+        |FROM c""".stripMargin)
 }

@@ -2496,6 +2496,84 @@ object Stats {
           .as("ex_kurtosis_ppm"))
   }
 
+  /** ROC CURVE POINTS, exact integer — the threshold-sweep table
+    * behind [[aucPpm]]'s single number: one row per distinct score
+    * value t (classifier: score ≥ t ⇒ positive) carrying the
+    * confusion prefix (tp, fp) and the three standard rates in ppm.
+    * Feed a monitoring UI or pick an operating point; [[gainsTable]]
+    * is the decile-grain cousin, this is the full-resolution curve.
+    *
+    * Output, one row per distinct score: (threshold, tp, fp,
+    * tpr_ppm, fpr_ppm, precision_ppm) — tpr NULL when no positives,
+    * fpr NULL when no negatives (precision's denominator tp+fp > 0 by
+    * construction: the threshold row itself contributes).
+    *
+    * Scale shape: rows collapse to the SCORE HISTOGRAM first (distinct
+    * scores shuffle, never rows); cumulative tp/fp via the
+    * checkpoint-and-offset [[GlobalRank.globalRunningSum]] (no global
+    * window); totals are a 1-row broadcast. Bucket continuous scores
+    * first to bound the curve ([[discretize]]). */
+  def rocCurvePoints(df: DataFrame, scoreCol: String,
+                     labelCol: String): DataFrame = {
+    val hist = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__w"), sum(col(labelCol).cast("long"))
+        .as("__p"))
+    val cum = GlobalRank.globalRunningSum(
+      GlobalRank.globalRunningSum(hist, Seq(col("__s").desc), "__w",
+        "__cw"),
+      Seq(col("__s").desc), "__p", "__cp")
+    val totals = hist.agg(sum(col("__w")).as("__n"),
+      sum(col("__p")).as("__pos"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("__s").as("threshold"), col("__cp").as("tp"),
+        (col("__cw") - col("__cp")).as("fp"),
+        when(col("__pos") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * __cp) div __pos")).as("tpr_ppm"),
+        when(col("__n") === col("__pos"), lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000000 * (__cw - __cp)) div (__n - __pos)")).as("fpr_ppm"),
+        expr("(1000000 * __cp) div __cw").as("precision_ppm"))
+  }
+
+  /** AVERAGE PRECISION (the step-function PR-AUC estimator) in exact
+    * integer ppm: AP = Σ_t ΔR_t · P_t over thresholds descending —
+    * and because tp is the running sum of per-score positives, ΔR at
+    * threshold t is just p_t/P, so the whole area is ONE pass over the
+    * score histogram:
+    *
+    *   ap_ppm = ( Σ_t p_t · (10⁶·tp_t div (tp_t+fp_t)) ) div P
+    *
+    * (inner precision pinned-floored per threshold, then the
+    * positive-mass average — the documented estimator, deterministic
+    * in any engine). The ROC cousin [[aucPpm]] is rank-based; AP is
+    * the number to watch under class imbalance.
+    *
+    * Output: one row (n, n_pos, prevalence_ppm, ap_ppm) — ap NULL
+    * when there are no positives.
+    *
+    * Scale shape: identical to [[rocCurvePoints]] — histogram,
+    * checkpoint-offset running sums, 1-row final aggregate. */
+  def averagePrecisionPpm(df: DataFrame, scoreCol: String,
+                          labelCol: String): DataFrame = {
+    val hist = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__w"), sum(col(labelCol).cast("long"))
+        .as("__p"))
+    val cum = GlobalRank.globalRunningSum(
+      GlobalRank.globalRunningSum(hist, Seq(col("__s").desc), "__w",
+        "__cw"),
+      Seq(col("__s").desc), "__p", "__cp")
+    cum.agg(sum(col("__w")).as("__n"), sum(col("__p")).as("__pos"),
+        sum(expr("__p * ((1000000 * __cp) div __cw)")).as("__a"))
+      .select(col("__n").cast("long").as("n"),
+        col("__pos").cast("long").as("n_pos"),
+        expr("(1000000 * __pos) div __n").cast("long")
+          .as("prevalence_ppm"),
+        when(col("__pos") === 0, lit(null).cast("long"))
+          .otherwise(expr("__a div __pos")).as("ap_ppm"))
+  }
+
   /** WELCH'S t² per group — the unequal-variance two-sample test every
     * A/B readout should default to ([[anovaFMicro]] assumes pooled
     * variance; Welch does not): t² = (x̄₁−x̄₂)² / (s₁²/n₁ + s₂²/n₂),

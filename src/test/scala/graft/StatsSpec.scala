@@ -1435,6 +1435,46 @@ class StatsSpec extends SparkTestBase {
     assert(r == ((5L, 199999L, 300000L)), s"got $r")
   }
 
+  test("rocCurvePoints: hand confusion prefixes, degenerate label NULLs") {
+    // scores desc: t=3 (w2,p1), t=2 (w1,p1), t=1 (w1,p0); P=2, N=2
+    val df = Seq((3L, 1L), (3L, 0L), (2L, 1L), (1L, 0L)).toDF("s", "y")
+    val got = Stats.rocCurvePoints(df, "s", "y")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(3L) == ((3L, 1L, 1L, Some(500000L), Some(500000L),
+      500000L)), s"got $got")
+    assert(got(2L) == ((2L, 2L, 1L, Some(1000000L), Some(500000L),
+      666666L)))
+    assert(got(1L) == ((1L, 2L, 2L, Some(1000000L), Some(1000000L),
+      500000L)))
+    // all-positive labels: fpr NULL everywhere; all-negative: tpr NULL
+    val allPos = Stats.rocCurvePoints(
+      Seq((2L, 1L), (1L, 1L)).toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Long)].collect()
+    assert(allPos.forall(_._5.isEmpty) && allPos.forall(_._4.nonEmpty))
+    val allNeg = Stats.rocCurvePoints(
+      Seq((2L, 0L), (1L, 0L)).toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Long)].collect()
+    assert(allNeg.forall(_._4.isEmpty) && allNeg.forall(_._5.nonEmpty))
+  }
+
+  test("averagePrecisionPpm: hand AP, perfect ranking = 1e6, " +
+       "no-positive NULL") {
+    val df = Seq((3L, 1L), (3L, 0L), (2L, 1L), (1L, 0L)).toDF("s", "y")
+    // AP = (1·500000 + 1·666666 + 0·500000) // 2 = 583333
+    val r = Stats.averagePrecisionPpm(df, "s", "y")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((4L, 2L, 500000L, Some(583333L))), s"got $r")
+    val perfect = Stats.averagePrecisionPpm(
+      Seq((5L, 1L), (4L, 1L), (2L, 0L), (1L, 0L)).toDF("s", "y"),
+      "s", "y").as[(Long, Long, Long, Option[Long])].collect().head
+    assert(perfect == ((4L, 2L, 500000L, Some(1000000L))))
+    val nopos = Stats.averagePrecisionPpm(
+      Seq((2L, 0L), (1L, 0L)).toDF("s", "y"), "s", "y")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(nopos == ((2L, 0L, 0L, None)))
+  }
+
   test("welchT2Milli: hand t², one-sided group, degenerate NULLs") {
     // A=[1,2,3] (s²=1), B=[5,7] (s²=2): t² = 16/(1/3+1) = 12 exactly
     val df = (Seq(1L, 2L, 3L).map(("g", true, _)) ++
