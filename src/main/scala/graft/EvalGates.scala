@@ -262,6 +262,31 @@ object EvalGates {
             (col("event_id") % 7 === 0)).cast("long").as("y")),
       "s", "y")
 
+  // IVM EXTREMA (ops/Ivm.extremaMaterialize/applyExtremaDelta/
+  // extremaSnapshot): min/max maintained under RETRACTS — the q175
+  // changelog split (post-cutoff inserts, %7 retracts) driven through
+  // the per-key value-multiset auxiliary view, so deleting a current
+  // minimum never rescans the base. Oracle recomputes from scratch —
+  // incremental ≡ recompute is the whole claim.
+  def q308_ivm_extrema(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Ivm
+    val li = t(s, dir, "lineitem")
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cents = floor(col("l_extendedprice") * 100).cast("long")
+    val aux = Ivm.extremaMaterialize(
+      li.filter(col("l_shipdate") < cutoff)
+        .select(col("l_partkey"), cents.as("v")),
+      Seq("l_partkey"), "v")
+    val changes = li.filter(col("l_shipdate") >= cutoff)
+      .select(col("l_partkey"), cents.as("v"), lit(1).as("op"))
+      .unionByName(li.filter(col("l_shipdate") < cutoff &&
+          col("l_orderkey") % 7 === 0)
+        .select(col("l_partkey"), cents.as("v"), lit(-1).as("op")))
+    Ivm.extremaSnapshot(
+      Ivm.applyExtremaDelta(aux, changes, Seq("l_partkey"), "v"),
+      Seq("l_partkey"), "v")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -283,7 +308,8 @@ object EvalGates {
     "q304_welch_t2"        -> q304_welch_t2 _,
     "q305_kendall_tau"     -> q305_kendall_tau _,
     "q306_roc_points"      -> q306_roc_points _,
-    "q307_avg_precision"   -> q307_avg_precision _)
+    "q307_avg_precision"   -> q307_avg_precision _,
+    "q308_ivm_extrema"     -> q308_ivm_extrema _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -698,5 +724,17 @@ object EvalGates {
         |  CASE WHEN sum(p) = 0 THEN NULL
         |       ELSE CAST(sum(p * ((1000000*cp)//cw))//sum(p) AS BIGINT)
         |       END AS ap_ppm
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin,
+    "q308_ivm_extrema" ->
+      """WITH eff AS (
+        |  SELECT l_partkey AS k, CAST(floor(l_extendedprice*100) AS BIGINT)
+        |    AS v
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  UNION ALL
+        |  SELECT l_partkey, CAST(floor(l_extendedprice*100) AS BIGINT)
+        |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_orderkey % 7 <> 0)
+        |SELECT k AS l_partkey, min(v) AS v_min, max(v) AS v_max,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM eff GROUP BY 1""".stripMargin)
 }

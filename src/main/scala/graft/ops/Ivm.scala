@@ -94,6 +94,44 @@ object Ivm {
       .unionByName(untouched.select((keys ++ metricCols).map(col): _*))
   }
 
+  /** MIN/MAX under retracts — the aggregates [[applyDelta]] documents
+    * as NOT self-maintainable — via the classic auxiliary-state fix:
+    * maintain the per-key VALUE MULTISET as a count view keyed by
+    * (keys, value), which IS self-maintainable, and read extrema from
+    * it. Deleting the current minimum needs no base rescan: the next
+    * minimum is already in the histogram. State is bounded by distinct
+    * (key, value) pairs — for integer-domain metrics typically far
+    * below row count; pre-bucket continuous values if needed.
+    *
+    * The three entry points compose with [[applyDelta]] rather than
+    * duplicate it: the auxiliary view is literally a count view with
+    * the value column promoted into the key. */
+  def extremaMaterialize(base: DataFrame, keys: Seq[String],
+                         valueCol: String): DataFrame =
+    materialize(base, keys :+ valueCol, AggSpec(Seq.empty))
+
+  /** Merge a retract changelog into the extrema auxiliary view — same
+    * contract as [[applyDelta]] (op ±1, optional multiplicity; zero
+    * counts drop, negative counts stay visible for reconciliation). */
+  def applyExtremaDelta(aux: DataFrame, changes: DataFrame,
+                        keys: Seq[String], valueCol: String,
+                        opCol: String = "op",
+                        multiplicityCol: Option[String] = None): DataFrame =
+    applyDelta(aux, changes, keys :+ valueCol, AggSpec(Seq.empty),
+      opCol, multiplicityCol)
+
+  /** Read the current per-key (min, max, n) from the auxiliary view.
+    * Rows with non-positive counts (corrupt-changelog markers) are
+    * EXCLUDED from extrema here — surface them via a `n_rows < 0`
+    * filter on the aux view itself before trusting the snapshot. */
+  def extremaSnapshot(aux: DataFrame, keys: Seq[String],
+                      valueCol: String): DataFrame =
+    aux.where(col("n_rows") > 0)
+      .groupBy(keys.map(col): _*)
+      .agg(min(col(valueCol)).as(s"${valueCol}_min"),
+        max(col(valueCol)).as(s"${valueCol}_max"),
+        sum(col("n_rows")).as("n_rows"))
+
   /** Turn a pair of table snapshots into the retract changelog that
     * `applyDelta` consumes — the batch-CDC "diff to changelog" bridge
     * (rows only in `before` retract, rows only in `after` insert;

@@ -110,4 +110,41 @@ class IvmSpec extends SparkTestBase {
     assert(p.contains("LeftAnti") && p.contains("LeftSemi"),
       s"view must split touched/untouched:\n${p.take(600)}")
   }
+
+  test("extrema: deleting the current min promotes the next value, " +
+       "no base rescan") {
+    val base = Seq((1L, 5L), (1L, 5L), (1L, 9L), (2L, 3L)).toDF("k", "v")
+    val aux = Ivm.extremaMaterialize(base, Seq("k"), "v")
+    // retract ONE copy of key 1's min → min stays 5; then both → 9
+    val c1 = Seq((1L, 5L, -1)).toDF("k", "v", "op")
+    val a1 = Ivm.applyExtremaDelta(aux, c1, Seq("k"), "v")
+    val s1 = Ivm.extremaSnapshot(a1, Seq("k"), "v")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(s1(1L) == ((1L, 5L, 9L, 2L)), s"got $s1")
+    val c2 = Seq((1L, 5L, -1), (1L, 5L, -1)).toDF("k", "v", "op")
+    val s2 = Ivm.extremaSnapshot(
+      Ivm.applyExtremaDelta(aux, c2, Seq("k"), "v"), Seq("k"), "v")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(s2(1L) == ((1L, 9L, 9L, 1L)))
+    assert(s2(2L) == ((2L, 3L, 3L, 1L)))
+  }
+
+  test("extrema: incremental ≡ recompute over a mixed changelog") {
+    val base = (1L to 40L).map(i => (i % 5, i * 7 % 23)).toDF("k", "v")
+    val changes = ((1L to 40L).filter(_ % 3 == 0)
+        .map(i => (i % 5, i * 7 % 23, -1)) ++       // retract thirds
+      (41L to 55L).map(i => (i % 5, i * 7 % 23, 1)) ++
+      Seq((9L, 100L, 1))                            // key birth
+    ).toDF("k", "v", "op")
+    val inc = Ivm.extremaSnapshot(
+      Ivm.applyExtremaDelta(Ivm.extremaMaterialize(base, Seq("k"), "v"),
+        changes, Seq("k"), "v"), Seq("k"), "v")
+    val effective = ((1L to 40L).filterNot(_ % 3 == 0) ++ (41L to 55L))
+      .map(i => (i % 5, i * 7 % 23)).toDF("k", "v")
+      .union(Seq((9L, 100L)).toDF("k", "v"))
+    val full = Ivm.extremaSnapshot(
+      Ivm.extremaMaterialize(effective, Seq("k"), "v"), Seq("k"), "v")
+    assert(inc.collect().map(_.toSeq).toSet ==
+      full.collect().map(_.toSeq).toSet)
+  }
 }
