@@ -287,6 +287,33 @@ object EvalGates {
       Seq("l_partkey"), "v")
   }
 
+  // MODULARITY (ops/GraphOps.modularityPpm): does the q196 supplier
+  // co-purchase graph cluster along nations? Newman Q of the
+  // nation partition in exact sign + ppm — slightly negative here
+  // (co-purchases are nation-agnostic), which is the point: the score
+  // grades ANY partition, not just detected communities.
+  def q309_modularity(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = o.as("a").join(o.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+      .agg(count(lit(1)).as("co")).filter(col("co") >= 25)
+    graft.ops.GraphOps.modularityPpm(edges, "x", "y",
+      t(s, dir, "supplier"), "s_suppkey", "s_nationkey")
+  }
+
+  // SEASONAL STRENGTH (ops/Resample.seasonalStrengthPpm): η² of the
+  // weekday factor on each type's daily counts — "is there a weekly
+  // cycle worth modeling?" Pinned-floor anovaF arithmetic per group.
+  def q310_seasonal_strength(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Resample.seasonalStrengthPpm(
+      t(s, dir, "events").where(col("event_type").isNotNull)
+        .groupBy(col("event_type"), expr(s"ts div ${dayUs}L").as("dd"))
+        .agg(count(lit(1)).as("v")),
+      "event_type", "dd", "v", season = 7)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -309,7 +336,9 @@ object EvalGates {
     "q305_kendall_tau"     -> q305_kendall_tau _,
     "q306_roc_points"      -> q306_roc_points _,
     "q307_avg_precision"   -> q307_avg_precision _,
-    "q308_ivm_extrema"     -> q308_ivm_extrema _)
+    "q308_ivm_extrema"     -> q308_ivm_extrema _,
+    "q309_modularity"      -> q309_modularity _,
+    "q310_seasonal_strength" -> q310_seasonal_strength _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -736,5 +765,51 @@ object EvalGates {
         |    AND l_orderkey % 7 <> 0)
         |SELECT k AS l_partkey, min(v) AS v_min, max(v) AS v_max,
         |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM eff GROUP BY 1""".stripMargin)
+        |FROM eff GROUP BY 1""".stripMargin,
+    "q309_modularity" ->
+      """WITH o AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |           FROM lineitem),
+        |e AS (SELECT a.sk AS x, b.sk AS y FROM o a JOIN o b
+        |        ON a.ok = b.ok AND a.sk < b.sk
+        |      GROUP BY 1, 2 HAVING count(*) >= 25),
+        |asg AS (SELECT s_suppkey AS n, s_nationkey AS c FROM supplier),
+        |tg AS (SELECT e.x, e.y, ax.c AS cx, ay.c AS cy
+        |       FROM e JOIN asg ax ON e.x = ax.n
+        |              JOIN asg ay ON e.y = ay.n),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM tg),
+        |ec AS (SELECT cx AS c, CAST(count(*) AS HUGEINT) AS ee FROM tg
+        |       WHERE cx = cy GROUP BY 1),
+        |deg AS (SELECT n, count(*) AS d
+        |        FROM (SELECT x AS n FROM e UNION ALL SELECT y FROM e)
+        |        GROUP BY 1),
+        |dc AS (SELECT asg.c, CAST(sum(deg.d) AS HUGEINT) AS dd
+        |       FROM deg JOIN asg ON deg.n = asg.n GROUP BY 1),
+        |agg AS (SELECT any_value(m.m) AS m, count(*) AS k,
+        |          sum(4*m.m*coalesce(ec.ee,0) - dc.dd*dc.dd) AS num
+        |        FROM dc LEFT JOIN ec ON dc.c = ec.c CROSS JOIN m)
+        |SELECT CAST(m AS BIGINT) AS m,
+        |  CAST(k AS BIGINT) AS n_communities,
+        |  CAST(sign(num) AS BIGINT) AS sign,
+        |  CASE WHEN m = 0 THEN NULL
+        |       ELSE CAST((1000000*abs(num)) // (4*m*m) AS BIGINT) END
+        |    AS q_ppm
+        |FROM agg""".stripMargin,
+    "q310_seasonal_strength" ->
+      """WITH d AS (SELECT event_type AS g, epoch_us(ts)//86400000000
+        |             AS dd, CAST(count(*) AS BIGINT) AS v
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1,2),
+        |sl AS (SELECT g, dd % 7 AS s, count(*) AS c, sum(v) AS sv,
+        |         sum(v*v) AS sq FROM d GROUP BY 1,2),
+        |ag AS (SELECT g, sum(c) AS n, count(*) AS k, sum(sv) AS st,
+        |         sum(sq) AS sst, sum((1000*sv*sv)//c) AS a
+        |       FROM sl GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(k AS BIGINT) AS n_slots,
+        |  CAST(a - (1000*st*st)//n AS BIGINT) AS ssb_milli,
+        |  CAST(1000*sst - (1000*st*st)//n AS BIGINT) AS sst_milli,
+        |  CASE WHEN 1000*sst - (1000*st*st)//n = 0 THEN NULL
+        |       ELSE CAST((1000000*greatest(0, a - (1000*st*st)//n))
+        |            // (1000*sst - (1000*st*st)//n) AS BIGINT) END
+        |    AS strength_ppm
+        |FROM ag""".stripMargin)
 }

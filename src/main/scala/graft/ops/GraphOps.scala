@@ -323,4 +323,66 @@ object GraphOps {
         s"($n nodes still unstable) — raise maxIter")
     degrees(nodes)
   }
+
+  /** NEWMAN MODULARITY of a given node→community assignment over an
+    * undirected simple graph, exact integer: Q = Σ_c [e_c/m −
+    * (d_c/2m)²] — "how much denser are intra-community edges than a
+    * degree-preserving random rewire?" The score that grades a
+    * community detection ([[labelPropagation]], components) or any
+    * domain partition (do suppliers co-sell within their nation?).
+    * Q ∈ [−½, 1); > ~0.3 usually means real structure.
+    *
+    * One common denominator kills all fractions:
+    *   Q = Σ_c (4m·e_c − d_c²) / (4m²)
+    * surfaced as sign + magnitude (q_ppm = 10⁶·|Σ| div 4m²) so the
+    * one division is over non-negative integers (div ↔ `//` drift on
+    * negatives never arises).
+    *
+    * Input contract: `edges` is the deduplicated undirected edge list
+    * (one row per unordered pair, src < dst, no self-loops);
+    * `assign` maps EVERY endpoint node to exactly one community
+    * (missing nodes would silently drop their edges — the inner join
+    * surfaces that as a smaller m; callers wanting loud failure
+    * compare m to edges.count()).
+    *
+    * Output: one row (m, n_communities, sign, q_ppm).
+    *
+    * Scale shape: two node-keyed joins to tag endpoints, one comm
+    * groupBy for e_c, one degree groupBy (edge endpoints union) joined
+    * to the assignment for d_c, one 1-row finish. All shuffles on
+    * graph keys; nothing driver-side. */
+  def modularityPpm(edges: DataFrame, srcCol: String, dstCol: String,
+                    assign: DataFrame, nodeCol: String,
+                    commCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.select(col(srcCol).as("__x"), col(dstCol).as("__y"))
+    val a = assign.select(col(nodeCol).as("__n"), col(commCol).as("__c"))
+    val tagged = e
+      .join(a.withColumnRenamed("__n", "__x")
+        .withColumnRenamed("__c", "__cx"), "__x")
+      .join(a.withColumnRenamed("__n", "__y")
+        .withColumnRenamed("__c", "__cy"), "__y")
+    val m = tagged.agg(count(lit(1)).cast(d38).as("__m"))
+    val ec = tagged.where(col("__cx") === col("__cy"))
+      .groupBy(col("__cx").as("__c"))
+      .agg(count(lit(1)).cast(d38).as("__e"))
+    val deg = e.select(col("__x").as("__n"))
+      .unionAll(e.select(col("__y").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    val dc = deg.join(a, "__n")
+      .groupBy(col("__c")).agg(sum(col("__d")).cast(d38).as("__dd"))
+    dc.join(ec, Seq("__c"), "left")
+      .crossJoin(broadcast(m))
+      .agg(first(col("__m")).as("__m"), count(lit(1)).as("__k"),
+        sum(lit(4).cast(d38) * col("__m") *
+          coalesce(col("__e"), lit(0).cast(d38)) -
+          col("__dd") * col("__dd")).as("__num"))
+      .select(col("__m").cast("long").as("m"),
+        col("__k").cast("long").as("n_communities"),
+        signum(col("__num")).cast("long").as("sign"),
+        when(col("__m") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * abs(__num)) div (4 * __m * __m) AS BIGINT)"))
+          .as("q_ppm"))
+  }
 }

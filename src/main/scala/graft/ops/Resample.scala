@@ -250,4 +250,58 @@ object Resample {
                |div (CAST(n_periods AS $d38) * __st) AS BIGINT)"""
               .stripMargin.replace("\n", " "))).as("index_ppm"))
   }
+
+  /** SEASONAL STRENGTH per group — "how much of this series' variance
+    * does the seasonal cycle explain?": the η² of the season-slot
+    * factor, SSB/SST over slots phase = period mod season. 0 = no
+    * seasonality, →1 = the calendar IS the series; read it before
+    * trusting [[seasonalIndices]] (indices always exist; strength says
+    * whether they mean anything) or choosing [[seasonalNaiveWape]] as
+    * the baseline.
+    *
+    * Exact pinned-floor integer (the [[Stats.anovaFMicro]] recipe, per
+    * group): A = Σ_slots (10³·s² div c); SSB₍milli₎ = A − 10³·S² div n;
+    * SST₍milli₎ = 10³·ΣX² − 10³·S² div n;
+    * strength_ppm = 10⁶·max(0, SSB) div SST (the per-slot floors can
+    * push a true-zero SSB a few milli-units negative — clamped, so the
+    * one division stays over non-negatives).
+    *
+    * Output per group: (group, n, n_slots, ssb_milli, sst_milli,
+    * strength_ppm) — strength NULL for constant series (SST = 0).
+    *
+    * Scale shape: one (group, slot) map-side-partial groupBy, then a
+    * group-grain rollup — the slot grid crosses the shuffle, rows
+    * never do twice. */
+  def seasonalStrengthPpm(obs: DataFrame, groupCol: String,
+                          periodCol: String, valueCol: String,
+                          season: Int): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    obs.select(col(groupCol).as("__g"),
+        pmod(col(periodCol).cast("long"), lit(season.toLong)).as("__s"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__g"), col("__s"))
+      .agg(count(lit(1)).cast(d38).as("__c"),
+        sum(col("__v").cast(d38)).as("__sv"),
+        sum((col("__v") * col("__v")).cast(d38)).as("__sq"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("__k"),
+        sum(col("__sv")).as("__st"), sum(col("__sq")).as("__sst"),
+        sum(expr("(1000 * __sv * __sv) div __c")).as("__a"))
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+        col("__k").cast("long").as("n_slots"),
+        expr("CAST(__a - (1000 * __st * __st) div __n AS BIGINT)")
+          .as("ssb_milli"),
+        expr("CAST(1000 * __sst - (1000 * __st * __st) div __n AS BIGINT)")
+          .as("sst_milli"),
+        when(expr("1000 * __sst - (1000 * __st * __st) div __n") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * greatest(CAST(0 AS DECIMAL(38,0)),
+              |  __a - (1000 * __st * __st) div __n))
+              |div (1000 * __sst - (1000 * __st * __st) div __n)
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("strength_ppm"))
+  }
 }

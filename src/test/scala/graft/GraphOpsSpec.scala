@@ -229,4 +229,27 @@ class GraphOpsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("modularityPpm: two-triangle barbell, one-community zero, " +
+       "missing assignment shrinks m") {
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: m=7, d_c=7 each,
+    // Q = 2·(4·7·3 − 49)/(4·49) = 70/196 = 0.357142...
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("x", "y")
+    val asg = (1L to 6L).map(n => (n, if (n <= 3) "a" else "b"))
+      .toDF("n", "c")
+    val r = GraphOps.modularityPpm(edges, "x", "y", asg, "n", "c")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((7L, 2L, 1L, Some(357142L))), s"got $r")
+    // everything in one community: Q = 0 exactly
+    val one = GraphOps.modularityPpm(edges, "x", "y",
+      asg.withColumn("c", lit("all")), "n", "c")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(one == ((7L, 1L, 0L, Some(0L))))
+    // node 6 unassigned: its two edges drop from the tagged graph
+    val partial = GraphOps.modularityPpm(edges, "x", "y",
+      asg.where(col("n") =!= 6L), "n", "c")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(partial._1 == 5L, s"got $partial")
+  }
 }

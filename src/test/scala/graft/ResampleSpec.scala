@@ -119,6 +119,24 @@ class ResampleSpec extends SparkTestBase {
       .collect().forall(_._5.isEmpty))
   }
 
+  test("seasonalStrengthPpm: pure cycle = 1e6, anti-phase mix = 0, " +
+       "constant NULL") {
+    // season 2: [10,2,10,2] is ALL cycle; [10,2,2,10] mixes phases so
+    // slot means equal the grand mean → SSB 0; constant → SST 0
+    val df = (Seq(10L, 2L, 10L, 2L).zipWithIndex.map { case (v, p) =>
+        ("cyc", p.toLong, v) } ++
+      Seq(10L, 2L, 2L, 10L).zipWithIndex.map { case (v, p) =>
+        ("mix", p.toLong, v) } ++
+      Seq(("cst", 0L, 5L), ("cst", 1L, 5L))).toDF("g", "p", "v")
+    val got = Resample.seasonalStrengthPpm(df, "g", "p", "v", season = 2)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("cyc") == (("cyc", 4L, 2L, 64000L, 64000L,
+      Some(1000000L))), s"got $got")
+    assert(got("mix") == (("mix", 4L, 2L, 0L, 64000L, Some(0L))))
+    assert(got("cst") == (("cst", 2L, 2L, 0L, 0L, None)))
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[(A, B), (C, D)] =
       rows.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
