@@ -314,6 +314,33 @@ object EvalGates {
         .agg(count(lit(1)).as("v")),
       "event_type", "dd", "v", season = 7)
 
+  // POINT-IN-POLYGON (ops/Spatial.pointInPolygon): geofence the q262
+  // LCG customer points against a literal pentagon — crossing-number
+  // rule folded into one map-only codegen expression, per-nation
+  // inside counts. Exact integer cross-products, no joins at all.
+  def q311_geofence(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "customer").select(
+      col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+      ((col("c_custkey") * 1103515245L + 12345L) % 50000L).as("x"),
+      ((col("c_custkey") * 69069L + 1L) % 50000L).as("y"))
+    graft.ops.Spatial.pointInPolygon(pts, "x", "y",
+        Seq((5000L, 5000L), (45000L, 10000L), (40000L, 40000L),
+          (20000L, 45000L), (8000L, 30000L)))
+      .groupBy(col("nat").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("inside"), 1L).otherwise(0L)).as("n_inside"))
+  }
+
+  // K-ANONYMITY / L-DIVERSITY (ops/DataQuality.privacyReport): the
+  // pre-release privacy screen on customers — quasi-identifiers
+  // (nation, segment), sensitive attribute = account-balance sign,
+  // k = 15, l = 2. One row of exact violation counts.
+  def q312_privacy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.DataQuality.privacyReport(
+      t(s, dir, "customer").select(col("c_nationkey"),
+        col("c_mktsegment"), (col("c_acctbal") >= 0).as("sv")),
+      Seq("c_nationkey", "c_mktsegment"), "sv", k = 15, l = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -338,7 +365,9 @@ object EvalGates {
     "q307_avg_precision"   -> q307_avg_precision _,
     "q308_ivm_extrema"     -> q308_ivm_extrema _,
     "q309_modularity"      -> q309_modularity _,
-    "q310_seasonal_strength" -> q310_seasonal_strength _)
+    "q310_seasonal_strength" -> q310_seasonal_strength _,
+    "q311_geofence"        -> q311_geofence _,
+    "q312_privacy"         -> q312_privacy _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -811,5 +840,42 @@ object EvalGates {
         |       ELSE CAST((1000000*greatest(0, a - (1000*st*st)//n))
         |            // (1000*sst - (1000*st*st)//n) AS BIGINT) END
         |    AS strength_ppm
-        |FROM ag""".stripMargin)
+        |FROM ag""".stripMargin,
+    "q311_geofence" ->
+      """WITH p AS (SELECT c_custkey AS id, c_nationkey AS nat,
+        |   (c_custkey*1103515245 + 12345) % 50000 AS x,
+        |   (c_custkey*69069 + 1) % 50000 AS y FROM customer),
+        |e(x1,y1,x2,y2) AS (VALUES (5000,5000,45000,10000),
+        |  (45000,10000,40000,40000),(40000,40000,20000,45000),
+        |  (20000,45000,8000,30000),(8000,30000,5000,5000)),
+        |cr AS (SELECT p.id, p.nat,
+        |  sum(CASE WHEN ((e.y1 > p.y) <> (e.y2 > p.y)) AND
+        |       ((e.y2 > e.y1 AND (p.x - e.x1)*(e.y2 - e.y1)
+        |           < (e.x2 - e.x1)*(p.y - e.y1))
+        |        OR (e.y2 < e.y1 AND (p.x - e.x1)*(e.y2 - e.y1)
+        |           > (e.x2 - e.x1)*(p.y - e.y1)))
+        |      THEN 1 ELSE 0 END) AS cnt
+        |  FROM p CROSS JOIN e GROUP BY 1,2)
+        |SELECT nat AS c_nationkey, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(sum(CASE WHEN cnt % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inside
+        |FROM cr GROUP BY 1""".stripMargin,
+    "q312_privacy" ->
+      """WITH pairs AS (SELECT c_nationkey, c_mktsegment,
+        |    (c_acctbal >= 0) AS sv, count(*) AS c FROM customer
+        |    GROUP BY 1,2,3),
+        |g AS (SELECT c_nationkey, c_mktsegment, sum(c) AS n,
+        |    sum(CASE WHEN sv IS NOT NULL THEN 1 ELSE 0 END) AS l
+        |    FROM pairs GROUP BY 1,2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        | CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(min(n) AS BIGINT) AS min_group_size,
+        | CAST(sum(CASE WHEN n < 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS k_viol_groups,
+        | CAST(sum(CASE WHEN n < 15 THEN n ELSE 0 END) AS BIGINT)
+        |   AS k_viol_rows,
+        | CAST(min(l) AS BIGINT) AS min_l,
+        | CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS l_viol_groups
+        |FROM g""".stripMargin)
 }

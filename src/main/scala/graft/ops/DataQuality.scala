@@ -201,4 +201,52 @@ object DataQuality {
     df.withColumn("__fail", firstFail).filter(col("__fail").isNotNull)
       .withColumnRenamed("__fail", "failed_rule")
   }
+
+  /** K-ANONYMITY / L-DIVERSITY report — the re-identification screen
+    * run before sharing a dataset: every quasi-identifier combination
+    * (the columns an attacker could link on) must cover at least k
+    * individuals (k-anonymity), and within each such group the
+    * sensitive attribute must take at least l distinct values
+    * (l-diversity — a k-anonymous group that is 100% one diagnosis
+    * still leaks it). One row of exact counts; release gates read
+    * `k_viol_rows == 0 && min_l >= l`.
+    *
+    * NULL semantics (documented, deliberate): a NULL in a quasi column
+    * is its own linkable value (groupBy semantics — an attacker can
+    * link on "field absent" too); NULL sensitive values don't count
+    * toward diversity (count-distinct semantics), so an all-NULL
+    * group reports l = 0.
+    *
+    * Output: one row (n_rows, n_groups, min_group_size, k_viol_groups,
+    * k_viol_rows, min_l, l_viol_groups) — mins NULL on empty input.
+    *
+    * Scale shape: ONE groupBy on the quasi key (map-side partial)
+    * carrying (count, approx-free exact distinct via a two-level
+    * group), then a 1-row rollup. The quasi alphabet crosses the
+    * shuffle, rows never do twice. */
+  def privacyReport(df: DataFrame, quasiCols: Seq[String],
+                    sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    // exact distinct without countDistinct's per-group expansion bomb:
+    // (quasi, sensitive) pairs first — the shuffle carries the pair
+    // alphabet — then counts roll up
+    val pairs = df.groupBy((quasiCols.map(col) :+
+        col(sensitiveCol).as("__sv")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val groups = pairs.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__n"),
+        sum(when(col("__sv").isNotNull, 1L).otherwise(0L)).as("__l"))
+    groups.agg(
+      coalesce(sum(col("__n")), lit(0L)).cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_groups"),
+      min(col("__n")).cast("long").as("min_group_size"),
+      coalesce(sum(when(col("__n") < k, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("k_viol_groups"),
+      coalesce(sum(when(col("__n") < k, col("__n")).otherwise(0L)),
+        lit(0L)).cast("long").as("k_viol_rows"),
+      min(col("__l")).cast("long").as("min_l"),
+      coalesce(sum(when(col("__l") < l, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("l_viol_groups"))
+  }
 }

@@ -176,4 +176,53 @@ object Spatial {
       .orderBy(col("n").desc, col("cx"), col("cy"))
       .limit(k)
   }
+
+  /** POINT-IN-POLYGON containment flag — geofencing ("which users are
+    * inside this delivery zone / country outline?") via the crossing-
+    * number rule, entirely in exact integer arithmetic: an upward ray
+    * from the point crosses edge (x₁,y₁)→(x₂,y₂) iff the edge
+    * straddles the point's y (half-open: `y₁ > y` ≠ `y₂ > y`, so a
+    * vertex counts for exactly one of its two edges) and the point is
+    * left of the edge at that height — `px < x₁ + (x₂−x₁)(y−y₁)/
+    * (y₂−y₁)` cross-multiplied by (y₂−y₁), with the inequality
+    * direction resolved at BUILD time from the constant edge (no
+    * signed division, no floats). Odd crossings = inside. Points
+    * exactly ON an edge get the algorithm's deterministic verdict
+    * (boundary is measure-zero in the integer grid; callers needing
+    * closed/open boundary semantics pre-filter with an exact on-edge
+    * test). Works for any simple polygon, convex or not; vertices in
+    * either winding order.
+    *
+    * Coordinate bound: |coords| ≤ 10⁹ keeps every cross-product in a
+    * long (4·10¹⁸ < 2⁶³) — enforced on the polygon, documented for
+    * the points.
+    *
+    * Scale shape: the polygon folds into ONE literal whole-stage-
+    * codegen'd expression — a map-only scan, zero shuffles, zero
+    * joins; 100 TB of points stream through at scan speed. For
+    * many-polygon workloads, pre-filter with a bounding-box
+    * [[gridDensity]]-style cell join, then apply the exact test. */
+  def pointInPolygon(points: DataFrame, xCol: String, yCol: String,
+                     polygon: Seq[(Long, Long)],
+                     outCol: String = "inside"): DataFrame = {
+    require(polygon.size >= 3, s"polygon needs >= 3 vertices")
+    require(polygon.forall { case (x, y) =>
+      math.abs(x) <= 1000000000L && math.abs(y) <= 1000000000L },
+      "polygon coordinates must be within +-1e9 (long cross-products)")
+    val px = col(xCol).cast("long")
+    val py = col(yCol).cast("long")
+    val crossings = polygon.indices.map { i =>
+      val (x1, y1) = polygon(i)
+      val (x2, y2) = polygon((i + 1) % polygon.size)
+      if (y1 == y2) lit(0L)
+      else {
+        val straddles = (lit(y1) > py) =!= (lit(y2) > py)
+        val lhs = (px - lit(x1)) * lit(y2 - y1)
+        val rhs = lit(x2 - x1) * (py - lit(y1))
+        val leftOf = if (y2 > y1) lhs < rhs else lhs > rhs
+        when(straddles && leftOf, 1L).otherwise(0L)
+      }
+    }.reduce(_ + _)
+    points.withColumn(outCol, pmod(crossings, lit(2L)) === 1L)
+  }
 }

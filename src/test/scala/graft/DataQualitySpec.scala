@@ -95,4 +95,23 @@ class DataQualitySpec extends SparkTestBase {
       Seq(ForeignKey(Seq("k1", "k2"), refs, Seq("r1", "r2"))))
     assert(rep.select("n_violations").as[Long].head() == 1L) // (3,c)
   }
+
+  test("privacyReport: k/l violation counts, NULL-sensitive l=0") {
+    val df = Seq(
+      ("a", "s1"), ("a", "s1"), ("a", "s2"),      // n=3, l=2
+      ("b", "s1"),                                // n=1, l=1
+      ("c", null), ("c", null)                    // n=2, l=0
+    ).toDF("q", "sv")
+    val r = DataQuality.privacyReport(df, Seq("q"), "sv", k = 2, l = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((6L, 3L, 1L, 1L, 1L, 0L, 2L)), s"got $r")
+    // partition independence (pure groupBy chain)
+    val a = DataQuality.privacyReport(df, Seq("q"), "sv", 2, 2)
+      .collect().map(_.toSeq).toSet
+    val b = DataQuality.privacyReport(df.repartition(5), Seq("q"), "sv",
+      2, 2).collect().map(_.toSeq).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException](
+      DataQuality.privacyReport(df, Seq.empty, "sv", 2, 2))
+  }
 }

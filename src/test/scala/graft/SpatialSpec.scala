@@ -160,4 +160,35 @@ class SpatialSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Spatial.gridHotspots(df, "x", "y", 10L, 0))
   }
+
+  test("pointInPolygon: square in/out, concave notch, vertex-height ray") {
+    val square = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    val pts = Seq((1L, 5L, 5L), (2L, 15L, 5L), (3L, -5L, 5L),
+      (4L, 5L, 15L)).toDF("id", "x", "y")
+    val got = Spatial.pointInPolygon(pts, "x", "y", square)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    // concave: notch cut into the right side at y=5 — (8,5) sits in
+    // the notch (outside), (3,5) left of it (inside); both points are
+    // AT a vertex's height, exercising the half-open straddle rule
+    val notched = Seq((0L, 0L), (10L, 0L), (5L, 5L), (10L, 10L),
+      (0L, 10L))
+    val np = Seq((1L, 8L, 5L), (2L, 3L, 5L), (3L, 7L, 2L))
+      .toDF("id", "x", "y")
+    val ng = Spatial.pointInPolygon(np, "x", "y", notched)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(ng == Map(1L -> false, 2L -> true, 3L -> true), s"got $ng")
+    // reversed winding gives identical verdicts (parity is unsigned)
+    val rev = Spatial.pointInPolygon(np, "x", "y", notched.reverse)
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(rev == ng)
+    intercept[IllegalArgumentException](
+      Spatial.pointInPolygon(np, "x", "y", Seq((0L, 0L), (1L, 1L))))
+    intercept[IllegalArgumentException](
+      Spatial.pointInPolygon(np, "x", "y",
+        Seq((0L, 0L), (2000000000L, 0L), (0L, 5L))))
+  }
 }
