@@ -341,6 +341,15 @@ object EvalGates {
         col("c_mktsegment"), (col("c_acctbal") >= 0).as("sv")),
       Seq("c_nationkey", "c_mktsegment"), "sv", k = 15, l = 2)
 
+  // CHI-SQUARE GOODNESS-OF-FIT / SRM (ops/Stats.chiSquareGofMilli):
+  // the sample-ratio-mismatch screen — observed event-type mix vs the
+  // declared uniform 200‰ design, exact pinned-floor χ²·10³.
+  def q313_srm_check(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.chiSquareGofMilli(
+      t(s, dir, "events"), "event_type",
+      Seq("click" -> 200L, "error" -> 200L, "purchase" -> 200L,
+        "signup" -> 200L, "view" -> 200L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -367,7 +376,8 @@ object EvalGates {
     "q309_modularity"      -> q309_modularity _,
     "q310_seasonal_strength" -> q310_seasonal_strength _,
     "q311_geofence"        -> q311_geofence _,
-    "q312_privacy"         -> q312_privacy _)
+    "q312_privacy"         -> q312_privacy _,
+    "q313_srm_check"       -> q313_srm_check _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -877,5 +887,23 @@ object EvalGates {
         | CAST(min(l) AS BIGINT) AS min_l,
         | CAST(sum(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
         |   AS l_viol_groups
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin,
+    "q313_srm_check" ->
+      """WITH obs AS (SELECT event_type AS c, CAST(count(*) AS BIGINT)
+        |    AS o FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+        |exp(ce, p) AS (VALUES ('click',200),('error',200),
+        |  ('purchase',200),('signup',200),('view',200)),
+        |j AS (SELECT coalesce(o, 0) AS o, p
+        |      FROM obs FULL JOIN exp ON obs.c = exp.ce),
+        |t AS (SELECT sum(o) AS n FROM j)
+        |SELECT CAST(t.n AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS k_expected,
+        | CAST(sum(CASE WHEN p IS NULL AND o > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_unexpected,
+        | CASE WHEN sum(CASE WHEN p IS NULL AND o > 0 THEN 1 ELSE 0 END)
+        |        > 0 OR t.n = 0 THEN NULL
+        |      ELSE CAST(sum(((1000*o - t.n*p)*(1000*o - t.n*p))
+        |           // (t.n*p)) AS BIGINT) END AS chi2_milli
+        |FROM j CROSS JOIN t GROUP BY t.n""".stripMargin)
 }

@@ -317,6 +317,79 @@ object MediaCodecs {
       }
     }
 
+  /** 64-bit AUDIO energy-contour fingerprint — the audio sibling of
+    * [[dHash64]]: the decoded PCM stream splits into 65 equal frames
+    * (per-frame energy = Σ|sample|, exact long — ≤ 2¹⁵·frameLen, no
+    * overflow below ~2⁴⁷ samples), and bit i is set iff frame i+1 is
+    * MORE energetic than frame i (cross-frame comparison by
+    * cross-multiplication of sums × lengths, so a ragged final frame
+    * never needs a division). The rhythm/dynamics envelope, not the
+    * waveform: uniform gain changes that don't clip preserve every
+    * comparison (amplitude-invariant), re-encodes move only bits whose
+    * frames straddle a change — Hamming distance over these is the
+    * audio analog of image dHash, and the same pigeonhole banding
+    * finds near-duplicates. None for undecodable payloads or clips
+    * shorter than 65 samples (too short to carry the contour). */
+  def audioFingerprint64(b: Array[Byte]): Option[Long] = {
+    // own chunk walk (decodeWavPcm16 surfaces float FEATURES; the
+    // fingerprint needs raw integer sample magnitudes). Multi-channel
+    // frames contribute Σ_channels |s| — an integer, and a uniform
+    // factor the sign-of-delta comparison cancels anyway.
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+    var fmtOk = false
+    var channels = 0
+    var dataOff = -1; var dataLen = 0
+    var off = 12
+    while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+      val id = new String(b.slice(off, off + 4), "US-ASCII")
+      val len = i32(b, off + 4)
+      if (len < 0 || off + 8 + len > b.length) return None
+      id match {
+        case "fmt " if len >= 16 =>
+          fmtOk = u16(b, off + 8) == 1 && u16(b, off + 22) == 16 &&
+            u16(b, off + 10) >= 1
+          channels = u16(b, off + 10)
+        case "data" => dataOff = off + 8; dataLen = len
+        case _ => ()
+      }
+      off += 8 + len + (len & 1)
+    }
+    if (!fmtOk || dataOff < 0 || channels == 0) return None
+    val n = dataLen / (2 * channels)
+    if (n < 65) return None
+    val sums = new Array[Long](65)
+    val lens = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      val i0 = (f.toLong * n / 65).toInt
+      val i1 = ((f + 1).toLong * n / 65).toInt
+      var s = 0L
+      var i = i0
+      while (i < i1) {
+        var c = 0
+        while (c < channels) {
+          s += math.abs(u16(b, dataOff + (i * channels + c) * 2)
+            .toShort.toLong)
+          c += 1
+        }
+        i += 1
+      }
+      sums(f) = s; lens(f) = (i1 - i0).toLong
+      f += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      // avg(i+1) > avg(i) without dividing
+      if (sums(i + 1) * lens(i) > sums(i) * lens(i + 1))
+        hash |= (1L << i)
+      i += 1
+    }
+    Some(hash)
+  }
+
   // ---------------------------------------------------------------
   // Encoders — fixture builders for specs/demos (and the proof that
   // the decoders read the real wire format, not a private one).

@@ -146,6 +146,23 @@ object Multimodal {
     * hashing to the same value) concentrates one band key — run the
     * exact groupBy-on-dhash dedup first and feed one representative
     * per hash here, the hash-first discipline of Dedup.minhashLsh. */
+  /** Audio fingerprints per row ([[MediaCodecs.audioFingerprint64]]):
+    * (media_id, afp, decode_ok) — the energy-contour near-duplicate
+    * key for the audio side, same shape and shuffle discipline as
+    * [[perceptualHashes]] (8 bytes leave the scan, payloads never
+    * shuffle). Near-duplicates: feed this straight into
+    * [[imageNearDupPairs]] with `hashCol = "afp"` — the pigeonhole
+    * banding is hash-agnostic. */
+  def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val h = MediaCodecs.audioFingerprint64(r.payload)
+        (r.media_id, h.getOrElse(0L), h.isDefined)
+      }
+    }.toDF("media_id", "afp", "decode_ok")
+  }
+
   def imageNearDupPairs(hashes: DataFrame, maxHamming: Int,
                         idCol: String = "media_id",
                         hashCol: String = "dhash"): DataFrame = {

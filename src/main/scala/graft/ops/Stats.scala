@@ -2496,6 +2496,65 @@ object Stats {
           .as("ex_kurtosis_ppm"))
   }
 
+  /** CHI-SQUARE GOODNESS-OF-FIT against DECLARED per-mille proportions
+    * — the sample-ratio-mismatch (SRM) screen every A/B platform runs
+    * before reading an experiment (a 50/50 split that lands 52/48 on
+    * millions of units means the assignment is broken and every
+    * downstream readout invalid), and the design-mix audit for a
+    * corpus ("was this really sampled 200‰ per source?").
+    * [[chiSquare2x2Milli]]/[[chiSquareKxMMilli]] test independence of
+    * two observed columns; this tests ONE observed column against a
+    * THEORY.
+    *
+    * Exact pinned-floor integer: with e_i = n·p_i/1000,
+    *   χ²·10³ = Σ_i (1000·o_i − n·p_i)² div (n·p_i)
+    * (each term floored, then summed — deterministic in any engine).
+    * Expected categories with ZERO observed rows still contribute
+    * (the full-outer join); observed categories with no declared
+    * proportion make the statistic undefined — chi2 goes NULL and
+    * `n_unexpected` says why, loudly.
+    *
+    * Output: one row (n, k_expected, n_unexpected, chi2_milli); dof =
+    * k_expected − 1.
+    *
+    * Scale shape: one category groupBy (alphabet crosses the shuffle,
+    * not rows), a broadcast join against the literal expectation
+    * table, a 1-row finish. */
+  def chiSquareGofMilli(df: DataFrame, catCol: String,
+                        expectedPm: Seq[(String, Long)]): DataFrame = {
+    require(expectedPm.nonEmpty && expectedPm.map(_._2).sum == 1000 &&
+      expectedPm.forall(_._2 > 0),
+      s"expected per-mille weights must be positive and sum to 1000")
+    require(expectedPm.map(_._1).distinct.size == expectedPm.size,
+      "duplicate category in expectation table")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val obs = df.where(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__o"))
+    val exp = expectedPm.toDF("__ce", "__p")
+    val j = obs.join(broadcast(exp), col("__c") === col("__ce"),
+        "full_outer")
+      .select(coalesce(col("__o"), lit(0L)).cast(d38).as("__o"),
+        col("__p").cast(d38).as("__p"))
+    val tot = j.agg(sum(col("__o")).as("__n"))
+    j.crossJoin(broadcast(tot))
+      .agg(first(col("__n")).as("__n"),
+        sum(when(col("__p").isNotNull, 1L).otherwise(0L)).as("__k"),
+        sum(when(col("__p").isNull && col("__o") > 0, 1L).otherwise(0L))
+          .as("__u"),
+        sum(expr("""((1000 * __o - __n * __p) * (1000 * __o - __n * __p))
+                  | div (__n * __p)""".stripMargin.replace("\n", " ")))
+          .as("__chi"))
+      .select(col("__n").cast("long").as("n"),
+        col("__k").cast("long").as("k_expected"),
+        col("__u").cast("long").as("n_unexpected"),
+        when(col("__u") > 0 || col("__n") === 0 || col("__n").isNull,
+          lit(null).cast("long"))
+          .otherwise(col("__chi").cast("long")).as("chi2_milli"))
+  }
+
   /** ROC CURVE POINTS, exact integer — the threshold-sweep table
     * behind [[aucPpm]]'s single number: one row per distinct score
     * value t (classifier: score ≥ t ⇒ positive) carrying the

@@ -309,4 +309,69 @@ class MediaCodecsSpec extends SparkTestBase {
     // verify step: nothing past the threshold survives
     assert(pairs.forall(_._3 <= 7))
   }
+
+  // deterministic "melody": 650 samples = 10 per fingerprint frame,
+  // energy stepping with the frame index by a key-dependent pattern
+  private def clip(key: Int, bend: Int => Int = identity): Array[Short] =
+    Array.tabulate[Short](650) { i =>
+      val frame = i / 10
+      val amp = bend(100 + 311 * ((frame * (key + 3) + key) % 37))
+      (if (i % 2 == 0) amp else -amp).toShort
+    }
+
+  test("audioFingerprint64: deterministic, gain-invariant, " +
+       "local edits move few bits") {
+    val w1 = MediaCodecs.encodePcm16Wav(8000, clip(1))
+    val h1 = MediaCodecs.audioFingerprint64(w1)
+    assert(h1.isDefined)
+    assert(MediaCodecs.audioFingerprint64(w1) == h1, "not deterministic")
+    // uniform gain (×2, clip-free) preserves every energy comparison
+    val louder = MediaCodecs.encodePcm16Wav(8000,
+      clip(1).map(s => (s * 2).toShort))
+    assert(MediaCodecs.audioFingerprint64(louder) == h1,
+      "gain change moved bits")
+    // resampled rate metadata is irrelevant (contour is time-relative)
+    assert(MediaCodecs.audioFingerprint64(
+      MediaCodecs.encodePcm16Wav(16000, clip(1))) == h1)
+    // a burst confined to ~2 frames moves only the straddling bits
+    val edited = clip(1).zipWithIndex.map { case (s, i) =>
+      if (i >= 300 && i < 320) 20000.toShort else s }
+    val he = MediaCodecs.audioFingerprint64(
+      MediaCodecs.encodePcm16Wav(8000, edited)).get
+    val moved = java.lang.Long.bitCount(h1.get ^ he)
+    assert(moved >= 1 && moved <= 6, s"local burst moved $moved bits")
+    // a different melody lands far away
+    val other = MediaCodecs.audioFingerprint64(
+      MediaCodecs.encodePcm16Wav(8000, clip(9))).get
+    assert(java.lang.Long.bitCount(h1.get ^ other) >= 16,
+      "different clips must not collide")
+  }
+
+  test("audioFingerprint64: fails closed on garbage and short clips") {
+    assert(MediaCodecs.audioFingerprint64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodecs.audioFingerprint64(
+      MediaCodecs.encodePcm16Wav(8000, Array.fill[Short](64)(100))).isEmpty)
+  }
+
+  test("audio near-dup pairs ride the hash-agnostic pigeonhole banding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      MediaRow(1L, "audio", MediaCodecs.encodePcm16Wav(8000, clip(1)),
+        0, 0, 8000, 0L),
+      MediaRow(2L, "audio", MediaCodecs.encodePcm16Wav(8000,
+        clip(1).zipWithIndex.map { case (s, i) =>
+          if (i >= 300 && i < 320) 20000.toShort else s }), 0, 0, 8000, 0L),
+      MediaRow(3L, "audio", MediaCodecs.encodePcm16Wav(8000, clip(9)),
+        0, 0, 8000, 0L),
+      MediaRow(4L, "audio", Array[Byte](9, 9, 9), 0, 0, 0, 0L))
+    val hashes = Multimodal.audioFingerprints(rows.toDS())
+    assert(hashes.where(!col("decode_ok")).select("media_id")
+      .as[Long].collect().toSeq == Seq(4L))
+    val pairs = Multimodal.imageNearDupPairs(hashes, maxHamming = 7,
+        hashCol = "afp")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"got ${pairs.toSeq}")
+  }
 }

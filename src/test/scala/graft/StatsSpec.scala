@@ -1435,6 +1435,30 @@ class StatsSpec extends SparkTestBase {
     assert(r == ((5L, 199999L, 300000L)), s"got $r")
   }
 
+  test("chiSquareGofMilli: hand chi2, absent-expected contributes, " +
+       "unexpected category goes loud NULL") {
+    // a:3, b:1 vs 500/500 → χ² = 1 exactly
+    val df = Seq("a", "a", "a", "b").toDF("c")
+    val r = Stats.chiSquareGofMilli(df, "c",
+        Seq("a" -> 500L, "b" -> 500L))
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((4L, 2L, 0L, Some(1000L))), s"got $r")
+    // expected 'c' never observed: its e=1 still contributes 1.0
+    val r2 = Stats.chiSquareGofMilli(Seq("a", "a", "b", "b").toDF("c"),
+        "c", Seq("a" -> 500L, "b" -> 250L, "c" -> 250L))
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(r2 == ((4L, 3L, 0L, Some(2000L))), s"got $r2")
+    // observed category with no declared mass: undefined, loud
+    val r3 = Stats.chiSquareGofMilli(Seq("a", "z").toDF("c"), "c",
+        Seq("a" -> 1000L))
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(r3 == ((2L, 1L, 1L, None)), s"got $r3")
+    intercept[IllegalArgumentException](
+      Stats.chiSquareGofMilli(df, "c", Seq("a" -> 700L, "b" -> 200L)))
+    intercept[IllegalArgumentException](
+      Stats.chiSquareGofMilli(df, "c", Seq("a" -> 500L, "a" -> 500L)))
+  }
+
   test("rocCurvePoints: hand confusion prefixes, degenerate label NULLs") {
     // scores desc: t=3 (w2,p1), t=2 (w1,p1), t=1 (w1,p0); P=2, N=2
     val df = Seq((3L, 1L), (3L, 0L), (2L, 1L), (1L, 0L)).toDF("s", "y")
