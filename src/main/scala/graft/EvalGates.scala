@@ -350,6 +350,40 @@ object EvalGates {
       Seq("click" -> 200L, "error" -> 200L, "purchase" -> 200L,
         "signup" -> 200L, "view" -> 200L))
 
+  // TWO-COVARIATE OLS (ops/Stats.olsMilli): daily revenue regressed on
+  // time AND volume per event type — the "controlling for X" fit,
+  // exact Cramer determinants in DECIMAL(38,0), betas in truncated
+  // milli. x1 = day mod 1000 keeps the moment matrix small (the
+  // documented centering stance).
+  def q314_ols(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.olsMilli(
+      t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), expr(s"ts div ${dayUs}L").as("d0"))
+        .agg(count(lit(1)).as("x2"),
+          sum(floor(col("value") * 100).cast("long")).as("y"))
+        .select(col("event_type"), pmod(col("d0"), lit(1000L)).as("x1"),
+          col("x2"), col("y")),
+      "event_type", "y", "x1", "x2")
+
+  // PERSONALIZED PAGERANK (ops/GraphOps.personalizedPageRank): the
+  // q134 document graph re-ranked FROM a trusted seed set (doc_id %
+  // 97 == 0) — restart mass only on seeds, unreachable nodes exactly
+  // 0. Same unrolled-CTE oracle replay, bit-for-bit.
+  def q315_ppr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nFrame = docs.agg(count(lit(1)).as("__n"))
+    val e1 = docs.select(col("doc_id").as("src"),
+      expr("doc_id div 2").as("dst"))
+    val e2 = docs.crossJoin(broadcast(nFrame))
+      .select(col("doc_id").as("src"),
+        expr("(doc_id * doc_id + 1) % __n").as("dst"))
+    graft.ops.GraphOps.personalizedPageRank(e1.unionByName(e2),
+        "src", "dst", docs.where(col("doc_id") % 97 === 0),
+        "doc_id", iters = 3, dampingPm = 850)
+      .select(col("node").as("doc_id"), col("rank_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -377,7 +411,9 @@ object EvalGates {
     "q310_seasonal_strength" -> q310_seasonal_strength _,
     "q311_geofence"        -> q311_geofence _,
     "q312_privacy"         -> q312_privacy _,
-    "q313_srm_check"       -> q313_srm_check _)
+    "q313_srm_check"       -> q313_srm_check _,
+    "q314_ols"             -> q314_ols _,
+    "q315_ppr"             -> q315_ppr _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -905,5 +941,77 @@ object EvalGates {
         |        > 0 OR t.n = 0 THEN NULL
         |      ELSE CAST(sum(((1000*o - t.n*p)*(1000*o - t.n*p))
         |           // (t.n*p)) AS BIGINT) END AS chi2_milli
-        |FROM j CROSS JOIN t GROUP BY t.n""".stripMargin)
+        |FROM j CROSS JOIN t GROUP BY t.n""".stripMargin,
+    "q314_ols" -> {
+      val det = "(n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)" +
+        " + s2*(s1*s12 - s11*s2))"
+      val det0 = "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)" +
+        " + s2*(s1y*s12 - s11*s2y))"
+      val det1 = "(n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)" +
+        " + s2*(s1*s2y - s1y*s2))"
+      val det2 = "(n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)" +
+        " + sy*(s1*s12 - s11*s2))"
+      def beta(di: String, out: String) =
+        s"CASE WHEN n < 3 OR $det = 0 THEN NULL ELSE " +
+          s"CAST(CAST(sign($di) AS HUGEINT)*CAST(sign($det) AS HUGEINT)" +
+          s"*((1000*abs($di))//abs($det)) AS BIGINT) END AS $out"
+      s"""WITH dd AS (SELECT event_type AS g,
+         |    epoch_us(ts)//86400000000 AS d0,
+         |    CAST(count(*) AS BIGINT) AS x2,
+         |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events WHERE event_type IS NOT NULL
+         |    AND value IS NOT NULL GROUP BY 1,2),
+         |d AS (SELECT g, d0 % 1000 AS x1, x2, y FROM dd),
+         |m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+         |  sum(CAST(x1 AS HUGEINT)) AS s1, sum(CAST(x2 AS HUGEINT)) AS s2,
+         |  sum(CAST(x1 AS HUGEINT)*x1) AS s11,
+         |  sum(CAST(x1 AS HUGEINT)*x2) AS s12,
+         |  sum(CAST(x2 AS HUGEINT)*x2) AS s22,
+         |  sum(CAST(y AS HUGEINT)) AS sy,
+         |  sum(CAST(x1 AS HUGEINT)*y) AS s1y,
+         |  sum(CAST(x2 AS HUGEINT)*y) AS s2y
+         |  FROM d GROUP BY g)
+         |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+         |  ${beta(det0, "b0_milli")},
+         |  ${beta(det1, "b1_milli")},
+         |  ${beta(det2, "b2_milli")}
+         |FROM m""".stripMargin
+    },
+    "q315_ppr" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e AS (
+        |  SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 1) % nn.n FROM documents, nn),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT node
+        |          FROM (SELECT src AS node FROM e
+        |                UNION ALL SELECT dst FROM e)),
+        |r0 AS (SELECT node, CAST(CASE WHEN node % 97 = 0 THEN 1000000
+        |         ELSE 0 END AS BIGINT) AS rank FROM nodes),
+        |i1 AS (SELECT e.dst AS node, sum(r0.rank // deg.outdeg) AS m
+        |       FROM e JOIN r0 ON e.src = r0.node
+        |              JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r1 AS (SELECT nodes.node,
+        |         CAST(CASE WHEN nodes.node % 97 = 0 THEN 150000
+        |             ELSE 0 END
+        |           + (850 * coalesce(i1.m, 0)) // 1000 AS BIGINT) AS rank
+        |       FROM nodes LEFT JOIN i1 USING (node)),
+        |i2 AS (SELECT e.dst AS node, sum(r1.rank // deg.outdeg) AS m
+        |       FROM e JOIN r1 ON e.src = r1.node
+        |              JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r2 AS (SELECT nodes.node,
+        |         CAST(CASE WHEN nodes.node % 97 = 0 THEN 150000
+        |             ELSE 0 END
+        |           + (850 * coalesce(i2.m, 0)) // 1000 AS BIGINT) AS rank
+        |       FROM nodes LEFT JOIN i2 USING (node)),
+        |i3 AS (SELECT e.dst AS node, sum(r2.rank // deg.outdeg) AS m
+        |       FROM e JOIN r2 ON e.src = r2.node
+        |              JOIN deg ON e.src = deg.src GROUP BY 1),
+        |r3 AS (SELECT nodes.node,
+        |         CAST(CASE WHEN nodes.node % 97 = 0 THEN 150000
+        |             ELSE 0 END
+        |           + (850 * coalesce(i3.m, 0)) // 1000 AS BIGINT) AS rank
+        |       FROM nodes LEFT JOIN i3 USING (node))
+        |SELECT node AS doc_id, rank AS rank_micro FROM r3""".stripMargin)
 }

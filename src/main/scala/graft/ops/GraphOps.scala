@@ -84,6 +84,67 @@ object GraphOps {
     ranks
   }
 
+  /** PERSONALIZED PageRank — importance RELATIVE TO A SEED SET: the
+    * restart mass lands only on `seeds` instead of everywhere, so
+    * scores answer "how reachable is this node from what I already
+    * trust?" (seed-biased curation: propagate from hand-audited
+    * documents; recommendation: from one user's items). Same
+    * engine-independent integer rule as [[pageRank]] — seeds start at
+    * 10⁶ micro and carry the whole (1000−d)·10³ restart; everything
+    * else starts (and restarts) at 0, so unreachable-from-seeds nodes
+    * stay exactly 0 rather than floating at the uniform floor.
+    *
+    * Seeds not present in the graph are ignored (flag join on the
+    * node set); scale shape identical to [[pageRank]]. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedCol: String, iters: Int,
+                           dampingPm: Int = 850): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampingPm >= 0 && dampingPm <= 1000,
+      s"dampingPm must be in [0, 1000], got $dampingPm")
+    val spark = edges.sparkSession
+    val base = (1000L - dampingPm) * 1000L
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+      col(dstCol).cast("long").as("__dst")).persist()
+    val deg = e.groupBy(col("__src")).agg(count(lit(1)).as("__outdeg"))
+    val contribEdges = e.join(deg, Seq("__src")).persist()
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("__is_seed", lit(true))
+    val nodes = e.select(col("__src").as("node"))
+      .unionByName(e.select(col("__dst").as("node")))
+      .distinct()
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__is_seed"), lit(false)).as("__seed"),
+        when(coalesce(col("__is_seed"), lit(false)), lit(base))
+          .otherwise(lit(0L)).as("__restart"))
+      .persist()
+
+    def pin(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+
+    var ranks = nodes.select(col("node"),
+      when(col("__seed"), lit(1000000L)).otherwise(lit(0L))
+        .as("rank_micro"))
+    for (_ <- 1 to iters) {
+      val inMass = contribEdges
+        .join(ranks.withColumnRenamed("node", "__src"), Seq("__src"))
+        .select(col("__dst").as("node"),
+          expr("rank_micro div __outdeg").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__m"))
+      ranks = pin(nodes
+        .join(inMass, Seq("node"), "left")
+        .select(col("node"),
+          (col("__restart") +
+            expr(s"($dampingPm * coalesce(__m, 0L)) div 1000"))
+            .as("rank_micro")))
+    }
+    e.unpersist(); contribEdges.unpersist(); nodes.unpersist()
+    ranks
+  }
+
   /** LABEL-PROPAGATION COMMUNITIES (synchronous LPA): every node
     * starts as its own community and repeatedly adopts the most common
     * label among its neighbors — the near-linear community detector

@@ -2496,6 +2496,80 @@ object Stats {
           .as("ex_kurtosis_ppm"))
   }
 
+  /** TWO-COVARIATE OLS per group, exact integer — multiple linear
+    * regression y = b₀ + b₁x₁ + b₂x₂ solved by Cramer's rule on the
+    * 3×3 normal-equation moment matrix, every determinant an integer
+    * polynomial of the nine power sums, so the coefficients are exact
+    * rationals surfaced in truncated milli ([[groupTrend]] fits one
+    * covariate; this is the "controlling for X" step — spend vs time
+    * AND volume, quality vs length AND language).
+    *
+    * Determinant signs ride separately from the one magnitude division
+    * (bᵢ = sgn(detᵢ·det)·(10³·|detᵢ| div |det|)) — truncate-toward-
+    * zero in BOTH engines, never a signed floor mismatch.
+    *
+    * Output per group: (group, n, b0_milli, b1_milli, b2_milli) —
+    * betas NULL when n < 3 or the moment matrix is singular
+    * (collinear covariates, constant column).
+    *
+    * Overflow bound: determinants are degree-3 in the second moments
+    * (≈ (n·x²)³) — exact in DECIMAL(38,0) while n·max(x)² ≲ 10¹¹;
+    * center/rescale covariates first for wider inputs (the
+    * [[chiSquare2x2Milli]] documentation stance).
+    *
+    * Scale shape: ONE map-side-partial groupBy computing nine sums;
+    * all algebra on the k-row group frame. */
+  def olsMilli(df: DataFrame, groupCol: String, yCol: String,
+               x1Col: String, x2Col: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = df.select(col(groupCol).as("__g"),
+        col(yCol).cast("long").as("__y"),
+        col(x1Col).cast("long").as("__x1"),
+        col(x2Col).cast("long").as("__x2"))
+      .where(col("__g").isNotNull && col("__y").isNotNull &&
+        col("__x1").isNotNull && col("__x2").isNotNull)
+    val m = b.groupBy(col("__g"))
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col("__x1").cast(d38)).as("__s1"),
+        sum(col("__x2").cast(d38)).as("__s2"),
+        sum((col("__x1") * col("__x1")).cast(d38)).as("__s11"),
+        sum((col("__x1") * col("__x2")).cast(d38)).as("__s12"),
+        sum((col("__x2") * col("__x2")).cast(d38)).as("__s22"),
+        sum(col("__y").cast(d38)).as("__sy"),
+        sum((col("__x1") * col("__y")).cast(d38)).as("__s1y"),
+        sum((col("__x2") * col("__y")).cast(d38)).as("__s2y"))
+    val det =
+      """(__n*(__s11*__s22 - __s12*__s12)
+        | - __s1*(__s1*__s22 - __s12*__s2)
+        | + __s2*(__s1*__s12 - __s11*__s2))""".stripMargin
+        .replace("\n", " ")
+    val det0 =
+      """(__sy*(__s11*__s22 - __s12*__s12)
+        | - __s1*(__s1y*__s22 - __s12*__s2y)
+        | + __s2*(__s1y*__s12 - __s11*__s2y))""".stripMargin
+        .replace("\n", " ")
+    val det1 =
+      """(__n*(__s1y*__s22 - __s12*__s2y)
+        | - __sy*(__s1*__s22 - __s12*__s2)
+        | + __s2*(__s1*__s2y - __s1y*__s2))""".stripMargin
+        .replace("\n", " ")
+    val det2 =
+      """(__n*(__s11*__s2y - __s1y*__s12)
+        | - __s1*(__s1*__s2y - __s1y*__s2)
+        | + __sy*(__s1*__s12 - __s11*__s2))""".stripMargin
+        .replace("\n", " ")
+    def beta(detI: String, out: String) =
+      when(col("__n") < 3 || expr(det) === 0, lit(null).cast("long"))
+        .otherwise(expr(
+          s"""CAST(CAST(sign($detI) AS DECIMAL(2,0))
+             | * CAST(sign($det) AS DECIMAL(2,0))
+             | * ((1000 * abs($detI)) div abs($det)) AS BIGINT)"""
+            .stripMargin.replace("\n", " "))).as(out)
+    m.select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+      beta(det0, "b0_milli"), beta(det1, "b1_milli"),
+      beta(det2, "b2_milli"))
+  }
+
   /** CHI-SQUARE GOODNESS-OF-FIT against DECLARED per-mille proportions
     * — the sample-ratio-mismatch (SRM) screen every A/B platform runs
     * before reading an experiment (a 50/50 split that lands 52/48 on

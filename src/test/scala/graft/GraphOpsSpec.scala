@@ -230,6 +230,32 @@ class GraphOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("personalizedPageRank: mass circulates from seeds only, " +
+       "unreachable stays exactly 0") {
+    // 3-cycle 1→2→3→1 plus isolated pair 4→5; seed = {1}, d = 500
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+      .toDF("s", "d")
+    val seeds = Seq(1L).toDF("id")
+    val r1 = GraphOps.personalizedPageRank(edges, "s", "d", seeds, "id",
+        iters = 1, dampingPm = 500)
+      .as[(Long, Long)].collect().toMap
+    // r0 = 1e6 at node 1 only; after one step: node 1 restarts
+    // (500000) + half of node 3's 0; node 2 gets 500·1e6/1000
+    assert(r1 == Map(1L -> 500000L, 2L -> 500000L, 3L -> 0L,
+      4L -> 0L, 5L -> 0L), s"got $r1")
+    // pure propagation (d = 1000): the unit of mass walks the cycle
+    val r3 = GraphOps.personalizedPageRank(edges, "s", "d", seeds, "id",
+        iters = 3, dampingPm = 1000)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 1000000L, 2L -> 0L, 3L -> 0L,
+      4L -> 0L, 5L -> 0L), s"got $r3")
+    // seeds absent from the graph are ignored
+    val rx = GraphOps.personalizedPageRank(edges, "s", "d",
+        Seq(99L).toDF("id"), "id", iters = 2, dampingPm = 500)
+      .as[(Long, Long)].collect().toMap
+    assert(rx.values.forall(_ == 0L))
+  }
+
   test("modularityPpm: two-triangle barbell, one-community zero, " +
        "missing assignment shrinks m") {
     // triangles {1,2,3} and {4,5,6} bridged by 3-4: m=7, d_c=7 each,

@@ -1435,6 +1435,29 @@ class StatsSpec extends SparkTestBase {
     assert(r == ((5L, 199999L, 300000L)), s"got $r")
   }
 
+  test("olsMilli: exact plane recovered, collinear NULL, n<3 NULL") {
+    // y = 2 + 3·x1 − x2 on a 4×3 grid: betas exact in milli
+    val grid = for (x1 <- 0L to 3L; x2 <- 0L to 2L)
+      yield ("g", 2 + 3 * x1 - x2, x1, x2)
+    val df = (grid ++
+      Seq(0L, 1L, 2L).map(i => ("col", 5 + i, i, 2 * i)) ++ // x2 = 2·x1
+      Seq(("tiny", 1L, 1L, 2L), ("tiny", 2L, 2L, 1L))
+    ).toDF("g", "y", "x1", "x2")
+    val got = Stats.olsMilli(df, "g", "y", "x1", "x2")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("g") ==
+      (("g", 12L, Some(2000L), Some(3000L), Some(-1000L))), s"got $got")
+    assert(got("col") == (("col", 3L, None, None, None)))
+    assert(got("tiny") == (("tiny", 2L, None, None, None)))
+    // partition independence (pure map-side-partial aggregation)
+    val a = Stats.olsMilli(df, "g", "y", "x1", "x2").collect()
+      .map(_.toSeq).toSet
+    val b = Stats.olsMilli(df.repartition(7), "g", "y", "x1", "x2")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("chiSquareGofMilli: hand chi2, absent-expected contributes, " +
        "unexpected category goes loud NULL") {
     // a:3, b:1 vs 500/500 → χ² = 1 exactly
