@@ -384,6 +384,21 @@ object EvalGates {
       .select(col("node").as("doc_id"), col("rank_micro"))
   }
 
+  // POST-STRATIFIED MEAN (ops/Stats.postStratifiedMeanMilli): the
+  // composition-drift-adjusted A/B readout — user-parity variants,
+  // event-type strata re-weighted to the uniform 200‰ design mix.
+  // Pinned-floor micro-mean per stratum, milli surface.
+  def q316_post_stratified(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.postStratifiedMeanMilli(
+      t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(when(col("user_id") % 2 === 0, "even").otherwise("odd")
+          .as("variant"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents")),
+      "variant", "event_type", "cents",
+      Seq("click" -> 200L, "error" -> 200L, "purchase" -> 200L,
+        "signup" -> 200L, "view" -> 200L))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -413,7 +428,8 @@ object EvalGates {
     "q312_privacy"         -> q312_privacy _,
     "q313_srm_check"       -> q313_srm_check _,
     "q314_ols"             -> q314_ols _,
-    "q315_ppr"             -> q315_ppr _)
+    "q315_ppr"             -> q315_ppr _,
+    "q316_post_stratified" -> q316_post_stratified _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1013,5 +1029,30 @@ object EvalGates {
         |             ELSE 0 END
         |           + (850 * coalesce(i3.m, 0)) // 1000 AS BIGINT) AS rank
         |       FROM nodes LEFT JOIN i3 USING (node))
-        |SELECT node AS doc_id, rank AS rank_micro FROM r3""".stripMargin)
+        |SELECT node AS doc_id, rank AS rank_micro FROM r3""".stripMargin,
+    "q316_post_stratified" ->
+      """WITH cells AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'even'
+        |    ELSE 'odd' END AS v, event_type AS s,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(floor(value*100) AS BIGINT)) AS HUGEINT) AS sm
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1,2),
+        |tw(st, w) AS (VALUES ('click',200),('error',200),
+        |  ('purchase',200),('signup',200),('view',200)),
+        |j AS (SELECT v, n, sm, w
+        |      FROM cells LEFT JOIN tw ON cells.s = tw.st),
+        |g AS (SELECT v, sum(n) AS nt,
+        |    sum(CASE WHEN w IS NOT NULL THEN 1 ELSE 0 END) AS k,
+        |    sum(CASE WHEN w IS NULL THEN n ELSE 0 END) AS unw,
+        |    sum(sm) AS st_all,
+        |    sum(w * ((1000000*sm)//n)) AS acc
+        |  FROM j GROUP BY v)
+        |SELECT v AS variant, CAST(nt AS BIGINT) AS n,
+        |  CAST(5 - k AS BIGINT) AS n_missing_strata,
+        |  CAST(unw AS BIGINT) AS n_unweighted_rows,
+        |  CAST((1000*st_all)//nt AS BIGINT) AS raw_mean_milli,
+        |  CASE WHEN k < 5 THEN NULL
+        |       ELSE CAST(acc//1000000 AS BIGINT) END AS post_mean_milli
+        |FROM g""".stripMargin)
 }

@@ -539,4 +539,52 @@ object TextAnalysis {
       .orderBy(col("ppm").desc, col("w1").asc, col("w2").asc)
       .limit(topK)
   }
+
+  /** COMPRESSION-RATIO quality signal — the CCNet/Gopher-family screen
+    * the repetition and entropy heuristics approximate: DEFLATE the
+    * UTF-8 text and report compressed/raw in ppm. Boilerplate, keyboard
+    * mash, and template spam compress far below natural prose (which
+    * sits roughly 300–600‰); both tails are suspect. The ratio is a
+    * single number that catches repetition patterns n-gram counters
+    * miss (long-range, structural).
+    *
+    * Spec-pinned rather than oracle-gated: DEFLATE output is zlib-
+    * version-dependent, so no SQL engine can replay it — determinism
+    * within the JVM plus the ordering contract (repetitive ≪ diverse)
+    * is what the spec pins.
+    *
+    * Output: (id, n_bytes, n_deflate, ratio_ppm) — NULLs for empty
+    * text.
+    *
+    * Scale shape: mapPartitions with ONE reused Deflater per
+    * partition — map-only, payloads never shuffle, runs at scan
+    * speed next to the other quality signals. */
+  def compressionSignals(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val raw = if (text == null) Array.emptyByteArray
+                    else text.getBytes("UTF-8")
+          if (raw.isEmpty) (id, None: Option[Long], None: Option[Long],
+            None: Option[Long])
+          else {
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var out = 0L
+            while (!deflater.finished())
+              out += deflater.deflate(buf)
+            (id, Some(raw.length.toLong), Some(out),
+              Some(1000000L * out / raw.length))
+          }
+        }
+      }
+      .toDF(idCol, "n_bytes", "n_deflate", "ratio_ppm")
+  }
 }

@@ -2496,6 +2496,70 @@ object Stats {
           .as("ex_kurtosis_ppm"))
   }
 
+  /** POST-STRATIFIED MEAN per variant — the composition-drift fix for
+    * A/B readouts: re-weight each stratum's mean to a DECLARED target
+    * mix (the population's, or the design's) so a variant that
+    * accidentally over-sampled heavy strata isn't credited for it.
+    * The estimator behind "adjusted" topline metrics, and the exact
+    * companion to [[cupedAdjustMilli]] (CUPED removes pre-period
+    * variance; this removes composition bias).
+    *
+    * Exact pinned-floor integer:
+    *   post·10³ = ( Σ_s w_s · (10⁶·S_s div n_s) ) div 10⁶
+    * (per-stratum mean floored at micro grain, then the per-mille
+    * weighted average floored to milli — deterministic in any engine).
+    *
+    * A variant MISSING one of the target strata cannot be re-weighted
+    * honestly — its post-stratified mean goes NULL and
+    * `n_missing_strata` says why; strata present in the data but
+    * absent from the target are excluded from the estimate and
+    * counted in `n_unweighted_rows` (loud, never silent).
+    *
+    * Output per variant: (variant, n, n_missing_strata,
+    * n_unweighted_rows, raw_mean_milli, post_mean_milli).
+    *
+    * Scale shape: one (variant, stratum) map-side-partial groupBy,
+    * a broadcast join against the literal target mix, a per-variant
+    * rollup. */
+  def postStratifiedMeanMilli(df: DataFrame, variantCol: String,
+                              stratumCol: String, valueCol: String,
+                              targetPm: Seq[(String, Long)]): DataFrame = {
+    require(targetPm.nonEmpty && targetPm.map(_._2).sum == 1000 &&
+      targetPm.forall(_._2 > 0),
+      "target per-mille weights must be positive and sum to 1000")
+    require(targetPm.map(_._1).distinct.size == targetPm.size,
+      "duplicate stratum in target mix")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.where(col(variantCol).isNotNull &&
+        col(stratumCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(variantCol).as("__v"),
+        col(stratumCol).cast("string").as("__s"))
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col(valueCol).cast("long").cast(d38)).as("__sum"))
+    val target = targetPm.toDF("__st", "__w")
+    val k = targetPm.size
+    cells.join(broadcast(target), col("__s") === col("__st"),
+        "left")
+      .groupBy(col("__v"))
+      .agg(sum(col("__n")).as("__nt"),
+        sum(when(col("__w").isNotNull, 1L).otherwise(0L)).as("__k"),
+        sum(when(col("__w").isNull, col("__n")).otherwise(lit(0).cast(d38)))
+          .as("__unw"),
+        sum(col("__sum")).as("__st_all"),
+        sum(expr("__w * ((1000000 * __sum) div __n)")).as("__acc"))
+      .select(col("__v").as(variantCol),
+        col("__nt").cast("long").as("n"),
+        (lit(k.toLong) - col("__k")).cast("long").as("n_missing_strata"),
+        col("__unw").cast("long").as("n_unweighted_rows"),
+        expr("CAST((1000 * __st_all) div __nt AS BIGINT)")
+          .as("raw_mean_milli"),
+        when(col("__k") < k, lit(null).cast("long"))
+          .otherwise(expr("CAST(__acc div 1000000 AS BIGINT)"))
+          .as("post_mean_milli"))
+  }
+
   /** TWO-COVARIATE OLS per group, exact integer — multiple linear
     * regression y = b₀ + b₁x₁ + b₂x₂ solved by Cramer's rule on the
     * 3×3 normal-equation moment matrix, every determinant an integer

@@ -1608,6 +1608,32 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("compressionSignals: repetitive text compresses far below " +
+       "diverse text, empty NULL, deterministic") {
+    val diverse = (1 to 200).map(i => (i * 2654435761L % 100000)
+      .toString).mkString(" ")
+    val df = Seq(
+      (1L, "spam " * 400),
+      (2L, diverse),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionSignals(df, "doc_id", "text")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(3L) == ((3L, None, None, None)))
+    val spamRatio = got(1L)._4.get
+    val divRatio = got(2L)._4.get
+    assert(spamRatio < divRatio / 5,
+      s"repetition must crush the ratio: spam=$spamRatio diverse=$divRatio")
+    assert(divRatio > 200000L && divRatio < 1000000L,
+      s"diverse prose ratio out of band: $divRatio")
+    // deterministic across runs and partitionings
+    val again = TextAnalysis.compressionSignals(df.repartition(3),
+        "doc_id", "text")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
   private implicit class Map2Ops(
       rows: Array[(Long, String, Long, Long)]) {
     def toMap2: Map[Long, (String, Long, Long)] =

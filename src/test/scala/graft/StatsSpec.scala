@@ -1435,6 +1435,27 @@ class StatsSpec extends SparkTestBase {
     assert(r == ((5L, 199999L, 300000L)), s"got $r")
   }
 
+  test("postStratifiedMeanMilli: reweighted mean, missing-stratum NULL, " +
+       "unweighted rows counted") {
+    val target = Seq("a" -> 500L, "b" -> 500L)
+    val df = Seq(
+      ("v1", "a", 10L), ("v1", "a", 20L), ("v1", "b", 30L),
+      ("v2", "a", 10L),                       // stratum b missing
+      ("v3", "a", 10L), ("v3", "b", 20L), ("v3", "c", 99L) // c unweighted
+    ).toDF("v", "s", "x")
+    val got = Stats.postStratifiedMeanMilli(df, "v", "s", "x", target)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // v1: 0.5·15 + 0.5·30 = 22.5 (raw mean 20)
+    assert(got("v1") == (("v1", 3L, 0L, 0L, 20000L, Some(22500L))),
+      s"got $got")
+    assert(got("v2") == (("v2", 1L, 1L, 0L, 10000L, None)))
+    assert(got("v3") == (("v3", 3L, 0L, 1L, 43000L, Some(15000L))))
+    intercept[IllegalArgumentException](
+      Stats.postStratifiedMeanMilli(df, "v", "s", "x",
+        Seq("a" -> 900L, "b" -> 200L)))
+  }
+
   test("olsMilli: exact plane recovered, collinear NULL, n<3 NULL") {
     // y = 2 + 3·x1 − x2 on a 4×3 grid: betas exact in milli
     val grid = for (x1 <- 0L to 3L; x2 <- 0L to 2L)
