@@ -399,6 +399,26 @@ object EvalGates {
       Seq("click" -> 200L, "error" -> 200L, "purchase" -> 200L,
         "signup" -> 200L, "view" -> 200L))
 
+  // BRADLEY–TERRY (ops/RankTests.bradleyTerryMicro): the arena-style
+  // pairwise-preference ranking — event types play daily-volume
+  // head-to-heads (tie days drop), 3 MM iterations in exact integer
+  // micro; the oracle replays the unrolled recurrence bit-for-bit.
+  def q317_bradley_terry(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events").where(col("event_type").isNotNull)
+      .groupBy(col("event_type").as("g"),
+        expr(s"ts div ${dayUs}L").as("dd"))
+      .agg(count(lit(1)).as("c"))
+    val m = d.as("a").join(d.as("b"),
+        col("a.dd") === col("b.dd") && col("a.g") < col("b.g"))
+      .where(col("a.c") =!= col("b.c"))
+      .select(when(col("a.c") > col("b.c"), col("a.g"))
+          .otherwise(col("b.g")).as("w"),
+        when(col("a.c") > col("b.c"), col("b.g"))
+          .otherwise(col("a.g")).as("l"))
+      .groupBy(col("w"), col("l")).agg(count(lit(1)).as("n"))
+    graft.ops.RankTests.bradleyTerryMicro(m, "w", "l", "n", iters = 3)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -429,7 +449,8 @@ object EvalGates {
     "q313_srm_check"       -> q313_srm_check _,
     "q314_ols"             -> q314_ols _,
     "q315_ppr"             -> q315_ppr _,
-    "q316_post_stratified" -> q316_post_stratified _)
+    "q316_post_stratified" -> q316_post_stratified _,
+    "q317_bradley_terry"   -> q317_bradley_terry _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1054,5 +1075,53 @@ object EvalGates {
         |  CAST((1000*st_all)//nt AS BIGINT) AS raw_mean_milli,
         |  CASE WHEN k < 5 THEN NULL
         |       ELSE CAST(acc//1000000 AS BIGINT) END AS post_mean_milli
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin,
+    "q317_bradley_terry" ->
+      """WITH d AS (SELECT event_type AS g, epoch_us(ts)//86400000000
+        |    AS dd, CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1,2),
+        |mt AS (SELECT CASE WHEN a.c > b.c THEN a.g ELSE b.g END AS w,
+        |         CASE WHEN a.c > b.c THEN b.g ELSE a.g END AS l
+        |       FROM d a JOIN d b ON a.dd = b.dd AND a.g < b.g
+        |       WHERE a.c <> b.c),
+        |m AS (SELECT w, l, CAST(count(*) AS HUGEINT) AS n
+        |      FROM mt GROUP BY 1,2),
+        |g AS (SELECT i, j, sum(n) AS nij FROM (
+        |        SELECT w AS i, l AS j, n FROM m
+        |        UNION ALL SELECT l, w, n FROM m) GROUP BY 1,2),
+        |wi AS (SELECT w AS i, sum(n) AS ww FROM m GROUP BY 1),
+        |nodes AS (SELECT DISTINCT i AS node FROM g),
+        |r0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS r FROM nodes),
+        |d1 AS (SELECT g.i, sum((g.nij * 1000000000000)
+        |         // (ra.r + rb.r)) AS dd
+        |       FROM g JOIN r0 ra ON g.i = ra.node
+        |              JOIN r0 rb ON g.j = rb.node GROUP BY 1),
+        |r1 AS (SELECT nodes.node, greatest(CAST(1 AS HUGEINT),
+        |         (coalesce(wi.ww, 0) * CAST(1000000000000 AS HUGEINT))
+        |           // greatest(CAST(1 AS HUGEINT), coalesce(d1.dd, 0)))
+        |         AS r
+        |       FROM nodes LEFT JOIN wi ON nodes.node = wi.i
+        |                  LEFT JOIN d1 ON nodes.node = d1.i),
+        |d2 AS (SELECT g.i, sum((g.nij * 1000000000000)
+        |         // (ra.r + rb.r)) AS dd
+        |       FROM g JOIN r1 ra ON g.i = ra.node
+        |              JOIN r1 rb ON g.j = rb.node GROUP BY 1),
+        |r2 AS (SELECT nodes.node, greatest(CAST(1 AS HUGEINT),
+        |         (coalesce(wi.ww, 0) * CAST(1000000000000 AS HUGEINT))
+        |           // greatest(CAST(1 AS HUGEINT), coalesce(d2.dd, 0)))
+        |         AS r
+        |       FROM nodes LEFT JOIN wi ON nodes.node = wi.i
+        |                  LEFT JOIN d2 ON nodes.node = d2.i),
+        |d3 AS (SELECT g.i, sum((g.nij * 1000000000000)
+        |         // (ra.r + rb.r)) AS dd
+        |       FROM g JOIN r2 ra ON g.i = ra.node
+        |              JOIN r2 rb ON g.j = rb.node GROUP BY 1),
+        |r3 AS (SELECT nodes.node, greatest(CAST(1 AS HUGEINT),
+        |         (coalesce(wi.ww, 0) * CAST(1000000000000 AS HUGEINT))
+        |           // greatest(CAST(1 AS HUGEINT), coalesce(d3.dd, 0)))
+        |         AS r
+        |       FROM nodes LEFT JOIN wi ON nodes.node = wi.i
+        |                  LEFT JOIN d3 ON nodes.node = d3.i)
+        |SELECT node AS player, CAST(r AS BIGINT) AS rating_micro
+        |FROM r3""".stripMargin)
 }

@@ -483,6 +483,84 @@ object RankTests {
           .as("z2_milli"))
   }
 
+  /** BRADLEY–TERRY ratings from pairwise outcomes — the
+    * arena-leaderboard fit ("model A beat model B in 63 of 100
+    * head-to-heads → what are the global strengths?") behind every
+    * preference-eval ranking, and the principled aggregate for any
+    * pairwise tournament. Minorize–maximize iterations in exact
+    * integer micro-units:
+    *
+    *   rᵢ' = max(1, (Wᵢ·10¹²) div max(1, Σⱼ (nᵢⱼ·10¹²) div (rᵢ+rⱼ)))
+    *
+    * from a uniform 10⁶ start — every term pinned-floor, so any engine
+    * unrolling the same rule matches bit-for-bit. The 10¹² term scale
+    * keeps single-game pairs from flooring to zero. Ratings are
+    * identified only up to scale (the standard BT gauge freedom — read
+    * RATIOS); never-winners floor at 1, and an undefeated player's
+    * true MLE is +∞ — here it grows boundedly with `iters`,
+    * documented, never a division blow-up.
+    *
+    * Input: one row per (winner, loser) pair with a win count;
+    * repeated pairs aggregate. Ties: drop them or split as half-wins
+    * upstream (integer counts — double the granularity if needed).
+    *
+    * Output: (player, rating_micro) after `iters` rounds.
+    *
+    * Scale shape: the Pregel-by-joins family — per iteration one
+    * pair-keyed join of ratings onto the symmetric pair frame, one
+    * player-keyed partial sum, one node-keyed finish; ratings
+    * checkpoint per round (the pageRank stance). Pairs are the
+    * shuffle unit, never raw games. */
+  def bradleyTerryMicro(matches: DataFrame, winnerCol: String,
+                        loserCol: String, nCol: String,
+                        iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = matches.sparkSession
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // ids keep their native type (string model names, long ids alike)
+    val u = matches.select(col(winnerCol).as("__i"),
+        col(loserCol).as("__j"),
+        col(nCol).cast("long").as("__n"))
+      .where(col("__i").isNotNull && col("__j").isNotNull &&
+        col("__n").isNotNull && col("__n") > 0 &&
+        col("__i") =!= col("__j"))
+    val g = u.unionByName(u.select(col("__j").as("__i"),
+        col("__i").as("__j"), col("__n")))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__n")).cast(d38).as("__nij"))
+      .persist()
+    val wins = u.groupBy(col("__i")).agg(sum(col("__n")).as("__w"))
+    val nodes = g.select(col("__i").as("node")).distinct().persist()
+
+    def pin(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+
+    var ranks = nodes.withColumn("rating_micro", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val denom = g
+        .join(ranks.select(col("node").as("__i"),
+          col("rating_micro").as("__ri")), Seq("__i"))
+        .join(ranks.select(col("node").as("__j"),
+          col("rating_micro").as("__rj")), Seq("__j"))
+        .select(col("__i"),
+          expr("(__nij * 1000000000000) div (CAST(__ri AS DECIMAL(38,0))"
+            + " + __rj)").as("__t"))
+        .groupBy(col("__i")).agg(sum(col("__t")).as("__d"))
+      ranks = pin(nodes
+        .join(wins.withColumnRenamed("__i", "node"), Seq("node"), "left")
+        .join(denom.withColumnRenamed("__i", "node"), Seq("node"), "left")
+        .select(col("node"),
+          greatest(lit(1L), expr(
+            """CAST((coalesce(__w, 0) * CAST(1000000000000 AS DECIMAL(38,0)))
+              |div greatest(CAST(1 AS DECIMAL(38,0)), coalesce(__d, 0))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+            .as("rating_micro")))
+    }
+    g.unpersist(); nodes.unpersist()
+    ranks.withColumnRenamed("node", "player")
+  }
+
   /** BENJAMINI–HOCHBERG FDR adjustment — the multiple-comparisons
     * correction every metrics dashboard with 50 simultaneous tests
     * needs: given per-test p-values (ppm), the adjusted q-value is

@@ -164,6 +164,34 @@ class RankTestsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("bradleyTerryMicro: two-player fixed point = the exact odds, " +
+       "symmetric cycle stays uniform, undefeated bounded") {
+    // A beats B 3:1 → MLE ratio 3:1; MM reaches it in one step and
+    // stays: (1500000, 500000)
+    val ab = Seq(("A", "B", 3L), ("B", "A", 1L)).toDF("w", "l", "n")
+    val got = RankTests.bradleyTerryMicro(ab, "w", "l", "n", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A" -> 1500000L, "B" -> 500000L), s"got $got")
+    // rock-paper-scissors: perfectly symmetric → all stay at 1e6
+    val rps = Seq(("r", "s", 1L), ("s", "p", 1L), ("p", "r", 1L))
+      .toDF("w", "l", "n")
+    val cyc = RankTests.bradleyTerryMicro(rps, "w", "l", "n", iters = 4)
+      .as[(String, Long)].collect().toMap
+    assert(cyc == Map("r" -> 1000000L, "p" -> 1000000L,
+      "s" -> 1000000L), s"got $cyc")
+    // undefeated player: true MLE is infinite — grows boundedly,
+    // never-winner floors at 1, no division blow-up
+    val sweep = Seq(("A", "B", 2L)).toDF("w", "l", "n")
+    val sw = RankTests.bradleyTerryMicro(sweep, "w", "l", "n", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(sw("B") == 1L && sw("A") > 1000000L, s"got $sw")
+    // repeated pair rows aggregate before fitting
+    val dup = Seq(("A", "B", 2L), ("A", "B", 1L), ("B", "A", 1L))
+      .toDF("w", "l", "n")
+    assert(RankTests.bradleyTerryMicro(dup, "w", "l", "n", iters = 3)
+      .as[(String, Long)].collect().toMap == got)
+  }
+
   test("bhAdjustPpm: suffix-min monotone q-values, tie rank by id") {
     val df = Seq(("a", 10000L), ("b", 20000L), ("c", 20000L),
       ("d", 500000L), ("e", 900000L)).toDF("id", "p")
