@@ -419,6 +419,19 @@ object EvalGates {
     graft.ops.RankTests.bradleyTerryMicro(m, "w", "l", "n", iters = 3)
   }
 
+  // DIFFERENCE-IN-DIFFERENCES (ops/Stats.didMicro): even-user "treat"
+  // vs odd "control", pre/post the q225 Jan-16 split — four pinned-
+  // floor micro cell means, estimate by pure signed addition (no
+  // signed division anywhere).
+  def q318_did(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.didMicro(
+      t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select((col("user_id") % 2 === 0).as("treat"),
+          (expr(s"ts div ${dayUs}L") >= 19738L).as("post"),
+          floor(col("value") * 100).cast("long").as("cents")),
+      "treat", "post", "cents")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -450,7 +463,8 @@ object EvalGates {
     "q314_ols"             -> q314_ols _,
     "q315_ppr"             -> q315_ppr _,
     "q316_post_stratified" -> q316_post_stratified _,
-    "q317_bradley_terry"   -> q317_bradley_terry _)
+    "q317_bradley_terry"   -> q317_bradley_terry _,
+    "q318_did"             -> q318_did _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1123,5 +1137,29 @@ object EvalGates {
         |       FROM nodes LEFT JOIN wi ON nodes.node = wi.i
         |                  LEFT JOIN d3 ON nodes.node = d3.i)
         |SELECT node AS player, CAST(r AS BIGINT) AS rating_micro
-        |FROM r3""".stripMargin)
+        |FROM r3""".stripMargin,
+    "q318_did" ->
+      """WITH b AS (SELECT (user_id % 2 = 0) AS t,
+        |    (epoch_us(ts)//86400000000 >= 19738) AS p,
+        |    CAST(floor(value*100) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  (1000000 * sum(CASE WHEN t AND NOT p
+        |     THEN CAST(x AS HUGEINT) END))
+        |    // sum(CASE WHEN t AND NOT p THEN 1 END) AS mtp,
+        |  (1000000 * sum(CASE WHEN t AND p THEN CAST(x AS HUGEINT) END))
+        |    // sum(CASE WHEN t AND p THEN 1 END) AS mtq,
+        |  (1000000 * sum(CASE WHEN NOT t AND NOT p
+        |     THEN CAST(x AS HUGEINT) END))
+        |    // sum(CASE WHEN NOT t AND NOT p THEN 1 END) AS mcp,
+        |  (1000000 * sum(CASE WHEN NOT t AND p
+        |     THEN CAST(x AS HUGEINT) END))
+        |    // sum(CASE WHEN NOT t AND p THEN 1 END) AS mcq
+        |  FROM b)
+        |SELECT n, CAST(mtp AS BIGINT) AS m_treat_pre_micro,
+        |  CAST(mtq AS BIGINT) AS m_treat_post_micro,
+        |  CAST(mcp AS BIGINT) AS m_ctrl_pre_micro,
+        |  CAST(mcq AS BIGINT) AS m_ctrl_post_micro,
+        |  CAST(mtq - mtp - (mcq - mcp) AS BIGINT) AS did_micro
+        |FROM a""".stripMargin)
 }

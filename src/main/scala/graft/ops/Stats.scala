@@ -2496,6 +2496,50 @@ object Stats {
           .as("ex_kurtosis_ppm"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES, exact integer — the natural-experiment
+    * estimator: how much more did the TREATED group's metric move
+    * across the event than the CONTROL group's?
+    * DiD = (ȳ_treat,post − ȳ_treat,pre) − (ȳ_ctrl,post − ȳ_ctrl,pre).
+    * Each cell mean is pinned-floored at MICRO grain and the estimate
+    * is pure signed ADDITION of those four integers — no signed
+    * division anywhere, so engines can't disagree on negative
+    * rounding. Complements [[cupedAdjustMilli]] (randomized + pre-
+    * period covariate) for the non-randomized before/after case.
+    *
+    * Output: one row (n, m_treat_pre_micro, m_treat_post_micro,
+    * m_ctrl_pre_micro, m_ctrl_post_micro, did_micro) — all NULL-able:
+    * any empty cell leaves the estimate (and that cell's mean) NULL.
+    *
+    * Scale shape: ONE map-side-partial groupBy over the four cells,
+    * then a 1-row finish. */
+  def didMicro(df: DataFrame, treatCol: String, postCol: String,
+               valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = df.select(col(treatCol).cast("boolean").as("__t"),
+        col(postCol).cast("boolean").as("__p"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__t").isNotNull && col("__p").isNotNull &&
+        col("__x").isNotNull)
+    def cell(t: Boolean, p: Boolean, out: String) =
+      when(sum(when(col("__t") === t && col("__p") === p, 1L)) > 0,
+        expr(s"""(1000000 * sum(CASE WHEN __t = $t AND __p = $p
+                |  THEN CAST(__x AS DECIMAL(38,0)) END))
+                |div sum(CASE WHEN __t = $t AND __p = $p THEN 1 END)"""
+          .stripMargin.replace("\n", " ")))
+        .otherwise(lit(null)).cast("long").as(out)
+    b.agg(count(lit(1)).as("n"),
+        cell(true, false, "m_treat_pre_micro"),
+        cell(true, true, "m_treat_post_micro"),
+        cell(false, false, "m_ctrl_pre_micro"),
+        cell(false, true, "m_ctrl_post_micro"))
+      .select(col("n"), col("m_treat_pre_micro"),
+        col("m_treat_post_micro"), col("m_ctrl_pre_micro"),
+        col("m_ctrl_post_micro"),
+        (col("m_treat_post_micro") - col("m_treat_pre_micro") -
+          (col("m_ctrl_post_micro") - col("m_ctrl_pre_micro")))
+          .cast("long").as("did_micro"))
+  }
+
   /** POST-STRATIFIED MEAN per variant — the composition-drift fix for
     * A/B readouts: re-weight each stratum's mean to a DECLARED target
     * mix (the population's, or the design's) so a variant that

@@ -1435,6 +1435,26 @@ class StatsSpec extends SparkTestBase {
     assert(r == ((5L, 199999L, 300000L)), s"got $r")
   }
 
+  test("didMicro: hand parallel-trends estimate, empty cell NULLs") {
+    // treat: 10 → 25 (+15); ctrl: 20 → 31 (+11) → DiD = +4
+    val df = Seq(
+      (true, false, 10L), (true, true, 25L),
+      (false, false, 20L), (false, true, 31L)).toDF("t", "p", "x")
+    val r = Stats.didMicro(df, "t", "p", "x")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long],
+        Option[Long])].collect().head
+    assert(r == ((4L, Some(10000000L), Some(25000000L), Some(20000000L),
+      Some(31000000L), Some(4000000L))), s"got $r")
+    // a missing cell poisons only what depends on it
+    val partial = Stats.didMicro(
+      Seq((true, false, 10L), (false, false, 20L), (false, true, 30L))
+        .toDF("t", "p", "x"), "t", "p", "x")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long],
+        Option[Long])].collect().head
+    assert(partial._3.isEmpty && partial._6.isEmpty &&
+      partial._2 == Some(10000000L), s"got $partial")
+  }
+
   test("postStratifiedMeanMilli: reweighted mean, missing-stratum NULL, " +
        "unweighted rows counted") {
     val target = Seq("a" -> 500L, "b" -> 500L)
