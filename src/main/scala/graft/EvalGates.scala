@@ -432,6 +432,25 @@ object EvalGates {
           floor(col("value") * 100).cast("long").as("cents")),
       "treat", "post", "cents")
 
+  // NELSON–AALEN (ops/EventAnalytics.nelsonAalenPpm): cumulative
+  // hazard by tenure — the prefix-SUM companion to q285's KM product,
+  // riding the checkpoint-offset running sum over the q227 life table.
+  def q319_nelson_aalen(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.nelsonAalenPpm(
+      t(s, dir, "events"), "user_id", "ts", periodUs = dayUs)
+
+  // ROLLING DISTINCT ACTIVES (ops/EventAnalytics.rollingActive): exact
+  // 7-day weekly-active-PURCHASERS per observed day (the full event
+  // stream saturates at the fixture's 150 users — purchases vary
+  // 56..146) — (period, id) pairs replicate forward 7 slots and
+  // de-duplicate; the approximate sibling is q183's sliding HLL merge.
+  def q320_wau(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.rollingActive(
+      t(s, dir, "events").where(col("user_id").isNotNull &&
+          col("event_type") === "purchase")
+        .select(expr(s"ts div ${dayUs}L").as("dd"), col("user_id")),
+      "dd", "user_id", window = 7)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -464,7 +483,9 @@ object EvalGates {
     "q315_ppr"             -> q315_ppr _,
     "q316_post_stratified" -> q316_post_stratified _,
     "q317_bradley_terry"   -> q317_bradley_terry _,
-    "q318_did"             -> q318_did _)
+    "q318_did"             -> q318_did _,
+    "q319_nelson_aalen"    -> q319_nelson_aalen _,
+    "q320_wau"             -> q320_wau _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1161,5 +1182,33 @@ object EvalGates {
         |  CAST(mcp AS BIGINT) AS m_ctrl_pre_micro,
         |  CAST(mcq AS BIGINT) AS m_ctrl_post_micro,
         |  CAST(mtq - mtp - (mcq - mcp) AS BIGINT) AS did_micro
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin,
+    "q319_nelson_aalen" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(epoch_us(ts)//86400000000)
+        |      - min(epoch_us(ts)//86400000000) AS tenure
+        |  FROM events GROUP BY 1),
+        |dt AS (SELECT tenure, CAST(count(*) AS BIGINT) AS d_t
+        |       FROM u GROUP BY 1),
+        |risk AS (
+        |  SELECT tenure, d_t,
+        |    CAST(sum(d_t) OVER (ORDER BY tenure DESC) AS BIGINT) AS n_t
+        |  FROM dt),
+        |hz AS (SELECT tenure, d_t, n_t,
+        |    CAST((1000000*d_t) // n_t AS BIGINT) AS hazard_ppm
+        |    FROM risk)
+        |SELECT tenure, d_t, n_t, hazard_ppm,
+        |  CAST(sum(hazard_ppm) OVER (ORDER BY tenure) AS BIGINT)
+        |    AS cumhaz_ppm
+        |FROM hz""".stripMargin,
+    "q320_wau" ->
+      """WITH d AS (SELECT DISTINCT epoch_us(ts)//86400000000 AS dd,
+        |    user_id FROM events
+        |    WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+        |p AS (SELECT DISTINCT dd FROM d)
+        |SELECT p.dd AS period,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
+        |FROM p JOIN d ON d.dd BETWEEN p.dd - 6 AND p.dd
+        |GROUP BY 1""".stripMargin)
 }

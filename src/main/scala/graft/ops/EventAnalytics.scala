@@ -486,6 +486,67 @@ object EventAnalytics {
         col("surv_ppm"))
   }
 
+  /** NELSON–AALEN cumulative hazard — the model-free "total risk
+    * accumulated by tenure t" curve next to [[kmSurvivalPpm]]'s
+    * survival probability: Λ(t) = Σ_{s≤t} d_s/n_s. Where KM needs a
+    * sequential PRODUCT (the pinned fold), the NA estimator is a pure
+    * prefix SUM of the already-pinned per-step hazards — so it rides
+    * [[GlobalRank.globalRunningSum]] with no fold at all, and its
+    * floors are exactly the hazard floors (≤ #steps ppm below truth,
+    * same bound family as KM's).
+    *
+    * Output: (tenure, d_t, n_t, hazard_ppm, cumhaz_ppm) ascending
+    * tenure.
+    *
+    * Scale shape: the life table is bounded by distinct tenure steps
+    * (the period GRAIN, not users); the running sum is the
+    * checkpoint-and-offset form — no global window. */
+  def nelsonAalenPpm(events: DataFrame, userCol: String, tsCol: String,
+                     periodUs: Long): DataFrame =
+    GlobalRank.globalRunningSum(
+      hazardByTenure(events, userCol, tsCol, periodUs),
+      Seq(col("tenure").asc), "hazard_ppm", "cumhaz_ppm")
+      .select(col("tenure"), col("d_t"), col("n_t"), col("hazard_ppm"),
+        col("cumhaz_ppm"))
+
+  /** ROLLING DISTINCT ACTIVES — the DAU/WAU/MAU family, EXACT:
+    * for every period p present in the data, the count of distinct
+    * ids active anywhere in [p − window + 1, p]. Distinct counts
+    * don't decompose over sliding windows (yesterday's WAU can't be
+    * updated, only recomputed), so the exact plan replicates each
+    * (period, id) pair forward `window` times and de-duplicates —
+    * shuffle cost = actives × window, the honest price of exactness.
+    * At 100 TB prefer [[graft.ops.Sketches.hllSlidingMerge]] (the
+    * approximate sibling: register-merge, no replication) and keep
+    * this for the grains that must reconcile to finance.
+    *
+    * Output: (period, n_active) — one row per period OBSERVED in the
+    * data (silent zero-activity periods don't appear; gap-fill with
+    * [[graft.ops.Resample.gapFillLocf]] upstream if the spine must be
+    * dense).
+    *
+    * Scale shape: distinct (period, id) first (everything after is
+    * bounded by actives, not events); one literal-array explode
+    * (×window), one semi join against the observed-period set, one
+    * distinct + count groupBy. No windows, no self-joins over rows. */
+  def rollingActive(df: DataFrame, periodCol: String, idCol: String,
+                    window: Int): DataFrame = {
+    require(window >= 1 && window <= 10000,
+      s"window must be in [1, 10000], got $window")
+    val d = df.select(col(periodCol).cast("long").as("__p"),
+        col(idCol).as("__id"))
+      .where(col("__p").isNotNull && col("__id").isNotNull)
+      .distinct()
+    val periods = d.select(col("__p").as("__po")).distinct()
+    val offsets = array((0 until window).map(o => lit(o.toLong)): _*)
+    d.select(explode(offsets).as("__o"), col("__p"), col("__id"))
+      .select((col("__p") + col("__o")).as("__po"), col("__id"))
+      .join(periods, Seq("__po"), "left_semi")
+      .distinct()
+      .groupBy(col("__po").as("period"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** TIME-DECAY ATTRIBUTION: credit each conversion's touches with
     * exponentially decaying weight — the "recent touches matter more"
     * model between last-touch (all credit to the newest) and linear

@@ -566,4 +566,41 @@ class EventAnalyticsSpec extends SparkTestBase {
       .map(r => r._1 -> r).toMap
     assert(b == got)
   }
+
+  test("nelsonAalenPpm: cumulative hazard is the prefix sum of the " +
+       "pinned per-step hazards") {
+    // the KM fixture: hazards 500000, 500000, 1000000 → Λ cumulates
+    val ev = Seq(
+      (1L, 0L), (2L, 0L),
+      (3L, 0L), (3L, 86400000000L),
+      (4L, 0L), (4L, 2 * 86400000000L))
+      .toDF("user_id", "ts")
+    val got = EventAnalytics.nelsonAalenPpm(ev, "user_id", "ts",
+        86400000000L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 2L, 4L, 500000L, 500000L),
+      (1L, 1L, 2L, 500000L, 1000000L),
+      (2L, 1L, 1L, 1000000L, 2000000L)), s"got ${got.toSeq}")
+  }
+
+  test("rollingActive: hand WAU, window 1 = per-period distinct, " +
+       "observed-period spine only") {
+    // day 0: {a,b}; day 1: {a}; day 3: {c}; window 2:
+    // d0 = 2, d1 = {a,b}∪{a} = 2, d3 = {c} (day 2 absent → no row)
+    val df = Seq((0L, "a"), (0L, "b"), (0L, "a"), (1L, "a"), (3L, "c"))
+      .toDF("p", "id")
+    val got = EventAnalytics.rollingActive(df, "p", "id", window = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 3L -> 1L), s"got $got")
+    val w1 = EventAnalytics.rollingActive(df, "p", "id", window = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(w1 == Map(0L -> 2L, 1L -> 1L, 3L -> 1L))
+    // partition independence
+    val b = EventAnalytics.rollingActive(df.repartition(5), "p", "id", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(b == got)
+    intercept[IllegalArgumentException](
+      EventAnalytics.rollingActive(df, "p", "id", 0))
+  }
 }
