@@ -451,6 +451,35 @@ object EvalGates {
         .select(expr(s"ts div ${dayUs}L").as("dd"), col("user_id")),
       "dd", "user_id", window = 7)
 
+  // SPLIT CONFORMAL (ops/Stats.conformalResidualQuantile): the 80%
+  // prediction-interval radius for the q228 seasonal-naive forecast —
+  // k-th smallest |residual| with the finite-sample (n+1) adjustment.
+  def q321_conformal(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("dd"))
+    val daily = t(s, dir, "events").where(col("event_type").isNotNull)
+      .groupBy(col("event_type").as("g"),
+        expr(s"ts div ${dayUs}L").as("dd"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.withColumn("fc", lag(col("cnt"), 7).over(w))
+      .where(col("fc").isNotNull)
+    graft.ops.Stats.conformalResidualQuantile(cal, "g", "cnt", "fc",
+        alphaPm = 200)
+      .withColumnRenamed("g", "event_type")
+  }
+
+  // MANTEL–HAENSZEL (ops/Stats.mantelHaenszelMilli): pooled odds
+  // ratio of (user parity → big-ticket event) stratified by event
+  // type — the Simpson-proof 2×2 family capstone next to q203/q215.
+  def q322_mantel_haenszel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.mantelHaenszelMilli(
+      t(s, dir, "events")
+        .where(col("event_type").isNotNull && col("user_id").isNotNull
+          && col("value").isNotNull)
+        .select(col("event_type"), (col("user_id") % 2 === 0).as("e"),
+          (floor(col("value") * 100).cast("long") >= 3500L).as("y")),
+      "event_type", "e", "y")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -485,7 +514,9 @@ object EvalGates {
     "q317_bradley_terry"   -> q317_bradley_terry _,
     "q318_did"             -> q318_did _,
     "q319_nelson_aalen"    -> q319_nelson_aalen _,
-    "q320_wau"             -> q320_wau _)
+    "q320_wau"             -> q320_wau _,
+    "q321_conformal"       -> q321_conformal _,
+    "q322_mantel_haenszel" -> q322_mantel_haenszel _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1210,5 +1241,44 @@ object EvalGates {
         |SELECT p.dd AS period,
         |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_active
         |FROM p JOIN d ON d.dd BETWEEN p.dd - 6 AND p.dd
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "q321_conformal" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    epoch_us(ts)//86400000000 AS dd,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1,2),
+        |f AS (SELECT g, cnt,
+        |    lag(cnt,7) OVER (PARTITION BY g ORDER BY dd) AS fc
+        |      FROM daily),
+        |r AS (SELECT g, abs(cnt - fc) AS rr FROM f WHERE fc IS NOT NULL),
+        |h AS (SELECT g, rr, count(*) AS c FROM r GROUP BY 1,2),
+        |cum AS (SELECT g, rr,
+        |    sum(c) OVER (PARTITION BY g ORDER BY rr) AS cm FROM h),
+        |t AS (SELECT g, count(*) AS n FROM r GROUP BY 1)
+        |SELECT t.g AS event_type, CAST(t.n AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cm >= ((t.n+1)*800 + 999)//1000
+        |    THEN rr END) AS BIGINT) AS q_hat
+        |FROM t JOIN cum ON cum.g = t.g GROUP BY 1, t.n""".stripMargin,
+    "q322_mantel_haenszel" ->
+      """WITH b AS (SELECT event_type AS s, (user_id % 2 = 0) AS e,
+        |    (CAST(floor(value*100) AS BIGINT) >= 3500) AS y
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL),
+        |st AS (SELECT s,
+        |    CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS a,
+        |    CAST(sum(CASE WHEN e AND NOT y THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS bb,
+        |    CAST(sum(CASE WHEN NOT e AND y THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS c,
+        |    CAST(sum(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END)
+        |      AS HUGEINT) AS d,
+        |    CAST(count(*) AS HUGEINT) AS n FROM b GROUP BY 1),
+        |ag AS (SELECT sum(n) AS nt, count(*) AS k,
+        |    sum((1000000 * a * d) // n) AS f1,
+        |    sum((1000000 * bb * c) // n) AS f2 FROM st)
+        |SELECT CAST(nt AS BIGINT) AS n, CAST(k AS BIGINT) AS n_strata,
+        |  CASE WHEN f2 = 0 THEN NULL
+        |       ELSE CAST((1000 * f1) // f2 AS BIGINT) END AS or_milli
+        |FROM ag""".stripMargin)
 }

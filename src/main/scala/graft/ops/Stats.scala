@@ -2496,6 +2496,90 @@ object Stats {
           .as("ex_kurtosis_ppm"))
   }
 
+  /** SPLIT-CONFORMAL RESIDUAL QUANTILE per group — the distribution-
+    * free prediction-interval radius: given calibration rows carrying
+    * an actual and a forecast, q̂ is the k-th smallest absolute
+    * residual with k = ⌈(n+1)(1−α)⌉, and `forecast ± q̂` then covers
+    * a fresh point with probability ≥ 1−α under exchangeability — no
+    * normality, no variance model (Vovk et al.; the finite-sample
+    * +1 is what distinguishes this from a plain quantile). When
+    * k > n (tiny calibration sets can't certify the level) q̂ is
+    * NULL — "not enough data", never a silently-too-narrow band.
+    *
+    * alphaPm is the miscoverage in per-mille (200 = 80% interval);
+    * k = ((n+1)·(1000−alphaPm) + 999) div 1000 — pure integer, both
+    * engines agree.
+    *
+    * Output per group: (group, n, q_hat).
+    *
+    * Scale shape: the [[exactQuantilesByGroup]] recipe on |residual| —
+    * a (group, residual) histogram shuffle, a group-bounded cum
+    * window, one aggregate. */
+  def conformalResidualQuantile(df: DataFrame, groupCol: String,
+                                actualCol: String, forecastCol: String,
+                                alphaPm: Int): DataFrame = {
+    require(alphaPm >= 1 && alphaPm <= 999,
+      s"alphaPm must be in [1, 999], got $alphaPm")
+    val res = df.where(col(actualCol).isNotNull &&
+        col(forecastCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        abs(col(actualCol).cast("long") - col(forecastCol).cast("long"))
+          .as("__r"))
+    val counts = res.groupBy(col("__g"), col("__r"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__r").asc)
+    val cum = counts.withColumn("__cum", sum(col("__c")).over(w))
+    val totals = counts.groupBy(col("__g").as("__g2"))
+      .agg(sum(col("__c")).as("__n"))
+    val kExpr = s"((__n + 1) * ${1000 - alphaPm} + 999) div 1000"
+    cum.join(totals, col("__g") <=> col("__g2"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(first(col("__n")).cast("long").as("n"),
+        min(when(col("__cum") >= expr(kExpr), col("__r")))
+          .cast("long").as("q_hat"))
+  }
+
+  /** MANTEL–HAENSZEL pooled odds ratio — "is exposure associated with
+    * the outcome AFTER controlling for the stratifying confounder?":
+    * the stratified 2×2 estimator OR_MH = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ),
+    * immune to Simpson reversals a pooled [[chiSquare2x2Milli]] walks
+    * into. Exact pinned-floor integer: each stratum contributes
+    * f₁ = (10⁶·a·d) div n and f₂ = (10⁶·b·c) div n;
+    * or_milli = (1000·Σf₁) div Σf₂ — all quantities non-negative.
+    *
+    * Output: one row (n, n_strata, or_milli) — NULL when Σf₂ = 0
+    * (no discordant mass: the OR is undefined/infinite).
+    *
+    * Scale shape: ONE (stratum) groupBy of four conditional counts
+    * (alphabet crosses the shuffle), then a 1-row finish. */
+  def mantelHaenszelMilli(df: DataFrame, stratumCol: String,
+                          exposedCol: String,
+                          outcomeCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = df.select(col(stratumCol).as("__s"),
+        col(exposedCol).cast("boolean").as("__e"),
+        col(outcomeCol).cast("boolean").as("__y"))
+      .where(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__y").isNotNull)
+    def cell(e: Boolean, y: Boolean) =
+      sum(when(col("__e") === e && col("__y") === y, 1L).otherwise(0L))
+        .cast(d38)
+    b.groupBy(col("__s"))
+      .agg(cell(true, true).as("__a"), cell(true, false).as("__b"),
+        cell(false, true).as("__c"), cell(false, false).as("__d"),
+        count(lit(1)).cast(d38).as("__n"))
+      .agg(sum(col("__n")).as("__nt"), count(lit(1)).as("__k"),
+        sum(expr("(1000000 * __a * __d) div __n")).as("__f1"),
+        sum(expr("(1000000 * __b * __c) div __n")).as("__f2"))
+      .select(col("__nt").cast("long").as("n"),
+        col("__k").cast("long").as("n_strata"),
+        when(col("__f2") === 0 || col("__f2").isNull,
+          lit(null).cast("long"))
+          .otherwise(expr("CAST((1000 * __f1) div __f2 AS BIGINT)"))
+          .as("or_milli"))
+  }
+
   /** DIFFERENCE-IN-DIFFERENCES, exact integer — the natural-experiment
     * estimator: how much more did the TREATED group's metric move
     * across the event than the CONTROL group's?

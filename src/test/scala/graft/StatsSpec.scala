@@ -1435,6 +1435,43 @@ class StatsSpec extends SparkTestBase {
     assert(r == ((5L, 199999L, 300000L)), s"got $r")
   }
 
+  test("conformalResidualQuantile: (n+1) adjustment, tiny-n NULL") {
+    // residuals |a−f| = 1..9 (n=9): k = ceil(10·0.8) = 8 → q̂ = 8
+    // (a plain 80% type-1 quantile would give ceil(7.2) = 8th of 9 —
+    // same here, so also pin the n where they differ: n=4, k=ceil(4)=4)
+    val df = (1L to 9L).map(r => ("g", 100L + r, 100L)) ++
+      (1L to 4L).map(r => ("h", 100L + r, 100L)) ++
+      Seq(("tiny", 105L, 100L)) // n=1: k = ceil(2·0.8) = 2 > 1 → NULL
+    val got = Stats.conformalResidualQuantile(df.toDF("g", "a", "f"),
+        "g", "a", "f", alphaPm = 200)
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("g") == (("g", 9L, Some(8L))), s"got $got")
+    assert(got("h") == (("h", 4L, Some(4L))))
+    assert(got("tiny") == (("tiny", 1L, None)))
+    intercept[IllegalArgumentException](
+      Stats.conformalResidualQuantile(df.toDF("g", "a", "f"), "g", "a",
+        "f", 0))
+  }
+
+  test("mantelHaenszelMilli: confounder-balanced OR, no-discordant NULL") {
+    // two strata, each with a=2,b=1,c=1,d=2 (n=6):
+    // f1 = (1e6·4)//6 = 666666 each; f2 = (1e6·1)//6 = 166666 each
+    // → OR_milli = 1000·1333332 // 333332 = 4000 (true OR = 4)
+    def stratum(s: String) = Seq(
+      (s, true, true), (s, true, true), (s, true, false),
+      (s, false, true), (s, false, false), (s, false, false))
+    val df = (stratum("s1") ++ stratum("s2")).toDF("s", "e", "y")
+    val r = Stats.mantelHaenszelMilli(df, "s", "e", "y")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(r == ((12L, 2L, Some(4000L))), s"got $r")
+    // perfectly concordant table: OR infinite → NULL
+    val conc = Seq(("s", true, true), ("s", false, false))
+      .toDF("s", "e", "y")
+    assert(Stats.mantelHaenszelMilli(conc, "s", "e", "y")
+      .as[(Long, Long, Option[Long])].collect().head._3.isEmpty)
+  }
+
   test("didMicro: hand parallel-trends estimate, empty cell NULLs") {
     // treat: 10 → 25 (+15); ctrl: 20 → 31 (+11) → DiD = +4
     val df = Seq(
