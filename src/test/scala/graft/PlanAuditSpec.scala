@@ -1061,4 +1061,81 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"),
       "only the broadcast 1-row cross join is allowed")
   }
+
+  test("q311: geofence is ONE map-only expression — no join, no window") {
+    val p = plan("q311_geofence")
+    assert(!p.contains("Join") && !p.contains("windowspecdefinition"),
+      s"point-in-polygon must fold into the scan stage:\n${p.take(600)}")
+    assert(p.contains("partial_count"),
+      "per-nation rollup must map-combine")
+  }
+
+  test("q304/q313/q318: one-pass conditional aggregates, no joins " +
+       "beyond the broadcast expectation table") {
+    for (q <- Seq("q304_welch_t2", "q318_did")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q must be a single scan + aggregate, got:\n${p.take(500)}")
+      assert(p.contains("partial_"), s"$q must map-combine")
+    }
+    // q313's full outer vs the 5-row expectation table legitimately
+    // sort-merges (full outer can't broadcast) — but only AFTER the
+    // category aggregate, so what must hold is alphabet-sized join
+    // inputs: the category histogram map-combines before any join
+    val srm = plan("q313_srm_check")
+    assert(srm.contains("partial_count"),
+      "category histogram must aggregate before the expectation join")
+  }
+
+  test("q305: Kendall pairs join CELLS within groups — never row pairs") {
+    val p = plan("q305_kendall_tau")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "cell pairs must ride the group-keyed equi join")
+    assert(p.contains("partial_count"), "cells must map-combine first")
+  }
+
+  test("q306/q307: ROC/AP run on score histograms via the " +
+       "checkpoint-offset running sum — no global window over rows") {
+    for (q <- Seq("q306_roc_points", "q307_avg_precision")) {
+      val p = plan(q)
+      // the histogram aggregate sits BEHIND the running sum's
+      // checkpoint, so the visible plan must read from checkpointed
+      // leaves (Scan ExistingRDD) — never re-derive rows — and the
+      // only window is the pid-partitioned offset form
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q: running sums must read the checkpointed histogram")
+      assert(!p.contains("windowspecdefinition()"),
+        s"$q: no unpartitioned window allowed")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q308: extrema merge splits touched/untouched — no full-view " +
+       "shuffle join") {
+    val p = plan("q308_ivm_extrema")
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"),
+      "aux view must split on the delta key probes")
+  }
+
+  test("q309/q317: graph scoring joins on node keys; tournament " +
+       "ratings iterate Pregel-style") {
+    val m = plan("q309_modularity")
+    assert(!m.contains("CartesianProduct"),
+      "endpoint tagging must equi-join on the node key")
+    val bt = plan("q317_bradley_terry")
+    assert(!bt.contains("CartesianProduct") &&
+      !bt.contains("windowspecdefinition"),
+      "BT iterations are joins + partial sums only")
+  }
+
+  test("q320: rolling actives replicate pairs by literal offsets — " +
+       "semi join on the period spine, no range self-join of rows") {
+    val p = plan("q320_wau")
+    assert(p.contains("LeftSemi"),
+      "observed-period filter must be a semi join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "window coverage must come from the explode, not a range join")
+  }
 }
