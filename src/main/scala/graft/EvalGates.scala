@@ -480,6 +480,32 @@ object EvalGates {
           (floor(col("value") * 100).cast("long") >= 3500L).as("y")),
       "event_type", "e", "y")
 
+  // DEGREE ASSORTATIVITY (ops/GraphOps.degreeAssortativity): do
+  // high-degree suppliers co-purchase with other hubs? Slightly
+  // disassortative here (hub-and-spoke), like most co-occurrence
+  // graphs — exact endpoint-degree Pearson over both orientations.
+  def q323_assortativity(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = o.as("a").join(o.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+      .agg(count(lit(1)).as("co")).filter(col("co") >= 25)
+    graft.ops.GraphOps.degreeAssortativity(edges, "x", "y")
+  }
+
+  // ADDITIVE DECOMPOSITION (ops/Resample.decomposeAdditive): each
+  // type's daily counts split into ±3-day trend, weekday seasonal,
+  // and remainder — sign-magnitude divisions throughout so negative
+  // rounding can't drift between engines.
+  def q324_decompose(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Resample.decomposeAdditive(
+      t(s, dir, "events").where(col("event_type").isNotNull)
+        .groupBy(col("event_type"), expr(s"ts div ${dayUs}L").as("dd"))
+        .agg(count(lit(1)).as("cnt")),
+      "event_type", "dd", "cnt", season = 7, halfWindow = 3)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -516,7 +542,9 @@ object EvalGates {
     "q319_nelson_aalen"    -> q319_nelson_aalen _,
     "q320_wau"             -> q320_wau _,
     "q321_conformal"       -> q321_conformal _,
-    "q322_mantel_haenszel" -> q322_mantel_haenszel _)
+    "q322_mantel_haenszel" -> q322_mantel_haenszel _,
+    "q323_assortativity"   -> q323_assortativity _,
+    "q324_decompose"       -> q324_decompose _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1280,5 +1308,54 @@ object EvalGates {
         |SELECT CAST(nt AS BIGINT) AS n, CAST(k AS BIGINT) AS n_strata,
         |  CASE WHEN f2 = 0 THEN NULL
         |       ELSE CAST((1000 * f1) // f2 AS BIGINT) END AS or_milli
-        |FROM ag""".stripMargin)
+        |FROM ag""".stripMargin,
+    "q323_assortativity" ->
+      """WITH o AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |           FROM lineitem),
+        |e AS (SELECT a.sk AS x, b.sk AS y FROM o a JOIN o b
+        |        ON a.ok = b.ok AND a.sk < b.sk
+        |      GROUP BY 1, 2 HAVING count(*) >= 25),
+        |bo AS (SELECT x, y FROM e UNION ALL SELECT y, x FROM e),
+        |deg AS (SELECT x AS n, CAST(count(*) AS BIGINT) AS d
+        |        FROM bo GROUP BY 1),
+        |tg AS (SELECT dx.d AS xx, dy.d AS yy FROM bo
+        |       JOIN deg dx ON bo.x = dx.n JOIN deg dy ON bo.y = dy.n),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  sum(CAST(xx AS HUGEINT)) AS sx, sum(CAST(yy AS HUGEINT)) AS sy,
+        |  sum(CAST(xx AS HUGEINT)*yy) AS sxy,
+        |  sum(CAST(xx AS HUGEINT)*xx) AS sxx,
+        |  sum(CAST(yy AS HUGEINT)*yy) AS syy FROM tg),
+        |c AS (SELECT n,
+        |  (1000000 * (n*sxy - sx*sy)) // (n*n) AS cxy,
+        |  (1000000 * (n*sxx - sx*sx)) // (n*n) AS vx,
+        |  (1000000 * (n*syy - sy*sy)) // (n*n) AS vy FROM m)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sign(cxy) AS BIGINT) AS sign,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |       ELSE CAST((1000000 * cxy * cxy) // (vx * vy) AS BIGINT)
+        |       END AS r2_ppm
+        |FROM c""".stripMargin,
+    "q324_decompose" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    epoch_us(ts)//86400000000 AS dd,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1,2),
+        |tr AS (SELECT g, dd, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY dd
+        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS ts,
+        |    count(*) OVER (PARTITION BY g ORDER BY dd
+        |      RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tc
+        |  FROM daily),
+        |dt AS (SELECT g, dd, cnt,
+        |    CAST(sign(ts) AS BIGINT) * ((1000*abs(ts))//tc) AS trend,
+        |    1000*cnt - CAST(sign(ts) AS BIGINT) * ((1000*abs(ts))//tc)
+        |      AS detr,
+        |    dd % 7 AS ph FROM tr),
+        |se AS (SELECT g, ph, CAST(sign(sum(detr)) AS BIGINT)
+        |         * (abs(sum(detr)) // count(*)) AS seasonal
+        |       FROM dt GROUP BY 1,2)
+        |SELECT dt.g AS event_type, dt.dd AS dd, dt.cnt AS cnt,
+        |  CAST(dt.trend AS BIGINT) AS trend_milli,
+        |  CAST(se.seasonal AS BIGINT) AS seasonal_milli,
+        |  CAST(dt.detr - se.seasonal AS BIGINT) AS remainder_milli
+        |FROM dt JOIN se ON dt.g = se.g AND dt.ph = se.ph""".stripMargin)
 }

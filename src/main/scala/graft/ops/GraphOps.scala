@@ -385,6 +385,35 @@ object GraphOps {
     degrees(nodes)
   }
 
+  /** DEGREE ASSORTATIVITY — do hubs attach to hubs (r > 0, social
+    * graphs) or to leaves (r < 0, hub-and-spoke infrastructure)?
+    * Newman's r is the Pearson correlation of endpoint degrees over
+    * the edge list with BOTH orientations (the undirected convention
+    * makes it symmetric), surfaced through the repo's exact
+    * [[Stats.pearsonR2Ppm]] as sign + r² ppm.
+    *
+    * Output: one row (n, sign, r2_ppm) — n = 2·edges (both
+    * orientations); NULL r² on degree-regular graphs (zero variance).
+    *
+    * Scale shape: one degree groupBy, two node-keyed joins to tag
+    * endpoints, then the one-pass exact moment aggregate. */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("__x"), col(dstCol).as("__y"))
+    val both = e.unionByName(
+      e.select(col("__y").as("__x"), col("__x").as("__y")))
+    val deg = both.groupBy(col("__x").as("__n"))
+      .agg(count(lit(1)).as("__d"))
+    val tagged = both
+      .join(deg.select(col("__n").as("__x"), col("__d").as("__dx")),
+        Seq("__x"))
+      .join(deg.select(col("__n").as("__y"), col("__d").as("__dy")),
+        Seq("__y"))
+      .withColumn("__g", lit("graph"))
+    Stats.pearsonR2Ppm(tagged, "__g", "__dx", "__dy")
+      .select(col("n"), col("sign"), col("r2_ppm"))
+  }
+
   /** NEWMAN MODULARITY of a given node→community assignment over an
     * undirected simple graph, exact integer: Q = Σ_c [e_c/m −
     * (d_c/2m)²] — "how much denser are intra-community edges than a

@@ -251,6 +251,60 @@ object Resample {
               .stripMargin.replace("\n", " "))).as("index_ppm"))
   }
 
+  /** ADDITIVE DECOMPOSITION (STL-lite) per group — split a series into
+    * trend + seasonal + remainder with pinned integer arithmetic:
+    * trend = centered moving mean over ±h periods (RANGE frame — a
+    * gap shrinks the window rather than reaching across it; edges
+    * shrink too, the classical-decomposition convention), detrended =
+    * 1000·x − trend, seasonal = per-phase mean of the detrended
+    * values, remainder = detrended − seasonal. Every division is
+    * sign-magnitude (sgn·(|Σ| div c)) so engines can't disagree on
+    * negative rounding; everything else is signed ADDITION.
+    *
+    * Read [[seasonalStrengthPpm]] first to know whether the seasonal
+    * component means anything; this op gives you the component VALUES
+    * for plotting/anomaly baselines.
+    *
+    * Output per (group, period): (group, period, value, trend_milli,
+    * seasonal_milli, remainder_milli).
+    *
+    * Scale shape: one group-partitioned RANGE window (bounded by a
+    * group's series), one (group, phase) groupBy broadcast back, all
+    * else map-only. */
+  def decomposeAdditive(obs: DataFrame, groupCol: String,
+                        periodCol: String, valueCol: String,
+                        season: Int, halfWindow: Int): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    require(halfWindow >= 1 && halfWindow <= 10000,
+      s"halfWindow must be in [1, 10000], got $halfWindow")
+    val base = obs.select(col(groupCol).as("__g"),
+        col(periodCol).cast("long").as("__p"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__g").isNotNull && col("__p").isNotNull &&
+        col("__x").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__p"))
+      .rangeBetween(-halfWindow.toLong, halfWindow.toLong)
+    val detr = base
+      .withColumn("__ts", sum(col("__x")).over(w))
+      .withColumn("__tc", count(lit(1)).over(w))
+      .withColumn("__trend", signum(col("__ts")).cast("long") *
+        expr("(1000 * abs(__ts)) div __tc"))
+      .withColumn("__detr", lit(1000L) * col("__x") - col("__trend"))
+      .withColumn("__ph", pmod(col("__p"), lit(season.toLong)))
+    val seas = detr.groupBy(col("__g").as("__gs"), col("__ph").as("__phs"))
+      .agg(sum(col("__detr")).as("__ss"), count(lit(1)).as("__sc"))
+      .select(col("__gs"), col("__phs"),
+        (signum(col("__ss")).cast("long") *
+          expr("abs(__ss) div __sc")).as("__seasonal"))
+    detr.join(broadcast(seas),
+        col("__g") <=> col("__gs") && col("__ph") === col("__phs"))
+      .select(col("__g").as(groupCol), col("__p").as(periodCol),
+        col("__x").as(valueCol), col("__trend").as("trend_milli"),
+        col("__seasonal").as("seasonal_milli"),
+        (col("__detr") - col("__seasonal")).as("remainder_milli"))
+  }
+
   /** SEASONAL STRENGTH per group — "how much of this series' variance
     * does the seasonal cycle explain?": the η² of the season-slot
     * factor, SSB/SST over slots phase = period mod season. 0 = no

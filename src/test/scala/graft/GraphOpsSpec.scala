@@ -230,6 +230,21 @@ class GraphOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("degreeAssortativity: star is perfectly disassortative, " +
+       "regular graph NULL") {
+    // star 1-{2,3,4,5}: every edge pairs degree 4 with degree 1 →
+    // r = −1 exactly (r² = 1e6, sign −1)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("x", "y")
+    val r = GraphOps.degreeAssortativity(star, "x", "y")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(r == ((8L, -1L, Some(1000000L))), s"got $r")
+    // 4-cycle: degree-regular → zero variance → NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("x", "y")
+    val c = GraphOps.degreeAssortativity(cyc, "x", "y")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(c._3.isEmpty && c._1 == 8L)
+  }
+
   test("personalizedPageRank: mass circulates from seeds only, " +
        "unreachable stays exactly 0") {
     // 3-cycle 1→2→3→1 plus isolated pair 4→5; seed = {1}, d = 500

@@ -137,6 +137,32 @@ class ResampleSpec extends SparkTestBase {
     assert(got("cst") == (("cst", 2L, 2L, 0L, 0L, None)))
   }
 
+  test("decomposeAdditive: hand components reconcile, constant series " +
+       "decomposes to zero seasonal/remainder") {
+    // season 2, halfWindow 1, series [10,2,10,2]:
+    // trend milli = 6000, 7333, 4666, 6000; detr = 4000, −5333,
+    // 5334, −4000; seasonal ph0 = 4667, ph1 = −4666
+    val df = Seq(10L, 2L, 10L, 2L).zipWithIndex
+      .map { case (v, p) => ("g", p.toLong, v) }.toDF("g", "p", "v")
+    val got = Resample.decomposeAdditive(df, "g", "p", "v",
+        season = 2, halfWindow = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got(0L) == (("g", 0L, 10L, 6000L, 4667L, -667L)), s"got $got")
+    assert(got(1L) == (("g", 1L, 2L, 7333L, -4666L, -667L)))
+    assert(got(2L) == (("g", 2L, 10L, 4666L, 4667L, 667L)))
+    assert(got(3L) == (("g", 3L, 2L, 6000L, -4666L, 666L)))
+    // trend + seasonal + remainder ≡ 1000·value at every point
+    got.values.foreach { r =>
+      assert(r._4 + r._5 + r._6 == 1000 * r._3, s"decomposition leak: $r")
+    }
+    val cst = Resample.decomposeAdditive(
+      Seq(("c", 0L, 5L), ("c", 1L, 5L), ("c", 2L, 5L)).toDF("g", "p", "v"),
+      "g", "p", "v", season = 2, halfWindow = 1)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(cst.forall(r => r._4 == 5000L && r._5 == 0L && r._6 == 0L))
+  }
+
   private implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
     def toMap2: Map[(A, B), (C, D)] =
       rows.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
