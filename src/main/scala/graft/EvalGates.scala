@@ -506,6 +506,43 @@ object EvalGates {
         .agg(count(lit(1)).as("cnt")),
       "event_type", "dd", "cnt", season = 7, halfWindow = 3)
 
+  // COARSENED EXACT MATCHING (ops/Stats.cemAttMicro): ATT of user
+  // parity on spend, matched within (event_type, weekday) strata —
+  // the observational causal estimator next to q318's DiD; unmatched
+  // mass surfaces in counts, never silently drops.
+  def q325_cem_att(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.cemAttMicro(
+      t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("event_type").isNotNull
+          && col("value").isNotNull)
+        .select((col("user_id") % 2 === 0).as("treat"),
+          concat(col("event_type"), lit("#"),
+            pmod(expr(s"ts div ${dayUs}L"), lit(7L)).cast("string"))
+            .as("stratum"),
+          floor(col("value") * 100).cast("long").as("cents")),
+      "treat", "stratum", "cents")
+
+  // CAPTURE–RECAPTURE (ops/Stats.captureRecapture): Chapman estimate
+  // of the true user population from two PARTIAL purchase samples
+  // (first 7 days vs last 15) — n̂ recovers the fixture's 150 users
+  // from 143- and 145-user catches.
+  def q326_capture_recapture(s: SparkSession, dir: String): DataFrame = {
+    def sample(cond: org.apache.spark.sql.Column) =
+      t(s, dir, "events").where(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && cond)
+    graft.ops.Stats.captureRecapture(
+      sample(expr(s"ts div ${dayUs}L") < 19730L),
+      sample(expr(s"ts div ${dayUs}L") >= 19745L), "user_id")
+  }
+
+  // VOCABULARY RICHNESS (llm/LanguageModel.vocabularyRichness): Chao1
+  // lower bound + Good–Turing unseen mass per language — the corpus-
+  // saturation diagnostic next to q107's frequency spectrum (exercises
+  // the f2 = 0 bias-corrected branch on this closed-vocab fixture).
+  def q327_vocab_richness(s: SparkSession, dir: String): DataFrame =
+    graft.llm.LanguageModel.vocabularyRichness(
+      t(s, dir, "documents"), "text", Seq("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -544,7 +581,10 @@ object EvalGates {
     "q321_conformal"       -> q321_conformal _,
     "q322_mantel_haenszel" -> q322_mantel_haenszel _,
     "q323_assortativity"   -> q323_assortativity _,
-    "q324_decompose"       -> q324_decompose _)
+    "q324_decompose"       -> q324_decompose _,
+    "q325_cem_att"         -> q325_cem_att _,
+    "q326_capture_recapture" -> q326_capture_recapture _,
+    "q327_vocab_richness"  -> q327_vocab_richness _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1357,5 +1397,72 @@ object EvalGates {
         |  CAST(dt.trend AS BIGINT) AS trend_milli,
         |  CAST(se.seasonal AS BIGINT) AS seasonal_milli,
         |  CAST(dt.detr - se.seasonal AS BIGINT) AS remainder_milli
-        |FROM dt JOIN se ON dt.g = se.g AND dt.ph = se.ph""".stripMargin)
+        |FROM dt JOIN se ON dt.g = se.g AND dt.ph = se.ph""".stripMargin,
+    "q325_cem_att" ->
+      """WITH b AS (SELECT (user_id % 2 = 0) AS t,
+        |    event_type || '#' ||
+        |      CAST(epoch_us(ts)//86400000000 % 7 AS VARCHAR) AS s,
+        |    CAST(floor(value*100) AS BIGINT) AS x
+        |  FROM events WHERE user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND value IS NOT NULL),
+        |cells AS (SELECT s,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS HUGEINT) AS nt,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS HUGEINT)
+        |      AS nc,
+        |    CAST(sum(CASE WHEN t THEN x ELSE 0 END) AS HUGEINT) AS st,
+        |    CAST(sum(CASE WHEN NOT t THEN x ELSE 0 END) AS HUGEINT)
+        |      AS sc
+        |  FROM b GROUP BY 1),
+        |ag AS (SELECT sum(nt + nc) AS n, count(*) AS k,
+        |    sum(CASE WHEN nt > 0 AND nc > 0 THEN 1 ELSE 0 END) AS km,
+        |    sum(CASE WHEN nt > 0 AND nc > 0 THEN nt ELSE 0 END) AS ntm,
+        |    sum(CASE WHEN nc = 0 THEN nt ELSE 0 END) AS ntu,
+        |    sum(CASE WHEN nt = 0 THEN nc ELSE 0 END) AS ncu,
+        |    sum(CASE WHEN nt > 0 AND nc > 0
+        |        THEN nt * ((1000000*st)//nt - (1000000*sc)//nc)
+        |        ELSE 0 END) AS acc
+        |  FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_strata,
+        |  CAST(km AS BIGINT) AS n_strata_matched,
+        |  CAST(ntm AS BIGINT) AS n_treat_matched,
+        |  CAST(ntu AS BIGINT) AS n_treat_unmatched,
+        |  CAST(ncu AS BIGINT) AS n_ctrl_unmatched,
+        |  CASE WHEN ntm = 0 THEN NULL
+        |       ELSE CAST(sign(acc) AS BIGINT)
+        |            * CAST(abs(acc) // ntm AS BIGINT) END AS att_micro
+        |FROM ag""".stripMargin,
+    "q326_capture_recapture" ->
+      """WITH fa AS (SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |      AND epoch_us(ts)//86400000000 < 19730),
+        |fb AS (SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |      AND epoch_us(ts)//86400000000 >= 19745),
+        |c AS (SELECT CAST((SELECT count(*) FROM fa) AS HUGEINT) AS n1,
+        |        CAST((SELECT count(*) FROM fb) AS HUGEINT) AS n2,
+        |        CAST((SELECT count(*) FROM fa JOIN fb USING (user_id))
+        |          AS HUGEINT) AS m)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(m AS BIGINT) AS m,
+        |  CAST(((n1+1)*(n2+1))//(m+1) - 1 AS BIGINT) AS n_hat,
+        |  CAST((1000*(n1+1)*(n2+1)*(n1-m)*(n2-m))
+        |    //((m+1)*(m+1)*(m+2)) AS BIGINT) AS var_milli
+        |FROM c""".stripMargin,
+    "q327_vocab_richness" ->
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents),
+        |c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM w GROUP BY 1,2),
+        |ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS s_obs,
+        |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f1,
+        |    CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS f2
+        |  FROM c GROUP BY 1)
+        |SELECT lang, s_obs, n_tokens, f1, f2,
+        |  CAST(1000*s_obs + CASE WHEN f2 > 0 THEN (1000*f1*f1)//(2*f2)
+        |    ELSE (1000*f1*(f1-1))//2 END AS BIGINT) AS chao1_milli,
+        |  CAST((1000000*f1)//n_tokens AS BIGINT) AS gt_unseen_ppm
+        |FROM ag""".stripMargin)
 }

@@ -345,4 +345,41 @@ object LanguageModel {
           .as("avg_log_prob"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
+
+  /** VOCABULARY RICHNESS — how many word types does this corpus
+    * REALLY have, beyond the ones observed? Chao1's nonparametric
+    * lower bound S_obs + f₁²/(2f₂) (singletons² over doubled
+    * doubletons; the bias-corrected f₁(f₁−1)/2 form when no doubleton
+    * exists) plus Good–Turing's unseen probability mass f₁/N — the
+    * pair that tells a tokenizer/vocab builder whether the corpus is
+    * saturating or an OOV long tail is still arriving.
+    *
+    * Exact integer per group: chao1_milli = 1000·S +
+    * (1000·f₁²) div (2f₂)  [or (1000·f₁·(f₁−1)) div 2 at f₂ = 0];
+    * gt_unseen_ppm = (10⁶·f₁) div N.
+    *
+    * Output per group: (group…, s_obs, n_tokens, f1, f2, chao1_milli,
+    * gt_unseen_ppm).
+    *
+    * Scale shape: one (group, word) count groupBy — vocabulary crosses
+    * the shuffle, not tokens — then a group-grain rollup. */
+  def vocabularyRichness(docs: DataFrame, textCol: String,
+                         groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    docs
+      .select(g :+ explode(TextShingles.words(col(textCol))).as("w"): _*)
+      .groupBy(g :+ col("w"): _*).agg(count(lit(1)).as("__c"))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("s_obs"), sum(col("__c")).as("n_tokens"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(g ++ Seq(col("s_obs"), col("n_tokens"), col("f1"),
+        col("f2"),
+        (lit(1000L) * col("s_obs") +
+          when(col("f2") > 0,
+            expr("(1000 * f1 * f1) div (2 * f2)"))
+            .otherwise(expr("(1000 * f1 * (f1 - 1)) div 2")))
+          .as("chao1_milli"),
+        expr("(1000000 * f1) div n_tokens").as("gt_unseen_ppm")): _*)
+  }
 }

@@ -2580,6 +2580,105 @@ object Stats {
           .as("or_milli"))
   }
 
+  /** COARSENED-EXACT-MATCHING ATT — the observational companion to
+    * [[didMicro]]/[[cupedAdjustMilli]]: coarsen confounders into a
+    * stratum key upstream, keep only strata containing BOTH arms, and
+    * estimate the average treatment effect on the treated as the
+    * treated-weighted mean of within-stratum arm differences (Iacus/
+    * King/Porro's CEM with the standard ATT weights). Everything
+    * outside a matched stratum is reported, not silently dropped.
+    *
+    * Exact integer: per matched stratum the arm means pin at micro
+    * grain (non-negative division), their difference is signed
+    * ADDITION, the n_t-weighted sum divides once by sign-magnitude
+    * (att = sgn·(|Σ| div N_t^matched)).
+    *
+    * Output: one row (n, n_strata, n_strata_matched, n_treat_matched,
+    * n_treat_unmatched, n_ctrl_unmatched, att_micro) — att NULL when
+    * nothing matches.
+    *
+    * Scale shape: ONE (stratum, arm) groupBy (map-side partial),
+    * stratum-grain algebra, 1-row finish. */
+  def cemAttMicro(df: DataFrame, treatCol: String, stratumCol: String,
+                  valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.select(col(stratumCol).as("__s"),
+        col(treatCol).cast("boolean").as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__s").isNotNull && col("__t").isNotNull &&
+        col("__x").isNotNull)
+      .groupBy(col("__s"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).cast(d38).as("__nt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).cast(d38).as("__nc"),
+        sum(when(col("__t"), col("__x")).otherwise(0L)).cast(d38)
+          .as("__st"),
+        sum(when(!col("__t"), col("__x")).otherwise(0L)).cast(d38)
+          .as("__sc"))
+    cells.agg(
+        sum(col("__nt") + col("__nc")).as("__n"),
+        count(lit(1)).as("__k"),
+        sum(when(col("__nt") > 0 && col("__nc") > 0, 1L).otherwise(0L))
+          .as("__km"),
+        sum(when(col("__nt") > 0 && col("__nc") > 0, col("__nt"))
+          .otherwise(lit(0).cast(d38))).as("__ntm"),
+        sum(when(col("__nc") === 0, col("__nt")).otherwise(lit(0).cast(d38)))
+          .as("__ntu"),
+        sum(when(col("__nt") === 0, col("__nc")).otherwise(lit(0).cast(d38)))
+          .as("__ncu"),
+        sum(when(col("__nt") > 0 && col("__nc") > 0,
+          col("__nt") * (expr("(1000000 * __st) div __nt") -
+            expr("(1000000 * __sc) div __nc")))
+          .otherwise(lit(0).cast(d38))).as("__acc"))
+      .select(col("__n").cast("long").as("n"),
+        col("__k").cast("long").as("n_strata"),
+        col("__km").cast("long").as("n_strata_matched"),
+        col("__ntm").cast("long").as("n_treat_matched"),
+        col("__ntu").cast("long").as("n_treat_unmatched"),
+        col("__ncu").cast("long").as("n_ctrl_unmatched"),
+        when(col("__ntm") === 0, lit(null).cast("long"))
+          .otherwise(signum(col("__acc")).cast("long") *
+            expr("CAST(abs(__acc) div __ntm AS BIGINT)"))
+          .as("att_micro"))
+  }
+
+  /** CHAPMAN CAPTURE–RECAPTURE population estimate — "how big is the
+    * whole population given two overlapping samples?": mark n₁, catch
+    * n₂, observe m recaptures; N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (Chapman's
+    * bias-corrected Lincoln–Petersen, finite even at m = 0). The
+    * dedup-world reading: two independent crawls overlapping this
+    * little imply this many documents exist in total.
+    *
+    * Exact integer: n_hat = ((n₁+1)(n₂+1)) div (m+1) − 1; the
+    * classic variance is surfaced ppm-scaled the same pinned way.
+    *
+    * Output: one row (n1, n2, m, n_hat, var_milli).
+    *
+    * Scale shape: two presence flags per id (one groupBy over the
+    * union — ids shuffle once), then a 1-row count aggregate. */
+  def captureRecapture(a: DataFrame, b: DataFrame,
+                       idCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val flags = a.select(col(idCol).as("__id")).where(col("__id").isNotNull)
+      .distinct().withColumn("__w", lit(1L))
+      .unionByName(b.select(col(idCol).as("__id"))
+        .where(col("__id").isNotNull).distinct().withColumn("__w", lit(2L)))
+      .groupBy(col("__id")).agg(sum(col("__w")).as("__f"))
+    flags.agg(
+        sum(when(col("__f") === 1L || col("__f") === 3L, 1L)
+          .otherwise(0L)).cast(d38).as("__n1"),
+        sum(when(col("__f") >= 2L, 1L).otherwise(0L)).cast(d38).as("__n2"),
+        sum(when(col("__f") === 3L, 1L).otherwise(0L)).cast(d38).as("__m"))
+      .select(col("__n1").cast("long").as("n1"),
+        col("__n2").cast("long").as("n2"),
+        col("__m").cast("long").as("m"),
+        expr("""CAST(((__n1 + 1) * (__n2 + 1)) div (__m + 1) - 1
+              |AS BIGINT)""".stripMargin.replace("\n", " ")).as("n_hat"),
+        expr("""CAST((1000 * (__n1 + 1) * (__n2 + 1) * (__n1 - __m)
+              |* (__n2 - __m))
+              |div ((__m + 1) * (__m + 1) * (__m + 2)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("var_milli"))
+  }
+
   /** DIFFERENCE-IN-DIFFERENCES, exact integer — the natural-experiment
     * estimator: how much more did the TREATED group's metric move
     * across the event than the CONTROL group's?

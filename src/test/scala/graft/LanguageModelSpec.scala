@@ -278,4 +278,19 @@ class LanguageModelSpec extends SparkTestBase {
     assert(dec2.split(" ").count(_ == "?") == 2)
     assert(!dec2.contains("999"))
   }
+
+  test("vocabularyRichness: hand Chao1, f2=0 bias-corrected branch, " +
+       "Good-Turing unseen mass") {
+    val df = Seq(("g1", "a a b c"),   // S=3 N=4 f1=2 f2=1
+      ("g2", "x y")                   // S=2 N=2 f1=2 f2=0
+    ).toDF("lang", "text")
+    val got = LanguageModel.vocabularyRichness(df, "text", Seq("lang"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // chao1 = 3 + 2²/(2·1) = 5; unseen = 2/4
+    assert(got("g1") == (("g1", 3L, 4L, 2L, 1L, 5000L, 500000L)),
+      s"got $got")
+    // f2=0 branch: 2 + 2·1/2 = 3; unseen = 2/2
+    assert(got("g2") == (("g2", 2L, 2L, 2L, 0L, 3000L, 1000000L)))
+  }
 }

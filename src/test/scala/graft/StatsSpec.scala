@@ -1435,6 +1435,38 @@ class StatsSpec extends SparkTestBase {
     assert(r == ((5L, 199999L, 300000L)), s"got $r")
   }
 
+  test("cemAttMicro: matched strata only, unmatched mass surfaces") {
+    val df = Seq(
+      ("s1", true, 10L), ("s1", true, 20L), ("s1", false, 5L),
+      ("s2", true, 8L),                 // no control → treat unmatched
+      ("s3", false, 7L)                 // no treat → ctrl unmatched
+    ).toDF("s", "t", "x")
+    val r = Stats.cemAttMicro(df, "t", "s", "x")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().head
+    // s1: means 15 vs 5 → +10; ATT = (2·10e6)/2 = 10e6
+    assert(r == ((5L, 3L, 1L, 2L, 1L, 1L, Some(10000000L))), s"got $r")
+    val none = Stats.cemAttMicro(
+      Seq(("s", true, 1L)).toDF("s", "t", "x"), "t", "s", "x")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().head
+    assert(none._7.isEmpty && none._5 == 1L)
+  }
+
+  test("captureRecapture: hand Chapman estimate and variance") {
+    val a = Seq(1L, 2L, 3L).toDF("id")
+    val b = Seq(2L, 3L, 4L, 5L).toDF("id")
+    val r = Stats.captureRecapture(a, b, "id")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // n̂ = 4·5/3 − 1 = 5 (the true population);
+    // var = 1000·4·5·1·2 // (9·4) = 1111
+    assert(r == ((3L, 4L, 2L, 5L, 1111L)), s"got $r")
+    // duplicate observations collapse before counting
+    val r2 = Stats.captureRecapture(a.union(a), b, "id")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r2 == r)
+  }
+
   test("conformalResidualQuantile: (n+1) adjustment, tiny-n NULL") {
     // residuals |a−f| = 1..9 (n=9): k = ceil(10·0.8) = 8 → q̂ = 8
     // (a plain 80% type-1 quantile would give ceil(7.2) = 8th of 9 —
