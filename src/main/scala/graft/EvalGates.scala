@@ -543,6 +543,26 @@ object EvalGates {
     graft.llm.LanguageModel.vocabularyRichness(
       t(s, dir, "documents"), "text", Seq("lang"))
 
+  // HOLM STEP-DOWN (ops/RankTests.holmAdjustPpm): the FWER adjustment
+  // over q296's p-value battery — prefix-max of (m−rank+1)-scaled
+  // p-values, checkpoint-offset scan, no global window.
+  def q328_holm_adjust(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankTests.holmAdjustPpm(
+      t(s, dir, "events")
+        .groupBy(expr(s"ts div ${dayUs}L").as("day"))
+        .agg(expr(
+          """(1000000 * sum(CASE WHEN event_type = 'purchase'
+            |THEN 1 ELSE 0 END)) div count(1)"""
+            .stripMargin.replace("\n", " ")).as("p")),
+      "day", "p")
+
+  // KISH DESIGN EFFECT (ops/Stats.designEffectMilli): variance
+  // inflation of user-clustered event data — the n_eff correction a
+  // user-randomized A/B divides by before quoting power.
+  def q329_design_effect(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.designEffectMilli(
+      t(s, dir, "events").where(col("user_id").isNotNull), "user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -584,7 +604,9 @@ object EvalGates {
     "q324_decompose"       -> q324_decompose _,
     "q325_cem_att"         -> q325_cem_att _,
     "q326_capture_recapture" -> q326_capture_recapture _,
-    "q327_vocab_richness"  -> q327_vocab_richness _)
+    "q327_vocab_richness"  -> q327_vocab_richness _,
+    "q328_holm_adjust"     -> q328_holm_adjust _,
+    "q329_design_effect"   -> q329_design_effect _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1464,5 +1486,33 @@ object EvalGates {
         |  CAST(1000*s_obs + CASE WHEN f2 > 0 THEN (1000*f1*f1)//(2*f2)
         |    ELSE (1000*f1*(f1-1))//2 END AS BIGINT) AS chao1_milli,
         |  CAST((1000000*f1)//n_tokens AS BIGINT) AS gt_unseen_ppm
-        |FROM ag""".stripMargin)
+        |FROM ag""".stripMargin,
+    "q328_holm_adjust" ->
+      """WITH dd AS (SELECT epoch_us(ts)//86400000000 AS dy,
+        |    count(*) AS n,
+        |    sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)
+        |      AS pos
+        |  FROM events GROUP BY 1),
+        |p AS (SELECT dy, (1000000*pos)//n AS p_ppm FROM dd),
+        |m AS (SELECT count(*) AS m FROM p),
+        |r AS (SELECT dy, p_ppm,
+        |        row_number() OVER (ORDER BY p_ppm, dy) AS prank FROM p),
+        |raw AS (SELECT r.dy, r.p_ppm, r.prank,
+        |        least(1000000, r.p_ppm*(m.m - r.prank + 1)) AS rw
+        |        FROM r, m)
+        |SELECT dy AS day, CAST(p_ppm AS BIGINT) AS p_ppm,
+        |  CAST(prank AS BIGINT) AS p_rank,
+        |  CAST(least(1000000, max(rw) OVER (ORDER BY prank)) AS BIGINT)
+        |    AS q_ppm
+        |FROM raw""".stripMargin,
+    "q329_design_effect" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS w
+        |    FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |a AS (SELECT sum(w) AS n, CAST(count(*) AS HUGEINT) AS k,
+        |        sum(w*w) AS w2 FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  CAST(k AS BIGINT) AS n_clusters,
+        |  CAST((1000*k*w2)//(n*n) AS BIGINT) AS deff_milli,
+        |  CAST((1000*n)//((1000*k*w2)//(n*n)) AS BIGINT) AS n_eff
+        |FROM a""".stripMargin)
 }

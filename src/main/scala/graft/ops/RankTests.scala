@@ -578,6 +578,36 @@ object RankTests {
     * Scale shape: tests are already aggregates (thousands, not
     * billions) — two window-free global passes (row-number, suffix
     * min), no per-row state beyond the rank. */
+  /** HOLM STEP-DOWN adjustment — the FWER-controlling companion to
+    * [[bhAdjustPpm]]'s FDR: ascending p-values scale by (m − rank + 1)
+    * and the adjusted value is the running PREFIX MAX (monotone
+    * non-decreasing), capped at 10⁶. Strictly stronger guarantee than
+    * Bonferroni at identical assumptions — use it when even one false
+    * positive is unacceptable (launch gates), BH when a small
+    * false-discovery fraction is fine (metric sweeps).
+    *
+    * Output: (id, p_ppm, p_rank, q_ppm).
+    *
+    * Scale shape: the [[bhAdjustPpm]] machinery with the scan flipped
+    * — checkpoint-offset global rank + exclusive running max, no
+    * global window. */
+  def holmAdjustPpm(df: DataFrame, idCol: String,
+                    pCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+        col(pCol).cast("long").as("__p"))
+      .where(col("__id").isNotNull && col("__p").isNotNull)
+    val (rows, m) = GlobalRank.globalRowNumberWithTotal(base,
+      Seq(col("__p").asc, col("__id").asc), "p_rank")
+    val ranked = rows.withColumn("__raw",
+      least(lit(1000000L), expr(s"__p * (${m}L - p_rank + 1)")))
+    GlobalRank.globalRunningMaxExclusive(
+        ranked, Seq(col("p_rank").asc), "__raw", "__prevMax")
+      .select(col("__id").as(idCol), col("__p").as("p_ppm"),
+        col("p_rank"),
+        least(lit(1000000L), greatest(col("__prevMax"), col("__raw")))
+          .as("q_ppm"))
+  }
+
   def bhAdjustPpm(df: DataFrame, idCol: String, pCol: String): DataFrame = {
     val base = df.select(col(idCol).as("__id"),
         col(pCol).cast("long").as("__p"))

@@ -2641,6 +2641,33 @@ object Stats {
           .as("att_micro"))
   }
 
+  /** KISH DESIGN EFFECT — how much does unequal cluster size inflate
+    * the variance of a cluster-randomized readout vs simple random
+    * sampling? deff = 1 + cv² of the cluster sizes = k·Σn_c²/(Σn_c)²;
+    * the factor the effective sample size divides by (n_eff = n/deff)
+    * before any A/B power or CI claim on user-clustered data. Exactly
+    * 1000 milli for equal clusters.
+    *
+    * Output: one row (n_rows, n_clusters, deff_milli, n_eff) —
+    * n_eff = (1000·n) div deff_milli.
+    *
+    * Scale shape: one cluster-size groupBy (map-side partial), a
+    * 1-row finish. */
+  def designEffectMilli(df: DataFrame, clusterCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.where(col(clusterCol).isNotNull)
+      .groupBy(col(clusterCol)).agg(count(lit(1)).cast(d38).as("__w"))
+      .agg(sum(col("__w")).as("__n"), count(lit(1)).cast(d38).as("__k"),
+        sum(col("__w") * col("__w")).as("__w2"))
+      .select(col("__n").cast("long").as("n_rows"),
+        col("__k").cast("long").as("n_clusters"),
+        expr("CAST((1000 * __k * __w2) div (__n * __n) AS BIGINT)")
+          .as("deff_milli"),
+        expr("""CAST((1000 * __n)
+              |div ((1000 * __k * __w2) div (__n * __n)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("n_eff"))
+  }
+
   /** CHAPMAN CAPTURE–RECAPTURE population estimate — "how big is the
     * whole population given two overlapping samples?": mark n₁, catch
     * n₂, observe m recaptures; N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (Chapman's

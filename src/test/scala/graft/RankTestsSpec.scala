@@ -192,6 +192,24 @@ class RankTestsSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap == got)
   }
 
+  test("holmAdjustPpm: prefix-max monotone, cap at 1e6, Holm >= BH") {
+    // p = [10000, 20000, 20000, 500000, 900000] (m=5):
+    // raw = 50000, 80000, 60000, 1000000, 900000
+    // prefix max → 50000, 80000, 80000, 1000000, 1000000
+    val df = Seq(("a", 10000L), ("b", 20000L), ("c", 20000L),
+      ("d", 500000L), ("e", 900000L)).toDF("id", "p")
+    val got = RankTests.holmAdjustPpm(df, "id", "p")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got == Map("a" -> 50000L, "b" -> 80000L, "c" -> 80000L,
+      "d" -> 1000000L, "e" -> 1000000L), s"got $got")
+    // FWER control is never looser than FDR control: Holm ≥ BH
+    val bh = RankTests.bhAdjustPpm(df, "id", "p")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(got.forall { case (k, v) => v >= bh(k) })
+  }
+
   test("bhAdjustPpm: suffix-min monotone q-values, tie rank by id") {
     val df = Seq(("a", 10000L), ("b", 20000L), ("c", 20000L),
       ("d", 500000L), ("e", 900000L)).toDF("id", "p")

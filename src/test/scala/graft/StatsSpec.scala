@@ -1435,6 +1435,18 @@ class StatsSpec extends SparkTestBase {
     assert(r == ((5L, 199999L, 300000L)), s"got $r")
   }
 
+  test("designEffectMilli: equal clusters = exactly 1, skew inflates") {
+    val eq = Seq(1L, 1L, 2L, 2L, 3L, 3L).toDF("c")
+    val r = Stats.designEffectMilli(eq, "c")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r == ((6L, 3L, 1000L, 6L)), s"got $r")
+    // sizes (4, 1, 1): deff = 3·18/36 = 1.5 → n_eff = 4
+    val sk = Seq(1L, 1L, 1L, 1L, 2L, 3L).toDF("c")
+    val s2 = Stats.designEffectMilli(sk, "c")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(s2 == ((6L, 3L, 1500L, 4L)), s"got $s2")
+  }
+
   test("cemAttMicro: matched strata only, unmatched mass surfaces") {
     val df = Seq(
       ("s1", true, 10L), ("s1", true, 20L), ("s1", false, 5L),
