@@ -563,6 +563,26 @@ object EvalGates {
     graft.ops.Stats.designEffectMilli(
       t(s, dir, "events").where(col("user_id").isNotNull), "user_id")
 
+  // EMPIRICAL-BAYES SHRINKAGE (ops/Stats.shrunkRatesPpm): per-user
+  // purchase rates pulled toward a Beta(5, 20) prior (the 200‰ design
+  // mean, worth 25 observations) — the smoothed-CTR ranking fix.
+  def q330_shrunk_rates(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.shrunkRatesPpm(
+      t(s, dir, "events").where(col("user_id").isNotNull)
+        .select(col("user_id"),
+          (col("event_type") === "purchase").cast("long").as("h")),
+      "user_id", "h", priorAlpha = 5L, priorBeta = 20L)
+
+  // ONE-SAMPLE KS vs DISCRETE UNIFORM (ops/Stats.ksUniformPpm): is
+  // user_id mod 97 uniform on [0, 96]? It is NOT (150 users wrap the
+  // residue ring 1.55 times) — D ≈ 0.159, which is the point: the
+  // audit catches exactly this kind of modulo bias in a partitioner.
+  def q331_ks_uniform(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.ksUniformPpm(
+      t(s, dir, "events").where(col("user_id").isNotNull)
+        .select((col("user_id") % 97).as("v")),
+      "v", lo = 0L, hi = 96L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -606,7 +626,9 @@ object EvalGates {
     "q326_capture_recapture" -> q326_capture_recapture _,
     "q327_vocab_richness"  -> q327_vocab_richness _,
     "q328_holm_adjust"     -> q328_holm_adjust _,
-    "q329_design_effect"   -> q329_design_effect _)
+    "q329_design_effect"   -> q329_design_effect _,
+    "q330_shrunk_rates"    -> q330_shrunk_rates _,
+    "q331_ks_uniform"      -> q331_ks_uniform _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1514,5 +1536,25 @@ object EvalGates {
         |  CAST(k AS BIGINT) AS n_clusters,
         |  CAST((1000*k*w2)//(n*n) AS BIGINT) AS deff_milli,
         |  CAST((1000*n)//((1000*k*w2)//(n*n)) AS BIGINT) AS n_eff
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin,
+    "q330_shrunk_rates" ->
+      """WITH b AS (SELECT user_id AS k,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS h
+        |  FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(h) AS BIGINT) AS x FROM b GROUP BY 1)
+        |SELECT k AS user_id, n, x AS hits,
+        |  CAST((1000000*x)//n AS BIGINT) AS raw_ppm,
+        |  CAST((1000000*(x+5))//(n+25) AS BIGINT) AS shrunk_ppm
+        |FROM g""".stripMargin,
+    "q331_ks_uniform" ->
+      """WITH h AS (SELECT user_id % 97 AS v,
+        |    CAST(count(*) AS HUGEINT) AS c
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cm FROM h),
+        |t AS (SELECT sum(c) AS n FROM h)
+        |SELECT CAST(t.n AS BIGINT) AS n,
+        | CAST((1000000 * max(greatest(abs(cm*97 - (v+1)*t.n),
+        |   abs((cm-c)*97 - v*t.n)))) // (t.n*97) AS BIGINT) AS d_ppm
+        |FROM cum, t GROUP BY t.n""".stripMargin)
 }

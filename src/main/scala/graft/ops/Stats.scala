@@ -2641,6 +2641,85 @@ object Stats {
           .as("att_micro"))
   }
 
+  /** EMPIRICAL-BAYES RATE SHRINKAGE — the smoothed-CTR/conversion
+    * estimator: a key with 1 hit in 2 trials should NOT rank above one
+    * with 480 in 1000, so every key's rate pulls toward a Beta(α, β)
+    * prior by its own evidence: shrunk = (x + α)/(n + α + β). Supply
+    * the prior as integer pseudo-counts (α/(α+β) = the global rate you
+    * shrink toward; α+β = how many observations the prior is worth —
+    * fit upstream by moments or fix by policy). Exact one-division
+    * integer per key.
+    *
+    * Output per key: (key, n, hits, raw_ppm, shrunk_ppm).
+    *
+    * Scale shape: ONE map-side-partial groupBy; the arithmetic is
+    * map-only over the key grain. */
+  def shrunkRatesPpm(df: DataFrame, keyCol: String, hitCol: String,
+                     priorAlpha: Long, priorBeta: Long): DataFrame = {
+    require(priorAlpha >= 0 && priorBeta >= 0 &&
+      priorAlpha + priorBeta > 0,
+      s"prior pseudo-counts must be non-negative and not both zero")
+    df.select(col(keyCol).as("__k"),
+        col(hitCol).cast("long").as("__h"))
+      .where(col("__k").isNotNull && col("__h").isNotNull)
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(col("__h")).as("__x"))
+      .select(col("__k").as(keyCol), col("__n").cast("long").as("n"),
+        col("__x").cast("long").as("hits"),
+        expr("(1000000 * __x) div __n").as("raw_ppm"),
+        expr(s"""(1000000 * (__x + ${priorAlpha}L))
+               |div (__n + ${priorAlpha + priorBeta}L)"""
+          .stripMargin.replace("\n", " ")).as("shrunk_ppm"))
+  }
+
+  /** ONE-SAMPLE KS against the DISCRETE UNIFORM on [lo, hi] — the
+    * hash/bucket-uniformity audit ([[ksTwoSamplePpm]] compares two
+    * samples; this compares one sample to the theory a partitioner or
+    * RNG claims): D = sup |F̂ − F| evaluated on BOTH sides of every
+    * step (the empirical CDF jumps; checking only the top of each
+    * step misses half the deviations). Exact cross-multiplied:
+    *
+    *   D_ppm = (10⁶ · max_v max(|cum·R − (v−lo+1)·n|,
+    *                            |(cum−c)·R − (v−lo)·n|)) div (n·R)
+    *
+    * with R = hi − lo + 1. Values outside [lo, hi] are a contract
+    * violation and fail loudly (they make the reference CDF
+    * meaningless).
+    *
+    * Output: one row (n, d_ppm).
+    *
+    * Scale shape: value histogram (distinct values shuffle, not rows),
+    * the checkpoint-offset running sum, a 1-row max. */
+  def ksUniformPpm(df: DataFrame, valueCol: String, lo: Long,
+                   hi: Long): DataFrame = {
+    require(lo <= hi, s"need lo <= hi, got [$lo, $hi]")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val r = hi - lo + 1
+    val hist = df.select(col(valueCol).cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val bad = hist.where(col("__v") < lo || col("__v") > hi)
+    // loud contract check — one tiny action on the value alphabet
+    val badRows = bad.limit(1).collect()
+    if (badRows.nonEmpty)
+      sys.error(s"ksUniformPpm: value ${badRows.head.getLong(0)} " +
+        s"outside the declared support [$lo, $hi]")
+    val cum = GlobalRank.globalRunningSum(hist, Seq(col("__v").asc),
+      "__c", "__cum")
+    val tot = hist.agg(sum(col("__c")).cast(d38).as("__n"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("__n"),
+        greatest(
+          abs(col("__cum").cast(d38) * r -
+            (col("__v") - lo + 1).cast(d38) * col("__n")),
+          abs((col("__cum") - col("__c")).cast(d38) * r -
+            (col("__v") - lo).cast(d38) * col("__n"))).as("__dev"))
+      .agg(first(col("__n")).as("__n"), max(col("__dev")).as("__d"))
+      .select(col("__n").cast("long").as("n"),
+        expr(s"CAST((1000000 * __d) div (__n * ${r}L) AS BIGINT)")
+          .as("d_ppm"))
+  }
+
   /** KISH DESIGN EFFECT — how much does unequal cluster size inflate
     * the variance of a cluster-randomized readout vs simple random
     * sampling? deff = 1 + cv² of the cluster sizes = k·Σn_c²/(Σn_c)²;

@@ -1435,6 +1435,43 @@ class StatsSpec extends SparkTestBase {
     assert(r == ((5L, 199999L, 300000L)), s"got $r")
   }
 
+  test("shrunkRatesPpm: sparse keys pull to the prior, heavy keys " +
+       "stay near raw") {
+    // prior Beta(2, 8): mean 200000 ppm, worth 10 observations
+    val df = (Seq(("sparse", 1L), ("sparse", 1L)) ++   // 2/2 raw = 1e6
+      (1 to 100).map(i => ("heavy", if (i <= 50) 1L else 0L)))
+      .toDF("k", "h")
+    val got = Stats.shrunkRatesPpm(df, "k", "h", 2L, 8L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // sparse: (2+2)/(2+10) = 1/3; heavy: (50+2)/(100+10)
+    assert(got("sparse") == (("sparse", 2L, 2L, 1000000L, 333333L)),
+      s"got $got")
+    assert(got("heavy") == (("heavy", 100L, 50L, 500000L, 472727L)))
+    intercept[IllegalArgumentException](
+      Stats.shrunkRatesPpm(df, "k", "h", 0L, 0L))
+  }
+
+  test("ksUniformPpm: perfect uniform = 0, point mass detected on " +
+       "both step sides, out-of-support fails loud") {
+    val uni = (0L to 9L).toDF("v")
+    assert(Stats.ksUniformPpm(uni, "v", 0L, 9L)
+      .as[(Long, Long)].collect().head == ((10L, 0L)))
+    // all mass at the TOP value: F̂ below F everywhere until the jump —
+    // the bottom-of-step check catches D = 9/10
+    val top = Seq.fill(5)(9L).toDF("v")
+    assert(Stats.ksUniformPpm(top, "v", 0L, 9L)
+      .as[(Long, Long)].collect().head == ((5L, 900000L)))
+    // all mass at the BOTTOM: top-of-step side, same D
+    val bot = Seq.fill(5)(0L).toDF("v")
+    assert(Stats.ksUniformPpm(bot, "v", 0L, 9L)
+      .as[(Long, Long)].collect().head == ((5L, 900000L)))
+    val e = intercept[RuntimeException](
+      Stats.ksUniformPpm(Seq(11L).toDF("v"), "v", 0L, 9L)
+        .collect())
+    assert(e.getMessage.contains("outside the declared support"))
+  }
+
   test("designEffectMilli: equal clusters = exactly 1, skew inflates") {
     val eq = Seq(1L, 1L, 2L, 2L, 3L, 3L).toDF("c")
     val r = Stats.designEffectMilli(eq, "c")
