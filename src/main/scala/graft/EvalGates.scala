@@ -583,6 +583,36 @@ object EvalGates {
         .select((col("user_id") % 97).as("v")),
       "v", lo = 0L, hi = 96L)
 
+  // RICH CLUB (ops/GraphOps.richClubPpm): the supplier co-purchase
+  // hubs densify from 36% at k=5 to 59% at k=40 — the cutoff profile
+  // behind q323's single assortativity number. One tagged pass, the
+  // whole k-list rides a literal explode.
+  def q332_rich_club(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .distinct()
+    val edges = o.as("a").join(o.as("b"),
+        col("a.ok") === col("b.ok") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+      .agg(count(lit(1)).as("co")).filter(col("co") >= 25)
+    graft.ops.GraphOps.richClubPpm(edges, "x", "y",
+      Seq(5L, 10L, 20L, 40L))
+  }
+
+  // RECIPROCITY (ops/GraphOps.reciprocityPpm): the q134 document
+  // graph is a near-pure broadcast hierarchy — 1.4% of directed links
+  // are returned; self-loops excluded by contract.
+  def q333_reciprocity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val nFrame = docs.agg(count(lit(1)).as("__n"))
+    val e = docs.select(col("doc_id").as("src"),
+        expr("doc_id div 2").as("dst"))
+      .unionByName(docs.crossJoin(broadcast(nFrame))
+        .select(col("doc_id").as("src"),
+          expr("(doc_id * doc_id + 1) % __n").as("dst")))
+    graft.ops.GraphOps.reciprocityPpm(e, "src", "dst")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -628,7 +658,9 @@ object EvalGates {
     "q328_holm_adjust"     -> q328_holm_adjust _,
     "q329_design_effect"   -> q329_design_effect _,
     "q330_shrunk_rates"    -> q330_shrunk_rates _,
-    "q331_ks_uniform"      -> q331_ks_uniform _)
+    "q331_ks_uniform"      -> q331_ks_uniform _,
+    "q332_rich_club"       -> q332_rich_club _,
+    "q333_reciprocity"     -> q333_reciprocity _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1556,5 +1588,45 @@ object EvalGates {
         |SELECT CAST(t.n AS BIGINT) AS n,
         | CAST((1000000 * max(greatest(abs(cm*97 - (v+1)*t.n),
         |   abs((cm-c)*97 - v*t.n)))) // (t.n*97) AS BIGINT) AS d_ppm
-        |FROM cum, t GROUP BY t.n""".stripMargin)
+        |FROM cum, t GROUP BY t.n""".stripMargin,
+    "q332_rich_club" ->
+      """WITH o AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        |           FROM lineitem),
+        |e AS (SELECT a.sk AS x, b.sk AS y FROM o a JOIN o b
+        |        ON a.ok = b.ok AND a.sk < b.sk
+        |      GROUP BY 1, 2 HAVING count(*) >= 25),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+        |        (SELECT x AS n FROM e UNION ALL SELECT y FROM e)
+        |        GROUP BY 1),
+        |ks(k) AS (VALUES (5), (10), (20), (40)),
+        |nk AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS nn
+        |       FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
+        |tg AS (SELECT e.x, e.y, dx.d AS dxx, dy.d AS dyy FROM e
+        |       JOIN deg dx ON e.x = dx.n JOIN deg dy ON e.y = dy.n),
+        |mk AS (SELECT ks.k, CAST(count(*) AS BIGINT) AS mm
+        |       FROM ks JOIN tg ON tg.dxx > ks.k AND tg.dyy > ks.k
+        |       GROUP BY 1)
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        |  CAST(coalesce(nk.nn, 0) AS BIGINT) AS n_nodes,
+        |  CAST(coalesce(mk.mm, 0) AS BIGINT) AS n_edges,
+        |  CASE WHEN coalesce(nk.nn, 0) < 2 THEN NULL
+        |       ELSE CAST((2000000*coalesce(mk.mm,0))
+        |         //(nk.nn*(nk.nn-1)) AS BIGINT) END AS phi_ppm
+        |FROM ks LEFT JOIN nk ON ks.k = nk.k
+        |        LEFT JOIN mk ON ks.k = mk.k""".stripMargin,
+    "q333_reciprocity" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |e0 AS (SELECT doc_id AS x, doc_id//2 AS y FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*doc_id + 1) % nn.n
+        |  FROM documents, nn),
+        |e AS (SELECT DISTINCT x, y FROM e0 WHERE x <> y),
+        |j AS (SELECT e.x, e.y,
+        |        CASE WHEN r.x IS NULL THEN 0 ELSE 1 END AS rc
+        |      FROM e LEFT JOIN e r ON e.x = r.y AND e.y = r.x)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(rc) AS BIGINT) AS n_reciprocal,
+        |  CAST((1000000*sum(rc))//count(*) AS BIGINT)
+        |    AS reciprocity_ppm
+        |FROM j""".stripMargin)
 }

@@ -385,6 +385,88 @@ object GraphOps {
     degrees(nodes)
   }
 
+  /** RICH-CLUB COEFFICIENT at each degree cutoff k — do the
+    * best-connected nodes form a club? φ(k) = 2·m_k / (n_k·(n_k−1))
+    * where n_k counts nodes of degree > k and m_k the edges among
+    * them; φ near 1 at high k means the hubs are densely interlinked
+    * (core infrastructure), φ ≈ overall density means they aren't.
+    * Complements [[degreeAssortativity]] (one number) with the full
+    * cutoff profile.
+    *
+    * Output: one row per k in `ks`: (k, n_nodes, n_edges, phi_ppm) —
+    * phi NULL when fewer than two nodes survive the cutoff.
+    *
+    * Input contract: deduplicated undirected edges (src < dst).
+    *
+    * Scale shape: one degree groupBy, two endpoint joins to tag edges
+    * with BOTH degrees, then each cutoff is a conditional aggregate
+    * over the tagged frame — the k list rides ONE literal explode, so
+    * the whole profile costs one pass regardless of |ks|. */
+  def richClubPpm(edges: DataFrame, srcCol: String, dstCol: String,
+                  ks: Seq[Long]): DataFrame = {
+    require(ks.nonEmpty && ks.distinct.size == ks.size,
+      "need a non-empty list of distinct cutoffs")
+    val e = edges.select(col(srcCol).as("__x"), col(dstCol).as("__y"))
+    val deg = e.select(col("__x").as("__n"))
+      .unionByName(e.select(col("__y").as("__n")))
+      .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
+    val kArr = array(ks.map(lit): _*)
+    // node side: survivors per cutoff
+    val nodesK = deg.select(explode(kArr).as("k"), col("__d"))
+      .where(col("__d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("__nk"))
+    // edge side: both endpoints above the cutoff
+    val tagged = e
+      .join(deg.select(col("__n").as("__x"), col("__d").as("__dx")),
+        Seq("__x"))
+      .join(deg.select(col("__n").as("__y"), col("__d").as("__dy")),
+        Seq("__y"))
+    val edgesK = tagged.select(explode(kArr).as("k"), col("__dx"),
+        col("__dy"))
+      .where(col("__dx") > col("k") && col("__dy") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("__mk"))
+    val spine = e.sparkSession.createDataFrame(
+      ks.map(Tuple1(_))).toDF("k")
+    spine.join(nodesK, Seq("k"), "left").join(edgesK, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("__nk"), lit(0L)).as("n_nodes"),
+        coalesce(col("__mk"), lit(0L)).as("n_edges"),
+        when(coalesce(col("__nk"), lit(0L)) < 2,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "(2000000 * coalesce(__mk, 0)) div (__nk * (__nk - 1))"))
+          .as("phi_ppm"))
+  }
+
+  /** RECIPROCITY of a DIRECTED graph — what fraction of edges are
+    * returned? (u→v with v→u also present). Near 1 = mutual-follow
+    * social graphs; near 0 = broadcast/hierarchy. The one-number
+    * direction diagnostic for transition/interaction graphs
+    * ([[triangleStats]] and friends treat edges as undirected and
+    * can't see this).
+    *
+    * Output: one row (n_edges, n_reciprocal, reciprocity_ppm) —
+    * NULL on an empty edge set. Self-loops are excluded (they are
+    * trivially "reciprocal" and would inflate the score).
+    *
+    * Scale shape: one self-join on the reversed key — edges shuffle
+    * once each side, a 1-row finish. */
+  def reciprocityPpm(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("__x"), col(dstCol).as("__y"))
+      .where(col("__x") =!= col("__y")).distinct()
+    val rev = e.select(col("__y").as("__x"), col("__x").as("__y"))
+      .withColumn("__r", lit(1L))
+    e.join(rev, Seq("__x", "__y"), "left")
+      .agg(count(lit(1)).as("__m"),
+        coalesce(sum(coalesce(col("__r"), lit(0L))), lit(0L)).as("__rc"))
+      .select(col("__m").cast("long").as("n_edges"),
+        col("__rc").cast("long").as("n_reciprocal"),
+        when(col("__m") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * __rc) div __m"))
+          .as("reciprocity_ppm"))
+  }
+
   /** DEGREE ASSORTATIVITY — do hubs attach to hubs (r > 0, social
     * graphs) or to leaves (r < 0, hub-and-spoke infrastructure)?
     * Newman's r is the Pearson correlation of endpoint degrees over

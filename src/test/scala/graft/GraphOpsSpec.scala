@@ -230,6 +230,35 @@ class GraphOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("richClubPpm: barbell profile — the bridge nodes form the club") {
+    // two triangles bridged at 3-4: deg(3)=deg(4)=3, others 2.
+    // k=1: all 6 nodes, 7 edges → φ = 14/30; k=2: nodes {3,4}, edge
+    // 3-4 → φ = 1; k=3: nobody → NULL
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("x", "y")
+    val got = GraphOps.richClubPpm(edges, "x", "y", Seq(1L, 2L, 3L))
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 7L, Some(466666L))), s"got $got")
+    assert(got(2L) == ((2L, 2L, 1L, Some(1000000L))))
+    assert(got(3L) == ((3L, 0L, 0L, None)))
+    intercept[IllegalArgumentException](
+      GraphOps.richClubPpm(edges, "x", "y", Seq.empty))
+  }
+
+  test("reciprocityPpm: mutual pair counts both ways, self-loops " +
+       "excluded, empty NULL") {
+    // 1⇄2 mutual (both edges reciprocal), 1→3 one-way, 4→4 self-loop
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (4L, 4L)).toDF("s", "d")
+    val r = GraphOps.reciprocityPpm(e, "s", "d")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(r == ((3L, 2L, Some(666666L))), s"got $r")
+    val empty = GraphOps.reciprocityPpm(
+      Seq((1L, 1L)).toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(empty == ((0L, 0L, None)))
+  }
+
   test("degreeAssortativity: star is perfectly disassortative, " +
        "regular graph NULL") {
     // star 1-{2,3,4,5}: every edge pairs degree 4 with degree 1 →
