@@ -613,6 +613,14 @@ object EvalGates {
     graft.ops.GraphOps.reciprocityPpm(e, "src", "dst")
   }
 
+  // RESTRICTED MEAN SURVIVAL TIME (ops/EventAnalytics.rmstMilli):
+  // ∫₀³⁰ S(t)dt over the q285 KM curve — 28.77 days of average
+  // lifetime inside the 30-day window, exact step-function area.
+  def q334_rmst(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.rmstMilli(
+      t(s, dir, "events"), "user_id", "ts", periodUs = dayUs,
+      tauPeriods = 30L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -660,7 +668,8 @@ object EvalGates {
     "q330_shrunk_rates"    -> q330_shrunk_rates _,
     "q331_ks_uniform"      -> q331_ks_uniform _,
     "q332_rich_club"       -> q332_rich_club _,
-    "q333_reciprocity"     -> q333_reciprocity _)
+    "q333_reciprocity"     -> q333_reciprocity _,
+    "q334_rmst"            -> q334_rmst _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1628,5 +1637,33 @@ object EvalGates {
         |  CAST(sum(rc) AS BIGINT) AS n_reciprocal,
         |  CAST((1000000*sum(rc))//count(*) AS BIGINT)
         |    AS reciprocity_ppm
-        |FROM j""".stripMargin)
+        |FROM j""".stripMargin,
+    "q334_rmst" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT user_id,
+        |    max(epoch_us(ts)//86400000000)
+        |      - min(epoch_us(ts)//86400000000) AS tenure
+        |  FROM events GROUP BY 1),
+        |dt AS (SELECT tenure, CAST(count(*) AS BIGINT) AS d_t
+        |       FROM u GROUP BY 1),
+        |risk AS (SELECT tenure, d_t,
+        |    CAST(sum(d_t) OVER (ORDER BY tenure DESC) AS BIGINT) AS n_t,
+        |    row_number() OVER (ORDER BY tenure) AS rn
+        |  FROM dt),
+        |km AS (SELECT 0 AS rn, CAST(1000000 AS HUGEINT) AS s
+        |       UNION ALL
+        |       SELECT risk.rn, (km.s * (risk.n_t - risk.d_t)) // risk.n_t
+        |       FROM km JOIN risk ON risk.rn = km.rn + 1),
+        |steps AS (SELECT risk.tenure AS t, km.s,
+        |    lead(risk.tenure) OVER (ORDER BY risk.tenure) AS nxt
+        |  FROM risk JOIN km ON km.rn = risk.rn),
+        |h AS (SELECT min(t) AS t0 FROM steps),
+        |a AS (SELECT count(*) AS k,
+        |    sum(s * greatest(0, least(coalesce(nxt, 30), 30)
+        |      - least(t, 30))) AS area FROM steps)
+        |SELECT CAST(30 AS BIGINT) AS tau, CAST(a.k AS BIGINT)
+        |    AS n_steps,
+        |  CAST((1000000 * least(h.t0, 30) + coalesce(a.area, 0)) // 1000
+        |    AS BIGINT) AS rmst_milli
+        |FROM a, h""".stripMargin)
 }

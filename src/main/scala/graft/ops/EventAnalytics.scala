@@ -509,6 +509,44 @@ object EventAnalytics {
       .select(col("tenure"), col("d_t"), col("n_t"), col("hazard_ppm"),
         col("cumhaz_ppm"))
 
+  /** RESTRICTED MEAN SURVIVAL TIME — the single clinical/retention
+    * number the KM curve integrates to: RMST(τ) = ∫₀^τ S(t)dt =
+    * "average periods survived within the first τ", robust where
+    * median survival is undefined (curves that never cross 0.5). Exact
+    * over the step function: full survival before the first event
+    * tenure, then each KM step s spans [tenure, next_tenure) clipped
+    * to τ; rmst_milli = (10⁶·head + Σ s·span) div 1000.
+    *
+    * Output: one row (tau, n_steps, rmst_milli).
+    *
+    * Scale shape: the life table is bounded by distinct tenure steps,
+    * so the next-step triangle join and the 1-row finish are
+    * grain-bounded; the heavy lifting (the KM fold) is
+    * [[kmSurvivalPpm]]'s. */
+  def rmstMilli(events: DataFrame, userCol: String, tsCol: String,
+                periodUs: Long, tauPeriods: Long): DataFrame = {
+    require(tauPeriods >= 1, s"tauPeriods must be >= 1, got $tauPeriods")
+    val km = kmSurvivalPpm(events, userCol, tsCol, periodUs)
+      .select(col("tenure"), col("surv_ppm")).localCheckpoint()
+    val nxt = km.as("a").join(km.as("b"),
+        col("b.tenure") > col("a.tenure"), "left")
+      .groupBy(col("a.tenure").as("__t"), col("a.surv_ppm").as("__s"))
+      .agg(min(col("b.tenure")).as("__next"))
+    val head = km.agg(min(col("tenure")).as("__t0"))
+    nxt.crossJoin(broadcast(head))
+      .agg(count(lit(1)).as("__k"), first(col("__t0")).as("__h"),
+        sum(col("__s") *
+          greatest(lit(0L),
+            least(coalesce(col("__next"), lit(tauPeriods)),
+              lit(tauPeriods)) -
+              least(col("__t"), lit(tauPeriods)))).as("__area"))
+      .select(lit(tauPeriods).as("tau"),
+        col("__k").cast("long").as("n_steps"),
+        expr(s"""CAST((1000000 * least(__h, ${tauPeriods}L)
+               | + coalesce(__area, 0)) div 1000 AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("rmst_milli"))
+  }
+
   /** ROLLING DISTINCT ACTIVES — the DAU/WAU/MAU family, EXACT:
     * for every period p present in the data, the count of distinct
     * ids active anywhere in [p − window + 1, p]. Distinct counts

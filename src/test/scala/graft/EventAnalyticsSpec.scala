@@ -584,6 +584,31 @@ class EventAnalyticsSpec extends SparkTestBase {
       (2L, 1L, 1L, 1000000L, 2000000L)), s"got ${got.toSeq}")
   }
 
+  test("rmstMilli: KM step-function area, tau clipping, late first step") {
+    // KM fixture: S = 500000 (t0), 250000 (t1), 0 (t2)
+    val ev = Seq(
+      (1L, 0L), (2L, 0L),
+      (3L, 0L), (3L, 86400000000L),
+      (4L, 0L), (4L, 2 * 86400000000L))
+      .toDF("user_id", "ts")
+    def rmst(tau: Long) = EventAnalytics.rmstMilli(ev, "user_id", "ts",
+        86400000000L, tau)
+      .as[(Long, Long, Long)].collect().head
+    // τ=3: 0.5·1 + 0.25·1 + 0 = 0.75 periods
+    assert(rmst(3L) == ((3L, 3L, 750L)), s"got ${rmst(3L)}")
+    // τ=1 clips to the first step only
+    assert(rmst(1L) == ((1L, 3L, 500L)))
+    // τ past the last step adds nothing (curve at 0)
+    assert(rmst(10L) == ((10L, 3L, 750L)))
+    // cohort whose first deaths land at tenure 2: full survival first
+    val late = Seq((1L, 0L), (1L, 2 * 86400000000L),
+      (2L, 0L), (2L, 2 * 86400000000L)).toDF("user_id", "ts")
+    // S(0..1) = 1, all die at t=2 → RMST(5) = 2.0 periods
+    assert(EventAnalytics.rmstMilli(late, "user_id", "ts",
+        86400000000L, 5L)
+      .as[(Long, Long, Long)].collect().head == ((5L, 1L, 2000L)))
+  }
+
   test("rollingActive: hand WAU, window 1 = per-period distinct, " +
        "observed-period spine only") {
     // day 0: {a,b}; day 1: {a}; day 3: {c}; window 2:

@@ -1535,6 +1535,25 @@ class StatsSpec extends SparkTestBase {
         "f", 0))
   }
 
+  test("conformalResidualQuantile: empirical coverage meets the level " +
+       "on an exchangeable split") {
+    // deterministic LCG "noise": calibration = even ids, test = odd —
+    // exchangeable by construction. Coverage on the test slice must
+    // be >= 1 − α (up to discreteness slack on 250 points).
+    def noise(i: Long): Long = (i * 1103515245L + 12345L) % 1000L
+    val rows = (1L to 500L).map(i => ("g", 5000L + noise(i), 5000L, i))
+    val cal = rows.filter(_._4 % 2 == 0)
+      .map(r => (r._1, r._2, r._3)).toDF("g", "a", "f")
+    val qhat = Stats.conformalResidualQuantile(cal, "g", "a", "f",
+        alphaPm = 200)
+      .as[(String, Long, Option[Long])].collect().head._3.get
+    val test = rows.filter(_._4 % 2 == 1)
+    val covered = test.count(r => math.abs(r._2 - r._3) <= qhat)
+    val coverage = covered.toDouble / test.size
+    assert(coverage >= 0.8 - 0.05,
+      s"conformal coverage broke: $coverage with q_hat=$qhat")
+  }
+
   test("mantelHaenszelMilli: confounder-balanced OR, no-discordant NULL") {
     // two strata, each with a=2,b=1,c=1,d=2 (n=6):
     // f1 = (1e6·4)//6 = 666666 each; f2 = (1e6·1)//6 = 166666 each
