@@ -621,6 +621,18 @@ object EvalGates {
       t(s, dir, "events"), "user_id", "ts", periodUs = dayUs,
       tauPeriods = 30L)
 
+  // COHORT VALUE CURVES (ops/EventAnalytics.cohortValue): weekly
+  // first-purchase cohorts (121/27/2 users) and their cumulative
+  // spend per member by age — the LTV table next to q158's retention
+  // triangle. Divides by who STARTED, exact milli.
+  def q335_cohort_ltv(s: SparkSession, dir: String): DataFrame =
+    graft.ops.EventAnalytics.cohortValue(
+      t(s, dir, "events").where(col("event_type") === "purchase" &&
+          col("value").isNotNull)
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("cents")),
+      "user_id", "ts", "cents", periodUs = dayUs, bucketPeriods = 7L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -669,7 +681,8 @@ object EvalGates {
     "q331_ks_uniform"      -> q331_ks_uniform _,
     "q332_rich_club"       -> q332_rich_club _,
     "q333_reciprocity"     -> q333_reciprocity _,
-    "q334_rmst"            -> q334_rmst _)
+    "q334_rmst"            -> q334_rmst _,
+    "q335_cohort_ltv"      -> q335_cohort_ltv _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1665,5 +1678,23 @@ object EvalGates {
         |    AS n_steps,
         |  CAST((1000000 * least(h.t0, 30) + coalesce(a.area, 0)) // 1000
         |    AS BIGINT) AS rmst_milli
-        |FROM a, h""".stripMargin)
+        |FROM a, h""".stripMargin,
+    "q335_cohort_ltv" ->
+      """WITH b AS (SELECT user_id AS u, epoch_us(ts)//86400000000 AS p,
+        |    CAST(floor(value*100) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL AND value IS NOT NULL),
+        |f AS (SELECT u, min(p//7) AS cohort FROM b GROUP BY 1),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS s
+        |       FROM f GROUP BY 1),
+        |cells AS (SELECT f.cohort, b.p//7 - f.cohort AS age,
+        |    CAST(sum(b.v) AS BIGINT) AS pv
+        |  FROM b JOIN f ON b.u = f.u GROUP BY 1,2),
+        |cum AS (SELECT cohort, age, pv,
+        |    CAST(sum(pv) OVER (PARTITION BY cohort ORDER BY age)
+        |      AS BIGINT) AS cv FROM cells)
+        |SELECT cum.cohort, cum.age, sz.s AS n_users,
+        |  cum.pv AS period_value, cum.cv AS cum_value,
+        |  CAST((1000*cum.cv)//sz.s AS BIGINT) AS ltv_milli
+        |FROM cum JOIN sz ON cum.cohort = sz.cohort""".stripMargin)
 }

@@ -509,6 +509,56 @@ object EventAnalytics {
       .select(col("tenure"), col("d_t"), col("n_t"), col("hazard_ppm"),
         col("cumhaz_ppm"))
 
+  /** COHORT VALUE (LTV) CURVES — [[cohortRetention]] tracks who came
+    * BACK; this tracks what each signup cohort has been WORTH by age:
+    * per (cohort bucket, age bucket) the period value, the running
+    * cumulative, and cumulative value per member in exact milli
+    * (ltv_milli = 1000·cum div cohort_size). The payback-period /
+    * LTV:CAC table every growth review reads.
+    *
+    * Cohort = the bucket of a user's FIRST event; age = bucket offset
+    * from it. Buckets are `bucketPeriods` base periods wide (7 days =
+    * weekly cohorts at a daily grain).
+    *
+    * Output per (cohort, age): (cohort, age, n_users, period_value,
+    * cum_value, ltv_milli) — n_users is the cohort's size (constant
+    * down the curve, deliberately: LTV divides by who STARTED).
+    *
+    * Scale shape: one user-grain aggregate for (first period, user
+    * totals... no — first period only), a user-keyed join back, one
+    * (cohort, age) groupBy, a cohort-partitioned running sum bounded
+    * by the age axis, a broadcast of cohort sizes. */
+  def cohortValue(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, periodUs: Long,
+                  bucketPeriods: Long): DataFrame = {
+    require(periodUs >= 1 && bucketPeriods >= 1,
+      s"periodUs and bucketPeriods must be >= 1")
+    val base = events.select(col(userCol).as("__u"),
+        expr(s"ts div ${periodUs}L").as("__p"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__u").isNotNull && col("__v").isNotNull)
+    val firsts = base.groupBy(col("__u"))
+      .agg(min(expr(s"__p div ${bucketPeriods}L")).as("__cohort"))
+    val sizes = firsts.groupBy(col("__cohort"))
+      .agg(count(lit(1)).as("__sz"))
+    val cells = base.join(firsts, Seq("__u"))
+      .select(col("__cohort"),
+        (expr(s"__p div ${bucketPeriods}L") - col("__cohort")).as("age"),
+        col("__v"))
+      .groupBy(col("__cohort"), col("age"))
+      .agg(sum(col("__v")).as("period_value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cohort")).orderBy(col("age"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    cells.withColumn("cum_value", sum(col("period_value")).over(w))
+      .join(broadcast(sizes), Seq("__cohort"))
+      .select(col("__cohort").as("cohort"), col("age"),
+        col("__sz").cast("long").as("n_users"), col("period_value"),
+        col("cum_value"),
+        expr("(1000 * cum_value) div __sz").as("ltv_milli"))
+  }
+
   /** RESTRICTED MEAN SURVIVAL TIME — the single clinical/retention
     * number the KM curve integrates to: RMST(τ) = ∫₀^τ S(t)dt =
     * "average periods survived within the first τ", robust where

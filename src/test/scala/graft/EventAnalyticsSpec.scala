@@ -584,6 +584,33 @@ class EventAnalyticsSpec extends SparkTestBase {
       (2L, 1L, 1L, 1000000L, 2000000L)), s"got ${got.toSeq}")
   }
 
+  test("cohortValue: curves accumulate per cohort, size stays the " +
+       "denominator, late joiners form their own cohort") {
+    val day = 86400000000L
+    val ev = Seq(
+      (1L, 0L, 100L), (1L, 8 * day, 50L),    // cohort 0, ages 0 and 1
+      (2L, 1 * day, 60L),                     // cohort 0, age 0
+      (3L, 7 * day, 200L), (3L, 15 * day, 40L) // cohort 1, ages 0, 1
+    ).toDF("u", "ts", "v")
+    val got = EventAnalytics.cohortValue(ev, "u", "ts", "v",
+        periodUs = day, bucketPeriods = 7L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // cohort 0 (users 1,2): age0 = 160, age1 = 50 → cum 160, 210;
+    // ltv per member: 80000, 105000 milli
+    assert(got((0L, 0L)) == ((0L, 0L, 2L, 160L, 160L, 80000L)),
+      s"got $got")
+    assert(got((0L, 1L)) == ((0L, 1L, 2L, 50L, 210L, 105000L)))
+    assert(got((1L, 0L)) == ((1L, 0L, 1L, 200L, 200L, 200000L)))
+    assert(got((1L, 1L)) == ((1L, 1L, 1L, 40L, 240L, 240000L)))
+    // partition independence
+    val b = EventAnalytics.cohortValue(ev.repartition(5), "u", "ts",
+        "v", day, 7L)
+      .collect().map(_.toSeq).toSet
+    assert(b == got.values.map(t => Seq[Any](t._1, t._2, t._3, t._4,
+      t._5, t._6)).toSet)
+  }
+
   test("rmstMilli: KM step-function area, tau clipping, late first step") {
     // KM fixture: S = 500000 (t0), 250000 (t1), 0 (t2)
     val ev = Seq(
