@@ -633,6 +633,23 @@ object EvalGates {
           floor(col("value") * 100).cast("long").as("cents")),
       "user_id", "ts", "cents", periodUs = dayUs, bucketPeriods = 7L)
 
+  // RANKER AGREEMENT (llm/Relevance.rankerAgreement): top-20 set
+  // Jaccard between q266's two rankers (exact cosine vs the Hamming
+  // sign sketch) per query — quantifies how much the fusion actually
+  // widens recall before paying for it.
+  def q336_ranker_agreement(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.where(col("vec_id") < 8)
+    val dense = graft.llm.Similarity.bruteForceTopK(
+        qs, emb, "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("cand_id"))
+    val ham = graft.llm.Similarity.hammingTopK(
+        qs, emb, idCol = "vec_id", vecCol = "embedding", dim = 64, k = 20)
+      .select(col("query_id"), col("cand_id"))
+    graft.llm.Relevance.rankerAgreement(dense, ham, "query_id",
+      "cand_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -682,7 +699,8 @@ object EvalGates {
     "q332_rich_club"       -> q332_rich_club _,
     "q333_reciprocity"     -> q333_reciprocity _,
     "q334_rmst"            -> q334_rmst _,
-    "q335_cohort_ltv"      -> q335_cohort_ltv _)
+    "q335_cohort_ltv"      -> q335_cohort_ltv _,
+    "q336_ranker_agreement" -> q336_ranker_agreement _)
 
   val oracleSql: Map[String, String] = Map(
     "q287_brier" ->
@@ -1696,5 +1714,59 @@ object EvalGates {
         |SELECT cum.cohort, cum.age, sz.s AS n_users,
         |  cum.pv AS period_value, cum.cv AS cum_value,
         |  CAST((1000*cum.cv)//sz.s AS BIGINT) AS ltv_milli
-        |FROM cum JOIN sz ON cum.cohort = sz.cohort""".stripMargin)
+        |FROM cum JOIN sz ON cum.cohort = sz.cohort""".stripMargin,
+    "q336_ranker_agreement" ->
+      """WITH norm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |        AS DECIMAL(38,15)))) AS nrm
+        |  FROM embeddings),
+        |cpairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(
+        |        list_zip(q.embedding, c.embedding),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)
+        |          AS DECIMAL(38,15)))) AS DOUBLE)
+        |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))
+        |      AS cosine
+        |  FROM norm q JOIN norm c
+        |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |dense AS (SELECT query_id, cand_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cosine DESC, cand_id ASC) AS rnk FROM cpairs)
+        |  WHERE rnk <= 20),
+        |sk AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1,33),
+        |      i -> CASE WHEN embedding[i] > 0
+        |        THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(range(33,65),
+        |      i -> CASE WHEN embedding[i] > 0
+        |        THEN (1::BIGINT << (i-33)) ELSE 0 END)) AS BIGINT) AS w1
+        |  FROM embeddings),
+        |hpairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+        |      AS hamming
+        |  FROM sk q JOIN sk c
+        |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |ham AS (SELECT query_id, cand_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY hamming ASC, cand_id ASC) AS rnk FROM hpairs)
+        |  WHERE rnk <= 20),
+        |na AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_a
+        |       FROM dense GROUP BY 1),
+        |nb AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_b
+        |       FROM ham GROUP BY 1),
+        |cm AS (SELECT dense.query_id, CAST(count(*) AS BIGINT) AS nc
+        |       FROM dense JOIN ham USING (query_id, cand_id)
+        |       GROUP BY 1)
+        |SELECT na.query_id, na.n_a, nb.n_b,
+        |  CAST(coalesce(cm.nc, 0) AS BIGINT) AS n_common,
+        |  CAST((1000000*coalesce(cm.nc, 0))
+        |    //(na.n_a + nb.n_b - coalesce(cm.nc, 0)) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM na JOIN nb USING (query_id)
+        |        LEFT JOIN cm USING (query_id)""".stripMargin)
 }

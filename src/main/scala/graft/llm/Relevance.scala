@@ -628,6 +628,46 @@ object Relevance {
     * k-bounded ranker outputs, then the k-bounded
     * [[Similarity.topKPerQuery]] aggregation — input is
     * queries·rankers·k rows, never a corpus. */
+  /** RANKER AGREEMENT — before fusing two retrieval systems
+    * ([[rrfFuse]]) or swapping one for a cheaper ANN route, measure
+    * how much they even overlap: per query the top-k set Jaccard
+    * between ranker A's and ranker B's candidates. Near-1 agreement
+    * means the cheap ranker can replace the expensive one; near-0
+    * means fusion genuinely widens recall (the q266 story,
+    * quantified).
+    *
+    * Output per query (full outer — a query one ranker dropped still
+    * reports): (query, n_a, n_b, n_common, jaccard_ppm) — NULL
+    * jaccard when both sides are empty.
+    *
+    * Scale shape: two per-ranker distinct+count groupBys and one
+    * (query, doc)-keyed inner join — candidate lists shuffle,
+    * never corpora. */
+  def rankerAgreement(a: DataFrame, b: DataFrame, queryCol: String,
+                      docCol: String): DataFrame = {
+    def side(df: DataFrame) = df.select(col(queryCol).as("__q"),
+      col(docCol).as("__d")).distinct()
+    val da = side(a); val db = side(b)
+    val na = da.groupBy(col("__q")).agg(count(lit(1)).as("__na"))
+    val nb = db.groupBy(col("__q")).agg(count(lit(1)).as("__nb"))
+    val common = da.join(db, Seq("__q", "__d"))
+      .groupBy(col("__q")).agg(count(lit(1)).as("__nc"))
+    na.join(nb, Seq("__q"), "full_outer")
+      .join(common, Seq("__q"), "left")
+      .select(col("__q").as(queryCol),
+        coalesce(col("__na"), lit(0L)).as("n_a"),
+        coalesce(col("__nb"), lit(0L)).as("n_b"),
+        coalesce(col("__nc"), lit(0L)).as("n_common"),
+        when(coalesce(col("__na"), lit(0L)) +
+            coalesce(col("__nb"), lit(0L)) === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """(1000000 * coalesce(__nc, 0))
+              |div (coalesce(__na, 0) + coalesce(__nb, 0)
+              |     - coalesce(__nc, 0))""".stripMargin
+              .replace("\n", " "))).as("jaccard_ppm"))
+  }
+
   def rrfFuse(rankings: DataFrame, k: Int, rrfK: Long = 60): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")

@@ -446,4 +446,21 @@ class RelevanceSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Relevance.rrfFuse(rankings, 5, rrfK = 0))
   }
+
+  test("rankerAgreement: hand Jaccard, one-sided queries survive the " +
+       "full outer, duplicates collapse") {
+    val a = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 12L), // dup
+      (2L, 20L),
+      (3L, 30L)).toDF("q", "d")
+    val b = Seq((1L, 11L), (1L, 12L), (1L, 13L),
+      (4L, 40L)).toDF("q", "d")
+    val got = Relevance.rankerAgreement(a, b, "q", "d")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // q1: A={10,11,12}, B={11,12,13} → 2/4
+    assert(got(1L) == ((1L, 3L, 3L, 2L, Some(500000L))), s"got $got")
+    assert(got(2L) == ((2L, 1L, 0L, 0L, Some(0L))))
+    assert(got(3L) == ((3L, 1L, 0L, 0L, Some(0L))))
+    assert(got(4L) == ((4L, 0L, 1L, 0L, Some(0L))))
+  }
 }
