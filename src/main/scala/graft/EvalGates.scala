@@ -640,7 +640,11 @@ object EvalGates {
   def q336_ranker_agreement(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val qs = emb.where(col("vec_id") < 8)
-    val dense = graft.llm.Similarity.bruteForceTopK(
+    // dense leg through the unified ANN dispatch (Similarity.topK):
+    // exact below bruteForceThreshold (oracle unchanged), LSH/indexed
+    // past it — the q336 sf1 rehearsal flagged the direct brute call;
+    // this is its documented scale route, spec-pinned in LlmOpsSpec.
+    val dense = graft.llm.Similarity.topK(
         qs, emb, "vec_id", "embedding", k = 20)
       .select(col("query_id"), col("cand_id"))
     val ham = graft.llm.Similarity.hammingTopK(
@@ -650,7 +654,24 @@ object EvalGates {
       "cand_id")
   }
 
+  // DAG HIERARCHY CLOSURE (ops/Hierarchy.ancestors): the diamond-heavy
+  // bill-of-materials case the q202 tree gate can't exercise — every
+  // doc has TWO parents (doc−1 and doc−2), so each (node, ancestor)
+  // pair is reachable along exponentially many paths and only the
+  // per-hop frontier distinct keeps the closure at one row per
+  // (node, ancestor, depth). Oracle = DuckDB WITH RECURSIVE ... UNION
+  // (distinct) — the same dedup-as-you-go semantics.
+  def q337_hierarchy_dag(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").where(col("doc_id") >= 2)
+    val edges = d.select(col("doc_id").as("child"),
+        (col("doc_id") - 1).as("parent"))
+      .unionByName(d.select(col("doc_id").as("child"),
+        (col("doc_id") - 2).as("parent")))
+    graft.ops.Hierarchy.ancestors(edges, "child", "parent", maxDepth = 8)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_hierarchy_dag"   -> q337_hierarchy_dag _,
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
     "q289_fano"            -> q289_fano _,
@@ -703,11 +724,25 @@ object EvalGates {
     "q336_ranker_agreement" -> q336_ranker_agreement _)
 
   val oracleSql: Map[String, String] = Map(
+    "q337_hierarchy_dag" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS c, doc_id - 1 AS p FROM documents WHERE doc_id >= 2
+        |  UNION
+        |  SELECT doc_id AS c, doc_id - 2 AS p FROM documents WHERE doc_id >= 2),
+        |anc AS (
+        |  SELECT c AS node, p AS ancestor, 1 AS depth FROM e
+        |  UNION
+        |  SELECT anc.node, e.p, anc.depth + 1
+        |  FROM anc JOIN e ON e.c = anc.ancestor
+        |  WHERE anc.depth < 8)
+        |SELECT CAST(node AS BIGINT) AS node,
+        |  CAST(ancestor AS BIGINT) AS ancestor,
+        |  CAST(depth AS INT) AS depth FROM anc""".stripMargin,
     "q287_brier" ->
       """WITH s AS (SELECT least(999999, CAST(floor(value*100) AS BIGINT)*20) AS p,
         |                  event_type='purchase' AS y FROM events),
-        |f AS (SELECT p, y FROM s WHERE p IS NOT NULL AND p >= 0 AND p < 1000000),
-        |b AS (SELECT p//100000 AS bk, count(*) AS n,
+        |f AS (SELECT p, y FROM s WHERE p IS NOT NULL AND p >= 0 AND p <= 1000000),
+        |b AS (SELECT least(p//100000, 9) AS bk, count(*) AS n,
         |             sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
         |             sum(p) AS sp,
         |             sum((p - CASE WHEN y THEN 1000000 ELSE 0 END)
@@ -918,8 +953,8 @@ object EvalGates {
         |                    CAST(floor(value*100) AS BIGINT)*20) AS p,
         |                  event_type='purchase' AS y FROM events),
         |f AS (SELECT p, y FROM s WHERE p IS NOT NULL AND y IS NOT NULL
-        |      AND p >= 0 AND p < 1000000),
-        |b AS (SELECT p//100000 AS bk, count(*) AS n,
+        |      AND p >= 0 AND p <= 1000000),
+        |b AS (SELECT least(p//100000, 9) AS bk, count(*) AS n,
         |             sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
         |             sum(p) AS sp FROM f GROUP BY 1),
         |g AS (SELECT n, abs((1000000*pos)//n - sp//n) AS gap FROM b)

@@ -258,7 +258,12 @@ object LlmAnnGates {
   def q266_rrf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val qs = emb.where(col("vec_id") < 8)
-    val dense = graft.llm.Similarity.bruteForceTopK(
+    // dense leg rides the unified dispatch (the marginMining precedent,
+    // Similarity.topK): below bruteForceThreshold it IS the exact scan
+    // (oracle unchanged); past it the same call takes the LSH/index
+    // route — the gate exercises the production entry point, and the
+    // indexed-route agreement floor is spec-pinned (LlmOpsSpec).
+    val dense = graft.llm.Similarity.topK(
         qs, emb, "vec_id", "embedding", k = 20)
       .select(col("query_id"), col("cand_id"), col("rnk"))
     val ham = graft.llm.Similarity.hammingTopK(

@@ -377,8 +377,11 @@ object LanguageModel {
         col("f2"),
         (lit(1000L) * col("s_obs") +
           when(col("f2") > 0,
-            expr("(1000 * f1 * f1) div (2 * f2)"))
-            .otherwise(expr("(1000 * f1 * (f1 - 1)) div 2")))
+            expr("cast((1000 * cast(f1 as decimal(38,0)) * f1)" +
+              " div (2 * f2) as bigint)"))
+            .otherwise(expr(
+              "cast((1000 * cast(f1 as decimal(38,0)) * (f1 - 1))" +
+                " div 2 as bigint)")))
           .as("chao1_milli"),
         expr("(1000000 * f1) div n_tokens").as("gt_unseen_ppm")): _*)
   }

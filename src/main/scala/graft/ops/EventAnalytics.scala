@@ -534,8 +534,10 @@ object EventAnalytics {
     require(periodUs >= 1 && bucketPeriods >= 1,
       s"periodUs and bucketPeriods must be >= 1")
     val base = events.select(col(userCol).as("__u"),
-        expr(s"ts div ${periodUs}L").as("__p"),
+        col(tsCol).cast("long").as("__ts"),
         col(valueCol).cast("long").as("__v"))
+      .select(col("__u"), expr(s"__ts div ${periodUs}L").as("__p"),
+        col("__v"))
       .where(col("__u").isNotNull && col("__v").isNotNull)
     val firsts = base.groupBy(col("__u"))
       .agg(min(expr(s"__p div ${bucketPeriods}L")).as("__cohort"))

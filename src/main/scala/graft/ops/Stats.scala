@@ -2174,8 +2174,12 @@ object Stats {
     val s = df.select(col(scorePpmCol).cast("long").as("__p"),
         col(labelCol).cast("boolean").as("__y"))
       .where(col("__p").isNotNull && col("__y").isNotNull &&
-        col("__p") >= 0 && col("__p") < 1000000L)
-    val byBin = s.groupBy(expr(s"__p div ${w}L").as("__b"))
+        col("__p") >= 0 && col("__p") <= 1000000L)
+    // p = 10⁶ exactly (a forecast of certainty) clamps into the TOP
+    // bin — the fixedWidthHistogram catch-all stance — instead of
+    // silently vanishing from n and biasing the summary
+    val byBin = s.groupBy(
+        expr(s"least(__p div ${w}L, ${bins - 1}L)").as("__b"))
       .agg(count(lit(1)).as("__n"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
         sum(col("__p")).as("__sp"),
@@ -2373,8 +2377,9 @@ object Stats {
     val s = df.select(col(scorePpmCol).cast("long").as("__p"),
         col(labelCol).cast("boolean").as("__y"))
       .where(col("__p").isNotNull && col("__y").isNotNull &&
-        col("__p") >= 0 && col("__p") < 1000000L)
-    s.groupBy(expr(s"__p div ${w}L").as("__b"))
+        col("__p") >= 0 && col("__p") <= 1000000L)
+    // p = 10⁶ clamps into the top bin (see brierDecompositionPpm)
+    s.groupBy(expr(s"least(__p div ${w}L, ${bins - 1}L)").as("__b"))
       .agg(count(lit(1)).as("__n"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("__pos"),
         sum(col("__p")).as("__sp"))
@@ -2683,8 +2688,9 @@ object Stats {
     *                            |(cum−c)·R − (v−lo)·n|)) div (n·R)
     *
     * with R = hi − lo + 1. Values outside [lo, hi] are a contract
-    * violation and fail loudly (they make the reference CDF
-    * meaningless).
+    * violation and fail loudly AT EVALUATION (raise_error rides the
+    * plan — building the query runs no job; they make the reference
+    * CDF meaningless).
     *
     * Output: one row (n, d_ppm).
     *
@@ -2698,24 +2704,30 @@ object Stats {
     val hist = df.select(col(valueCol).cast("long").as("__v"))
       .where(col("__v").isNotNull)
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-    val bad = hist.where(col("__v") < lo || col("__v") > hi)
-    // loud contract check — one tiny action on the value alphabet
-    val badRows = bad.limit(1).collect()
-    if (badRows.nonEmpty)
-      sys.error(s"ksUniformPpm: value ${badRows.head.getLong(0)} " +
-        s"outside the declared support [$lo, $hi]")
+    // loud contract check, LAZILY: an out-of-support value rides the
+    // single evaluation as __badv and raises at runtime — building
+    // the plan (explain, plan audits, queries maps) runs no job
     val cum = GlobalRank.globalRunningSum(hist, Seq(col("__v").asc),
       "__c", "__cum")
-    val tot = hist.agg(sum(col("__c")).cast(d38).as("__n"))
+    val tot = hist.agg(sum(col("__c")).cast(d38).as("__n"),
+      max(when(col("__v") < lo || col("__v") > hi, col("__v")))
+        .as("__badv"))
     cum.crossJoin(broadcast(tot))
-      .select(col("__n"),
+      .select(col("__n"), col("__badv"),
         greatest(
           abs(col("__cum").cast(d38) * r -
             (col("__v") - lo + 1).cast(d38) * col("__n")),
           abs((col("__cum") - col("__c")).cast(d38) * r -
             (col("__v") - lo).cast(d38) * col("__n"))).as("__dev"))
-      .agg(first(col("__n")).as("__n"), max(col("__dev")).as("__d"))
-      .select(col("__n").cast("long").as("n"),
+      .agg(first(col("__n")).as("__n"), max(col("__dev")).as("__d"),
+        first(col("__badv")).as("__badv"))
+      .select(
+        when(col("__badv").isNotNull,
+          raise_error(concat(lit("ksUniformPpm: value "),
+            col("__badv"),
+            lit(s" outside the declared support [$lo, $hi]")))
+            .cast("long"))
+          .otherwise(col("__n").cast("long")).as("n"),
         expr(s"CAST((1000000 * __d) div (__n * ${r}L) AS BIGINT)")
           .as("d_ppm"))
   }

@@ -124,6 +124,37 @@ class AssociationHierarchySpec extends SparkTestBase {
     assert(r2.filter(t => t._1 == 1L && t._2 == 7L).head._3 == 4)
   }
 
+  test("ancestors: diamond CHAIN (the q337 shape) stays polynomial — " +
+       "closure matches a driver reference, never the path count") {
+    // every node n has parents n−1 AND n−2: the path count to an
+    // ancestor at gap g is Fibonacci(g) (exponential), but the closure
+    // contract is one row per (node, ancestor, depth) — on a 60-node
+    // chain with maxDepth 8 that is ≤ 9 ancestors per depth per node
+    val n = 60
+    val maxD = 8
+    val edges = ((2 until n).map(i => (i.toLong, i - 1L)) ++
+      (2 until n).map(i => (i.toLong, i - 2L))).toDF("c", "p")
+    val got = Hierarchy.ancestors(edges, "c", "p", maxDepth = maxD)
+      .as[(Long, Long, Int)].collect().toSet
+    // driver reference: frontier BFS with set-dedup per depth
+    val parents = (2 until n)
+      .map(i => i.toLong -> Set(i - 1L, i - 2L)).toMap
+    var frontier = parents.toSeq
+      .flatMap { case (c, ps) => ps.map(p => (c, p)) }.toSet
+    val expected = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    expected ++= frontier.map { case (c, p) => (c, p, 1) }
+    for (d <- 2 to maxD) {
+      frontier = frontier.flatMap { case (c, a) =>
+        parents.getOrElse(a, Set.empty[Long]).map(p => (c, p)) }
+      expected ++= frontier.map { case (c, p) => (c, p, d) }
+    }
+    assert(got == expected.toSet)
+    // polynomial bound: per node, ≤ (depth+1) ancestors per depth —
+    // nothing Fibonacci-shaped survives the per-hop distinct
+    assert(got.size <= n * (1 to maxD).map(_ + 1).sum,
+      s"closure size ${got.size} exceeds the polynomial bound")
+  }
+
   test("ancestors: cycle fails loud unless requireAcyclic=false") {
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("c", "p")
     intercept[IllegalArgumentException] {

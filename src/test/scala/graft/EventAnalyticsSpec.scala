@@ -609,6 +609,13 @@ class EventAnalyticsSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(b == got.values.map(t => Seq[Any](t._1, t._2, t._3, t._4,
       t._5, t._6)).toSet)
+    // tsCol is honored, not hardcoded: same data under a column NOT
+    // named "ts" must give identical curves
+    val renamed = ev.withColumnRenamed("ts", "event_time_us")
+    val c = EventAnalytics.cohortValue(renamed, "u", "event_time_us",
+        "v", day, 7L)
+      .collect().map(_.toSeq).toSet
+    assert(c == b)
   }
 
   test("rmstMilli: KM step-function area, tau clipping, late first step") {

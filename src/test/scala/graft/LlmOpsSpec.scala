@@ -872,6 +872,74 @@ class LlmOpsSpec extends SparkTestBase {
     assert(detectIndexKind(ivStore, "nothing-here").isEmpty)
   }
 
+  test("retrieval-eval ranker legs on the indexed dispatch route: no " +
+       "full-corpus nested-loop scan, agreement within a recall floor " +
+       "of brute") {
+    // the q266/q336 shape past the brute threshold: the dense ranker
+    // leg goes through Similarity.topK with a persisted index, and the
+    // indexed plan must never nested-loop over the CORPUS (the
+    // centroid-assignment crossJoin over nlist rows is fine — that is
+    // bounded metadata, not data)
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val rnd = new scala.util.Random(43)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val store = new graft.io.ParquetTableStore(spark, tmpDir("ranker-idx"))
+    Similarity.buildIvfIndex(store, "rk", df, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val denseIdx = Similarity.topK(queries, df, "vec_id", "embedding",
+      k = 20, index = Some((store, "rk")), nprobe = 3)
+    // PLAN assertion: any nested-loop join in the indexed route may
+    // only touch the centroid table (cv/cnorm columns, nlist rows) —
+    // never the bucketed corpus (cand_id/v columns)
+    val nlJoins = denseIdx.queryExecution.executedPlan.collect {
+      case j: BroadcastNestedLoopJoinExec => j.toString
+    }
+    nlJoins.foreach { j =>
+      assert(j.contains("cv") || j.contains("cnorm"),
+        s"nested-loop join outside the centroid assignment:\n$j")
+      assert(!j.contains("cand_id"),
+        s"indexed route nested-loops over the corpus:\n$j")
+    }
+    // the brute leg, by contrast, IS the broadcast full scan
+    val brutePlan = Similarity.bruteForceTopK(queries, df, "vec_id",
+      "embedding", 20).queryExecution.executedPlan.toString
+    assert(brutePlan.contains("BroadcastNestedLoopJoin"))
+    // AGREEMENT floor: ranker agreement computed with the indexed
+    // dense leg must track the brute-legs agreement — the q336 metric
+    // survives the route swap because indexed recall is high on
+    // clustered data
+    val ham = Similarity.hammingTopK(queries, df, "vec_id", "embedding",
+      dim = 32, k = 20).select($"query_id", $"cand_id")
+    val bruteDense = Similarity.bruteForceTopK(queries, df, "vec_id",
+      "embedding", 20).select($"query_id", $"cand_id")
+    def agree(dense: DataFrame): Map[Long, Long] =
+      Relevance.rankerAgreement(dense, ham, "query_id", "cand_id")
+        .select($"query_id", $"jaccard_ppm")
+        .as[(Long, Long)].collect().toMap
+    val aB = agree(bruteDense)
+    val aI = agree(denseIdx.select($"query_id", $"cand_id"))
+    assert(aI.keySet == aB.keySet)
+    // per-query indexed top-20 recall vs brute ≥ 0.9 on this corpus,
+    // so Jaccard vs the SAME hamming side moves by at most ~2 docs of
+    // 20: pin |Δ| ≤ 150000 ppm per query
+    aB.foreach { case (q, jb) =>
+      assert(math.abs(aI(q) - jb) <= 150000L,
+        s"query $q: indexed-leg agreement ${aI(q)} vs brute-leg $jb")
+    }
+    // and the indexed dense leg itself holds the recall floor
+    val exact = bruteDense.as[(Long, Long)].collect().toSet
+    val idx = denseIdx.select($"query_id", $"cand_id")
+      .as[(Long, Long)].collect().toSet
+    assert(exact.intersect(idx).size.toDouble / exact.size >= 0.9,
+      s"indexed recall ${exact.intersect(idx).size}/${exact.size}")
+  }
+
   test("PQ: codes are bounded and complete; ADC search recalls clustered neighbors") {
     val rnd = new scala.util.Random(59)
     val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))

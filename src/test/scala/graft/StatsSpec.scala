@@ -1323,16 +1323,22 @@ class StatsSpec extends SparkTestBase {
     assert(a == b)
   }
 
-  test("brierDecompositionPpm: hand-computed Murphy split, range filter") {
-    // bins=2 (width 500000): bin0 = {(2e5,F)×2, (2e5,T)}, bin1 =
-    // {(8e5,T), (8e5,F)}; out-of-range rows must vanish silently
+  test("brierDecompositionPpm: hand-computed Murphy split, range " +
+       "filter, p=10^6 clamps to top bin") {
+    // bins=2 (width 500000): bin0 = {(2e5,F)×2, (2e5,T)}; bin1 =
+    // {(8e5,T), (8e5,F), (1e6,F)} — a forecast of EXACTLY 1.0 clamps
+    // into the top bin (not dropped); p<0 still vanishes.
+    // tsq = 7.2e11 + 1.68e12 = 2.4e12 → brier 400000; f̄ = (2e5,
+    // 866666), ō = (333333, 333333) = ōbar → res 0; rel =
+    // (3·133333² + 3·533333²) div 6e6 = 151110; unc = 333333·666667
+    // div 1e6 = 222222
     val df = (Seq((200000L, false), (200000L, false), (200000L, true),
-        (800000L, true), (800000L, false)) ++
-      Seq((-5L, true), (1000000L, false))) // filtered
+        (800000L, true), (800000L, false), (1000000L, false)) ++
+      Seq((-5L, true))) // filtered
       .toDF("p", "y")
     val r = Stats.brierDecompositionPpm(df, "p", "y", bins = 2)
       .as[(Long, Long, Long, Long, Long, Long)].collect().head
-    assert(r == ((5L, 2L, 280000L, 46666L, 6666L, 240000L)),
+    assert(r == ((6L, 2L, 400000L, 151110L, 0L, 222222L)),
       s"got $r")
   }
 
@@ -1466,10 +1472,13 @@ class StatsSpec extends SparkTestBase {
     val bot = Seq.fill(5)(0L).toDF("v")
     assert(Stats.ksUniformPpm(bot, "v", 0L, 9L)
       .as[(Long, Long)].collect().head == ((5L, 900000L)))
-    val e = intercept[RuntimeException](
-      Stats.ksUniformPpm(Seq(11L).toDF("v"), "v", 0L, 9L)
-        .collect())
-    assert(e.getMessage.contains("outside the declared support"))
+    // building the plan is lazy — no job, no error, until evaluation
+    val q = Stats.ksUniformPpm(Seq(11L).toDF("v"), "v", 0L, 9L)
+    q.queryExecution.executedPlan // plans fine; raise_error is lazy
+    val e = intercept[Exception](q.collect())
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+    assert(messages(e).contains("outside the declared support"))
   }
 
   test("designEffectMilli: equal clusters = exactly 1, skew inflates") {
