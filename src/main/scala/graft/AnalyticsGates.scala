@@ -438,6 +438,20 @@ object AnalyticsGates {
           (col("event_type") === "purchase").cast("long").as("y")),
       "score", "y")
 
+  // BUCKETED ISOTONIC CALIBRATION (ops/Stats.isotonicFitBucketed):
+  // the 100 TB route of q268 — the RAW cent score (thousands of
+  // distinct values) is reduced to 50 exact equal-width cells over the
+  // observed span before the driver PAVA, so the collected histogram
+  // is bounded by construction. Cell representative = min observed
+  // score (exact, SQL-replayable); oracle = same bucketing + the q268
+  // minimax characterization over cells.
+  def q338_isotonic_bucketed(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.isotonicFitBucketed(
+      t(s, dir, "events").where(col("value").isNotNull)
+        .select(expr("CAST(floor(value*100) AS LONG)").as("score"),
+          (col("event_type") === "purchase").cast("long").as("y")),
+      "score", "y", buckets = 50)
+
   // TRIMMED MEAN (ops/Stats.trimmedMeanMilli): mean of floor-cent
   // values inside the exact [5%, 95%] type-1 fences per event type —
   // the drop-don't-clamp sibling of q208's winsorization.
@@ -704,6 +718,7 @@ object AnalyticsGates {
     "q265_ccf"           -> q265_ccf _,
     "q267_split_gain"    -> q267_split_gain _,
     "q268_isotonic"      -> q268_isotonic _,
+    "q338_isotonic_bucketed" -> q338_isotonic_bucketed _,
     "q269_trimmed_mean"  -> q269_trimmed_mean _,
     "q270_corr_matrix"   -> q270_corr_matrix _,
     "q271_concurrency"   -> q271_concurrency _,
@@ -1122,6 +1137,28 @@ object AnalyticsGates {
         |  CAST(p.peak AS BIGINT) AS peak, min(c.t) AS peak_ts
         |FROM c JOIN p ON p.day = c.day AND c.c = p.peak
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q338_isotonic_bucketed" ->
+      """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT) AS s,
+        |             CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y
+        |           FROM events WHERE value IS NOT NULL),
+        |bd AS (SELECT min(s) AS lo, max(s) AS hi FROM e),
+        |b AS (SELECT ((e.s - bd.lo) * 50) // (bd.hi - bd.lo + 1) AS cell,
+        |             e.s, e.y FROM e, bd),
+        |h AS (SELECT cell, min(s) AS s, CAST(count(*) AS BIGINT) AS w,
+        |        CAST(sum(y) AS BIGINT) AS sy FROM b GROUP BY 1),
+        |c AS (SELECT s, w, sy, row_number() OVER (ORDER BY cell) AS k,
+        |        sum(w) OVER (ORDER BY cell) AS cw,
+        |        sum(sy) OVER (ORDER BY cell) AS cs FROM h),
+        |t AS (SELECT a.k AS ka, b.k AS kb,
+        |        CAST(b.cs - (a.cs - a.sy) AS DOUBLE) /
+        |        CAST(b.cw - (a.cw - a.w) AS DOUBLE) AS avgv
+        |      FROM c a JOIN c b ON a.k <= b.k),
+        |inner_ AS (SELECT g.k AS k, t.ka AS ka, min(t.avgv) AS m
+        |           FROM c g JOIN t ON t.ka <= g.k AND t.kb >= g.k
+        |           GROUP BY 1, 2),
+        |fit AS (SELECT k, max(m) AS rate FROM inner_ GROUP BY 1)
+        |SELECT c.s AS score, c.w AS n, fit.rate AS rate
+        |FROM c JOIN fit ON fit.k = c.k""".stripMargin,
     "q268_isotonic" ->
       """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT)//100 AS s,
         |             CASE WHEN event_type='purchase' THEN 1 ELSE 0 END AS y

@@ -18,6 +18,12 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // ANSI pinned ON explicitly (the Spark 4 default, but an engine
+      // claiming production use should not depend on the default
+      // drifting): every operator must survive strict overflow /
+      // div-by-zero / cast semantics — the suite and the full gate
+      // battery run under this flag
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")

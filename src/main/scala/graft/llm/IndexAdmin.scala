@@ -108,6 +108,61 @@ object IndexAdmin {
       else None
     }
 
+  /** MERGE two independently built ANN indices of the SAME family
+    * sharing FROZEN parameters into one probeable index under
+    * `outPrefix` — the multi-shard 100 TB build story: shard owners
+    * build/admit locally against shared params (IVF centroids, SQ8
+    * stats, PQ codebooks+meta), a merge unions only the data component.
+    * Fails loud when the frozen components differ (merging across
+    * different centroids/codebooks silently corrupts probe geometry),
+    * when the families differ, or when the shards share ids (the
+    * one-row-per-id contract every probe assumes).
+    * probe(merge(A, B)) ≡ probe(an index built over A ∪ B with the same
+    * frozen params) — IndexAdminSpec pins it per family.
+    *
+    * Scale shape: frozen components are bounded metadata (nlist
+    * centroid rows, m·nlist codebook rows, one stats/meta row) so their
+    * equality check is metadata-sized; the id-disjointness probe is one
+    * equi-join limit(1); the data union is a file-level union with no
+    * shuffle. */
+  def merge(store: graft.io.TableStore, prefixA: String,
+            prefixB: String, outPrefix: String): Unit = {
+    import graft.llm.Similarity._
+    require(outPrefix != prefixA && outPrefix != prefixB,
+      s"outPrefix $outPrefix must differ from both inputs — " +
+        "overwriting a table its own merge plan reads is undefined")
+    val ka = detectIndexKind(store, prefixA)
+    val kb = detectIndexKind(store, prefixB)
+    require(ka.isDefined, s"no complete ANN index under prefix $prefixA")
+    require(kb.isDefined, s"no complete ANN index under prefix $prefixB")
+    require(ka == kb,
+      s"index families differ: $prefixA is ${ka.get}, $prefixB is ${kb.get}")
+    val (frozen, data, idCol) = ka.get match {
+      case IvfIndexed => (Seq("centroids"), "buckets", "id")
+      case PqIndexed  => (Seq("books", "meta"), "codes", "cand_id")
+      case SqIndexed  => (Seq("stats"), "codes", "cand_id")
+      case other => sys.error(s"unmergeable index kind $other")
+    }
+    frozen.foreach { c =>
+      val a = store.read(s"$prefixA.$c")
+      val b = store.read(s"$prefixB.$c")
+      val diff = a.exceptAll(b).limit(1).count() +
+        b.exceptAll(a).limit(1).count()
+      require(diff == 0L,
+        s"frozen component $c differs between $prefixA and $prefixB — " +
+          "shards must build/admit against SHARED params before a merge")
+    }
+    val da = store.read(s"$prefixA.$data")
+    val db = store.read(s"$prefixB.$data")
+    val shared = da.select(col(idCol))
+      .join(db.select(col(idCol)), idCol).limit(1).count()
+    require(shared == 0L,
+      s"shards share ids in $data — an id must live in exactly one shard")
+    frozen.foreach(c =>
+      store.overwrite(s"$outPrefix.$c", store.read(s"$prefixA.$c")))
+    store.overwrite(s"$outPrefix.$data", da.unionByName(db))
+  }
+
   /** Rewrite every component into `targetFiles` files (one generation —
     * the C10 OPTIMIZE FINAL analog over index tables) and re-apply the
     * fuzzy bands cap from meta: buckets that appended past

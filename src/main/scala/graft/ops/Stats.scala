@@ -1794,7 +1794,17 @@ object Stats {
       .as[(Long, Long, Long)].collect()
     require(hist.length <= maxScores,
       s"${hist.length} distinct scores exceeds maxScores=$maxScores — " +
-        "pre-bucket the score axis")
+        "pre-bucket the score axis (isotonicFitBucketed is the bounded" +
+        "-by-construction 100 TB route)")
+    pavaOnHistogram(spark, hist)
+  }
+
+  /** The driver PAVA core shared by [[isotonicFit]] and
+    * [[isotonicFitBucketed]]: exact cross-multiplied pooling over a
+    * pre-collected, score-ascending (score, w, sy) histogram. */
+  private def pavaOnHistogram(spark: org.apache.spark.sql.SparkSession,
+                              hist: Array[(Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
     hist.foreach { case (s, _, sy) =>
       require(sy >= 0, s"negative label sum at score $s — labels must " +
         "be non-negative (binary 0/1 calibration)") }
@@ -1824,6 +1834,56 @@ object Stats {
     }
     hist.zipWithIndex.map { case ((s, w, _), i) => (s, w, rates(i)) }
       .toSeq.toDF("score", "n", "rate")
+  }
+
+  /** BUCKETED isotonic calibration — the 100 TB route of
+    * [[isotonicFit]]: the score axis is first reduced to ≤ `buckets`
+    * equal-width cells over the OBSERVED [min, max] span by exact
+    * integer arithmetic (decimal lane — a 2⁶³-wide score span must not
+    * overflow the product), so the driver-side PAVA input is bounded
+    * BY CONSTRUCTION — the maxScores contract of the exact form cannot
+    * be hit no matter the score domain. Each surfaced row carries the
+    * cell's MINIMUM observed score as its representative (exact,
+    * deterministic, SQL-replayable — never a float midpoint), the cell
+    * row count, and the pooled non-decreasing rate.
+    *
+    * Monotonicity over cells implies monotonicity over any coarser
+    * view; the price vs exact PAVA is within-cell resolution — the
+    * standard calibration-curve trade (reliabilityBuckets makes the
+    * same one, without the pooling).
+    *
+    * Output: (score, n, rate) — one row per non-empty cell, rate
+    * non-decreasing in score.
+    *
+    * Scale shape: one 1-row min/max aggregate (broadcast back), one
+    * (cell) histogram groupBy — cells shuffle, never rows — then the
+    * O(buckets) driver PAVA. */
+  def isotonicFitBucketed(df: DataFrame, scoreCol: String,
+                          labelCol: String,
+                          buckets: Int = 1000): DataFrame = {
+    require(buckets >= 2 && buckets <= 100000,
+      s"buckets must be in [2, 100000], got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clean = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+    val bounds = clean.agg(min(col("__s")).as("__lo"),
+      max(col("__s")).as("__hi"))
+    val hist = clean.crossJoin(broadcast(bounds))
+      .select(expr(
+        s"""CAST((CAST(__s AS DECIMAL(38,0)) - __lo) * ${buckets}L
+           |div (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("__b"),
+        col("__s"), col("__y"))
+      .groupBy(col("__b"))
+      .agg(min(col("__s")).as("s"), count(lit(1)).as("w"),
+        sum(col("__y")).as("sy"))
+      .orderBy(col("__b"))
+      .select(col("s"), col("w"), col("sy"))
+      .as[(Long, Long, Long)].collect()
+    pavaOnHistogram(spark, hist)
   }
 
   /** TRIMMED mean per group: the mean AFTER dropping everything

@@ -102,4 +102,88 @@ class IndexAdminSpec extends SparkTestBase {
     val st = store()
     intercept[IllegalArgumentException](IndexAdmin.stats(st, "nope"))
   }
+
+  private def clustered(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    (0 until n).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.1f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("merge: probe(merge(A,B)) == probe(build over A∪B) per family; " +
+       "frozen-param and id-overlap violations fail loud") {
+    val st = store()
+    val full = clustered(160, 32, seed = 67)
+    val shardA = full.filter($"vec_id" < 80)
+    val shardB = full.filter($"vec_id" >= 80)
+    val queries = full.filter($"vec_id" < 4)
+
+    // ---- IVF: shard B admits against A's FROZEN centroids ----
+    Similarity.buildIvfIndex(st, "a", shardA, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    st.overwrite("b.centroids", st.read("a.centroids"))
+    Similarity.updateIvfIndex(st, "b", shardB, "vec_id", "embedding")
+    IndexAdmin.merge(st, "a", "b", "m")
+    assert(Similarity.detectIndexKind(st, "m")
+      .contains(Similarity.IvfIndexed))
+    // reference: ONE index over A∪B with the same frozen centroids
+    st.overwrite("f.centroids", st.read("a.centroids"))
+    Similarity.updateIvfIndex(st, "f", full, "vec_id", "embedding")
+    def probeIvf(p: String) = Similarity.ivfTopKIndexed(st, p, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3, deterministic = true)
+      .select($"query_id", $"cand_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probeIvf("m") == probeIvf("f"),
+      "merged IVF probe must equal the union-built probe, rank for rank")
+
+    // ---- SQ8: shard B encodes against A's FROZEN stats ----
+    Similarity.buildSqIndex(st, "sa", shardA, "vec_id", "embedding")
+    st.overwrite("sb.stats", st.read("sa.stats"))
+    Similarity.updateSqIndex(st, "sb", shardB, "vec_id", "embedding")
+    IndexAdmin.merge(st, "sa", "sb", "sm")
+    st.overwrite("sf.stats", st.read("sa.stats"))
+    Similarity.updateSqIndex(st, "sf", full, "vec_id", "embedding")
+    def probeSq(p: String) = Similarity.sqTopKIndexed(st, p, queries,
+        "vec_id", "embedding", k = 5)
+      .select($"query_id", $"cand_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probeSq("sm") == probeSq("sf"))
+
+    // ---- PQ: shard B encodes against A's FROZEN codebooks ----
+    Similarity.buildPqIndex(st, "pa", shardA, "vec_id", "embedding",
+      m = 4, dims = 32, nlist = 16)
+    st.overwrite("pb.books", st.read("pa.books"))
+    st.overwrite("pb.meta", st.read("pa.meta"))
+    Similarity.updatePqIndex(st, "pb", shardB, "vec_id", "embedding")
+    IndexAdmin.merge(st, "pa", "pb", "pm")
+    st.overwrite("pf.books", st.read("pa.books"))
+    st.overwrite("pf.meta", st.read("pa.meta"))
+    Similarity.updatePqIndex(st, "pf", full, "vec_id", "embedding")
+    def probePq(p: String) = Similarity.pqTopKIndexed(st, p, queries,
+        "vec_id", "embedding", k = 5)
+      .select($"query_id", $"cand_id", $"rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probePq("pm") == probePq("pf"))
+
+    // ---- violations fail loud ----
+    // different frozen params: an independently TRAINED shard-B index
+    Similarity.buildIvfIndex(st, "b2", shardB, "vec_id", "embedding",
+      nlist = 8, iters = 2)
+    val e1 = intercept[IllegalArgumentException](
+      IndexAdmin.merge(st, "a", "b2", "x1"))
+    assert(e1.getMessage.contains("frozen component"))
+    // overlapping ids: A merged with itself (same frozen, same ids)
+    val e2 = intercept[IllegalArgumentException](
+      IndexAdmin.merge(st, "a", "a", "x2"))
+    assert(e2.getMessage.contains("share ids") ||
+      e2.getMessage.contains("must differ"))
+    // family mismatch
+    val e3 = intercept[IllegalArgumentException](
+      IndexAdmin.merge(st, "a", "sa", "x3"))
+    assert(e3.getMessage.contains("families differ"))
+    // in-place merge refused
+    intercept[IllegalArgumentException](IndexAdmin.merge(st, "a", "b", "a"))
+  }
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Shuffle-BUDGET regression guard (round-9 verdict ask #5): bench
+  * wall-time swings 0.7–1.1× with ambient VM load, so the stable
+  * scale signal is the plan's shuffle VOLUME, not its seconds. For the
+  * most expensive gates we pin the total records crossing shuffle
+  * exchanges at sf0.01 — a deliberate plan pessimization (dropping a
+  * broadcast hint, un-bounding a top-k, letting a window globalize)
+  * multiplies shuffled records and fails here with a named diff, while
+  * ambient noise cannot move the number at all (metrics come from the
+  * executed plan's own accumulators, deterministic per plan+data).
+  *
+  * Budgets are measured actuals × ~1.5 headroom (rounded up) — they
+  * absorb partition-count jitter and AQE coalescing variance but not a
+  * shape change: the cheapest pessimization of any audited gate
+  * (removing one broadcast) multiplies its shuffle records several-fold.
+  */
+class ShuffleBudgetSpec extends SparkTestBase {
+  import ShuffleBudget.shuffledRecords
+
+  /** (gate, records budget at sf0.01). Measured 2026-08 (round 10):
+    * actual records in comment; budget ≈ actual × 1.5 rounded up. */
+  private val budgets: Seq[(String, Long, Long)] = Seq(
+    // name, measured actual (bit-stable across runs), pinned budget
+    ("q117_curate_v3", 34406L, 52000L),
+    ("q245_bootstrap_ci", 820L, 1300L),
+    ("q138_covariance_stats", 2080L, 3200L),
+    ("q127_pq_indexed", 7128L, 11000L),
+    ("q201_assoc_rules", 194792L, 295000L),
+    ("q196_triangles", 132308L, 200000L),
+    ("q223_hop_distance", 99536L, 150000L),
+    ("q248_kcore", 66252L, 100000L),
+    ("q315_ppr", 4373L, 7000L),
+    ("q126_margin_mining", 2252L, 3500L))
+
+  budgets.foreach { case (name, actual, budget) =>
+    test(s"$name stays inside its shuffle-record budget " +
+         s"($budget at sf0.01)") {
+      val recs = shuffledRecords(spark,
+        SparkEntry.queries(name)(spark, sf("sf0.01")))
+      assert(recs <= budget,
+        s"$name shuffled $recs records at sf0.01 — budget $budget " +
+          s"(last measured actual $actual); the plan shape regressed")
+      // a budget that stops binding is also a named diff: if the plan
+      // improved by >2x, re-pin so the guard keeps teeth
+      assert(recs * 4 >= actual,
+        s"$name shuffled only $recs records vs measured $actual — " +
+          "re-pin the budget to keep the guard binding")
+    }
+  }
+}
+
+/** Shared metric extraction + a measuring main:
+  * `sbt "Test/runMain graft.ShuffleBudget <gate,gate,...>"` prints the
+  * actuals to pin in [[ShuffleBudgetSpec]]. */
+object ShuffleBudget {
+
+  /** Total shuffle-WRITE records across every stage the query ran —
+    * including jobs fired eagerly during DataFrame CONSTRUCTION
+    * (iterative operators checkpoint mid-build, so their returned plan
+    * is an RDD scan and per-exchange plan metrics would miss all the
+    * real work). A stage-completion listener sums the aggregated task
+    * metrics; after the terminal action we spin until the async
+    * listener bus quiesces. `build` is by-name for exactly that
+    * reason: construction must run inside the listener window. */
+  def shuffledRecords(spark: org.apache.spark.sql.SparkSession,
+                      build: => DataFrame): Long = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val acc = new java.util.concurrent.atomic.AtomicLong
+    val l = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) acc.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = build
+      df.queryExecution.toRdd.count()
+      var prev = -1L
+      var cur = acc.get
+      var spins = 0
+      while (prev != cur && spins < 100) {
+        Thread.sleep(100); prev = cur; cur = acc.get; spins += 1
+      }
+      cur
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(4, "shuffle-budget-measure")
+    val names = args(0).split(',').toSeq
+    names.foreach { n =>
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      val recs = shuffledRecords(spark,
+        SparkEntry.queries(n)(spark, "/root/testdata/sf0.01"))
+      println(s"[shuffle-budget] $n records=$recs")
+    }
+    spark.stop()
+  }
+}

@@ -1293,6 +1293,40 @@ class StatsSpec extends SparkTestBase {
     assert(fit.toSeq == fit2.toSeq)
   }
 
+  test("isotonicFitBucketed: identity cells match exact PAVA, huge " +
+       "score spans stay bounded, monotone") {
+    // scores 0..39 with buckets=40 over span 40: cell = score exactly,
+    // so the bucketed fit IS the exact fit
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map { _ =>
+      val s = rnd.nextInt(40).toLong
+      (s, if (rnd.nextInt(40) < s) 1L else 0L)
+    }
+    val df = rows.toDF("score", "y")
+    val exact = Stats.isotonicFit(df, "score", "y")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val bucketed = Stats.isotonicFitBucketed(df, "score", "y",
+        buckets = 40)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(bucketed == exact)
+    // a score domain the exact form's maxScores could NEVER admit:
+    // ±2^61-scale span, every value distinct — bucketed stays ≤
+    // `buckets` rows, no overflow, monotone, mass-preserving
+    val wide = (0 until 500).map { i =>
+      val s = (i.toLong - 250L) * (1L << 52)
+      (s, if (i >= 250) 1L else 0L)
+    }
+    val wfit = Stats.isotonicFitBucketed(wide.toDF("score", "y"),
+        "score", "y", buckets = 16)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(wfit.length <= 16 && wfit.length >= 2)
+    assert(wfit.sliding(2).forall(p => p(0)._3 <= p(1)._3))
+    assert(math.abs(wfit.map(r => r._2 * r._3).sum - 250.0) < 1e-6)
+    assert(wfit.map(_._2).sum == 500L, "every row lands in some cell")
+    intercept[IllegalArgumentException](
+      Stats.isotonicFitBucketed(df, "score", "y", buckets = 1))
+  }
+
   test("trimmedMeanMilli: outlier immunity, exact fences, empty-keep NULL") {
     // 1..20 + outlier 1000: [10%, 90%] fences keep 3..19 → mean 11
     val df = ((1L to 20L) :+ 1000L).map(("g", _)).toDF("g", "v")

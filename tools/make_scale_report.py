@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Merge two graft.Bench artifacts (sf0.1 and sf1) into a scale-
+rehearsal report: per query {sf0.1 ds, sf1 ds, ratio}, plus a summary
+classifying gates as ok / watch / superlinear.
+
+Bench artifacts carry per-query integer deciseconds as ONE csv string in
+numeric-ascending short-key order (see Bench.serialize); the query-name
+axis comes from a Verify dump's oracle_sql.json (all declared gates).
+
+Classification (data grows 10x between the two artifacts):
+  superlinear: sf1 > 10 x max(sf0.1, 0.3 s)  -- worse than linear
+  watch:       sf1 >  3 x max(sf0.1, 0.3 s)  -- sub-linear but names an
+               explanation in the report
+  ok:          everything else
+The 0.3 s floor keeps 0.1 s-resolution noise on trivial queries from
+manufacturing ratios.
+
+Usage: make_scale_report.py <bench_sf0.1.json> <bench_sf1.json>
+                            <oracle_sql.json> <out.json>
+"""
+import json, sys
+
+
+def load_bench(path):
+    with open(path) as f:
+        b = json.loads(f.read().strip())
+    assert b.get("qorder") == "numeric-asc", f"unexpected qorder in {path}"
+    vals = [int(x) for x in b["qds"].split(",")]
+    return b, vals
+
+
+def main(b01_path, b1_path, oracle_path, out_path):
+    b01, v01 = load_bench(b01_path)
+    b1, v1 = load_bench(b1_path)
+    names = sorted(json.load(open(oracle_path)).keys(),
+                   key=lambda n: int(n[1:].split("_")[0]))
+    assert len(names) == len(v01) == len(v1), \
+        f"axis mismatch: {len(names)} names, {len(v01)}/{len(v1)} values"
+    rows, n_super, n_watch = {}, [], []
+    for name, a, b in zip(names, v01, v1):
+        if a < 0 or b < 0:
+            rows[name] = {"sf01_ds": a, "sf1_ds": b, "class": "FAILED"}
+            continue
+        denom = max(a, 3)  # 0.3 s noise floor on the small-SF side
+        ratio = round(b / denom, 2)
+        cls = ("superlinear" if b > 10 * denom else
+               "watch" if b > 3 * denom else "ok")
+        rows[name] = {"sf01_ds": a, "sf1_ds": b, "ratio": ratio,
+                      "class": cls}
+        if cls == "superlinear":
+            n_super.append(name)
+        elif cls == "watch":
+            n_watch.append(name)
+    report = {
+        "protocol": {
+            "data_growth": "10x (sf0.1 -> sf1 via tools/make_sf1.py)",
+            "reps": {"sf0.1": b01.get("reps"), "sf1": b1.get("reps")},
+            "unit": "deciseconds, per-query min across interleaved passes",
+            "noise_floor_ds": 3,
+            "classes": {"superlinear": "> 10x", "watch": "> 3x"},
+        },
+        "totals": {"sf0.1_sec": b01.get("value"),
+                   "sf1_sec": b1.get("value"),
+                   "total_ratio": round(b1.get("value", 0) /
+                                        max(b01.get("value", 1), 0.1), 2)},
+        "summary": {"queries": len(names),
+                    "superlinear": n_super, "watch": n_watch},
+        "queries": rows,
+    }
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=False)
+    print(f"queries={len(names)} superlinear={n_super} watch={n_watch}")
+    print(f"totals: sf0.1={b01.get('value')}s sf1={b1.get('value')}s "
+          f"ratio={report['totals']['total_ratio']}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:5])
