@@ -670,7 +670,25 @@ object EvalGates {
     graft.ops.Hierarchy.ancestors(edges, "child", "parent", maxDepth = 8)
   }
 
+  // RANK-BIASED OVERLAP (llm/Relevance.rboPpm): the rank-WEIGHTED
+  // companion of q336's set Jaccard over the same two rankers —
+  // p = 9/10 persistence, per-depth pinned floors summed in ppm, so
+  // top-rank disagreement costs more than tail disagreement.
+  def q340_rbo(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qs = emb.where(col("vec_id") < 8)
+    val dense = graft.llm.Similarity.topK(
+        qs, emb, "vec_id", "embedding", k = 20)
+      .select(col("query_id"), col("cand_id"), col("rnk"))
+    val ham = graft.llm.Similarity.hammingTopK(
+        qs, emb, idCol = "vec_id", vecCol = "embedding", dim = 64, k = 20)
+      .select(col("query_id"), col("cand_id"), col("rnk"))
+    graft.llm.Relevance.rboPpm(dense, ham, "query_id", "cand_id",
+      "rnk", k = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_rbo"             -> q340_rbo _,
     "q337_hierarchy_dag"   -> q337_hierarchy_dag _,
     "q287_brier"           -> q287_brier _,
     "q288_mcnemar"         -> q288_mcnemar _,
@@ -723,7 +741,78 @@ object EvalGates {
     "q335_cohort_ltv"      -> q335_cohort_ltv _,
     "q336_ranker_agreement" -> q336_ranker_agreement _)
 
+  /** 9^(d−1) / 10^d rows for the q340 oracle — generated here so the
+    * HUGEINT literals can't drift from [[graft.llm.Relevance.rboPpm]]'s
+    * long powers. */
+  private val rboPowRows: String = {
+    val p9 = Iterator.iterate(BigInt(1))(_ * 9).take(20).toSeq
+    val p10 = Iterator.iterate(BigInt(10))(_ * 10).take(20).toSeq
+    (1 to 20).map(d =>
+      s"(${d}, ${p9(d - 1)}::HUGEINT, ${p10(d - 1)}::HUGEINT)")
+      .mkString(", ")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q340_rbo" ->
+      s"""WITH norm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)
+        |        AS DECIMAL(38,15)))) AS nrm
+        |  FROM embeddings),
+        |cpairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    CAST(list_sum(list_transform(
+        |        list_zip(q.embedding, c.embedding),
+        |        p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)
+        |          AS DECIMAL(38,15)))) AS DOUBLE)
+        |      / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE))
+        |      AS cosine
+        |  FROM norm q JOIN norm c
+        |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |dense AS (SELECT query_id, cand_id, rnk FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY cosine DESC, cand_id ASC) AS rnk FROM cpairs)
+        |  WHERE rnk <= 20),
+        |sk AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1,33),
+        |      i -> CASE WHEN embedding[i] > 0
+        |        THEN (1::BIGINT << (i-1)) ELSE 0 END)) AS BIGINT) AS w0,
+        |    CAST(list_sum(list_transform(range(33,65),
+        |      i -> CASE WHEN embedding[i] > 0
+        |        THEN (1::BIGINT << (i-33)) ELSE 0 END)) AS BIGINT) AS w1
+        |  FROM embeddings),
+        |hpairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1))
+        |      AS hamming
+        |  FROM sk q JOIN sk c
+        |    ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |ham AS (SELECT query_id, cand_id, rnk FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY query_id
+        |     ORDER BY hamming ASC, cand_id ASC) AS rnk FROM hpairs)
+        |  WHERE rnk <= 20),
+        |shared AS (
+        |  SELECT d.query_id, greatest(d.rnk, h.rnk) AS first_d
+        |  FROM dense d JOIN ham h USING (query_id, cand_id)),
+        |powt(d, p9, p10) AS (SELECT * FROM (VALUES $rboPowRows)),
+        |spine AS (
+        |  SELECT query_id, p.d AS depth,
+        |    CAST(count(*) AS HUGEINT) AS x, max(p.p9) AS p9,
+        |    max(p.p10) AS p10
+        |  FROM shared JOIN powt p ON p.d >= shared.first_d
+        |  GROUP BY 1, 2),
+        |terms AS (
+        |  SELECT query_id,
+        |    CAST(sum((1000000::HUGEINT * p9 * x) // (p10 * depth))
+        |      AS BIGINT) AS rbo
+        |  FROM spine GROUP BY 1),
+        |uq AS (SELECT DISTINCT query_id FROM dense
+        |       UNION SELECT DISTINCT query_id FROM ham)
+        |SELECT uq.query_id,
+        |  CAST(coalesce(terms.rbo, 0) AS BIGINT) AS rbo_ppm
+        |FROM uq LEFT JOIN terms USING (query_id)""".stripMargin,
     "q337_hierarchy_dag" ->
       """WITH RECURSIVE e AS (
         |  SELECT doc_id AS c, doc_id - 1 AS p FROM documents WHERE doc_id >= 2

@@ -459,7 +459,20 @@ object LlmDedupGates {
       maxDist = 30)
   }
 
+  // SEMANTIC DEDUP (llm/Dedup.semanticDedup — SemDeDup, Abbas et al.
+  // 2023): cluster the embedding space (first-16 deterministic
+  // centroids, the q86 init), drop any vector whose exact cosine to a
+  // lower-id same-cluster vector clears 0.25 — the embedding sibling
+  // of the MinHash family (paraphrases share no shingles). The oracle
+  // replays centroids, argmin assignment, and the within-cluster pair
+  // rule bit-for-bit on the decimal kernel.
+  def q339_semantic_dedup(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.semanticDedup(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      nlist = 16, tau = 0.25)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q339_semantic_dedup" -> q339_semantic_dedup _,
     "q156_snm_dedup" -> q156_snm_dedup _,
     "q159_sentence_dedup" -> q159_sentence_dedup _,
     "q152_dedup_ensemble" -> q152_dedup_ensemble _,
@@ -488,6 +501,42 @@ object LlmDedupGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q339_semantic_dedup" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, vv,
+        |    list_sum(list_transform(vv,
+        |      x -> CAST(x*x AS DECIMAL(38,15)))) AS vn
+        |  FROM v),
+        |c AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+        |    vv AS cv, vn AS cn
+        |  FROM n ORDER BY vec_id LIMIT 16),
+        |d AS (
+        |  SELECT n.vec_id, c.cid,
+        |    CAST(n.vn AS DOUBLE) + CAST(c.cn AS DOUBLE) -
+        |    2.0 * CAST(list_sum(list_transform(list_zip(n.vv, c.cv),
+        |      p -> CAST(p[1]*p[2] AS DECIMAL(38,15)))) AS DOUBLE) AS dist2
+        |  FROM n, c),
+        |a AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |    FROM d) WHERE rn = 1),
+        |m AS (SELECT a.vec_id, a.cid, n.vv, n.vn
+        |      FROM a JOIN n USING (vec_id)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM m x JOIN m b ON x.cid = b.cid AND x.vec_id < b.vec_id
+        |  WHERE CAST(list_sum(list_transform(list_zip(x.vv, b.vv),
+        |      p -> CAST(p[1]*p[2] AS DECIMAL(38,15)))) AS DOUBLE)
+        |    / sqrt(CAST(x.vn AS DOUBLE) * CAST(b.vn AS DOUBLE)) >= 0.25)
+        |SELECT m.vec_id, CAST(m.cid AS INT) AS centroid_id
+        |FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
+        |WHERE dropped.vec_id IS NULL""".stripMargin,
     "q159_sentence_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, CASE WHEN doc_id % 3 = 0

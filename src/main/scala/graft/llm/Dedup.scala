@@ -1523,4 +1523,54 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("__rb") - col("__ra")).as("rank_dist"))
   }
+
+  /** SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space, compare pairs only WITHIN a cluster, and drop
+    * every document whose exact cosine to a LOWER-id same-cluster
+    * document clears `tau` — keep-the-first over semantic-duplicate
+    * neighborhoods without ever forming the all-pairs product. The
+    * embedding sibling of the MinHash family above: MinHash catches
+    * lexical near-dups, this catches paraphrases that share no
+    * shingles.
+    *
+    * Deterministic end to end (the q86 recipe): centroids are the
+    * first `nlist` corpus vectors by id (Lloyd iters=0 init —
+    * [[Similarity.ivfCentroids]]), assignment and the pair cosine both
+    * ride the exact decimal kernel, so the survivor set is a pure
+    * function of (corpus, nlist, tau) and a SQL engine replays it
+    * bit-for-bit.
+    *
+    * Output: one row per SURVIVOR (vec_id, centroid_id).
+    *
+    * Scale shape: assignment is the broadcast-centroids argmin (nlist
+    * rows); the only data-sized join is cluster-keyed — pair cost is
+    * Σ|cluster|², bounded by sizing nlist ∝ corpus/target-occupancy
+    * exactly as SemDeDup prescribes (vectors ride that join once;
+    * ids-only would re-join them back for the cosine anyway). One
+    * distinct on dropped ids, one anti join. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, tau: Double): DataFrame = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0, 1), got $tau")
+    val cents = Similarity.ivfCentroids(df, idCol, vecCol, nlist,
+      iters = 0)
+    val assigned = Similarity.assignToCentroids(df, cents, idCol,
+        vecCol, "cid", "cv")
+      .select(col("vec_id"), col("centroid_id"))
+    val v = df.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("vv"))
+      .withColumn("vn", Similarity.norm2Decimal(col("vv")))
+    val m = assigned.join(v, "vec_id")
+    val lo = m.select(col("centroid_id"), col("vec_id").as("a_id"),
+      col("vv").as("av"), col("vn").as("an"))
+    val hi = m.select(col("centroid_id"), col("vec_id").as("b_id"),
+      col("vv").as("bv"), col("vn").as("bn"))
+    val dropped = lo.join(hi, Seq("centroid_id"))
+      .where(col("a_id") < col("b_id"))
+      .where(Similarity.cosineDeterministic(col("av"), col("bv"),
+        col("an"), col("bn")) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+  }
 }

@@ -37,6 +37,7 @@ final class WebShell(
     pkColumns: Map[String, Seq[String]] = Map.empty,
     calcMetas: Map[String, ViewQueryMeta] = Map.empty,
     calcWrite: ViewQueryMeta => DataFrame => Unit = _ => _ => (),
+    pipelineStore: Option[graft.io.TableStore] = None,
     port: Int = 8081) {
 
   private val mapper = new ObjectMapper()
@@ -52,6 +53,8 @@ final class WebShell(
     server.createContext("/calc/status",
       (ex: HttpExchange) => handle(ex, handleCalcStatus))
     server.createContext("/calc", (ex: HttpExchange) => handle(ex, handleCalc))
+    server.createContext("/pipeline",
+      (ex: HttpExchange) => handle(ex, handlePipeline))
     server.createContext("/status", (ex: HttpExchange) => handle(ex, handleStatus))
     server.start()
     this
@@ -190,6 +193,64 @@ final class WebShell(
       case e: Throwable => calcState.set(EngineState.Wait); throw e
     }
     200 -> """{"calcId":"ok"}"""
+  }
+
+  /** pipeline single-flight, its own lane (a curation batch must not
+    * block calc and vice versa — they write disjoint tables). */
+  private val pipeState =
+    new java.util.concurrent.atomic.AtomicReference[EngineState](EngineState.Wait)
+
+  /** POST /pipeline: `{"ops":[{"op":"exact_dedup","table":t,
+    * "id_col":c,"text_col":c,"out":o} | {"op":"quality_filter",
+    * "table":t,"text_col":c,"out":o,"min_words":N} | {"op":"ann_topk",
+    * "table":t,"id_col":c,"vec_col":c,"query_filter":sql,"k":N,
+    * "out":o}]}` — fire-and-forget with an immediate taskid (the /task
+    * admission contract applied to curation ops); audit rows per op
+    * surface through GET /status. Ops run sequentially and may read a
+    * predecessor's `out` (resolver checks the store first). */
+  private def handlePipeline(ex: HttpExchange): (Int, String) = {
+    require(ex.getRequestMethod == "POST", "POST only")
+    import graft.llm.PipelineTasks
+    import graft.llm.PipelineTasks._
+    val store = pipelineStore.getOrElse(
+      throw InvalidTableSpec("pipeline store not configured"))
+    val root = mapper.readTree(ex.getRequestBody)
+    def req(n: JsonNode, f: String): String = optText(n, f).getOrElse(
+      throw InvalidTableSpec(s"pipeline op missing field $f"))
+    val ops = root.path("ops").elements().asScala.map { on =>
+      req(on, "op") match {
+        case "exact_dedup" => ExactDedup(req(on, "table"),
+          req(on, "id_col"), req(on, "text_col"), req(on, "out"))
+        case "quality_filter" => QualityFilter(req(on, "table"),
+          req(on, "text_col"), req(on, "out"),
+          minWords = on.path("min_words").asInt(50))
+        case "ann_topk" => AnnTopK(req(on, "table"), req(on, "id_col"),
+          req(on, "vec_col"), req(on, "query_filter"),
+          on.path("k").asInt(10), req(on, "out"))
+        case other => throw InvalidTableSpec(s"unknown pipeline op $other")
+      }
+    }.toSeq
+    if (ops.isEmpty) throw InvalidTableSpec("empty pipeline")
+    if (!pipeState.compareAndSet(EngineState.Wait, EngineState.Executing))
+      return 409 -> s"""{"error":"pipeline rejected: state = ${pipeState.get()}"}"""
+    val taskId = audit.nextTaskId()
+    audit.taskEvent(taskId, "begin_pipeline")
+    val resolve: String => DataFrame =
+      name => if (store.exists(name)) store.read(name) else sources(name)
+    try {
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            PipelineTasks.run(store, audit, taskId, ops, resolve)
+            audit.taskEvent(taskId, "finished_pipeline")
+          }
+          catch { case NonFatal(_) => audit.taskEvent(taskId, "error") }
+          finally pipeState.set(EngineState.Wait)
+      })
+    } catch {
+      case e: Throwable => pipeState.set(EngineState.Wait); throw e
+    }
+    200 -> s"""{"taskid":$taskId}"""
   }
 
   private def handleCalcStatus(ex: HttpExchange): (Int, String) = {

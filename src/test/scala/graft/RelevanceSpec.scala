@@ -463,4 +463,46 @@ class RelevanceSpec extends SparkTestBase {
     assert(got(3L) == ((3L, 1L, 0L, 0L, Some(0L))))
     assert(got(4L) == ((4L, 0L, 1L, 0L, Some(0L))))
   }
+
+  test("rboPpm: identical lists hit the closed form, reversal costs " +
+       "where Jaccard can't see, disjoint = 0, rank bias ordering") {
+    val k = 5
+    // driver reference: sum of pinned floors (10^6*9^(d-1)*X_d)//(10^d*d)
+    def ref(xs: Seq[Int]): Long = (1 to k).map { d =>
+      (BigInt(10).pow(6) * BigInt(9).pow(d - 1) * xs(d - 1) /
+        (BigInt(10).pow(d) * d)).toLong
+    }.sum
+    def ranks(q: Long, ds: Seq[Long]) =
+      ds.zipWithIndex.map { case (d, i) => (q, d, (i + 1).toLong) }
+    val a = (ranks(1L, Seq(10, 11, 12, 13, 14)) ++ // q1: identity
+      ranks(2L, Seq(20, 21, 22, 23, 24)) ++        // q2: vs reversed
+      ranks(3L, Seq(30, 31, 32, 33, 34)))          // q3: vs disjoint
+      .toDF("q", "d", "rnk")
+    val b = (ranks(1L, Seq(10, 11, 12, 13, 14)) ++
+      ranks(2L, Seq(24, 23, 22, 21, 20)) ++
+      ranks(3L, Seq(90, 91, 92, 93, 94)))
+      .toDF("q", "d", "rnk")
+    val got = Relevance.rboPpm(a, b, "q", "d", "rnk", k)
+      .as[(Long, Long)].collect().toMap
+    // identical: X_d = d at every depth
+    assert(got(1L) == ref(Seq(1, 2, 3, 4, 5)), s"got $got")
+    // reversed same set: overlap only fills once prefixes meet
+    // (X = 0,0,1,3,5 for 5 elements)
+    assert(got(2L) == ref(Seq(0, 0, 1, 3, 5)))
+    assert(got(2L) < got(1L), "reversal must cost under rank weighting")
+    assert(got(3L) == 0L)
+    // rank bias: sharing the TOP result only beats sharing the BOTTOM
+    // result only (same Jaccard, different rbo)
+    val top = Relevance.rboPpm(
+      ranks(9L, Seq(1, 2, 3, 4, 5)).toDF("q", "d", "rnk"),
+      ranks(9L, Seq(1, 6, 7, 8, 9)).toDF("q", "d", "rnk"),
+      "q", "d", "rnk", k).as[(Long, Long)].collect().head._2
+    val bottom = Relevance.rboPpm(
+      ranks(9L, Seq(1, 2, 3, 4, 5)).toDF("q", "d", "rnk"),
+      ranks(9L, Seq(6, 7, 8, 9, 5)).toDF("q", "d", "rnk"),
+      "q", "d", "rnk", k).as[(Long, Long)].collect().head._2
+    assert(top > bottom, s"top-share $top must beat bottom-share $bottom")
+    intercept[IllegalArgumentException](
+      Relevance.rboPpm(a, b, "q", "d", "rnk", 21))
+  }
 }

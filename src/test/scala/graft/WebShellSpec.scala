@@ -155,4 +155,67 @@ class WebShellSpec extends SparkTestBase {
       gate.countDown()
     } finally { gate.countDown(); shell.stop() }
   }
+
+  test("POST /pipeline: dedup -> quality chain with audit rows; " +
+       "unknown op 400; ann_topk probes the dispatch") {
+    val store = new ParquetTableStore(spark, tmpDir("web-pipe"))
+    val audit = new graft.audit.InMemoryAuditSink
+    val runner = new TaskRunner(spark, new SyncEngine(store), audit)
+    val docs = Seq(
+      (1L, ("the be to of and that have with " * 8) + "alpha"),
+      (2L, ("the be to of and that have with " * 8) + "alpha"), // dup of 1
+      (3L, ("the be to of and that have with " * 8) + "beta"),
+      (4L, "#### ### ## #")) // fails the gopher symbol screen
+      .toDF("doc_id", "text")
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val shell = new WebShell(runner, new CalcEngine(spark, store), audit,
+      sources = {
+        case "docs" => docs
+        case "vecs" => vecs
+        case other  => sys.error(s"unknown source $other")
+      },
+      pipelineStore = Some(store), port = 0).start()
+    try {
+      val r = post(shell.boundPort, "/pipeline",
+        """{"ops":[
+          |{"op":"exact_dedup","table":"docs","id_col":"doc_id",
+          | "text_col":"text","out":"p.dedup"},
+          |{"op":"quality_filter","table":"p.dedup","text_col":"text",
+          | "out":"p.clean","min_words":10},
+          |{"op":"ann_topk","table":"vecs","id_col":"vec_id",
+          | "vec_col":"embedding","query_filter":"vec_id < 2","k":3,
+          | "out":"p.topk"}]}""".stripMargin)
+      assert(r.statusCode() == 200 && r.body().matches("""\{"taskid":\d+\}"""),
+        s"got ${r.statusCode()} ${r.body()}")
+      val deadline = System.nanoTime() + 120_000_000_000L
+      while (!audit.taskEvents.exists(e =>
+               e.status == "finished_pipeline" || e.status == "error") &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      assert(audit.taskEvents.exists(_.status == "finished_pipeline"),
+        s"pipeline did not finish: ${audit.taskEvents}")
+      // dedup: 4 docs -> 3 survivors; quality: the symbol doc drops
+      assert(store.count("p.dedup") == 3L)
+      assert(store.count("p.clean") == 2L)
+      // ann: 2 queries x top-3 through the unified dispatch
+      assert(store.count("p.topk") == 6L)
+      // audit rows: begin + finished per op, rows/sec recorded
+      val ev = audit.events.filter(_.taskId == audit.taskEvents.head.taskId)
+      Seq("exact_dedup", "quality_filter", "ann_topk").foreach { op =>
+        assert(ev.exists(e => e.operation == op && e.status == "begin"))
+        assert(ev.exists(e => e.operation == op &&
+          e.status == s"finished_$op" && e.rowsCopied > 0))
+      }
+      // /status surfaces the pipeline rows like any sync task
+      assert(get(shell.boundPort, "/status").body()
+        .contains("finished_exact_dedup"))
+      // unknown op -> 400, nothing admitted
+      val bad = post(shell.boundPort, "/pipeline",
+        """{"ops":[{"op":"nope","table":"docs","out":"x"}]}""")
+      assert(bad.statusCode() == 400 &&
+        bad.body().contains("unknown pipeline op"))
+    } finally shell.stop()
+  }
 }
