@@ -1032,22 +1032,33 @@ object CoreQueries {
 
   // BLOCKED RECORD LINKAGE (ops/EntityResolution.scorePairs): Fellegi–
   // Sunter field-agreement scoring of candidate pairs inside
-  // (nationkey, mktsegment) blocks — never all-pairs; integer weights
-  // keep the score exact cross-engine. The gate plants perturbed
-  // customer clones (name + '~', balance + 0.5): full-name agreement
-  // fails but the 18-char prefix and ±1.0 balance tolerance hold, so
-  // exactly the clone pairs clear the match threshold.
+  // (nationkey, mktsegment, key-window) blocks — never all-pairs;
+  // integer weights keep the score exact cross-engine. The gate plants
+  // perturbed customer clones (name + '~', balance + 0.5): full-name
+  // agreement fails but the 18-char prefix and ±1.0 balance tolerance
+  // hold, so exactly the clone pairs clear the match threshold.
+  //
+  // The key-window block column is the SCALING term (round-10 sf1
+  // rehearsal: nation×segment alone is 125 FIXED blocks, so block
+  // occupancy — and the pair product — grew with the corpus; 67× at
+  // 10× data). `custkey mod 10^6 div 1000` strips the clone offset
+  // (clones co-block with their originals) and adds one block per
+  // 1000 keys, pinning expected occupancy at ~8 for every scale
+  // factor — the block-key-cardinality-must-scale rule every blocked
+  // linkage deployment follows.
   def q177_record_linkage(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.EntityResolution._
     val c = t(s, dir, "customer")
-    val aug = c.unionByName(c.filter(col("c_custkey") % 97 === 0)
+    val aug0 = c.unionByName(c.filter(col("c_custkey") % 97 === 0)
       .select((col("c_custkey") + 1000000L).as("c_custkey"),
         concat(col("c_name"), lit("~")).as("c_name"),
         col("c_nationkey"),
         (col("c_acctbal") + 0.5).as("c_acctbal"),
         col("c_mktsegment")))
+    val aug = aug0.withColumn("blk",
+      expr("(c_custkey % 1000000L) div 1000L"))
     scorePairs(aug, "c_custkey",
-      blockCols = Seq("c_nationkey", "c_mktsegment"),
+      blockCols = Seq("c_nationkey", "c_mktsegment", "blk"),
       compareCols = Seq("c_name", "c_acctbal"),
       rules = Seq(
         prefixField("c_name", 18, wAgree = 30, wDisagree = 10),
@@ -2246,7 +2257,9 @@ object CoreQueries {
         |  CAST(CASE WHEN l.c_name = r.c_name THEN 1 ELSE 0 END AS INT) AS agree_c_name,
         |  CAST(CASE WHEN abs(l.c_acctbal - r.c_acctbal) <= 1.0 THEN 1 ELSE 0 END AS INT) AS agree_c_acctbal_tol
         |  FROM aug l JOIN aug r ON l.c_nationkey = r.c_nationkey
-        |    AND l.c_mktsegment = r.c_mktsegment AND l.c_custkey < r.c_custkey),
+        |    AND l.c_mktsegment = r.c_mktsegment
+        |    AND (l.c_custkey % 1000000) // 1000 = (r.c_custkey % 1000000) // 1000
+        |    AND l.c_custkey < r.c_custkey),
         |s AS (SELECT *, CAST(CASE WHEN agree_c_name_pfx18 = 1 THEN 30 ELSE -10 END
         |            + CASE WHEN agree_c_name = 1 THEN 20 ELSE -5 END
         |            + CASE WHEN agree_c_acctbal_tol = 1 THEN 15 ELSE -15 END AS BIGINT) AS score FROM p)

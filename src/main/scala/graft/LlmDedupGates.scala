@@ -460,19 +460,55 @@ object LlmDedupGates {
   }
 
   // SEMANTIC DEDUP (llm/Dedup.semanticDedup — SemDeDup, Abbas et al.
-  // 2023): cluster the embedding space (first-16 deterministic
+  // 2023): cluster the embedding space (deterministic first-nlist
   // centroids, the q86 init), drop any vector whose exact cosine to a
   // lower-id same-cluster vector clears 0.25 — the embedding sibling
   // of the MinHash family (paraphrases share no shingles). The oracle
   // replays centroids, argmin assignment, and the within-cluster pair
   // rule bit-for-bit on the decimal kernel.
-  def q339_semantic_dedup(s: SparkSession, dir: String): DataFrame =
-    graft.llm.Dedup.semanticDedup(
-      t(s, dir, "embeddings"), "vec_id", "embedding",
-      nlist = 16, tau = 0.25)
+  //
+  // nlist SCALES with the corpus at the BALANCED √n sizing — the
+  // round-10 sf1 rehearsal showed a fixed nlist turns the
+  // within-cluster pair product quadratic (occupancy grows with n),
+  // while occupancy-pinned sizing turns the n·nlist centroid
+  // assignment quadratic instead; √n balances both terms at n^1.5,
+  // the exact-SemDeDup floor. The LINEAR scale path is the banded
+  // q341 sibling. The count() is one metadata-sized job; the gate
+  // keeps the exact decimal kernel (deterministic = true) — production
+  // passes false for the fused double kernel, ~10× cheaper.
+  def q339_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val nlist = math.max(4L, math.sqrt(emb.count().toDouble).toLong).toInt
+    val cents = graft.llm.Similarity.ivfCentroids(
+      emb, "vec_id", "embedding", nlist, iters = 0)
+    graft.llm.Dedup.semanticDedup(emb, "vec_id", "embedding",
+        centroids = cents, centroidIdCol = "cid", centroidVecCol = "cv",
+        minCosine = 0.25, deterministic = true)
+      .where(col("keep") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
+  // LSH-BANDED SEMANTIC DEDUP (llm/Dedup.semanticDedupLsh): q339's
+  // linear scale path — candidates from shared md5-parity sign-plane
+  // band buckets (the q84 banding, SQL-replayable), exact-cosine
+  // verify, keep-the-first. Approximate by design: pairs sharing no
+  // band are never scored. Band WIDTH scales with the corpus —
+  // smallest w in [4, 15] with 16·2^w ≥ n, the suggestLshBits rule in
+  // pure-integer form so the oracle picks the identical width without
+  // a cross-engine log2 — pinning bucket occupancy ≤ ~16 at every
+  // scale factor (fixed width is the quadratic footgun: occupancy
+  // grows with n).
+  def q341_semantic_dedup_lsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val n = emb.count()
+    val w = (4 to 15).find(w => 16L * (1L << w) >= n).getOrElse(15)
+    graft.llm.Dedup.semanticDedupLsh(emb, "vec_id", "embedding",
+      tau = 0.25, bits = w * 4, bands = 4, dims = 64)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q339_semantic_dedup" -> q339_semantic_dedup _,
+    "q341_semantic_dedup_lsh" -> q341_semantic_dedup_lsh _,
     "q156_snm_dedup" -> q156_snm_dedup _,
     "q159_sentence_dedup" -> q159_sentence_dedup _,
     "q152_dedup_ensemble" -> q152_dedup_ensemble _,
@@ -501,6 +537,42 @@ object LlmDedupGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q341_semantic_dedup_lsh" ->
+      """WITH wsel AS (
+        |  SELECT coalesce(min(w), 15) AS wd
+        |  FROM (VALUES (4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15)) t(w),
+        |       (SELECT count(*) AS n FROM embeddings) c
+        |  WHERE 16 * (1::BIGINT << w) >= c.n),
+        |sig AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, wsel.wd * 4), p ->
+        |    CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), i ->
+        |      CAST(CAST(embedding[i] AS DOUBLE) *
+        |        (CASE WHEN (('0x'||substring(md5('lsh:' || p || ':' || (i-1)),1,15))::BIGINT) % 2 = 0
+        |              THEN 1.0 ELSE -1.0 END) AS DECIMAL(38,15)))) >= 0
+        |         THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS sig,
+        |  wsel.wd AS wd
+        |  FROM embeddings, wsel),
+        |keys AS (SELECT vec_id, band,
+        |           (sig >> (band*wd)) & ((1::BIGINT << wd) - 1) AS key
+        |         FROM (SELECT vec_id, sig, wd,
+        |                 unnest(range(0,4)) AS band FROM sig)),
+        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |         FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
+        |         WHERE a.vec_id < b.vec_id),
+        |norm AS (
+        |  SELECT vec_id, embedding,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(CAST(x AS DOUBLE)*CAST(x AS DOUBLE) AS DECIMAL(38,15)))) AS nrm
+        |  FROM embeddings),
+        |dropped AS (
+        |  SELECT DISTINCT cand.b_id AS vec_id
+        |  FROM cand JOIN norm a ON a.vec_id = cand.a_id
+        |            JOIN norm b ON b.vec_id = cand.b_id
+        |  WHERE CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE) AS DECIMAL(38,15)))) AS DOUBLE)
+        |    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= 0.25)
+        |SELECT n.vec_id FROM norm n LEFT JOIN dropped d ON d.vec_id = n.vec_id
+        |WHERE d.vec_id IS NULL""".stripMargin,
     "q339_semantic_dedup" ->
       """WITH v AS (
         |  SELECT vec_id,
@@ -512,9 +584,11 @@ object LlmDedupGates {
         |      x -> CAST(x*x AS DECIMAL(38,15)))) AS vn
         |  FROM v),
         |c AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-        |    vv AS cv, vn AS cn
-        |  FROM n ORDER BY vec_id LIMIT 16),
+        |  SELECT rn - 1 AS cid, vv AS cv, vn AS cn FROM
+        |    (SELECT vv, vn,
+        |       row_number() OVER (ORDER BY vec_id) AS rn FROM n)
+        |  WHERE rn <= (SELECT greatest(4,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT)) FROM embeddings)),
         |d AS (
         |  SELECT n.vec_id, c.cid,
         |    CAST(n.vn AS DOUBLE) + CAST(c.cn AS DOUBLE) -

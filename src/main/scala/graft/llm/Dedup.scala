@@ -1548,29 +1548,57 @@ object Dedup {
     * exactly as SemDeDup prescribes (vectors ride that join once;
     * ids-only would re-join them back for the cosine anyway). One
     * distinct on dropped ids, one anti join. */
-  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    nlist: Int, tau: Double): DataFrame = {
-    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+  /** LSH-banded semantic dedup — the LINEAR scale path of
+    * [[semanticDedup]] (the exact cluster form pays n^1.5 at its
+    * balanced √n-centroids sizing; banding keeps cost ∝ bucket
+    * occupancy): candidate pairs come from shared sign-hyperplane band
+    * buckets (the q84 machinery — md5-parity planes, so a SQL engine
+    * replays the banding bit-for-bit), each candidate is verified by
+    * the exact decimal cosine, and any vector whose verified cosine to
+    * a LOWER-id vector clears `tau` drops. Approximate where the
+    * cluster form is exhaustive: a pair sharing NO band is never
+    * scored (the standard LSH recall trade — more bands or fewer bits
+    * per band buy recall).
+    *
+    * Output: one row per SURVIVOR (vec_id).
+    *
+    * Scale shape: ids-only band-bucket self-join (vectors join back
+    * only for the deduped candidate set), one distinct, one anti
+    * join. */
+  def semanticDedupLsh(df: DataFrame, idCol: String, vecCol: String,
+                       tau: Double, bits: Int, bands: Int,
+                       dims: Int): DataFrame = {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0, 1), got $tau")
-    val cents = Similarity.ivfCentroids(df, idCol, vecCol, nlist,
-      iters = 0)
-    val assigned = Similarity.assignToCentroids(df, cents, idCol,
-        vecCol, "cid", "cv")
-      .select(col("vec_id"), col("centroid_id"))
+    require(bits >= 1 && bands >= 1 && bits % bands == 0,
+      s"bits=$bits must split into bands=$bands equal keys")
+    // both frames feed MULTIPLE joins (keys: the two self-join sides;
+    // v: both verify sides + the survivor base) — pin them so the
+    // md5-plane signature and the decimal norms each run over the
+    // corpus exactly once (the lshBucketPairs persist discipline)
+    val keys = df.select(col(idCol).cast("long").as("vec_id"),
+        explode(Similarity.bandKeys(
+          Similarity.lshSignatureMd5(col(vecCol), bits, dims),
+          bits, bands)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
     val v = df.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<double>").as("vv"))
       .withColumn("vn", Similarity.norm2Decimal(col("vv")))
-    val m = assigned.join(v, "vec_id")
-    val lo = m.select(col("centroid_id"), col("vec_id").as("a_id"),
-      col("vv").as("av"), col("vn").as("an"))
-    val hi = m.select(col("centroid_id"), col("vec_id").as("b_id"),
-      col("vv").as("bv"), col("vn").as("bn"))
-    val dropped = lo.join(hi, Seq("centroid_id"))
-      .where(col("a_id") < col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = cand
+      .join(v.select(col("vec_id").as("a_id"), col("vv").as("av"),
+        col("vn").as("an")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("vv").as("bv"),
+        col("vn").as("bn")), "b_id")
       .where(Similarity.cosineDeterministic(col("av"), col("bv"),
         col("an"), col("bn")) >= tau)
       .select(col("b_id").as("vec_id")).distinct()
-    assigned.join(dropped, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("centroid_id"))
+    v.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
   }
 }

@@ -940,13 +940,16 @@ class LlmOpsSpec extends SparkTestBase {
       s"indexed recall ${exact.intersect(idx).size}/${exact.size}")
   }
 
-  test("semanticDedup: paraphrase clusters collapse to the first id, " +
-       "unrelated vectors survive, partition-independent") {
+  test("semanticDedupLsh: paraphrase groups collapse to the first id " +
+       "through the banded path, unrelated vectors survive, " +
+       "partition-independent") {
     val rnd = new scala.util.Random(71)
     val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian().toFloat))
-    // ids 0..3 are the four distinct "meanings" (they seed the
-    // first-nlist centroids); ids 4..23 are paraphrases (tiny noise →
-    // cosine ≈ 1 within the cluster); ids 100.. are unrelated
+    // ids 0..3 are the four distinct "meanings"; ids 4..23 are
+    // paraphrases (tiny noise → cosine ≈ 1, so they share ALL sign
+    // bits with their center w.h.p. — every band collides); ids 100..
+    // are unrelated and must survive the exact-cosine verify even when
+    // a band accidentally collides
     val paraphrases = (0 until 24).map { i =>
       val c = centers(i % 4)
       (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.01f))
@@ -954,21 +957,21 @@ class LlmOpsSpec extends SparkTestBase {
     val unrelated = (0 until 6).map(i =>
       (100L + i, Array.fill(32)(rnd.nextGaussian().toFloat)))
     val df = (paraphrases ++ unrelated).toDF("vec_id", "embedding")
-    val survivors = Dedup.semanticDedup(df, "vec_id", "embedding",
-        nlist = 4, tau = 0.9)
+    val survivors = Dedup.semanticDedupLsh(df, "vec_id", "embedding",
+        tau = 0.9, bits = 16, bands = 4, dims = 32)
       .select($"vec_id").as[Long].collect().toSet
     assert(survivors == (Set(0L, 1L, 2L, 3L) ++
       (0 until 6).map(100L + _)), s"got $survivors")
-    // partition independence: the survivor set is a pure function of
-    // (corpus, nlist, tau)
-    val again = Dedup.semanticDedup(df.repartition(7), "vec_id",
-        "embedding", nlist = 4, tau = 0.9)
+    // partition independence: banding + exact verify is a pure
+    // function of (corpus, tau, bits, bands)
+    val again = Dedup.semanticDedupLsh(df.repartition(7), "vec_id",
+        "embedding", tau = 0.9, bits = 16, bands = 4, dims = 32)
       .select($"vec_id").as[Long].collect().toSet
     assert(again == survivors)
     intercept[IllegalArgumentException](
-      Dedup.semanticDedup(df, "vec_id", "embedding", 0, 0.9))
+      Dedup.semanticDedupLsh(df, "vec_id", "embedding", 1.5, 16, 4, 32))
     intercept[IllegalArgumentException](
-      Dedup.semanticDedup(df, "vec_id", "embedding", 4, 1.5))
+      Dedup.semanticDedupLsh(df, "vec_id", "embedding", 0.9, 16, 5, 32))
   }
 
   test("PQ: codes are bounded and complete; ADC search recalls clustered neighbors") {

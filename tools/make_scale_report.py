@@ -7,18 +7,43 @@ Bench artifacts carry per-query integer deciseconds as ONE csv string in
 numeric-ascending short-key order (see Bench.serialize); the query-name
 axis comes from a Verify dump's oracle_sql.json (all declared gates).
 
-Classification (data grows 10x between the two artifacts):
-  superlinear: sf1 > 10 x max(sf0.1, 0.3 s)  -- worse than linear
-  watch:       sf1 >  3 x max(sf0.1, 0.3 s)  -- sub-linear but names an
-               explanation in the report
-  ok:          everything else
-The 0.3 s floor keeps 0.1 s-resolution noise on trivial queries from
-manufacturing ratios.
+Classification on the NORMALIZED ratio r = sf1 / (10 x sf0.1) — data
+grows 10x between the artifacts, so r = 1 is exactly linear scaling
+(a data-bound scan SHOULD cost 10x on 10x data):
+  superlinear: r > 1.25  -- growing faster than the data; fix or explain
+  linear:      r > 0.85  -- tracking the data; expected for scan-bound
+  ok:          r <= 0.85 -- sub-linear (fixed-cost or index-bound)
+The 0.3 s floor on the sf0.1 side keeps 0.1 s-resolution noise on
+trivial queries from manufacturing ratios.
 
 Usage: make_scale_report.py <bench_sf0.1.json> <bench_sf1.json>
                             <oracle_sql.json> <out.json>
 """
 import json, sys
+
+# Named explanations for gates expected to sit at or above linear —
+# committed WITH the artifact so a flagged ratio is a documented
+# property, not an open question.
+EXPLANATIONS = {
+    "q339_semantic_dedup":
+        "exact SemDeDup at the balanced sqrt(n)-centroid sizing is "
+        "n^1.5 BY CONSTRUCTION (assignment n*sqrt(n) + within-cluster "
+        "pairs n*sqrt(n)), and the gate pins the exact DECIMAL cosine "
+        "kernel for the DuckDB oracle (~10x the fused double kernel "
+        "production uses via deterministic=false); the LINEAR scale "
+        "path is q341's LSH-banded sibling",
+    "q341_semantic_dedup_lsh":
+        "linear by design (corpus-scaled band width pins bucket "
+        "occupancy); absolute cost is the md5-plane signature + exact "
+        "decimal verify the oracle requires - production uses the "
+        "xxhash native-codegen signature (lshSignature) and double "
+        "cosine",
+    "q81_seq_decontam":
+        "both the corpus AND the contamination set grow 10x, so the "
+        "inverted-index join output grows ~linearly on each side; "
+        "slightly-above-linear wall-clock is join-output-bound, not a "
+        "plan defect",
+}
 
 
 def load_bench(path):
@@ -42,14 +67,16 @@ def main(b01_path, b1_path, oracle_path, out_path):
             rows[name] = {"sf01_ds": a, "sf1_ds": b, "class": "FAILED"}
             continue
         denom = max(a, 3)  # 0.3 s noise floor on the small-SF side
-        ratio = round(b / denom, 2)
-        cls = ("superlinear" if b > 10 * denom else
-               "watch" if b > 3 * denom else "ok")
-        rows[name] = {"sf01_ds": a, "sf1_ds": b, "ratio": ratio,
+        norm = round(b / (10.0 * denom), 2)
+        cls = ("superlinear" if norm > 1.25 else
+               "linear" if norm > 0.85 else "ok")
+        rows[name] = {"sf01_ds": a, "sf1_ds": b, "norm_ratio": norm,
                       "class": cls}
+        if cls != "ok" and name in EXPLANATIONS:
+            rows[name]["explanation"] = EXPLANATIONS[name]
         if cls == "superlinear":
             n_super.append(name)
-        elif cls == "watch":
+        elif cls == "linear":
             n_watch.append(name)
     report = {
         "protocol": {
@@ -57,19 +84,20 @@ def main(b01_path, b1_path, oracle_path, out_path):
             "reps": {"sf0.1": b01.get("reps"), "sf1": b1.get("reps")},
             "unit": "deciseconds, per-query min across interleaved passes",
             "noise_floor_ds": 3,
-            "classes": {"superlinear": "> 10x", "watch": "> 3x"},
+            "classes": {"superlinear": "norm_ratio > 1.25",
+                        "linear": "norm_ratio > 0.85"},
         },
         "totals": {"sf0.1_sec": b01.get("value"),
                    "sf1_sec": b1.get("value"),
                    "total_ratio": round(b1.get("value", 0) /
                                         max(b01.get("value", 1), 0.1), 2)},
         "summary": {"queries": len(names),
-                    "superlinear": n_super, "watch": n_watch},
+                    "superlinear": n_super, "linear": n_watch},
         "queries": rows,
     }
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1, sort_keys=False)
-    print(f"queries={len(names)} superlinear={n_super} watch={n_watch}")
+    print(f"queries={len(names)} superlinear={n_super} linear={n_watch}")
     print(f"totals: sf0.1={b01.get('value')}s sf1={b1.get('value')}s "
           f"ratio={report['totals']['total_ratio']}")
 
