@@ -60,11 +60,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ LlmQueries.queries ++ AnalyticsGates.queries ++
-      EvalGates.queries
+      EvalGates.queries ++ AgreementGates.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ LlmQueries.oracleSql ++
-      AnalyticsGates.oracleSql ++ EvalGates.oracleSql
+      AnalyticsGates.oracleSql ++ EvalGates.oracleSql ++
+      AgreementGates.oracleSql
 }

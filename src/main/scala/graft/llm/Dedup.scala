@@ -1387,6 +1387,60 @@ object Dedup {
         when(col("__dup").isNotNull, lit(0)).otherwise(lit(1)).as("keep"))
   }
 
+  /** SEMANTIC DECONTAMINATION — flag training docs whose EMBEDDING is
+    * too close to any eval/test vector: the meaning-level companion to
+    * the n-gram decontamination family (decontaminate /
+    * decontaminateBloom / the sequence-level q81 shape), catching the
+    * paraphrased and reformatted benchmark leaks that no shingle
+    * overlap can see.
+    *
+    * Scale shape — built around the real asymmetry of the problem: the
+    * corpus is the 100 TB side, the test set is an eval benchmark
+    * (thousands of vectors). The test side is BROADCAST and the scan
+    * is MAP-ONLY — one pass over the corpus, no shuffle at all, linear
+    * at any corpus size and embarrassingly parallel across executors.
+    * For test sets too large to broadcast, band both sides with
+    * [[semanticDedupLsh]]'s sign-plane buckets instead — the
+    * documented big-test-side route; this operator `require`s the
+    * contract (`maxTestRows`) rather than silently building a giant
+    * broadcast.
+    *
+    * `deterministic = true` computes cosine with exact decimal sums
+    * (cross-engine bit-stable — the gate form); production uses the
+    * fused native kernel.
+    *
+    * Returns one row per corpus doc:
+    * (idCol, n_matches, contaminated ∈ {0,1}) — n_matches = how many
+    * test vectors sit at cosine ≥ `minCosine`. */
+  def semanticDecontam(corpus: DataFrame, test: DataFrame,
+                       idCol: String, vecCol: String,
+                       minCosine: Double,
+                       deterministic: Boolean = false,
+                       maxTestRows: Long = 1000000): DataFrame = {
+    val testN = test.count()
+    require(testN <= maxTestRows,
+      s"test side has $testN rows > maxTestRows=$maxTestRows — too " +
+        "large to broadcast; band both sides (semanticDedupLsh) instead")
+    val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
+      .withColumn("__cn", Similarity.norm2Decimal(col("__cv")))
+    val q = test.select(col(vecCol).as("__tv"))
+      .withColumn("__tn", Similarity.norm2Decimal(col("__tv")))
+    val cos =
+      if (deterministic)
+        Similarity.cosineDeterministic(col("__cv"), col("__tv"),
+          col("__cn"), col("__tn"))
+      else Similarity.cosine(col("__cv"), col("__tv"))
+    val hits = c.crossJoin(broadcast(q))
+      .where(cos >= lit(minCosine))
+      .groupBy(col("__id")).agg(count(lit(1)).as("n_matches"))
+    c.select(col("__id"))
+      .join(hits, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        when(col("n_matches").isNotNull, lit(1)).otherwise(lit(0))
+          .as("contaminated"))
+  }
+
   /** QUALITY-AWARE cluster resolution: given near-dup clusters
     * (`idCol`, `compCol` — e.g. [[connectedComponents]] output) and
     * per-doc quality scores, keep the HIGHEST-scoring member of each

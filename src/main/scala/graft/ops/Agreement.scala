@@ -1,0 +1,315 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Inter-rater / inter-ranker AGREEMENT statistics in exact integer
+  * arithmetic — the annotation-quality battery for preference data,
+  * eval labels, and multi-judge pipelines. Cohen's kappa
+  * (ops/Stats.cohenKappaPpm) covers exactly two fixed raters; this
+  * module covers the shapes a labeling operation actually produces:
+  * many raters ([[fleissKappaPpm]], [[gwetAc1Ppm]]), MISSING ratings
+  * ([[krippendorffAlphaPpm]]), and full rankings rather than category
+  * labels ([[kendallsWPpm]]).
+  *
+  * House determinism rules (the RankTests contract): every statistic
+  * is a pinned-floor integer rational both engines replay bit-for-bit;
+  * quantities that can be negative go through sign-magnitude
+  * (`sign · (10⁶·|num| div den)`) because Spark `div` truncates toward
+  * zero while DuckDB `//` floors — they disagree on negatives;
+  * per-item rational terms are floored ITEM BY ITEM and then summed
+  * (the logRankMilli stance), so the floor schedule is part of the
+  * spec, not an accident of evaluation order.
+  *
+  * Scale shape shared by all: ratings collapse to (item, category)
+  * counts in one map-side-partial groupBy, then to one category-grain
+  * frame and one final single-row aggregate — rows shuffle once, at
+  * the item grain, never wider.
+  */
+object Agreement {
+
+  private val d38 = DecimalType(38, 0)
+
+  /** (item, category) count frame with per-item totals:
+    * (__i, __c, __nic, __ni). One groupBy + one bounded join back. */
+  private def itemCatCounts(df: DataFrame, itemCol: String,
+                            catCol: String): DataFrame = {
+    val nic = df.select(col(itemCol).as("__i"),
+        col(catCol).cast("string").as("__c"))
+      .where(col("__i").isNotNull && col("__c").isNotNull)
+      .groupBy(col("__i"), col("__c")).agg(count(lit(1)).as("__nic"))
+    val ni = nic.groupBy(col("__i").as("__i2"))
+      .agg(sum(col("__nic")).as("__ni"))
+    nic.join(ni, col("__i") === col("__i2")).drop("__i2")
+  }
+
+  /** FLEISS' KAPPA — chance-corrected agreement for n items each
+    * labeled by exactly `raters` raters (rater identity anonymous —
+    * the crowd-label case Cohen's kappa can't express). Items whose
+    * rating count differs from `raters` are excluded (incomplete
+    * assignments would bias every marginal) and reported via
+    * `n_dropped`.
+    *
+    * Exact rational: with A = Σ_ic n_ic², B = Σ_c C_c² (C_c the
+    * category column totals over kept items), N kept items, r raters,
+    *   P̄  = (A − N·r) / (N·r·(r−1))         observed agreement
+    *   P̄e = B / (N²·r²)                      chance agreement
+    *   κ   = (P̄ − P̄e) / (1 − P̄e)
+    * cross-multiplied to the common denominator N²r²(r−1) and emitted
+    * sign-magnitude:
+    *   num = (A − N·r)·N·r − B·(r−1)
+    *   den = N²·r²·(r−1) − B·(r−1)
+    *   kappa_ppm = sign(num) · (10⁶·|num| div den)
+    * NULL when den = 0 (every rating in one category — agreement is
+    * undefined, the classic kappa degenerate case) or N = 0.
+    *
+    * Output one row: (n_items, n_dropped, raters, kappa_ppm).
+    *
+    * Scale shape: one (item, category) groupBy, one item-grain filter,
+    * one category-grain aggregate (≤ |categories| rows), one final
+    * row. */
+  def fleissKappaPpm(df: DataFrame, itemCol: String, catCol: String,
+                     raters: Int): DataFrame = {
+    require(raters >= 2, s"raters must be >= 2, got $raters")
+    val counts = itemCatCounts(df, itemCol, catCol)
+    val dropped = counts.where(col("__ni") =!= raters)
+      .agg(countDistinct(col("__i")).as("__nd"))
+    val kept = counts.where(col("__ni") === raters)
+    val byCat = kept.groupBy(col("__c"))
+      .agg(sum(col("__nic")).as("__cc"),
+        sum(col("__nic").cast(d38) * col("__nic")).as("__a"))
+    byCat
+      .agg(sum(col("__cc")).as("__s"),
+        sum(col("__a")).as("__aa"),
+        sum(col("__cc").cast(d38) * col("__cc")).as("__b"))
+      .withColumn("__n", expr(s"__s div ${raters}L"))
+      .crossJoin(broadcast(dropped))
+      .select(
+        coalesce(col("__n"), lit(0L)).cast("long").as("n_items"),
+        coalesce(col("__nd"), lit(0L)).cast("long").as("n_dropped"),
+        lit(raters.toLong).as("raters"),
+        col("__aa"), col("__b"))
+      .select(col("n_items"), col("n_dropped"), col("raters"),
+        when(col("n_items") === 0 ||
+            col("n_items").cast(d38) * col("n_items") * raters * raters *
+              (raters - 1) - col("__b") * (raters - 1) === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            s"""CAST(CAST(sign((__aa - CAST(n_items AS DECIMAL(38,0)) * $raters) * n_items * $raters
+               |          - __b * ${raters - 1}) AS DECIMAL(38,0)) *
+               |(CAST(1000000 AS DECIMAL(38,0)) *
+               | abs((__aa - CAST(n_items AS DECIMAL(38,0)) * $raters) * n_items * $raters
+               |     - __b * ${raters - 1})
+               | div (CAST(n_items AS DECIMAL(38,0)) * n_items * $raters * $raters * ${raters - 1}
+               |      - __b * ${raters - 1})) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("kappa_ppm"))
+  }
+
+  /** GWET'S AC1 — the prevalence-robust companion to
+    * [[fleissKappaPpm]]: kappa collapses toward 0 when one category
+    * dominates even under near-perfect raw agreement (the "kappa
+    * paradox"); AC1 replaces the chance term with γ-agreement
+    *   Pe = (1/(K−1)) Σ_c π_c(1−π_c),  π_c = C_c/(N·r)
+    * which stays small under skewed marginals. Same observed-agreement
+    * P̄ and the same exactly-r-ratings contract as Fleiss; K =
+    * categories OBSERVED among kept items.
+    *
+    * Cross-multiplied to D = (K−1)·N²r²(r−1), sign-magnitude:
+    *   num = (A − N·r)·(K−1)·N·r − ((N·r)² − B)·(r−1)
+    *   den = D − ((N·r)² − B)·(r−1)
+    *   ac1_ppm = sign(num) · (10⁶·|num| div den)
+    * NULL when K = 1 (one category observed — chance term undefined)
+    * or N = 0.
+    *
+    * Output one row: (n_items, raters, k_categories, ac1_ppm).
+    * Scale shape: identical to [[fleissKappaPpm]]. */
+  def gwetAc1Ppm(df: DataFrame, itemCol: String, catCol: String,
+                 raters: Int): DataFrame = {
+    require(raters >= 2, s"raters must be >= 2, got $raters")
+    val kept = itemCatCounts(df, itemCol, catCol)
+      .where(col("__ni") === raters)
+    val byCat = kept.groupBy(col("__c"))
+      .agg(sum(col("__nic")).as("__cc"),
+        sum(col("__nic").cast(d38) * col("__nic")).as("__a"))
+    byCat
+      .agg(sum(col("__cc")).as("__s"),
+        count(lit(1)).as("__k"),
+        sum(col("__a")).as("__aa"),
+        sum(col("__cc").cast(d38) * col("__cc")).as("__b"))
+      .withColumn("__n", expr(s"__s div ${raters}L"))
+      .select(coalesce(col("__n"), lit(0L)).cast("long").as("n_items"),
+        lit(raters.toLong).as("raters"),
+        coalesce(col("__k"), lit(0L)).cast("long").as("k_categories"),
+        col("__aa"), col("__b"))
+      .select(col("n_items"), col("raters"), col("k_categories"),
+        when(col("n_items") === 0 || col("k_categories") < 2,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            s"""CAST(CAST(sign((__aa - CAST(n_items AS DECIMAL(38,0)) * $raters)
+               |            * (k_categories - 1) * n_items * $raters
+               |          - (CAST(n_items AS DECIMAL(38,0)) * $raters * n_items * $raters - __b)
+               |            * ${raters - 1}) AS DECIMAL(38,0)) *
+               |(CAST(1000000 AS DECIMAL(38,0)) *
+               | abs((__aa - CAST(n_items AS DECIMAL(38,0)) * $raters)
+               |       * (k_categories - 1) * n_items * $raters
+               |     - (CAST(n_items AS DECIMAL(38,0)) * $raters * n_items * $raters - __b)
+               |       * ${raters - 1})
+               | div ((k_categories - 1) * CAST(n_items AS DECIMAL(38,0)) * n_items
+               |        * $raters * $raters * ${raters - 1}
+               |      - (CAST(n_items AS DECIMAL(38,0)) * $raters * n_items * $raters - __b)
+               |        * ${raters - 1})) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("ac1_ppm"))
+  }
+
+  /** KRIPPENDORFF'S ALPHA (nominal) — agreement when raters are
+    * UNEQUAL per item (missing labels, rotating annotator pools): the
+    * coincidence-matrix form, which [[fleissKappaPpm]]'s equal-r
+    * contract cannot express. Items with fewer than 2 ratings are
+    * unpairable and drop (reported via `n_unpairable`).
+    *
+    * Exact pinned-floor form over pairable items (n = Σ n_u ratings):
+    *   do_micro = Σ_u (10⁶ · Σ_c n_uc(n_u − n_uc)) div (n_u − 1)
+    *              [per-ITEM floor, then summed — replayable schedule]
+    *   alpha_ppm = 10⁶ − (do_micro · (n−1)) div (n² − Σ_c C_c²)
+    * The divided quantities are non-negative, so floor direction never
+    * splits the engines; alpha itself may go negative (worse than
+    * chance) through the final subtraction, which is exact. NULL when
+    * n² = Σ C_c² (all ratings one category — expected disagreement 0).
+    *
+    * Output one row: (n_values, n_unpairable, alpha_ppm).
+    *
+    * Scale shape: one (item, category) groupBy, one item-grain
+    * aggregate, one category-grain aggregate, one final row. */
+  def krippendorffAlphaPpm(df: DataFrame, itemCol: String,
+                           catCol: String): DataFrame = {
+    val counts = itemCatCounts(df, itemCol, catCol)
+    val unpairable = counts.where(col("__ni") < 2)
+      .agg(countDistinct(col("__i")).as("__nu"))
+    val kept = counts.where(col("__ni") >= 2)
+    // per-item observed-disagreement term, floored item by item
+    val perItem = kept.groupBy(col("__i"), col("__ni"))
+      .agg(sum(col("__nic").cast(d38) * (col("__ni") - col("__nic")))
+        .as("__dis"))
+      .select(col("__ni"),
+        expr("(1000000 * __dis) div (__ni - 1)").as("__do"))
+    val doAgg = perItem.agg(sum(col("__ni")).as("__n"),
+      sum(col("__do")).as("__dom"))
+    val byCat = kept.groupBy(col("__c"))
+      .agg(sum(col("__nic")).cast(d38).as("__cc"))
+      .agg(sum(col("__cc") * col("__cc")).as("__b"))
+    doAgg.crossJoin(broadcast(byCat))
+      .crossJoin(broadcast(unpairable))
+      .select(coalesce(col("__n"), lit(0L)).cast("long").as("n_values"),
+        coalesce(col("__nu"), lit(0L)).cast("long").as("n_unpairable"),
+        col("__dom"), col("__b"))
+      .select(col("n_values"), col("n_unpairable"),
+        when(col("n_values") === 0 ||
+            col("n_values").cast(d38) * col("n_values") === col("__b"),
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """1000000 - CAST((__dom * (n_values - 1))
+              |div (CAST(n_values AS DECIMAL(38,0)) * n_values - __b)
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("alpha_ppm"))
+  }
+
+  /** KENDALL'S W (coefficient of concordance) — "do these m rankers
+    * produce the SAME ordering?" over complete rankings: the
+    * multi-ranker generalization of rank correlation, the summary
+    * number over a panel of judges where llm/Relevance.rboPpm compares
+    * exactly two. W ∈ [0,1]: 1 = identical orderings, 1/m-ish = no
+    * association.
+    *
+    * Contract: each of the m rankers ranks the SAME n items exactly
+    * once with ranks 1..n and NO ties (break ties upstream by id —
+    * the gate does; a strict total order per ranker is what
+    * GlobalRank.globalRowNumber emits). With R_i the rank sum of item
+    * i, the doubled-deviation form is pure integer:
+    *   S4 = Σ_i (2·R_i − m·(n+1))²      [= 4·S]
+    *   w_ppm = (3·10⁶ · S4) div (m²·(n³−n))
+    * NULL when n < 2. The companion χ² test statistic is
+    * m·(n−1)·W — derivable from the output, not re-emitted.
+    *
+    * Output one row: (n_items, m_rankers, w_ppm).
+    *
+    * Scale shape: one item-grain groupBy (rank sums), one final
+    * aggregate — the ranker axis is a column, never a shuffle. */
+  def kendallsWPpm(df: DataFrame, rankerCol: String, itemCol: String,
+                   rankCol: String): DataFrame = {
+    val base = df.select(col(rankerCol).cast("string").as("__j"),
+        col(itemCol).as("__i"), col(rankCol).cast("long").as("__r"))
+      .where(col("__j").isNotNull && col("__i").isNotNull &&
+        col("__r").isNotNull)
+    val perItem = base.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__m"), sum(col("__r")).as("__ri"))
+    perItem
+      .agg(count(lit(1)).as("__n"), max(col("__m")).as("__mm"),
+        sum(col("__ri").cast(d38) * col("__ri")).as("__sq"),
+        sum(col("__ri").cast(d38)).as("__lin"))
+      .select(col("__n").cast("long").as("n_items"),
+        coalesce(col("__mm"), lit(0L)).cast("long").as("m_rankers"),
+        col("__sq"), col("__lin"))
+      .select(col("n_items"), col("m_rankers"),
+        when(col("n_items") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            // S4 = Σ(2R_i − m(n+1))² = 4Σ R_i² − 4m(n+1)Σ R_i + n·m²(n+1)²
+            """CAST((3000000 * (4 * __sq
+              |  - 4 * CAST(m_rankers AS DECIMAL(38,0)) * (n_items + 1) * __lin
+              |  + CAST(n_items AS DECIMAL(38,0)) * m_rankers * m_rankers
+              |    * (n_items + 1) * (n_items + 1)))
+              |div (CAST(m_rankers AS DECIMAL(38,0)) * m_rankers
+              |     * (CAST(n_items AS DECIMAL(38,0)) * n_items * n_items - n_items))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("w_ppm"))
+  }
+
+  /** COCHRAN'S Q — "do these k binary classifiers/treatments have the
+    * same success rate on the SAME items?": the k-treatment
+    * generalization of McNemar (ops/Stats.mcnemarMilli), the gate
+    * before pairwise post-hocs when comparing k rule variants on one
+    * eval set. Input is WIDE — one row per item, one boolean column
+    * per treatment (the mcnemar calling convention).
+    *
+    * Exact integer form with C_j = per-treatment success totals,
+    * T = Σ C_j, R_i = per-item success count:
+    *   q_milli = (1000·(k−1)·(k·Σ_j C_j² − T²)) div (k·T − Σ_i R_i²)
+    * The numerator is ≥ 0 (power-mean inequality), so no sign lane.
+    * NULL when the denominator is 0 — every item all-success or
+    * all-failure (no within-item variation, the test undefined).
+    *
+    * Output one row: (n_items, k, q_milli).
+    *
+    * Scale shape: R_i is computed row-wise map-side; one single-row
+    * aggregate carries Σ R_i² and each C_j — rows never shuffle. */
+  def cochranQMilli(df: DataFrame, treatmentCols: Seq[String]): DataFrame = {
+    val k = treatmentCols.size
+    require(k >= 2, s"need >= 2 treatments, got $k")
+    val flags = treatmentCols.map(c => col(c).cast("boolean"))
+    val base = df.where(flags.map(_.isNotNull).reduce(_ && _))
+      .select(
+        (flags.map(f => when(f, 1L).otherwise(0L)).reduce(_ + _))
+          .as("__ri") +: treatmentCols.zipWithIndex.map { case (c, j) =>
+            when(col(c).cast("boolean"), 1L).otherwise(0L).as(s"__t$j")
+          }: _*)
+    val aggs = Seq(count(lit(1)).as("__n"),
+      sum(col("__ri")).as("__tt"),
+      sum(col("__ri").cast(d38) * col("__ri")).as("__r2")) ++
+      (0 until k).map(j => sum(col(s"__t$j")).as(s"__c$j"))
+    val cSq = (0 until k).map(j =>
+      s"CAST(__c$j AS DECIMAL(38,0)) * __c$j").mkString(" + ")
+    base.agg(aggs.head, aggs.tail: _*)
+      .select(col("__n").cast("long").as("n_items"),
+        lit(k.toLong).as("k"),
+        when(lit(k).cast(d38) * col("__tt") - col("__r2") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            s"""CAST((1000 * ${k - 1} * ($k * ($cSq)
+               |  - CAST(__tt AS DECIMAL(38,0)) * __tt))
+               |div ($k * CAST(__tt AS DECIMAL(38,0)) - __r2)
+               |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("q_milli"))
+  }
+}

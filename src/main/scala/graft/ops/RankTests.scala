@@ -625,4 +625,115 @@ object RankTests {
       .select(col("__id").as(idCol), col("__p").as("p_ppm"), col("p_rank"),
         (-greatest(col("__prevMax"), col("__neg"))).as("q_ppm"))
   }
+
+  /** CLIFF'S DELTA — the ordinal EFFECT SIZE companion to
+    * [[mannWhitneyMilli]]'s significance: δ = P(x > y) − P(x < y) over
+    * all cross-group pairs, the "how often does A actually beat B"
+    * number a z² can't give (huge n makes trivial shifts significant;
+    * δ stays honest). δ ∈ [−1, 1]; |δ| < 0.147 is the conventional
+    * "negligible" line.
+    *
+    * Exact identity — no pair enumeration: with 2U_A from the doubled-
+    * midrank histogram ([[mannWhitneyMilli]]'s u2_a),
+    *   δ·n_A·n_B = #(x>y) − #(x<y) = 2U_A − n_A·n_B
+    * emitted sign-magnitude (negative lane: Spark div truncates,
+    * DuckDB // floors):
+    *   delta_ppm = sign(2U_A − n_A n_B)
+    *               · (10⁶·|2U_A − n_A n_B| div (n_A·n_B))
+    * NULL when either group is empty.
+    *
+    * Output one row: (n_a, n_b, delta_ppm).
+    *
+    * Scale shape: identical to [[mannWhitneyMilli]] — one value
+    * histogram, one window-free prefix sum, one final aggregate. */
+  def cliffsDeltaPpm(df: DataFrame, flagCol: String,
+                     valueCol: String): DataFrame = {
+    val base = df.select(col(flagCol).cast("boolean").as("__f"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__f").isNotNull && col("__v").isNotNull)
+    midrankHistogram(base)
+      .agg(sum(col("__a")).as("__na"),
+        sum(col("__t") - col("__a")).as("__nb"),
+        sum(col("__a").cast(d38) * col("__r2")).as("__ra2"))
+      .select(coalesce(col("__na"), lit(0L)).cast("long").as("n_a"),
+        coalesce(col("__nb"), lit(0L)).cast("long").as("n_b"),
+        (col("__ra2") - col("__na").cast(d38) * (col("__na") + 1))
+          .as("__u2"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CAST(sign(__u2 - CAST(n_a AS DECIMAL(38,0)) * n_b) AS DECIMAL(38,0)) *
+              |((1000000 * abs(__u2 - CAST(n_a AS DECIMAL(38,0)) * n_b))
+              | div (CAST(n_a AS DECIMAL(38,0)) * n_b)) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("delta_ppm"))
+  }
+
+  /** BROWN–FORSYTHE test — "do these k groups have the same SPREAD?":
+    * the robust (median-centered) Levene variance-equality test, the
+    * check that belongs BEFORE a t-test/ANOVA read and the direct
+    * "did the variance move" alarm for latency and spend metrics.
+    * Median-centering (vs Levene's mean) keeps the test honest under
+    * the skew such metrics always have.
+    *
+    * Conventions pinned for cross-engine replay: the center is the
+    * LOWER MEDIAN (smallest v with 2·cum ≥ n — an actual data value,
+    * so Z_ij = |x − med_g| stays integer); per-group rational terms
+    * are floored group by group (the logRank schedule):
+    *   g_q  = (S_q²) div n_q           with S_q = Σ_j Z_qj
+    *   between = Σ_q g_q − (T² div N),  T = Σ S_q   [clamped ≥ 0]
+    *   within  = Σ Z² − Σ_q g_q
+    *   w_milli = (1000·(N−k)·between) div ((k−1)·within)
+    * NULL when within = 0 (every |deviation| tied — the degenerate
+    * constant-spread case) or k < 2.
+    *
+    * Output one row: (n, k, w_milli).
+    *
+    * Scale shape: one (group, value) histogram groupBy, per-group
+    * medians via a group-partitioned cumsum over DISTINCT VALUES
+    * (state bounded by a group's value inventory, never its rows),
+    * one broadcast of k medians back, two bounded aggregates. */
+  def brownForsytheMilli(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val gv = df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // consumed by the median pass and the Z pass
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+    val totals = gv.groupBy(col("__g").as("__g2"))
+      .agg(sum(col("__c")).as("__n"))
+    val medians = gv.withColumn("__cum", sum(col("__c")).over(w))
+      .join(totals, col("__g") === col("__g2"))
+      .where(lit(2L) * col("__cum") >= col("__n"))
+      .groupBy(col("__g").as("__gm"))
+      .agg(min(col("__v")).as("__med"))
+    val z = gv.join(broadcast(medians), col("__g") === col("__gm"))
+      .select(col("__g"), col("__c"),
+        abs(col("__v") - col("__med")).as("__z"))
+    val perGroup = z.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c").cast(d38) * col("__z")).as("__s"),
+        sum(col("__c").cast(d38) * col("__z") * col("__z")).as("__ss"))
+    perGroup
+      .agg(sum(col("__ng")).as("__nn"), count(lit(1)).as("__k"),
+        sum(col("__s")).as("__t"),
+        sum(expr("(__s * __s) div CAST(__ng AS DECIMAL(38,0))"))
+          .as("__gq"),
+        sum(col("__ss")).as("__w2"))
+      .select(col("__nn").cast("long").as("n"),
+        col("__k").cast("long").as("k"),
+        greatest(expr(
+          "__gq - (__t * __t) div CAST(__nn AS DECIMAL(38,0))"),
+          lit(0).cast(d38)).as("__bet"),
+        (col("__w2") - col("__gq")).as("__wit"))
+      .select(col("n"), col("k"),
+        when(col("k") < 2 || col("__wit") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000 * (n - k) * __bet) div ((k - 1) * __wit)
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("w_milli"))
+  }
 }

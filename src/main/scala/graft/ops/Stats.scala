@@ -3307,4 +3307,52 @@ object Stats {
               |AS BIGINT)""".stripMargin.replace("\n", " ")))
           .as("tau2_ppm"))
   }
+
+  /** MATTHEWS CORRELATION (MCC) — the single-number binary-classifier
+    * summary that stays honest under class imbalance, where accuracy
+    * and even F1 (see the q274 class report) mislead: it only rewards
+    * doing well on BOTH classes. Companion to [[aucPpm]] (threshold-
+    * free) for a FIXED decision threshold.
+    *
+    * Exact sign-magnitude-squared form — MCC has a square root, so
+    * like [[pearsonR2Ppm]] the engine-stable quantities are the sign
+    * and the square: MCC = sign·√(mcc²),
+    *   num      = TP·TN − FP·FN
+    *   mcc2_ppm = (10⁶·num²) div ((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    * NULL when any marginal is 0 (a degenerate confusion matrix —
+    * all-positive predictions, no negative labels, …).
+    *
+    * Output one row: (tp, tn, fp, fn, sign, mcc2_ppm).
+    *
+    * Scale shape: one map-side-partial single-row aggregate — rows
+    * never shuffle. */
+  def matthewsCorrPpm(df: DataFrame, predCol: String,
+                      labelCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(predCol).cast("boolean").as("__p"),
+        col(labelCol).cast("boolean").as("__y"))
+      .where(col("__p").isNotNull && col("__y").isNotNull)
+    def cell(p: Boolean, y: Boolean) =
+      sum(when(col("__p") === p && col("__y") === y, 1L).otherwise(0L))
+    base.agg(cell(true, true).as("tp"), cell(false, false).as("tn"),
+        cell(true, false).as("fp"), cell(false, true).as("fn"))
+      .select(
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("tn"), lit(0L)).as("tn"),
+        coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .select(col("tp"), col("tn"), col("fp"), col("fn"),
+        signum(col("tp").cast(d38) * col("tn") -
+          col("fp").cast(d38) * col("fn")).cast("long").as("sign"),
+        when(col("tp") + col("fp") === 0 || col("tp") + col("fn") === 0 ||
+            col("tn") + col("fp") === 0 || col("tn") + col("fn") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * (CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn)
+              |               * (CAST(tp AS DECIMAL(38,0)) * tn - CAST(fp AS DECIMAL(38,0)) * fn))
+              |div ((CAST(tp AS DECIMAL(38,0)) + fp) * (CAST(tp AS DECIMAL(38,0)) + fn)
+              |   * (CAST(tn AS DECIMAL(38,0)) + fp) * (CAST(tn AS DECIMAL(38,0)) + fn))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("mcc2_ppm"))
+  }
 }

@@ -1,0 +1,253 @@
+package graft
+
+import graft.ops.{Agreement, GraphOps, RankTests, Stats}
+import org.apache.spark.sql.functions._
+
+/** Hand-computed oracles for the agreement / effect-size /
+  * link-prediction batch — every statistic recomputed by hand in the
+  * comments (including the pinned floor schedules), plus the
+  * degenerate-input NULL lanes and the fail-safe guards. */
+class AgreementSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- Fleiss
+  test("fleissKappaPpm: hand example, incomplete items drop") {
+    // i1(A,A,A) i2(A,A,B) i3(B,B,B), r=3: A=Σn²=23, B=5²+4²=41, N=3
+    // P̄=14/18, P̄e=41/81 → κ=22/40=0.55; num=126−82=44, den=162−82=80
+    val df = Seq(
+      (1L, "A"), (1L, "A"), (1L, "A"),
+      (2L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "B"), (3L, "B"), (3L, "B"),
+      (4L, "A") // one rating only → dropped
+    ).toDF("item", "cat")
+    val r = Agreement.fleissKappaPpm(df, "item", "cat", raters = 3)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((3L, 1L, 3L, Some(550000L))), s"got $r")
+  }
+
+  test("fleissKappaPpm: negative kappa goes sign-magnitude; one-category NULL") {
+    // i1(A,B) i2(A,B): P̄=0, P̄e=1/2 → κ=−1 exactly
+    val neg = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"))
+      .toDF("item", "cat")
+    assert(Agreement.fleissKappaPpm(neg, "item", "cat", raters = 2)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+      == ((2L, 0L, 2L, Some(-1000000L))))
+    // every rating one category → den = 0 → NULL
+    val one = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A"))
+      .toDF("item", "cat")
+    assert(Agreement.fleissKappaPpm(one, "item", "cat", raters = 2)
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
+  }
+
+  // -------------------------------------------------------- Gwet AC1
+  test("gwetAc1Ppm: hand example; prevalence-robust vs kappa; K=1 NULL") {
+    // same frame as the Fleiss hand example: AC1 = 23/41 → 560975 ppm
+    val df = Seq(
+      (1L, "A"), (1L, "A"), (1L, "A"),
+      (2L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "B"), (3L, "B"), (3L, "B")).toDF("item", "cat")
+    val r = Agreement.gwetAc1Ppm(df, "item", "cat", raters = 3)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((3L, 3L, 2L, Some(560975L))), s"got $r")
+    // the kappa paradox: 9 items agree on A, 1 item splits — kappa
+    // collapses, AC1 stays high (this is WHY the operator exists)
+    val skewed = ((1 to 9).flatMap(i => Seq((i.toLong, "A"), (i.toLong, "A")))
+      :+ (10L, "A") :+ (10L, "B")).toDF("item", "cat")
+    val kappa = Agreement.fleissKappaPpm(skewed, "item", "cat", 2)
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.get
+    val ac1 = Agreement.gwetAc1Ppm(skewed, "item", "cat", 2)
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.get
+    assert(kappa < 0 && ac1 > 800000,
+      s"paradox not reproduced: kappa=$kappa ac1=$ac1")
+    // single observed category → chance model undefined → NULL
+    val one = Seq((1L, "A"), (1L, "A")).toDF("item", "cat")
+    assert(Agreement.gwetAc1Ppm(one, "item", "cat", 2)
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
+  }
+
+  // ---------------------------------------------------- Krippendorff
+  test("krippendorffAlphaPpm: unequal raters, unpairable drop, hand value") {
+    // u1(a,a) u2(a,b) u3(b,b,b) u4(a singleton→unpairable):
+    // n=7, C=(3,4), B=25, do_micro=2·10⁶ (only u2 disagrees, floor /1)
+    // α = 1 − 2·6/24 = 0.5
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "b"), (3L, "b"), (3L, "b"), (4L, "a")).toDF("item", "cat")
+    val r = Agreement.krippendorffAlphaPpm(df, "item", "cat")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(r == ((7L, 1L, Some(500000L))), s"got $r")
+    // perfect agreement on two categories → α = 1
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "cat")
+    assert(Agreement.krippendorffAlphaPpm(perfect, "item", "cat")
+      .as[(Long, Long, Option[Long])].collect().head._3.contains(1000000L))
+    // one category everywhere → expected disagreement 0 → NULL
+    val one = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"))
+      .toDF("item", "cat")
+    assert(Agreement.krippendorffAlphaPpm(one, "item", "cat")
+      .as[(Long, Long, Option[Long])].collect().head._3.isEmpty)
+  }
+
+  // ------------------------------------------------------ Kendall's W
+  test("kendallsWPpm: perfect concordance = 10⁶, perfect discordance = 0") {
+    def ranks(perms: Seq[Seq[Long]]): org.apache.spark.sql.DataFrame =
+      perms.zipWithIndex.flatMap { case (p, j) =>
+        p.zipWithIndex.map { case (item, idx) =>
+          (s"r$j", item, (idx + 1).toLong) }
+      }.toDF("ranker", "item", "rank")
+    // three identical rankings of 3 items: S4=72, W = 3·10⁶·72/(9·24)=10⁶
+    assert(Agreement.kendallsWPpm(
+        ranks(Seq(Seq(10L, 20L, 30L), Seq(10L, 20L, 30L),
+          Seq(10L, 20L, 30L))), "ranker", "item", "rank")
+      .as[(Long, Long, Option[Long])].collect().head
+      == ((3L, 3L, Some(1000000L))))
+    // two exactly reversed rankings: every rank sum = m(n+1)/2 → W = 0
+    assert(Agreement.kendallsWPpm(
+        ranks(Seq(Seq(10L, 20L, 30L), Seq(30L, 20L, 10L))),
+        "ranker", "item", "rank")
+      .as[(Long, Long, Option[Long])].collect().head
+      == ((3L, 2L, Some(0L))))
+    // n = 1 → n³−n = 0 → NULL
+    assert(Agreement.kendallsWPpm(ranks(Seq(Seq(10L), Seq(10L))),
+        "ranker", "item", "rank")
+      .as[(Long, Long, Option[Long])].collect().head._3.isEmpty)
+  }
+
+  // ------------------------------------------------------- Cochran Q
+  test("cochranQMilli: textbook 4-item 3-treatment table; degenerate NULL") {
+    // rows (1,1,0)(1,1,1)(0,1,0)(0,0,0): C=(2,3,1), T=6, ΣR²=14
+    // Q = 2·(3·14−36)/(18−14) = 3 → 3000 milli
+    val df = Seq((true, true, false), (true, true, true),
+      (false, true, false), (false, false, false))
+      .toDF("t1", "t2", "t3")
+    val r = Agreement.cochranQMilli(df, Seq("t1", "t2", "t3"))
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(r == ((4L, 3L, Some(3000L))), s"got $r")
+    // all items all-success: no within-item variation → NULL
+    val flat = Seq((true, true, true), (true, true, true))
+      .toDF("t1", "t2", "t3")
+    assert(Agreement.cochranQMilli(flat, Seq("t1", "t2", "t3"))
+      .as[(Long, Long, Option[Long])].collect().head._3.isEmpty)
+  }
+
+  // ---------------------------------------------------- Cliff's delta
+  test("cliffsDeltaPpm: hand pairs, sign lanes, tie → 0, empty → NULL") {
+    // A{3,5} vs B{1,4}: gt=3 lt=1 → δ = 2/4 = +500000
+    assert(RankTests.cliffsDeltaPpm(
+        Seq((true, 3L), (true, 5L), (false, 1L), (false, 4L))
+          .toDF("f", "v"), "f", "v")
+      .as[(Long, Long, Option[Long])].collect().head
+      == ((2L, 2L, Some(500000L))))
+    // A{1} vs B{2,3}: δ = −1 (every pair loses) — the negative lane
+    assert(RankTests.cliffsDeltaPpm(
+        Seq((true, 1L), (false, 2L), (false, 3L)).toDF("f", "v"),
+        "f", "v")
+      .as[(Long, Long, Option[Long])].collect().head
+      == ((1L, 2L, Some(-1000000L))))
+    // full tie → δ = 0 exactly
+    assert(RankTests.cliffsDeltaPpm(
+        Seq((true, 2L), (false, 2L)).toDF("f", "v"), "f", "v")
+      .as[(Long, Long, Option[Long])].collect().head
+      == ((1L, 1L, Some(0L))))
+    // empty group → NULL
+    assert(RankTests.cliffsDeltaPpm(
+        Seq((true, 1L), (true, 2L)).toDF("f", "v"), "f", "v")
+      .as[(Long, Long, Option[Long])].collect().head._3.isEmpty)
+  }
+
+  test("cliffsDeltaPpm agrees with mannWhitney U on the same frame") {
+    // δ·n_a·n_b = 2U_A − n_a·n_b — the identity the operator leans on
+    val df = Seq((true, 1L), (true, 4L), (true, 4L), (false, 2L),
+      (false, 4L), (false, 7L), (false, 9L)).toDF("f", "v")
+    val u = RankTests.mannWhitneyMilli(df, "f", "v")
+      .select("n_a", "n_b", "u2_a").as[(Long, Long, Long)].collect().head
+    val d = RankTests.cliffsDeltaPpm(df, "f", "v")
+      .as[(Long, Long, Option[Long])].collect().head
+    val num = u._3 - u._1 * u._2
+    val expect = math.signum(num) * (1000000L * math.abs(num) / (u._1 * u._2))
+    assert(d._3.contains(expect), s"got $d expect $expect")
+  }
+
+  // --------------------------------------------------- Brown–Forsythe
+  test("brownForsytheMilli: hand value with pinned floors; constant NULL") {
+    // a{1,2,3,100}: lower median 2, Z={1,0,1,98}, S=100, SS=9606
+    // b{5,5,5,5}: Z=0. between=2500−1250=1250, within=7106
+    // W·10³ = 1000·6·1250 div 7106 = 1055
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 100L),
+      ("b", 5L), ("b", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val r = RankTests.brownForsytheMilli(df, "g", "v")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(r == ((8L, 2L, Some(1055L))), s"got $r")
+    // every group constant → all Z = 0 → within = 0 → NULL
+    val flat = Seq(("a", 3L), ("a", 3L), ("b", 9L), ("b", 9L))
+      .toDF("g", "v")
+    assert(RankTests.brownForsytheMilli(flat, "g", "v")
+      .as[(Long, Long, Option[Long])].collect().head._3.isEmpty)
+    // equal spreads → W ≈ 0 (identical |deviation| profiles)
+    val same = Seq(("a", 0L), ("a", 10L), ("b", 100L), ("b", 110L))
+      .toDF("g", "v")
+    assert(RankTests.brownForsytheMilli(same, "g", "v")
+      .as[(Long, Long, Option[Long])].collect().head._3.contains(0L))
+  }
+
+  // -------------------------------------------------------------- MCC
+  test("matthewsCorrPpm: hand confusion matrix; degenerate NULL") {
+    // tp=4 tn=2 fp=1 fn=1: num=7, den=5·5·3·3=225 → mcc²=49/225
+    val df = (Seq.fill(4)((true, true)) ++ Seq.fill(2)((false, false)) ++
+      Seq((true, false)) ++ Seq((false, true))).toDF("p", "y")
+    val r = Stats.matthewsCorrPpm(df, "p", "y")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((4L, 2L, 1L, 1L, 1L, Some(217777L))), s"got $r")
+    // inverse classifier → sign −1, same magnitude
+    val inv = Stats.matthewsCorrPpm(
+      df.select(not(col("p")).as("p"), col("y")), "p", "y")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(inv._5 == -1L && inv._6.contains(217777L), s"got $inv")
+    // all predictions positive → a zero marginal → NULL
+    val one = Seq((true, true), (true, false)).toDF("p", "y")
+    assert(Stats.matthewsCorrPpm(one, "p", "y")
+      .as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect().head._6.isEmpty)
+  }
+
+  // --------------------------------------------------- link prediction
+  test("linkPredictionPpm: drawn toy graph, adjacency excluded, hub guard") {
+    // edges 1-2 1-3 2-3 2-4 3-5; deg 1:2 2:3 3:3 4:1 5:1
+    // candidates: (1,4)cn1 j=½ ra=⌊10⁶/3⌋; (1,5) same; (3,4) j=⅓;
+    // (2,5) j=⅓; pair (2,3) has common neighbor 1 but IS an edge
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 5L))
+      .toDF("s", "d")
+    val got = GraphOps.linkPredictionPpm(e, "s", "d")
+      .orderBy("node_a", "node_b")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, 500000L, 333333L),
+      (1L, 5L, 1L, 500000L, 333333L),
+      (2L, 5L, 1L, 333333L, 333333L),
+      (3L, 4L, 1L, 333333L, 333333L)), s"got $got")
+    // hub guard: cap below the wedge hubs' degree → no candidates
+    assert(GraphOps.linkPredictionPpm(e, "s", "d", maxHubDegree = 2)
+      .count() == 0L)
+  }
+
+  // ---------------------------------------------- semantic decontam
+  test("semanticDecontam: planted near-dup flagged, orthogonal not; guard") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // exact test match
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal
+      (3L, Seq(0.9f, 0.1f))    // cos ≈ 0.9939 vs test
+    ).toDF("vec_id", "embedding")
+    val test0 = Seq((99L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    for (det <- Seq(true, false)) {
+      val r = graft.llm.Dedup.semanticDecontam(corpus, test0,
+          "vec_id", "embedding", minCosine = 0.95, deterministic = det)
+        .orderBy("vec_id").as[(Long, Long, Int)].collect().toSeq
+      assert(r == Seq((1L, 1L, 1), (2L, 0L, 0), (3L, 1L, 1)),
+        s"det=$det got $r")
+    }
+    // broadcast-admission contract fails loud, never a silent truncate
+    intercept[IllegalArgumentException] {
+      graft.llm.Dedup.semanticDecontam(corpus, corpus, "vec_id",
+        "embedding", minCosine = 0.5, maxTestRows = 2)
+    }
+  }
+}
