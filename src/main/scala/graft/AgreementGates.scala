@@ -164,7 +164,89 @@ object AgreementGates {
     graft.ops.Agreement.gwetAc1Ppm(eventRatings(s, dir),
       "item", "cat", raters = 3)
 
+  // PARTITION AGREEMENT (ops/Agreement.partitionAgreementPpm): did the
+  // first-16 deterministic centroid assignment (the q339 machinery)
+  // recover the fixture's 10 gold labels? Chance-corrected ARI +
+  // Fowlkes–Mallows² — the evaluation step after every clustering /
+  // semantic-dedup stage. Assignment is n·nlist map-side work; the
+  // agreement statistic shuffles contingency CELLS only.
+  def q352_cluster_ari(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = graft.llm.Similarity.ivfCentroids(
+      emb, "vec_id", "embedding", nlist = 16, iters = 0)
+    val assign = graft.llm.Similarity.assignToCentroids(emb, cents,
+        "vec_id", "embedding", "cid", "cv")
+      .select(col("vec_id"), col("centroid_id"))
+    graft.ops.Agreement.partitionAgreementPpm(
+      assign.join(emb.select(col("vec_id"), col("label")), Seq("vec_id")),
+      "centroid_id", "label")
+  }
+
+  // GOODMAN–KRUSKAL LAMBDA (ops/Agreement.gkLambdaPpm): does a
+  // document's language predict its source (and the reverse)? The
+  // division-exact association measure next to q252's Cramér's V.
+  def q353_gk_lambda(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Agreement.gkLambdaPpm(
+      t(s, dir, "documents")
+        .where(col("lang").isNotNull && col("source").isNotNull)
+        .select(col("lang"), col("source")),
+      "lang", "source")
+
+  // T-CLOSENESS (ops/DataQuality.tClosenessReport): the distributional
+  // privacy check next to q312's k-anonymity on the SAME quasi key —
+  // exact 1-D EMD between each (nation, segment) group's balance-bucket
+  // distribution and the corpus's, unit ground distance, ppm.
+  def q354_t_closeness(s: SparkSession, dir: String): DataFrame =
+    graft.ops.DataQuality.tClosenessReport(
+      t(s, dir, "customer").select(col("c_nationkey"),
+        col("c_mktsegment"),
+        expr("(CAST(floor(c_acctbal) AS BIGINT) + 1000) div 2000")
+          .as("bal_bucket")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_bucket", tPpm = 250000)
+
+  // YOUDEN'S J OPTIMAL THRESHOLD (ops/Stats.youdenOptimalPpm): where
+  // should the q288 value-cents rule actually cut? The operating-point
+  // pick on the q306 ROC — max(TPR − FPR), ties to the lowest
+  // threshold.
+  def q355_youden(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.youdenOptimalPpm(
+      t(s, dir, "events")
+        .where(col("value").isNotNull && col("event_type").isNotNull)
+        .select(floor(col("value") * 100).cast("long").as("cents"),
+          (col("event_type") === "purchase").as("label")),
+      "cents", "label")
+
+  // WEIGHTED KAPPA (ops/Agreement.weightedKappaPpm): the q288 rule
+  // pair as ORDINAL raters — band distance |i−j| priced in, the
+  // ordinal companion to q200's unweighted Cohen kappa.
+  def q356_weighted_kappa(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Agreement.weightedKappaPpm(
+      t(s, dir, "events")
+        .where(col("value").isNotNull && col("event_id").isNotNull)
+        .select(
+          least(expr("greatest(CAST(floor(value*100) AS BIGINT), 0L) div 3500"),
+            lit(2L)).as("band_a"),
+          (col("event_id") % 3).as("band_b")),
+      "band_a", "band_b")
+
+  // COHEN'S D (ops/Stats.cohensD2Milli): the effect size next to
+  // q304's Welch significance and q346's ordinal Cliff delta on the
+  // same purchase-vs-rest cents comparison.
+  def q357_cohens_d(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.cohensD2Milli(
+      t(s, dir, "events")
+        .where(col("value").isNotNull && col("event_type").isNotNull)
+        .select((col("event_type") === "purchase").as("flag"),
+          floor(col("value") * 100).cast("long").as("cents")),
+      "flag", "cents")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q352_cluster_ari"       -> q352_cluster_ari _,
+    "q353_gk_lambda"         -> q353_gk_lambda _,
+    "q354_t_closeness"       -> q354_t_closeness _,
+    "q355_youden"            -> q355_youden _,
+    "q356_weighted_kappa"    -> q356_weighted_kappa _,
+    "q357_cohens_d"          -> q357_cohens_d _,
     "q342_semantic_decontam" -> q342_semantic_decontam _,
     "q343_link_prediction"   -> q343_link_prediction _,
     "q344_fleiss_kappa"      -> q344_fleiss_kappa _,
@@ -180,6 +262,184 @@ object AgreementGates {
   /** DuckDB oracles — independent SQL recomputations (HUGEINT lanes,
     * `//` floors mirroring the documented pinned-floor schedules). */
   val oracleSql: Map[String, String] = Map(
+    "q356_weighted_kappa" ->
+      """WITH e AS (SELECT
+        |    least(greatest(CAST(floor(value*100) AS BIGINT), 0) // 3500,
+        |          2) AS i,
+        |    event_id % 3 AS j
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |cells AS (SELECT i, j, count(*) AS nij FROM e GROUP BY 1, 2),
+        |obs AS (SELECT sum(nij) AS n,
+        |          sum(CAST(abs(i - j) AS HUGEINT) * nij) AS wo
+        |        FROM cells),
+        |ma AS (SELECT i, sum(nij) AS r FROM cells GROUP BY 1),
+        |mb AS (SELECT j, sum(nij) AS c FROM cells GROUP BY 1),
+        |ex AS (SELECT sum(CAST(abs(ma.i - mb.j) AS HUGEINT)
+        |                  * ma.r * mb.c) AS we
+        |       FROM ma, mb)
+        |SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
+        |  CAST(CASE WHEN we IS NULL OR we = 0 THEN NULL
+        |       ELSE 1000000 - (1000000 * CAST(n AS HUGEINT) * wo) // we
+        |       END AS BIGINT) AS kappa_w_ppm
+        |FROM obs, ex""".stripMargin,
+    "q357_cohens_d" ->
+      """WITH e AS (SELECT event_type = 'purchase' AS f,
+        |             CAST(floor(value*100) AS BIGINT) AS v
+        |           FROM events
+        |           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |a AS (SELECT
+        |  sum(CASE WHEN f THEN 1 ELSE 0 END) AS na,
+        |  sum(CASE WHEN NOT f THEN 1 ELSE 0 END) AS nb,
+        |  sum(CASE WHEN f THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+        |  sum(CASE WHEN NOT f THEN CAST(v AS HUGEINT) ELSE 0 END) AS sb,
+        |  sum(CASE WHEN f THEN CAST(v AS HUGEINT)*v ELSE 0 END) AS qa,
+        |  sum(CASE WHEN NOT f THEN CAST(v AS HUGEINT)*v ELSE 0 END) AS qb
+        |  FROM e)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(CASE WHEN na = 0 OR nb = 0 THEN 0
+        |       ELSE sign(sa*nb - sb*na) END AS BIGINT) AS sign,
+        |  CAST(CASE WHEN na = 0 OR nb = 0 OR na + nb < 3
+        |              OR (qa*na - sa*sa)*nb + (qb*nb - sb*sb)*na = 0
+        |            THEN NULL
+        |       ELSE (1000 * (sa*nb - sb*na) * (sa*nb - sb*na)
+        |             * (na + nb - 2))
+        |            // (CAST(na AS HUGEINT) * nb
+        |               * ((qa*na - sa*sa)*nb + (qb*nb - sb*sb)*na))
+        |       END AS BIGINT) AS d2_milli
+        |FROM a""".stripMargin,
+    "q354_t_closeness" ->
+      """WITH cells AS (
+        |  SELECT c_nationkey AS q1, c_mktsegment AS q2,
+        |    (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 2000 AS b,
+        |    count(*) AS c
+        |  FROM customer
+        |  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |    AND c_acctbal IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |gl AS (SELECT b, sum(c) AS gc FROM cells GROUP BY 1),
+        |gcum AS (SELECT b, sum(gc) OVER (ORDER BY b) AS gcum FROM gl),
+        |tot AS (SELECT sum(gc) AS nn, count(*) AS bb FROM gl),
+        |grp AS (SELECT q1, q2, sum(c) AS n FROM cells GROUP BY 1, 2),
+        |grid AS (SELECT grp.q1, grp.q2, grp.n, gcum.b, gcum.gcum
+        |         FROM grp, gcum),
+        |gc2 AS (SELECT grid.q1, grid.q2, grid.n, grid.b, grid.gcum,
+        |          COALESCE(cells.c, 0) AS c
+        |        FROM grid LEFT JOIN cells
+        |          ON cells.q1 = grid.q1 AND cells.q2 = grid.q2
+        |         AND cells.b = grid.b),
+        |cum AS (SELECT q1, q2, n, b, gcum,
+        |          sum(c) OVER (PARTITION BY q1, q2 ORDER BY b) AS cum
+        |        FROM gc2),
+        |per AS (SELECT q1, q2, max(n) AS n,
+        |          sum(abs(CAST(cum AS HUGEINT)*tot.nn
+        |                  - CAST(gcum AS HUGEINT)*n)) AS s,
+        |          max(tot.nn) AS nn, max(tot.bb) AS bb
+        |        FROM cum, tot GROUP BY 1, 2),
+        |pt AS (SELECT n,
+        |         CASE WHEN bb < 2 THEN 0
+        |         ELSE (1000000 * s) // (CAST(n AS HUGEINT)*nn*(bb - 1))
+        |         END AS t, bb
+        |       FROM per)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(max(bb) AS BIGINT) AS n_buckets,
+        |  CAST(max(t) AS BIGINT) AS max_t_ppm,
+        |  CAST(sum(CASE WHEN t > 250000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS viol_groups
+        |FROM pt""".stripMargin,
+    "q355_youden" ->
+      """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT) AS s,
+        |             event_type = 'purchase' AS y
+        |           FROM events
+        |           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |h AS (SELECT s, count(*) AS w,
+        |             sum(CASE WHEN y THEN 1 ELSE 0 END) AS p
+        |      FROM e GROUP BY 1),
+        |c AS (SELECT s, sum(w) OVER (ORDER BY s DESC) AS cw,
+        |             sum(p) OVER (ORDER BY s DESC) AS cp FROM h),
+        |tot AS (SELECT sum(w) AS n, sum(p) AS pos FROM h),
+        |pts AS (SELECT s AS threshold, cp AS tp, cw - cp AS fp,
+        |          (1000000*cp) // pos AS tpr,
+        |          (1000000*(cw - cp)) // (n - pos) AS fpr
+        |        FROM c, tot WHERE pos > 0 AND n > pos)
+        |SELECT CAST(threshold AS BIGINT) AS threshold,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(tpr AS BIGINT) AS tpr_ppm, CAST(fpr AS BIGINT) AS fpr_ppm,
+        |  CAST(tpr - fpr AS BIGINT) AS j_ppm
+        |FROM pts ORDER BY tpr - fpr DESC, threshold ASC LIMIT 1"""
+        .stripMargin,
+    "q352_cluster_ari" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label, vv,
+        |    list_sum(list_transform(vv,
+        |      x -> CAST(x*x AS DECIMAL(38,15)))) AS vn
+        |  FROM v),
+        |c AS (
+        |  SELECT rn - 1 AS cid, vv AS cv, vn AS cn FROM
+        |    (SELECT vv, vn,
+        |       row_number() OVER (ORDER BY vec_id) AS rn FROM n)
+        |  WHERE rn <= 16),
+        |d AS (
+        |  SELECT n.vec_id, c.cid,
+        |    CAST(n.vn AS DOUBLE) + CAST(c.cn AS DOUBLE) -
+        |    2.0 * CAST(list_sum(list_transform(list_zip(n.vv, c.cv),
+        |      p -> CAST(p[1]*p[2] AS DECIMAL(38,15)))) AS DOUBLE) AS dist2
+        |  FROM n, c),
+        |a AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |    FROM d) WHERE rn = 1),
+        |cells AS (SELECT a.cid, n.label, count(*) AS nij
+        |          FROM a JOIN n USING (vec_id) GROUP BY 1, 2),
+        |cell AS (SELECT CAST(sum(nij) AS HUGEINT) AS n,
+        |                sum(CAST(nij AS HUGEINT)*(nij - 1)) AS p2
+        |         FROM cells),
+        |ma AS (SELECT count(*) AS ka,
+        |              sum(CAST(m AS HUGEINT)*(m - 1)) AS qa2
+        |       FROM (SELECT cid, sum(nij) AS m FROM cells GROUP BY 1)),
+        |mb AS (SELECT count(*) AS kb,
+        |              sum(CAST(m AS HUGEINT)*(m - 1)) AS qb2
+        |       FROM (SELECT label, sum(nij) AS m FROM cells GROUP BY 1))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(ka AS BIGINT) AS k_a,
+        |  CAST(kb AS BIGINT) AS k_b,
+        |  CAST(CASE WHEN n < 2
+        |              OR n*(n-1)*(qa2 + qb2) - 2*qa2*qb2 = 0 THEN NULL
+        |       ELSE CAST(sign(2*p2*(n*(n-1)) - 2*qa2*qb2) AS HUGEINT)
+        |            * ((1000000 * abs(2*p2*(n*(n-1)) - 2*qa2*qb2))
+        |               // (n*(n-1)*(qa2 + qb2) - 2*qa2*qb2))
+        |       END AS BIGINT) AS ari_ppm,
+        |  CAST(CASE WHEN qa2 = 0 OR qb2 = 0 THEN NULL
+        |       ELSE (1000000 * p2 * p2) // (qa2 * qb2)
+        |       END AS BIGINT) AS fm2_ppm
+        |FROM cell, ma, mb""".stripMargin,
+    "q353_gk_lambda" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS nij
+        |               FROM documents
+        |               WHERE lang IS NOT NULL AND source IS NOT NULL
+        |               GROUP BY 1, 2),
+        |rm AS (SELECT sum(m) AS rowmax FROM
+        |         (SELECT a, max(nij) AS m FROM cells GROUP BY 1)),
+        |cm AS (SELECT sum(m) AS colmax FROM
+        |         (SELECT b, max(nij) AS m FROM cells GROUP BY 1)),
+        |mga AS (SELECT max(m) AS maxa FROM
+        |          (SELECT a, sum(nij) AS m FROM cells GROUP BY 1)),
+        |mgb AS (SELECT max(m) AS maxb FROM
+        |          (SELECT b, sum(nij) AS m FROM cells GROUP BY 1)),
+        |nn AS (SELECT sum(nij) AS n FROM cells)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN n = maxb THEN NULL
+        |       ELSE (1000000 * (rowmax - maxb)) // (n - maxb)
+        |       END AS BIGINT) AS lambda_ab_ppm,
+        |  CAST(CASE WHEN n = maxa THEN NULL
+        |       ELSE (1000000 * (colmax - maxa)) // (n - maxa)
+        |       END AS BIGINT) AS lambda_ba_ppm
+        |FROM nn, rm, cm, mga, mgb""".stripMargin,
     "q342_semantic_decontam" ->
       """WITH v AS (
         |  SELECT vec_id,

@@ -1417,28 +1417,30 @@ object Dedup {
                        minCosine: Double,
                        deterministic: Boolean = false,
                        maxTestRows: Long = 1000000): DataFrame = {
-    val testN = test.count()
-    require(testN <= maxTestRows,
+    val testN = test.count() // eager by design: broadcast ADMISSION is a
+    require(testN <= maxTestRows, // driver decision, like the BPE loop
       s"test side has $testN rows > maxTestRows=$maxTestRows — too " +
         "large to broadcast; band both sides (semanticDedupLsh) instead")
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
       .withColumn("__cn", Similarity.norm2Decimal(col("__cv")))
-    val q = test.select(col(vecCol).as("__tv"))
+    // the whole test set rides as ONE array row — the corpus pass is
+    // then literally map-only (broadcast nested-loop of a 1-row frame):
+    // no groupBy, no join-back, nothing for the corpus to shuffle
+    val qArr = test.select(col(vecCol).as("__tv"))
       .withColumn("__tn", Similarity.norm2Decimal(col("__tv")))
-    val cos =
+      .agg(collect_list(struct(col("__tv").as("v"), col("__tn").as("n")))
+        .as("__tests"))
+    def cos(t: Column): Column =
       if (deterministic)
-        Similarity.cosineDeterministic(col("__cv"), col("__tv"),
-          col("__cn"), col("__tn"))
-      else Similarity.cosine(col("__cv"), col("__tv"))
-    val hits = c.crossJoin(broadcast(q))
-      .where(cos >= lit(minCosine))
-      .groupBy(col("__id")).agg(count(lit(1)).as("n_matches"))
-    c.select(col("__id"))
-      .join(hits, Seq("__id"), "left")
+        Similarity.cosineDeterministic(col("__cv"), t.getField("v"),
+          col("__cn"), t.getField("n"))
+      else Similarity.cosine(col("__cv"), t.getField("v"))
+    c.crossJoin(broadcast(qArr))
       .select(col("__id").as(idCol),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        when(col("n_matches").isNotNull, lit(1)).otherwise(lit(0))
-          .as("contaminated"))
+        size(filter(col("__tests"), t => cos(t) >= lit(minCosine)))
+          .cast("long").as("n_matches"))
+      .withColumn("contaminated",
+        when(col("n_matches") > 0, lit(1)).otherwise(lit(0)))
   }
 
   /** QUALITY-AWARE cluster resolution: given near-dup clusters

@@ -284,6 +284,159 @@ object Agreement {
     *
     * Scale shape: R_i is computed row-wise map-side; one single-row
     * aggregate carries Σ R_i² and each C_j — rows never shuffle. */
+  /** WEIGHTED COHEN'S KAPPA (linear weights) — two-rater agreement for
+    * ORDINAL categories, where plain kappa (ops/Stats.cohenKappaPpm)
+    * treats "one bucket off" and "five buckets off" as equally wrong:
+    * disagreement is weighted by the integer band distance |i−j| (the
+    * (K−1) normalizer cancels between numerator and denominator, so
+    * the linear-weight form needs no fraction at all):
+    *
+    *   κ_w·10⁶ = 10⁶ − (10⁶ · n · Σ_ij |i−j|·n_ij)
+    *             div (Σ_ij |i−j|·r_i·c_j)
+    *
+    * — both divided quantities non-negative (the subtraction carries
+    * the sign exactly, the chiSquare stance), NULL when the expected
+    * weighted disagreement is 0 (both raters' marginals sit on one
+    * identical category). Categories are LONG ordinal codes by
+    * contract (bucket upstream; the alphabet, not the rows, is what
+    * crosses the marginal product).
+    *
+    * Output one row: (n, kappa_w_ppm).
+    *
+    * Scale shape: one (i,j) contingency groupBy; the expected term is
+    * a marginal×marginal product over the CATEGORY alphabet (k² rows,
+    * bounded by contract), one final row. */
+  def weightedKappaPpm(df: DataFrame, aCol: String,
+                       bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).cast("long").as("__i"),
+        col(bCol).cast("long").as("__j"))
+      .where(col("__i").isNotNull && col("__j").isNotNull)
+      .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("__nij"))
+      .localCheckpoint() // consumed by the observed pass and both marginals
+    val obs = cells.agg(sum(col("__nij")).as("__n"),
+      sum(abs(col("__i") - col("__j")).cast(d38) * col("__nij"))
+        .as("__wo"))
+    val margA = cells.groupBy(col("__i")).agg(sum(col("__nij")).as("__r"))
+    val margB = cells.groupBy(col("__j")).agg(sum(col("__nij")).as("__c"))
+    val exp = margA.crossJoin(margB)
+      .agg(sum(abs(col("__i") - col("__j")).cast(d38) *
+        col("__r") * col("__c")).as("__we"))
+    obs.crossJoin(broadcast(exp))
+      .select(coalesce(col("__n"), lit(0L)).cast("long").as("n"),
+        when(col("__we").isNull || col("__we") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """1000000 - CAST((1000000 * CAST(__n AS DECIMAL(38,0)) * __wo)
+              |div __we AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("kappa_w_ppm"))
+  }
+
+  /** PARTITION AGREEMENT (ARI + Fowlkes–Mallows) — "did the clustering
+    * recover the labels?": compares two PARTITIONS of the same items
+    * (a cluster assignment vs gold labels, or two independent
+    * clusterings), the evaluation step after every semantic-dedup /
+    * k-means / community stage. Chance-corrected, so a 1000-cluster
+    * shatter can't fake a good score the way purity can.
+    *
+    * Exact doubled-pair form (p2 = Σ n_ij(n_ij−1), qa2/qb2 the same
+    * over row/column marginals, t2 = n(n−1)):
+    *   ari_ppm = sign(num) · (10⁶·|num| div den)     [sign-magnitude]
+    *     num = 2·p2·t2 − 2·qa2·qb2
+    *     den = t2·(qa2+qb2) − 2·qa2·qb2
+    *   fm2_ppm = (10⁶·p2²) div (qa2·qb2)             [FM = √(fm2)]
+    * FM carries a square root, so like pearsonR2Ppm the stable
+    * quantity is the square (FM ≥ 0 — no sign lane needed). ari NULL
+    * when den = 0, fm2 NULL when either partition has no co-clustered
+    * pair (qa2·qb2 = 0).
+    *
+    * Output one row: (n, k_a, k_b, ari_ppm, fm2_ppm).
+    *
+    * Scale shape: one (a,b) contingency groupBy — cells shuffle, rows
+    * don't — then two marginal-grain aggregates and one final row. */
+  def partitionAgreementPpm(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__nij"))
+      .localCheckpoint() // consumed by the cell pass and both marginals
+    val cell = cells.agg(sum(col("__nij")).as("__n"),
+      sum(col("__nij").cast(d38) * (col("__nij") - 1)).as("__p2"))
+    def marginal(k: String, q: String, kk: String) = cells
+      .groupBy(col(k)).agg(sum(col("__nij")).as("__m"))
+      .agg(count(lit(1)).as(kk),
+        sum(col("__m").cast(d38) * (col("__m") - 1)).as(q))
+    cell.crossJoin(broadcast(marginal("__a", "__qa2", "__ka")))
+      .crossJoin(broadcast(marginal("__b", "__qb2", "__kb")))
+      .select(coalesce(col("__n"), lit(0L)).cast("long").as("n"),
+        col("__ka").cast("long").as("k_a"),
+        col("__kb").cast("long").as("k_b"),
+        col("__p2"), col("__qa2"), col("__qb2"))
+      .select(col("n"), col("k_a"), col("k_b"),
+        when(col("n") < 2 ||
+            col("n").cast(d38) * (col("n") - 1) *
+              (col("__qa2") + col("__qb2")) -
+              lit(2).cast(d38) * col("__qa2") * col("__qb2") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CAST(sign(2 * __p2 * (CAST(n AS DECIMAL(38,0)) * (n - 1))
+              |          - 2 * __qa2 * __qb2) AS DECIMAL(38,0)) *
+              |((1000000 * abs(2 * __p2 * (CAST(n AS DECIMAL(38,0)) * (n - 1))
+              |                - 2 * __qa2 * __qb2))
+              | div ((CAST(n AS DECIMAL(38,0)) * (n - 1)) * (__qa2 + __qb2)
+              |      - 2 * __qa2 * __qb2)) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("ari_ppm"),
+        when(col("__qa2") === 0 || col("__qb2") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((1000000 * __p2 * __p2) div (__qa2 * __qb2) AS BIGINT)"))
+          .as("fm2_ppm"))
+  }
+
+  /** GOODMAN–KRUSKAL LAMBDA — proportional-reduction-in-error
+    * association between two categoricals: "knowing A, how much better
+    * do I guess B?" (and the reverse). The division-exact member of
+    * the association family — Cramér's V (q252) squares a chi-square,
+    * lambda counts modal guesses, so it reads directly as an error
+    * reduction and is exactly replayable with two integer divisions:
+    *   λ_B|A·10⁶ = (10⁶·(Σ_i max_j n_ij − max_j C_j)) div (n − max_j C_j)
+    * (numerator ≥ 0 since row maxima dominate the column-total max).
+    * NULL when the predicted variable is constant (n = max marginal).
+    *
+    * Output one row: (n, lambda_ab_ppm = predict B from A,
+    * lambda_ba_ppm = predict A from B).
+    *
+    * Scale shape: one contingency groupBy, two marginal-grain
+    * aggregates, one final row — rows shuffle once at cell grain. */
+  def gkLambdaPpm(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__nij"))
+      .localCheckpoint() // consumed four times (two maxima, two marginals)
+    val rowMax = cells.groupBy(col("__a")).agg(max(col("__nij")).as("__m"))
+      .agg(sum(col("__m")).as("__rowmax"))
+    val colMax = cells.groupBy(col("__b")).agg(max(col("__nij")).as("__m"))
+      .agg(sum(col("__m")).as("__colmax"))
+    val margA = cells.groupBy(col("__a")).agg(sum(col("__nij")).as("__m"))
+      .agg(max(col("__m")).as("__maxa"))
+    val margB = cells.groupBy(col("__b")).agg(sum(col("__nij")).as("__m"))
+      .agg(max(col("__m")).as("__maxb"))
+    val n = cells.agg(sum(col("__nij")).as("__n"))
+    n.crossJoin(broadcast(rowMax)).crossJoin(broadcast(colMax))
+      .crossJoin(broadcast(margA)).crossJoin(broadcast(margB))
+      .select(coalesce(col("__n"), lit(0L)).cast("long").as("n"),
+        when(col("__n") === col("__maxb"), lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000000 * (__rowmax - __maxb)) div (__n - __maxb)"))
+          .as("lambda_ab_ppm"),
+        when(col("__n") === col("__maxa"), lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000000 * (__colmax - __maxa)) div (__n - __maxa)"))
+          .as("lambda_ba_ppm"))
+  }
+
   def cochranQMilli(df: DataFrame, treatmentCols: Seq[String]): DataFrame = {
     val k = treatmentCols.size
     require(k >= 2, s"need >= 2 treatments, got $k")

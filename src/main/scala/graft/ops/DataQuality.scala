@@ -249,4 +249,76 @@ object DataQuality {
       coalesce(sum(when(col("__l") < l, 1L).otherwise(0L)), lit(0L))
         .cast("long").as("l_viol_groups"))
   }
+
+  /** T-CLOSENESS report — the distributional strengthening of
+    * [[privacyReport]]'s k-anonymity/l-diversity: a quasi-identifier
+    * group can satisfy both and still leak ("every 35-year-old in
+    * 10001 has LOW balance") if its SENSITIVE-value distribution sits
+    * far from the corpus's. For an ORDINAL sensitive attribute
+    * (bucketed), the distance is the exact 1-D earth-mover's distance
+    * with unit ground distance, normalized by (B−1):
+    *
+    *   t_g = (Σ_b |cum_g(b)·N − cum_G(b)·n_g|) / (n_g·N·(B−1))
+    *
+    * — pure integer cross-multiplication (the per-group and global
+    * CDFs never materialize as fractions), floored once per group in
+    * ppm. Rows with a NULL quasi key or NULL bucket are excluded (a
+    * NULL key can't ride the grid join; the k-anonymity report is
+    * where NULL-keyed rows get their accounting).
+    *
+    * Output one row: (n_rows, n_groups, n_buckets, max_t_ppm,
+    * viol_groups = groups with t_ppm > tPpm). max_t 0 when B = 1.
+    *
+    * Scale shape: one (quasi, bucket) groupBy; the global CDF is a
+    * window-free running sum over the B-row bucket alphabet; the
+    * group×bucket grid is n_groups·B rows (B is a bounded alphabet by
+    * contract — buckets, not raw values) with a per-group window
+    * whose state is ≤ B rows; one final rollup. */
+  def tClosenessReport(df: DataFrame, quasiCols: Seq[String],
+                       bucketCol: String, tPpm: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(tPpm >= 0 && tPpm <= 1000000L,
+      s"tPpm must be in [0, 1000000], got $tPpm")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val qs = quasiCols.map(col)
+    val cells = df
+      .where(qs.map(_.isNotNull).reduce(_ && _) &&
+        col(bucketCol).isNotNull)
+      .groupBy(qs :+ col(bucketCol).cast("long").as("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // consumed by the global CDF, groups, and grid
+    val global = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__gc"))
+    val gcum = GlobalRank.globalRunningSum(global, Seq(col("__b").asc),
+        "__gc", "__gcum")
+      .select(col("__b"), col("__gcum"))
+    // NB: Spark resolution is case-insensitive — "__N" would collide
+    // with the per-group "__n", so the totals get distinct names
+    val totals = global.agg(sum(col("__gc")).as("__tot"),
+      count(lit(1)).as("__nb"))
+    val groups = cells.groupBy(qs: _*).agg(sum(col("__c")).as("__n"))
+    val grid = groups.crossJoin(broadcast(gcum))
+      .join(cells, quasiCols :+ "__b", "left")
+      .withColumn("__c0", coalesce(col("__c"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qs: _*).orderBy(col("__b"))
+    val perGroup = grid
+      .withColumn("__cum", sum(col("__c0")).over(w))
+      .crossJoin(broadcast(totals))
+      .groupBy((qs :+ col("__n") :+ col("__tot") :+ col("__nb")): _*)
+      .agg(sum(abs(col("__cum").cast(d38) * col("__tot") -
+        col("__gcum").cast(d38) * col("__n"))).as("__s"))
+      .select(col("__n"), col("__tot"), col("__nb"),
+        when(col("__nb") < 2, lit(0L)).otherwise(expr(
+          """CAST((1000000 * __s)
+            |div (CAST(__n AS DECIMAL(38,0)) * __tot * (__nb - 1))
+            |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("__t"))
+    perGroup.agg(
+      coalesce(sum(col("__n")), lit(0L)).cast("long").as("n_rows"),
+      count(lit(1)).cast("long").as("n_groups"),
+      coalesce(max(col("__nb")), lit(0L)).cast("long").as("n_buckets"),
+      coalesce(max(col("__t")), lit(0L)).cast("long").as("max_t_ppm"),
+      coalesce(sum(when(col("__t") > tPpm, 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("viol_groups"))
+  }
 }

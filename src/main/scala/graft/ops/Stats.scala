@@ -3308,6 +3308,94 @@ object Stats {
           .as("tau2_ppm"))
   }
 
+  /** COHEN'S D (pooled) — the EFFECT SIZE next to [[welchT2Milli]]'s
+    * significance: how many pooled standard deviations separate the
+    * two group means. Like every sqrt-bearing statistic here
+    * (pearsonR2Ppm, matthewsCorrPpm), the engine-stable quantities are
+    * the SIGN and the SQUARE: d = sign·√(d²),
+    *
+    *   d² = (S₁n₂ − S₂n₁)²·(n₁+n₂−2)
+    *        / ( n₁n₂ · ((Q₁n₁ − S₁²)·n₂ + (Q₂n₂ − S₂²)·n₁) )
+    *
+    * (S = Σx, Q = Σx² per group — one cross-multiplied rational, no
+    * per-group floor at all). NULL when either group is empty,
+    * n₁+n₂ < 3, or both groups are constant (pooled variance 0).
+    * Magnitude: S²·n terms reach ~n³·x̄² — the DECIMAL(38,0) lane holds
+    * to n ≈ 10⁷ rows at cent-scale values; winsorize or bucket first
+    * past that (the spearmanR2Ppm magnitude trade).
+    *
+    * Output one row: (n_a, n_b, sign, d2_milli).
+    *
+    * Scale shape: one map-side-partial single-row aggregate — rows
+    * never shuffle. */
+  def cohensD2Milli(df: DataFrame, flagCol: String,
+                    valueCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(flagCol).cast("boolean").as("__f"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__f").isNotNull && col("__v").isNotNull)
+    def side(f: Boolean, c: Column) = sum(when(col("__f") === f, c))
+    base.agg(
+        side(true, lit(1L)).as("__na"), side(false, lit(1L)).as("__nb"),
+        side(true, col("__v").cast(d38)).as("__sa"),
+        side(false, col("__v").cast(d38)).as("__sb"),
+        side(true, col("__v").cast(d38) * col("__v")).as("__qa"),
+        side(false, col("__v").cast(d38) * col("__v")).as("__qb"))
+      .select(coalesce(col("__na"), lit(0L)).cast("long").as("n_a"),
+        coalesce(col("__nb"), lit(0L)).cast("long").as("n_b"),
+        col("__sa"), col("__sb"), col("__qa"), col("__qb"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0L))
+          .otherwise(signum(col("__sa") * col("n_b") -
+            col("__sb") * col("n_a")).cast("long")).as("sign"),
+        when(col("n_a") === 0 || col("n_b") === 0 ||
+            col("n_a") + col("n_b") < 3 ||
+            (col("__qa") * col("n_a") - col("__sa") * col("__sa")) *
+              col("n_b") +
+              (col("__qb") * col("n_b") - col("__sb") * col("__sb")) *
+              col("n_a") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000 * (__sa * n_b - __sb * n_a) * (__sa * n_b - __sb * n_a)
+              |     * (n_a + n_b - 2))
+              |div (CAST(n_a AS DECIMAL(38,0)) * n_b *
+              |     ((__qa * n_a - __sa * __sa) * n_b
+              |      + (__qb * n_b - __sb * __sb) * n_a))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("d2_milli"))
+  }
+
+  /** YOUDEN'S J optimal operating point — "which threshold should this
+    * classifier actually ship with?": the point on [[rocCurvePoints]]
+    * maximizing J = TPR − FPR (informedness), the standard
+    * cost-agnostic threshold pick next to [[bestSplitThreshold]]'s
+    * impurity-gain one. Ties break to the LOWEST threshold (a total
+    * order — the cut is engine-independent), via one min(struct)
+    * aggregate, never a window.
+    *
+    * Exact: J inherits the roc points' pinned floors
+    * (tpr = (10⁶·tp) div P, fpr likewise), so j_ppm is determined by
+    * the same integer schedule both engines replay. Degenerate inputs
+    * (single-class labels) produce NULL tpr or fpr at every threshold
+    * → one all-NULL row.
+    *
+    * Output one row: (threshold, tp, fp, tpr_ppm, fpr_ppm, j_ppm).
+    *
+    * Scale shape: [[rocCurvePoints]]'s histogram + running sums, then
+    * ONE single-row min(struct) aggregate over the threshold
+    * inventory. */
+  def youdenOptimalPpm(df: DataFrame, scoreCol: String,
+                       labelCol: String): DataFrame = {
+    val pts = rocCurvePoints(df, scoreCol, labelCol)
+      .where(col("tpr_ppm").isNotNull && col("fpr_ppm").isNotNull)
+      .withColumn("__j", col("tpr_ppm") - col("fpr_ppm"))
+    pts.agg(min(struct((-col("__j")).as("nj"),
+        col("threshold").as("t"), col("tp").as("tp"), col("fp").as("fp"),
+        col("tpr_ppm").as("tpr"), col("fpr_ppm").as("fpr"))).as("m"))
+      .select(col("m.t").as("threshold"), col("m.tp").as("tp"),
+        col("m.fp").as("fp"), col("m.tpr").as("tpr_ppm"),
+        col("m.fpr").as("fpr_ppm"), (-col("m.nj")).as("j_ppm"))
+  }
+
   /** MATTHEWS CORRELATION (MCC) — the single-number binary-classifier
     * summary that stays honest under class imbalance, where accuracy
     * and even F1 (see the q274 class report) mislead: it only rewards

@@ -229,6 +229,91 @@ class AgreementSpec extends SparkTestBase {
       .count() == 0L)
   }
 
+  // --------------------------------------------------- weighted kappa
+  test("weightedKappaPpm: hand ordinal table, perfect, reversal, degenerate") {
+    // cells (0,0):2 (1,1):1 (2,2):1 (0,1):1 (0,2):1 — n=6, wo=3,
+    // we = 4·6 + 1·4 + 1·6 = 34 → κw = 10⁶ − ⌊18·10⁶/34⌋ = 470589
+    val df = Seq((0L, 0L), (0L, 0L), (1L, 1L), (2L, 2L), (0L, 1L),
+      (0L, 2L)).toDF("a", "b")
+    val r = Agreement.weightedKappaPpm(df, "a", "b")
+      .as[(Long, Option[Long])].collect().head
+    assert(r == ((6L, Some(470589L))), s"got $r")
+    // perfect agreement → wo = 0 → exactly 10⁶
+    val perfect = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("a", "b")
+    assert(Agreement.weightedKappaPpm(perfect, "a", "b")
+      .as[(Long, Option[Long])].collect().head._2.contains(1000000L))
+    // complete two-band reversal → κw = −10⁶ exactly
+    val rev = Seq((0L, 1L), (1L, 0L)).toDF("a", "b")
+    assert(Agreement.weightedKappaPpm(rev, "a", "b")
+      .as[(Long, Option[Long])].collect().head._2.contains(-1000000L))
+    // both raters constant on the same band → expected disagreement 0
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    assert(Agreement.weightedKappaPpm(const, "a", "b")
+      .as[(Long, Option[Long])].collect().head._2.isEmpty)
+    // distance sensitivity: a 2-band miss hurts more than a 1-band miss
+    def kw(pairs: Seq[(Long, Long)]): Long =
+      Agreement.weightedKappaPpm(pairs.toDF("a", "b"), "a", "b")
+        .as[(Long, Option[Long])].collect().head._2.get
+    val base = Seq((0L, 0L), (1L, 1L), (2L, 2L), (0L, 0L), (2L, 2L))
+    assert(kw(base :+ (0L, 1L)) > kw(base :+ (0L, 2L)),
+      "near-miss must score above far-miss")
+  }
+
+  // ------------------------------------------- partition agreement
+  test("partitionAgreementPpm: identical, orthogonal, degenerate") {
+    // identical partitions → ARI = 1, FM² = 1
+    val same = Seq((1L, "x", "p"), (2L, "x", "p"), (3L, "y", "q"),
+      (4L, "y", "q")).toDF("id", "a", "b")
+    val r1 = Agreement.partitionAgreementPpm(same, "a", "b")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(r1 == ((4L, 2L, 2L, Some(1000000L), Some(1000000L))), s"got $r1")
+    // orthogonal 2×2: P=0, E=2/3, M=2 → ARI = −1/2; FM² = 0
+    val orth = Seq((1L, "x", "p"), (2L, "x", "q"), (3L, "y", "p"),
+      (4L, "y", "q")).toDF("id", "a", "b")
+    val r2 = Agreement.partitionAgreementPpm(orth, "a", "b")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(r2 == ((4L, 2L, 2L, Some(-500000L), Some(0L))), s"got $r2")
+    // all-singleton partitions on both sides → qa2 = qb2 = 0 → NULLs
+    val single = Seq((1L, "x", "p"), (2L, "y", "q")).toDF("id", "a", "b")
+    val r3 = Agreement.partitionAgreementPpm(single, "a", "b")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(r3._4.isEmpty && r3._5.isEmpty, s"got $r3")
+  }
+
+  test("partitionAgreementPpm: shatter cannot fake agreement the way purity can") {
+    // B shatters every item into its own cluster: purity would read 1,
+    // ARI reads ~0 (≤ 0 actually — no co-clustered pair is recovered)
+    val shatter = (1 to 8).map(i => (i.toLong, if (i <= 4) "x" else "y",
+      s"s$i")).toDF("id", "a", "b")
+    val r = Agreement.partitionAgreementPpm(shatter, "a", "b")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(r._4.exists(_ <= 0L), s"shattered ARI should be <= 0: $r")
+  }
+
+  // ------------------------------------------ Goodman–Kruskal lambda
+  test("gkLambdaPpm: hand table, both directions, constant-B NULL") {
+    // contingency a1:(3,1) a2:(1,3): row maxima 6, col totals (4,4)
+    // λ both ways = (6−4)/(8−4) = 0.5
+    val rows = Seq.fill(3)(("a1", "b1")) ++ Seq(("a1", "b2")) ++
+      Seq(("a2", "b1")) ++ Seq.fill(3)(("a2", "b2"))
+    val df = rows.toDF("a", "b")
+    val r = Agreement.gkLambdaPpm(df, "a", "b")
+      .as[(Long, Option[Long], Option[Long])].collect().head
+    assert(r == ((8L, Some(500000L), Some(500000L))), s"got $r")
+    // B constant → predicting B is degenerate (NULL); and knowing the
+    // constant B buys nothing about A → λ_A|B = 0 exactly
+    val const = Seq(("a1", "b1"), ("a2", "b1")).toDF("a", "b")
+    val r2 = Agreement.gkLambdaPpm(const, "a", "b")
+      .as[(Long, Option[Long], Option[Long])].collect().head
+    assert(r2._2.isEmpty && r2._3.contains(0L), s"got $r2")
+    // perfect prediction → λ = 1 both ways
+    val perfect = Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"))
+      .toDF("a", "b")
+    val r3 = Agreement.gkLambdaPpm(perfect, "a", "b")
+      .as[(Long, Option[Long], Option[Long])].collect().head
+    assert(r3 == ((3L, Some(1000000L), Some(1000000L))), s"got $r3")
+  }
+
   // ---------------------------------------------- semantic decontam
   test("semanticDecontam: planted near-dup flagged, orthogonal not; guard") {
     val corpus = Seq(
@@ -249,5 +334,22 @@ class AgreementSpec extends SparkTestBase {
       graft.llm.Dedup.semanticDecontam(corpus, corpus, "vec_id",
         "embedding", minCosine = 0.5, maxTestRows = 2)
     }
+  }
+
+  test("semanticDecontam plan: test side broadcast, corpus never hash-shuffled") {
+    // the 100 TB contract — the corpus scan is map-only: the test side
+    // arrives via BroadcastExchange (cross + left join both broadcast),
+    // and no hashpartitioning exchange ever touches the corpus
+    val corpus = spark.range(0, 200).selectExpr("id AS vec_id",
+      "array(CAST(id % 7 AS FLOAT), CAST(id % 5 AS FLOAT)) AS embedding")
+    val test0 = spark.range(0, 4).selectExpr("id AS vec_id",
+      "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)) AS embedding")
+    val p = graft.llm.Dedup.semanticDecontam(corpus, test0, "vec_id",
+        "embedding", minCosine = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"),
+      s"test side must broadcast:\n${p.take(800)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus must stay map-only — no hash shuffle:\n${p.take(800)}")
   }
 }

@@ -1783,4 +1783,56 @@ class StatsSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("youdenOptimalPpm: perfect split, lowest-threshold tie-break, degenerate") {
+    import spark.implicits._
+    // pos {10,20}, neg {1,2}: J peaks at threshold 10 (tpr 1, fpr 0)
+    val sep = Seq((10L, true), (20L, true), (1L, false), (2L, false))
+      .toDF("s", "y")
+    val r = Stats.youdenOptimalPpm(sep, "s", "y")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((10L, 2L, 0L, 1000000L, 0L, 1000000L)), s"got $r")
+    // J ties at thresholds 4 and 2 (both 500000) → lowest wins
+    val tie = Seq((4L, true), (2L, true), (3L, false), (1L, false))
+      .toDF("s", "y")
+    val r2 = Stats.youdenOptimalPpm(tie, "s", "y")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r2 == ((2L, 2L, 1L, 1000000L, 500000L, 500000L)), s"got $r2")
+    // single-class labels → every point degenerate → one all-NULL row
+    val one = Seq((1L, true), (2L, true)).toDF("s", "y")
+    val r3 = Stats.youdenOptimalPpm(one, "s", "y")
+      .as[(Option[Long], Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long])].collect().head
+    assert(r3._1.isEmpty && r3._6.isEmpty, s"got $r3")
+  }
+
+  test("cohensD2Milli: hand pooled effect size, sign lanes, degenerate NULL") {
+    import spark.implicits._
+    // A{2,4} vs B{0,2}: Δmean=2, pooled s²=2 → d=√2, d²=2 → 2000 milli
+    val df = Seq((true, 2L), (true, 4L), (false, 0L), (false, 2L))
+      .toDF("f", "v")
+    val r = Stats.cohensD2Milli(df, "f", "v")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((2L, 2L, 1L, Some(2000L))), s"got $r")
+    // flip the groups → sign −1, magnitude identical
+    val inv = Stats.cohensD2Milli(
+      df.select(not(col("f")).as("f"), col("v")), "f", "v")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(inv._3 == -1L && inv._4.contains(2000L), s"got $inv")
+    // equal means → sign 0, d² = 0
+    val eq = Seq((true, 1L), (true, 3L), (false, 2L), (false, 2L))
+      .toDF("f", "v")
+    val re = Stats.cohensD2Milli(eq, "f", "v")
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(re._3 == 0L && re._4.contains(0L), s"got $re")
+    // both groups constant → pooled variance 0 → NULL (even with a gap)
+    val const = Seq((true, 5L), (true, 5L), (false, 3L), (false, 3L))
+      .toDF("f", "v")
+    assert(Stats.cohensD2Milli(const, "f", "v")
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
+    // one-sided input → NULL
+    val oneSide = Seq((true, 1L), (true, 2L)).toDF("f", "v")
+    assert(Stats.cohensD2Milli(oneSide, "f", "v")
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
+  }
 }
