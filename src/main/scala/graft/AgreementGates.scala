@@ -240,7 +240,44 @@ object AgreementGates {
           floor(col("value") * 100).cast("long").as("cents")),
       "flag", "cents")
 
+  // LUHN-VALIDATED CARD PII (llm/TextAnalysis.luhnCardCounts): the
+  // checksum precision stage over q41's pattern recall — planted valid
+  // test PANs count, an off-by-one forgery and wrong-length runs don't.
+  def q358_luhn_pii(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(s.range(1).select(lit(9000001L).as("doc_id"),
+        lit("pay with 4111111111111111 or 5500005555555559 today")
+          .as("text")))
+      .unionByName(s.range(1).select(lit(9000002L).as("doc_id"),
+        lit("invalid 4111111111111112 next to order " +
+          "12345678901234567890 and id 123456789012").as("text")))
+      .unionByName(s.range(1).select(lit(9000003L).as("doc_id"),
+        lit("mixed 4012888888881881 ok and 79927398714 short")
+          .as("text")))
+    val (nc, nv) = graft.llm.TextAnalysis.luhnCardCounts(col("text"))
+    planted.select(col("doc_id"), nc.as("n_candidates"), nv.as("n_valid"))
+  }
+
+  // LANGUAGE-ID AGREEMENT (integration): the q30 stopword-marker rule
+  // and the q149 trained trigram-profile classifier partition the SAME
+  // corpus — chance-corrected ARI between the two methods, the
+  // model-vs-heuristic drift monitor a labeling pipeline actually runs.
+  def q359_langid_agreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.select(col("doc_id"),
+      graft.llm.TextAnalysis.langId(col("text")).as("pred_rule"))
+    val profiles = graft.llm.TextAnalysis.trainLangProfiles(
+      docs, "lang", "text", n = 3, topM = 100)
+    val b = graft.llm.TextAnalysis.classifyByProfile(
+        docs, "doc_id", "text", profiles, n = 3, topM = 100)
+      .select(col("doc_id"), col("lang_pred").as("pred_trained"))
+    graft.ops.Agreement.partitionAgreementPpm(a.join(b, "doc_id"),
+      "pred_rule", "pred_trained")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q358_luhn_pii"          -> q358_luhn_pii _,
+    "q359_langid_agreement"  -> q359_langid_agreement _,
     "q352_cluster_ari"       -> q352_cluster_ari _,
     "q353_gk_lambda"         -> q353_gk_lambda _,
     "q354_t_closeness"       -> q354_t_closeness _,
@@ -262,6 +299,88 @@ object AgreementGates {
   /** DuckDB oracles — independent SQL recomputations (HUGEINT lanes,
     * `//` floors mirroring the documented pinned-floor schedules). */
   val oracleSql: Map[String, String] = Map(
+    "q358_luhn_pii" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 9000001,
+        |    'pay with 4111111111111111 or 5500005555555559 today'
+        |  UNION ALL SELECT 9000002,
+        |    'invalid 4111111111111112 next to order 12345678901234567890 and id 123456789012'
+        |  UNION ALL SELECT 9000003,
+        |    'mixed 4012888888881881 ok and 79927398714 short'),
+        |c AS (SELECT doc_id,
+        |        list_filter(regexp_extract_all(text, '[0-9]+'),
+        |          x -> len(x) BETWEEN 13 AND 19) AS cand
+        |      FROM corpus)
+        |SELECT doc_id, CAST(len(cand) AS BIGINT) AS n_candidates,
+        |  CAST(len(list_filter(cand, x ->
+        |    list_sum(list_transform(range(1, len(x)+1), i ->
+        |      CASE WHEN i % 2 = 1
+        |           THEN CAST(substring(reverse(x), i, 1) AS INT)
+        |           ELSE CASE
+        |             WHEN CAST(substring(reverse(x), i, 1) AS INT)*2 > 9
+        |             THEN CAST(substring(reverse(x), i, 1) AS INT)*2 - 9
+        |             ELSE CAST(substring(reverse(x), i, 1) AS INT)*2 END
+        |      END)) % 10 = 0)) AS BIGINT) AS n_valid
+        |FROM c""".stripMargin,
+    "q359_langid_agreement" ->
+      """WITH ra AS (
+        |  SELECT doc_id,
+        |    CASE WHEN mx.h > 0 THEN mx.lang ELSE 'und' END AS la
+        |  FROM (SELECT doc_id, max(struct_pack(h := h, lang := lang)) AS mx
+        |        FROM (
+        |    SELECT doc_id, 'en' AS lang,
+        |      CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|in|that|it)\b')) AS INT) AS h FROM documents
+        |    UNION ALL SELECT doc_id, 'de',
+        |      CAST(len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS INT) FROM documents
+        |    UNION ALL SELECT doc_id, 'fr',
+        |      CAST(len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|une|que|dans)\b')) AS INT) FROM documents
+        |    UNION ALL SELECT doc_id, 'es',
+        |      CAST(len(regexp_extract_all(text, '(?i)\b(el|los|las|es|una|que|por|con)\b')) AS INT) FROM documents
+        |    UNION ALL SELECT doc_id, 'zh',
+        |      CAST(len(regexp_extract_all(text, '(的|是|了|在|我|有|他|不)')) AS INT) FROM documents)
+        |        GROUP BY doc_id)),
+        |lt AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+        |g AS (SELECT doc_id, lang, substring(lt, i, 3) AS gram
+        |      FROM (SELECT doc_id, lang, lt,
+        |              unnest(generate_series(1, greatest(len(lt)-2, 0))) AS i
+        |            FROM lt)),
+        |prof AS (SELECT label, gram, rank FROM (
+        |    SELECT lang AS label, gram, row_number()
+        |      OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |    FROM (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1,2))
+        |  WHERE rank <= 100),
+        |dg AS (SELECT doc_id, gram, count(*) AS dc FROM g GROUP BY 1,2),
+        |sc AS (SELECT doc_id, label, sum(dc * (101 - rank)) AS score
+        |       FROM dg JOIN prof USING (gram) GROUP BY 1,2),
+        |best AS (SELECT doc_id, label FROM (
+        |    SELECT doc_id, label, row_number()
+        |      OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |rb AS (SELECT d.doc_id, coalesce(b.label, 'und') AS lb
+        |       FROM documents d LEFT JOIN best b USING (doc_id)),
+        |cells AS (SELECT ra.la, rb.lb, count(*) AS nij
+        |          FROM ra JOIN rb USING (doc_id) GROUP BY 1, 2),
+        |cell AS (SELECT CAST(sum(nij) AS HUGEINT) AS n,
+        |                sum(CAST(nij AS HUGEINT)*(nij - 1)) AS p2
+        |         FROM cells),
+        |ma AS (SELECT count(*) AS ka,
+        |              sum(CAST(m AS HUGEINT)*(m - 1)) AS qa2
+        |       FROM (SELECT la, sum(nij) AS m FROM cells GROUP BY 1)),
+        |mb AS (SELECT count(*) AS kb,
+        |              sum(CAST(m AS HUGEINT)*(m - 1)) AS qb2
+        |       FROM (SELECT lb, sum(nij) AS m FROM cells GROUP BY 1))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(ka AS BIGINT) AS k_a,
+        |  CAST(kb AS BIGINT) AS k_b,
+        |  CAST(CASE WHEN n < 2
+        |              OR n*(n-1)*(qa2 + qb2) - 2*qa2*qb2 = 0 THEN NULL
+        |       ELSE CAST(sign(2*p2*(n*(n-1)) - 2*qa2*qb2) AS HUGEINT)
+        |            * ((1000000 * abs(2*p2*(n*(n-1)) - 2*qa2*qb2))
+        |               // (n*(n-1)*(qa2 + qb2) - 2*qa2*qb2))
+        |       END AS BIGINT) AS ari_ppm,
+        |  CAST(CASE WHEN qa2 = 0 OR qb2 = 0 THEN NULL
+        |       ELSE (1000000 * p2 * p2) // (qa2 * qb2)
+        |       END AS BIGINT) AS fm2_ppm
+        |FROM cell, ma, mb""".stripMargin,
     "q356_weighted_kappa" ->
       """WITH e AS (SELECT
         |    least(greatest(CAST(floor(value*100) AS BIGINT), 0) // 3500,

@@ -239,6 +239,41 @@ object TextAnalysis {
        lit(PhonePattern)))
   }
 
+  /** LUHN-VALIDATED card-number detection — the precision stage the
+    * [[redactionCounts]] digit patterns can't give: a 16-digit run is
+    * only payment-card PII if its Luhn mod-10 checksum holds, which
+    * cuts the false-positive rate on ids/timestamps/serials by ~90%
+    * (only 1 in 10 random runs passes). Candidates are maximal digit
+    * runs of 13–19 characters (PAN lengths); maximal-run extraction +
+    * a length filter replaces lookaround anchors, which RE2 (the
+    * oracle's regex engine) does not support — the redaction-pattern
+    * Java∩RE2 contract.
+    *
+    * The checksum is pure higher-order-function arithmetic (filter /
+    * transform / aggregate over the digit positions of the REVERSED
+    * run — double every second digit, subtract 9 past 9, sum mod 10)
+    * — exact integers, whole-stage codegen, no UDF.
+    *
+    * Returns (candidate-run count, Luhn-valid count) — route docs with
+    * a positive valid count to the scrub path (q91's span machinery).
+    *
+    * Scale shape: map-only scan expressions. */
+  def luhnCardCounts(text: Column): (Column, Column) = {
+    val candidates = filter(
+      regexp_extract_all(text, lit("[0-9]+"), lit(0)),
+      c => length(c) >= 13 && length(c) <= 19)
+    val valid = filter(candidates, c =>
+      aggregate(
+        transform(sequence(lit(1), length(c)), i => {
+          val d = reverse(c).substr(i, lit(1)).cast("int")
+          when(i % 2 === 1, d)
+            .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+        }),
+        lit(0),
+        (acc, x) => acc + x) % 10 === 0)
+    (size(candidates).cast("long"), size(valid).cast("long"))
+  }
+
   /** READABILITY (Flesch–Kincaid grade, integer milli): the classic
     * surface-form quality score — 0.39·words/sentence +
     * 11.8·syllables/word − 15.59 — with syllables approximated as

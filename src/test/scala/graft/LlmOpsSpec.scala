@@ -1741,4 +1741,25 @@ class LlmOpsSpec extends SparkTestBase {
     def toMap2: Map[Long, (String, Long, Long)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
+
+  test("luhnCardCounts: valid test PANs pass, forgeries and wrong lengths don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"),            // valid Visa test PAN
+      (2L, "fake 4111111111111112 here"),          // checksum off by one
+      (3L, "4012888888881881 and 5500005555555559"), // two valid PANs
+      (4L, "order 12345678901234567890 plus 123456789012"), // 20 & 12 digits
+      (5L, "no digits at all"),
+      (6L, "79927398713")                          // 11 digits: valid Luhn but too short
+    ).toDF("doc_id", "text")
+    val (nc, nv) = graft.llm.TextAnalysis.luhnCardCounts(col("text"))
+    val got = docs.select(col("doc_id"), nc, nv)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 0L), (3L, 2L, 2L),
+      (4L, 0L, 0L), (5L, 0L, 0L), (6L, 0L, 0L)), s"got $got")
+    // plan hygiene: pure scan expressions — no shuffle, no UDF
+    val p = docs.select(nc, nv).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"),
+      s"luhn must stay map-only:\n${p.take(400)}")
+  }
 }
