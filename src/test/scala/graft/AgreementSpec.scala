@@ -314,6 +314,15 @@ class AgreementSpec extends SparkTestBase {
     assert(r3 == ((3L, Some(1000000L), Some(1000000L))), s"got $r3")
   }
 
+  test("linkPredictionPpm plan: wedge join keys on the hub, never a cartesian") {
+    val e = spark.range(2, 2000).selectExpr("id AS s", "id / 2 AS d")
+    val p = GraphOps.linkPredictionPpm(e, "s", "d")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must ride the hub key:\n${p.take(600)}")
+  }
+
   // ---------------------------------------------- semantic decontam
   test("semanticDecontam: planted near-dup flagged, orthogonal not; guard") {
     val corpus = Seq(
