@@ -17,7 +17,12 @@ The 0.3 s floor on the sf0.1 side keeps 0.1 s-resolution noise on
 trivial queries from manufacturing ratios.
 
 Usage: make_scale_report.py <bench_sf0.1.json> <bench_sf1.json>
-                            <oracle_sql.json> <out.json>
+                            <oracle_sql.json> <out.json> [overrides.json]
+
+The optional overrides file maps query name -> true sf1 deciseconds for
+entries the Bench serializer CLAMPED at 999 ds (its line-width contract)
+— re-measure those with graft.BenchOne and record the honest number;
+overridden entries carry "sf1_source": "benchone".
 """
 import json, sys
 
@@ -43,6 +48,16 @@ EXPLANATIONS = {
         "inverted-index join output grows ~linearly on each side; "
         "slightly-above-linear wall-clock is join-output-bound, not a "
         "plan defect",
+    "q138_covariance_stats":
+        "exactly-linear BY DESIGN: the dim-pair expansion runs inside "
+        "the scan stage (no self-join), so cost tracks rows 1:1 - a "
+        "data-bound map pass SHOULD sit at norm_ratio ~ 1",
+    "q86_ivf_topk":
+        "IVF probe work is (corpus/nlist)*queries per probe list; the "
+        "gate grows the corpus 10x with the query set fixed, so probe "
+        "cost tracks the data - linear, the designed IVF shape "
+        "(sub-linearity comes from nprobe < nlist, which the gate "
+        "already exploits; the residual is the assignment scan)",
 }
 
 
@@ -54,9 +69,10 @@ def load_bench(path):
     return b, vals
 
 
-def main(b01_path, b1_path, oracle_path, out_path):
+def main(b01_path, b1_path, oracle_path, out_path, ov_path=None):
     b01, v01 = load_bench(b01_path)
     b1, v1 = load_bench(b1_path)
+    overrides = json.load(open(ov_path)) if ov_path else {}
     names = sorted(json.load(open(oracle_path)).keys(),
                    key=lambda n: int(n[1:].split("_")[0]))
     assert len(names) == len(v01) == len(v1), \
@@ -66,12 +82,19 @@ def main(b01_path, b1_path, oracle_path, out_path):
         if a < 0 or b < 0:
             rows[name] = {"sf01_ds": a, "sf1_ds": b, "class": "FAILED"}
             continue
+        src = None
+        if name in overrides:
+            b, src = int(overrides[name]), "benchone"
+        elif b == 999:
+            src = "CLAMPED-999 (re-measure with BenchOne)"
         denom = max(a, 3)  # 0.3 s noise floor on the small-SF side
         norm = round(b / (10.0 * denom), 2)
         cls = ("superlinear" if norm > 1.25 else
                "linear" if norm > 0.85 else "ok")
         rows[name] = {"sf01_ds": a, "sf1_ds": b, "norm_ratio": norm,
                       "class": cls}
+        if src:
+            rows[name]["sf1_source"] = src
         if cls != "ok" and name in EXPLANATIONS:
             rows[name]["explanation"] = EXPLANATIONS[name]
         if cls == "superlinear":
@@ -103,4 +126,4 @@ def main(b01_path, b1_path, oracle_path, out_path):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:5])
+    main(*sys.argv[1:6])
