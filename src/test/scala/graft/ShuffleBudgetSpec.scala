@@ -33,7 +33,16 @@ class ShuffleBudgetSpec extends SparkTestBase {
     ("q223_hop_distance", 99536L, 150000L),
     ("q248_kcore", 66252L, 100000L),
     ("q315_ppr", 4373L, 7000L),
-    ("q126_margin_mining", 2252L, 3500L))
+    ("q126_margin_mining", 2252L, 3500L),
+    // round-10 additions — the expensive tail of the q342+ batch:
+    // semantic dedup's pair candidates, the LSH sibling's band keys,
+    // the trained-langid gram traffic, and the wedge-join shapes
+    ("q339_semantic_dedup", 1830L, 2800L),
+    ("q341_semantic_dedup_lsh", 16314L, 25000L),
+    ("q359_langid_agreement", 77560L, 117000L),
+    ("q352_cluster_ari", 685L, 1100L),
+    ("q343_link_prediction", 6444L, 10000L),
+    ("q347_kendalls_w", 3013L, 4600L))
 
   budgets.foreach { case (name, actual, budget) =>
     test(s"$name stays inside its shuffle-record budget " +
