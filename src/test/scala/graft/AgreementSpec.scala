@@ -167,6 +167,21 @@ class AgreementSpec extends SparkTestBase {
     assert(d._3.contains(expect), s"got $d expect $expect")
   }
 
+  test("cliffsDeltaPpm = 2·AUC − 1: the Somers/Gini identity across operators") {
+    // with the flag as the outcome and the value as the score, Cliff's
+    // delta IS Somers' D = 2·AUC(midrank) − 1 — two independently
+    // implemented operators must agree up to their own floors (≤ 2 ppm)
+    val df = Seq((true, 10L), (true, 40L), (true, 40L), (true, 90L),
+      (false, 20L), (false, 40L), (false, 70L), (false, 70L),
+      (false, 95L)).toDF("f", "v")
+    val auc = Stats.aucPpm(df.select(col("v"), col("f")), "v", "f")
+      .select("auc_ppm").as[Long].collect().head
+    val delta = RankTests.cliffsDeltaPpm(df, "f", "v")
+      .as[(Long, Long, Option[Long])].collect().head._3.get
+    assert(math.abs(delta - (2 * auc - 1000000L)) <= 2,
+      s"identity broken: delta=$delta auc=$auc")
+  }
+
   // --------------------------------------------------- Brown–Forsythe
   test("brownForsytheMilli: hand value with pinned floors; constant NULL") {
     // a{1,2,3,100}: lower median 2, Z={1,0,1,98}, S=100, SS=9606
