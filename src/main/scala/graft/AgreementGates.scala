@@ -275,7 +275,20 @@ object AgreementGates {
       "pred_rule", "pred_trained")
   }
 
+  // YUEN'S TRIMMED-MEANS TEST (ops/RankTests.yuenTrimmedMilli): the
+  // robust companion to q304's Welch on the same purchase-vs-rest
+  // comparison — 20% trim per tail, winsorized variance, so the spend
+  // whales can't own the answer.
+  def q360_yuen(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RankTests.yuenTrimmedMilli(
+      t(s, dir, "events")
+        .where(col("value").isNotNull && col("event_type").isNotNull)
+        .select((col("event_type") === "purchase").as("flag"),
+          floor(col("value") * 100).cast("long").as("cents")),
+      "flag", "cents", trimPm = 200)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q360_yuen"              -> q360_yuen _,
     "q358_luhn_pii"          -> q358_luhn_pii _,
     "q359_langid_agreement"  -> q359_langid_agreement _,
     "q352_cluster_ari"       -> q352_cluster_ari _,
@@ -299,6 +312,62 @@ object AgreementGates {
   /** DuckDB oracles — independent SQL recomputations (HUGEINT lanes,
     * `//` floors mirroring the documented pinned-floor schedules). */
   val oracleSql: Map[String, String] = Map(
+    "q360_yuen" ->
+      """WITH e AS (SELECT event_type = 'purchase' AS f,
+        |             CAST(floor(value*100) AS BIGINT) AS v
+        |           FROM events
+        |           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |h AS (SELECT f, v, count(*) AS c FROM e GROUP BY 1, 2),
+        |tot AS (SELECT f, sum(c) AS n, (sum(c)*200) // 1000 AS g
+        |        FROM h GROUP BY 1),
+        |cu AS (SELECT h.f, h.v, h.c,
+        |         sum(h.c) OVER (PARTITION BY h.f ORDER BY h.v) AS cum,
+        |         tot.n, tot.g
+        |       FROM h JOIN tot USING (f)),
+        |r AS (SELECT f, v, c, n, g, cum,
+        |        greatest(0, least(cum, n - g) - greatest(cum - c, g))
+        |          AS ret
+        |      FROM cu),
+        |agg AS (SELECT f, max(n) AS n, max(g) AS g,
+        |          sum(CAST(ret AS HUGEINT) * v) AS ts,
+        |          sum(CAST(ret AS HUGEINT) * v * v) AS tq,
+        |          min(CASE WHEN cum >= g + 1 THEN v END) AS vlo,
+        |          min(CASE WHEN cum >= n - g THEN v END) AS vhi
+        |        FROM r GROUP BY 1),
+        |k AS (SELECT f, n, n - 2*g AS h2, ts,
+        |        ((tq + g*(CAST(vlo AS HUGEINT)*vlo + CAST(vhi AS HUGEINT)*vhi)) * n
+        |         - (ts + g*(CAST(vlo AS HUGEINT) + vhi))
+        |           * (ts + g*(CAST(vlo AS HUGEINT) + vhi))) AS a
+        |      FROM agg),
+        |p AS (SELECT
+        |  max(CASE WHEN f THEN n END) AS na,
+        |  max(CASE WHEN NOT f THEN n END) AS nb,
+        |  max(CASE WHEN f THEN h2 END) AS ha,
+        |  max(CASE WHEN NOT f THEN h2 END) AS hb,
+        |  max(CASE WHEN f THEN ts END) AS tsa,
+        |  max(CASE WHEN NOT f THEN ts END) AS tsb,
+        |  max(CASE WHEN f THEN a END) AS aa,
+        |  max(CASE WHEN NOT f THEN a END) AS ab
+        |  FROM k)
+        |SELECT CAST(COALESCE(na, 0) AS BIGINT) AS n_a,
+        |  CAST(COALESCE(nb, 0) AS BIGINT) AS n_b,
+        |  CAST(COALESCE(ha, 0) AS BIGINT) AS h_a,
+        |  CAST(COALESCE(hb, 0) AS BIGINT) AS h_b,
+        |  CAST(CASE WHEN na IS NULL OR nb IS NULL THEN 0
+        |       ELSE sign(tsa*hb - tsb*ha) END AS BIGINT) AS sign,
+        |  CAST(CASE WHEN na IS NULL OR nb IS NULL OR ha < 2 OR hb < 2
+        |            THEN NULL
+        |       WHEN (1000000*aa) // (CAST(na AS HUGEINT)*ha*(ha-1))
+        |          + (1000000*ab) // (CAST(nb AS HUGEINT)*hb*(hb-1)) = 0
+        |            THEN NULL
+        |       ELSE (1000
+        |             * ((1000000*abs(tsa*hb - tsb*ha)) // (CAST(ha AS HUGEINT)*hb))
+        |             * ((1000000*abs(tsa*hb - tsb*ha)) // (CAST(ha AS HUGEINT)*hb)))
+        |            // (1000000 *
+        |               ((1000000*aa) // (CAST(na AS HUGEINT)*ha*(ha-1))
+        |                + (1000000*ab) // (CAST(nb AS HUGEINT)*hb*(hb-1))))
+        |       END AS BIGINT) AS t2_milli
+        |FROM p""".stripMargin,
     "q358_luhn_pii" ->
       """WITH corpus AS (SELECT doc_id, text FROM documents
         |  UNION ALL SELECT 9000001,
@@ -459,14 +528,18 @@ object AgreementGates {
         |         CASE WHEN bb < 2 THEN 0
         |         ELSE (1000000 * s) // (CAST(n AS HUGEINT)*nn*(bb - 1))
         |         END AS t, bb
-        |       FROM per)
+        |       FROM per),
+        |ex AS (SELECT count(*) AS nex FROM customer
+        |       WHERE c_nationkey IS NULL OR c_mktsegment IS NULL
+        |          OR c_acctbal IS NULL)
         |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(max(ex.nex) AS BIGINT) AS n_excluded,
         |  CAST(count(*) AS BIGINT) AS n_groups,
         |  CAST(max(bb) AS BIGINT) AS n_buckets,
         |  CAST(max(t) AS BIGINT) AS max_t_ppm,
         |  CAST(sum(CASE WHEN t > 250000 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS viol_groups
-        |FROM pt""".stripMargin,
+        |FROM pt, ex""".stripMargin,
     "q355_youden" ->
       """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT) AS s,
         |             event_type = 'purchase' AS y

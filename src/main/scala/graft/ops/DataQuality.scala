@@ -262,12 +262,14 @@ object DataQuality {
     *
     * — pure integer cross-multiplication (the per-group and global
     * CDFs never materialize as fractions), floored once per group in
-    * ppm. Rows with a NULL quasi key or NULL bucket are excluded (a
-    * NULL key can't ride the grid join; the k-anonymity report is
-    * where NULL-keyed rows get their accounting).
+    * ppm. Rows with a NULL quasi key or NULL bucket cannot ride the
+    * grid join and are excluded — but never silently: `n_excluded`
+    * reports exactly how many rows fell out (the brier/ECE clamp
+    * lesson: a dropped row must be visible in the output).
     *
-    * Output one row: (n_rows, n_groups, n_buckets, max_t_ppm,
-    * viol_groups = groups with t_ppm > tPpm). max_t 0 when B = 1.
+    * Output one row: (n_rows, n_excluded, n_groups, n_buckets,
+    * max_t_ppm, viol_groups = groups with t_ppm > tPpm). max_t 0 when
+    * B = 1.
     *
     * Scale shape: one (quasi, bucket) groupBy; the global CDF is a
     * window-free running sum over the B-row bucket alphabet; the
@@ -281,9 +283,11 @@ object DataQuality {
       s"tPpm must be in [0, 1000000], got $tPpm")
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val qs = quasiCols.map(col)
-    val cells = df
-      .where(qs.map(_.isNotNull).reduce(_ && _) &&
-        col(bucketCol).isNotNull)
+    val keep = qs.map(_.isNotNull).reduce(_ && _) &&
+      col(bucketCol).isNotNull
+    val excluded = df.agg(
+      coalesce(sum(when(keep, 0L).otherwise(1L)), lit(0L)).as("__ex"))
+    val cells = df.where(keep)
       .groupBy(qs :+ col(bucketCol).cast("long").as("__b"): _*)
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint() // consumed by the global CDF, groups, and grid
@@ -314,11 +318,15 @@ object DataQuality {
             |AS BIGINT)""".stripMargin.replace("\n", " ")))
           .as("__t"))
     perGroup.agg(
-      coalesce(sum(col("__n")), lit(0L)).cast("long").as("n_rows"),
-      count(lit(1)).cast("long").as("n_groups"),
-      coalesce(max(col("__nb")), lit(0L)).cast("long").as("n_buckets"),
-      coalesce(max(col("__t")), lit(0L)).cast("long").as("max_t_ppm"),
-      coalesce(sum(when(col("__t") > tPpm, 1L).otherwise(0L)), lit(0L))
-        .cast("long").as("viol_groups"))
+        coalesce(sum(col("__n")), lit(0L)).cast("long").as("n_rows"),
+        count(lit(1)).cast("long").as("n_groups"),
+        coalesce(max(col("__nb")), lit(0L)).cast("long").as("n_buckets"),
+        coalesce(max(col("__t")), lit(0L)).cast("long").as("max_t_ppm"),
+        coalesce(sum(when(col("__t") > tPpm, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("viol_groups"))
+      .crossJoin(broadcast(excluded))
+      .select(col("n_rows"), col("__ex").cast("long").as("n_excluded"),
+        col("n_groups"), col("n_buckets"), col("max_t_ppm"),
+        col("viol_groups"))
   }
 }

@@ -670,6 +670,105 @@ object RankTests {
           .as("delta_ppm"))
   }
 
+  /** YUEN'S TRIMMED-MEANS TEST — the robust Welch: compare TRIMMED
+    * means with WINSORIZED variances, so a handful of whale values
+    * can't swamp the read the way they do ops/Stats.welchT2Milli's raw
+    * means. The standard robust two-sample location test (Yuen 1974)
+    * for spend/latency metrics.
+    *
+    * Construction (γ = trimPm/1000 per tail, g_i = (n_i·trimPm) div
+    * 1000 — pinned floor): the trimmed sum keeps order-statistic
+    * positions g+1 … n−g, computed EXACTLY from the value histogram —
+    * retained(v) = max(0, min(cum_v, n−g) − max(cum_v − c_v, g)) — no
+    * sort of raw rows; winsorization adds g copies of the (g+1)-th and
+    * (n−g)-th order statistics back. With h = n − 2g,
+    * A = Qw·n − Sw² (winsorized SS numerator):
+    *   Δ_micro  = (10⁶·|Ts₁h₂ − Ts₂h₁|) div (h₁h₂)     [+ sign lane]
+    *   d_i      = (10⁶·A_i) div (n_i·h_i·(h_i−1))
+    *   t²·10³   = (1000·Δ_micro²) div (10⁶·(d₁+d₂))
+    * — three pinned floors total, each documented, both engines
+    * replay. NULL when either h_i < 2 or both winsorized variances
+    * are 0 (all retained values tied).
+    *
+    * Output one row: (n_a, n_b, h_a, h_b, sign, t2_milli).
+    *
+    * Scale shape: one (group, value) histogram groupBy, per-group
+    * cumsum over DISTINCT VALUES (window state = a group's value
+    * inventory), two bounded aggregates — raw rows never sort and
+    * never shuffle past the histogram. */
+  def yuenTrimmedMilli(df: DataFrame, flagCol: String, valueCol: String,
+                       trimPm: Int = 200): DataFrame = {
+    require(trimPm >= 0 && trimPm < 500,
+      s"trimPm must be in [0, 500), got $trimPm")
+    val gv = df.select(col(flagCol).cast("boolean").as("__f"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__f").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__f"), col("__v")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__f")).orderBy(col("__v"))
+    val totals = gv.groupBy(col("__f").as("__f2"))
+      .agg(sum(col("__c")).as("__n"))
+      .withColumn("__g", expr(s"(__n * ${trimPm}L) div 1000"))
+    val r = gv.withColumn("__cum", sum(col("__c")).over(w))
+      .join(broadcast(totals), col("__f") === col("__f2"))
+      .withColumn("__ret", greatest(lit(0L),
+        least(col("__cum"), col("__n") - col("__g")) -
+          greatest(col("__cum") - col("__c"), col("__g"))))
+    val agg = r.groupBy(col("__f"))
+      .agg(max(col("__n")).as("__n"), max(col("__g")).as("__g"),
+        sum(col("__ret").cast(d38) * col("__v")).as("__ts"),
+        sum(col("__ret").cast(d38) * col("__v") * col("__v")).as("__tq"),
+        min(when(col("__cum") >= col("__g") + 1, col("__v"))).as("__vlo"),
+        min(when(col("__cum") >= col("__n") - col("__g"), col("__v")))
+          .as("__vhi"))
+      .select(col("__f"), col("__n"),
+        (col("__n") - col("__g") * 2).as("__h"), col("__ts"),
+        // A = Qw·n − Sw² over the winsorized sample
+        ((col("__tq") + col("__g").cast(d38) *
+            (col("__vlo").cast(d38) * col("__vlo") +
+             col("__vhi").cast(d38) * col("__vhi"))) * col("__n") -
+          (col("__ts") + col("__g").cast(d38) *
+            (col("__vlo") + col("__vhi"))) *
+          (col("__ts") + col("__g").cast(d38) *
+            (col("__vlo") + col("__vhi")))).as("__a"))
+    def side(f: Boolean, c: Column) = max(when(col("__f") === f, c))
+    agg.agg(
+        side(true, col("__n")).as("__na"), side(false, col("__n")).as("__nb"),
+        side(true, col("__h")).as("__ha"), side(false, col("__h")).as("__hb"),
+        side(true, col("__ts")).as("__tsa"), side(false, col("__ts")).as("__tsb"),
+        side(true, col("__a")).as("__aa"), side(false, col("__a")).as("__ab"))
+      .select(
+        coalesce(col("__na"), lit(0L)).cast("long").as("n_a"),
+        coalesce(col("__nb"), lit(0L)).cast("long").as("n_b"),
+        coalesce(col("__ha"), lit(0L)).cast("long").as("h_a"),
+        coalesce(col("__hb"), lit(0L)).cast("long").as("h_b"),
+        col("__tsa"), col("__tsb"), col("__aa"), col("__ab"))
+      .select(col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0L))
+          .otherwise(signum(col("__tsa") * col("h_b") -
+            col("__tsb") * col("h_a")).cast("long")).as("sign"),
+        // chained whens: CaseWhen evaluates in order, so the h < 2
+        // branch fires BEFORE any (h−1) denominator is touched — a
+        // single OR would still evaluate the division under ANSI
+        when(col("n_a") === 0 || col("n_b") === 0 ||
+            col("h_a") < 2 || col("h_b") < 2, lit(null).cast("long"))
+          .when(expr(
+            """(1000000 * __aa) div (CAST(n_a AS DECIMAL(38,0)) * h_a * (h_a - 1))
+              |+ (1000000 * __ab) div (CAST(n_b AS DECIMAL(38,0)) * h_b * (h_b - 1))"""
+              .stripMargin.replace("\n", " ")) === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            // `div` yields BIGINT — re-enter the DECIMAL(38) lane
+            // before squaring (Δ_micro² ~ 10²¹ overflows a long)
+            """CAST((1000 * CAST((1000000 * abs(__tsa * h_b - __tsb * h_a)) div (CAST(h_a AS DECIMAL(38,0)) * h_b) AS DECIMAL(38,0))
+              |     * CAST((1000000 * abs(__tsa * h_b - __tsb * h_a)) div (CAST(h_a AS DECIMAL(38,0)) * h_b) AS DECIMAL(38,0)))
+              |div (CAST(1000000 AS DECIMAL(38,0)) *
+              |     (CAST((1000000 * __aa) div (CAST(n_a AS DECIMAL(38,0)) * h_a * (h_a - 1)) AS DECIMAL(38,0))
+              |      + CAST((1000000 * __ab) div (CAST(n_b AS DECIMAL(38,0)) * h_b * (h_b - 1)) AS DECIMAL(38,0))))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("t2_milli"))
+  }
+
   /** BROWN–FORSYTHE test — "do these k groups have the same SPREAD?":
     * the robust (median-centered) Levene variance-equality test, the
     * check that belongs BEFORE a t-test/ANOVA read and the direct

@@ -182,6 +182,43 @@ class AgreementSpec extends SparkTestBase {
       s"identity broken: delta=$delta auc=$auc")
   }
 
+  // --------------------------------------------------------- Yuen
+  test("yuenTrimmedMilli: hand trimmed/winsorized values, floors, robustness") {
+    // A{1,2,3,4,100} γ=0.2 → g=1: trimmed {2,3,4} Ts=9 h=3; winsorized
+    // {2,2,3,4,4}: A-term = 49·5−225 = 20 → d = ⌊20·10⁶/30⌋ = 666666
+    // B{10..14}: trimmed {11,12,13}, same A-term 20 by construction
+    // Δ_micro = ⌊10⁶·81/9⌋ = 9·10⁶ → t²·10³ = ⌊8.1e16/1.333332e12⌋
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map((true, _)) ++
+      Seq(10L, 11L, 12L, 13L, 14L).map((false, _))).toDF("f", "v")
+    val r = RankTests.yuenTrimmedMilli(df, "f", "v", trimPm = 200)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((5L, 5L, 3L, 3L, -1L, Some(60750L))), s"got $r")
+    // the whole point: one whale moves Welch, not Yuen — equal trimmed
+    // means give sign 0, t² = 0 even with a 10⁶ outlier in play
+    val whale = (Seq(1L, 2L, 3L, 4L, 5L).map((true, _)) ++
+      Seq(1L, 2L, 3L, 4L, 1000000L).map((false, _))).toDF("f", "v")
+    val rw = RankTests.yuenTrimmedMilli(whale, "f", "v", trimPm = 200)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(rw._5 == 0L && rw._6.contains(0L), s"got $rw")
+    // both groups' retained values fully tied → variance 0 → NULL
+    val flat = (Seq.fill(5)((true, 7L)) ++ Seq.fill(5)((false, 3L)))
+      .toDF("f", "v")
+    assert(RankTests.yuenTrimmedMilli(flat, "f", "v", 200)
+      .as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect().head._6.isEmpty)
+    // trim 0 degenerates to the Welch shape: h = n, full-sample sums
+    val r0 = RankTests.yuenTrimmedMilli(df, "f", "v", trimPm = 0)
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().head
+    assert(r0._3 == 5L && r0._4 == 5L, s"got $r0")
+    // one-sided input → NULL; bad trim rejected
+    assert(RankTests.yuenTrimmedMilli(
+        Seq((true, 1L), (true, 2L)).toDF("f", "v"), "f", "v", 200)
+      .as[(Long, Long, Long, Long, Long, Option[Long])]
+      .collect().head._6.isEmpty)
+    intercept[IllegalArgumentException](
+      RankTests.yuenTrimmedMilli(df, "f", "v", trimPm = 500))
+  }
+
   // --------------------------------------------------- Brown–Forsythe
   test("brownForsytheMilli: hand value with pinned floors; constant NULL") {
     // a{1,2,3,100}: lower median 2, Z={1,0,1,98}, S=100, SS=9606

@@ -118,26 +118,29 @@ class DataQualitySpec extends SparkTestBase {
   test("tClosenessReport: hand EMD, identical-dist group at 0, B=1 edge") {
     import spark.implicits._
     // g1 all bucket 0, g2 all bucket 1; global (½, ½):
-    // each group's 1-D EMD = ½ → t = 500000, both violate t > 0.25
-    val df = Seq(("g1", 0L), ("g1", 0L), ("g2", 1L), ("g2", 1L))
+    // each group's 1-D EMD = ½ → t = 500000, both violate t > 0.25;
+    // the NULL-keyed and NULL-bucket rows fall out VISIBLY (n_excluded)
+    val df = (Seq(("g1", 0L), ("g1", 0L), ("g2", 1L), ("g2", 1L))
+      .map { case (q, b) => (q, Some(b)) } ++
+      Seq((null.asInstanceOf[String], Some(0L)), ("g1", None)))
       .toDF("q", "b")
     val r = DataQuality.tClosenessReport(df, Seq("q"), "b", tPpm = 250000)
-      .as[(Long, Long, Long, Long, Long)].collect().head
-    assert(r == ((4L, 2L, 2L, 500000L, 2L)), s"got $r")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((4L, 2L, 2L, 2L, 500000L, 2L)), s"got $r")
     // missing-bucket grid rows still count: the skew group has no b=1
     // cell, yet its CDF gap at b=0 is what the EMD measures
     val mixed = Seq(("even", 0L), ("even", 1L), ("skew", 0L),
       ("skew", 0L)).toDF("q", "b")
     val r2 = DataQuality.tClosenessReport(mixed, Seq("q"), "b", 400000)
-      .as[(Long, Long, Long, Long, Long)].collect().head
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
     // global (¾, ¼): even group cum diffs |1·4−3·2|=2 → t=¼;
     // skew group |2·4−3·2|=2 → t=¼ — both 250000, no violations
-    assert(r2 == ((4L, 2L, 2L, 250000L, 0L)), s"got $r2")
+    assert(r2 == ((4L, 0L, 2L, 2L, 250000L, 0L)), s"got $r2")
     // single bucket → EMD undefined-trivial, pinned 0
     val one = Seq(("a", 5L), ("b", 5L)).toDF("q", "b")
     val r3 = DataQuality.tClosenessReport(one, Seq("q"), "b", 100)
-      .as[(Long, Long, Long, Long, Long)].collect().head
-    assert(r3 == ((2L, 2L, 1L, 0L, 0L)), s"got $r3")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r3 == ((2L, 0L, 2L, 1L, 0L, 0L)), s"got $r3")
     intercept[IllegalArgumentException](
       DataQuality.tClosenessReport(df, Seq("q"), "b", -1))
   }
