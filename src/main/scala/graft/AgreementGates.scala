@@ -287,8 +287,35 @@ object AgreementGates {
           floor(col("value") * 100).cast("long").as("cents")),
       "flag", "cents", trimPm = 200)
 
+  // QUADRATIC KAPPA (ops/Agreement.weightedKappaPpm power=2): the
+  // ordinal-leaderboard scoring standard on the same band-rater pair
+  // as q356 — far misses priced quadratically.
+  def q361_quadratic_kappa(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Agreement.weightedKappaPpm(
+      t(s, dir, "events")
+        .where(col("value").isNotNull && col("event_id").isNotNull)
+        .select(
+          least(expr("greatest(CAST(floor(value*100) AS BIGINT), 0L) div 3500"),
+            lit(2L)).as("band_a"),
+          (col("event_id") % 3).as("band_b")),
+      "band_a", "band_b", power = 2)
+
+  // SPECIFIC AGREEMENT (ops/Agreement.specificAgreementPpm): positive/
+  // negative percent agreement of the q288 rule pair — the per-class
+  // read kappa alone can't give.
+  def q362_specific_agreement(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Agreement.specificAgreementPpm(
+      t(s, dir, "events").where(col("value").isNotNull &&
+          col("event_id").isNotNull)
+        .select(
+          (floor(col("value") * 100).cast("long") >= 3500L).as("pred_a"),
+          (col("event_id") % 3 === 0).as("pred_b")),
+      "pred_a", "pred_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q360_yuen"              -> q360_yuen _,
+    "q361_quadratic_kappa"   -> q361_quadratic_kappa _,
+    "q362_specific_agreement" -> q362_specific_agreement _,
     "q358_luhn_pii"          -> q358_luhn_pii _,
     "q359_langid_agreement"  -> q359_langid_agreement _,
     "q352_cluster_ari"       -> q352_cluster_ari _,
@@ -312,6 +339,47 @@ object AgreementGates {
   /** DuckDB oracles — independent SQL recomputations (HUGEINT lanes,
     * `//` floors mirroring the documented pinned-floor schedules). */
   val oracleSql: Map[String, String] = Map(
+    "q361_quadratic_kappa" ->
+      """WITH e AS (SELECT
+        |    least(greatest(CAST(floor(value*100) AS BIGINT), 0) // 3500,
+        |          2) AS i,
+        |    event_id % 3 AS j
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |cells AS (SELECT i, j, count(*) AS nij FROM e GROUP BY 1, 2),
+        |obs AS (SELECT sum(nij) AS n,
+        |          sum(CAST((i - j)*(i - j) AS HUGEINT) * nij) AS wo
+        |        FROM cells),
+        |ma AS (SELECT i, sum(nij) AS r FROM cells GROUP BY 1),
+        |mb AS (SELECT j, sum(nij) AS c FROM cells GROUP BY 1),
+        |ex AS (SELECT sum(CAST((ma.i - mb.j)*(ma.i - mb.j) AS HUGEINT)
+        |                  * ma.r * mb.c) AS we
+        |       FROM ma, mb)
+        |SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
+        |  CAST(CASE WHEN we IS NULL OR we = 0 THEN NULL
+        |       ELSE 1000000 - (1000000 * CAST(n AS HUGEINT) * wo) // we
+        |       END AS BIGINT) AS kappa_w_ppm
+        |FROM obs, ex""".stripMargin,
+    "q362_specific_agreement" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(value*100) AS BIGINT) >= 3500 AS a,
+        |    event_id % 3 = 0 AS b
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_id IS NOT NULL),
+        |agg AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS bp,
+        |  sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS bn,
+        |  sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS dc FROM e)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(bp AS BIGINT) AS both_pos, CAST(bn AS BIGINT) AS both_neg,
+        |  CAST(dc AS BIGINT) AS discordant,
+        |  CAST(CASE WHEN 2*bp + dc = 0 THEN NULL
+        |       ELSE (1000000 * 2 * bp) // (2*bp + dc)
+        |       END AS BIGINT) AS pa_ppm,
+        |  CAST(CASE WHEN 2*bn + dc = 0 THEN NULL
+        |       ELSE (1000000 * 2 * bn) // (2*bn + dc)
+        |       END AS BIGINT) AS na_ppm
+        |FROM agg""".stripMargin,
     "q360_yuen" ->
       """WITH e AS (SELECT event_type = 'purchase' AS f,
         |             CAST(floor(value*100) AS BIGINT) AS v

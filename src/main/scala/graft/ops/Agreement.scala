@@ -291,10 +291,13 @@ object Agreement {
     * (K−1) normalizer cancels between numerator and denominator, so
     * the linear-weight form needs no fraction at all):
     *
-    *   κ_w·10⁶ = 10⁶ − (10⁶ · n · Σ_ij |i−j|·n_ij)
-    *             div (Σ_ij |i−j|·r_i·c_j)
+    *   κ_w·10⁶ = 10⁶ − (10⁶ · n · Σ_ij w(i,j)·n_ij)
+    *             div (Σ_ij w(i,j)·r_i·c_j)
     *
-    * — both divided quantities non-negative (the subtraction carries
+    * with w = |i−j| (`power = 1`, Cicchetti weights) or (i−j)²
+    * (`power = 2`, the QUADRATIC kappa every ordinal-prediction
+    * leaderboard scores — its (K−1)² normalizer cancels identically).
+    * Both divided quantities non-negative (the subtraction carries
     * the sign exactly, the chiSquare stance), NULL when the expected
     * weighted disagreement is 0 (both raters' marginals sit on one
     * identical category). Categories are LONG ordinal codes by
@@ -306,20 +309,24 @@ object Agreement {
     * Scale shape: one (i,j) contingency groupBy; the expected term is
     * a marginal×marginal product over the CATEGORY alphabet (k² rows,
     * bounded by contract), one final row. */
-  def weightedKappaPpm(df: DataFrame, aCol: String,
-                       bCol: String): DataFrame = {
+  def weightedKappaPpm(df: DataFrame, aCol: String, bCol: String,
+                       power: Int = 1): DataFrame = {
+    require(power == 1 || power == 2,
+      s"power must be 1 (linear) or 2 (quadratic), got $power")
+    def wt(i: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      if (power == 1) abs(i - j).cast(d38)
+      else (i - j).cast(d38) * (i - j)
     val cells = df.select(col(aCol).cast("long").as("__i"),
         col(bCol).cast("long").as("__j"))
       .where(col("__i").isNotNull && col("__j").isNotNull)
       .groupBy(col("__i"), col("__j")).agg(count(lit(1)).as("__nij"))
       .localCheckpoint() // consumed by the observed pass and both marginals
     val obs = cells.agg(sum(col("__nij")).as("__n"),
-      sum(abs(col("__i") - col("__j")).cast(d38) * col("__nij"))
-        .as("__wo"))
+      sum(wt(col("__i"), col("__j")) * col("__nij")).as("__wo"))
     val margA = cells.groupBy(col("__i")).agg(sum(col("__nij")).as("__r"))
     val margB = cells.groupBy(col("__j")).agg(sum(col("__nij")).as("__c"))
     val exp = margA.crossJoin(margB)
-      .agg(sum(abs(col("__i") - col("__j")).cast(d38) *
+      .agg(sum(wt(col("__i"), col("__j")) *
         col("__r") * col("__c")).as("__we"))
     obs.crossJoin(broadcast(exp))
       .select(coalesce(col("__n"), lit(0L)).cast("long").as("n"),
@@ -435,6 +442,55 @@ object Agreement {
           .otherwise(expr(
             "(1000000 * (__colmax - __maxa)) div (__n - __maxa)"))
           .as("lambda_ba_ppm"))
+  }
+
+  /** SPECIFIC AGREEMENT (positive / negative percent agreement) — the
+    * per-class companion every kappa needs next to it: kappa says how
+    * far above chance two binary raters sit OVERALL, PA/NA say whether
+    * they agree on the PRESENCE calls specifically (the CLSI EP12
+    * convention for comparing a candidate labeler against a
+    * comparator). With the 2×2 cells a = both-positive, d =
+    * both-negative, b+c discordant:
+    *
+    *   pa_ppm = (10⁶·2a) div (2a + b + c)
+    *   na_ppm = (10⁶·2d) div (2d + b + c)
+    *
+    * — two pinned floors, NULL per side when its denominator is 0 (no
+    * positive calls at all / no negative calls at all).
+    *
+    * Output one row: (n, both_pos, both_neg, discordant, pa_ppm,
+    * na_ppm).
+    *
+    * Scale shape: one map-side-partial single-row aggregate — rows
+    * never shuffle. */
+  def specificAgreementPpm(df: DataFrame, aCol: String,
+                           bCol: String): DataFrame = {
+    val base = df.select(col(aCol).cast("boolean").as("__a"),
+        col(bCol).cast("boolean").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+    base.agg(count(lit(1)).as("n"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L))
+          .as("both_pos"),
+        sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L))
+          .as("both_neg"),
+        sum(when(col("__a") =!= col("__b"), 1L).otherwise(0L))
+          .as("discordant"))
+      .select(col("n").cast("long").as("n"),
+        coalesce(col("both_pos"), lit(0L)).as("both_pos"),
+        coalesce(col("both_neg"), lit(0L)).as("both_neg"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"))
+      .select(col("n"), col("both_pos"), col("both_neg"),
+        col("discordant"),
+        when(lit(2L) * col("both_pos") + col("discordant") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000000 * 2 * both_pos) div (2 * both_pos + discordant)"))
+          .as("pa_ppm"),
+        when(lit(2L) * col("both_neg") + col("discordant") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000000 * 2 * both_neg) div (2 * both_neg + discordant)"))
+          .as("na_ppm"))
   }
 
   def cochranQMilli(df: DataFrame, treatmentCols: Seq[String]): DataFrame = {

@@ -311,6 +311,45 @@ class AgreementSpec extends SparkTestBase {
       "near-miss must score above far-miss")
   }
 
+  test("weightedKappaPpm power=2: quadratic hand value; squared far-miss cost") {
+    // same table as the linear hand case: wo_q = 1+4 = 5,
+    // we_q = 4·10 + 1·4 + 1·10 = 54 → κq = 1 − 30/54 → 444445 ppm
+    val df = Seq((0L, 0L), (0L, 0L), (1L, 1L), (2L, 2L), (0L, 1L),
+      (0L, 2L)).toDF("a", "b")
+    val r = Agreement.weightedKappaPpm(df, "a", "b", power = 2)
+      .as[(Long, Option[Long])].collect().head
+    assert(r == ((6L, Some(444445L))), s"got $r")
+    // a 2-band miss costs 4× a 1-band miss under power=2 (vs 2× linear)
+    def kw(p: Int, miss: (Long, Long)): Long =
+      Agreement.weightedKappaPpm(
+        (Seq((0L, 0L), (1L, 1L), (2L, 2L), (0L, 0L), (2L, 2L)) :+ miss)
+          .toDF("a", "b"), "a", "b", p)
+        .as[(Long, Option[Long])].collect().head._2.get
+    val linGap = kw(1, (0L, 1L)) - kw(1, (0L, 2L))
+    val quadGap = kw(2, (0L, 1L)) - kw(2, (0L, 2L))
+    assert(quadGap > linGap,
+      s"quadratic must widen the far-miss gap: lin=$linGap quad=$quadGap")
+    intercept[IllegalArgumentException](
+      Agreement.weightedKappaPpm(df, "a", "b", power = 3))
+  }
+
+  test("specificAgreementPpm: hand PA/NA, one-sided NULL lanes") {
+    // a=3 d=2 discordant=1: PA = 6/7 → 857142, NA = 4/5 → 800000
+    val df = (Seq.fill(3)((true, true)) ++ Seq.fill(2)((false, false)) ++
+      Seq((true, false))).toDF("a", "b")
+    val r = Agreement.specificAgreementPpm(df, "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    assert(r == ((6L, 3L, 2L, 1L, Some(857142L), Some(800000L))),
+      s"got $r")
+    // both raters all-negative: PA undefined (no positive calls), NA = 1
+    val neg = Seq((false, false), (false, false)).toDF("a", "b")
+    val rn = Agreement.specificAgreementPpm(neg, "a", "b")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    assert(rn._5.isEmpty && rn._6.contains(1000000L), s"got $rn")
+  }
+
   // ------------------------------------------- partition agreement
   test("partitionAgreementPpm: identical, orthogonal, degenerate") {
     // identical partitions → ARI = 1, FM² = 1
