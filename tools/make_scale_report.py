@@ -77,6 +77,10 @@ def main(b01_path, b1_path, oracle_path, out_path, ov_path=None):
                    key=lambda n: int(n[1:].split("_")[0]))
     assert len(names) == len(v01) == len(v1), \
         f"axis mismatch: {len(names)} names, {len(v01)}/{len(v1)} values"
+    # fail loud on typo'd override keys — a misspelled key would leave a
+    # clamped entry unfixed with no signal otherwise
+    unknown = sorted(set(overrides) - set(names))
+    assert not unknown, f"override keys not in the gate axis: {unknown}"
     rows, n_super, n_watch = {}, [], []
     for name, a, b in zip(names, v01, v1):
         if a < 0 or b < 0:
@@ -84,6 +88,11 @@ def main(b01_path, b1_path, oracle_path, out_path, ov_path=None):
             continue
         src = None
         if name in overrides:
+            if b != 999:
+                print(f"WARNING: override for {name} but its bench "
+                      f"value is {b}, not the 999 clamp — overriding "
+                      "anyway (BenchOne re-measure takes precedence)",
+                      file=sys.stderr)
             b, src = int(overrides[name]), "benchone"
         elif b == 999:
             src = "CLAMPED-999 (re-measure with BenchOne)"
