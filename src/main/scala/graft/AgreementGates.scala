@@ -623,12 +623,15 @@ object AgreementGates {
         |          (1000000*cp) // pos AS tpr,
         |          (1000000*(cw - cp)) // (n - pos) AS fpr
         |        FROM c, tot WHERE pos > 0 AND n > pos)
-        |SELECT CAST(threshold AS BIGINT) AS threshold,
-        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
-        |  CAST(tpr AS BIGINT) AS tpr_ppm, CAST(fpr AS BIGINT) AS fpr_ppm,
-        |  CAST(tpr - fpr AS BIGINT) AS j_ppm
-        |FROM pts ORDER BY tpr - fpr DESC, threshold ASC LIMIT 1"""
-        .stripMargin,
+        |, best AS (SELECT threshold, tp, fp, tpr, fpr, tpr - fpr AS j
+        |           FROM pts ORDER BY tpr - fpr DESC, threshold ASC
+        |           LIMIT 1)
+        |SELECT CAST(max(threshold) AS BIGINT) AS threshold,
+        |  CAST(max(tp) AS BIGINT) AS tp, CAST(max(fp) AS BIGINT) AS fp,
+        |  CAST(max(tpr) AS BIGINT) AS tpr_ppm,
+        |  CAST(max(fpr) AS BIGINT) AS fpr_ppm,
+        |  CAST(max(j) AS BIGINT) AS j_ppm
+        |FROM best""".stripMargin,
     "q352_cluster_ari" ->
       """WITH v AS (
         |  SELECT vec_id, label,

@@ -472,15 +472,38 @@ object LlmDedupGates {
   // within-cluster pair product quadratic (occupancy grows with n),
   // while occupancy-pinned sizing turns the n·nlist centroid
   // assignment quadratic instead; √n balances both terms at n^1.5,
-  // the exact-SemDeDup floor. The LINEAR scale path is the banded
-  // q341 sibling. The count() is one metadata-sized job; the gate
-  // keeps the exact decimal kernel (deterministic = true) — production
-  // passes false for the fused double kernel, ~10× cheaper.
+  // the exact-SemDeDup floor. The LINEAR scale paths are the banded
+  // q341 sibling (approximate) and the LSH-routed constant-cluster
+  // q363 sibling (exact within clusters). The gate keeps the exact
+  // decimal kernel (deterministic = true) — production passes false
+  // for the fused double kernel, ~10× cheaper.
+  //
+  // LAZY BUILDER (round-11): nlist rides the plan as a broadcast
+  // 1-row frame — constructing this query runs ZERO Spark jobs (the
+  // q343 nFrame precedent). Centroids are the first-nlist-by-id rows
+  // (the iters=0 ivfCentroids init); under the fixture's dense-id
+  // contract (vec_id = 0..n-1 — guarded IN-PLAN with raise_error, the
+  // ksUniformPpm stance) rank-1 == vec_id, so the selection is the
+  // lazy filter vec_id < nlist.
   def q339_semantic_dedup(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val nlist = math.max(4L, math.sqrt(emb.count().toDouble).toLong).toInt
-    val cents = graft.llm.Similarity.ivfCentroids(
-      emb, "vec_id", "embedding", nlist, iters = 0)
+    val nl = emb.agg(
+        count(lit(1)).cast("long").as("__n"),
+        min(col("vec_id").cast("long")).as("__mn"),
+        max(col("vec_id").cast("long")).as("__mx"))
+      .select(
+        when(col("__mn") === 0L && col("__mx") === col("__n") - 1L,
+          greatest(lit(4L), floor(sqrt(col("__n"))).cast("long")))
+        .otherwise(raise_error(concat(
+          lit("q339 dense-id contract violated: min="),
+          col("__mn").cast("string"), lit(" max="),
+          col("__mx").cast("string"), lit(" n="),
+          col("__n").cast("string"))).cast("long"))
+        .as("__nl"))
+    val cents = emb.crossJoin(broadcast(nl))
+      .where(col("vec_id") < col("__nl"))
+      .select(col("vec_id").cast("int").as("cid"),
+        col("embedding").cast("array<double>").as("cv"))
     graft.llm.Dedup.semanticDedup(emb, "vec_id", "embedding",
         centroids = cents, centroidIdCol = "cid", centroidVecCol = "cv",
         minCosine = 0.25, deterministic = true)
@@ -488,27 +511,45 @@ object LlmDedupGates {
       .select(col("vec_id"), col("centroid_id"))
   }
 
-  // LSH-BANDED SEMANTIC DEDUP (llm/Dedup.semanticDedupLsh): q339's
-  // linear scale path — candidates from shared md5-parity sign-plane
-  // band buckets (the q84 banding, SQL-replayable), exact-cosine
-  // verify, keep-the-first. Approximate by design: pairs sharing no
-  // band are never scored. Band WIDTH scales with the corpus —
-  // smallest w in [4, 15] with 16·2^w ≥ n, the suggestLshBits rule in
-  // pure-integer form so the oracle picks the identical width without
-  // a cross-engine log2 — pinning bucket occupancy ≤ ~16 at every
-  // scale factor (fixed width is the quadratic footgun: occupancy
-  // grows with n).
-  def q341_semantic_dedup_lsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val n = emb.count()
-    val w = (4 to 15).find(w => 16L * (1L << w) >= n).getOrElse(15)
-    graft.llm.Dedup.semanticDedupLsh(emb, "vec_id", "embedding",
-      tau = 0.25, bits = w * 4, bands = 4, dims = 64)
-  }
+  // LSH-BANDED SEMANTIC DEDUP (llm/Dedup.semanticDedupLshScaled):
+  // q339's linear scale path — candidates from shared md5-parity
+  // sign-plane band buckets (the q84 banding, SQL-replayable),
+  // exact-cosine verify, keep-the-first. Approximate by design: pairs
+  // sharing no band are never scored. Band WIDTH scales with the
+  // corpus — smallest w in [4, 15] with 16·2^w ≥ n, the
+  // suggestLshBits rule in pure-integer form so the oracle picks the
+  // identical width without a cross-engine log2 — pinning bucket
+  // occupancy ≤ ~16 at every scale factor (fixed width is the
+  // quadratic footgun: occupancy grows with n). The width selection
+  // rides the plan (broadcast 1-row count frame, the oracle's own
+  // wsel CTE shape) — constructing this query runs ZERO Spark jobs.
+  def q341_semantic_dedup_lsh(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.semanticDedupLshScaled(
+      t(s, dir, "embeddings"), "vec_id", "embedding",
+      tau = 0.25, bands = 4, dims = 64)
+
+  // CONSTANT-CLUSTER SemDeDup (llm/Dedup.semanticDedupCc): the LINEAR
+  // EXACT-mode production sizing of q339 (round-11 verdict ask #3) —
+  // nlist ∝ n/k̄ keeps within-cluster pair cost O(n·k̄), and the flat
+  // n·nlist assignment (the sizing's quadratic term) is replaced by
+  // LSH-ROUTED assignment: md5-thinned centroids, band-bucket
+  // candidate routing at a width scaled to nlist, argmin over
+  // candidates only, deterministic md5 fallback buckets for vectors
+  // sharing no band with any centroid. Every stage O(n) at fixed k̄;
+  // the oracle replays thinning, banding, assignment, fallback, and
+  // the exact-decimal pair rule bit-for-bit. Zero build-time jobs —
+  // all sizing rides broadcast 1-row frames.
+  def q363_semantic_dedup_cc(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.semanticDedupCc(t(s, dir, "embeddings"), "vec_id",
+        "embedding", minCosine = 0.25, dims = 64,
+        targetClusterSize = 16, deterministic = true)
+      .where(col("keep") === 1)
+      .select(col("vec_id"), col("centroid_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q339_semantic_dedup" -> q339_semantic_dedup _,
     "q341_semantic_dedup_lsh" -> q341_semantic_dedup_lsh _,
+    "q363_semantic_dedup_cc" -> q363_semantic_dedup_cc _,
     "q156_snm_dedup" -> q156_snm_dedup _,
     "q159_sentence_dedup" -> q159_sentence_dedup _,
     "q152_dedup_ensemble" -> q152_dedup_ensemble _,
@@ -537,6 +578,74 @@ object LlmDedupGates {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q363_semantic_dedup_cc" ->
+      """WITH sz AS (
+        |  SELECT count(*) AS n,
+        |         greatest(1, count(*) // 16) AS nl
+        |  FROM embeddings),
+        |wsel AS (
+        |  SELECT coalesce(min(w), 15) AS wd
+        |  FROM (VALUES (4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15)) t(w),
+        |       sz
+        |  WHERE 16 * (1::BIGINT << w) >= sz.nl),
+        |v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, vv,
+        |    list_sum(list_transform(vv,
+        |      x -> CAST(x*x AS DECIMAL(38,15)))) AS vn
+        |  FROM v),
+        |sig AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0, 60), p ->
+        |    CASE WHEN list_sum(list_transform(range(1, len(vv)+1), i ->
+        |      CAST(vv[i] *
+        |        (CASE WHEN (('0x'||substring(md5('lsh:' || p || ':' || (i-1)),1,15))::BIGINT) % 2 = 0
+        |              THEN 1.0 ELSE -1.0 END) AS DECIMAL(38,15)))) >= 0
+        |         THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT) AS sg
+        |  FROM v),
+        |cent AS (
+        |  SELECT vec_id AS cid FROM v
+        |  WHERE (('0x'||substring(md5('cent:' || vec_id),1,15))::BIGINT) % 16 = 0),
+        |vkeys AS (SELECT vec_id, band,
+        |            (sg >> (band*wd)) & ((1::BIGINT << wd) - 1) AS key
+        |          FROM (SELECT vec_id, sg, wd,
+        |                  unnest(range(0,4)) AS band FROM sig, wsel)),
+        |ckeys AS (SELECT cid, band, key
+        |          FROM vkeys JOIN cent ON vkeys.vec_id = cent.cid),
+        |cand AS (SELECT DISTINCT vk.vec_id, ck.cid
+        |         FROM vkeys vk JOIN ckeys ck
+        |           ON vk.band = ck.band AND vk.key = ck.key),
+        |d AS (
+        |  SELECT cand.vec_id, cand.cid,
+        |    CAST(x.vn AS DOUBLE) + CAST(c.vn AS DOUBLE) -
+        |    2.0 * CAST(list_sum(list_transform(list_zip(x.vv, c.vv),
+        |      p -> CAST(p[1]*p[2] AS DECIMAL(38,15)))) AS DOUBLE) AS dist2
+        |  FROM cand JOIN n x ON x.vec_id = cand.vec_id
+        |            JOIN n c ON c.vec_id = cand.cid),
+        |a1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |    FROM d) WHERE rn = 1),
+        |fb AS (
+        |  SELECT n.vec_id,
+        |    -1 - ((('0x'||substring(md5('fb:' || n.vec_id),1,15))::BIGINT) % sz.nl) AS cid
+        |  FROM n, sz
+        |  WHERE n.vec_id NOT IN (SELECT vec_id FROM a1)),
+        |a AS (SELECT * FROM a1 UNION ALL SELECT * FROM fb),
+        |m AS (SELECT a.vec_id, a.cid, n.vv, n.vn
+        |      FROM a JOIN n USING (vec_id)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM m x JOIN m b ON x.cid = b.cid AND x.vec_id < b.vec_id
+        |  WHERE CAST(list_sum(list_transform(list_zip(x.vv, b.vv),
+        |      p -> CAST(p[1]*p[2] AS DECIMAL(38,15)))) AS DOUBLE)
+        |    / sqrt(CAST(x.vn AS DOUBLE) * CAST(b.vn AS DOUBLE)) >= 0.25)
+        |SELECT m.vec_id, CAST(m.cid AS BIGINT) AS centroid_id
+        |FROM m LEFT JOIN dropped ON dropped.vec_id = m.vec_id
+        |WHERE dropped.vec_id IS NULL""".stripMargin,
     "q341_semantic_dedup_lsh" ->
       """WITH wsel AS (
         |  SELECT coalesce(min(w), 15) AS wd

@@ -1362,6 +1362,21 @@ object Dedup {
     val assigned = Similarity.assignToCentroids(emb, centroids,
         idCol, vecCol, centroidIdCol, centroidVecCol)
       .select(col("vec_id"), col("centroid_id"))
+    clusterPairKeep(assigned, emb, idCol, vecCol, minCosine,
+      deterministic, maxClusterSize)
+  }
+
+  /** Shared within-cluster pair phase of the SemDeDup family: join
+    * vectors back onto `assigned(vec_id, centroid_id)`, cap clusters
+    * at `maxClusterSize` (oversized clusters are EXCLUDED from
+    * pairing — documented semantics, never a silent quadratic), score
+    * same-cluster (id_a < id_b) pairs, drop the higher id of any pair
+    * clearing `minCosine`. Pair cost is Σ|cluster|² — bounded by the
+    * caller's cluster sizing. */
+  private def clusterPairKeep(assigned: DataFrame, emb: DataFrame,
+                              idCol: String, vecCol: String,
+                              minCosine: Double, deterministic: Boolean,
+                              maxClusterSize: Int): DataFrame = {
     val withVec = assigned.join(
       emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v")),
       Seq("vec_id"))
@@ -1416,11 +1431,23 @@ object Dedup {
                        idCol: String, vecCol: String,
                        minCosine: Double,
                        deterministic: Boolean = false,
-                       maxTestRows: Long = 1000000): DataFrame = {
-    val testN = test.count() // eager by design: broadcast ADMISSION is a
-    require(testN <= maxTestRows, // driver decision, like the BPE loop
+                       maxTestRows: Long = 100000,
+                       maxTestCells: Long = 64000000L): DataFrame = {
+    // eager by design: broadcast ADMISSION is a driver decision, like
+    // the BPE loop. Guard by rows AND by total cells (rows × dims) —
+    // the whole test set rides as ONE array row, so what actually has
+    // to fit under Spark's 2 GB row/broadcast ceiling is rows×dims
+    // floats, not the row count. 64M cells ≈ 0.5 GB of packed floats.
+    val adm = test.agg(count(lit(1)).cast("long"),
+      coalesce(sum(size(col(vecCol))), lit(0L)).cast("long")).head()
+    val (testN, testCells) = (adm.getLong(0), adm.getLong(1))
+    require(testN <= maxTestRows,
       s"test side has $testN rows > maxTestRows=$maxTestRows — too " +
         "large to broadcast; band both sides (semanticDedupLsh) instead")
+    require(testCells <= maxTestCells,
+      s"test side has $testCells cells (rows × dims) > maxTestCells=" +
+        s"$maxTestCells — the single-row broadcast would exceed the " +
+        "design point; band both sides (semanticDedupLsh) instead")
     val c = corpus.select(col(idCol).as("__id"), col(vecCol).as("__cv"))
       .withColumn("__cn", Similarity.norm2Decimal(col("__cv")))
     // the whole test set rides as ONE array row — the corpus pass is
@@ -1603,7 +1630,18 @@ object Dedup {
     * Σ|cluster|², bounded by sizing nlist ∝ corpus/target-occupancy
     * exactly as SemDeDup prescribes (vectors ride that join once;
     * ids-only would re-join them back for the cosine anyway). One
-    * distinct on dropped ids, one anti join. */
+    * distinct on dropped ids, one anti join.
+    *
+    * SIZING RULE (pinned): total cost = n·nlist (flat assignment) +
+    * n·k̄ (pairs, k̄ = n/nlist). The q339 GATE pins nlist = √n — the
+    * balanced point of those two terms, n^1.5 by construction, chosen
+    * for oracle replayability. PRODUCTION sizing is constant cluster
+    * size, nlist = n/targetClusterSize, which makes the pair term
+    * linear — and since flat assignment is then the quadratic term,
+    * use [[semanticDedupCc]] (LSH-routed assignment, O(n) end to end
+    * at fixed k̄) for exact-mode dedup at scale, or
+    * [[semanticDedupLshScaled]] when banded candidate generation
+    * (approximate pair coverage) is acceptable. */
   /** LSH-banded semantic dedup — the LINEAR scale path of
     * [[semanticDedup]] (the exact cluster form pays n^1.5 at its
     * balanced √n-centroids sizing; banding keeps cost ∝ bucket
@@ -1627,10 +1665,9 @@ object Dedup {
     require(tau > 0.0 && tau < 1.0, s"tau must be in (0, 1), got $tau")
     require(bits >= 1 && bands >= 1 && bits % bands == 0,
       s"bits=$bits must split into bands=$bands equal keys")
-    // both frames feed MULTIPLE joins (keys: the two self-join sides;
-    // v: both verify sides + the survivor base) — pin them so the
-    // md5-plane signature and the decimal norms each run over the
-    // corpus exactly once (the lshBucketPairs persist discipline)
+    // keys feed the two self-join sides — pin them so the md5-plane
+    // signature runs over the corpus exactly once (the lshBucketPairs
+    // persist discipline)
     val keys = df.select(col(idCol).cast("long").as("vec_id"),
         explode(Similarity.bandKeys(
           Similarity.lshSignatureMd5(col(vecCol), bits, dims),
@@ -1638,6 +1675,67 @@ object Dedup {
       .select(col("vec_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshVerifyKeep(df, idCol, vecCol, keys, tau)
+  }
+
+  /** [[semanticDedupLsh]] with the band width derived INSIDE the plan:
+    * the corpus-scaled sizing rule (smallest w in [minW, maxW] with
+    * occupancy·2^w ≥ n — the integer [[Similarity.suggestLshBits]]
+    * form) is evaluated from a broadcast 1-row count frame instead of
+    * an eager driver-side `count()`, so CONSTRUCTING the query runs
+    * zero Spark jobs (the lazy-builder contract; the q343 nFrame
+    * precedent — an eager count at build time is the same violation
+    * the ksUniformPpm raise_error rework removed).
+    *
+    * Mechanics: the signature is computed ONCE at FULL width
+    * (maxW·bands md5 planes). Bit p of the plane signature does not
+    * depend on the total width, so the full signature's low w·bands
+    * bits equal [[Similarity.lshSignatureMd5]] at width w·bands
+    * exactly; band b's key is then extracted at the RUNTIME width with
+    * shift/mask against the broadcast `__w` column — bit range
+    * [b·w, (b+1)·w), the same layout as [[Similarity.bandKeys]]. The
+    * constant-factor cost is maxW·bands planes per vector regardless
+    * of n; at scale (w → maxW) the overhead vanishes, and at toy n the
+    * ~3× signature work is irrelevant.
+    *
+    * Output and semantics otherwise identical to [[semanticDedupLsh]]
+    * at bits = 4·w_selected. */
+  def semanticDedupLshScaled(df: DataFrame, idCol: String,
+                             vecCol: String, tau: Double, bands: Int,
+                             dims: Int, minW: Int = 4, maxW: Int = 15,
+                             occupancy: Int = 16): DataFrame = {
+    require(tau > 0.0 && tau < 1.0, s"tau must be in (0, 1), got $tau")
+    require(bands >= 1 && minW >= 1 && maxW >= minW &&
+        maxW * bands <= 63 && occupancy >= 1,
+      s"bands=$bands width range [$minW,$maxW] must fit one long " +
+        s"(maxW*bands <= 63); occupancy=$occupancy must be >= 1")
+    val wFrame = df.agg(count(lit(1)).cast("long").as("__n"))
+      .selectExpr(
+        s"coalesce(element_at(filter(sequence($minW, $maxW), " +
+          s"w -> $occupancy * shiftleft(CAST(1 AS BIGINT), w) >= __n)" +
+          s", 1), $maxW) AS __w")
+    val sigFull = Similarity.lshSignatureMd5(col(vecCol),
+      maxW * bands, dims)
+    val keys = df.crossJoin(broadcast(wFrame))
+      .select(col(idCol).cast("long").as("vec_id"),
+        sigFull.as("__sig"), col("__w"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
+          "'band', b, 'key', shiftright(__sig, b * __w) & " +
+          "(shiftleft(CAST(1 AS BIGINT), __w) - 1)))")).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lshVerifyKeep(df, idCol, vecCol, keys, tau)
+  }
+
+  /** Shared verify tail of the LSH dedup family: band-bucket candidate
+    * self-join on `keys(vec_id, band, key)`, exact decimal cosine
+    * verify, keep-the-first anti join. `v` persists because it feeds
+    * both verify sides plus the survivor base. */
+  private def lshVerifyKeep(df: DataFrame, idCol: String,
+                            vecCol: String, keys: DataFrame,
+                            tau: Double): DataFrame = {
     val cand = keys.as("a").join(keys.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -1656,5 +1754,126 @@ object Dedup {
         col("an"), col("bn")) >= tau)
       .select(col("b_id").as("vec_id")).distinct()
     v.select(col("vec_id")).join(dropped, Seq("vec_id"), "left_anti")
+  }
+
+  /** CONSTANT-CLUSTER-SIZE SemDeDup — the LINEAR EXACT-mode production
+    * sizing of [[semanticDedup]] (round-11 verdict ask #3). The exact
+    * cluster form's cost is (assignment = n·nlist) + (pairs =
+    * Σ|cluster|² ≈ n·k̄ where k̄ = n/nlist): the √n-centroid gate
+    * sizing balances the two terms at n^1.5, while the production
+    * answer is nlist ∝ n/targetClusterSize — pair cost O(n·k̄), with
+    * the flat n·nlist assignment scan (the new quadratic term) replaced
+    * by LSH-ROUTED assignment: centroids are banded with the q341
+    * sign-plane machinery at a width scaled to nlist (occupancy·2^w ≥
+    * nlist), each vector scores only centroids sharing a band bucket —
+    * O(bands·occupancy) candidates per vector — and takes the argmin
+    * over those. Every stage is O(n) at fixed k̄.
+    *
+    * Deterministic construction, no driver-side state, ZERO build-time
+    * jobs (all sizing rides broadcast 1-row frames):
+    *  - centroids = md5-thinned rows (hash("cent:"||id) % k̄ == 0) —
+    *    expected n/k̄ of them, no rank, any id space;
+    *  - assignment = argmin dist² over band-bucket candidate
+    *    centroids, ties to the smallest centroid id;
+    *  - vectors whose buckets hold NO centroid take a deterministic
+    *    md5 fallback bucket (−1 − hash("fb:"||id) % nlist — expected
+    *    size k̄, so the pair bound survives the fallback path);
+    *  - within-cluster pairs: exactly [[semanticDedup]]'s phase,
+    *    `maxClusterSize` cap included.
+    *
+    * Approximation vs the flat argmin: a vector may miss its true
+    * nearest centroid when they share no band — it lands in a
+    * near-nearest cluster instead; pairs within every cluster are
+    * still scored EXACTLY (the SemDeDup drop rule is unchanged, only
+    * the partition differs — same trade [[semanticDedupLsh]] makes
+    * for candidate generation).
+    *
+    * `deterministic = true` runs the pair cosine on the exact decimal
+    * kernel (the gate form — DuckDB replays thinning, banding,
+    * assignment, and pairs bit-for-bit); production passes false for
+    * the fused double kernel.
+    *
+    * Output: one row per vector (vec_id, centroid_id, keep) —
+    * centroid_id is the WINNING CENTROID'S OWN vec_id (≥ 0) or a
+    * negative fallback bucket. */
+  def semanticDedupCc(emb: DataFrame, idCol: String, vecCol: String,
+                      minCosine: Double, dims: Int,
+                      targetClusterSize: Int = 16, bands: Int = 4,
+                      minW: Int = 4, maxW: Int = 15, occupancy: Int = 16,
+                      deterministic: Boolean = false,
+                      maxClusterSize: Int = 100000): DataFrame = {
+    require(minCosine > 0.0 && minCosine < 1.0,
+      s"minCosine must be in (0, 1), got $minCosine")
+    require(targetClusterSize >= 2,
+      s"targetClusterSize must be >= 2, got $targetClusterSize")
+    require(bands >= 1 && minW >= 1 && maxW >= minW &&
+        maxW * bands <= 63 && occupancy >= 1,
+      s"bands=$bands width range [$minW,$maxW] must fit one long " +
+        s"(maxW*bands <= 63); occupancy=$occupancy must be >= 1")
+    val k = targetClusterSize
+    // sizing rides the plan: nlist = max(1, n div k̄), band width =
+    // smallest w in [minW, maxW] with occupancy·2^w >= nlist
+    val szFrame = emb.agg(count(lit(1)).cast("long").as("__n"))
+      .selectExpr(s"greatest(CAST(1 AS BIGINT), __n div $k) AS __nl")
+      .selectExpr("__nl",
+        s"coalesce(element_at(filter(sequence($minW, $maxW), " +
+          s"w -> $occupancy * shiftleft(CAST(1 AS BIGINT), w) >= __nl)" +
+          s", 1), $maxW) AS __w")
+    // v feeds vector keys + candidate scoring + the fallback path
+    val v = emb.crossJoin(broadcast(szFrame))
+      .select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<double>").as("vv"),
+        col("__nl"), col("__w"))
+      .withColumn("vn", Similarity.norm2Decimal(col("vv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = v.where(pmod(TextAnalysis.md5Hash60(
+        concat(lit("cent:"), col("vec_id").cast("string"))),
+        lit(k.toLong)) === 0L)
+      .select(col("vec_id").as("cid"), col("vv").as("cv"),
+        col("vn").as("cn"), col("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigExpr = (vcol: String) => Similarity
+      .lshSignatureMd5(col(vcol), maxW * bands, dims).as("__sig")
+    val bandKeysExpr = expr(
+      s"transform(sequence(0, ${bands - 1}), b -> named_struct(" +
+        "'band', b, 'key', shiftright(__sig, b * __w) & " +
+        "(shiftleft(CAST(1 AS BIGINT), __w) - 1)))")
+    val vKeys = v.select(col("vec_id"), sigExpr("vv"), col("__w"))
+      .select(col("vec_id"), explode(bandKeysExpr).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cKeys = cents.select(col("cid"), sigExpr("cv"), col("__w"))
+      .select(col("cid"), explode(bandKeysExpr).as("bk"))
+      .select(col("cid"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cand = vKeys.join(cKeys, Seq("band", "key"))
+      .select(col("vec_id"), col("cid")).distinct()
+    // argmin dist² over the candidate centroids (exact decimal dot
+    // cast to double — the q339 oracle 'd'-CTE recipe), ties to the
+    // smallest centroid id
+    // NOTE: cents is n/k̄ rows — corpus-sized, so no broadcast hint
+    // here (AQE promotes the join to broadcast when it actually fits)
+    val scored = cand
+      .join(v.select(col("vec_id"), col("vv"), col("vn")), Seq("vec_id"))
+      .join(cents.select(col("cid"), col("cv"), col("cn")), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        (col("vn").cast("double") + col("cn").cast("double") -
+          lit(2.0) * Similarity.dotDecimal(col("vv"), col("cv"))
+            .cast("double")).as("dist2"))
+    val assignedReal = scored.groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("centroid_id"))
+    val fallback = v.select(col("vec_id"), col("__nl"))
+      .join(assignedReal.select(col("vec_id")), Seq("vec_id"),
+        "left_anti")
+      .select(col("vec_id"),
+        (lit(-1L) - pmod(TextAnalysis.md5Hash60(
+          concat(lit("fb:"), col("vec_id").cast("string"))),
+          col("__nl"))).as("centroid_id"))
+    val assigned = assignedReal.select(col("vec_id"),
+        col("centroid_id").cast("long").as("centroid_id"))
+      .unionByName(fallback)
+    clusterPairKeep(assigned, emb, idCol, vecCol, minCosine,
+      deterministic, maxClusterSize)
   }
 }

@@ -434,6 +434,12 @@ class AgreementSpec extends SparkTestBase {
       graft.llm.Dedup.semanticDecontam(corpus, corpus, "vec_id",
         "embedding", minCosine = 0.5, maxTestRows = 2)
     }
+    // and the rows × dims (cells) ceiling binds independently of rows:
+    // 3 rows × 2 dims = 6 cells > 5
+    intercept[IllegalArgumentException] {
+      graft.llm.Dedup.semanticDecontam(corpus, corpus, "vec_id",
+        "embedding", minCosine = 0.5, maxTestCells = 5)
+    }
   }
 
   test("semanticDecontam plan: test side broadcast, corpus never hash-shuffled") {
