@@ -23,7 +23,7 @@ object AgreementGates {
     * drop rules, q345): a value-bucket rule, an id-parity rule, and a
     * user-mix rule — three rules that genuinely disagree, so the
     * chance-corrected statistics have something to correct. */
-  private def eventRatings(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventRatings(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events").where(col("value").isNotNull)
       .select(col("event_id"), col("user_id"),
         floor(col("value") * 100).cast("long").as("cents"))

@@ -50,8 +50,36 @@ object PipelineTasks {
                            queryFilter: String, k: Int, out: String)
       extends PipelineOp { val name = "ann_topk" }
 
+  /** Inter-rater agreement statistic over a ratings table — the
+    * round-11 ask: every analytic invocable over HTTP with audit rows
+    * (the reference's POST /calc precedent, `server/WServer.scala:
+    * 124-133`). `method` selects the [[graft.ops.Agreement]] entry
+    * point; (colA, colB) are method-specific — (itemCol, catCol) for
+    * the multi-rater family, (rater-A labels, rater-B labels) for the
+    * pairwise family. `raters` only binds for fleiss_kappa/gwet_ac1. */
+  final case class AgreementOp(table: String, method: String,
+                               colA: String, colB: String, raters: Int,
+                               out: String)
+      extends PipelineOp { val name = s"agreement_$method" }
+
+  /** Classifier-eval statistic ([[graft.ops.Stats]] /
+    * [[graft.ops.RankTests]]) over a (pred-ish, label-ish) column
+    * pair: mcc (pred, label), youden (score, label), cohens_d (flag,
+    * value), cliffs_delta (flag, value). */
+  final case class EvalOp(table: String, method: String,
+                          colA: String, colB: String, out: String)
+      extends PipelineOp { val name = s"eval_$method" }
+
   final case class InvalidPipelineOp(msg: String)
       extends RuntimeException(msg)
+
+  /** Admission-time whitelists (the shell 400s an unknown method at
+    * POST time instead of letting the background run die). */
+  val agreementMethods: Set[String] = Set("fleiss_kappa", "gwet_ac1",
+    "krippendorff", "weighted_kappa", "quadratic_kappa",
+    "partition_agreement", "gk_lambda", "specific_agreement")
+  val evalMethods: Set[String] =
+    Set("mcc", "youden", "cohens_d", "cliffs_delta")
 
   private def transform(op: PipelineOp, in: DataFrame): DataFrame =
     op match {
@@ -66,24 +94,68 @@ object PipelineTasks {
       case a: AnnTopK =>
         Similarity.topK(in.where(a.queryFilter), in, a.idCol, a.vecCol,
           a.k)
+      case ag: AgreementOp =>
+        import graft.ops.Agreement
+        ag.method match {
+          case "fleiss_kappa" =>
+            Agreement.fleissKappaPpm(in, ag.colA, ag.colB, ag.raters)
+          case "gwet_ac1" =>
+            Agreement.gwetAc1Ppm(in, ag.colA, ag.colB, ag.raters)
+          case "krippendorff" =>
+            Agreement.krippendorffAlphaPpm(in, ag.colA, ag.colB)
+          case "weighted_kappa" =>
+            Agreement.weightedKappaPpm(in, ag.colA, ag.colB)
+          case "quadratic_kappa" =>
+            Agreement.weightedKappaPpm(in, ag.colA, ag.colB, power = 2)
+          case "partition_agreement" =>
+            Agreement.partitionAgreementPpm(in, ag.colA, ag.colB)
+          case "gk_lambda" =>
+            Agreement.gkLambdaPpm(in, ag.colA, ag.colB)
+          case "specific_agreement" =>
+            Agreement.specificAgreementPpm(in, ag.colA, ag.colB)
+          case other =>
+            throw InvalidPipelineOp(s"unknown agreement method $other")
+        }
+      case ev: EvalOp =>
+        ev.method match {
+          case "mcc" =>
+            graft.ops.Stats.matthewsCorrPpm(in, ev.colA, ev.colB)
+          case "youden" =>
+            graft.ops.Stats.youdenOptimalPpm(in, ev.colA, ev.colB)
+          case "cohens_d" =>
+            graft.ops.Stats.cohensD2Milli(in, ev.colA, ev.colB)
+          case "cliffs_delta" =>
+            graft.ops.RankTests.cliffsDeltaPpm(in, ev.colA, ev.colB)
+          case other =>
+            throw InvalidPipelineOp(s"unknown eval method $other")
+        }
     }
 
   /** Run the ops SEQUENTIALLY (each may read a predecessor's `out`
     * through the resolver — the calc order_by precedent, C1/O2),
-    * auditing begin/finished/error per op. Returns (out table, rows)
-    * per completed op; the first failure records its error row and
-    * rethrows — partial pipelines must read as breakage in the audit
-    * trail, never as silent truncation. */
+    * auditing the reference's query-log LIFECYCLE per op: begin →
+    * calculation (plan built) → copying (writing the result table) →
+    * finished_<op> — the `ora_to_ch_query_log` state machine
+    * (`ora/jdbcSession.scala:40-197`: updateStateCalcQueryLog walks
+    * 'calculation' / 'copying' before `saveEndCalculation`) applied to
+    * curation/analytic ops. Returns (out table, rows) per completed
+    * op; the first failure records its error row and rethrows —
+    * partial pipelines must read as breakage in the audit trail,
+    * never as silent truncation. */
   def run(store: TableStore, audit: AuditSink, taskId: Long,
           ops: Seq[PipelineOp],
           resolve: String => DataFrame): Seq[(String, Long)] = {
     require(ops.nonEmpty, "empty pipeline")
+    def state(op: PipelineOp, status: String): Unit =
+      audit.tableEvent(TableAudit(taskId, op.out, op.name, status,
+        0L, 0L, None, java.time.Instant.now()))
     ops.map { op =>
       val t0 = System.nanoTime()
-      audit.tableEvent(TableAudit(taskId, op.out, op.name, "begin",
-        0L, 0L, None, java.time.Instant.now()))
+      state(op, "begin")
       try {
         val result = transform(op, resolve(op.table))
+        state(op, "calculation")
+        state(op, "copying")
         store.overwrite(op.out, result)
         val rows = store.read(op.out).count()
         val secs = math.max(1e-9, (System.nanoTime() - t0) / 1e9)

@@ -204,10 +204,15 @@ final class WebShell(
     * "id_col":c,"text_col":c,"out":o} | {"op":"quality_filter",
     * "table":t,"text_col":c,"out":o,"min_words":N} | {"op":"ann_topk",
     * "table":t,"id_col":c,"vec_col":c,"query_filter":sql,"k":N,
-    * "out":o}]}` — fire-and-forget with an immediate taskid (the /task
-    * admission contract applied to curation ops); audit rows per op
-    * surface through GET /status. Ops run sequentially and may read a
-    * predecessor's `out` (resolver checks the store first). */
+    * "out":o} | {"op":"agreement","method":m,"table":t,"col_a":c,
+    * "col_b":c,"raters":N,"out":o} | {"op":"eval","method":m,
+    * "table":t,"col_a":c,"col_b":c,"out":o}]}` — fire-and-forget with
+    * an immediate taskid (the /task admission contract applied to
+    * curation/analytic ops); per-op audit rows walk the reference's
+    * query-log lifecycle (begin → calculation → copying →
+    * finished_<op>) and surface through GET /status. Ops run
+    * sequentially and may read a predecessor's `out` (resolver checks
+    * the store first). Unknown ops/methods 400 at admission. */
   private def handlePipeline(ex: HttpExchange): (Int, String) = {
     require(ex.getRequestMethod == "POST", "POST only")
     import graft.llm.PipelineTasks
@@ -227,6 +232,18 @@ final class WebShell(
         case "ann_topk" => AnnTopK(req(on, "table"), req(on, "id_col"),
           req(on, "vec_col"), req(on, "query_filter"),
           on.path("k").asInt(10), req(on, "out"))
+        case "agreement" =>
+          val m = req(on, "method")
+          if (!PipelineTasks.agreementMethods(m))
+            throw InvalidTableSpec(s"unknown agreement method $m")
+          AgreementOp(req(on, "table"), m, req(on, "col_a"),
+            req(on, "col_b"), on.path("raters").asInt(2), req(on, "out"))
+        case "eval" =>
+          val m = req(on, "method")
+          if (!PipelineTasks.evalMethods(m))
+            throw InvalidTableSpec(s"unknown eval method $m")
+          EvalOp(req(on, "table"), m, req(on, "col_a"),
+            req(on, "col_b"), req(on, "out"))
         case other => throw InvalidTableSpec(s"unknown pipeline op $other")
       }
     }.toSeq

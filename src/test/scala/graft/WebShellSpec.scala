@@ -218,4 +218,87 @@ class WebShellSpec extends SparkTestBase {
         bad.body().contains("unknown pipeline op"))
     } finally shell.stop()
   }
+
+  test("POST /pipeline agreement/eval ops: byte-identical to the " +
+       "q344/q348 gates, query-log lifecycle audit rows, 409 lane") {
+    val dir = sf("sf0.01")
+    val store = new ParquetTableStore(spark, tmpDir("web-agree"))
+    val audit = new graft.audit.InMemoryAuditSink
+    val runner = new TaskRunner(spark, new SyncEngine(store), audit)
+    // q348's exact input frame (the rule-A classifier vs the purchase
+    // label) and q344's exact rating frame, served as REST sources
+    import org.apache.spark.sql.functions.{col, floor}
+    val mccInput = CoreQueries.tRead(spark, dir, "events")
+      .where(col("value").isNotNull && col("event_type").isNotNull)
+      .select(
+        (floor(col("value") * 100).cast("long") >= 3500L).as("pred"),
+        (col("event_type") === "purchase").as("label"))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    @volatile var slowArmed = false
+    val shell = new WebShell(runner, new CalcEngine(spark, store), audit,
+      sources = {
+        case "ratings" => AgreementGates.eventRatings(spark, dir)
+        case "preds"   => mccInput
+        case "slow"    => if (slowArmed) gate.await(); mccInput
+        case other     => sys.error(s"unknown source $other")
+      },
+      pipelineStore = Some(store), port = 0).start()
+    try {
+      val r = post(shell.boundPort, "/pipeline",
+        """{"ops":[
+          |{"op":"agreement","method":"fleiss_kappa","table":"ratings",
+          | "col_a":"item","col_b":"cat","raters":3,"out":"p.fleiss"},
+          |{"op":"eval","method":"mcc","table":"preds",
+          | "col_a":"pred","col_b":"label","out":"p.mcc"}]}""".stripMargin)
+      assert(r.statusCode() == 200 && r.body().matches("""\{"taskid":\d+\}"""),
+        s"got ${r.statusCode()} ${r.body()}")
+      val deadline = System.nanoTime() + 120_000_000_000L
+      while (!audit.taskEvents.exists(e =>
+               e.status == "finished_pipeline" || e.status == "error") &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      assert(audit.taskEvents.exists(_.status == "finished_pipeline"),
+        s"pipeline did not finish: ${audit.taskEvents}")
+      // BYTE-IDENTICAL to the gates: same operator, same input — the
+      // REST surface must not be a weaker sibling of the gate surface
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSeq
+      assert(rows(store.read("p.fleiss")) ==
+        rows(SparkEntry.queries("q344_fleiss_kappa")(spark, dir)),
+        "REST fleiss output diverged from the q344 gate")
+      assert(rows(store.read("p.mcc")) ==
+        rows(SparkEntry.queries("q348_mcc")(spark, dir)),
+        "REST mcc output diverged from the q348 gate")
+      // the reference's query-log lifecycle per op, in order
+      // (ora/jdbcSession.scala:40-197): begin -> calculation ->
+      // copying -> finished_<op>
+      for (op <- Seq("agreement_fleiss_kappa", "eval_mcc")) {
+        val states = audit.events
+          .filter(e => e.operation == op).map(_.status)
+        assert(states.startsWith(
+          Seq("begin", "calculation", "copying")) &&
+          states.lastOption.contains(s"finished_$op"),
+          s"$op lifecycle was $states")
+      }
+      // 409 single-flight on the pipeline lane while an op is running
+      slowArmed = true
+      val slow = post(shell.boundPort, "/pipeline",
+        """{"ops":[{"op":"eval","method":"mcc","table":"slow",
+          | "col_a":"pred","col_b":"label","out":"p.slow"}]}""".stripMargin)
+      assert(slow.statusCode() == 200, s"got ${slow.statusCode()}")
+      val rej = post(shell.boundPort, "/pipeline",
+        """{"ops":[{"op":"eval","method":"mcc","table":"preds",
+          | "col_a":"pred","col_b":"label","out":"p.rej"}]}""".stripMargin)
+      assert(rej.statusCode() == 409 &&
+        rej.body().contains("pipeline rejected"),
+        s"got ${rej.statusCode()} ${rej.body()}")
+      gate.countDown()
+      // unknown method -> 400 at admission
+      val badm = post(shell.boundPort, "/pipeline",
+        """{"ops":[{"op":"agreement","method":"nope","table":"ratings",
+          | "col_a":"item","col_b":"cat","out":"x"}]}""".stripMargin)
+      assert(badm.statusCode() == 400 &&
+        badm.body().contains("unknown agreement method"),
+        s"got ${badm.statusCode()} ${badm.body()}")
+    } finally { gate.countDown(); shell.stop() }
+  }
 }
