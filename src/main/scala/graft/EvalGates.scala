@@ -687,7 +687,31 @@ object EvalGates {
       "rnk", k = 20)
   }
 
+  // GROUP-SEQUENTIAL OBF BOUNDARIES (ops/Stats.groupSequentialObfMilli):
+  // five interim looks over the event horizon — arm = user_id parity,
+  // hit = purchase, look = the day index binned into fifths of the
+  // observed [min_day, max_day] span via a broadcast 1-row frame
+  // (lazy, the q343 nFrame shape). The exact integer z² schedule is
+  // compared against the one-constant OBF boundary 4162·K div k
+  // (1000·2.04², the published C_B(5, 0.05) table value) — the
+  // sequential-monitoring piece missing from the fixed-horizon A/B
+  // battery (q316, q328–q331).
+  def q364_group_sequential(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(expr(s"ts div ${dayUs}L").as("day"),
+        (col("user_id") % 2 === 0).as("arm"),
+        (col("event_type") === "purchase").cast("long").as("hit"))
+    val mm = e.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val binned = e.crossJoin(broadcast(mm))
+      .select(expr("1L + ((day - __d0) * 5) div (__d1 - __d0 + 1)")
+        .as("look"), col("arm"), col("hit"))
+    graft.ops.Stats.groupSequentialObfMilli(binned, "look", "arm",
+      "hit", looks = 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q364_group_sequential" -> q364_group_sequential _,
     "q340_rbo"             -> q340_rbo _,
     "q337_hierarchy_dag"   -> q337_hierarchy_dag _,
     "q287_brier"           -> q287_brier _,
@@ -753,6 +777,46 @@ object EvalGates {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q364_group_sequential" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts)//86400000000 AS day,
+        |         (user_id % 2 = 0) AS arm,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |b AS (SELECT 1 + ((e.day - mm.d0) * 5) // (mm.d1 - mm.d0 + 1)
+        |        AS look, arm, hit
+        |      FROM e, mm),
+        |per AS (SELECT look,
+        |          sum(CASE WHEN arm THEN 1 ELSE 0 END) AS na_k,
+        |          sum(CASE WHEN arm THEN 0 ELSE 1 END) AS nb_k,
+        |          sum(CASE WHEN arm THEN hit ELSE 0 END) AS xa_k,
+        |          sum(CASE WHEN arm THEN 0 ELSE hit END) AS xb_k
+        |        FROM b WHERE look BETWEEN 1 AND 5 GROUP BY 1),
+        |cum AS (SELECT a.look,
+        |          sum(b.na_k) AS na, sum(b.nb_k) AS nb,
+        |          sum(b.xa_k) AS xa, sum(b.xb_k) AS xb
+        |        FROM per a JOIN per b ON b.look <= a.look GROUP BY 1),
+        |z AS (SELECT look, na, nb, xa, xb,
+        |        (4162 * 5) // look AS bound2,
+        |        CASE WHEN na = 0 OR nb = 0 OR xa + xb = 0
+        |               OR xa + xb = na + nb THEN NULL
+        |          ELSE (1000 * (CAST(xa AS HUGEINT)*nb - CAST(xb AS HUGEINT)*na)
+        |                     * (CAST(xa AS HUGEINT)*nb - CAST(xb AS HUGEINT)*na)
+        |                     * (na + nb))
+        |            // (CAST(na AS HUGEINT) * nb * (xa + xb)
+        |                * (na + nb - xa - xb))
+        |        END AS z2
+        |      FROM cum)
+        |SELECT CAST(look AS BIGINT) AS look,
+        |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(xa AS BIGINT) AS xa, CAST(xb AS BIGINT) AS xb,
+        |  CAST(bound2 AS BIGINT) AS bound2_milli,
+        |  CAST(z2 AS BIGINT) AS z2_milli,
+        |  CAST(CASE WHEN z2 IS NOT NULL AND z2 >= bound2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS crossed
+        |FROM z""".stripMargin,
     "q340_rbo" ->
       s"""WITH norm AS (
         |  SELECT vec_id, embedding,

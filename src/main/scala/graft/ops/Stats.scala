@@ -3443,4 +3443,80 @@ object Stats {
               |AS BIGINT)""".stripMargin.replace("\n", " ")))
           .as("mcc2_ppm"))
   }
+
+  /** GROUP-SEQUENTIAL A/B boundaries — O'Brien–Fleming (round-11
+    * verdict ask #7): the missing piece for sequential monitoring on
+    * event streams next to the fixed-horizon battery (q316,
+    * q328–q331). At each of `looks` interim analyses the cumulative
+    * two-proportion z² is compared against the OBF boundary; OBF's
+    * z-boundary is z_k = C·√(K/k), so the z² boundary is EXACTLY
+    * z²_final·K/k — one pinned integer constant (`zFinal2Milli`,
+    * default 4162 = 1000·2.04², the published O'Brien–Fleming
+    * C_B(K=5, α=0.05 two-sided) critical constant; pass the table
+    * value for other (K, α)) and a pure-integer div schedule both
+    * engines replay, never a cross-engine normal quantile.
+    *
+    * Pooled two-proportion z² in one exact integer ratio:
+    *   z² = (x_a·n_b − x_b·n_a)²·n / (n_a·n_b·x·(n−x)),  x = x_a+x_b
+    * (the algebraic collapse of (p̂_a−p̂_b)²/(p̂(1−p̂)(1/n_a+1/n_b))),
+    * reported as z2_milli = (1000·num) div den in DECIMAL(38,0) lanes
+    * — exact for per-look cumulative n up to ~6·10⁷ (num ≤ n⁵/16 must
+    * fit 38 digits); beyond that pre-aggregate looks or accept the
+    * double production path. NULL z² when a look has an empty arm or
+    * a degenerate pooled rate (x = 0 or x = n) — reported, never
+    * dropped.
+    *
+    * Input: one row per unit with a look index in [1, looks] (caller
+    * buckets time), a boolean arm, and a 0/1 hit. Output: one row per
+    * look — (look, na, nb, xa, xb, z2_milli, bound2_milli, crossed).
+    * First crossing = min look with crossed = 1.
+    *
+    * Scale shape: one map-side-partial groupBy collapses the stream
+    * to ≤ `looks` rows; the cumulative sums ride a triangular
+    * self-join of that tiny frame (≤ looks² cells — bounded by the
+    * `require`, never data-sized). */
+  def groupSequentialObfMilli(df: DataFrame, lookCol: String,
+                              armCol: String, hitCol: String,
+                              looks: Int,
+                              zFinal2Milli: Long = 4162L): DataFrame = {
+    require(looks >= 1 && looks <= 50,
+      s"looks must be in [1, 50], got $looks")
+    require(zFinal2Milli > 0,
+      s"zFinal2Milli must be positive, got $zFinal2Milli")
+    val base = df.select(col(lookCol).cast("long").as("__k"),
+        col(armCol).cast("boolean").as("__a"),
+        col(hitCol).cast("long").as("__h"))
+      .where(col("__k").isNotNull && col("__a").isNotNull &&
+        col("__h").isNotNull &&
+        col("__k") >= 1L && col("__k") <= looks.toLong)
+    val per = base.groupBy(col("__k"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("na_k"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("nb_k"),
+        sum(when(col("__a"), col("__h")).otherwise(0L)).as("xa_k"),
+        sum(when(!col("__a"), col("__h")).otherwise(0L)).as("xb_k"))
+    val cum = per.as("a").join(per.as("b"),
+        col("b.__k") <= col("a.__k"))
+      .groupBy(col("a.__k").as("look"))
+      .agg(sum(col("b.na_k")).as("na"), sum(col("b.nb_k")).as("nb"),
+        sum(col("b.xa_k")).as("xa"), sum(col("b.xb_k")).as("xb"))
+    cum.select(col("look"), col("na"), col("nb"), col("xa"), col("xb"),
+        expr(s"CAST(($zFinal2Milli * ${looks}L) div look AS BIGINT)")
+          .as("bound2_milli"),
+        when(col("na") === 0 || col("nb") === 0 ||
+            col("xa") + col("xb") === 0 ||
+            col("xa") + col("xb") === col("na") + col("nb"),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000 * (CAST(xa AS DECIMAL(38,0)) * nb - CAST(xb AS DECIMAL(38,0)) * na)
+              |     * (CAST(xa AS DECIMAL(38,0)) * nb - CAST(xb AS DECIMAL(38,0)) * na)
+              |     * (na + nb))
+              |div (CAST(na AS DECIMAL(38,0)) * nb * (xa + xb)
+              |     * (na + nb - xa - xb))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("z2_milli"))
+      .withColumn("crossed",
+        when(col("z2_milli").isNotNull &&
+          col("z2_milli") >= col("bound2_milli"), lit(1L))
+          .otherwise(lit(0L)))
+  }
 }

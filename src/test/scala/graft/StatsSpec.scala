@@ -1835,4 +1835,40 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.cohensD2Milli(oneSide, "f", "v")
       .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
   }
+
+  test("groupSequentialObfMilli: hand z² schedule, OBF boundary, " +
+       "degenerate NULL, early crossing") {
+    import spark.implicits._
+    // look 1: A 9/10 vs B 1/10 → z² = (9·10−1·10)²·20/(10·10·10·10)
+    //       = 12.8 → 12800 milli; bound 4162·2 div 1 = 8324 → crossed
+    // look 2 adds A 0/10, B 0/10 → cum (9/20 vs 1/20):
+    //   z² = 160²·40/(20·20·10·30) = 8.533… → 8533; bound 4162 → crossed
+    val look1B = (1 to 9).map(_ => (1L, false, 0L)) ++ Seq((1L, false, 1L))
+    val data = ((1 to 10).map(i => (1L, true, if (i <= 9) 1L else 0L)) ++
+      look1B ++
+      (1 to 10).map(_ => (2L, true, 0L)) ++
+      (1 to 10).map(_ => (2L, false, 0L))).toDF("look", "arm", "hit")
+    val r = Stats.groupSequentialObfMilli(data, "look", "arm", "hit",
+        looks = 2)
+      .orderBy("look")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long], Long)]
+      .collect().toSeq
+    assert(r == Seq(
+      (1L, 10L, 10L, 9L, 1L, 8324L, Some(12800L), 1L),
+      (2L, 20L, 20L, 9L, 1L, 4162L, Some(8533L), 1L)), s"got $r")
+    // degenerate: empty arm at a look → NULL z², crossed 0
+    val oneArm = Seq((1L, true, 1L), (1L, true, 0L)).toDF("look", "arm", "hit")
+    val d = Stats.groupSequentialObfMilli(oneArm, "look", "arm", "hit",
+        looks = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long], Long)]
+      .collect().head
+    assert(d._7.isEmpty && d._8 == 0L, s"got $d")
+    // out-of-range looks are filtered, never smeared into the schedule
+    val oob = Seq((0L, true, 1L), (3L, false, 1L), (1L, true, 1L),
+      (1L, false, 0L)).toDF("look", "arm", "hit")
+    val o = Stats.groupSequentialObfMilli(oob, "look", "arm", "hit",
+      looks = 2).orderBy("look").select("look", "na", "nb")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(o == Seq((1L, 1L, 1L)), s"got $o")
+  }
 }
