@@ -275,6 +275,59 @@ object AgreementGates {
       "pred_rule", "pred_trained")
   }
 
+  // STREAMING DRIFT MONITOR (round-11 verdict ask #5, the builder's
+  // own idea list): ops/Stats.categoryDrift PAIRED WITH the q359
+  // rule-vs-trained langid agreement, per REAL micro-batch — the
+  // quality canary a live ingest runs: for every arriving batch,
+  // (a) how far has the rule-langid category mix drifted from the
+  // frozen full-corpus baseline (max |Δshare| per-mille), and (b) do
+  // the heuristic and the trained classifier still agree
+  // (chance-corrected ARI)? The corpus streams as four files (one per
+  // doc_id%4 bucket) under maxFilesPerTrigger=1, so each bucket is one
+  // micro-batch; the trained trigram model and the baseline mix are
+  // FROZEN up front (the production shape — the monitor never
+  // retrains mid-stream). Output rows are keyed by the bucket value
+  // carried in the data, so the result is micro-batch-order-free and
+  // oracle-checkable. Bounded state: each batch appends ONE summary
+  // row; nothing driver-sized collects.
+  def q365_stream_drift_monitor(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val profiles = graft.llm.TextAnalysis.trainLangProfiles(
+        docs, "lang", "text", n = 3, topM = 100)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val baseline = docs.select(
+      graft.llm.TextAnalysis.langId(col("text")).as("la"))
+    val tmp = CoreQueries.fixtureDir("q365_docs")
+    CoreQueries.rewritePartFiles(tmp, (0 until 4).map(b =>
+      docs.where(pmod(col("doc_id"), lit(4)) === b)))
+    val store = new graft.io.ParquetTableStore(s,
+      java.nio.file.Files.createTempDirectory("q365mon").toString)
+    graft.streaming.EventStream.runStreamForeachBatch(
+      s, tmp.getAbsolutePath, { (batch, _) =>
+        val ba = batch.select(col("doc_id"),
+          graft.llm.TextAnalysis.langId(col("text")).as("pred_rule"))
+        val bb = graft.llm.TextAnalysis.classifyByProfile(
+            batch, "doc_id", "text", profiles, n = 3, topM = 100)
+          .select(col("doc_id"), col("lang_pred").as("pred_trained"))
+        val agree = graft.ops.Agreement.partitionAgreementPpm(
+            ba.join(bb, "doc_id"), "pred_rule", "pred_trained")
+          .select(col("n"), col("ari_ppm"))
+        val drift = graft.ops.Stats.categoryDrift(
+            ba.select(col("pred_rule").as("la")), baseline, "la")
+          .agg(max(col("delta_pm")).as("max_delta_pm"))
+        val meta = batch.agg(
+          min(pmod(col("doc_id"), lit(4))).as("bucket"))
+        val row = meta.crossJoin(agree).crossJoin(drift)
+        if (store.exists("mon.drift")) store.append("mon.drift", row)
+        else store.overwrite("mon.drift", row)
+      }, options = Map("maxFilesPerTrigger" -> "1"))
+    profiles.unpersist(false)
+    store.read("mon.drift")
+      .select(col("bucket"), col("n"), col("ari_ppm"),
+        col("max_delta_pm"))
+  }
+
   // YUEN'S TRIMMED-MEANS TEST (ops/RankTests.yuenTrimmedMilli): the
   // robust companion to q304's Welch on the same purchase-vs-rest
   // comparison — 20% trim per tail, winsorized variance, so the spend
@@ -318,6 +371,7 @@ object AgreementGates {
     "q362_specific_agreement" -> q362_specific_agreement _,
     "q358_luhn_pii"          -> q358_luhn_pii _,
     "q359_langid_agreement"  -> q359_langid_agreement _,
+    "q365_stream_drift_monitor" -> q365_stream_drift_monitor _,
     "q352_cluster_ari"       -> q352_cluster_ari _,
     "q353_gk_lambda"         -> q353_gk_lambda _,
     "q354_t_closeness"       -> q354_t_closeness _,
@@ -459,6 +513,84 @@ object AgreementGates {
         |             ELSE CAST(substring(reverse(x), i, 1) AS INT)*2 END
         |      END)) % 10 = 0)) AS BIGINT) AS n_valid
         |FROM c""".stripMargin,
+    "q365_stream_drift_monitor" ->
+      """WITH ra AS (
+        |  SELECT doc_id,
+        |    CASE WHEN mx.h > 0 THEN mx.lang ELSE 'und' END AS la
+        |  FROM (SELECT doc_id, max(struct_pack(h := h, lang := lang)) AS mx
+        |        FROM (
+        |    SELECT doc_id, 'en' AS lang,
+        |      CAST(len(regexp_extract_all(text, '(?i)\b(the|and|of|to|is|in|that|it)\b')) AS INT) AS h FROM documents
+        |    UNION ALL SELECT doc_id, 'de',
+        |      CAST(len(regexp_extract_all(text, '(?i)\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS INT) FROM documents
+        |    UNION ALL SELECT doc_id, 'fr',
+        |      CAST(len(regexp_extract_all(text, '(?i)\b(le|la|les|et|est|une|que|dans)\b')) AS INT) FROM documents
+        |    UNION ALL SELECT doc_id, 'es',
+        |      CAST(len(regexp_extract_all(text, '(?i)\b(el|los|las|es|una|que|por|con)\b')) AS INT) FROM documents
+        |    UNION ALL SELECT doc_id, 'zh',
+        |      CAST(len(regexp_extract_all(text, '(的|是|了|在|我|有|他|不)')) AS INT) FROM documents)
+        |        GROUP BY doc_id)),
+        |lt AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+        |g AS (SELECT doc_id, lang, substring(lt, i, 3) AS gram
+        |      FROM (SELECT doc_id, lang, lt,
+        |              unnest(generate_series(1, greatest(len(lt)-2, 0))) AS i
+        |            FROM lt)),
+        |prof AS (SELECT label, gram, rank FROM (
+        |    SELECT lang AS label, gram, row_number()
+        |      OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS rank
+        |    FROM (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1,2))
+        |  WHERE rank <= 100),
+        |dg AS (SELECT doc_id, gram, count(*) AS dc FROM g GROUP BY 1,2),
+        |sc AS (SELECT doc_id, label, sum(dc * (101 - rank)) AS score
+        |       FROM dg JOIN prof USING (gram) GROUP BY 1,2),
+        |best AS (SELECT doc_id, label FROM (
+        |    SELECT doc_id, label, row_number()
+        |      OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |rb AS (SELECT d.doc_id, coalesce(b.label, 'und') AS lb
+        |       FROM documents d LEFT JOIN best b USING (doc_id)),
+        |bk AS (SELECT ra.doc_id, ra.doc_id % 4 AS bucket, ra.la, rb.lb
+        |       FROM ra JOIN rb USING (doc_id)),
+        |cells AS (SELECT bucket, la, lb, count(*) AS nij
+        |          FROM bk GROUP BY 1, 2, 3),
+        |cell AS (SELECT bucket, CAST(sum(nij) AS HUGEINT) AS n,
+        |                sum(CAST(nij AS HUGEINT)*(nij - 1)) AS p2
+        |         FROM cells GROUP BY 1),
+        |ma AS (SELECT bucket, sum(CAST(m AS HUGEINT)*(m - 1)) AS qa2
+        |       FROM (SELECT bucket, la, sum(nij) AS m FROM cells
+        |             GROUP BY 1, 2) GROUP BY 1),
+        |mb AS (SELECT bucket, sum(CAST(m AS HUGEINT)*(m - 1)) AS qb2
+        |       FROM (SELECT bucket, lb, sum(nij) AS m FROM cells
+        |             GROUP BY 1, 2) GROUP BY 1),
+        |ari AS (SELECT cell.bucket, cell.n,
+        |          CASE WHEN cell.n < 2
+        |                 OR cell.n*(cell.n-1)*(qa2 + qb2) - 2*qa2*qb2 = 0
+        |               THEN NULL
+        |          ELSE CAST(sign(2*p2*(cell.n*(cell.n-1)) - 2*qa2*qb2)
+        |                    AS HUGEINT)
+        |            * ((1000000 * abs(2*p2*(cell.n*(cell.n-1)) - 2*qa2*qb2))
+        |               // (cell.n*(cell.n-1)*(qa2 + qb2) - 2*qa2*qb2))
+        |          END AS ari
+        |        FROM cell JOIN ma USING (bucket) JOIN mb USING (bucket)),
+        |bm AS (SELECT bucket, la, count(*) AS c FROM bk GROUP BY 1, 2),
+        |bt AS (SELECT bucket, sum(c) AS w FROM bm GROUP BY 1),
+        |fm AS (SELECT la, count(*) AS c FROM ra GROUP BY 1),
+        |ft AS (SELECT sum(c) AS w FROM fm),
+        |grid AS (SELECT DISTINCT bt.bucket, fm.la FROM bt, fm),
+        |dr AS (SELECT grid.bucket,
+        |         max(abs((1000 * coalesce(bm.c, 0)) // bt.w
+        |                 - (1000 * fm.c) // ft.w)) AS mx
+        |       FROM grid
+        |         JOIN fm ON grid.la = fm.la
+        |         JOIN bt ON bt.bucket = grid.bucket
+        |         LEFT JOIN bm ON bm.bucket = grid.bucket
+        |                     AND bm.la = grid.la, ft
+        |       GROUP BY 1)
+        |SELECT CAST(ari.bucket AS BIGINT) AS bucket,
+        |  CAST(ari.n AS BIGINT) AS n,
+        |  CAST(ari.ari AS BIGINT) AS ari_ppm,
+        |  CAST(dr.mx AS BIGINT) AS max_delta_pm
+        |FROM ari JOIN dr ON dr.bucket = ari.bucket""".stripMargin,
     "q359_langid_agreement" ->
       """WITH ra AS (
         |  SELECT doc_id,

@@ -454,14 +454,14 @@ object CoreQueries {
     d
   }
 
-  private def fixtureDir(name: String): java.io.File =
+  private[graft] def fixtureDir(name: String): java.io.File =
     new java.io.File(streamFixtureRoot, name)
 
   /** Deterministic multi-file stream fixture: each frame in `parts`
     * becomes one parquet file batch<i>.parquet (written in order, so
     * file mtimes AND lexicographic names both give the intended
     * micro-batch order under maxFilesPerTrigger=1); idempotent. */
-  private def rewritePartFiles(target: java.io.File,
+  private[graft] def rewritePartFiles(target: java.io.File,
                                parts: Seq[DataFrame]): Unit = {
     del(target); target.mkdirs()
     parts.zipWithIndex.foreach { case (p, i) =>

@@ -458,4 +458,52 @@ class AgreementSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"),
       s"corpus must stay map-only — no hash shuffle:\n${p.take(800)}")
   }
+
+  // ------------------------------------- streaming drift monitor (q365)
+  test("stream drift monitor: one summary row per micro-batch; a " +
+       "planted category shift spikes max_delta_pm in ITS batch only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // batch 0 (6 docs, 5 en / 1 de) sits near the pooled baseline
+    // (5 en / 3 de); batch 1 (2 docs, ALL de) is the planted shift —
+    // unequal batch sizes, so the two batches drift ASYMMETRICALLY
+    // from the pooled mix and the canary must fire harder on batch 1
+    val en = "the cat and the dog sat of it in that house it is"
+    val de = "der hund und die katze ist nicht ein zu haus und der"
+    val b0 = Seq((0L, en), (2L, en), (4L, en), (6L, en), (8L, en),
+      (10L, de)).toDF("doc_id", "text")
+    val b1 = Seq((1L, de), (3L, de)).toDF("doc_id", "text")
+    val baselineDocs = b0.unionByName(b1)
+    val baseline = baselineDocs.select(
+      graft.llm.TextAnalysis.langId(col("text")).as("la"))
+    val tmp = java.nio.file.Files.createTempDirectory("driftmon").toFile
+    Seq(b0, b1).zipWithIndex.foreach { case (p, i) =>
+      val sub = new java.io.File(tmp, s"__p$i")
+      p.coalesce(1).write.mode("overwrite").parquet(sub.getAbsolutePath)
+      val src = sub.listFiles.find(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".")).get
+      java.nio.file.Files.move(src.toPath,
+        new java.io.File(tmp, s"batch$i.parquet").toPath)
+    }
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    graft.streaming.EventStream.runStreamForeachBatch(
+      spark, tmp.getAbsolutePath, { (batch, _) =>
+        val mix = batch.select(
+          graft.llm.TextAnalysis.langId(col("text")).as("la"))
+        val r = graft.ops.Stats.categoryDrift(mix, baseline, "la")
+          .agg(max(col("delta_pm")).cast("long"))
+          .crossJoin(batch.agg(min(col("doc_id") % 2).cast("long")))
+          .as[(Long, Long)].collect().head
+        rows += ((r._2, r._1)); ()
+      }, options = Map("maxFilesPerTrigger" -> "1"))
+    // one summary per micro-batch — the monitor's bounded-state shape
+    assert(rows.size == 2, s"expected 2 micro-batches, got $rows")
+    val byBatch = rows.toMap
+    // baseline 5 en / 3 de: batch 0 drifts ~209 pm, the all-de batch
+    // |1000 - 375| = 625 pm — the planted shift must dominate
+    assert(byBatch(1L) > byBatch(0L),
+      s"planted shift must dominate: $byBatch")
+    assert(byBatch(1L) >= 300L,
+      s"all-de batch vs 3/8-de baseline is a ≥300 per-mille shift: $byBatch")
+  }
 }
