@@ -34,4 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 358-query bench JVM JIT-compiles hundreds of whole-stage-
+  // codegen classes per interleaved pass; the JDK-17 default 240 MB
+  // code cache fills mid-pass and later queries run partially
+  // interpreted (measured: q126_margin_mining 1.6 s isolated /
+  // back-to-back vs 4.6 s interleaved in BENCH_r10 with an unchanged
+  // plan and binding shuffle budget — the round-11 drift
+  // investigation). 512 MB keeps the whole pass JIT-resident.
+  "-XX:ReservedCodeCacheSize=512m",
 )

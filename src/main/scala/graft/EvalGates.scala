@@ -710,8 +710,28 @@ object EvalGates {
       "hit", looks = 5)
   }
 
+  // POCOCK FLAT BOUNDARIES (schedule = "pocock"): the same five looks
+  // as q364 against Pocock's constant critical z² (5823 =
+  // round(1000·2.413²), the published C_P(5, 0.05)) — the
+  // cheap-early-stop / expensive-final-look design next to OBF's
+  // conservative-early schedule, on the identical cumulative z² path.
+  def q366_pocock_sequential(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(expr(s"ts div ${dayUs}L").as("day"),
+        (col("user_id") % 2 === 0).as("arm"),
+        (col("event_type") === "purchase").cast("long").as("hit"))
+    val mm = e.agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val binned = e.crossJoin(broadcast(mm))
+      .select(expr("1L + ((day - __d0) * 5) div (__d1 - __d0 + 1)")
+        .as("look"), col("arm"), col("hit"))
+    graft.ops.Stats.groupSequentialObfMilli(binned, "look", "arm",
+      "hit", looks = 5, zFinal2Milli = 5823L, schedule = "pocock")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q364_group_sequential" -> q364_group_sequential _,
+    "q366_pocock_sequential" -> q366_pocock_sequential _,
     "q340_rbo"             -> q340_rbo _,
     "q337_hierarchy_dag"   -> q337_hierarchy_dag _,
     "q287_brier"           -> q287_brier _,
@@ -777,6 +797,46 @@ object EvalGates {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q366_pocock_sequential" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts)//86400000000 AS day,
+        |         (user_id % 2 = 0) AS arm,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |b AS (SELECT 1 + ((e.day - mm.d0) * 5) // (mm.d1 - mm.d0 + 1)
+        |        AS look, arm, hit
+        |      FROM e, mm),
+        |per AS (SELECT look,
+        |          sum(CASE WHEN arm THEN 1 ELSE 0 END) AS na_k,
+        |          sum(CASE WHEN arm THEN 0 ELSE 1 END) AS nb_k,
+        |          sum(CASE WHEN arm THEN hit ELSE 0 END) AS xa_k,
+        |          sum(CASE WHEN arm THEN 0 ELSE hit END) AS xb_k
+        |        FROM b WHERE look BETWEEN 1 AND 5 GROUP BY 1),
+        |cum AS (SELECT a.look,
+        |          sum(b.na_k) AS na, sum(b.nb_k) AS nb,
+        |          sum(b.xa_k) AS xa, sum(b.xb_k) AS xb
+        |        FROM per a JOIN per b ON b.look <= a.look GROUP BY 1),
+        |z AS (SELECT look, na, nb, xa, xb,
+        |        5823 AS bound2,
+        |        CASE WHEN na = 0 OR nb = 0 OR xa + xb = 0
+        |               OR xa + xb = na + nb THEN NULL
+        |          ELSE (1000 * (CAST(xa AS HUGEINT)*nb - CAST(xb AS HUGEINT)*na)
+        |                     * (CAST(xa AS HUGEINT)*nb - CAST(xb AS HUGEINT)*na)
+        |                     * (na + nb))
+        |            // (CAST(na AS HUGEINT) * nb * (xa + xb)
+        |                * (na + nb - xa - xb))
+        |        END AS z2
+        |      FROM cum)
+        |SELECT CAST(look AS BIGINT) AS look,
+        |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(xa AS BIGINT) AS xa, CAST(xb AS BIGINT) AS xb,
+        |  CAST(bound2 AS BIGINT) AS bound2_milli,
+        |  CAST(z2 AS BIGINT) AS z2_milli,
+        |  CAST(CASE WHEN z2 IS NOT NULL AND z2 >= bound2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS crossed
+        |FROM z""".stripMargin,
     "q364_group_sequential" ->
       """WITH e AS (
         |  SELECT epoch_us(ts)//86400000000 AS day,

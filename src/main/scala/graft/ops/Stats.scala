@@ -3455,6 +3455,10 @@ object Stats {
     * C_B(K=5, α=0.05 two-sided) critical constant; pass the table
     * value for other (K, α)) and a pure-integer div schedule both
     * engines replay, never a cross-engine normal quantile.
+    * `schedule = "pocock"` applies the same critical z² FLAT at every
+    * look (Pocock's design — cheaper early stopping, pricier final
+    * look; pass e.g. 5823 = round(1000·2.413²), the published
+    * C_P(5, 0.05) value).
     *
     * Pooled two-proportion z² in one exact integer ratio:
     *   z² = (x_a·n_b − x_b·n_a)²·n / (n_a·n_b·x·(n−x)),  x = x_a+x_b
@@ -3478,11 +3482,14 @@ object Stats {
   def groupSequentialObfMilli(df: DataFrame, lookCol: String,
                               armCol: String, hitCol: String,
                               looks: Int,
-                              zFinal2Milli: Long = 4162L): DataFrame = {
+                              zFinal2Milli: Long = 4162L,
+                              schedule: String = "obf"): DataFrame = {
     require(looks >= 1 && looks <= 50,
       s"looks must be in [1, 50], got $looks")
     require(zFinal2Milli > 0,
       s"zFinal2Milli must be positive, got $zFinal2Milli")
+    require(schedule == "obf" || schedule == "pocock",
+      s"schedule must be obf (z²·K/k) or pocock (flat), got $schedule")
     val base = df.select(col(lookCol).cast("long").as("__k"),
         col(armCol).cast("boolean").as("__a"),
         col(hitCol).cast("long").as("__h"))
@@ -3499,9 +3506,12 @@ object Stats {
       .groupBy(col("a.__k").as("look"))
       .agg(sum(col("b.na_k")).as("na"), sum(col("b.nb_k")).as("nb"),
         sum(col("b.xa_k")).as("xa"), sum(col("b.xb_k")).as("xb"))
-    cum.select(col("look"), col("na"), col("nb"), col("xa"), col("xb"),
+    val boundExpr =
+      if (schedule == "obf")
         expr(s"CAST(($zFinal2Milli * ${looks}L) div look AS BIGINT)")
-          .as("bound2_milli"),
+      else lit(zFinal2Milli) // Pocock: the same critical z² at every look
+    cum.select(col("look"), col("na"), col("nb"), col("xa"), col("xb"),
+        boundExpr.as("bound2_milli"),
         when(col("na") === 0 || col("nb") === 0 ||
             col("xa") + col("xb") === 0 ||
             col("xa") + col("xb") === col("na") + col("nb"),

@@ -42,7 +42,13 @@ class ShuffleBudgetSpec extends SparkTestBase {
     ("q359_langid_agreement", 77560L, 117000L),
     ("q352_cluster_ari", 685L, 1100L),
     ("q343_link_prediction", 6444L, 10000L),
-    ("q347_kendalls_w", 3013L, 4600L))
+    ("q347_kendalls_w", 3013L, 4600L),
+    // round-11 additions: LSH-routed constant-cluster SemDeDup, the
+    // OBF schedule (collapses to <= looks rows — 16 records IS the
+    // plan), and the per-micro-batch drift monitor
+    ("q363_semantic_dedup_cc", 54214L, 82000L),
+    ("q364_group_sequential", 16L, 40L),
+    ("q365_stream_drift_monitor", 77648L, 117000L))
 
   budgets.foreach { case (name, actual, budget) =>
     test(s"$name stays inside its shuffle-record budget " +

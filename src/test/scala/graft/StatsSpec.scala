@@ -1856,6 +1856,14 @@ class StatsSpec extends SparkTestBase {
     assert(r == Seq(
       (1L, 10L, 10L, 9L, 1L, 8324L, Some(12800L), 1L),
       (2L, 20L, 20L, 9L, 1L, 4162L, Some(8533L), 1L)), s"got $r")
+    // Pocock: the same z² path against a FLAT bound — early looks are
+    // cheaper to cross than OBF's (5823 < 8324 at look 1), the final
+    // look pricier (5823 > 4162)
+    val p = Stats.groupSequentialObfMilli(data, "look", "arm", "hit",
+        looks = 2, zFinal2Milli = 5823L, schedule = "pocock")
+      .orderBy("look").select("look", "bound2_milli", "crossed")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(p == Seq((1L, 5823L, 1L), (2L, 5823L, 1L)), s"got $p")
     // degenerate: empty arm at a look → NULL z², crossed 0
     val oneArm = Seq((1L, true, 1L), (1L, true, 0L)).toDF("look", "arm", "hit")
     val d = Stats.groupSequentialObfMilli(oneArm, "look", "arm", "hit",
