@@ -365,7 +365,105 @@ object AgreementGates {
           (col("event_id") % 3 === 0).as("pred_b")),
       "pred_a", "pred_b")
 
+  /** The three deterministic CONTINUOUS raters shared by q367: the
+    * exact reading, a heavy-noise reading (±15,000 cents — ~30% of
+    * the value spread, so the statistic reads well away from 1), and
+    * a coarse 2,000-cent-grid instrument with a +5,000 systematic
+    * offset — real disagreement AND a bias for absolute agreement to
+    * penalize. */
+  private def continuousRatings(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").where(col("value").isNotNull)
+      .select(col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    e.select(col("event_id").as("item"), lit("a").as("rater"),
+        col("cents").as("x"))
+      .unionByName(e.select(col("event_id").as("item"),
+        lit("b").as("rater"),
+        (col("cents") + (col("event_id") % 1000) * 30 - 15000).as("x")))
+      .unionByName(e.where(col("event_id") % 13 =!= 0)
+        .select(col("event_id").as("item"), lit("c").as("rater"),
+          (expr("cents div 2000") * 2000 + 5000).as("x")))
+  }
+
+  // ICC(2,1) (ops/Agreement.iccPpm): absolute-agreement reliability of
+  // three continuous value readings per event — the exact cents, a
+  // ±15,000 deterministic-noise reading, and a coarse 2,000-cent-grid
+  // instrument biased +5,000; events with event_id % 13 = 0 lose
+  // rater c and exercise the incomplete-design drop path.
+  def q367_icc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Agreement.iccPpm(continuousRatings(s, dir),
+      "item", "rater", "x", raters = 3)
+
+  // LIN'S CCC (ops/Agreement.cccPpm): the exact cents reading vs a
+  // HALF-SCALE instrument re-centered at +12,000 — Pearson calls the
+  // pair a perfect 1; concordance prices the scale compression
+  // (expected ~0.8, the 2s/(s²+s²/4) shape).
+  def q368_ccc(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").where(col("value").isNotNull)
+      .select(floor(col("value") * 100).cast("long").as("cents"))
+    graft.ops.Agreement.cccPpm(
+      e.select(col("cents").as("x"),
+        (expr("cents div 2") + 12000).as("y")),
+      "x", "y")
+  }
+
+  // CRONBACH'S ALPHA (ops/Agreement.cronbachAlphaPpm): are the three
+  // noisy cents-derived sub-scores one consistent "spend scale"? The
+  // internal-consistency pre-check before summing them into a
+  // composite quality score — each item is the shared cents signal
+  // plus its own deterministic noise, so α sits in the real-battery
+  // 0.9 band rather than at a degenerate 1.
+  def q369_cronbach(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Agreement.cronbachAlphaPpm(
+      t(s, dir, "events")
+        .where(col("value").isNotNull && col("event_id").isNotNull &&
+          col("user_id").isNotNull)
+        .select(floor(col("value") * 100).cast("long").as("cents"),
+          col("event_id"), col("user_id"))
+        .select(expr("cents div 1000").as("s1"),
+          expr("(cents + event_id % 20000) div 1000").as("s2"),
+          expr("(cents + (user_id * 7) % 30000) div 1000").as("s3")),
+      Seq("s1", "s2", "s3"))
+
+  // KRIPPENDORFF'S ALPHA, INTERVAL (ops/Agreement
+  // .krippendorffAlphaIntervalPpm): the q345 unequal-raters shape with
+  // CONTINUOUS cents readings — rater 2 (±20,000 noise) skips
+  // event_id % 11 = 0, rater 3 (systematic 0..20,000 under-read)
+  // skips % 5 = 0, items at % 55 carry one rating and exercise the
+  // unpairable path; squared-difference metric, so the heavy misses
+  // dominate and α reads in the interior, not at 1.
+  def q370_krippendorff_interval(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").where(col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val r = e.select(col("event_id").as("item"), col("cents").as("x"))
+      .unionByName(e.where(col("event_id") % 11 =!= 0)
+        .select(col("event_id").as("item"),
+          (col("cents") + (col("event_id") % 1000) * 40 - 20000).as("x")))
+      .unionByName(e.where(col("event_id") % 5 =!= 0)
+        .select(col("event_id").as("item"),
+          (col("cents") - (col("user_id") % 500) * 40).as("x")))
+    graft.ops.Agreement.krippendorffAlphaIntervalPpm(r, "item", "x")
+  }
+
+  // MDE² POWER PROBE (ops/Stats.mdeProbeMicro): is the user-parity
+  // split big enough to detect its own observed cents gap at 5%/80%?
+  // The planning readout next to q304's Welch significance and
+  // q364/q366's sequential stopping rules.
+  def q371_mde_probe(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.mdeProbeMicro(
+      t(s, dir, "events")
+        .where(col("value").isNotNull && col("user_id").isNotNull)
+        .select((col("user_id") % 2 === 0).as("flag"),
+          floor(col("value") * 100).cast("long").as("cents")),
+      "flag", "cents")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q367_icc"               -> q367_icc _,
+    "q368_ccc"               -> q368_ccc _,
+    "q369_cronbach"          -> q369_cronbach _,
+    "q370_krippendorff_interval" -> q370_krippendorff_interval _,
+    "q371_mde_probe"         -> q371_mde_probe _,
     "q360_yuen"              -> q360_yuen _,
     "q361_quadratic_kappa"   -> q361_quadratic_kappa _,
     "q362_specific_agreement" -> q362_specific_agreement _,
@@ -393,6 +491,141 @@ object AgreementGates {
   /** DuckDB oracles — independent SQL recomputations (HUGEINT lanes,
     * `//` floors mirroring the documented pinned-floor schedules). */
   val oracleSql: Map[String, String] = Map(
+    "q367_icc" ->
+      """WITH e AS (SELECT event_id,
+        |             CAST(floor(value*100) AS BIGINT) AS cents
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_id AS i, 'a' AS j, cents AS x FROM e
+        |      UNION ALL SELECT event_id, 'b',
+        |        cents + (event_id % 1000) * 30 - 15000 FROM e
+        |      UNION ALL SELECT event_id, 'c',
+        |        (cents // 2000) * 2000 + 5000
+        |        FROM e WHERE event_id % 13 <> 0),
+        |pi AS (SELECT i, count(*) AS ni, sum(x) AS ri FROM r GROUP BY 1),
+        |drp AS (SELECT count(*) AS nd FROM pi WHERE ni <> 3),
+        |kid AS (SELECT i, ri FROM pi WHERE ni = 3),
+        |ia AS (SELECT count(*) AS n, sum(CAST(ri AS HUGEINT)) AS t,
+        |              sum(CAST(ri AS HUGEINT)*ri) AS p FROM kid),
+        |kr AS (SELECT r.j, r.x FROM r JOIN kid ON r.i = kid.i),
+        |va AS (SELECT sum(CAST(x AS HUGEINT)*x) AS s FROM kr),
+        |ra AS (SELECT sum(CAST(cj AS HUGEINT)*cj) AS q FROM
+        |         (SELECT j, sum(x) AS cj FROM kr GROUP BY 1)),
+        |m AS (SELECT n, nd,
+        |        n*p - t*t AS u, 3*q - t*t AS c,
+        |        n*3*s - t*t - (n*p - t*t) - (3*q - t*t) AS e2
+        |      FROM ia, va, ra, drp)
+        |SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n_items,
+        |  CAST(nd AS BIGINT) AS n_dropped,
+        |  CAST(3 AS BIGINT) AS raters,
+        |  CAST(CASE WHEN COALESCE(n, 0) < 2
+        |              OR (u+e2)*n*2 + c*3*(n-1) - e2*3 = 0 THEN NULL
+        |       ELSE CAST(sign(u*2 - e2) AS HUGEINT) *
+        |            ((1000000 * n * abs(u*2 - e2))
+        |             // ((u+e2)*n*2 + c*3*(n-1) - e2*3))
+        |       END AS BIGINT) AS icc_ppm
+        |FROM m""".stripMargin,
+    "q368_ccc" ->
+      """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT) AS x,
+        |    CAST(floor(value*100) AS BIGINT) // 2 + 12000 AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT count(*) AS n,
+        |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |        sum(CAST(x AS HUGEINT)*x) AS sxx,
+        |        sum(CAST(y AS HUGEINT)*y) AS syy,
+        |        sum(CAST(x AS HUGEINT)*y) AS sxy FROM e)
+        |SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
+        |  CAST(CASE WHEN COALESCE(n, 0) = 0
+        |       OR n*sxx - sx*sx + n*syy - sy*sy + (sx-sy)*(sx-sy) = 0
+        |       THEN NULL
+        |       ELSE CAST(sign(n*sxy - sx*sy) AS HUGEINT) *
+        |            ((2000000 * abs(n*sxy - sx*sy))
+        |             // (n*sxx - sx*sx + n*syy - sy*sy
+        |                 + (sx-sy)*(sx-sy)))
+        |       END AS BIGINT) AS ccc_ppm
+        |FROM a""".stripMargin,
+    "q369_cronbach" ->
+      """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT) AS cents,
+        |             event_id, user_id
+        |           FROM events
+        |           WHERE value IS NOT NULL AND event_id IS NOT NULL
+        |             AND user_id IS NOT NULL),
+        |w AS (SELECT cents // 1000 AS x0,
+        |        (cents + event_id % 20000) // 1000 AS x1,
+        |        (cents + (user_id * 7) % 30000) // 1000 AS x2 FROM e),
+        |a AS (SELECT count(*) AS n,
+        |        sum(CAST(x0+x1+x2 AS HUGEINT)) AS st,
+        |        sum(CAST(x0+x1+x2 AS HUGEINT)*(x0+x1+x2)) AS stt,
+        |        sum(CAST(x0 AS HUGEINT)) AS s0,
+        |        sum(CAST(x0 AS HUGEINT)*x0) AS q0,
+        |        sum(CAST(x1 AS HUGEINT)) AS s1,
+        |        sum(CAST(x1 AS HUGEINT)*x1) AS q1,
+        |        sum(CAST(x2 AS HUGEINT)) AS s2,
+        |        sum(CAST(x2 AS HUGEINT)*x2) AS q2 FROM w),
+        |m AS (SELECT n, n*stt - st*st AS vt,
+        |        (n*q0 - s0*s0) + (n*q1 - s1*s1) + (n*q2 - s2*s2) AS vi
+        |      FROM a)
+        |SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n_rows,
+        |  CAST(3 AS BIGINT) AS k,
+        |  CAST(CASE WHEN COALESCE(n, 0) < 2 OR vt = 0 THEN NULL
+        |       ELSE CAST(sign(vt - vi) AS HUGEINT) *
+        |            ((1000000 * 3 * abs(vt - vi)) // (2 * vt))
+        |       END AS BIGINT) AS alpha_ppm
+        |FROM m""".stripMargin,
+    "q370_krippendorff_interval" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             CAST(floor(value*100) AS BIGINT) AS cents
+        |           FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_id AS i, cents AS x FROM e
+        |      UNION ALL SELECT event_id,
+        |        cents + (event_id % 1000) * 40 - 20000
+        |        FROM e WHERE event_id % 11 <> 0
+        |      UNION ALL SELECT event_id,
+        |        cents - (user_id % 500) * 40
+        |        FROM e WHERE event_id % 5 <> 0),
+        |pi AS (SELECT i, count(*) AS ni, sum(CAST(x AS HUGEINT)) AS ti,
+        |              sum(CAST(x AS HUGEINT)*x) AS si FROM r GROUP BY 1),
+        |unp AS (SELECT count(*) AS nu FROM pi WHERE ni < 2),
+        |kept AS (SELECT * FROM pi WHERE ni >= 2),
+        |do_ AS (SELECT sum(ni) AS n,
+        |          sum((1000000 * 2 * (ni * si - ti*ti)) // (ni - 1)) AS dom,
+        |          sum(ti) AS t, sum(si) AS s FROM kept)
+        |SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n_values,
+        |  CAST(nu AS BIGINT) AS n_unpairable,
+        |  CAST(CASE WHEN COALESCE(n, 0) = 0
+        |              OR CAST(n AS HUGEINT)*s = t*t THEN NULL
+        |       ELSE 1000000 - (dom * (n - 1))
+        |            // (2 * (CAST(n AS HUGEINT)*s - t*t))
+        |       END AS BIGINT) AS alpha_ppm
+        |FROM do_, unp""".stripMargin,
+    "q371_mde_probe" ->
+      """WITH e AS (SELECT user_id % 2 = 0 AS f,
+        |             CAST(floor(value*100) AS BIGINT) AS x
+        |           FROM events
+        |           WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |a AS (SELECT
+        |        sum(CASE WHEN f THEN 1 ELSE 0 END) AS na,
+        |        sum(CASE WHEN NOT f THEN 1 ELSE 0 END) AS nb,
+        |        sum(CASE WHEN f THEN CAST(x AS HUGEINT) ELSE 0 END) AS sa,
+        |        sum(CASE WHEN NOT f THEN CAST(x AS HUGEINT) ELSE 0 END) AS sb,
+        |        sum(CASE WHEN f THEN CAST(x AS HUGEINT)*x ELSE 0 END) AS qa,
+        |        sum(CASE WHEN NOT f THEN CAST(x AS HUGEINT)*x ELSE 0 END) AS qb
+        |      FROM e),
+        |m AS (SELECT na, nb,
+        |        CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE
+        |          (7849 * ((1000000 * (na*qa - sa*sa)) // (na*na*(na-1))
+        |                 + (1000000 * (nb*qb - sb*sb)) // (nb*nb*(nb-1))))
+        |          // 1000 END AS mde2,
+        |        CASE WHEN na < 2 OR nb < 2 THEN NULL ELSE
+        |          (1000 * abs(sa*nb - sb*na)) // (na*nb) END AS d
+        |      FROM a)
+        |SELECT CAST(COALESCE(na, 0) AS BIGINT) AS n_a,
+        |  CAST(COALESCE(nb, 0) AS BIGINT) AS n_b,
+        |  CAST(mde2 AS BIGINT) AS mde2_micro,
+        |  CAST(d*d AS BIGINT) AS diff2_micro,
+        |  CAST(CASE WHEN mde2 IS NULL THEN NULL
+        |            WHEN d*d >= mde2 THEN 1 ELSE 0
+        |       END AS BIGINT) AS powered
+        |FROM m""".stripMargin,
     "q361_quadratic_kappa" ->
       """WITH e AS (SELECT
         |    least(greatest(CAST(floor(value*100) AS BIGINT), 0) // 3500,

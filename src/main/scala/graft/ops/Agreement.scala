@@ -521,4 +521,251 @@ object Agreement {
                |AS BIGINT)""".stripMargin.replace("\n", " ")))
           .as("q_milli"))
   }
+
+  /** INTRACLASS CORRELATION ICC(2,1) — absolute-agreement reliability
+    * for CONTINUOUS ratings: the missing continuous member of the
+    * battery ([[fleissKappaPpm]] is categorical, [[kendallsWPpm]] is
+    * ranks). Two-way random-effects, single-rater, absolute agreement
+    * (Shrout & Fleiss 1979 "ICC(2,1)") — the statistic that PENALIZES
+    * a rater with a systematic offset, where Pearson would score it a
+    * perfect 1.
+    *
+    * Contract: long-format (item, rater, value) with integer values
+    * (scale to cents/milli upstream), one rating per (item, rater),
+    * every kept item rated by exactly `raters` raters; items whose
+    * rating count differs drop and are reported via `n_dropped` (the
+    * Fleiss stance — an incomplete row would bias every mean square).
+    *
+    * Exact rational. With T = Σx, S = Σx², P = Σ_i R_i² (item-sum
+    * squares), Q = Σ_j C_j² (rater-sum squares), n kept items, k
+    * raters, the nk-scaled sums of squares are pure integers:
+    *   u = n·P − T²            (= nk·SS_items)
+    *   c = k·Q − T²            (= nk·SS_raters)
+    *   e = nk·S − T² − u − c   (= nk·SS_error)
+    * and ICC(2,1) = (MSR−MSE)/(MSR+(k−1)MSE+(k/n)(MSC−MSE)) cross-
+    * multiplies to ONE division:
+    *   num = n·(u·(k−1) − e)
+    *   den = (u+e)·n·(k−1) + c·k·(n−1) − e·k    [≥ 0: the e terms
+    *         collect to e·(n(k−1)−k) ≥ 0 for n,k ≥ 2]
+    *   icc_ppm = sign(num) · (10⁶·|num| div den)    [sign-magnitude]
+    * NULL when n < 2 or den = 0 (all kept values identical).
+    *
+    * Output one row: (n_items, n_dropped, raters, icc_ppm).
+    *
+    * Scale shape: one item-grain groupBy (R_i), one rater-grain
+    * groupBy over the bounded rater alphabet (C_j), one ratings pass
+    * (S) — rows shuffle once at the item grain, never wider. */
+  def iccPpm(df: DataFrame, itemCol: String, raterCol: String,
+             valueCol: String, raters: Int): DataFrame = {
+    require(raters >= 2, s"raters must be >= 2, got $raters")
+    val base = df.select(col(itemCol).as("__i"),
+        col(raterCol).cast("string").as("__j"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__i").isNotNull && col("__j").isNotNull &&
+        col("__x").isNotNull)
+    val perItem = base.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__ni"), sum(col("__x")).as("__ri"))
+    val dropped = perItem.where(col("__ni") =!= raters)
+      .agg(countDistinct(col("__i")).as("__nd"))
+    val keptIds = perItem.where(col("__ni") === raters)
+      .select(col("__i").as("__ik"), col("__ri"))
+    val itemAgg = keptIds.agg(count(lit(1)).as("__n"),
+      sum(col("__ri").cast(d38)).as("__t"),
+      sum(col("__ri").cast(d38) * col("__ri")).as("__p"))
+    val keptRatings = base.join(keptIds.select(col("__ik")),
+      col("__i") === col("__ik")).drop("__ik")
+    val valAgg = keptRatings
+      .agg(sum(col("__x").cast(d38) * col("__x")).as("__s"))
+    val raterAgg = keptRatings.groupBy(col("__j"))
+      .agg(sum(col("__x")).as("__cj"))
+      .agg(sum(col("__cj").cast(d38) * col("__cj")).as("__q"))
+    itemAgg.crossJoin(broadcast(valAgg))
+      .crossJoin(broadcast(raterAgg))
+      .crossJoin(broadcast(dropped))
+      .select(coalesce(col("__n"), lit(0L)).cast("long").as("n_items"),
+        coalesce(col("__nd"), lit(0L)).cast("long").as("n_dropped"),
+        lit(raters.toLong).as("raters"),
+        col("__t"), col("__p"), col("__s"), col("__q"))
+      .withColumn("__u", expr(
+        "CAST(n_items AS DECIMAL(38,0)) * __p - __t * __t"))
+      .withColumn("__c", expr(
+        s"CAST($raters AS DECIMAL(38,0)) * __q - __t * __t"))
+      .withColumn("__e", expr(
+        s"""CAST(n_items AS DECIMAL(38,0)) * $raters * __s - __t * __t
+           | - __u - __c""".stripMargin.replace("\n", " ")))
+      .withColumn("__den", expr(
+        s"""(__u + __e) * n_items * ${raters - 1}
+           | + __c * $raters * (n_items - 1) - __e * $raters"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("n_items"), col("n_dropped"), col("raters"),
+        when(col("n_items") < 2 || col("__den") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            s"""CAST(CAST(sign(__u * ${raters - 1} - __e) AS DECIMAL(38,0)) *
+               |(CAST(1000000 AS DECIMAL(38,0)) * n_items *
+               | abs(__u * ${raters - 1} - __e) div __den) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("icc_ppm"))
+  }
+
+  /** LIN'S CONCORDANCE CORRELATION (CCC) — two-method agreement for
+    * CONTINUOUS measurements: how far the scatter sits from the
+    * y = x line, not from the best-fit line. Pearson rewards any
+    * linear relation; CCC = Pearson · C_b discounts location and
+    * scale shift, which makes it the method-comparison statistic
+    * (one instrument vs another, a cheap scorer vs a reference) the
+    * categorical battery has no member for.
+    *
+    * Exact rational — no square root anywhere (the one member of the
+    * correlation family that is division-exact in its OWN units):
+    * with population moments cross-multiplied by n²,
+    *   num = 2·(n·Σxy − Σx·Σy)
+    *   den = (n·Σx² − (Σx)²) + (n·Σy² − (Σy)²) + (Σx − Σy)²
+    *   ccc_ppm = sign(num) · (10⁶·|num| div den)    [sign-magnitude]
+    * den ≥ 0 always; NULL when n = 0 or den = 0 (both sides constant
+    * and equal — agreement undefined).
+    *
+    * Output one row: (n, ccc_ppm).
+    *
+    * Scale shape: ONE map-side-partial single-row aggregate — rows
+    * never shuffle. */
+  def cccPpm(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    base.agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast(d38)).as("__sx"),
+        sum(col("__y").cast(d38)).as("__sy"),
+        sum(col("__x").cast(d38) * col("__x")).as("__sxx"),
+        sum(col("__y").cast(d38) * col("__y")).as("__syy"),
+        sum(col("__x").cast(d38) * col("__y")).as("__sxy"))
+      .select(coalesce(col("__n"), lit(0L)).cast("long").as("n"),
+        col("__sx"), col("__sy"), col("__sxx"), col("__syy"),
+        col("__sxy"))
+      .withColumn("__den", expr(
+        """(CAST(n AS DECIMAL(38,0)) * __sxx - __sx * __sx)
+          | + (CAST(n AS DECIMAL(38,0)) * __syy - __sy * __sy)
+          | + (__sx - __sy) * (__sx - __sy)"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("n"),
+        when(col("n") === 0 || col("__den") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CAST(sign(CAST(n AS DECIMAL(38,0)) * __sxy - __sx * __sy)
+              |     AS DECIMAL(38,0)) *
+              |(CAST(2000000 AS DECIMAL(38,0)) *
+              | abs(CAST(n AS DECIMAL(38,0)) * __sxy - __sx * __sy)
+              | div __den) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("ccc_ppm"))
+  }
+
+  /** CRONBACH'S ALPHA — internal-consistency reliability of a k-item
+    * score battery (do these k signals measure the same construct?):
+    * the pre-check before summing quality sub-scores into one
+    * composite, and the classic survey-reliability statistic. Input
+    * is WIDE — one row per unit, one integer column per item (the
+    * [[cochranQMilli]] calling convention, continuous-valued).
+    *
+    * Exact rational with the n²-scaled variances (the scale cancels):
+    *   V_j = n·Σx_j² − (Σx_j)²         per-item
+    *   V_t = n·Σs² − (Σs)²,  s = Σ_j x_j row total
+    *   num = k·(V_t − Σ_j V_j),  den = (k−1)·V_t
+    *   alpha_ppm = sign(num) · (10⁶·|num| div den)   [sign-magnitude:
+    *   α ≤ 1 but goes negative on anti-correlated items]
+    * NULL when n < 2 or V_t = 0 (constant totals — reliability
+    * undefined).
+    *
+    * Output one row: (n_rows, k, alpha_ppm).
+    *
+    * Scale shape: ONE map-side-partial single-row aggregate — the
+    * item axis is columns, rows never shuffle. */
+  def cronbachAlphaPpm(df: DataFrame, itemCols: Seq[String]): DataFrame = {
+    val k = itemCols.size
+    require(k >= 2, s"need >= 2 items, got $k")
+    val vals = itemCols.map(c => col(c).cast("long"))
+    val base = df.where(vals.map(_.isNotNull).reduce(_ && _))
+      .select((vals.reduce(_ + _)).as("__s") +:
+        itemCols.zipWithIndex.map { case (c, j) =>
+          col(c).cast("long").as(s"__x$j")
+        }: _*)
+    val aggs = Seq(count(lit(1)).as("__n"),
+      sum(col("__s").cast(d38)).as("__st"),
+      sum(col("__s").cast(d38) * col("__s")).as("__stt")) ++
+      (0 until k).flatMap(j => Seq(
+        sum(col(s"__x$j").cast(d38)).as(s"__s$j"),
+        sum(col(s"__x$j").cast(d38) * col(s"__x$j")).as(s"__q$j")))
+    val vSum = (0 until k).map(j =>
+      s"(CAST(__n AS DECIMAL(38,0)) * __q$j - __s$j * __s$j)")
+      .mkString(" + ")
+    base.agg(aggs.head, aggs.tail: _*)
+      .withColumn("__vt", expr(
+        "CAST(__n AS DECIMAL(38,0)) * __stt - __st * __st"))
+      .withColumn("__vi", expr(vSum))
+      .select(coalesce(col("__n"), lit(0L)).cast("long").as("n_rows"),
+        lit(k.toLong).as("k"),
+        when(col("__n") < 2 || col("__vt") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            s"""CAST(CAST(sign(__vt - __vi) AS DECIMAL(38,0)) *
+               |(CAST(1000000 AS DECIMAL(38,0)) * $k * abs(__vt - __vi)
+               | div (${k - 1} * __vt)) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("alpha_ppm"))
+  }
+
+  /** KRIPPENDORFF'S ALPHA (interval) — [[krippendorffAlphaPpm]] for
+    * CONTINUOUS ratings: the squared-difference metric replaces the
+    * 0/1 nominal one, so "off by 2 cents" and "off by 2000 cents"
+    * stop counting the same. Same unequal-raters coincidence form,
+    * same unpairable-item drop.
+    *
+    * Exact pinned-floor form over pairable items (values integer by
+    * contract; n = Σ n_u kept ratings, S/T pooled Σx²/Σx over kept):
+    *   per-item Σ_{j≠k}(x_j−x_k)² = 2·(n_u·S_u − T_u²)   [pure integer]
+    *   do_micro = Σ_u (10⁶ · 2·(n_u·S_u − T_u²)) div (n_u − 1)
+    *              [per-ITEM floor, then summed — the nominal schedule;
+    *              each term must fit BIGINT: fine for values ≤ ~10⁶
+    *              and ≤ ~100 raters per item]
+    *   alpha_ppm = 10⁶ − (do_micro · (n−1)) div (2·(n·S − T²))
+    * NULL when n = 0 or n·S = T² (all pooled values identical).
+    *
+    * Output one row: (n_values, n_unpairable, alpha_ppm).
+    *
+    * Scale shape: identical to the nominal form — one item-grain
+    * groupBy, one pooled aggregate, one final row. */
+  def krippendorffAlphaIntervalPpm(df: DataFrame, itemCol: String,
+                                   valueCol: String): DataFrame = {
+    val base = df.select(col(itemCol).as("__i"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__i").isNotNull && col("__x").isNotNull)
+    val perItem = base.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__ni"),
+        sum(col("__x").cast(d38)).as("__ti"),
+        sum(col("__x").cast(d38) * col("__x")).as("__si"))
+    val unpairable = perItem.where(col("__ni") < 2)
+      .agg(countDistinct(col("__i")).as("__nu"))
+    val kept = perItem.where(col("__ni") >= 2)
+    val doAgg = kept
+      .select(col("__ni"),
+        expr("""CAST((1000000 * 2 * (__ni * __si - __ti * __ti))
+                |div (__ni - 1) AS DECIMAL(38,0))"""
+          .stripMargin.replace("\n", " ")).as("__do"),
+        col("__ti"), col("__si"))
+      .agg(sum(col("__ni")).as("__n"), sum(col("__do")).as("__dom"),
+        sum(col("__ti")).as("__t"), sum(col("__si")).as("__s"))
+    doAgg.crossJoin(broadcast(unpairable))
+      .select(coalesce(col("__n"), lit(0L)).cast("long").as("n_values"),
+        coalesce(col("__nu"), lit(0L)).cast("long").as("n_unpairable"),
+        col("__dom"), col("__t"), col("__s"))
+      .select(col("n_values"), col("n_unpairable"),
+        when(col("n_values") === 0 ||
+            col("n_values").cast(d38) * col("__s") === col("__t") * col("__t"),
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """1000000 - CAST((__dom * (n_values - 1))
+              |div (2 * (CAST(n_values AS DECIMAL(38,0)) * __s - __t * __t))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("alpha_ppm"))
+  }
 }

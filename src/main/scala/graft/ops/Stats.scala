@@ -3529,4 +3529,77 @@ object Stats {
           col("z2_milli") >= col("bound2_milli"), lit(1L))
           .otherwise(lit(0L)))
   }
+
+  /** MDE² POWER PROBE — "is this experiment big enough yet?": the
+    * minimum detectable effect for a two-sample mean test at the
+    * CURRENT sample sizes and variances, next to the observed effect.
+    * The planning readout that belongs before [[welchT2Milli]]'s
+    * significance and [[groupSequentialObfMilli]]'s stopping rule:
+    * an insignificant result is only informative once the observed
+    * |Δ| is read against what the experiment COULD have detected.
+    *
+    * No-sqrt stance (the pearsonR2Ppm / cohensD2Milli trade): the
+    * surfaced quantity is MDE² in squared value units,
+    *   MDE² = (z_{α/2}+z_β)² · (s_a²/n_a + s_b²/n_b)
+    * with the z-sum squared PINNED as an integer constant — never a
+    * cross-engine quantile: default `zSumSqMilli` = 7849 =
+    * round(1000·(1.959964+0.841621)²), i.e. α = 5% two-sided at 80%
+    * power (the OBF 4162-constant stance).
+    *
+    * Pinned floor schedule (documented, replayed by the oracle):
+    *   term_g  = (10⁶·(n_g·Σx² − (Σx)²)) div (n_g²·(n_g−1))
+    *             [per-SIDE floor — s_g²/n_g in micro units]
+    *   mde2_micro = (zSumSqMilli·(term_a + term_b)) div 1000
+    *   d_milli = (10³·|Σx_a·n_b − Σx_b·n_a|) div (n_a·n_b)
+    *   diff2_micro = d_milli²     [the floored milli-diff squared —
+    *             values ≤ ~10⁶ keep d_milli ≤ ~10⁹, square fits long]
+    *   powered = 1 iff diff2_micro ≥ mde2_micro
+    * All divided quantities non-negative — floor direction never
+    * splits the engines. NULL lanes (and powered NULL) when either
+    * side has n < 2.
+    *
+    * Output one row: (n_a, n_b, mde2_micro, diff2_micro, powered).
+    *
+    * Scale shape: ONE map-side-partial single-row aggregate — rows
+    * never shuffle. */
+  def mdeProbeMicro(df: DataFrame, flagCol: String, valueCol: String,
+                    zSumSqMilli: Long = 7849L): DataFrame = {
+    require(zSumSqMilli > 0, s"zSumSqMilli must be > 0, got $zSumSqMilli")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = df.select(col(flagCol).cast("boolean").as("__f"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__f").isNotNull && col("__x").isNotNull)
+    def side(f: Boolean, c: Column): Column = sum(when(col("__f") === f, c))
+    b.agg(side(true, lit(1L)).as("__na"),
+        side(false, lit(1L)).as("__nb"),
+        side(true, col("__x").cast(d38)).as("__sa"),
+        side(false, col("__x").cast(d38)).as("__sb"),
+        side(true, (col("__x").cast(d38) * col("__x"))).as("__qa"),
+        side(false, (col("__x").cast(d38) * col("__x"))).as("__qb"))
+      .select(coalesce(col("__na"), lit(0L)).cast("long").as("n_a"),
+        coalesce(col("__nb"), lit(0L)).cast("long").as("n_b"),
+        col("__sa"), col("__sb"), col("__qa"), col("__qb"))
+      .withColumn("__mde2", when(col("n_a") < 2 || col("n_b") < 2,
+          lit(null).cast("long"))
+        .otherwise(expr(
+          s"""CAST(($zSumSqMilli *
+             | ((1000000 * (CAST(n_a AS DECIMAL(38,0)) * __qa - __sa * __sa))
+             |    div (CAST(n_a AS DECIMAL(38,0)) * n_a * (n_a - 1))
+             |  + (1000000 * (CAST(n_b AS DECIMAL(38,0)) * __qb - __sb * __sb))
+             |    div (CAST(n_b AS DECIMAL(38,0)) * n_b * (n_b - 1))))
+             |div 1000 AS BIGINT)""".stripMargin.replace("\n", " "))))
+      .withColumn("__d", when(col("n_a") < 2 || col("n_b") < 2,
+          lit(null).cast("long"))
+        .otherwise(expr(
+          """CAST((1000 * abs(__sa * n_b - __sb * n_a))
+            |div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+            .stripMargin.replace("\n", " "))))
+      .select(col("n_a"), col("n_b"),
+        col("__mde2").as("mde2_micro"),
+        (col("__d") * col("__d")).as("diff2_micro"),
+        when(col("__mde2").isNull, lit(null).cast("long"))
+          .otherwise(when(col("__d") * col("__d") >= col("__mde2"),
+            lit(1L)).otherwise(lit(0L)))
+          .as("powered"))
+  }
 }

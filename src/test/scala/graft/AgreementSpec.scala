@@ -506,4 +506,136 @@ class AgreementSpec extends SparkTestBase {
     assert(byBatch(1L) >= 300L,
       s"all-de batch vs 3/8-de baseline is a ≥300 per-mille shift: $byBatch")
   }
+
+  // -------------------------------------------------------- ICC(2,1)
+  test("iccPpm: Shrout-Fleiss 1979 table, incomplete items drop") {
+    // The canonical 6-target × 4-judge table. Hand sums: T=127,
+    // S=841, P=ΣR²=2913, Q=ΣC²=4617 →
+    //   u = 6·2913−127² = 1349, c = 4·4617−127² = 2339,
+    //   e = 24·841−127²−u−c = 367
+    //   num = 6·(1349·3−367) = 22080
+    //   den = 1716·18 + 2339·20 − 367·4 = 76200
+    // ICC(2,1) = 22080/76200 = 0.2897 (the published 0.29) → 289763
+    val sf = Seq(
+      (1L, 9L, 2L, 5L, 8L), (2L, 6L, 1L, 3L, 2L), (3L, 8L, 4L, 6L, 8L),
+      (4L, 7L, 1L, 2L, 6L), (5L, 10L, 5L, 6L, 9L), (6L, 6L, 2L, 4L, 7L))
+    val long = sf.flatMap { case (i, a, b, c, d) =>
+      Seq((i, "j1", a), (i, "j2", b), (i, "j3", c), (i, "j4", d))
+    } :+ ((7L, "j1", 5L)) // one rating only → dropped
+    val r = Agreement.iccPpm(long.toDF("item", "rater", "x"),
+        "item", "rater", "x", raters = 4)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((6L, 1L, 4L, Some(289763L))), s"got $r")
+  }
+
+  test("iccPpm: identical raters = 10^6; constant table NULL") {
+    val perfect = Seq((1L, "a", 10L), (1L, "b", 10L),
+      (2L, "a", 20L), (2L, "b", 20L), (3L, "a", 35L), (3L, "b", 35L))
+      .toDF("item", "rater", "x")
+    assert(Agreement.iccPpm(perfect, "item", "rater", "x", 2)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+      == ((3L, 0L, 2L, Some(1000000L))))
+    // every rating the same value → den = 0 → NULL
+    val const = Seq((1L, "a", 5L), (1L, "b", 5L), (2L, "a", 5L),
+      (2L, "b", 5L)).toDF("item", "rater", "x")
+    assert(Agreement.iccPpm(const, "item", "rater", "x", 2)
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.isEmpty)
+  }
+
+  test("iccPpm: a systematic rater offset is penalized (vs Pearson)") {
+    // rater b = rater a + 100: Pearson r = 1, but absolute agreement
+    // must price the shift — ICC strictly below 10^6
+    val shifted = Seq((1L, "a", 10L), (1L, "b", 110L),
+      (2L, "a", 20L), (2L, "b", 120L), (3L, "a", 30L), (3L, "b", 130L))
+      .toDF("item", "rater", "x")
+    val icc = Agreement.iccPpm(shifted, "item", "rater", "x", 2)
+      .as[(Long, Long, Long, Option[Long])].collect().head._4.get
+    assert(icc < 100000L, s"offset must crush absolute agreement: $icc")
+  }
+
+  // ------------------------------------------------------- Lin's CCC
+  test("cccPpm: identity = 10^6, shift penalized, inversion negative") {
+    val id = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    assert(Agreement.cccPpm(id, "x", "y")
+      .as[(Long, Option[Long])].collect().head == ((3L, Some(1000000L))))
+    // y = x + 2: num = 2·(3·26−72) = 12, den = 6 + 6 + 36 = 48 → 1/4
+    val shift = Seq((1L, 3L), (2L, 4L), (3L, 5L)).toDF("x", "y")
+    assert(Agreement.cccPpm(shift, "x", "y")
+      .as[(Long, Option[Long])].collect().head._2 == Some(250000L))
+    // y = −x: num = 2·(−42+36) = −12, den = 6+6+144 = 156 →
+    // sign-magnitude −(12·10⁶/2 ... 2000000·6 div 156) = −76923
+    val inv = Seq((1L, -1L), (2L, -2L), (3L, -3L)).toDF("x", "y")
+    assert(Agreement.cccPpm(inv, "x", "y")
+      .as[(Long, Option[Long])].collect().head._2 == Some(-76923L))
+    // both sides one identical constant → den = 0 → NULL
+    val const = Seq((5L, 5L), (5L, 5L)).toDF("x", "y")
+    assert(Agreement.cccPpm(const, "x", "y")
+      .as[(Long, Option[Long])].collect().head._2.isEmpty)
+  }
+
+  // -------------------------------------------------- Cronbach alpha
+  test("cronbachAlphaPpm: hand two-item battery; perfect; negative") {
+    // x0=(1,2,3,4), x1=(1,3,2,4): V0=V1=20, s=(2,5,5,8) → Vt=72
+    // α = 2·(72−40)/72 = 64/72 → 888888 ppm
+    val hand = Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L))
+      .toDF("x0", "x1")
+    val r = Agreement.cronbachAlphaPpm(hand, Seq("x0", "x1"))
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(r == ((4L, 2L, Some(888888L))), s"got $r")
+    // three identical items → α = 1 exactly
+    val perfect = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L))
+      .toDF("a", "b", "c")
+    assert(Agreement.cronbachAlphaPpm(perfect, Seq("a", "b", "c"))
+      .as[(Long, Long, Option[Long])].collect().head._3
+      == Some(1000000L))
+    // anti-correlated pair: Vt=6 < ΣVi=12 → α = −2 (sign-magnitude)
+    val anti = Seq((1L, 3L), (2L, 1L), (3L, 2L)).toDF("a", "b")
+    assert(Agreement.cronbachAlphaPpm(anti, Seq("a", "b"))
+      .as[(Long, Long, Option[Long])].collect().head._3
+      == Some(-2000000L))
+    // constant row totals → Vt = 0 → NULL
+    val zero = Seq((1L, 2L), (2L, 1L)).toDF("a", "b")
+    assert(Agreement.cronbachAlphaPpm(zero, Seq("a", "b"))
+      .as[(Long, Long, Option[Long])].collect().head._3.isEmpty)
+  }
+
+  // --------------------------------------- Krippendorff interval α
+  test("krippendorffAlphaIntervalPpm: hand −0.5; perfect; unpairable") {
+    // A(1,2) B(1,2): per-item Σpairs(Δ²) = 2·(2·5−9) = 2, /(n_i−1) →
+    // dom = 4·10⁶; pooled 2(4·10−36) = 8 → α = 1 − 4·3/8 = −1/2
+    val hand = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L))
+      .toDF("item", "x")
+    val r = Agreement.krippendorffAlphaIntervalPpm(hand, "item", "x")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(r == ((4L, 0L, Some(-500000L))), s"got $r")
+    // within-item exact agreement, across-item spread → α = 10⁶;
+    // the single-rating item is unpairable and EXCLUDED from pooled
+    val perfect = Seq((1L, 1L), (1L, 1L), (2L, 2L), (2L, 2L),
+      (3L, 99L)).toDF("item", "x")
+    assert(Agreement.krippendorffAlphaIntervalPpm(perfect, "item", "x")
+      .as[(Long, Long, Option[Long])].collect().head
+      == ((4L, 1L, Some(1000000L))))
+    // all pooled values identical → expected disagreement 0 → NULL
+    val const = Seq((1L, 5L), (1L, 5L), (2L, 5L), (2L, 5L))
+      .toDF("item", "x")
+    assert(Agreement.krippendorffAlphaIntervalPpm(const, "item", "x")
+      .as[(Long, Long, Option[Long])].collect().head._3.isEmpty)
+  }
+
+  test("krippendorffAlphaIntervalPpm: magnitude-sensitive where nominal is not") {
+    // two items, each with one 2-unit miss vs one 2000-unit miss:
+    // nominal alpha scores both frames identically (all values
+    // distinct → both "disagreements"), interval alpha must score the
+    // small-miss frame far higher
+    val small = Seq((1L, 100L), (1L, 102L), (2L, 200L), (2L, 202L))
+      .toDF("item", "x")
+    val big = Seq((1L, 100L), (1L, 2100L), (2L, 200L), (2L, 2200L))
+      .toDF("item", "x")
+    val as = Agreement.krippendorffAlphaIntervalPpm(small, "item", "x")
+      .as[(Long, Long, Option[Long])].collect().head._3.get
+    val ab = Agreement.krippendorffAlphaIntervalPpm(big, "item", "x")
+      .as[(Long, Long, Option[Long])].collect().head._3.get
+    assert(as > 900000L && ab < 0L,
+      s"interval metric must separate miss magnitudes: $as vs $ab")
+  }
 }

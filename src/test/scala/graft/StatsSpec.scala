@@ -1879,4 +1879,39 @@ class StatsSpec extends SparkTestBase {
       .as[(Long, Long, Long)].collect().toSeq
     assert(o == Seq((1L, 1L, 1L)), s"got $o")
   }
+
+  test("mdeProbeMicro: hand floor schedule, underpowered read") {
+    // a=(10,20,30): var-num 3·1400−3600=600 → term=10⁶·600 div 18 =
+    // 33333333; b=(10,20,30,40): 4·3000−10⁴=2000 → 10⁶·2000 div 48 =
+    // 41666666; mde2 = 7849·74999999 div 1000 = 588674992
+    // d = 1000·|60·4−100·3| div 12 = 5000 → diff2 = 25·10⁶ → 0
+    val df = Seq((true, 10L), (true, 20L), (true, 30L),
+      (false, 10L), (false, 20L), (false, 30L), (false, 40L))
+      .toDF("f", "x")
+    val r = Stats.mdeProbeMicro(df, "f", "x")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(r == ((3L, 4L, Some(588674992L), Some(25000000L), Some(0L))),
+      s"got $r")
+  }
+
+  test("mdeProbeMicro: separated tight groups are powered; n<2 NULL") {
+    // a=(1000,1001), b=(1,2): each var-num 1 → term 250000 per side,
+    // mde2 = 7849·500000 div 1000 = 3924500; d = 1000·3996 div 4 =
+    // 999000 → diff2 = 998001000000 ≥ mde2 → powered
+    val sep = Seq((true, 1000L), (true, 1001L), (false, 1L),
+      (false, 2L)).toDF("f", "x")
+    val r = Stats.mdeProbeMicro(sep, "f", "x")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(r == ((2L, 2L, Some(3924500L), Some(998001000000L),
+      Some(1L))), s"got $r")
+    // a side has one row → every lane NULL
+    val thin = Seq((true, 5L), (false, 1L), (false, 2L)).toDF("f", "x")
+    val t = Stats.mdeProbeMicro(thin, "f", "x")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(t._1 == 1L && t._3.isEmpty && t._4.isEmpty && t._5.isEmpty,
+      s"got $t")
+  }
 }
