@@ -458,7 +458,40 @@ object AgreementGates {
           floor(col("value") * 100).cast("long").as("cents")),
       "flag", "cents")
 
+  // BLAND–ALTMAN (ops/Agreement.blandAltmanMilli): the method-
+  // comparison read on the q368 instrument pair — systematic bias,
+  // limits-of-agreement variance, and the fraction of differences
+  // actually inside ±2sd (the skewed cents tail drags it off the
+  // normal 954k ppm).
+  def q372_bland_altman(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").where(col("value").isNotNull)
+      .select(floor(col("value") * 100).cast("long").as("cents"))
+    graft.ops.Agreement.blandAltmanMilli(
+      e.select(col("cents").as("x"),
+        (expr("cents div 2") + 12000).as("y")),
+      "x", "y")
+  }
+
+  // CALINSKI–HARABASZ (llm/Similarity.calinskiHarabaszMilli): internal
+  // clustering quality of the q352 first-16 centroid assignment — the
+  // between/within variance ratio next to q352's label-referenced ARI;
+  // micro-quantized coordinate lane, per-cluster floor schedule.
+  def q373_calinski_harabasz(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = graft.llm.Similarity.ivfCentroids(
+      emb, "vec_id", "embedding", nlist = 16, iters = 0)
+    val assign = graft.llm.Similarity.assignToCentroids(emb, cents,
+        "vec_id", "embedding", "cid", "cv")
+      .select(col("vec_id"), col("centroid_id"))
+    graft.llm.Similarity.calinskiHarabaszMilli(
+      assign.join(emb.select(col("vec_id"), col("embedding")),
+        Seq("vec_id")),
+      "centroid_id", "embedding")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q372_bland_altman"      -> q372_bland_altman _,
+    "q373_calinski_harabasz" -> q373_calinski_harabasz _,
     "q367_icc"               -> q367_icc _,
     "q368_ccc"               -> q368_ccc _,
     "q369_cronbach"          -> q369_cronbach _,
@@ -491,6 +524,87 @@ object AgreementGates {
   /** DuckDB oracles — independent SQL recomputations (HUGEINT lanes,
     * `//` floors mirroring the documented pinned-floor schedules). */
   val oracleSql: Map[String, String] = Map(
+    "q372_bland_altman" ->
+      """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT)
+        |    - (CAST(floor(value*100) AS BIGINT) // 2 + 12000) AS d
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT count(*) AS n, sum(CAST(d AS HUGEINT)) AS t,
+        |         sum(CAST(d AS HUGEINT)*d) AS q FROM e),
+        |w AS (SELECT count(*) AS wn FROM e, st
+        |      WHERE n >= 2
+        |        AND (n*CAST(d AS HUGEINT) - t)*(n*CAST(d AS HUGEINT) - t)
+        |              * (n - 1)
+        |            <= 4 * n * (n*q - t*t))
+        |SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
+        |  CAST(CASE WHEN n < 2 THEN NULL
+        |       ELSE CAST(sign(t) AS HUGEINT) * ((1000 * abs(t)) // n)
+        |       END AS BIGINT) AS bias_milli,
+        |  CAST(CASE WHEN n < 2 THEN NULL
+        |       ELSE (1000 * (n*q - t*t)) // (CAST(n AS HUGEINT) * (n - 1))
+        |       END AS BIGINT) AS var_milli,
+        |  CAST(CASE WHEN n < 2 THEN NULL
+        |       ELSE (1000000 * CAST(wn AS HUGEINT)) // n
+        |       END AS BIGINT) AS within2sd_ppm
+        |FROM st, w""".stripMargin,
+    "q373_calinski_harabasz" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, vv,
+        |    list_sum(list_transform(vv,
+        |      x -> CAST(x*x AS DECIMAL(38,15)))) AS vn
+        |  FROM v),
+        |c AS (
+        |  SELECT rn - 1 AS cid, vv AS cv, vn AS cn FROM
+        |    (SELECT vv, vn,
+        |       row_number() OVER (ORDER BY vec_id) AS rn FROM n)
+        |  WHERE rn <= 16),
+        |d AS (
+        |  SELECT n.vec_id, c.cid,
+        |    CAST(n.vn AS DOUBLE) + CAST(c.cn AS DOUBLE) -
+        |    2.0 * CAST(list_sum(list_transform(list_zip(n.vv, c.cv),
+        |      p -> CAST(p[1]*p[2] AS DECIMAL(38,15)))) AS DOUBLE) AS dist2
+        |  FROM n, c),
+        |a AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |    FROM d) WHERE rn = 1),
+        |e2 AS (
+        |  SELECT a.cid AS cc, generate_subscripts(n.vv, 1) AS dim,
+        |    CAST(floor(unnest(n.vv) * 1000000) AS BIGINT) AS x
+        |  FROM a JOIN n USING (vec_id)),
+        |cd AS (SELECT cc, dim, count(*) AS m,
+        |         sum(CAST(x AS HUGEINT)) AS s,
+        |         sum(CAST(x AS HUGEINT)*x) AS q
+        |       FROM e2 GROUP BY 1, 2),
+        |g2 AS (SELECT dim, sum(s) AS gg, sum(m) AS nn
+        |       FROM cd GROUP BY 1),
+        |w AS (SELECT cc, (max(m)*sum(q) - sum(s*s))
+        |               // (CAST(max(m) AS HUGEINT) * 1000000000)
+        |               AS wmilli
+        |      FROM cd GROUP BY 1),
+        |bc AS (SELECT cd.cc, max(cd.m) AS mb, max(g2.nn) AS nn,
+        |         sum((g2.nn*cd.s - cd.m*g2.gg)*(g2.nn*cd.s - cd.m*g2.gg))
+        |           AS bnum
+        |       FROM cd JOIN g2 USING (dim) GROUP BY 1),
+        |b AS (SELECT cc, nn,
+        |        bnum // (CAST(mb AS HUGEINT) * nn * nn * 1000000000)
+        |          AS bmilli
+        |      FROM bc),
+        |f AS (SELECT count(*) AS k, max(b.nn) AS ntot,
+        |        sum(w.wmilli) AS wm, sum(b.bmilli) AS bm
+        |      FROM w JOIN b USING (cc))
+        |SELECT CAST(COALESCE(ntot, 0) AS BIGINT) AS n,
+        |  CAST(COALESCE(k, 0) AS BIGINT) AS k,
+        |  CAST(wm AS BIGINT) AS w_milli,
+        |  CAST(bm AS BIGINT) AS b_milli,
+        |  CAST(CASE WHEN k < 2 OR ntot <= k OR wm = 0 THEN NULL
+        |       ELSE (1000 * bm * (ntot - k)) // (wm * (k - 1))
+        |       END AS BIGINT) AS ch_milli
+        |FROM f""".stripMargin,
     "q367_icc" ->
       """WITH e AS (SELECT event_id,
         |             CAST(floor(value*100) AS BIGINT) AS cents

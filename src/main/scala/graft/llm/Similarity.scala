@@ -1677,4 +1677,85 @@ object Similarity {
       out.result().iterator
     }.toDF("query_id", "cand_id", "mmr_rank", "mmr_score")
   }
+
+  /** CALINSKI–HARABASZ INDEX — clustering-quality readout for a
+    * centroid assignment (the internal-validity number next to
+    * ops/Agreement.partitionAgreementPpm's external ARI): the
+    * between/within variance ratio
+    *   CH = (B/(k−1)) / (W/(n−k))
+    * with W = Σ_points ||x − μ_cluster||² and B = Σ_c m_c·||μ_c − μ||².
+    * Higher = tighter, better-separated clusters — the k-picker for
+    * [[ivfCentroids]]/semantic-dedup sizing.
+    *
+    * Determinism lane: coordinates are MICRO-QUANTIZED up front
+    * (x → floor(10⁶·x) as long — one deterministic double multiply
+    * both engines replay bit-for-bit), after which every sum of
+    * squares is a pure integer: per (cluster, dim) sums s and squares
+    * q give the classic identities
+    *   W_c·m_c = m_c·Σq − Σ_d s_d²
+    *   B_c·m_c·n² = Σ_d (n·s_d − m_c·g_d)²     [g = global dim sums]
+    * W/B are surfaced in REAL-unit milli via the 10⁹ = (10⁶)²/10³
+    * descale, floored PER CLUSTER (documented schedule):
+    *   w_c_milli = (m_c·Σq − Σs²) div (m_c·10⁹)
+    *   b_c_milli = Σ(n·s−m_c·g)² div (m_c·n²·10⁹)
+    *   ch_milli  = (1000·Σb·(n−k)) div (Σw·(k−1))
+    * k counts OBSERVED (non-empty) clusters. NULL when k < 2, n ≤ k,
+    * or W = 0 (every point sits on its centroid).
+    *
+    * Output one row: (n, k, w_milli, b_milli, ch_milli).
+    *
+    * Scale shape: one explode + (cluster, dim) groupBy — map-side
+    * partials mean only k·d aggregate rows cross the shuffle — then
+    * k-grain and one-row aggregates. O(n·d) work, no n×k stage (the
+    * assignment upstream owns that). */
+  def calinskiHarabaszMilli(df: DataFrame, clusterCol: String,
+                            vecCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = df.where(col(clusterCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(clusterCol).as("__c"),
+        posexplode(col(vecCol)).as(Seq("__d", "__xf")))
+      .select(col("__c"), col("__d"),
+        floor(col("__xf").cast("double") * lit(1000000.0d))
+          .cast("long").as("__x"))
+    val cd = e.groupBy(col("__c"), col("__d"))
+      .agg(count(lit(1)).as("__m"),
+        sum(col("__x").cast(d38)).as("__s"),
+        sum(col("__x").cast(d38) * col("__x")).as("__q"))
+      .localCheckpoint() // consumed by the W pass, the B pass, and g
+    val g = cd.groupBy(col("__d"))
+      .agg(sum(col("__s")).as("__g"), sum(col("__m")).as("__nn"))
+    val wc = cd.groupBy(col("__c"))
+      .agg(max(col("__m")).as("__mc"), sum(col("__q")).as("__sx2"),
+        sum(col("__s") * col("__s")).as("__ss2"))
+      .select(col("__c"), expr(
+        """(CAST(__mc AS DECIMAL(38,0)) * __sx2 - __ss2)
+          |div (CAST(__mc AS DECIMAL(38,0)) * 1000000000)"""
+          .stripMargin.replace("\n", " ")).as("__wmilli"))
+    val bc = cd.join(broadcast(g), "__d")
+      .groupBy(col("__c"))
+      .agg(max(col("__m")).as("__mb"), max(col("__nn")).as("__n"),
+        sum((col("__nn").cast(d38) * col("__s") -
+          col("__m").cast(d38) * col("__g")) *
+          (col("__nn").cast(d38) * col("__s") -
+            col("__m").cast(d38) * col("__g"))).as("__bnum"))
+      .select(col("__c"), col("__n"), expr(
+        """__bnum div (CAST(__mb AS DECIMAL(38,0)) * __n * __n
+          | * 1000000000)""".stripMargin.replace("\n", " "))
+        .as("__bmilli"))
+    wc.join(bc, "__c")
+      .agg(count(lit(1)).as("__k"), max(col("__n")).as("__ntot"),
+        sum(col("__wmilli").cast(d38)).as("__w"),
+        sum(col("__bmilli").cast(d38)).as("__b"))
+      .select(coalesce(col("__ntot"), lit(0L)).cast("long").as("n"),
+        coalesce(col("__k"), lit(0L)).cast("long").as("k"),
+        col("__w").cast("long").as("w_milli"),
+        col("__b").cast("long").as("b_milli"),
+        when(col("__k") < 2 || col("__ntot") <= col("__k") ||
+            col("__w") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000 * __b * (__ntot - __k))
+              |div (__w * (__k - 1)) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("ch_milli"))
+  }
 }

@@ -734,6 +734,64 @@ object Agreement {
     *
     * Scale shape: identical to the nominal form — one item-grain
     * groupBy, one pooled aggregate, one final row. */
+  /** BLAND–ALTMAN AGREEMENT READOUT — the method-comparison companion
+    * to [[cccPpm]]: CCC gives one number, Bland–Altman asks the
+    * clinical questions — what is the systematic BIAS between the two
+    * readings, how wide are the limits of agreement, and what fraction
+    * of differences actually falls inside them (≈95.4% under
+    * normality; a heavy tail shows up here first).
+    *
+    * No-sqrt stance: the limits are carried as the VARIANCE of the
+    * differences (sd² — LoA = bias ± 2·sqrt, derivable downstream),
+    * and the within-2sd test is cross-multiplied to pure integers:
+    * with d_i = x_i − y_i, T = Σd, Q = Σd², V = n·Q − T²,
+    *   bias_milli   = sign(T) · (10³·|T|) div n
+    *   var_milli    = (10³·V) div (n·(n−1))          [sample variance]
+    *   within-2sd_i ⟺ (n·d_i − T)²·(n−1) ≤ 4·n·V    [exact, per row]
+    *   within2sd_ppm = (10⁶·count) div n
+    * All NULL (except n) when n < 2.
+    *
+    * Output one row: (n, bias_milli, var_milli, within2sd_ppm).
+    *
+    * Scale shape: one map-side stats aggregate, broadcast back over a
+    * second map-only flag pass, one count — two scans, rows never
+    * shuffle. */
+  def blandAltmanMilli(df: DataFrame, xCol: String,
+                       yCol: String): DataFrame = {
+    val base = df.select((col(xCol).cast("long") - col(yCol).cast("long"))
+        .as("__d"))
+      .where(col("__d").isNotNull)
+    val stats = base.agg(count(lit(1)).as("__n"),
+      sum(col("__d").cast(d38)).as("__t"),
+      sum(col("__d").cast(d38) * col("__d")).as("__q"))
+    val win = base.crossJoin(broadcast(stats))
+      .where(col("__n") >= 2 &&
+        (col("__n").cast(d38) * col("__d") - col("__t")) *
+          (col("__n").cast(d38) * col("__d") - col("__t")) * (col("__n") - 1)
+          <= lit(4).cast(d38) * col("__n") *
+            (col("__n").cast(d38) * col("__q") - col("__t") * col("__t")))
+      .agg(count(lit(1)).as("__w"))
+    stats.crossJoin(broadcast(win))
+      .select(coalesce(col("__n"), lit(0L)).cast("long").as("n"),
+        col("__t"), col("__q"), col("__w"))
+      .select(col("n"),
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CAST(sign(__t) AS DECIMAL(38,0)) *
+              |(1000 * abs(__t) div n) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("bias_milli"),
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000 * (CAST(n AS DECIMAL(38,0)) * __q - __t * __t))
+              |div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("var_milli"),
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * __w) div n"))
+          .as("within2sd_ppm"))
+  }
+
   def krippendorffAlphaIntervalPpm(df: DataFrame, itemCol: String,
                                    valueCol: String): DataFrame = {
     val base = df.select(col(itemCol).as("__i"),

@@ -622,6 +622,41 @@ class AgreementSpec extends SparkTestBase {
       .as[(Long, Long, Option[Long])].collect().head._3.isEmpty)
   }
 
+  // ---------------------------------------------------- Bland–Altman
+  test("blandAltmanMilli: hand bias/variance/within-2sd; NULL under 2") {
+    // diffs (0×9, 100): T=100, Q=10⁴, V = 10·10⁴−10⁴ = 9·10⁴
+    // bias = 1000·100 div 10 = 10000; var = 1000·9·10⁴ div 90 = 10⁶
+    // within: (10d−100)²·9 ≤ 40·9·10⁴ keeps the nine zeros, drops the
+    // outlier → 900000 ppm
+    val df = ((1 to 9).map(_ => (0L, 0L)) :+ ((100L, 0L)))
+      .toDF("x", "y")
+    val r = Agreement.blandAltmanMilli(df, "x", "y")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(r == ((10L, Some(10000L), Some(1000000L), Some(900000L))),
+      s"got $r")
+    // identical methods: bias 0, var 0, everything within
+    val same = Seq((5L, 5L), (7L, 7L), (9L, 9L)).toDF("x", "y")
+    assert(Agreement.blandAltmanMilli(same, "x", "y")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+      == ((3L, Some(0L), Some(0L), Some(1000000L))))
+    // n = 1 → all lanes NULL
+    val one = Seq((5L, 3L)).toDF("x", "y")
+    val o = Agreement.blandAltmanMilli(one, "x", "y")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head
+    assert(o._1 == 1L && o._2.isEmpty && o._3.isEmpty && o._4.isEmpty)
+  }
+
+  test("blandAltmanMilli: negative bias goes sign-magnitude") {
+    // d = (−10, −20): T = −30 → bias = −(1000·30 div 2) = −15000
+    val df = Seq((0L, 10L), (0L, 20L)).toDF("x", "y")
+    assert(Agreement.blandAltmanMilli(df, "x", "y")
+      .as[(Long, Option[Long], Option[Long], Option[Long])]
+      .collect().head._2 == Some(-15000L))
+  }
+
   test("krippendorffAlphaIntervalPpm: magnitude-sensitive where nominal is not") {
     // two items, each with one 2-unit miss vs one 2000-unit miss:
     // nominal alpha scores both frames identically (all values

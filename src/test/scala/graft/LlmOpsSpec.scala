@@ -1762,4 +1762,46 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!p.contains("Exchange") && !p.contains("BatchEvalPython"),
       s"luhn must stay map-only:\n${p.take(400)}")
   }
+
+  test("calinskiHarabaszMilli: hand two-cluster table, degenerate NULLs") {
+    // A: (0,0),(0,.2)  B: (1,1),(1,.8) — micro lane: W_A = W_B = 20
+    // (per-cluster milli), B_c = 820 each (means (0,.1)/(1,.9) vs
+    // global (.5,.5): .25+.16 = .41 × m=2 → 820 milli)
+    // CH = (1.64/1)/(0.04/2) = 82 → 82000 milli
+    val df = Seq(
+      ("a", Array(0.0f, 0.0f)), ("a", Array(0.0f, 0.2f)),
+      ("b", Array(1.0f, 1.0f)), ("b", Array(1.0f, 0.8f)))
+      .toDF("cluster", "vec")
+    val r = Similarity.calinskiHarabaszMilli(df, "cluster", "vec")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((4L, 2L, 40L, 1640L, Some(82000L))), s"got $r")
+    // one cluster → k < 2 → NULL
+    val one = Seq(("a", Array(0.0f, 0.0f)), ("a", Array(1.0f, 1.0f)))
+      .toDF("cluster", "vec")
+    assert(Similarity.calinskiHarabaszMilli(one, "cluster", "vec")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head._5.isEmpty)
+    // every point its own cluster → n = k (and W = 0) → NULL
+    val shatter = Seq(("a", Array(0.0f)), ("b", Array(1.0f)))
+      .toDF("cluster", "vec")
+    assert(Similarity.calinskiHarabaszMilli(shatter, "cluster", "vec")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head._5.isEmpty)
+  }
+
+  test("calinskiHarabaszMilli: separation ranks k choices (the k-picker read)") {
+    // same 4 points; the true-2-cluster split must beat a bad split
+    // that pairs a near point with a far one
+    val good = Seq(
+      ("a", Array(0.0f, 0.0f)), ("a", Array(0.0f, 0.2f)),
+      ("b", Array(1.0f, 1.0f)), ("b", Array(1.0f, 0.8f)))
+      .toDF("cluster", "vec")
+    val bad = Seq(
+      ("a", Array(0.0f, 0.0f)), ("b", Array(0.0f, 0.2f)),
+      ("b", Array(1.0f, 1.0f)), ("a", Array(1.0f, 0.8f)))
+      .toDF("cluster", "vec")
+    val g = Similarity.calinskiHarabaszMilli(good, "cluster", "vec")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head._5.get
+    val b = Similarity.calinskiHarabaszMilli(bad, "cluster", "vec")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head._5.get
+    assert(g > 10L * b, s"true split must dominate: $g vs $b")
+  }
 }
