@@ -489,7 +489,25 @@ object AgreementGates {
       "centroid_id", "embedding")
   }
 
+  // SIMPLIFIED SILHOUETTE (llm/Similarity.simplifiedSilhouetteMilli):
+  // the per-point clustering-quality read next to q373's CH on the
+  // SAME first-16 assignment — centroid-based O(n·k), squared-distance
+  // metric, micro-quantized lane.
+  def q374_silhouette(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = graft.llm.Similarity.ivfCentroids(
+      emb, "vec_id", "embedding", nlist = 16, iters = 0)
+    val assign = graft.llm.Similarity.assignToCentroids(emb, cents,
+        "vec_id", "embedding", "cid", "cv")
+      .select(col("vec_id"), col("centroid_id"))
+    graft.llm.Similarity.simplifiedSilhouetteMilli(
+      assign.join(emb.select(col("vec_id"), col("embedding")),
+        Seq("vec_id")),
+      "vec_id", "centroid_id", "embedding")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q374_silhouette"        -> q374_silhouette _,
     "q372_bland_altman"      -> q372_bland_altman _,
     "q373_calinski_harabasz" -> q373_calinski_harabasz _,
     "q367_icc"               -> q367_icc _,
@@ -524,6 +542,68 @@ object AgreementGates {
   /** DuckDB oracles — independent SQL recomputations (HUGEINT lanes,
     * `//` floors mirroring the documented pinned-floor schedules). */
   val oracleSql: Map[String, String] = Map(
+    "q374_silhouette" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, vv,
+        |    list_sum(list_transform(vv,
+        |      x -> CAST(x*x AS DECIMAL(38,15)))) AS vn
+        |  FROM v),
+        |c AS (
+        |  SELECT rn - 1 AS cid, vv AS cv, vn AS cn FROM
+        |    (SELECT vv, vn,
+        |       row_number() OVER (ORDER BY vec_id) AS rn FROM n)
+        |  WHERE rn <= 16),
+        |d AS (
+        |  SELECT n.vec_id, c.cid,
+        |    CAST(n.vn AS DOUBLE) + CAST(c.cn AS DOUBLE) -
+        |    2.0 * CAST(list_sum(list_transform(list_zip(n.vv, c.cv),
+        |      p -> CAST(p[1]*p[2] AS DECIMAL(38,15)))) AS DOUBLE) AS dist2
+        |  FROM n, c),
+        |a AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number()
+        |      OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |    FROM d) WHERE rn = 1),
+        |e2 AS (
+        |  SELECT n.vec_id, a.cid AS own,
+        |    generate_subscripts(n.vv, 1) AS dim,
+        |    CAST(floor(unnest(n.vv) * 1000000) AS BIGINT) AS x
+        |  FROM a JOIN n USING (vec_id)),
+        |cd AS (SELECT own AS cc, dim, count(*) AS m,
+        |         sum(CAST(x AS HUGEINT)) AS s
+        |       FROM e2 GROUP BY 1, 2),
+        |pc AS (SELECT e2.vec_id, e2.own, cd.cc, cd.m,
+        |         sum((cd.m*CAST(e2.x AS HUGEINT) - cd.s)
+        |             * (cd.m*CAST(e2.x AS HUGEINT) - cd.s)) AS anum
+        |       FROM e2 JOIN cd USING (dim)
+        |       GROUP BY 1, 2, 3, 4),
+        |f AS (SELECT vec_id, own, cc, m,
+        |        anum // (CAST(m AS HUGEINT) * m) AS fv FROM pc),
+        |per AS (SELECT vec_id,
+        |          max(CASE WHEN own = cc THEN fv END) AS a,
+        |          min(CASE WHEN own <> cc THEN fv END) AS b,
+        |          max(CASE WHEN own = cc THEN m END) AS mo,
+        |          count(DISTINCT cc) AS k
+        |        FROM f GROUP BY 1),
+        |sm AS (SELECT k,
+        |         CASE WHEN mo = 1 OR b IS NULL
+        |                OR greatest(a, b) = 0 THEN 0
+        |              ELSE CAST(sign(b - a) AS HUGEINT)
+        |                   * ((1000 * abs(b - a)) // greatest(a, b))
+        |         END AS s
+        |       FROM per),
+        |agg AS (SELECT count(*) AS n, max(k) AS kk, sum(s) AS ss
+        |        FROM sm)
+        |SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
+        |  CAST(COALESCE(kk, 0) AS BIGINT) AS k,
+        |  CAST(CASE WHEN COALESCE(n, 0) = 0 OR kk < 2 THEN NULL
+        |       ELSE CAST(sign(ss) AS HUGEINT) * (abs(ss) // n)
+        |       END AS BIGINT) AS silhouette_milli
+        |FROM agg""".stripMargin,
     "q372_bland_altman" ->
       """WITH e AS (SELECT CAST(floor(value*100) AS BIGINT)
         |    - (CAST(floor(value*100) AS BIGINT) // 2 + 12000) AS d

@@ -860,7 +860,33 @@ object LlmTextGates {
       .agg(count(lit(1)).as("n_docs"), sum(col("words")).as("words"),
         expr("sum(fk_milli) div count(1)").as("mean_fk_milli"))
 
+  // TEXTTILING TOPIC BOUNDARIES (llm/TextAnalysis.topicBoundaries):
+  // per-sentence-gap vocabulary-Jaccard valleys over 2-sentence blocks
+  // — the topic-shift chunking signal for long-document training prep,
+  // next to the fixed-size chunkByTokens path. The fixture docs carry
+  // no sentence punctuation, so the gate composes 10-doc documents
+  // (each source doc = one sentence, the q159 planted-text stance) and
+  // swaps every 5th source doc for an alien vocabulary — boundaries
+  // must fire exactly around the planted topic shifts while same-pool
+  // neighbors stay well above the threshold.
+  def q375_topic_boundaries(s: SparkSession, dir: String): DataFrame = {
+    val src = CoreQueries.tRead(s, dir, "documents")
+      .where(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(expr("doc_id div 10").as("comp_id"), col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          lit("alpha beta gamma delta epsilon zeta eta theta"))
+          .otherwise(col("text")).as("t"))
+    val comp = src.groupBy(col("comp_id"))
+      .agg(expr("""array_join(transform(
+          |  array_sort(collect_list(struct(doc_id, t))),
+          |  x -> x.t), '. ')""".stripMargin.replace("\n", " "))
+        .as("text"))
+    graft.llm.TextAnalysis.topicBoundaries(
+      comp, "comp_id", "text", w = 2, thresholdPpm = 150000L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q375_topic_boundaries" -> q375_topic_boundaries _,
     "q256_readability" -> q256_readability _,
     "q232_url_normalize" -> q232_url_normalize _,
     "q233_domain_stats" -> q233_domain_stats _,
@@ -989,6 +1015,60 @@ object LlmTextGates {
       |  FROM d)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q375_topic_boundaries" ->
+      """WITH src AS (SELECT doc_id // 10 AS comp_id, doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'alpha beta gamma delta epsilon zeta eta theta'
+        |      ELSE text END AS t
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |comp AS (SELECT comp_id AS doc_id,
+        |    string_agg(t, '. ' ORDER BY doc_id) AS text
+        |  FROM src GROUP BY 1),
+        |s AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |        string_split_regex(text, '[.!?]+[ \t\n]+'),
+        |        x -> trim(x)),
+        |      x -> len(x) > 0) AS arr
+        |  FROM comp),
+        |sent AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |           arr[i] AS sen
+        |         FROM (SELECT doc_id, arr,
+        |                 unnest(range(1, len(arr)+1)) AS i FROM s)),
+        |mx AS (SELECT doc_id, max(pos) AS maxp FROM sent GROUP BY 1),
+        |sw AS (SELECT DISTINCT doc_id, pos, wd FROM (
+        |         SELECT doc_id, pos,
+        |           unnest(list_filter(
+        |             string_split_regex(lower(sen), '[^a-z0-9]+'),
+        |             x -> len(x) > 0)) AS wd
+        |         FROM sent)),
+        |spine AS (SELECT doc_id, CAST(unnest(range(1, maxp+1)) AS INT)
+        |            AS g
+        |          FROM mx WHERE maxp >= 1),
+        |lw AS (SELECT DISTINCT sp.doc_id, sp.g, sw.wd
+        |       FROM spine sp JOIN sw ON sw.doc_id = sp.doc_id
+        |         AND sw.pos BETWEEN sp.g - 2 AND sp.g - 1),
+        |rw AS (SELECT DISTINCT sp.doc_id, sp.g, sw.wd
+        |       FROM spine sp JOIN sw ON sw.doc_id = sp.doc_id
+        |         AND sw.pos BETWEEN sp.g AND sp.g + 1),
+        |u AS (SELECT doc_id, g, wd, max(l) AS hl, max(r) AS hr FROM (
+        |        SELECT doc_id, g, wd, 1 AS l, 0 AS r FROM lw
+        |        UNION ALL
+        |        SELECT doc_id, g, wd, 0, 1 FROM rw)
+        |      GROUP BY 1, 2, 3),
+        |pg AS (SELECT doc_id, g,
+        |         sum(CASE WHEN hl = 1 AND hr = 1 THEN 1 ELSE 0 END)
+        |           AS inter,
+        |         count(*) AS uni
+        |       FROM u GROUP BY 1, 2)
+        |SELECT sp.doc_id AS comp_id, CAST(sp.g AS BIGINT) AS gap_pos,
+        |  CAST(CASE WHEN uni IS NULL OR uni = 0 THEN NULL
+        |       ELSE (1000000 * inter) // uni END AS BIGINT) AS sim_ppm,
+        |  CAST(CASE WHEN uni IS NOT NULL AND uni > 0
+        |              AND (1000000 * inter) // uni < 150000
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_boundary
+        |FROM spine sp LEFT JOIN pg
+        |  ON pg.doc_id = sp.doc_id AND pg.g = sp.g""".stripMargin,
     "q256_readability" ->
       """WITH d AS (SELECT lang,
         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) words,

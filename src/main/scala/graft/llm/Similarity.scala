@@ -1758,4 +1758,88 @@ object Similarity {
               .stripMargin.replace("\n", " ")))
           .as("ch_milli"))
   }
+
+  /** SIMPLIFIED SILHOUETTE — the per-point companion to
+    * [[calinskiHarabaszMilli]]: for each point, a = squared distance
+    * to its OWN cluster centroid, b = the nearest OTHER centroid, and
+    *   s = (b − a) / max(a, b)  ∈ [−1, 1]
+    * averaged over the corpus. The "simplified" (centroid-based)
+    * variant is the O(n·k) industry form — classic silhouette's
+    * all-pairs a/b is O(n²) and never acceptable at corpus scale; the
+    * squared-distance metric keeps the exact-integer lane (monotone
+    * per point, so the min/argmin structure is unchanged).
+    *
+    * Same micro-quantized coordinate lane as CH (x → floor(10⁶·x)),
+    * then exact integers throughout: with per-(cluster,dim) sums s
+    * and sizes m, the squared distance point→centroid_c rides the
+    * common denominator m_c²:
+    *   A_num(p,c) = Σ_d (m_c·x_d − s_{c,d})²
+    *   f(p,c)     = A_num div m_c²                 [pinned floor]
+    *   s_milli(p) = sign(b−a) · (10³·|b−a| div max(a,b)); 0 when the
+    *                point's own cluster is a singleton (a undefined —
+    *                the sklearn convention) or max(a,b) = 0
+    *   silhouette_milli = sign(S) · (|S| div n),  S = Σ s_milli(p)
+    * NULL when k < 2 or n = 0. `idCol` must be unique per point (the
+    * point-grain groupBy key).
+    *
+    * Output one row: (n, k, silhouette_milli).
+    *
+    * Scale shape: one (cluster,dim) groupBy (k·d aggregate rows), a
+    * broadcast of the k centroid rows against the corpus (n·k rows,
+    * the designed O(n·k) — k bounded by contract), one point-grain
+    * groupBy, one final row. No windows, no n² stage. */
+  def simplifiedSilhouetteMilli(df: DataFrame, idCol: String,
+                                clusterCol: String,
+                                vecCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pts = df.where(col(idCol).isNotNull &&
+        col(clusterCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(clusterCol).as("__pc"),
+        expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) " +
+          "* 1000000.0) AS BIGINT))").as("__px"),
+        col(idCol).as("__pid"))
+    val cd = pts.select(col("__pc"), posexplode(col("__px"))
+        .as(Seq("__d", "__x")))
+      .groupBy(col("__pc"), col("__d"))
+      .agg(count(lit(1)).as("__m"), sum(col("__x")).as("__s"))
+    val cents = cd.groupBy(col("__pc").as("__cc"))
+      .agg(max(col("__m")).as("__mc"),
+        expr("transform(array_sort(collect_list(struct(__d, __s))), " +
+          "t -> t.__s)").as("__cs"))
+    val pc = pts.crossJoin(broadcast(cents))
+      .select(col("__pid"), col("__pc"), col("__cc"), col("__mc"),
+        expr("""aggregate(zip_with(__px, __cs,
+                |  (x, s) -> __mc * x - s),
+                |CAST(0 AS DECIMAL(38,0)),
+                |(acc, v) -> acc + CAST(v AS DECIMAL(38,0)) * v)"""
+          .stripMargin.replace("\n", " ")).as("__anum"))
+      .select(col("__pid"), col("__pc"), col("__cc"), col("__mc"),
+        expr("__anum div (CAST(__mc AS DECIMAL(38,0)) * __mc)")
+          .as("__f"))
+    val per = pc.groupBy(col("__pid"))
+      .agg(max(when(col("__pc") === col("__cc"), col("__f"))).as("__a"),
+        min(when(col("__pc") =!= col("__cc"), col("__f"))).as("__b"),
+        max(when(col("__pc") === col("__cc"), col("__mc"))).as("__mo"),
+        countDistinct(col("__cc")).as("__k"))
+      .select(col("__k"),
+        when(col("__mo") === 1 || col("__b").isNull ||
+            greatest(col("__a"), col("__b")) === 0, lit(0L))
+          .otherwise(expr(
+            """CAST(CAST(sign(__b - __a) AS DECIMAL(38,0)) *
+              |(1000 * abs(CAST(__b AS DECIMAL(38,0)) - __a)
+              | div greatest(__a, __b)) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("__sm"))
+    per.agg(count(lit(1)).as("__n"), max(col("__k")).as("__kk"),
+        sum(col("__sm").cast(d38)).as("__ss"))
+      .select(coalesce(col("__n"), lit(0L)).cast("long").as("n"),
+        coalesce(col("__kk"), lit(0L)).cast("long").as("k"),
+        when(col("__n") === 0 || col("__kk") < 2,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CAST(sign(__ss) AS DECIMAL(38,0)) *
+              |(abs(__ss) div __n) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("silhouette_milli"))
+  }
 }

@@ -622,4 +622,77 @@ object TextAnalysis {
       }
       .toDF(idCol, "n_bytes", "n_deflate", "ratio_ppm")
   }
+
+  /** TEXTTILING-STYLE TOPIC BOUNDARIES (Hearst 1997, block-comparison
+    * form) — where does a document change subject? The chunking signal
+    * for long-document training prep: split-points that respect topic
+    * shifts beat fixed-size windows (ops/Packing.chunkByTokens) for
+    * retrieval and packing alike.
+    *
+    * At every sentence gap g (1..S−1, sentences via [[splitSentences]]),
+    * compare the w-sentence blocks either side by VOCABULARY Jaccard
+    * (the exact-integer stand-in for Hearst's cosine — same valleys,
+    * no sqrt): tokens are non-empty `[^a-z0-9]+` splits of the
+    * lowercased sentences, deduplicated per block.
+    *   sim_ppm(g)  = (10⁶ · |L ∩ R|) div |L ∪ R|
+    *   is_boundary = 1 iff sim_ppm < thresholdPpm
+    * Gaps whose blocks contain no tokens at all carry sim_ppm NULL and
+    * is_boundary 0 (no evidence — not a boundary call). Docs with a
+    * single sentence emit no rows (no gaps).
+    *
+    * Output rows: (idCol, gap_pos, sim_ppm, is_boundary) — gap_pos g
+    * means "between sentence g−1 and g".
+    *
+    * Scale shape: sentence/token explode is map-side; each token row
+    * fans out to ≤ 2w gap memberships (w bounded by contract), one
+    * (doc, gap, token) groupBy, one (doc, gap) groupBy — shuffles at
+    * the token grain, never doc × doc. */
+  def topicBoundaries(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 2,
+                      thresholdPpm: Long = 150000L): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000,
+      s"thresholdPpm must be in [0, 10^6], got $thresholdPpm")
+    val sents = df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(splitSentences(col(textCol))).as(Seq("__p", "__s")))
+    val sc = sents.groupBy(col("__id")).agg(max(col("__p")).as("__maxp"))
+    val sw = sents.select(col("__id"), col("__p"),
+        explode(filter(split(lower(col("__s")), "[^a-z0-9]+"),
+          t => length(t) > 0)).as("__wd"))
+      .distinct()
+      .join(sc, "__id")
+    // guard: Spark sequence(a, b) counts DOWN when a > b — emit an
+    // empty array instead (the charNgrams lesson)
+    def gapsBetween(lo: Column, hi: Column): Column =
+      when(lo <= hi, sequence(lo, hi))
+        .otherwise(array().cast("array<int>"))
+    val mem = sw.select(col("__id"), col("__wd"),
+        explode(gapsBetween(col("__p") + 1,
+          least(col("__p") + w, col("__maxp")))).as("__g"),
+        lit(1).as("__l"), lit(0).as("__r"))
+      .unionByName(sw.select(col("__id"), col("__wd"),
+        explode(gapsBetween(greatest(col("__p") - (w - 1), lit(1)),
+          least(col("__p"), col("__maxp")))).as("__g"),
+        lit(0).as("__l"), lit(1).as("__r")))
+    val perGap = mem.groupBy(col("__id"), col("__g"), col("__wd"))
+      .agg(max(col("__l")).as("__hl"), max(col("__r")).as("__hr"))
+      .groupBy(col("__id"), col("__g"))
+      .agg(sum(when(col("__hl") === 1 && col("__hr") === 1, 1L)
+        .otherwise(0L)).as("__inter"), count(lit(1)).as("__uni"))
+    // gap spine keeps wordless gaps visible (sim NULL, not a boundary)
+    val spine = sc.where(col("__maxp") >= 1)
+      .select(col("__id"), explode(sequence(lit(1),
+        col("__maxp").cast("int"))).as("__g"))
+    spine.join(perGap, Seq("__id", "__g"), "left")
+      .select(col("__id").as(idCol),
+        col("__g").cast("long").as("gap_pos"),
+        when(col("__uni").isNull || col("__uni") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr("(1000000 * __inter) div __uni"))
+          .as("sim_ppm"))
+      .withColumn("is_boundary",
+        when(col("sim_ppm").isNotNull && col("sim_ppm") < thresholdPpm,
+          lit(1L)).otherwise(lit(0L)))
+  }
 }

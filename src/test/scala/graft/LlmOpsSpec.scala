@@ -1804,4 +1804,48 @@ class LlmOpsSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, Option[Long])].collect().head._5.get
     assert(g > 10L * b, s"true split must dominate: $g vs $b")
   }
+
+  test("simplifiedSilhouetteMilli: hand per-point floors, singleton=0, k<2 NULL") {
+    // the CH hand table: per point a = 1e10, b ∈ {1.81e12, 1.49e12}
+    // → s_milli 994/993/994/993, mean = 3974 div 4 = 993
+    val df = Seq(
+      (1L, "a", Array(0.0f, 0.0f)), (2L, "a", Array(0.0f, 0.2f)),
+      (3L, "b", Array(1.0f, 1.0f)), (4L, "b", Array(1.0f, 0.8f)))
+      .toDF("id", "cluster", "vec")
+    val r = Similarity.simplifiedSilhouetteMilli(df, "id", "cluster", "vec")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(r == ((4L, 2L, Some(993L))), s"got $r")
+    // singleton own cluster contributes s = 0 (the sklearn convention):
+    // s = (0 + 995 + 993) div 3 = 662
+    val single = Seq(
+      (1L, "a", Array(0.0f, 0.0f)),
+      (3L, "b", Array(1.0f, 1.0f)), (4L, "b", Array(1.0f, 0.8f)))
+      .toDF("id", "cluster", "vec")
+    assert(Similarity.simplifiedSilhouetteMilli(single, "id", "cluster", "vec")
+      .as[(Long, Long, Option[Long])].collect().head
+      == ((3L, 2L, Some(662L))))
+    // one cluster → k < 2 → NULL
+    val one = Seq((1L, "a", Array(0.0f)), (2L, "a", Array(1.0f)))
+      .toDF("id", "cluster", "vec")
+    assert(Similarity.simplifiedSilhouetteMilli(one, "id", "cluster", "vec")
+      .as[(Long, Long, Option[Long])].collect().head._3.isEmpty)
+  }
+
+  test("simplifiedSilhouetteMilli: misassigned point goes negative") {
+    // point 5 sits AT cluster b's heart but is labeled a → its own
+    // distance dwarfs the b distance → s < 0 for it; the well-placed
+    // points stay strongly positive
+    val df = Seq(
+      (1L, "a", Array(0.0f, 0.0f)), (2L, "a", Array(0.0f, 0.2f)),
+      (3L, "b", Array(1.0f, 1.0f)), (4L, "b", Array(1.0f, 0.8f)),
+      (5L, "a", Array(1.0f, 0.9f)))
+      .toDF("id", "cluster", "vec")
+    val all = Similarity.simplifiedSilhouetteMilli(df, "id", "cluster", "vec")
+      .as[(Long, Long, Option[Long])].collect().head
+    val clean = Similarity.simplifiedSilhouetteMilli(
+        df.where($"id" =!= 5L), "id", "cluster", "vec")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(all._3.get < clean._3.get - 300L,
+      s"misassignment must drag the mean: $all vs $clean")
+  }
 }

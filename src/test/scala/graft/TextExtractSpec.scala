@@ -164,4 +164,35 @@ class TextExtractSpec extends SparkTestBase {
     if (theRows.length == 2)
       assert(theRows.map(_._2).toSeq == Seq("cat", "dog"))
   }
+
+  test("topicBoundaries: hand Jaccard valleys, topic shift fires") {
+    // 4 sentences, topic shift after sentence 1:
+    // gap1: L={the,cat,sat,on,mat} R=9 words, ∩={the,cat} →
+    //   2·10⁶ div 12 = 166666, above the 150000 floor → not a boundary
+    // gap2/gap3: zero vocabulary overlap → sim 0 → boundaries
+    val doc = Seq((1L,
+      "the cat sat on the mat. the cat ate fish. " +
+        "stock markets fell hard today. investors sold bank shares."))
+      .toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis
+      .topicBoundaries(doc, "doc_id", "text", w = 2,
+        thresholdPpm = 150000L)
+      .orderBy("gap_pos")
+      .as[(Long, Long, Option[Long], Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, Some(166666L), 0L),
+      (1L, 2L, Some(0L), 1L), (1L, 3L, Some(0L), 1L)), s"got $got")
+  }
+
+  test("topicBoundaries: single-sentence docs emit no gaps; wordless gap NULL") {
+    val single = Seq((1L, "just one sentence here")).toDF("doc_id", "text")
+    assert(graft.llm.TextAnalysis
+      .topicBoundaries(single, "doc_id", "text").count() == 0L)
+    // two sentences with no [a-z0-9] tokens at all: the gap exists on
+    // the spine but carries NULL sim and no boundary call
+    val punct = Seq((2L, "-- --. ;; ;;.")).toDF("doc_id", "text")
+    val got = graft.llm.TextAnalysis
+      .topicBoundaries(punct, "doc_id", "text")
+      .as[(Long, Long, Option[Long], Long)].collect().toSeq
+    assert(got == Seq((2L, 1L, None, 0L)), s"got $got")
+  }
 }
