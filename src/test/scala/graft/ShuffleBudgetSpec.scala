@@ -48,7 +48,17 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // plan), and the per-micro-batch drift monitor
     ("q363_semantic_dedup_cc", 54214L, 82000L),
     ("q364_group_sequential", 16L, 40L),
-    ("q365_stream_drift_monitor", 77648L, 117000L))
+    ("q365_stream_drift_monitor", 77648L, 117000L),
+    // round-11 continuous-agreement / clustering-quality batch: the
+    // item-grain rating shuffles (ICC, interval alpha), the k*d
+    // centroid-sum shapes (CH + silhouette — a corpus-sized shuffle
+    // here would mean the explode stopped combining map-side), and the
+    // TextTiling gap traffic (composite-grain, bounded by gaps)
+    ("q367_icc", 58467L, 88000L),
+    ("q370_krippendorff_interval", 54182L, 82000L),
+    ("q373_calinski_harabasz", 1621L, 2500L),
+    ("q374_silhouette", 1541L, 2400L),
+    ("q375_topic_boundaries", 50L, 100L))
 
   budgets.foreach { case (name, actual, budget) =>
     test(s"$name stays inside its shuffle-record budget " +
