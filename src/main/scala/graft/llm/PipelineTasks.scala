@@ -77,9 +77,14 @@ object PipelineTasks {
     * POST time instead of letting the background run die). */
   val agreementMethods: Set[String] = Set("fleiss_kappa", "gwet_ac1",
     "krippendorff", "weighted_kappa", "quadratic_kappa",
-    "partition_agreement", "gk_lambda", "specific_agreement")
+    "partition_agreement", "gk_lambda", "specific_agreement",
+    // continuous members (round-11 batch) — the two-column shapes;
+    // iccPpm (item, rater, value) and cronbachAlphaPpm (k item
+    // columns) don't fit the (colA, colB) contract and stay
+    // library+gate only
+    "ccc", "krippendorff_interval", "bland_altman")
   val evalMethods: Set[String] =
-    Set("mcc", "youden", "cohens_d", "cliffs_delta")
+    Set("mcc", "youden", "cohens_d", "cliffs_delta", "mde_probe")
 
   private def transform(op: PipelineOp, in: DataFrame): DataFrame =
     op match {
@@ -113,6 +118,12 @@ object PipelineTasks {
             Agreement.gkLambdaPpm(in, ag.colA, ag.colB)
           case "specific_agreement" =>
             Agreement.specificAgreementPpm(in, ag.colA, ag.colB)
+          case "ccc" =>
+            Agreement.cccPpm(in, ag.colA, ag.colB)
+          case "krippendorff_interval" =>
+            Agreement.krippendorffAlphaIntervalPpm(in, ag.colA, ag.colB)
+          case "bland_altman" =>
+            Agreement.blandAltmanMilli(in, ag.colA, ag.colB)
           case other =>
             throw InvalidPipelineOp(s"unknown agreement method $other")
         }
@@ -126,6 +137,8 @@ object PipelineTasks {
             graft.ops.Stats.cohensD2Milli(in, ev.colA, ev.colB)
           case "cliffs_delta" =>
             graft.ops.RankTests.cliffsDeltaPpm(in, ev.colA, ev.colB)
+          case "mde_probe" =>
+            graft.ops.Stats.mdeProbeMicro(in, ev.colA, ev.colB)
           case other =>
             throw InvalidPipelineOp(s"unknown eval method $other")
         }

@@ -301,4 +301,57 @@ class WebShellSpec extends SparkTestBase {
         s"got ${badm.statusCode()} ${badm.body()}")
     } finally { gate.countDown(); shell.stop() }
   }
+
+  test("POST /pipeline continuous methods (ccc/bland_altman/mde_probe): " +
+       "byte-identical to the q368/q372/q371 gates") {
+    val dir = sf("sf0.01")
+    val store = new ParquetTableStore(spark, tmpDir("web-cont"))
+    val audit = new graft.audit.InMemoryAuditSink
+    val runner = new TaskRunner(spark, new SyncEngine(store), audit)
+    import org.apache.spark.sql.functions.{col, expr, floor}
+    val cents = CoreQueries.tRead(spark, dir, "events")
+      .where(col("value").isNotNull)
+      .select(floor(col("value") * 100).cast("long").as("cents"),
+        col("user_id"))
+    val pair = cents.select(col("cents").as("x"),
+      (expr("cents div 2") + 12000).as("y"))
+    val flagged = cents.where(col("user_id").isNotNull)
+      .select((col("user_id") % 2 === 0).as("flag"), col("cents"))
+    val shell = new WebShell(runner, new CalcEngine(spark, store), audit,
+      sources = {
+        case "pair"    => pair
+        case "flagged" => flagged
+        case other     => sys.error(s"unknown source $other")
+      },
+      pipelineStore = Some(store), port = 0).start()
+    try {
+      val r = post(shell.boundPort, "/pipeline",
+        """{"ops":[
+          |{"op":"agreement","method":"ccc","table":"pair",
+          | "col_a":"x","col_b":"y","out":"p.ccc"},
+          |{"op":"agreement","method":"bland_altman","table":"pair",
+          | "col_a":"x","col_b":"y","out":"p.ba"},
+          |{"op":"eval","method":"mde_probe","table":"flagged",
+          | "col_a":"flag","col_b":"cents","out":"p.mde"}]}"""
+          .stripMargin)
+      assert(r.statusCode() == 200, s"got ${r.statusCode()} ${r.body()}")
+      val deadline = System.nanoTime() + 120_000_000_000L
+      while (!audit.taskEvents.exists(e =>
+               e.status == "finished_pipeline" || e.status == "error") &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      assert(audit.taskEvents.exists(_.status == "finished_pipeline"),
+        s"pipeline did not finish: ${audit.taskEvents}")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSeq
+      assert(rows(store.read("p.ccc")) ==
+        rows(SparkEntry.queries("q368_ccc")(spark, dir)),
+        "REST ccc diverged from the q368 gate")
+      assert(rows(store.read("p.ba")) ==
+        rows(SparkEntry.queries("q372_bland_altman")(spark, dir)),
+        "REST bland_altman diverged from the q372 gate")
+      assert(rows(store.read("p.mde")) ==
+        rows(SparkEntry.queries("q371_mde_probe")(spark, dir)),
+        "REST mde_probe diverged from the q371 gate")
+    } finally shell.stop()
+  }
 }
