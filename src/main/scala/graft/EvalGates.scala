@@ -633,6 +633,24 @@ object EvalGates {
           floor(col("value") * 100).cast("long").as("cents")),
       "user_id", "ts", "cents", periodUs = dayUs, bucketPeriods = 7L)
 
+  // HARRELL'S C-INDEX (ops/EventAnalytics.cIndexPpm): does total spend
+  // RANK user tenures? The predictive-validity number next to the
+  // q285/q334 life-table reads — subjects are users (tenure in days,
+  // "event" = the user ever purchased, score = lifetime cents),
+  // bucketed 32×32 so the pair enumeration stays a bounded grid.
+  def q376_c_index(s: SparkSession, dir: String): DataFrame = {
+    val subj = t(s, dir, "events").where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((max(expr(s"ts div ${dayUs}L")) -
+          min(expr(s"ts div ${dayUs}L"))).as("tenure"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("event"),
+        coalesce(sum(floor(col("value") * 100).cast("long")), lit(0L))
+          .as("score"))
+    graft.ops.EventAnalytics.cIndexPpm(subj, "tenure", "event",
+      "score", timeBuckets = 32, scoreBuckets = 32)
+  }
+
   // RANKER AGREEMENT (llm/Relevance.rankerAgreement): top-20 set
   // Jaccard between q266's two rankers (exact cosine vs the Hamming
   // sign sketch) per query — quantifies how much the fusion actually
@@ -783,7 +801,8 @@ object EvalGates {
     "q333_reciprocity"     -> q333_reciprocity _,
     "q334_rmst"            -> q334_rmst _,
     "q335_cohort_ltv"      -> q335_cohort_ltv _,
-    "q336_ranker_agreement" -> q336_ranker_agreement _)
+    "q336_ranker_agreement" -> q336_ranker_agreement _,
+    "q376_c_index"         -> q376_c_index _)
 
   /** 9^(d−1) / 10^d rows for the q340 oracle — generated here so the
     * HUGEINT literals can't drift from [[graft.llm.Relevance.rboPpm]]'s
@@ -1917,6 +1936,40 @@ object EvalGates {
         |  CAST((1000000*sum(rc))//count(*) AS BIGINT)
         |    AS reciprocity_ppm
         |FROM j""".stripMargin,
+    "q376_c_index" ->
+      """WITH u AS (SELECT user_id,
+        |    max(epoch_us(ts)//86400000000)
+        |      - min(epoch_us(ts)//86400000000) AS t,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS e,
+        |    coalesce(sum(CAST(floor(value*100) AS BIGINT)), 0) AS s
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |mm AS (SELECT min(t) AS tmin, max(t) AS tmax,
+        |         min(s) AS smin, max(s) AS smax, count(*) AS n FROM u),
+        |cells AS (SELECT
+        |    CASE WHEN tmax = tmin THEN 0
+        |      ELSE ((t - tmin) * 32) // (tmax - tmin + 1) END AS tb,
+        |    CASE WHEN smax = smin THEN 0
+        |      ELSE ((s - smin) * 32) // (smax - smin + 1) END AS sb,
+        |    sum(e) AS ce, count(*) AS ca
+        |  FROM u, mm GROUP BY 1, 2),
+        |p AS (SELECT
+        |    sum(CASE WHEN i.sb > j.sb
+        |          THEN CAST(i.ce AS HUGEINT) * j.ca END) AS conc,
+        |    sum(CASE WHEN i.sb = j.sb
+        |          THEN CAST(i.ce AS HUGEINT) * j.ca END) AS ties,
+        |    sum(CAST(i.ce AS HUGEINT) * j.ca) AS comp
+        |  FROM cells i JOIN cells j ON j.tb > i.tb
+        |  WHERE i.ce > 0)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(coalesce(comp, 0) AS BIGINT) AS n_comparable,
+        |  CAST(coalesce(conc, 0) AS BIGINT) AS concordant,
+        |  CAST(coalesce(ties, 0) AS BIGINT) AS tied,
+        |  CAST(CASE WHEN coalesce(comp, 0) = 0 THEN NULL
+        |       ELSE (1000000 * (2*coalesce(conc, 0)
+        |                        + coalesce(ties, 0))) // (2*comp)
+        |       END AS BIGINT) AS c_ppm
+        |FROM p, mm""".stripMargin,
     "q334_rmst" ->
       """WITH RECURSIVE u AS (
         |  SELECT user_id,

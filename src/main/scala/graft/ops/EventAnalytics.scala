@@ -937,4 +937,90 @@ object EventAnalytics {
           expr("(1000000 * (__peak - __x)) div __peak"))).as("max_dd_ppm"))
       .withColumnRenamed("__g", groupCol)
   }
+
+  /** HARRELL'S C-INDEX (bucketed) — does the score actually RANK the
+    * survival times? The predictive-validity number the life-table
+    * battery ([[kmSurvivalPpm]], [[rmstMilli]], logRankMilli) has no
+    * member for: over comparable pairs (subject i had the event, and
+    * j outlived i), concordance = the fraction where the higher-risk
+    * score belonged to i (ties in score count ½). 0.5 = coin flip,
+    * 1 = perfect risk ranking. Risk convention: HIGHER score predicts
+    * SHORTER time.
+    *
+    * Bucketed contract (the isotonicFitBucketed stance): both axes
+    * are equal-width bucketed over their observed [min, max] via a
+    * broadcast extrema frame, so the pair enumeration collapses to a
+    * BOUNDED grid (≤ timeBuckets·scoreBuckets cells; the cell-pair
+    * join is grid², never subjects²). Same-time-BUCKET pairs are not
+    * comparable under bucketing — the granularity trade that buys the
+    * bounded grid. Exact integers throughout:
+    *   bucket(v)  = ((v − min)·B) div (max − min + 1)   [0 when flat;
+    *                caller keeps (v−min)·B inside a long — days/cents
+    *                scales are nowhere near the edge]
+    *   c_ppm      = (10⁶·(2·concordant + tied)) div (2·comparable)
+    * NULL when no comparable pairs (single time bucket, or no events).
+    *
+    * Output one row: (n, n_comparable, concordant, tied, c_ppm).
+    *
+    * Scale shape: one extrema aggregate, one (tb, sb) groupBy — cells
+    * shuffle, subjects don't — then a broadcast nested-loop join over
+    * the bounded grid and one final row. */
+  def cIndexPpm(df: DataFrame, timeCol: String, eventCol: String,
+                scoreCol: String, timeBuckets: Int = 32,
+                scoreBuckets: Int = 32): DataFrame = {
+    require(timeBuckets >= 2 && timeBuckets <= 1024,
+      s"timeBuckets must be in [2, 1024], got $timeBuckets")
+    require(scoreBuckets >= 2 && scoreBuckets <= 1024,
+      s"scoreBuckets must be in [2, 1024], got $scoreBuckets")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(timeCol).cast("long").as("__t"),
+        col(eventCol).cast("boolean").as("__e"),
+        col(scoreCol).cast("long").as("__s"))
+      .where(col("__t").isNotNull && col("__e").isNotNull &&
+        col("__s").isNotNull)
+    val mm = base.agg(min(col("__t")).as("__tmin"),
+      max(col("__t")).as("__tmax"), min(col("__s")).as("__smin"),
+      max(col("__s")).as("__smax"), count(lit(1)).as("__n"))
+    val cells = base.crossJoin(broadcast(mm))
+      .select(
+        expr(s"""CASE WHEN __tmax = __tmin THEN 0L
+                |ELSE ((__t - __tmin) * $timeBuckets)
+                |     div (__tmax - __tmin + 1) END"""
+          .stripMargin.replace("\n", " ")).as("__tb"),
+        expr(s"""CASE WHEN __smax = __smin THEN 0L
+                |ELSE ((__s - __smin) * $scoreBuckets)
+                |     div (__smax - __smin + 1) END"""
+          .stripMargin.replace("\n", " ")).as("__sb"),
+        col("__e"))
+      .groupBy(col("__tb"), col("__sb"))
+      .agg(sum(when(col("__e"), 1L).otherwise(0L)).as("__ce"),
+        count(lit(1)).as("__ca"))
+      .localCheckpoint() // both sides of the bounded cell-pair join
+    val lhs = cells.where(col("__ce") > 0)
+      .select(col("__tb").as("__ti"), col("__sb").as("__si"),
+        col("__ce").as("__cei"))
+    val rhs = cells.select(col("__tb").as("__tj"),
+      col("__sb").as("__sj"), col("__ca").as("__caj"))
+    val pairs = lhs.join(broadcast(rhs), col("__tj") > col("__ti"))
+      .agg(
+        sum(when(col("__si") > col("__sj"),
+          col("__cei").cast(d38) * col("__caj"))).as("__conc"),
+        sum(when(col("__si") === col("__sj"),
+          col("__cei").cast(d38) * col("__caj"))).as("__ties"),
+        sum(col("__cei").cast(d38) * col("__caj")).as("__comp"))
+    pairs.crossJoin(broadcast(mm.select(col("__n"))))
+      .select(col("__n").cast("long").as("n"),
+        coalesce(col("__comp"), lit(0)).cast("long").as("n_comparable"),
+        coalesce(col("__conc"), lit(0)).cast("long").as("concordant"),
+        coalesce(col("__ties"), lit(0)).cast("long").as("tied"))
+      .select(col("n"), col("n_comparable"), col("concordant"),
+        col("tied"),
+        when(col("n_comparable") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * (2 * CAST(concordant AS DECIMAL(38,0))
+              |                 + tied))
+              |div (2 * CAST(n_comparable AS DECIMAL(38,0)))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("c_ppm"))
+  }
 }

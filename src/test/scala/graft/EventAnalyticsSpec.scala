@@ -662,4 +662,44 @@ class EventAnalyticsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       EventAnalytics.rollingActive(df, "p", "id", 0))
   }
+
+  test("cIndexPpm: perfect ranking, score tie = half, inversion, NULLs") {
+    // 4/4 buckets make each subject its own cell: both events (t=1,
+    // t=3) outrank every later subject's score → 4/4 concordant
+    val perfect = Seq((1L, 1L, 10L), (2L, 0L, 5L), (3L, 1L, 8L),
+      (4L, 0L, 1L)).toDF("t", "e", "s")
+    val r = EventAnalytics.cIndexPpm(perfect, "t", "e", "s",
+        timeBuckets = 4, scoreBuckets = 4)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((4L, 4L, 4L, 0L, Some(1000000L))), s"got $r")
+    // identical scores: the comparable pair is a tie → exactly ½
+    val tie = Seq((1L, 1L, 5L), (2L, 0L, 5L)).toDF("t", "e", "s")
+    assert(EventAnalytics.cIndexPpm(tie, "t", "e", "s", 4, 4)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+      == ((2L, 1L, 0L, 1L, Some(500000L))))
+    // inverted ranking: the event subject scored LOWER → c = 0
+    val inv = Seq((1L, 1L, 1L), (2L, 0L, 10L)).toDF("t", "e", "s")
+    assert(EventAnalytics.cIndexPpm(inv, "t", "e", "s", 4, 4)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+      == ((2L, 1L, 0L, 0L, Some(0L))))
+    // one time bucket → no comparable pairs → NULL; no events → NULL
+    val flat = Seq((5L, 1L, 1L), (5L, 0L, 10L)).toDF("t", "e", "s")
+    assert(EventAnalytics.cIndexPpm(flat, "t", "e", "s", 4, 4)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head._5.isEmpty)
+    val noEv = Seq((1L, 0L, 5L), (2L, 0L, 3L)).toDF("t", "e", "s")
+    assert(EventAnalytics.cIndexPpm(noEv, "t", "e", "s", 4, 4)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head._5.isEmpty)
+  }
+
+  test("cIndexPpm: same-time-bucket pairs are not comparable (the bucketed contract)") {
+    // t=10 and t=11 land in one bucket of 2 over [10, 13]; only the
+    // pairs against t=13 count → comparable = 2 (both events vs the
+    // late censored subject), concordant = 2
+    val df = Seq((10L, 1L, 9L), (11L, 1L, 8L), (13L, 0L, 1L))
+      .toDF("t", "e", "s")
+    val r = EventAnalytics.cIndexPpm(df, "t", "e", "s",
+        timeBuckets = 2, scoreBuckets = 4)
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(r == ((3L, 2L, 2L, 0L, Some(1000000L))), s"got $r")
+  }
 }

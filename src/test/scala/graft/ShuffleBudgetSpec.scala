@@ -58,7 +58,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     ("q370_krippendorff_interval", 54182L, 82000L),
     ("q373_calinski_harabasz", 1621L, 2500L),
     ("q374_silhouette", 1541L, 2400L),
-    ("q375_topic_boundaries", 50L, 100L))
+    ("q375_topic_boundaries", 50L, 100L),
+    // bucketed C-index: user-grain aggregate + bounded 32x32 grid —
+    // a corpus-sized number here would mean the cell-pair join
+    // stopped riding the bounded grid
+    ("q376_c_index", 342L, 550L))
 
   budgets.foreach { case (name, actual, budget) =>
     test(s"$name stays inside its shuffle-record budget " +
