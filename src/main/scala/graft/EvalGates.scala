@@ -651,6 +651,28 @@ object EvalGates {
       "score", timeBuckets = 32, scoreBuckets = 32)
   }
 
+  // QINI UPLIFT CURVE (ops/Stats.qiniCurveMilli): does lifetime spend
+  // rank where the user-parity "treatment" moved purchases? The
+  // null-effect experiment read next to q371's underpowered probe —
+  // the curve should wobble around 0, and the gate hashes every
+  // depth's reweighted increment.
+  def q377_qini_curve(s: SparkSession, dir: String): DataFrame = {
+    // outcome = a BIG purchase (≥ 20,000 cents) — every user has some
+    // purchase, so the plain flag is degenerate; the big-ticket flag
+    // converts 21% of users at sf0.01
+    val subj = t(s, dir, "events").where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+            floor(col("value") * 100).cast("long") >= 20000L, 1L)
+          .otherwise(0L)).as("event"),
+        coalesce(sum(floor(col("value") * 100).cast("long")), lit(0L))
+          .as("score"))
+      .select((col("user_id") % 2 === 0).as("treated"), col("event"),
+        col("score"))
+    graft.ops.Stats.qiniCurveMilli(subj, "treated", "event", "score",
+      bins = 10)
+  }
+
   // RANKER AGREEMENT (llm/Relevance.rankerAgreement): top-20 set
   // Jaccard between q266's two rankers (exact cosine vs the Hamming
   // sign sketch) per query — quantifies how much the fusion actually
@@ -802,7 +824,8 @@ object EvalGates {
     "q334_rmst"            -> q334_rmst _,
     "q335_cohort_ltv"      -> q335_cohort_ltv _,
     "q336_ranker_agreement" -> q336_ranker_agreement _,
-    "q376_c_index"         -> q376_c_index _)
+    "q376_c_index"         -> q376_c_index _,
+    "q377_qini_curve"      -> q377_qini_curve _)
 
   /** 9^(d−1) / 10^d rows for the q340 oracle — generated here so the
     * HUGEINT literals can't drift from [[graft.llm.Relevance.rboPpm]]'s
@@ -1936,6 +1959,41 @@ object EvalGates {
         |  CAST((1000000*sum(rc))//count(*) AS BIGINT)
         |    AS reciprocity_ppm
         |FROM j""".stripMargin,
+    "q377_qini_curve" ->
+      """WITH u AS (SELECT user_id % 2 = 0 AS tr,
+        |    max(CASE WHEN event_type = 'purchase'
+        |          AND CAST(floor(value*100) AS BIGINT) >= 20000
+        |        THEN 1 ELSE 0 END) AS e,
+        |    coalesce(sum(CAST(floor(value*100) AS BIGINT)), 0) AS s
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |hist AS (SELECT s,
+        |    sum(CASE WHEN tr THEN 1 ELSE 0 END) AS wt,
+        |    sum(CASE WHEN tr THEN e ELSE 0 END) AS pt,
+        |    sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS wc,
+        |    sum(CASE WHEN NOT tr THEN e ELSE 0 END) AS pc
+        |  FROM u GROUP BY 1),
+        |cum AS (SELECT *, sum(wt + wc) OVER (ORDER BY s DESC) AS cw
+        |        FROM hist),
+        |tot AS (SELECT sum(wt + wc) AS n FROM hist),
+        |b AS (SELECT (10*cw + n - 1)//n AS bin, wt, pt, wc, pc
+        |      FROM cum, tot),
+        |bb AS (SELECT bin, sum(wt) AS wt, sum(pt) AS pt,
+        |         sum(wc) AS wc, sum(pc) AS pc FROM b GROUP BY 1),
+        |cb AS (SELECT bin,
+        |         sum(wt) OVER (ORDER BY bin) AS cnt,
+        |         sum(wc) OVER (ORDER BY bin) AS cnc,
+        |         sum(pt) OVER (ORDER BY bin) AS cpt,
+        |         sum(pc) OVER (ORDER BY bin) AS cpc FROM bb)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(cnt AS BIGINT) AS cum_nt, CAST(cnc AS BIGINT) AS cum_nc,
+        |  CAST(cpt AS BIGINT) AS cum_pt, CAST(cpc AS BIGINT) AS cum_pc,
+        |  CAST(CASE WHEN cnc = 0 THEN NULL
+        |       ELSE CAST(sign(CAST(cpt AS HUGEINT)*cnc
+        |                      - CAST(cpc AS HUGEINT)*cnt) AS HUGEINT)
+        |            * ((1000 * abs(CAST(cpt AS HUGEINT)*cnc
+        |                           - CAST(cpc AS HUGEINT)*cnt)) // cnc)
+        |       END AS BIGINT) AS qini_milli
+        |FROM cb""".stripMargin,
     "q376_c_index" ->
       """WITH u AS (SELECT user_id,
         |    max(epoch_us(ts)//86400000000)

@@ -2072,6 +2072,74 @@ object Stats {
               .stripMargin.replace("\n", " "))).as("lift_ppm"))
   }
 
+  /** QINI (UPLIFT) CURVE — the targeting readout for EXPERIMENTS:
+    * [[gainsTable]] asks "does the score find the converters?",
+    * Qini asks "does it find the people the TREATMENT actually
+    * moved?" — the model-eval half of the A/B battery
+    * ([[cupedAdjustMilli]], [[mdeProbeMicro]]) and the standard
+    * uplift-model leaderboard curve. Rank by score DESC, cut into
+    * `bins` equal-count buckets (value-level ties, the gainsTable
+    * stance), and at each depth report the reweighted incremental
+    * conversions:
+    *   qini(k) = Y_t(k) − Y_c(k)·N_t(k)/N_c(k)
+    *   qini_milli = sign(num) · (10³·|Y_t·N_c − Y_c·N_t|) div N_c
+    *     [sign-magnitude — a harmful segment goes NEGATIVE]
+    * NULL when a depth has no controls yet. A no-signal score (or a
+    * null-effect experiment) wobbles around 0; the curve's terminal
+    * point is the overall reweighted effect.
+    *
+    * Output: (bin, cum_nt, cum_nc, cum_pt, cum_pc, qini_milli),
+    * ascending bin = descending score depth.
+    *
+    * Scale shape: one score-histogram groupBy (treated/control counts
+    * ride the same cells), the window-free global prefix sum over
+    * distinct scores, one bin groupBy, a bins²-bounded triangle join
+    * — no global window, no subject-grain shuffle after the
+    * histogram. */
+  def qiniCurveMilli(df: DataFrame, treatedCol: String,
+                     outcomeCol: String, scoreCol: String,
+                     bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins in [2,1000], got $bins")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(treatedCol).cast("boolean").as("__t"),
+        col(outcomeCol).cast("long").as("__y"),
+        col(scoreCol).cast("long").as("__s"))
+      .where(col("__t").isNotNull && col("__y").isNotNull &&
+        col("__s").isNotNull)
+    val hist = base.groupBy(col("__s"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__wt"),
+        sum(when(col("__t"), col("__y")).otherwise(0L)).as("__pt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__wc"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L)).as("__pc"))
+      .withColumn("__w", col("__wt") + col("__wc"))
+    val cum = GlobalRank.globalRunningSum(hist, Seq(col("__s").desc), "__w")
+    val totals = hist.agg(sum(col("__w")).as("__n"))
+    val binned = cum.crossJoin(broadcast(totals))
+      .withColumn("bin", expr(s"($bins * cum + __n - 1) div __n"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__wt")).as("__bwt"), sum(col("__pt")).as("__bpt"),
+        sum(col("__wc")).as("__bwc"), sum(col("__pc")).as("__bpc"))
+    val upto = binned.select(col("bin").as("__b2"),
+      col("__bwt").as("__wt2"), col("__bpt").as("__pt2"),
+      col("__bwc").as("__wc2"), col("__bpc").as("__pc2"))
+    binned.join(upto, col("__b2") <= col("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__wt2")).as("cum_nt"), sum(col("__wc2")).as("cum_nc"),
+        sum(col("__pt2")).as("cum_pt"), sum(col("__pc2")).as("cum_pc"))
+      .select(col("bin"), col("cum_nt"), col("cum_nc"), col("cum_pt"),
+        col("cum_pc"),
+        when(col("cum_nc") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CAST(sign(CAST(cum_pt AS DECIMAL(38,0)) * cum_nc
+              |          - CAST(cum_pc AS DECIMAL(38,0)) * cum_nt)
+              |     AS DECIMAL(38,0)) *
+              |(1000 * abs(CAST(cum_pt AS DECIMAL(38,0)) * cum_nc
+              |            - CAST(cum_pc AS DECIMAL(38,0)) * cum_nt)
+              | div CAST(cum_nc AS DECIMAL(38,0))) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("qini_milli"))
+  }
+
   /** BEST SPLIT THRESHOLD on a numeric feature — the distributed
     * decision-tree split finder (the histogram scan at the core of
     * XGBoost/LightGBM tree building): for every candidate threshold t

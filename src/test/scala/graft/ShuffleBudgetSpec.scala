@@ -62,7 +62,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // bucketed C-index: user-grain aggregate + bounded 32x32 grid —
     // a corpus-sized number here would mean the cell-pair join
     // stopped riding the bounded grid
-    ("q376_c_index", 342L, 550L))
+    ("q376_c_index", 342L, 550L),
+    // qini: score histogram + windowless prefix sum + bins² triangle
+    ("q377_qini_curve", 1075L, 1700L))
 
   budgets.foreach { case (name, actual, budget) =>
     test(s"$name stays inside its shuffle-record budget " +

@@ -1880,6 +1880,33 @@ class StatsSpec extends SparkTestBase {
     assert(o == Seq((1L, 1L, 1L)), s"got $o")
   }
 
+  test("qiniCurveMilli: hand depths, no-control NULL, harmful negative") {
+    // scores desc: (40 T y1) (30 C y0) | (20 T y0) (10 C y1), bins=2
+    // depth1: Yt=1 Nc=1 Yc=0 → 1000; depth2: Yt=1·2−1·2 → 0
+    val df = Seq((true, 1L, 40L), (false, 0L, 30L),
+      (true, 0L, 20L), (false, 1L, 10L)).toDF("tr", "y", "s")
+    val got = Stats.qiniCurveMilli(df, "tr", "y", "s", bins = 2)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L, 1L, 0L, Some(1000L)),
+      (2L, 2L, 2L, 1L, 1L, Some(0L))), s"got $got")
+    // top depth all-treated → no controls yet → NULL; full depth
+    // resolves
+    val noc = Seq((true, 1L, 20L), (false, 0L, 10L)).toDF("tr", "y", "s")
+    val g2 = Stats.qiniCurveMilli(noc, "tr", "y", "s", bins = 2)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(g2 == Seq((1L, 1L, 0L, 1L, 0L, None),
+      (2L, 1L, 1L, 1L, 0L, Some(1000L))), s"got $g2")
+    // harmful segment: control converts, treated doesn't → NEGATIVE
+    // through the sign-magnitude lane
+    val bad = Seq((true, 0L, 40L), (false, 1L, 30L)).toDF("tr", "y", "s")
+    val g3 = Stats.qiniCurveMilli(bad, "tr", "y", "s", bins = 2)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(g3.last._6 == Some(-1000L), s"got $g3")
+  }
+
   test("mdeProbeMicro: hand floor schedule, underpowered read") {
     // a=(10,20,30): var-num 3·1400−3600=600 → term=10⁶·600 div 18 =
     // 33333333; b=(10,20,30,40): 4·3000−10⁴=2000 → 10⁶·2000 div 48 =
