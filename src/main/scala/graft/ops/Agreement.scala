@@ -563,11 +563,21 @@ object Agreement {
         col(valueCol).cast("long").as("__x"))
       .where(col("__i").isNotNull && col("__j").isNotNull &&
         col("__x").isNotNull)
+    // __nj (distinct raters) next to __ni (ratings): a duplicate
+    // (item, rater) pair paired with a missing rater reaches
+    // __ni = raters, and before the __nj check it silently biased the
+    // per-rater column sums Q and the ANOVA — now such an item DROPS
+    // with the other incomplete designs (one-rating-per-(item,rater)
+    // enforced, not just documented).
     val perItem = base.groupBy(col("__i"))
-      .agg(count(lit(1)).as("__ni"), sum(col("__x")).as("__ri"))
-    val dropped = perItem.where(col("__ni") =!= raters)
+      .agg(count(lit(1)).as("__ni"),
+        countDistinct(col("__j")).as("__nj"),
+        sum(col("__x")).as("__ri"))
+    val dropped = perItem
+      .where(col("__ni") =!= raters || col("__nj") =!= raters)
       .agg(countDistinct(col("__i")).as("__nd"))
-    val keptIds = perItem.where(col("__ni") === raters)
+    val keptIds = perItem
+      .where(col("__ni") === raters && col("__nj") === raters)
       .select(col("__i").as("__ik"), col("__ri"))
     val itemAgg = keptIds.agg(count(lit(1)).as("__n"),
       sum(col("__ri").cast(d38)).as("__t"),
@@ -804,11 +814,30 @@ object Agreement {
     val unpairable = perItem.where(col("__ni") < 2)
       .agg(countDistinct(col("__i")).as("__nu"))
     val kept = perItem.where(col("__ni") >= 2)
+    // the per-item floored term rides Spark's IntegralDivide, which
+    // returns BIGINT while the DuckDB oracle computes it in HUGEINT —
+    // outside the documented envelope (|values| ≲ 10⁶, ≲ 100
+    // raters/item) the two engines would SILENTLY diverge. Guard the
+    // quotient in-plan: if 10⁶·2·(nᵢ·Sᵢ − Tᵢ²) exceeds
+    // Long.MaxValue·(nᵢ−1) the evaluation fails loudly (the
+    // ksUniformPpm raise_error stance) instead of returning a
+    // divergent value. Never fires in-envelope, so gate hashes are
+    // unchanged.
     val doAgg = kept
       .select(col("__ni"),
-        expr("""CAST((1000000 * 2 * (__ni * __si - __ti * __ti))
-                |div (__ni - 1) AS DECIMAL(38,0))"""
-          .stripMargin.replace("\n", " ")).as("__do"),
+        when(expr("1000000 * 2 * (__ni * __si - __ti * __ti)") >
+            expr(
+              "CAST(9223372036854775807 AS DECIMAL(38,0)) * (__ni - 1)"),
+          expr("""CAST(raise_error(
+                  |'krippendorffAlphaIntervalPpm: per-item disagreement
+                  | term overflows BIGINT - input outside the documented
+                  | envelope (|values| <= ~1e6, <= ~100 raters/item)')
+                  |AS DECIMAL(38,0))"""
+            .stripMargin.replace("\n", " ")))
+          .otherwise(expr(
+            """CAST((1000000 * 2 * (__ni * __si - __ti * __ti))
+              |div (__ni - 1) AS DECIMAL(38,0))"""
+              .stripMargin.replace("\n", " "))).as("__do"),
         col("__ti"), col("__si"))
       .agg(sum(col("__ni")).as("__n"), sum(col("__do")).as("__dom"),
         sum(col("__ti")).as("__t"), sum(col("__si")).as("__s"))

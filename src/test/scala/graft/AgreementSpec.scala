@@ -507,6 +507,67 @@ class AgreementSpec extends SparkTestBase {
       s"all-de batch vs 3/8-de baseline is a ≥300 per-mille shift: $byBatch")
   }
 
+  test("q365 drift monitor runs the frozen langid baseline in ONE job " +
+       "total (round-12 ask #1 — not once per micro-batch)") {
+    // the round-11 verdict flagged q365 re-running the full-corpus
+    // langid scan inside every foreachBatch (4 batches -> 4 corpus
+    // passes). The fix aggregates the frozen mix to per-category
+    // counts and collects them ONCE — so across the whole gate there
+    // must be exactly one `collect at AgreementGates` job (the
+    // LazyBuilderSpec listener pattern, applied to run-time jobs).
+    val sites =
+      new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        // AQE stage submission can lose the action call site in stage
+        // names; the job-level property keeps it
+        val prop = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("")
+        sites.add(prop + " ;; " + j.stageInfos.map(_.name).mkString("; "))
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = SparkEntry.queries("q365_stream_drift_monitor")(
+        spark, sf("sf0.001")).collect()
+      assert(out.length == 4, s"expected 4 micro-batch rows, got " +
+        s"${out.length}")
+      // async FIFO listener bus: sentinel job, then wait for it
+      spark.sparkContext.parallelize(1 to 4, 1).count()
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      def all() = sites.toArray.map(_.toString).toSeq
+      while (!all().exists(_.contains("count at AgreementSpec")) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val pre = all().takeWhile(!_.contains("count at AgreementSpec"))
+      // the baseline collect is an AQE action: its call site is lost
+      // (withThreadLocalCaptured), so pin it structurally — the ONLY
+      // driver-collect jobs in the whole gate are the frozen
+      // baseline's (1 collect = 1-4 AQE sub-jobs), and they ALL land
+      // BEFORE the first micro-batch job. A reintroduced per-batch
+      // recompute would surface as collect/AQE jobs after the stream
+      // starts (or as 4x the pre-stream count).
+      def isCollect(s2: String) =
+        s2.contains("withThreadLocalCaptured") ||
+          s2.contains("collect at AgreementGates")
+      val firstStream = pre.indexWhere(_.contains("start at EventStream"))
+      assert(firstStream >= 0, "stream never started")
+      val preStream = pre.take(firstStream).count(isCollect)
+      val postStream = pre.drop(firstStream).count(isCollect)
+      assert(preStream >= 1 && preStream <= 4,
+        s"frozen baseline must cost exactly ONE pre-stream collect " +
+          s"(1-4 AQE sub-jobs), saw $preStream — " +
+          s"[${pre.take(firstStream).mkString(" | ")}]")
+      assert(postStream == 0,
+        s"NO collect/AQE-driver job may run once the stream starts " +
+          s"(the baseline is frozen), saw $postStream — " +
+          s"[${pre.drop(firstStream).filter(isCollect).mkString(" | ")}]")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   // -------------------------------------------------------- ICC(2,1)
   test("iccPpm: Shrout-Fleiss 1979 table, incomplete items drop") {
     // The canonical 6-target × 4-judge table. Hand sums: T=127,

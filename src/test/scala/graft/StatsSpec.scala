@@ -303,6 +303,29 @@ class StatsSpec extends SparkTestBase {
     assert(got.size == 4)
   }
 
+  test("categoryDriftFromCounts == categoryDrift on the same snapshots, " +
+       "including from a driver-local counts frame") {
+    val a = (Seq.fill(60)("en") ++ Seq.fill(30)("de") ++ Seq.fill(10)("fr"))
+      .toDF("lang")
+    val b = (Seq.fill(90)("en") ++ Seq.fill(10)("zh")).toDF("lang")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("lang", "n_a", "n_b", "share_a_pm", "share_b_pm", "delta_pm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val whole = key(Stats.categoryDrift(a, b, "lang"))
+    val fromCounts = key(Stats.categoryDriftFromCounts(
+      a.groupBy($"lang").agg(count(lit(1)).as("n_a")),
+      b.groupBy($"lang").agg(count(lit(1)).as("n_b")), "lang"))
+    assert(fromCounts == whole, "counts-input variant diverged")
+    // the monitor shape: the FROZEN side collected once (≤ #categories
+    // rows) and replayed as a LocalRelation — identical output again
+    val bAgg = b.groupBy($"lang").agg(count(lit(1)).as("n_b"))
+    val bLocal = spark.createDataFrame(
+      java.util.Arrays.asList(bAgg.collect(): _*), bAgg.schema)
+    val fromLocal = key(Stats.categoryDriftFromCounts(
+      a.groupBy($"lang").agg(count(lit(1)).as("n_a")), bLocal, "lang"))
+    assert(fromLocal == whole, "local frozen-counts variant diverged")
+  }
+
   test("weighted quantiles: weight units, not rows, drive the rank") {
     // values 1,2,3 with weights 1,1,8 → W=10: p50 threshold ceil(5)=5 →
     // first v with cum ≥ 5 is 3 (unweighted median would say 2)
