@@ -50,6 +50,52 @@ object PipelineTasks {
                            queryFilter: String, k: Int, out: String)
       extends PipelineOp { val name = "ann_topk" }
 
+  /** Constant-cluster semantic dedup ([[Dedup.semanticDedupCc]], the
+    * q363 production curation operator) — REST-invocable per the
+    * round-11 verdict ask #4: the headline LLM-curation op must not
+    * need library access when everything else drives over HTTP.
+    * Output = survivors only, projected to (idCol, centroid_id) — the
+    * q363 gate shape (exact_dedup's survivors-precedent applied to
+    * the semantic family). `deterministic = true` pins the exact
+    * DECIMAL cosine kernel (gate/replay form); production leaves it
+    * false for the fused double kernel. */
+  final case class SemanticDedup(table: String, idCol: String,
+                                 vecCol: String, minCosine: Double,
+                                 dims: Int, targetClusterSize: Int,
+                                 deterministic: Boolean, out: String)
+      extends PipelineOp { val name = "semantic_dedup" }
+
+  /** ICC(2,1) over a LONG ratings table (item, rater, value) — the
+    * wide-shape agreement member the (col_a, col_b) contract could
+    * not carry (round-11 verdict ask #5; previously documented as a
+    * REST exclusion). */
+  final case class IccOp(table: String, itemCol: String,
+                         raterCol: String, valueCol: String,
+                         raters: Int, out: String)
+      extends PipelineOp { val name = "agreement_icc" }
+
+  /** Cronbach's alpha over k item COLUMNS (`cols`) — the other
+    * wide-shape agreement member (round-11 verdict ask #5). */
+  final case class CronbachOp(table: String, cols: Seq[String],
+                              out: String)
+      extends PipelineOp { val name = "agreement_cronbach" }
+
+  /** Bucketed Harrell's C-index (time, event, score) — survival eval
+    * over REST (round-11 verdict ask #5); 32x32 grid, the q376
+    * defaults. */
+  final case class CIndexOp(table: String, timeCol: String,
+                            eventCol: String, scoreCol: String,
+                            out: String)
+      extends PipelineOp { val name = "eval_c_index" }
+
+  /** Qini uplift curve (treated, outcome, score) — uplift eval over
+    * REST (round-11 verdict ask #5); 10 equal-count bins, the q377
+    * defaults. */
+  final case class QiniOp(table: String, treatedCol: String,
+                          outcomeCol: String, scoreCol: String,
+                          out: String)
+      extends PipelineOp { val name = "eval_qini" }
+
   /** Inter-rater agreement statistic over a ratings table — the
     * round-11 ask: every analytic invocable over HTTP with audit rows
     * (the reference's POST /calc precedent, `server/WServer.scala:
@@ -78,13 +124,19 @@ object PipelineTasks {
   val agreementMethods: Set[String] = Set("fleiss_kappa", "gwet_ac1",
     "krippendorff", "weighted_kappa", "quadratic_kappa",
     "partition_agreement", "gk_lambda", "specific_agreement",
-    // continuous members (round-11 batch) — the two-column shapes;
-    // iccPpm (item, rater, value) and cronbachAlphaPpm (k item
-    // columns) don't fit the (colA, colB) contract and stay
-    // library+gate only
-    "ccc", "krippendorff_interval", "bland_altman")
+    // continuous members (round-11 batch) — the two-column shapes
+    "ccc", "krippendorff_interval", "bland_altman",
+    // wide shapes (round-12): icc rides (item_col, rater_col,
+    // value_col, raters), cronbach rides cols[] — decoded to their
+    // own op specs, listed here so admission says yes before the
+    // field check
+    "icc", "cronbach")
   val evalMethods: Set[String] =
-    Set("mcc", "youden", "cohens_d", "cliffs_delta", "mde_probe")
+    Set("mcc", "youden", "cohens_d", "cliffs_delta", "mde_probe",
+      // survival/uplift (round-12): c_index rides (time_col,
+      // event_col, score_col), qini (treated_col, outcome_col,
+      // score_col)
+      "c_index", "qini")
 
   private def transform(op: PipelineOp, in: DataFrame): DataFrame =
     op match {
@@ -99,6 +151,23 @@ object PipelineTasks {
       case a: AnnTopK =>
         Similarity.topK(in.where(a.queryFilter), in, a.idCol, a.vecCol,
           a.k)
+      case sd: SemanticDedup =>
+        Dedup.semanticDedupCc(in, sd.idCol, sd.vecCol, sd.minCosine,
+            sd.dims, sd.targetClusterSize,
+            deterministic = sd.deterministic)
+          .where(col("keep") === 1)
+          .select(col("vec_id").as(sd.idCol), col("centroid_id"))
+      case ic: IccOp =>
+        graft.ops.Agreement.iccPpm(in, ic.itemCol, ic.raterCol,
+          ic.valueCol, ic.raters)
+      case cb: CronbachOp =>
+        graft.ops.Agreement.cronbachAlphaPpm(in, cb.cols)
+      case ci: CIndexOp =>
+        graft.ops.EventAnalytics.cIndexPpm(in, ci.timeCol, ci.eventCol,
+          ci.scoreCol)
+      case qn: QiniOp =>
+        graft.ops.Stats.qiniCurveMilli(in, qn.treatedCol,
+          qn.outcomeCol, qn.scoreCol)
       case ag: AgreementOp =>
         import graft.ops.Agreement
         ag.method match {

@@ -204,9 +204,15 @@ final class WebShell(
     * "id_col":c,"text_col":c,"out":o} | {"op":"quality_filter",
     * "table":t,"text_col":c,"out":o,"min_words":N} | {"op":"ann_topk",
     * "table":t,"id_col":c,"vec_col":c,"query_filter":sql,"k":N,
-    * "out":o} | {"op":"agreement","method":m,"table":t,"col_a":c,
-    * "col_b":c,"raters":N,"out":o} | {"op":"eval","method":m,
-    * "table":t,"col_a":c,"col_b":c,"out":o}]}` — fire-and-forget with
+    * "out":o} | {"op":"semantic_dedup","table":t,"id_col":c,
+    * "vec_col":c,"min_cosine":x,"dims":N,"target_cluster_size":N?,
+    * "deterministic":b?,"out":o} | {"op":"agreement","method":m,
+    * "table":t,"col_a":c,"col_b":c,"raters":N,"out":o} (wide shapes:
+    * method "icc" takes item_col/rater_col/value_col/raters, method
+    * "cronbach" takes cols[]) | {"op":"eval","method":m,"table":t,
+    * "col_a":c,"col_b":c,"out":o} (method "c_index" takes time_col/
+    * event_col/score_col; "qini" treated_col/outcome_col/score_col)]}`
+    * — fire-and-forget with
     * an immediate taskid (the /task admission contract applied to
     * curation/analytic ops); per-op audit rows walk the reference's
     * query-log lifecycle (begin → calculation → copying →
@@ -232,18 +238,67 @@ final class WebShell(
         case "ann_topk" => AnnTopK(req(on, "table"), req(on, "id_col"),
           req(on, "vec_col"), req(on, "query_filter"),
           on.path("k").asInt(10), req(on, "out"))
+        case "semantic_dedup" =>
+          // admission validation mirrors semanticDedupCc's requires so
+          // a bad spec 400s at POST time, not in the background run
+          val mc = on.path("min_cosine").asDouble(Double.NaN)
+          if (!(mc > 0.0 && mc < 1.0))
+            throw InvalidTableSpec(
+              s"semantic_dedup min_cosine must be in (0, 1), got $mc")
+          val dims = on.path("dims").asInt(-1)
+          if (dims < 1)
+            throw InvalidTableSpec(
+              s"semantic_dedup dims must be >= 1, got $dims")
+          val tcs = on.path("target_cluster_size").asInt(16)
+          if (tcs < 2)
+            throw InvalidTableSpec(
+              s"semantic_dedup target_cluster_size must be >= 2, got $tcs")
+          SemanticDedup(req(on, "table"), req(on, "id_col"),
+            req(on, "vec_col"), mc, dims, tcs,
+            on.path("deterministic").asBoolean(false), req(on, "out"))
         case "agreement" =>
           val m = req(on, "method")
           if (!PipelineTasks.agreementMethods(m))
             throw InvalidTableSpec(s"unknown agreement method $m")
-          AgreementOp(req(on, "table"), m, req(on, "col_a"),
-            req(on, "col_b"), on.path("raters").asInt(2), req(on, "out"))
+          m match {
+            case "icc" =>
+              val raters = on.path("raters").asInt(-1)
+              if (raters < 2)
+                throw InvalidTableSpec(
+                  s"agreement icc needs raters >= 2, got $raters")
+              IccOp(req(on, "table"), req(on, "item_col"),
+                req(on, "rater_col"), req(on, "value_col"), raters,
+                req(on, "out"))
+            case "cronbach" =>
+              val cols = on.path("cols").elements().asScala
+                .map(_.asText()).toSeq
+              if (cols.size < 2)
+                throw InvalidTableSpec(
+                  s"agreement cronbach needs cols[] with >= 2 items, " +
+                    s"got ${cols.size}")
+              CronbachOp(req(on, "table"), cols, req(on, "out"))
+            case _ =>
+              AgreementOp(req(on, "table"), m, req(on, "col_a"),
+                req(on, "col_b"), on.path("raters").asInt(2),
+                req(on, "out"))
+          }
         case "eval" =>
           val m = req(on, "method")
           if (!PipelineTasks.evalMethods(m))
             throw InvalidTableSpec(s"unknown eval method $m")
-          EvalOp(req(on, "table"), m, req(on, "col_a"),
-            req(on, "col_b"), req(on, "out"))
+          m match {
+            case "c_index" =>
+              CIndexOp(req(on, "table"), req(on, "time_col"),
+                req(on, "event_col"), req(on, "score_col"),
+                req(on, "out"))
+            case "qini" =>
+              QiniOp(req(on, "table"), req(on, "treated_col"),
+                req(on, "outcome_col"), req(on, "score_col"),
+                req(on, "out"))
+            case _ =>
+              EvalOp(req(on, "table"), m, req(on, "col_a"),
+                req(on, "col_b"), req(on, "out"))
+          }
         case other => throw InvalidTableSpec(s"unknown pipeline op $other")
       }
     }.toSeq

@@ -354,4 +354,122 @@ class WebShellSpec extends SparkTestBase {
         "REST mde_probe diverged from the q371 gate")
     } finally shell.stop()
   }
+
+  test("POST /pipeline round-12 surface (semantic_dedup / icc / " +
+       "cronbach / c_index / qini): byte-identical to the " +
+       "q363/q367/q369/q376/q377 gates; bad specs 400 at admission") {
+    val dir = sf("sf0.01")
+    val store = new ParquetTableStore(spark, tmpDir("web-r12"))
+    val audit = new graft.audit.InMemoryAuditSink
+    val runner = new TaskRunner(spark, new SyncEngine(store), audit)
+    import org.apache.spark.sql.functions._
+    val dayUs = 86400000000L
+    val events = CoreQueries.tRead(spark, dir, "events")
+    // the q367 gate's 3-rater continuous-ratings frame
+    val e = events.where(col("value").isNotNull)
+      .select(col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    val ratings = e.select(col("event_id").as("item"),
+        lit("a").as("rater"), col("cents").as("x"))
+      .unionByName(e.select(col("event_id").as("item"),
+        lit("b").as("rater"),
+        (col("cents") + (col("event_id") % 1000) * 30 - 15000).as("x")))
+      .unionByName(e.where(col("event_id") % 13 =!= 0)
+        .select(col("event_id").as("item"), lit("c").as("rater"),
+          (expr("cents div 2000") * 2000 + 5000).as("x")))
+    // the q369 gate's 3 sub-score columns
+    val scores = events
+      .where(col("value").isNotNull && col("event_id").isNotNull &&
+        col("user_id").isNotNull)
+      .select(floor(col("value") * 100).cast("long").as("cents"),
+        col("event_id"), col("user_id"))
+      .select(expr("cents div 1000").as("s1"),
+        expr("(cents + event_id % 20000) div 1000").as("s2"),
+        expr("(cents + (user_id * 7) % 30000) div 1000").as("s3"))
+    // the q376 gate's subject frame (tenure, event, lifetime cents)
+    val subj = events.where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg((max(expr(s"ts div ${dayUs}L")) -
+          min(expr(s"ts div ${dayUs}L"))).as("tenure"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("event"),
+        coalesce(sum(floor(col("value") * 100).cast("long")), lit(0L))
+          .as("score"))
+    // the q377 gate's uplift frame (parity treatment, big-ticket flag)
+    val uplift = events.where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+            floor(col("value") * 100).cast("long") >= 20000L, 1L)
+          .otherwise(0L)).as("event"),
+        coalesce(sum(floor(col("value") * 100).cast("long")), lit(0L))
+          .as("score"))
+      .select((col("user_id") % 2 === 0).as("treated"), col("event"),
+        col("score"))
+    val emb = CoreQueries.tRead(spark, dir, "embeddings")
+    val shell = new WebShell(runner, new CalcEngine(spark, store), audit,
+      sources = {
+        case "emb"     => emb
+        case "ratings" => ratings
+        case "scores"  => scores
+        case "subj"    => subj
+        case "uplift"  => uplift
+        case other     => sys.error(s"unknown source $other")
+      },
+      pipelineStore = Some(store), port = 0).start()
+    try {
+      val r = post(shell.boundPort, "/pipeline",
+        """{"ops":[
+          |{"op":"semantic_dedup","table":"emb","id_col":"vec_id",
+          | "vec_col":"embedding","min_cosine":0.25,"dims":64,
+          | "target_cluster_size":16,"deterministic":true,
+          | "out":"p.sem"},
+          |{"op":"agreement","method":"icc","table":"ratings",
+          | "item_col":"item","rater_col":"rater","value_col":"x",
+          | "raters":3,"out":"p.icc"},
+          |{"op":"agreement","method":"cronbach","table":"scores",
+          | "cols":["s1","s2","s3"],"out":"p.cron"},
+          |{"op":"eval","method":"c_index","table":"subj",
+          | "time_col":"tenure","event_col":"event",
+          | "score_col":"score","out":"p.cidx"},
+          |{"op":"eval","method":"qini","table":"uplift",
+          | "treated_col":"treated","outcome_col":"event",
+          | "score_col":"score","out":"p.qini"}]}""".stripMargin)
+      assert(r.statusCode() == 200, s"got ${r.statusCode()} ${r.body()}")
+      val deadline = System.nanoTime() + 300_000_000_000L
+      while (!audit.taskEvents.exists(e2 =>
+               e2.status == "finished_pipeline" || e2.status == "error") &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      assert(audit.taskEvents.exists(_.status == "finished_pipeline"),
+        s"pipeline did not finish: ${audit.taskEvents}")
+      // multi-row results: compare as sorted row sets (the store
+      // round-trips through parquet, which may reorder partitions)
+      def sortedRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.toString).sorted.toSeq
+      for ((out, gate) <- Seq(
+          "p.sem"  -> "q363_semantic_dedup_cc",
+          "p.icc"  -> "q367_icc",
+          "p.cron" -> "q369_cronbach",
+          "p.cidx" -> "q376_c_index",
+          "p.qini" -> "q377_qini_curve")) {
+        assert(sortedRows(store.read(out)) ==
+          sortedRows(SparkEntry.queries(gate)(spark, dir)),
+          s"REST $out diverged from the $gate gate")
+      }
+      // admission validation: out-of-range min_cosine and a short
+      // cols[] must 400 BEFORE any background work
+      val badMc = post(shell.boundPort, "/pipeline",
+        """{"ops":[{"op":"semantic_dedup","table":"emb",
+          |"id_col":"vec_id","vec_col":"embedding","min_cosine":1.5,
+          |"dims":64,"out":"p.bad"}]}""".stripMargin)
+      assert(badMc.statusCode() == 400 &&
+        badMc.body().contains("min_cosine"),
+        s"got ${badMc.statusCode()} ${badMc.body()}")
+      val badCols = post(shell.boundPort, "/pipeline",
+        """{"ops":[{"op":"agreement","method":"cronbach",
+          |"table":"scores","cols":["s1"],"out":"p.bad"}]}""".stripMargin)
+      assert(badCols.statusCode() == 400 &&
+        badCols.body().contains("cols"),
+        s"got ${badCols.statusCode()} ${badCols.body()}")
+    } finally shell.stop()
+  }
 }
