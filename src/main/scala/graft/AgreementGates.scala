@@ -342,6 +342,44 @@ object AgreementGates {
         col("max_delta_pm"))
   }
 
+  // STREAMING WEIGHTED-KAPPA CANARY (round-12 verdict ask #7): q365
+  // monitors whether the rule and trained langid classifiers still
+  // AGREE per micro-batch; this is its ORDINAL companion — per
+  // arriving batch, Cohen's linear-weighted kappa between two FROZEN
+  // quality banders (char-length bands vs whitespace-token bands,
+  // both clamped to 5 ordinal levels — the q356/q361 machinery on
+  // streaming data). A labeling pipeline runs exactly this: when new
+  // data drifts to a regime where the cheap banders stop agreeing,
+  // kappa drops in THAT batch and the canary fires before a model
+  // retrains on mislabeled bands. Same harness as q365: 4 doc_id%4
+  // bucket files under maxFilesPerTrigger=1, one summary row per
+  // micro-batch keyed by the bucket value carried in the data
+  // (order-free, oracle-checkable), bounded state.
+  def q380_stream_kappa_canary(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val tmp = CoreQueries.fixtureDir("q380_docs")
+    CoreQueries.rewritePartFiles(tmp, (0 until 4).map(b =>
+      docs.where(pmod(col("doc_id"), lit(4)) === b)))
+    val store = new graft.io.ParquetTableStore(s,
+      java.nio.file.Files.createTempDirectory("q380mon").toString)
+    graft.streaming.EventStream.runStreamForeachBatch(
+      s, tmp.getAbsolutePath, { (batch, _) =>
+        val banded = batch.select(
+          least(expr("length(text) div 200"), lit(4L)).as("band_len"),
+          least(expr("size(split(text, ' ')) div 40"), lit(4L))
+            .as("band_tok"))
+        val kappa = graft.ops.Agreement.weightedKappaPpm(
+          banded, "band_len", "band_tok")
+        val meta = batch.agg(
+          min(pmod(col("doc_id"), lit(4))).as("bucket"))
+        val row = meta.crossJoin(kappa)
+        if (store.exists("mon.kappa")) store.append("mon.kappa", row)
+        else store.overwrite("mon.kappa", row)
+      }, options = Map("maxFilesPerTrigger" -> "1"))
+    store.read("mon.kappa")
+      .select(col("bucket"), col("n"), col("kappa_w_ppm"))
+  }
+
   // YUEN'S TRIMMED-MEANS TEST (ops/RankTests.yuenTrimmedMilli): the
   // robust companion to q304's Welch on the same purchase-vs-rest
   // comparison — 20% trim per tail, winsorized variance, so the spend
@@ -537,6 +575,7 @@ object AgreementGates {
     "q358_luhn_pii"          -> q358_luhn_pii _,
     "q359_langid_agreement"  -> q359_langid_agreement _,
     "q365_stream_drift_monitor" -> q365_stream_drift_monitor _,
+    "q380_stream_kappa_canary" -> q380_stream_kappa_canary _,
     "q352_cluster_ari"       -> q352_cluster_ari _,
     "q353_gk_lambda"         -> q353_gk_lambda _,
     "q354_t_closeness"       -> q354_t_closeness _,
@@ -960,6 +999,28 @@ object AgreementGates {
         |             ELSE CAST(substring(reverse(x), i, 1) AS INT)*2 END
         |      END)) % 10 = 0)) AS BIGINT) AS n_valid
         |FROM c""".stripMargin,
+    "q380_stream_kappa_canary" ->
+      """WITH e AS (SELECT doc_id % 4 AS bucket,
+        |    least(length(text) // 200, 4) AS i,
+        |    least(len(string_split(text, ' ')) // 40, 4) AS j
+        |  FROM documents),
+        |cells AS (SELECT bucket, i, j, count(*) AS nij
+        |          FROM e GROUP BY 1, 2, 3),
+        |obs AS (SELECT bucket, sum(nij) AS n,
+        |          sum(CAST(abs(i - j) AS HUGEINT) * nij) AS wo
+        |        FROM cells GROUP BY 1),
+        |ma AS (SELECT bucket, i, sum(nij) AS r FROM cells GROUP BY 1, 2),
+        |mb AS (SELECT bucket, j, sum(nij) AS c FROM cells GROUP BY 1, 2),
+        |ex AS (SELECT ma.bucket,
+        |         sum(CAST(abs(ma.i - mb.j) AS HUGEINT) * ma.r * mb.c)
+        |           AS we
+        |       FROM ma JOIN mb ON ma.bucket = mb.bucket GROUP BY 1)
+        |SELECT CAST(obs.bucket AS BIGINT) AS bucket,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(CASE WHEN we IS NULL OR we = 0 THEN NULL
+        |       ELSE 1000000 - (1000000 * CAST(n AS HUGEINT) * wo) // we
+        |       END AS BIGINT) AS kappa_w_ppm
+        |FROM obs JOIN ex ON obs.bucket = ex.bucket""".stripMargin,
     "q365_stream_drift_monitor" ->
       """WITH ra AS (
         |  SELECT doc_id,

@@ -673,6 +673,43 @@ object EvalGates {
       bins = 10)
   }
 
+  // q377's uplift subject frame (parity "treatment", big-ticket
+  // outcome, lifetime-cents score) — shared by the curve (q377), its
+  // AUUC scalar (q378) and the calibration table (q379)
+  private def upliftSubjects(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+            floor(col("value") * 100).cast("long") >= 20000L, 1L)
+          .otherwise(0L)).as("event"),
+        coalesce(sum(floor(col("value") * 100).cast("long")), lit(0L))
+          .as("score"))
+      .select(col("user_id"), (col("user_id") % 2 === 0).as("treated"),
+        col("event"), col("score"))
+
+  // AUUC / QINI COEFFICIENT (ops/Stats.qiniAucMilli): the leaderboard
+  // scalar over q377's curve — integer trapezoid vs the random
+  // diagonal on the SAME subject frame, so the null-effect experiment
+  // should land the coefficient near 0 (the wobble integrates out).
+  def q378_qini_auc(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.qiniAucMilli(
+      upliftSubjects(s, dir).select(col("treated"), col("event"),
+        col("score")),
+      "treated", "event", "score", bins = 10)
+
+  // UPLIFT CALIBRATION (ops/Stats.upliftCalibrationMilli): per
+  // predicted-uplift bin, predicted vs realized treatment effect —
+  // the decision-layer readout next to q377/q378. The gate's
+  // "prediction" is a deterministic null predictor in milli
+  // (score % 400 − 200), so realized uplift should wobble around 0
+  // while mean_pred walks the [−200, 199] ramp — a MIScalibrated
+  // pair, which is exactly what the table must expose.
+  def q379_uplift_calibration(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.upliftCalibrationMilli(
+      upliftSubjects(s, dir).select(col("treated"), col("event"),
+        expr("score % 400 - 200").as("pred")),
+      "treated", "event", "pred", bins = 10)
+
   // RANKER AGREEMENT (llm/Relevance.rankerAgreement): top-20 set
   // Jaccard between q266's two rankers (exact cosine vs the Hamming
   // sign sketch) per query — quantifies how much the fusion actually
@@ -825,7 +862,9 @@ object EvalGates {
     "q335_cohort_ltv"      -> q335_cohort_ltv _,
     "q336_ranker_agreement" -> q336_ranker_agreement _,
     "q376_c_index"         -> q376_c_index _,
-    "q377_qini_curve"      -> q377_qini_curve _)
+    "q377_qini_curve"      -> q377_qini_curve _,
+    "q378_qini_auc"        -> q378_qini_auc _,
+    "q379_uplift_calibration" -> q379_uplift_calibration _)
 
   /** 9^(d−1) / 10^d rows for the q340 oracle — generated here so the
     * HUGEINT literals can't drift from [[graft.llm.Relevance.rboPpm]]'s
@@ -1994,6 +2033,101 @@ object EvalGates {
         |                           - CAST(cpc AS HUGEINT)*cnt)) // cnc)
         |       END AS BIGINT) AS qini_milli
         |FROM cb""".stripMargin,
+    "q378_qini_auc" ->
+      """WITH u AS (SELECT user_id % 2 = 0 AS tr,
+        |    max(CASE WHEN event_type = 'purchase'
+        |          AND CAST(floor(value*100) AS BIGINT) >= 20000
+        |        THEN 1 ELSE 0 END) AS e,
+        |    coalesce(sum(CAST(floor(value*100) AS BIGINT)), 0) AS s
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |hist AS (SELECT s,
+        |    sum(CASE WHEN tr THEN 1 ELSE 0 END) AS wt,
+        |    sum(CASE WHEN tr THEN e ELSE 0 END) AS pt,
+        |    sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS wc,
+        |    sum(CASE WHEN NOT tr THEN e ELSE 0 END) AS pc
+        |  FROM u GROUP BY 1),
+        |cum AS (SELECT *, sum(wt + wc) OVER (ORDER BY s DESC) AS cw
+        |        FROM hist),
+        |tot AS (SELECT sum(wt + wc) AS n FROM hist),
+        |b AS (SELECT (10*cw + n - 1)//n AS bin, wt, pt, wc, pc
+        |      FROM cum, tot),
+        |bb AS (SELECT bin, sum(wt) AS wt, sum(pt) AS pt,
+        |         sum(wc) AS wc, sum(pc) AS pc FROM b GROUP BY 1),
+        |cb AS (SELECT bin,
+        |         sum(wt) OVER (ORDER BY bin) AS cnt,
+        |         sum(wc) OVER (ORDER BY bin) AS cnc,
+        |         sum(pt) OVER (ORDER BY bin) AS cpt,
+        |         sum(pc) OVER (ORDER BY bin) AS cpc FROM bb),
+        |q AS (SELECT bin, cnt + cnc AS cn,
+        |        CASE WHEN cnc = 0 THEN NULL
+        |        ELSE CAST(sign(CAST(cpt AS HUGEINT)*cnc
+        |                       - CAST(cpc AS HUGEINT)*cnt) AS HUGEINT)
+        |             * ((1000 * abs(CAST(cpt AS HUGEINT)*cnc
+        |                            - CAST(cpc AS HUGEINT)*cnt)) // cnc)
+        |        END AS qq
+        |      FROM cb),
+        |seg AS (SELECT bin, cn, qq,
+        |          lag(cn, 1, 0) OVER (ORDER BY bin) AS pcn,
+        |          lag(qq, 1, 0) OVER (ORDER BY bin) AS pq
+        |        FROM q),
+        |f AS (SELECT count(*) AS bins,
+        |        sum(CASE WHEN qq IS NULL OR pq IS NULL
+        |            THEN 1 ELSE 0 END) AS nullq,
+        |        sum((coalesce(pq, 0) + coalesce(qq, 0))
+        |            * CAST(cn - pcn AS HUGEINT)) AS area2,
+        |        max(cn) AS n FROM seg),
+        |qf AS (SELECT qq AS qfv FROM q ORDER BY bin DESC LIMIT 1)
+        |SELECT CAST(COALESCE(n, 0) AS BIGINT) AS n,
+        |  CAST(COALESCE(bins, 0) AS BIGINT) AS bins,
+        |  CAST(qfv AS BIGINT) AS q_final_milli,
+        |  CAST(CASE WHEN nullq > 0 OR COALESCE(n, 0) = 0 THEN NULL
+        |       ELSE CAST(sign(area2) AS HUGEINT)
+        |            * (abs(area2) // (2 * CAST(n AS HUGEINT)))
+        |       END AS BIGINT) AS auuc_milli,
+        |  CAST(CASE WHEN nullq > 0 OR COALESCE(n, 0) = 0 THEN NULL
+        |       ELSE CAST(sign(area2 - CAST(qfv AS HUGEINT) * n)
+        |              AS HUGEINT)
+        |            * (abs(area2 - CAST(qfv AS HUGEINT) * n)
+        |               // (2 * CAST(n AS HUGEINT)))
+        |       END AS BIGINT) AS qini_coef_milli
+        |FROM f, qf""".stripMargin,
+    "q379_uplift_calibration" ->
+      """WITH u AS (SELECT user_id % 2 = 0 AS tr,
+        |    max(CASE WHEN event_type = 'purchase'
+        |          AND CAST(floor(value*100) AS BIGINT) >= 20000
+        |        THEN 1 ELSE 0 END) AS e,
+        |    coalesce(sum(CAST(floor(value*100) AS BIGINT)), 0) AS s
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |p AS (SELECT tr, e, s % 400 - 200 AS pr FROM u),
+        |hist AS (SELECT pr,
+        |    sum(CASE WHEN tr THEN 1 ELSE 0 END) AS wt,
+        |    sum(CASE WHEN tr THEN e ELSE 0 END) AS pt,
+        |    sum(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS wc,
+        |    sum(CASE WHEN NOT tr THEN e ELSE 0 END) AS pc
+        |  FROM p GROUP BY 1),
+        |cum AS (SELECT *, sum(wt + wc) OVER (ORDER BY pr DESC) AS cw
+        |        FROM hist),
+        |tot AS (SELECT sum(wt + wc) AS n FROM hist),
+        |b AS (SELECT (10*cw + n - 1)//n AS bin, wt, pt, wc, pc, pr
+        |      FROM cum, tot),
+        |bb AS (SELECT bin, sum(wt) AS nt, sum(wc) AS nc,
+        |         sum(pt) AS post, sum(pc) AS posc,
+        |         sum(CAST(pr AS HUGEINT) * (wt + wc)) AS sp
+        |       FROM b GROUP BY 1)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(nt + nc AS BIGINT) AS n,
+        |  CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+        |  CAST(CAST(sign(sp) AS HUGEINT)
+        |       * ((1000 * abs(sp)) // (nt + nc)) AS BIGINT)
+        |    AS mean_pred_milli,
+        |  CAST(CASE WHEN nt = 0 OR nc = 0 THEN NULL
+        |       ELSE CAST(sign(CAST(post AS HUGEINT)*nc
+        |                      - CAST(posc AS HUGEINT)*nt) AS HUGEINT)
+        |            * ((1000 * abs(CAST(post AS HUGEINT)*nc
+        |                           - CAST(posc AS HUGEINT)*nt))
+        |               // (CAST(nt AS HUGEINT) * nc))
+        |       END AS BIGINT) AS realized_uplift_milli
+        |FROM bb""".stripMargin,
     "q376_c_index" ->
       """WITH u AS (SELECT user_id,
         |    max(epoch_us(ts)//86400000000)

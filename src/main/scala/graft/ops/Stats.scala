@@ -2155,6 +2155,153 @@ object Stats {
           .as("qini_milli"))
   }
 
+  /** AUUC / QINI COEFFICIENT — the LEADERBOARD NUMBER over
+    * [[qiniCurveMilli]]'s curve (round-11 verdict ask #6): the curve
+    * is the diagnostic plot, its AREA against the random diagonal is
+    * the single scalar uplift models rank by. Integer trapezoid over
+    * the REALIZED curve points (origin (0,0) prepended; x = cumulative
+    * subjects, y = the already-floored qini_milli — both engines build
+    * from identical integers, so the area is exact):
+    *   area2     = Σ_k (q_{k−1} + q_k)·(n_k − n_{k−1})   [doubled]
+    *   random2   = q_B · N          [doubled area under the diagonal
+    *                                 from (0,0) to (N, q_B)]
+    *   auuc_milli      = sign(area2) · (|area2| div (2·N))
+    *   qini_coef_milli = sign(area2 − random2) ·
+    *                     (|area2 − random2| div (2·N))
+    * Units: average qini_milli over the ranking — a model no better
+    * than random scores a coefficient near 0, a harmful ranking goes
+    * negative. NULL when any depth has no controls yet (its curve
+    * point is undefined) or when N = 0.
+    *
+    * Output one row: (n, bins, q_final_milli, auuc_milli,
+    * qini_coef_milli) — `bins` counts REALIZED curve points (value-
+    * level ties can merge adjacent depths).
+    *
+    * Scale shape: everything in [[qiniCurveMilli]] (histogram +
+    * window-free prefix + bins² triangle), then a ≤(bins+1)²
+    * prev-point triangle and one final row — no subject-grain work
+    * past the histogram. */
+  def qiniAucMilli(df: DataFrame, treatedCol: String,
+                   outcomeCol: String, scoreCol: String,
+                   bins: Int = 10): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val curve = qiniCurveMilli(df, treatedCol, outcomeCol, scoreCol,
+        bins)
+      .select(col("bin"), (col("cum_nt") + col("cum_nc")).as("__cn"),
+        col("qini_milli").as("__q"))
+    val origin = curve.sparkSession.range(1)
+      .select(lit(0L).as("bin"), lit(0L).as("__cn"),
+        lit(0L).as("__q"))
+    val pts = curve.unionByName(origin)
+    val prev = pts.select(col("bin").as("__b2"), col("__cn").as("__cn2"),
+      col("__q").as("__q2"))
+    // each realized depth joins every EARLIER point (bins² bounded,
+    // origin guarantees a match) and keeps the latest as its
+    // predecessor — the window-free lag
+    val seg = pts.where(col("bin") > 0)
+      .join(prev, col("__b2") < col("bin"))
+      .groupBy(col("bin"))
+      .agg(first(col("__cn")).as("__cnk"), first(col("__q")).as("__qk"),
+        max(struct(col("__b2"), col("__cn2"), col("__q2"))).as("__p"))
+      .select(col("bin"), col("__cnk"), col("__qk"),
+        col("__p.__cn2").as("__cnp"), col("__p.__q2").as("__qp"))
+    seg.agg(count(lit(1)).as("__bins"),
+        sum(when(col("__qk").isNull || col("__qp").isNull, 1L)
+          .otherwise(0L)).as("__nullq"),
+        sum((coalesce(col("__qp"), lit(0L)).cast(d38) +
+            coalesce(col("__qk"), lit(0L))) *
+          (col("__cnk") - col("__cnp"))).as("__area2"),
+        max(struct(col("bin"), col("__cnk").as("n"),
+          col("__qk").as("qf"))).as("__last"))
+      .select(coalesce(col("__last.n"), lit(0L)).as("n"),
+        coalesce(col("__bins"), lit(0L)).as("bins"),
+        col("__last.qf").as("q_final_milli"),
+        col("__nullq"), col("__area2"))
+      .withColumn("__rand2",
+        col("q_final_milli").cast(d38) * col("n"))
+      .select(col("n"), col("bins"), col("q_final_milli"),
+        when(col("__nullq") > 0 || col("n") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CAST(sign(__area2) AS DECIMAL(38,0)) *
+              |(abs(__area2) div (2 * CAST(n AS DECIMAL(38,0))))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("auuc_milli"),
+        when(col("__nullq") > 0 || col("n") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CAST(sign(__area2 - __rand2) AS DECIMAL(38,0)) *
+              |(abs(__area2 - __rand2) div
+              | (2 * CAST(n AS DECIMAL(38,0)))) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("qini_coef_milli"))
+  }
+
+  /** UPLIFT CALIBRATION TABLE — the DECISION-LAYER companion to
+    * [[qiniCurveMilli]] (round-11 verdict ask #6): per predicted-
+    * uplift bin, does the model's PREDICTED treatment effect match
+    * the REALIZED effect? Rank by prediction DESC, cut into `bins`
+    * equal-count buckets (value-level ties, the gainsTable stance —
+    * the [[isotonicFitBucketed]] shape applied to treatment deltas);
+    * per NON-cumulative bin report
+    *   mean_pred_milli       = sign(Σp) · ((10³·|Σp|) div n)
+    *   realized_uplift_milli = sign(pt·nc − pc·nt) ·
+    *                           ((10³·|pt·nc − pc·nt|) div (nt·nc))
+    * realized is NULL when a bin lacks either arm. A calibrated model
+    * tracks the diagonal; systematic over-prediction in the top bins
+    * is the classic uplift-model failure this table catches before a
+    * rollout targets the wrong decile.
+    *
+    * Output: (bin, n, n_t, n_c, mean_pred_milli,
+    * realized_uplift_milli), ascending bin = descending prediction.
+    *
+    * Scale shape: one prediction-histogram groupBy, the window-free
+    * global prefix sum over distinct predictions, one bin groupBy —
+    * no subject-grain shuffle after the histogram, no triangle at
+    * all (bins are non-cumulative). */
+  def upliftCalibrationMilli(df: DataFrame, treatedCol: String,
+                             outcomeCol: String, predCol: String,
+                             bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins in [2,1000], got $bins")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(treatedCol).cast("boolean").as("__t"),
+        col(outcomeCol).cast("long").as("__y"),
+        col(predCol).cast("long").as("__p"))
+      .where(col("__t").isNotNull && col("__y").isNotNull &&
+        col("__p").isNotNull)
+    val hist = base.groupBy(col("__p"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__wt"),
+        sum(when(col("__t"), col("__y")).otherwise(0L)).as("__pt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__wc"),
+        sum(when(!col("__t"), col("__y")).otherwise(0L)).as("__pc"))
+      .withColumn("__w", col("__wt") + col("__wc"))
+    val cum = GlobalRank.globalRunningSum(hist, Seq(col("__p").desc),
+      "__w")
+    val totals = hist.agg(sum(col("__w")).as("__n"))
+    cum.crossJoin(broadcast(totals))
+      .withColumn("bin", expr(s"($bins * cum + __n - 1) div __n"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__wt")).as("n_t"), sum(col("__wc")).as("n_c"),
+        sum(col("__pt")).as("__post"), sum(col("__pc")).as("__posc"),
+        sum(col("__p").cast(d38) * col("__w")).as("__sp"))
+      .select(col("bin"), (col("n_t") + col("n_c")).as("n"),
+        col("n_t"), col("n_c"),
+        expr("""CAST(CAST(sign(__sp) AS DECIMAL(38,0)) *
+               |((1000 * abs(__sp)) div (n_t + n_c)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("mean_pred_milli"),
+        when(col("n_t") === 0 || col("n_c") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CAST(sign(CAST(__post AS DECIMAL(38,0)) * n_c
+              |          - CAST(__posc AS DECIMAL(38,0)) * n_t)
+              |     AS DECIMAL(38,0)) *
+              |((1000 * abs(CAST(__post AS DECIMAL(38,0)) * n_c
+              |             - CAST(__posc AS DECIMAL(38,0)) * n_t))
+              | div (CAST(n_t AS DECIMAL(38,0)) * n_c)) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("realized_uplift_milli"))
+  }
+
   /** BEST SPLIT THRESHOLD on a numeric feature — the distributed
     * decision-tree split finder (the histogram scan at the core of
     * XGBoost/LightGBM tree building): for every candidate threshold t

@@ -54,7 +54,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // centroid-sum shapes (CH + silhouette — a corpus-sized shuffle
     // here would mean the explode stopped combining map-side), and the
     // TextTiling gap traffic (composite-grain, bounded by gaps)
-    ("q367_icc", 58467L, 88000L),
+    // re-pinned round 12: the countDistinct(rater) completeness check
+    // adds the distinct-expand lane (~+20k records at sf0.01)
+    ("q367_icc", 78467L, 118000L),
     ("q370_krippendorff_interval", 54182L, 82000L),
     ("q373_calinski_harabasz", 1621L, 2500L),
     ("q374_silhouette", 1541L, 2400L),
@@ -64,7 +66,14 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // stopped riding the bounded grid
     ("q376_c_index", 342L, 550L),
     // qini: score histogram + windowless prefix sum + bins² triangle
-    ("q377_qini_curve", 1075L, 1700L))
+    ("q377_qini_curve", 1075L, 1700L),
+    // round-12 additions: the AUUC trapezoid adds only the bounded
+    // prev-point triangle over q377's shape; calibration stops at the
+    // non-cumulative bin groupBy; the kappa canary shuffles only
+    // contingency cells per micro-batch (bands are 5x5 bounded)
+    ("q378_qini_auc", 1105L, 1700L),
+    ("q379_uplift_calibration", 795L, 1200L),
+    ("q380_stream_kappa_canary", 56L, 120L))
 
   budgets.foreach { case (name, actual, budget) =>
     test(s"$name stays inside its shuffle-record budget " +

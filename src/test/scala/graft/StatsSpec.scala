@@ -326,6 +326,57 @@ class StatsSpec extends SparkTestBase {
     assert(fromLocal == whole, "local frozen-counts variant diverged")
   }
 
+  test("qiniAucMilli: hand trapezoid — tent curve integrates to its " +
+       "area; null effect at the terminal point") {
+    // scores 8..1 desc, alternating arms; outcomes put both treated
+    // hits in the top half, both control hits in the bottom half.
+    // bins=4 -> curve (0,0),(2,1000),(4,2000),(6,1000),(8,0):
+    // area2 = 2000+6000+6000+2000 = 16000; q_final = 0 (null overall)
+    // auuc = 16000/(2*8) = 1000; coef = (16000 - 0*8)/16 = 1000
+    val df = Seq(
+      (true, 1L, 8L), (false, 0L, 7L), (true, 1L, 6L), (false, 0L, 5L),
+      (true, 0L, 4L), (false, 1L, 3L), (true, 0L, 2L), (false, 1L, 1L))
+      .toDF("t", "y", "s")
+    val got = Stats.qiniAucMilli(df, "t", "y", "s", bins = 4)
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(got == ((8L, 4L, 0L, Some(1000L), Some(1000L))), s"got $got")
+    // a depth with NO controls yet has an undefined curve point ->
+    // scalar is NULL, not a silently-skipped segment
+    val noCtl = Seq((true, 1L, 4L), (true, 1L, 3L),
+      (false, 0L, 2L), (false, 0L, 1L)).toDF("t", "y", "s")
+    val n2 = Stats.qiniAucMilli(noCtl, "t", "y", "s", bins = 2)
+      .select("auuc_milli", "qini_coef_milli")
+      .as[(Option[Long], Option[Long])].collect().head
+    assert(n2 == ((None, None)), s"expected NULLs, got $n2")
+  }
+
+  test("upliftCalibrationMilli: per-bin mean prediction vs realized " +
+       "uplift, NULL when a bin lacks an arm") {
+    // preds 8..1 desc, bins=2: top bin {8,7,6,5} has pt=2/2t vs
+    // pc=0/2c -> realized +1000; mean_pred = 1000*26/4 = 6500.
+    // bottom bin {4,3,2,1}: pt=0/2t vs pc=2/2c -> realized -1000;
+    // mean_pred = 1000*10/4 = 2500
+    val df = Seq(
+      (true, 1L, 8L), (false, 0L, 7L), (true, 1L, 6L), (false, 0L, 5L),
+      (true, 0L, 4L), (false, 1L, 3L), (true, 0L, 2L), (false, 1L, 1L))
+      .toDF("t", "y", "p")
+    val got = Stats.upliftCalibrationMilli(df, "t", "y", "p", bins = 2)
+      .orderBy($"bin")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, 2L, 6500L, Some(1000L)),
+      (2L, 4L, 2L, 2L, 2500L, Some(-1000L))), s"got $got")
+    // single-arm bin -> realized NULL, mean_pred still reported
+    val oneArm = Seq((true, 1L, 2L), (true, 0L, 2L),
+      (false, 1L, 1L), (false, 0L, 1L)).toDF("t", "y", "p")
+    val g2 = Stats.upliftCalibrationMilli(oneArm, "t", "y", "p", bins = 2)
+      .orderBy($"bin")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(g2 == Seq(
+      (1L, 2L, 2L, 0L, 2000L, None),
+      (2L, 2L, 0L, 2L, 1000L, None)), s"got $g2")
+  }
+
   test("weighted quantiles: weight units, not rows, drive the rank") {
     // values 1,2,3 with weights 1,1,8 → W=10: p50 threshold ceil(5)=5 →
     // first v with cum ≥ 5 is 3 (unweighted median would say 2)
