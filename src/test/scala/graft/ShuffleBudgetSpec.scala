@@ -97,37 +97,12 @@ class ShuffleBudgetSpec extends SparkTestBase {
   * actuals to pin in [[ShuffleBudgetSpec]]. */
 object ShuffleBudget {
 
-  /** Total shuffle-WRITE records across every stage the query ran —
-    * including jobs fired eagerly during DataFrame CONSTRUCTION
-    * (iterative operators checkpoint mid-build, so their returned plan
-    * is an RDD scan and per-exchange plan metrics would miss all the
-    * real work). A stage-completion listener sums the aggregated task
-    * metrics; after the terminal action we spin until the async
-    * listener bus quiesces. `build` is by-name for exactly that
-    * reason: construction must run inside the listener window. */
+  /** Delegates to [[graft.ShuffleAudit.shuffledRecords]] — the metric
+    * moved to main sources in round 12 so the SCALE rehearsal probes
+    * budgets at sf1 from the same code path (verdict ask #8). */
   def shuffledRecords(spark: org.apache.spark.sql.SparkSession,
-                      build: => DataFrame): Long = {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-    val acc = new java.util.concurrent.atomic.AtomicLong
-    val l = new SparkListener {
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        val m = s.stageInfo.taskMetrics
-        if (m != null) acc.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-      }
-    }
-    spark.sparkContext.addSparkListener(l)
-    try {
-      val df = build
-      df.queryExecution.toRdd.count()
-      var prev = -1L
-      var cur = acc.get
-      var spins = 0
-      while (prev != cur && spins < 100) {
-        Thread.sleep(100); prev = cur; cur = acc.get; spins += 1
-      }
-      cur
-    } finally spark.sparkContext.removeSparkListener(l)
-  }
+                      build: => DataFrame): Long =
+    graft.ShuffleAudit.shuffledRecords(spark, build)
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(4, "shuffle-budget-measure")
