@@ -155,6 +155,13 @@ def main(b01_path, b1_path, oracle_path, out_path, ov_path=None,
     # ratio so budget + scale are asserted together.
     if budgets_path:
         raw = json.load(open(budgets_path))
+        report["budgets_note"] = (
+            "shuffle-WRITE records per gate, measured at sf0.01 (the "
+            "ShuffleBudgetSpec pin point) and sf1 — a 100x data jump, "
+            "so growth <= ~100 is sub-linear plan volume; growth ~1 "
+            "is a bounded/fixed-shape plan (grids, band alphabets); "
+            "growth >> 100 is a pair-shaped output documented in the "
+            "gate's EXPLANATIONS entry or its COVERAGE row")
         report["budgets"] = {
             q: {"sf0.01_records": v["sf001"], "sf1_records": v["sf1"],
                 "growth": round(v["sf1"] / max(v["sf001"], 1), 1)}
