@@ -710,6 +710,33 @@ object EvalGates {
         expr("score % 400 - 200").as("pred")),
       "treated", "event", "pred", bins = 10)
 
+  // SAMPLE-RATIO MISMATCH (ops/Stats.srmCheckMilli): the assignment
+  // sanity gate every A/B readout should run FIRST — user-parity
+  // assignment measured at the EVENT grain (the realistic SRM setup:
+  // assignment is per-user, logging is per-event, and heavy users
+  // skew the realized split). One-df chi-square vs the designed 500
+  // per-mille, pinned 3841 critical value.
+  def q381_srm_check(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.srmCheckMilli(
+      t(s, dir, "events").where(col("user_id").isNotNull)
+        .select((col("user_id") % 2 === 0).as("arm")),
+      "arm", expectAPm = 500L)
+
+  // POST-STRATIFIED ATE (ops/Stats.postStratifiedAteMilli): the
+  // pooled diff-in-means vs the event-type-stratified weighted delta
+  // on the parity split — when arm composition differs across strata
+  // the pooled number confounds mix with effect; the gate surfaces
+  // both so the disagreement is the readout.
+  def q382_post_strat_ate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.postStratifiedAteMilli(
+      t(s, dir, "events")
+        .where(col("value").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+        .select((col("user_id") % 2 === 0).as("arm"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("event_type").as("stratum")),
+      "arm", "cents", "stratum")
+
   // RANKER AGREEMENT (llm/Relevance.rankerAgreement): top-20 set
   // Jaccard between q266's two rankers (exact cosine vs the Hamming
   // sign sketch) per query — quantifies how much the fusion actually
@@ -864,7 +891,9 @@ object EvalGates {
     "q376_c_index"         -> q376_c_index _,
     "q377_qini_curve"      -> q377_qini_curve _,
     "q378_qini_auc"        -> q378_qini_auc _,
-    "q379_uplift_calibration" -> q379_uplift_calibration _)
+    "q379_uplift_calibration" -> q379_uplift_calibration _,
+    "q381_srm_check"       -> q381_srm_check _,
+    "q382_post_strat_ate"  -> q382_post_strat_ate _)
 
   /** 9^(d−1) / 10^d rows for the q340 oracle — generated here so the
     * HUGEINT literals can't drift from [[graft.llm.Relevance.rboPpm]]'s
@@ -2091,6 +2120,61 @@ object EvalGates {
         |               // (2 * CAST(n AS HUGEINT)))
         |       END AS BIGINT) AS qini_coef_milli
         |FROM f, qf""".stripMargin,
+    "q381_srm_check" ->
+      """WITH e AS (SELECT user_id % 2 = 0 AS a FROM events
+        |           WHERE user_id IS NOT NULL),
+        |c AS (SELECT sum(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+        |        sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS nb FROM e),
+        |x AS (SELECT na, nb,
+        |        CASE WHEN na + nb = 0 THEN NULL
+        |        ELSE (1000 * (1000 * CAST(na AS HUGEINT)
+        |                      - 500 * (na + nb))
+        |              * (1000 * CAST(na AS HUGEINT)
+        |                 - 500 * (na + nb)))
+        |             // (CAST(na + nb AS HUGEINT) * 500 * 500)
+        |        END AS chi FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  CAST(500 AS BIGINT) AS expect_a_pm,
+        |  CAST(chi AS BIGINT) AS chi2_milli,
+        |  CAST(CASE WHEN chi IS NULL THEN NULL
+        |       WHEN chi > 3841 THEN 1 ELSE 0 END AS BIGINT) AS srm
+        |FROM x""".stripMargin,
+    "q382_post_strat_ate" ->
+      """WITH e AS (SELECT user_id % 2 = 0 AS t,
+        |    CAST(floor(value*100) AS BIGINT) AS x, event_type AS s
+        |  FROM events WHERE value IS NOT NULL
+        |    AND user_id IS NOT NULL AND event_type IS NOT NULL),
+        |st AS (SELECT s,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS nc,
+        |    sum(CASE WHEN t THEN CAST(x AS HUGEINT) ELSE 0 END) AS sa,
+        |    sum(CASE WHEN NOT t THEN CAST(x AS HUGEINT) ELSE 0 END) AS sc
+        |  FROM e GROUP BY 1),
+        |k AS (SELECT *,
+        |        CAST(sign(sa*nc - sc*na) AS HUGEINT)
+        |        * ((1000 * abs(sa*nc - sc*na))
+        |           // (CAST(na AS HUGEINT) * nc)) AS delta
+        |      FROM st WHERE na > 0 AND nc > 0),
+        |ex AS (SELECT count(*) AS xs,
+        |         coalesce(sum(na + nc), 0) AS xr
+        |       FROM st WHERE na = 0 OR nc = 0),
+        |f AS (SELECT coalesce(sum(na + nc), 0) AS n, count(*) AS ns,
+        |        sum(na) AS ta, sum(nc) AS tc,
+        |        sum(sa) AS pa, sum(sc) AS pc,
+        |        sum(CAST(na + nc AS HUGEINT) * delta) AS wsum FROM k)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(ns AS BIGINT) AS n_strata,
+        |  CAST(xs AS BIGINT) AS n_excluded_strata,
+        |  CAST(xr AS BIGINT) AS n_excluded_rows,
+        |  CAST(CASE WHEN ns = 0 THEN NULL
+        |       ELSE CAST(sign(pa*tc - pc*ta) AS HUGEINT)
+        |            * ((1000 * abs(pa*tc - pc*ta))
+        |               // (CAST(ta AS HUGEINT) * tc))
+        |       END AS BIGINT) AS simple_ate_milli,
+        |  CAST(CASE WHEN ns = 0 THEN NULL
+        |       ELSE CAST(sign(wsum) AS HUGEINT)
+        |            * (abs(wsum) // CAST(n AS HUGEINT))
+        |       END AS BIGINT) AS post_strat_ate_milli
+        |FROM f, ex""".stripMargin,
     "q379_uplift_calibration" ->
       """WITH u AS (SELECT user_id % 2 = 0 AS tr,
         |    max(CASE WHEN event_type = 'purchase'

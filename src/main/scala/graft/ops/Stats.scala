@@ -3832,4 +3832,135 @@ object Stats {
             lit(1L)).otherwise(lit(0L)))
           .as("powered"))
   }
+
+  /** SAMPLE-RATIO MISMATCH (SRM) check — the A/B sanity gate that
+    * runs BEFORE any effect readout: if the realized arm split is
+    * improbably far from the design split, the assignment path is
+    * broken (bot filtering, redirect loss, logging bias) and every
+    * downstream statistic is invalid. One-df chi-square against the
+    * expected A-share in per-mille, exact integer cross-multiplied:
+    * with D = 1000·n_a − pm·n (the scaled deviation),
+    *   chi2_milli = (1000·D²) div (n·pm·(1000−pm))
+    * flagged against the pinned χ²₁ critical value — default
+    * 3841 = round(1000·1.96²) (α = 0.05), the same
+    * one-constant-no-quantile stance as [[groupSequentialObfMilli]].
+    * Practitioners often gate SRM at α = 0.001 (10828); pass
+    * `critMilli` accordingly. NULL chi2 when n = 0.
+    *
+    * Output one row: (n_a, n_b, expect_a_pm, chi2_milli, srm).
+    *
+    * Scale shape: ONE map-side-partial count aggregate — rows never
+    * shuffle. */
+  def srmCheckMilli(df: DataFrame, armCol: String,
+                    expectAPm: Long = 500L,
+                    critMilli: Long = 3841L): DataFrame = {
+    require(expectAPm >= 1 && expectAPm <= 999,
+      s"expectAPm must be in [1, 999], got $expectAPm")
+    require(critMilli > 0, s"critMilli must be > 0, got $critMilli")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    df.select(col(armCol).cast("boolean").as("__a"))
+      .where(col("__a").isNotNull)
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__nb"))
+      .select(coalesce(col("__na"), lit(0L)).cast("long").as("n_a"),
+        coalesce(col("__nb"), lit(0L)).cast("long").as("n_b"))
+      .withColumn("__chi", when(col("n_a") + col("n_b") === 0,
+          lit(null).cast("long"))
+        .otherwise(expr(
+          s"""CAST((1000 * (1000 * CAST(n_a AS DECIMAL(38,0))
+             |  - $expectAPm * (n_a + n_b))
+             | * (1000 * CAST(n_a AS DECIMAL(38,0))
+             |  - $expectAPm * (n_a + n_b)))
+             |div (CAST(n_a + n_b AS DECIMAL(38,0))
+             |     * $expectAPm * ${1000 - expectAPm}) AS BIGINT)"""
+            .stripMargin.replace("\n", " "))))
+      .select(col("n_a"), col("n_b"),
+        lit(expectAPm).as("expect_a_pm"),
+        col("__chi").as("chi2_milli"),
+        when(col("__chi").isNull, lit(null).cast("long"))
+          .otherwise(when(col("__chi") > critMilli, 1L).otherwise(0L))
+          .as("srm"))
+  }
+
+  /** POST-STRATIFIED AVERAGE TREATMENT EFFECT — the Simpson's-paradox
+    * guard and free variance reduction for experiments with a known
+    * stratification (country, platform, signup cohort): the naive
+    * pooled diff-in-means confounds arm imbalance ACROSS strata with
+    * the effect WITHIN them; post-stratification weights each
+    * stratum's own treated-vs-control delta by the stratum's share:
+    *   Δ_s_milli = sign · (10³·|sa_s·nc_s − sc_s·na_s|)
+    *                    div (na_s·nc_s)          [per-stratum floor]
+    *   ate_milli = sign · |Σ_s n_s·Δ_s_milli| div n   [share weight]
+    * Per-stratum pinned floors then one weighted division — both
+    * engines replay the exact same integers (the Yuen/BH stance).
+    * Strata missing an arm cannot contribute a delta; they are
+    * EXCLUDED but never silently: n_excluded_strata / n_excluded_rows
+    * report the drop (the tClosenessReport lesson). The pooled
+    * `simple_ate_milli` over the SAME included strata is surfaced
+    * next to it — when the two disagree materially, arm composition
+    * differs across strata and the pooled number was lying.
+    *
+    * Output one row: (n, n_strata, n_excluded_strata, n_excluded_rows,
+    * simple_ate_milli, post_strat_ate_milli). NULLs when no stratum
+    * has both arms.
+    *
+    * Scale shape: one (stratum) groupBy carrying both arms' counts
+    * and sums (map-side partial), then a 1-row rollup — the stratum
+    * alphabet crosses the shuffle, rows never do twice. */
+  def postStratifiedAteMilli(df: DataFrame, armCol: String,
+                             valueCol: String,
+                             strataCol: String): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(armCol).cast("boolean").as("__t"),
+        col(valueCol).cast("long").as("__x"),
+        col(strataCol).as("__s"))
+      .where(col("__t").isNotNull && col("__x").isNotNull &&
+        col("__s").isNotNull)
+    val strata = base.groupBy(col("__s"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__na"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__nc"),
+        sum(when(col("__t"), col("__x").cast(d38))
+          .otherwise(lit(0).cast(d38))).as("__sa"),
+        sum(when(!col("__t"), col("__x").cast(d38))
+          .otherwise(lit(0).cast(d38))).as("__sc"))
+    val kept = strata.where(col("__na") > 0 && col("__nc") > 0)
+      .withColumn("__num",
+        col("__sa") * col("__nc") - col("__sc") * col("__na"))
+      .withColumn("__delta", expr(
+        """CAST(CAST(sign(__num) AS DECIMAL(38,0)) *
+          |((1000 * abs(__num))
+          | div (CAST(__na AS DECIMAL(38,0)) * __nc)) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")))
+    val excl = strata.where(col("__na") === 0 || col("__nc") === 0)
+      .agg(count(lit(1)).as("__xs"),
+        coalesce(sum(col("__na") + col("__nc")), lit(0L)).as("__xr"))
+    kept.agg(
+        coalesce(sum(col("__na") + col("__nc")), lit(0L)).cast("long")
+          .as("n"),
+        count(lit(1)).cast("long").as("n_strata"),
+        sum(col("__na")).as("__ta"), sum(col("__nc")).as("__tc"),
+        sum(col("__sa")).as("__pa"), sum(col("__sc")).as("__pc"),
+        sum((col("__na") + col("__nc")).cast(d38) * col("__delta"))
+          .as("__wsum"))
+      .crossJoin(broadcast(excl))
+      .select(col("n"), col("n_strata"),
+        coalesce(col("__xs"), lit(0L)).cast("long")
+          .as("n_excluded_strata"),
+        coalesce(col("__xr"), lit(0L)).cast("long")
+          .as("n_excluded_rows"),
+        when(col("n_strata") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CAST(sign(__pa * __tc - __pc * __ta)
+              |     AS DECIMAL(38,0)) *
+              |((1000 * abs(__pa * __tc - __pc * __ta))
+              | div (CAST(__ta AS DECIMAL(38,0)) * __tc)) AS BIGINT)"""
+              .stripMargin.replace("\n", " ")))
+          .as("simple_ate_milli"),
+        when(col("n_strata") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST(CAST(sign(__wsum) AS DECIMAL(38,0)) *
+              |(abs(__wsum) div CAST(n AS DECIMAL(38,0)))
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("post_strat_ate_milli"))
+  }
 }

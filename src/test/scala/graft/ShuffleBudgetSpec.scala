@@ -73,7 +73,12 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // contingency cells per micro-batch (bands are 5x5 bounded)
     ("q378_qini_auc", 1105L, 1700L),
     ("q379_uplift_calibration", 795L, 1200L),
-    ("q380_stream_kappa_canary", 56L, 120L))
+    ("q380_stream_kappa_canary", 56L, 120L),
+    // SRM is a map-side count pair (1 partial record); post-strat ATE
+    // shuffles only the stratum alphabet — a corpus-sized number on
+    // either would mean the map-side combine broke
+    ("q381_srm_check", 1L, 10L),
+    ("q382_post_strat_ate", 12L, 40L))
 
   budgets.foreach { case (name, actual, budget) =>
     test(s"$name stays inside its shuffle-record budget " +

@@ -377,6 +377,50 @@ class StatsSpec extends SparkTestBase {
       (2L, 2L, 0L, 2L, 1000L, None)), s"got $g2")
   }
 
+  test("srmCheckMilli: textbook 60/40 fires at alpha=.05, balanced " +
+       "split doesn't, matched expectation zeroes out") {
+    // 60/40 on n=100 vs design 500pm: D = 10,000, chi2 =
+    // 10^3*10^8/(100*500*500) = 4000 milli (4.0 > 3.841 -> SRM)
+    val skewed = (Seq.fill(60)(true) ++ Seq.fill(40)(false)).toDF("arm")
+    val g1 = Stats.srmCheckMilli(skewed, "arm")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(g1 == ((60L, 40L, 500L, Some(4000L), Some(1L))), s"got $g1")
+    val even = (Seq.fill(50)(true) ++ Seq.fill(50)(false)).toDF("arm")
+    val g2 = Stats.srmCheckMilli(even, "arm")
+      .select("chi2_milli", "srm")
+      .as[(Option[Long], Option[Long])].collect().head
+    assert(g2 == ((Some(0L), Some(0L))), s"got $g2")
+    // same 60/40 against a DESIGNED 600pm: D = 0 exactly
+    val g3 = Stats.srmCheckMilli(skewed, "arm", expectAPm = 600L)
+      .select("chi2_milli", "srm")
+      .as[(Option[Long], Option[Long])].collect().head
+    assert(g3 == ((Some(0L), Some(0L))), s"got $g3")
+  }
+
+  test("postStratifiedAteMilli: Simpson fixture — pooled says -20, " +
+       "every stratum says +10; single-arm stratum excluded visibly") {
+    // stratum A: treated (10,10) vs control (0)  -> delta +10,000
+    // stratum B: treated (100) vs control (90,90) -> delta +10,000
+    // pooled: (120/3 - 180/3) = -20,000 — the paradox on display
+    // stratum C: treated-only row -> excluded, counted
+    val df = Seq(
+      (true, 10L, "A"), (true, 10L, "A"), (false, 0L, "A"),
+      (true, 100L, "B"), (false, 90L, "B"), (false, 90L, "B"),
+      (true, 7L, "C"))
+      .toDF("arm", "x", "s")
+    val got = Stats.postStratifiedAteMilli(df, "arm", "x", "s")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    assert(got == ((6L, 2L, 1L, 1L, Some(-20000L), Some(10000L))),
+      s"got $got")
+    // no stratum with both arms -> NULLs, everything excluded
+    val oneArm = Seq((true, 1L, "A"), (true, 2L, "B")).toDF("arm", "x", "s")
+    val g2 = Stats.postStratifiedAteMilli(oneArm, "arm", "x", "s")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().head
+    assert(g2 == ((0L, 0L, 2L, 2L, None, None)), s"got $g2")
+  }
+
   test("weighted quantiles: weight units, not rows, drive the rank") {
     // values 1,2,3 with weights 1,1,8 → W=10: p50 threshold ceil(5)=5 →
     // first v with cum ≥ 5 is 3 (unweighted median would say 2)
