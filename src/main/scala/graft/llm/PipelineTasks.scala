@@ -96,6 +96,20 @@ object PipelineTasks {
                           out: String)
       extends PipelineOp { val name = "eval_qini" }
 
+  /** Sample-ratio-mismatch check (arm column + designed per-mille) —
+    * the assignment sanity gate, REST-invocable so a pipeline can
+    * refuse to compute effects on a broken split. */
+  final case class SrmOp(table: String, armCol: String,
+                         expectAPm: Long, out: String)
+      extends PipelineOp { val name = "eval_srm" }
+
+  /** Post-stratified ATE (arm, value, strata) — the Simpson guard
+    * next to the pooled diff. */
+  final case class PostStratAteOp(table: String, treatedCol: String,
+                                  valueCol: String, strataCol: String,
+                                  out: String)
+      extends PipelineOp { val name = "eval_post_strat_ate" }
+
   /** Inter-rater agreement statistic over a ratings table — the
     * round-11 ask: every analytic invocable over HTTP with audit rows
     * (the reference's POST /calc precedent, `server/WServer.scala:
@@ -136,7 +150,11 @@ object PipelineTasks {
       // survival/uplift (round-12): c_index rides (time_col,
       // event_col, score_col), qini (treated_col, outcome_col,
       // score_col)
-      "c_index", "qini")
+      "c_index", "qini",
+      // experiment sanity/adjustment (round-12): srm rides (col_a =
+      // arm, expect_a_pm), post_strat_ate (treated_col, value_col,
+      // strata_col)
+      "srm", "post_strat_ate")
 
   private def transform(op: PipelineOp, in: DataFrame): DataFrame =
     op match {
@@ -168,6 +186,12 @@ object PipelineTasks {
       case qn: QiniOp =>
         graft.ops.Stats.qiniCurveMilli(in, qn.treatedCol,
           qn.outcomeCol, qn.scoreCol)
+      case sr: SrmOp =>
+        graft.ops.Stats.srmCheckMilli(in, sr.armCol,
+          expectAPm = sr.expectAPm)
+      case ps: PostStratAteOp =>
+        graft.ops.Stats.postStratifiedAteMilli(in, ps.treatedCol,
+          ps.valueCol, ps.strataCol)
       case ag: AgreementOp =>
         import graft.ops.Agreement
         ag.method match {

@@ -295,6 +295,17 @@ final class WebShell(
               QiniOp(req(on, "table"), req(on, "treated_col"),
                 req(on, "outcome_col"), req(on, "score_col"),
                 req(on, "out"))
+            case "srm" =>
+              val pm = on.path("expect_a_pm").asLong(500L)
+              if (pm < 1 || pm > 999)
+                throw InvalidTableSpec(
+                  s"eval srm expect_a_pm must be in [1, 999], got $pm")
+              SrmOp(req(on, "table"), req(on, "col_a"), pm,
+                req(on, "out"))
+            case "post_strat_ate" =>
+              PostStratAteOp(req(on, "table"), req(on, "treated_col"),
+                req(on, "value_col"), req(on, "strata_col"),
+                req(on, "out"))
             case _ =>
               EvalOp(req(on, "table"), m, req(on, "col_a"),
                 req(on, "col_b"), req(on, "out"))

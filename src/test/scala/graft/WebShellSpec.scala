@@ -405,6 +405,15 @@ class WebShellSpec extends SparkTestBase {
           .as("score"))
       .select((col("user_id") % 2 === 0).as("treated"), col("event"),
         col("score"))
+    // q381's event-grain arm frame and q382's stratified frame
+    val arms = events.where(col("user_id").isNotNull)
+      .select((col("user_id") % 2 === 0).as("arm"))
+    val strat = events
+      .where(col("value").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull)
+      .select((col("user_id") % 2 === 0).as("arm"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        col("event_type").as("stratum"))
     val emb = CoreQueries.tRead(spark, dir, "embeddings")
     val shell = new WebShell(runner, new CalcEngine(spark, store), audit,
       sources = {
@@ -413,6 +422,8 @@ class WebShellSpec extends SparkTestBase {
         case "scores"  => scores
         case "subj"    => subj
         case "uplift"  => uplift
+        case "arms"    => arms
+        case "strat"   => strat
         case other     => sys.error(s"unknown source $other")
       },
       pipelineStore = Some(store), port = 0).start()
@@ -433,7 +444,12 @@ class WebShellSpec extends SparkTestBase {
           | "score_col":"score","out":"p.cidx"},
           |{"op":"eval","method":"qini","table":"uplift",
           | "treated_col":"treated","outcome_col":"event",
-          | "score_col":"score","out":"p.qini"}]}""".stripMargin)
+          | "score_col":"score","out":"p.qini"},
+          |{"op":"eval","method":"srm","table":"arms",
+          | "col_a":"arm","expect_a_pm":500,"out":"p.srm"},
+          |{"op":"eval","method":"post_strat_ate","table":"strat",
+          | "treated_col":"arm","value_col":"cents",
+          | "strata_col":"stratum","out":"p.psa"}]}""".stripMargin)
       assert(r.statusCode() == 200, s"got ${r.statusCode()} ${r.body()}")
       val deadline = System.nanoTime() + 300_000_000_000L
       while (!audit.taskEvents.exists(e2 =>
@@ -450,7 +466,9 @@ class WebShellSpec extends SparkTestBase {
           "p.icc"  -> "q367_icc",
           "p.cron" -> "q369_cronbach",
           "p.cidx" -> "q376_c_index",
-          "p.qini" -> "q377_qini_curve")) {
+          "p.qini" -> "q377_qini_curve",
+          "p.srm"  -> "q381_srm_check",
+          "p.psa"  -> "q382_post_strat_ate")) {
         assert(sortedRows(store.read(out)) ==
           sortedRows(SparkEntry.queries(gate)(spark, dir)),
           s"REST $out diverged from the $gate gate")
