@@ -560,7 +560,22 @@ object AgreementGates {
       "vec_id", "centroid_id", "embedding")
   }
 
+  // PAIR-COUNTING PARTITION BATTERY (ops/Agreement.pairCountingPpm):
+  // the uncorrected pair statistics — plain Rand, Jaccard, both
+  // Wallace conditionals, Mirkin distance — on q353's exact
+  // (lang, source) frame, so the battery reads next to the lambda
+  // association pair: Wallace lang→source is the pair-precision of
+  // "same language ⇒ same source", and ARI (q352's machinery) is what
+  // chance-corrects these into one number.
+  def q383_pair_counting(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Agreement.pairCountingPpm(
+      t(s, dir, "documents")
+        .where(col("lang").isNotNull && col("source").isNotNull)
+        .select(col("lang"), col("source")),
+      "lang", "source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q383_pair_counting"     -> q383_pair_counting _,
     "q374_silhouette"        -> q374_silhouette _,
     "q372_bland_altman"      -> q372_bland_altman _,
     "q373_calinski_harabasz" -> q373_calinski_harabasz _,
@@ -597,6 +612,37 @@ object AgreementGates {
   /** DuckDB oracles — independent SQL recomputations (HUGEINT lanes,
     * `//` floors mirroring the documented pinned-floor schedules). */
   val oracleSql: Map[String, String] = Map(
+    "q383_pair_counting" ->
+      """WITH e AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS b
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS nij FROM e GROUP BY 1, 2),
+        |cell AS (SELECT CAST(sum(nij) AS HUGEINT) AS n,
+        |                sum(CAST(nij AS HUGEINT)*(nij - 1)) AS s2
+        |         FROM cells),
+        |ma AS (SELECT count(*) AS ka,
+        |              sum(CAST(m AS HUGEINT)*(m - 1)) AS qa2
+        |       FROM (SELECT a, sum(nij) AS m FROM cells GROUP BY 1)),
+        |mb AS (SELECT count(*) AS kb,
+        |              sum(CAST(m AS HUGEINT)*(m - 1)) AS qb2
+        |       FROM (SELECT b, sum(nij) AS m FROM cells GROUP BY 1))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(ka AS BIGINT) AS k_a,
+        |  CAST(kb AS BIGINT) AS k_b,
+        |  CAST(CASE WHEN n < 2 THEN NULL
+        |       ELSE (1000000 * (n*(n-1) - qa2 - qb2 + 2*s2))
+        |            // (n*(n-1)) END AS BIGINT) AS rand_ppm,
+        |  CAST(CASE WHEN qa2 + qb2 - s2 = 0 THEN NULL
+        |       ELSE (1000000 * s2) // (qa2 + qb2 - s2)
+        |       END AS BIGINT) AS jaccard_ppm,
+        |  CAST(CASE WHEN qa2 = 0 THEN NULL
+        |       ELSE (1000000 * s2) // qa2 END AS BIGINT) AS wallace_ab_ppm,
+        |  CAST(CASE WHEN qb2 = 0 THEN NULL
+        |       ELSE (1000000 * s2) // qb2 END AS BIGINT) AS wallace_ba_ppm,
+        |  CAST(CASE WHEN n < 2 THEN NULL
+        |       ELSE (1000000 * (qa2 + qb2 - 2*s2))
+        |            // (n*(n-1)) END AS BIGINT) AS mirkin_ppm
+        |FROM cell, ma, mb""".stripMargin,
     "q374_silhouette" ->
       """WITH v AS (
         |  SELECT vec_id,

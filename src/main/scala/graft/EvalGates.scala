@@ -737,6 +737,17 @@ object EvalGates {
           col("event_type").as("stratum")),
       "arm", "cents", "stratum")
 
+  // QUANTILE TREATMENT EFFECTS (ops/Stats.quantileTreatmentEffect):
+  // the distributional companion of q382's ATE on the q377 subject
+  // frame — per decile, the treated arm's exact type-1 spend quantile
+  // minus the control arm's, every cell an exact integer in cents.
+  // On the parity null experiment the schedule should wobble around 0
+  // at every depth; a whale-only effect would light up only d9.
+  def q384_qte(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Stats.quantileTreatmentEffect(
+      upliftSubjects(s, dir).select(col("treated"), col("score")),
+      "treated", "score", (1 to 9).map(i => (s"d$i", i * 100)))
+
   // RANKER AGREEMENT (llm/Relevance.rankerAgreement): top-20 set
   // Jaccard between q266's two rankers (exact cosine vs the Hamming
   // sign sketch) per query — quantifies how much the fusion actually
@@ -893,7 +904,8 @@ object EvalGates {
     "q378_qini_auc"        -> q378_qini_auc _,
     "q379_uplift_calibration" -> q379_uplift_calibration _,
     "q381_srm_check"       -> q381_srm_check _,
-    "q382_post_strat_ate"  -> q382_post_strat_ate _)
+    "q382_post_strat_ate"  -> q382_post_strat_ate _,
+    "q384_qte"             -> q384_qte _)
 
   /** 9^(d−1) / 10^d rows for the q340 oracle — generated here so the
     * HUGEINT literals can't drift from [[graft.llm.Relevance.rboPpm]]'s
@@ -2175,6 +2187,30 @@ object EvalGates {
         |            * (abs(wsum) // CAST(n AS HUGEINT))
         |       END AS BIGINT) AS post_strat_ate_milli
         |FROM f, ex""".stripMargin,
+    "q384_qte" ->
+      """WITH u AS (SELECT user_id % 2 = 0 AS tr,
+        |    coalesce(sum(CAST(floor(value*100) AS BIGINT)), 0) AS s
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |p AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) * 100 AS pm),
+        |tv AS (SELECT s, row_number() OVER (ORDER BY s) AS rn
+        |       FROM u WHERE tr),
+        |tn AS (SELECT count(*) AS n FROM u WHERE tr),
+        |cv AS (SELECT s, row_number() OVER (ORDER BY s) AS rn
+        |       FROM u WHERE NOT tr),
+        |cn AS (SELECT count(*) AS n FROM u WHERE NOT tr),
+        |qt AS (SELECT pm, tn.n AS n_t, tv.s AS q_t
+        |       FROM p CROSS JOIN tn JOIN tv
+        |         ON tv.rn = (p.pm * tn.n + 999) // 1000
+        |       WHERE tn.n > 0),
+        |qc AS (SELECT pm, cn.n AS n_c, cv.s AS q_c
+        |       FROM p CROSS JOIN cn JOIN cv
+        |         ON cv.rn = (p.pm * cn.n + 999) // 1000
+        |       WHERE cn.n > 0)
+        |SELECT CAST(qt.pm AS BIGINT) AS pm,
+        |  CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+        |  CAST(q_t AS BIGINT) AS q_t, CAST(q_c AS BIGINT) AS q_c,
+        |  CAST(q_t - q_c AS BIGINT) AS qte
+        |FROM qt JOIN qc ON qt.pm = qc.pm""".stripMargin,
     "q379_uplift_calibration" ->
       """WITH u AS (SELECT user_id % 2 = 0 AS tr,
         |    max(CASE WHEN event_type = 'purchase'

@@ -885,7 +885,17 @@ object LlmTextGates {
       comp, "comp_id", "text", w = 2, thresholdPpm = 150000L)
   }
 
+  // VOCABULARY GROWTH (TextAnalysis.vocabGrowth): the Heaps-law curve
+  // over the corpus consumed in doc-id order — 16 equal id buckets,
+  // cumulative tokens vs cumulative distinct tokens, cumulative TTR
+  // in ppm. The saturation diagnostic read before sizing a tokenizer
+  // vocabulary (q120/q124/q145) and next to q107's Zipf band spectrum.
+  def q385_vocab_growth(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextAnalysis.vocabGrowth(
+      t(s, dir, "documents"), "doc_id", "text", buckets = 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q385_vocab_growth" -> q385_vocab_growth _,
     "q375_topic_boundaries" -> q375_topic_boundaries _,
     "q256_readability" -> q256_readability _,
     "q232_url_normalize" -> q232_url_normalize _,
@@ -1015,6 +1025,31 @@ object LlmTextGates {
       |  FROM d)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q385_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        |x AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM d),
+        |tok AS (SELECT doc_id,
+        |    unnest(list_filter(
+        |      string_split_regex(lower(text), '[^a-z0-9]+'),
+        |      s -> len(s) > 0)) AS w
+        |  FROM d),
+        |tb AS (SELECT (doc_id - lo) // ((hi - lo + 16) // 16) AS b,
+        |         count(*) AS tk
+        |       FROM tok, x GROUP BY 1),
+        |iv AS (SELECT (fd - lo) // ((hi - lo + 16) // 16) AS b,
+        |         count(*) AS nv
+        |       FROM (SELECT w, min(doc_id) AS fd FROM tok GROUP BY 1), x
+        |       GROUP BY 1),
+        |sp AS (SELECT tb.b, tb.tk, coalesce(iv.nv, 0) AS nv
+        |       FROM tb LEFT JOIN iv ON tb.b = iv.b)
+        |SELECT CAST(a.b AS BIGINT) AS bucket,
+        |  CAST(sum(u.tk) AS BIGINT) AS tokens_cum,
+        |  CAST(sum(u.nv) AS BIGINT) AS vocab_cum,
+        |  CAST((1000000 * CAST(sum(u.nv) AS HUGEINT)) // sum(u.tk)
+        |       AS BIGINT) AS ttr_ppm
+        |FROM sp a JOIN sp u ON u.b <= a.b
+        |GROUP BY 1""".stripMargin,
     "q375_topic_boundaries" ->
       """WITH src AS (SELECT doc_id // 10 AS comp_id, doc_id,
         |    CASE WHEN doc_id % 5 = 0

@@ -137,7 +137,8 @@ object PipelineTasks {
     * POST time instead of letting the background run die). */
   val agreementMethods: Set[String] = Set("fleiss_kappa", "gwet_ac1",
     "krippendorff", "weighted_kappa", "quadratic_kappa",
-    "partition_agreement", "gk_lambda", "specific_agreement",
+    "partition_agreement", "pair_counting", "gk_lambda",
+    "specific_agreement",
     // continuous members (round-11 batch) — the two-column shapes
     "ccc", "krippendorff_interval", "bland_altman",
     // wide shapes (round-12): icc rides (item_col, rater_col,
@@ -154,7 +155,10 @@ object PipelineTasks {
       // experiment sanity/adjustment (round-12): srm rides (col_a =
       // arm, expect_a_pm), post_strat_ate (treated_col, value_col,
       // strata_col)
-      "srm", "post_strat_ate")
+      "srm", "post_strat_ate",
+      // distributional effect (round-12): qte rides (col_a = arm,
+      // col_b = value) at the fixed d1..d9 decile grid
+      "qte")
 
   private def transform(op: PipelineOp, in: DataFrame): DataFrame =
     op match {
@@ -207,6 +211,8 @@ object PipelineTasks {
             Agreement.weightedKappaPpm(in, ag.colA, ag.colB, power = 2)
           case "partition_agreement" =>
             Agreement.partitionAgreementPpm(in, ag.colA, ag.colB)
+          case "pair_counting" =>
+            Agreement.pairCountingPpm(in, ag.colA, ag.colB)
           case "gk_lambda" =>
             Agreement.gkLambdaPpm(in, ag.colA, ag.colB)
           case "specific_agreement" =>
@@ -232,6 +238,9 @@ object PipelineTasks {
             graft.ops.RankTests.cliffsDeltaPpm(in, ev.colA, ev.colB)
           case "mde_probe" =>
             graft.ops.Stats.mdeProbeMicro(in, ev.colA, ev.colB)
+          case "qte" =>
+            graft.ops.Stats.quantileTreatmentEffect(in, ev.colA,
+              ev.colB, (1 to 9).map(i => (s"d$i", i * 100)))
           case other =>
             throw InvalidPipelineOp(s"unknown eval method $other")
         }

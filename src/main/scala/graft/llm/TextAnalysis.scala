@@ -695,4 +695,67 @@ object TextAnalysis {
         when(col("sim_ppm").isNotNull && col("sim_ppm") < thresholdPpm,
           lit(1L)).otherwise(lit(0L)))
   }
+
+  /** VOCABULARY GROWTH (Heaps-law curve) — cumulative distinct-token
+    * count vs cumulative token count as the corpus is consumed in
+    * doc-id order, the diagnostic behind "will my tokenizer's vocab
+    * saturate?" and "is this crawl slice adding new language or just
+    * more of the same?". A natural corpus grows its vocabulary like
+    * V ≈ K·nᵝ (β ≈ 0.4–0.6); a template-farm slice goes flat, a
+    * machine-generated-gibberish slice stays near-linear — the curve's
+    * SHAPE is the quality signal, read next to the TTR column.
+    *
+    * The doc-id axis is cut into `buckets` equal-width id ranges via a
+    * broadcast 1-row extrema frame (lazy, the exactHistogram rule:
+    * w = ⌈(hi−lo+1)/buckets⌉, bucket = (id−lo) div w). Tokens follow
+    * the repo's pinned tokenizer (lower, split on [^a-z0-9]+, drop
+    * empties); a token is NEW in the bucket of its smallest doc_id.
+    * Only buckets containing at least one token surface (the
+    * non-empty-bins stance); every cell is an exact integer and
+    *   ttr_ppm = (10⁶·vocab_cum) div tokens_cum
+    * is the cumulative type-token ratio at the bucket boundary.
+    *
+    * Output: (bucket, tokens_cum, vocab_cum, ttr_ppm), ascending
+    * bucket = corpus prefix order.
+    *
+    * Scale shape: one token explode (map-side), one (bucket) groupBy
+    * for token totals, one (token) groupBy for first occurrences
+    * (tokens shuffle once at the token grain — the vocabulary is the
+    * natural key, never doc × doc), then a buckets²-bounded triangle
+    * join for both prefix sums. No global window, no collect. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 16): DataFrame = {
+    require(buckets >= 1 && buckets <= 1000,
+      s"buckets must be in [1, 1000], got $buckets")
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(textCol).as("__tx"))
+      .where(col("__id").isNotNull && col("__tx").isNotNull)
+    val ext = base.agg(min(col("__id")).as("__lo"),
+      max(col("__id")).as("__hi"))
+    val tok = base.select(col("__id"),
+      explode(filter(split(lower(col("__tx")), "[^a-z0-9]+"),
+        t => length(t) > 0)).as("__w"))
+    def bucketOf(idc: String) = expr(
+      s"($idc - __lo) div ((__hi - __lo + $buckets) div $buckets)")
+    val perBucket = tok.crossJoin(broadcast(ext))
+      .groupBy(bucketOf("__id").as("__b"))
+      .agg(count(lit(1)).as("__tk"))
+    val intro = tok.groupBy(col("__w")).agg(min(col("__id")).as("__fd"))
+      .crossJoin(broadcast(ext))
+      .groupBy(bucketOf("__fd").as("__b2"))
+      .agg(count(lit(1)).as("__nv"))
+    val spine = perBucket.join(intro, col("__b") <=> col("__b2"), "left")
+      .select(col("__b"), col("__tk"),
+        coalesce(col("__nv"), lit(0L)).as("__nv"))
+    val upto = spine.select(col("__b").as("__bu"),
+      col("__tk").as("__tku"), col("__nv").as("__nvu"))
+    spine.join(upto, col("__bu") <= col("__b"))
+      .groupBy(col("__b").as("bucket"))
+      .agg(sum(col("__tku")).as("tokens_cum"),
+        sum(col("__nvu")).as("vocab_cum"))
+      .select(col("bucket"), col("tokens_cum"), col("vocab_cum"),
+        expr("""CAST((1000000 * CAST(vocab_cum AS DECIMAL(38,0)))
+               |div tokens_cum AS BIGINT)"""
+            .stripMargin.replace("\n", " ")).as("ttr_ppm"))
+  }
 }

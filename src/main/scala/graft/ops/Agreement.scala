@@ -855,4 +855,77 @@ object Agreement {
               |AS BIGINT)""".stripMargin.replace("\n", " ")))
           .as("alpha_ppm"))
   }
+
+  /** PAIR-COUNTING PARTITION BATTERY — the uncorrected companions of
+    * [[partitionAgreementPpm]]'s ARI/FM² over the same contingency
+    * sums: every statistic a pair-confusion matrix supports without a
+    * chance model or a square root, each an exact integer rational.
+    * With doubled pair counts (s2 = Σ n_ij(n_ij−1) same-both,
+    * qa2/qb2 the marginal forms, t2 = n(n−1), tn2 = t2−qa2−qb2+s2
+    * different-both by inclusion–exclusion):
+    *   rand_ppm       = (10⁶·(s2+tn2)) div t2      [accuracy on pairs]
+    *   jaccard_ppm    = (10⁶·s2) div (qa2+qb2−s2)  [ignores tn]
+    *   wallace_ab_ppm = (10⁶·s2) div qa2  [P(same in B | same in A)]
+    *   wallace_ba_ppm = (10⁶·s2) div qb2  [the reverse conditional]
+    *   mirkin_ppm     = (10⁶·(qa2+qb2−2·s2)) div t2  [disagreement
+    *                     distance = 1 − rand on pairs]
+    * All numerators are provably ≥ 0 (s2 ≤ min(qa2, qb2) cell-wise),
+    * so no sign lane is needed. rand/mirkin NULL when n < 2,
+    * jaccard NULL when no pair is co-grouped on either side,
+    * wallace NULL when its conditioning marginal has no pair. Read
+    * next to ARI: a 1000-cluster shatter scores rand ≈ tn2/t2 high
+    * but wallace_ba near 0 — the two Wallace conditionals are the
+    * precision/recall of co-membership, which ARI chance-corrects
+    * away into one number.
+    *
+    * Output one row: (n, k_a, k_b, rand_ppm, jaccard_ppm,
+    * wallace_ab_ppm, wallace_ba_ppm, mirkin_ppm).
+    *
+    * Scale shape: identical to [[partitionAgreementPpm]] — one (a,b)
+    * contingency groupBy (cells shuffle, rows don't), two
+    * marginal-grain aggregates, one final row. */
+  def pairCountingPpm(df: DataFrame, aCol: String,
+                      bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__nij"))
+      .localCheckpoint() // consumed by the cell pass and both marginals
+    val cell = cells.agg(sum(col("__nij")).as("__n"),
+      sum(col("__nij").cast(d38) * (col("__nij") - 1)).as("__s2"))
+    def marginal(k: String, q: String, kk: String) = cells
+      .groupBy(col(k)).agg(sum(col("__nij")).as("__m"))
+      .agg(count(lit(1)).as(kk),
+        sum(col("__m").cast(d38) * (col("__m") - 1)).as(q))
+    cell.crossJoin(broadcast(marginal("__a", "__qa2", "__ka")))
+      .crossJoin(broadcast(marginal("__b", "__qb2", "__kb")))
+      .select(coalesce(col("__n"), lit(0L)).cast("long").as("n"),
+        col("__ka").cast("long").as("k_a"),
+        col("__kb").cast("long").as("k_b"),
+        col("__s2"), col("__qa2"), col("__qb2"),
+        (col("n").cast(d38) * (col("n") - 1)).as("__t2"))
+      .select(col("n"), col("k_a"), col("k_b"),
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * (__t2 - __qa2 - __qb2 + 2 * __s2))
+              |div __t2 AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("rand_ppm"),
+        when(col("__qa2") + col("__qb2") - col("__s2") === 0,
+            lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * __s2) div (__qa2 + __qb2 - __s2)
+              |AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("jaccard_ppm"),
+        when(col("__qa2") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((1000000 * __s2) div __qa2 AS BIGINT)"))
+          .as("wallace_ab_ppm"),
+        when(col("__qb2") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((1000000 * __s2) div __qb2 AS BIGINT)"))
+          .as("wallace_ba_ppm"),
+        when(col("n") < 2, lit(null).cast("long"))
+          .otherwise(expr(
+            """CAST((1000000 * (__qa2 + __qb2 - 2 * __s2))
+              |div __t2 AS BIGINT)""".stripMargin.replace("\n", " ")))
+          .as("mirkin_ppm"))
+  }
 }

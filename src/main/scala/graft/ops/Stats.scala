@@ -3963,4 +3963,57 @@ object Stats {
               |AS BIGINT)""".stripMargin.replace("\n", " ")))
           .as("post_strat_ate_milli"))
   }
+
+  /** QUANTILE TREATMENT EFFECTS — the DISTRIBUTIONAL readout an average
+    * treatment effect ([[postStratifiedAteMilli]], [[cupedAdjustMilli]])
+    * flattens away: at each requested per-mille depth, the treated
+    * arm's exact type-1 quantile minus the control arm's. A treatment
+    * that moves only the tail (a latency fix helping the p90, a spend
+    * nudge only on whales) reads ≈ 0 in the mean but lights up exactly
+    * the affected quantiles here; a constant shift moves every depth
+    * equally. Quantiles follow the [[exactQuantiles]] rule per arm —
+    * smallest v with |{arm rows ≤ v}| ≥ ceil(pm·n_arm/1000) — so every
+    * output cell is an exact integer in the metric's own units and
+    *   qte = q_t − q_c
+    * needs no quantization lane at all. Depths where either arm is
+    * empty emit nothing (no phantom quantiles, the threshold ≥ 1
+    * rule); an empty input yields an empty frame.
+    *
+    * Output: (pm, n_t, n_c, q_t, q_c, qte) — one row per requested
+    * per-mille, ascending by construction of the probe frame.
+    *
+    * Scale shape: ONE value-histogram groupBy carrying both arms'
+    * counts on the same cells (the qiniCurveMilli trick), then two
+    * window-free global prefix sums over the distinct-value spine
+    * (bounded metadata collects only), two broadcast probe joins, and
+    * a per-mille-grain join of two ≤|probs| frames. Rows shuffle
+    * once, at the value grain, never per subject again. */
+  def quantileTreatmentEffect(df: DataFrame, armCol: String,
+                              valueCol: String,
+                              probs: Seq[(String, Int)]): DataFrame = {
+    validateProbs(probs)
+    val base = df.select(col(armCol).cast("boolean").as("__t"),
+        col(valueCol).cast("long").as("__v"))
+      .where(col("__t").isNotNull && col("__v").isNotNull)
+    val hist = base.groupBy(col("__v").as("v"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__wt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__wc"))
+    val cum = GlobalRank.globalRunningSum(
+      GlobalRank.globalRunningSum(hist, Seq(col("v").asc), "__wt",
+        outCol = "__cumt"),
+      Seq(col("v").asc), "__wc", outCol = "__cumc")
+    val totals = hist.agg(sum(col("__wt")).as("__nt"),
+      sum(col("__wc")).as("__nc"))
+    val probed = cum.crossJoin(broadcast(totals))
+    def side(cumC: String, nC: String, q: String, n: String) = probed
+      .select(col("v"), col(cumC).as("cum"), col(nC).as("n"))
+      .where(col("n") > 0) // an empty arm emits no quantiles at all
+      .join(broadcast(probeFrame(df, probs)), col("cum") >= threshold)
+      .groupBy(col("pm")).agg(min(col("v")).as(q), max(col("n")).as(n))
+    side("__cumt", "__nt", "q_t", "n_t")
+      .join(side("__cumc", "__nc", "q_c", "n_c"), Seq("pm"))
+      .select(col("pm"), col("n_t"), col("n_c"), col("q_t"), col("q_c"),
+        (col("q_t") - col("q_c")).as("qte"))
+  }
+
 }

@@ -734,4 +734,40 @@ class AgreementSpec extends SparkTestBase {
     assert(as > 900000L && ab < 0L,
       s"interval metric must separate miss magnitudes: $as vs $ab")
   }
+
+  // --------------------------------------- pair-counting battery
+  private def pairRow(df: org.apache.spark.sql.DataFrame) =
+    Agreement.pairCountingPpm(df, "a", "b")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long])].collect().head
+
+  test("pairCountingPpm: identical, orthogonal, singleton, shatter") {
+    // identical partitions {12}{34} both sides: cells (x,p)=2,(y,q)=2
+    // s2=2+2=4, qa2=qb2=4, t2=12, tn2=12−4−4+4=8
+    // rand=(12−8+8)/12… = (t2−qa2−qb2+2s2)/t2 = 12/12 = 1; jac=4/4=1
+    // wallace both 4/4=1; mirkin=(4+4−8)/12=0
+    val same = Seq((1L, "x", "p"), (2L, "x", "p"), (3L, "y", "q"),
+      (4L, "y", "q")).toDF("id", "a", "b")
+    assert(pairRow(same) == ((4L, 2L, 2L, Some(1000000L), Some(1000000L),
+      Some(1000000L), Some(1000000L), Some(0L))))
+    // orthogonal 2×2 (every cell 1): s2=0, qa2=qb2=4, t2=12
+    // rand=(12−8)/12=⌊10⁶·4/12⌋=333333; jac=0/8=0; wallace=0
+    // mirkin=8/12=666666
+    val orth = Seq((1L, "x", "p"), (2L, "x", "q"), (3L, "y", "p"),
+      (4L, "y", "q")).toDF("id", "a", "b")
+    assert(pairRow(orth) == ((4L, 2L, 2L, Some(333333L), Some(0L),
+      Some(0L), Some(0L), Some(666666L))))
+    // singletons both sides: qa2=qb2=s2=0 → jaccard/wallace NULL;
+    // the one pair is different-both → rand=1, mirkin=0
+    val single = Seq((1L, "x", "p"), (2L, "y", "q")).toDF("id", "a", "b")
+    assert(pairRow(single) == ((2L, 2L, 2L, Some(1000000L), None,
+      None, None, Some(0L))))
+    // B shatters: s2=0, qa2=2·(4·3)=24, qb2=0, t2=56
+    // rand=(56−24)/56=571428 reads HIGH, wallace_ab=0 exposes it,
+    // wallace_ba NULL (no B pair), jac=0/24=0, mirkin=24/56=428571
+    val shatter = (1 to 8).map(i => (i.toLong, if (i <= 4) "x" else "y",
+      s"s$i")).toDF("id", "a", "b")
+    assert(pairRow(shatter) == ((8L, 2L, 8L, Some(571428L), Some(0L),
+      Some(0L), None, Some(428571L))))
+  }
 }

@@ -78,7 +78,14 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // shuffles only the stratum alphabet — a corpus-sized number on
     // either would mean the map-side combine broke
     ("q381_srm_check", 1L, 10L),
-    ("q382_post_strat_ate", 12L, 40L))
+    ("q382_post_strat_ate", 12L, 40L),
+    // pair counting shuffles contingency cells (lang × source
+    // alphabet); QTE the distinct-value spine (histogram + two ranged
+    // prefix sums + per-mille probes — subjects never re-shuffle);
+    // vocab growth the token vocabulary + ≤16 bucket rows
+    ("q383_pair_counting", 125L, 250L),
+    ("q384_qte", 1571L, 2500L),
+    ("q385_vocab_growth", 66L, 150L))
 
   budgets.foreach { case (name, actual, budget) =>
     test(s"$name stays inside its shuffle-record budget " +

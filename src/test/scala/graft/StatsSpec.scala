@@ -2059,4 +2059,30 @@ class StatsSpec extends SparkTestBase {
     assert(t._1 == 1L && t._3.isEmpty && t._4.isEmpty && t._5.isEmpty,
       s"got $t")
   }
+
+  test("quantileTreatmentEffect: constant shift reads at every decile," +
+      " empty arm emits nothing") {
+    // treated 10,20,…,100; control = treated − 5. Type-1 rule at
+    // pm=k·100 with n=10: rank ⌈k⌉ → q_t = 10k, q_c = 10k − 5, so the
+    // whole schedule is a flat qte = 5.
+    val rows = (1 to 10).flatMap(i =>
+      Seq((true, i * 10L), (false, i * 10L - 5L)))
+    val probs = (1 to 9).map(i => (s"d$i", i * 100))
+    val got = Stats.quantileTreatmentEffect(rows.toDF("arm", "v"),
+        "arm", "v", probs)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == (1 to 9).map(k =>
+      (k * 100L, 10L, 10L, k * 10L, k * 10L - 5L, 5L)), s"got $got")
+    // one-arm input: the inner per-mille join leaves nothing
+    val oneArm = Seq((true, 1L), (true, 2L)).toDF("arm", "v")
+    assert(Stats.quantileTreatmentEffect(oneArm, "arm", "v", probs)
+      .count() == 0L)
+    // duplicate-heavy: all values equal → every quantile is that value
+    val flat = Seq((true, 7L), (true, 7L), (false, 7L)).toDF("arm", "v")
+    val f = Stats.quantileTreatmentEffect(flat, "arm", "v",
+        Seq(("p50", 500))).as[(Long, Long, Long, Long, Long, Long)]
+      .collect().head
+    assert(f == ((500L, 2L, 1L, 7L, 7L, 0L)), s"got $f")
+  }
 }

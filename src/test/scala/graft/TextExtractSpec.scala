@@ -195,4 +195,27 @@ class TextExtractSpec extends SparkTestBase {
       .as[(Long, Long, Option[Long], Long)].collect().toSeq
     assert(got == Seq((2L, 1L, None, 0L)), s"got $got")
   }
+
+  test("vocabGrowth: hand-traced Heaps curve, empty docs add nothing") {
+    // ids 0..3, buckets=2 → w = (3−0+2) div 2 = 2, bucket = id div 2.
+    // d0 "a b a" (3 toks), d1 "b c" (2), d2 "" (0), d3 "c d d" (3).
+    // First occurrences: a→d0, b→d0, c→d1 (all bucket 0), d→d3 (b1).
+    // b0: tokens 5, vocab 3, ttr = ⌊10⁶·3/5⌋ = 600000
+    // b1: tokens 8, vocab 4, ttr = 500000
+    val docs = Seq((0L, "a b a"), (1L, "b c"), (2L, ""),
+      (3L, "c d d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs, "doc_id", "text",
+        buckets = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 5L, 3L, 600000L), (1L, 8L, 4L, 500000L)),
+      s"got $got")
+    // tokenization is the pinned recipe: case-folded, [^a-z0-9]+ splits
+    val mixed = Seq((0L, "The THE the"), (1L, "x-y,z 42")).toDF(
+      "doc_id", "text")
+    val m = TextAnalysis.vocabGrowth(mixed, "doc_id", "text",
+        buckets = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // 3 "the" + x,y,z,42 → 7 tokens, 5 distinct → ⌊10⁶·5/7⌋ = 714285
+    assert(m == Seq((0L, 7L, 5L, 714285L)), s"got $m")
+  }
 }

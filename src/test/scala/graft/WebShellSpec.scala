@@ -415,16 +415,21 @@ class WebShellSpec extends SparkTestBase {
         floor(col("value") * 100).cast("long").as("cents"),
         col("event_type").as("stratum"))
     val emb = CoreQueries.tRead(spark, dir, "embeddings")
+    // q383's exact (lang, source) partition frame
+    val pairdocs = CoreQueries.tRead(spark, dir, "documents")
+      .where(col("lang").isNotNull && col("source").isNotNull)
+      .select(col("lang"), col("source"))
     val shell = new WebShell(runner, new CalcEngine(spark, store), audit,
       sources = {
-        case "emb"     => emb
-        case "ratings" => ratings
-        case "scores"  => scores
-        case "subj"    => subj
-        case "uplift"  => uplift
-        case "arms"    => arms
-        case "strat"   => strat
-        case other     => sys.error(s"unknown source $other")
+        case "emb"      => emb
+        case "ratings"  => ratings
+        case "scores"   => scores
+        case "subj"     => subj
+        case "uplift"   => uplift
+        case "arms"     => arms
+        case "strat"    => strat
+        case "pairdocs" => pairdocs
+        case other      => sys.error(s"unknown source $other")
       },
       pipelineStore = Some(store), port = 0).start()
     try {
@@ -449,7 +454,13 @@ class WebShellSpec extends SparkTestBase {
           | "col_a":"arm","expect_a_pm":500,"out":"p.srm"},
           |{"op":"eval","method":"post_strat_ate","table":"strat",
           | "treated_col":"arm","value_col":"cents",
-          | "strata_col":"stratum","out":"p.psa"}]}""".stripMargin)
+          | "strata_col":"stratum","out":"p.psa"},
+          |{"op":"agreement","method":"pair_counting",
+          | "table":"pairdocs","col_a":"lang","col_b":"source",
+          | "out":"p.pairc"},
+          |{"op":"eval","method":"qte","table":"uplift",
+          | "col_a":"treated","col_b":"score","out":"p.qte"}]}"""
+          .stripMargin)
       assert(r.statusCode() == 200, s"got ${r.statusCode()} ${r.body()}")
       val deadline = System.nanoTime() + 300_000_000_000L
       while (!audit.taskEvents.exists(e2 =>
@@ -468,7 +479,9 @@ class WebShellSpec extends SparkTestBase {
           "p.cidx" -> "q376_c_index",
           "p.qini" -> "q377_qini_curve",
           "p.srm"  -> "q381_srm_check",
-          "p.psa"  -> "q382_post_strat_ate")) {
+          "p.psa"  -> "q382_post_strat_ate",
+          "p.pairc" -> "q383_pair_counting",
+          "p.qte"  -> "q384_qte")) {
         assert(sortedRows(store.read(out)) ==
           sortedRows(SparkEntry.queries(gate)(spark, dir)),
           s"REST $out diverged from the $gate gate")
