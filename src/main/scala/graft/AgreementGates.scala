@@ -574,7 +574,20 @@ object AgreementGates {
         .select(col("lang"), col("source")),
       "lang", "source")
 
+  // PURITY + BCUBED (ops/Agreement.bcubedPpm): the item-weighted
+  // partition battery on the SAME (lang, source) frame as q383/q353 —
+  // purity/inverse-purity by modal counts, BCubed P/R/F per Amigó's
+  // extrinsic-eval standard (size-skew-honest where pair counting
+  // is not). Three exact floor levels, all pinned.
+  def q386_bcubed(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Agreement.bcubedPpm(
+      t(s, dir, "documents")
+        .where(col("lang").isNotNull && col("source").isNotNull)
+        .select(col("lang"), col("source")),
+      "lang", "source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q386_bcubed"            -> q386_bcubed _,
     "q383_pair_counting"     -> q383_pair_counting _,
     "q374_silhouette"        -> q374_silhouette _,
     "q372_bland_altman"      -> q372_bland_altman _,
@@ -612,6 +625,47 @@ object AgreementGates {
   /** DuckDB oracles — independent SQL recomputations (HUGEINT lanes,
     * `//` floors mirroring the documented pinned-floor schedules). */
   val oracleSql: Map[String, String] = Map(
+    "q386_bcubed" ->
+      """WITH e AS (SELECT CAST(lang AS VARCHAR) AS a,
+        |    CAST(source AS VARCHAR) AS b
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |cells AS (SELECT a, b, count(*) AS nij FROM e GROUP BY 1, 2),
+        |n1 AS (SELECT CAST(coalesce(sum(nij), 0) AS HUGEINT) AS n
+        |       FROM cells),
+        |sa AS (SELECT count(*) AS ka, sum(mx) AS moda,
+        |         sum((1000000 * sq) // m) AS bca
+        |       FROM (SELECT a, sum(nij) AS m, max(nij) AS mx,
+        |               sum(CAST(nij AS HUGEINT) * nij) AS sq
+        |             FROM cells GROUP BY 1)),
+        |sb AS (SELECT count(*) AS kb, sum(mx) AS modb,
+        |         sum((1000000 * sq) // m) AS bcb
+        |       FROM (SELECT b, sum(nij) AS m, max(nij) AS mx,
+        |               sum(CAST(nij AS HUGEINT) * nij) AS sq
+        |             FROM cells GROUP BY 1)),
+        |f AS (SELECT n, ka, kb,
+        |        CASE WHEN n = 0 THEN NULL
+        |             ELSE (1000000 * moda) // n END AS pur,
+        |        CASE WHEN n = 0 THEN NULL
+        |             ELSE (1000000 * modb) // n END AS ipur,
+        |        CASE WHEN n = 0 THEN NULL ELSE bca // n END AS bp,
+        |        CASE WHEN n = 0 THEN NULL ELSE bcb // n END AS br
+        |      FROM n1, sa, sb)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(ka AS BIGINT) AS k_a,
+        |  CAST(kb AS BIGINT) AS k_b,
+        |  CAST(pur AS BIGINT) AS purity_ppm,
+        |  CAST(ipur AS BIGINT) AS inv_purity_ppm,
+        |  CAST(CASE WHEN pur IS NULL OR ipur IS NULL
+        |              OR pur + ipur = 0 THEN NULL
+        |       ELSE (2 * pur * ipur) // (pur + ipur)
+        |       END AS BIGINT) AS purity_f_ppm,
+        |  CAST(bp AS BIGINT) AS bcubed_p_ppm,
+        |  CAST(br AS BIGINT) AS bcubed_r_ppm,
+        |  CAST(CASE WHEN bp IS NULL OR br IS NULL
+        |              OR bp + br = 0 THEN NULL
+        |       ELSE (2 * bp * br) // (bp + br)
+        |       END AS BIGINT) AS bcubed_f_ppm
+        |FROM f""".stripMargin,
     "q383_pair_counting" ->
       """WITH e AS (SELECT CAST(lang AS VARCHAR) AS a,
         |    CAST(source AS VARCHAR) AS b

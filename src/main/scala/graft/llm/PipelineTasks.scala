@@ -137,7 +137,7 @@ object PipelineTasks {
     * POST time instead of letting the background run die). */
   val agreementMethods: Set[String] = Set("fleiss_kappa", "gwet_ac1",
     "krippendorff", "weighted_kappa", "quadratic_kappa",
-    "partition_agreement", "pair_counting", "gk_lambda",
+    "partition_agreement", "pair_counting", "bcubed", "gk_lambda",
     "specific_agreement",
     // continuous members (round-11 batch) — the two-column shapes
     "ccc", "krippendorff_interval", "bland_altman",
@@ -213,6 +213,8 @@ object PipelineTasks {
             Agreement.partitionAgreementPpm(in, ag.colA, ag.colB)
           case "pair_counting" =>
             Agreement.pairCountingPpm(in, ag.colA, ag.colB)
+          case "bcubed" =>
+            Agreement.bcubedPpm(in, ag.colA, ag.colB)
           case "gk_lambda" =>
             Agreement.gkLambdaPpm(in, ag.colA, ag.colB)
           case "specific_agreement" =>

@@ -928,4 +928,78 @@ object Agreement {
               |div __t2 AS BIGINT)""".stripMargin.replace("\n", " ")))
           .as("mirkin_ppm"))
   }
+
+  /** PURITY + BCUBED — the ITEM-weighted clustering-vs-labels battery
+    * next to the pair-weighted one ([[partitionAgreementPpm]],
+    * [[pairCountingPpm]]): purity/inverse-purity answer "is each
+    * cluster one label / each label one cluster" by modal counts, and
+    * BCubed (Amigó et al. 2009, the extrinsic-eval standard the pair
+    * family fails on cluster-size skew) averages per-ITEM precision/
+    * recall, so a giant mixed cluster is punished in proportion to the
+    * items inside it, not the pairs. Everything is division-exact from
+    * the same contingency cells n_ij (cluster marginal a_i, label
+    * marginal b_j) — no chance model, no log, no sqrt:
+    *   purity_ppm     = (10⁶·Σ_i max_j n_ij) div n  [per-CLUSTER modal]
+    *   inv_purity_ppm = the per-LABEL modal transpose
+    *   bcubed_p_ppm   = (Σ_i ⌊10⁶·Σ_j n_ij² / a_i⌋) div n
+    *                    [per-cluster floors, the logRank schedule]
+    *   bcubed_r_ppm   = the transpose over b_j
+    *   *_f_ppm        = (2·p·r) div (p+r) on the already-floored
+    *                    ppm pair (harmonic mean, second-level floor)
+    * All ∈ [0, 10⁶]; NULL lanes only when n = 0 (empty frame still
+    * yields one report row via the coalesce-count stance). Singleton
+    * shatter scores purity 10⁶ but inverse purity (and BCubed recall)
+    * near 0 — the two directions are the point.
+    *
+    * Output one row: (n, k_a, k_b, purity_ppm, inv_purity_ppm,
+    * purity_f_ppm, bcubed_p_ppm, bcubed_r_ppm, bcubed_f_ppm) —
+    * a = cluster side, b = label side.
+    *
+    * Scale shape: one (a,b) contingency groupBy, then two
+    * marginal-grain aggregates (max + Σn² ride the same pass) and one
+    * final row — identical to the rest of the partition family. */
+  def bcubedPpm(df: DataFrame, clusterCol: String,
+                labelCol: String): DataFrame = {
+    val cells = df.select(col(clusterCol).cast("string").as("__a"),
+        col(labelCol).cast("string").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__nij"))
+      .localCheckpoint() // consumed by both marginal passes
+    // per-cluster: size a_i, modal count, Σ_j n_ij² → pinned bcubed
+    // term; per-label the transpose. max/Σn² ride one aggregate pass.
+    def side(k: String, kk: String, mod: String, bc: String) = cells
+      .groupBy(col(k))
+      .agg(sum(col("__nij")).as("__m"), max(col("__nij")).as("__mx"),
+        sum(col("__nij").cast(d38) * col("__nij")).as("__sq"))
+      .agg(count(lit(1)).as(kk), sum(col("__mx")).as(mod),
+        sum(expr("CAST((1000000 * __sq) div __m AS DECIMAL(38,0))"))
+          .as(bc))
+    val n1 = cells.agg(coalesce(sum(col("__nij")), lit(0L)).cast("long")
+      .as("n"))
+    def fOf(p: String, r: String) =
+      when(col(p).isNull || col(r).isNull || col(p) + col(r) === 0,
+          lit(null).cast("long"))
+        .otherwise(expr(s"CAST((2 * $p * $r) div ($p + $r) AS BIGINT)"))
+    n1.crossJoin(broadcast(side("__a", "__ka", "__moda", "__bca")))
+      .crossJoin(broadcast(side("__b", "__kb", "__modb", "__bcb")))
+      .select(col("n"), col("__ka").cast("long").as("k_a"),
+        col("__kb").cast("long").as("k_b"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((1000000 * __moda) div n AS BIGINT)"))
+          .as("purity_ppm"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST((1000000 * __modb) div n AS BIGINT)"))
+          .as("inv_purity_ppm"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(__bca div n AS BIGINT)"))
+          .as("bcubed_p_ppm"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(__bcb div n AS BIGINT)"))
+          .as("bcubed_r_ppm"))
+      .select(col("n"), col("k_a"), col("k_b"), col("purity_ppm"),
+        col("inv_purity_ppm"),
+        fOf("purity_ppm", "inv_purity_ppm").as("purity_f_ppm"),
+        col("bcubed_p_ppm"), col("bcubed_r_ppm"),
+        fOf("bcubed_p_ppm", "bcubed_r_ppm").as("bcubed_f_ppm"))
+  }
 }

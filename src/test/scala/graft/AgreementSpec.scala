@@ -770,4 +770,37 @@ class AgreementSpec extends SparkTestBase {
     assert(pairRow(shatter) == ((8L, 2L, 8L, Some(571428L), Some(0L),
       Some(0L), None, Some(428571L))))
   }
+
+  // ------------------------------------------- purity + BCubed
+  private def bcRow(df: org.apache.spark.sql.DataFrame) =
+    Agreement.bcubedPpm(df, "a", "b")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long])].collect().head
+
+  test("bcubedPpm: identical, shatter asymmetry, mixed cluster, empty") {
+    // identical {12}{34} both sides → every statistic 10⁶
+    val same = Seq((1L, "x", "p"), (2L, "x", "p"), (3L, "y", "q"),
+      (4L, "y", "q")).toDF("id", "a", "b")
+    assert(bcRow(same) == ((4L, 2L, 2L, Some(1000000L), Some(1000000L),
+      Some(1000000L), Some(1000000L), Some(1000000L), Some(1000000L))))
+    // label shatter: clusters {1–4}{5–8}, labels all singleton.
+    // purity = 2/8 = 250000 (modal 1 per cluster), inv purity = 1.
+    // BCubed P: per cluster sq=Σn²=4, m=4 → ⌊10⁶·4/4⌋ = 10⁶;
+    // Σ 2·10⁶ div n=8 → 250000. R = 10⁶ (singleton labels).
+    // F both = 2·¼·1/(¼+1) = 2/5 = 400000.
+    val shatter = (1 to 8).map(i => (i.toLong, if (i <= 4) "x" else "y",
+      s"s$i")).toDF("id", "a", "b")
+    assert(bcRow(shatter) == ((8L, 2L, 8L, Some(250000L), Some(1000000L),
+      Some(400000L), Some(250000L), Some(1000000L), Some(400000L))))
+    // one mixed cluster over two pure labels: purity ½, inverse 1,
+    // BCubed P = ⌊10⁶·(4+4)/4⌋ div 4 = 500000, R = 1, F = ⅔
+    val mixed = Seq((1L, "x", "p"), (2L, "x", "p"), (3L, "x", "q"),
+      (4L, "x", "q")).toDF("id", "a", "b")
+    assert(bcRow(mixed) == ((4L, 1L, 2L, Some(500000L), Some(1000000L),
+      Some(666666L), Some(500000L), Some(1000000L), Some(666666L))))
+    // empty input → one NULL report row, not an empty frame
+    val empty = Seq.empty[(Long, String, String)].toDF("id", "a", "b")
+    val e = bcRow(empty)
+    assert(e._1 == 0L && e._4.isEmpty && e._9.isEmpty, s"got $e")
+  }
 }

@@ -85,7 +85,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // vocab growth the token vocabulary + ≤16 bucket rows
     ("q383_pair_counting", 125L, 250L),
     ("q384_qte", 1571L, 2500L),
-    ("q385_vocab_growth", 66L, 150L))
+    ("q385_vocab_growth", 66L, 150L),
+    // BCubed rides the same contingency cells as pair counting
+    ("q386_bcubed", 125L, 250L))
 
   budgets.foreach { case (name, actual, budget) =>
     test(s"$name stays inside its shuffle-record budget " +

@@ -458,6 +458,8 @@ class WebShellSpec extends SparkTestBase {
           |{"op":"agreement","method":"pair_counting",
           | "table":"pairdocs","col_a":"lang","col_b":"source",
           | "out":"p.pairc"},
+          |{"op":"agreement","method":"bcubed","table":"pairdocs",
+          | "col_a":"lang","col_b":"source","out":"p.bcub"},
           |{"op":"eval","method":"qte","table":"uplift",
           | "col_a":"treated","col_b":"score","out":"p.qte"}]}"""
           .stripMargin)
@@ -481,6 +483,7 @@ class WebShellSpec extends SparkTestBase {
           "p.srm"  -> "q381_srm_check",
           "p.psa"  -> "q382_post_strat_ate",
           "p.pairc" -> "q383_pair_counting",
+          "p.bcub" -> "q386_bcubed",
           "p.qte"  -> "q384_qte")) {
         assert(sortedRows(store.read(out)) ==
           sortedRows(SparkEntry.queries(gate)(spark, dir)),
