@@ -718,11 +718,13 @@ object TextAnalysis {
     * Output: (bucket, tokens_cum, vocab_cum, ttr_ppm), ascending
     * bucket = corpus prefix order.
     *
-    * Scale shape: one token explode (map-side), one (bucket) groupBy
-    * for token totals, one (token) groupBy for first occurrences
-    * (tokens shuffle once at the token grain — the vocabulary is the
-    * natural key, never doc × doc), then a buckets²-bounded triangle
-    * join for both prefix sums. No global window, no collect. */
+    * Scale shape: the token explode is map-side and re-runs once per
+    * consumer (two scans — deliberately cheaper than caching a
+    * token-grain frame at 100 TB); one (bucket) groupBy for token
+    * totals, one (token) groupBy for first occurrences (tokens
+    * shuffle at the token grain — the vocabulary is the natural key,
+    * never doc × doc), then a buckets²-bounded triangle join for both
+    * prefix sums. No global window, no collect. */
   def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
                   buckets: Int = 16): DataFrame = {
     require(buckets >= 1 && buckets <= 1000,
