@@ -311,8 +311,8 @@ object AgreementGates {
       java.util.Arrays.asList(baselineAgg.collect(): _*),
       baselineAgg.schema)
     val tmp = CoreQueries.fixtureDir("q365_docs")
-    CoreQueries.rewritePartFiles(tmp, (0 until 4).map(b =>
-      docs.where(pmod(col("doc_id"), lit(4)) === b)))
+    CoreQueries.rewritePartFilesOnePass(tmp, docs,
+      pmod(col("doc_id"), lit(4)), 4)
     val store = new graft.io.ParquetTableStore(s,
       java.nio.file.Files.createTempDirectory("q365mon").toString)
     graft.streaming.EventStream.runStreamForeachBatch(
@@ -358,8 +358,8 @@ object AgreementGates {
   def q380_stream_kappa_canary(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val tmp = CoreQueries.fixtureDir("q380_docs")
-    CoreQueries.rewritePartFiles(tmp, (0 until 4).map(b =>
-      docs.where(pmod(col("doc_id"), lit(4)) === b)))
+    CoreQueries.rewritePartFilesOnePass(tmp, docs,
+      pmod(col("doc_id"), lit(4)), 4)
     val store = new graft.io.ParquetTableStore(s,
       java.nio.file.Files.createTempDirectory("q380mon").toString)
     graft.streaming.EventStream.runStreamForeachBatch(

@@ -420,9 +420,7 @@ object CoreQueries {
       timestamp_micros(col("ts")).as("ts"),
       col("user_id"), col("event_type"),
       floor(coalesce(col("value"), lit(0.0)) * 10000).cast("double").as("value"))
-    rewritePartFiles(tmp, Seq(
-      ev.filter(pmod(col("event_id"), lit(2)) === 0),
-      ev.filter(pmod(col("event_id"), lit(2)) === 1)))
+    rewritePartFilesOnePass(tmp, ev, pmod(col("event_id"), lit(2)), 2)
     val streamed = EventStream.runBatchOfStream(
       s, tmp.getAbsolutePath, "q44_state_mem",
       df => EventStream.sessionize(
@@ -465,16 +463,70 @@ object CoreQueries {
                                parts: Seq[DataFrame]): Unit = {
     del(target); target.mkdirs()
     parts.zipWithIndex.foreach { case (p, i) =>
-      val tmp = new java.io.File(target, s"__part$i")
-      p.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      val src = tmp.listFiles.toSeq
-        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-        .getOrElse(sys.error(s"no parquet part written under $tmp"))
-      java.nio.file.Files.move(src.toPath,
-        new java.io.File(target, s"batch$i.parquet").toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      del(tmp)
+      writeOnePart(target, p, i)
     }
+  }
+
+  private def writeOnePart(target: java.io.File, p: DataFrame,
+                           i: Int): Unit = {
+    val tmp = new java.io.File(target, s"__part$i")
+    p.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val src = tmp.listFiles.toSeq
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .getOrElse(sys.error(s"no parquet part written under $tmp"))
+    java.nio.file.Files.move(src.toPath,
+      new java.io.File(target, s"batch$i.parquet").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    del(tmp)
+  }
+
+  /** One-pass form of [[rewritePartFiles]] for the common shape where
+    * the parts are DISJOINT BUCKET FILTERS of one source frame
+    * (optimization guide §1.2/§2.4 — the per-part form re-scanned the
+    * source once per bucket AND `coalesce(1)` collapsed each scan into
+    * a single task, so a k-bucket fixture paid k sequential
+    * single-threaded passes): the source is scanned once, hash-
+    * repartitioned on the bucket value (all rows of a bucket land in
+    * exactly one task → exactly one file per bucket directory), written
+    * via `partitionBy` in ONE parallel job, and the per-bucket files
+    * are moved into the same `batch<i>.parquet` layout (bucket value =
+    * micro-batch order). `extras` append as trailing batches through
+    * the per-part path (sentinel frames — 1-row, not worth a pass).
+    *
+    * Row order WITHIN a batch file is shuffle-fetch-dependent, so this
+    * is only for gates whose per-batch logic is row-order-free — true
+    * of every current caller (per-batch aggregates, dropDuplicates
+    * state, or an explicit in-batch sort before folding). */
+  private[graft] def rewritePartFilesOnePass(target: java.io.File,
+      df: DataFrame, bucket: Column, n: Int,
+      extras: Seq[DataFrame] = Nil): Unit = {
+    del(target); target.mkdirs()
+    val tmp = new java.io.File(target, "__parts")
+    df.withColumn("__b", bucket.cast("int"))
+      .repartition(n, col("__b"))
+      .write.partitionBy("__b").mode("overwrite")
+      .parquet(tmp.getAbsolutePath)
+    (0 until n).foreach { i =>
+      val dirI = new java.io.File(tmp, s"__b=$i")
+      val files = Option(dirI.listFiles).map(_.toSeq).getOrElse(Nil)
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("."))
+      if (files.size > 1)
+        sys.error(s"bucket $i wrote ${files.size} parquet files under " +
+          s"$tmp (want exactly 1 — split partition?)")
+      files.headOption match {
+        case Some(f) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(target, s"batch$i.parquet").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        case None =>
+          // empty bucket (toy test fixtures): preserve the per-part
+          // contract of one file per batch with an empty parquet file
+          writeOnePart(target, df.limit(0), i)
+      }
+    }
+    del(tmp)
+    extras.zipWithIndex.foreach { case (p, i) => writeOnePart(target, p, n + i) }
   }
 
   // As-of (point-in-time) join at the gate: each click gets the user's
@@ -549,10 +601,9 @@ object CoreQueries {
     def shaped(df: DataFrame) = df.select(
       col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
       col("ts_us"), col("user_id"), col("value"))
-    rewritePartFiles(tmp, Seq(
-      shaped(base.filter(col("ts_us") < midUs)),
-      shaped(base.filter(col("ts_us") >= midUs)),
-      shaped(s.range(1).select(lit(-1L).as("event_id"),
+    rewritePartFilesOnePass(tmp, shaped(base),
+      when(col("ts_us") < midUs, 0).otherwise(1), 2,
+      extras = Seq(shaped(s.range(1).select(lit(-1L).as("event_id"),
         lit(sentinelUs).as("ts_us"), lit(-1L).as("user_id"),
         lit(0.0).as("value")))))
     val streamed = EventStream.runBatchOfStream(
@@ -742,9 +793,7 @@ object CoreQueries {
     val tmp = fixtureDir("q55_events")
     val ev = t(s, dir, "events")
       .select(col("event_id"), col("user_id"), col("event_type"))
-    rewritePartFiles(tmp, Seq(
-      ev.filter(pmod(col("event_id"), lit(2)) === 0),
-      ev.filter(pmod(col("event_id"), lit(2)) === 1)))
+    rewritePartFilesOnePass(tmp, ev, pmod(col("event_id"), lit(2)), 2)
     graft.streaming.EventStream.runBatchOfStream(
       s, tmp.getAbsolutePath, "q55_dedup_mem",
       df => df.select(col("user_id"), col("event_type"))
