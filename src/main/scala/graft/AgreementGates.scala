@@ -304,7 +304,7 @@ object AgreementGates {
     // most expensive gate). The frozen counts are byte-identical, so
     // the gate result is unchanged; per batch the baseline side is now
     // a LocalTableScan.
-    val baselineAgg = docs
+    val baselineAgg = graft.ops.ScanFanout(docs)
       .groupBy(graft.llm.TextAnalysis.langId(col("text")).as("la"))
       .agg(count(lit(1)).as("n_b"))
     val baselineCounts = s.createDataFrame(
@@ -316,7 +316,12 @@ object AgreementGates {
     val store = new graft.io.ParquetTableStore(s,
       java.nio.file.Files.createTempDirectory("q365mon").toString)
     graft.streaming.EventStream.runStreamForeachBatch(
-      s, tmp.getAbsolutePath, { (batch, _) =>
+      s, tmp.getAbsolutePath, { (batch0, _) =>
+        // a maxFilesPerTrigger=1 micro-batch is single-file BY
+        // CONSTRUCTION at any scale — fan the trigram/regex classify
+        // work out to the session's cores (per-batch logic is
+        // aggregate-only, row-order-free)
+        val batch = graft.ops.ScanFanout(batch0)
         val ba = batch.select(col("doc_id"),
           graft.llm.TextAnalysis.langId(col("text")).as("pred_rule"))
         val bb = graft.llm.TextAnalysis.classifyByProfile(

@@ -431,8 +431,8 @@ object LlmAnnGates {
     graft.llm.Similarity.knnGraph(
       // the 300-vector subset is one parquet split — spread it so the
       // decimal kernel parallelizes (result is aggregation-exact
-      // regardless of partitioning)
-      t(s, dir, "embeddings").filter(col("vec_id") < 300).repartition(32),
+      // regardless of partitioning); scale-adaptive, was repartition(32)
+      graft.ops.ScanFanout(t(s, dir, "embeddings").filter(col("vec_id") < 300)),
       "vec_id", "embedding", k = 4, corpusSize = 300L,
       deterministic = true)
       .select(col("query_id"), col("cand_id"),

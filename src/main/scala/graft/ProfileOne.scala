@@ -18,7 +18,8 @@ import scala.collection.mutable
 object ProfileOne {
   private final case class JobRow(id: Int, ms: Long, desc: String,
                                   shufWriteRec: Long, shufReadRec: Long,
-                                  inRec: Long, tasks: Int)
+                                  inRec: Long, tasks: Int,
+                                  stages: String = "")
 
   def main(args: Array[String]): Unit = {
     val names = args(0).split(',').toSeq
@@ -34,6 +35,7 @@ object ProfileOne {
     val rows = mutable.ArrayBuffer.empty[JobRow]
     val stageAgg = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Long, Int)]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val desc = Option(e.properties)
@@ -44,8 +46,10 @@ object ProfileOne {
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val m = e.stageInfo.taskMetrics
+        val jid = stageToJob.getOrDefault(e.stageInfo.stageId, -1)
+        stageNames.merge(jid, e.stageInfo.name.take(70),
+          (a: String, b: String) => a + " | " + b)
         if (m != null) {
-          val jid = stageToJob.getOrDefault(e.stageInfo.stageId, -1)
           stageAgg.merge(jid,
             (m.shuffleWriteMetrics.recordsWritten,
              m.shuffleReadMetrics.recordsRead,
@@ -57,8 +61,9 @@ object ProfileOne {
         Option(jobStart.remove(e.jobId)).foreach { case (t0, desc) =>
           val (sw, sr, in, nt) =
             Option(stageAgg.remove(e.jobId)).getOrElse((0L, 0L, 0L, 0))
+          val sn = Option(stageNames.remove(e.jobId)).getOrElse("")
           rows.synchronized {
-            rows += JobRow(e.jobId, e.time - t0, desc, sw, sr, in, nt)
+            rows += JobRow(e.jobId, e.time - t0, desc, sw, sr, in, nt, sn)
           }
         }
       }
@@ -86,10 +91,10 @@ object ProfileOne {
         println(f"%n[profile] ===== $name rep$rep: wall=$wall%.3f s, " +
           f"jobs=${snap.size}, job-sum=$jobSum%.3f s ($n rows) =====")
         snap.sortBy(-_.ms).take(40).foreach { r =>
-          val d = if (r.desc.length > 90) r.desc.take(90) + "…" else r.desc
+          val d = if (r.desc.length > 60) r.desc.take(60) + "…" else r.desc
           println(f"[profile]  job${r.id}%4d ${r.ms / 1e3}%8.3f s  " +
             f"tasks=${r.tasks}%4d in=${r.inRec}%9d sw=${r.shufWriteRec}%8d " +
-            f"sr=${r.shufReadRec}%8d  $d")
+            f"sr=${r.shufReadRec}%8d  $d [${r.stages.take(140)}]")
         }
       }
     } finally {

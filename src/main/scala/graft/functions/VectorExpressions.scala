@@ -420,39 +420,324 @@ object DecimalVecOps {
   private val Precision = 38
   private val Scale = 15
 
-  /** Returns null exactly when the lambda form yields null. */
+  /** Fast-lane failure marker for [[scaledLongOf]]; Long.MinValue can
+    * never be a real result (|shortest-repr digits| ≤ 17 digits and the
+    * post-scaling magnitude checks reject anything near the range edge). */
+  private final val Sentinel = Long.MinValue
+
+  private val Pow10: Array[Long] = Array.iterate(1L, 19)(_ * 10)
+
+  /** The unscaled value of
+    * `new BigDecimal(Double.toString(v)).setScale(15, HALF_UP)` as a
+    * long, or [[Sentinel]] when v is non-finite or the result does not
+    * fit a long (|v| ≳ 9.2e3 — the slow lane then replays the exact
+    * BigDecimal semantics including its overflow exceptions).
+    *
+    * Profiling round 12 (thread dumps over q363): the original
+    * per-element `Double.toString` → `new BigDecimal(String)` →
+    * `setScale` chain spent its time in FloatingDecimal ASCII
+    * conversion and BigInteger parsing. This parses the SAME shortest
+    * round-trip string directly into a ×10^15 scaled long — HALF_UP
+    * needs only the first discarded digit, and the shortest repr has
+    * ≤ 17 significant digits, so every step below is exact. */
+  private def scaledLongOf(v: Double): Long = {
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+      return Sentinel
+    val s = java.lang.Double.toString(v)
+    val len = s.length
+    var i = 0
+    var neg = false
+    if (s.charAt(0) == '-') { neg = true; i = 1 }
+    var d = 0L      // all significant digits, left to right
+    var nd = 0      // digit count (≤ 17 from Double.toString)
+    var frac = 0    // digits after the point
+    var exp = 0     // explicit exponent
+    var seenPoint = false
+    var ok = true
+    while (ok && i < len) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') {
+        if (nd >= 18) ok = false   // defensive: never true for toString
+        else {
+          d = d * 10 + (c - '0')
+          if (d != 0) nd += 1      // leading zeros carry no precision
+          if (seenPoint) frac += 1
+          i += 1
+        }
+      } else if (c == '.') { seenPoint = true; i += 1 }
+      else if (c == 'E') {
+        var j = i + 1
+        var eneg = false
+        if (j < len && s.charAt(j) == '-') { eneg = true; j += 1 }
+        var e = 0
+        while (j < len) {
+          val ec = s.charAt(j)
+          if (ec < '0' || ec > '9') return Sentinel
+          e = e * 10 + (ec - '0'); j += 1
+        }
+        exp = if (eneg) -e else e
+        i = len
+      } else return Sentinel
+    }
+    if (!ok) return Sentinel
+    // value = ±d × 10^(exp − frac); want round_half_up(value × 10^15)
+    val e = exp - frac + Scale
+    val r =
+      if (d == 0L) 0L
+      else if (e >= 0) {
+        if (e > 18 || d > Long.MaxValue / Pow10(e)) return Sentinel
+        d * Pow10(e)
+      } else {
+        val m = -e
+        if (m >= 19) 0L            // d < 10^18 ⇒ rounds to zero
+        else {
+          val p = Pow10(m)
+          val q = d / p
+          val rem = d % p
+          if (rem * 2 >= p) q + 1 else q   // HALF_UP, d ≥ 0
+        }
+      }
+    if (neg) -r else r
+  }
+
+  /** One accumulation step of the lambda chain on ×10^15 scaled longs:
+    * add, round to scale 14 HALF_UP (away from zero), rescale to 15.
+    * Returns [[Sentinel]] on any overflow (slow lane takes over with
+    * the exact BigDecimal semantics). */
+  private def accStep(sum: Long, pd: Long): Long = {
+    val s1 = sum + pd
+    if (((sum ^ s1) & (pd ^ s1)) < 0L) return Sentinel
+    var q = s1 / 10
+    val r = s1 % 10
+    if (r >= 5) q += 1 else if (r <= -5) q -= 1
+    if (q > Long.MaxValue / 10 || q < Long.MinValue / 10) return Sentinel
+    q * 10
+  }
+
+  /** Slow-lane body — the original, semantics-defining implementation:
+    * per element Spark's ANSI double→decimal(38,15) cast (BigDecimal of
+    * the shortest double string, setScale(15, HALF_UP), overflow
+    * throws), then the Add's (38,14) rounding and the lambda's (38,15)
+    * recast, each overflow-checked where the reference throws. */
+  private def slowStep(sum0: java.math.BigDecimal,
+                       prod: Double): java.math.BigDecimal = {
+    val pd = new java.math.BigDecimal(java.lang.Double.toString(prod))
+      .setScale(Scale, java.math.RoundingMode.HALF_UP)
+    if (pd.precision > Precision)
+      throw new ArithmeticException(
+        s"vec_dot_decimal: product overflows decimal($Precision,$Scale)")
+    // ANSI Add of two (38,15) is typed (38,14) by adjustPrecisionScale:
+    // round each merge to scale 14, then the lambda re-casts to (38,15)
+    var sum = sum0.add(pd).setScale(Scale - 1, java.math.RoundingMode.HALF_UP)
+    if (sum.precision > Precision)
+      throw new ArithmeticException(
+        s"vec_dot_decimal: sum overflows decimal($Precision,${Scale - 1})")
+    sum = sum.setScale(Scale)
+    // the lambda's (38,14)→(38,15) recast ALSO overflow-checks: a sum
+    // with precision exactly 38 at scale 14 gains a digit here, and
+    // parity means throwing exactly where the reference throws
+    if (sum.precision > Precision)
+      throw new ArithmeticException(
+        s"vec_dot_decimal: sum overflows decimal($Precision,$Scale)")
+    sum
+  }
+
+  /** Returns null exactly when the lambda form yields null.
+    *
+    * Fast lane: products and the running sum ride ×10^15 scaled longs
+    * (exact — every intermediate fits; any value that might not falls
+    * back). Slow lane: the original BigDecimal chain, entered mid-sum
+    * with the exact state (a scaled long converts losslessly), so
+    * results and exceptions are bit-identical to the pre-round-12 code
+    * on every input (spec-pinned against the lambda reference). */
   def dotDecimal(x: ArrayData, y: ArrayData,
                  xFloat: Boolean, yFloat: Boolean): org.apache.spark.sql.types.Decimal = {
     val nx = x.numElements(); val ny = y.numElements()
     if (nx != ny) return null
-    var sum = java.math.BigDecimal.ZERO.setScale(Scale)
+    var sum = 0L
     var i = 0
     while (i < nx) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xa = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yb = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
-      val pd = new java.math.BigDecimal(java.lang.Double.toString(xa * yb))
-        .setScale(Scale, java.math.RoundingMode.HALF_UP)
-      if (pd.precision > Precision)
-        throw new ArithmeticException(
-          s"vec_dot_decimal: product overflows decimal($Precision,$Scale)")
-      // ANSI Add of two (38,15) is typed (38,14) by adjustPrecisionScale:
-      // round each merge to scale 14, then the lambda re-casts to (38,15)
-      sum = sum.add(pd).setScale(Scale - 1, java.math.RoundingMode.HALF_UP)
-      if (sum.precision > Precision)
-        throw new ArithmeticException(
-          s"vec_dot_decimal: sum overflows decimal($Precision,${Scale - 1})")
-      sum = sum.setScale(Scale)
-      // the lambda's (38,14)→(38,15) recast ALSO overflow-checks: a sum
-      // with precision exactly 38 at scale 14 gains a digit here, and
-      // parity means throwing exactly where the reference throws
-      if (sum.precision > Precision)
-        throw new ArithmeticException(
-          s"vec_dot_decimal: sum overflows decimal($Precision,$Scale)")
+      val pd = scaledLongOf(xa * yb)
+      if (pd == Sentinel) {
+        // slow lane from element i, carrying the exact sum so far
+        var bsum = java.math.BigDecimal.valueOf(sum, Scale)
+        var j = i
+        while (j < nx) {
+          if (x.isNullAt(j) || y.isNullAt(j)) return null
+          val xj = if (xFloat) x.getFloat(j).toDouble else x.getDouble(j)
+          val yj = if (yFloat) y.getFloat(j).toDouble else y.getDouble(j)
+          bsum = slowStep(bsum, xj * yj)
+          j += 1
+        }
+        return org.apache.spark.sql.types.Decimal(bsum)
+      }
+      val s1 = accStep(sum, pd)
+      if (s1 == Sentinel) {
+        var bsum = slowStep(java.math.BigDecimal.valueOf(sum, Scale),
+          xa * yb)
+        var j = i + 1
+        while (j < nx) {
+          if (x.isNullAt(j) || y.isNullAt(j)) return null
+          val xj = if (xFloat) x.getFloat(j).toDouble else x.getDouble(j)
+          val yj = if (yFloat) y.getFloat(j).toDouble else y.getDouble(j)
+          bsum = slowStep(bsum, xj * yj)
+          j += 1
+        }
+        return org.apache.spark.sql.types.Decimal(bsum)
+      }
+      sum = s1
       i += 1
     }
-    org.apache.spark.sql.types.Decimal(sum)
+    org.apache.spark.sql.types.Decimal(java.math.BigDecimal.valueOf(sum, Scale))
   }
+
+  /** All `bits` md5-plane decimal dots of one vector, fused — the
+    * round-12 kernel behind [[LshSignatureMd5Planes]]. Plane components
+    * are ±1, so the per-plane product is an EXACT IEEE negation of the
+    * element: each element converts to its decimal ONCE (the dominant
+    * cost — see [[scaledLongOf]]) and every plane reuses ±that value
+    * (HALF_UP is symmetric away from zero, so decimal(−x) = −decimal(x)
+    * exactly). Accumulation replays the lambda chain per plane in
+    * element order — bit-identical to `bits` separate
+    * `dotDecimal(vec, planeLiteral)` calls (spec-pinned).
+    *
+    * Returns the packed sign signature: bit p = (plane-p dot ≥ 0).
+    * A null vector, any null element, or numElements ≠ dims yields 0L —
+    * exactly the `when(dot >= 0, 2^p).otherwise(0)` column form, where
+    * a null dot contributes 0 to every bit. */
+  def md5PlaneSignature(x: ArrayData, signs: Array[Byte], bits: Int,
+                        dims: Int, isFloat: Boolean): Long = {
+    if (x == null || x.numElements() != dims) return 0L
+    val vals = new Array[Long](dims)
+    var fast = true
+    var d = 0
+    while (d < dims) {
+      if (x.isNullAt(d)) return 0L
+      val xv = if (isFloat) x.getFloat(d).toDouble else x.getDouble(d)
+      if (fast) {
+        val l = scaledLongOf(xv)
+        if (l == Sentinel) fast = false else vals(d) = l
+      }
+      d += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      val base = p * dims
+      var nonNeg = false
+      if (fast) {
+        var sum = 0L
+        var ok = true
+        var i = 0
+        while (ok && i < dims) {
+          val pd = if (signs(base + i) > 0) vals(i) else -vals(i)
+          val s1 = accStep(sum, pd)
+          if (s1 == Sentinel) ok = false else { sum = s1; i += 1 }
+        }
+        if (ok) nonNeg = sum >= 0L
+        else nonNeg = md5PlaneDotSlow(x, signs, base, dims, isFloat) >= 0
+      } else nonNeg = md5PlaneDotSlow(x, signs, base, dims, isFloat) >= 0
+      if (nonNeg) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  /** Signum of one plane dot through the exact BigDecimal chain. */
+  private def md5PlaneDotSlow(x: ArrayData, signs: Array[Byte], base: Int,
+                              dims: Int, isFloat: Boolean): Int = {
+    var bsum = java.math.BigDecimal.ZERO.setScale(Scale)
+    var i = 0
+    while (i < dims) {
+      val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val prod = if (signs(base + i) > 0) xv * 1.0 else xv * -1.0
+      bsum = slowStep(bsum, prod)
+      i += 1
+    }
+    bsum.signum()
+  }
+}
+
+/** Fused md5-parity-plane LSH signature — the round-12 replacement for
+  * the `(0 until bits).map(p => when(dotDecimal(vec, planeLit(p)) >= 0,
+  * 2^p)).reduce(_+_)` column tree in [[graft.llm.Similarity.lshSignatureMd5]].
+  * That tree carried bits × dims literals (a 60-plane × 64-dim signature
+  * is 3 840 literal nodes — heavy to codegen per AQE stage fragment) and
+  * re-converted every element to decimal once PER PLANE (the measured
+  * q363/q341 hot spot). This expression holds the sign matrix as one
+  * reference object and converts each element once per ROW; the decimal
+  * arithmetic per plane is replayed exactly (see
+  * [[DecimalVecOps.md5PlaneSignature]]), so signatures — and therefore
+  * every LSH bucket, candidate set, and gate hash — are bit-identical
+  * (spec-pinned against the retained column-tree reference). */
+case class LshSignatureMd5Planes(child: Expression, bits: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"bits=$bits out of [1, 63]")
+  require(dims >= 1, s"dims must be >= 1, got $dims")
+
+  override def prettyName: String = "vec_lsh_signature_md5"
+  override def dataType: DataType = LongType
+  // the column form yields 0 (not null) for null/mis-shaped input
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float|double>, got ${other.simpleString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** +1/−1 per (plane, dim), flattened plane-major — the same
+    * [[graft.llm.Similarity.md5PlaneComponent]] matrix the column tree
+    * baked in as literals. */
+  @transient private lazy val planeSigns: Array[Byte] = {
+    val a = new Array[Byte](bits * dims)
+    var p = 0
+    while (p < bits) {
+      var d = 0
+      while (d < dims) {
+        a(p * dims + d) =
+          if (graft.llm.Similarity.md5PlaneComponent(p, d) > 0) 1 else -1
+        d += 1
+      }
+      p += 1
+    }
+    a
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    DecimalVecOps.md5PlaneSignature(
+      if (v == null) null else v.asInstanceOf[ArrayData],
+      planeSigns, bits, dims, isFloat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val signs = ctx.addReferenceObj("planeSigns", planeSigns, "byte[]")
+    val c = child.genCode(ctx)
+    ev.copy(
+      code =
+        code"""
+           |${c.code}
+           |long ${ev.value} = graft.functions.DecimalVecOps.md5PlaneSignature(
+           |  ${c.isNull} ? null : ${c.value}, $signs, $bits, $dims, $isFloat);
+         """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
 }
 
 /** Exact DECIMAL(38,15) Σ a_i·b_i — the deterministic-cosine kernel.
@@ -501,6 +786,8 @@ object VectorFunctions {
     c(LshSignature(e(v), bits, seed))
   def vecLshBandKeys(v: Column, bits: Int, bands: Int, seed: Int = 42): Column =
     c(LshBandKeys(e(v), bits, bands, seed))
+  def vecLshSignatureMd5(v: Column, bits: Int, dims: Int): Column =
+    c(LshSignatureMd5Planes(e(v), bits, dims))
 
   /** SQL registration: `SELECT vec_cosine(a.embedding, b.embedding)`. */
   def registerSql(spark: SparkSession): Unit = {

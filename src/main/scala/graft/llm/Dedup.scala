@@ -41,7 +41,7 @@ object Dedup {
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, ngram: Int = 2, seed: Int = 42): DataFrame =
     minHashSignaturesFromShingled(
-      df.select(col(idCol).as("doc_id"),
+      graft.ops.ScanFanout(df).select(col(idCol).as("doc_id"),
         explode(TextShingles.wordNgrams(col(textCol), ngram)).as("shingle")),
       k, seed)
 
@@ -66,7 +66,7 @@ object Dedup {
                         threshold: Double = 0.5, seed: Int = 42,
                         maxBucketSize: Int = 1000): DataFrame =
     minHashCandidatesFromShingled(
-      df.select(col(idCol).as("doc_id"),
+      graft.ops.ScanFanout(df).select(col(idCol).as("doc_id"),
         explode(TextShingles.wordNgrams(col(textCol), ngram)).as("shingle")),
       k, bands, threshold, seed, maxBucketSize)
 
@@ -1373,10 +1373,17 @@ object Dedup {
     * same-cluster (id_a < id_b) pairs, drop the higher id of any pair
     * clearing `minCosine`. Pair cost is Σ|cluster|² — bounded by the
     * caller's cluster sizing. */
-  private def clusterPairKeep(assigned: DataFrame, emb: DataFrame,
+  private def clusterPairKeep(assigned0: DataFrame, emb: DataFrame,
                               idCol: String, vecCol: String,
                               minCosine: Double, deterministic: Boolean,
                               maxClusterSize: Int): DataFrame = {
+    // assigned is consumed twice here (vector join + final keep join)
+    // and its lineage carries the caller's whole assignment pass —
+    // persist the n-row (vec_id, centroid_id) frame so that pass runs
+    // once, not once per consumer (round-12 ProfileOne: q363 re-ran its
+    // 60k-candidate scoring subtree ~4×). Lazy — zero build-time jobs.
+    val assigned = assigned0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withVec = assigned.join(
       emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v")),
       Seq("vec_id"))
@@ -1668,7 +1675,8 @@ object Dedup {
     // keys feed the two self-join sides — pin them so the md5-plane
     // signature runs over the corpus exactly once (the lshBucketPairs
     // persist discipline)
-    val keys = df.select(col(idCol).cast("long").as("vec_id"),
+    val keys = graft.ops.ScanFanout(df)
+      .select(col(idCol).cast("long").as("vec_id"),
         explode(Similarity.bandKeys(
           Similarity.lshSignatureMd5(col(vecCol), bits, dims),
           bits, bands)).as("bk"))
@@ -1716,7 +1724,7 @@ object Dedup {
           s", 1), $maxW) AS __w")
     val sigFull = Similarity.lshSignatureMd5(col(vecCol),
       maxW * bands, dims)
-    val keys = df.crossJoin(broadcast(wFrame))
+    val keys = graft.ops.ScanFanout(df).crossJoin(broadcast(wFrame))
       .select(col(idCol).cast("long").as("vec_id"),
         sigFull.as("__sig"), col("__w"))
       .select(col("vec_id"), explode(expr(
@@ -1741,7 +1749,8 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    val v = df.select(col(idCol).cast("long").as("vec_id"),
+    val v = graft.ops.ScanFanout(df)
+      .select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<double>").as("vv"))
       .withColumn("vn", Similarity.norm2Decimal(col("vv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1819,8 +1828,10 @@ object Dedup {
         s"coalesce(element_at(filter(sequence($minW, $maxW), " +
           s"w -> $occupancy * shiftleft(CAST(1 AS BIGINT), w) >= __nl)" +
           s", 1), $maxW) AS __w")
-    // v feeds vector keys + candidate scoring + the fallback path
-    val v = emb.crossJoin(broadcast(szFrame))
+    // v feeds vector keys + candidate scoring + the fallback path;
+    // fanned out so the signature/norm passes use every core when the
+    // source is a single small file (no-op on real layouts)
+    val v = graft.ops.ScanFanout(emb).crossJoin(broadcast(szFrame))
       .select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<double>").as("vv"),
         col("__nl"), col("__w"))
@@ -1860,9 +1871,13 @@ object Dedup {
         (col("vn").cast("double") + col("cn").cast("double") -
           lit(2.0) * Similarity.dotDecimal(col("vv"), col("cv"))
             .cast("double")).as("dist2"))
+    // persisted: consumed by the fallback anti join AND the union —
+    // without it the candidate-scoring subtree above runs once per
+    // consumer (measured, round-12 ProfileOne)
     val assignedReal = scored.groupBy(col("vec_id"))
       .agg(min(struct(col("dist2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("centroid_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fallback = v.select(col("vec_id"), col("__nl"))
       .join(assignedReal.select(col("vec_id")), Seq("vec_id"),
         "left_anti")

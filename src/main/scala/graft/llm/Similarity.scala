@@ -449,7 +449,9 @@ object Similarity {
          |    struct(i AS i, i + k AS j,
          |      cast(cast(x AS double) * cast(y AS double)
          |           AS decimal(38,15)) AS p))))""".stripMargin)
-    df.where(col(vecCol).isNotNull)
+    // dims²/2 products per row explode inside the scan stage — fan a
+    // single-file scan out to all cores (no-op on real layouts)
+    graft.ops.ScanFanout(df).where(col(vecCol).isNotNull)
       .select(explode(pairs).as("e"))
       .groupBy(col("e.i").cast("int").as("i"),
         col("e.j").cast("int").as("j"))
@@ -590,7 +592,10 @@ object Similarity {
                         idCol: String, vecCol: String,
                         centroidIdCol: String, centroidVecCol: String)
       : DataFrame = {
-    val v = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("vv"))
+    // n×nlist argmin is the heaviest map pass of the SemDeDup family —
+    // fan a single-file scan out to all cores (no-op on real layouts)
+    val v = graft.ops.ScanFanout(vectors)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("vv"))
       .withColumn("vn", norm2Decimal(col("vv")))
     val c = centroids.select(col(centroidIdCol).as("centroid_id"),
         col(centroidVecCol).as("cv"))
@@ -649,19 +654,34 @@ object Similarity {
   }
 
   /** Gate form of the LSH signature on cross-engine md5-parity
-    * hyperplanes: each plane dot runs through the native
-    * [[dotDecimal]] kernel (exact DECIMAL(38,15) accumulation —
-    * deterministic rounding both engines reproduce, the proven q26
-    * recipe) against a LITERAL ±1 plane vector, so the SIGN of every
-    * plane dot — hence every signature bit — is bit-reproducible in
-    * DuckDB, which is what lets the whole LSH search path hash-check
-    * at the gate (q84). 16 fused codegen loops per row, no interpreted
-    * lambdas; production uses the fused xxhash64 [[lshSignature]]
-    * kernel — the gate variant shares its banding math and recall
-    * behavior by construction. */
+    * hyperplanes: each plane dot runs through the exact DECIMAL(38,15)
+    * accumulation chain (deterministic rounding both engines reproduce,
+    * the proven q26 recipe) against a ±1 plane vector, so the SIGN of
+    * every plane dot — hence every signature bit — is bit-reproducible
+    * in DuckDB, which is what lets the whole LSH search path hash-check
+    * at the gate (q84).
+    *
+    * Round 12: now the FUSED native expression
+    * [[graft.functions.LshSignatureMd5Planes]] — one pass per row that
+    * converts each element to its decimal once and reuses ±it across
+    * all planes (the previous per-plane `dotDecimal(vec, planeLiteral)`
+    * column tree re-converted every element once per plane through
+    * Double.toString/BigDecimal — the measured q363/q341 hot spot —
+    * and carried bits × dims literal nodes into every codegen
+    * fragment). Bit-identical by construction and spec-pinned against
+    * [[lshSignatureMd5Reference]]; production uses the fused xxhash64
+    * [[lshSignature]] kernel — the gate variant shares its banding
+    * math and recall behavior by construction. */
   def lshSignatureMd5(vec: Column, bits: Int, dims: Int): Column = {
     require(bits >= 1 && bits <= 63, s"bits=$bits out of [1, 63]")
     require(dims >= 1, s"dims must be >= 1, got $dims")
+    graft.functions.VectorFunctions.vecLshSignatureMd5(vec, bits, dims)
+  }
+
+  /** Pre-round-12 column-tree form of [[lshSignatureMd5]] — kept as the
+    * independent semantics oracle for the fused kernel's parity spec. */
+  private[graft] def lshSignatureMd5Reference(vec: Column, bits: Int,
+                                              dims: Int): Column = {
     val bitCols = (0 until bits).map { p =>
       val plane = array(
         (0 until dims).map(d => lit(md5PlaneComponent(p, d))): _*)

@@ -405,7 +405,9 @@ object TextAnalysis {
                         n: Int = 3, topM: Int = 300): DataFrame = {
     require(topM >= 1, s"topM must be >= 1, got $topM")
     import org.apache.spark.sql.expressions.Window
-    val counts = df
+    // the gram explode is the corpus-scan hot loop — fan a single-file
+    // scan out to all cores (no-op on real layouts / repartitioned input)
+    val counts = graft.ops.ScanFanout(df)
       .where(col(labelCol).isNotNull)
       .select(col(labelCol).as("label"),
         explode(charNgrams(lower(col(textCol)), n)).as("gram"))
@@ -429,7 +431,7 @@ object TextAnalysis {
   def classifyByProfile(df: DataFrame, idCol: String, textCol: String,
                         profiles: DataFrame, n: Int = 3, topM: Int = 300,
                         fallback: String = "und"): DataFrame = {
-    val docGrams = df
+    val docGrams = graft.ops.ScanFanout(df)
       .select(col(idCol), explode(charNgrams(lower(col(textCol)), n)).as("gram"))
       .groupBy(col(idCol), col("gram"))
       .agg(count(lit(1)).as("dc"))

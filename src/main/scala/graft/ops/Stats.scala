@@ -1265,7 +1265,9 @@ object Stats {
                            hashFn: Column => Column = xx60): DataFrame = {
     require(reps >= 4 && reps <= 1000, s"reps in [4,1000], got $reps")
     val d38 = "decimal(38,0)"
-    val base = df.where(col(valueCol).isNotNull)
+    // the reps-explode + per-row hash is the hot map loop — fan a
+    // single-file scan out to all cores (no-op on real layouts)
+    val base = graft.ops.ScanFanout(df).where(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"),
         col(idCol).cast("string").as("__id"),
         col(valueCol).cast("long").as("__v"))

@@ -193,14 +193,17 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
-  test("q84: md5-LSH search plans literal-plane kernel dots and aggregated top-k") {
+  test("q84: md5-LSH search plans the fused signature kernel and aggregated top-k") {
     val p = plan("q84_lsh_topk")
+    assert(p.contains("vec_lsh_signature_md5"),
+      "the signature must be the fused one-pass kernel (round 12: " +
+        "converts each element once, not once per plane)")
     assert(p.contains("vec_dot_decimal"),
-      "plane dots must run the native decimal kernel, not interpreted lambdas")
+      "rerank cosine must run the native decimal kernel, not interpreted lambdas")
     assert(!p.contains("zip_with") && !p.contains("aggregate("),
       "q84 plans an interpreted higher-order lambda chain")
-    assert(!p.contains("md5"),
-      "plane components must be baked-in literals, not per-row md5 calls")
+    assert(!p.replace("vec_lsh_signature_md5", "").contains("md5"),
+      "plane components must be baked into the kernel, not per-row md5 calls")
     assert(!p.contains("Window") && p.contains("partial_topkbyscore"),
       "rerank must be the k-bounded aggregation")
   }

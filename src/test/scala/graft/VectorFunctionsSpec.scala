@@ -222,4 +222,62 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(err.getMessage.toLowerCase.contains("array") ||
            err.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  test("decimal dot long-lane/BigDecimal-lane switch is seamless mid-sum") {
+    // round-12 fast path: products |p| < ~9.2e3 ride ×10^15 scaled
+    // longs; anything bigger (or a sum overflow) falls back to the
+    // BigDecimal chain carrying the exact partial sum. These rows force
+    // the switch at every position: small→HUGE→small (switch mid-sum),
+    // HUGE first (switch at element 0), all-small (pure fast lane),
+    // magnitudes straddling the 9223.37 scaled-long edge, and
+    // sign-mixed near-cancellation (rounding-step parity under
+    // negatives). Reference = the retained lambda chain.
+    val rows = Seq(
+      Array(0.125, -3.75, 0.0078125),
+      Array(1.5, 2.5e7, -0.25),                    // switch at element 1
+      Array(9.5e9, 1.0, -1.0),                     // switch at element 0
+      Array(9223.0, 1.0),                          // 9223×1e15 < 2^63 — fast
+      Array(9224.0, 1.0),                          // just past the edge
+      Array(-9223.372036854775, 9223.372036854775),
+      Array(1e-16, -1e-16, 5e-16, -4.999e-16),     // rounding-tie digits
+      Array(0.1, 0.2, 0.3, -0.6),
+      Array.fill(64)(math.sqrt(2.0) - 1.0),
+      Array.tabulate(64)(i => if (i % 2 == 0) 1e3 else -1e3 + 1e-13))
+      .zipWithIndex.map { case (a, i) => (i.toLong, a, a.reverse) }
+    val d = rows.toDF("id", "a", "b")
+    val bad = d.select(
+        vecDotDecimal($"a", $"b").as("native"),
+        graft.llm.Similarity.dotDecimalReference($"a", $"b").as("ref"))
+      .filter($"native".cast("string") =!= $"ref".cast("string"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("fused md5-plane signature is bit-identical to the per-plane column tree") {
+    // round-12 kernel swap (LshSignatureMd5Planes): one conversion per
+    // element reused ±across planes vs the reference's per-plane
+    // dotDecimal against literal planes. Checked at the two widths the
+    // gates use (16 for q84, 60 for q341/q363), on real embeddings plus
+    // adversarial rows: negatives, zeros, slow-lane magnitudes, a
+    // wrong-length vector and a null vector (both must yield 0, not
+    // null, matching when(null>=0,...).otherwise(0) per bit).
+    val emb = spark.read.parquet(sf("sf0.001") + "/embeddings.parquet")
+      .limit(120).select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val extra = Seq(
+      (9001L, Array(0.0, -0.0, 1e-17, -1e-17) ++ Array.fill(60)(0.25)),
+      (9002L, Array.fill(64)(-1.0e4)),             // slow lane (|v|>9223)
+      (9003L, Array.tabulate(64)(i => (i - 32) * 0.125)),
+      (9004L, Array(1.0, 2.0, 3.0)),               // wrong length → 0
+      (9005L, null.asInstanceOf[Array[Double]]))   // null vector → 0
+      .toDF("vec_id", "v")
+    for (bits <- Seq(16, 60)) {
+      val bad = emb.unionByName(extra).select(
+          graft.llm.Similarity.lshSignatureMd5($"v", bits, dims = 64)
+            .as("fused"),
+          graft.llm.Similarity.lshSignatureMd5Reference($"v", bits, dims = 64)
+            .as("ref"))
+        .filter($"fused".isNull || $"fused" =!= $"ref").count()
+      assert(bad == 0, s"fused md5 signature diverges at bits=$bits")
+    }
+  }
 }
