@@ -320,8 +320,9 @@ object AgreementGates {
         // a maxFilesPerTrigger=1 micro-batch is single-file BY
         // CONSTRUCTION at any scale — fan the trigram/regex classify
         // work out to the session's cores (per-batch logic is
-        // aggregate-only, row-order-free)
-        val batch = graft.ops.ScanFanout(batch0)
+        // aggregate-only, row-order-free). `force`: a streaming batch
+        // frame exposes no inputFiles for the metadata guard.
+        val batch = graft.ops.ScanFanout.force(batch0)
         val ba = batch.select(col("doc_id"),
           graft.llm.TextAnalysis.langId(col("text")).as("pred_rule"))
         val bb = graft.llm.TextAnalysis.classifyByProfile(

@@ -230,7 +230,7 @@ object CorpusPipeline {
     * distinct/non-distinct aggregate as one Expand over the group key —
     * two map-side-partial shuffles of |groups|-bounded rows, no joins,
     * no windows. */
-  def corpusReport(docs: DataFrame, textCol: String,
+  def corpusReport(docs0: DataFrame, textCol: String,
                    groupCols: Seq[String],
                    minWords: Int = 50, minStopwords: Int = 2,
                    hashFn: Column => Column = xxhash64(_)): DataFrame = {
@@ -238,7 +238,7 @@ object CorpusPipeline {
     val text = col(textCol)
     val keep = TextAnalysis.gopherKeep(TextAnalysis.gopherCounts(text),
       minWords = minWords, minStopwords = minStopwords)
-    docs.groupBy(groupCols.map(col): _*)
+    docs0.groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(hashFn(text)).as("n_distinct"),

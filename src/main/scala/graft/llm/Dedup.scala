@@ -41,7 +41,7 @@ object Dedup {
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         k: Int, ngram: Int = 2, seed: Int = 42): DataFrame =
     minHashSignaturesFromShingled(
-      graft.ops.ScanFanout(df).select(col(idCol).as("doc_id"),
+      df.select(col(idCol).as("doc_id"),
         explode(TextShingles.wordNgrams(col(textCol), ngram)).as("shingle")),
       k, seed)
 
@@ -66,7 +66,7 @@ object Dedup {
                         threshold: Double = 0.5, seed: Int = 42,
                         maxBucketSize: Int = 1000): DataFrame =
     minHashCandidatesFromShingled(
-      graft.ops.ScanFanout(df).select(col(idCol).as("doc_id"),
+      df.select(col(idCol).as("doc_id"),
         explode(TextShingles.wordNgrams(col(textCol), ngram)).as("shingle")),
       k, bands, threshold, seed, maxBucketSize)
 
@@ -370,7 +370,8 @@ object Dedup {
                             maxDf: Int = Int.MaxValue): DataFrame = {
     require(minContainPerMille >= 1 && minContainPerMille <= 1000,
       s"minContainPerMille must be in [1, 1000], got $minContainPerMille")
-    val grams0 = docs.select(col(idCol).as("doc_id"),
+    val grams0 = graft.ops.ScanFanout(docs)
+      .select(col(idCol).as("doc_id"),
         explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
       .distinct()
     val grams =
@@ -768,7 +769,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double, ngram: Int = 2,
                         maxDf: Int = Int.MaxValue): DataFrame = {
-    val grams0 = docs.select(col(idCol).as("doc_id"),
+    val grams0 = graft.ops.ScanFanout(docs)
+      .select(col(idCol).as("doc_id"),
         explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
       .distinct()
     val grams =

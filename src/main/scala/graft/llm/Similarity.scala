@@ -909,7 +909,9 @@ object Similarity {
     * which would plan m separate scans of the corpus. */
   private def subspaceRows(df: DataFrame, idCol: String, vecCol: String,
                            as: String, m: Int, sub: Int): DataFrame =
-    df.select(col(idCol).cast("long").as(as),
+    // the m-subvector explode + decimal scoring downstream is the PQ
+    // hot loop — fan a single-file scan out (no-op on real layouts)
+    graft.ops.ScanFanout(df).select(col(idCol).cast("long").as(as),
         explode(array((0 until m).map(j =>
           struct(lit(j).as("j"),
             slice(col(vecCol), j * sub + 1, sub).as("sv"))): _*)).as("e"))
@@ -1069,7 +1071,7 @@ object Similarity {
     * partial groupBy(d); the final collect_list is dim-bounded (the
     * centroid-model contract), sorted by dimension — never a window. */
   def sqStats(candidates: DataFrame, vecCol: String): DataFrame =
-    candidates
+    graft.ops.ScanFanout(candidates)
       .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
       .groupBy(col("d"))
       .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
@@ -1089,7 +1091,9 @@ object Similarity {
   def sqEncode(candidates: DataFrame, idCol: String, vecCol: String,
                stats: DataFrame): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    candidates.crossJoin(broadcast(stats))
+    // the per-element clamp transform is interpreted (higher-order
+    // function) — fan a single-file scan out (no-op on real layouts)
+    graft.ops.ScanFanout(candidates).crossJoin(broadcast(stats))
       .select(col(idCol).cast("long").as("cand_id"),
         transform(sequence(lit(0), size(v) - 1), i => {
           val x  = element_at(v, i + 1)

@@ -48,28 +48,54 @@ object ScanFanout {
       math.max(1L, (len + maxPartitionBytes - 1) / maxPartitionBytes)
     }.sum
 
-  /** `df` repartitioned round-robin to the session default parallelism
-    * iff its backing file layout cannot feed it from the scan alone.
-    * Deterministic: round-robin repartition sorts within partitions
-    * first (spark.sql.execution.sortBeforeRepartition, default on), so
-    * retries reproduce the same placement; every caller's downstream
-    * result is row-order-free regardless. */
+  /** The exchange itself: HASH partitioning on every column, NOT
+    * round-robin. Round-robin `repartition(n)` first locally sorts its
+    * input by the full binary row (spark.sql.execution.
+    * sortBeforeRepartition, default on, needed for deterministic retry
+    * placement) — and that sort runs INSIDE the single pre-exchange
+    * scan task, i.e. serially, once per fanout site (measured: q152's
+    * ensemble wired three fanouts and regressed 4.2 → 7.3 s).
+    * Hash-partitioning is deterministic per row with no sort, and
+    * hashing even a full document row is one pass over its bytes —
+    * far cheaper than the per-row work the fanout parallelizes. Unique
+    * ids dominate every wired frame, so the spread is uniform. */
+  private def exchange(df: DataFrame, target: Int): DataFrame =
+    df.repartition(target, df.columns.map(org.apache.spark.sql.functions.col): _*)
+
+  private def hasRepartition(df: DataFrame): Boolean =
+    df.queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }.isDefined
+
+  /** [[apply]] for frames whose single-partition shape is known BY
+    * CONSTRUCTION rather than from file metadata — a
+    * `maxFilesPerTrigger=1` micro-batch arrives as one file's rows at
+    * ANY corpus scale, but its logical plan is a streaming-source
+    * relation with no inspectable `inputFiles`. Repartitions
+    * unconditionally (still skipping frames that already carry a
+    * repartition). Only for callers that can argue the single-file
+    * shape holds at production scale too. */
+  def force(df: DataFrame): DataFrame =
+    if (hasRepartition(df)) df
+    else exchange(df, df.sparkSession.sparkContext.defaultParallelism)
+
+  /** `df` hash-repartitioned on all columns to the session default
+    * parallelism iff its backing file layout cannot feed it from the
+    * scan alone. Every caller's downstream result is row-order-free,
+    * so the placement never shows in results. */
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     // idempotence: a frame that already carries an explicit repartition
     // (a gate-level fanout, a fixture writer's bucket exchange) must not
     // pay a second one when an operator fans its input too
-    val repartitioned = df.queryExecution.logical.collectFirst {
-      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r
-      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
-    }.isDefined
-    if (repartitioned) return df
+    if (hasRepartition(df)) return df
     val files = df.inputFiles
     if (files.isEmpty) return df
     val target = spark.sparkContext.defaultParallelism
     val maxPb = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    if (estimatedSplits(files, maxPb) * 2 <= target) df.repartition(target)
+    if (estimatedSplits(files, maxPb) * 2 <= target) exchange(df, target)
     else df
   }
 }
