@@ -370,8 +370,7 @@ object Dedup {
                             maxDf: Int = Int.MaxValue): DataFrame = {
     require(minContainPerMille >= 1 && minContainPerMille <= 1000,
       s"minContainPerMille must be in [1, 1000], got $minContainPerMille")
-    val grams0 = graft.ops.ScanFanout(docs)
-      .select(col(idCol).as("doc_id"),
+    val grams0 = docs.select(col(idCol).as("doc_id"),
         explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
       .distinct()
     val grams =
@@ -769,8 +768,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double, ngram: Int = 2,
                         maxDf: Int = Int.MaxValue): DataFrame = {
-    val grams0 = graft.ops.ScanFanout(docs)
-      .select(col(idCol).as("doc_id"),
+    val grams0 = docs.select(col(idCol).as("doc_id"),
         explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
       .distinct()
     val grams =

@@ -557,9 +557,13 @@ class AgreementSpec extends SparkTestBase {
       assert(firstStream >= 0, "stream never started")
       val preStream = pre.take(firstStream).count(isCollect)
       val postStream = pre.drop(firstStream).count(isCollect)
-      assert(preStream >= 1 && preStream <= 4,
+      // upper bound raised 4 → 5 in round 12: the scan-fanout exchange
+      // on the baseline's langid pass adds one AQE shuffle sub-job; the
+      // guard's teeth are unchanged (a per-batch recompute shows as
+      // post-stream collects, or ~4x this count)
+      assert(preStream >= 1 && preStream <= 5,
         s"frozen baseline must cost exactly ONE pre-stream collect " +
-          s"(1-4 AQE sub-jobs), saw $preStream — " +
+          s"(1-5 AQE sub-jobs), saw $preStream — " +
           s"[${pre.take(firstStream).mkString(" | ")}]")
       assert(postStream == 0,
         s"NO collect/AQE-driver job may run once the stream starts " +
