@@ -322,22 +322,42 @@ object AgreementGates {
         // work out to the session's cores (per-batch logic is
         // aggregate-only, row-order-free). `force`: a streaming batch
         // frame exposes no inputFiles for the metadata guard.
-        val batch = graft.ops.ScanFanout.force(batch0)
+        // localCheckpoint: the batch feeds the rule-langid pass AND the
+        // trigram classify — pinned, the file is read and fanned once.
+        val batch = graft.ops.ScanFanout.force(batch0).localCheckpoint()
         val ba = batch.select(col("doc_id"),
           graft.llm.TextAnalysis.langId(col("text")).as("pred_rule"))
         val bb = graft.llm.TextAnalysis.classifyByProfile(
             batch, "doc_id", "text", profiles, n = 3, topM = 100)
           .select(col("doc_id"), col("lang_pred").as("pred_trained"))
-        val agree = graft.ops.Agreement.partitionAgreementPpm(
-            ba.join(bb, "doc_id"), "pred_rule", "pred_trained")
+        // ONE batch-grain aggregate (r12 verdict ask #2: the old form ran
+        // three independent aggregates — agreement, drift marginals, and
+        // the bucket min — each re-deriving rule/trained predictions over
+        // the batch). classifyByProfile emits exactly one row per input
+        // doc (left join + fallback) and both prediction columns are
+        // non-null by construction, so the inner join is a bijection onto
+        // the batch and every downstream statistic derives EXACTLY from
+        // this one (pred_rule, pred_trained) contingency:
+        //  - agreement: the same cells partitionAgreementPpm would build
+        //  - drift marginals: n_a(la) = Σ_b nij(la, b)
+        //  - bucket: min over cells of the per-cell min
+        val cells = ba.join(bb, "doc_id")
+          .select(col("pred_rule").cast("string").as("__a"),
+            col("pred_trained").cast("string").as("__b"),
+            pmod(col("doc_id"), lit(4)).as("__bucket"))
+          .where(col("__a").isNotNull && col("__b").isNotNull)
+          .groupBy(col("__a"), col("__b"))
+          .agg(count(lit(1)).as("__nij"), min(col("__bucket")).as("__bmin"))
+          .localCheckpoint() // ≤ |langs|² rows; consumed by all three stats
+        val agree = graft.ops.Agreement.partitionAgreementPpmFromCells(
+            cells.select(col("__a"), col("__b"), col("__nij")))
           .select(col("n"), col("ari_ppm"))
         val drift = graft.ops.Stats.categoryDriftFromCounts(
-            ba.groupBy(col("pred_rule").as("la"))
-              .agg(count(lit(1)).as("n_a")),
+            cells.groupBy(col("__a").as("la"))
+              .agg(sum(col("__nij")).as("n_a")),
             baselineCounts, "la")
           .agg(max(col("delta_pm")).as("max_delta_pm"))
-        val meta = batch.agg(
-          min(pmod(col("doc_id"), lit(4))).as("bucket"))
+        val meta = cells.agg(min(col("__bmin")).as("bucket"))
         val row = meta.crossJoin(agree).crossJoin(drift)
         if (store.exists("mon.drift")) store.append("mon.drift", row)
         else store.overwrite("mon.drift", row)
@@ -369,7 +389,10 @@ object AgreementGates {
     val store = new graft.io.ParquetTableStore(s,
       java.nio.file.Files.createTempDirectory("q380mon").toString)
     graft.streaming.EventStream.runStreamForeachBatch(
-      s, tmp.getAbsolutePath, { (batch, _) =>
+      s, tmp.getAbsolutePath, { (batch0, _) =>
+        // pinned: the batch feeds the band pass AND the bucket min —
+        // checkpointed, the micro-batch file is read once per trigger
+        val batch = batch0.localCheckpoint()
         val banded = batch.select(
           least(expr("length(text) div 200"), lit(4L)).as("band_len"),
           least(expr("size(split(text, ' ')) div 40"), lit(4L))

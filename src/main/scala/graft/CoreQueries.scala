@@ -601,8 +601,13 @@ object CoreQueries {
     def shaped(df: DataFrame) = df.select(
       col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
       col("ts_us"), col("user_id"), col("value"))
+    // two-sided when (no otherwise): a NULL ts_us lands in the null
+    // bucket and is dropped — the exact semantics of the pre-r12 pair
+    // of filters (ts_us < mid / ts_us >= mid), which dropped null rows
+    // from both batches; `.otherwise(1)` would silently route them
+    // into batch 1 at a scale factor where ts ever goes null
     rewritePartFilesOnePass(tmp, shaped(base),
-      when(col("ts_us") < midUs, 0).otherwise(1), 2,
+      when(col("ts_us") < midUs, 0).when(col("ts_us") >= midUs, 1), 2,
       extras = Seq(shaped(s.range(1).select(lit(-1L).as("event_id"),
         lit(sentinelUs).as("ts_us"), lit(-1L).as("user_id"),
         lit(0.0).as("value")))))

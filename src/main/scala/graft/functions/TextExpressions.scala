@@ -47,6 +47,42 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Character n-grams by Unicode code point — the fused kernel behind
+    * [[CharNgrams]]. Exactly the `transform(sequence(1, len−n+1),
+    * i => substr(text, i, n))` combinator: `length`/`substr` count code
+    * points (UTF8String char semantics), a string shorter than n yields
+    * the empty array. One boundary walk builds the per-char byte
+    * offsets, then every gram is a zero-scan byte slice — the lambda
+    * form re-ran `substringSQL`'s from-the-start scan per element
+    * (O(chars²) per document) in interpreted CodegenFallback. */
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
+    val b = s.getBytes
+    val nb = b.length
+    // one pass: code-point boundary byte offsets
+    var count = 0
+    var i = 0
+    while (i < nb) {
+      i += UTF8String.numBytesForFirstByte(b(i))
+      count += 1
+    }
+    if (count < n) return new GenericArrayData(Array.empty[Any])
+    val offs = new Array[Int](count + 1)
+    i = 0; var c = 0
+    while (i < nb) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(b(i))
+      c += 1
+    }
+    offs(count) = nb
+    val out = new Array[Any](count - n + 1)
+    var g = 0
+    while (g <= count - n) {
+      out(g) = UTF8String.fromBytes(b, offs(g), offs(g + n) - offs(g))
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Unicode canonical composition; already-NFC strings (the common
     * case) short-circuit without allocating. */
   def nfc(s: UTF8String): UTF8String = {
@@ -210,9 +246,54 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native character-n-gram expression — the per-document hot loop of
+  * the trained-langid family (profile training, classify, the q365
+  * per-batch monitor).
+  *
+  * The combinator form (`transform(sequence(1, len−n+1), i =>
+  * substr(text, i, n))`) is a higher-order lambda — CodegenFallback —
+  * and each interpreted `substr` re-scans the string from its start to
+  * find the code-point boundary: one document costs O(chars²). This
+  * expression walks the boundaries once and emits every gram as a byte
+  * slice; output is element-for-element identical to the lambda form
+  * (spec-pinned), which is retained as
+  * `TextAnalysis.charNgramsReference` for the parity spec. */
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n=$n must be >= 1")
+
+  override def prettyName: String = "char_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TextOps.charNgrams(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      s"""
+         |${ev.value} = graft.functions.TextOps.charNgrams($x, $n);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def wordNgrams(text: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))
+  def charNgrams(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
   def winnowMins(hashes: Column, window: Int): Column =
     ColumnBridge.column(WinnowMins(ColumnBridge.expression(hashes), window))
   def nfcNormalize(text: Column): Column =

@@ -531,7 +531,12 @@ object Dedup {
       else {
         val hot = fps0.groupBy("fp").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).select("fp")
+        // pinned too: the CAPPED frame feeds sizes + both self-join
+        // sides — unpinned, the df-guard groupBy + join re-run 3×
+        // on top of the fps0 cache (ProfileOne r13: 3 × 76k-record
+        // exchange jobs at ~1 s each inside q117)
         fps0.join(hot, Seq("fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
     val result = fps.as("a")
@@ -550,6 +555,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count()
     fps0.unpersist(false)
+    if (fps ne fps0) fps.unpersist(false)
     result
   }
 
@@ -1382,6 +1388,13 @@ object Dedup {
     // persist the n-row (vec_id, centroid_id) frame so that pass runs
     // once, not once per consumer (round-12 ProfileOne: q363 re-ran its
     // 60k-candidate scoring subtree ~4×). Lazy — zero build-time jobs.
+    // DELIBERATE session-lifetime pin (r12 advice noted the missing
+    // unpersist): the returned frame's lineage reads these blocks, so
+    // releasing inside the operator would force an eager materialize-
+    // then-unpersist (build-time jobs the lazy-builder gates forbid).
+    // Long-lived sessions bound the cost at n rows of ids per call and
+    // reclaim under memory pressure (MEMORY_AND_DISK evicts); the bench
+    // harness releases all pinned blocks between queries.
     val assigned = assigned0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withVec = assigned.join(

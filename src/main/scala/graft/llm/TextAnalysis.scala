@@ -381,9 +381,22 @@ object TextAnalysis {
   // -------------------------------------------------------------------
 
   /** Character n-grams of `text` as array<string> (empty array when the
-    * text is shorter than n — guarded, because Spark's `sequence(1, 0)`
-    * counts DOWN instead of returning empty). */
+    * text is shorter than n). r13: the fused native expression
+    * (functions.CharNgrams) — one boundary walk per document — replaces
+    * the interpreted `transform` lambda, whose per-element `substr`
+    * re-scanned the string from its start (O(chars²) per doc,
+    * CodegenFallback). Element-for-element identical to the retained
+    * [[charNgramsReference]] (parity spec in TextExtractSpec). */
   def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    graft.functions.TextFunctions.charNgrams(text, n)
+  }
+
+  /** Reference lambda form of [[charNgrams]] (parity-spec oracle only;
+    * quadratic in interpreted evaluation — the `sequence(1, 0)` guard
+    * exists because Spark's sequence counts DOWN instead of returning
+    * empty). */
+  private[graft] def charNgramsReference(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
     when(length(text) < n, array().cast("array<string>"))
       .otherwise(transform(

@@ -367,6 +367,20 @@ object Agreement {
       .where(col("__a").isNotNull && col("__b").isNotNull)
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__nij"))
       .localCheckpoint() // consumed by the cell pass and both marginals
+    partitionAgreementPpmFromCells(cells)
+  }
+
+  /** [[partitionAgreementPpm]] over a PRE-AGGREGATED contingency table —
+    * `cells` carries (__a, __b, __nij) with non-null string keys and
+    * positive counts, exactly the frame the row-level form builds
+    * internally. The monitoring entry point (r13 q365 coalescing): a
+    * drift monitor that already aggregates its batch to (pred_a, pred_b)
+    * cell counts for other metrics can feed the SAME tiny frame here
+    * instead of paying a second row-level contingency groupBy per
+    * micro-batch. Arithmetic identical to the row-level form (it
+    * delegates here). `cells` is consumed three times (cell pass + both
+    * marginals) — pass a checkpointed/persisted frame. */
+  def partitionAgreementPpmFromCells(cells: DataFrame): DataFrame = {
     val cell = cells.agg(sum(col("__nij")).as("__n"),
       sum(col("__nij").cast(d38) * (col("__nij") - 1)).as("__p2"))
     def marginal(k: String, q: String, kk: String) = cells

@@ -41,9 +41,19 @@ object Association {
     val sizes = it0.groupBy(col("__bk")).agg(count(lit(1)).as("__sz"))
     val it = it0.join(sizes.filter(col("__sz") <= maxBasketSize)
       .select(col("__bk")), Seq("__bk")).persist()
-    val nB = it.agg(countDistinct(col("__bk")).as("__n"))
+    // the three corpus-grain aggregates over `it` are each consumed by
+    // MORE THAN ONE downstream branch (nB by the support filter AND the
+    // final metric select; itemCounts by both rule-direction joins; the
+    // pair aggregate by both union branches) — ProfileOne (r13, q201)
+    // measured the basket self-join shuffle running 3× and the nB /
+    // itemCounts passes 2× each under AQE, because union/join branches
+    // materialize their own copies of an un-pinned subtree. Each frame
+    // is alphabet- (≤ items², 1-row for nB) bounded — checkpointing
+    // them truncates the plan so every corpus pass runs exactly once
+    // (guide §3.3 "materialising an intermediate truncates the plan").
+    val nB = it.agg(countDistinct(col("__bk")).as("__n")).localCheckpoint()
     val itemCounts = it.groupBy(col("__it").as("__item"))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("__cnt")).localCheckpoint()
     // support threshold RELATIVE to the basket count (the Apriori
     // parameterization — an absolute count would drift with corpus
     // scale): 1000·n_pair ≥ pm·|baskets|, exact cross-multiplication
@@ -56,6 +66,7 @@ object Association {
       .crossJoin(broadcast(nB))
       .filter(lit(1000L) * col("n_pair") >= lit(minSupportPm.toLong) * col("__n"))
       .drop("__n")
+      .localCheckpoint()
     val rules = pairs.select(col("__x").as("ante"), col("__y").as("cons"),
         col("n_pair"))
       .unionByName(pairs.select(col("__y").as("ante"), col("__x").as("cons"),
@@ -100,14 +111,18 @@ object Association {
     val sizes = it0.groupBy(col("__bk")).agg(count(lit(1)).as("__sz"))
     val it = it0.join(sizes.filter(col("__sz") <= maxBasketSize)
       .select(col("__bk")), Seq("__bk")).persist()
+    // same multi-consumer checkpoint discipline as [[associationRules]]
+    // (itemCounts feeds both broadcast joins, the pair aggregate both
+    // union directions — alphabet-bounded frames, corpus passes run once)
     val itemCounts = it.groupBy(col("__it").as("__item"))
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(count(lit(1)).as("__cnt")).localCheckpoint()
     val pairs = it.as("a")
       .join(it.as("b"),
         col("a.__bk") === col("b.__bk") && col("a.__it") < col("b.__it"))
       .groupBy(col("a.__it").as("__x"), col("b.__it").as("__y"))
       .agg(count(lit(1)).as("co"))
       .filter(col("co") >= minCo)
+      .localCheckpoint()
     val directed = pairs.select(col("__x").as("item"), col("__y").as("cand"),
         col("co"))
       .unionByName(pairs.select(col("__y").as("item"), col("__x").as("cand"),

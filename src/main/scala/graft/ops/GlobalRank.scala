@@ -62,7 +62,13 @@ object GlobalRank {
     val ranged =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         sorted.checkpoint()
-      else sorted.localCheckpoint()
+      // lazy: the per-partition metadata collect just below is the
+      // FIRST action on the frame, so it materializes the checkpoint in
+      // the same job — one pass instead of an eager-pin job plus a
+      // collect job (guide §5: reuse, with the minimum action count).
+      // Consumers after the collect read the same pinned blocks, so the
+      // partition/offset alignment guarantee is unchanged.
+      else sorted.localCheckpoint(eager = false)
     val withId = ranged.withColumn("__mid", monotonically_increasing_id())
     val pidOf = shiftright(col("__mid"), 33).cast("int")
     val idxOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))
@@ -113,7 +119,13 @@ object GlobalRank {
     val ranged =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         sorted.checkpoint()
-      else sorted.localCheckpoint()
+      // lazy: the per-partition metadata collect just below is the
+      // FIRST action on the frame, so it materializes the checkpoint in
+      // the same job — one pass instead of an eager-pin job plus a
+      // collect job (guide §5: reuse, with the minimum action count).
+      // Consumers after the collect read the same pinned blocks, so the
+      // partition/offset alignment guarantee is unchanged.
+      else sorted.localCheckpoint(eager = false)
     val withId = ranged.withColumn("__mid", monotonically_increasing_id())
     val pidOf = shiftright(col("__mid"), 33).cast("int")
     val idxOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))
@@ -260,7 +272,13 @@ object GlobalRank {
     val ranged =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         sorted.checkpoint()
-      else sorted.localCheckpoint()
+      // lazy: the per-partition metadata collect just below is the
+      // FIRST action on the frame, so it materializes the checkpoint in
+      // the same job — one pass instead of an eager-pin job plus a
+      // collect job (guide §5: reuse, with the minimum action count).
+      // Consumers after the collect read the same pinned blocks, so the
+      // partition/offset alignment guarantee is unchanged.
+      else sorted.localCheckpoint(eager = false)
     val withId = ranged.withColumn("__mid", monotonically_increasing_id())
     val pidOf = shiftright(col("__mid"), 33).cast("int")
     val idxOf = col("__mid").bitwiseAND(lit((1L << 33) - 1))

@@ -296,31 +296,47 @@ object GraphOps {
     require(maxHops >= 1 && maxHops <= 64,
       s"maxHops must be in [1, 64], got $maxHops")
     val spark = edges.sparkSession
-    def pin(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    // r13 (guide §5 lineage control with the minimum action count): the
+    // loop previously ran TWO actions per round — an eager checkpoint
+    // job and then a count job over the pinned blocks. The convergence
+    // count now rides the checkpoint materialization itself: the frame
+    // is MARKED for (local) checkpointing lazily, and the count is the
+    // first action, so one job both materializes the pin and returns n.
+    // Later consumers read the same pinned blocks — the
+    // plan-stays-one-round-deep property is unchanged.
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def pinCount(df: DataFrame): (DataFrame, Long) = {
+      val pinned =
+        if (reliable) df.checkpoint() // reliable ckpt re-runs anyway; keep eager
+        else df.localCheckpoint(eager = false)
+      (pinned, pinned.count())
+    }
+    // frames with no adjacent count pin lazily too: the next round's
+    // count job (their first consumer) materializes them in-line
+    def pinLazy(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint()
+      else df.localCheckpoint(eager = false)
     val und = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val adj = pin(und.select(col("a").as("s"), col("b").as("t"))
+    val adj = pinLazy(und.select(col("a").as("s"), col("b").as("t"))
       .unionByName(und.select(col("b").as("s"), col("a").as("t"))))
-    var frontier = pin(sources.select(
+    var (frontier, n) = pinCount(sources.select(
       col(sources.columns.head).cast("long").as("node")).distinct())
     var visited = frontier.withColumn("hop", lit(0))
     val acc = scala.collection.mutable.ArrayBuffer(visited)
     var k = 1
-    var n = frontier.count()
     while (n > 0 && k <= maxHops) {
-      val next = pin(frontier
+      val (next, m) = pinCount(frontier
         .join(adj.withColumnRenamed("s", "node"), Seq("node"))
         .select(col("t").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti"))
-      n = next.count()
+      n = m
       if (n > 0) {
         val labeled = next.withColumn("hop", lit(k))
         acc += labeled
-        visited = pin(visited.unionByName(labeled))
+        visited = pinLazy(visited.unionByName(labeled))
         frontier = next
       }
       k += 1
@@ -353,27 +369,35 @@ object GraphOps {
     require(maxIter >= 1 && maxIter <= 64,
       s"maxIter must be in [1, 64], got $maxIter")
     val spark = edges.sparkSession
-    def pin(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+    // same one-action-per-round fold as [[hopDistance]]: lazy (local)
+    // checkpoint + count materializes the pin and measures convergence
+    // in a single job
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def pinCount(df: DataFrame): (DataFrame, Long) = {
+      val pinned =
+        if (reliable) df.checkpoint()
+        else df.localCheckpoint(eager = false)
+      (pinned, pinned.count())
+    }
+    def pinLazy(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint()
+      else df.localCheckpoint(eager = false)
     val und = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    val adj = pin(und.select(col("a").as("s"), col("b").as("t"))
+    val adj = pinLazy(und.select(col("a").as("s"), col("b").as("t"))
       .unionByName(und.select(col("b").as("s"), col("a").as("t"))))
     def degrees(nodes: DataFrame): DataFrame =
       adj.join(nodes.withColumnRenamed("node", "s"), Seq("s"))
         .join(nodes.withColumnRenamed("node", "t"), Seq("t"))
         .groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
-    var nodes = pin(adj.select(col("s").as("node")).distinct())
-    var n = nodes.count()
+    var (nodes, n) = pinCount(adj.select(col("s").as("node")).distinct())
     var converged = false
     var round = 0
     while (!converged && round < maxIter && n > 0) {
-      val survivors = pin(degrees(nodes)
+      val (survivors, m) = pinCount(degrees(nodes)
         .where(col("deg") >= k).select(col("node")))
-      val m = survivors.count()
       converged = m == n
       nodes = survivors
       n = m

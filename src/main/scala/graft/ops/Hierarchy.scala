@@ -34,10 +34,21 @@ object Hierarchy {
     require(maxDepth >= 1 && maxDepth <= 64,
       s"maxDepth must be in [1, 64], got $maxDepth")
     val spark = edges.sparkSession
-    def pin(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
-    val e = pin(edges.select(col(childCol).cast("long").as("__c"),
+    // one action per hop (the GraphOps.hopDistance r13 fold): the
+    // frontier is marked for lazy (local) checkpointing and the
+    // convergence count is its first action, so a single job both
+    // materializes the pin and measures the frontier
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def pinCount(df: DataFrame): (DataFrame, Long) = {
+      val pinned =
+        if (reliable) df.checkpoint()
+        else df.localCheckpoint(eager = false)
+      (pinned, pinned.count())
+    }
+    def pinLazy(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint()
+      else df.localCheckpoint(eager = false)
+    val e = pinLazy(edges.select(col(childCol).cast("long").as("__c"),
       col(parentCol).cast("long").as("__p")).distinct())
     // frontier: the depth-k ancestor of each node; closure accumulates
     var frontier = e.select(col("__c").as("node"),
@@ -51,12 +62,13 @@ object Hierarchy {
       // along several paths; without dedup diamond-heavy DAGs grow the
       // frontier exponentially and the closure breaks its one-row-per-
       // (node, ancestor, depth) contract
-      frontier = pin(frontier
+      val (f2, m) = pinCount(frontier
         .join(e.withColumnRenamed("__c", "ancestor"), Seq("ancestor"))
         .select(col("node"), col("__p").as("ancestor"),
           (col("depth") + 1).as("depth"))
         .distinct())
-      n = frontier.count()
+      frontier = f2
+      n = m
       if (n > 0) acc += frontier
       k += 1
     }

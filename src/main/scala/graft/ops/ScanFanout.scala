@@ -39,18 +39,56 @@ object ScanFanout {
     * never plan MORE than ceil(bytes/maxPartitionBytes) splits per
     * file, and a single-row-group file yields at most one non-empty
     * split regardless — so this is an upper bound on useful scan
-    * parallelism for the local fixtures (1 small file → 1). */
-  private def estimatedSplits(files: Array[String],
-                              maxPartitionBytes: Long): Long =
-    files.map { uri =>
-      val path = uri.stripPrefix("file:")
-      val len = new java.io.File(path).length  // 0 for non-local URIs
-      math.max(1L, (len + maxPartitionBytes - 1) / maxPartitionBytes)
-    }.sum
+    * parallelism for the local fixtures (1 small file → 1).
+    *
+    * Returns None when ANY file's size cannot be resolved — the r12
+    * advice catch: the old java.io.File path reported length 0 for
+    * every non-local URI, so a production table of a few multi-GB
+    * remote files counted as 1 split each and got a full-table hash
+    * shuffle, contradicting the "production plan is UNCHANGED"
+    * contract. Unknown size now means "do not fan out", never "assume
+    * tiny". Local file: URIs stat directly; other schemes resolve
+    * through the Hadoop FileSystem API. */
+  private def estimatedSplits(df: DataFrame, files: Array[String],
+                              maxPartitionBytes: Long): Option[Long] = {
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val sizes = files.map { uri =>
+      val len =
+        if (uri.startsWith("file:") || !uri.contains(":"))
+          new java.io.File(uri.stripPrefix("file:")).length
+        else
+          try {
+            val p = new org.apache.hadoop.fs.Path(uri)
+            p.getFileSystem(hconf).getFileStatus(p).getLen
+          } catch { case _: Exception => 0L }
+      if (len > 0L) Some(len) else None
+    }
+    if (sizes.exists(_.isEmpty)) None
+    else Some(sizes.flatten
+      .map(len => math.max(1L, (len + maxPartitionBytes - 1) / maxPartitionBytes))
+      .sum)
+  }
 
-  /** The exchange itself: HASH partitioning on every column, NOT
-    * round-robin. Round-robin `repartition(n)` first locally sorts its
-    * input by the full binary row (spark.sql.execution.
+  /** The columns a hash exchange may partition on: anything whose type
+    * tree is free of MapType (Spark's hash expressions reject maps —
+    * the r12 advice catch: a caller-shaped frame carrying a map column
+    * would throw inside library operators that wire ScanFanout, where
+    * the pre-fanout code worked). Frames with at least one hashable
+    * column keep the full hashable set, so every currently-wired frame
+    * partitions on exactly the columns it did before. */
+  private def hashableCols(df: DataFrame): Array[String] = {
+    def mapFree(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => mapFree(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => mapFree(a.elementType)
+      case _ => true
+    }
+    df.schema.fields.filter(f => mapFree(f.dataType)).map(_.name)
+  }
+
+  /** The exchange itself: HASH partitioning on every hash-safe column,
+    * NOT round-robin. Round-robin `repartition(n)` first locally sorts
+    * its input by the full binary row (spark.sql.execution.
     * sortBeforeRepartition, default on, needed for deterministic retry
     * placement) — and that sort runs INSIDE the single pre-exchange
     * scan task, i.e. serially, once per fanout site (measured: q152's
@@ -58,9 +96,14 @@ object ScanFanout {
     * Hash-partitioning is deterministic per row with no sort, and
     * hashing even a full document row is one pass over its bytes —
     * far cheaper than the per-row work the fanout parallelizes. Unique
-    * ids dominate every wired frame, so the spread is uniform. */
-  private def exchange(df: DataFrame, target: Int): DataFrame =
-    df.repartition(target, df.columns.map(org.apache.spark.sql.functions.col): _*)
+    * ids dominate every wired frame, so the spread is uniform. A frame
+    * with NO hash-safe column is returned unchanged (fanout is an
+    * optimization, never an error source). */
+  private def exchange(df: DataFrame, target: Int): DataFrame = {
+    val cols = hashableCols(df)
+    if (cols.isEmpty) df
+    else df.repartition(target, cols.map(org.apache.spark.sql.functions.col): _*)
+  }
 
   private def hasRepartition(df: DataFrame): Boolean =
     df.queryExecution.logical.collectFirst {
@@ -93,9 +136,13 @@ object ScanFanout {
     val files = df.inputFiles
     if (files.isEmpty) return df
     val target = spark.sparkContext.defaultParallelism
+    // enough files to feed the cores (≥ 1 split each) — no stat calls
+    if (files.length.toLong * 2 > target) return df
     val maxPb = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    if (estimatedSplits(files, maxPb) * 2 <= target) exchange(df, target)
-    else df
+    estimatedSplits(df, files, maxPb) match {
+      case Some(splits) if splits * 2 <= target => exchange(df, target)
+      case _ => df // enough splits, or any size unknown — plan unchanged
+    }
   }
 }

@@ -16,6 +16,38 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Shuffle-partition count for STREAMING queries, resolved per stream
+    * start (optimization guide §2.2 "fewer, larger reduce partitions"):
+    * a stateful micro-batch query creates one state store per shuffle
+    * partition and pays its open/commit on EVERY trigger, so inheriting
+    * the batch session's `shuffle.partitions = cores` hands each
+    * micro-batch `cores` near-empty state stores — measured on the r12
+    * driver axis as the streaming gates running FASTER on 8 cores than
+    * 32 (q54 low/high ratio 0.51). The right number scales with the
+    * per-stream data rate, not the session core count, so it is a
+    * separate knob: `spark.graft.stream.shufflePartitions` (production
+    * sets it per stream volume; the local default min(cores, 8) keeps
+    * fixture-scale state-store overhead bounded while leaving map-side
+    * parallelism — which streaming scans take from the file layout, and
+    * per-batch heavy work takes from ScanFanout — untouched). */
+  private[graft] def streamShufflePartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.stream.shufflePartitions")
+      .map(_.toInt)
+      .getOrElse(math.min(spark.sparkContext.defaultParallelism, 8))
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned to the
+    * streaming value, restoring the session value after. A streaming
+    * query CLONES the session conf at `start()`, so the pinned value
+    * binds only the stream (state-store count, per-batch shuffles);
+    * batch work after the stream drains sees the restored session
+    * conf. */
+  private def withStreamShufflePartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, streamShufflePartitions(spark).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Event row as read from the stream (ts in epoch-micros UTC). */
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
@@ -180,12 +212,14 @@ object EventStream {
       if (f.isFile)
         reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(sourceDir)
-    val q = transform(stream).writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpointDir)
-      .format("parquet").option("path", outDir)
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+    withStreamShufflePartitions(spark) {
+      val q = transform(stream).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .format("parquet").option("path", outDir)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
   }
 
   /** CONTINUOUS-INGEST shape: stream a parquet directory through
@@ -206,11 +240,13 @@ object EventStream {
       if (f.isFile)
         reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(sourceDir)
-    val q = stream.writeStream
-      .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                     id: Long) => perBatch(df.toDF(), id))
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+    withStreamShufflePartitions(spark) {
+      val q = stream.writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) => perBatch(df.toDF(), id))
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
   }
 
   /** Drive a parquet-backed stream of events through a transform into an
@@ -234,11 +270,13 @@ object EventStream {
       if (f.isFile)
         reader.option("pathGlobFilter", f.getName).parquet(f.getParent)
       else reader.parquet(sourceDir)
-    val q = transform(stream).writeStream
-      .outputMode(mode)
-      .format("memory").queryName(name)
-      .start()
-    try { q.processAllAvailable() } finally q.stop()
+    withStreamShufflePartitions(spark) {
+      val q = transform(stream).writeStream
+        .outputMode(mode)
+        .format("memory").queryName(name)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
     spark.table(name)
   }
 }

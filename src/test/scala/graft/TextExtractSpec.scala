@@ -54,6 +54,31 @@ class TextExtractSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { TextAnalysis.charNgrams(col("t"), 0) }
   }
 
+  test("charNgrams: fused expression ≡ lambda reference (code points, " +
+       "nulls, multi-byte)") {
+    import org.apache.spark.sql.DataFrame
+    // adversarial inventory: ASCII, 2-byte (é/ß), 3-byte (CJK), 4-byte
+    // (emoji, astral), mixed widths, spaces/newlines, boundary lengths
+    val texts: Seq[String] = Seq(
+      null, "", "a", "ab", "abc", "abcd", "  a b ", "a\nb\nc",
+      "héllo wörld", "的是了在我有他不", "日本語テキスト",
+      "naïve café ß", "🎉🎊🎈", "a🎉b🎊c", "é", "é🎉", "mixed 的 é 🎉 end",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaab")
+    val df: DataFrame = texts.toDF("t")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = df.select(TextAnalysis.charNgrams(col("t"), n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      val ref = df.select(
+          TextAnalysis.charNgramsReference(col("t"), n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      assert(got == ref, s"fused charNgrams diverged from reference at n=$n")
+    }
+    // the langid plan must carry the fused expression, not the lambda
+    val plan = df.select(TextAnalysis.charNgrams(col("t"), 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("char_ngrams"), plan)
+  }
+
   // Two synthetic "languages" with disjoint character inventories so the
   // trained profiles separate them provably.
   private val labeled = Seq(
