@@ -370,15 +370,24 @@ object Dedup {
                             maxDf: Int = Int.MaxValue): DataFrame = {
     require(minContainPerMille >= 1 && minContainPerMille <= 1000,
       s"minContainPerMille must be in [1, 1000], got $minContainPerMille")
+    // the winnowingOverlapPairs pin discipline (r13): the exploded
+    // distinct gram frame feeds the df guard AND the capped frame; the
+    // capped frame feeds sizes + both self-join sides — unpinned, each
+    // consumer branch re-runs the explode+distinct shuffle (measured on
+    // the winnowing sibling: 3 concurrent copies of the posting
+    // exchange inside q117). Lazy persists — zero build-time jobs; the
+    // session-lifetime pin is deliberate (see clusterPairKeep).
     val grams0 = docs.select(col(idCol).as("doc_id"),
         explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams =
       if (maxDf == Int.MaxValue) grams0
       else {
         val df_ = grams0.groupBy("gram").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).select("gram")
         grams0.join(df_, Seq("gram"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     grams.as("a")
@@ -774,15 +783,19 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double, ngram: Int = 2,
                         maxDf: Int = Int.MaxValue): DataFrame = {
+    // same pin discipline as [[ngramContainmentPairs]] (multi-consumer
+    // gram frames; lazy, deliberate session-lifetime pin)
     val grams0 = docs.select(col(idCol).as("doc_id"),
         explode(TextShingles.wordNgrams(col(textCol), ngram)).as("gram"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams =
       if (maxDf == Int.MaxValue) grams0
       else {
         val df_ = grams0.groupBy("gram").agg(count(lit(1)).as("__df"))
           .filter(col("__df") <= maxDf).select("gram")
         grams0.join(df_, Seq("gram"))  // keep only sub-cap grams
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       }
     val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val d6 = "decimal(18,6)"
@@ -908,16 +921,21 @@ object Dedup {
                            hashFn: Column => Column = xxhash64(_)): DataFrame = {
     require(minVotes >= 1 && minVotes <= 3,
       s"minVotes must be in [1, 3], got $minVotes")
-    val jac = ngramJaccardPairs(docs, idCol, textCol, minJaccard,
+    // the corpus frame (often a computed lineage — q152 unions three
+    // text transforms) feeds all three signal operators; pinned, its
+    // scan+transform work runs once instead of once per signal. Lazy,
+    // deliberate session-lifetime pin (see clusterPairKeep).
+    val corpus = docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val jac = ngramJaccardPairs(corpus, idCol, textCol, minJaccard,
         jaccardNgram, maxDf)
       .select(col("doc_a"), col("doc_b"), lit("jac").as("sig"))
-    val con = ngramContainmentPairs(docs, idCol, textCol, containPerMille,
+    val con = ngramContainmentPairs(corpus, idCol, textCol, containPerMille,
         containNgram, maxDf)
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"),
         lit("con").as("sig"))
       .distinct()
-    val win = winnowingOverlapPairs(docs, idCol, textCol, winnowMinShared,
+    val win = winnowingOverlapPairs(corpus, idCol, textCol, winnowMinShared,
         winnowNgram, winnowWindow, winnowMaxDf, hashFn)
       .select(col("doc_a"), col("doc_b"), lit("win").as("sig"))
     def vote(sig: String) =
